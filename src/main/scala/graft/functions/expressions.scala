@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash kernels. Generated code calls
+  * the static [[HashUtil]] kernels directly (the StaticInvoke pattern), so
+  * the expressions stay inside whole-stage codegen — no UDF boxing, no
+  * interpreted fallback on the hot path.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 needs array<string>, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class RollingHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash64 needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.rollingHash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.rollingHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64Expr =
+    copy(child = newChild)
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.bit_count
+
+/** Column-API surface for graft's native expressions. */
+package object functions {
+
+  /** 64-bit SimHash signature of an array<string> token column. */
+  def simhash64(tokens: Column): Column = new Column(SimHash64Expr(tokens.expr))
+
+  /** Rabin-Karp rolling-hash document fingerprint of a string column. */
+  def rolling_hash64(text: Column): Column = new Column(RollingHash64Expr(text.expr))
+
+  /** Number of set bits (Hamming weight) of a long column. */
+  def popcount64(c: Column): Column = bit_count(c).cast("int")
+
+  /** Register graft functions for the `spark.sql` surface. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64Expr(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data curation: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * Scale shape: per-document signatures are computed inside the row (array
+  * higher-order functions — no explode, no shuffle); only the tiny
+  * (doc → bucket) pairs shuffle for the LSH bucket join. At 100 TB the
+  * candidate-pair stage touches a few permille of the corpus instead of
+  * the O(n²) cross product.
+  */
+object Dedup {
+
+  /** Exact dedup: group on the canonical fingerprint, keep the smallest id.
+    * Plain two-phase hash aggregate — map-side partials make this scan-bound.
+    */
+  def exact(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(col(id), TextAnalysis.fingerprint(col(text)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word k-shingles of a document (arrays stay in-row). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    when(n < k, array_distinct(when(n > 0, array(concat_ws(" ", toks)))
+        .otherwise(array().cast("array<string>"))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, k)))))
+  }
+
+  /** Exact Jaccard similarity of two distinct-token/shingle arrays.
+    * Integer set sizes → one double division: bit-reproducible.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_distinct(concat(a, b))).cast("double")
+    when(uni === 0d, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** All-pairs n-gram (token set) Jaccard over a bounded id range — the
+    * exact-verification building block. The quadratic candidate space is
+    * capped by `maxId`; at scale use [[minhashLsh]] to generate candidates
+    * and this only on the (tiny) candidate set.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        threshold: Double, maxId: Long): DataFrame = {
+    val t = docs
+      .filter(col(id) < maxId)
+      .select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+    val a = t.select(col(id).as("a_id"), col("toks").as("a_toks"))
+    val b = t.select(col(id).as("b_id"), col("toks").as("b_toks"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: k independent hash slots, each the min of
+    * xxhash64(shingle, slot) over the document's shingles. Computed entirely
+    * in-row (transform + array_min) — stays inside whole-stage codegen.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      slot =>
+        when(size(shinglesCol) === 0, lit(Long.MaxValue))
+          .otherwise(array_min(transform(shinglesCol, s => xxhash64(s, slot)))))
+
+  /** MinHash + LSH banding near-dup candidates, exact-verified.
+    *
+    * bands×rows = numHashes; two docs collide if any band of their
+    * signatures matches. Collisions are found with a shuffle on
+    * (band, bandHash) — the only shuffle in the pipeline — then verified
+    * with exact Jaccard so the output has no false positives.
+    */
+  def minhashLsh(docs: DataFrame, id: String, text: String, shingleK: Int = 3,
+                 numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(
+      col(id).as("doc_id"),
+      array_distinct(TextAnalysis.tokens(col(text))).as("toks"),
+      minhashSignature(shingles(col(text), shingleK), numHashes).as("sig"))
+
+    val banded = sigs.select(
+      col("doc_id"), col("toks"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("toks").as("a_toks"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures compared by Hamming distance.
+    * Signature via [[graft.functions.simhash64]]; candidates from matching
+    * 16-bit chunks (any doc pair within Hamming distance 3 shares at least
+    * one of 4 chunks — pigeonhole).
+    */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    import graft.functions.{simhash64, popcount64}
+    val sigs = docs.select(col(id).as("doc_id"),
+      simhash64(TextAnalysis.tokens(col(text))).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => (shiftright(col("sig"), c * 16).cast("long")).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "key")
+    val l = chunks.select(col("chunk"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val r = chunks.select(col("chunk"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        popcount64(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup: pairs above a cosine threshold. Candidates
+    * via sign-LSH ([[Similarity.hyperplaneBucket]]) then exact-verified.
+    */
+  def embeddingNearDup(emb: DataFrame, id: String, vec: String,
+                       threshold: Double, planes: Int = 16): DataFrame = {
+    val withBucket = emb.select(col(id).as("vec_id"), col(vec).as("v"),
+      Similarity.hyperplaneBucket(col(vec), planes).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("a_v"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("a_v"), col("b_v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator library — the reference's declared computation
+  * surface (SURVEY.md §2) re-expressed as composable DataFrame transforms.
+  *
+  * Every function is a pure `DataFrame => DataFrame` (or takes explicit
+  * inputs) so Catalyst sees one logical plan end-to-end: filters reach the
+  * parquet scan, projections prune the read schema, and the two-phase
+  * hash aggregate / broadcast-join strategies are chosen by the planner.
+  *
+  * Determinism notes (for the DuckDB oracle): every ORDER BY carries a
+  * unique tiebreaker column, float aggregates that accumulate in
+  * non-deterministic order are rounded, and raw columns are passed through
+  * unrounded (bit-exact both sides).
+  */
+object Relational {
+
+  // --- §2.2 projections / row-level transforms ------------------------------
+
+  /** P1-style column projection (stg_reddit analog: models/staging/stg_reddit.sql:3-13). */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P9 equality filter (dbt my_second_dbt_model.sql:6). */
+  def filterEq(df: DataFrame, c: String, v: Any): DataFrame =
+    df.filter(col(c) === lit(v))
+
+  /** P10 null-rejection filter (dbt my_first_dbt_model.sql:27). */
+  def filterNotNull(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull)
+
+  /** P11 date-part extraction (extract-from-reddit.py:143-149).
+    * `dow` follows Spark's convention (1=Sunday..7=Saturday).
+    */
+  def dateParts(df: DataFrame, ts: String): DataFrame =
+    df.select(
+      df.columns.map(col) :+
+        year(col(ts)).as("y") :+
+        month(col(ts)).as("m") :+
+        dayofmonth(col(ts)).as("d") :+
+        dayofweek(col(ts)).as("dow") :+
+        hour(col(ts)).as("h"): _*)
+
+  /** P12 derived metric (engagement_score analog, extract-from-reddit.py:155). */
+  def derive(df: DataFrame, name: String, expr: Column): DataFrame =
+    df.withColumn(name, expr)
+
+  /** P13 range bucketing (pd.cut analog, extract-from-reddit.py:158-162).
+    * `edges` are inclusive upper bounds for all labels but the last, which
+    * is the overflow bucket (pandas bins=[0,10,50,100,inf] ≙ edges=[10,50,100],
+    * labels=[Low,Medium,High,Viral]). Equivalent to a SQL CASE chain.
+    */
+  def bucketize(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(edges.size == labels.size - 1, "need one more label than edges (overflow bucket)")
+    val cases = labels.init.zip(edges).foldLeft(Option.empty[Column]) {
+      case (acc, (label, hi)) =>
+        val cond = c <= lit(hi)
+        Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
+    }
+    cases.get.otherwise(lit(labels.last))
+  }
+
+  /** P15 varchar truncation (Redshift TRUNCATECOLUMNS, s3_to_redshift.py:217). */
+  def truncateVarchar(df: DataFrame, widths: Map[String, Int]): DataFrame =
+    widths.foldLeft(df) { case (d, (c, w)) =>
+      if (d.columns.contains(c)) d.withColumn(c, substring(col(c), 1, w)) else d
+    }
+
+  /** P16 invalid-char scrub (ACCEPTINVCHARS AS ' ', s3_to_redshift.py:215). */
+  def scrubInvalidChars(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, regexp_replace(col(c), "�", " ")))
+
+  // --- §2.3 joins ------------------------------------------------------------
+
+  /** J1 delete-matching anti-join (DELETE ... USING, s3_to_redshift.py:226-228).
+    * Catalyst broadcasts the (small) key side → BroadcastHashJoin, no shuffle
+    * of the big table. At 100 TB the main table never moves.
+    */
+  def antiJoin(main: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    main.join(broadcast(keys.select(on.map(col): _*).distinct()), on, "left_anti")
+
+  // --- §2.4 aggregations -------------------------------------------------------
+
+  /** A1 grouped multi-agg (reddit_summary mart, models/marts/reddit_summary.sql:1-10). */
+  def groupedSummary(df: DataFrame, key: String, scoreCol: String, cntCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("post_count"),
+        round(avg(col(scoreCol)), 4).as("avg_score"),
+        round(avg(col(cntCol)), 4).as("avg_comments"),
+        max(col(scoreCol)).as("max_score"))
+
+  /** A2 grouped agg + HAVING + ORDER BY (query-test.py:44-53). */
+  def havingSort(df: DataFrame, key: String, measure: String, minCount: Long): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("post_count"), round(avg(col(measure)), 4).as("avg_score"))
+      .filter(col("post_count") > minCount)
+      .orderBy(desc("avg_score"), col(key))
+
+  /** A3 agg on derived grouping key: hour-of-day (query-test.py:60-67). */
+  def hourlyAvg(df: DataFrame, ts: String, measure: String): DataFrame =
+    df.groupBy(hour(col(ts)).as("hour_of_day"))
+      .agg(round(avg(col(measure)), 4).as("avg_score"))
+      .orderBy("hour_of_day")
+
+  /** A4 scalar whole-table summary stats (extract-from-reddit.py:236-245). */
+  def scalarStats(df: DataFrame, a: String, b: String): DataFrame =
+    df.agg(
+      round(avg(col(a)), 4).as("avg_a"),
+      max(col(a)).as("max_a"),
+      round(avg(col(b)), 4).as("avg_b"),
+      max(col(b)).as("max_b"))
+
+  /** A5 missing-value census (df.isna().sum(), extract-from-reddit.py:118-120).
+    * count(*)-count(c) per column: stays BIGINT on both engines (a SUM(CASE)
+    * would widen to HUGEINT in DuckDB and break the schema compare).
+    */
+  def nullCensus(df: DataFrame): DataFrame =
+    df.agg(
+      count(lit(1)).as("_rows"),
+      df.columns.map(c => (count(lit(1)) - count(col(c))).as(s"nulls_$c")): _*)
+      .drop("_rows")
+
+  // --- §2.5 sorts / limits / top-k ------------------------------------------
+
+  /** T1 global top-k — Catalyst plans TakeOrderedAndProject (no full sort).
+    * `tiebreak` must be unique for a deterministic result set.
+    */
+  def topK(df: DataFrame, by: Column, tiebreak: Column, k: Int): DataFrame =
+    df.orderBy(by.desc, tiebreak.asc).limit(k)
+
+  /** T3/T5 deterministic head: limit is only reproducible under a total order. */
+  def sortedLimit(df: DataFrame, key: String, n: Int): DataFrame =
+    df.orderBy(col(key)).limit(n)
+
+  // --- §2.6 set operations / upsert -----------------------------------------
+
+  /** U1 UNION ALL (dbt my_first_dbt_model.sql:12-18): positional, keeps dups. */
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = a.union(b)
+
+  /** U3 upsert = delete-matching ∪ insert (s3_to_redshift.py:226-232, intent
+    * documented :9-15): last-write-wins by key, idempotent on replay.
+    * staging is the daily micro-batch (≤10³ rows vs 10⁸+ in main) so the
+    * anti-join broadcasts; main never shuffles.
+    */
+  def upsert(main: DataFrame, staging: DataFrame, key: String): DataFrame =
+    antiJoin(main, staging, Seq(key)).unionByName(staging)
+
+  // --- §2.8 window (parity-plus: top post per subreddit analog) --------------
+
+  /** row_number over (partition by grp order by measure desc, tiebreak) ≤ k. */
+  def topKPerGroup(df: DataFrame, grp: String, measure: String, tiebreak: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grp)).orderBy(col(measure).desc, col(tiebreak).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language-ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) so it stays inside whole-stage codegen and scales linearly with
+  * the scan — the shape that matters when the documents table is 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Empty / all-blank text → empty array. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** doc_id, token stats per document. */
+  def tokenStats(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id),
+      tokenCount(col(text)).as("n_tokens"),
+      distinctTokenCount(col(text)).as("n_distinct_tokens"))
+
+  /** Common-English stopword set used by the quality score (public list). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Quality signals: length, token count, mean token length, stopword ratio,
+    * punctuation ratio. All exact integer arithmetic until the final division
+    * (bit-reproducible across engines).
+    */
+  def qualityScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, x => array_contains(array(Stopwords.map(lit): _*), lower(x))))
+    val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    docs.select(
+      col(id),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(length(regexp_replace(t, "\\s+", "")).cast("double") / nTok, 4).as("avg_token_len"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(punct.cast("double") / greatest(length(t), lit(1)).cast("double"), 4).as("punct_ratio"))
+  }
+
+  /** Marker-token tables for the n-gram-free language-ID heuristic.
+    * Deliberately tiny and deterministic: argmax of stopword hits with a
+    * fixed priority order on ties (en > de > es > fr), CJK codepoints → zh.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "que", "es", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), x => array_contains(array(markers.map(lit): _*), x)))
+
+  /** Predicted language code; "und" (undetermined) when no signal. */
+  def langId(text: Column): Column = {
+    val hasCjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val hits = LangMarkers.map { case (lang, m) => lang -> markerHits(text, m) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldLeft(Option.empty[Column]) { case (acc, (lang, h)) =>
+      val cond = (h === best) && (best > 0)
+      Some(acc.fold(when(cond, lit(lang)))(_.when(cond, lit(lang))))
+    }.get.otherwise(lit("und"))
+    when(hasCjk, lit("zh")).otherwise(pick)
+  }
+
+  /** Canonical document fingerprint: md5 of case-folded, whitespace-collapsed
+    * text. Used as the exact-dedup key (stable across engines/runs).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), fingerprint(col(text)).as("fingerprint"))
+}
