@@ -15,7 +15,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def checkInputDataTypes() = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     child.dataType match {
@@ -34,7 +33,6 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def checkInputDataTypes() = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     child.dataType match {

@@ -1,16 +1,23 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions.bit_count
 
-/** Column-API surface for graft's native expressions. */
+/** Column-API surface for graft's native expressions.
+  *
+  * Spark 4 `Column` is node-backed (no public `.expr` / constructor); the
+  * conversion goes through [[org.apache.spark.sql.graftbridge.ColumnBridge]].
+  */
 package object functions {
 
   /** 64-bit SimHash signature of an array<string> token column. */
-  def simhash64(tokens: Column): Column = new Column(SimHash64Expr(tokens.expr))
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
 
   /** Rabin-Karp rolling-hash document fingerprint of a string column. */
-  def rolling_hash64(text: Column): Column = new Column(RollingHash64Expr(text.expr))
+  def rolling_hash64(text: Column): Column =
+    ColumnBridge.column(RollingHash64Expr(ColumnBridge.expression(text)))
 
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")

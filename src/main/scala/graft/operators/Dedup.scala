@@ -31,7 +31,7 @@ object Dedup {
         .otherwise(array().cast("array<string>"))))
       .otherwise(array_distinct(transform(
         sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, k)))))
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
   }
 
   /** Exact Jaccard similarity of two distinct-token/shingle arrays.
@@ -92,7 +92,7 @@ object Dedup {
       col("doc_id"), col("toks"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)), b))))
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + lit(1), lit(rows))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -118,9 +118,10 @@ object Dedup {
     import graft.functions.{simhash64, popcount64}
     val sigs = docs.select(col(id).as("doc_id"),
       simhash64(TextAnalysis.tokens(col(text))).as("sig"))
+    // chunk shift amounts unrolled Scala-side: shiftright needs an Int literal
     val chunks = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => (shiftright(col("sig"), c * 16).cast("long")).bitwiseAND(lit(0xffffL)))))
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).cast("long").bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "key")
     val l = chunks.select(col("chunk"), col("key"),
