@@ -1,0 +1,543 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.quality.DataQuality._
+import graft.sources.Tables
+
+/** The graded query surface: one entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-pipeline operators (dedup / similarity /
+  * text-analysis / multimodal), each with an equivalent DuckDB oracle SQL
+  * where the semantics are SQL-expressible.
+  *
+  * Determinism contract with the oracle (driver hashes values after sorting
+  * columns by name):
+  *  - every query ends in an ORDER BY with a unique tiebreaker;
+  *  - computed integers are cast to BIGINT on both sides (DuckDB's
+  *    length/count/year are BIGINT, Spark's are INT — casts make the schema
+  *    compare exact);
+  *  - float aggregates are rounded (4dp for avgs — accumulation-order error
+  *    is ~1e-10 there; 2dp for big SUMs where error can reach ~1e-4; 6dp for
+  *    cosines/jaccards which are O(1));
+  *  - raw columns pass through unrounded (bit-exact both engines).
+  */
+object QueryCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Identical SQL text runs on both engines (revenue is exact at 4
+    * decimals, so the ×10⁴-integer round is engine-stable — see
+    * [[graft.operators.Relational.stableAvg]]).
+    */
+  private val RevenueByNationSql: String =
+    """SELECT n_name,
+      |  round(CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT) / 10000e0, 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** name -> (query fn, optional DuckDB oracle SQL). */
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- §2.2 projections / filters / row-level transforms -----------------
+
+    ("q_p1_project",
+      (s: SparkSession, d: String) =>
+        Relational.project(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q_p9_filter_eq",
+      (s: SparkSession, d: String) =>
+        Relational.filterEq(t(s, d, "lineitem"), "l_returnflag", "R")
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+             |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q_p10_not_null",
+      (s: SparkSession, d: String) =>
+        Relational.filterNotNull(t(s, d, "orders"), "o_orderpriority")
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IS NOT NULL ORDER BY o_orderkey""".stripMargin)),
+
+    ("q_p11_date_parts",
+      (s: SparkSession, d: String) =>
+        Relational.dateParts(t(s, d, "lineitem"), "l_shipdate")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("y").cast("long"), col("m").cast("long"), col("d").cast("long"),
+            col("dow").cast("long"), col("h").cast("long"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  year(l_shipdate) AS y, month(l_shipdate) AS m, day(l_shipdate) AS d,
+             |  date_part('dow', l_shipdate) + 1 AS dow, date_part('hour', l_shipdate) AS h
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q_p12_derive",
+      (s: SparkSession, d: String) =>
+        Relational.derive(t(s, d, "lineitem"), "revenue",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .select("l_orderkey", "l_linenumber", "revenue")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q_p13_bucketize",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Relational.bucketize(col("l_quantity"),
+              Seq(10d, 25d, 40d), Seq("low", "mid", "high", "huge"),
+              lower = Some(0d)).as("qty_bucket"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN NULL
+             |       WHEN l_quantity <= 10 THEN 'low'
+             |       WHEN l_quantity <= 25 THEN 'mid'
+             |       WHEN l_quantity <= 40 THEN 'high'
+             |       ELSE 'huge' END AS qty_bucket
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("q_p15_truncate",
+      (s: SparkSession, d: String) =>
+        Relational.truncateVarchar(t(s, d, "part"), Map("p_name" -> 12))
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey"),
+      Some("SELECT p_partkey, substr(p_name, 1, 12) AS p_name FROM part ORDER BY p_partkey")),
+
+    ("q_p16_scrub_chars",
+      (s: SparkSession, d: String) =>
+        Relational.scrubInvalidChars(t(s, d, "documents"), Seq("text"))
+          .select("doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, regexp_replace(text, '�', ' ', 'g') AS text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // P4 epoch→timestamp + P14 run-date formatting (string output sidesteps
+    // timestamp-type mismatches between engines)
+    ("q_p4_p14_dates",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .select(col("event_id"),
+            from_unixtime(col("user_id")).as("epoch_ts_str"),
+            date_format(col("ts"), "yyyyMMdd").as("run_date"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  strftime(epoch_ms(user_id * 1000), '%Y-%m-%d %H:%M:%S') AS epoch_ts_str,
+             |  strftime(ts, '%Y%m%d') AS run_date
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P2 null-fill string, P5 cast-to-string, P7 column alias, P8 null-fill numeric
+    ("q_enrich_fills",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            coalesce(col("lang"), lit("")).as("lang_filled"),
+            col("n_chars").cast("string").as("n_chars_str"),
+            col("source").as("source_copy"),
+            coalesce(col("n_chars"), lit(0L)).as("n_chars_filled"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, coalesce(lang, '') AS lang_filled,
+             |  CAST(n_chars AS VARCHAR) AS n_chars_str,
+             |  source AS source_copy,
+             |  coalesce(n_chars, 0) AS n_chars_filled
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- §2.3 joins ---------------------------------------------------------
+
+    // keys = "customers with a big order" so the result is non-trivial at
+    // every sf (every customer has *some* order in the testdata)
+    ("q_j1_anti_join",
+      (s: SparkSession, d: String) =>
+        Relational.antiJoin(t(s, d, "customer"),
+          t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+            .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- §2.4 aggregations --------------------------------------------------
+
+    ("q_a1_grouped_summary",
+      (s: SparkSession, d: String) =>
+        Relational.groupedSummary(t(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS post_count,
+             |  round(CAST(round(sum(l_extendedprice)*100) AS BIGINT) / (count(l_extendedprice)*100.0), 4) AS avg_score,
+             |  round(CAST(round(sum(l_quantity)*100) AS BIGINT) / (count(l_quantity)*100.0), 4) AS avg_comments,
+             |  max(l_extendedprice) AS max_score
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    ("q_a2_having_sort",
+      (s: SparkSession, d: String) =>
+        Relational.havingSort(t(s, d, "orders"), "o_custkey", "o_totalprice", 10L),
+      Some("""SELECT o_custkey, count(*) AS post_count,
+             |  round(CAST(round(sum(o_totalprice)*100) AS BIGINT) / (count(o_totalprice)*100.0), 4) AS avg_score
+             |FROM orders GROUP BY o_custkey HAVING count(*) > 10
+             |ORDER BY avg_score DESC, o_custkey""".stripMargin)),
+
+    ("q_a3_hourly_avg",
+      (s: SparkSession, d: String) =>
+        Relational.hourlyAvg(t(s, d, "events"), "ts", "value")
+          .select(col("hour_of_day").cast("long").as("hour_of_day"), col("avg_score")),
+      Some("""SELECT date_part('hour', ts) AS hour_of_day,
+             |  round(CAST(round(sum(value)*10000) AS BIGINT) / (count(value)*10000.0), 4) AS avg_score
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    ("q_a4_scalar_stats",
+      (s: SparkSession, d: String) =>
+        Relational.scalarStats(t(s, d, "lineitem"), "l_quantity", "l_extendedprice"),
+      Some("""SELECT round(CAST(round(sum(l_quantity)*100) AS BIGINT) / (count(l_quantity)*100.0), 4) AS avg_a,
+             |  max(l_quantity) AS max_a,
+             |  round(CAST(round(sum(l_extendedprice)*100) AS BIGINT) / (count(l_extendedprice)*100.0), 4) AS avg_b,
+             |  max(l_extendedprice) AS max_b
+             |FROM lineitem""".stripMargin)),
+
+    ("q_a5_null_census",
+      (s: SparkSession, d: String) =>
+        Relational.nullCensus(t(s, d, "documents")),
+      Some("""SELECT count(*) - count(doc_id) AS nulls_doc_id,
+             |  count(*) - count(text) AS nulls_text,
+             |  count(*) - count(lang) AS nulls_lang,
+             |  count(*) - count(source) AS nulls_source,
+             |  count(*) - count(n_chars) AS nulls_n_chars
+             |FROM documents""".stripMargin)),
+
+    // ---- §2.5 sorts / limits / top-k ---------------------------------------
+
+    ("q_t1_top_k",
+      (s: SparkSession, d: String) =>
+        Relational.topK(t(s, d, "orders"), col("o_totalprice"), col("o_orderkey"), 100)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    ("q_t3_sorted_limit",
+      (s: SparkSession, d: String) =>
+        Relational.sortedLimit(t(s, d, "part"), "p_partkey", 50)
+          .select("p_partkey", "p_name"),
+      Some("SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 50")),
+
+    // ---- §2.6 set ops / upsert ---------------------------------------------
+
+    ("q_u1_union_all",
+      (s: SparkSession, d: String) =>
+        Relational.unionAll(
+          t(s, d, "customer").select(col("c_custkey").as("id")),
+          t(s, d, "orders").select(col("o_custkey").as("id")))
+          .orderBy("id"),
+      Some("""SELECT id FROM (
+             |  SELECT c_custkey AS id FROM customer
+             |  UNION ALL SELECT o_custkey AS id FROM orders
+             |) ORDER BY id""".stripMargin)),
+
+    ("q_u3_upsert",
+      (s: SparkSession, d: String) => {
+        val main = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val staging = t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 4).as("o_totalprice"))
+        Relational.upsert(main, staging, "o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice
+             |FROM orders WHERE o_orderkey % 10 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- §2.8 window (parity-plus) ------------------------------------------
+
+    ("q_w1_topk_per_group",
+      (s: SparkSession, d: String) =>
+        Relational.topKPerGroup(t(s, d, "orders"),
+          "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("o_orderpriority", "rn"),
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // ---- S8 SQL surface: multi-table star join -----------------------------
+
+    ("q_sql_revenue_by_nation",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(RevenueByNationSql)
+      },
+      Some(RevenueByNationSql)),
+
+    // ---- events: time-window aggregation (streaming-shaped, batch-checked) --
+
+    ("q_events_hourly_window",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Relational.stableAvg(col("value"), scale = 4).as("avg_value"))
+          .orderBy("hour_ts", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+             |  count(*) AS n_events,
+             |  round(CAST(round(sum(value)*10000) AS BIGINT) / (count(value)*10000.0), 4) AS avg_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- D1 data-quality rules ---------------------------------------------
+
+    ("q_dq_check",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val dup = Unique("doc_id").violations(docs)
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("dup_rows"))
+        val nul = NotNull("doc_id").violations(docs)
+          .agg(count(lit(1)).as("null_rows"))
+        val bad = AcceptedValues("lang", Seq("en", "de", "es", "fr", "zh")).violations(docs)
+          .agg(count(lit(1)).as("bad_lang_rows"))
+        dup.crossJoin(nul).crossJoin(bad)
+      },
+      Some("""SELECT
+             |  CAST((SELECT coalesce(sum(n - 1), 0) FROM (
+             |    SELECT count(*) AS n FROM documents GROUP BY doc_id
+             |    HAVING count(*) > 1)) AS BIGINT) AS dup_rows,
+             |  (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS null_rows,
+             |  (SELECT count(*) FROM documents
+             |   WHERE lang IS NULL OR lang NOT IN ('en','de','es','fr','zh')) AS bad_lang_rows""".stripMargin)),
+
+    // ---- text analysis ------------------------------------------------------
+
+    ("q_token_stats",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tokenStats(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN trim(text) = '' THEN 0
+             |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             |  CAST(CASE WHEN trim(text) = '' THEN 0
+             |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS n_distinct_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q_quality_score",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  round(length(regexp_replace(text, '\s+', '', 'g')) / NULLIF(len(toks), 0), 4) AS avg_token_len,
+             |  round(len(list_filter(toks, x -> lower(x) IN
+             |    ('the','a','an','of','and','to','in','is','it','that'))) / NULLIF(len(toks), 0), 4) AS stopword_ratio,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |        / greatest(length(text), 1), 4) AS punct_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    ("q_lang_id",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, text,
+             |    len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS h_en,
+             |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+             |    len(list_filter(toks, x -> x IN ('el','los','que','es','una'))) AS h_es,
+             |    len(list_filter(toks, x -> x IN ('le','les','des','est','une'))) AS h_fr
+             |  FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+             |       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) AND h_en > 0 THEN 'en'
+             |       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) AND h_de > 0 THEN 'de'
+             |       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) AND h_es > 0 THEN 'es'
+             |       WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) AND h_fr > 0 THEN 'fr'
+             |       ELSE 'und' END AS lang_pred
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    ("q_fingerprints",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup --------------------------------------------------------------
+
+    ("q_dedup_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("fingerprint"),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+             |  min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    ("q_jaccard_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.1, maxId = 150L)
+          .orderBy("a_id", "b_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks
+             |  FROM documents WHERE doc_id < 150)
+             |SELECT * FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 1.0
+             |          ELSE len(list_intersect(a.toks, b.toks))
+             |               / len(list_distinct(list_concat(a.toks, b.toks))) END, 6) AS jaccard
+             |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.1 ORDER BY a_id, b_id""".stripMargin)),
+
+    // xxhash64-based signatures are not reproducible in DuckDB → rows-only checks
+    ("q_minhash_lsh",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.2)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    ("q_simhash_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 12)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    // planted exact duplicates (vec_id + 10000) — the testdata embeddings are
+    // near-orthogonal (max pairwise cosine ≈ 0.51), so the qualifying pairs
+    // are exactly the identical-vector pairs, which sign-LSH recalls with
+    // probability 1 → the oracle needs no knowledge of the bucketing
+    ("q_embedding_near_dup",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val doubled = e.union(e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDup(doubled, "vec_id", "embedding", threshold = 0.99, planes = 8)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+             |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM u)
+             |SELECT * FROM (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    round(CASE WHEN sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) = 0
+             |          THEN 0.0
+             |          ELSE list_inner_product(a.v, b.v)
+             |               / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) END, 6) AS cosine
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |WHERE cosine >= 0.99 ORDER BY a_id, b_id""".stripMargin)),
+
+    ("q_rolling_fingerprint",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), functions.rolling_hash64(col("text")).as("rh"))
+          .orderBy("doc_id"),
+      None),
+
+    // ---- similarity search --------------------------------------------------
+
+    ("q_cosine_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+             |s AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    round(CASE WHEN sqrt(list_inner_product(q.qv, q.qv)
+             |                         * list_inner_product(e.v, e.v)) = 0 THEN 0.0
+             |          ELSE list_inner_product(q.qv, e.v)
+             |               / sqrt(list_inner_product(q.qv, q.qv)
+             |                      * list_inner_product(e.v, e.v)) END, 6) AS cosine
+             |  FROM e JOIN q ON q.query_id <> e.vec_id),
+             |r AS (
+             |  SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cosine DESC, neighbor_id) AS rn
+             |  FROM s)
+             |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
+             |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    ("q_ivf_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", cells = 16)
+        val indexed = Similarity.assignCells(emb, "vec_id", "embedding", cents)
+        Similarity.ivfSearch(indexed, emb.filter(col("vec_id") < 10),
+          cents, "vec_id", "embedding", nprobe = 4, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      None),
+
+    // ---- multimodal ---------------------------------------------------------
+
+    ("q_multimodal_meta",
+      (s: SparkSession, d: String) =>
+        Multimodal.mediaMeta(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+             |  16 + n_chars % 64 AS width,
+             |  16 + n_chars % 48 AS height,
+             |  CASE CAST(n_chars % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |       ELSE 'webp' END AS format
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- the reference pipeline end-to-end (fixture-driven; the DuckDB
+    // oracle has no access to the CSV fixtures → rows-only check; the
+    // golden assertions live in PipelineSpec) --------------------------------
+
+    ("q_reddit_pipeline_summary",
+      (s: SparkSession, _: String) => {
+        val root = java.nio.file.Files.createTempDirectory("verify_posts").toString
+        graft.reddit.Pipeline.run(s, "/root/reference/tmp/20250320.csv", root)
+        val r = graft.reddit.Pipeline.run(s, "/root/reference/tmp/20250324.csv", root)
+        r.summary.orderBy("subreddit")
+      },
+      None),
+
+    ("q_multimodal_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeFeatures(Multimodal.withMedia(t(s, d, "documents")))
+          .toDF()
+          .select(col("doc_id"), col("media_bytes"), col("format"),
+            round(aggregate(col("features"),
+              lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+          .orderBy("doc_id"),
+      None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -22,6 +22,17 @@ package object functions {
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 
+  /** Bounded top-k aggregate (see [[TopKPairsAgg]]): best k (score, id)
+    * pairs per group, map-side combined — the scale-safe window-top-k
+    * replacement.
+    */
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKPairsAgg(
+        ColumnBridge.expression(score.cast("double")),
+        ColumnBridge.expression(id.cast("long")),
+        k).toAggregateExpression())
+
   /** Register graft functions for the `spark.sql` surface. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

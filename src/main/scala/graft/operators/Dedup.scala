@@ -83,28 +83,36 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(
-      col(id).as("doc_id"),
-      array_distinct(TextAnalysis.tokens(col(text))).as("toks"),
-      minhashSignature(shingles(col(text), shingleK), numHashes).as("sig"))
 
-    val banded = sigs.select(
-      col("doc_id"), col("toks"),
+    // (doc_id, band, bucket) — ids only. The token arrays must NOT ride
+    // through the LSH exchange: at corpus scale that ships the tokenized
+    // corpus ×bands through the shuffle. Candidates are found on ids and
+    // tokens are re-joined afterwards, once, for verification.
+    val banded = docs.select(
+      col(id).as("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + lit(1), lit(rows))), b))))
+        b => xxhash64(concat_ws(",",
+          slice(minhashSignature(shingles(col(text), shingleK), numHashes),
+            b * lit(rows) + lit(1), lit(rows))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("toks").as("a_toks"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("toks").as("b_toks"))
-    l.join(r, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+
+    val toks = docs.select(col(id).as("doc_id"),
+      array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+
+    candidates
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 

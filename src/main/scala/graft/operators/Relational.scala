@@ -50,17 +50,22 @@ object Relational {
 
   /** P13 range bucketing (pd.cut analog, extract-from-reddit.py:158-162).
     * `edges` are inclusive upper bounds for all labels but the last, which
-    * is the overflow bucket (pandas bins=[0,10,50,100,inf] ≙ edges=[10,50,100],
-    * labels=[Low,Medium,High,Viral]). Equivalent to a SQL CASE chain.
+    * is the overflow bucket (pandas bins=[0,10,50,100,inf] ≙ lower=0,
+    * edges=[10,50,100], labels=[Low,Medium,High,Viral]).
+    * pd.cut semantics preserved: NULL input → NULL, and values ≤ `lower`
+    * (the exclusive bottom edge) → NULL, not the first label.
     */
-  def bucketize(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+  def bucketize(c: Column, edges: Seq[Double], labels: Seq[String],
+                lower: Option[Double] = None): Column = {
     require(edges.size == labels.size - 1, "need one more label than edges (overflow bucket)")
     val cases = labels.init.zip(edges).foldLeft(Option.empty[Column]) {
       case (acc, (label, hi)) =>
         val cond = c <= lit(hi)
         Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
     }
-    cases.get.otherwise(lit(labels.last))
+    val chain = cases.get.otherwise(lit(labels.last))
+    val nullGuard = lower.fold(c.isNull)(lo => c.isNull || c <= lit(lo))
+    when(nullGuard, lit(null).cast("string")).otherwise(chain)
   }
 
   /** P15 varchar truncation (Redshift TRUNCATECOLUMNS, s3_to_redshift.py:217). */
@@ -85,34 +90,52 @@ object Relational {
 
   // --- §2.4 aggregations -------------------------------------------------------
 
+  /** Cross-engine-stable mean of fixed-decimal data.
+    *
+    * A plain `round(avg(x), d)` is not reproducible across engines: float
+    * addition is order-dependent, and an average that sits on a rounding
+    * boundary (e.g. sum/16 of 2-decimal prices = x.xxx50 exactly) flips the
+    * last digit between two correct implementations. For data that is exact
+    * at `scale` decimals, `sum(x)·10^scale` is integer-valued with float
+    * error ≪ 0.5, so rounding it to a BIGINT is bit-identical on every
+    * engine; the final divide-then-round then operates on identical doubles.
+    * (SQL mirror: round(CAST(round(sum(x)*10^s) AS BIGINT)/(count(x)*10^s.0), d).)
+    */
+  def stableAvg(c: Column, scale: Int, digits: Int = 4): Column = {
+    val unit = math.pow(10, scale)
+    round(round(sum(c) * unit).cast("long") / (count(c) * lit(unit)), digits)
+  }
+
   /** A1 grouped multi-agg (reddit_summary mart, models/marts/reddit_summary.sql:1-10). */
-  def groupedSummary(df: DataFrame, key: String, scoreCol: String, cntCol: String): DataFrame =
+  def groupedSummary(df: DataFrame, key: String, scoreCol: String, cntCol: String,
+                     scale: Int = 2): DataFrame =
     df.groupBy(col(key))
       .agg(
         count(lit(1)).as("post_count"),
-        round(avg(col(scoreCol)), 4).as("avg_score"),
-        round(avg(col(cntCol)), 4).as("avg_comments"),
+        stableAvg(col(scoreCol), scale).as("avg_score"),
+        stableAvg(col(cntCol), scale).as("avg_comments"),
         max(col(scoreCol)).as("max_score"))
 
   /** A2 grouped agg + HAVING + ORDER BY (query-test.py:44-53). */
-  def havingSort(df: DataFrame, key: String, measure: String, minCount: Long): DataFrame =
+  def havingSort(df: DataFrame, key: String, measure: String, minCount: Long,
+                 scale: Int = 2): DataFrame =
     df.groupBy(col(key))
-      .agg(count(lit(1)).as("post_count"), round(avg(col(measure)), 4).as("avg_score"))
+      .agg(count(lit(1)).as("post_count"), stableAvg(col(measure), scale).as("avg_score"))
       .filter(col("post_count") > minCount)
       .orderBy(desc("avg_score"), col(key))
 
   /** A3 agg on derived grouping key: hour-of-day (query-test.py:60-67). */
-  def hourlyAvg(df: DataFrame, ts: String, measure: String): DataFrame =
+  def hourlyAvg(df: DataFrame, ts: String, measure: String, scale: Int = 4): DataFrame =
     df.groupBy(hour(col(ts)).as("hour_of_day"))
-      .agg(round(avg(col(measure)), 4).as("avg_score"))
+      .agg(stableAvg(col(measure), scale).as("avg_score"))
       .orderBy("hour_of_day")
 
   /** A4 scalar whole-table summary stats (extract-from-reddit.py:236-245). */
-  def scalarStats(df: DataFrame, a: String, b: String): DataFrame =
+  def scalarStats(df: DataFrame, a: String, b: String, scale: Int = 2): DataFrame =
     df.agg(
-      round(avg(col(a)), 4).as("avg_a"),
+      stableAvg(col(a), scale).as("avg_a"),
       max(col(a)).as("max_a"),
-      round(avg(col(b)), 4).as("avg_b"),
+      stableAvg(col(b), scale).as("avg_b"),
       max(col(b)).as("max_b"))
 
   /** A5 missing-value census (df.isna().sum(), extract-from-reddit.py:118-120).

@@ -3,12 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.topk_pairs
+
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
-  * corpus once — embarrassingly parallel, no shuffle of the corpus).
-  * Scale path: IVF — partition the corpus by nearest centroid so a query
-  * probes only `nprobe` cells, and sign-LSH bucketing for near-dup joins.
+  * Baseline: brute-force cosine top-k — broadcast the query set, scan the
+  * corpus once, keep per-query results bounded with [[graft.functions.TopKPairsAgg]]
+  * (map-side combined: ≤ k pairs per query per partition cross the shuffle,
+  * never the scored corpus).
+  * Scale path: IVF — centroids are collected once (an index-build step over
+  * a tiny, bounded set) and argmax-assigned **in-row** with zero shuffle; a
+  * query probes only `nprobe` cells. Sign-LSH bucketing serves near-dup
+  * joins.
   */
 object Similarity {
 
@@ -28,23 +34,31 @@ object Similarity {
     when(denom === 0d, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** query_id, neighbor_id, cosine, rnk — from a scored pair relation,
+    * bounded top-k per query (no window, no unbounded partitions).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(topk_pairs(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy("query_id", "rnk")
+
   /** Brute-force exact top-k neighbours for each query vector.
     * Ranking key is the cosine rounded to 6 decimals with the corpus id as
-    * tiebreak, so the result set is deterministic across engines.
+    * tiebreak, so the result set is deterministic across engines. The plan
+    * is scan-shaped: corpus × broadcast(queries) scored in-row, partial
+    * top-k map-side, one k-bounded shuffle.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -68,47 +82,82 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** IVF index: assign every corpus vector to its nearest centroid cell.
-    * Deterministic seeding: the first `cells` vectors (by id) are the
-    * centroids — no RNG, reproducible. Returns corpus + `cell` column.
-    * On a real cluster, write this partitioned/bucketed by `cell` so a
-    * query reads only its probed cells (partition pruning).
+  /** IVF centroid table: deterministic seeding — the first `cells` vectors
+    * (by id) are the centroids. A bounded driver-side collect: this is the
+    * index-build step, `cells` is small by construction (≤ a few thousand),
+    * and materializing it once is what lets assignment run with zero
+    * shuffle.
     */
-  def ivfAssign(corpus: DataFrame, id: String, vec: String, cells: Int): DataFrame = {
-    val centroids = corpus.orderBy(col(id)).limit(cells)
-      .select(col(id).as("cell"), col(vec).as("centroid"))
-    val scored = corpus.select(col(id), col(vec))
-      .join(broadcast(centroids))
-      .select(col(id), col(vec), col("cell"), cosine(col(vec), col("centroid")).as("sim"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(id), col(vec), col("cell"))
+  def ivfCentroids(corpus: DataFrame, id: String, vec: String, cells: Int): Seq[(Long, Seq[Float])] =
+    corpus.orderBy(col(id)).limit(cells)
+      .select(col(id).cast("long"), col(vec))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toSeq
+
+  /** The centroid table as an in-row array literal: array<struct<cell, centroid>>. */
+  private def centroidArray(cents: Seq[(Long, Seq[Float])]): Column = {
+    val entries = cents.map { case (cell, v) =>
+      struct(lit(cell).as("cell"), array(v.map(lit): _*).as("centroid"))
+    }
+    array(entries: _*)
   }
 
-  /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
-    * within the probed subset. Trades recall for a ~cells/nprobe scan cut.
+  /** Best (highest-cosine, then lowest-cell) centroid for a vector — a pure
+    * in-row fold over the centroid array: zero shuffle, stays in codegen.
     */
-  def ivfSearch(indexed: DataFrame, queries: DataFrame, id: String, vec: String,
-                cells: Int, nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = indexed.filter(col("cell") === col(id))
-      .select(col("cell"), col(vec).as("centroid"))
-    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"))
-    val probes = q.join(broadcast(centroids))
-      .select(col("query_id"), col("q_vec"), col("cell"),
-        cosine(col("q_vec"), col("centroid")).as("sim"))
-    val wq = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cell").asc)
-    val probed = probes.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe).select("query_id", "q_vec", "cell")
+  private def nearestCell(vecCol: Column, cents: Seq[(Long, Seq[Float])]): Column = {
+    val zero = struct(lit(-2.0d).as("sim"), lit(-1L).as("cell"))
+    val best = aggregate(
+      centroidArray(cents), zero,
+      (acc, ct) => {
+        val s = cosine(vecCol, ct.getField("centroid"))
+        when(s > acc.getField("sim") ||
+             (s === acc.getField("sim") && ct.getField("cell") < acc.getField("cell")),
+          struct(s.as("sim"), ct.getField("cell").as("cell")))
+          .otherwise(acc)
+      })
+    best.getField("cell")
+  }
 
-    val scored = indexed.select(col("cell"), col(id).as("neighbor_id"), col(vec).as("c_vec"))
-      .join(broadcast(probed), Seq("cell"))
+  /** IVF index: assign every corpus vector to its nearest centroid cell,
+    * computed in-row against the broadcast-as-literal centroid table — the
+    * corpus is scanned once and never shuffled (at cluster scale, write the
+    * result partitioned by `cell` for probe-side partition pruning).
+    */
+  def ivfAssign(corpus: DataFrame, id: String, vec: String, cells: Int): DataFrame =
+    assignCells(corpus, id, vec, ivfCentroids(corpus, id, vec, cells))
+
+  def assignCells(corpus: DataFrame, id: String, vec: String,
+                  cents: Seq[(Long, Seq[Float])]): DataFrame =
+    corpus.select(col(id), col(vec)).withColumn("cell", nearestCell(col(vec), cents))
+
+  /** The `nprobe` nearest cells for a vector, in-row: sort the (neg-sim,
+    * cell) pairs lexicographically and slice — no window, no shuffle.
+    */
+  private def probeCells(vecCol: Column, cents: Seq[(Long, Seq[Float])], nprobe: Int): Column =
+    transform(
+      slice(array_sort(transform(centroidArray(cents), ct =>
+        struct((-cosine(vecCol, ct.getField("centroid"))).as("negsim"),
+          ct.getField("cell").as("cell")))), 1, nprobe),
+      p => p.getField("cell"))
+
+  /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
+    * within the probed subset (bounded aggregate, no window). The centroid
+    * table travels explicitly from the index build — no reconstruction from
+    * self-assignment (which silently loses a centroid on cosine ties).
+    */
+  def ivfSearch(indexed: DataFrame, queries: DataFrame,
+                cents: Seq[(Long, Seq[Float])], id: String, vec: String,
+                nprobe: Int, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      explode(probeCells(col(vec), cents, nprobe)).as("cell"))
+    val scored = indexed
+      .select(col("cell"), col(id).as("neighbor_id"), col(vec).as("c_vec"))
+      .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 }

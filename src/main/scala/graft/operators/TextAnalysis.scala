@@ -22,12 +22,13 @@ object TextAnalysis {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
-  /** doc_id, token stats per document. */
+  /** doc_id, token stats per document (BIGINT counts — matches every SQL
+    * engine's length/count type, so oracle schema compare is exact). */
   def tokenStats(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(
       col(id),
-      tokenCount(col(text)).as("n_tokens"),
-      distinctTokenCount(col(text)).as("n_distinct_tokens"))
+      tokenCount(col(text)).cast("long").as("n_tokens"),
+      distinctTokenCount(col(text)).cast("long").as("n_distinct_tokens"))
 
   /** Common-English stopword set used by the quality score (public list). */
   val Stopwords: Seq[String] =
@@ -40,13 +41,15 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, id: String, text: String): DataFrame = {
     val t = col(text)
     val toks = tokens(t)
-    val nTok = size(toks).cast("double")
+    // empty docs: divide by NULLIF(n_tokens, 0) so ratios are NULL, not an
+    // engine-dependent div-by-zero artifact (same NULLIF in the SQL oracle)
+    val nTok = nullif(size(toks).cast("double"), lit(0.0d))
     val stopHits = size(filter(toks, x => array_contains(array(Stopwords.map(lit): _*), lower(x))))
     val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
     docs.select(
       col(id),
-      length(t).as("n_chars"),
-      size(toks).as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
       round(length(regexp_replace(t, "\\s+", "")).cast("double") / nTok, 4).as("avg_token_len"),
       round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
       round(punct.cast("double") / greatest(length(t), lit(1)).cast("double"), 4).as("punct_ratio"))

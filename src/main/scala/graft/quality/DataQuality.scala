@@ -40,13 +40,21 @@ object DataQuality {
 
   case class Result(rule: String, violationCount: Long, sample: Seq[String])
 
-  /** Run all rules; sample at most `sampleRows` offending rows per rule. */
+  /** Run all rules; sample at most `sampleRows` offending rows per rule.
+    *
+    * One full scan per rule (the count aggregate) plus an early-exit
+    * `take(n)` for the sample — `take` stops reading partitions as soon as
+    * it has n rows, so the sample never re-scans a 100 TB relation (and is
+    * skipped entirely when sampleRows == 0 or the count is clean).
+    */
   def check(df: DataFrame, rules: Seq[Rule], sampleRows: Int = 5): Seq[Result] =
     rules.map { r =>
       val v = r.violations(df)
-      val sample = v.limit(sampleRows).collect().map(_.toString).toSeq
-      // count() reuses the violation plan; Catalyst prunes the sample columns
-      Result(r.name, v.count(), sample)
+      val n = v.count()
+      val sample =
+        if (n == 0 || sampleRows == 0) Seq.empty
+        else v.take(sampleRows).map(_.toString).toSeq
+      Result(r.name, n, sample)
     }
 
   def passes(df: DataFrame, rules: Seq[Rule]): Boolean =

@@ -1,0 +1,52 @@
+package graft.reddit
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The whole reference DAG (reddit_pipeline.py:20-44) collapsed into one
+  * Spark program: extract(CSV fixture) → transform → upsert(table) →
+  * dbt models → acceptance queries. Four process/network hops in the
+  * reference become one logical plan per stage here.
+  */
+object Pipeline {
+
+  final case class Result(
+      loaded: Long,
+      tableRows: Long,
+      summary: DataFrame)
+
+  /** One daily run: ingest `csvPath`, upsert into the posts table at
+    * `tableRoot`, refresh models. `now` is the injectable extraction clock
+    * (P6) — pass a fixed value for reproducible runs.
+    */
+  def run(spark: SparkSession, csvPath: String, tableRoot: String,
+          now: Option[Timestamp] = None): Result = {
+    // extract + transform (stage 1; CSV already carries derived columns —
+    // Enrich only fills what's missing, mirroring the reference's guards)
+    val batch0 = CsvReddit.read(spark, csvPath)
+    val batch = now.fold(batch0)(ts => Enrich.stampExtraction(batch0, ts))
+
+    // load: delete-matching upsert, atomic swap (stages 2-3)
+    PostsTable.upsert(spark, tableRoot, batch, key = "id")
+
+    // dbt models (stage 4)
+    val reddit = PostsTable.read(spark, tableRoot).drop("extract_date")
+    Models.registerViews(spark, reddit)
+
+    Result(
+      loaded = batch.count(),
+      tableRows = reddit.count(),
+      summary = Models.redditSummary(Models.stgReddit(reddit)))
+  }
+
+  /** CLI: Pipeline <csvPath> <tableRoot>. */
+  def main(args: Array[String]): Unit = {
+    val Array(csvPath, tableRoot) = args.take(2)
+    val spark = graft.Sessions.local("reddit-pipeline")
+    val r = run(spark, csvPath, tableRoot)
+    println(s"loaded=${r.loaded} tableRows=${r.tableRows}")
+    r.summary.show(false)
+    spark.stop()
+  }
+}

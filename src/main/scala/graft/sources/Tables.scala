@@ -14,7 +14,14 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+      // ([PARQUET_TYPE_ILLEGAL]); read it as long nanos and convert with
+      // integer division (a double roundtrip would lose precision at 1e18 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (the `spark.sql` surface). */
   def registerAll(spark: SparkSession, dir: String): Unit =

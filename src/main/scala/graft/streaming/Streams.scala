@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.reddit.PostsTable
+
+/** Structured-Streaming surface (README.md:108 "future enhancements" made
+  * real): the batch operators re-used under `readStream`.
+  *
+  * Design rule from SURVEY §7.4: batch upsert is the `foreachBatch` body —
+  * streaming is additive, no re-architecture. State is bounded by
+  * watermarks; dedup state by the watermark column, window state by the
+  * window length.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregate over an event stream — the
+    * streaming analog of the hourly batch rollup (A3).
+    */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup by key within the watermark horizon — the streaming
+    * analog of exact dedup; state expires with the watermark.
+    */
+  def dedupByKey(stream: DataFrame, key: String, tsCol: String,
+                 watermark: String = "24 hours"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+
+  /** Continuous ingest into the versioned posts table: every micro-batch is
+    * one atomic delete-matching upsert (U3 as the foreachBatch body).
+    */
+  def upsertSink(stream: DataFrame, tableRoot: String, key: String = "id",
+                 checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PostsTable.upsert(batch.sparkSession, tableRoot, batch, key)
+      }
+}

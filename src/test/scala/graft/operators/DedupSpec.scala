@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "THE  quick brown fox jumps over the lazy dog"),  // exact dup of 1 (canonical)
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups canonical-equal docs, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dupGroup = out.filter(col("dup_count") > 1).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 1L)
+    assert(dupGroup.head.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("jaccard: exact set similarity") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.as[Double].collect().head - 0.5) < 1e-9)
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5, maxId = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhashLsh surfaces near-dups and exact-verifies (no false positives)") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.5)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)),
+      s"expected a near-dup pair, got $pairs")
+    // verification step guarantees: every emitted pair really ≥ threshold
+    out.collect().foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("lsh banding shuffle carries ids only (tokens re-joined after)") {
+    val plan = Dedup.minhashLsh(docs, "doc_id", "text").queryExecution.optimizedPlan.toString
+    // the exploded band/bucket relation must not include the token arrays
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("simhashPairs: identical docs have hamming 0") {
+    val two = Seq((1L, "same exact text body"), (2L, "same exact text body"),
+      (3L, "another unrelated document")).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(two, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("embeddingNearDup finds identical vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("project keeps only requested columns") {
+    val df = Seq((1, "a", 2.0)).toDF("x", "y", "z")
+    assert(Relational.project(df, Seq("x", "z")).columns.toSeq == Seq("x", "z"))
+  }
+
+  test("bucketize: ranges, overflow, null and lower-edge → NULL (pd.cut)") {
+    val df = Seq[Option[Double]](Some(5), Some(10), Some(11), Some(200), Some(0), None)
+      .toDF("v")
+      .select(Relational.bucketize(col("v"), Seq(10, 50, 100),
+        Seq("Low", "Medium", "High", "Viral"), lower = Some(0d)).as("b"))
+    assert(df.collect().map(_.getAs[String]("b")).toSeq ==
+      Seq("Low", "Low", "Medium", "Viral", null, null))
+  }
+
+  test("antiJoin removes matching keys, keeps the rest") {
+    val main = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v")
+    val keys = Seq("b").toDF("id")
+    val out = Relational.antiJoin(main, keys, Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "c"))
+  }
+
+  test("upsert = last-write-wins by key and is idempotent") {
+    val main = Seq(("a", 1), ("b", 2)).toDF("id", "v")
+    val batch = Seq(("b", 20), ("c", 30)).toDF("id", "v")
+    val once = Relational.upsert(main, batch, "id")
+    val twice = Relational.upsert(once, batch, "id")
+    val expect = Set(Row("a", 1), Row("b", 20), Row("c", 30))
+    assert(once.collect().toSet == expect)
+    assert(twice.collect().toSet == expect)
+  }
+
+  test("upsert plan broadcasts the staging side (no shuffle of main)") {
+    val main = Seq(("a", 1)).toDF("id", "v")
+    val batch = Seq(("b", 2)).toDF("id", "v")
+    val plan = Relational.upsert(main, batch, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast anti-join, got:\n$plan")
+  }
+
+  test("topK matches orderBy-limit semantics deterministically") {
+    val df = Seq((1, 5.0), (2, 5.0), (3, 9.0), (4, 1.0)).toDF("id", "s")
+    val out = Relational.topK(df, col("s"), col("id"), 2).select("id").as[Int].collect()
+    assert(out.toSeq == Seq(3, 1))
+  }
+
+  test("nullCensus counts nulls per column") {
+    val df = Seq((Some(1), Option.empty[String]), (None, Some("x"))).toDF("a", "b")
+    val row = Relational.nullCensus(df).collect().head
+    assert(row.getAs[Long]("nulls_a") == 1L && row.getAs[Long]("nulls_b") == 1L)
+  }
+
+  test("groupedSummary computes count/avg/max per group") {
+    val df = Seq(("g1", 10.0, 1.0), ("g1", 20.0, 3.0), ("g2", 5.0, 0.0))
+      .toDF("k", "score", "cnt")
+    val m = Relational.groupedSummary(df, "k", "score", "cnt")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("g1").getAs[Long]("post_count") == 2)
+    assert(m("g1").getAs[Double]("avg_score") == 15.0)
+    assert(m("g1").getAs[Double]("max_score") == 20.0)
+  }
+}

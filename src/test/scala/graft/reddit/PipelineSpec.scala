@@ -1,0 +1,81 @@
+package graft.reddit
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** End-to-end golden test: the whole DAG on the reference's own fixtures,
+  * including the U3 idempotence / last-write-wins guarantees the reference
+  * documents (s3_to_redshift.py:9-15).
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val fixA = "/root/reference/tmp/20250320.csv" // earlier batch
+  private val fixB = "/root/reference/tmp/20250324.csv" // later batch, overlapping ids
+
+  test("pipeline run: ingest → upsert → models, twice with overlap") {
+    val root = Files.createTempDirectory("posts_table").toString
+
+    val r1 = Pipeline.run(spark, fixA, root)
+    assert(r1.tableRows == r1.loaded)
+
+    val r2 = Pipeline.run(spark, fixB, root)
+    val table = PostsTable.read(spark, root)
+    // upsert invariant: id is unique
+    assert(table.count() == table.select("id").distinct().count())
+    assert(r2.tableRows >= r2.loaded)
+
+    // last-write-wins: overlapping ids carry the later batch's score
+    val later = CsvReddit.read(spark, fixB).select(col("id"), col("score").as("s2"))
+    val joined = table.join(later, "id")
+      .filter(col("score") =!= col("s2")).count()
+    assert(joined == 0L)
+
+    // summary mart shape (reddit_summary.sql)
+    val sum = r2.summary.collect()
+    assert(sum.nonEmpty)
+    assert(r2.summary.columns.toSeq ==
+      Seq("subreddit", "post_count", "avg_score", "avg_comments", "max_score"))
+  }
+
+  test("upsert is idempotent: re-running the same batch changes nothing") {
+    val root = Files.createTempDirectory("posts_table2").toString
+    Pipeline.run(spark, fixB, root)
+    val before = PostsTable.read(spark, root).orderBy("id").collect().toSeq
+    Pipeline.run(spark, fixB, root)
+    val after = PostsTable.read(spark, root).orderBy("id").collect().toSeq
+    assert(before == after)
+  }
+
+  test("atomic versioning: CURRENT flips only after a full write; vacuum bounds versions") {
+    val root = Files.createTempDirectory("posts_table3").toString
+    Pipeline.run(spark, fixA, root)
+    val v1 = PostsTable.currentVersion(root)
+    Pipeline.run(spark, fixB, root)
+    val v2 = PostsTable.currentVersion(root)
+    assert(v2.get > v1.get)
+    // no _tmp_ leftovers, old versions vacuumed to ≤2
+    val names = new java.io.File(root).list().toSeq
+    assert(!names.exists(_.startsWith("_tmp_")))
+    assert(names.count(_.startsWith("v_")) <= 2)
+  }
+
+  test("acceptance queries (query-test.py) run on the registered views") {
+    val root = Files.createTempDirectory("posts_table4").toString
+    Pipeline.run(spark, fixB, root)
+    val reddit = PostsTable.read(spark, root).drop("extract_date")
+    Models.registerViews(spark, reddit)
+
+    val top = Analytics.sqlTopPosts(spark, 2).collect()
+    assert(top.length == 2)
+    val dfTop = Analytics.topPosts(reddit, 2).collect()
+    assert(top.map(_.getAs[String]("id")).toSeq == dfTop.map(_.getAs[String]("id")).toSeq)
+
+    val stats = Analytics.sqlSubredditStats(spark).collect()
+    assert(stats.nonEmpty) // 183 posts of r/stocks > HAVING 5
+    val hours = Analytics.sqlScoreByHour(spark).collect()
+    assert(hours.nonEmpty && hours.forall(r => r.getAs[Int]("hour_of_day") >= 0))
+  }
+}

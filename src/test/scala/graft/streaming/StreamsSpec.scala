@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.reddit.PostsTable
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hourlyCounts: watermarked window agg over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyCounts(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark past hour 10/11 so the windows close
+    mem.addData((Timestamp.valueOf("2024-01-01 14:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("hourly_test")
+      .select("event_type", "n_events", "sum_value").collect()
+    q.stop()
+    assert(rows.exists(r => r.getString(0) == "click" && r.getLong(1) == 2 && r.getDouble(2) == 3.0))
+    assert(rows.exists(r => r.getString(0) == "view" && r.getLong(1) == 1))
+  }
+
+  test("upsertSink: micro-batches land as atomic upserts, last write wins") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("stream_posts").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val mem = MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("id", "score")
+
+    mem.addData(("a", 1), ("b", 2))
+    Streams.upsertSink(df, root, "id", ckpt).start().awaitTermination()
+    mem.addData(("b", 20), ("c", 30))
+    Streams.upsertSink(df, root, "id", ckpt).start().awaitTermination()
+
+    val table = PostsTable.read(spark, root).drop("extract_date")
+    val m = table.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 1, "b" -> 20, "c" -> 30))
+  }
+}
