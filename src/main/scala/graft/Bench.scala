@@ -1,16 +1,24 @@
 package graft
 
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: run every registered query at SPARK_GRAFT_SF_DIR,
-  * print ONE JSON line. Queries execute against the `noop` sink so the full
-  * plan runs (a bare count() would let Catalyst collapse projections to a
-  * metadata-only scan and under-report).
+  * print ONE JSON line at the end plus per-query progress on stderr.
+  *
+  * Queries execute against the `noop` sink so the full plan runs (a bare
+  * count() would let Catalyst collapse projections to a metadata-only
+  * scan). Each query gets a wall-clock budget (SPARK_GRAFT_QUERY_TIMEOUT,
+  * default 120 s) enforced by job-group cancellation, so one pathological
+  * plan cannot eat the whole bench.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,17 +27,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val fut = Future {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { Await.result(fut, perQuerySec.seconds); true }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            System.err.println(s"[bench] $name TIMED OUT after ${perQuerySec}s")
+            false
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      spark.sparkContext.clearJobGroup()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${sec}%8.2fs ${if (ok) "" else "(FAILED)"}")
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

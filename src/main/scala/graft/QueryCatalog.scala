@@ -207,6 +207,11 @@ object QueryCatalog {
              |  max(l_extendedprice) AS max_b
              |FROM lineitem""".stripMargin)),
 
+    ("q_a6_row_count",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
     ("q_a5_null_census",
       (s: SparkSession, d: String) =>
         Relational.nullCensus(t(s, d, "documents")),

@@ -15,12 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // per-query wall budget via job-group cancel: one pathological plan
+    // must not starve the rest of the correctness dump
+    val perQuerySec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "120").toLong
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val t0 = System.nanoTime()
+      val fut = Future {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+      try Await.result(fut, perQuerySec.seconds)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name TIMED OUT after ${perQuerySec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.clearJobGroup()
+      System.err.println(f"[verify] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -88,15 +88,24 @@ object Dedup {
     // through the LSH exchange: at corpus scale that ships the tokenized
     // corpus ×bands through the shuffle. Candidates are found on ids and
     // tokens are re-joined afterwards, once, for verification.
-    val banded = docs.select(
-      col(id).as("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(minhashSignature(shingles(col(text), shingleK), numHashes),
-            b * lit(rows) + lit(1), lit(rows))), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    //
+    // Shape note: explode the band index FIRST, then compute only that
+    // band's `rows` MinHash slots per (doc, band) row. Computing the full
+    // signature in a projection and slicing it per band looks cheaper but
+    // is ~100× slower: CollapseProject inlines the whole 64-hash signature
+    // into every band lambda and the Generate boundary defeats codegen
+    // subexpression elimination. Bands partition the slot range, so this
+    // shape hashes every (shingle, slot) pair exactly once.
+    val banded = docs
+      .select(col(id).as("doc_id"), shingles(col(text), shingleK).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(concat_ws(",",
+          transform(sequence(col("band") * rows, col("band") * rows + (rows - 1)),
+            slot => when(size(col("sh")) === 0, lit(Long.MaxValue))
+              .otherwise(array_min(transform(col("sh"), s => xxhash64(s, slot)))))),
+          col("band")).as("bucket"))
 
     val candidates = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
