@@ -303,6 +303,30 @@ object QueryCatalog {
              |  round(CAST(round(sum(value)*10000) AS BIGINT) / (count(value)*10000.0), 4) AS avg_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- sessionization (gap-based, per-user windows) ----------------------
+
+    ("q_sessionize",
+      (s: SparkSession, d: String) =>
+        Sessionize.sessionStats(t(s, d, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 1800L),
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS boundary
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |y AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM x)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+             |FROM y GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // ---- D1 data-quality rules ---------------------------------------------
 
     ("q_dq_check",

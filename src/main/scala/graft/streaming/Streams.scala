@@ -37,6 +37,59 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(key)
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization with custom state: one [[SessionState]] per
+    * user, closed by event-time timeout after `gapSeconds` of inactivity —
+    * the `flatMapGroupsWithState` analog of [[graft.operators.Sessionize]].
+    * State size is O(active users), expired by the watermark clock.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                 gapSeconds: Long,
+                 watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapMs = gapSeconds * 1000L
+
+    def close(uid: Long, s: SessionState): UserSession =
+      UserSession(uid, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val done = close(uid, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val sorted = batch.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= close(uid, s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
   /** Continuous ingest into the versioned posts table: every micro-batch is
     * one atomic delete-matching upsert (U3 as the foreachBatch body).
     */

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Plan-shape assertions: the properties that keep these operators fast at
+  * 100 TB, checked against the actual physical plans on the driver parquet.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushes down to the parquet scan") {
+    val df = Relational.filterEq(Tables(spark, sfDir, "lineitem"), "l_returnflag", "R")
+      .select("l_orderkey", "l_returnflag")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("projection prunes the read schema") {
+    val df = Relational.project(Tables(spark, sfDir, "lineitem"), Seq("l_orderkey", "l_quantity"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("upsert is a broadcast anti-join (big side never shuffles)") {
+    val main = Tables(spark, sfDir, "orders")
+    val staging = main.limit(10)
+    val p = plan(Relational.upsert(main, staging, "o_orderkey"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), s"no broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"main side shuffled for upsert:\n$p")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.topK(Tables(spark, sfDir, "orders"),
+      col("o_totalprice"), col("o_orderkey"), 10))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to global sort:\n$p")
+  }
+
+  test("grouped aggregation is two-phase (partial before the exchange)") {
+    val df = Relational.groupedSummary(Tables(spark, sfDir, "lineitem"),
+      "l_returnflag", "l_extendedprice", "l_quantity")
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("ANN brute force: no window, no cartesian product, bounded aggregate") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val p = plan(Similarity.bruteForceTopK(emb, emb.limit(3), "vec_id", "embedding", 5))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), s"unbounded ANN plan:\n$p")
+    assert(p.contains("topk_pairs"), s"bounded top-k aggregate missing:\n$p")
+  }
+
+  test("LSH banding exchange carries ids only (no token/signature arrays)") {
+    val docs = Tables(spark, sfDir, "documents")
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
+    // disable it for the structural assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text")
+      // the (band,bucket) self-join — shuffled or broadcast — must consume
+      // only [doc_id, band, bucket] on both sides
+      val bandJoins = lsh.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+      }
+      assert(bandJoins.nonEmpty, "no band/bucket join found")
+      bandJoins.foreach { j =>
+        val names = (j.left.output ++ j.right.output).map(_.name).toSet
+        assert(names.subsetOf(Set("doc_id", "band", "bucket", "a_id", "b_id")),
+          s"LSH candidate join consumes more than ids+bucket: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("whole-stage codegen covers the scan-side transform pipeline") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(TextAnalysis.qualityScore(docs, "doc_id", "text"))
+    // `*(n)` node prefixes mark whole-stage-codegen stages; the final
+    // projection with array-lambda HOFs legitimately stays outside (Spark
+    // never codegens LambdaFunction), but the scan+common-expr stage must
+    // be inside
+    assert(p.contains("*(1)"), s"no codegen stage in plan:\n$p")
+  }
+}

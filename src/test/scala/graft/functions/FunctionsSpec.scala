@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("simhash64: identical token arrays hash identically; SQL surface works") {
+    graft.functions.registerAll(spark)
+    val viaSql = spark.sql("SELECT simhash64(array('a','b','c')) AS h").as[Long].collect().head
+    val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.simhash64(col("t"))).as[Long].collect().head
+    assert(viaSql == viaCol)
+    val other = spark.sql("SELECT simhash64(array('x','y','z')) AS h").as[Long].collect().head
+    assert(viaSql != other)
+  }
+
+  test("rolling_hash64 is deterministic and content-sensitive") {
+    graft.functions.registerAll(spark)
+    val Seq(a, b, a2) =
+      spark.sql("SELECT rolling_hash64('hello'), rolling_hash64('world'), rolling_hash64('hello')")
+        .collect().head.toSeq.map(_.asInstanceOf[Long])
+    assert(a == a2 && a != b)
+  }
+
+  test("topk_pairs keeps k best with deterministic tie-break") {
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 2L), (1L, 9.0, 7L), (1L, 1.0, 1L))
+      .toDF("g", "score", "id")
+    val top = df.groupBy("g").agg(graft.functions.topk_pairs(col("score"), col("id"), 2).as("t"))
+      .select(explode(col("t"))).select("col.score", "col.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top.toSeq == Seq((9.0, 7L), (5.0, 2L)))
+  }
+}
