@@ -361,6 +361,18 @@ object QueryCatalog {
              |       ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS n_distinct_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    ("q_bpe_token_count",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+             |    AS BIGINT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     ("q_quality_score",
       (s: SparkSession, d: String) =>
         TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")

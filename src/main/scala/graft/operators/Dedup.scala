@@ -50,6 +50,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         threshold: Double, maxId: Long): DataFrame = {
+    // hard cap: this operator is O(n²) by design (exact verification) and
+    // must only ever see an LSH-pruned candidate slice, never a corpus
+    require(maxId <= 100000L,
+      s"ngramJaccardPairs is quadratic — maxId=$maxId; use minhashLsh for candidate generation")
     val t = docs
       .filter(col(id) < maxId)
       .select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))

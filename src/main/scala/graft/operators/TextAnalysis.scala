@@ -20,6 +20,22 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style, lookaheads dropped so the
+    * same pattern runs on Java regex and RE2): contraction suffixes,
+    * space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+    * punctuation runs, residual whitespace.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pieces of a document (the token-count basis an LLM-data
+    * pipeline budgets by, versus whitespace words).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
   /** doc_id, token stats per document (BIGINT counts — matches every SQL

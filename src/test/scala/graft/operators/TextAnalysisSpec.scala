@@ -36,6 +36,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.toSeq == Seq("en", "de", "zh", "und"))
   }
 
+  test("bpe tokenizer: contractions, digit runs, punctuation split") {
+    val df = Seq("I'll add 42 items, ok?").toDF("t")
+      .select(TextAnalysis.bpeTokens(col("t")).as("p"))
+    val pieces = df.as[Seq[String]].collect().head
+    // I | 'll | ' add' | ' 42' | ' items' | , | ' ok' | ?
+    assert(pieces == Seq("I", "'ll", " add", " 42", " items", ",", " ok", "?"))
+  }
+
   test("fingerprint is case/whitespace canonical") {
     val df = Seq(("A  B\tc", "a b c")).toDF("x", "y")
       .select((TextAnalysis.fingerprint(col("x")) === TextAnalysis.fingerprint(col("y"))).as("eq"))
