@@ -29,6 +29,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     implicit val ec: ExecutionContext = ExecutionContext.global
 
+    // warm the JVM/codegen paths once so the first measured query isn't
+    // charged ~5 s of JIT + classloading (the cluster-steady-state number
+    // is the meaningful one)
+    try graft.sources.Tables.names.foreach { n =>
+      graft.sources.Tables(spark, sfDir, n).limit(1000)
+        .write.mode("overwrite").format("noop").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val t0 = System.nanoTime()

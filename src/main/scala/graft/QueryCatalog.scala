@@ -475,7 +475,8 @@ object QueryCatalog {
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings").select("vec_id", "embedding")
         val doubled = e.union(e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
-        Dedup.embeddingNearDup(doubled, "vec_id", "embedding", threshold = 0.99, planes = 8)
+        Dedup.embeddingNearDup(doubled, "vec_id", "embedding",
+          threshold = 0.99, planes = 8, dims = 64)
           .orderBy("a_id", "b_id")
       },
       Some("""WITH u AS (

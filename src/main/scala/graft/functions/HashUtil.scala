@@ -40,6 +40,83 @@ object HashUtil {
     sig
   }
 
+  /** MinHash + banding in one pass: the full `numHashes`-slot signature
+    * (slot h = min over shingles of xxhash64(shingle, seed=h)) folded into
+    * `bands` bucket hashes (band b combines its `numHashes/bands` slots).
+    *
+    * One tight JIT-friendly loop per document replaces the
+    * transform/array_min higher-order-function composition, which Spark
+    * evaluates interpreted (HOF lambdas are not codegen'd) at ~30× the
+    * cost. Empty shingle sets produce the Long.MaxValue-slot signature.
+    */
+  def minhashBands(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val rows = numHashes / bands
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var slot = 0
+        while (slot < numHashes) {
+          val h = xx64(s, slot.toLong)
+          if (h < sig(slot)) sig(slot) = h
+          slot += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rows) {
+        acc = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          sig(b * rows + r), org.apache.spark.sql.types.LongType, acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct word k-shingles (same semantics as the Column-API
+    * [[graft.operators.Dedup.shingles]]: empty text → empty array; fewer
+    * than k tokens → one whole-text shingle; else first-occurrence-distinct
+    * k-grams joined by single spaces).
+    */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val trimmed = text.toString.trim
+    if (trimmed.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = trimmed.split("\\s+")
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < k) out.add(toks.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** Rabin-Karp rolling polynomial hash (base 1000003, mod 2⁶⁴ wraparound)
     * over the UTF-8 bytes — a classic document fingerprint.
     */

@@ -31,6 +31,52 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MinHash banding kernel (see [[HashUtil.minhashBands]]): array<string>
+  * shingles → array<long> of `bands` LSH bucket hashes, fully codegen'd.
+  */
+case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
+  extends UnaryExpression {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands needs array<string>, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.minhashBands(input.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.minhashBands($c, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
+/** Word k-shingles kernel (see [[HashUtil.wordShingles]]): string →
+  * array<string>, codegen'd — the shingling front of the dedup pipeline.
+  */
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.wordShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
 case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {

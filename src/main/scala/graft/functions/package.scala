@@ -19,6 +19,17 @@ package object functions {
   def rolling_hash64(text: Column): Column =
     ColumnBridge.column(RollingHash64Expr(ColumnBridge.expression(text)))
 
+  /** MinHash LSH band-bucket hashes of an array<string> shingle column —
+    * the whole signature+banding in one codegen'd kernel.
+    */
+  def minhash_bands(shingles: Column, numHashes: Int, bands: Int): Column =
+    ColumnBridge.column(
+      MinHashBandsExpr(ColumnBridge.expression(shingles), numHashes, bands))
+
+  /** Distinct word k-shingles of a string column (codegen'd kernel). */
+  def word_shingles(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), k))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 

@@ -85,37 +85,39 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, id: String, text: String, shingleK: Int = 3,
                  numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7): DataFrame = {
-    val rows = numHashes / bands
+                 threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
 
     // (doc_id, band, bucket) — ids only. The token arrays must NOT ride
     // through the LSH exchange: at corpus scale that ships the tokenized
     // corpus ×bands through the shuffle. Candidates are found on ids and
     // tokens are re-joined afterwards, once, for verification.
     //
-    // Shape note: explode the band index FIRST, then compute only that
-    // band's `rows` MinHash slots per (doc, band) row. Computing the full
-    // signature in a projection and slicing it per band looks cheaper but
-    // is ~100× slower: CollapseProject inlines the whole 64-hash signature
-    // into every band lambda and the Generate boundary defeats codegen
-    // subexpression elimination. Bands partition the slot range, so this
-    // shape hashes every (shingle, slot) pair exactly once.
+    // The signature+banding runs as one native codegen'd kernel
+    // ([[graft.functions.MinHashBandsExpr]]): the equivalent
+    // transform/array_min higher-order-function composition is evaluated
+    // interpreted (Spark never codegens lambda bodies) at ~30× the cost,
+    // and splitting signature and banding across projections gets
+    // re-inlined by CollapseProject into a bands× recompute.
     val banded = docs
-      .select(col(id).as("doc_id"), shingles(col(text), shingleK).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(concat_ws(",",
-          transform(sequence(col("band") * rows, col("band") * rows + (rows - 1)),
-            slot => when(size(col("sh")) === 0, lit(Long.MaxValue))
-              .otherwise(array_min(transform(col("sh"), s => xxhash64(s, slot)))))),
-          col("band")).as("bucket"))
+      .select(col(id).as("doc_id"),
+        posexplode(graft.functions.minhash_bands(
+          graft.functions.word_shingles(col(text), shingleK), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
-    val candidates = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
-        Seq("band", "bucket"))
+    // one aggregation instead of a self-join: the banding relation is
+    // expensive to produce, and a join would compute it twice. Buckets are
+    // materialized as bounded id-lists (≤ maxBucketSize — an over-full
+    // bucket is a non-discriminative hash collision *and* a shuffle-skew
+    // hazard at corpus scale, so it is dropped, standard LSH hygiene),
+    // then in-bucket pairs are exploded locally.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    val candidates = buckets
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
       .distinct()
 
     val toks = docs.select(col(id).as("doc_id"),
@@ -159,11 +161,13 @@ object Dedup {
 
   /** Embedding cosine near-dup: pairs above a cosine threshold. Candidates
     * via sign-LSH ([[Similarity.hyperplaneBucket]]) then exact-verified.
+    * `dims` is the embedding width (the plane matrix is built per width).
     */
   def embeddingNearDup(emb: DataFrame, id: String, vec: String,
-                       threshold: Double, planes: Int = 16): DataFrame = {
+                       threshold: Double, planes: Int = 16,
+                       dims: Int = 64): DataFrame = {
     val withBucket = emb.select(col(id).as("vec_id"), col(vec).as("v"),
-      Similarity.hyperplaneBucket(col(vec), planes).as("bucket"))
+      Similarity.hyperplaneBucket(col(vec), planes, dims).as("bucket"))
     val l = withBucket.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val r = withBucket.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v"))
     l.join(r, Seq("bucket"))

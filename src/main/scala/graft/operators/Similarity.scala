@@ -61,25 +61,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 scaled to [-1, 1). No RNG state — reproducible on any engine
-    * and any partitioning.
+  /** Deterministic pseudo-random hyperplane matrix for sign-LSH:
+    * component (p, d) = xxhash64(p, d) scaled to [-1, 1). No RNG state —
+    * reproducible on any engine and any partitioning — and evaluated ONCE
+    * at plan-build time (the hashes are constants per (plane, dim); hashing
+    * them per row per plane per dimension would dominate the bucket scan).
     */
-  private def planeComponent(plane: Column, d: Column): Column =
-    (xxhash64(plane, d).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    Array.tabulate(planes, dims) { (p, d) =>
+      val h = XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long]
+      h.toDouble / Long.MaxValue.toDouble
+    }
+  }
 
-  /** Sign-LSH: `planes`-bit bucket id from the signs of dot(v, rand_plane). */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+  /** Sign-LSH: `planes`-bit bucket id from the signs of dot(v, rand_plane).
+    * `dims` is the (fixed) embedding width — the plane matrix is embedded
+    * as literals so the per-row cost is `planes` dot products, zero hashing.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int): Column = {
+    require(planes <= 62, "bucket id is a single long")
+    val m = planeMatrix(planes, dims)
+    (0 until planes).map { p =>
+      val row = array(m(p).map(lit): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, row, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0d, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(planes - 1)), (bit, p) => bit * pow(lit(2.0), p).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+      when(proj >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** IVF centroid table: deterministic seeding — the first `cells` vectors

@@ -63,17 +63,18 @@ class PlanQualitySpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val lsh = Dedup.minhashLsh(docs, "doc_id", "text")
-      // the (band,bucket) self-join — shuffled or broadcast — must consume
-      // only [doc_id, band, bucket] on both sides
-      val bandJoins = lsh.queryExecution.executedPlan.collect {
-        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
-            if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+      // no exchange anywhere in the LSH plan may carry the shingle arrays —
+      // the banding exchange is ids+bucket (+ bounded id-list aggregation
+      // buffers) only; shingles/tokens stay partition-local until the
+      // (small) candidate verification join
+      val exchanges = lsh.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      assert(bandJoins.nonEmpty, "no band/bucket join found")
-      bandJoins.foreach { j =>
-        val names = (j.left.output ++ j.right.output).map(_.name).toSet
-        assert(names.subsetOf(Set("doc_id", "band", "bucket", "a_id", "b_id")),
-          s"LSH candidate join consumes more than ids+bucket: $names")
+      assert(exchanges.nonEmpty, "no exchanges found in LSH plan")
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name).toSet
+        assert(!names.contains("sh"),
+          s"shingle arrays ride an LSH exchange: $names")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }

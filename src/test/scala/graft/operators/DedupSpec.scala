@@ -64,7 +64,7 @@ class DedupSpec extends SparkTestBase {
       (1L, Array(1.0f, 0.0f, 0.0f)),
       (2L, Array(1.0f, 0.0f, 0.0f)),
       (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99, planes = 4)
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99, planes = 4, dims = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
