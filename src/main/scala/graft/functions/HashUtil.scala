@@ -117,6 +117,53 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Language-ID heuristic kernel — exact semantics of
+    * [[graft.operators.TextAnalysis.langId]] (validated by the same DuckDB
+    * oracle): CJK codepoint anywhere → "zh"; else argmax of per-language
+    * marker-token hits over lowercase whitespace tokens with fixed
+    * tie-break order en > de > es > fr; no signal → "und".
+    */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // CJK check without regex: any codepoint in [0x4e00, 0x9fff]
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if (cp >= 0x4e00 && cp <= 0x9fff) return UTF8String.fromString("zh")
+      ci += Character.charCount(cp)
+    }
+    // UTF8String.toLowerCase is locale-independent (matches Spark's lower())
+    val toks = text.toLowerCase.toString.trim match {
+      case "" => Array.empty[String]
+      case t => t.split("\\s+")
+    }
+    val langs = Array("en", "de", "es", "fr")
+    val markers: Array[Array[String]] = Array(
+      Array("the", "and", "of", "to", "is"),
+      Array("der", "die", "das", "und", "ist"),
+      Array("el", "los", "que", "es", "una"),
+      Array("le", "les", "des", "est", "une"))
+    val hits = new Array[Int](4)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < 4) {
+        val m = markers(l)
+        var j = 0
+        while (j < m.length) {
+          if (m(j) == toks(i)) { hits(l) += 1; j = m.length } else j += 1
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < 4) { if (hits(l) > hits(best)) best = l; l += 1 }
+    if (hits(best) > 0) UTF8String.fromString(langs(best))
+    else UTF8String.fromString("und")
+  }
+
   /** Rabin-Karp rolling polynomial hash (base 1000003, mod 2⁶⁴ wraparound)
     * over the UTF-8 bytes — a classic document fingerprint.
     */

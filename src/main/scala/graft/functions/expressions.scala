@@ -77,6 +77,27 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Language-ID kernel (see [[HashUtil.langId]]): string → language code,
+  * codegen'd — replaces a 4×-tokenizing interpreted HOF chain.
+  */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lang_id needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {

@@ -37,6 +37,10 @@ package object functions {
     ColumnBridge.column(
       CosineF32Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Language-ID heuristic (codegen'd kernel; NULL text → NULL). */
+  def lang_id(text: Column): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 

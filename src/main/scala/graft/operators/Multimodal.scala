@@ -97,6 +97,24 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: aspect-preserving downscale into a `maxW`×`maxH` box.
+    * Output metadata is real arithmetic (what downstream partitioning and
+    * batch-shape logic consume); the payload "re-encode" is the STUB —
+    * bytes truncated proportionally to the area change, standing in for a
+    * real codec call with the same columnar signature.
+    */
+  def resize(media: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val scale = least(lit(1.0),
+      least(lit(maxW) / col("width").cast("double"),
+        lit(maxH) / col("height").cast("double")))
+    media
+      .withColumn("out_width", floor(col("width") * scale).cast("long"))
+      .withColumn("out_height", floor(col("height") * scale).cast("long"))
+      .withColumn("out_media",
+        col("media").substr(lit(1),
+          greatest((col("media_bytes") * scale * scale).cast("int"), lit(1))))
+  }
+
   /** Frame-sample: pick `n` evenly spaced "frames" (fixed-size byte windows)
     * from each blob — the video-keyframe access pattern. In-row `transform`
     * over a `sequence`, no explode of the full frame set.

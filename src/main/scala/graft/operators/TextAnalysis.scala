@@ -84,8 +84,17 @@ object TextAnalysis {
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(lower(text)), x => array_contains(array(markers.map(lit): _*), x)))
 
-  /** Predicted language code; "und" (undetermined) when no signal. */
-  def langId(text: Column): Column = {
+  /** Predicted language code; "und" (undetermined) when no signal.
+    * Runs as the codegen'd [[graft.functions.LangIdExpr]] kernel (the HOF
+    * formulation tokenizes 4× interpreted); NULL text keeps the SQL-chain
+    * convention of "und". [[langIdHof]] is the reference formulation the
+    * kernel is validated against.
+    */
+  def langId(text: Column): Column =
+    coalesce(graft.functions.lang_id(text), lit("und"))
+
+  /** Pure-builtin langId (semantics oracle for the kernel). */
+  def langIdHof(text: Column): Column = {
     val hasCjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
     val hits = LangMarkers.map { case (lang, m) => lang -> markerHits(text, m) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))

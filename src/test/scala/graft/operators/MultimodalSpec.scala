@@ -28,6 +28,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(2L).toSeq == Multimodal.FakeCodec.decode("abc".getBytes("UTF-8")).toSeq)
   }
 
+  test("resize: aspect-preserving box fit, payload stub shrinks with area") {
+    val rows = Multimodal.resize(Multimodal.withMedia(docs), maxW = 10, maxH = 10)
+      .orderBy("doc_id").collect()
+    val r = rows(0) // width 16+11%64=27, height 16+11%48=27 → scale 10/27
+    assert(r.getAs[Long]("out_width") == 10L && r.getAs[Long]("out_height") == 10L)
+    assert(r.getAs[Array[Byte]]("out_media").length < r.getAs[Long]("media_bytes"))
+  }
+
   test("sampleFrames: n fixed-size windows per blob, in-row") {
     val rows = Multimodal.sampleFrames(Multimodal.withMedia(docs), n = 3, frameBytes = 4)
       .select("doc_id", "frames").orderBy("doc_id").collect()

@@ -25,6 +25,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(1).isNullAt(rows(1).fieldIndex("stopword_ratio")))
   }
 
+  test("langId kernel matches the pure-builtin formulation on real docs") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val kernel = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+    val hof = docs.select(col("doc_id"), TextAnalysis.langIdHof(col("text")).as("l"))
+    assert(kernel.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(kernel).count() == 0)
+  }
+
   test("langId: marker words and CJK dominate; no signal → und") {
     val df = Seq(
       (1L, "the cat is on the mat"),

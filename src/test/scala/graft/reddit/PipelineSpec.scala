@@ -33,9 +33,17 @@ class PipelineSpec extends SparkTestBase {
       .filter(col("score") =!= col("s2")).count()
     assert(joined == 0L)
 
-    // summary mart shape (reddit_summary.sql)
+    // golden values (pandas oracle over the same fixtures, upsert
+    // semantics: fixA's 10 records minus the 2-id overlap, plus fixB's
+    // 183 → 191 rows, all r/stocks)
     val sum = r2.summary.collect()
-    assert(sum.nonEmpty)
+    assert(sum.length == 1)
+    val row = sum.head
+    assert(row.getAs[String]("subreddit") == "stocks")
+    assert(row.getAs[Long]("post_count") == 191L)
+    assert(math.abs(row.getAs[Double]("avg_score") - 586.17801) < 1e-4)
+    assert(math.abs(row.getAs[Double]("avg_comments") - 111.623037) < 1e-4)
+    assert(row.getAs[Int]("max_score") == 14587)
     assert(r2.summary.columns.toSeq ==
       Seq("subreddit", "post_count", "avg_score", "avg_comments", "max_score"))
   }
