@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingHash64Expr, SimHash64Expr}
+import graft.functions.{CosineF32Expr, LangIdExpr, MinHashBandsExpr,
+  RollingHash64Expr, SimHash64Expr, WordShinglesExpr}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions` in
@@ -13,14 +14,25 @@ import graft.functions.{RollingHash64Expr, SimHash64Expr}
   * `SELECT simhash64(tokens) ...` without touching the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64Expr(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("rolling_hash64"),
-      new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
-      (children: Seq[Expression]) => RollingHash64Expr(children.head)))
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+
+    inject("simhash64", es => SimHash64Expr(es.head))
+    inject("rolling_hash64", es => RollingHash64Expr(es.head))
+    inject("lang_id", es => LangIdExpr(es.head))
+    inject("cosine_f32", es => CosineF32Expr(es(0), es(1)))
+    inject("word_shingles", es => WordShinglesExpr(es(0), intLit(es(1), "k")))
+    inject("minhash_bands", es => MinHashBandsExpr(es(0),
+      intLit(es(1), "numHashes"), intLit(es(2), "bands")))
   }
 }

@@ -207,6 +207,20 @@ object QueryCatalog {
              |  max(l_extendedprice) AS max_b
              |FROM lineitem""".stripMargin)),
 
+    // skew-safe two-phase salted aggregation — result-identical to the
+    // plain groupBy (sum/count compose), bounded per-reducer load
+    ("q_salted_agg",
+      (s: SparkSession, d: String) =>
+        Relational.saltedSumCount(t(s, d, "lineitem"), "l_returnflag", "l_quantity")
+          .select(col("l_returnflag"),
+            round(col("sum_measure")).cast("long").as("sum_measure"),
+            col("cnt_measure"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_measure,
+             |  count(l_quantity) AS cnt_measure
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     ("q_a6_row_count",
       (s: SparkSession, d: String) =>
         t(s, d, "lineitem").agg(count(lit(1)).as("n")),

@@ -55,10 +55,14 @@ package object functions {
         ColumnBridge.expression(id.cast("long")),
         k).toAggregateExpression())
 
-  /** Register graft functions for the `spark.sql` surface. */
+  /** Register graft functions for the `spark.sql` surface of an existing
+    * session (new sessions get them via [[graft.GraftExtensions]]).
+    */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_f32", es => CosineF32Expr(es(0), es(1)), "scala_udf")
   }
 }

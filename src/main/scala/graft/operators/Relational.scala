@@ -148,6 +148,23 @@ object Relational {
       df.columns.map(c => (count(lit(1)) - count(col(c))).as(s"nulls_$c")): _*)
       .drop("_rows")
 
+  /** Skew-safe grouped aggregation: two-phase salted sum/count.
+    *
+    * A plain `groupBy(key)` sends every row of a hot key to one reducer; AQE
+    * skew handling only splits *join* partitions, not aggregation keys. The
+    * salt spreads each key over `saltBuckets` partial groups (first phase,
+    * map-side combined as usual), and the second phase re-aggregates the at
+    * most `saltBuckets` partials per key — bounded regardless of skew.
+    * Results are identical to the unsalted plan because sum/count compose.
+    */
+  def saltedSumCount(df: DataFrame, key: String, measure: String,
+                     saltBuckets: Int = 32): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(measure)).as("_psum"), count(col(measure)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_measure"), sum(col("_pcnt")).as("cnt_measure"))
+
   // --- §2.5 sorts / limits / top-k ------------------------------------------
 
   /** T1 global top-k — Catalyst plans TakeOrderedAndProject (no full sort).
