@@ -23,7 +23,10 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word k-shingles of a document (arrays stay in-row). */
+  /** Distinct word k-shingles of a document (arrays stay in-row).
+    * Pure-builtin formulation — [[graft.functions.word_shingles]] is the
+    * codegen'd kernel used on the hot path, validated equal to this.
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     val n = size(toks)

@@ -51,6 +51,14 @@ class DedupSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("word_shingles kernel matches the builtin shingles formulation on real docs") {
+    val real = spark.read.parquet(sfDir + "/documents.parquet")
+    val kernel = real.select(graft.functions.word_shingles(col("text"), 3).as("x"))
+    val hof = real.select(Dedup.shingles(col("text"), 3).as("x"))
+    assert(kernel.exceptAll(hof).count() == 0)
+    assert(hof.exceptAll(kernel).count() == 0)
+  }
+
   test("simhashPairs: identical docs have hamming 0") {
     val two = Seq((1L, "same exact text body"), (2L, "same exact text body"),
       (3L, "another unrelated document")).toDF("doc_id", "text")
