@@ -49,6 +49,16 @@ object RedditSource {
       CsvReddit.read(spark, path).filter(col("subreddit") === subreddit)
   }
 
+  /** JSON-dump source (API responses archived as JSON lines, the other
+    * fixture format a live client would write): schema-first read, same
+    * canonical shape.
+    */
+  def jsonFixture(path: String): RedditSource = new RedditSource {
+    def posts(spark: SparkSession, subreddit: String): DataFrame =
+      spark.read.schema(RedditSchema.schema).json(path)
+        .filter(col("subreddit") === subreddit)
+  }
+
   /** The whole S1 scan: source → window filter → rank → limit. */
   def scan(spark: SparkSession, source: RedditSource, subreddit: String,
            timeFilter: String, limit: Int, now: Timestamp): DataFrame =

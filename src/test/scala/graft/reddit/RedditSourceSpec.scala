@@ -28,6 +28,18 @@ class RedditSourceSpec extends SparkTestBase {
     assert(day.count() < 183)
   }
 
+  test("json fixture source round-trips the canonical schema") {
+    val df = CsvReddit.read(spark, fix)
+    val dir = java.nio.file.Files.createTempDirectory("jsonfix").toString + "/posts"
+    df.coalesce(1).write.json(dir)
+    val back = RedditSource.jsonFixture(dir).posts(spark, "stocks")
+    assert(back.count() == df.count())
+    assert(back.schema == RedditSchema.schema ||
+      back.columns.toSeq == RedditSchema.columns)
+    val top = RedditSource.top(back, "week", 5, now).collect()
+    assert(top.length == 5)
+  }
+
   test("unknown time_filter is rejected") {
     intercept[IllegalArgumentException] {
       RedditSource.top(CsvReddit.read(spark, fix), "fortnight", 5, now)
