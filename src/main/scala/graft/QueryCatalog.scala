@@ -467,19 +467,80 @@ object QueryCatalog {
              |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
              |WHERE jaccard >= 0.1 ORDER BY a_id, b_id""".stripMargin)),
 
-    // xxhash64-based signatures are not reproducible in DuckDB → rows-only checks
+    // xxhash64-based signatures are not reproducible in DuckDB, but the
+    // operator's *invariants* are: a planted clone (identical text →
+    // identical signature → every band collides) is recalled with
+    // probability 1, and the exact-verification step makes the output a
+    // subset of the brute-force all-pairs result. Both are emitted as a
+    // checkable summary row whose expected values DuckDB computes from the
+    // table alone.
     ("q_minhash_lsh",
-      (s: SparkSession, d: String) =>
-        Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
-          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.2)
-          .orderBy("a_id", "b_id"),
-      None),
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val doubled = docs.union(
+          docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        val lsh = Dedup.minhashLsh(doubled, "doc_id", "text",
+          shingleK = 3, numHashes = 64, bands = 16, threshold = 0.2).cache()
+        val nDocs = doubled.agg(count(lit(1)).as("n_docs"))
+        val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
+        val plantedFound = lsh
+          .filter(col("b_id") === col("a_id") + 10000L && col("a_id") < 10000L
+            && col("jaccard") === 1.0)
+          .agg(count(lit(1)).as("planted_found"))
+        // cross-path check: LSH output on a bounded id slice must be a
+        // subset of the exact quadratic path's pairs at the same threshold
+        val exact = Dedup.ngramJaccardPairs(
+          doubled.filter(col("doc_id") < 150), "doc_id", "text",
+          threshold = 0.2, maxId = 150L)
+        val subsetViolations = lsh
+          .filter(col("a_id") < 150 && col("b_id") < 150)
+          .join(exact.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+          .agg(count(lit(1)).as("subset_violations"))
+        nDocs.crossJoin(plantedExpected).crossJoin(plantedFound)
+          .crossJoin(subsetViolations)
+      },
+      Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS planted_expected,
+             |  CAST(count(*) AS BIGINT) AS planted_found,
+             |  CAST(0 AS BIGINT) AS subset_violations
+             |FROM documents""".stripMargin)),
 
+    // same invariant pattern for SimHash: planted clones are hamming-0
+    // (always recalled via every chunk), and the 4×16-bit pigeonhole makes
+    // the output *complete* for maxHamming ≤ 3 — checked brute-force on a
+    // bounded id slice.
     ("q_simhash_pairs",
-      (s: SparkSession, d: String) =>
-        Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 12)
-          .orderBy("a_id", "b_id"),
-      None),
+      (s: SparkSession, d: String) => {
+        import graft.functions.{simhash64, popcount64}
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val doubled = docs.union(
+          docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        val pairs = Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3).cache()
+        val nDocs = doubled.agg(count(lit(1)).as("n_docs"))
+        val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
+        val plantedFound = pairs
+          .filter(col("b_id") === col("a_id") + 10000L && col("a_id") < 10000L
+            && col("hamming") === 0)
+          .agg(count(lit(1)).as("planted_found"))
+        val subset = doubled.filter(col("doc_id") % 10000L < 250)
+        val sigs = subset.select(col("doc_id"),
+          simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+        val brute = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+          .join(broadcast(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))),
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            popcount64(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+          .filter(col("hamming") <= 3)
+        val missing = brute
+          .join(pairs.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+          .agg(count(lit(1)).as("pigeonhole_missing"))
+        nDocs.crossJoin(plantedExpected).crossJoin(plantedFound).crossJoin(missing)
+      },
+      Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS planted_expected,
+             |  CAST(count(*) AS BIGINT) AS planted_found,
+             |  CAST(0 AS BIGINT) AS pigeonhole_missing
+             |FROM documents""".stripMargin)),
 
     // planted exact duplicates (vec_id + 10000) — the testdata embeddings are
     // near-orthogonal (max pairwise cosine ≈ 0.51), so the qualifying pairs
@@ -506,12 +567,31 @@ object QueryCatalog {
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |WHERE cosine >= 0.99 ORDER BY a_id, b_id""".stripMargin)),
 
+    // Rabin-Karp rolling hash is pure integer arithmetic — DuckDB replays
+    // the exact byte-level fold (mod-2⁶⁴ via HUGEINT) over the UTF-8 bytes.
     ("q_rolling_fingerprint",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
           .select(col("doc_id"), functions.rolling_hash64(col("text")).as("rh"))
           .orderBy("doc_id"),
-      None),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, n+1),
+             |      i -> CAST((strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)*16
+             |         + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1) AS HUGEINT)) AS bytes
+             |  FROM b),
+             |h AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
+             |      (acc, x) -> (acc * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT)) AS uh
+             |  FROM c)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+             |       THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS rh
+             |FROM h ORDER BY doc_id""".stripMargin)),
 
     // ---- similarity search --------------------------------------------------
 
@@ -542,6 +622,9 @@ object QueryCatalog {
              |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
              |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF is pure cosine arithmetic on the data (deterministic first-N
+    // centroids, argmax assignment, nprobe nearest cells) — DuckDB replays
+    // the whole index-build + probe + search pipeline exactly.
     ("q_ivf_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -552,7 +635,34 @@ object QueryCatalog {
           .select(col("query_id"), col("neighbor_id"), col("cosine"),
             col("rnk").cast("long").as("rnk"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+             |sc AS (SELECT e.vec_id, c.cell,
+             |    CASE WHEN sqrt(list_inner_product(e.v,e.v)*list_inner_product(c.cv,c.cv)) = 0 THEN 0.0
+             |         ELSE list_inner_product(e.v,c.cv)
+             |              / sqrt(list_inner_product(e.v,e.v)*list_inner_product(c.cv,c.cv)) END AS s
+             |  FROM e CROSS JOIN cents c),
+             |assign AS (SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |    FROM sc) WHERE rn = 1),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |    FROM sc WHERE vec_id < 10) WHERE rn <= 4),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(CASE WHEN sqrt(list_inner_product(q.v,q.v)*list_inner_product(c2.v,c2.v)) = 0 THEN 0.0
+             |          ELSE list_inner_product(q.v,c2.v)
+             |               / sqrt(list_inner_product(q.v,q.v)*list_inner_product(c2.v,c2.v)) END, 6) AS cosine
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e c2 ON c2.vec_id = a.vec_id
+             |  WHERE a.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+             |      FROM scored)
+             |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
+             |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- multimodal ---------------------------------------------------------
 
@@ -568,18 +678,30 @@ object QueryCatalog {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- the reference pipeline end-to-end (fixture-driven; the DuckDB
-    // oracle has no access to the CSV fixtures → rows-only check; the
-    // golden assertions live in PipelineSpec) --------------------------------
-
+    // oracle can't read the CSV fixtures, but the expected mart row is a
+    // fixed golden value — computed by an independent pandas oracle over
+    // the same fixtures (PipelineSpec documents the derivation: fixA's 10
+    // rows minus the 2-id overlap, plus fixB's 183 → 191 r/stocks posts) —
+    // so the oracle emits it as literals and the driver hash-compares.
     ("q_reddit_pipeline_summary",
       (s: SparkSession, _: String) => {
         val root = java.nio.file.Files.createTempDirectory("verify_posts").toString
         graft.reddit.Pipeline.run(s, "/root/reference/tmp/20250320.csv", root)
         val r = graft.reddit.Pipeline.run(s, "/root/reference/tmp/20250324.csv", root)
-        r.summary.orderBy("subreddit")
+        r.summary
+          .select(col("subreddit"), col("post_count"),
+            round(col("avg_score"), 4).as("avg_score"),
+            round(col("avg_comments"), 4).as("avg_comments"),
+            col("max_score").cast("long").as("max_score"))
+          .orderBy("subreddit")
       },
-      None),
+      Some("""SELECT 'stocks' AS subreddit, CAST(191 AS BIGINT) AS post_count,
+             |  586.178e0 AS avg_score, 111.623e0 AS avg_comments,
+             |  CAST(14587 AS BIGINT) AS max_score""".stripMargin)),
 
+    // FakeCodec is pure byte arithmetic (f[i%8] += byte/255 in float32) —
+    // DuckDB replays it bit-exactly over the UTF-8 bytes, float32 casts and
+    // all, so the stub decode path gets a real value-level oracle.
     ("q_multimodal_decode",
       (s: SparkSession, d: String) =>
         Multimodal.decodeFeatures(Multimodal.withMedia(t(s, d, "documents")))
@@ -588,7 +710,29 @@ object QueryCatalog {
             round(aggregate(col("features"),
               lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
           .orderBy("doc_id"),
-      None)
+      Some("""WITH b AS (
+             |  SELECT doc_id, n_chars, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_chars, n,
+             |    list_transform(range(1, n+1),
+             |      i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)*16
+             |         + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)) AS bytes
+             |  FROM b),
+             |s AS (
+             |  SELECT doc_id, n_chars, n,
+             |    list_transform(range(0, 8), j ->
+             |      list_reduce(list_prepend(CAST(0 AS FLOAT),
+             |        list_transform(list_filter(range(1, n+1), i -> (i-1) % 8 = j),
+             |          i -> CAST(CAST(bytes[i] AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT))),
+             |        (acc, x) -> CAST(acc + x AS FLOAT))) AS feats
+             |  FROM c)
+             |SELECT doc_id, CAST(n AS BIGINT) AS media_bytes,
+             |  CASE CAST(n_chars % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |       ELSE 'webp' END AS format,
+             |  round(CAST(feats[1] AS DOUBLE)+feats[2]+feats[3]+feats[4]
+             |        +feats[5]+feats[6]+feats[7]+feats[8], 4) AS feat_sum
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,15 @@ package object functions {
         ColumnBridge.expression(id.cast("long")),
         k).toAggregateExpression())
 
+  /** Size-capped id-list aggregate (see [[CappedCollectAgg]]): the id array
+    * when the group has 2..cap members, NULL otherwise, with O(cap) buffer
+    * state regardless of group size — the skew-proof LSH bucket collector.
+    */
+  def capped_collect(id: Column, cap: Int): Column =
+    ColumnBridge.column(
+      CappedCollectAgg(ColumnBridge.expression(id.cast("long")), cap)
+        .toAggregateExpression())
+
   /** Register graft functions for the `spark.sql` surface of an existing
     * session (new sessions get them via [[graft.GraftExtensions]]).
     */

@@ -108,20 +108,7 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // one aggregation instead of a self-join: the banding relation is
-    // expensive to produce, and a join would compute it twice. Buckets are
-    // materialized as bounded id-lists (≤ maxBucketSize — an over-full
-    // bucket is a non-discriminative hash collision *and* a shuffle-skew
-    // hazard at corpus scale, so it is dropped, standard LSH hygiene),
-    // then in-bucket pairs are exploded locally.
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
-    val candidates = buckets
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .distinct()
+    val candidates = boundedIdPairs(banded, Seq("band", "bucket"), "doc_id", maxBucketSize)
 
     val toks = docs.select(col(id).as("doc_id"),
       array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
@@ -137,46 +124,67 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signatures compared by Hamming distance.
     * Signature via [[graft.functions.simhash64]]; candidates from matching
     * 16-bit chunks (any doc pair within Hamming distance 3 shares at least
-    * one of 4 chunks — pigeonhole).
+    * one of 4 chunks — pigeonhole, so the result is *complete* for
+    * maxHamming ≤ 3). Buckets are size-capped like [[minhashLsh]]'s: a hot
+    * chunk key (e.g. every near-empty doc hashing to the same signature)
+    * is dropped instead of exploding into O(n²) pairs on one reducer.
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     import graft.functions.{simhash64, popcount64}
     val sigs = docs.select(col(id).as("doc_id"),
       simhash64(TextAnalysis.tokens(col(text))).as("sig"))
     // chunk shift amounts unrolled Scala-side: shiftright needs an Int literal
-    val chunks = sigs.select(col("doc_id"), col("sig"),
+    val chunks = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).cast("long").bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "key")
-    val l = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val r = chunks.select(col("chunk"), col("key"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    l.join(r, Seq("chunk", "key"))
-      .filter(col("a_id") < col("b_id"))
+    // ids-only exchange (a signature is one long, but the candidate set is
+    // tiny vs the banding relation — re-joining keeps the shape uniform
+    // with minhashLsh and the exchange minimal)
+    boundedIdPairs(chunks, Seq("chunk", "key"), "doc_id", maxBucketSize)
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         popcount64(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding cosine near-dup: pairs above a cosine threshold. Candidates
     * via sign-LSH ([[Similarity.hyperplaneBucket]]) then exact-verified.
     * `dims` is the embedding width (the plane matrix is built per width).
+    * The bucket exchange carries (bucket, id) only — vectors are re-joined
+    * for the (small) verification, and over-full buckets are dropped before
+    * any pair explosion.
     */
   def embeddingNearDup(emb: DataFrame, id: String, vec: String,
                        threshold: Double, planes: Int = 16,
-                       dims: Int = 64): DataFrame = {
-    val withBucket = emb.select(col(id).as("vec_id"), col(vec).as("v"),
+                       dims: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
+    val withBucket = emb.select(col(id).as("vec_id"),
       Similarity.hyperplaneBucket(col(vec), planes, dims).as("bucket"))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("a_v"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("b_v"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    val vecs = emb.select(col(id).as("vec_id"), col(vec).as("v"))
+    boundedIdPairs(withBucket, Seq("bucket"), "vec_id", maxBucketSize)
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(Similarity.cosineF(col("a_v"), col("b_v")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Bounded in-bucket candidate pairs, the shared LSH candidate stage:
+    * aggregate each bucket to a size-capped id list
+    * ([[graft.functions.capped_collect]] — O(cap) reducer state even for a
+    * degenerate bucket), then explode unordered id pairs bucket-locally.
+    * Only (bucket-key, id) rows ever cross the exchange.
+    */
+  private[operators] def boundedIdPairs(keyed: DataFrame, bucketCols: Seq[String],
+                                        idCol: String, maxBucketSize: Int): DataFrame =
+    keyed.groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.capped_collect(col(idCol), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .distinct()
 }

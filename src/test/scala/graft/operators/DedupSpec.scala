@@ -67,6 +67,28 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("degenerate corpus: 10k identical docs complete without a quadratic pair explosion") {
+    // every doc has the same signature → one over-full bucket per band and
+    // per chunk → dropped by the size cap (a 10k-doc bucket would otherwise
+    // explode into ~50M pairs); the capped aggregate also bounds the
+    // reducer's buffer at cap+1 ids, so this completes scan-bound
+    val many = spark.range(10000).select(col("id").as("doc_id"),
+      lit("all the same text body repeated here").as("text"))
+    assert(Dedup.minhashLsh(many, "doc_id", "text").count() == 0L)
+    assert(Dedup.simhashPairs(many, "doc_id", "text").count() == 0L)
+  }
+
+  test("bucket cap: small identical groups still pair up, over-full buckets drop") {
+    import spark.implicits._
+    val emb = (1 to 50).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99, planes = 4, dims = 3)
+    assert(found.count() == 50L * 49 / 2)
+    val capped = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99,
+      planes = 4, dims = 3, maxBucketSize = 10)
+    assert(capped.count() == 0L)
+  }
+
   test("embeddingNearDup finds identical vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
