@@ -481,23 +481,28 @@ object QueryCatalog {
           docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
         val lsh = Dedup.minhashLsh(doubled, "doc_id", "text",
           shingleK = 3, numHashes = 64, bands = 16, threshold = 0.2).cache()
-        val nDocs = doubled.agg(count(lit(1)).as("n_docs"))
-        val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
-        val plantedFound = lsh
-          .filter(col("b_id") === col("a_id") + 10000L && col("a_id") < 10000L
-            && col("jaccard") === 1.0)
-          .agg(count(lit(1)).as("planted_found"))
-        // cross-path check: LSH output on a bounded id slice must be a
-        // subset of the exact quadratic path's pairs at the same threshold
-        val exact = Dedup.ngramJaccardPairs(
-          doubled.filter(col("doc_id") < 150), "doc_id", "text",
-          threshold = 0.2, maxId = 150L)
-        val subsetViolations = lsh
-          .filter(col("a_id") < 150 && col("b_id") < 150)
-          .join(exact.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
-          .agg(count(lit(1)).as("subset_violations"))
-        nDocs.crossJoin(plantedExpected).crossJoin(plantedFound)
-          .crossJoin(subsetViolations)
+        try {
+          val nDocs = doubled.agg(count(lit(1)).as("n_docs"))
+          val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
+          val plantedFound = lsh
+            .filter(col("b_id") === col("a_id") + 10000L && col("a_id") < 10000L
+              && col("jaccard") === 1.0)
+            .agg(count(lit(1)).as("planted_found"))
+          // cross-path check: LSH output on a bounded id slice must be a
+          // subset of the exact quadratic path's pairs at the same threshold
+          val exact = Dedup.ngramJaccardPairs(
+            doubled.filter(col("doc_id") < 150), "doc_id", "text",
+            threshold = 0.2, maxId = 150L)
+          val subsetViolations = lsh
+            .filter(col("a_id") < 150 && col("b_id") < 150)
+            .join(exact.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("subset_violations"))
+          val summary = nDocs.crossJoin(plantedExpected).crossJoin(plantedFound)
+            .crossJoin(subsetViolations)
+          // materialize while the cache is live, then return literal rows so
+          // the cache never outlives the query (no cross-query memory creep)
+          s.createDataFrame(java.util.List.of(summary.collect(): _*), summary.schema)
+        } finally lsh.unpersist()
       },
       Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
              |  CAST(count(*) AS BIGINT) AS planted_expected,
@@ -516,25 +521,29 @@ object QueryCatalog {
         val doubled = docs.union(
           docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
         val pairs = Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3).cache()
-        val nDocs = doubled.agg(count(lit(1)).as("n_docs"))
-        val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
-        val plantedFound = pairs
-          .filter(col("b_id") === col("a_id") + 10000L && col("a_id") < 10000L
-            && col("hamming") === 0)
-          .agg(count(lit(1)).as("planted_found"))
-        val subset = doubled.filter(col("doc_id") % 10000L < 250)
-        val sigs = subset.select(col("doc_id"),
-          simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
-        val brute = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
-          .join(broadcast(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))),
-            col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            popcount64(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-          .filter(col("hamming") <= 3)
-        val missing = brute
-          .join(pairs.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
-          .agg(count(lit(1)).as("pigeonhole_missing"))
-        nDocs.crossJoin(plantedExpected).crossJoin(plantedFound).crossJoin(missing)
+        try {
+          val nDocs = doubled.agg(count(lit(1)).as("n_docs"))
+          val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
+          val plantedFound = pairs
+            .filter(col("b_id") === col("a_id") + 10000L && col("a_id") < 10000L
+              && col("hamming") === 0)
+            .agg(count(lit(1)).as("planted_found"))
+          val subset = doubled.filter(col("doc_id") % 10000L < 250)
+          val sigs = subset.select(col("doc_id"),
+            simhash64(TextAnalysis.tokens(col("text"))).as("sig"))
+          val brute = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+            .join(broadcast(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))),
+              col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"),
+              popcount64(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+            .filter(col("hamming") <= 3)
+          val missing = brute
+            .join(pairs.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+            .agg(count(lit(1)).as("pigeonhole_missing"))
+          val summary = nDocs.crossJoin(plantedExpected).crossJoin(plantedFound)
+            .crossJoin(missing)
+          s.createDataFrame(java.util.List.of(summary.collect(): _*), summary.schema)
+        } finally pairs.unpersist()
       },
       Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_docs,
              |  CAST(count(*) AS BIGINT) AS planted_expected,

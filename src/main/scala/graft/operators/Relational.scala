@@ -148,14 +148,17 @@ object Relational {
       df.columns.map(c => (count(lit(1)) - count(col(c))).as(s"nulls_$c")): _*)
       .drop("_rows")
 
-  /** Skew-safe grouped aggregation: two-phase salted sum/count.
+  /** Two-phase salted aggregation TEMPLATE, demonstrated on sum/count.
     *
-    * A plain `groupBy(key)` sends every row of a hot key to one reducer; AQE
-    * skew handling only splits *join* partitions, not aggregation keys. The
-    * salt spreads each key over `saltBuckets` partial groups (first phase,
-    * map-side combined as usual), and the second phase re-aggregates the at
-    * most `saltBuckets` partials per key — bounded regardless of skew.
-    * Results are identical to the unsalted plan because sum/count compose.
+    * Honest scale claim: for algebraic aggregates (sum/count/min/max/avg)
+    * plain `groupBy` is already skew-proof — map-side partial aggregation
+    * leaves ≤1 partial per key per task, so the exchange is bounded without
+    * any salt. The salt leg earns its keep only where no bounded map-side
+    * combine exists — materializing a hot key's row set
+    * ([[saltedCollectShards]]), exact holistic statistics — by spreading
+    * one key's state over `saltBuckets` reducers. Kept on the algebraic
+    * pair because there the result is oracle-checkable: identical to the
+    * unsalted plan, since sums compose.
     */
   def saltedSumCount(df: DataFrame, key: String, measure: String,
                      saltBuckets: Int = 32): DataFrame =
@@ -164,6 +167,22 @@ object Relational {
       .agg(sum(col(measure)).as("_psum"), count(col(measure)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_measure"), sum(col("_pcnt")).as("cnt_measure"))
+
+  /** The aggregation where salting genuinely changes the memory bound:
+    * materializing a (possibly huge) per-key row set. `collect_list` over a
+    * hot key is a single-task OOM — its state does not combine to bounded
+    * size. Here every key is sharded over `saltBuckets` reducers (salt =
+    * deterministic payload hash, so shard contents are reproducible), each
+    * shard collects locally, and the shards are KEPT as (key, _salt, shard)
+    * rows rather than merged — the consumer treats a key's group as a set
+    * of chunk files, which is exactly how a 100 TB pipeline writes a hot
+    * key's documents without one reducer ever holding the whole group.
+    */
+  def saltedCollectShards(df: DataFrame, key: String, payload: String,
+                          saltBuckets: Int = 32): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(payload)), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_list(col(payload)).as("shard"))
 
   // --- §2.5 sorts / limits / top-k ------------------------------------------
 

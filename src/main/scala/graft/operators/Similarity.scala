@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.topk_pairs
@@ -160,16 +160,17 @@ object Similarity {
           ct.getField("cell").as("cell")))), 1, nprobe),
       p => p.getField("cell"))
 
-  /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
-    * within the probed subset (bounded aggregate, no window). The centroid
-    * table travels explicitly from the index build — no reconstruction from
-    * self-assignment (which silently loses a centroid on cosine ties).
-    */
-  def ivfSearch(indexed: DataFrame, queries: DataFrame,
-                cents: Seq[(Long, Seq[Float])], id: String, vec: String,
-                nprobe: Int, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+  /** (query_id, q_vec, cell) — one row per probed cell per query. */
+  private def probeQueries(queries: DataFrame, cents: Seq[(Long, Seq[Float])],
+                           id: String, vec: String, nprobe: Int): DataFrame =
+    queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
       explode(probeCells(col(vec), cents, nprobe)).as("cell"))
+
+  /** Score a probed corpus slice against broadcast queries; exact top-k
+    * within the slice (bounded aggregate, no window).
+    */
+  private def scoreProbed(indexed: DataFrame, q: DataFrame,
+                          id: String, vec: String, k: Int): DataFrame = {
     val scored = indexed
       .select(col("cell"), col(id).as("neighbor_id"), col(vec).as("c_vec"))
       .join(broadcast(q), Seq("cell"))
@@ -177,5 +178,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosineF(col("q_vec"), col("c_vec")), 6).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
+    * within the probed subset. The centroid table travels explicitly from
+    * the index build — no reconstruction from self-assignment (which
+    * silently loses a centroid on cosine ties).
+    */
+  def ivfSearch(indexed: DataFrame, queries: DataFrame,
+                cents: Seq[(Long, Seq[Float])], id: String, vec: String,
+                nprobe: Int, k: Int): DataFrame =
+    scoreProbed(indexed, probeQueries(queries, cents, id, vec, nprobe), id, vec, k)
+
+  /** Persist the IVF index partitioned by `cell`: one directory per cell,
+    * so a probe's cell set becomes partition pruning at the scan — a search
+    * with `nprobe` probes reads `nprobe/cells` of the corpus bytes and never
+    * opens a non-probed partition's footers.
+    */
+  def ivfWriteIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read only the probed cells of an on-disk index: the literal IN
+    * predicate on the partition column prunes at planning time.
+    * (Partition-column inference narrows `cell` to int — cast it back so
+    * downstream joins see the index build's long type.)
+    */
+  def ivfProbeRead(spark: SparkSession, path: String, cells: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** IVF search against an index written by [[ivfWriteIndex]]. The union of
+    * the queries' probe cells (≤ queries×nprobe values — bounded, like the
+    * centroid table itself) is collected once to drive partition pruning;
+    * scoring is identical to [[ivfSearch]].
+    */
+  def ivfSearchIndex(spark: SparkSession, indexPath: String, queries: DataFrame,
+                     cents: Seq[(Long, Seq[Float])], id: String, vec: String,
+                     nprobe: Int, k: Int): DataFrame = {
+    // the probe relation is queries×nprobe rows — recomputing it for the
+    // scoring join is cheaper than holding a cache across the search
+    val q = probeQueries(queries, cents, id, vec, nprobe)
+    val cells = q.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    scoreProbed(ivfProbeRead(spark, indexPath, cells), q, id, vec, k)
   }
 }

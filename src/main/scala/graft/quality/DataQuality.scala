@@ -1,16 +1,16 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** dbt-style declarative data tests (schema.yml semantics —
   * dbt/reddit_dbt/models/example/schema.yml:10-22): `unique`, `not_null`,
   * `accepted_values`, generalized into a rule engine.
   *
-  * Each rule compiles to one aggregate/filter plan; `check` runs them and
-  * returns per-rule violation counts (0 = pass) plus a bounded sample of
-  * offending rows, so a 100 TB validation is a handful of scans, not a
-  * collect.
+  * ALL rules compile into one single-scan aggregation plan ([[compile]]);
+  * `check` runs it and returns per-rule violation counts (0 = pass) plus a
+  * bounded sample of offending rows, so a 100 TB validation is ONE scan,
+  * not one per rule and never a collect.
   */
 object DataQuality {
 
@@ -40,22 +40,64 @@ object DataQuality {
 
   case class Result(rule: String, violationCount: Long, sample: Seq[String])
 
-  /** Run all rules; sample at most `sampleRows` offending rows per rule.
-    *
-    * One full scan per rule (the count aggregate) plus an early-exit
-    * `take(n)` for the sample — `take` stops reading partitions as soon as
-    * it has n rows, so the sample never re-scans a 100 TB relation (and is
-    * skipped entirely when sampleRows == 0 or the count is clean).
+  /** Compile ALL rules into one single-scan plan: row-level rules
+    * (`not_null`, `accepted_values`) become conditional sums, and every
+    * `unique` column becomes a grouping set of the same aggregation — the
+    * relation is read once (Expand replicates rows per set inside the task;
+    * map-side partial aggregation keeps the exchange at one row per live
+    * group), instead of once per rule. Output: one row with one BIGINT
+    * violation count per rule, columns `_r0.._rN` in rule order.
     */
-  def check(df: DataFrame, rules: Seq[Rule], sampleRows: Int = 5): Seq[Result] =
-    rules.map { r =>
-      val v = r.violations(df)
-      val n = v.count()
+  def compile(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules to compile")
+    val uniqueCols = rules.collect { case Unique(c) => c }.distinct
+    val k = uniqueCols.size
+    val rowSums = rules.zipWithIndex.collect {
+      case (r: NotNull, i) =>
+        sum(when(col(r.column).isNull, 1L).otherwise(0L)).as(s"_r$i")
+      case (r: AcceptedValues, i) =>
+        sum(when(!col(r.column).isin(r.values.map(lit): _*) || col(r.column).isNull,
+          1L).otherwise(0L)).as(s"_r$i")
+    }
+
+    if (k == 0) df.agg(rowSums.head, rowSums.tail: _*)
+    else {
+      // grouping_id bit i (MSB-first) is 1 when uniqueCols(i) is NOT a
+      // grouping column of the row's set — the global set is all-ones and
+      // disambiguates NULL keys from rolled-up rows for free
+      val globalGid = (1L << k) - 1
+      def gidOf(c: String) = globalGid ^ (1L << (k - 1 - uniqueCols.indexOf(c)))
+      val sets = uniqueCols.map(c => Seq(col(c))) :+ Seq.empty[Column]
+      val inner = df.groupingSets(sets, uniqueCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"),
+          rowSums :+ grouping_id().as("_gid"): _*)
+      val outer = rules.zipWithIndex.map {
+        case (Unique(c), i) =>
+          sum(when(col("_gid") === gidOf(c) && col("_n") > 1, 1L).otherwise(0L))
+            .as(s"_r$i")
+        case (_, i) =>
+          max(when(col("_gid") === globalGid, col(s"_r$i"))).as(s"_r$i")
+      }
+      inner.agg(outer.head, outer.tail: _*)
+    }
+  }
+
+  /** Run all rules in ONE scan ([[compile]]); sample at most `sampleRows`
+    * offending rows per violated rule — `take` stops reading partitions as
+    * soon as it has n rows, so sampling never re-scans a 100 TB relation
+    * (and is skipped entirely when the rule is clean or sampleRows == 0).
+    */
+  def check(df: DataFrame, rules: Seq[Rule], sampleRows: Int = 5): Seq[Result] = {
+    if (rules.isEmpty) return Seq.empty
+    val counts = compile(df, rules).collect().head
+    rules.zipWithIndex.map { case (r, i) =>
+      val n = counts.getAs[Long](s"_r$i")
       val sample =
         if (n == 0 || sampleRows == 0) Seq.empty
-        else v.take(sampleRows).map(_.toString).toSeq
+        else r.violations(df).take(sampleRows).map(_.toString).toSeq
       Result(r.name, n, sample)
     }
+  }
 
   def passes(df: DataFrame, rules: Seq[Rule]): Boolean =
     check(df, rules, sampleRows = 0).forall(_.violationCount == 0)

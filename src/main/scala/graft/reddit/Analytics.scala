@@ -31,6 +31,14 @@ object Analytics {
       .agg(avg("score").as("avg_score"))
       .orderBy("hour_of_day")
 
+  /** The reference's chart surface (query-test.py:72-79 renders A2 as a bar
+    * chart): materialize a query result as one chart-ready CSV artifact
+    * (header row, single file) for any plotting frontend. Presentation
+    * layer: only ever called on already-aggregated (small) results.
+    */
+  def exportChartCsv(result: DataFrame, path: String): Unit =
+    result.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
   /** Same three via the SQL surface (S8) against registered views. */
   def sqlTopPosts(spark: SparkSession, k: Int = 2): DataFrame =
     spark.sql(s"SELECT * FROM reddit ORDER BY score DESC, id LIMIT $k")

@@ -28,9 +28,15 @@ object CsvReddit {
   final case class ErrorBudgetExceeded(bad: Long, budget: Long)
     extends RuntimeException(s"CSV load: $bad corrupt records > MAXERROR $budget")
 
-  /** Tolerant read of a reference-format posts CSV. */
-  def read(spark: SparkSession, path: String, maxError: Long = 100L): DataFrame = {
-    val raw = spark.read
+  /** A tolerated load plus its error diagnostics — the
+    * `sys_load_error_detail` surface (check_load_errors,
+    * s3_to_redshift.py:312-331): how many records were rejected and a
+    * bounded sample of their raw text for inspection.
+    */
+  final case class Load(data: DataFrame, badCount: Long, badSample: Seq[String])
+
+  private def rawRead(spark: SparkSession, path: String): DataFrame =
+    spark.read
       .schema(RedditSchema.rawCsvSchema)
       .option("header", "true")
       .option("multiLine", "true")
@@ -39,14 +45,37 @@ object CsvReddit {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
+
+  /** Tolerant read of a reference-format posts CSV. */
+  def read(spark: SparkSession, path: String, maxError: Long = 100L): DataFrame =
+    readChecked(spark, path, maxError).data
+
+  /** [[read]] plus MAXERROR diagnostics: count and a bounded sample of the
+    * rejected raw records (`take` stops scanning once it has the sample —
+    * no second full pass over a big load).
+    */
+  def readChecked(spark: SparkSession, path: String, maxError: Long = 100L,
+                  sampleRows: Int = 5): Load = {
+    val raw = rawRead(spark, path)
       .cache() // one pass for the budget count, one for the parse
 
     val bad = raw.filter(col("_corrupt_record").isNotNull).count()
     if (bad > maxError) throw ErrorBudgetExceeded(bad, maxError)
+    val sample =
+      if (bad == 0 || sampleRows == 0) Seq.empty
+      else badRecords(spark, path).take(sampleRows).map(_.getString(0)).toSeq
 
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    parse(good)
+    Load(parse(good), bad, sample)
   }
+
+  /** The rejected raw records of a load — what the reference reads back from
+    * `sys_load_error_detail` after a COPY (s3_to_redshift.py:312-331).
+    */
+  def badRecords(spark: SparkSession, path: String): DataFrame =
+    rawRead(spark, path)
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"))
 
   /** String-typed raw rows → typed schema with COPY null/truncation rules. */
   def parse(raw: DataFrame): DataFrame = {

@@ -14,7 +14,9 @@ object Pipeline {
   final case class Result(
       loaded: Long,
       tableRows: Long,
-      summary: DataFrame)
+      summary: DataFrame,
+      badRecords: Long = 0L,
+      badSample: Seq[String] = Seq.empty)
 
   /** One daily run: ingest `csvPath`, upsert into the posts table at
     * `tableRoot`, refresh models. `now` is the injectable extraction clock
@@ -24,7 +26,8 @@ object Pipeline {
           now: Option[Timestamp] = None): Result = {
     // extract + transform (stage 1; CSV already carries derived columns —
     // Enrich only fills what's missing, mirroring the reference's guards)
-    val batch0 = CsvReddit.read(spark, csvPath)
+    val load = CsvReddit.readChecked(spark, csvPath)
+    val batch0 = load.data
     val batch = now.fold(batch0)(ts => Enrich.stampExtraction(batch0, ts))
 
     // load: delete-matching upsert, atomic swap (stages 2-3)
@@ -37,7 +40,31 @@ object Pipeline {
     Result(
       loaded = batch.count(),
       tableRows = reddit.count(),
-      summary = Models.redditSummary(Models.stgReddit(reddit)))
+      summary = Models.redditSummary(Models.stgReddit(reddit)),
+      badRecords = load.badCount,
+      badSample = load.badSample)
+  }
+
+  /** The DAG's retry contract (reddit_pipeline.py:10-17: retries=1,
+    * 15 s delay): re-run the whole day's run on failure. Safe because the
+    * pipeline is idempotent end-to-end — the upsert is last-write-wins by
+    * key and the version swap is atomic, so a retry after a partial failure
+    * converges to the same table.
+    */
+  def runWithRetry(spark: SparkSession, csvPath: String, tableRoot: String,
+                   now: Option[Timestamp] = None, retries: Int = 1,
+                   retryDelayMs: Long = 15000L): Result = {
+    var attempt = 0
+    while (true) {
+      try return run(spark, csvPath, tableRoot, now)
+      catch {
+        case e: Throwable if attempt < retries =>
+          attempt += 1
+          System.err.println(s"[pipeline] attempt $attempt failed (${e.getMessage}); retrying")
+          Thread.sleep(retryDelayMs)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** CLI: Pipeline <csvPath> <tableRoot>. */

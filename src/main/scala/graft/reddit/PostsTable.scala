@@ -3,6 +3,8 @@ package graft.reddit
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,16 +16,25 @@ import graft.operators.Relational
   * Layout: `<root>/v_<n>/` holds one immutable table version; `<root>/CURRENT`
   * names the live version. A write lands fully in a new `v_<n+1>` directory
   * before CURRENT flips (atomic file move), so readers never observe a
-  * partial table and the read-antijoin-union upsert never overwrites files it
-  * is still reading — the U4 transaction-boundary semantics the reference
-  * gets from psycopg2 commit (s3_to_redshift.py:337-376), done the way an
+  * partial table and the upsert never overwrites files it is still
+  * reading — the U4 transaction-boundary semantics the reference gets from
+  * psycopg2 commit (s3_to_redshift.py:337-376), done the way an
   * object-store table format does it (versioned dirs + a pointer flip).
   *
   * Data is partitioned by `extract_date` (one daily micro-batch = one
-  * partition) so date-ranged queries prune partitions and daily ingest only
-  * writes new directories.
+  * partition) and each version carries a tiny manifest of per-partition key
+  * bounds. An upsert rewrites ONLY the partitions whose key range can
+  * contain a staged id (plus the staged dates themselves) and hard-links
+  * every other partition's files into the new version — write amplification
+  * is O(affected partitions), not O(table), so a daily micro-batch against a
+  * 100 TB table touches one or two date directories instead of copying the
+  * world. Hard links (not symlinks) keep vacuumed versions from pulling data
+  * out from under newer ones.
   */
 object PostsTable {
+
+  private val ManifestName = "_graft_manifest.tsv"
+  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   private def currentFile(root: String): Path = Paths.get(root, "CURRENT")
 
@@ -43,17 +54,59 @@ object PostsTable {
     spark.read.parquet(versionDir(root, v).toString)
   }
 
-  private def writeVersion(df: DataFrame, root: String, v: Long): Unit = {
+  // --- per-partition key-bounds manifest ------------------------------------
+
+  private def partDirName(value: Option[String]): String =
+    s"extract_date=${value.getOrElse(NullPartition)}"
+
+  /** partition-dir-name -> (minKey, maxKey) as strings (ordering-consistent
+    * for any key type as long as build and probe cast the same way).
+    * Empty bound strings mark a partition with null keys → always affected.
+    */
+  private def readManifest(dir: Path): Option[Map[String, (String, String)]] = {
+    val p = dir.resolve(ManifestName)
+    if (!Files.exists(p)) None
+    else Some(Files.readAllLines(p).asScala.filter(_.nonEmpty).map { line =>
+      val parts = line.split("\t", -1)
+      parts(0) -> (parts(1), parts(2))
+    }.toMap)
+  }
+
+  private def writeManifest(dir: Path, entries: Map[String, (String, String)]): Unit = {
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (p, (lo, hi)) => s"$p\t$lo\t$hi" }.mkString("\n")
+    Files.writeString(dir.resolve(ManifestName), body)
+  }
+
+  /** Per-partition key bounds of a relation that carries `extract_date`.
+    * One column-pruned aggregation; the result is one row per partition.
+    */
+  private def keyBounds(withDate: DataFrame, key: String): Map[String, (String, String)] =
+    withDate
+      .groupBy(col("extract_date").cast("string").as("d"))
+      .agg(min(col(key).cast("string")).as("lo"), max(col(key).cast("string")).as("hi"))
+      .collect()
+      .map { r =>
+        partDirName(Option(r.getString(0))) ->
+          (Option(r.getString(1)).getOrElse(""), Option(r.getString(2)).getOrElse(""))
+      }
+      .toMap
+
+  private def withExtractDate(df: DataFrame): DataFrame =
+    df.withColumn("extract_date", to_date(col("extraction_timestamp")))
+
+  // --- version writers ------------------------------------------------------
+
+  private def writeVersion(df: DataFrame, root: String, v: Long, key: String): Unit = {
     val tmp = Paths.get(root, s"_tmp_v_$v")
     deleteRecursively(tmp)
     // date-partitioned when the batch carries the extraction clock (one
     // daily micro-batch = one partition → partition pruning on date ranges)
-    val writer =
-      if (df.columns.contains("extraction_timestamp"))
-        df.withColumn("extract_date", to_date(col("extraction_timestamp")))
-          .write.partitionBy("extract_date")
-      else df.write
-    writer.mode("overwrite").parquet(tmp.toString)
+    if (df.columns.contains("extraction_timestamp")) {
+      val dated = withExtractDate(df)
+      dated.write.partitionBy("extract_date").mode("overwrite").parquet(tmp.toString)
+      writeManifest(tmp, keyBounds(dated, key))
+    } else df.write.mode("overwrite").parquet(tmp.toString)
     Files.move(tmp, versionDir(root, v), StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -66,27 +119,93 @@ object PostsTable {
   }
 
   /** S6: create/replace the table from a first batch. */
-  def create(df: DataFrame, root: String): Unit = {
+  def create(df: DataFrame, root: String, key: String = "id"): Unit = {
     Files.createDirectories(Paths.get(root))
     val v = currentVersion(root).getOrElse(-1L) + 1
-    writeVersion(df, root, v)
+    writeVersion(df, root, v, key)
     commit(root, v)
   }
 
   /** U3+U4: delete-matching ∪ insert as one atomic version bump
-    * (s3_to_redshift.py:226-232, intent :9-15). Broadcast anti-join: the
-    * daily batch is ≤10³ rows, the table never shuffles. Idempotent —
-    * re-upserting the same batch yields an identical table.
+    * (s3_to_redshift.py:226-232, intent :9-15). Partition-level merge:
+    * only date partitions whose manifest key range intersects the staged
+    * ids (plus the staged dates) are rewritten; all others hard-link into
+    * the new version. Idempotent — re-upserting the same batch yields an
+    * identical table.
     */
   def upsert(spark: SparkSession, root: String, staging: DataFrame, key: String = "id"): Unit = {
-    if (!exists(root)) { create(staging, root); return }
-    val main = read(spark, root).drop("extract_date")
-    val merged = Relational.upsert(main, staging, key)
-    val v = currentVersion(root).get + 1
-    writeVersion(merged, root, v)
+    if (!exists(root)) { create(staging, root, key); return }
+    val curV = currentVersion(root).get
+    val curDir = versionDir(root, curV)
+    val main = read(spark, root)
+    val v = curV + 1
+    if (main.columns.contains("extract_date") && staging.columns.contains("extraction_timestamp"))
+      partitionMerge(spark, root, curDir, main, staging, key, v)
+    else {
+      // legacy/unpartitioned layout: full rewrite (broadcast anti-join;
+      // the main side still never shuffles)
+      writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key)
+    }
     commit(root, v)
     vacuum(root, keep = 2)
   }
+
+  private def partitionMerge(spark: SparkSession, root: String, curDir: Path,
+                             main: DataFrame, staging: DataFrame,
+                             key: String, v: Long): Unit = {
+    // the daily micro-batch is bounded → its key set and date set collect
+    // driver-side (same budget class as a broadcast join's build side)
+    val stagedKeys = staging.select(col(key).cast("string"))
+      .distinct().collect().map(_.getString(0)).filter(_ != null)
+    val stagedDates = withExtractDate(staging)
+      .select(col("extract_date").cast("string")).distinct().collect()
+      .map(r => partDirName(Option(r.getString(0)))).toSet
+
+    // self-heal versions that predate manifests with one key-column scan
+    val manifest = readManifest(curDir).getOrElse(keyBounds(main, key))
+
+    val existing = listPartitionDirs(curDir)
+    val affected = existing.filter { p =>
+      stagedDates.contains(p) || manifest.get(p).forall { case (lo, hi) =>
+        lo.isEmpty || hi.isEmpty || stagedKeys.exists(k => lo <= k && k <= hi)
+      }
+    }
+    val unaffected = existing -- affected
+
+    // rewrite = (partition-pruned read of affected dates) anti-join staged
+    // keys, plus the staged batch itself
+    val (nullPart, dateVals) = affected.map(_.stripPrefix("extract_date="))
+      .partition(_ == NullPartition)
+    val prune = {
+      val inDates = col("extract_date").cast("string").isin(dateVals.toSeq: _*)
+      if (nullPart.nonEmpty) inDates || col("extract_date").isNull else inDates
+    }
+    val candidates = main.filter(prune).drop("extract_date")
+    val merged = withExtractDate(Relational.upsert(candidates, staging, key))
+
+    val tmp = Paths.get(root, s"_tmp_v_$v")
+    deleteRecursively(tmp)
+    merged.write.partitionBy("extract_date").mode("overwrite").parquet(tmp.toString)
+    // untouched partitions enter the new version as hard links — no data
+    // copy, and vacuuming the old version cannot strand them
+    unaffected.foreach { p =>
+      val src = curDir.resolve(p)
+      val dst = tmp.resolve(p)
+      Files.createDirectories(dst)
+      Files.list(src).iterator().asScala
+        .filter(f => !f.getFileName.toString.startsWith("_"))
+        .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+    }
+    writeManifest(tmp,
+      manifest.view.filterKeys(unaffected).toMap ++ keyBounds(merged, key))
+    Files.move(tmp, versionDir(root, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def listPartitionDirs(dir: Path): Set[String] =
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("extract_date="))
+      .map(_.getFileName.toString)
+      .toSet
 
   /** Drop all but the newest `keep` versions (old readers get a grace
     * window; storage stays bounded).

@@ -79,6 +79,27 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("data-quality check compiles every rule into a single scan") {
+    import graft.quality.DataQuality._
+    val docs = Tables(spark, sfDir, "documents")
+    val compiled = compile(docs, Seq(
+      Unique("doc_id"), NotNull("doc_id"),
+      AcceptedValues("lang", Seq("en", "de", "es", "fr", "zh"))))
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
+    // disable it for the structural assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans =
+      try compiled.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.length == 1,
+      s"expected 1 scan for the whole rule set, got ${scans.length}")
+    // and the counts match the per-rule filter formulation
+    val row = compiled.collect().head
+    assert(row.getAs[Long]("_r0") == Unique("doc_id").violations(docs).count())
+    assert(row.getAs[Long]("_r1") == NotNull("doc_id").violations(docs).count())
+  }
+
   test("whole-stage codegen covers the scan-side transform pipeline") {
     val docs = Tables(spark, sfDir, "documents")
     val p = plan(TextAnalysis.qualityScore(docs, "doc_id", "text"))

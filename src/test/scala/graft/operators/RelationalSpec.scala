@@ -68,4 +68,23 @@ class RelationalSpec extends SparkTestBase {
     assert(m("g1").getAs[Double]("avg_score") == 15.0)
     assert(m("g1").getAs[Double]("max_score") == 20.0)
   }
+
+  test("saltedCollectShards: a hot key's rows split across shards, none holds the group") {
+    val hot = spark.range(10000)
+      .select(lit("hotkey").as("k"), concat(lit("doc"), col("id")).as("v"))
+    val cold = Seq(("coldkey", "single")).toDF("k", "v")
+    val shards = Relational.saltedCollectShards(hot.union(cold), "k", "v", saltBuckets = 8)
+      .collect()
+    val hotShards = shards.filter(_.getString(0) == "hotkey")
+    assert(hotShards.length == 8, s"expected 8 shards, got ${hotShards.length}")
+    val sizes = hotShards.map(_.getSeq[String](2).size)
+    assert(sizes.sum == 10000)
+    assert(sizes.max < 10000 / 2, s"one shard holds too much: ${sizes.max}")
+    // deterministic: same salt → same shard content on re-run
+    val again = Relational.saltedCollectShards(hot.union(cold), "k", "v", saltBuckets = 8)
+      .collect().filter(_.getString(0) == "hotkey")
+      .map(r => r.getInt(1) -> r.getSeq[String](2).sorted).toMap
+    val first = hotShards.map(r => r.getInt(1) -> r.getSeq[String](2).sorted).toMap
+    assert(first == again)
+  }
 }

@@ -63,6 +63,33 @@ class CsvRedditSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("badRecords surfaces the rejected raw rows (sys_load_error_detail parity)") {
+    // a deliberately corrupt fixture: one good row, one row with too many
+    // fields (the classic COPY reject), one unclosed quote
+    val dir = java.nio.file.Files.createTempDirectory("csvbad")
+    val p = dir.resolve("bad.csv")
+    val header = RedditSchema.columns.mkString(",")
+    val good = Seq("okid1", "a title", "5", "2", "alice", "2025-03-20 10:00:00",
+      "http://x", "0.9", "False", "False", "False", "body", "stocks",
+      "2025-03-20 11:00:00.123456", "4", "False").mkString(",")
+    val tooMany = (Seq("badid1") ++ Seq.fill(20)("x")).mkString(",")
+    java.nio.file.Files.writeString(p, s"$header\n$good\n$tooMany\n")
+
+    val load = CsvReddit.readChecked(spark, p.toString, maxError = 10)
+    assert(load.data.count() == 1L)
+    assert(load.badCount == 1L)
+    assert(load.badSample.nonEmpty && load.badSample.head.contains("badid1"))
+
+    val bad = CsvReddit.badRecords(spark, p.toString).collect().map(_.getString(0))
+    assert(bad.length == 1 && bad.head.startsWith("badid1"))
+
+    // the pipeline surfaces the diagnostics in its Result
+    val root = java.nio.file.Files.createTempDirectory("posts_bad").toString
+    val r = Pipeline.run(spark, p.toString, root)
+    assert(r.badRecords == 1L && r.loaded == 1L)
+    assert(r.badSample.head.contains("badid1"))
+  }
+
   test("header probe reads column names without parsing the body") {
     assert(CsvReddit.headerProbe(spark, fix20250318) == RedditSchema.columns)
   }

@@ -70,6 +70,58 @@ class PipelineSpec extends SparkTestBase {
     assert(names.count(_.startsWith("v_")) <= 2)
   }
 
+  test("partition-level upsert: unaffected date partitions hard-link, not copy") {
+    import java.nio.file.{Files => F, Paths}
+    val root = Files.createTempDirectory("posts_table5").toString
+    Pipeline.run(spark, fixA, root) // v0: fixA's extract_date partition(s)
+    val v1 = PostsTable.currentVersion(root).get
+
+    // staged batch: ids disjoint from fixA (prefixed) on a brand-new date →
+    // every existing partition's key range excludes them → all linked
+    val staged = Enrich.stampExtraction(
+      CsvReddit.read(spark, fixB).withColumn("id", concat(lit("zz"), col("id"))),
+      java.sql.Timestamp.valueOf("2025-03-25 00:00:00"))
+    PostsTable.upsert(spark, root, staged)
+    val v2 = PostsTable.currentVersion(root).get
+    assert(v2 == v1 + 1)
+
+    val oldV = Paths.get(root, s"v_$v1")
+    val newV = Paths.get(root, s"v_$v2")
+    var checkedFiles = 0
+    F.list(oldV).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("extract_date=")) {
+        val np = newV.resolve(name)
+        assert(F.isDirectory(np), s"unaffected partition $name missing from v_$v2")
+        F.list(p).forEach { f =>
+          val fn = f.getFileName.toString
+          if (!fn.startsWith("_")) {
+            assert(F.isSameFile(f, np.resolve(fn)),
+              s"$name/$fn was copied, not hard-linked")
+            checkedFiles += 1
+          }
+        }
+      }
+    }
+    assert(checkedFiles > 0, "no partition files compared")
+    // and the new date landed alongside
+    assert(F.isDirectory(newV.resolve("extract_date=2025-03-25")))
+    assert(PostsTable.read(spark, root).count() ==
+      CsvReddit.read(spark, fixA).count() + staged.count())
+  }
+
+  test("runWithRetry: retries then surfaces the failure; succeeds when the run does") {
+    val root = Files.createTempDirectory("posts_retry").toString
+    val t0 = System.nanoTime()
+    intercept[Exception] {
+      Pipeline.runWithRetry(spark, "/nonexistent/nope.csv", root,
+        retries = 1, retryDelayMs = 50L)
+    }
+    assert((System.nanoTime() - t0) / 1e6 >= 50.0, "no retry delay observed")
+    val r = Pipeline.runWithRetry(spark, fixA, root, retries = 1, retryDelayMs = 0L)
+    assert(r.loaded > 0)
+  }
+
   test("acceptance queries (query-test.py) run on the registered views") {
     val root = Files.createTempDirectory("posts_table4").toString
     Pipeline.run(spark, fixB, root)
@@ -85,5 +137,13 @@ class PipelineSpec extends SparkTestBase {
     assert(stats.nonEmpty) // 183 posts of r/stocks > HAVING 5
     val hours = Analytics.sqlScoreByHour(spark).collect()
     assert(hours.nonEmpty && hours.forall(r => r.getAs[Int]("hour_of_day") >= 0))
+
+    // chart surface (query-test.py:72-79): A2 lands as one CSV artifact
+    val chart = Files.createTempDirectory("chart").toString + "/a2"
+    Analytics.exportChartCsv(Analytics.subredditStats(reddit), chart)
+    val back = spark.read.option("header", "true").csv(chart)
+    assert(back.count() == stats.length.toLong)
+    assert(back.columns.toSeq ==
+      Seq("subreddit", "post_count", "avg_score", "avg_comments"))
   }
 }
