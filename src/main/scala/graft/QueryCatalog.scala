@@ -432,6 +432,39 @@ object QueryCatalog {
              |       ELSE 'und' END AS lang_pred
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // Gopher/C4-style repetition + structure signals (all exact integer
+    // counts until the final division — bit-reproducible)
+    ("q_repetition_stats",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+             |                l -> l <> '') AS lines,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(lines) AS BIGINT) AS n_lines,
+             |  round((len(lines) - len(list_distinct(lines))) / NULLIF(len(lines), 0), 4) AS dup_line_frac,
+             |  round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) / NULLIF(len(lines), 0), 4) AS bullet_line_frac,
+             |  round(len(list_filter(lines, l -> l LIKE '%...')) / NULLIF(len(lines), 0), 4) AS ellipsis_line_frac,
+             |  round(len(list_filter(toks, x -> NOT regexp_matches(x, '[\p{L}\p{N}]'))) / NULLIF(len(toks), 0), 4) AS symbol_token_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // corpus vocabulary heavy hitters: two-phase agg + TakeOrdered top-k
+    ("q_top_tokens",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.topTokens(t(s, d, "documents"), "text", 100),
+      Some("""WITH t AS (
+             |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+             |  FROM documents),
+             |u AS (SELECT unnest(toks) AS token FROM t)
+             |SELECT token, count(*) AS n FROM u
+             |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
     ("q_fingerprints",
       (s: SparkSession, d: String) =>
         TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
@@ -601,6 +634,47 @@ object QueryCatalog {
              |  CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
              |       THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS rh
              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // near-dup clustering (LSH pairs → connected components): the planted
+    // triple-clone structure must collapse into shared clusters (clones are
+    // jaccard-1.0, so their edges always exist), and at the fixpoint no
+    // surviving edge may cross two clusters — both invariants reduce to a
+    // summary row DuckDB predicts from the table alone.
+    ("q_near_dup_clusters",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+          .filter(col("doc_id") < 200)
+        val tripled = docs
+          .union(docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+          .union(docs.select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+        val pairs = Dedup.minhashLsh(tripled, "doc_id", "text", threshold = 0.5).cache()
+        val labels = Dedup.clusterCorpus(tripled, "doc_id", pairs).cache()
+        try {
+          val nDocs = labels.agg(count(lit(1)).as("n_docs"))
+          val plantedExpected = docs.agg(count(lit(1)).as("planted_expected"))
+          val planted = labels.filter(col("doc_id") < 10000L)
+            .select(col("doc_id").as("b"), col("cluster").as("cb"))
+            .join(labels.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
+              .select((col("doc_id") - 10000L).as("b"), col("cluster").as("c1")), Seq("b"))
+            .join(labels.filter(col("doc_id") >= 20000L)
+              .select((col("doc_id") - 20000L).as("b"), col("cluster").as("c2")), Seq("b"))
+          val plantedOk = planted
+            .filter(col("cb") === col("c1") && col("cb") === col("c2"))
+            .agg(count(lit(1)).as("planted_same_cluster"))
+          val viol = pairs.select("a_id", "b_id")
+            .join(labels.select(col("doc_id").as("a_id"), col("cluster").as("ca")), Seq("a_id"))
+            .join(labels.select(col("doc_id").as("b_id"), col("cluster").as("cb2")), Seq("b_id"))
+            .filter(col("ca") =!= col("cb2"))
+            .agg(count(lit(1)).as("fixpoint_violations"))
+          val summary = nDocs.crossJoin(plantedExpected).crossJoin(plantedOk).crossJoin(viol)
+          s.createDataFrame(java.util.List.of(summary.collect(): _*), summary.schema)
+        } finally { pairs.unpersist(); labels.unpersist() }
+      },
+      Some("""SELECT CAST(3 * count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS planted_expected,
+             |  CAST(count(*) AS BIGINT) AS planted_same_cluster,
+             |  CAST(0 AS BIGINT) AS fixpoint_violations
+             |FROM documents WHERE doc_id < 200""".stripMargin)),
 
     // ---- similarity search --------------------------------------------------
 

@@ -164,6 +164,89 @@ object HashUtil {
     else UTF8String.fromString("und")
   }
 
+  /** The quality-score stopword list (canonical copy; the Column-API list
+    * in TextAnalysis mirrors it). ASCII-only by construction — see
+    * [[qualityCounts]] for why that makes case-folding exact.
+    */
+  val Stopwords: Array[String] =
+    Array("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  private def isWs(c: Char): Boolean = // Java regex \s (ASCII)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private def isAsciiPunct(cp: Int): Boolean = // Java \p{Punct}
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)
+
+  /** One-pass quality counters — kernel for
+    * [[graft.operators.TextAnalysis.qualityScore]]. Output:
+    * [n_chars, n_tokens, nonspace_chars, stop_hits, punct_chars].
+    *
+    * Replicates the builtin-chain semantics bit-for-bit: `trim()` removes
+    * spaces (0x20) only; tokens are `split("\\s+", -1)` of the trimmed
+    * text — Spark's split keeps limit -1, so a leading OR trailing
+    * non-space whitespace char yields an empty boundary token; punctuation
+    * is ASCII `\p{Punct}`. Stopword matching lowercases ASCII letters
+    * only — exact, because a token with any non-ASCII character can never
+    * equal an ASCII stopword under any lowering.
+    */
+  def qualityCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    var nChars = 0L
+    var nonspace = 0L
+    var punct = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      if (!(cp < 128 && isWs(cp.toChar))) nonspace += 1
+      if (isAsciiPunct(cp)) punct += 1
+      i += Character.charCount(cp)
+    }
+    // space-only trim, then Java-split token walk
+    var st = 0
+    var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    var nTok = 0L
+    var stopHits = 0L
+    if (en > st) {
+      var j = st
+      if (isWs(s.charAt(j))) nTok += 1      // split(-1)'s leading empty token
+      if (isWs(s.charAt(en - 1))) nTok += 1 // ...and its trailing one
+      while (j < en) {
+        while (j < en && isWs(s.charAt(j))) j += 1
+        if (j < en) {
+          val t0 = j
+          while (j < en && !isWs(s.charAt(j))) j += 1
+          nTok += 1
+          // ASCII-lower compare against the stopword table
+          val len = j - t0
+          var w = 0
+          var hit = false
+          while (!hit && w < Stopwords.length) {
+            val sw = Stopwords(w)
+            if (sw.length == len) {
+              var p = 0
+              var eq = true
+              while (eq && p < len) {
+                val c = s.charAt(t0 + p)
+                val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+                if (lc != sw.charAt(p)) eq = false
+                p += 1
+              }
+              hit = eq
+            }
+            w += 1
+          }
+          if (hit) stopHits += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](nChars, nTok, nonspace, stopHits, punct))
+  }
+
   /** Rabin-Karp rolling polynomial hash (base 1000003, mod 2⁶⁴ wraparound)
     * over the UTF-8 bytes — a classic document fingerprint.
     */

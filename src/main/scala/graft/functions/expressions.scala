@@ -98,6 +98,28 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Quality-counter kernel (see [[HashUtil.qualityCounts]]): string →
+  * [n_chars, n_tokens, nonspace_chars, stop_hits, punct_chars] in one pass,
+  * codegen'd — replaces a 3×-tokenizing interpreted HOF/regex chain.
+  */
+case class QualityCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"quality_counts needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.qualityCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.qualityCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityCountsExpr =
+    copy(child = newChild)
+}
+
 case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {

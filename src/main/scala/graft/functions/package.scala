@@ -41,6 +41,13 @@ package object functions {
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** One-pass quality counters (codegen'd kernel; see
+    * [[HashUtil.qualityCounts]]): [n_chars, n_tokens, nonspace_chars,
+    * stop_hits, punct_chars].
+    */
+  def quality_counts(text: Column): Column =
+    ColumnBridge.column(QualityCountsExpr(ColumnBridge.expression(text)))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 

@@ -172,6 +172,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Near-dup clusters: connected components of a pair graph, labeled by
+    * the component's minimum doc id — the "keep one representative per
+    * duplicate group" step a training-data pipeline runs after candidate
+    * generation ([[minhashLsh]] / [[simhashPairs]] / [[embeddingNearDup]]).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbours; one shuffle per round,
+    * `localCheckpoint` cuts the growing lineage. Near-dup components are
+    * small dense cliques (diameter ≤ a few hops), so rounds ≈ log(component
+    * diameter) ≪ `maxRounds`; the loop stops at the fixpoint (no label
+    * changed). Output: (doc_id, cluster) for every node of `pairs`.
+    */
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val updated = labels
+        .join(neighbourMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("new_cluster"),
+          col("cluster"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_cluster") < col("cluster")).count()
+      labels = updated.select(col("doc_id"), col("new_cluster").as("cluster"))
+      round += 1
+    }
+    labels
+  }
+
+  /** [[nearDupClusters]] extended over a full corpus: documents in no pair
+    * become singleton clusters of themselves.
+    */
+  def clusterCorpus(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val labels = nearDupClusters(pairs)
+    docs.select(col(id).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Bounded in-bucket candidate pairs, the shared LSH candidate stage:
     * aggregate each bucket to a size-capped id list
     * ([[graft.functions.capped_collect]] — O(cap) reducer state even for a

@@ -46,15 +46,37 @@ object TextAnalysis {
       tokenCount(col(text)).cast("long").as("n_tokens"),
       distinctTokenCount(col(text)).cast("long").as("n_distinct_tokens"))
 
-  /** Common-English stopword set used by the quality score (public list). */
-  val Stopwords: Seq[String] =
-    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+  /** Common-English stopword set used by the quality score (public list;
+    * canonical copy lives next to the kernel in
+    * [[graft.functions.HashUtil.Stopwords]]).
+    */
+  val Stopwords: Seq[String] = graft.functions.HashUtil.Stopwords.toSeq
 
   /** Quality signals: length, token count, mean token length, stopword ratio,
     * punctuation ratio. All exact integer arithmetic until the final division
     * (bit-reproducible across engines).
+    *
+    * The five counters come from ONE pass of the codegen'd
+    * [[graft.functions.quality_counts]] kernel (the builtin formulation —
+    * kept as [[qualityScoreHof]], the kernel's parity oracle — tokenizes
+    * the document three times through interpreted HOF lambdas and two more
+    * regex rewrites).
     */
   def qualityScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val qc = graft.functions.quality_counts(col(text))
+    val nTokF = nullif(qc.getItem(1).cast("double"), lit(0.0d))
+    docs.select(
+      col(id),
+      qc.getItem(0).as("n_chars"),
+      qc.getItem(1).as("n_tokens"),
+      round(qc.getItem(2).cast("double") / nTokF, 4).as("avg_token_len"),
+      round(qc.getItem(3).cast("double") / nTokF, 4).as("stopword_ratio"),
+      round(qc.getItem(4).cast("double")
+        / greatest(qc.getItem(0), lit(1L)).cast("double"), 4).as("punct_ratio"))
+  }
+
+  /** Pure-builtin qualityScore (semantics oracle for the kernel). */
+  def qualityScoreHof(docs: DataFrame, id: String, text: String): DataFrame = {
     val t = col(text)
     val toks = tokens(t)
     // empty docs: divide by NULLIF(n_tokens, 0) so ratios are NULL, not an
@@ -104,6 +126,48 @@ object TextAnalysis {
     }.get.otherwise(lit("und"))
     when(hasCjk, lit("zh")).otherwise(pick)
   }
+
+  /** Gopher/C4-style repetition + structure signals, all in-row:
+    *  - `dup_line_frac`: fraction of non-empty trimmed lines that repeat an
+    *    earlier line (the strongest boilerplate signal in Gopher §A1.1);
+    *  - `bullet_line_frac`: fraction of lines starting with a bullet mark;
+    *  - `ellipsis_line_frac`: fraction of lines ending in "...";
+    *  - `symbol_token_ratio`: tokens with no letter/digit at all ÷ tokens.
+    * Exact integer counts until the final divisions; NULL ratios for empty
+    * docs (NULLIF convention shared with the oracle).
+    */
+  def repetitionStats(docs: DataFrame, id: String, text: String): DataFrame = {
+    val lines = filter(transform(split(col(text), "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines)
+    val nLinesF = nullif(nLines.cast("double"), lit(0.0d))
+    val dupLines = nLines - size(array_distinct(lines))
+    val bulletLines = size(filter(lines, l => l.rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val toks = tokens(col(text))
+    val nTokF = nullif(size(toks).cast("double"), lit(0.0d))
+    val symbolToks = size(filter(toks, t => !t.rlike("[\\p{L}\\p{N}]")))
+    docs.select(
+      col(id),
+      nLines.cast("long").as("n_lines"),
+      round(dupLines.cast("double") / nLinesF, 4).as("dup_line_frac"),
+      round(bulletLines.cast("double") / nLinesF, 4).as("bullet_line_frac"),
+      round(ellipsisLines.cast("double") / nLinesF, 4).as("ellipsis_line_frac"),
+      round(symbolToks.cast("double") / nTokF, 4).as("symbol_token_ratio"))
+  }
+
+  /** Corpus vocabulary heavy hitters: the k most frequent lowercase tokens.
+    * Two-phase hash aggregate on (token) — partial counts map-side, one
+    * exchange of partials — then a TakeOrderedAndProject for the top-k
+    * (never a full sort). The 100 TB shape: explode multiplies rows but the
+    * partial aggregate collapses each partition to its distinct tokens
+    * before anything shuffles.
+    */
+  def topTokens(docs: DataFrame, text: String, k: Int): DataFrame =
+    docs.select(explode(tokens(lower(col(text)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
 
   /** Canonical document fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Used as the exact-dedup key (stable across engines/runs).

@@ -89,6 +89,18 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0L)
   }
 
+  test("nearDupClusters: chain merges to one min-labeled component; corpus keeps singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val m = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val corpus = spark.range(6).select(col("id").as("doc_id"))
+    val lab = Dedup.clusterCorpus(corpus, "doc_id", Seq((1L, 2L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("embeddingNearDup finds identical vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -25,6 +25,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(1).isNullAt(rows(1).fieldIndex("stopword_ratio")))
   }
 
+  test("qualityScore kernel matches the pure-builtin formulation on real + edge docs") {
+    val real = spark.read.parquet(sfDir + "/documents.parquet")
+      .select("doc_id", "text")
+    val edges = Seq(
+      (90001L, "\ttab-led text the and"),      // Java split leading-empty quirk
+      (90002L, "  spaces  around  "),
+      (90003L, ""),
+      (90004L, "THE Cat, IS... §wörld 电脑!"), // case fold + non-ASCII + CJK
+      (90005L, "avertical\ftab\rmix\n"),
+      (90006L, "!!! ??? ###")).toDF("doc_id", "text")
+    val docs = real.unionByName(edges)
+    val kernel = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val hof = TextAnalysis.qualityScoreHof(docs, "doc_id", "text")
+    val d1 = kernel.exceptAll(hof).collect()
+    val d2 = hof.exceptAll(kernel).collect()
+    assert(d1.isEmpty && d2.isEmpty,
+      s"kernel-only: ${d1.take(3).mkString(";")} | hof-only: ${d2.take(3).mkString(";")}")
+  }
+
+  test("repetitionStats: duplicate/bullet/ellipsis lines and symbol tokens") {
+    val df = Seq(
+      (1L, "same line\nsame line\n- bullet\nmore...\n"),
+      (2L, "one two :: --")).toDF("id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "id", "text").orderBy("id").collect()
+    assert(rows(0).getAs[Long]("n_lines") == 4)
+    assert(rows(0).getAs[Double]("dup_line_frac") == 0.25)
+    assert(rows(0).getAs[Double]("bullet_line_frac") == 0.25)
+    assert(rows(0).getAs[Double]("ellipsis_line_frac") == 0.25)
+    assert(rows(1).getAs[Double]("symbol_token_ratio") == 0.5)
+  }
+
+  test("topTokens: lowercased frequency heavy hitters with deterministic ties") {
+    val df = Seq((1L, "B b a c"), (2L, "a A d")).toDF("id", "text")
+    val top = TextAnalysis.topTokens(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("langId kernel matches the pure-builtin formulation on real docs") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val kernel = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
