@@ -293,6 +293,57 @@ object QueryCatalog {
              |  FROM orders)
              |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
 
+    // running total per customer (window frame; the additions replay in
+    // identical (date, orderkey) order on both engines → bit-stable, and
+    // 2-decimal prices keep the double sum exact)
+    ("q_w2_running_total",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ROLLUP aggregate (multi-level mart totals in one pass over Expand)
+    ("q_a7_rollup",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .rollup(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            Relational.stableAvg(col("o_totalprice"), scale = 2).as("avg_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first, col("o_year").asc_nulls_first),
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  count(*) AS n,
+             |  round(CAST(round(sum(o_totalprice)*100) AS BIGINT) / (count(o_totalprice)*100.0), 4) AS avg_price
+             |FROM orders GROUP BY ROLLUP (o_orderpriority, CAST(year(o_orderdate) AS BIGINT))
+             |ORDER BY o_orderpriority NULLS FIRST, o_year NULLS FIRST""".stripMargin)),
+
+    // per-user inter-event gap (lag window; exact integer microseconds)
+    ("q_w3_event_gaps",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+              .as("gap_us"))
+          .orderBy("user_id", "event_id")
+          .select("event_id", "user_id", "gap_us")
+      },
+      Some("""SELECT event_id, user_id,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS gap_us
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- S8 SQL surface: multi-table star join -----------------------------
 
     ("q_sql_revenue_by_nation",
