@@ -37,7 +37,12 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_simhash runs the matching
+    // prefixes only; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val t0 = System.nanoTime()
       val fut = Future {
@@ -56,6 +61,10 @@ object Bench {
         }
       spark.sparkContext.clearJobGroup()
       val sec = (System.nanoTime() - t0) / 1e9
+      // isolation between queries: drop any cache a query leaked and nudge
+      // GC so one allocation-heavy plan doesn't tax its successors' numbers
+      spark.catalog.clearCache()
+      System.gc()
       System.err.println(f"[bench] $name%-28s ${sec}%8.2fs ${if (ok) "" else "(FAILED)"}")
       name -> (if (ok) sec else -1.0)
     }

@@ -866,7 +866,183 @@ object QueryCatalog {
              |       ELSE 'webp' END AS format,
              |  round(CAST(feats[1] AS DOUBLE)+feats[2]+feats[3]+feats[4]
              |        +feats[5]+feats[6]+feats[7]+feats[8], 4) AS feat_sum
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ---- dataset curation (split / sample / mix accounting / leakage / PII)
+
+    // Deterministic md5-bucket split: the oracle replays the same hex
+    // thresholds ('cc' = floor(256*0.80), 'e6' = floor(256*0.90)), so the
+    // assignment — not just the counts — is cross-engine reproducible.
+    ("q_split_assign",
+      (s: SparkSession, d: String) =>
+        Curation.splitAssign(t(s, d, "documents"), "doc_id")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars_sum"))
+          .orderBy("split"),
+      Some("""WITH s AS (
+             |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+             |              WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+             |              ELSE 'test' END AS split, text
+             |  FROM documents)
+             |SELECT split, count(*) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
+    ("q_hash_sample",
+      (s: SparkSession, d: String) =>
+        Curation.sampleByHash(t(s, d, "documents"), "doc_id", 0.1)
+          .select("doc_id")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '1999'
+             |ORDER BY doc_id""".stripMargin)),
+
+    ("q_stratified_sample",
+      (s: SparkSession, d: String) =>
+        Curation.stratifiedSample(t(s, d, "documents"), "source", "doc_id", 5)
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)),1,8), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin)),
+
+    ("q_token_histogram",
+      (s: SparkSession, d: String) =>
+        Curation.tokenHistogram(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("bin_lo"),
+      Some("""WITH n AS (
+             |  SELECT CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+             |  FROM documents)
+             |SELECT CAST(CASE WHEN nt IS NULL OR nt <= 0 THEN 0
+             |  WHEN nt BETWEEN 1 AND 1 THEN 1
+             |  WHEN nt BETWEEN 2 AND 3 THEN 2
+             |  WHEN nt BETWEEN 4 AND 7 THEN 4
+             |  WHEN nt BETWEEN 8 AND 15 THEN 8
+             |  WHEN nt BETWEEN 16 AND 31 THEN 16
+             |  WHEN nt BETWEEN 32 AND 63 THEN 32
+             |  WHEN nt BETWEEN 64 AND 127 THEN 64
+             |  WHEN nt BETWEEN 128 AND 255 THEN 128
+             |  WHEN nt BETWEEN 256 AND 511 THEN 256
+             |  WHEN nt BETWEEN 512 AND 1023 THEN 512
+             |  WHEN nt BETWEEN 1024 AND 2047 THEN 1024
+             |  WHEN nt BETWEEN 2048 AND 4095 THEN 2048
+             |  ELSE 4096 END AS BIGINT) AS bin_lo,
+             |  count(*) AS n_docs
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    ("q_token_quantiles",
+      (s: SparkSession, d: String) => {
+        val nt = TextAnalysis.tokenCount(col("text")).cast("long")
+        t(s, d, "documents").select(nt.as("nt"))
+          .agg(
+            round(expr("percentile(nt, 0.5d)"), 4).as("p50"),
+            round(expr("percentile(nt, 0.9d)"), 4).as("p90"),
+            round(expr("percentile(nt, 0.99d)"), 4).as("p99"),
+            min(col("nt")).as("min_tokens"),
+            max(col("nt")).as("max_tokens"))
+      },
+      Some("""WITH n AS (
+             |  SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+             |  FROM documents)
+             |SELECT round(quantile_cont(nt, 0.5), 4) AS p50,
+             |  round(quantile_cont(nt, 0.9), 4) AS p90,
+             |  round(quantile_cont(nt, 0.99), 4) AS p99,
+             |  min(nt) AS min_tokens, max(nt) AS max_tokens
+             |FROM n""".stripMargin)),
+
+    // Train side deliberately contains the texts of every doc_id % 4 == 1
+    // eval document (planted leak): those rows must come back contamination
+    // = 1.0, the disjoint eval half near 0 — so the check is non-vacuous.
+    ("q_contamination",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 2 === 0)
+          .unionAll(docs.filter(col("doc_id") % 4 === 1))
+        val eval = docs.filter(col("doc_id") % 2 === 1)
+        Curation.contamination(train, eval, "doc_id", "text", k = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tra AS (
+             |  SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+             |  WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1) AND trim(text) <> ''),
+             |trs AS (
+             |  SELECT DISTINCT array_to_string(a[i:i+7], ' ') AS s
+             |  FROM tra, unnest(range(1, greatest(len(a)-7,0)+1)) AS t(i)
+             |  UNION
+             |  SELECT array_to_string(a, ' ') AS s FROM tra WHERE len(a) < 8),
+             |eva AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+             |  WHERE doc_id % 2 = 1 AND trim(text) <> ''),
+             |evs AS (
+             |  SELECT DISTINCT doc_id, array_to_string(a[i:i+7], ' ') AS s
+             |  FROM eva, unnest(range(1, greatest(len(a)-7,0)+1)) AS t(i)
+             |  UNION
+             |  SELECT doc_id, array_to_string(a, ' ') AS s FROM eva WHERE len(a) < 8),
+             |tot AS (SELECT doc_id, count(*) AS n_shingles FROM evs GROUP BY 1),
+             |hit AS (SELECT doc_id, count(*) AS n_contaminated
+             |        FROM evs JOIN trs USING (s) GROUP BY 1)
+             |SELECT t.doc_id, t.n_shingles,
+             |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+             |  round(CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6)
+             |    AS contamination
+             |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // PII is planted per-row (email/IP/phone built from doc_id) by the SAME
+    // concat on both engines, then scrubbed; DuckDB regexp_replace needs the
+    // 'g' flag to match Spark's replace-all semantics.
+    ("q_pii_scrub",
+      (s: SparkSession, d: String) => {
+        val planted = concat(
+          lit("contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 10.1."), (col("doc_id") % 256).cast("string"),
+          lit(".9 tel 555-123-4567 "), col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            Curation.piiCount(planted).as("n_pii"),
+            substring(Curation.piiScrubText(planted), 1, 80).as("scrub_head"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    concat('contact u', CAST(doc_id AS VARCHAR),
+             |      '@mail.example.com or 10.1.', CAST(doc_id % 256 AS VARCHAR),
+             |      '.9 tel 555-123-4567 ', text) AS s
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |     + len(regexp_extract_all(s, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+             |     + len(regexp_extract_all(s, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii,
+             |  substr(regexp_replace(regexp_replace(regexp_replace(s,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), 1, 80) AS scrub_head
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    ("q_tfidf_top_terms",
+      (s: SparkSession, d: String) =>
+        Curation.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             |  FROM documents WHERE trim(text) <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_corpus FROM documents WHERE trim(text) <> ''),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    round(tf * ln(CAST(n_corpus AS DOUBLE) / df), 6) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, tf, df, tfidf,
+             |        row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY tfidf DESC, term) AS rank
+             |      FROM scored)
+             |SELECT doc_id, rank, term, tf, df, tfidf FROM r
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

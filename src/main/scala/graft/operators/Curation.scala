@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a large-scale training-data pipeline runs
+  * between "raw corpus" and "training mix": deterministic splits, sampling,
+  * mix accounting (histograms/quantiles), cross-corpus contamination checks,
+  * PII scrubbing, and TF-IDF term salience.
+  *
+  * Determinism contract: anything that partitions or samples does so by a
+  * *content-stable* hash (md5 of the key), never by `rand()` or physical row
+  * position — re-running the pipeline on a re-partitioned copy of the corpus
+  * yields byte-identical splits/samples, which is what makes training runs
+  * reproducible and eval sets leak-proof.
+  *
+  * Scale shapes: split/sample/histogram are pure in-row expressions (zero
+  * shuffle, whole-stage codegen); contamination hashes shingles to 64-bit
+  * before its single equi-join shuffle; TF-IDF is two map-side-combining
+  * aggregations plus one join, never a cross product.
+  */
+object Curation {
+
+  /** First `n` hex chars of the key's md5 — a content-stable uniform hash
+    * usable in any engine (lowercase-hex comparison is value comparison).
+    */
+  private def hexHash(key: Column, n: Int): Column =
+    substring(md5(key.cast("string")), 1, n)
+
+  /** Hex threshold string such that `hexHash(k, digits) < threshold`
+    * selects `pct`% of a uniform key space (floor granularity 16^digits).
+    */
+  def hexThreshold(pct: Double, digits: Int): String = {
+    val space = math.pow(16, digits).toLong
+    val cut = math.floor(space * pct / 100.0).toLong
+    String.format(s"%0${digits}x", Long.box(cut))
+  }
+
+  /** Deterministic train/val/test assignment by key hash. Two-hex-digit
+    * buckets (256) — train gets `floor(256*trainPct/100)` of them, val the
+    * next slice, test the rest. In-row, zero shuffle: at 100 TB the split
+    * is a free column on the scan, not a repartition.
+    */
+  def splitAssign(df: DataFrame, key: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val h = hexHash(col(key), 2)
+    df.withColumn("split",
+      when(h < hexThreshold(trainPct, 2), "train")
+        .when(h < hexThreshold(trainPct + valPct, 2), "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic Bernoulli(fraction) sample by key hash: keep a row iff
+    * the first 4 md5 hex digits fall under the fraction's threshold.
+    * In-row filter — pushes to the scan, no shuffle, reproducible across
+    * re-partitions (unlike `df.sample`, which is seed+partition-layout
+    * dependent).
+    */
+  def sampleByHash(df: DataFrame, key: String, fraction: Double): DataFrame =
+    df.filter(hexHash(col(key), 4) < hexThreshold(fraction * 100.0, 4))
+
+  /** Deterministic stratified sample: exactly `min(n, |stratum|)` rows per
+    * stratum, chosen by md5 order within the stratum (content-stable).
+    * One shuffle on the stratum key; per-stratum state is a running top-n,
+    * not the whole stratum. For rate-based (fraction) stratified sampling
+    * use [[sampleByHash]] per stratum instead — zero-shuffle.
+    */
+  def stratifiedSample(df: DataFrame, stratum: String, key: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(hexHash(col(key), 8), col(key))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+  }
+
+  /** Power-of-two histogram bin floor for a non-negative count: 0 → 0,
+    * else the largest power of two ≤ n (capped at `maxBin`). Built as a
+    * literal CASE chain (not `pow(2, floor(log2 n))`) because `log2` of an
+    * exact power of two is engine-dependent at the last ulp — Spark computes
+    * `log(x)/log(2)` where `log2(8) = 2.9999...96`, and a histogram that
+    * mis-bins the bin edges is wrong where it matters most.
+    */
+  def pow2Bin(n: Column, maxBin: Long = 4096L): Column = {
+    val edges = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= maxBin).toSeq
+    edges.foldLeft(when(n.isNull || n <= 0, lit(0L))) { (acc, lo) =>
+      val hi = lo * 2 - 1
+      if (lo == maxBin) acc else acc.when(n.between(lo, hi), lit(lo))
+    }.otherwise(lit(maxBin))
+  }
+
+  /** Token-count distribution of a corpus in power-of-two bins — the
+    * "what does my training mix look like" accounting query. One in-row
+    * projection + one map-side-combining aggregation.
+    */
+  def tokenHistogram(docs: DataFrame, id: String, text: String): DataFrame =
+    docs
+      .select(pow2Bin(TextAnalysis.tokenCount(col(text)).cast("long")).as("bin_lo"))
+      .groupBy("bin_lo")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Cross-corpus contamination: for every eval document, the fraction of
+    * its distinct word `k`-shingles that appear anywhere in the train
+    * corpus (the standard "is my eval set leaked into training data"
+    * check).
+    *
+    * Scale shape: shingles are hashed to 64 bits in-row before anything
+    * shuffles — the join exchanges (hash) and (id, hash) longs, never
+    * shingle strings; the train side is `distinct` (map-side combined) so
+    * duplicated boilerplate in the train corpus costs one hash each. A
+    * 64-bit collision would need ~2³² distinct shingles per the birthday
+    * bound — at trillion-shingle scale widen to 128-bit (two xxhash64
+    * seeds) with the same plan shape.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, id: String, text: String,
+                    k: Int = 8): DataFrame = {
+    val trainHashes = train
+      .select(explode(graft.functions.word_shingles(col(text), k)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .distinct()
+    val evalShingles = eval
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.word_shingles(col(text), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val totals = evalShingles.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val contaminated = evalShingles.join(trainHashes, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("contamination"))
+  }
+
+  /** PII patterns scrubbed by [[piiScrub]], applied in this order. Written
+    * in the RE2 ∩ java.util.regex common subset (no lookarounds) so the
+    * same pattern text runs on Spark and any RE2-based engine.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Redact emails / IPv4s / phone numbers. In-row regexp chain — the 100 TB
+    * cost is the scan plus regex CPU; nothing shuffles.
+    */
+  def piiScrubText(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, lit(pat), lit(tag))
+    }
+
+  /** Count of PII matches before scrubbing (audit metric). */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
+      .reduce(_ + _).cast("long")
+
+  def piiScrub(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      piiCount(col(text)).as("n_pii"),
+      piiScrubText(col(text)).as("scrubbed"))
+
+  /** Top-`k` TF-IDF terms per document: tf = in-doc term count,
+    * idf = ln(N/df) over documents with ≥1 token, score = tf·idf.
+    *
+    * Plan: explode → (doc, term) count [shuffle 1, map-side combined] →
+    * term df [shuffle 2, combined] → equi-join tf⋈df on term (AQE picks
+    * broadcast when the vocabulary is small) → per-doc top-k window.
+    * Ranking compares `round(score, 6)` then the term, so the order is
+    * reproducible across engines whose `ln` differs in the last ulp.
+    */
+  def tfidfTopTerms(docs: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(id).as("doc_id"),
+        explode(TextAnalysis.tokens(col(text))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus size as a lazy 1-row aggregate (broadcast by the cross join) —
+    // not a driver-side count(), so the whole op stays one plan
+    val nDocs = docs.filter(size(TextAnalysis.tokens(col(text))) > 0)
+      .agg(count(lit(1)).cast("double").as("n_corpus"))
+    val scored = tf.join(df, Seq("term")).crossJoin(nDocs)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_corpus") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("splitAssign: total partition, roughly the requested proportions") {
+    val ids = (0L until 2000L).toDF("id")
+    val counts = Curation.splitAssign(ids, "id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80%
+    assert(counts("val") > 120 && counts("val") < 280)       // ~10%
+  }
+
+  test("splitAssign and sampleByHash are content-stable under repartition") {
+    val ids = (0L until 500L).toDF("id")
+    val a = Curation.splitAssign(ids, "id").orderBy("id").collect().toSeq
+    val b = Curation.splitAssign(ids.repartition(13), "id").orderBy("id").collect().toSeq
+    assert(a == b)
+    val sa = Curation.sampleByHash(ids, "id", 0.2).orderBy("id").as[Long].collect().toSeq
+    val sb = Curation.sampleByHash(ids.repartition(7), "id", 0.2).orderBy("id").as[Long].collect().toSeq
+    assert(sa == sb && sa.nonEmpty && sa.size < 200)
+  }
+
+  test("pow2Bin: exact powers of two land in their own bin (no log2 ulp drift)") {
+    val cases = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L, 7L -> 4L,
+      8L -> 8L, 1023L -> 512L, 1024L -> 1024L, 4095L -> 2048L, 4096L -> 4096L,
+      100000L -> 4096L)
+    val got = cases.map(_._1).toDF("n")
+      .select(col("n"), Curation.pow2Bin(col("n")).as("bin"))
+      .as[(Long, Long)].collect().toMap
+    cases.foreach { case (n, bin) => assert(got(n) == bin, s"n=$n") }
+  }
+
+  test("stratifiedSample: exactly min(n, |stratum|) rows, stable under repartition") {
+    val df = Seq.tabulate(40)(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
+      .union(Seq(("tiny", 99L)).toDF("src", "id"))
+    val sampled = Curation.stratifiedSample(df, "src", "id", 5)
+    val counts = sampled.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") == 5 && counts("s1") == 5 && counts("s2") == 5)
+    assert(counts("tiny") == 1)
+    val again = Curation.stratifiedSample(df.repartition(11), "src", "id", 5)
+    assert(sampled.orderBy("src", "id").collect().toSeq ==
+      again.orderBy("src", "id").collect().toSeq)
+  }
+
+  test("contamination: planted leak is 1.0, disjoint doc is 0.0, short docs count") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // leaked
+      (11L, "completely different words that never appeared in training data here"),
+      (12L, "one two three"), // < k tokens → whole-doc shingle, leaked
+      (13L, "")).toDF("doc_id", "text")
+    val out = Curation.contamination(train, eval, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L)) // empty doc excluded
+    assert(out(0).getAs[Double]("contamination") == 1.0)
+    assert(out(1).getAs[Double]("contamination") == 0.0)
+    assert(out(2).getAs[Double]("contamination") == 1.0)
+    assert(out(2).getAs[Long]("n_shingles") == 1L)
+  }
+
+  test("piiScrub: redacts email/IP/phone and counts matches") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org from 192.168.0.1 call 555-123-4567 ok"),
+      (2L, "no pii here, just 3.14 and v1.2.3")).toDF("doc_id", "text")
+    val out = Curation.piiScrub(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_pii") == 3L)
+    assert(out(0).getAs[String]("scrubbed") ==
+      "mail <EMAIL> from <IP> call <PHONE> ok")
+    assert(out(1).getAs[Long]("n_pii") == 0L)
+    assert(out(1).getAs[String]("scrubbed") == "no pii here, just 3.14 and v1.2.3")
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; ties break on term") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b c d")).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: a has tf=2 df=2 → 2·ln(1.5); b tf=1 df=2 → ln(1.5)
+    assert(out(0).getAs[String]("term") == "a" && out(0).getAs[Long]("rank") == 1L)
+    assert(out(1).getAs[String]("term") == "b")
+    // doc 3: d is unique (df=1, ln 3) and beats b/c (ln 1.5)
+    val doc3 = out.filter(_.getLong(0) == 3L)
+    assert(doc3(0).getAs[String]("term") == "d")
+    assert(doc3(0).getAs[Double]("tfidf") == math.round(math.log(3.0) * 1e6) / 1e6)
+    // b vs c tie (same tf, df) → lexicographic term order
+    assert(doc3(1).getAs[String]("term") == "b")
+  }
+}
