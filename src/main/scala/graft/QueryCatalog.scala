@@ -1023,6 +1023,22 @@ object QueryCatalog {
              |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), 1, 80) AS scrub_head
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    ("q_mix_report",
+      (s: SparkSession, d: String) =>
+        Curation.mixReport(t(s, d, "documents"), Seq("source", "lang"), "text")
+          .orderBy("source", "lang"),
+      Some("""WITH b AS (
+             |  SELECT source, lang,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+             |  FROM documents),
+             |c AS (SELECT source, lang, count(*) AS n_docs,
+             |        CAST(sum(nt) AS BIGINT) AS n_tokens
+             |      FROM b GROUP BY 1, 2)
+             |SELECT source, lang, n_docs, n_tokens,
+             |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+             |FROM c ORDER BY source, lang""".stripMargin)),
+
     ("q_tfidf_top_terms",
       (s: SparkSession, d: String) =>
         Curation.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)

@@ -159,6 +159,22 @@ object Curation {
       piiCount(col(text)).as("n_pii"),
       piiScrubText(col(text)).as("scrubbed"))
 
+  /** Corpus mix report: per-cell (e.g. source × lang) document and token
+    * counts plus each cell's share of corpus tokens — the accounting table
+    * a training mix is weighted from. One scan + one map-side-combined
+    * aggregation; the share divides by an unpartitioned window total, which
+    * is safe because it runs over the (dims-cardinality-sized) aggregate,
+    * never the corpus.
+    */
+  def mixReport(docs: DataFrame, dims: Seq[String], text: String): DataFrame = {
+    val base = docs.select(
+      dims.map(col) :+ TextAnalysis.tokenCount(col(text)).cast("long").as("nt"): _*)
+    val cells = base.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    cells.withColumn("token_share",
+      round(col("n_tokens") / sum(col("n_tokens")).over(Window.partitionBy()), 6))
+  }
+
   /** Top-`k` TF-IDF terms per document: tf = in-doc term count,
     * idf = ln(N/df) over documents with ≥1 token, score = tf·idf.
     *

@@ -109,4 +109,29 @@ class PlanQualitySpec extends SparkTestBase {
     // be inside
     assert(p.contains("*(1)"), s"no codegen stage in plan:\n$p")
   }
+
+  test("curation split / hash-sample / PII scrub are zero-shuffle in-row plans") {
+    val docs = Tables(spark, sfDir, "documents")
+    Seq(
+      "splitAssign" -> Curation.splitAssign(docs, "doc_id"),
+      "sampleByHash" -> Curation.sampleByHash(docs, "doc_id", 0.1),
+      "piiScrub" -> Curation.piiScrub(docs, "doc_id", "text")
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("contamination exchanges partition on hashed longs, never shingle strings") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Curation.contamination(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    val p = plan(out)
+    // every hash-partitioned exchange keys on h (the xxhash64 long) or
+    // doc_id — the shingle string attribute `s` must never be a shuffle key
+    val keys = "hashpartitioning\\(([A-Za-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("h", "doc_id")),
+      s"unexpected shuffle keys $keys:\n$p")
+  }
 }
