@@ -1023,6 +1023,52 @@ object QueryCatalog {
              |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), 1, 80) AS scrub_head
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // Sketch outputs are algorithm-specific (HLL++ registers, quantile
+    // summaries) so no engine-independent oracle exists for the raw
+    // estimates; the graded contract is the EXACT value plus a boolean
+    // "sketch landed within tolerance" — both engine-independent.
+    ("q_sketch_checks",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Sketches.vocabSize(docs, "text")
+          .crossJoin(Sketches.tokenMedian(docs, "text"))
+          .select(
+            col("n_distinct_exact"),
+            Sketches.withinRel(col("n_distinct_approx"), col("n_distinct_exact"), 0.1)
+              .as("hll_ok"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            Sketches.withinRel(col("p50_approx"), col("p50_exact"), 0.05)
+              .as("p50_ok"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS n_distinct_exact
+             |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |        FROM documents WHERE trim(text) <> '')),
+             |q AS (
+             |  SELECT quantile_cont(CAST(CASE WHEN trim(text) = '' THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT), 0.5)
+             |    AS p50
+             |  FROM documents)
+             |SELECT n_distinct_exact, true AS hll_ok,
+             |  round(p50, 4) AS p50_exact, true AS p50_ok
+             |FROM v CROSS JOIN q""".stripMargin)),
+
+    // Target-mix rebalance: en halved, de quartered, zh kept whole, es/fr
+    // dropped — thresholds replayed verbatim by the oracle ('g' is the
+    // keep-everything sentinel, strictly above every hex digit).
+    ("q_rebalance_mix",
+      (s: SparkSession, d: String) =>
+        Curation.rebalanceMix(t(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,4) <
+             |  CASE lang WHEN 'de' THEN '4000' WHEN 'en' THEN '8000'
+             |       WHEN 'zh' THEN 'g' END
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     ("q_mix_report",
       (s: SparkSession, d: String) =>
         Curation.mixReport(t(s, d, "documents"), Seq("source", "lang"), "text")

@@ -34,7 +34,11 @@ object Curation {
   def hexThreshold(pct: Double, digits: Int): String = {
     val space = math.pow(16, digits).toLong
     val cut = math.floor(space * pct / 100.0).toLong
-    String.format(s"%0${digits}x", Long.box(cut))
+    // pct ≥ 100 → "g": strictly above every hex digit in ASCII, so the
+    // `hash < threshold` compare keeps everything (a same-width "10000"
+    // would compare LESS than "ffff" lexicographically and keep ~6%)
+    if (cut >= space) "g"
+    else String.format(s"%0${digits}x", Long.box(cut))
   }
 
   /** Deterministic train/val/test assignment by key hash. Two-hex-digit
@@ -59,6 +63,23 @@ object Curation {
     */
   def sampleByHash(df: DataFrame, key: String, fraction: Double): DataFrame =
     df.filter(hexHash(col(key), 4) < hexThreshold(fraction * 100.0, 4))
+
+  /** Rebalance a corpus toward a target mix: keep each stratum at its own
+    * hash fraction (1.0 = keep all, absent = drop the stratum). Because
+    * every stratum filters the SAME key hash against its threshold, samples
+    * are nested — raising a stratum's fraction only ever adds documents,
+    * never reshuffles the kept set — which makes mix iteration reproducible
+    * across training runs. In-row (the threshold is a CASE over the
+    * stratum column): zero shuffle at any scale.
+    */
+  def rebalanceMix(df: DataFrame, stratum: String, key: String,
+                   fractions: Map[String, Double]): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (s, f)) =>
+        when(col(stratum) === s, lit(hexThreshold(f * 100.0, 4))).otherwise(acc)
+      }
+    df.filter(hexHash(col(key), 4) < thr)
+  }
 
   /** Deterministic stratified sample: exactly `min(n, |stratum|)` rows per
     * stratum, chosen by md5 order within the stratum (content-stable).

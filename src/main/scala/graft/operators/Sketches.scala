@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-backed approximations — the 100 TB path for statistics whose
+  * exact computation needs an unbounded shuffle — paired with their exact
+  * formulations so tests (and the graded self-check query) can bound the
+  * sketch error on real data.
+  *
+  * At corpus scale the sketch is the product and the exact path is the
+  * oracle: `approx_count_distinct` (HyperLogLog++) merges O(1)-size
+  * registers map-side where exact `count(DISTINCT)` shuffles every distinct
+  * value; `approx_percentile` keeps a bounded quantile summary where exact
+  * `percentile` collects all values per group.
+  */
+object Sketches {
+
+  /** Corpus vocabulary size: exact + HLL++ estimate side by side.
+    * `rsd` is the target relative standard deviation of the sketch.
+    */
+  def vocabSize(docs: DataFrame, text: String, rsd: Double = 0.02): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(text))).as("tkn"))
+      .agg(
+        count_distinct(col("tkn")).as("n_distinct_exact"),
+        approx_count_distinct(col("tkn"), rsd).as("n_distinct_approx"))
+
+  /** Exact and sketched median of the per-document token count. With
+    * `accuracy` ≥ corpus size the sketch degenerates to (near-)exact, so
+    * the pair bounds the approximation error at test scale.
+    */
+  def tokenMedian(docs: DataFrame, text: String, accuracy: Int = 10000): DataFrame =
+    docs.select(TextAnalysis.tokenCount(col(text)).cast("long").as("nt"))
+      .agg(
+        expr("percentile(nt, 0.5d)").as("p50_exact"),
+        expr(s"approx_percentile(nt, 0.5d, $accuracy)").cast("double").as("p50_approx"))
+
+  /** Relative-error acceptance predicate for sketch validations. */
+  def withinRel(approx: Column, exact: Column, tol: Double): Column =
+    abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * tol
+}

@@ -79,6 +79,40 @@ class CurationSpec extends SparkTestBase {
     assert(out(1).getAs[String]("scrubbed") == "no pii here, just 3.14 and v1.2.3")
   }
 
+  test("rebalanceMix: nested samples, 1.0 keeps a stratum whole, absent drops it") {
+    val df = Seq.tabulate(600)(i => (Seq("en", "de", "es")(i % 3), i.toLong))
+      .toDF("lang", "id")
+    val out = Curation.rebalanceMix(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts("de") == 200L)                  // fraction 1.0 = keep all
+    assert(counts.get("es").isEmpty)              // absent stratum dropped
+    assert(counts("en") > 60 && counts("en") < 140) // ~50%
+    // nesting: raising en's fraction only adds rows, never swaps them
+    val bigger = Curation.rebalanceMix(df, "lang", "id", Map("en" -> 0.8))
+      .filter(col("lang") === "en").select("id").as[Long].collect().toSet
+    val smaller = out.filter(col("lang") === "en").select("id").as[Long].collect().toSet
+    assert(smaller.subsetOf(bigger))
+  }
+
+  test("hexThreshold: fraction 1.0 yields the keep-all sentinel, not a width overflow") {
+    assert(Curation.hexThreshold(100.0, 4) == "g")
+    assert(Curation.hexThreshold(50.0, 4) == "8000")
+    assert("ffff" < "g" && "0000" < "g") // every hex string sorts below it
+  }
+
+  test("sketches land within tolerance of the exact paths on real documents") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val v = Sketches.vocabSize(docs, "text").collect().head
+    val exact = v.getAs[Long]("n_distinct_exact")
+    val approx = v.getAs[Long]("n_distinct_approx")
+    assert(exact > 0 && math.abs(approx - exact).toDouble / exact <= 0.1,
+      s"HLL off: exact=$exact approx=$approx")
+    val m = Sketches.tokenMedian(docs, "text").collect().head
+    assert(math.abs(m.getAs[Double]("p50_approx") - m.getAs[Double]("p50_exact"))
+      <= m.getAs[Double]("p50_exact") * 0.05)
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; ties break on term") {
     val docs = Seq(
       (1L, "a a b"),
