@@ -1023,6 +1023,30 @@ object QueryCatalog {
              |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), 1, 80) AS scrub_head
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // Packing summary: per (shard, pack) doc/token counts. The oracle
+    // replays the md5 shard digit, the per-shard exclusive cumsum, and the
+    // budget cut — so pack assignment itself is verified, not just counts.
+    ("q_pack_sequences",
+      (s: SparkSession, d: String) =>
+        Curation.packSequences(t(s, d, "documents"), "doc_id", "text", budget = 512L)
+          .groupBy("shard", "pack")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .orderBy("shard", "pack"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt,
+             |    CAST(strpos('0123456789abcdef',
+             |      substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 AS BIGINT) AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT shard, nt,
+             |    sum(nt) OVER (PARTITION BY shard ORDER BY doc_id) - nt AS cum
+             |  FROM b)
+             |SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS pack,
+             |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Sketch outputs are algorithm-specific (HLL++ registers, quantile
     // summaries) so no engine-independent oracle exists for the raw
     // estimates; the graded contract is the EXACT value plus a boolean

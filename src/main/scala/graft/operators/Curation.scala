@@ -180,6 +180,42 @@ object Curation {
       piiCount(col(text)).as("n_pii"),
       piiScrubText(col(text)).as("scrubbed"))
 
+  /** Concat-then-chunk sequence packing: assign every document to a fixed
+    * token-budget training pack. Documents are sharded by key hash (16
+    * md5 shards here; at cluster scale use more) and packed in key order
+    * within each shard: `pack = floor(exclusive-cumsum(tokens) / budget)`.
+    * This is the "concatenate the stream, cut every `budget` tokens"
+    * packing used for LLM pretraining batches — a document may straddle a
+    * cut, which the trainer handles by splitting at the boundary.
+    *
+    * Scale shape: one window per shard — shards are hash-balanced and
+    * independent, so parallelism = shard count and no single task ever
+    * sorts the corpus. (A global-order window would be a one-partition
+    * bottleneck — deliberately avoided.)
+    */
+  def packSequences(docs: DataFrame, id: String, text: String,
+                    budget: Long): DataFrame = {
+    val shard = (expr(s"conv(substring(md5(cast($id as string)), 1, 1), 16, 10)")
+      .cast("long")).as("shard")
+    val base = docs.select(col(id).as("doc_id"),
+      TextAnalysis.tokenCount(col(text)).cast("long").as("nt"), shard)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    base
+      .withColumn("cum", sum(col("nt")).over(w) - col("nt"))
+      .withColumn("pack", floor(col("cum") / budget))
+      .drop("cum")
+  }
+
+  /** Export a curated corpus as JSONL training shards: `shards` files per
+    * split directory (`path/<splitCol>=train/...`), shard membership by key
+    * hash so re-runs produce identical shard contents. JSONL-per-split is
+    * the standard hand-off format to training data loaders.
+    */
+  def exportJsonl(docs: DataFrame, splitCol: String, key: String,
+                  shards: Int, path: String): Unit =
+    docs.repartition(shards, col(key))
+      .write.mode("overwrite").partitionBy(splitCol).json(path)
+
   /** Corpus mix report: per-cell (e.g. source × lang) document and token
     * counts plus each cell's share of corpus tokens — the accounting table
     * a training mix is weighted from. One scan + one map-side-combined

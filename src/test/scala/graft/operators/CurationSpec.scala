@@ -113,6 +113,37 @@ class CurationSpec extends SparkTestBase {
       <= m.getAs[Double]("p50_exact") * 0.05)
   }
 
+  test("packSequences: budget cuts in key order, no pack exceeds budget by more than one doc") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, Seq.fill(10)("w").mkString(" ")))
+      .toDF("doc_id", "text") // every doc = 10 tokens
+    val packed = Curation.packSequences(docs, "doc_id", "text", budget = 35L)
+    val perPack = packed.groupBy("shard", "pack")
+      .agg(sum(col("nt")).as("tok")).collect()
+    // exclusive-cumsum packing: every pack holds ≤ budget + (one doc - 1) tokens
+    perPack.foreach(r => assert(r.getAs[Long]("tok") <= 35L + 9L))
+    // within a shard, pack ids are contiguous from 0
+    val minShard = packed.agg(min("shard")).collect().head.getLong(0)
+    val shard0 = packed.filter(col("shard") === minShard)
+      .select("pack").as[Long].collect().toSet
+    assert(shard0 == (0L until shard0.size.toLong).toSet)
+    // deterministic under repartition
+    val again = Curation.packSequences(docs.repartition(7), "doc_id", "text", 35L)
+    assert(packed.orderBy("doc_id").collect().toSeq == again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("exportJsonl: split-partitioned shard layout round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_export").toString
+    val docs = spark.read.parquet(sfDir + "/documents.parquet").select("doc_id", "text")
+    val split = Curation.splitAssign(docs, "doc_id")
+    Curation.exportJsonl(split, "split", "doc_id", shards = 4, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    val counts = back.groupBy("split").count().as[(String, Long)].collect().toMap
+    val expected = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts == expected)
+    assert(new java.io.File(dir, "split=train").listFiles().count(_.getName.endsWith(".json")) == 4)
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; ties break on term") {
     val docs = Seq(
       (1L, "a a b"),
