@@ -1093,6 +1093,24 @@ object QueryCatalog {
              |       WHEN 'zh' THEN 'g' END
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Epoch weighting: en ×2.5 (two full copies + a stable half), de ×1,
+    // zh ×0.25, es/fr dropped — the oracle replays copies and thresholds.
+    ("q_epochs_mix",
+      (s: SparkSession, d: String) =>
+        Curation.epochsMix(t(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 1.0, "zh" -> 0.25))
+          .groupBy("lang", "copy")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "copy"),
+      Some("""SELECT lang, copy, count(*) AS n_docs
+             |FROM documents CROSS JOIN unnest(range(0, 3)) AS t(copy)
+             |WHERE (lang = 'en' AND (copy < 2 OR (copy = 2
+             |         AND substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '8000')))
+             |   OR (lang = 'de' AND copy < 1)
+             |   OR (lang = 'zh' AND copy = 0
+             |         AND substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '4000')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     ("q_mix_report",
       (s: SparkSession, d: String) =>
         Curation.mixReport(t(s, d, "documents"), Seq("source", "lang"), "text")

@@ -81,6 +81,36 @@ object Curation {
     df.filter(hexHash(col(key), 4) < thr)
   }
 
+  /** Epoch-weight a corpus: each stratum is repeated `epochs(stratum)`
+    * times, where the fractional part becomes a deterministic hash
+    * subsample tagged as the last copy — e.g. 2.25 epochs of wiki = every
+    * wiki doc twice plus a stable 25% of them a third time. The `copy`
+    * column (0-based) disambiguates repeats for downstream shuffling.
+    * Strata absent from the map are dropped (epoch 0).
+    *
+    * In-row: one `explode(sequence(...))` bounded by the max whole-epoch
+    * count — output size is exactly the token-weighted mix, no shuffle.
+    */
+  def epochsMix(df: DataFrame, stratum: String, key: String,
+                epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(e => e >= 0 && e <= 100), "epochs out of range")
+    val whole = epochs.map { case (s, e) => s -> math.floor(e).toLong }
+    val fracThr = epochs.map { case (s, e) =>
+      s -> hexThreshold((e - math.floor(e)) * 100.0, 4)
+    }
+    def caseOver[T](m: Map[String, T], default: Column)(f: T => Column): Column =
+      m.toSeq.sortBy(_._1).foldLeft(default) { case (acc, (s, v)) =>
+        when(col(stratum) === s, f(v)).otherwise(acc)
+      }
+    val wholeCol = caseOver(whole, lit(-1L))(lit(_))
+    val thrCol = caseOver(fracThr, lit(null).cast("string"))(lit(_))
+    val maxCopies = (whole.values ++ Seq(0L)).max
+    df
+      .withColumn("copy", explode(sequence(lit(0L), lit(maxCopies))))
+      .filter(col("copy") < wholeCol ||
+        (col("copy") === wholeCol && hexHash(col(key), 4) < thrCol))
+  }
+
   /** Deterministic stratified sample: exactly `min(n, |stratum|)` rows per
     * stratum, chosen by md5 order within the stratum (content-stable).
     * One shuffle on the stratum key; per-stratum state is a running top-n,

@@ -95,6 +95,23 @@ class CurationSpec extends SparkTestBase {
     assert(smaller.subsetOf(bigger))
   }
 
+  test("epochsMix: whole copies exact, fractional copy is a stable subsample") {
+    val df = Seq.tabulate(900)(i => (Seq("en", "de", "zh")(i % 3), i.toLong))
+      .toDF("lang", "id")
+    val out = Curation.epochsMix(df, "lang", "id", Map("en" -> 2.5, "de" -> 1.0, "zh" -> 0.25))
+    val counts = out.groupBy("lang", "copy").count()
+      .as[(String, Long, Long)].collect().map { case (l, c, n) => (l, c) -> n }.toMap
+    assert(counts(("en", 0L)) == 300L && counts(("en", 1L)) == 300L)
+    assert(counts(("en", 2L)) > 100 && counts(("en", 2L)) < 200) // ~50%
+    assert(counts(("de", 0L)) == 300L && !counts.contains(("de", 1L)))
+    assert(counts(("zh", 0L)) > 40 && counts(("zh", 0L)) < 110)  // ~25%
+    // fractional members are the SAME docs on every run/layout
+    val again = Curation.epochsMix(df.repartition(5), "lang", "id",
+      Map("en" -> 2.5, "de" -> 1.0, "zh" -> 0.25))
+    assert(out.orderBy("lang", "copy", "id").collect().toSeq ==
+      again.orderBy("lang", "copy", "id").collect().toSeq)
+  }
+
   test("hexThreshold: fraction 1.0 yields the keep-all sentinel, not a width overflow") {
     assert(Curation.hexThreshold(100.0, 4) == "g")
     assert(Curation.hexThreshold(50.0, 4) == "8000")
