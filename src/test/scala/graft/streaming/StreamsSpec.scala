@@ -50,4 +50,28 @@ class StreamsSpec extends SparkTestBase {
     val m = table.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(m == Map("a" -> 1, "b" -> 20, "c" -> 30))
   }
+
+  test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
+    // splitAssign / piiScrubText / tokenCount are stateless row expressions,
+    // so the same curation code runs unchanged under readStream — the shape
+    // a continuously-ingesting training-data pipeline needs
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val curated = graft.operators.Curation.splitAssign(
+      df.select(col("doc_id"),
+        graft.operators.Curation.piiScrubText(col("text")).as("text"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "doc_id")
+    val q = curated.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "reach me at a@b.co today"), (2L, "plain text here"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curation_stream").orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("text") == "reach me at <EMAIL> today")
+    assert(rows(0).getAs[Int]("n_tokens") == 5)
+    assert(Set("train", "val", "test").contains(rows(0).getAs[String]("split")))
+  }
 }
