@@ -868,6 +868,21 @@ object QueryCatalog {
              |        +feats[5]+feats[6]+feats[7]+feats[8], 4) AS feat_sum
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // Crosstab of the corpus: docs per source × lang as a wide table — the
+    // DuckDB oracle is the equivalent conditional aggregation.
+    ("q_pivot_counts",
+      (s: SparkSession, d: String) =>
+        Relational.pivotCount(t(s, d, "documents"), "source", "lang",
+          Seq("de", "en", "es", "fr", "zh"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |  count(*) FILTER (lang = 'de') AS de,
+             |  count(*) FILTER (lang = 'en') AS en,
+             |  count(*) FILTER (lang = 'es') AS es,
+             |  count(*) FILTER (lang = 'fr') AS fr,
+             |  count(*) FILTER (lang = 'zh') AS zh
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- dataset curation (split / sample / mix accounting / leakage / PII)
 
     // Deterministic md5-bucket split: the oracle replays the same hex

@@ -209,6 +209,23 @@ object Relational {
   def upsert(main: DataFrame, staging: DataFrame, key: String): DataFrame =
     antiJoin(main, staging, Seq(key)).unionByName(staging)
 
+  /** Pivot (long → wide) with an explicit value list: per-`row` counts of
+    * each pivot value as its own column, absent combinations as 0 (Spark's
+    * bare pivot yields NULL there; 0 is what a crosstab means).
+    *
+    * Scale note: the explicit `values` list keeps this one pass — Spark's
+    * value-discovering overload runs an extra distinct query and collects
+    * the pivot domain to the driver. Planned as a single two-phase hash
+    * aggregate; wide-side cardinality is the values list, fixed at plan
+    * time, so this scales with rows like any groupBy.
+    */
+  def pivotCount(df: DataFrame, row: String, pivot: String,
+                 values: Seq[String]): DataFrame =
+    df.groupBy(col(row))
+      .pivot(pivot, values)
+      .count()
+      .select(col(row) +: values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+
   // --- §2.8 window (parity-plus: top post per subreddit analog) --------------
 
   /** row_number over (partition by grp order by measure desc, tiebreak) ≤ k. */

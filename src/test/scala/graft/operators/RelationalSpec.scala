@@ -87,4 +87,15 @@ class RelationalSpec extends SparkTestBase {
     val first = hotShards.map(r => r.getInt(1) -> r.getSeq[String](2).sorted).toMap
     assert(first == again)
   }
+
+  test("pivotCount: wide crosstab with zeros for absent combinations") {
+    import spark.implicits._
+    val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s2", "en"))
+      .toDF("src", "lang")
+    val out = Relational.pivotCount(df, "src", "lang", Seq("de", "en", "fr"))
+      .orderBy("src").collect()
+    assert(out(0).getAs[Long]("de") == 1L && out(0).getAs[Long]("en") == 2L)
+    assert(out(0).getAs[Long]("fr") == 0L) // absent combo is 0, not null
+    assert(out(1).getAs[Long]("de") == 0L && out(1).getAs[Long]("en") == 1L)
+  }
 }
