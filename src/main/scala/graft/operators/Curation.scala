@@ -112,15 +112,25 @@ object Curation {
   }
 
   /** Deterministic stratified sample: exactly `min(n, |stratum|)` rows per
-    * stratum, chosen by md5 order within the stratum (content-stable).
-    * One shuffle on the stratum key; per-stratum state is a running top-n,
-    * not the whole stratum. For rate-based (fraction) stratified sampling
-    * use [[sampleByHash]] per stratum instead — zero-shuffle.
+    * stratum — the n smallest by md5 order within the stratum
+    * (content-stable). Two-phase so no task ever sorts a whole stratum:
+    * phase 1 takes the top-n of each (stratum, salt) sub-partition — each
+    * 1/`salts` of the stratum — and phase 2 re-ranks the surviving
+    * ≤ n·salts candidates per stratum. Every global winner is inside its
+    * salt's top-n, so the result is identical to the single-window
+    * formulation (the salt never influences selection, only parallelism).
+    * For rate-based (fraction) stratified sampling use [[sampleByHash]]
+    * per stratum instead — zero-shuffle.
     */
-  def stratifiedSample(df: DataFrame, stratum: String, key: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(hexHash(col(key), 8), col(key))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+  def stratifiedSample(df: DataFrame, stratum: String, key: String, n: Int,
+                       salts: Int = 16): DataFrame = {
+    val h = hexHash(col(key), 8)
+    val w1 = Window.partitionBy(col(stratum), pmod(xxhash64(col(key)), lit(salts)))
+      .orderBy(h, col(key))
+    val w2 = Window.partitionBy(col(stratum)).orderBy(h, col(key))
+    df
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") <= n).drop("rn")
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= n).drop("rn")
   }
 
   /** Power-of-two histogram bin floor for a non-negative count: 0 → 0,
