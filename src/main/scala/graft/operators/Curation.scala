@@ -285,12 +285,21 @@ object Curation {
     val toks = docs
       .select(col(id).as("doc_id"),
         explode(TextAnalysis.tokens(col(text))).as("term"))
+    // tf is materialized once (non-eager localCheckpoint) and every later
+    // relation — df, the corpus size, the join left side — derives from
+    // it: without this the df/N branches are separately-pruned subplans
+    // that defeat exchange reuse and re-scan + re-tokenize the corpus
+    // (3 parquet scans measured; `.cache()` doesn't help — the self-join
+    // attribute dedup defeats the cache lookup). With the checkpoint the
+    // corpus is scanned exactly once and the reused relation is
+    // token-level, far smaller than the text; the ContextCleaner frees
+    // the blocks once the frame is unreferenced.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // corpus size as a lazy 1-row aggregate (broadcast by the cross join) —
-    // not a driver-side count(), so the whole op stays one plan
-    val nDocs = docs.filter(size(TextAnalysis.tokens(col(text))) > 0)
-      .agg(count(lit(1)).cast("double").as("n_corpus"))
+    // corpus size (docs with ≥1 token) as a lazy 1-row aggregate broadcast
+    // by the cross join — not a driver-side count()
+    val nDocs = tf.agg(count_distinct(col("doc_id")).cast("double").as("n_corpus"))
     val scored = tf.join(df, Seq("term")).crossJoin(nDocs)
       .withColumn("tfidf",
         round(col("tf") * log(col("n_corpus") / col("df")), 6))

@@ -122,6 +122,17 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("tfidf scans the corpus exactly once (df/N derive from the materialized tf)") {
+    val df = Curation.tfidfTopTerms(Tables(spark, sfDir, "documents"), "doc_id", "text", 3)
+    df.write.mode("overwrite").format("noop").save()
+    val p = plan(df)
+    // the single scan happens in the tf-materialization job; the main plan
+    // reads the checkpointed token-level RDD (ExistingRDD), never parquet
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0 && p.contains("ExistingRDD"),
+      s"corpus re-scanned ($scans parquet scans):\n$p")
+  }
+
   test("contamination exchanges partition on hashed longs, never shingle strings") {
     val docs = Tables(spark, sfDir, "documents")
     val out = Curation.contamination(
