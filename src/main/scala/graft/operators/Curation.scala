@@ -177,10 +177,14 @@ object Curation {
       .select(explode(graft.functions.word_shingles(col(text), k)).as("s"))
       .select(xxhash64(col("s")).as("h"))
       .distinct()
+    // materialized once (longs only — tiny vs the text): the totals and
+    // the train-join branches would otherwise each re-scan + re-shingle
+    // the eval corpus
     val evalShingles = eval
       .select(col(id).as("doc_id"),
         explode(graft.functions.word_shingles(col(text), k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .localCheckpoint(false)
     val totals = evalShingles.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"))
     val contaminated = evalShingles.join(trainHashes, Seq("h"))
