@@ -22,6 +22,11 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // runtime bloom filters: a selective join side injects a semi-join
+      // filter into the big side's scan — the mechanism that keeps
+      // verification joins (LSH candidates ⋈ token arrays) from reading
+      // the whole corpus at 100 TB; off by default in Spark
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

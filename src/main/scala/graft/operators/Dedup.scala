@@ -132,8 +132,12 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     import graft.functions.{simhash64, popcount64}
+    // signatures materialized once (16 bytes/doc — corpus-text-free): the
+    // chunk explode and both verification joins would otherwise each
+    // re-tokenize and re-hash the full corpus
     val sigs = docs.select(col(id).as("doc_id"),
       simhash64(TextAnalysis.tokens(col(text))).as("sig"))
+      .localCheckpoint(false)
     // chunk shift amounts unrolled Scala-side: shiftright needs an Int literal
     val chunks = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(c =>
