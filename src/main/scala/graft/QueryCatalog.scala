@@ -392,6 +392,69 @@ object QueryCatalog {
              |FROM y GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ---- temporal joins (as-of / range — composed, DuckDB-native oracles) --
+
+    // Point-in-time join: every event picks up its user's hourly snapshot
+    // (max value within the latest hour at-or-before the event). The oracle
+    // is DuckDB's native ASOF JOIN — an independent implementation of the
+    // same semantics, not a replay of ours.
+    ("q_asof_join",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val dim = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+          .agg(max(col("value")).as("snap_value"))
+        val probe = ev.select("event_id", "user_id", "ts", "value")
+        Temporal.asofJoin(probe, dim, "user_id", "ts", Seq("snap_value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("value"), col("snap_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS dts, max(value) AS snap_value
+             |  FROM events GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id,
+             |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, e.value, d.snap_value
+             |FROM events e ASOF LEFT JOIN dim d
+             |  ON e.user_id = d.user_id AND e.ts >= d.dts
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Interval containment: events joined into their session's [start, end]
+    // window; per-session counts must reproduce sessionStats. The oracle is
+    // a plain inequality join over the replayed session bounds.
+    ("q_range_join",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val intervals = Sessionize
+          .sessions(ev, "user_id", "ts", "event_id", gapSeconds = 1800L)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        Temporal.rangeJoin(ev.select("user_id", "event_id", "ts"), intervals,
+          "user_id", "ts", "lo", "hi", binSeconds = 3600L)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_in_range"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS boundary
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |y AS (
+             |  SELECT user_id, ts,
+             |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM x),
+             |b AS (SELECT user_id, session_id, min(ts) AS lo, max(ts) AS hi
+             |      FROM y GROUP BY 1, 2)
+             |SELECT b.user_id, b.session_id, count(*) AS n_in_range
+             |FROM b JOIN events e
+             |  ON e.user_id = b.user_id AND e.ts BETWEEN b.lo AND b.hi
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- D1 data-quality rules ---------------------------------------------
 
     ("q_dq_check",

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed scale-first from the
+  * operators it has (preference order: composition before custom plans).
+  *
+  * - [[asofJoin]]: point-in-time join — each probe row picks up the latest
+  *   dimension state at-or-before its timestamp (the feature-store join a
+  *   training pipeline runs to avoid label leakage).
+  * - [[rangeJoin]]: interval-containment join via time bucketing — never a
+  *   nested-loop/cartesian plan.
+  */
+object Temporal {
+
+  /** As-of (point-in-time) join. For every probe row, attach `valueCols`
+    * from the `dim` row with the greatest `ts` ≤ the probe's `ts` (same
+    * `key`; inclusive; nulls if no dim row precedes the probe).
+    *
+    * Single-shuffle formulation: union the tagged relations, one window
+    * per key ordered by (ts, dim-first), carry the dim payload forward
+    * with `last(ignoreNulls)`, keep probe rows. Equivalent to DuckDB's
+    * `ASOF JOIN`. `dim` must be unique per (key, ts) — pre-aggregate
+    * otherwise (standard as-of precondition).
+    *
+    * Scale: ONE exchange on `key` for both inputs and a per-key sort —
+    * same cost class as the sort-merge join Spark would need anyway; never
+    * a per-row subquery or a range cross product. The payload rides as one
+    * struct so window state is a single value regardless of column count.
+    */
+  def asofJoin(probe: DataFrame, dim: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame = {
+    val dimTagged = dim.select(
+      col(key), col(ts),
+      struct(valueCols.map(col): _*).as("_dim_payload"),
+      lit(1).as("_is_dim"))
+    val probeTagged = probe.withColumn("_is_dim", lit(0))
+    val unioned = probeTagged.unionByName(dimTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_is_dim").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("_asof", last(col("_dim_payload"), ignoreNulls = true).over(w))
+    carried
+      .filter(col("_is_dim") === 0)
+      .select(probe.columns.map(col) ++
+        valueCols.map(c => col("_asof").getField(c).as(c)): _*)
+  }
+
+  /** Interval-containment join: every (`points` row, `intervals` row) pair
+    * with matching `key` and `lo ≤ ts ≤ hi`.
+    *
+    * Plan shape: both sides bucket into `binSeconds` time bins — an
+    * interval replicates into each bin it spans, a point lands in exactly
+    * one — so the join is a plain equi-join on (key, bin) plus the exact
+    * range filter. No duplicates (a point matches an interval only in the
+    * point's own bin) and no nested-loop join. Replication factor is
+    * span/binSeconds: pick the bin near the median interval length.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+                ts: String, lo: String, hi: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val pBin = points.withColumn("_bin", floor(unix_timestamp(col(ts)) / binSeconds))
+    val iBin = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(unix_timestamp(col(lo)) / binSeconds),
+        floor(unix_timestamp(col(hi)) / binSeconds))))
+    pBin.join(iBin, Seq(key, "_bin"))
+      .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
+      .drop("_bin")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive latest-at-or-before semantics, null when no dim precedes") {
+    val dim = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 20:00:00"), "b"),
+      (2L, ts("2024-01-01 15:00:00"), "c")).toDF("k", "ts", "v")
+    val probe = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // before any dim → null
+      (1L, ts("2024-01-01 10:00:00")), // exactly at → inclusive 'a'
+      (1L, ts("2024-01-01 19:59:59")), // between → 'a'
+      (1L, ts("2024-01-01 21:00:00")), // after both → 'b'
+      (2L, ts("2024-01-01 16:00:00")) // other key → 'c', never leaks k=1 state
+    ).toDF("k", "ts")
+    val out = Temporal.asofJoin(probe, dim, "k", "ts", Seq("v"))
+      .orderBy("k", "ts").collect()
+    assert(out.map(r => Option(r.getAs[String]("v"))).toSeq ==
+      Seq(None, Some("a"), Some("a"), Some("b"), Some("c")))
+  }
+
+  test("asofJoin: probe columns survive and payload is the whole dim row state") {
+    val dim = Seq((1L, ts("2024-01-01 10:00:00"), 5.0, "x")).toDF("k", "ts", "m", "tag")
+    val probe = Seq((1L, ts("2024-01-01 11:00:00"), 99L)).toDF("k", "ts", "payload")
+    val r = Temporal.asofJoin(probe, dim, "k", "ts", Seq("m", "tag")).collect().head
+    assert(r.getAs[Long]("payload") == 99L)
+    assert(r.getAs[Double]("m") == 5.0 && r.getAs[String]("tag") == "x")
+  }
+
+  test("rangeJoin: boundary-inclusive, bin-spanning intervals, no duplicates") {
+    val points = Seq(
+      (1L, 101L, ts("2024-01-01 10:00:00")), // == lo
+      (1L, 102L, ts("2024-01-01 11:30:00")), // inside (different bin than lo)
+      (1L, 103L, ts("2024-01-01 12:00:00")), // == hi
+      (1L, 104L, ts("2024-01-01 12:00:01")), // just past hi → no match
+      (2L, 201L, ts("2024-01-01 11:00:00")) // other key → no match
+    ).toDF("k", "pid", "ts")
+    val intervals = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("k", "iid", "lo", "hi")
+    val out = Temporal.rangeJoin(points, intervals, "k", "ts", "lo", "hi",
+      binSeconds = 600L)
+    val matched = out.select("pid").as[Long].collect().sorted.toSeq
+    assert(matched == Seq(101L, 102L, 103L)) // exactly once each
+  }
+
+  test("rangeJoin plan: equi-join on (key, bin), no cartesian/nested-loop") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val intervals = Seq((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("k", "lo", "hi")
+    val p = Temporal.rangeJoin(points, intervals, "k", "ts", "lo", "hi", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+}
