@@ -392,6 +392,83 @@ object QueryCatalog {
              |FROM y GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // Doubling the corpus plants one exact duplicate per document; the
+    // audit must find every pair whose two copies hash into different
+    // splits — pure aggregation, no self-join (see splitLeakage scaladoc).
+    ("q_split_leakage",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val doubled = docs.unionAll(
+          docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+        Curation.splitLeakage(doubled, "doc_id", "text")
+      },
+      Some("""WITH f AS (
+             |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, text FROM documents
+             |        UNION ALL SELECT doc_id + 10000, text FROM documents)),
+             |g AS (
+             |  SELECT fp,
+             |    CAST(count(*) FILTER (split = 'train') AS BIGINT) AS nt,
+             |    CAST(count(*) FILTER (split = 'val') AS BIGINT) AS nv,
+             |    CAST(count(*) FILTER (split = 'test') AS BIGINT) AS ns
+             |  FROM f GROUP BY fp)
+             |SELECT count(*) AS n_fingerprints,
+             |  CAST(sum(CASE WHEN nt + nv + ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_groups,
+             |  CAST(sum(nt*nv + nt*ns + nv*ns) AS BIGINT) AS cross_split_pairs,
+             |  CAST(sum(CAST(nt*(nt-1)/2 AS BIGINT) + CAST(nv*(nv-1)/2 AS BIGINT)
+             |           + CAST(ns*(ns-1)/2 AS BIGINT)) AS BIGINT) AS within_split_pairs
+             |FROM g""".stripMargin)),
+
+    ("q_grouped_quantiles",
+      (s: SparkSession, d: String) => {
+        val nt = TextAnalysis.tokenCount(col("text")).cast("long")
+        t(s, d, "documents").select(col("source"), nt.as("nt"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(expr("percentile(nt, 0.5d)"), 4).as("p50"),
+            round(expr("percentile(nt, 0.9d)"), 4).as("p90"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, CAST(CASE WHEN trim(text) = '' THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  round(quantile_cont(nt, 0.5), 4) AS p50,
+             |  round(quantile_cont(nt, 0.9), 4) AS p90
+             |FROM n GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Trailing 1-hour moving average per user, RANGE-framed over epoch
+    // millis on BOTH engines (a time-cast frame would truncate sub-second
+    // precision differently); the exact-integer-units avg keeps the two
+    // engines' accumulation orders from leaking into the rounding.
+    ("q_moving_avg",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_millis(col("ts")))
+          .rangeBetween(-3599999L, 0L)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            round((round(sum(col("value")).over(w) * 10000)).cast("bigint")
+              / (count(col("value")).over(w) * lit(10000.0d)), 4).as("mov_avg"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  round(CAST(round(sum(value) OVER w * 10000) AS BIGINT)
+             |        / (count(value) OVER w * 10000.0), 4) AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             |  RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- temporal joins (as-of / range — composed, DuckDB-native oracles) --
 
     // Point-in-time join: every event picks up its user's hourly snapshot

@@ -260,6 +260,30 @@ object Curation {
     docs.repartition(shards, col(key))
       .write.mode("overwrite").partitionBy(splitCol).json(path)
 
+  /** Split-leakage audit: counts of exact-duplicate pairs that straddle
+    * split boundaries (train/test leakage through duplicated documents)
+    * versus pairs inside one split. Aggregate-only formulation: group by
+    * fingerprint to per-split counts, then pair counts are products /
+    * C(n,2) sums — no self-join, so a degenerate fingerprint group (every
+    * empty doc) costs one row, never a quadratic pair explosion.
+    */
+  def splitLeakage(docs: DataFrame, id: String, text: String): DataFrame = {
+    val f = splitAssign(docs, id)
+      .select(TextAnalysis.fingerprint(col(text)).as("fp"), col("split"))
+    val g = f.groupBy("fp").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("ns"))
+    def c2(n: Column) = ((n * (n - 1)) / 2).cast("long")
+    g.agg(
+      count(lit(1)).as("n_fingerprints"),
+      sum(when(col("nt") + col("nv") + col("ns") > 1, 1L).otherwise(0L))
+        .as("n_dup_groups"),
+      sum(col("nt") * col("nv") + col("nt") * col("ns") + col("nv") * col("ns"))
+        .as("cross_split_pairs"),
+      sum(c2(col("nt")) + c2(col("nv")) + c2(col("ns"))).as("within_split_pairs"))
+  }
+
   /** Corpus mix report: per-cell (e.g. source × lang) document and token
     * counts plus each cell's share of corpus tokens — the accounting table
     * a training mix is weighted from. One scan + one map-side-combined

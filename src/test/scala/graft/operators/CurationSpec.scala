@@ -161,6 +161,19 @@ class CurationSpec extends SparkTestBase {
     assert(new java.io.File(dir, "split=train").listFiles().count(_.getName.endsWith(".json")) == 4)
   }
 
+  test("splitLeakage: counts cross-split duplicate pairs without a self-join") {
+    // 3 copies of doc A, 2 of doc B, 1 unique C → groups (3,2,1):
+    // pair totals = C(3,2)+C(2,2) = 3+1 = 4, split across cross/within
+    val df = Seq(
+      (1L, "same text a"), (2L, "same text a"), (3L, "same text a"),
+      (4L, "other text b"), (5L, "other text b"),
+      (6L, "unique text c")).toDF("doc_id", "text")
+    val r = Curation.splitLeakage(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_fingerprints") == 3L)
+    assert(r.getAs[Long]("n_dup_groups") == 2L)
+    assert(r.getAs[Long]("cross_split_pairs") + r.getAs[Long]("within_split_pairs") == 4L)
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; ties break on term") {
     val docs = Seq(
       (1L, "a a b"),
