@@ -54,6 +54,17 @@ class TemporalSpec extends SparkTestBase {
     assert(matched == Seq(101L, 102L, 103L)) // exactly once each
   }
 
+  test("asofJoin plan: one exchange total (union rides a single key shuffle), no join node") {
+    val dim = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "ts", "v")
+    val probe = Seq((1L, ts("2024-01-01 11:00:00"))).toDF("k", "ts")
+    val p = Temporal.asofJoin(probe, dim, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"asof join shuffles $exchanges times:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"asof join planned an actual join:\n$p")
+  }
+
   test("rangeJoin plan: equi-join on (key, bin), no cartesian/nested-loop") {
     val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
     val intervals = Seq((1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
