@@ -90,6 +90,58 @@ object Streams {
         })
   }
 
+  /** One merged input row for [[asofEnrich]]: a dimension update carries
+    * `dim_value` (and no `event_id`); a probe event carries `event_id`.
+    * Callers tag-and-union their two streams into this shape.
+    */
+  final case class AsofInput(key: Long, ts: java.sql.Timestamp,
+                             event_id: Option[Long], dim_value: Option[Double])
+  final case class AsofState(dimTsMs: Long, value: Double)
+  final case class AsofEnriched(key: Long, event_id: Long, ts: java.sql.Timestamp,
+                                dim_value: Option[Double])
+
+  /** Streaming point-in-time enrichment — the low-latency analog of
+    * [[graft.operators.Temporal.asofJoin]]: per-key state holds the latest
+    * dimension update, and every probe event is emitted with the newest
+    * dim value whose timestamp ≤ the event's (dims sort before probes at
+    * equal ts, matching the batch operator's inclusive semantics; a probe
+    * older than the retained state yields None rather than a future
+    * value).
+    *
+    * State is one (ts, value) per key — O(active keys), like any
+    * stream-stream join. Caveat (documented, inherent to low-latency
+    * enrichment): a dimension update that arrives AFTER a probe it should
+    * have enriched is not retroactively applied — replay the batch
+    * [[graft.operators.Temporal.asofJoin]] for exact backfill.
+    */
+  def asofEnrich(inputs: org.apache.spark.sql.Dataset[AsofInput],
+                 watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[AsofEnriched] = {
+    import inputs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    inputs
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, batch: Iterator[AsofInput], state: GroupState[AsofState]) => {
+          val sorted = batch.toArray
+            .sortBy(r => (r.ts.getTime, if (r.dim_value.isDefined) 0 else 1))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            r.dim_value match {
+              case Some(v) =>
+                if (cur.forall(_.dimTsMs <= r.ts.getTime))
+                  cur = Some(AsofState(r.ts.getTime, v))
+              case None =>
+                out += AsofEnriched(key, r.event_id.get, r.ts,
+                  cur.filter(_.dimTsMs <= r.ts.getTime).map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Continuous ingest into the versioned posts table: every micro-batch is
     * one atomic delete-matching upsert (U3 as the foreachBatch body).
     */

@@ -51,6 +51,36 @@ class StreamsSpec extends SparkTestBase {
     assert(m == Map("a" -> 1, "b" -> 20, "c" -> 30))
   }
 
+  test("asofEnrich: stateful point-in-time enrichment across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import Streams.{AsofInput, AsofEnriched}
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[AsofInput]
+    val q = Streams.asofEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    // batch 1: a probe before any dim, a dim update, a probe after it
+    mem.addData(
+      AsofInput(1L, t("2024-01-01 09:00:00"), Some(100L), None),
+      AsofInput(1L, t("2024-01-01 10:00:00"), None, Some(1.5)),
+      AsofInput(1L, t("2024-01-01 10:05:00"), Some(101L), None))
+    q.processAllAvailable()
+    // batch 2: state carries across batches; newer dim supersedes
+    mem.addData(
+      AsofInput(1L, t("2024-01-01 11:00:00"), None, Some(2.5)),
+      AsofInput(1L, t("2024-01-01 11:30:00"), Some(102L), None),
+      AsofInput(2L, t("2024-01-01 11:00:00"), Some(200L), None)) // key 2 has no dim
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val rows = spark.table("asof_stream").as[AsofEnriched].collect()
+      .map(r => r.event_id -> r.dim_value).toMap
+    assert(rows(100L).isEmpty)         // no dim at-or-before 09:00
+    assert(rows(101L).contains(1.5))   // same-batch dim applied
+    assert(rows(102L).contains(2.5))   // cross-batch state + supersede
+    assert(rows(200L).isEmpty)         // per-key isolation
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
