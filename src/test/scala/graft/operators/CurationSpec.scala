@@ -161,6 +161,23 @@ class CurationSpec extends SparkTestBase {
     assert(new java.io.File(dir, "split=train").listFiles().count(_.getName.endsWith(".json")) == 4)
   }
 
+  test("curate: end-to-end pipeline drops planted junk, exact dups, and near-dups") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+      .select("doc_id", "text")
+    val planted = docs
+      .union(docs.limit(50).select((col("doc_id") + 10000L).as("doc_id"), col("text"))) // exact dups
+      .union(Seq((20001L, ""), (20002L, "x")).toDF("doc_id", "text"))                   // junk
+    val (curated, report) = Curation.curate(planted, "doc_id", "text", minTokens = 2L)
+    assert(report.nInput == docs.count() + 52)
+    assert(report.nAfterQuality == report.nInput - 2)          // junk gated
+    assert(report.nAfterExactDedup == docs.count())            // planted copies collapse
+    assert(report.nAfterNearDup <= report.nAfterExactDedup)
+    assert(report.perSplit.values.sum == report.nAfterNearDup)
+    assert(curated.columns.contains("split"))
+    // survivors keep the smallest id of each duplicate group
+    assert(curated.filter(col("doc_id") >= 10000L).count() == 0)
+  }
+
   test("splitLeakage: counts cross-split duplicate pairs without a self-join") {
     // 3 copies of doc A, 2 of doc B, 1 unique C → groups (3,2,1):
     // pair totals = C(3,2)+C(2,2) = 3+1 = 4, split across cross/within
