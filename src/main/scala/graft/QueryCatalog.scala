@@ -543,7 +543,11 @@ object QueryCatalog {
           .agg(count(lit(1)).as("null_rows"))
         val bad = AcceptedValues("lang", Seq("en", "de", "es", "fr", "zh")).violations(docs)
           .agg(count(lit(1)).as("bad_lang_rows"))
-        dup.crossJoin(nul).crossJoin(bad)
+        val rng = InRange("n_chars", 0d, 1000000d).violations(docs)
+          .agg(count(lit(1)).as("out_of_range_rows"))
+        val rex = MatchesRegex("source", "^src[0-9]+$").violations(docs)
+          .agg(count(lit(1)).as("bad_source_rows"))
+        dup.crossJoin(nul).crossJoin(bad).crossJoin(rng).crossJoin(rex)
       },
       Some("""SELECT
              |  CAST((SELECT coalesce(sum(n - 1), 0) FROM (
@@ -551,7 +555,12 @@ object QueryCatalog {
              |    HAVING count(*) > 1)) AS BIGINT) AS dup_rows,
              |  (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS null_rows,
              |  (SELECT count(*) FROM documents
-             |   WHERE lang IS NULL OR lang NOT IN ('en','de','es','fr','zh')) AS bad_lang_rows""".stripMargin)),
+             |   WHERE lang IS NULL OR lang NOT IN ('en','de','es','fr','zh')) AS bad_lang_rows,
+             |  (SELECT count(*) FROM documents
+             |   WHERE n_chars < 0 OR n_chars > 1000000) AS out_of_range_rows,
+             |  (SELECT count(*) FROM documents
+             |   WHERE source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$'))
+             |    AS bad_source_rows""".stripMargin)),
 
     // ---- text analysis ------------------------------------------------------
 

@@ -38,6 +38,24 @@ object DataQuality {
       df.filter(!col(column).isin(values.map(lit): _*) || col(column).isNull)
   }
 
+  /** dbt_utils `accepted_range` (inclusive bounds). Nulls pass — compose
+    * with [[NotNull]] when nulls should fail, mirroring dbt semantics.
+    */
+  case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    val name = s"in_range($column)"
+    def violations(df: DataFrame): DataFrame =
+      df.filter(col(column) < lo || col(column) > hi)
+  }
+
+  /** Pattern conformance (dbt_utils `expression_is_true` with rlike);
+    * nulls fail — a null can't match a required shape.
+    */
+  case class MatchesRegex(column: String, pattern: String) extends Rule {
+    val name = s"matches_regex($column)"
+    def violations(df: DataFrame): DataFrame =
+      df.filter(col(column).isNull || !col(column).rlike(pattern))
+  }
+
   case class Result(rule: String, violationCount: Long, sample: Seq[String])
 
   /** Compile ALL rules into one single-scan plan: row-level rules
@@ -58,6 +76,12 @@ object DataQuality {
       case (r: AcceptedValues, i) =>
         sum(when(!col(r.column).isin(r.values.map(lit): _*) || col(r.column).isNull,
           1L).otherwise(0L)).as(s"_r$i")
+      case (r: InRange, i) =>
+        sum(when(col(r.column) < r.lo || col(r.column) > r.hi, 1L).otherwise(0L))
+          .as(s"_r$i")
+      case (r: MatchesRegex, i) =>
+        sum(when(col(r.column).isNull || !col(r.column).rlike(r.pattern), 1L)
+          .otherwise(0L)).as(s"_r$i")
     }
 
     if (k == 0) df.agg(rowSums.head, rowSums.tail: _*)

@@ -23,4 +23,18 @@ class DataQualitySpec extends SparkTestBase {
     assert(byName("accepted_values(lang)").violationCount == 1)
     assert(byName("unique(id)").sample.nonEmpty)
   }
+
+  test("in_range and matches_regex compile into the same single-scan pass") {
+    val df = Seq(("u1", 5.0), ("u2", -1.0), ("3x", 50.0), (null, 200.0))
+      .toDF("uid", "score")
+    val rs = check(df, Seq(
+      Unique("uid"), InRange("score", 0d, 100d), MatchesRegex("uid", "^u[0-9]+$")))
+    val byName = rs.map(r => r.rule -> r.violationCount).toMap
+    assert(byName("in_range(score)") == 2)      // -1 and 200
+    assert(byName("matches_regex(uid)") == 2)   // "3x" and null
+    assert(byName("unique(uid)") == 0)
+    // nulls pass in_range (dbt semantics — pair with NotNull to reject)
+    assert(check(Seq((Option.empty[Double], "a")).toDF("v", "k"),
+      Seq(InRange("v", 0d, 1d))).head.violationCount == 0)
+  }
 }
