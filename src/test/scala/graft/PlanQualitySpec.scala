@@ -115,7 +115,11 @@ class PlanQualitySpec extends SparkTestBase {
     Seq(
       "splitAssign" -> Curation.splitAssign(docs, "doc_id"),
       "sampleByHash" -> Curation.sampleByHash(docs, "doc_id", 0.1),
-      "piiScrub" -> Curation.piiScrub(docs, "doc_id", "text")
+      "piiScrub" -> Curation.piiScrub(docs, "doc_id", "text"),
+      "rebalanceMix" -> Curation.rebalanceMix(docs, "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 1.0)),
+      "epochsMix" -> Curation.epochsMix(docs, "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 1.0))
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
