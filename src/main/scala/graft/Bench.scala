@@ -42,8 +42,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = selected.map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val gc0 = gcMs
       val t0 = System.nanoTime()
       val fut = Future {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -62,10 +66,18 @@ object Bench {
       spark.sparkContext.clearJobGroup()
       val sec = (System.nanoTime() - t0) / 1e9
       // isolation between queries: drop any cache a query leaked and nudge
-      // GC so one allocation-heavy plan doesn't tax its successors' numbers
+      // GC so one allocation-heavy plan doesn't tax its successors' numbers.
+      // catalog.clearCache only drops SQL-cached relations — localCheckpoint
+      // blocks live as persisted RDDs and otherwise linger until the
+      // ContextCleaner happens to run, taxing every later query's memory
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      System.err.println(f"[bench] $name%-28s ${sec}%8.2fs ${if (ok) "" else "(FAILED)"}")
+      // gc= is the JVM-wide collector time that overlapped this query — the
+      // fingerprint of a cross-query-memory-pressure outlier (high gc share)
+      // vs a genuinely slow plan (low gc share) when reading driver-run logs
+      System.err.println(
+        f"[bench] $name%-28s ${sec}%8.2fs gc=${gcMs - gc0}%dms ${if (ok) "" else "(FAILED)"}")
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -32,6 +32,10 @@ object Curation {
     * selects `pct`% of a uniform key space (floor granularity 16^digits).
     */
   def hexThreshold(pct: Double, digits: Int): String = {
+    // a negative pct would format a negative Long via %x into a 16-char
+    // two's-complement string that compares ABOVE nearly every hash and
+    // silently keeps ~everything instead of nothing — fail fast instead
+    require(pct >= 0, s"hexThreshold: pct must be >= 0, got $pct")
     val space = math.pow(16, digits).toLong
     val cut = math.floor(space * pct / 100.0).toLong
     // pct ≥ 100 → "g": strictly above every hex digit in ASCII, so the
@@ -313,20 +317,31 @@ object Curation {
     *
     * Composes the individually-graded operators; each stage keeps its own
     * scale shape (in-row gate, two-phase agg dedup, ids-only LSH exchange,
-    * in-row split). The report's counts are separate aggregates — cheap
-    * next to the stages themselves — and make the pipeline auditable.
+    * in-row split). Each stage output is materialized once (non-eager
+    * localCheckpoint): the stage count, the next stage, and the caller's
+    * action on the returned frame all read the blocks — no stage is ever
+    * recomputed. The ContextCleaner frees the blocks when the returned
+    * frame is dropped.
     */
   def curate(docs: DataFrame, id: String, text: String,
              minTokens: Long = 1L, maxTokens: Long = 1000000L,
              nearDupThreshold: Double = 0.9): (DataFrame, CurationReport) = {
     val nInput = docs.count()
 
+    // each stage is localCheckpoint'd before its count so the stage runs
+    // exactly once: the count, the next stage, and the caller's eventual
+    // action all read the materialized blocks instead of recomputing the
+    // quality filter + dedup joins from the raw scan (without this, the
+    // three counts plus the perSplit collect plus the caller's action
+    // re-ran the whole upstream pipeline ~5×)
     val nt = TextAnalysis.tokenCount(col(text)).cast("long")
     val quality = docs.filter(nt.between(minTokens, maxTokens))
+      .localCheckpoint(false)
     val nQuality = quality.count()
 
     val keepExact = Dedup.exact(quality, id, text).select(col("keep_id").as(id))
     val exactDeduped = quality.join(keepExact, Seq(id), "left_semi")
+      .localCheckpoint(false)
     val nExact = exactDeduped.count()
 
     val pairs = Dedup.minhashLsh(exactDeduped, id, text, threshold = nearDupThreshold)
@@ -334,6 +349,7 @@ object Curation {
       .filter(col("doc_id") === col("cluster"))
       .select(col("doc_id").as(id))
     val nearDeduped = exactDeduped.join(reps, Seq(id), "left_semi")
+      .localCheckpoint(false)
     val nNear = nearDeduped.count()
 
     val curated = splitAssign(nearDeduped, id)

@@ -32,6 +32,13 @@ object Temporal {
     */
   def asofJoin(probe: DataFrame, dim: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame = {
+    // the internal tag/payload columns and the attached valueCols must not
+    // collide with probe columns — a silent collision yields ambiguous or
+    // wrong output, so fail fast with the offending names
+    val reserved = Seq("_dim_payload", "_is_dim", "_asof")
+    val clashes = probe.columns.filter(c => reserved.contains(c) || valueCols.contains(c))
+    require(clashes.isEmpty,
+      s"asofJoin: probe columns collide with reserved/value columns: ${clashes.mkString(", ")}")
     val dimTagged = dim.select(
       col(key), col(ts),
       struct(valueCols.map(col): _*).as("_dim_payload"),

@@ -108,37 +108,61 @@ object Streams {
     * older than the retained state yields None rather than a future
     * value).
     *
-    * State is one (ts, value) per key — O(active keys), like any
-    * stream-stream join. Caveat (documented, inherent to low-latency
-    * enrichment): a dimension update that arrives AFTER a probe it should
-    * have enriched is not retroactively applied — replay the batch
-    * [[graft.operators.Temporal.asofJoin]] for exact backfill.
+    * State is one (ts, value) per key, expired by event-time timeout
+    * `retention` past the watermark after a key's last activity — so state
+    * is O(keys active within the retention window), not O(keys ever seen)
+    * (a watermark alone does NOT expire flatMapGroupsWithState state; only
+    * timeouts do). A probe for an expired key re-starts with no dim value.
+    * Caveat (documented, inherent to low-latency enrichment): a dimension
+    * update that arrives AFTER a probe it should have enriched is not
+    * retroactively applied — replay the batch
+    * [[graft.operators.Temporal.asofJoin]] for exact backfill. A malformed
+    * row carrying neither `event_id` nor `dim_value` is dropped, never a
+    * query-killing exception.
     */
   def asofEnrich(inputs: org.apache.spark.sql.Dataset[AsofInput],
-                 watermark: String = "10 minutes"): org.apache.spark.sql.Dataset[AsofEnriched] = {
+                 watermark: String = "10 minutes",
+                 retentionMs: Long = 6L * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[AsofEnriched] = {
+    require(retentionMs > 0, "asofEnrich: retentionMs must be positive")
     import inputs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     inputs
       .withWatermark("ts", watermark)
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: Long, batch: Iterator[AsofInput], state: GroupState[AsofState]) => {
-          val sorted = batch.toArray
-            .sortBy(r => (r.ts.getTime, if (r.dim_value.isDefined) 0 else 1))
-          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
-          var cur = state.getOption
-          sorted.foreach { r =>
-            r.dim_value match {
-              case Some(v) =>
-                if (cur.forall(_.dimTsMs <= r.ts.getTime))
-                  cur = Some(AsofState(r.ts.getTime, v))
-              case None =>
-                out += AsofEnriched(key, r.event_id.get, r.ts,
-                  cur.filter(_.dimTsMs <= r.ts.getTime).map(_.value))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toArray
+              .sortBy(r => (r.ts.getTime, if (r.dim_value.isDefined) 0 else 1))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              (r.dim_value, r.event_id) match {
+                case (Some(v), _) =>
+                  if (cur.forall(_.dimTsMs <= r.ts.getTime))
+                    cur = Some(AsofState(r.ts.getTime, v))
+                case (None, Some(eid)) =>
+                  out += AsofEnriched(key, eid, r.ts,
+                    cur.filter(_.dimTsMs <= r.ts.getTime).map(_.value))
+                case (None, None) => // malformed: neither probe nor dim — drop
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // refresh the lease on every activity: expire `retention`
+              // past max(watermark, newest event seen) — the max matters in
+              // the first micro-batch, where the watermark is still 0 and a
+              // watermark-only lease would expire the instant it advances
+              val leaseBase = math.max(state.getCurrentWatermarkMs(),
+                sorted.last.ts.getTime)
+              state.setTimeoutTimestamp(leaseBase + retentionMs)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         })
   }
 

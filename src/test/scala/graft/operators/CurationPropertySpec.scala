@@ -26,6 +26,10 @@ class CurationPropertySpec extends SparkTestBase {
     }
   }
 
+  test("hexThreshold rejects negative pct instead of silently inverting the sample") {
+    intercept[IllegalArgumentException](Curation.hexThreshold(-0.1, 4))
+  }
+
   test("splitAssign is a total partition for arbitrary keys (incl. negatives)") {
     Seq(1L, 7L, 99L).foreach { seed =>
       val ids = longs(400, seed).toDF("id")

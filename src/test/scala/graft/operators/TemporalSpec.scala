@@ -37,6 +37,16 @@ class TemporalSpec extends SparkTestBase {
     assert(r.getAs[Double]("m") == 5.0 && r.getAs[String]("tag") == "x")
   }
 
+  test("asofJoin fails fast on reserved-name or valueCols collisions with probe") {
+    val dim = Seq((1L, ts("2024-01-01 10:00:00"), 5.0)).toDF("k", "ts", "m")
+    val clashReserved = Seq((1L, ts("2024-01-01 11:00:00"), 0)).toDF("k", "ts", "_asof")
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(clashReserved, dim, "k", "ts", Seq("m")))
+    val clashValue = Seq((1L, ts("2024-01-01 11:00:00"), 0.0)).toDF("k", "ts", "m")
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(clashValue, dim, "k", "ts", Seq("m")))
+  }
+
   test("rangeJoin: boundary-inclusive, bin-spanning intervals, no duplicates") {
     val points = Seq(
       (1L, 101L, ts("2024-01-01 10:00:00")), // == lo

@@ -81,6 +81,45 @@ class StreamsSpec extends SparkTestBase {
     assert(rows(200L).isEmpty)         // per-key isolation
   }
 
+  test("asofEnrich: idle-key state expires by event-time timeout; malformed rows dropped") {
+    implicit val sql = spark.sqlContext
+    import Streams.{AsofInput, AsofEnriched}
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[AsofInput]
+    // zero watermark delay + 1h retention so expiry is observable in-test
+    val q = Streams.asofEnrich(mem.toDS(), watermark = "0 seconds",
+        retentionMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("asof_expiry")
+      .outputMode("append").start()
+    // b1: dim + probe for key 1; a malformed row (no event_id, no dim_value)
+    // must be dropped, not kill the query
+    mem.addData(
+      AsofInput(1L, t("2024-01-01 10:00:00"), None, Some(1.5)),
+      AsofInput(1L, t("2024-01-01 10:05:00"), Some(100L), None),
+      AsofInput(1L, t("2024-01-01 10:06:00"), None, None))
+    q.processAllAvailable()
+    // b2: key 1 still within its lease (10:05 + 1h) — state alive
+    mem.addData(AsofInput(1L, t("2024-01-01 10:30:00"), Some(101L), None))
+    q.processAllAvailable()
+    // b3: advance the watermark far past key 1's lease via another key;
+    // b4: a key-1-less batch lets the timeout fire and reclaim the state
+    mem.addData(AsofInput(99L, t("2024-01-01 13:00:00"), Some(900L), None))
+    q.processAllAvailable()
+    mem.addData(AsofInput(99L, t("2024-01-01 14:00:00"), Some(901L), None))
+    q.processAllAvailable()
+    // b5: key 1's state is gone — the probe re-starts with no dim value
+    mem.addData(AsofInput(1L, t("2024-01-01 14:05:00"), Some(102L), None))
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val rows = spark.table("asof_expiry").as[AsofEnriched].collect()
+      .map(r => r.event_id -> r.dim_value).toMap
+    assert(rows(100L).contains(1.5))  // in-lease enrichment
+    assert(rows(101L).contains(1.5))  // still in-lease next batch
+    assert(rows(102L).isEmpty)        // expired state was reclaimed
+    assert(!rows.contains(0L) && rows.size == 5) // malformed row dropped
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
