@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CosineF32Expr, LangIdExpr, MinHashBandsExpr,
-  RollingHash64Expr, SimHash64Expr, WordShinglesExpr}
+  RollingHash64Expr, SimHash64Expr, WordNgramsExpr, WordShinglesExpr}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions` in
@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("lang_id", es => LangIdExpr(es.head))
     inject("cosine_f32", es => CosineF32Expr(es(0), es(1)))
     inject("word_shingles", es => WordShinglesExpr(es(0), intLit(es(1), "k")))
+    inject("word_ngrams", es => WordNgramsExpr(es(0), intLit(es(1), "k")))
     inject("minhash_bands", es => MinHashBandsExpr(es(0),
       intLit(es(1), "numHashes"), intLit(es(2), "bands")))
   }

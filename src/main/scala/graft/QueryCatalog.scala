@@ -1310,7 +1310,95 @@ object QueryCatalog {
              |          ORDER BY tfidf DESC, term) AS rank
              |      FROM scored)
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
-             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // deterministic training order: the two-phase distributed rank must
+    // equal the naive global ORDER BY md5 row_number the oracle computes
+    ("q_training_order",
+      (s: SparkSession, d: String) =>
+        Curation.trainingOrder(t(s, d, "documents").select("doc_id", "source"), "doc_id")
+          .select(col("doc_id"), col("source"), col("position"))
+          .orderBy("position"),
+      Some("""SELECT doc_id, source,
+             |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+             |    AS position
+             |FROM documents ORDER BY position""".stripMargin)),
+
+    // substring-level dedup census: every distinct 8-shingle's document
+    // frequency, folded back per doc — oracle replays the shingle domain
+    // (incl. the whole-text fallback for <8-token docs) in SQL
+    ("q_duplicate_spans",
+      (s: SparkSession, d: String) =>
+        Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, array_to_string(a[i:i+7], ' ') AS s
+             |  FROM d, unnest(range(1, greatest(len(a)-7,0)+1)) AS t(i)
+             |  UNION
+             |  SELECT doc_id, array_to_string(a, ' ') AS s FROM d WHERE len(a) < 8),
+             |freq AS (SELECT s, count(*) AS nd FROM sh GROUP BY 1),
+             |dup AS (SELECT doc_id, count(*) AS n_dup FROM sh JOIN freq USING (s)
+             |        WHERE nd >= 2 GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS n_spans FROM sh GROUP BY 1)
+             |SELECT t.doc_id, t.n_spans,
+             |  coalesce(p.n_dup, 0) AS n_dup_spans,
+             |  round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_spans, 6) AS dup_frac
+             |FROM tot t LEFT JOIN dup p ON t.doc_id = p.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // corpus-self-trained bigram LM score (the perplexity-filter signal);
+    // the smoothed probabilities are exact rationals of corpus counts, so
+    // both engines differ only in ln() ulps — 4dp round absorbs that
+    ("q_lm_score",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |bg AS (
+             |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS bg, a[i] AS w1
+             |  FROM d, unnest(range(1, greatest(len(a)-1,0)+1)) AS t(i)),
+             |cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+             |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+             |        FROM cbg GROUP BY 1),
+             |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v_size
+             |      FROM (SELECT unnest(a) AS w FROM d)),
+             |scored AS (
+             |  SELECT doc_id,
+             |    ln((c_bg + 1) / (CAST(c_ctx AS DOUBLE) + v_size)) AS lp
+             |  FROM bg JOIN cbg USING (bg) JOIN ctx USING (w1) CROSS JOIN v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(lp), 4) AS lm_score
+             |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup-style cluster-then-verify: planted identical vectors always
+    // share an IVF cell, and the near-orthogonal rest never reaches the
+    // 0.99 cosine bar — so the exact all-pairs oracle predicts the output
+    // with no knowledge of the clustering
+    ("q_semantic_dedup",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val doubled = e.union(e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+        Dedup.semanticDedup(doubled, "vec_id", "embedding",
+          cells = 16, threshold = 0.99)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings),
+             |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM u)
+             |SELECT * FROM (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    round(CASE WHEN sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) = 0
+             |          THEN 0.0
+             |          ELSE list_inner_product(a.v, b.v)
+             |               / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) END, 6) AS cosine
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |WHERE cosine >= 0.99 ORDER BY a_id, b_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

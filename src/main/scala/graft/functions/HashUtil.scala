@@ -117,6 +117,37 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** ALL word k-gram windows in document order, multiplicity preserved —
+    * the sequence-model / span-statistics complement of the
+    * first-occurrence-distinct [[wordShingles]]. Fewer than k tokens →
+    * EMPTY array (no partial window: a 1-token doc has no bigrams), which
+    * is the right contract for LM scoring and positional span counting.
+    */
+  def wordNgrams(text: UTF8String, k: Int): ArrayData = {
+    val trimmed = text.toString.trim
+    if (trimmed.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = trimmed.split("\\s+")
+    if (toks.length < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val n = toks.length - k + 1
+    val arr = new Array[Any](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** Language-ID heuristic kernel — exact semantics of
     * [[graft.operators.TextAnalysis.langId]] (validated by the same DuckDB
     * oracle): CJK codepoint anywhere → "zh"; else argmax of per-language

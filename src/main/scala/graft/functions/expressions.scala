@@ -77,6 +77,29 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All-windows word k-gram kernel (see [[HashUtil.wordNgrams]]): string →
+  * array<string> of every k-token window in order (empty when the doc has
+  * fewer than k tokens), codegen'd — the LM / span-statistics front end.
+  */
+case class WordNgramsExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.wordNgrams(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.wordNgrams($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 /** Language-ID kernel (see [[HashUtil.langId]]): string → language code,
   * codegen'd — replaces a 4×-tokenizing interpreted HOF chain.
   */

@@ -30,6 +30,12 @@ package object functions {
   def word_shingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), k))
 
+  /** ALL word k-gram windows in order, multiplicity preserved; empty when
+    * the doc has fewer than k tokens (codegen'd kernel).
+    */
+  def word_ngrams(text: Column, k: Int): Column =
+    ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), k))
+
   /** Cosine similarity of two array<float> columns (codegen'd kernel;
     * bit-identical to the HOF fold formulation).
     */

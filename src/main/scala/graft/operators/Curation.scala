@@ -254,6 +254,37 @@ object Curation {
       .drop("cum")
   }
 
+  /** Deterministic training order: the content-stable global shuffle a
+    * training run reads the corpus in, plus an explicit 0-based `position`
+    * for epoch addressing. Order is by md5 of the key — reproducible across
+    * re-runs and re-partitioning (same determinism contract as
+    * [[splitAssign]]), uniform, and uncorrelated with ingest order.
+    *
+    * Scale shape: a global `row_number()` window would funnel the corpus
+    * through ONE partition — instead this is the two-phase distributed
+    * rank: the first 2 hash hex digits shard the corpus into 256 groups
+    * whose (shard, hash) order IS the global hash order, each shard ranks
+    * locally (per-shard window, hash-balanced), and shard offsets come
+    * from a 256-row aggregate joined back by broadcast. The only
+    * single-partition step handles 256 rows, never documents.
+    */
+  def trainingOrder(docs: DataFrame, key: String): DataFrame = {
+    val base = docs
+      .withColumn("_h", md5(col(key).cast("string")))
+      .withColumn("_shard", conv(substring(col("_h"), 1, 2), 16, 10).cast("long"))
+    val local = base.withColumn("_local",
+      row_number().over(Window.partitionBy("_shard").orderBy("_h")).cast("long"))
+    val offsets = base.groupBy("_shard").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_shard", "_offset")
+    local.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("position", col("_offset") + col("_local") - 1)
+      .drop("_h", "_shard", "_local", "_offset")
+  }
+
   /** Export a curated corpus as JSONL training shards: `shards` files per
     * split directory (`path/<splitCol>=train/...`), shard membership by key
     * hash so re-runs produce identical shard contents. JSONL-per-split is

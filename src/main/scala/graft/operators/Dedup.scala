@@ -225,6 +225,63 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Cross-document duplicate-span census — substring-level dedup
+    * statistics (the signal behind "remove docs that are mostly boilerplate
+    * / copied spans", per-span rather than whole-doc like [[minhashLsh]]).
+    * For each doc: how many of its distinct k-token shingles also occur in
+    * at least `minDocs-1` OTHER docs, and the duplicated fraction. Docs
+    * with no shingle (empty text) are absent, matching the shingle domain.
+    *
+    * Scale shape: shingles hash to 64-bit in-row before anything shuffles
+    * — the exchange carries (doc_id, hash) longs, never shingle text. The
+    * shingle relation is materialized once (non-eager localCheckpoint) and
+    * feeds both the per-shingle doc-frequency aggregate and the per-doc
+    * totals; both aggregates are plain two-phase hash aggs. No join ever
+    * explodes: the doc-frequency side is (distinct-shingle)-sized and the
+    * equi-join back is on the hash key.
+    */
+  def duplicateSpans(docs: DataFrame, id: String, text: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"duplicateSpans: minDocs must be >= 2, got $minDocs")
+    val sh = docs.select(col(id).as("doc_id"),
+        explode(graft.functions.word_shingles(col(text), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .localCheckpoint(false)
+    // rows are (doc, shingle)-distinct (kernel dedups within a doc), so a
+    // plain count per hash IS the shingle's document frequency
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+    val dup = sh.join(docFreq.filter(col("nd") >= minDocs).select("h"), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+          / col("n_spans"), 6).as("dup_frac"))
+  }
+
+  /** SemDeDup-style semantic dedup: cluster embeddings into IVF cells
+    * (in-row assignment against the broadcast-as-literal centroid table),
+    * then exact-verify cosine ONLY within a cell — the cluster-then-compare
+    * alternative to [[embeddingNearDup]]'s hyperplane sign buckets. Cells
+    * give coarser, semantically-coherent buckets: recall for true near-dups
+    * is governed by cluster assignment (identical vectors always share a
+    * cell), and the candidate space is corpus/cells per bucket instead of
+    * all pairs, capped by `maxCellSize` like every LSH stage here.
+    */
+  def semanticDedup(emb: DataFrame, id: String, vec: String, cells: Int,
+                    threshold: Double, maxCellSize: Int = 2000): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, id, vec, cells)
+      .select(col(id).as("vec_id"), col("cell"))
+    val vecs = emb.select(col(id).as("vec_id"), col(vec).as("v"))
+    boundedIdPairs(assigned, Seq("cell"), "vec_id", maxCellSize)
+      .join(vecs.select(col("vec_id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosineF(col("a_v"), col("b_v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Bounded in-bucket candidate pairs, the shared LSH candidate stage:
     * aggregate each bucket to a size-capped id list
     * ([[graft.functions.capped_collect]] — O(cap) reducer state even for a

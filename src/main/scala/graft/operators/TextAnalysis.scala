@@ -169,6 +169,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** CCNet-style n-gram LM scoring: train an add-1-smoothed bigram model on
+    * the corpus itself and score every doc by its mean bigram log-probability
+    * — the "perplexity filter" a web-scale pipeline runs to drop gibberish
+    * (far-below-corpus-average score) without any external model artifact.
+    *
+    * Model: P(w2|w1) = (c(w1 w2) + 1) / (c1(w1) + V), where c(w1 w2) is the
+    * corpus bigram count, c1(w1) the count of w1 as a bigram context, and V
+    * the corpus vocabulary size. Docs with fewer than 2 tokens have no
+    * bigram and are absent (they get no LM evidence either way).
+    *
+    * Plan: one corpus scan explodes bigram windows
+    * ([[graft.functions.word_ngrams]], codegen'd); the relation is
+    * materialized once (non-eager localCheckpoint) and feeds the bigram
+    * counts, the context counts (an aggregate OVER the bigram aggregate —
+    * vocabulary-sized input, not corpus-sized), and the scoring join. The
+    * vocabulary size is a second, text-column-pruned scan: V cannot be
+    * derived from the bigram relation (doc-final and single-token words
+    * never open a bigram), and at 100 TB a second scan is cheaper than
+    * checkpointing a text-sized token relation just to avoid it. V rides
+    * as a lazy 1-row aggregate through a cross join, never a driver-side
+    * count. Both joins are equi-joins on token keys; AQE broadcasts the
+    * (vocabulary-bounded) count sides when they fit.
+    */
+  def lmScore(docs: DataFrame, id: String, text: String): DataFrame = {
+    val bg = docs.select(col(id).as("doc_id"),
+        explode(graft.functions.word_ngrams(col(text), 2)).as("bg"))
+      .localCheckpoint(false)
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // context count = occurrences of w1 as a bigram start — summed from the
+    // bigram aggregate, so this second aggregate never touches the corpus
+    val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
+    val vocab = docs.select(explode(tokens(col(text))).as("w"))
+      .agg(count_distinct(col("w")).cast("double").as("v_size"))
+    bg.join(bgCounts, Seq("bg"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(vocab)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bg") + lit(1d)) / (col("c_ctx") + col("v_size")))), 4)
+          .as("lm_score"))
+  }
+
   /** Canonical document fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Used as the exact-dedup key (stable across engines/runs).
     */

@@ -137,6 +137,50 @@ class PlanQualitySpec extends SparkTestBase {
       s"corpus re-scanned ($scans parquet scans):\n$p")
   }
 
+  test("duplicateSpans shuffles hashed longs only and never re-scans the corpus") {
+    val df = Dedup.duplicateSpans(Tables(spark, sfDir, "documents"), "doc_id", "text")
+    df.write.mode("overwrite").format("noop").save()
+    val p = plan(df)
+    // single scan in the shingle-materialization job; the main plan reads
+    // the checkpointed (doc_id, hash) RDD and shuffles longs only
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0 && p.contains("ExistingRDD"),
+      s"corpus re-scanned ($scans parquet scans):\n$p")
+    val keys = "hashpartitioning\\(([A-Za-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("h", "doc_id")),
+      s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("lmScore: bigram branches derive from the materialized relation; vocab is one pruned scan") {
+    val df = TextAnalysis.lmScore(Tables(spark, sfDir, "documents"), "doc_id", "text")
+    df.write.mode("overwrite").format("noop").save()
+    val p = plan(df)
+    // exactly ONE parquet scan (the text-pruned vocabulary count) — bigram
+    // counts, context counts and the scoring join all read the checkpoint
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1 && p.contains("ExistingRDD"),
+      s"expected 1 vocab scan + checkpointed bigrams, got $scans scans:\n$p")
+  }
+
+  test("trainingOrder: corpus ranks per-shard; only the 256-row offsets pass one partition") {
+    val df = Curation.trainingOrder(Tables(spark, sfDir, "documents").select("doc_id"), "doc_id")
+    val p = plan(df)
+    // the document-bearing window must partition by _shard (a global
+    // row_number would funnel the corpus through a single partition) and
+    // the offsets join must be a broadcast, not a corpus shuffle
+    assert("hashpartitioning\\(_shard".r.findFirstIn(p).isDefined,
+      s"no per-shard rank exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the offsets join:\n$p")
+  }
+
+  test("semanticDedup: bounded in-cell pairs, no cartesian and no window") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val p = plan(Dedup.semanticDedup(e, "vec_id", "embedding", cells = 8, threshold = 0.9))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"semanticDedup plan degenerated:\n$p")
+  }
+
   test("contamination exchanges partition on hashed longs, never shingle strings") {
     val docs = Tables(spark, sfDir, "documents")
     val out = Curation.contamination(

@@ -25,6 +25,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(a == a2 && a != b)
   }
 
+  test("word_ngrams: all windows in order with multiplicity; empty when short") {
+    val rows = Seq(
+      ("a b a b a", 2, Seq("a b", "b a", "a b", "b a")),
+      ("  x   y  ", 2, Seq("x y")),  // whitespace-normalized
+      ("one", 2, Seq.empty[String]), // < k tokens → no window, no fallback
+      ("", 3, Seq.empty[String]))
+    rows.foreach { case (text, k, expected) =>
+      val got = Seq(text).toDF("t")
+        .select(graft.functions.word_ngrams(col("t"), k).as("g"))
+        .as[Seq[String]].collect().head
+      assert(got == expected, s"text='$text' k=$k: got $got")
+    }
+  }
+
   test("topk_pairs keeps k best with deterministic tie-break") {
     val df = Seq((1L, 5.0, 10L), (1L, 5.0, 2L), (1L, 9.0, 7L), (1L, 1.0, 1L))
       .toDF("g", "score", "id")

@@ -30,6 +30,22 @@ class CurationPropertySpec extends SparkTestBase {
     intercept[IllegalArgumentException](Curation.hexThreshold(-0.1, 4))
   }
 
+  test("trainingOrder: positions are a stable permutation of 0..n-1, repartition-invariant") {
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    val out = Curation.trainingOrder(docs, "doc_id")
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSeq.sorted == (0L until 500L))
+    // content-stable: physical layout must not change the order
+    val reshuffled = Curation.trainingOrder(docs.repartition(13), "doc_id")
+      .select("doc_id", "position").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reshuffled == out)
+    // hash order, not ingest order: the identity permutation would mean
+    // the hash did nothing
+    assert(out.exists { case (id, pos) => id != pos })
+  }
+
   test("splitAssign is a total partition for arbitrary keys (incl. negatives)") {
     Seq(1L, 7L, 99L).foreach { seed =>
       val ids = longs(400, seed).toDF("id")

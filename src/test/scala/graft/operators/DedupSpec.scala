@@ -110,4 +110,48 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
+
+  test("duplicateSpans: per-doc shared-shingle census incl. whole-text fallback") {
+    // k=8 shingles: docs 1/2 share the 8-token prefix, docs 1/3 share the
+    // 8-token suffix; doc 4 is <8 tokens → one unique whole-text shingle
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),    // both shingles shared (prefix w/ 2, suffix w/ 3)
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5),
+      (4L, 1L, 0L, 0.0)))
+  }
+
+  test("duplicateSpans: empty-text docs are absent; minDocs raises the bar") {
+    val withEmpty = docs.union(Seq((9L, "   ")).toDF("doc_id", "text"))
+    val ids = Dedup.duplicateSpans(withEmpty, "doc_id", "text", k = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L))
+    // minDocs=3: no shingle occurs in 3 docs → zero duplicated spans
+    val strict = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8, minDocs = 3)
+    assert(strict.agg(sum("n_dup_spans")).as[Long].collect().head == 0L)
+  }
+
+  test("semanticDedup: in-cell verification finds the planted dup, nothing else") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),   // centroid of cell 1
+      (2L, Array(0.0f, 1.0f)),   // centroid of cell 2
+      (3L, Array(1.0f, 0.0f)),   // identical to 1 → same cell, cosine 1
+      (4L, Array(0.6f, 0.8f)))   // cell 2, but cosine 0.8 < bar
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      cells = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 3L, 1.0)))
+  }
+
+  test("semanticDedup: a degenerate cell is capped, never a pair explosion") {
+    val many = spark.range(5000).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val capped = Dedup.semanticDedup(many, "vec_id", "embedding",
+      cells = 4, threshold = 0.99, maxCellSize = 100)
+    assert(capped.count() == 0L)
+  }
 }

@@ -7,6 +7,22 @@ import graft.SparkTestBase
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("lmScore: add-1 bigram probabilities match hand computation; short docs absent") {
+    // corpus: "a b" ×2, "a c", "z". bigram counts: c(a b)=2, c(a c)=1;
+    // context c1(a)=3; vocab {a,b,c,z} → V=4 (the 1-token doc still counts
+    // toward vocab even though it has no bigram and is absent from output)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    assert(rows.toSeq == Seq(
+      (1L, 1L, r4(math.log(3.0 / 7))),   // (2+1)/(3+4)
+      (2L, 1L, r4(math.log(3.0 / 7))),
+      (3L, 1L, r4(math.log(2.0 / 7)))))  // (1+1)/(3+4)
+  }
+
   test("tokens: whitespace split, empty and blank → empty array") {
     val df = Seq("a b  c", "", "   ", "one").toDF("t")
       .select(size(TextAnalysis.tokens(col("t"))).as("n"))
