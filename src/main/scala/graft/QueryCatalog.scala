@@ -1312,6 +1312,42 @@ object QueryCatalog {
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // the end-to-end curation pipeline graded as one summary row. Planted
+    // near-clones append the doc's own first token: the token SET is
+    // unchanged (verification jaccard exactly 1.0 at threshold 1.0), the
+    // fingerprint differs (survives exact dedup), and the shingle jaccard
+    // is ≈ (n-7)/(n-6) ≈ 0.99 (every band-hash shares it with probability
+    // ~1-3e-22 — LSH-certain), so stage 3 must drop every planted clone.
+    // Stages 1-2 are replayed exactly in SQL; natural tokj-1.0 pairs the
+    // LSH also removes don't touch any emitted number.
+    ("q_curate_report",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val planted = docs.select((col("doc_id") + 10000L).as("doc_id"),
+          concat(col("text"), lit(" "),
+            element_at(split(trim(col("text")), "\\s+"), 1)).as("text"))
+        val (curated, rep) = Curation.curate(docs.unionAll(planted), "doc_id", "text",
+          minTokens = 1, maxTokens = 1000000L, nearDupThreshold = 1.0)
+        val plantedSurvivors = curated.filter(col("doc_id") >= 10000L).count()
+        import s.implicits._
+        Seq((rep.nInput, rep.nAfterQuality, rep.nAfterExactDedup, plantedSurvivors))
+          .toDF("n_input", "n_after_quality", "n_after_exact", "planted_survivors")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000,
+             |    text || ' ' || (regexp_split_to_array(trim(text), '\s+'))[1]
+             |  FROM documents),
+             |q AS (SELECT text FROM u
+             |      WHERE trim(text) <> ''
+             |        AND len(regexp_split_to_array(trim(text), '\s+'))
+             |            BETWEEN 1 AND 1000000)
+             |SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_input,
+             |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_after_quality,
+             |  CAST((SELECT count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+             |        FROM q) AS BIGINT) AS n_after_exact,
+             |  CAST(0 AS BIGINT) AS planted_survivors""".stripMargin)),
+
     // deterministic training order: the two-phase distributed rank must
     // equal the naive global ORDER BY md5 row_number the oracle computes
     ("q_training_order",
