@@ -1312,6 +1312,37 @@ object QueryCatalog {
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // incremental ingest dedup: the corpus fingerprint index is built once
+    // (bucketed on fingerprint), the batch — new docs plus re-ingested
+    // clones of corpus docs — anti-joins against it; the oracle replays
+    // batch-unique-min-id minus corpus fingerprints. The index table lives
+    // for the session (the lazy result plan reads it), mode=overwrite makes
+    // re-runs idempotent.
+    ("q_incremental_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+          .unionAll(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+        Dedup.writeFingerprintIndex(corpus, "doc_id", "text", "graft_fp_index")
+        Dedup.dedupAgainstIndex(batch, "doc_id", "text", "graft_fp_index")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 50),
+             |bf AS (SELECT doc_id,
+             |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             |       FROM batch),
+             |keep AS (SELECT f, min(doc_id) AS doc_id FROM bf GROUP BY f),
+             |cf AS (SELECT DISTINCT
+             |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+             |       FROM corpus)
+             |SELECT k.doc_id FROM keep k LEFT JOIN cf ON k.f = cf.f
+             |WHERE cf.f IS NULL ORDER BY doc_id""".stripMargin)),
+
     // the end-to-end curation pipeline graded as one summary row. Planted
     // near-clones append the doc's own first token: the token SET is
     // unchanged (verification jaccard exactly 1.0 at threshold 1.0), the

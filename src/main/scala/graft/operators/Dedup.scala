@@ -282,6 +282,54 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Persist the corpus's exact-dedup fingerprint index as a bucketed+
+    * sorted table on `fingerprint` — the once-per-corpus cost that makes
+    * [[dedupAgainstIndex]] incremental: at 100 TB you fingerprint the
+    * corpus ONE time, and every later ingest batch joins against the
+    * index without re-scanning (or re-shuffling) the corpus.
+    */
+  def writeFingerprintIndex(docs: DataFrame, id: String, text: String,
+                            table: String, buckets: Int = 64): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      TextAnalysis.fingerprints(docs, id, text)
+        .select(col("fingerprint"), col(id).as("corpus_id")),
+      table, "fingerprint", buckets)
+
+  /** Append newly-accepted docs to the fingerprint index (same bucket
+    * spec, so the bucketed-join property is preserved across ingests).
+    */
+  def appendFingerprintIndex(accepted: DataFrame, id: String, text: String,
+                             table: String, buckets: Int = 64): Unit =
+    TextAnalysis.fingerprints(accepted, id, text)
+      .select(col("fingerprint"), col(id).as("corpus_id"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "fingerprint").sortBy("fingerprint")
+      .saveAsTable(table)
+
+  /** Incremental exact dedup: batch rows that are new against the
+    * persisted fingerprint index AND unique within the batch (smallest id
+    * kept per fingerprint) — the per-ingest step of a continuously-growing
+    * corpus.
+    *
+    * Scale shape: the index side is bucketed+sorted on the join key, so
+    * the anti-join needs NO exchange on the corpus-sized side
+    * (plan-asserted) — only the (small) batch shuffles, into the index's
+    * bucket layout. The per-bucket sort is elided too once a bucket is one
+    * file (compacted index); with multiple files per bucket Spark re-sorts
+    * locally, still without any exchange. The index never broadcasts and
+    * is never rebuilt.
+    */
+  def dedupAgainstIndex(batch: DataFrame, id: String, text: String,
+                        table: String): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = batch.withColumn("_fp", TextAnalysis.fingerprint(col(text)))
+    val keep = fp.groupBy(col("_fp")).agg(min(col(id)).as(id)).select(col(id))
+    fp.join(keep, Seq(id), "left_semi")
+      .join(graft.sources.Bucketed.read(spark, table)
+        .select(col("fingerprint").as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** Bounded in-bucket candidate pairs, the shared LSH candidate stage:
     * aggregate each bucket to a size-capped id list
     * ([[graft.functions.capped_collect]] — O(cap) reducer state even for a

@@ -147,6 +147,36 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 3L, 1.0)))
   }
 
+  test("incremental dedup vs persisted index: index side joins without any exchange") {
+    Dedup.writeFingerprintIndex(docs, "doc_id", "text", "fp_idx_test", buckets = 4)
+    try {
+      val batch = Seq(
+        (15L, "a brand new document body"),
+        (16L, "the  QUICK brown fox jumps over the lazy dog"), // canonical dup of corpus doc 1
+        (17L, "a brand new document body"),                    // within-batch dup of 15
+        (18L, "another fresh one entirely")).toDF("doc_id", "text")
+      val out = Dedup.dedupAgainstIndex(batch, "doc_id", "text", "fp_idx_test")
+      assert(out.select("doc_id").as[Long].collect().toSet == Set(15L, 18L))
+      // the corpus-sized index must never sit under a shuffle — only the
+      // batch side pays exchanges (AQE off so the plan tree is inspectable,
+      // as in BucketedSpec)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val p = Dedup.dedupAgainstIndex(batch, "doc_id", "text", "fp_idx_test")
+        val exchanges = p.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty, "expected batch-side exchanges")
+        assert(!exchanges.exists(_.toString.contains("fp_idx_test")),
+          s"index side shuffled:\n${p.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+      // append accepted docs, re-ingest the same batch → everything dropped
+      Dedup.appendFingerprintIndex(out, "doc_id", "text", "fp_idx_test", buckets = 4)
+      assert(Dedup.dedupAgainstIndex(batch, "doc_id", "text", "fp_idx_test").count() == 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS fp_idx_test")
+  }
+
   test("semanticDedup: a degenerate cell is capped, never a pair explosion") {
     val many = spark.range(5000).select(col("id").as("vec_id"),
       array(lit(1.0f), lit(0.0f)).as("embedding"))
