@@ -1312,6 +1312,68 @@ object QueryCatalog {
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // explainable Gopher-style gate: signals + failed-rule names + verdict,
+    // all exact arithmetic over the one-pass quality kernel — the oracle
+    // replays the same rules over the same signal formulas
+    ("q_quality_gate",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityGate(t(s, d, "documents"), "doc_id", "text")
+          .select("doc_id", "keep", "failed_rules")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  round(length(regexp_replace(text, '\s+', '', 'g')) / NULLIF(len(toks), 0), 4) AS avg_token_len,
+             |  round(len(list_filter(toks, x -> lower(x) IN
+             |    ('the','a','an','of','and','to','in','is','it','that'))) / NULLIF(len(toks), 0), 4) AS stopword_ratio,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |        / greatest(length(text), 1), 4) AS punct_ratio
+             |  FROM t),
+             |g AS (SELECT doc_id, concat_ws(',',
+             |  CASE WHEN NOT coalesce(n_tokens BETWEEN 50 AND 100000, false)
+             |       THEN 'n_tokens_in_range' END,
+             |  CASE WHEN NOT coalesce(avg_token_len BETWEEN 2.0 AND 12.0, false)
+             |       THEN 'avg_token_len_in_range' END,
+             |  CASE WHEN NOT coalesce(stopword_ratio >= 0.01, false)
+             |       THEN 'stopword_ratio_min' END,
+             |  CASE WHEN NOT coalesce(punct_ratio <= 0.2, false)
+             |       THEN 'punct_ratio_max' END) AS failed_rules
+             |  FROM s)
+             |SELECT doc_id, failed_rules = '' AS keep, failed_rules
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // linear quality classifier (fastText-style gate stub with injected
+    // weights): sigmoid of a fixed-order weighted sum of rounded signals —
+    // identical float evaluation order on both engines, 4dp absorbs exp ulps
+    ("q_quality_classifier",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityClassifier(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  round(length(regexp_replace(text, '\s+', '', 'g')) / NULLIF(len(toks), 0), 4) AS avg_token_len,
+             |  round(len(list_filter(toks, x -> lower(x) IN
+             |    ('the','a','an','of','and','to','in','is','it','that'))) / NULLIF(len(toks), 0), 4) AS stopword_ratio,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |        / greatest(length(text), 1), 4) AS punct_ratio
+             |  FROM t)
+             |SELECT doc_id,
+             |  round(1.0 / (1.0 + exp(-(-2.0
+             |    + coalesce(avg_token_len, 0) * 0.5
+             |    + coalesce(n_tokens, 0) * 0.01
+             |    + coalesce(punct_ratio, 0) * -3.0
+             |    + coalesce(stopword_ratio, 0) * 2.0))), 4) AS clf_score
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // incremental ingest dedup: the corpus fingerprint index is built once
     // (bucketed on fingerprint), the batch — new docs plus re-ingested
     // clones of corpus docs — anti-joins against it; the oracle replays

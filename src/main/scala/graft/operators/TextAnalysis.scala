@@ -169,6 +169,63 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** One Gopher-style quality rule: a name plus a pass-predicate over the
+    * [[qualityScore]] signal columns (`n_chars`, `n_tokens`,
+    * `avg_token_len`, `stopword_ratio`, `punct_ratio`).
+    */
+  final case class QualityRule(name: String, passes: Column)
+
+  /** Default Gopher-ish gate: length window, sane mean token length, some
+    * stopword signal, bounded punctuation. A NULL signal (empty doc) fails
+    * its rule rather than silently passing.
+    */
+  def defaultQualityRules: Seq[QualityRule] = Seq(
+    QualityRule("n_tokens_in_range", col("n_tokens").between(50L, 100000L)),
+    QualityRule("avg_token_len_in_range", col("avg_token_len").between(2.0, 12.0)),
+    QualityRule("stopword_ratio_min", col("stopword_ratio") >= 0.01),
+    QualityRule("punct_ratio_max", col("punct_ratio") <= 0.2))
+
+  /** Explainable quality gate: every doc gets its signals, the
+    * comma-joined list of failed rule names, and a `keep` verdict — the
+    * auditable form of "why was this document dropped" a curation pipeline
+    * owes its users. Pure in-row (one kernel pass + literal predicates):
+    * zero shuffle, the gate rides the scan at any scale.
+    */
+  def qualityGate(docs: DataFrame, id: String, text: String,
+                  rules: Seq[QualityRule] = defaultQualityRules): DataFrame = {
+    require(rules.nonEmpty, "qualityGate: need at least one rule")
+    val failed = concat_ws(",", rules.map(r =>
+      when(!coalesce(r.passes, lit(false)), lit(r.name))): _*)
+    qualityScore(docs, id, text)
+      .withColumn("failed_rules", failed)
+      .withColumn("keep", col("failed_rules") === "")
+  }
+
+  /** Weights of the default linear quality classifier (a stand-in for a
+    * trained fastText-style gate: the weights are injected data, the
+    * execution shape — in-row dot product + sigmoid over the one-pass
+    * signal kernel — is exactly what serving a trained linear model costs).
+    */
+  val DefaultClassifierWeights: Map[String, Double] = Map(
+    "n_tokens" -> 0.01, "avg_token_len" -> 0.5,
+    "stopword_ratio" -> 2.0, "punct_ratio" -> -3.0)
+
+  /** Model-based quality score in [0, 1]: sigmoid of a weighted sum of the
+    * [[qualityScore]] signals. NULL signals contribute 0. Weights fold in
+    * sorted-name order so the float evaluation order is reproducible
+    * across engines.
+    */
+  def qualityClassifier(docs: DataFrame, id: String, text: String,
+                        weights: Map[String, Double] = DefaultClassifierWeights,
+                        bias: Double = -2.0): DataFrame = {
+    val z = weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) {
+      case (acc, (c, w)) => acc + coalesce(col(c), lit(0.0d)) * w
+    }
+    qualityScore(docs, id, text)
+      .select(col(id),
+        round(lit(1.0d) / (lit(1.0d) + exp(-z)), 4).as("clf_score"))
+  }
+
   /** CCNet-style n-gram LM scoring: train an add-1-smoothed bigram model on
     * the corpus itself and score every doc by its mean bigram log-probability
     * — the "perplexity filter" a web-scale pipeline runs to drop gibberish

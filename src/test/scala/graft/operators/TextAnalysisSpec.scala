@@ -7,6 +7,29 @@ import graft.SparkTestBase
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("qualityGate: failed-rule reasons accumulate; NULL signals fail closed") {
+    val docs = Seq(
+      (1L, ("the quick value " * 20).trim), // 60 tokens, stopwords present → keep
+      (2L, "tiny doc"),                     // too short + no stopword signal
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualityGate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Boolean]("keep") && rows(0).getAs[String]("failed_rules") == "")
+    assert(rows(1).getAs[String]("failed_rules") == "n_tokens_in_range,stopword_ratio_min")
+    assert(rows(2).getAs[String]("failed_rules") ==
+      "n_tokens_in_range,avg_token_len_in_range,stopword_ratio_min")
+  }
+
+  test("qualityClassifier: sigmoid of the fixed-order weighted signal sum") {
+    val docs = Seq((2L, "tiny doc")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .collect().head.getDouble(1)
+    // signals: n_tokens=2, avg_token_len=3.5, stopword=0, punct=0
+    val z = -2.0 + 3.5 * 0.5 + 2 * 0.01 + 0.0 * -3.0 + 0.0 * 2.0
+    val expected = math.round(1.0 / (1.0 + math.exp(-z)) * 10000) / 10000.0
+    assert(got == expected)
+  }
+
   test("lmScore: add-1 bigram probabilities match hand computation; short docs absent") {
     // corpus: "a b" ×2, "a c", "z". bigram counts: c(a b)=2, c(a c)=1;
     // context c1(a)=3; vocab {a,b,c,z} → V=4 (the 1-token doc still counts
