@@ -166,6 +166,31 @@ object Streams {
         })
   }
 
+  /** Continuous corpus growth with exact dedup: each micro-batch is
+    * deduped against the persisted fingerprint index
+    * ([[graft.operators.Dedup.dedupAgainstIndex]] — batch-unique minus
+    * already-ingested), the survivors are handed to `accept`, and their
+    * fingerprints are appended to the index so the NEXT batch (and any
+    * replay of this one) sees them. Batch-id tracking in the checkpoint
+    * makes the foreachBatch body effectively-once; a re-run of a batch
+    * after the append dedups to empty, so the sink stays idempotent.
+    * The index table must exist ([[graft.operators.Dedup.writeFingerprintIndex]]).
+    */
+  def ingestDedup(stream: DataFrame, id: String, text: String,
+                  indexTable: String, checkpoint: String,
+                  buckets: Int = 64)(accept: DataFrame => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = graft.operators.Dedup
+          .dedupAgainstIndex(batch, id, text, indexTable)
+          .localCheckpoint(true) // survivors computed once: accept + append both read blocks
+        accept(fresh)
+        graft.operators.Dedup.appendFingerprintIndex(fresh, id, text, indexTable, buckets)
+      }
+
   /** Continuous ingest into the versioned posts table: every micro-batch is
     * one atomic delete-matching upsert (U3 as the foreachBatch body).
     */

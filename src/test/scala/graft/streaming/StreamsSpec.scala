@@ -120,6 +120,33 @@ class StreamsSpec extends SparkTestBase {
     assert(!rows.contains(0L) && rows.size == 5) // malformed row dropped
   }
 
+  test("ingestDedup: continuous corpus growth dedups within and across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Dedup
+    val seed = Seq((1L, "original corpus document")).toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(seed, "doc_id", "text", "ingest_idx_test", buckets = 4)
+    try {
+      val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+      val mem = MemoryStream[(Long, String)]
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def run(): Unit = {
+        val w = Streams.ingestDedup(mem.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", "ingest_idx_test", ckpt, buckets = 4) { fresh =>
+          accepted ++= fresh.select("doc_id").collect().map(_.getLong(0))
+        }
+        w.start().awaitTermination()
+      }
+      // batch 1: one corpus dup, one new doc (+ its within-batch dup)
+      mem.addData((2L, "original corpus document"), (3L, "a new doc"), (4L, "a new doc"))
+      run()
+      assert(accepted.sorted == Seq(3L))
+      // batch 2: re-sending an accepted doc is now a corpus dup; new survives
+      mem.addData((5L, "a new doc"), (6L, "genuinely fresh text"))
+      run()
+      assert(accepted.sorted == Seq(3L, 6L))
+    } finally spark.sql("DROP TABLE IF EXISTS ingest_idx_test")
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
