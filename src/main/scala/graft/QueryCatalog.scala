@@ -1312,6 +1312,35 @@ object QueryCatalog {
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // vocabulary build + token-id encoding: the text → ids transform, with
+    // a deliberately-small vocab (24 of the 31 corpus tokens) so the OOV
+    // path is exercised; the oracle rebuilds the same rank-id'd vocab and
+    // replays the position-ordered encoding
+    ("q_vocab_encode",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val vocab = TextAnalysis.buildVocab(docs, "text", maxVocab = 24)
+        TextAnalysis.encode(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |tok AS (
+             |  SELECT doc_id, a[i] AS w, i
+             |  FROM t, unnest(range(1, len(a)+1)) AS u(i)),
+             |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |voc AS (SELECT w, row_number() OVER (ORDER BY n DESC, w) - 1 AS tid
+             |        FROM cnt ORDER BY n DESC, w LIMIT 24),
+             |enc AS (
+             |  SELECT doc_id,
+             |    array_to_string(list(CAST(coalesce(v.tid, -1) AS VARCHAR) ORDER BY i), ' ')
+             |      AS token_ids,
+             |    CAST(count(*) AS BIGINT) AS n_tokens
+             |  FROM tok LEFT JOIN voc v ON tok.w = v.w GROUP BY doc_id)
+             |SELECT doc_id, token_ids, n_tokens FROM enc
+             |ORDER BY doc_id""".stripMargin)),
+
     // explainable Gopher-style gate: signals + failed-rule names + verdict,
     // all exact arithmetic over the one-pass quality kernel — the oracle
     // replays the same rules over the same signal formulas

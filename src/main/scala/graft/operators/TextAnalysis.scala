@@ -269,6 +269,46 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Corpus vocabulary artifact: the `maxVocab` most frequent tokens,
+    * id'd by frequency rank (count desc, token asc — fully deterministic).
+    * Two-phase token count + TakeOrderedAndProject for the top slice; the
+    * id-assigning window runs over the vocab-bounded result (≤ maxVocab
+    * rows), never the corpus — same single-partition-is-tiny shape as
+    * [[Curation.trainingOrder]]'s offsets.
+    */
+  def buildVocab(docs: DataFrame, text: String, maxVocab: Int): DataFrame = {
+    require(maxVocab > 0, "buildVocab: maxVocab must be positive")
+    docs.select(explode(tokens(col(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(maxVocab)
+      .withColumn("token_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))) - 1).cast("long"))
+  }
+
+  /** Encode documents as token-id sequences against a vocabulary (the
+    * final pre-training transform: text → ids). OOV tokens map to `unkId`.
+    * Ids come back as a space-joined string plus the token count — the
+    * JSONL-shard-ready shape.
+    *
+    * Scale: the vocabulary is broadcast (vocab-bounded by construction);
+    * the only shuffle is the per-doc sequence assembly, keyed by doc id
+    * (skew-free) with O(doc length) state; order is restored from the
+    * explode position, so the pipeline never needs a sorted shuffle.
+    */
+  def encode(docs: DataFrame, id: String, text: String, vocab: DataFrame,
+             unkId: Long = -1L): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        posexplode(tokens(col(text))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select("token", "token_id")), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("token_id"), lit(unkId)).as("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("token_ids"),
+        count(lit(1)).cast("long").as("n_tokens"))
+
   /** Canonical document fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Used as the exact-dedup key (stable across engines/runs).
     */

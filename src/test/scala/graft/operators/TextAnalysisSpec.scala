@@ -30,6 +30,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("buildVocab + encode: rank ids, position order, OOV → unk") {
+    val docs = Seq(
+      (1L, "b a a c a b"),
+      (2L, "a b zz")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, zz=1 → vocab(3): a=0, b=1, c=2; zz OOV
+    val vocab = TextAnalysis.buildVocab(docs, "text", maxVocab = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(vocab == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val enc = TextAnalysis.encode(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, "text", maxVocab = 3))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(enc.toSeq == Seq(
+      (1L, "1 0 0 2 0 1", 6L),
+      (2L, "0 1 -1", 3L)))
+  }
+
   test("lmScore: add-1 bigram probabilities match hand computation; short docs absent") {
     // corpus: "a b" ×2, "a c", "z". bigram counts: c(a b)=2, c(a c)=1;
     // context c1(a)=3; vocab {a,b,c,z} → V=4 (the 1-token doc still counts
