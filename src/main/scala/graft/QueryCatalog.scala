@@ -1312,6 +1312,51 @@ object QueryCatalog {
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // source-priority exact dedup: clones re-ingested at a better priority
+    // must win every duplicate group; the argmin is a combinable
+    // min(struct) — the oracle replays it as a window rank
+    ("q_dedup_priority",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val tagged = docs.withColumn("prio", lit(1L))
+          .unionAll(docs
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+            .withColumn("prio", lit(0L)))
+        Dedup.exactByPriority(tagged, "doc_id", "text", col("prio"))
+          .orderBy("fingerprint")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text, 1 AS prio FROM documents
+             |  UNION ALL SELECT doc_id + 10000, text, 0 FROM documents),
+             |f AS (SELECT doc_id, prio,
+             |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+             |      FROM u),
+             |r AS (SELECT fingerprint, doc_id, prio,
+             |        row_number() OVER (PARTITION BY fingerprint
+             |          ORDER BY prio, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY fingerprint) AS dup_count
+             |      FROM f)
+             |SELECT fingerprint, doc_id AS keep_id,
+             |  CAST(prio AS BIGINT) AS keep_priority,
+             |  CAST(dup_count AS BIGINT) AS dup_count
+             |FROM r WHERE rn = 1 ORDER BY fingerprint""".stripMargin)),
+
+    // single-scan data profiling over mixed bigint/string columns (min/max
+    // travel as strings so one schema fits every column type)
+    ("q_profile",
+      (s: SparkSession, d: String) =>
+        Relational.profile(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy("column"),
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
+
     // vocabulary build + token-id encoding: the text → ids transform, with
     // a deliberately-small vocab (24 of the 31 corpus tokens) so the OOV
     // path is exercised; the oracle rebuilds the same rank-id'd vocab and

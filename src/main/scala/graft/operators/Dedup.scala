@@ -23,6 +23,25 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup with source priority: among fingerprint-equal docs keep
+    * the one with the LOWEST priority value (then smallest id) — "when the
+    * same content arrives from several sources, keep the canonical one".
+    * Same two-phase hash aggregate as [[exact]]: the argmin rides as a
+    * `min(struct(priority, id))` so partials combine map-side and no
+    * window or self-join ever materializes the duplicate groups.
+    */
+  def exactByPriority(docs: DataFrame, id: String, text: String,
+                      priority: Column): DataFrame =
+    docs.select(col(id), priority.cast("long").as("_prio"),
+        TextAnalysis.fingerprint(col(text)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(struct(col("_prio"), col(id))).as("_best"),
+        count(lit(1)).as("dup_count"))
+      .select(col("fingerprint"),
+        col("_best").getField(id).as("keep_id"),
+        col("_best").getField("_prio").as("keep_priority"),
+        col("dup_count"))
+
   /** Distinct word k-shingles of a document (arrays stay in-row).
     * Pure-builtin formulation — [[graft.functions.word_shingles]] is the
     * codegen'd kernel used on the hot path, validated equal to this.

@@ -162,6 +162,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected 1 vocab scan + checkpointed bigrams, got $scans scans:\n$p")
   }
 
+  test("encode: vocabulary joins by broadcast, never a corpus-side merge join") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(TextAnalysis.encode(docs, "doc_id", "text",
+      TextAnalysis.buildVocab(docs, "text", 24)))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the vocab join:\n$p")
+  }
+
   test("trainingOrder: corpus ranks per-shard; only the 256-row offsets pass one partition") {
     val df = Curation.trainingOrder(Tables(spark, sfDir, "documents").select("doc_id"), "doc_id")
     val p = plan(df)

@@ -111,6 +111,17 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("exactByPriority: lowest priority wins, then smallest id") {
+    val tagged = Seq(
+      (1L, "same body", 2L),
+      (2L, "same body", 1L),   // better priority → wins
+      (3L, "same body", 1L),   // same priority, larger id → loses
+      (4L, "unique body", 9L)).toDF("doc_id", "text", "prio")
+    val out = Dedup.exactByPriority(tagged, "doc_id", "text", col("prio"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((2L, 1L, 3L), (4L, 9L, 1L)))
+  }
+
   test("duplicateSpans: per-doc shared-shingle census incl. whole-text fallback") {
     // k=8 shingles: docs 1/2 share the 8-token prefix, docs 1/3 share the
     // 8-token suffix; doc 4 is <8 tokens → one unique whole-text shingle

@@ -6,6 +6,19 @@ import org.apache.spark.sql.Row
 import graft.SparkTestBase
 
 class RelationalSpec extends SparkTestBase {
+
+  test("profile: one scan, one row per column, nulls and distincts exact") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("k", "v")
+    val rows = Relational.profile(df, Seq("k", "v")).orderBy("column").collect()
+    val k = rows(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 3 && k.getLong(2) == 0
+      && k.getLong(3) == 3 && k.getString(4) == "1" && k.getString(5) == "3")
+    val v = rows(1)
+    assert(v.getString(0) == "v" && v.getLong(2) == 1 && v.getLong(3) == 1
+      && v.getString(4) == "a" && v.getString(5) == "a")
+  }
   import spark.implicits._
 
   test("project keeps only requested columns") {
