@@ -28,13 +28,18 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Identical SQL text runs on both engines (revenue is exact at 4
-    * decimals, so the ×10⁴-integer round is engine-stable — see
-    * [[graft.operators.Relational.stableAvg]]).
+  /** Identical SQL text runs on both engines. Revenue is exact at 4
+    * decimals, so `K = round(sum·10⁴)` is an engine-identical BIGINT; the
+    * final 2-decimal half-up round is `floor((2K+100)/200)` — done with a
+    * float divide because Spark SQL spells integer division `DIV` and
+    * DuckDB `//` (no common syntax), which is exact here since `2K+100`
+    * ≪ 2⁵³ and the true quotient is never within an ulp of an integer
+    * except when it IS one (see [[graft.operators.Relational.stableAvg]]
+    * for the half-point failure this avoids).
     */
   private val RevenueByNationSql: String =
     """SELECT n_name,
-      |  round(CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT) / 10000e0, 2) AS revenue
+      |  CAST(floor((2*CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT) + 100) / 200e0) AS BIGINT) / 100e0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -177,8 +182,10 @@ object QueryCatalog {
           "l_returnflag", "l_extendedprice", "l_quantity")
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS post_count,
-             |  round(CAST(round(sum(l_extendedprice)*100) AS BIGINT) / (count(l_extendedprice)*100.0), 4) AS avg_score,
-             |  round(CAST(round(sum(l_quantity)*100) AS BIGINT) / (count(l_quantity)*100.0), 4) AS avg_comments,
+             |  ((2*CAST(round(sum(l_extendedprice)*100) AS BIGINT)*10000 + count(l_extendedprice)*100)
+             |   // (2*count(l_extendedprice)*100)) / 10000.0 AS avg_score,
+             |  ((2*CAST(round(sum(l_quantity)*100) AS BIGINT)*10000 + count(l_quantity)*100)
+             |   // (2*count(l_quantity)*100)) / 10000.0 AS avg_comments,
              |  max(l_extendedprice) AS max_score
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
@@ -186,7 +193,8 @@ object QueryCatalog {
       (s: SparkSession, d: String) =>
         Relational.havingSort(t(s, d, "orders"), "o_custkey", "o_totalprice", 10L),
       Some("""SELECT o_custkey, count(*) AS post_count,
-             |  round(CAST(round(sum(o_totalprice)*100) AS BIGINT) / (count(o_totalprice)*100.0), 4) AS avg_score
+             |  ((2*CAST(round(sum(o_totalprice)*100) AS BIGINT)*10000 + count(o_totalprice)*100)
+             |   // (2*count(o_totalprice)*100)) / 10000.0 AS avg_score
              |FROM orders GROUP BY o_custkey HAVING count(*) > 10
              |ORDER BY avg_score DESC, o_custkey""".stripMargin)),
 
@@ -195,15 +203,18 @@ object QueryCatalog {
         Relational.hourlyAvg(t(s, d, "events"), "ts", "value")
           .select(col("hour_of_day").cast("long").as("hour_of_day"), col("avg_score")),
       Some("""SELECT date_part('hour', ts) AS hour_of_day,
-             |  round(CAST(round(sum(value)*10000) AS BIGINT) / (count(value)*10000.0), 4) AS avg_score
+             |  ((2*CAST(round(sum(value)*10000) AS BIGINT)*10000 + count(value)*10000)
+             |   // (2*count(value)*10000)) / 10000.0 AS avg_score
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     ("q_a4_scalar_stats",
       (s: SparkSession, d: String) =>
         Relational.scalarStats(t(s, d, "lineitem"), "l_quantity", "l_extendedprice"),
-      Some("""SELECT round(CAST(round(sum(l_quantity)*100) AS BIGINT) / (count(l_quantity)*100.0), 4) AS avg_a,
+      Some("""SELECT ((2*CAST(round(sum(l_quantity)*100) AS BIGINT)*10000 + count(l_quantity)*100)
+             |   // (2*count(l_quantity)*100)) / 10000.0 AS avg_a,
              |  max(l_quantity) AS max_a,
-             |  round(CAST(round(sum(l_extendedprice)*100) AS BIGINT) / (count(l_extendedprice)*100.0), 4) AS avg_b,
+             |  ((2*CAST(round(sum(l_extendedprice)*100) AS BIGINT)*10000 + count(l_extendedprice)*100)
+             |   // (2*count(l_extendedprice)*100)) / 10000.0 AS avg_b,
              |  max(l_extendedprice) AS max_b
              |FROM lineitem""".stripMargin)),
 
@@ -323,7 +334,8 @@ object QueryCatalog {
           .orderBy(col("o_orderpriority").asc_nulls_first, col("o_year").asc_nulls_first),
       Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
              |  count(*) AS n,
-             |  round(CAST(round(sum(o_totalprice)*100) AS BIGINT) / (count(o_totalprice)*100.0), 4) AS avg_price
+             |  ((2*CAST(round(sum(o_totalprice)*100) AS BIGINT)*10000 + count(o_totalprice)*100)
+             |   // (2*count(o_totalprice)*100)) / 10000.0 AS avg_price
              |FROM orders GROUP BY ROLLUP (o_orderpriority, CAST(year(o_orderdate) AS BIGINT))
              |ORDER BY o_orderpriority NULLS FIRST, o_year NULLS FIRST""".stripMargin)),
 
@@ -365,7 +377,8 @@ object QueryCatalog {
           .orderBy("hour_ts", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
              |  count(*) AS n_events,
-             |  round(CAST(round(sum(value)*10000) AS BIGINT) / (count(value)*10000.0), 4) AS avg_value
+             |  ((2*CAST(round(sum(value)*10000) AS BIGINT)*10000 + count(value)*10000)
+             |   // (2*count(value)*10000)) / 10000.0 AS avg_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- sessionization (gap-based, per-user windows) ----------------------
@@ -456,14 +469,22 @@ object QueryCatalog {
         t(s, d, "events")
           .select(col("event_id"), col("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-            round((round(sum(col("value")).over(w) * 10000)).cast("bigint")
-              / (count(col("value")).over(w) * lit(10000.0d)), 4).as("mov_avg"))
+            {
+              // same integer half-up rounding as Relational.stableAvg, over
+              // the window frame: a BIGINT quotient can't sit on a half-point
+              val sW = round(sum(col("value")).over(w) * 10000).cast("long")
+              val nW = count(col("value")).over(w)
+              (graft.functions.integral_divide(
+                sW * 10000L * 2 + nW * 10000L, nW * 10000L * 2)
+                .cast("double") / 10000.0d).as("mov_avg")
+            })
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
              |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-             |  round(CAST(round(sum(value) OVER w * 10000) AS BIGINT)
-             |        / (count(value) OVER w * 10000.0), 4) AS mov_avg
+             |  ((2*CAST(round(sum(value) OVER w * 10000) AS BIGINT)*10000
+             |     + count(value) OVER w * 10000)
+             |   // (2*count(value) OVER w * 10000)) / 10000.0 AS mov_avg
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
              |  RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
@@ -1311,6 +1332,22 @@ object QueryCatalog {
              |      FROM scored)
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // CUBE companion to the A7 rollup: all 2^k grouping combinations in one
+    // pass (GROUP BY CUBE), null-first ordering pinned on both engines
+    ("q_a8_cube",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            Relational.stableAvg(col("o_totalprice"), scale = 2).as("avg_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  ((2*CAST(round(sum(o_totalprice)*100) AS BIGINT)*10000 + count(o_totalprice)*100)
+             |   // (2*count(o_totalprice)*100)) / 10000.0 AS avg_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
     // source-priority exact dedup: clones re-ingested at a better priority
     // must win every duplicate group; the argmin is a combinable

@@ -57,6 +57,15 @@ package object functions {
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 
+  /** Exact integer division (`DIV`) as a composable Column — the building
+    * block of engine-stable rounding: a BIGINT quotient can never sit on a
+    * float half-point, so no two engines can round it apart.
+    */
+  def integral_divide(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Bounded top-k aggregate (see [[TopKPairsAgg]]): best k (score, id)
     * pairs per group, map-side combined — the scale-safe window-top-k
     * replacement.

@@ -95,15 +95,29 @@ object Relational {
     * A plain `round(avg(x), d)` is not reproducible across engines: float
     * addition is order-dependent, and an average that sits on a rounding
     * boundary (e.g. sum/16 of 2-decimal prices = x.xxx50 exactly) flips the
-    * last digit between two correct implementations. For data that is exact
-    * at `scale` decimals, `sum(x)·10^scale` is integer-valued with float
-    * error ≪ 0.5, so rounding it to a BIGINT is bit-identical on every
-    * engine; the final divide-then-round then operates on identical doubles.
-    * (SQL mirror: round(CAST(round(sum(x)*10^s) AS BIGINT)/(count(x)*10^s.0), d).)
+    * last digit between two correct implementations — even after fixing the
+    * sum as an exact BIGINT, a divide-then-`round` still diverges when the
+    * true quotient hits a half-point (Spark rounds the decimal STRING of the
+    * double half-up; other engines round the binary value — observed live at
+    * sf0.1: 210624.86125 → .8613 vs .8612).
+    *
+    * Fix: do the half-up rounding in pure BIGINT arithmetic —
+    * `floor((2·S·10^d + U·n) / (2·U·n))` with S = round(sum·10^scale),
+    * U = 10^scale — and only THEN divide by 10^d; an integer can't sit on a
+    * half-point, so both engines produce the identical double.
+    * (SQL mirror: ((2*S*10^d + U*n) // (2*U*n)) / 10^d.0.)
+    * Magnitude bound: 2·S·10^d must fit a BIGINT — fine for the test
+    * scales; at warehouse scale route through DECIMAL(38) instead.
     */
   def stableAvg(c: Column, scale: Int, digits: Int = 4): Column = {
-    val unit = math.pow(10, scale)
-    round(round(sum(c) * unit).cast("long") / (count(c) * lit(unit)), digits)
+    val unit = math.pow(10, scale).toLong
+    val dunit = math.pow(10, digits).toLong
+    val s = round(sum(c) * unit).cast("long")
+    val n = count(c)
+    val r = graft.functions.integral_divide(
+      s * dunit * 2 + n * unit, n * unit * 2)
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(r.cast("double") / dunit)
   }
 
   /** A1 grouped multi-agg (reddit_summary mart, models/marts/reddit_summary.sql:1-10). */
