@@ -1349,6 +1349,39 @@ object QueryCatalog {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    // typo-grade fuzzy dedup: planted clones substitute the first character
+    // ('Q' never occurs in the lowercase corpus → distance exactly 1); with
+    // 2-shingles a 1-char edit keeps shingle jaccard ≈ (n-2)/n, so every
+    // planted pair shares a band with probability ~1-1e-10. The only other
+    // in-range pairs are the corpus's natural EXACT-text duplicates (the
+    // nearest non-identical natural pairs are word permutations, hundreds
+    // of edits apart) — each identical pair {x,y} contributes 4 predicted
+    // rows (itself, both cross-clone pairs, the clone-clone pair), which
+    // the oracle derives from the table; verified exhaustively at sf0.1
+    // where 8 natural exact-dup pairs exist
+    ("q_fuzzy_dup",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val withClones = docs.unionAll(
+          docs.select((col("doc_id") + 10000L).as("doc_id"),
+            concat(lit("Q"), expr("substring(text, 2)")).as("text")))
+        Dedup.fuzzyDupPairs(withClones, "doc_id", "text", maxDist = 3)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT a.doc_id AS x, b.doc_id AS y
+             |  FROM documents a JOIN documents b
+             |    ON a.text = b.text AND a.doc_id < b.doc_id),
+             |ap AS (
+             |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id, 1 AS distance
+             |  FROM documents WHERE trim(text) <> ''
+             |  UNION ALL SELECT x, y, 0 FROM e
+             |  UNION ALL SELECT x, y + 10000, 1 FROM e
+             |  UNION ALL SELECT y, x + 10000, 1 FROM e
+             |  UNION ALL SELECT x + 10000, y + 10000, 0 FROM e)
+             |SELECT a_id, b_id, CAST(distance AS BIGINT) AS distance
+             |FROM ap ORDER BY a_id, b_id""".stripMargin)),
+
     // source-priority exact dedup: clones re-ingested at a better priority
     // must win every duplicate group; the argmin is a combinable
     // min(struct) — the oracle replays it as a window rank

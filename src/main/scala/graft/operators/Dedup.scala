@@ -120,14 +120,8 @@ object Dedup {
     // interpreted (Spark never codegens lambda bodies) at ~30× the cost,
     // and splitting signature and banding across projections gets
     // re-inlined by CollapseProject into a bands× recompute.
-    val banded = docs
-      .select(col(id).as("doc_id"),
-        posexplode(graft.functions.minhash_bands(
-          graft.functions.word_shingles(col(text), shingleK), numHashes, bands)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-
-    val candidates = boundedIdPairs(banded, Seq("band", "bucket"), "doc_id", maxBucketSize)
+    val candidates = lshCandidates(docs, id, text, shingleK, numHashes,
+      bands, maxBucketSize)
 
     val toks = docs.select(col(id).as("doc_id"),
       array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
@@ -138,6 +132,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Size-capped LSH candidate pairs from MinHash band buckets — the shared
+    * candidate stage of [[minhashLsh]] and [[fuzzyDupPairs]] (ids only
+    * through the exchange; see the scaladoc above).
+    */
+  private def lshCandidates(docs: DataFrame, id: String, text: String,
+                            shingleK: Int, numHashes: Int, bands: Int,
+                            maxBucketSize: Int): DataFrame = {
+    val banded = docs
+      .select(col(id).as("doc_id"),
+        posexplode(graft.functions.minhash_bands(
+          graft.functions.word_shingles(col(text), shingleK), numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    boundedIdPairs(banded, Seq("band", "bucket"), "doc_id", maxBucketSize)
+  }
+
+  /** Character-level fuzzy near-dup pairs: LSH candidates exact-verified by
+    * Levenshtein distance ≤ `maxDist` — the OCR-noise / typo-grade dup
+    * detector (a 1-3 character edit that token- or shingle-set metrics
+    * barely register still collapses here). Candidate generation is the
+    * same ids-only capped-bucket LSH stage as [[minhashLsh]]; the default
+    * `shingleK = 2` keeps the shingle-set similarity of a few-character
+    * edit high (a 1-token change flips only 2 of ~n 2-shingles), so recall
+    * for small edits is near-certain. Edit distance runs only on the
+    * (tiny) candidate set — never all pairs.
+    */
+  def fuzzyDupPairs(docs: DataFrame, id: String, text: String,
+                    maxDist: Int = 3, shingleK: Int = 2,
+                    numHashes: Int = 64, bands: Int = 16,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val texts = docs.select(col(id).as("doc_id"), col(text).as("t"))
+    lshCandidates(docs, id, text, shingleK, numHashes, bands, maxBucketSize)
+      .join(texts.select(col("doc_id").as("a_id"), col("t").as("a_t")), Seq("a_id"))
+      .join(texts.select(col("doc_id").as("b_id"), col("t").as("b_t")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_t"), col("b_t")).cast("long").as("distance"))
+      .filter(col("distance") <= maxDist)
   }
 
   /** SimHash near-dup pairs: 64-bit signatures compared by Hamming distance.

@@ -111,6 +111,17 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("fuzzyDupPairs: typo clone found at its edit distance; permutation is not a fuzzy dup") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brewn fox jumps over the lazy dog"),  // 1 substitution
+      (3L, "dog lazy the over jumps fox brown quick the"))  // permutation: far in edits
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyDupPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("exactByPriority: lowest priority wins, then smallest id") {
     val tagged = Seq(
       (1L, "same body", 2L),
