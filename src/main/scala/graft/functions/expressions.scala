@@ -100,6 +100,30 @@ case class WordNgramsExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Banded Levenshtein kernel (see [[HashUtil.boundedLevenshtein]]):
+  * (string, string) → distance ≤ maxDist or -1, O(maxDist·len), codegen'd.
+  */
+case class BoundedLevenshteinExpr(left: Expression, right: Expression, maxDist: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maxDist >= 0, "maxDist must be non-negative")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bounded_levenshtein needs two strings, got ${l.catalogString}, ${r.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.boundedLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], maxDist)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashUtil.boundedLevenshtein($a, $b, $maxDist)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BoundedLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Language-ID kernel (see [[HashUtil.langId]]): string → language code,
   * codegen'd — replaces a 4×-tokenizing interpreted HOF chain.
   */

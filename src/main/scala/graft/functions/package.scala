@@ -54,6 +54,14 @@ package object functions {
   def quality_counts(text: Column): Column =
     ColumnBridge.column(QualityCountsExpr(ColumnBridge.expression(text)))
 
+  /** Banded Levenshtein: exact distance when ≤ maxDist, else -1, in
+    * O(maxDist·len) (codegen'd kernel — the builtin threshold variant
+    * still walks the full matrix for in-threshold pairs).
+    */
+  def bounded_levenshtein(a: Column, b: Column, maxDist: Int): Column =
+    ColumnBridge.column(BoundedLevenshteinExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), maxDist))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 

@@ -166,11 +166,23 @@ object Dedup {
                     maxBucketSize: Int = 1000): DataFrame = {
     val texts = docs.select(col(id).as("doc_id"), col(text).as("t"))
     lshCandidates(docs, id, text, shingleK, numHashes, bands, maxBucketSize)
+      // the candidate relation is tiny in BYTES but every row carries an
+      // expensive verification — repartition by id so AQE's size-based
+      // coalescing can't serialize the verify onto one task (the exchange
+      // carries ids only; the text joins below broadcast and preserve it)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("a_id"))
       .join(texts.select(col("doc_id").as("a_id"), col("t").as("a_t")), Seq("a_id"))
       .join(texts.select(col("doc_id").as("b_id"), col("t").as("b_t")), Seq("b_id"))
+      // BANDED Levenshtein kernel: O(maxDist·len) per pair. Both builtin
+      // forms — plain and threshold — walk the full O(len²) matrix for
+      // in-threshold pairs (~0.8 ms per ~300-char pair, measured; 8k
+      // candidates → 12+ s), which dwarfs the whole LSH stage; the
+      // Ukkonen band is ~len/maxDist cheaper and returns -1 past the
+      // bound, which the filter drops
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_t"), col("b_t")).cast("long").as("distance"))
-      .filter(col("distance") <= maxDist)
+        graft.functions.bounded_levenshtein(col("a_t"), col("b_t"), maxDist)
+          .as("distance"))
+      .filter(col("distance").between(0, maxDist))
   }
 
   /** SimHash near-dup pairs: 64-bit signatures compared by Hamming distance.

@@ -39,6 +39,34 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("bounded_levenshtein matches the builtin within the band, -1 outside") {
+    val pairs = Seq(
+      ("kitten", "sitting"), ("abc", "abc"), ("", "ab"), ("ab", ""),
+      ("abcdef", "xbcdef"), ("short", "a completely different long string"),
+      ("aaaa", "aaab"), ("Qack row scan", "pack row scan"))
+      .toDF("a", "b")
+    Seq(0, 1, 3, 5).foreach { d =>
+      val rows = pairs.select(
+        graft.functions.bounded_levenshtein(col("a"), col("b"), d).as("k"),
+        levenshtein(col("a"), col("b")).as("ref")).collect()
+      rows.foreach { r =>
+        val (k, ref) = (r.getLong(0), r.getInt(1))
+        if (ref <= d) assert(k == ref, s"d=$d: kernel $k != builtin $ref")
+        else assert(k == -1L, s"d=$d: expected -1 for ref=$ref, got $k")
+      }
+    }
+    // real docs: every in-band verdict agrees with the builtin
+    val real = spark.read.parquet(sfDir + "/documents.parquet").limit(200)
+    val joined = real.select(col("text").as("a"), col("doc_id").as("i"))
+      .crossJoin(real.select(col("text").as("b"), col("doc_id").as("j")))
+      .filter(col("i") < col("j")).limit(2000)
+      .select(graft.functions.bounded_levenshtein(col("a"), col("b"), 3).as("k"),
+        levenshtein(col("a"), col("b")).as("ref"))
+    assert(joined.filter(
+      (col("ref") <= 3 && col("k") =!= col("ref")) ||
+      (col("ref") > 3 && col("k") =!= -1L)).count() == 0)
+  }
+
   test("topk_pairs keeps k best with deterministic tie-break") {
     val df = Seq((1L, 5.0, 10L), (1L, 5.0, 2L), (1L, 9.0, 7L), (1L, 1.0, 1L))
       .toDF("g", "score", "id")
