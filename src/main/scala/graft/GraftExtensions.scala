@@ -15,11 +15,6 @@ import graft.functions.{BoundedLevenshteinExpr, CosineF32Expr, LangIdExpr, MinHa
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intLit(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
@@ -31,10 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("rolling_hash64", es => RollingHash64Expr(es.head))
     inject("lang_id", es => LangIdExpr(es.head))
     inject("cosine_f32", es => CosineF32Expr(es(0), es(1)))
-    inject("word_shingles", es => WordShinglesExpr(es(0), intLit(es(1), "k")))
-    inject("word_ngrams", es => WordNgramsExpr(es(0), intLit(es(1), "k")))
-    inject("bounded_levenshtein", es => BoundedLevenshteinExpr(es(0), es(1), intLit(es(2), "maxDist")))
+    inject("word_shingles", es => WordShinglesExpr(es(0), graft.functions.intLit(es(1), "k")))
+    inject("word_ngrams", es => WordNgramsExpr(es(0), graft.functions.intLit(es(1), "k")))
+    inject("bounded_levenshtein", es => BoundedLevenshteinExpr(es(0), es(1), graft.functions.intLit(es(2), "maxDist")))
     inject("minhash_bands", es => MinHashBandsExpr(es(0),
-      intLit(es(1), "numHashes"), intLit(es(2), "bands")))
+      graft.functions.intLit(es(1), "numHashes"), graft.functions.intLit(es(2), "bands")))
   }
 }

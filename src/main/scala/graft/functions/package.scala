@@ -97,11 +97,26 @@ package object functions {
   /** Register graft functions for the `spark.sql` surface of an existing
     * session (new sessions get them via [[graft.GraftExtensions]]).
     */
+  private[graft] def intLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_f32", es => CosineF32Expr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("quality_counts", es => QualityCountsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShinglesExpr(es(0), intLit(es(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      es => WordNgramsExpr(es(0), intLit(es(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      es => MinHashBandsExpr(es(0), intLit(es(1), "numHashes"), intLit(es(2), "bands")), "scala_udf")
+    reg.createOrReplaceTempFunction("bounded_levenshtein",
+      es => BoundedLevenshteinExpr(es(0), es(1), intLit(es(2), "maxDist")), "scala_udf")
   }
 }

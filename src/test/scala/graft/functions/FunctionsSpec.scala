@@ -39,6 +39,17 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("registerAll exposes every kernel on the SQL surface, incl. int-literal args") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(word_shingles('a b c', 2)), size(word_ngrams('a b a b', 2)),
+        |  bounded_levenshtein('kitten', 'sitting', 5),
+        |  size(minhash_bands(word_shingles('a b c d e', 2), 64, 16)),
+        |  quality_counts('ab cd')[1]""".stripMargin).collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3 && r.getLong(2) == 3L
+      && r.getInt(3) == 16 && r.getLong(4) == 2L)
+  }
+
   test("bounded_levenshtein matches the builtin within the band, -1 outside") {
     val pairs = Seq(
       ("kitten", "sitting"), ("abc", "abc"), ("", "ab"), ("ab", ""),
