@@ -1371,7 +1371,8 @@ object QueryCatalog {
       Some("""WITH e AS (
              |  SELECT a.doc_id AS x, b.doc_id AS y
              |  FROM documents a JOIN documents b
-             |    ON a.text = b.text AND a.doc_id < b.doc_id),
+             |    ON a.text = b.text AND a.doc_id < b.doc_id
+             |  WHERE trim(a.text) <> ''),
              |ap AS (
              |  SELECT doc_id AS a_id, doc_id + 10000 AS b_id, 1 AS distance
              |  FROM documents WHERE trim(text) <> ''

@@ -101,23 +101,39 @@ object Relational {
     * double half-up; other engines round the binary value — observed live at
     * sf0.1: 210624.86125 → .8613 vs .8612).
     *
-    * Fix: do the half-up rounding in pure BIGINT arithmetic —
+    * Fix: do the half-up rounding in pure integer arithmetic —
     * `floor((2·S·10^d + U·n) / (2·U·n))` with S = round(sum·10^scale),
     * U = 10^scale — and only THEN divide by 10^d; an integer can't sit on a
     * half-point, so both engines produce the identical double.
     * (SQL mirror: ((2*S*10^d + U*n) // (2*U*n)) / 10^d.0.)
-    * Magnitude bound: 2·S·10^d must fit a BIGINT — fine for the test
-    * scales; at warehouse scale route through DECIMAL(38) instead.
+    *
+    * Two details make the identity hold everywhere, not just where the
+    * benchmarks happen to sit:
+    *  - intermediates are DECIMAL(38,0): `2·S·10^d` in BIGINT overflows
+    *    once the group's sum nears 4.6e14 price-units — decimal gives 38
+    *    digits of headroom, while the QUOTIENT (the average in 10⁻ᵈ units,
+    *    ≤ the max element) still fits the BIGINT that IntegralDivide
+    *    returns. The remaining exactness bound is the double `sum` itself
+    *    (sum·10^scale must stay below 2⁵³ ≈ 9e15; past that feed a decimal
+    *    column — the identity is unchanged);
+    *  - the division is true FLOOR division: IntegralDivide truncates
+    *    toward zero, which for a NEGATIVE numerator is half-toward-zero —
+    *    divergent from the DuckDB `//` (floor) mirror. The remainder
+    *    adjustment below restores floor semantics for negative sums
+    *    (denominator is always positive).
     */
   def stableAvg(c: Column, scale: Int, digits: Int = 4): Column = {
     val unit = math.pow(10, scale).toLong
     val dunit = math.pow(10, digits).toLong
-    val s = round(sum(c) * unit).cast("long")
-    val n = count(c)
-    val r = graft.functions.integral_divide(
-      s * dunit * 2 + n * unit, n * unit * 2)
+    val s = round(sum(c) * unit).cast("decimal(38,0)")
+    val n = count(c).cast("decimal(38,0)")
+    val num = s * dunit * 2 + n * unit
+    val den = n * unit * 2
+    val q0 = graft.functions.integral_divide(num, den)
+    val rem = num - q0.cast("decimal(38,0)") * den
+    val q = when(rem < 0, q0 - 1).otherwise(q0)
     when(n === 0, lit(null).cast("double"))
-      .otherwise(r.cast("double") / dunit)
+      .otherwise(q.cast("double") / dunit)
   }
 
   /** A1 grouped multi-agg (reddit_summary mart, models/marts/reddit_summary.sql:1-10). */

@@ -12,17 +12,39 @@ object Bucketed {
   /** Write `df` as a bucketed+sorted catalog table on `key`. Matching
     * bucket counts on both sides of a join eliminate both exchanges (and
     * the sort, since bucket files are sorted).
+    *
+    * `table` must be an unqualified name: the orphan-reclaim below derives
+    * the managed location by the warehouse naming convention, which is
+    * wrong for `db.tbl` or custom-`LOCATION` tables — those are rejected
+    * rather than risked.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed: unqualified table names only (got '$table') — the " +
+        "orphan-directory reclaim assumes the default-database managed layout")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a table directory left by an EARLIER session is not in this
     // session's in-memory catalog, and saveAsTable refuses to claim an
-    // orphan location — reclaim it so re-runs are idempotent
+    // orphan location — reclaim it so re-runs are idempotent. Deleting by
+    // naming convention is only safe if the directory actually LOOKS like
+    // a Spark-managed parquet table dir: anything unexpected inside means
+    // it isn't ours, and we fail instead of recursively deleting it.
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      val entries = fs.listStatus(loc).map(_.getPath.getName)
+      val expected = entries.forall(n =>
+        n.startsWith("part-") || n == "_SUCCESS" || n == "_temporary" ||
+          n.startsWith(".") || n.endsWith(".crc"))
+      require(expected,
+        s"writeBucketed: refusing to reclaim $loc — it contains entries " +
+          s"that don't look like a managed parquet table " +
+          s"(${entries.filterNot(n => n.startsWith("part-") || n == "_SUCCESS" ||
+            n == "_temporary" || n.startsWith(".") || n.endsWith(".crc")).mkString(", ")})")
+      fs.delete(loc, true)
+    }
     // co-partition writers with the bucket layout: without this every task
     // writes a file into every bucket it has rows for (tasks × buckets tiny
     // files); with it each bucket is ONE file — which also lets later scans

@@ -170,10 +170,16 @@ object Streams {
     * deduped against the persisted fingerprint index
     * ([[graft.operators.Dedup.dedupAgainstIndex]] — batch-unique minus
     * already-ingested), the survivors are handed to `accept`, and their
-    * fingerprints are appended to the index so the NEXT batch (and any
-    * replay of this one) sees them. Batch-id tracking in the checkpoint
-    * makes the foreachBatch body effectively-once; a re-run of a batch
-    * after the append dedups to empty, so the sink stays idempotent.
+    * fingerprints are appended to the index so the NEXT batch sees them.
+    *
+    * Delivery contract: `accept` is AT-LEAST-ONCE, not exactly-once — a
+    * crash in the window between `accept(fresh)` and the index append
+    * replays the batch with the same survivors (the index doesn't know
+    * them yet), so `accept` must be idempotent (e.g. the keyed
+    * [[upsertSink]] body). Once the append has committed, any replay
+    * dedups to empty. Appending FIRST would make `accept` at-most-once
+    * instead — losing data on a crash between the two — so accept-first
+    * is the safe order for a no-data-loss pipeline.
     * The index table must exist ([[graft.operators.Dedup.writeFingerprintIndex]]).
     */
   def ingestDedup(stream: DataFrame, id: String, text: String,

@@ -82,6 +82,38 @@ class RelationalSpec extends SparkTestBase {
     assert(m("g1").getAs[Double]("max_score") == 20.0)
   }
 
+  test("stableAvg: negative sums use FLOOR division (DuckDB // mirror), not truncation") {
+    // 16 two-decimal values summing to -15.97: avg·10⁴ = -9981.25, so the
+    // half-up identity's quotient is -9980.75 — floor gives -9981 (the
+    // correct nearest), truncation-toward-zero would give -9980
+    val vals = Seq.fill(15)(-1.00) :+ -0.97
+    val out = vals.toDF("v").agg(Relational.stableAvg(col("v"), 2).as("a"))
+      .collect().head.getDouble(0)
+    assert(out == -0.9981, s"expected -0.9981 (floor semantics), got $out")
+    // sanity: positive mirror is unchanged
+    val pos = vals.map(-_).toDF("v").agg(Relational.stableAvg(col("v"), 2).as("a"))
+      .collect().head.getDouble(0)
+    assert(pos == 0.9981)
+  }
+
+  test("stableAvg: sums past the old BIGINT cliff stay exact (DECIMAL(38) intermediates)") {
+    // S = 5e15 + 25 → 2·S·10⁴ = 1.0e20 ≫ 2⁶³: the former BIGINT arithmetic
+    // wrapped here; decimal(38,0) keeps the identity exact. All inputs and
+    // the double sum are exact multiples of 2⁻⁷ below 2⁵³, so the only
+    // question is the integer arithmetic.
+    val vals = Seq.fill(99)(5.0e11) :+ (5.0e11 + 0.25)
+    val out = vals.toDF("v").agg(Relational.stableAvg(col("v"), 2).as("a"))
+      .collect().head.getDouble(0)
+    val expected = (5000000000000025L).toDouble / 1e4
+    assert(out == expected, s"expected $expected, got $out")
+  }
+
+  test("stableAvg: empty group is NULL, not a division error") {
+    val out = Seq(1.0).toDF("v").filter(col("v") > 9)
+      .agg(Relational.stableAvg(col("v"), 2).as("a")).collect().head
+    assert(out.isNullAt(0))
+  }
+
   test("saltedCollectShards: a hot key's rows split across shards, none holds the group") {
     val hot = spark.range(10000)
       .select(lit("hotkey").as("k"), concat(lit("doc"), col("id")).as("v"))
