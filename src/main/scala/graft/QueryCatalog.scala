@@ -968,6 +968,50 @@ object QueryCatalog {
              |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
              |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF seeding quality, graded: a content-ordered corpus (16 contiguous
+    // near-identical blocks derived from the embeddings table — id order IS
+    // topic order, the layout that silently breaks first-N-by-id seeding)
+    // searched with k-means-refined centroids must reach recall@10 >= 0.9
+    // vs brute force. The oracle can't replay Lloyd iterations, so the
+    // graded row is the q_sketch_checks pattern: a data-derived query count
+    // plus the in-tolerance boolean.
+    ("q_ivf_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val n = emb.count() // index-build metadata: one bounded action
+        val block = math.max(n / 16L, 1L)
+        val bases = emb.filter(col("vec_id") % block === 0)
+          .select(graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"),
+            col("embedding").as("base"))
+        // member vector = block base + a small deterministic per-(id, dim)
+        // perturbation: blocks are tight clusters, id order is content order
+        val corpus = emb
+          .select(col("vec_id"),
+            graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
+          .join(broadcast(bases), Seq("blk"))
+          .select(col("vec_id"),
+            zip_with(col("base"), sequence(lit(0), lit(63)),
+              (b, j) => (b.cast("double")
+                + ((col("vec_id") * 31 + j) % 11).cast("double") * lit(0.003))
+                .cast("float")).as("vec"))
+        val queries = corpus.filter(col("vec_id") % block === block / 2)
+        val cents = Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", cells = 16)
+        val indexed = Similarity.assignCells(corpus, "vec_id", "vec", cents)
+        val ivf = Similarity.ivfSearch(indexed, queries, cents, "vec_id", "vec",
+          nprobe = 4, k = 10).select("query_id", "neighbor_id")
+        val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
+          .select("query_id", "neighbor_id")
+        val nQ = queries.count()
+        val found = truth.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val recall = found.toDouble / (nQ * 10L)
+        import s.implicits._
+        Seq((nQ, recall >= 0.9)).toDF("n_queries", "recall_ok")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings)
+             |SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+             |FROM embeddings, n
+             |WHERE vec_id % greatest(n.n // 16, 1) = greatest(n.n // 16, 1) // 2""".stripMargin)),
+
     // ---- multimodal ---------------------------------------------------------
 
     ("q_multimodal_meta",

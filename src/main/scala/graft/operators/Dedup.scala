@@ -335,7 +335,13 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, id: String, vec: String, cells: Int,
                     threshold: Double, maxCellSize: Int = 2000): DataFrame = {
-    val assigned = Similarity.ivfAssign(emb, id, vec, cells)
+    // k-means-refined centroids (not first-N-by-id): on a content-ordered
+    // corpus the naive seeding clumps every centroid into the head topic
+    // and cell sizes skew — recall for true near-dups is unaffected
+    // (identical vectors share a cell under ANY centroid table), but the
+    // capped-cell verifier then drops hot cells it never needed to have
+    val cents = Similarity.ivfCentroidsKmeans(emb, id, vec, cells)
+    val assigned = Similarity.assignCells(emb, id, vec, cents)
       .select(col(id).as("vec_id"), col("cell"))
     val vecs = emb.select(col(id).as("vec_id"), col(vec).as("v"))
     boundedIdPairs(assigned, Seq("cell"), "vec_id", maxCellSize)

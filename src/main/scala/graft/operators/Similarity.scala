@@ -113,6 +113,80 @@ object Similarity {
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
       .toSeq
 
+  /** K-means-refined IVF centroids — the production seeding path.
+    *
+    * [[ivfCentroids]]' first-`cells`-by-id seeding silently degrades probe
+    * recall when id order correlates with content (time-ordered crawls: the
+    * first N documents are all one topic, so every centroid lands in one
+    * clump and the rest of the corpus smears across arbitrary Voronoi
+    * slivers). Here the seeds come from a deterministic hash-ordered sample
+    * — the `sampleCap` vectors with the smallest `xxhash64(id)`, a uniform
+    * content-independent draw whatever the id layout — refined with `iters`
+    * Lloyd iterations (cosine assignment, mean update) over that sample.
+    *
+    * Scale shape: the sample is a `TakeOrderedAndProject` (per-partition
+    * top-`sampleCap` by hash, one bounded merge — no global sort, no
+    * corpus shuffle), and the Lloyd loop is driver-side over ≤ `sampleCap`
+    * vectors (cap × dims doubles, broadcast-class by construction — the
+    * same bound as the centroid table itself). Everything downstream
+    * (in-row literal-centroid assign, probe pruning) is unchanged.
+    * Deterministic: hash order fixes the sample and seed set, ties in
+    * assignment break toward the lowest cell, empty cells keep their
+    * previous centroid.
+    */
+  def ivfCentroidsKmeans(corpus: DataFrame, id: String, vec: String, cells: Int,
+                         sampleCap: Int = 4096, iters: Int = 8): Seq[(Long, Seq[Float])] = {
+    require(cells >= 1, s"ivfCentroidsKmeans: cells must be >= 1, got $cells")
+    require(sampleCap >= cells, s"ivfCentroidsKmeans: sampleCap $sampleCap < cells $cells")
+    val sample: Array[Array[Double]] = corpus
+      .select(col(id).cast("long").as("_id"), col(vec).as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+    require(sample.nonEmpty, "ivfCentroidsKmeans: empty corpus")
+    val k = math.min(cells, sample.length)
+    val dims = sample.head.length
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < dims) { dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1 }
+      val d = math.sqrt(na * nb)
+      if (d == 0) 0.0 else dot / d
+    }
+
+    var cents: Array[Array[Double]] = Array.tabulate(k)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dims)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestS = -2.0; var c = 0
+        while (c < k) {
+          val s0 = cos(v, cents(c))
+          if (s0 > bestS) { bestS = s0; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = new Array[Double](dims)
+          var j = 0
+          while (j < dims) { m(j) = sums(c)(j) / counts(c); j += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (cvec, i) =>
+      i.toLong -> cvec.iterator.map(_.toFloat).toSeq
+    }.toSeq
+  }
+
   /** The centroid table as an in-row array literal: array<struct<cell, centroid>>. */
   private def centroidArray(cents: Seq[(Long, Seq[Float])]): Column = {
     val entries = cents.map { case (cell, v) =>

@@ -70,6 +70,39 @@ class SimilaritySpec extends SparkTestBase {
       "on-disk probe result differs from the in-memory path")
   }
 
+  test("kmeans centroids rescue recall on a content-ordered corpus (first-N-by-id collapses)") {
+    // 8 contiguous clusters of 40 near-identical 8-dim vectors: id order IS
+    // content order, so first-8-by-id seeding puts every centroid inside
+    // cluster 0. Hash-sampled k-means seeds must spread and recover recall.
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(8)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 40) yield {
+      val id = (c * 40 + m).toLong
+      id -> bases(c).zipWithIndex.map { case (b, j) =>
+        b + ((id * 13 + j) % 5).toFloat * 0.01f }
+    }
+    val corpus = rows.toDF("vec_id", "vec")
+    val queries = corpus.filter(col("vec_id") % 40 === 20)
+
+    def recall(cents: Seq[(Long, Seq[Float])]): Double = {
+      val indexed = Similarity.assignCells(corpus, "vec_id", "vec", cents)
+      val ivf = Similarity.ivfSearch(indexed, queries, cents, "vec_id", "vec",
+        nprobe = 2, k = 10).select("query_id", "neighbor_id")
+      val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
+        .select("query_id", "neighbor_id")
+      truth.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count() / 80.0
+    }
+
+    val naive = recall(Similarity.ivfCentroids(corpus, "vec_id", "vec", cells = 8))
+    val kmeans = recall(Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", cells = 8))
+    assert(kmeans >= 0.9, s"kmeans recall@10 = $kmeans, wanted >= 0.9")
+    assert(kmeans > naive,
+      s"kmeans ($kmeans) should beat first-N-by-id ($naive) on content-ordered ids")
+    // determinism: same corpus → identical centroid table
+    assert(Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", cells = 8) ==
+      Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", cells = 8))
+  }
+
   test("bruteForceTopK plan has no window and no cartesian product") {
     val plan = Similarity.bruteForceTopK(emb, emb.limit(2), "vec_id", "embedding", 2)
       .queryExecution.executedPlan.toString
