@@ -1014,11 +1014,16 @@ object QueryCatalog {
 
     // ---- multimodal ---------------------------------------------------------
 
+    // the engine PARSES width/height/format out of real PNG/JPEG/WebP
+    // header bytes (media_header kernel); the oracle predicts the parse
+    // from the fixture generator's arithmetic (header sizes: PNG 33 B,
+    // JFIF+SOF0 39 B, RIFF VP8X 30 B)
     ("q_multimodal_meta",
       (s: SparkSession, d: String) =>
         Multimodal.mediaMeta(t(s, d, "documents")).orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+             |  CAST(octet_length(encode(text)) + CASE CAST(n_chars % 3 AS INT)
+             |       WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 30 END AS BIGINT) AS media_bytes,
              |  16 + n_chars % 64 AS width,
              |  16 + n_chars % 48 AS height,
              |  CASE CAST(n_chars % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -1048,8 +1053,10 @@ object QueryCatalog {
              |  CAST(14587 AS BIGINT) AS max_score""".stripMargin)),
 
     // FakeCodec is pure byte arithmetic (f[i%8] += byte/255 in float32) —
-    // DuckDB replays it bit-exactly over the UTF-8 bytes, float32 casts and
-    // all, so the stub decode path gets a real value-level oracle.
+    // DuckDB replays it bit-exactly over the full blob (real container
+    // header + UTF-8 payload), float32 casts and all, so the stub decode
+    // path gets a real value-level oracle. The header byte lists mirror
+    // Multimodal.mediaBytes exactly.
     ("q_multimodal_decode",
       (s: SparkSession, d: String) =>
         Multimodal.decodeFeatures(Multimodal.withMedia(t(s, d, "documents")))
@@ -1061,21 +1068,35 @@ object QueryCatalog {
       Some("""WITH b AS (
              |  SELECT doc_id, n_chars, lower(hex(encode(text))) AS hx,
              |    octet_length(encode(text)) AS n FROM documents),
-             |c AS (
-             |  SELECT doc_id, n_chars, n,
-             |    list_transform(range(1, n+1),
-             |      i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)*16
-             |         + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)) AS bytes
+             |hd AS (
+             |  SELECT doc_id, n_chars, n, hx,
+             |    CASE CAST(n_chars % 3 AS INT)
+             |    WHEN 0 THEN [137,80,78,71,13,10,26,10, 0,0,0,13, 73,72,68,82,
+             |      0,0,0, 16 + n_chars % 64, 0,0,0, 16 + n_chars % 48,
+             |      8,6,0,0,0, 0,0,0,0]
+             |    WHEN 1 THEN [255,216, 255,224,0,16,74,70,73,70,0,1,1,0,0,1,0,1,0,0,
+             |      255,192,0,17,8, 0, 16 + n_chars % 48, 0, 16 + n_chars % 64,
+             |      3, 1,34,0, 2,17,1, 3,17,1]
+             |    ELSE [82,73,70,70, (n+22)%256, ((n+22)//256)%256, ((n+22)//65536)%256, 0,
+             |      87,69,66,80, 86,80,56,88, 10,0,0,0, 0, 0,0,0,
+             |      15 + n_chars % 64, 0,0, 15 + n_chars % 48, 0,0]
+             |    END AS hdr
              |  FROM b),
+             |c AS (
+             |  SELECT doc_id, n_chars, len(hdr) + n AS nb,
+             |    list_concat(hdr, list_transform(range(1, n+1),
+             |      i -> (strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)*16
+             |         + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1))) AS bytes
+             |  FROM hd),
              |s AS (
-             |  SELECT doc_id, n_chars, n,
+             |  SELECT doc_id, n_chars, nb,
              |    list_transform(range(0, 8), j ->
              |      list_reduce(list_prepend(CAST(0 AS FLOAT),
-             |        list_transform(list_filter(range(1, n+1), i -> (i-1) % 8 = j),
+             |        list_transform(list_filter(range(1, nb+1), i -> (i-1) % 8 = j),
              |          i -> CAST(CAST(bytes[i] AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT))),
              |        (acc, x) -> CAST(acc + x AS FLOAT))) AS feats
              |  FROM c)
-             |SELECT doc_id, CAST(n AS BIGINT) AS media_bytes,
+             |SELECT doc_id, CAST(nb AS BIGINT) AS media_bytes,
              |  CASE CAST(n_chars % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
              |       ELSE 'webp' END AS format,
              |  round(CAST(feats[1] AS DOUBLE)+feats[2]+feats[3]+feats[4]

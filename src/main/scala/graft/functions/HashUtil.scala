@@ -330,6 +330,74 @@ object HashUtil {
       Array[Any](nChars, nTok, nonspace, stopHits, punct))
   }
 
+  /** Parse an image container header from raw bytes: PNG signature+IHDR
+    * (PNG spec §5.2/§11.2.2), JPEG/JFIF marker-segment scan to the first
+    * SOFn frame header (ITU T.81 §B.2.2), or WebP RIFF VP8X canvas size
+    * (WebP container spec). Pure public-file-format arithmetic — no codec
+    * library; this is the metadata half of ingest, the pixel DECODE stays
+    * a stub ([[graft.operators.Multimodal.FakeCodec]]).
+    *
+    * Returns an InternalRow (format: string, width: long, height: long),
+    * or null when no known signature matches or the header is truncated —
+    * a crawled-bytes census must tolerate garbage, never throw.
+    */
+  def mediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (b == null) return null
+    def u(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)) & 0xffffffffL
+    def be16(i: Int): Long = ((u(i) << 8) | u(i + 1)).toLong
+    def le24(i: Int): Long = (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16)).toLong
+    def row(fmt: String, w: Long, h: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(fmt), w, h))
+    // PNG: fixed 8-byte signature; the IHDR chunk is required to come first
+    if (b.length >= 8 && u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e && u(3) == 0x47 &&
+        u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a) {
+      if (b.length >= 24 && be32(8) >= 13 &&
+          u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R')
+        return row("png", be32(16), be32(20))
+      return null
+    }
+    // JPEG: SOI, then marker segments; the frame size lives in the first
+    // SOFn (C0-CF except the DHT/JPG/DAC pseudo-markers C4/C8/CC)
+    if (b.length >= 2 && u(0) == 0xff && u(1) == 0xd8) {
+      var pos = 2
+      while (pos + 1 < b.length) {
+        if (u(pos) != 0xff) return null // desynced: expected a marker
+        var p = pos
+        while (p < b.length && u(p) == 0xff) p += 1 // fill bytes are legal padding
+        if (p >= b.length) return null
+        val marker = u(p)
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          pos = p + 1 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return null // EOI / start-of-scan before any SOF: no frame header
+        } else {
+          if (p + 2 >= b.length) return null
+          val len = be16(p + 1).toInt
+          if (len < 2) return null
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            // segment payload: precision(1) height(2,BE) width(2,BE) ...
+            if (p + 7 >= b.length) return null
+            return row("jpeg", be16(p + 6), be16(p + 4))
+          }
+          pos = p + 1 + len
+        }
+      }
+      return null
+    }
+    // WebP: RIFF container; the VP8X extended header carries the canvas
+    // size as (value-1) little-endian 24-bit fields
+    if (b.length >= 30 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' && u(3) == 'F' &&
+        u(8) == 'W' && u(9) == 'E' && u(10) == 'B' && u(11) == 'P' &&
+        u(12) == 'V' && u(13) == 'P' && u(14) == '8' && u(15) == 'X')
+      return row("webp", le24(24) + 1, le24(27) + 1)
+    null
+  }
+
   /** Rabin-Karp rolling polynomial hash (base 1000003, mod 2⁶⁴ wraparound)
     * over the UTF-8 bytes — a classic document fingerprint.
     */

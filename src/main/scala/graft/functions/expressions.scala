@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash kernels. Generated code calls
@@ -164,6 +164,35 @@ case class QualityCountsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.qualityCounts($c)")
   override protected def withNewChildInternal(newChild: Expression): QualityCountsExpr =
+    copy(child = newChild)
+}
+
+/** Image-container header parser (see [[HashUtil.mediaHeader]]): binary →
+  * struct(format, width, height), or NULL for unrecognized/truncated bytes
+  * — codegen'd, so metadata extraction rides the scan like any projection.
+  */
+case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"media_header needs binary, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.mediaHeader(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashUtil.mediaHeader($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MediaHeaderExpr =
     copy(child = newChild)
 }
 

@@ -62,6 +62,13 @@ package object functions {
     ColumnBridge.column(BoundedLevenshteinExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b), maxDist))
 
+  /** Image-container header parse of a binary column: PNG IHDR / JPEG SOF
+    * / WebP VP8X → struct(format, width, height), NULL when unrecognized
+    * (codegen'd kernel — public file-format arithmetic, no codec library).
+    */
+  def media_header(bytes: Column): Column =
+    ColumnBridge.column(MediaHeaderExpr(ColumnBridge.expression(bytes)))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 
@@ -118,5 +125,6 @@ package object functions {
       es => MinHashBandsExpr(es(0), intLit(es(1), "numHashes"), intLit(es(2), "bands")), "scala_udf")
     reg.createOrReplaceTempFunction("bounded_levenshtein",
       es => BoundedLevenshteinExpr(es(0), es(1), intLit(es(2), "maxDist")), "scala_udf")
+    reg.createOrReplaceTempFunction("media_header", es => MediaHeaderExpr(es.head), "scala_udf")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,26 +30,69 @@ object Multimodal {
     StructField("height", LongType, nullable = true),
     StructField("format", StringType, nullable = true)))
 
-  /** Attach a binary media column + deterministic metadata to `documents`.
-    * The payload is the UTF-8 bytes of `text` (a stand-in blob: real
-    * pipelines would read image bytes); metadata is derived arithmetically
-    * from `n_chars` so the DuckDB oracle can reproduce it exactly.
+  private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
+
+  /** Real container-header bytes for the synthetic fixture: a PNG
+    * signature+IHDR / JFIF APP0+SOF0 / WebP VP8X prefix whose dimensions
+    * come from the deterministic `n_chars` arithmetic, followed by the
+    * UTF-8 text payload standing in for compressed pixel data. Formats and
+    * sizes are byte-exact per the public specs (PNG §5.2/§11.2.2, ITU T.81
+    * §B.2.2, WebP container spec; IHDR CRC left zero — the metadata path
+    * doesn't checksum), so [[mediaMeta]] can PARSE the numbers back out of
+    * the bytes instead of trusting the arithmetic.
+    */
+  private def mediaBytes(text: Column, nChars: Column): Column = {
+    val w = lit(16L) + nChars % 64
+    val h = lit(16L) + nChars % 48
+    val png = concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("080600000000000000"))
+    val jpeg = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03012200021101031101"))
+    // RIFF size field = bytes after it: 22 header bytes + the payload
+    val sz = length(text.cast("binary")).cast("long") + 22L
+    val szLe32 = concat(
+      hex2(pmod(sz, lit(256L))),
+      hex2(pmod(graft.functions.integral_divide(sz, lit(256L)), lit(256L))),
+      hex2(pmod(graft.functions.integral_divide(sz, lit(65536L)), lit(256L))),
+      lit("00"))
+    val webp = concat(
+      lit("52494646"), szLe32, lit("57454250565038580A00000000000000"),
+      hex2(w - 1), lit("0000"), hex2(h - 1), lit("0000"))
+    val hdr = when(nChars % 3 === 0, png)
+      .when(nChars % 3 === 1, jpeg)
+      .otherwise(webp)
+    concat(unhex(hdr), text.cast("binary"))
+  }
+
+  /** Attach a binary media column + metadata to `documents`. The blob is a
+    * valid image-container header ([[mediaBytes]]) plus the text payload;
+    * width/height/format are NOT copied from the generating arithmetic —
+    * they are parsed back out of the bytes by the codegen'd
+    * [[graft.functions.media_header]] kernel, the same code path a real
+    * ingest runs on crawled image bytes. The generator's arithmetic is what
+    * lets the DuckDB oracle predict the parse output exactly.
     */
   def withMedia(docs: DataFrame, id: String = "doc_id", text: String = "text",
                 nChars: String = "n_chars"): DataFrame =
-    docs.select(
-      col(id).as("doc_id"),
-      col(text).cast("binary").as("media"),
-      length(col(text).cast("binary")).cast("long").as("media_bytes"),
-      (lit(16L) + col(nChars) % 64).as("width"),
-      (lit(16L) + col(nChars) % 48).as("height"),
-      when(col(nChars) % 3 === 0, "png")
-        .when(col(nChars) % 3 === 1, "jpeg")
-        .otherwise("webp").as("format"))
+    docs
+      .select(col(id).as("doc_id"),
+        mediaBytes(col(text), col(nChars)).as("media"))
+      .withColumn("_hdr", graft.functions.media_header(col("media")))
+      .select(
+        col("doc_id"),
+        col("media"),
+        length(col("media")).cast("long").as("media_bytes"),
+        col("_hdr").getField("width").as("width"),
+        col("_hdr").getField("height").as("height"),
+        col("_hdr").getField("format").as("format"))
 
   /** Oracle-checkable projection of [[withMedia]] (binary column dropped —
     * parquet/duckdb blob hashing is engine-specific; the byte length is the
-    * content check).
+    * content check). Width/height/format are parsed from real header bytes.
     */
   def mediaMeta(docs: DataFrame): DataFrame =
     withMedia(docs).select("doc_id", "media_bytes", "width", "height", "format")

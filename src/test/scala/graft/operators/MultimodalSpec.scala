@@ -11,21 +11,76 @@ class MultimodalSpec extends SparkTestBase {
     (1L, "hello world", 11L),
     (2L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
 
-  test("withMedia: binary payload + deterministic metadata") {
+  test("withMedia: header+payload blob, metadata PARSED from the bytes") {
     val rows = Multimodal.withMedia(docs).orderBy("doc_id").collect()
-    assert(rows(0).getAs[Array[Byte]]("media").toSeq == "hello world".getBytes("UTF-8").toSeq)
-    assert(rows(0).getAs[Long]("media_bytes") == 11L)
+    // doc 1: n_chars=11 → 11%3=2 → WebP VP8X (30-byte header) + 11 payload
+    val m1 = rows(0).getAs[Array[Byte]]("media")
+    assert(new String(m1.take(4), "ASCII") == "RIFF")
+    assert(new String(m1.slice(8, 16), "ASCII") == "WEBPVP8X")
+    assert(m1.drop(30).toSeq == "hello world".getBytes("UTF-8").toSeq)
+    assert(rows(0).getAs[Long]("media_bytes") == 41L)
     assert(rows(0).getAs[Long]("width") == 16 + 11 % 64)
-    assert(rows(1).getAs[String]("format") == "png") // 3 % 3 == 0
+    assert(rows(0).getAs[Long]("height") == 16 + 11 % 48)
+    assert(rows(0).getAs[String]("format") == "webp")
+    // doc 2: n_chars=3 → PNG (33-byte header): real signature + IHDR
+    val m2 = rows(1).getAs[Array[Byte]]("media")
+    assert(m2.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(rows(1).getAs[Long]("media_bytes") == 36L)
+    assert(rows(1).getAs[String]("format") == "png")
+    assert(rows(1).getAs[Long]("width") == 16 + 3 % 64)
+  }
+
+  test("media_header: parses real-world PNG/JPEG bytes, rejects garbage") {
+    // a REAL 1x1 RGBA PNG header (true CRC bytes included)
+    val png1x1 = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89).map(_.toByte)
+    // a JPEG whose SOF0 comes after APP0 and a COM segment (marker scan
+    // must skip both), 640x480
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46, 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xfe, 0x00, 0x05, 0x68, 0x69, 0x21, // COM "hi!"
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    // progressive JPEG: SOF2 (0xc2) must also be recognized
+    val jpegProg = Array[Int](0xff, 0xd8,
+      0xff, 0xc2, 0x00, 0x11, 0x08, 0x00, 0x10, 0x00, 0x20,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    val cases = Seq(
+      (1L, png1x1), (2L, jpeg), (3L, jpegProg),
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, Array.empty[Byte]),
+      (6L, png1x1.take(20)), // truncated before the IHDR payload
+      (7L, Array[Int](0xff, 0xd8, 0xff, 0xd9).map(_.toByte))) // SOI+EOI, no frame
+    val out = cases.toDF("id", "bytes")
+      .select(col("id"), graft.functions.media_header(col("bytes")).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getStruct(1).toSeq == Seq("png", 1L, 1L))
+    assert(out(1).getStruct(1).toSeq == Seq("jpeg", 640L, 480L))
+    assert(out(2).getStruct(1).toSeq == Seq("jpeg", 32L, 16L))
+    (3 to 6).foreach(i => assert(out(i).isNullAt(1), s"case ${i + 1} should be NULL"))
+    // interpreted eval agrees with the codegen'd path
+    assert(graft.functions.HashUtil.mediaHeader(jpeg).toSeq(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType))))
+      .map(_.toString) == Seq("jpeg", "640", "480"))
+    assert(graft.functions.HashUtil.mediaHeader("junk".getBytes) == null)
   }
 
   test("decodeFeatures: mapPartitions decode is deterministic and distributed") {
-    val out = Multimodal.decodeFeatures(Multimodal.withMedia(docs))
+    val media = Multimodal.withMedia(docs)
+    val out = Multimodal.decodeFeatures(media)
     val feats = out.collect().map(d => d.doc_id -> d.features).toMap
     assert(feats(1L).length == Multimodal.FakeCodec.FeatureDim)
-    // fake codec: sum of byte values scaled — deterministic
+    // fake codec over the full blob (header included) — deterministic
+    val blob2 = media.filter(col("doc_id") === 2L).select("media")
+      .collect().head.getAs[Array[Byte]](0)
     assert(feats(2L).sum > 0.0f)
-    assert(feats(2L).toSeq == Multimodal.FakeCodec.decode("abc".getBytes("UTF-8")).toSeq)
+    assert(feats(2L).toSeq == Multimodal.FakeCodec.decode(blob2).toSeq)
   }
 
   test("resize: aspect-preserving box fit, payload stub shrinks with area") {
@@ -41,6 +96,7 @@ class MultimodalSpec extends SparkTestBase {
       .select("doc_id", "frames").orderBy("doc_id").collect()
     val frames = rows(0).getSeq[Array[Byte]](1)
     assert(frames.length == 3)
-    assert(new String(frames.head, "UTF-8") == "hell")
+    // the first frame window starts at the blob's head — the RIFF fourcc
+    assert(new String(frames.head, "ASCII") == "RIFF")
   }
 }
