@@ -1615,6 +1615,51 @@ object QueryCatalog {
              |SELECT k.doc_id FROM keep k LEFT JOIN cf ON k.f = cf.f
              |WHERE cf.f IS NULL ORDER BY doc_id""".stripMargin)),
 
+    // incremental FUZZY dedup vs the persisted LSH band index: the corpus
+    // is banded once, batch 1 is ingested and appended, and batch 2's
+    // planted near-clones (text + own first token: token set unchanged →
+    // verification jaccard exactly 1.0; shingle jaccard ≈ 0.99 on ≥8-token
+    // docs → a band match is LSH-certain) must be caught against BOTH
+    // generations — the batch-1 clones are only catchable if the append
+    // made batch 1 indexed. Summary-row oracle (planted-invariant counts);
+    // the index side of the candidate join is exchange-free, plan-asserted
+    // in DedupSpec.
+    ("q_incremental_neardup",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") < 300)
+        val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        Dedup.writeLshBandIndex(corpus, "doc_id", "text", "graft_lsh_index")
+        Dedup.appendLshBandIndex(batch1, "doc_id", "text", "graft_lsh_index")
+        // rewrite the two append generations to one file per bucket — the
+        // graded result must survive compaction byte-for-byte
+        Dedup.compactLshBandIndex(s, "graft_lsh_index")
+        def clones(src: DataFrame, offset: Long): DataFrame =
+          src.filter(TextAnalysis.tokenCount(col("text")) >= 8)
+            .select((col("doc_id") + offset).as("doc_id"),
+              concat(col("text"), lit(" "),
+                element_at(split(trim(col("text")), "\\s+"), 1)).as("text"))
+        val batch2 = clones(docs.filter(col("doc_id") < 50), 20000L)
+          .unionAll(clones(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350), 30000L))
+        val caught = Dedup.nearDupAgainstIndex(batch2, "doc_id", "text",
+            "graft_lsh_index", docs.filter(col("doc_id") < 400), threshold = 1.0)
+          .select("batch_id").distinct().localCheckpoint(true)
+        val nCorpusClones = caught
+          .filter(col("batch_id") >= 20000L && col("batch_id") < 30000L).count()
+        val nBatch1Clones = caught.filter(col("batch_id") >= 30000L).count()
+        import s.implicits._
+        Seq((nCorpusClones, nBatch1Clones))
+          .toDF("corpus_clones_caught", "batch1_clones_caught")
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM documents WHERE doc_id < 50
+             |        AND len(regexp_split_to_array(trim(text), '\s+')) >= 8
+             |        AND trim(text) <> '') AS BIGINT) AS corpus_clones_caught,
+             |  CAST((SELECT count(*) FROM documents
+             |        WHERE doc_id >= 300 AND doc_id < 350
+             |        AND len(regexp_split_to_array(trim(text), '\s+')) >= 8
+             |        AND trim(text) <> '') AS BIGINT) AS batch1_clones_caught""".stripMargin)),
+
     // the end-to-end curation pipeline graded as one summary row. Planted
     // near-clones append the doc's own first token: the token SET is
     // unchanged (verification jaccard exactly 1.0 at threshold 1.0), the

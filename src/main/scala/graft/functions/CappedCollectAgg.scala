@@ -20,19 +20,23 @@ import org.apache.spark.sql.types._
   * buffer bound* (update and merge both truncate), so per-group state is
   * O(cap) regardless of how hot the bucket is.
   *
-  * Output: the id array when the group has between 2 and `cap` members
-  * (a usable candidate bucket), NULL otherwise — singleton buckets produce
-  * no pairs, and an over-full bucket is a non-discriminative hash collision
-  * that standard LSH hygiene drops anyway.
+  * Output: the id array when the group has between `minSize` and `cap`
+  * members, NULL otherwise. The default `minSize = 2` is the candidate-pair
+  * use (singleton buckets produce no pairs); `minSize = 1` keeps singleton
+  * buckets — what a persisted LSH *index* needs, since a future ingest
+  * batch can still collide with a so-far-lonely bucket. Over-full buckets
+  * are non-discriminative hash collisions that standard LSH hygiene drops.
   */
 case class CappedCollectAgg(
     id: Expression,
     cap: Int,
+    minSize: Int = 2,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[Long]] {
 
-  require(cap >= 2, "capped_collect needs cap >= 2")
+  require(minSize >= 1, "capped_collect needs minSize >= 1")
+  require(cap >= minSize, "capped_collect needs cap >= minSize")
 
   // cap + 1 entries is enough to distinguish "exactly cap" from "over cap";
   // beyond that the bucket is dropped, so extra ids carry no information
@@ -57,7 +61,7 @@ case class CappedCollectAgg(
   }
 
   override def eval(buf: mutable.ArrayBuffer[Long]): Any =
-    if (buf.size < 2 || buf.size > cap) null
+    if (buf.size < minSize || buf.size > cap) null
     else new GenericArrayData(buf.toArray)
 
   override def serialize(buf: mutable.ArrayBuffer[Long]): Array[Byte] = {

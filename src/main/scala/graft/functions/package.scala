@@ -93,12 +93,13 @@ package object functions {
         k).toAggregateExpression())
 
   /** Size-capped id-list aggregate (see [[CappedCollectAgg]]): the id array
-    * when the group has 2..cap members, NULL otherwise, with O(cap) buffer
-    * state regardless of group size — the skew-proof LSH bucket collector.
+    * when the group has minSize..cap members, NULL otherwise, with O(cap)
+    * buffer state regardless of group size — the skew-proof LSH bucket
+    * collector (minSize=2) and index-bucket materializer (minSize=1).
     */
-  def capped_collect(id: Column, cap: Int): Column =
+  def capped_collect(id: Column, cap: Int, minSize: Int = 2): Column =
     ColumnBridge.column(
-      CappedCollectAgg(ColumnBridge.expression(id.cast("long")), cap)
+      CappedCollectAgg(ColumnBridge.expression(id.cast("long")), cap, minSize)
         .toAggregateExpression())
 
   /** Register graft functions for the `spark.sql` surface of an existing

@@ -376,6 +376,92 @@ object Dedup {
       .bucketBy(buckets, "fingerprint").sortBy("fingerprint")
       .saveAsTable(table)
 
+  /** One row per (band, bucket) key a document lands in: the key is
+    * collapsed to a single long (`xxhash64(band, bucket)`) so the index
+    * can bucket/join on one column; a hash collision between two band
+    * buckets merely merges candidate lists, which verification filters.
+    */
+  private def bandKeys(docs: DataFrame, id: String, text: String, idAlias: String,
+                       shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+    docs.select(col(id).as(idAlias),
+        posexplode(graft.functions.minhash_bands(
+          graft.functions.word_shingles(col(text), shingleK), numHashes, bands)))
+      .select(xxhash64(col("pos"), col("col")).as("bb"), col(idAlias))
+
+  /** Persist the corpus's MinHash LSH band index as a bucketed+sorted table
+    * on the band-bucket key — the fuzzy analog of [[writeFingerprintIndex]]:
+    * at 100 TB you band the corpus ONE time, and every later ingest batch is
+    * near-dup-checked against it without re-banding (or re-shuffling) the
+    * corpus. Each index row is a whole bucket's size-capped id list
+    * ([[graft.functions.capped_collect]] with minSize=1 — a singleton
+    * bucket must stay, a future batch doc can still collide with it), so a
+    * degenerate bucket costs O(cap) and a batch-side join row fans out to
+    * ≤ cap candidates.
+    */
+  def writeLshBandIndex(docs: DataFrame, id: String, text: String, table: String,
+                        shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        maxBucketSize: Int = 1000, buckets: Int = 64): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      bandKeys(docs, id, text, "corpus_id", shingleK, numHashes, bands)
+        .groupBy("bb")
+        .agg(graft.functions.capped_collect(col("corpus_id"), maxBucketSize, minSize = 1).as("ids"))
+        .filter(col("ids").isNotNull),
+      table, "bb", buckets)
+
+  /** Append newly-accepted docs to the band index (same bucket spec, so the
+    * bucketed-join property is preserved across ingests). Each append adds
+    * its own bucket rows — a key accumulates one capped row per ingest
+    * generation, the same growth shape as [[appendFingerprintIndex]].
+    */
+  def appendLshBandIndex(accepted: DataFrame, id: String, text: String, table: String,
+                         shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                         maxBucketSize: Int = 1000, buckets: Int = 64): Unit =
+    bandKeys(accepted, id, text, "corpus_id", shingleK, numHashes, bands)
+      .groupBy("bb")
+      .agg(graft.functions.capped_collect(col("corpus_id"), maxBucketSize, minSize = 1).as("ids"))
+      .filter(col("ids").isNotNull)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bb").sortBy("bb")
+      .saveAsTable(table)
+
+  /** Incremental near-dup check: batch docs that share an LSH band bucket
+    * with an indexed corpus doc, exact-verified by token-set Jaccard ≥
+    * `threshold`. Output: (batch_id, corpus_id, jaccard) per verified pair.
+    *
+    * `corpusTexts` is the verification relation (id + text of everything
+    * the index covers): candidates are ids-only until verification, which
+    * reads corpus text for the (batch-bounded) candidate set — the corpus
+    * is never re-banded and never re-shuffled.
+    *
+    * Scale shape: the index side is bucketed on `bb`, so the candidate
+    * join needs NO exchange on the index (plan-asserted in DedupSpec) —
+    * only the batch's ≤ `bands` rows/doc shuffle into the index layout;
+    * the candidate pair set is broadcast-class (batch × cap bounded) for
+    * both verification joins.
+    */
+  def nearDupAgainstIndex(batch: DataFrame, id: String, text: String, table: String,
+                          corpusTexts: DataFrame,
+                          corpusId: String = "doc_id", corpusText: String = "text",
+                          shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val cands = bandKeys(batch, id, text, "batch_id", shingleK, numHashes, bands)
+      .join(graft.sources.Bucketed.read(spark, table), Seq("bb"))
+      .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
+      .distinct()
+    val bToks = batch.select(col(id).as("batch_id"),
+      array_distinct(TextAnalysis.tokens(col(text))).as("b_toks"))
+    val cToks = corpusTexts.select(col(corpusId).as("corpus_id"),
+      array_distinct(TextAnalysis.tokens(col(corpusText))).as("c_toks"))
+    // candidates ride as the broadcast side of the corpus-text join: the
+    // big relation is scanned once (id + text columns) and never shuffled
+    cToks
+      .join(broadcast(cands.join(broadcast(bToks), Seq("batch_id"))), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(jaccard(col("b_toks"), col("c_toks")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Incremental exact dedup: batch rows that are new against the
     * persisted fingerprint index AND unique within the batch (smallest id
     * kept per fingerprint) — the per-ingest step of a continuously-growing
@@ -384,10 +470,13 @@ object Dedup {
     * Scale shape: the index side is bucketed+sorted on the join key, so
     * the anti-join needs NO exchange on the corpus-sized side
     * (plan-asserted) — only the (small) batch shuffles, into the index's
-    * bucket layout. The per-bucket sort is elided too once a bucket is one
-    * file (compacted index); with multiple files per bucket Spark re-sorts
-    * locally, still without any exchange. The index never broadcasts and
-    * is never rebuilt.
+    * bucket layout. Once the index is compacted to one file per bucket
+    * ([[compactFingerprintIndex]]) the per-bucket sort is elided too
+    * (Spark reports bucket sort order only for single-file buckets, under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` — asserted in
+    * BucketedSpec); with multiple files per bucket Spark re-sorts locally,
+    * still without any exchange. The index never broadcasts and is never
+    * rebuilt.
     */
   def dedupAgainstIndex(batch: DataFrame, id: String, text: String,
                         table: String): DataFrame = {
@@ -399,6 +488,21 @@ object Dedup {
         .select(col("fingerprint").as("_fp")), Seq("_fp"), "left_anti")
       .drop("_fp")
   }
+
+  /** Compact the fingerprint index to one file per bucket (see
+    * [[graft.sources.Bucketed.compact]]): appends accumulate a file per
+    * ingest generation, which keeps joins exchange-free but re-introduces
+    * per-bucket local sorts — run this periodically so the index side of
+    * [[dedupAgainstIndex]] scans pre-sorted buckets again.
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+                              table: String, buckets: Int = 64): Unit =
+    graft.sources.Bucketed.compact(spark, table, "fingerprint", buckets)
+
+  /** [[compactFingerprintIndex]] for the LSH band index ([[writeLshBandIndex]]). */
+  def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, buckets: Int = 64): Unit =
+    graft.sources.Bucketed.compact(spark, table, "bb", buckets)
 
   /** Bounded in-bucket candidate pairs, the shared LSH candidate stage:
     * aggregate each bucket to a size-capped id list

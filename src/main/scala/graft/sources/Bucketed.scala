@@ -58,4 +58,37 @@ object Bucketed {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Rewrite a bucketed table so each bucket holds exactly ONE file.
+    *
+    * Appends (e.g. [[graft.operators.Dedup.appendFingerprintIndex]]) add a
+    * file per ingest generation to every bucket. The bucketed-join property
+    * survives (still no exchange), but multi-file buckets lose the
+    * sorted-scan property — Spark only trusts a bucket's sort order when
+    * the bucket is a single file — so joins re-introduce per-bucket local
+    * sorts. Compaction writes the rows to a shadow table with the same
+    * bucket spec (the repartition in [[writeBucketed]] puts each bucket's
+    * rows in exactly one task → one file), then swaps it in with a catalog
+    * rename: readers either see the old table or the compacted one.
+    */
+  def compact(spark: SparkSession, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains("."),
+      s"compact: unqualified table names only (got '$table')")
+    val tmp = table + "__compact"
+    // subtle planner interaction: reading a bucketed table, the optimizer
+    // drops writeBucketed's repartition as redundant (the bucket metadata
+    // already promises hash(key) partitioning) — but with auto-bucketed-scan
+    // the planner may THEN disable the bucketed scan, leaving arbitrary
+    // file-split partitions and a file per (task × bucket). Forcing the
+    // bucketed scan makes partition i exactly bucket i: the compaction runs
+    // with NO shuffle at all — each task merge-sorts one bucket's files
+    // into one file
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoKey, "true")
+    spark.conf.set(autoKey, "false")
+    try writeBucketed(spark.table(table), tmp, key, buckets)
+    finally spark.conf.set(autoKey, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 }

@@ -199,6 +199,52 @@ class DedupSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS fp_idx_test")
   }
 
+  test("incremental near-dup vs LSH band index: clone caught across ingests, index exchange-free") {
+    Dedup.writeLshBandIndex(docs, "doc_id", "text", "lsh_idx_test",
+      shingleK = 2, numHashes = 32, bands = 16, buckets = 4)
+    try {
+      // batch 1: one fresh doc — accepted, appended to the index
+      val batch1 = Seq((10L, "some wholly original content arrives here today"))
+        .toDF("doc_id", "text")
+      assert(Dedup.nearDupAgainstIndex(batch1, "doc_id", "text", "lsh_idx_test",
+        docs, shingleK = 2, numHashes = 32, bands = 16, threshold = 0.6).count() == 0L)
+      Dedup.appendLshBandIndex(batch1, "doc_id", "text", "lsh_idx_test",
+        shingleK = 2, numHashes = 32, bands = 16, buckets = 4)
+
+      // batch 2: a near-clone of a CORPUS doc and one of the BATCH-1 doc —
+      // the second is only catchable because the append made batch 1 indexed
+      val verifyRel = docs.unionByName(batch1)
+      val batch2 = Seq(
+        (20L, "the quick brown fox jumps over the lazy dog"), // = corpus doc 1
+        (21L, "some wholly original content arrives here today some"), // clone of 10
+        (22L, "nothing like anything indexed before at all")).toDF("doc_id", "text")
+      val hits = Dedup.nearDupAgainstIndex(batch2, "doc_id", "text", "lsh_idx_test",
+        verifyRel, shingleK = 2, numHashes = 32, bands = 16, threshold = 0.99)
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      assert(hits.contains((1L, 20L)), s"corpus clone not caught: $hits")
+      assert(hits.contains((10L, 21L)), s"batch-1 clone not caught (append broken): $hits")
+      assert(!hits.exists(_._2 == 22L), s"false positive on fresh doc: $hits")
+
+      // the corpus-sized index side must never sit under a shuffle
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val p = Dedup.nearDupAgainstIndex(batch2, "doc_id", "text", "lsh_idx_test",
+          verifyRel, shingleK = 2, numHashes = 32, bands = 16, threshold = 0.99)
+        val exchanges = p.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        // raw index rows must never cross an exchange: any exchange whose
+        // subtree reads the index must sit ABOVE the candidate fan-out
+        // (explode of the capped id lists), i.e. it moves only the bounded
+        // (batch_id, corpus_id) pair relation — never the index itself
+        exchanges.filter(_.toString.contains("lsh_idx_test")).foreach { e =>
+          assert(e.toString.contains("explode(ids"),
+            s"raw index rows crossed an exchange:\n$e")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_test")
+  }
+
   test("semanticDedup: a degenerate cell is capped, never a pair explosion") {
     val many = spark.range(5000).select(col("id").as("vec_id"),
       array(lit(1.0f), lit(0.0f)).as("embedding"))

@@ -34,6 +34,64 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("compact: appends leave multi-file buckets + local sorts; compaction elides both") {
+    import spark.implicits._
+    // sorted-bucket scan ordering is only REPORTED under the legacy conf
+    // (SPARK-28738: correct only when every bucket is one file — which is
+    // exactly the property compact restores); measure sorts under it
+    def sortsUnderJoin(table: String, probe: String): Int = {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val joined = Bucketed.read(spark, table)
+          .join(Bucketed.read(spark, probe), "k")
+        joined.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s
+        }.size
+      } finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+    val gen1 = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val gen2 = (100L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketed.writeBucketed(gen1, "b_compact", "k", 4)
+    Bucketed.writeBucketed((200L until 260L).map(i => (i, s"p$i")).toDF("k", "v"),
+      "b_probe", "k", 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // append a second generation: every bucket now holds two files
+      gen2.repartition(4, col("k")).write.mode("append").format("parquet")
+        .bucketBy(4, "k").sortBy("k").saveAsTable("b_compact")
+      val sortsBefore = sortsUnderJoin("b_compact", "b_probe")
+
+      Bucketed.compact(spark, "b_compact", "k", 4)
+
+      // one data file per bucket again, no rows lost, still exchange-free
+      val files = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "b_compact")
+        .listFiles().filter(_.getName.startsWith("part-")).map(_.getName).sorted
+      assert(files.length == 4,
+        s"expected 4 single-file buckets, got:\n${files.mkString("\n")}")
+      assert(Bucketed.read(spark, "b_compact").count() == 200L)
+      val joined = Bucketed.read(spark, "b_compact")
+        .join(Bucketed.read(spark, "b_probe"), "k")
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"compacted join shuffles:\n${joined.queryExecution.executedPlan}")
+
+      // the compacted side scans pre-sorted single-file buckets: strictly
+      // fewer sorts than the multi-file plan needed
+      val sortsAfter = sortsUnderJoin("b_compact", "b_probe")
+      assert(sortsAfter < sortsBefore,
+        s"compaction did not elide a sort (before=$sortsBefore after=$sortsAfter)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_compact")
+      spark.sql("DROP TABLE IF EXISTS b_compact__compact")
+      spark.sql("DROP TABLE IF EXISTS b_probe")
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val salted = Relational.saltedSumCount(li, "l_returnflag", "l_quantity")
