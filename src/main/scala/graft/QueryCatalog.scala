@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -454,6 +454,50 @@ object QueryCatalog {
              |SELECT source, count(*) AS n_docs,
              |  round(quantile_cont(nt, 0.5), 4) AS p50,
              |  round(quantile_cont(nt, 0.9), 4) AS p90
+             |FROM n GROUP BY source ORDER BY source""".stripMargin)),
+
+    // the 100 TB path for grouped quantiles: approx_percentile (t-digest,
+    // O(accuracy) state per group, map-side combined) graded against the
+    // exact per-group percentile with an in-tolerance boolean — the
+    // q_sketch_checks pattern, proving the sketch's error bound on real
+    // data rather than trusting it
+    ("q_grouped_quantiles_approx",
+      (s: SparkSession, d: String) => {
+        // the sketch's guarantee is on RANK, not value (on discrete data
+        // the interpolated exact percentile can sit between far-apart
+        // elements, so value tolerance is the wrong check): the returned
+        // element's rank interval [count(<a), count(<=a)]/n must bracket
+        // the target quantile within the accuracy bound
+        val nt = TextAnalysis.tokenCount(col("text")).cast("long")
+        val docs = t(s, d, "documents").select(col("source"), nt.as("nt"))
+          .localCheckpoint(false)
+        val approx = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(nt, 0.5d)").as("_p50e"),
+          expr("approx_percentile(nt, 0.5d, 1000)").as("_p50a"),
+          expr("percentile(nt, 0.9d)").as("_p90e"),
+          expr("approx_percentile(nt, 0.9d, 1000)").as("_p90a"))
+        val eps = 0.02 // >= 1/accuracy, plus slack
+        def rankOk(a: Column, q: Double): Column =
+          (count(when(col("nt") <= a, 1)).cast("double") / count(lit(1)) >= q - eps) &&
+            (count(when(col("nt") < a, 1)).cast("double") / count(lit(1)) <= q + eps)
+        docs.join(broadcast(approx), Seq("source"))
+          .groupBy("source")
+          .agg(
+            max(col("n_docs")).as("n_docs"),
+            round(max(col("_p50e")), 4).as("p50_exact"),
+            rankOk(col("_p50a"), 0.5).as("p50_ok"),
+            round(max(col("_p90e")), 4).as("p90_exact"),
+            rankOk(col("_p90a"), 0.9).as("p90_ok"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (
+             |  SELECT source, CAST(CASE WHEN trim(text) = '' THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  round(quantile_cont(nt, 0.5), 4) AS p50_exact, true AS p50_ok,
+             |  round(quantile_cont(nt, 0.9), 4) AS p90_exact, true AS p90_ok
              |FROM n GROUP BY source ORDER BY source""".stripMargin)),
 
     // Trailing 1-hour moving average per user, RANGE-framed over epoch

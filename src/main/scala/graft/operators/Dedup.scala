@@ -252,7 +252,23 @@ object Dedup {
     * diameter) ≪ `maxRounds`; the loop stops at the fixpoint (no label
     * changed). Output: (doc_id, cluster) for every node of `pairs`.
     */
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
+    nearDupClustersResult(pairs, maxRounds).labels
+
+  /** [[nearDupClustersResult]] outcome: the labeling plus whether the
+    * propagation actually reached its fixpoint within `maxRounds` and how
+    * many rounds it ran — a caller deduping at 100 TB must be able to tell
+    * "converged" from "gave up on a long-diameter component" (labels are
+    * still a valid refinement either way: every labeled doc maps to a
+    * member of its component, but an unconverged component may carry more
+    * than one label).
+    */
+  final case class ClusterResult(labels: DataFrame, converged: Boolean, rounds: Int)
+
+  /** [[nearDupClusters]] with the convergence outcome surfaced. Logs a
+    * warning when `maxRounds` is exhausted instead of failing silently.
+    */
+  def nearDupClustersResult(pairs: DataFrame, maxRounds: Int = 20): ClusterResult = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
@@ -276,7 +292,13 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("new_cluster").as("cluster"))
       round += 1
     }
-    labels
+    val converged = changed == 0L
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupClusters: maxRounds=$maxRounds exhausted before the fixpoint " +
+          s"(last round still relabeled $changed nodes) — long-diameter " +
+          "components keep multiple labels; raise maxRounds to finish merging")
+    ClusterResult(labels, converged, round)
   }
 
   /** [[nearDupClusters]] extended over a full corpus: documents in no pair

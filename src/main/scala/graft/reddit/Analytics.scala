@@ -39,6 +39,50 @@ object Analytics {
   def exportChartCsv(result: DataFrame, path: String): Unit =
     result.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Self-contained SVG bar chart of a (label, value) result — the rendered
+    * counterpart of [[exportChartCsv]], closing the reference's matplotlib
+    * step (query-test.py:72-79) without a plotting dependency: pure string
+    * assembly over an already-aggregated (small) result, written driver-side.
+    */
+  def exportChartSvg(result: DataFrame, labelCol: String, valueCol: String,
+                     path: String, title: String = "",
+                     width: Int = 640, height: Int = 360): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val rows = result
+      .select(col(labelCol).cast("string"), col(valueCol).cast("double"))
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("null"),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    require(rows.nonEmpty, "exportChartSvg: empty result")
+    val margin = 40
+    val plotW = width - 2 * margin
+    val plotH = height - 2 * margin
+    val vmax = math.max(rows.map(_._2).max, Double.MinPositiveValue)
+    val slot = plotW.toDouble / rows.length
+    val barW = math.max(slot * 0.8, 1.0)
+    val bars = rows.zipWithIndex.map { case ((label, v), i) =>
+      val h = math.max(plotH * (math.max(v, 0.0) / vmax), 0.0)
+      val x = margin + i * slot + (slot - barW) / 2
+      val y = margin + (plotH - h)
+      f"""<rect x="$x%.1f" y="$y%.1f" width="$barW%.1f" height="$h%.1f" fill="#4878a8"/>
+         |<text x="${x + barW / 2}%.1f" y="${height - margin + 14}" font-size="10" text-anchor="middle">${esc(label)}</text>
+         |<text x="${x + barW / 2}%.1f" y="${y - 4}%.1f" font-size="9" text-anchor="middle">${if (v == v.floor) v.toLong.toString else f"$v%.2f"}</text>""".stripMargin
+    }.mkString("\n")
+    val svg =
+      s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">
+         |<rect width="$width" height="$height" fill="white"/>
+         |<text x="${width / 2}" y="20" font-size="13" text-anchor="middle">${esc(title)}</text>
+         |<line x1="$margin" y1="${height - margin}" x2="${width - margin}" y2="${height - margin}" stroke="black"/>
+         |<line x1="$margin" y1="$margin" x2="$margin" y2="${height - margin}" stroke="black"/>
+         |$bars
+         |</svg>
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      svg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** Same three via the SQL surface (S8) against registered views. */
   def sqlTopPosts(spark: SparkSession, k: Int = 2): DataFrame =
     spark.sql(s"SELECT * FROM reddit ORDER BY score DESC, id LIMIT $k")

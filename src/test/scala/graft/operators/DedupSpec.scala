@@ -199,6 +199,23 @@ class DedupSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS fp_idx_test")
   }
 
+  test("nearDupClustersResult: long-path graph reports convergence honestly") {
+    // path 0-1-2-...-12: the min label moves ONE hop per round, so the
+    // component diameter bounds the rounds needed — the adversarial case
+    // for any fixed round cap
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val capped = Dedup.nearDupClustersResult(path, maxRounds = 3)
+    assert(!capped.converged, "3 rounds cannot converge a diameter-12 path")
+    assert(capped.rounds == 3)
+    // unconverged labels are still a valid refinement: labels are component members
+    assert(capped.labels.collect().forall(r => r.getLong(1) <= r.getLong(0)))
+    val full = Dedup.nearDupClustersResult(path, maxRounds = 50)
+    assert(full.converged && full.rounds < 50)
+    val labels = full.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 13 && labels.values.forall(_ == 0L),
+      s"expected one cluster rooted at 0, got $labels")
+  }
+
   test("incremental near-dup vs LSH band index: clone caught across ingests, index exchange-free") {
     Dedup.writeLshBandIndex(docs, "doc_id", "text", "lsh_idx_test",
       shingleK = 2, numHashes = 32, bands = 16, buckets = 4)

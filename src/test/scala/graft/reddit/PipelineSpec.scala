@@ -145,5 +145,15 @@ class PipelineSpec extends SparkTestBase {
     assert(back.count() == stats.length.toLong)
     assert(back.columns.toSeq ==
       Seq("subreddit", "post_count", "avg_score", "avg_comments"))
+
+    // ...and as a rendered self-contained SVG (the matplotlib step's output)
+    val svgPath = Files.createTempDirectory("chart_svg").toString + "/a2.svg"
+    Analytics.exportChartSvg(Analytics.subredditStats(reddit),
+      "subreddit", "avg_score", svgPath, title = "avg score by subreddit")
+    val svg = new String(Files.readAllBytes(java.nio.file.Paths.get(svgPath)), "UTF-8")
+    assert(svg.startsWith("<svg "))
+    assert(svg.sliding(5).count(_ == "<rect") == stats.length + 1, // one bar per row + background
+      s"expected ${stats.length} bars")
+    assert(svg.contains("avg score by subreddit"))
   }
 }
