@@ -174,6 +174,21 @@ object QueryCatalog {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // bloom-prefiltered anti-join (the decontamination shape): exact result
+    // — the bloom only routes rows between the keep-outright branch and the
+    // verify join, so the oracle is the plain anti-join SQL
+    ("q_bloom_anti_join",
+      (s: SparkSession, d: String) =>
+        Relational.bloomAntiJoin(t(s, d, "lineitem"),
+          t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- §2.4 aggregations --------------------------------------------------
 
     ("q_a1_grouped_summary",
@@ -1776,6 +1791,38 @@ object QueryCatalog {
              |  round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_spans, 6) AS dup_frac
              |FROM tot t LEFT JOIN dup p ON t.doc_id = p.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
+
+    // exact-substring dedup with span removal: both engines re-assemble the
+    // kept tokens in order, so clean_text compares bit-exact; the engine
+    // joins span occurrences on xxhash64(shingle) where the oracle joins on
+    // the shingle text itself — a 64-bit collision is the only divergence
+    // and is absent at any graded scale
+    ("q_substring_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 6)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, i AS pos, array_to_string(tk[CAST(i+1 AS INT) : CAST(i+6 AS INT)], ' ') AS s
+             |  FROM toks, unnest(range(0, greatest(len(tk) - 6 + 1, 0))) AS t(i)),
+             |dh AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT sh.doc_id, sh.pos + j AS i
+             |        FROM sh JOIN dh USING (s), unnest(range(0, 6)) AS u(j)),
+             |tok AS (SELECT doc_id, i, tk[CAST(i+1 AS INT)] AS w
+             |        FROM toks, unnest(range(0, len(tk))) AS t(i)),
+             |kept AS (SELECT t.doc_id, t.i, t.w
+             |         FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.i = c.i),
+             |agg AS (SELECT doc_id, count(*) AS n_kept,
+             |          string_agg(w, ' ' ORDER BY i) AS clean_text
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+             |  CAST(len(d.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             |  coalesce(a.clean_text, '') AS clean_text
+             |FROM toks d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // corpus-self-trained bigram LM score (the perplexity-filter signal);
     // the smoothed probabilities are exact rationals of corpus counts, so

@@ -196,6 +196,40 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a 64-bit key column. The filter is
+  * built once on the (small) key side (`DataFrameStatFunctions.bloomFilter`,
+  * an aggregate that returns the driver-held bits) and ships to executors
+  * inside the task binary via `addReferenceObj` — the codegen'd probe is a
+  * branch-free `mightContainLong` per row, no UDF boxing.
+  *
+  * Guarantee used by [[graft.operators.Relational.bloomAntiJoin]]: no false
+  * negatives — a key that was inserted ALWAYS probes true, so the
+  * "definitely absent" branch is exact and only probe-true rows need the
+  * exact verification join.
+  */
+case class BloomMightContainExpr(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain needs bigint (hash keys first), got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {

@@ -69,6 +69,15 @@ package object functions {
   def media_header(bytes: Column): Column =
     ColumnBridge.column(MediaHeaderExpr(ColumnBridge.expression(bytes)))
 
+  /** Bloom-filter membership probe of a bigint key column (codegen'd; see
+    * [[BloomMightContainExpr]]). Not SQL-registered: the filter is a
+    * driver-built object, not a literal.
+    */
+  def bloom_might_contain(key: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(
+      BloomMightContainExpr(ColumnBridge.expression(key), bf))
+
   /** Number of set bits (Hamming weight) of a long column. */
   def popcount64(c: Column): Column = bit_count(c).cast("int")
 

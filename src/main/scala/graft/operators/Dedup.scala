@@ -346,6 +346,66 @@ object Dedup {
           / col("n_spans"), 6).as("dup_frac"))
   }
 
+  /** Exact-substring dedup with span REMOVAL — the surgical successor to
+    * [[duplicateSpans]]'s census: every k-token span that occurs in at
+    * least `minDocs` distinct documents is cut out of every document that
+    * contains it, and the surviving tokens are re-joined in order
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" §4.1, re-expressed relationally instead of via suffix arrays).
+    *
+    * Output text is token-normalized (single-space joined) for ALL docs —
+    * the transform is defined on the token sequence, so reassembly is the
+    * canonical form on both the engine and the oracle.
+    *
+    * Scale shape, stage by stage:
+    *  - positioned shingle hashes are built in-row (`transform` over the
+    *    token array + `xxhash64`) — the exchange carries (doc_id, pos,
+    *    hash64), never shingle text;
+    *  - span document-frequency is a two-phase distinct aggregate on the
+    *    64-bit hash;
+    *  - duplicated start positions come back as ONE equi-join on the hash
+    *    followed by a per-doc `collect_set(pos)` whose size is bounded by
+    *    the doc's own token count — per-doc state stays O(doc);
+    *  - token removal is in-row again (indexed `transform` + `exists`
+    *    against the start set): the corpus text is never EXPLODED for
+    *    reassembly — re-attaching the per-doc start sets costs at most one
+    *    doc_id-keyed equi-join of the corpus (and zero corpus movement when
+    *    the dup-start relation is small enough to broadcast). The in-row
+    *    cut is O(tokens·starts) per doc worst case — quadratic only for a
+    *    doc that is nearly all duplicated spans, still memory-bounded by
+    *    the row.
+    */
+  def removeDuplicateSpans(docs: DataFrame, id: String, text: String,
+                           k: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"removeDuplicateSpans: k must be >= 2, got $k")
+    require(minDocs >= 2, s"removeDuplicateSpans: minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(id).as("doc_id"),
+      TextAnalysis.tokens(col(text)).as("tk"))
+    // sequence(0, size-k) flips to a descending range when size < k, so
+    // short docs are filtered out before the span generator runs
+    val sh = base.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(tk) - $k), i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")))
+      .toDF("doc_id", "pos", "h")
+      .localCheckpoint(false)
+    val dupH = sh.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val covStarts = sh.join(dupH, Seq("h"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    base.join(covStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("array_repeat(0, 0)")))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr(s"""filter(transform(tk, (w, i) ->
+                   IF(exists(starts, s -> s <= i AND i < s + $k), NULL, w)),
+                 w -> w IS NOT NULL)""").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept")).cast("long")).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster embeddings into IVF cells
     * (in-row assignment against the broadcast-as-literal centroid table),
     * then exact-verify cosine ONLY within a cell — the cluster-then-compare

@@ -88,6 +88,38 @@ object Relational {
   def antiJoin(main: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
     main.join(broadcast(keys.select(on.map(col): _*).distinct()), on, "left_anti")
 
+  /** [[antiJoin]]'s scale path for a blocklist too big to broadcast as rows
+    * but whose BLOOM FILTER still fits (the decontamination shape: strip a
+    * 100 TB corpus of every row whose key appears in a 10⁷-10⁸-row
+    * blocklist — ~12-115 MB of bloom bits at 1% fpp, vs gigabytes of rows).
+    *
+    * Exact by construction, in two branches over the same scan:
+    *  - rows whose key probes NEGATIVE are kept outright (bloom has no
+    *    false negatives — `xxhash64` collisions only ADD positives);
+    *  - rows that probe POSITIVE (true matches + the fpp·n false positives)
+    *    are the only ones that reach the exact anti-join.
+    *
+    * Cost model vs a plain shuffled anti-join of the corpus: two scan
+    * passes (the branch split) + a join over the probe-positive sliver,
+    * instead of one scan + a full corpus shuffle — at 100 TB the shuffle
+    * is the bottleneck, the second scan is not. The blocklist side runs
+    * two driver-visible jobs (count + filter build), both blocklist-sized.
+    */
+  def bloomAntiJoin(big: DataFrame, keys: DataFrame, on: String,
+                    fpp: Double = 0.01, maxItems: Long = 100000000L): DataFrame = {
+    val hashed = keys.select(xxhash64(col(on)).as("__h"))
+    val n = hashed.count()
+    require(n <= maxItems,
+      s"bloomAntiJoin: blocklist has $n keys > maxItems=$maxItems — the " +
+        "filter bits would not be broadcast-class; shuffle-partition the join instead")
+    val bf = hashed.stat.bloomFilter("__h", math.max(n, 1L), fpp)
+    val probe = graft.functions.bloom_might_contain(xxhash64(col(on)), bf)
+    val definiteKeep = big.filter(!probe)
+    val maybe = big.filter(probe)
+      .join(keys.select(col(on)).distinct(), Seq(on), "left_anti")
+    definiteKeep.unionByName(maybe)
+  }
+
   // --- §2.4 aggregations -------------------------------------------------------
 
   /** Cross-engine-stable mean of fixed-decimal data.

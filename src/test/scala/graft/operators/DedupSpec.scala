@@ -269,4 +269,61 @@ class DedupSpec extends SparkTestBase {
       cells = 4, threshold = 0.99, maxCellSize = 100)
     assert(capped.count() == 0L)
   }
+
+  test("removeDuplicateSpans cuts shared spans, keeps unique text, normalizes whitespace") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta one two three unique tail here"),
+      (2L, "intro words alpha beta gamma delta one two three closing"),
+      (3L, "totally unrelated content that shares no span at all ok"),
+      (4L, "tiny doc"), // shorter than k: untouched
+      (5L, "")          // empty: survives as empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    // docs 1+2 share "alpha beta gamma delta one two three" = 4 dup starts
+    // of width 4 covering all 7 tokens of the shared run in each doc
+    assert(out(1L) == ((10L, 7L, "unique tail here")))
+    assert(out(2L) == ((10L, 7L, "intro words closing")))
+    assert(out(3L) == ((10L, 0L, "totally unrelated content that shares no span at all ok")))
+    assert(out(4L) == ((2L, 0L, "tiny doc")))
+    assert(out(5L) == ((0L, 0L, "")))
+  }
+
+  test("removeDuplicateSpans: a doc that is entirely duplicated spans empties out") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((6L, "")))
+    assert(out(2L) == ((6L, "")))
+    assert(out(3L) == ((0L, "x y z w v u")))
+  }
+
+  test("removeDuplicateSpans: span exchanges carry (doc_id, pos, hash) longs, never shingle text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val spanExchanges = try {
+      val q = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 2)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("CartesianProduct"))
+      // every exchange BELOW the reassembly join (i.e. whose output lacks
+      // the token array) must be fixed-width columns only — the exploded
+      // span relation is (doc_id, pos, hash64), shingle strings stay in-row
+      q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.child.schema.fieldNames.contains("tk") => e.child.schema
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(spanExchanges.nonEmpty)
+    // no StringType anywhere below: the only binary column is the bounded
+    // per-doc collect_set partial buffer, and positions/hashes are ints
+    spanExchanges.foreach { sch =>
+      sch.fields.foreach(f => assert(
+        !f.dataType.sql.contains("STRING"),
+        s"string column ${f.name}: ${f.dataType} crossed a span exchange"))
+    }
+  }
 }

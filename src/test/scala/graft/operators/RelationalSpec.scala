@@ -133,6 +133,51 @@ class RelationalSpec extends SparkTestBase {
     assert(first == again)
   }
 
+  test("bloomAntiJoin: exact vs plain anti-join, and the keep branch never joins") {
+    val big = spark.read.parquet(sfDir + "/lineitem.parquet")
+    val block = spark.read.parquet(sfDir + "/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val fast = Relational.bloomAntiJoin(big, block, "l_orderkey")
+    val plain = big.join(block.distinct(), Seq("l_orderkey"), "left_anti")
+    assert(fast.count() == plain.count())
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+
+    // the probe-negative branch must reach the union without ANY join: the
+    // whole point is that bloom-definite rows skip the verification join
+    val union = fast.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(union.nonEmpty, "expected a two-branch union plan")
+    val keepBranch = union.head.children.head
+    val joinsBelow = keepBranch.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinsBelow.isEmpty, s"keep branch has a join:\n$keepBranch")
+  }
+
+  test("bloomAntiJoin: probe-positive sliver is matches plus ~fpp, not the corpus") {
+    // 100k keys, blocklist of 1k → probe-positives should be ≈ 1k + 1% of 99k
+    val big = spark.range(100000).select(col("id").as("k"))
+    val block = spark.range(1000).select(col("id").as("k"))
+    val bf = block.select(xxhash64(col("k")).as("__h"))
+      .stat.bloomFilter("__h", 1000, 0.01)
+    val positives = big
+      .filter(graft.functions.bloom_might_contain(xxhash64(col("k")), bf))
+      .count()
+    assert(positives >= 1000, "no false negatives allowed")
+    assert(positives <= 1000 + 5000, s"bloom passes too much: $positives")
+  }
+
+  test("bloomAntiJoin: oversized blocklist fails loudly") {
+    val big = spark.range(10).select(col("id").as("k"))
+    val block = spark.range(100).select(col("id").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomAntiJoin(big, block, "k", maxItems = 50)
+    }
+    assert(e.getMessage.contains("maxItems"))
+  }
+
   test("pivotCount: wide crosstab with zeros for absent combinations") {
     import spark.implicits._
     val df = Seq(("s1", "en"), ("s1", "en"), ("s1", "de"), ("s2", "en"))
