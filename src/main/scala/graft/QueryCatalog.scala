@@ -1386,6 +1386,22 @@ object QueryCatalog {
              |  round(p50, 4) AS p50_exact, true AS p50_ok
              |FROM v CROSS JOIN q""".stripMargin)),
 
+    // Misra-Gries frequent tokens: summary content is merge-order-dependent
+    // so the graded row is the q_sketch_checks contract — exact values plus
+    // the two deterministic MG guarantees checked on real data (k=8 < the
+    // corpus vocabulary, so decrement events actually occur)
+    ("q_heavy_hitters",
+      (s: SparkSession, d: String) =>
+        Sketches.heavyHitters(t(s, d, "documents"), "text", k = 8),
+      Some("""WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |             FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT tkn, count(*) AS cnt FROM tok GROUP BY tkn),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
+             |SELECT n.n_tokens,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE cnt > n.n_tokens / 9e0) AS n_heavy_exact,
+             |  true AS all_heavy_covered, true AS est_within_bound
+             |FROM n""".stripMargin)),
+
     // Target-mix rebalance: en halved, de quartered, zh kept whole, es/fr
     // dropped — thresholds replayed verbatim by the oracle ('g' is the
     // keep-everything sentinel, strictly above every hex digit).

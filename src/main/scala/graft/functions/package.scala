@@ -111,6 +111,15 @@ package object functions {
       CappedCollectAgg(ColumnBridge.expression(id.cast("long")), cap, minSize)
         .toAggregateExpression())
 
+  /** Misra-Gries frequent-items summary aggregate (see [[MisraGriesAgg]]):
+    * at most k (token, est) counters with the deterministic
+    * no-false-negative / bounded-undercount guarantees; O(k) state
+    * map-side and across the shuffle.
+    */
+  def mg_summary(item: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(item), k).toAggregateExpression())
+
   /** Register graft functions for the `spark.sql` surface of an existing
     * session (new sessions get them via [[graft.GraftExtensions]]).
     */
@@ -136,5 +145,7 @@ package object functions {
     reg.createOrReplaceTempFunction("bounded_levenshtein",
       es => BoundedLevenshteinExpr(es(0), es(1), intLit(es(2), "maxDist")), "scala_udf")
     reg.createOrReplaceTempFunction("media_header", es => MediaHeaderExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("mg_summary",
+      es => MisraGriesAgg(es(0), intLit(es(1), "k")).toAggregateExpression(), "scala_udf")
   }
 }

@@ -38,4 +38,34 @@ object Sketches {
   /** Relative-error acceptance predicate for sketch validations. */
   def withinRel(approx: Column, exact: Column, tol: Double): Column =
     abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * tol
+
+  /** Misra-Gries frequent-tokens summary of the corpus, validated against
+    * the exact counts: one row with the stream length, the exact count of
+    * items above the n/(k+1) threshold, and the two MG guarantees checked
+    * on real data — every exact-heavy token is in the candidate set, and
+    * every candidate estimate sits in [true - n/(k+1), true].
+    *
+    * The summary content is merge-order-dependent; the guarantees are not —
+    * so only the guarantees (plus exact values) are in the output. The
+    * exact side is the test-scale oracle; at 100 TB the O(k)-state summary
+    * IS the product and the exact two-phase count is what it replaces.
+    */
+  def heavyHitters(docs: DataFrame, text: String, k: Int): DataFrame = {
+    val tok = docs.select(explode(TextAnalysis.tokens(col(text))).as("tkn"))
+    val mg = tok.agg(
+      graft.functions.mg_summary(col("tkn"), k).as("cand"),
+      count(lit(1)).as("n_tokens"))
+    val exact = tok.groupBy("tkn").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(mg) // mg is one row: a broadcast-class lazy aggregate
+      .withColumn("est", expr("get(filter(cand, c -> c.token = tkn), 0).est"))
+      .withColumn("thr", col("n_tokens").cast("double") / (k + 1))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("cnt") > col("thr"), 1L).otherwise(0L)).as("n_heavy_exact"),
+        every(when(col("cnt") > col("thr"), col("est").isNotNull)
+          .otherwise(lit(true))).as("all_heavy_covered"),
+        every(when(col("est").isNotNull,
+            col("est") <= col("cnt") && col("est").cast("double") >= col("cnt") - col("thr"))
+          .otherwise(lit(true))).as("est_within_bound"))
+  }
 }
