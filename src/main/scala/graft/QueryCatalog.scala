@@ -577,6 +577,40 @@ object QueryCatalog {
              |  ON e.user_id = d.user_id AND e.ts >= d.dts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // SCD2 history: customer priority states over time — consecutive
+    // identical states collapse, valid_to = next valid_from, NULL = current.
+    // The change stream is pre-aggregated per (key, instant), the SCD2
+    // uniqueness precondition.
+    ("q_scd2_history",
+      (s: SparkSession, d: String) => {
+        val changes = t(s, d, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(min(col("o_orderpriority")).as("prio"))
+        Temporal.scd2History(changes, "o_custkey", "o_orderdate", Seq("prio"))
+          .select(col("o_custkey"), col("prio"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+            col("is_current"))
+          .orderBy("o_custkey", "valid_from")
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_custkey AS k, o_orderdate AS eff, min(o_orderpriority) AS prio
+             |  FROM orders GROUP BY 1, 2),
+             |d AS (
+             |  SELECT k, eff, prio,
+             |    lag(prio) OVER (PARTITION BY k ORDER BY eff) AS prev
+             |  FROM ch),
+             |v AS (SELECT k, eff, prio FROM d WHERE prev IS NULL OR prev <> prio),
+             |h AS (
+             |  SELECT k, prio, eff AS vf,
+             |    lead(eff) OVER (PARTITION BY k ORDER BY eff) AS vt
+             |  FROM v)
+             |SELECT k AS o_custkey, prio,
+             |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             |  vt IS NULL AS is_current
+             |FROM h ORDER BY o_custkey, valid_from""".stripMargin)),
+
     // Interval containment: events joined into their session's [start, end]
     // window; per-session counts must reproduce sessionStats. The oracle is
     // a plain inequality join over the replayed session bounds.
@@ -1095,6 +1129,30 @@ object QueryCatalog {
     // the same fixtures (PipelineSpec documents the derivation: fixA's 10
     // rows minus the 2-id overlap, plus fixB's 183 → 191 r/stocks posts) —
     // so the oracle emits it as literals and the driver hash-compares.
+    // JSONL round-trip fidelity: documents → JSON Lines → read back with
+    // the explicit schema → per-source profile. The oracle computes the
+    // same profile off the parquet originals, so any write/read corruption
+    // (escaping, nulls, numeric width) breaks the md5-anchored compare.
+    ("q_jsonl_roundtrip",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = java.nio.file.Files.createTempDirectory("verify_jsonl").toString
+        graft.sources.JsonLines.write(docs, path)
+        val back = graft.sources.JsonLines.readClean(s, path, docs.schema)
+        back.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     ("q_reddit_pipeline_summary",
       (s: SparkSession, _: String) => {
         val root = java.nio.file.Files.createTempDirectory("verify_posts").toString

@@ -77,4 +77,36 @@ object Temporal {
       .filter(col(ts) >= col(lo) && col(ts) <= col(hi))
       .drop("_bin")
   }
+
+  /** Slowly-changing-dimension type-2 history from a change stream: one
+    * validity interval per OBSERVED attribute state, consecutive identical
+    * states collapsed (a change record that changes nothing does not open
+    * a new version), `valid_to` = the next version's `valid_from` (NULL on
+    * the current version) — the warehouse-native completion of the upsert
+    * family (U2/U3 keep latest-state only; this keeps lineage).
+    *
+    * Precondition (standard SCD2, same as [[asofJoin]]'s): `changes` is
+    * unique per (key, ts) — pre-aggregate conflicting same-instant
+    * records first.
+    *
+    * Scale: one exchange on `key` and one per-key sort feed BOTH window
+    * passes (dedupe-lag and valid-to-lead use the same window spec, so
+    * the second pass reuses the first's ordering); group size is bounded
+    * by a single key's change count, never the table.
+    */
+  def scd2History(changes: DataFrame, key: String, ts: String,
+                  attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "scd2History needs at least one tracked attribute")
+    val w = Window.partitionBy(key).orderBy(ts)
+    val state = struct(attrs.map(col): _*)
+    changes
+      .withColumn("__prev", lag(state, 1).over(w))
+      // null-safe: first row (__prev NULL) opens a version; nulls inside
+      // attrs compare as values, not as unknowns
+      .filter(!(col("__prev") <=> state))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev", ts)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON Lines source/sink — the interchange format LLM training corpora
+  * actually ship in (one JSON object per line, gzip-friendly, splittable).
+  *
+  * Scale rules encoded here:
+  *  - reads take an EXPLICIT schema: schema inference is a full extra pass
+  *    over the data before the real scan — never acceptable at 100 TB;
+  *  - line-delimited (multiLine=false), so the input splits at arbitrary
+  *    byte offsets and parallelism follows file size, not file count
+  *    (contrast with the reference's multiLine CSV, which pins one task
+  *    per file);
+  *  - malformed lines are CAPTURED, not dropped: PERMISSIVE mode routes
+  *    the raw line into `_corrupt_record` so a curation pipeline can
+  *    count/quarantine bad input instead of silently shrinking (same
+  *    diagnostics contract as CsvReddit.badRecords).
+  */
+object JsonLines {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Write as JSON Lines, one object per row. Nulls are omitted per JSON
+    * convention; readers with the matching schema restore them as NULL.
+    */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Clean rows only: the parser drops malformed lines in-stream
+    * (DROPMALFORMED), so nothing is cached and no corrupt column exists —
+    * the shape for the 100 TB read path. Pair with [[badRecords]] when the
+    * dropped lines need accounting (Spark's file-level corrupt-record
+    * column forbids corrupt-only queries without caching the parse, so the
+    * diagnostics pass is a separate text-scan instead).
+    */
+  def readClean(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+
+  /** Raw malformed lines — the quarantine/diagnostics side. A text scan
+    * with `from_json` corrupt capture: fully streaming (no cache), same
+    * malformed set the DROPMALFORMED read dropped, blank lines excluded
+    * (the line reader never yields them as records).
+    */
+  def badRecords(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val withCorrupt = schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        from_json(col("value"), withCorrupt, opts).getField(CorruptCol).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("value").as(CorruptCol))
+  }
+}

@@ -84,4 +84,45 @@ class TemporalSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"range join fell back to a nested loop:\n$p")
   }
+
+  test("scd2History: versions open on change only, close at the successor, flag the current") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "gold"),
+      (1L, ts("2024-02-01 00:00:00"), "gold"),   // no-op: must NOT open a version
+      (1L, ts("2024-03-01 00:00:00"), "silver"),
+      (1L, ts("2024-04-01 00:00:00"), "gold"),   // back to gold: NEW version, not merged
+      (2L, ts("2024-01-15 00:00:00"), "bronze")
+    ).toDF("k", "eff", "tier")
+    val out = Temporal.scd2History(changes, "k", "eff", Seq("tier"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("tier"),
+        Option(r.getAs[Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current")))
+    assert(out.toSeq == Seq(
+      (1L, "gold", Some("2024-03-01 00:00:00.0"), false),
+      (1L, "silver", Some("2024-04-01 00:00:00.0"), false),
+      (1L, "gold", None, true),
+      (2L, "bronze", None, true)))
+  }
+
+  test("scd2History: null attribute values are states, not unknowns") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Option("a")),
+      (1L, ts("2024-02-01 00:00:00"), None: Option[String]), // a → NULL is a change
+      (1L, ts("2024-03-01 00:00:00"), None: Option[String])  // NULL → NULL is not
+    ).toDF("k", "eff", "v")
+    val out = Temporal.scd2History(changes, "k", "eff", Seq("v")).collect()
+    assert(out.length == 2)
+  }
+
+  test("scd2History plan: both window passes ride one exchange and one sort") {
+    val changes = Seq((1L, ts("2024-01-01 00:00:00"), "a")).toDF("k", "eff", "v")
+    val p = Temporal.scd2History(changes, "k", "eff", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(exchanges <= 1, s"scd2 shuffles $exchanges times:\n$p")
+    assert(sorts <= 1, s"scd2 re-sorts between windows ($sorts sorts):\n$p")
+  }
 }
