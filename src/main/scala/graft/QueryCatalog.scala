@@ -1390,6 +1390,47 @@ object QueryCatalog {
              |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'), 1, 80) AS scrub_head
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // Sliding-window chunking: 64-token chunks every 48 tokens (16-token
+    // overlap); chunk text reassembles bit-exact on both engines like
+    // q_substring_dedup
+    ("q_chunk_docs",
+      (s: SparkSession, d: String) =>
+        Curation.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN trim(text)='' THEN [] ELSE regexp_split_to_array(trim(text),'\s+') END AS tk
+             |  FROM documents),
+             |st AS (SELECT doc_id, tk, i AS st
+             |       FROM toks, unnest(range(0, len(tk), 48)) AS t(i)
+             |       WHERE len(tk) > 0)
+             |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+             |  CAST(least(64, len(tk) - st) AS BIGINT) AS n_tokens,
+             |  array_to_string(tk[CAST(st+1 AS INT) : CAST(st+64 AS INT)], ' ') AS chunk_text
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Winsorized group stats: DISCRETE quantile cutoffs (actual data
+    // values, SQL-standard smallest-cume_dist>=p on both engines) make the
+    // clip comparisons ulp-safe; the clipped sum is exact cents
+    ("q_winsorize",
+      (s: SparkSession, d: String) =>
+        Curation.winsorizedStats(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", pLo = 0.05, pHi = 0.95)
+          .orderBy("l_returnflag"),
+      Some("""WITH q AS (
+             |  SELECT l_returnflag AS g, quantile_disc(l_extendedprice, 0.05) AS lo,
+             |         quantile_disc(l_extendedprice, 0.95) AS hi
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, count(*) AS n,
+             |  CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_clipped_lo,
+             |  CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_clipped_hi,
+             |  CAST(round(sum(greatest(lo, least(hi, l_extendedprice))) * 100) AS BIGINT)
+             |    AS sum_clipped_cents,
+             |  min(lo) AS lo, min(hi) AS hi
+             |FROM lineitem l JOIN q ON l.l_returnflag = q.g
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Packing summary: per (shard, pack) doc/token counts. The oracle
     // replays the md5 shard digit, the per-shard exclusive cumsum, and the
     // budget cut — so pack assignment itself is verified, not just counts.

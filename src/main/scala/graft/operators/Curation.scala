@@ -254,6 +254,60 @@ object Curation {
       .drop("cum")
   }
 
+  /** Sliding-window chunking: split each document into `size`-token chunks
+    * starting every `stride` tokens (overlap = size - stride when
+    * stride < size) — the long-document-to-context-window transform of a
+    * training-prep pipeline. Trailing partial chunks are kept (their
+    * `n_tokens` says how short they are); empty docs produce no chunks.
+    *
+    * In-row end to end: the chunk texts are assembled by a `transform`
+    * over the token array inside the scan projection, so nothing shuffles
+    * at all unless the caller adds a downstream exchange — at 100 TB this
+    * is scan-bound by construction.
+    */
+  def chunkDocs(docs: DataFrame, id: String, text: String,
+                chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkDocs: chunkSize=$chunkSize stride=$stride must be positive")
+    docs.select(col(id).as("doc_id"), TextAnalysis.tokens(col(text)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(tk) - 1, $stride), st -> named_struct(
+           |  'txt', array_join(slice(tk, st + 1, $chunkSize), ' '),
+           |  'nt', least($chunkSize, size(tk) - st)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.nt").cast("long").as("n_tokens"),
+        col("col.txt").as("chunk_text"))
+  }
+
+  /** Winsorized group statistics: values clipped to the [pLo, pHi]
+    * DISCRETE quantiles (actual data values — `percentile_disc`, not the
+    * interpolated `percentile_cont`, so the cutoffs are engine-exact and
+    * no clip comparison can straddle a floating-point ulp), with clip
+    * counts and the clipped sum in exact cents.
+    *
+    * Two passes over the values: one grouped quantile aggregate (group
+    * cardinality rows), broadcast back, one clip-and-sum aggregate — the
+    * standard outlier-robust profile at any scale.
+    */
+  def winsorizedStats(df: DataFrame, grp: String, value: String,
+                      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"winsorizedStats: bad [$pLo, $pHi]")
+    val cuts = df.groupBy(col(grp)).agg(
+      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $value)").as("lo"),
+      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $value)").as("hi"))
+    df.join(broadcast(cuts), Seq(grp))
+      .select(col(grp), col(value).as("v"), col("lo"), col("hi"))
+      .groupBy(col(grp))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        round(sum(greatest(col("lo"), least(col("hi"), col("v")))) * 100)
+          .cast("long").as("sum_clipped_cents"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+  }
+
   /** Deterministic training order: the content-stable global shuffle a
     * training run reads the corpus in, plus an explicit 0-based `position`
     * for epoch addressing. Order is by md5 of the key — reproducible across

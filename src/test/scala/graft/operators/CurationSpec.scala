@@ -208,4 +208,49 @@ class CurationSpec extends SparkTestBase {
     // b vs c tie (same tf, df) → lexicographic term order
     assert(doc3(1).getAs[String]("term") == "b")
   }
+
+  test("chunkDocs: overlapping windows, short tail kept, empty doc absent") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // size 4, stride 2 → starts 0,2,4,6
+      (2L, "a b"),                  // one short chunk
+      (3L, "")                      // no chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t2 t3 t4 t5"),
+      (1L, 2L, 3L, "t4 t5 t6"),
+      (1L, 3L, 1L, "t6"),
+      (2L, 0L, 2L, "a b")))
+  }
+
+  test("chunkDocs is in-row: no exchange below the chunk generator") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val exchanges = Curation.chunkDocs(docs, "doc_id", "text", 4, 2)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      assert(exchanges.isEmpty, "chunking must not shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("winsorizedStats: discrete cutoffs clip the planted outliers only") {
+    // 1..100 in one group plus outliers 0 and 1000; p10/p90 land on data values
+    val vals = ((1 to 100).map(_.toDouble) ++ Seq(0.0, 1000.0)).map(("g", _))
+    val df = vals.toDF("grp", "v")
+    val r = Curation.winsorizedStats(df, "grp", "v", 0.10, 0.90).collect().head
+    assert(r.getAs[Long]("n") == 102L)
+    val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+    assert(lo >= 1.0 && lo <= 11.0, s"lo=$lo")
+    assert(hi >= 90.0 && hi <= 100.0, s"hi=$hi")
+    assert(r.getAs[Long]("n_clipped_lo") >= 1L) // the 0.0 outlier
+    assert(r.getAs[Long]("n_clipped_hi") >= 1L) // the 1000.0 outlier
+    // clipped sum bounded by the unclipped sum and above the fully-floored one
+    val cents = r.getAs[Long]("sum_clipped_cents")
+    assert(cents < (5050.0 + 1000.0) * 100 && cents > 5050 * 100 - 100 * lo * 100)
+  }
 }
