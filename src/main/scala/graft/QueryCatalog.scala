@@ -814,6 +814,60 @@ object QueryCatalog {
              |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
              |WHERE jaccard >= 0.1 ORDER BY a_id, b_id""".stripMargin)),
 
+    // asymmetric containment (quote/subset detection) over the same capped
+    // verification domain as q_jaccard_pairs — both directions graded
+    ("q_containment_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.9, maxId = 150L)
+          .orderBy("a_id", "b_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END) AS toks
+             |  FROM documents WHERE doc_id < 150),
+             |tt AS (SELECT * FROM t WHERE len(toks) > 0)
+             |SELECT * FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    round(len(list_intersect(a.toks, b.toks)) / CAST(len(a.toks) AS DOUBLE), 6) AS cont_ab,
+             |    round(len(list_intersect(a.toks, b.toks)) / CAST(len(b.toks) AS DOUBLE), 6) AS cont_ba
+             |  FROM tt a JOIN tt b ON a.doc_id < b.doc_id)
+             |WHERE greatest(cont_ab, cont_ba) >= 0.9 ORDER BY a_id, b_id""".stripMargin)),
+
+    // corpus snapshot diff: the per-ingest audit. The "after" snapshot is
+    // derived deterministically (10% removed, 1-in-7 changed, 1-in-13
+    // cloned as adds) so both engines replay the same mutation
+    ("q_corpus_diff",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val after = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("added "), col("text")).as("text"),
+              col("lang"), col("source"), col("n_chars")))
+        Dedup.corpusDiff(docs, after, "doc_id", "text", "source")
+          .orderBy("source", "status")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, source FROM documents),
+             |a AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text, source
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'added ' || text, source
+             |  FROM documents WHERE doc_id % 13 = 0),
+             |j AS (
+             |  SELECT coalesce(a.source, b.source) AS source,
+             |    CASE WHEN b.doc_id IS NULL THEN 'added'
+             |         WHEN a.doc_id IS NULL THEN 'removed'
+             |         WHEN a.text <> b.text THEN 'changed'
+             |         ELSE 'unchanged' END AS status
+             |  FROM b FULL JOIN a ON a.doc_id = b.doc_id)
+             |SELECT source, status, count(*) AS n_docs
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // xxhash64-based signatures are not reproducible in DuckDB, but the
     // operator's *invariants* are: a planted clone (identical text →
     // identical signature → every band collides) is recalled with
@@ -991,6 +1045,33 @@ object QueryCatalog {
              |FROM documents WHERE doc_id < 200""".stripMargin)),
 
     // ---- similarity search --------------------------------------------------
+
+    // int8 scalar quantization (SQ8) fidelity: the quantization codes are
+    // engine-exact (float max/abs exact, double divide IEEE-identical,
+    // same half-away-from-zero rounding), integer dots are exact BIGINTs,
+    // so cos_int8 compares bit-for-bit after the house 6dp round
+    ("q_quantized_cosine",
+      (s: SparkSession, d: String) =>
+        Similarity.int8CosinePairs(t(s, d, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             |         list_max(list_transform(embedding, x -> abs(x))) AS s
+             |  FROM embeddings),
+             |qq AS (
+             |  SELECT vec_id, v,
+             |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+             |         ELSE list_transform(v, x -> CAST(CAST(round(x / CAST(s AS DOUBLE) * 127) AS INT) AS DOUBLE)) END AS qv
+             |  FROM e),
+             |p AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    round(CASE WHEN sqrt(list_inner_product(a.v,a.v)*list_inner_product(b.v,b.v)) = 0 THEN 0.0
+             |          ELSE list_inner_product(a.v,b.v) / sqrt(list_inner_product(a.v,a.v)*list_inner_product(b.v,b.v)) END, 6) AS cos_f32,
+             |    round(CASE WHEN sqrt(list_inner_product(a.qv,a.qv)*list_inner_product(b.qv,b.qv)) = 0 THEN 0.0
+             |          ELSE list_inner_product(a.qv,b.qv) / sqrt(list_inner_product(a.qv,a.qv)*list_inner_product(b.qv,b.qv)) END, 6) AS cos_int8
+             |  FROM qq a JOIN qq b ON b.vec_id = a.vec_id + 1)
+             |SELECT a_id, b_id, cos_f32, cos_int8,
+             |  abs(cos_f32 - cos_int8) <= 0.02 AS within_tol
+             |FROM p ORDER BY a_id""".stripMargin)),
 
     ("q_cosine_topk",
       (s: SparkSession, d: String) => {

@@ -87,6 +87,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: c(A→B) = |S(A)∩S(B)| / |S(A)| over
+    * distinct token sets, both directions per pair — the quote/subset
+    * signal Jaccard misses (a short doc fully embedded in a long one has
+    * low Jaccard but containment 1.0 from the short side). Same
+    * verification-only contract as [[ngramJaccardPairs]]: quadratic by
+    * design, hard-capped, fed by LSH candidates at scale. Empty-token
+    * docs are excluded (containment over an empty set is undefined).
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+                       threshold: Double, maxId: Long): DataFrame = {
+    require(maxId <= 100000L,
+      s"containmentPairs is quadratic — maxId=$maxId; use minhashLsh for candidate generation")
+    val t = docs
+      .filter(col(id) < maxId)
+      .select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val a = t.select(col(id).as("a_id"), col("toks").as("a_toks"))
+    val b = t.select(col(id).as("b_id"), col("toks").as("b_toks"))
+    val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter / size(col("a_toks")), 6).as("cont_ab"),
+        round(inter / size(col("b_toks")), 6).as("cont_ba"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+  }
+
+  /** Corpus snapshot diff: per-dimension counts of added / removed /
+    * changed / unchanged documents between two corpus versions — the
+    * audit a continuously-growing training corpus publishes per ingest.
+    *
+    * Scale shape: each side reduces to (id, fingerprint, dims) IN-ROW
+    * before the full-outer equi-join on id — the join exchanges fixed-
+    * width fingerprints, never text.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame, id: String,
+                 text: String, dim: String): DataFrame = {
+    def slim(df: DataFrame, side: String) = df.select(
+      col(id).as("doc_id"),
+      md5(col(text).cast("binary")).as(s"${side}_fp"),
+      col(dim).as(s"${side}_dim"))
+    slim(before, "b").join(slim(after, "a"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("a_dim"), col("b_dim")).as(dim),
+        when(col("b_fp").isNull, "added")
+          .when(col("a_fp").isNull, "removed")
+          .when(col("a_fp") =!= col("b_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col(dim), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** MinHash signature: k independent hash slots, each the min of
     * xxhash64(shingle, slot) over the document's shingles. Computed entirely
     * in-row (transform + array_min) — stays inside whole-stage codegen.

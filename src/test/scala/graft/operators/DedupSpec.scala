@@ -270,6 +270,39 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0L)
   }
 
+  test("containmentPairs: embedded quote scores 1.0 from the short side, low jaccard") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), // fully contained in 2
+      (2L, "intro alpha beta gamma middle words closing tail ending finale"),
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+        threshold = 0.9, maxId = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 1)
+    val (a, b, ab, ba) = out.head
+    assert((a, b) == ((1L, 2L)))
+    assert(ab == 1.0)       // all of doc 1's tokens appear in doc 2
+    assert(ba == 0.3)       // 3 of 10
+    // the same pair under symmetric jaccard sits far below the threshold
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.9, 100L).count()
+    assert(j == 0L)
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged partition the union of ids") {
+    val before = Seq(
+      (1L, "same", "s1"), (2L, "will change", "s1"), (3L, "will vanish", "s2")
+    ).toDF("doc_id", "text", "source")
+    val after = Seq(
+      (1L, "same", "s1"), (2L, "changed!", "s1"), (4L, "brand new", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.corpusDiff(before, after, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("s1", "unchanged") -> 1L, ("s1", "changed") -> 1L,
+      ("s2", "removed") -> 1L, ("s2", "added") -> 1L))
+  }
+
   test("removeDuplicateSpans cuts shared spans, keeps unique text, normalizes whitespace") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta one two three unique tail here"),

@@ -117,4 +117,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("Join") && !plan.contains("Window") && !plan.contains("Exchange"),
       s"ivf assign must be a pure scan:\n$plan")
   }
+
+  test("quantizeInt8: codes in [-127, 127], max component hits ±127, zero vector → zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "v").select(col("vec_id"),
+      Similarity.quantizeInt8(col("v")).as("s"))
+    val rows = df.select(col("vec_id"), col("s.scale"), col("s.q"))
+      .collect().map(r => r.getLong(0) -> (r.getFloat(1), r.getSeq[Int](2))).toMap
+    assert(rows(1L)._1 == 1.0f)
+    assert(rows(1L)._2 == Seq(64, -127, 32)) // 0.5→63.5 rounds half-up to 64
+    assert(rows(2L) == ((0.0f, Seq(0, 0, 0))))
+  }
+
+  test("int8 cosine tracks f32 cosine within tolerance on real vectors") {
+    val real = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val out = Similarity.int8CosinePairs(real, "vec_id", "embedding").collect()
+    assert(out.length > 100)
+    assert(out.forall(_.getAs[Boolean]("within_tol")),
+      s"quantization error above tolerance: " +
+        out.filterNot(_.getAs[Boolean]("within_tol")).take(3).mkString(", "))
+    // identical vectors must still score 1.0 after quantization
+    val self = real.select(col("vec_id").as("a"),
+        Similarity.quantizeInt8(col("embedding")).getField("q").as("q"))
+      .select(Similarity.int8Cosine(col("q"), col("q")).as("c"))
+      .agg(min("c"), max("c")).collect().head
+    assert(self.getDouble(0) == 1.0 && self.getDouble(1) == 1.0)
+  }
 }
