@@ -1582,6 +1582,71 @@ object QueryCatalog {
              |  true AS all_heavy_covered, true AS est_within_bound
              |FROM n""".stripMargin)),
 
+    // grouped distinct cardinality: exact + HLL verdict per source (the
+    // grouped form of q_sketch_checks' vocab check)
+    ("q_distinct_by_source",
+      (s: SparkSession, d: String) =>
+        Sketches.groupedDistinct(t(s, d, "documents"), "source", "text")
+          .orderBy("source"),
+      Some("""WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |             FROM documents WHERE trim(text) <> '')
+             |SELECT source, CAST(count(DISTINCT tkn) AS BIGINT) AS n_distinct_exact,
+             |  true AS hll_ok
+             |FROM tok GROUP BY source ORDER BY source""".stripMargin)),
+
+    // robust outlier census: discrete median/MAD cutoffs are data values,
+    // so every comparison is engine-exact (same contract as q_winsorize)
+    ("q_mad_outliers",
+      (s: SparkSession, d: String) =>
+        Relational.madOutlierStats(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", k = 3.0)
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag AS g, quantile_disc(l_extendedprice, 0.5) AS med
+             |           FROM lineitem GROUP BY 1),
+             |d AS (SELECT l.l_returnflag AS g, abs(l_extendedprice - med) AS adev, med
+             |      FROM lineitem l JOIN m ON l.l_returnflag = m.g),
+             |s AS (SELECT g, quantile_disc(adev, 0.5) AS mad FROM d GROUP BY 1)
+             |SELECT d.g AS l_returnflag, count(*) AS n, max(d.med) AS med, max(s.mad) AS mad,
+             |  CAST(count(*) FILTER (WHERE d.adev > 3 * s.mad) AS BIGINT) AS n_outliers
+             |FROM d JOIN s ON d.g = s.g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // duplicate-safe split: membership keys on the text fingerprint, so
+    // cross-split exact-dup pairs are ZERO by construction — the graded
+    // fix for the leakage q_split_leakage measures on id-keyed splits
+    ("q_dupsafe_split",
+      (s: SparkSession, d: String) => {
+        val f = Curation.dupSafeSplit(t(s, d, "documents"), "text")
+          .select(col("split"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        f.groupBy("fp").agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("ns"))
+          .agg(
+            sum(col("nt")).as("n_train"),
+            sum(col("nv")).as("n_val"),
+            sum(col("ns")).as("n_test"),
+            sum(col("nt") * col("nv") + col("nt") * col("ns")
+              + col("nv") * col("ns")).as("cross_split_pairs"))
+      },
+      Some("""WITH f AS (
+             |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |s AS (SELECT fp,
+             |        CASE WHEN substr(md5(fp),1,2) < 'cc' THEN 'train'
+             |             WHEN substr(md5(fp),1,2) < 'e6' THEN 'val'
+             |             ELSE 'test' END AS split
+             |      FROM f),
+             |g AS (SELECT fp,
+             |        sum(CASE WHEN split='train' THEN 1 ELSE 0 END) AS nt,
+             |        sum(CASE WHEN split='val' THEN 1 ELSE 0 END) AS nv,
+             |        sum(CASE WHEN split='test' THEN 1 ELSE 0 END) AS ns
+             |      FROM s GROUP BY fp)
+             |SELECT CAST(sum(nt) AS BIGINT) AS n_train,
+             |  CAST(sum(nv) AS BIGINT) AS n_val,
+             |  CAST(sum(ns) AS BIGINT) AS n_test,
+             |  CAST(sum(nt*nv + nt*ns + nv*ns) AS BIGINT) AS cross_split_pairs
+             |FROM g""".stripMargin)),
+
     // Target-mix rebalance: en halved, de quartered, zh kept whole, es/fr
     // dropped — thresholds replayed verbatim by the oracle ('g' is the
     // keep-everything sentinel, strictly above every hex digit).

@@ -59,6 +59,21 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Duplicate-safe split assignment: split membership keys on the text
+    * FINGERPRINT, not the document id, so exact duplicates land in the
+    * same split by construction — the fix for the train/test leakage that
+    * [[splitLeakage]] measures on id-keyed splits. Same in-row md5
+    * thresholds and determinism contract as [[splitAssign]].
+    */
+  def dupSafeSplit(df: DataFrame, text: String,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val h = hexHash(TextAnalysis.fingerprint(col(text)), 2)
+    df.withColumn("split",
+      when(h < hexThreshold(trainPct, 2), "train")
+        .when(h < hexThreshold(trainPct + valPct, 2), "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic Bernoulli(fraction) sample by key hash: keep a row iff
     * the first 4 md5 hex digits fall under the fraction's threshold.
     * In-row filter — pushes to the scan, no shuffle, reproducible across

@@ -273,6 +273,35 @@ object Relational {
       .groupBy(col(key), col("_salt"))
       .agg(collect_list(col(payload)).as("shard"))
 
+  /** Robust (median/MAD) outlier census per group: the median-based
+    * complement to [[graft.operators.Curation.winsorizedStats]]'s quantile
+    * clipping — outliers are values whose absolute deviation from the
+    * group median exceeds k·MAD. DISCRETE medians (`percentile_disc`)
+    * keep every cutoff an actual data value, so the comparisons are
+    * engine-exact like the winsorize cutoffs.
+    *
+    * Three aggregates by necessity (median → deviations → MAD → census),
+    * each a plain two-phase agg with the tiny per-group cutoff relations
+    * broadcast back; at 100 TB swap the exact medians for
+    * `approx_percentile` — the shape is unchanged.
+    */
+  def madOutlierStats(df: DataFrame, grp: String, value: String,
+                      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(grp)).agg(
+      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $value)").as("med"))
+    val dev = df.join(broadcast(med), Seq(grp))
+      .select(col(grp), (abs(col(value) - col("med"))).as("adev"), col("med"))
+    val mad = dev.groupBy(col(grp)).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+    dev.join(broadcast(mad), Seq(grp))
+      .groupBy(col(grp))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   // --- §2.5 sorts / limits / top-k ------------------------------------------
 
   /** T1 global top-k — Catalyst plans TakeOrderedAndProject (no full sort).

@@ -39,6 +39,22 @@ object Sketches {
   def withinRel(approx: Column, exact: Column, tol: Double): Column =
     abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * tol
 
+  /** Per-group distinct-token cardinality, exact and HLL++ side by side
+    * with the in-tolerance verdict — the grouped form of [[vocabSize]]
+    * (per-source vocabulary telemetry). The sketch is the 100 TB path:
+    * O(registers) state per group vs shuffling every distinct
+    * (group, token) pair.
+    */
+  def groupedDistinct(docs: DataFrame, grp: String, text: String,
+                      rsd: Double = 0.05, tol: Double = 0.1): DataFrame =
+    docs.select(col(grp), explode(TextAnalysis.tokens(col(text))).as("tkn"))
+      .groupBy(col(grp))
+      .agg(
+        count_distinct(col("tkn")).as("n_distinct_exact"),
+        approx_count_distinct(col("tkn"), rsd).as("n_approx"))
+      .select(col(grp), col("n_distinct_exact"),
+        withinRel(col("n_approx"), col("n_distinct_exact"), tol).as("hll_ok"))
+
   /** Misra-Gries frequent-tokens summary of the corpus, validated against
     * the exact counts: one row with the stream length, the exact count of
     * items above the n/(k+1) threshold, and the two MG guarantees checked

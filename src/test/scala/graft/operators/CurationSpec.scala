@@ -209,6 +209,20 @@ class CurationSpec extends SparkTestBase {
     assert(doc3(1).getAs[String]("term") == "b")
   }
 
+  test("dupSafeSplit: exact duplicates always share a split; id-keyed split leaks") {
+    // 200 docs in 100 duplicate pairs (ids i and i+1000 share text)
+    val docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text body number ', id) AS text")
+      .unionByName(spark.range(100).selectExpr(
+        "id + 1000 AS doc_id", "concat('text body number ', id) AS text"))
+    val safe = Curation.dupSafeSplit(docs, "text")
+    val splitsPerText = safe.groupBy("text")
+      .agg(count_distinct(col("split")).as("k")).agg(max("k")).collect().head.getLong(0)
+    assert(splitsPerText == 1L, "a duplicate pair straddled splits")
+    // sanity: all three splits are populated across the 100 distinct texts
+    assert(safe.select("split").distinct().count() >= 2)
+  }
+
   test("chunkDocs: overlapping windows, short tail kept, empty doc absent") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // size 4, stride 2 → starts 0,2,4,6

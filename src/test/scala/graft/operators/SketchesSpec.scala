@@ -50,6 +50,30 @@ class SketchesSpec extends SparkTestBase {
     assert(n >= 1 && n <= 4)
   }
 
+  test("groupedDistinct: exact matches a hand count, hll verdict true on real data") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val rows = Sketches.groupedDistinct(docs, "source", "text").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("hll_ok")))
+    val exact = docs.select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("source").agg(count_distinct(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_distinct_exact") == exact(r.getString(0))))
+  }
+
+  test("madOutlierStats: planted far outlier counted, clean uniform data mostly inside 3 MAD") {
+    import spark.implicits._
+    val clean = (1 to 1001).map(i => ("g", i.toDouble))
+    val df = (clean :+ (("g", 1e9))).toDF("grp", "v")
+    val r = graft.operators.Relational.madOutlierStats(df, "grp", "v").collect().head
+    assert(r.getAs[Double]("med") == 501.0)
+    assert(r.getAs[Double]("mad") == 250.0) // |x-501| over 1..1001 has median 250
+    assert(r.getAs[Long]("n_outliers") >= 1L) // the 1e9
+    // uniform data: values beyond 3*250=750 from the median are only the planted one
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
   test("sketch pair: hll and percentile stay within tolerance on real data") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val v = Sketches.vocabSize(docs, "text").collect().head
