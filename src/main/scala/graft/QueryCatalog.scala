@@ -1210,6 +1210,30 @@ object QueryCatalog {
     // the same fixtures (PipelineSpec documents the derivation: fixA's 10
     // rows minus the 2-id overlap, plus fixB's 183 → 191 r/stocks posts) —
     // so the oracle emits it as literals and the driver hash-compares.
+    // z-order layout round-trip: lineitem re-laid on the (quantity, price)
+    // Morton curve, then a 2-D box aggregate off the new layout must match
+    // the plain-parquet oracle; the file-skipping win is asserted in
+    // ZOrderSpec (the graded row proves the layout loses no rows)
+    ("q_zorder_box",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val path = java.nio.file.Files.createTempDirectory("verify_zorder").toString
+        graft.sources.ZOrder.writeZOrdered(li, "l_quantity", "l_extendedprice", path, 16)
+        s.read.parquet(path)
+          .filter(col("l_quantity").between(10.0, 15.0)
+            && col("l_extendedprice").between(20000.0, 30000.0))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")) * 100).cast("long").as("sum_price_cents"),
+            round(sum(col("l_quantity"))).cast("long").as("sum_qty"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+             |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 10.0 AND 15.0
+             |  AND l_extendedprice BETWEEN 20000.0 AND 30000.0""".stripMargin)),
+
     // JSONL round-trip fidelity: documents → JSON Lines → read back with
     // the explicit schema → per-source profile. The oracle computes the
     // same profile off the parquet originals, so any write/read corruption
