@@ -1560,6 +1560,47 @@ object QueryCatalog {
              |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Per-doc pack OFFSETS — the attention-boundary contract: the oracle
+    // replays the exclusive cumsum and the modular offset, so each doc's
+    // position inside its pack is verified, not just pack membership
+    ("q_pack_offsets",
+      (s: SparkSession, d: String) =>
+        Curation.packSequences(t(s, d, "documents"), "doc_id", "text", budget = 512L)
+          .select(col("doc_id"), col("shard"), col("pack"), col("off"))
+          .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST(CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt,
+             |    CAST(strpos('0123456789abcdef',
+             |      substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1 AS BIGINT) AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard,
+             |    sum(nt) OVER (PARTITION BY shard ORDER BY doc_id) - nt AS cum
+             |  FROM b)
+             |SELECT doc_id, shard, CAST(floor(cum / 512) AS BIGINT) AS pack,
+             |  CAST(cum - floor(cum / 512) * 512 AS BIGINT) AS off
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // equi-depth histogram: discrete quartile cuts (data values) bucket
+    // the distribution — populations match exactly on both engines
+    ("q_equidepth_hist",
+      (s: SparkSession, d: String) =>
+        Relational.equiDepthHistogram(t(s, d, "lineitem"), "l_extendedprice")
+          .orderBy("bucket"),
+      Some("""WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS c0,
+             |                  quantile_disc(l_extendedprice, 0.5) AS c1,
+             |                  quantile_disc(l_extendedprice, 0.75) AS c2
+             |           FROM lineitem)
+             |SELECT bucket, count(*) AS n FROM (
+             |  SELECT CAST(CASE WHEN l_extendedprice <= c0 THEN 0
+             |              WHEN l_extendedprice <= c1 THEN 1
+             |              WHEN l_extendedprice <= c2 THEN 2
+             |              ELSE 3 END AS BIGINT) AS bucket
+             |  FROM lineitem, q)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sketch outputs are algorithm-specific (HLL++ registers, quantile
     // summaries) so no engine-independent oracle exists for the raw
     // estimates; the graded contract is the EXACT value plus a boolean

@@ -266,6 +266,9 @@ object Curation {
     base
       .withColumn("cum", sum(col("nt")).over(w) - col("nt"))
       .withColumn("pack", floor(col("cum") / budget))
+      // token offset within the pack — the attention-boundary contract a
+      // trainer consumes alongside the pack id
+      .withColumn("off", col("cum") - col("pack") * budget)
       .drop("cum")
   }
 

@@ -209,6 +209,31 @@ class CurationSpec extends SparkTestBase {
     assert(doc3(1).getAs[String]("term") == "b")
   }
 
+  test("packSequences offsets: docs tile each pack contiguously from 0") {
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "concat_ws(' ', transform(sequence(1, 100), x -> 'w')) AS text") // 100 tokens each
+    val out = Curation.packSequences(docs, "doc_id", "text", budget = 512L)
+      .orderBy("shard", "doc_id").collect()
+    out.groupBy(_.getAs[Long]("shard")).values.foreach { rows =>
+      var cum = 0L
+      rows.foreach { r =>
+        assert(r.getAs[Long]("pack") == cum / 512)
+        assert(r.getAs[Long]("off") == cum - (cum / 512) * 512)
+        cum += r.getAs[Long]("nt")
+      }
+    }
+  }
+
+  test("equiDepthHistogram: quartiles of 1..100 give 4 buckets of ~25") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = graft.operators.Relational.equiDepthHistogram(df, "v")
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2).sum == 100L)
+    out.foreach { case (_, n) => assert(n == 25L, s"unbalanced: ${out.toSeq}") }
+  }
+
   test("dupSafeSplit: exact duplicates always share a split; id-keyed split leaks") {
     // 200 docs in 100 duplicate pairs (ids i and i+1000 share text)
     val docs = spark.range(100).selectExpr(
