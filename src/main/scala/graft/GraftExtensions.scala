@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BoundedLevenshteinExpr, CosineF32Expr, LangIdExpr, MinHashBandsExpr,
-  RollingHash64Expr, SimHash64Expr, WordNgramsExpr, WordShinglesExpr}
+import graft.functions.{BoundedLevenshteinExpr, CosineF32Expr, LangIdExpr, MediaHeaderExpr,
+  MinHashBandsExpr, MisraGriesAgg, RollingHash64Expr, SimHash64Expr, WordNgramsExpr,
+  WordShinglesExpr}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions` in
@@ -31,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("bounded_levenshtein", es => BoundedLevenshteinExpr(es(0), es(1), graft.functions.intLit(es(2), "maxDist")))
     inject("minhash_bands", es => MinHashBandsExpr(es(0),
       graft.functions.intLit(es(1), "numHashes"), graft.functions.intLit(es(2), "bands")))
+    inject("media_header", es => MediaHeaderExpr(es.head))
+    inject("mg_summary", es =>
+      MisraGriesAgg(es(0), graft.functions.intLit(es(1), "k")).toAggregateExpression())
   }
 }

@@ -1583,23 +1583,27 @@ object QueryCatalog {
              |  CAST(cum - floor(cum / 512) * 512 AS BIGINT) AS off
              |FROM c ORDER BY doc_id""".stripMargin)),
 
-    // equi-depth histogram: discrete quartile cuts (data values) bucket
-    // the distribution — populations match exactly on both engines
+    // per-group equi-depth histogram: discrete quartile cuts (data values)
+    // bucket each group's distribution — populations match exactly on both
+    // engines, and grouping keeps each exact-quantile buffer group-sized
     ("q_equidepth_hist",
       (s: SparkSession, d: String) =>
-        Relational.equiDepthHistogram(t(s, d, "lineitem"), "l_extendedprice")
-          .orderBy("bucket"),
-      Some("""WITH q AS (SELECT quantile_disc(l_extendedprice, 0.25) AS c0,
+        Relational.equiDepthHistogram(t(s, d, "lineitem"),
+          "l_returnflag", "l_extendedprice")
+          .orderBy("l_returnflag", "bucket"),
+      Some("""WITH q AS (SELECT l_returnflag AS g,
+             |                  quantile_disc(l_extendedprice, 0.25) AS c0,
              |                  quantile_disc(l_extendedprice, 0.5) AS c1,
              |                  quantile_disc(l_extendedprice, 0.75) AS c2
-             |           FROM lineitem)
-             |SELECT bucket, count(*) AS n FROM (
-             |  SELECT CAST(CASE WHEN l_extendedprice <= c0 THEN 0
-             |              WHEN l_extendedprice <= c1 THEN 1
-             |              WHEN l_extendedprice <= c2 THEN 2
-             |              ELSE 3 END AS BIGINT) AS bucket
-             |  FROM lineitem, q)
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |           FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, bucket, count(*) AS n FROM (
+             |  SELECT l.l_returnflag,
+             |    CAST(CASE WHEN l_extendedprice <= c0 THEN 0
+             |         WHEN l_extendedprice <= c1 THEN 1
+             |         WHEN l_extendedprice <= c2 THEN 2
+             |         ELSE 3 END AS BIGINT) AS bucket
+             |  FROM lineitem l JOIN q ON l.l_returnflag = q.g)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Sketch outputs are algorithm-specific (HLL++ registers, quantile
     // summaries) so no engine-independent oracle exists for the raw

@@ -302,17 +302,19 @@ object Relational {
         sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
-  /** Equi-depth histogram: bucket boundaries at the DISCRETE quantile
-    * cuts (data values — engine-exact, same contract as
-    * [[madOutlierStats]] / winsorize), one row per bucket with its
-    * population. Two aggregates: the cut relation is one row, broadcast
-    * into an in-row CASE; `approx_percentile` swap at 100 TB.
+  /** Per-group equi-depth histogram: bucket boundaries at the group's
+    * DISCRETE quantile cuts (data values — engine-exact, same contract as
+    * [[madOutlierStats]] / winsorize), one row per (group, bucket) with
+    * its population. Two aggregates: the cut relation is group-cardinality
+    * rows, broadcast into an in-row CASE; `approx_percentile` swap at
+    * 100 TB. Grouping is also the parallelism: each exact-quantile buffer
+    * holds one group's values, never the table.
     */
-  def equiDepthHistogram(df: DataFrame, value: String,
+  def equiDepthHistogram(df: DataFrame, grp: String, value: String,
                          probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
       s"equiDepthHistogram: probs must be sorted in (0,1), got $probs")
-    val cuts = df.agg(
+    val cuts = df.groupBy(col(grp)).agg(
       expr(s"percentile_disc(${probs.head}) WITHIN GROUP (ORDER BY $value)").as("c0"),
       probs.tail.zipWithIndex.map { case (p, i) =>
         expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $value)").as(s"c${i + 1}")
@@ -320,9 +322,9 @@ object Relational {
     val bucket = probs.indices.reverse.foldLeft(lit(probs.size)) { (acc, i) =>
       when(col(value) <= col(s"c$i"), lit(i)).otherwise(acc)
     }
-    df.crossJoin(broadcast(cuts))
-      .select(bucket.cast("long").as("bucket"))
-      .groupBy("bucket")
+    df.join(broadcast(cuts), Seq(grp))
+      .select(col(grp), bucket.cast("long").as("bucket"))
+      .groupBy(col(grp), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
 

@@ -51,6 +51,10 @@ object ZOrder {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect().head
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null) input: no curve to build
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = morton2(
       rank16(col(colA), r.getDouble(0), r.getDouble(1)),
       rank16(col(colB), r.getDouble(2), r.getDouble(3)))

@@ -224,11 +224,11 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
-  test("equiDepthHistogram: quartiles of 1..100 give 4 buckets of ~25") {
+  test("equiDepthHistogram: quartiles of 1..100 give 4 buckets of exactly 25 per group") {
     import spark.implicits._
-    val df = (1 to 100).map(_.toDouble).toDF("v")
-    val out = graft.operators.Relational.equiDepthHistogram(df, "v")
-      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = graft.operators.Relational.equiDepthHistogram(df, "grp", "v")
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(out.map(_._2).sum == 100L)
     out.foreach { case (_, n) => assert(n == 25L, s"unbalanced: ${out.toSeq}") }

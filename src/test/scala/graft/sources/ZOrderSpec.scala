@@ -58,6 +58,13 @@ class ZOrderSpec extends SparkTestBase {
     assert(boxCount(zDir) == boxCount(sDir))
   }
 
+  test("writeZOrdered on an empty table writes an empty table, no NPE") {
+    val dir = Files.createTempDirectory("zorder_empty").toString
+    val empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) a", "CAST(id AS DOUBLE) b")
+    ZOrder.writeZOrdered(empty, "a", "b", dir, 4)
+    assert(spark.read.parquet(dir).count() == 0L)
+  }
+
   test("rank16 clamps and degenerate range maps to zero") {
     val out = Seq(-5.0, 0.0, 50.0, 100.0, 200.0).toDF("v")
       .select(ZOrder.rank16(col("v"), 0.0, 100.0).as("r")).as[Long].collect()
