@@ -1635,6 +1635,17 @@ object QueryCatalog {
              |  round(p50, 4) AS p50_exact, true AS p50_ok
              |FROM v CROSS JOIN q""".stripMargin)),
 
+    // two-pass exact top-10 tokens (MG candidates → exact recount): the
+    // output is the TRUE top-10 because every corpus token sits above
+    // n/(k+1) at k=64 — graded against the plain exact top-10 oracle
+    ("q_top_tokens_2pass",
+      (s: SparkSession, d: String) =>
+        Sketches.topTokens2Pass(t(s, d, "documents"), "text", m = 10, k = 64),
+      Some("""SELECT tkn, count(*) AS cnt
+             |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |      FROM documents WHERE trim(text) <> '')
+             |GROUP BY tkn ORDER BY cnt DESC, tkn LIMIT 10""".stripMargin)),
+
     // Misra-Gries frequent tokens: summary content is merge-order-dependent
     // so the graded row is the q_sketch_checks contract — exact values plus
     // the two deterministic MG guarantees checked on real data (k=8 < the

@@ -55,6 +55,33 @@ object Sketches {
       .select(col(grp), col("n_distinct_exact"),
         withinRel(col("n_approx"), col("n_distinct_exact"), tol).as("hll_ok"))
 
+  /** Two-pass exact top-m tokens — the production shape for "top tokens of
+    * a 100 TB corpus": pass 1 collects Misra-Gries CANDIDATES with O(k)
+    * state (no distinct-token shuffle), pass 2 exactly recounts ONLY the
+    * ≤ k candidates (broadcast semi-join into the scan, aggregate state
+    * O(k)). The result is EXACTLY the true top-m whenever every true
+    * top-m token has frequency > n/(k+1) — the MG coverage guarantee —
+    * so size k generously above m (k = 64 for m = 10 here).
+    *
+    * Versus the single-pass exact formulation this replaces: that one
+    * shuffles a partial count for every distinct token in the corpus
+    * (billions at scale); this shuffles k counters and then k exact
+    * counts.
+    */
+  def topTokens2Pass(docs: DataFrame, text: String,
+                     m: Int = 10, k: Int = 64): DataFrame = {
+    require(m <= k, s"topTokens2Pass: m=$m must be <= k=$k")
+    val tok = docs.select(explode(TextAnalysis.tokens(col(text))).as("tkn"))
+    val cand = tok
+      .agg(graft.functions.mg_summary(col("tkn"), k).as("c"))
+      .select(explode(col("c")).as("x"))
+      .select(col("x.token").as("tkn"))
+    tok.join(broadcast(cand), Seq("tkn"))
+      .groupBy("tkn").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tkn"))
+      .limit(m)
+  }
+
   /** Misra-Gries frequent-tokens summary of the corpus, validated against
     * the exact counts: one row with the stream length, the exact count of
     * items above the n/(k+1) threshold, and the two MG guarantees checked

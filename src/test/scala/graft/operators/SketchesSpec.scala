@@ -50,6 +50,25 @@ class SketchesSpec extends SparkTestBase {
     assert(n >= 1 && n <= 4)
   }
 
+  test("topTokens2Pass equals the single-pass exact top-m, even with planted skew") {
+    // every true top-5 token must clear n/(k+1): five hots at 2000 each
+    // vs 200 rares at 10 each → n = 12000, threshold = 12000/33 ≈ 364
+    val docs = spark.range(2000).selectExpr(
+      "id AS doc_id",
+      "concat('alpha beta gamma delta epsilon w', CAST(id % 200 AS STRING)) AS text")
+    val twoPass = Sketches.topTokens2Pass(docs, "text", m = 5, k = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(twoPass == exact)
+    assert(twoPass.map(_._1) ==
+      Seq("alpha", "beta", "delta", "epsilon", "gamma")) // count ties break on token
+    assert(twoPass.forall(_._2 == 2000L))
+  }
+
   test("groupedDistinct: exact matches a hand count, hll verdict true on real data") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val rows = Sketches.groupedDistinct(docs, "source", "text").collect()
