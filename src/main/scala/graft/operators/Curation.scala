@@ -310,10 +310,8 @@ object Curation {
     */
   def winsorizedStats(df: DataFrame, grp: String, value: String,
                       pLo: Double, pHi: Double): DataFrame = {
-    require(0 <= pLo && pLo < pHi && pHi <= 1, s"winsorizedStats: bad [$pLo, $pHi]")
-    val cuts = df.groupBy(col(grp)).agg(
-      expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $value)").as("lo"),
-      expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $value)").as("hi"))
+    require(0 < pLo && pLo < pHi && pHi <= 1, s"winsorizedStats: bad [$pLo, $pHi]")
+    val cuts = Relational.discreteCuts(df, grp, value, Seq(pLo -> "lo", pHi -> "hi"))
     df.join(broadcast(cuts), Seq(grp))
       .select(col(grp), col(value).as("v"), col("lo"), col("hi"))
       .groupBy(col(grp))

@@ -273,6 +273,27 @@ object Relational {
       .groupBy(col(key), col("_salt"))
       .agg(collect_list(col(payload)).as("shard"))
 
+  /** Per-group DISCRETE quantile cuts — SQL-standard `percentile_disc`
+    * semantics (smallest value with cume_dist ≥ p = the element at
+    * 1-based rank ceil(p·n) of the sorted values), computed from ONE
+    * sorted-array buffer per group instead of one independent
+    * value-buffer per cut like stacked `percentile_disc` calls (3 cuts =
+    * 3 buffers + 3 sorts there; 1 + 1 here). State is O(group values)
+    * either way — the exact path's contract; swap in `approx_percentile`
+    * at 100 TB.
+    */
+  def discreteCuts(df: DataFrame, grp: String, value: String,
+                   cuts: Seq[(Double, String)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall { case (p, _) => p > 0 && p <= 1 },
+      s"discreteCuts: probs must be in (0,1], got ${cuts.map(_._1)}")
+    df.groupBy(col(grp))
+      .agg(sort_array(collect_list(col(value))).as("__v"))
+      .select(col(grp) +: cuts.map { case (p, name) =>
+        element_at(col("__v"),
+          ceil(size(col("__v")).cast("double") * p).cast("int")).as(name)
+      }: _*)
+  }
+
   /** Robust (median/MAD) outlier census per group: the median-based
     * complement to [[graft.operators.Curation.winsorizedStats]]'s quantile
     * clipping — outliers are values whose absolute deviation from the
@@ -287,12 +308,10 @@ object Relational {
     */
   def madOutlierStats(df: DataFrame, grp: String, value: String,
                       k: Double = 3.0): DataFrame = {
-    val med = df.groupBy(col(grp)).agg(
-      expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $value)").as("med"))
+    val med = discreteCuts(df, grp, value, Seq(0.5 -> "med"))
     val dev = df.join(broadcast(med), Seq(grp))
       .select(col(grp), (abs(col(value) - col("med"))).as("adev"), col("med"))
-    val mad = dev.groupBy(col(grp)).agg(
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+    val mad = discreteCuts(dev, grp, "adev", Seq(0.5 -> "mad"))
     dev.join(broadcast(mad), Seq(grp))
       .groupBy(col(grp))
       .agg(
@@ -314,11 +333,8 @@ object Relational {
                          probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
       s"equiDepthHistogram: probs must be sorted in (0,1), got $probs")
-    val cuts = df.groupBy(col(grp)).agg(
-      expr(s"percentile_disc(${probs.head}) WITHIN GROUP (ORDER BY $value)").as("c0"),
-      probs.tail.zipWithIndex.map { case (p, i) =>
-        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $value)").as(s"c${i + 1}")
-      }: _*)
+    val cuts = discreteCuts(df, grp, value,
+      probs.zipWithIndex.map { case (p, i) => p -> s"c$i" })
     val bucket = probs.indices.reverse.foldLeft(lit(probs.size)) { (acc, i) =>
       when(col(value) <= col(s"c$i"), lit(i)).otherwise(acc)
     }
