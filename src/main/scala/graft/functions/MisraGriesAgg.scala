@@ -45,6 +45,15 @@ case class MisraGriesAgg(
 
   require(k > 0, "misra-gries needs k > 0")
 
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mg_summary needs a string item column, got ${other.catalogString}")
+    }
+  }
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
@@ -96,11 +105,17 @@ case class MisraGriesAgg(
     }.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: a single unbroken >64 KB
+  // token (base64 blob, minified JS) would make writeUTF throw
+  // UTFDataFormatException mid-shuffle
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -109,7 +124,11 @@ case class MisraGriesAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

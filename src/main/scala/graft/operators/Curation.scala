@@ -311,8 +311,12 @@ object Curation {
   def winsorizedStats(df: DataFrame, grp: String, value: String,
                       pLo: Double, pHi: Double): DataFrame = {
     require(0 < pLo && pLo < pHi && pHi <= 1, s"winsorizedStats: bad [$pLo, $pHi]")
-    val cuts = Relational.discreteCuts(df, grp, value, Seq(pLo -> "lo", pHi -> "hi"))
-    df.join(broadcast(cuts), Seq(grp))
+    // non-null values only: Spark's greatest/least skip NULLs, so a NULL
+    // row would otherwise clip to `hi` and pollute the sum while the
+    // quantile cuts never saw it
+    val clean = df.filter(col(value).isNotNull)
+    val cuts = Relational.discreteCuts(clean, grp, value, Seq(pLo -> "lo", pHi -> "hi"))
+    clean.join(broadcast(cuts), Seq(grp))
       .select(col(grp), col(value).as("v"), col("lo"), col("hi"))
       .groupBy(col(grp))
       .agg(

@@ -70,22 +70,30 @@ object Dedup {
     * capped by `maxId`; at scale use [[minhashLsh]] to generate candidates
     * and this only on the (tiny) candidate set.
     */
-  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
-                        threshold: Double, maxId: Long): DataFrame = {
-    // hard cap: this operator is O(n²) by design (exact verification) and
-    // must only ever see an LSH-pruned candidate slice, never a corpus
+  /** The shared capped pair domain of the exact verifiers: token-set
+    * self-join over a bounded id range, a_id < b_id, small side broadcast.
+    * The hard cap is the quadratic-guard policy in one place.
+    */
+  private def boundedTokenPairs(docs: DataFrame, id: String, text: String,
+                                maxId: Long, what: String,
+                                requireNonEmpty: Boolean = false): DataFrame = {
     require(maxId <= 100000L,
-      s"ngramJaccardPairs is quadratic — maxId=$maxId; use minhashLsh for candidate generation")
-    val t = docs
+      s"$what is quadratic — maxId=$maxId; use minhashLsh for candidate generation")
+    val base = docs
       .filter(col(id) < maxId)
       .select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
+    val t = if (requireNonEmpty) base.filter(size(col("toks")) > 0) else base
     val a = t.select(col(id).as("a_id"), col("toks").as("a_toks"))
     val b = t.select(col(id).as("b_id"), col("toks").as("b_toks"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        threshold: Double, maxId: Long): DataFrame =
+    boundedTokenPairs(docs, id, text, maxId, "ngramJaccardPairs")
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Asymmetric containment pairs: c(A→B) = |S(A)∩S(B)| / |S(A)| over
     * distinct token sets, both directions per pair — the quote/subset
@@ -97,16 +105,9 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, id: String, text: String,
                        threshold: Double, maxId: Long): DataFrame = {
-    require(maxId <= 100000L,
-      s"containmentPairs is quadratic — maxId=$maxId; use minhashLsh for candidate generation")
-    val t = docs
-      .filter(col(id) < maxId)
-      .select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
-      .filter(size(col("toks")) > 0)
-    val a = t.select(col(id).as("a_id"), col("toks").as("a_toks"))
-    val b = t.select(col(id).as("b_id"), col("toks").as("b_toks"))
     val inter = size(array_intersect(col("a_toks"), col("b_toks"))).cast("double")
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    boundedTokenPairs(docs, id, text, maxId, "containmentPairs",
+        requireNonEmpty = true)
       .select(col("a_id"), col("b_id"),
         round(inter / size(col("a_toks")), 6).as("cont_ab"),
         round(inter / size(col("b_toks")), 6).as("cont_ba"))
@@ -123,16 +124,20 @@ object Dedup {
     */
   def corpusDiff(before: DataFrame, after: DataFrame, id: String,
                  text: String, dim: String): DataFrame = {
+    // presence is a dedicated marker, NOT fingerprint nullness — a doc
+    // with NULL text is still present in its snapshot; NULL text compares
+    // null-safely so NULL→NULL is unchanged and NULL→'x' is changed
     def slim(df: DataFrame, side: String) = df.select(
       col(id).as("doc_id"),
       md5(col(text).cast("binary")).as(s"${side}_fp"),
-      col(dim).as(s"${side}_dim"))
+      col(dim).as(s"${side}_dim"),
+      lit(true).as(s"${side}_present"))
     slim(before, "b").join(slim(after, "a"), Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("a_dim"), col("b_dim")).as(dim),
-        when(col("b_fp").isNull, "added")
-          .when(col("a_fp").isNull, "removed")
-          .when(col("a_fp") =!= col("b_fp"), "changed")
+        when(col("b_present").isNull, "added")
+          .when(col("a_present").isNull, "removed")
+          .when(!(col("a_fp") <=> col("b_fp")), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy(col(dim), col("status"))
       .agg(count(lit(1)).as("n_docs"))

@@ -102,13 +102,16 @@ object Relational {
     * Cost model vs a plain shuffled anti-join of the corpus: two scan
     * passes (the branch split) + a join over the probe-positive sliver,
     * instead of one scan + a full corpus shuffle — at 100 TB the shuffle
-    * is the bottleneck, the second scan is not. The blocklist side runs
-    * two driver-visible jobs (count + filter build), both blocklist-sized.
+    * is the bottleneck, the second scan is not. The BLOCKLIST side is
+    * evaluated three times (count, filter build, verify join) — all
+    * blocklist-sized; pass `expectedItems` to skip the count pass, or
+    * persist the keys upstream if its source is expensive to re-read.
     */
   def bloomAntiJoin(big: DataFrame, keys: DataFrame, on: String,
-                    fpp: Double = 0.01, maxItems: Long = 100000000L): DataFrame = {
+                    fpp: Double = 0.01, maxItems: Long = 100000000L,
+                    expectedItems: Option[Long] = None): DataFrame = {
     val hashed = keys.select(xxhash64(col(on)).as("__h"))
-    val n = hashed.count()
+    val n = expectedItems.getOrElse(hashed.count())
     require(n <= maxItems,
       s"bloomAntiJoin: blocklist has $n keys > maxItems=$maxItems — the " +
         "filter bits would not be broadcast-class; shuffle-partition the join instead")
@@ -289,8 +292,11 @@ object Relational {
     df.groupBy(col(grp))
       .agg(sort_array(collect_list(col(value))).as("__v"))
       .select(col(grp) +: cuts.map { case (p, name) =>
-        element_at(col("__v"),
-          ceil(size(col("__v")).cast("double") * p).cast("int")).as(name)
+        // a group whose values are all NULL collects an empty array —
+        // its cuts are NULL, not an element_at(_, 0) crash
+        when(size(col("__v")) === 0, lit(null))
+          .otherwise(element_at(col("__v"),
+            ceil(size(col("__v")).cast("double") * p).cast("int"))).as(name)
       }: _*)
   }
 
@@ -308,8 +314,11 @@ object Relational {
     */
   def madOutlierStats(df: DataFrame, grp: String, value: String,
                       k: Double = 3.0): DataFrame = {
-    val med = discreteCuts(df, grp, value, Seq(0.5 -> "med"))
-    val dev = df.join(broadcast(med), Seq(grp))
+    // stats are over the NON-NULL values: the quantile buffers skip NULLs,
+    // so counting NULL rows would make n/census inconsistent with the cuts
+    val clean = df.filter(col(value).isNotNull)
+    val med = discreteCuts(clean, grp, value, Seq(0.5 -> "med"))
+    val dev = clean.join(broadcast(med), Seq(grp))
       .select(col(grp), (abs(col(value) - col("med"))).as("adev"), col("med"))
     val mad = discreteCuts(dev, grp, "adev", Seq(0.5 -> "mad"))
     dev.join(broadcast(mad), Seq(grp))
@@ -333,12 +342,15 @@ object Relational {
                          probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
       s"equiDepthHistogram: probs must be sorted in (0,1), got $probs")
-    val cuts = discreteCuts(df, grp, value,
+    // NULL values are outside every bucket (the cuts exclude them too),
+    // not silently folded into the overflow bucket
+    val clean = df.filter(col(value).isNotNull)
+    val cuts = discreteCuts(clean, grp, value,
       probs.zipWithIndex.map { case (p, i) => p -> s"c$i" })
     val bucket = probs.indices.reverse.foldLeft(lit(probs.size)) { (acc, i) =>
       when(col(value) <= col(s"c$i"), lit(i)).otherwise(acc)
     }
-    df.join(broadcast(cuts), Seq(grp))
+    clean.join(broadcast(cuts), Seq(grp))
       .select(col(grp), bucket.cast("long").as("bucket"))
       .groupBy(col(grp), col("bucket"))
       .agg(count(lit(1)).as("n"))

@@ -103,12 +103,15 @@ object Sketches {
       .withColumn("est", expr("get(filter(cand, c -> c.token = tkn), 0).est"))
       .withColumn("thr", col("n_tokens").cast("double") / (k + 1))
       .agg(
-        max(col("n_tokens")).as("n_tokens"),
-        sum(when(col("cnt") > col("thr"), 1L).otherwise(0L)).as("n_heavy_exact"),
-        every(when(col("cnt") > col("thr"), col("est").isNotNull)
-          .otherwise(lit(true))).as("all_heavy_covered"),
-        every(when(col("est").isNotNull,
+        // coalesced so an EMPTY corpus reports (0, 0, true, true) like the
+        // oracle, not a row of aggregate-over-nothing NULLs
+        coalesce(max(col("n_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("cnt") > col("thr"), 1L).otherwise(0L)), lit(0L))
+          .as("n_heavy_exact"),
+        coalesce(every(when(col("cnt") > col("thr"), col("est").isNotNull)
+          .otherwise(lit(true))), lit(true)).as("all_heavy_covered"),
+        coalesce(every(when(col("est").isNotNull,
             col("est") <= col("cnt") && col("est").cast("double") >= col("cnt") - col("thr"))
-          .otherwise(lit(true))).as("est_within_bound"))
+          .otherwise(lit(true))), lit(true)).as("est_within_bound"))
   }
 }

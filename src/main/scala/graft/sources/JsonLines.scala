@@ -42,9 +42,15 @@ object JsonLines {
       .json(path)
 
   /** Raw malformed lines — the quarantine/diagnostics side. A text scan
-    * with `from_json` corrupt capture: fully streaming (no cache), same
-    * malformed set the DROPMALFORMED read dropped, blank lines excluded
-    * (the line reader never yields them as records).
+    * with `from_json` corrupt capture: fully streaming (no cache), blank
+    * lines excluded (the line reader never yields them as records).
+    *
+    * Accounting caveat: this judges every line against the FULL schema.
+    * A [[readClean]] query that prunes columns can keep a row whose
+    * malformation lives only in an unread column (the parser never
+    * touches it), so clean-count + bad-count may exceed the line count
+    * for pruned projections — quarantine accounting is exact against
+    * full-schema reads.
     */
   def badRecords(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -289,6 +289,16 @@ class DedupSpec extends SparkTestBase {
     assert(j == 0L)
   }
 
+  test("corpusDiff: NULL text is a present state — NULL→NULL unchanged, NULL→text changed") {
+    val before = Seq((1L, None: Option[String], "s"), (2L, None: Option[String], "s"))
+      .toDF("doc_id", "text", "source")
+    val after = Seq((1L, None: Option[String], "s"), (2L, Option("now set"), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.corpusDiff(before, after, "doc_id", "text", "source")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("unchanged" -> 1L, "changed" -> 1L))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged partition the union of ids") {
     val before = Seq(
       (1L, "same", "s1"), (2L, "will change", "s1"), (3L, "will vanish", "s2")

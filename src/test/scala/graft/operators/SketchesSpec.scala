@@ -42,6 +42,31 @@ class SketchesSpec extends SparkTestBase {
     assert(row.getAs[Long]("n_tokens") > 0)
   }
 
+  test("misra-gries survives a >64KB token across a shuffle (no writeUTF limit)") {
+    val giant = "x" * 70000
+    val stream = spark.range(2000)
+      .selectExpr(s"IF(id % 2 = 0, '$giant', concat('w', id)) AS tkn")
+      .repartition(8) // force partial-buffer serialization
+    val out = stream.agg(graft.functions.mg_summary(col("tkn"), 4).as("c"))
+      .select(explode(col("c")).as("x")).select(col("x.token"), col("x.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains(giant), "the giant heavy token must survive")
+    assert(out(giant) <= 1000L && out(giant) >= 1000L - 2000L / 5)
+  }
+
+  test("madOutlierStats and winsorizedStats ignore NULL values consistently") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("g", None: Option[Double])) ++
+      (1 to 100).map(i => ("g", Some(i.toDouble)))).toDF("grp", "v")
+    val mad = graft.operators.Relational.madOutlierStats(df, "grp", "v").collect().head
+    assert(mad.getAs[Long]("n") == 100L) // NULLs not counted
+    val win = graft.operators.Curation.winsorizedStats(df, "grp", "v", 0.1, 0.9)
+      .collect().head
+    assert(win.getAs[Long]("n") == 100L)
+    // clipped sum must not include any NULL-row contribution
+    assert(win.getAs[Long]("sum_clipped_cents") <= 5050L * 100)
+  }
+
   test("mg_summary is available on the SQL surface") {
     graft.functions.registerAll(spark)
     val n = spark.sql(
