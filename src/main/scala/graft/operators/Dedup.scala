@@ -510,6 +510,9 @@ object Dedup {
                              table: String, buckets: Int = 64): Unit =
     TextAnalysis.fingerprints(accepted, id, text)
       .select(col("fingerprint"), col(id).as("corpus_id"))
+      // co-partition with the bucket layout (see appendLshBandIndex): one
+      // file per bucket per ingest generation, not one per (task × bucket)
+      .repartition(buckets, col("fingerprint"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "fingerprint").sortBy("fingerprint")
       .saveAsTable(table)
@@ -538,13 +541,39 @@ object Dedup {
     */
   def writeLshBandIndex(docs: DataFrame, id: String, text: String, table: String,
                         shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                        maxBucketSize: Int = 1000, buckets: Int = 64): Unit =
+                        maxBucketSize: Int = 1000, buckets: Int = 64): Unit = {
     graft.sources.Bucketed.writeBucketed(
       bandKeys(docs, id, text, "corpus_id", shingleK, numHashes, bands)
         .groupBy("bb")
         .agg(graft.functions.capped_collect(col("corpus_id"), maxBucketSize, minSize = 1).as("ids"))
         .filter(col("ids").isNotNull),
       table, "bb", buckets)
+    // persist the LSH parameters: band keys are xxhash64(band, bucket) of
+    // THESE parameters, so a reader/appender with different ones would get
+    // disjoint keys and silently match nothing — validation needs ground truth
+    docs.sparkSession.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES (" +
+        s"'graft.lsh.shingleK'='$shingleK', 'graft.lsh.numHashes'='$numHashes', " +
+        s"'graft.lsh.bands'='$bands')")
+  }
+
+  /** Fail loudly when the caller's LSH parameters disagree with the ones
+    * the index was written with (recorded as table properties) — a
+    * mismatch is otherwise a SILENT 100% recall loss: the band keys are
+    * parameter-dependent hashes, so nothing joins and every duplicate
+    * passes as fresh.
+    */
+  private def checkLshParams(spark: org.apache.spark.sql.SparkSession, table: String,
+                             shingleK: Int, numHashes: Int, bands: Int): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+    Seq("shingleK" -> shingleK, "numHashes" -> numHashes, "bands" -> bands).foreach {
+      case (name, given) =>
+        props.get(s"graft.lsh.$name").foreach(stored => require(stored == given.toString,
+          s"LSH index '$table' was written with $name=$stored, caller passed $given — " +
+            "band keys would be disjoint and every near-dup would pass as fresh"))
+    }
+  }
 
   /** Append newly-accepted docs to the band index (same bucket spec, so the
     * bucketed-join property is preserved across ingests). Each append adds
@@ -553,14 +582,20 @@ object Dedup {
     */
   def appendLshBandIndex(accepted: DataFrame, id: String, text: String, table: String,
                          shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                         maxBucketSize: Int = 1000, buckets: Int = 64): Unit =
+                         maxBucketSize: Int = 1000, buckets: Int = 64): Unit = {
+    checkLshParams(accepted.sparkSession, table, shingleK, numHashes, bands)
     bandKeys(accepted, id, text, "corpus_id", shingleK, numHashes, bands)
       .groupBy("bb")
       .agg(graft.functions.capped_collect(col("corpus_id"), maxBucketSize, minSize = 1).as("ids"))
       .filter(col("ids").isNotNull)
+      // co-partition with the bucket layout like writeBucketed: without
+      // this each of the groupBy's shuffle-partition tasks writes a file
+      // into every bucket it holds (tasks × buckets tiny files per ingest)
+      .repartition(buckets, col("bb"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "bb").sortBy("bb")
       .saveAsTable(table)
+  }
 
   /** Incremental near-dup check: batch docs that share an LSH band bucket
     * with an indexed corpus doc, exact-verified by token-set Jaccard ≥
@@ -583,6 +618,7 @@ object Dedup {
                           shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                           threshold: Double = 0.7): DataFrame = {
     val spark = batch.sparkSession
+    checkLshParams(spark, table, shingleK, numHashes, bands)
     val cands = bandKeys(batch, id, text, "batch_id", shingleK, numHashes, bands)
       .join(graft.sources.Bucketed.read(spark, table), Seq("bb"))
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))
@@ -634,13 +670,19 @@ object Dedup {
     * [[dedupAgainstIndex]] scans pre-sorted buckets again.
     */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-                              table: String, buckets: Int = 64): Unit =
-    graft.sources.Bucketed.compact(spark, table, "fingerprint", buckets)
+                              table: String): Unit =
+    graft.sources.Bucketed.compact(spark, table, "fingerprint",
+      graft.sources.Bucketed.bucketCount(spark, table))
 
-  /** [[compactFingerprintIndex]] for the LSH band index ([[writeLshBandIndex]]). */
+  /** [[compactFingerprintIndex]] for the LSH band index ([[writeLshBandIndex]]).
+    * The bucket count comes from the catalog, never a trusting parameter —
+    * re-supplying a different one would silently rewrite the bucket spec
+    * every later append depends on.
+    */
   def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
-                          table: String, buckets: Int = 64): Unit =
-    graft.sources.Bucketed.compact(spark, table, "bb", buckets)
+                          table: String): Unit =
+    graft.sources.Bucketed.compact(spark, table, "bb",
+      graft.sources.Bucketed.bucketCount(spark, table))
 
   /** Bounded in-bucket candidate pairs, the shared LSH candidate stage:
     * aggregate each bucket to a size-capped id list

@@ -138,13 +138,21 @@ object Similarity {
                          sampleCap: Int = 4096, iters: Int = 8): Seq[(Long, Seq[Float])] = {
     require(cells >= 1, s"ivfCentroidsKmeans: cells must be >= 1, got $cells")
     require(sampleCap >= cells, s"ivfCentroidsKmeans: sampleCap $sampleCap < cells $cells")
-    val sample: Array[Array[Double]] = corpus
+    val raw: Array[Array[Double]] = corpus
       .select(col(id).cast("long").as("_id"), col(vec).as("_v"))
       .orderBy(xxhash64(col("_id")), col("_id"))
       .limit(sampleCap)
       .collect()
-      .map(_.getSeq[Float](1).iterator.map(_.toDouble).toArray)
-    require(sample.nonEmpty, "ivfCentroidsKmeans: empty corpus")
+      .flatMap(r => Option(r.getSeq[Float](1))
+        .map(_.iterator.map(x => if (x == null) Double.NaN else x.toDouble).toArray))
+    // corrupt rows (NULL vectors/elements, ragged lengths) are dropped from
+    // the SEED sample — assignment still handles them downstream; and an
+    // empty corpus seeds an empty centroid table (empty result, not a crash).
+    // The first intact vector defines the dimensionality, as before.
+    val intact = raw.filter(v => v.nonEmpty && !v.exists(_.isNaN))
+    val sample = intact.headOption.map(h =>
+      intact.filter(_.length == h.length)).getOrElse(Array.empty)
+    if (sample.isEmpty) return Seq.empty
     val k = math.min(cells, sample.length)
     val dims = sample.head.length
 
@@ -199,6 +207,9 @@ object Similarity {
     * in-row fold over the centroid array: zero shuffle, stays in codegen.
     */
   private def nearestCell(vecCol: Column, cents: Seq[(Long, Seq[Float])]): Column = {
+    // empty centroid table (empty corpus): no cell, not an un-analyzable
+    // fold over a VOID-typed empty array literal
+    if (cents.isEmpty) return lit(-1L)
     val zero = struct(lit(-2.0d).as("sim"), lit(-1L).as("cell"))
     val best = aggregate(
       centroidArray(cents), zero,
@@ -228,7 +239,8 @@ object Similarity {
     * cell) pairs lexicographically and slice — no window, no shuffle.
     */
   private def probeCells(vecCol: Column, cents: Seq[(Long, Seq[Float])], nprobe: Int): Column =
-    transform(
+    if (cents.isEmpty) typedlit(Seq.empty[Long]) // empty index: probe nothing
+    else transform(
       slice(array_sort(transform(centroidArray(cents), ct =>
         struct((-cosineF(vecCol, ct.getField("centroid"))).as("negsim"),
           ct.getField("cell").as("cell")))), 1, nprobe),

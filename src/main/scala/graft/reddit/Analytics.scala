@@ -58,16 +58,26 @@ object Analytics {
     val margin = 40
     val plotW = width - 2 * margin
     val plotH = height - 2 * margin
-    val vmax = math.max(rows.map(_._2).max, Double.MinPositiveValue)
+    // Locale-pinned decimal formatting: the f-interpolator uses the JVM
+    // default locale, and "52,3" is not a valid SVG length on a
+    // comma-decimal host (de_DE, fr_FR); NaN values are treated as 0 so
+    // a single bad aggregate can't poison every bar height
+    def n1(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(if (d.isNaN) 0.0 else d))
+    val finite = rows.map(_._2).filterNot(v => v.isNaN || v.isInfinite)
+    val vmax = math.max(if (finite.isEmpty) 0.0 else finite.max, Double.MinPositiveValue)
     val slot = plotW.toDouble / rows.length
     val barW = math.max(slot * 0.8, 1.0)
-    val bars = rows.zipWithIndex.map { case ((label, v), i) =>
+    val bars = rows.zipWithIndex.map { case ((label, v0), i) =>
+      val v = if (v0.isNaN || v0.isInfinite) 0.0 else v0
       val h = math.max(plotH * (math.max(v, 0.0) / vmax), 0.0)
       val x = margin + i * slot + (slot - barW) / 2
       val y = margin + (plotH - h)
-      f"""<rect x="$x%.1f" y="$y%.1f" width="$barW%.1f" height="$h%.1f" fill="#4878a8"/>
-         |<text x="${x + barW / 2}%.1f" y="${height - margin + 14}" font-size="10" text-anchor="middle">${esc(label)}</text>
-         |<text x="${x + barW / 2}%.1f" y="${y - 4}%.1f" font-size="9" text-anchor="middle">${if (v == v.floor) v.toLong.toString else f"$v%.2f"}</text>""".stripMargin
+      val valueText = if (v == v.floor) v.toLong.toString
+        else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      s"""<rect x="${n1(x)}" y="${n1(y)}" width="${n1(barW)}" height="${n1(h)}" fill="#4878a8"/>
+         |<text x="${n1(x + barW / 2)}" y="${height - margin + 14}" font-size="10" text-anchor="middle">${esc(label)}</text>
+         |<text x="${n1(x + barW / 2)}" y="${n1(y - 4)}" font-size="9" text-anchor="middle">$valueText</text>""".stripMargin
     }.mkString("\n")
     val svg =
       s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">

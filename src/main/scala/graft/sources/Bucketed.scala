@@ -34,15 +34,13 @@ object Bucketed {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) {
-      val entries = fs.listStatus(loc).map(_.getPath.getName)
-      val expected = entries.forall(n =>
+      def looksManaged(n: String): Boolean =
         n.startsWith("part-") || n == "_SUCCESS" || n == "_temporary" ||
-          n.startsWith(".") || n.endsWith(".crc"))
-      require(expected,
+          n.startsWith(".") || n.endsWith(".crc")
+      val unexpected = fs.listStatus(loc).map(_.getPath.getName).filterNot(looksManaged)
+      require(unexpected.isEmpty,
         s"writeBucketed: refusing to reclaim $loc — it contains entries " +
-          s"that don't look like a managed parquet table " +
-          s"(${entries.filterNot(n => n.startsWith("part-") || n == "_SUCCESS" ||
-            n == "_temporary" || n.startsWith(".") || n.endsWith(".crc")).mkString(", ")})")
+          s"that don't look like a managed parquet table (${unexpected.mkString(", ")})")
       fs.delete(loc, true)
     }
     // co-partition writers with the bucket layout: without this every task
@@ -68,12 +66,17 @@ object Bucketed {
     * the bucket is a single file — so joins re-introduce per-bucket local
     * sorts. Compaction writes the rows to a shadow table with the same
     * bucket spec (the repartition in [[writeBucketed]] puts each bucket's
-    * rows in exactly one task → one file), then swaps it in with a catalog
-    * rename: readers either see the old table or the compacted one.
+    * rows in exactly one task → one file), then swaps it in with a
+    * DROP + RENAME. The swap is NOT one atomic catalog op: a crash between
+    * the two statements leaves the data safe in the shadow table but the
+    * live name missing — which the next [[compact]] (or [[recoverCompact]]
+    * directly) heals by completing the pending rename before doing
+    * anything else.
     */
   def compact(spark: SparkSession, table: String, key: String, buckets: Int): Unit = {
     require(!table.contains("."),
       s"compact: unqualified table names only (got '$table')")
+    recoverCompact(spark, table)
     val tmp = table + "__compact"
     // subtle planner interaction: reading a bucketed table, the optimizer
     // drops writeBucketed's repartition as redundant (the bucket metadata
@@ -88,7 +91,37 @@ object Bucketed {
     spark.conf.set(autoKey, "false")
     try writeBucketed(spark.table(table), tmp, key, buckets)
     finally spark.conf.set(autoKey, prev)
+    // carry graft-owned table properties (e.g. the LSH parameters) onto the
+    // shadow before the swap — a compaction must not strip the metadata
+    // that parameter validation depends on
+    val graftProps = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.filter(_._1.startsWith("graft."))
+    if (graftProps.nonEmpty)
+      spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES (" +
+        graftProps.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
+
+  /** Complete a compaction swap that crashed between DROP and RENAME:
+    * if the live table is gone but its shadow exists, rename the shadow
+    * in. Idempotent; a no-op when the table is healthy.
+    */
+  def recoverCompact(spark: SparkSession, table: String): Unit = {
+    val tmp = table + "__compact"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** The bucket count a table was actually written with — so callers
+    * re-bucketing (compaction, appends) can't silently change the spec.
+    */
+  def bucketCount(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"bucketCount: table '$table' is not bucketed"))
+      .numBuckets
 }

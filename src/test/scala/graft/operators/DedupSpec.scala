@@ -270,6 +270,38 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0L)
   }
 
+  test("LSH band index: mismatched parameters fail loudly, never silently match nothing") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    Dedup.writeLshBandIndex(docs, "doc_id", "text", "lsh_params_test",
+      shingleK = 2, numHashes = 32, bands = 16, buckets = 4)
+    try {
+      val batch = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.nearDupAgainstIndex(batch, "doc_id", "text", "lsh_params_test",
+          docs, shingleK = 2, numHashes = 32, bands = 32) // wrong bands
+      }
+      assert(e.getMessage.contains("bands=16"))
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.appendLshBandIndex(batch, "doc_id", "text", "lsh_params_test",
+          shingleK = 3, numHashes = 32, bands = 16, buckets = 4) // wrong shingleK
+      }
+      assert(e2.getMessage.contains("shingleK=2"))
+      // matching params still work, and survive a compaction (the swap
+      // carries the graft.* properties onto the new table)
+      Dedup.compactLshBandIndex(spark, "lsh_params_test")
+      val hits = Dedup.nearDupAgainstIndex(batch, "doc_id", "text", "lsh_params_test",
+        docs, shingleK = 2, numHashes = 32, bands = 16, threshold = 0.9)
+      assert(hits.collect().map(_.getLong(1)).toSet == Set(1L))
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_params_test")
+  }
+
+  test("semanticDedup on an empty corpus returns empty, not a crash") {
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      array(lit(1.0f)).as("embedding"))
+    assert(Dedup.semanticDedup(empty, "vec_id", "embedding",
+      cells = 4, threshold = 0.9).count() == 0L)
+  }
+
   test("containmentPairs: embedded quote scores 1.0 from the short side, low jaccard") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), // fully contained in 2

@@ -92,6 +92,35 @@ class BucketedSpec extends SparkTestBase {
     }
   }
 
+  test("recoverCompact heals a swap that died between DROP and RENAME") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Bucketed.writeBucketed(df, "b_recover", "k", 4)
+    try {
+      // simulate the crash window: shadow written, live table dropped,
+      // rename never ran
+      Bucketed.writeBucketed(spark.table("b_recover"), "b_recover__compact", "k", 4)
+      spark.sql("DROP TABLE `b_recover`")
+      assert(!spark.catalog.tableExists("b_recover"))
+      Bucketed.recoverCompact(spark, "b_recover")
+      assert(spark.catalog.tableExists("b_recover"))
+      assert(Bucketed.read(spark, "b_recover").count() == 50L)
+      // idempotent on a healthy table
+      Bucketed.recoverCompact(spark, "b_recover")
+      assert(Bucketed.read(spark, "b_recover").count() == 50L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_recover")
+      spark.sql("DROP TABLE IF EXISTS b_recover__compact")
+    }
+  }
+
+  test("bucketCount reads the written spec from the catalog") {
+    import spark.implicits._
+    Bucketed.writeBucketed(Seq((1L, "a")).toDF("k", "v"), "b_count", "k", 8)
+    try assert(Bucketed.bucketCount(spark, "b_count") == 8)
+    finally spark.sql("DROP TABLE IF EXISTS b_count")
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val li = Tables(spark, sfDir, "lineitem")
     val salted = Relational.saltedSumCount(li, "l_returnflag", "l_quantity")
