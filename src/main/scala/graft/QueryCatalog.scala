@@ -28,6 +28,23 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Temp dir for queries that materialize an intermediate layout (z-order
+    * copy, JSONL round-trip, pipeline warehouse). Deleted recursively at
+    * JVM exit so repeated verify runs don't accumulate table-sized copies
+    * in /tmp (deleteOnExit alone can't remove non-empty directories).
+    */
+  private def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Identical SQL text runs on both engines. Revenue is exact at 4
     * decimals, so `K = round(sum·10⁴)` is an engine-identical BIGINT; the
     * final 2-decimal half-up round is `floor((2K+100)/200)` — done with a
@@ -1218,7 +1235,7 @@ object QueryCatalog {
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice")
-        val path = java.nio.file.Files.createTempDirectory("verify_zorder").toString
+        val path = scratchDir("verify_zorder")
         graft.sources.ZOrder.writeZOrdered(li, "l_quantity", "l_extendedprice", path, 16)
         s.read.parquet(path)
           .filter(col("l_quantity").between(10.0, 15.0)
@@ -1241,7 +1258,7 @@ object QueryCatalog {
     ("q_jsonl_roundtrip",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        val path = java.nio.file.Files.createTempDirectory("verify_jsonl").toString
+        val path = scratchDir("verify_jsonl")
         graft.sources.JsonLines.write(docs, path)
         val back = graft.sources.JsonLines.readClean(s, path, docs.schema)
         back.groupBy("source")
@@ -1260,7 +1277,7 @@ object QueryCatalog {
 
     ("q_reddit_pipeline_summary",
       (s: SparkSession, _: String) => {
-        val root = java.nio.file.Files.createTempDirectory("verify_posts").toString
+        val root = scratchDir("verify_posts")
         graft.reddit.Pipeline.run(s, "/root/reference/tmp/20250320.csv", root)
         val r = graft.reddit.Pipeline.run(s, "/root/reference/tmp/20250324.csv", root)
         r.summary

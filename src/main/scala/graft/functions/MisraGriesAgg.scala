@@ -124,10 +124,21 @@ case class MisraGriesAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
+    // bounds-check every length prefix against the buffer before
+    // allocating: a corrupt shuffle frame would otherwise turn into an
+    // arbitrary-sized Array[Byte] allocation (OOM) instead of a clean error
+    require(n >= 0 && n <= k + 1,
+      s"mg_summary: corrupt buffer — entry count $n outside [0, ${k + 1}]")
+    var remaining = bytes.length - 4
     (0 until n).foreach { _ =>
-      val b = new Array[Byte](in.readInt())
+      val len = in.readInt()
+      remaining -= 4
+      require(len >= 0 && len + 8 <= remaining,
+        s"mg_summary: corrupt buffer — token length $len exceeds remaining $remaining bytes")
+      val b = new Array[Byte](len)
       in.readFully(b)
       buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      remaining -= len + 8
     }
     buf
   }

@@ -64,10 +64,18 @@ object Curation {
     * same split by construction — the fix for the train/test leakage that
     * [[splitLeakage]] measures on id-keyed splits. Same in-row md5
     * thresholds and determinism contract as [[splitAssign]].
+    *
+    * NULL texts key on a sentinel fingerprint (a NULL hash would fall
+    * through both `when` branches and silently pile every NULL doc into
+    * 'test'). Under the dup-safe contract all NULL texts are the same
+    * document, so they land together in whichever split the sentinel's
+    * hash selects — deterministic, and consistent with how any other
+    * duplicated text behaves.
     */
   def dupSafeSplit(df: DataFrame, text: String,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val h = hexHash(TextAnalysis.fingerprint(col(text)), 2)
+    val h = hexHash(
+      coalesce(TextAnalysis.fingerprint(col(text)), lit("graft:null-text")), 2)
     df.withColumn("split",
       when(h < hexThreshold(trainPct, 2), "train")
         .when(h < hexThreshold(trainPct + valPct, 2), "val")

@@ -430,20 +430,33 @@ object Dedup {
     *    cut is O(tokens·starts) per doc worst case — quadratic only for a
     *    doc that is nearly all duplicated spans, still memory-bounded by
     *    the row.
+    *
+    * Fault-tolerance tradeoff: the span relation is `localCheckpoint`ed so
+    * it computes once and feeds both the doc-frequency aggregate and the
+    * start-set join — but localCheckpoint stores the blocks executor-local
+    * with TRUNCATED lineage, so losing an executor mid-job fails the job
+    * (no recompute path), and the pinned relation is corpus-sized
+    * (~tokens-per-doc rows/doc at 12 bytes + overhead). On a long cluster
+    * run where executor loss is expected, prefer `reliable = true`, which
+    * swaps in a replicated persist (MEMORY_AND_DISK_2) that survives a
+    * single executor loss at the cost of 2× storage traffic.
     */
   def removeDuplicateSpans(docs: DataFrame, id: String, text: String,
-                           k: Int = 6, minDocs: Int = 2): DataFrame = {
+                           k: Int = 6, minDocs: Int = 2,
+                           reliable: Boolean = false): DataFrame = {
     require(k >= 2, s"removeDuplicateSpans: k must be >= 2, got $k")
     require(minDocs >= 2, s"removeDuplicateSpans: minDocs must be >= 2, got $minDocs")
     val base = docs.select(col(id).as("doc_id"),
       TextAnalysis.tokens(col(text)).as("tk"))
     // sequence(0, size-k) flips to a descending range when size < k, so
     // short docs are filtered out before the span generator runs
-    val sh = base.filter(size(col("tk")) >= k)
+    val shPlan = base.filter(size(col("tk")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(tk) - $k), i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")))
       .toDF("doc_id", "pos", "h")
-      .localCheckpoint(false)
+    val sh = if (reliable)
+      shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+    else shPlan.localCheckpoint(false)
     val dupH = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -569,9 +582,20 @@ object Dedup {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
     Seq("shingleK" -> shingleK, "numHashes" -> numHashes, "bands" -> bands).foreach {
       case (name, given) =>
-        props.get(s"graft.lsh.$name").foreach(stored => require(stored == given.toString,
-          s"LSH index '$table' was written with $name=$stored, caller passed $given — " +
-            "band keys would be disjoint and every near-dup would pass as fresh"))
+        props.get(s"graft.lsh.$name") match {
+          case Some(stored) => require(stored == given.toString,
+            s"LSH index '$table' was written with $name=$stored, caller passed $given — " +
+              "band keys would be disjoint and every near-dup would pass as fresh")
+          // an index with no recorded parameters (pre-validation write, or
+          // properties stripped by an external tool) can't be checked — the
+          // silent-zero-recall failure mode this guard exists for would be
+          // back, so refuse rather than trust the caller
+          case None => throw new IllegalStateException(
+            s"LSH index '$table' has no 'graft.lsh.$name' table property — cannot verify " +
+              "the caller's parameters match the ones the index was written with. " +
+              s"Backfill it via ALTER TABLE `$table` SET TBLPROPERTIES " +
+              s"('graft.lsh.$name'='<value used at write time>') if they are known.")
+        }
     }
   }
 

@@ -78,6 +78,29 @@ class FunctionsSpec extends SparkTestBase {
       (col("ref") > 3 && col("k") =!= -1L)).count() == 0)
   }
 
+  test("mg_summary buffer: round-trips serialize/deserialize; corrupt frames fail cleanly") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = MisraGriesAgg(Literal("x"), k = 4)
+    val buf = agg.createAggregationBuffer()
+    buf.update("alpha", 3L); buf.update("beta", 1L)
+    val bytes = agg.serialize(buf)
+    assert(agg.deserialize(bytes) == buf)
+
+    // corrupt entry count: huge n must be rejected before any allocation
+    val badCount = bytes.clone()
+    badCount(0) = 0x7f.toByte
+    val e1 = intercept[IllegalArgumentException](agg.deserialize(badCount))
+    assert(e1.getMessage.contains("entry count"))
+
+    // corrupt token length prefix (first entry's length at offset 4):
+    // points past the end of the frame → clean error, not an OOM-class
+    // allocation or a read into the next entry's bytes
+    val badLen = bytes.clone()
+    badLen(4) = 0x7f.toByte
+    val e2 = intercept[IllegalArgumentException](agg.deserialize(badLen))
+    assert(e2.getMessage.contains("token length"))
+  }
+
   test("topk_pairs keeps k best with deterministic tie-break") {
     val df = Seq((1L, 5.0, 10L), (1L, 5.0, 2L), (1L, 9.0, 7L), (1L, 1.0, 1L))
       .toDF("g", "score", "id")

@@ -248,6 +248,19 @@ class CurationSpec extends SparkTestBase {
     assert(safe.select("split").distinct().count() >= 2)
   }
 
+  test("dupSafeSplit: NULL texts key on the sentinel fingerprint, not a silent test-pile") {
+    val docs = spark.range(10).selectExpr("id AS doc_id",
+      "IF(id < 5, NULL, concat('real text ', id)) AS text")
+    val out = Curation.dupSafeSplit(docs, "text")
+      .filter(col("text").isNull).select("split").distinct().collect().map(_.getString(0))
+    // all NULL texts are "the same document" under the dup-safe contract →
+    // exactly one split, and it is the one the sentinel's hash selects:
+    // md5("graft:null-text") starts "d1", which is ≥ cc (80% train cut)
+    // and < e6 (90% val cut) → 'val'. A regression to NULL-hash
+    // fallthrough would put them in 'test'.
+    assert(out.toSeq == Seq("val"), s"NULL texts split as: ${out.toSeq}")
+  }
+
   test("chunkDocs: overlapping windows, short tail kept, empty doc absent") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // size 4, stride 2 → starts 0,2,4,6

@@ -295,6 +295,28 @@ class DedupSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_params_test")
   }
 
+  test("LSH band index: stripped graft.lsh.* properties refuse validation, not skip it") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    Dedup.writeLshBandIndex(docs, "doc_id", "text", "lsh_noprops_test",
+      shingleK = 2, numHashes = 32, bands = 16, buckets = 4)
+    try {
+      spark.sql("ALTER TABLE lsh_noprops_test UNSET TBLPROPERTIES " +
+        "('graft.lsh.shingleK', 'graft.lsh.numHashes', 'graft.lsh.bands')")
+      val batch = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+      val e = intercept[IllegalStateException] {
+        Dedup.nearDupAgainstIndex(batch, "doc_id", "text", "lsh_noprops_test",
+          docs, shingleK = 2, numHashes = 32, bands = 16)
+      }
+      assert(e.getMessage.contains("graft.lsh.shingleK"))
+      // the documented backfill path restores usability
+      spark.sql("ALTER TABLE lsh_noprops_test SET TBLPROPERTIES " +
+        "('graft.lsh.shingleK'='2', 'graft.lsh.numHashes'='32', 'graft.lsh.bands'='16')")
+      val hits = Dedup.nearDupAgainstIndex(batch, "doc_id", "text", "lsh_noprops_test",
+        docs, shingleK = 2, numHashes = 32, bands = 16, threshold = 0.9)
+      assert(hits.collect().map(_.getLong(1)).toSet == Set(1L))
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_noprops_test")
+  }
+
   test("semanticDedup on an empty corpus returns empty, not a crash") {
     val empty = spark.range(0).select(col("id").as("vec_id"),
       array(lit(1.0f)).as("embedding"))
