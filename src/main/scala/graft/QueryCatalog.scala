@@ -1342,6 +1342,46 @@ object QueryCatalog {
              |        +feats[5]+feats[6]+feats[7]+feats[8], 4) AS feat_sum
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // REAL pixel decode, graded byte-exact: the engine encodes each doc
+    // into a genuine raw-pixel container (24-bit BMP with bottom-up BGR
+    // padded rows / binary PPM / PGM — ImageCodec is byte-faithful to the
+    // public specs), DECODES the bytes back to logical-order pixels, and
+    // reduces to a position-weighted checksum. The oracle never sees the
+    // container: it replays the closed-form pixel generator
+    // (31·doc_id + 7·i mod 256) — so the engine's numbers only match if
+    // encode→decode is an exact inverse, padding, BGR and row order
+    // included. media_bytes additionally pins the encoder's container
+    // size (BMP 4-byte row padding, netpbm ASCII header width).
+    ("q_pixel_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(Multimodal.withPixelMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+             |         WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.format, d.w, d.h, d.c,
+             |    sum((31*d.doc_id + 7*t.i) % 256) AS pix_sum,
+             |    sum(((31*d.doc_id + 7*t.i) % 256) * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 1024) t(i) ON t.i < d.w*d.h*d.c
+             |  GROUP BY d.doc_id, d.format, d.w, d.h, d.c)
+             |SELECT doc_id, format,
+             |  CAST(CASE format
+             |    WHEN 'bmp' THEN 54 + ((3*w + 3)//4)*4*h
+             |    ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*c
+             |  END AS BIGINT) AS media_bytes,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // Crosstab of the corpus: docs per source × lang as a wide table — the
     // DuckDB oracle is the equivalent conditional aggregation.
     ("q_pivot_counts",

