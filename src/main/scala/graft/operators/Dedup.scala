@@ -635,14 +635,29 @@ object Dedup {
     * only the batch's ≤ `bands` rows/doc shuffle into the index layout;
     * the candidate pair set is broadcast-class (batch × cap bounded) for
     * both verification joins.
+    *
+    * The broadcast is only safe under a BOUNDED ingest batch —
+    * `maxBatchRows` makes that contract enforceable: the batch is probed
+    * with an early-stopping `limit(max+1).count()` (bounded cost even when
+    * someone points a corpus at the batch side) and a too-large batch
+    * fails loudly BEFORE the broadcast instead of OOMing executors. Size
+    * the budget to what the driver/executors can hold: each batch doc
+    * ships its distinct-token array inside the broadcast.
     */
   def nearDupAgainstIndex(batch: DataFrame, id: String, text: String, table: String,
                           corpusTexts: DataFrame,
                           corpusId: String = "doc_id", corpusText: String = "text",
                           shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.7): DataFrame = {
+                          threshold: Double = 0.7,
+                          maxBatchRows: Int = 100000): DataFrame = {
     val spark = batch.sparkSession
     checkLshParams(spark, table, shingleK, numHashes, bands)
+    require(maxBatchRows > 0, s"nearDupAgainstIndex: maxBatchRows must be > 0, got $maxBatchRows")
+    val probed = batch.limit(maxBatchRows + 1).count()
+    require(probed <= maxBatchRows,
+      s"nearDupAgainstIndex: ingest batch exceeds maxBatchRows=$maxBatchRows — the " +
+        "batch token arrays ride a broadcast, so an unbounded batch would blow " +
+        "executor memory. Split the ingest into smaller batches or raise the budget.")
     val cands = bandKeys(batch, id, text, "batch_id", shingleK, numHashes, bands)
       .join(graft.sources.Bucketed.read(spark, table), Seq("bb"))
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))

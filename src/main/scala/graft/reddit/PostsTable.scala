@@ -133,14 +133,15 @@ object PostsTable {
     * the new version. Idempotent — re-upserting the same batch yields an
     * identical table.
     */
-  def upsert(spark: SparkSession, root: String, staging: DataFrame, key: String = "id"): Unit = {
+  def upsert(spark: SparkSession, root: String, staging: DataFrame, key: String = "id",
+             maxStagedKeys: Int = 1000000): Unit = {
     if (!exists(root)) { create(staging, root, key); return }
     val curV = currentVersion(root).get
     val curDir = versionDir(root, curV)
     val main = read(spark, root)
     val v = curV + 1
     if (main.columns.contains("extract_date") && staging.columns.contains("extraction_timestamp"))
-      partitionMerge(spark, root, curDir, main, staging, key, v)
+      partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys)
     else {
       // legacy/unpartitioned layout: full rewrite (broadcast anti-join;
       // the main side still never shuffles)
@@ -152,11 +153,19 @@ object PostsTable {
 
   private def partitionMerge(spark: SparkSession, root: String, curDir: Path,
                              main: DataFrame, staging: DataFrame,
-                             key: String, v: Long): Unit = {
+                             key: String, v: Long, maxStagedKeys: Int): Unit = {
     // the daily micro-batch is bounded → its key set and date set collect
-    // driver-side (same budget class as a broadcast join's build side)
-    val stagedKeys = staging.select(col(key).cast("string"))
-      .distinct().collect().map(_.getString(0)).filter(_ != null)
+    // driver-side (same budget class as a broadcast join's build side).
+    // `maxStagedKeys` makes the contract enforceable: the limit bounds the
+    // collect itself, so a corpus-sized staging relation fails loudly here
+    // instead of OOMing the driver
+    val keyRows = staging.select(col(key).cast("string"))
+      .distinct().limit(maxStagedKeys + 1).collect()
+    require(keyRows.length <= maxStagedKeys,
+      s"upsert: staging batch carries more than maxStagedKeys=$maxStagedKeys distinct " +
+        "keys — the key set collects driver-side for partition pruning, so an " +
+        "unbounded batch would exhaust driver memory. Split the batch or raise the budget.")
+    val stagedKeys = keyRows.map(_.getString(0)).filter(_ != null)
     val stagedDates = withExtractDate(staging)
       .select(col("extract_date").cast("string")).distinct().collect()
       .map(r => partDirName(Option(r.getString(0)))).toSet

@@ -295,6 +295,27 @@ class DedupSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS lsh_params_test")
   }
 
+  test("nearDupAgainstIndex: a batch over the row budget fails fast, before the broadcast") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    Dedup.writeLshBandIndex(docs, "doc_id", "text", "lsh_budget_test",
+      shingleK = 2, numHashes = 32, bands = 16, buckets = 4)
+    try {
+      val bigBatch = spark.range(50).selectExpr(
+        "id AS doc_id", "concat('doc number ', id, ' body text') AS text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.nearDupAgainstIndex(bigBatch, "doc_id", "text", "lsh_budget_test",
+          docs, shingleK = 2, numHashes = 32, bands = 16, maxBatchRows = 10)
+      }
+      assert(e.getMessage.contains("maxBatchRows"))
+      // a batch within budget still works end-to-end
+      val ok = Dedup.nearDupAgainstIndex(
+        Seq((10L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text",
+        "lsh_budget_test", docs, shingleK = 2, numHashes = 32, bands = 16,
+        threshold = 0.9, maxBatchRows = 10)
+      assert(ok.collect().map(_.getLong(1)).toSet == Set(1L))
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_budget_test")
+  }
+
   test("LSH band index: stripped graft.lsh.* properties refuse validation, not skip it") {
     val docs = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
     Dedup.writeLshBandIndex(docs, "doc_id", "text", "lsh_noprops_test",

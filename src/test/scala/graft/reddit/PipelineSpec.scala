@@ -110,6 +110,22 @@ class PipelineSpec extends SparkTestBase {
       CsvReddit.read(spark, fixA).count() + staged.count())
   }
 
+  test("upsert: a staging batch over the key budget fails fast, before any write") {
+    val root = Files.createTempDirectory("posts_table6").toString
+    Pipeline.run(spark, fixA, root)
+    val v1 = PostsTable.currentVersion(root).get
+    val staged = Enrich.stampExtraction(
+      CsvReddit.read(spark, fixB), // 183 distinct ids > budget of 10
+      java.sql.Timestamp.valueOf("2025-03-26 00:00:00"))
+    val e = intercept[IllegalArgumentException] {
+      PostsTable.upsert(spark, root, staged, maxStagedKeys = 10)
+    }
+    assert(e.getMessage.contains("maxStagedKeys"))
+    // nothing committed, no stray version dirs: the table is untouched
+    assert(PostsTable.currentVersion(root).get == v1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, s"v_${v1 + 1}")))
+  }
+
   test("runWithRetry: retries then surfaces the failure; succeeds when the run does") {
     val root = Files.createTempDirectory("posts_retry").toString
     val t0 = System.nanoTime()
