@@ -1382,6 +1382,69 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL streaming run under the oracle: documents (+ planted clones of
+    // every doc_id%7==0 doc, shifted one generation later — so gen-2
+    // originals see their clone arrive FIRST) split into three arrival
+    // files, streamed through Streams.ingestDedup as three AvailableNow
+    // micro-batches (maxFilesPerTrigger=1, mtime-ordered). The accepted
+    // corpus is the graded row set; DuckDB replays the batch algebra:
+    // per fingerprint, the earliest generation wins, min doc_id within it.
+    // This grades the foreachBatch wiring, the empty-index bootstrap, the
+    // per-batch index append, and cross-batch dedup in BOTH directions
+    // (original-then-clone and clone-then-original).
+    ("q_stream_ingest",
+      (s: SparkSession, d: String) => {
+        import java.nio.file.{Files => JF, Paths => JP}
+        import scala.jdk.CollectionConverters._
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val inp = docs
+          .withColumn("gen", (col("doc_id") % 3).cast("int"))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
+              ((col("doc_id") + 1) % 3).cast("int").as("gen")))
+        val inDir = scratchDir("stream_in")
+        val stage = scratchDir("stream_stage")
+        (0 to 2).foreach { g =>
+          val dir = JP.get(stage, s"g$g")
+          inp.filter(col("gen") === g).select("doc_id", "text")
+            .coalesce(1).write.parquet(dir.toString)
+          val part = JF.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).next()
+          val dst = JP.get(inDir, s"gen$g.parquet")
+          JF.move(part, dst)
+          // file-stream batch order follows modification time — pin it
+          JF.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + g * 60000L))
+        }
+        s.sql("DROP TABLE IF EXISTS stream_fp_idx")
+        Dedup.writeFingerprintIndex(docs.limit(0), "doc_id", "text",
+          "stream_fp_idx", buckets = 8)
+        val outDir = scratchDir("stream_out")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val q = graft.streaming.Streams.ingestDedup(stream, "doc_id", "text",
+          "stream_fp_idx", scratchDir("stream_ckpt"), buckets = 8) { fresh =>
+          fresh.select(col("doc_id"),
+              TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+            .write.mode("append").parquet(outDir)
+        }.start()
+        q.awaitTermination()
+        s.read.parquet(outDir).orderBy("doc_id")
+      },
+      Some("""WITH inp AS (
+             |  SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS gen FROM documents
+             |  UNION ALL
+             |  SELECT 10000 + doc_id, text, CAST((doc_id + 1) % 3 AS INT) AS gen
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |fp AS (
+             |  SELECT doc_id, gen,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+             |  FROM inp),
+             |win AS (SELECT fingerprint, min(gen) AS g FROM fp GROUP BY fingerprint)
+             |SELECT min(fp.doc_id) AS doc_id, fp.fingerprint
+             |FROM fp JOIN win ON fp.fingerprint = win.fingerprint AND fp.gen = win.g
+             |GROUP BY fp.fingerprint ORDER BY doc_id""".stripMargin)),
+
     // Crosstab of the corpus: docs per source × lang as a wide table — the
     // DuckDB oracle is the equivalent conditional aggregation.
     ("q_pivot_counts",
