@@ -1445,6 +1445,54 @@ object QueryCatalog {
              |FROM fp JOIN win ON fp.fingerprint = win.fingerprint AND fp.gen = win.g
              |GROUP BY fp.fingerprint ORDER BY doc_id""".stripMargin)),
 
+    // Skew stress at bench scale: a boilerplate-heavy degenerate corpus —
+    // 999k copies of ONE document (one fingerprint = 999k rows, one
+    // over-full LSH bucket per band) plus a 1k unique tail. Exact dedup
+    // must stay scan-bound because the hot fingerprint combines MAP-SIDE
+    // in the two-phase `min(struct)` aggregate (one row per partition
+    // crosses the exchange, not 999k — plan-asserted in PlanQualitySpec);
+    // minhashLsh must emit ZERO pairs because every hot bucket trips the
+    // capped_collect size cap with O(cap) reducer state instead of
+    // exploding into ~5·10¹¹ candidate pairs. The oracle replays exact
+    // dedup closed-form over the same generated corpus; the 0 is the
+    // documented cap contract.
+    ("q_skew_dedup",
+      (s: SparkSession, _: String) => {
+        val docs = s.range(1000000L).select(col("id").as("doc_id"),
+          when(col("id") < 999000L,
+            lit("all the same boilerplate body of text repeated across the corpus"))
+            .otherwise(concat(lit("unique document text number "), col("id")))
+            .as("text"))
+        val ex = Dedup.exact(docs, "doc_id", "text")
+        // 16 hashes / 8 bands: the graded property is the bucket-cap
+        // contract under a hot key, which is signature-width independent —
+        // no reason to pay 64 hashes per doc on a 1M-row stress corpus
+        val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+          numHashes = 16, bands = 8)
+        ex.agg(
+            count(lit(1)).as("n_fingerprints"),
+            sum(col("dup_count")).cast("long").as("n_docs"),
+            max(col("dup_count")).cast("long").as("max_dup"),
+            min(col("keep_id")).cast("long").as("min_keep"))
+          .crossJoin(pairs.agg(count(lit(1)).as("n_lsh_pairs")))
+      },
+      Some("""WITH docs AS (
+             |  SELECT range AS doc_id,
+             |    CASE WHEN range < 999000
+             |      THEN 'all the same boilerplate body of text repeated across the corpus'
+             |      ELSE 'unique document text number ' || range END AS text
+             |  FROM range(1000000)),
+             |f AS (
+             |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             |    min(doc_id) AS k, count(*) AS c
+             |  FROM docs GROUP BY fp)
+             |SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+             |  CAST(sum(c) AS BIGINT) AS n_docs,
+             |  CAST(max(c) AS BIGINT) AS max_dup,
+             |  CAST(min(k) AS BIGINT) AS min_keep,
+             |  CAST(0 AS BIGINT) AS n_lsh_pairs
+             |FROM f""".stripMargin)),
+
     // Crosstab of the corpus: docs per source × lang as a wide table — the
     // DuckDB oracle is the equivalent conditional aggregation.
     ("q_pivot_counts",

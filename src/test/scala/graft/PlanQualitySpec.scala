@@ -49,6 +49,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("skew: hot-fingerprint dedup combines map-side; hot LSH buckets stay capped") {
+    // a boilerplate-heavy corpus puts millions of rows behind ONE
+    // fingerprint — scan-bound only if the aggregate is two-phase (the hot
+    // key collapses to one partial row per partition before the exchange)
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      lit("same text").as("text"))
+    val p = plan(Dedup.exact(docs, "doc_id", "text"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"exact dedup is not a two-phase aggregate — a hot fingerprint would ship " +
+        s"every row through the exchange:\n$p")
+    // the pair generator's reducer state must be capped_collect (O(cap)
+    // per bucket), never an unbounded collect_list
+    val lsh = plan(Dedup.minhashLsh(docs, "doc_id", "text"))
+    assert(lsh.contains("capped_collect"), s"LSH buckets not size-capped:\n$lsh")
+    assert(!lsh.contains("collect_list"), s"unbounded bucket state:\n$lsh")
+  }
+
   test("ANN brute force: no window, no cartesian product, bounded aggregate") {
     val emb = Tables(spark, sfDir, "embeddings")
     val p = plan(Similarity.bruteForceTopK(emb, emb.limit(3), "vec_id", "embedding", 5))
