@@ -1493,6 +1493,51 @@ object QueryCatalog {
              |  CAST(0 AS BIGINT) AS n_lsh_pairs
              |FROM f""".stripMargin)),
 
+    // The sketch family at 10× the usual bench volume: 10M generated rows
+    // (deterministic multiplicative-hash values, ~1M distinct, 8 groups),
+    // exact count-distinct / exact interpolated median computed BESIDE
+    // HLL++ and t-digest, with the sketch error GRADED against the exact
+    // value (q_sketch_checks pattern) — the scale point where the docs
+    // promise the sketch crossover: exact pays an unbounded distinct
+    // shuffle and a full per-group sort, the sketches cross the exchange
+    // as O(registers)/O(centroids) state. The oracle replays the exact
+    // side closed-form over the same generator.
+    ("q_sketch_scale",
+      (s: SparkSession, _: String) => {
+        val rows = s.range(10000000L).select(
+          (col("id") % 8).as("g"),
+          ((col("id") * 2654435761L) % 1000000L).as("v"))
+        // two scans + a tiny join, NOT one mixed aggregate: a distinct
+        // aggregate beside non-distinct ones plans an Expand that
+        // duplicates every input row per aggregate class (measured 3.5×
+        // slower here); separate passes keep each side's shuffle minimal
+        val exact = rows.groupBy("g").agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("v")).as("nd_exact"),
+          expr("percentile(v, 0.5d)").as("_p50e"))
+        val approx = rows.groupBy("g").agg(
+          approx_count_distinct(col("v"), 0.02).as("_nda"),
+          expr("approx_percentile(v, 0.5d, 1000)").as("_p50a"))
+        exact.join(approx, Seq("g"))
+          .select(col("g"), col("n_rows"), col("nd_exact"),
+            Sketches.withinRel(col("_nda"), col("nd_exact"), 0.1).as("hll_ok"),
+            round(col("_p50e"), 4).as("p50_exact"),
+            // ~1M near-uniform distinct values: rank error ≤1/accuracy
+            // maps to ~0.1% value error, so a 5% value tolerance is a
+            // stable grade without a third corpus scan
+            Sketches.withinRel(col("_p50a"), col("_p50e"), 0.05).as("p50_ok"))
+          .orderBy("g")
+      },
+      Some("""WITH r AS (
+             |  SELECT range % 8 AS g, (range * 2654435761) % 1000000 AS v
+             |  FROM range(10000000))
+             |SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT v) AS BIGINT) AS nd_exact,
+             |  true AS hll_ok,
+             |  round(quantile_cont(v, 0.5), 4) AS p50_exact,
+             |  true AS p50_ok
+             |FROM r GROUP BY g ORDER BY g""".stripMargin)),
+
     // Crosstab of the corpus: docs per source × lang as a wide table — the
     // DuckDB oracle is the equivalent conditional aggregation.
     ("q_pivot_counts",
