@@ -9,9 +9,15 @@ import graft.SparkTestBase
 
 /** Property tests for the curation algebra (ScalaCheck generators driven
   * directly with fixed seeds — reproducible, no bridge dependency).
+  *
+  * Case budget: `GRAFT_PROP_CASES` (default 12 seeds per property) — CI
+  * runs the default on every change and a 200-case sweep once per round
+  * (see README).
   */
 class CurationPropertySpec extends SparkTestBase {
   import spark.implicits._
+
+  private val nCases: Int = sys.env.getOrElse("GRAFT_PROP_CASES", "12").toInt
 
   private def longs(n: Int, seed: Long): List[Long] =
     Gen.listOfN(n, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
@@ -47,7 +53,7 @@ class CurationPropertySpec extends SparkTestBase {
   }
 
   test("splitAssign is a total partition for arbitrary keys (incl. negatives)") {
-    Seq(1L, 7L, 99L).foreach { seed =>
+    (1L to nCases).foreach { seed =>
       val ids = longs(400, seed).toDF("id")
       val out = Curation.splitAssign(ids, "id")
       assert(out.count() == ids.count())
@@ -56,15 +62,17 @@ class CurationPropertySpec extends SparkTestBase {
   }
 
   test("sampleByHash nests across fractions for arbitrary keys") {
-    val keys = longs(500, 42L) // chooseNum biases to special values → dedup
-    val ids = keys.toDF("id")
-    val fracs = Seq(0.05, 0.2, 0.5, 0.9, 1.0)
-    val kept = fracs.map(f =>
-      Curation.sampleByHash(ids, "id", f).as[Long].collect().toSet)
-    kept.sliding(2).foreach { case Seq(a, b) =>
-      assert(a.subsetOf(b), "larger fraction must contain the smaller sample")
+    (1L to math.max(1L, nCases / 4L)).foreach { seed =>
+      val keys = longs(500, seed * 42L) // chooseNum biases to special values → dedup
+      val ids = keys.toDF("id")
+      val fracs = Seq(0.05, 0.2, 0.5, 0.9, 1.0)
+      val kept = fracs.map(f =>
+        Curation.sampleByHash(ids, "id", f).as[Long].collect().toSet)
+      kept.sliding(2).foreach { case Seq(a, b) =>
+        assert(a.subsetOf(b), "larger fraction must contain the smaller sample")
+      }
+      assert(kept.last.size == keys.size, "fraction 1.0 must keep everything")
     }
-    assert(kept.last.size == keys.size, "fraction 1.0 must keep everything")
   }
 
   test("pow2Bin invariant: bin ≤ n < 2·bin inside the capped range") {

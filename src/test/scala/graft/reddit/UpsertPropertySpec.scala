@@ -9,9 +9,14 @@ import graft.operators.Relational
 /** SURVEY §5.2 property tests: the upsert algebra, driven by ScalaCheck
   * generators directly (fixed seed → reproducible; no scalatestplus bridge
   * needed offline).
+  *
+  * Case budget: `GRAFT_PROP_CASES` (default 12) — CI runs the default on
+  * every change and a 200-case sweep once per round (see README).
   */
 class UpsertPropertySpec extends SparkTestBase {
   import spark.implicits._
+
+  private val nCases: Int = sys.env.getOrElse("GRAFT_PROP_CASES", "12").toInt
 
   private val kv: Gen[List[(String, Int)]] = for {
     n <- Gen.chooseNum(0, 10)
@@ -23,8 +28,8 @@ class UpsertPropertySpec extends SparkTestBase {
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   test("upsert(upsert(T,B),B) == upsert(T,B); keys unique; last write wins") {
-    val ts = cases(kv, 12)
-    val bs = cases(kv, 12)
+    val ts = cases(kv, nCases)
+    val bs = cases(kv, nCases)
     ts.zip(bs).foreach { case (tRows, bRows) =>
       val t = tRows.toDF("id", "v")
       val b = bRows.toDF("id", "v")
