@@ -1382,6 +1382,60 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL resize, graded byte-exact: decode → integer box-fit →
+    // nearest-neighbor resample → re-encode into the same container →
+    // decode AGAIN and checksum. Every stage is exact integer arithmetic
+    // (fitBox ratios, xs = x·w/outW index map), so the oracle replays the
+    // whole chain closed-form per output pixel: the numbers only match if
+    // decode, the resample map, and the re-encode are all bit-faithful.
+    // Box 9×7 leaves the smallest generated images untouched (the
+    // unchanged path is live) and shrinks the rest on both axes.
+    ("q_pixel_resize",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.resizeMedia(
+              Multimodal.withPixelMedia(t(s, d, "documents")), maxW = 9, maxH = 7))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+             |         WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |od AS (
+             |  SELECT doc_id, w, h, format, c,
+             |    CASE WHEN w <= 9 AND h <= 7 THEN w
+             |         WHEN w*7 <= h*9 THEN greatest(1, (w*7)//h)
+             |         ELSE 9 END AS ow,
+             |    CASE WHEN w <= 9 AND h <= 7 THEN h
+             |         WHEN w*7 <= h*9 THEN 7
+             |         ELSE greatest(1, (h*9)//w) END AS oh
+             |  FROM dims),
+             |pxmap AS (
+             |  SELECT d.doc_id, d.format, d.ow, d.oh, d.c, t.i,
+             |    (31*d.doc_id + 7*(
+             |      ((((t.i // (d.c*d.ow)) * d.h) // d.oh) * d.w
+             |        + ((((t.i // d.c) % d.ow) * d.w) // d.ow)) * d.c
+             |      + (t.i % d.c))) % 256 AS val
+             |  FROM od d JOIN range(0, 1024) t(i) ON t.i < d.ow*d.oh*d.c),
+             |px AS (
+             |  SELECT doc_id, format, ow, oh, c,
+             |    sum(val) AS pix_sum, sum(val * (i % 97 + 1)) AS pix_checksum
+             |  FROM pxmap GROUP BY doc_id, format, ow, oh, c)
+             |SELECT doc_id, format,
+             |  CAST(CASE format
+             |    WHEN 'bmp' THEN 54 + ((3*ow + 3)//4)*4*oh
+             |    ELSE 9 + length(CAST(ow AS VARCHAR)) + length(CAST(oh AS VARCHAR)) + ow*oh*c
+             |  END AS BIGINT) AS media_bytes,
+             |  CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(ow*oh*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL streaming run under the oracle: documents (+ planted clones of
     // every doc_id%7==0 doc, shifted one generation later — so gen-2
     // originals see their clone arrive FIRST) split into three arrival

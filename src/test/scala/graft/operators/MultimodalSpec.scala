@@ -174,6 +174,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(1L).toSeq != Multimodal.FakeCodec.fold(blob1).toSeq)
   }
 
+  test("ImageCodec resize: exact integer box fit and nearest-neighbor index map") {
+    // fitBox: unchanged inside the box; binding axis pins; min 1
+    assert(ImageCodec.fitBox(4, 3, 9, 7) == (4, 3))
+    assert(ImageCodec.fitBox(16, 4, 8, 8) == (8, 2))   // width binds
+    assert(ImageCodec.fitBox(4, 16, 8, 8) == (2, 8))   // height binds
+    assert(ImageCodec.fitBox(100, 1, 8, 8) == (8, 1))  // floor clamps to 1
+    // 2x2 → 1x1 nearest neighbor keeps the TOP-LEFT pixel (xs = 0·2/1)
+    val px2 = Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    val img = ImageCodec.DecodedImage("ppm", 2, 2, 3, px2)
+    assert(ImageCodec.resizeNearest(img, 1, 1).pixels.toSeq == Seq[Byte](10, 11, 12))
+    // identity resize is a no-op; encode(decode) round-trips the container
+    assert(ImageCodec.resizeNearest(img, 2, 2).pixels.toSeq == px2.toSeq)
+    assert(ImageCodec.decode(ImageCodec.encode(img)).pixels.toSeq == px2.toSeq)
+    // 4x2 → 2x1: src columns 0 and 2 of the top row
+    val img4 = ImageCodec.DecodedImage("pgm", 4, 2, 1,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(ImageCodec.resizeNearest(img4, 2, 1).pixels.toSeq == Seq[Byte](1, 3))
+  }
+
+  test("resizeMedia: full decode→fit→resample→re-encode chain on real containers") {
+    val media = Multimodal.withPixelMedia(docs)
+    val out = Multimodal.decodePixelStats(Multimodal.resizeMedia(media, 9, 7))
+      .collect().map(p => p.doc_id -> p).toMap
+    // doc 1: ppm 15x3 → width binds at 9 → 9 x floor(3*9/15)=1
+    val p1 = out(1L)
+    assert((p1.format, p1.width, p1.height, p1.channels) == ("ppm", 9L, 1L, 3L))
+    // replay the integer chain: out pixel (x,0,ch) ← src (x*15/9, 0*3/1, ch)
+    val gen = (i: Int) => (31L * 1 + 7L * i) % 256
+    val expected = for (x <- 0 until 9; ch <- 0 until 3)
+      yield gen(((0 * 3 / 1) * 15 + (x * 15 / 9)) * 3 + ch)
+    assert(p1.pix_sum == expected.sum)
+    // doc 2: pgm, dims depend on n_chars=3 → w=4+3%13=7, h=3+3%11=6 →
+    // inside the 9x7 box → unchanged
+    val p2 = out(2L)
+    assert((p2.format, p2.width, p2.height) == ("pgm", 7L, 6L))
+  }
+
   test("resize: aspect-preserving box fit, payload stub shrinks with area") {
     val rows = Multimodal.resize(Multimodal.withMedia(docs), maxW = 10, maxH = 10)
       .orderBy("doc_id").collect()
