@@ -1499,6 +1499,86 @@ object QueryCatalog {
              |FROM fp JOIN win ON fp.fingerprint = win.fingerprint AND fp.gen = win.g
              |GROUP BY fp.fingerprint ORDER BY doc_id""".stripMargin)),
 
+    // REAL streaming sessionization under the oracle: the events table
+    // streamed as three time-tercile arrival files (time-ordered, so
+    // nothing is watermark-late) plus a FLUSH file carrying one far-future
+    // event per user. The flush event closes every still-open session
+    // through the ordinary in-batch gap-split path — deterministic, no
+    // reliance on no-data micro-batches firing timeouts — while its own
+    // 1-event session stays in state and is never emitted (the watermark
+    // never passes its timeout). Emitted sessions must equal the batch
+    // analog, which DuckDB replays with window functions.
+    ("q_stream_session",
+      (s: SparkSession, d: String) => {
+        import java.nio.file.{Files => JF, Paths => JP}
+        import scala.jdk.CollectionConverters._
+        val ev = t(s, d, "events")
+          .select(col("user_id").cast("long").as("user_id"),
+            col("ts").cast("timestamp").as("ts"))
+        val Array(minMs, maxMs) = ev
+          .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut1 = minMs + (maxMs - minMs) / 3
+        val cut2 = minMs + 2 * (maxMs - minMs) / 3
+        val flushMs = maxMs + 2L * 24 * 3600 * 1000
+        val batches = Seq(
+          ev.filter(unix_millis(col("ts")) < cut1),
+          ev.filter(unix_millis(col("ts")) >= cut1 && unix_millis(col("ts")) < cut2),
+          ev.filter(unix_millis(col("ts")) >= cut2),
+          ev.select("user_id").distinct()
+            .withColumn("ts", timestamp_millis(lit(flushMs))))
+        val inDir = scratchDir("sess_in")
+        val stage = scratchDir("sess_stage")
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val dir = JP.get(stage, s"b$i")
+          b.coalesce(1).write.parquet(dir.toString)
+          val part = JF.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).next()
+          val dst = JP.get(inDir, s"batch$i.parquet")
+          JF.move(part, dst)
+          JF.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        val outDir = scratchDir("sess_out")
+        import s.implicits._
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .as[graft.streaming.Streams.SessionEvent]
+        val q = graft.streaming.Streams
+          .sessionize(stream, gapSeconds = 1800L, watermark = "0 seconds")
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", scratchDir("sess_ckpt"))
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS b
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |y AS (
+             |  SELECT user_id, ts,
+             |    sum(b) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM x)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // Skew stress at bench scale: a boilerplate-heavy degenerate corpus —
     // 999k copies of ONE document (one fingerprint = 999k rows, one
     // over-full LSH bucket per band) plus a 1k unique tail. Exact dedup
