@@ -395,6 +395,44 @@ object HashUtil {
         u(8) == 'W' && u(9) == 'E' && u(10) == 'B' && u(11) == 'P' &&
         u(12) == 'V' && u(13) == 'P' && u(14) == '8' && u(15) == 'X')
       return row("webp", le24(24) + 1, le24(27) + 1)
+    // BMP: 'BM' + BITMAPINFOHEADER (size ≥ 40) — signed LE dims at 18/22;
+    // a negative height encodes top-down row order, the magnitude is the
+    // canvas height
+    if (b.length >= 26 && u(0) == 'B' && u(1) == 'M') {
+      def le32s(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+      if (le32s(14) >= 40) {
+        val w = le32s(18).toLong
+        val h = math.abs(le32s(22).toLong)
+        if (w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20))
+          return row("bmp", w, h)
+      }
+      return null
+    }
+    // netpbm binary PPM/PGM: ASCII header — magic, then whitespace/comment
+    // separated width and height
+    if (b.length >= 2 && u(0) == 'P' && (u(1) == '6' || u(1) == '5')) {
+      val fmt = if (u(1) == '6') "ppm" else "pgm"
+      val dims = new Array[Long](2)
+      var k = 0
+      var p = 2
+      var inComment = false
+      while (k < 2 && p < b.length) {
+        val c = u(p)
+        if (inComment) { if (c == '\n' || c == '\r') inComment = false; p += 1 }
+        else if (c == '#') { inComment = true; p += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f') p += 1
+        else if (c >= '0' && c <= '9') {
+          var v = 0L
+          while (p < b.length && u(p) >= '0' && u(p) <= '9' && v <= (1 << 20)) {
+            v = v * 10 + (u(p) - '0'); p += 1
+          }
+          if (v > (1 << 20)) return null // implausible header value
+          dims(k) = v; k += 1
+        } else return null // garbage where an integer should be
+      }
+      if (k == 2 && dims(0) > 0 && dims(1) > 0) return row(fmt, dims(0), dims(1))
+      return null
+    }
     null
   }
 

@@ -71,6 +71,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(graft.functions.HashUtil.mediaHeader("junk".getBytes) == null)
   }
 
+  test("media_header parses BMP and netpbm headers from real encoded bytes") {
+    val bmp = ImageCodec.encodeBmp24(5, 3, _ => 1.toByte)
+    val ppm = ImageCodec.encodePpm(12, 7, _ => 1.toByte)
+    val pgm = ImageCodec.encodePgm(3, 9, _ => 1.toByte)
+    val weird = "P5\n#c\n 2 1\n255\n".getBytes("ASCII") ++ Array[Byte](0, 0)
+    val out = Seq((1L, bmp), (2L, ppm), (3L, pgm), (4L, weird),
+        (5L, bmp.take(20)), (6L, "P6 junk".getBytes("ASCII")))
+      .toDF("id", "bytes")
+      .select(col("id"), graft.functions.media_header(col("bytes")).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getStruct(1).toSeq == Seq("bmp", 5L, 3L))
+    assert(out(1).getStruct(1).toSeq == Seq("ppm", 12L, 7L))
+    assert(out(2).getStruct(1).toSeq == Seq("pgm", 3L, 9L))
+    assert(out(3).getStruct(1).toSeq == Seq("pgm", 2L, 1L))
+    assert(out(4).isNullAt(1), "truncated BMP header must be NULL")
+    assert(out(5).isNullAt(1), "garbage netpbm header must be NULL")
+    // top-down BMP (negative height) reports the canvas magnitude
+    val neg = bmp.clone()
+    val nh = -3
+    neg(22) = (nh & 0xff).toByte; neg(23) = ((nh >> 8) & 0xff).toByte
+    neg(24) = ((nh >> 16) & 0xff).toByte; neg(25) = ((nh >> 24) & 0xff).toByte
+    assert(graft.functions.HashUtil.mediaHeader(neg).getLong(2) == 3L)
+  }
+
   test("decodeFeatures: mapPartitions decode is deterministic and distributed") {
     val media = Multimodal.withMedia(docs)
     val out = Multimodal.decodeFeatures(media)
