@@ -1382,6 +1382,36 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // The codegen'd media_header kernel on the raw-pixel containers: BMP
+    // signed-LE dims and netpbm ASCII headers parsed from the real encoded
+    // bytes inside whole-stage codegen (the PNG/JPEG/WebP analog is
+    // q_multimodal_meta), graded against the generator's closed-form dims.
+    ("q_pixel_meta",
+      (s: SparkSession, d: String) =>
+        Multimodal.withPixelMedia(t(s, d, "documents"))
+          .withColumn("h", graft.functions.media_header(col("media")))
+          .select(col("doc_id"),
+            col("h").getField("format").as("format"),
+            col("h").getField("width").as("width"),
+            col("h").getField("height").as("height"),
+            length(col("media")).cast("long").as("media_bytes"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+             |       WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+             |  CAST(4 + n_chars % 13 AS BIGINT) AS width,
+             |  CAST(3 + n_chars % 11 AS BIGINT) AS height,
+             |  CAST(CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN 54 + ((3*(4 + n_chars % 13) + 3)//4)*4*(3 + n_chars % 11)
+             |    WHEN 1 THEN 9 + length(CAST(4 + n_chars % 13 AS VARCHAR))
+             |      + length(CAST(3 + n_chars % 11 AS VARCHAR))
+             |      + (4 + n_chars % 13)*(3 + n_chars % 11)*3
+             |    ELSE 9 + length(CAST(4 + n_chars % 13 AS VARCHAR))
+             |      + length(CAST(3 + n_chars % 11 AS VARCHAR))
+             |      + (4 + n_chars % 13)*(3 + n_chars % 11)
+             |  END AS BIGINT) AS media_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL resize, graded byte-exact: decode → integer box-fit →
     // nearest-neighbor resample → re-encode into the same container →
     // decode AGAIN and checksum. Every stage is exact integer arithmetic

@@ -254,8 +254,11 @@ object ImageCodec {
     require(p < b.length && isSpace(b(p)),
       s"$format: missing single whitespace after maxval")
     p += 1 // exactly ONE whitespace byte separates header from raster (netpbm spec)
-    val n = width * height * channels
-    require(b.length >= p + n, s"$format: need ${p + n} bytes, have ${b.length}")
+    // Long arithmetic: an adversarial header near the 2^20 dim cap could
+    // overflow an Int product into a small positive n and mis-decode
+    val nL = width.toLong * height * channels
+    require(b.length >= p + nL, s"$format: need ${p + nL} bytes, have ${b.length}")
+    val n = nL.toInt
     val pixels = new Array[Byte](n)
     System.arraycopy(b, p, pixels, 0, n)
     DecodedImage(format, width, height, channels, pixels)

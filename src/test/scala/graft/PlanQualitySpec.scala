@@ -49,6 +49,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial aggregation:\n$p")
   }
 
+  test("pixel decode/resize are zero-shuffle scan jobs; header parse stays in codegen") {
+    val docs = spark.range(20).selectExpr("id AS doc_id", "id + 48 AS n_chars")
+    val media = Multimodal.withPixelMedia(docs)
+    Seq(
+      "decode" -> plan(Multimodal.decodePixelStats(media).toDF()),
+      "resize" -> plan(Multimodal.decodePixelStats(
+        Multimodal.resizeMedia(media, 9, 7)).toDF())
+    ).foreach { case (name, p) =>
+      assert(!p.contains("Exchange"), s"$name should be a pure scan job:\n$p")
+    }
+    // the header kernel is a codegen'd expression on the scan, not a UDF
+    val meta = plan(media.select(graft.functions.media_header(col("media"))))
+    assert(!meta.contains("BatchEvalPython") && !meta.contains("ScalaUDF"),
+      s"media_header left codegen:\n$meta")
+  }
+
   test("skew: hot-fingerprint dedup combines map-side; hot LSH buckets stay capped") {
     // a boilerplate-heavy corpus puts millions of rows behind ONE
     // fingerprint — scan-bound only if the aggregate is two-phase (the hot
