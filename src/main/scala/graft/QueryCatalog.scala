@@ -1203,6 +1203,40 @@ object QueryCatalog {
              |FROM embeddings, n
              |WHERE vec_id % greatest(n.n // 16, 1) = greatest(n.n // 16, 1) // 2""".stripMargin)),
 
+    // Incremental IVF index growth: build the on-disk index (with its
+    // centroid table persisted as part of the index) from HALF the
+    // corpus, append the other half against the persisted centroids, then
+    // prove a persisted-index search over the appended whole equals a
+    // direct in-memory IVF search of the full corpus under the same
+    // centroid table — exceptAll in both directions must be empty. The
+    // q_ivf_recall pattern: a data-derived query count the oracle
+    // replays, plus the equality verdict.
+    ("q_ivf_append",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val half = emb.count() / 2
+        val a = emb.filter(col("vec_id") < half)
+        val b = emb.filter(col("vec_id") >= half)
+        val cents = Similarity.ivfCentroidsKmeans(a, "vec_id", "embedding", cells = 16)
+        val path = scratchDir("ivf_append")
+        Similarity.ivfWriteIndexWithCentroids(
+          Similarity.assignCells(a, "vec_id", "embedding", cents), cents, path)
+        Similarity.ivfAppendIndex(b, "vec_id", "embedding", path)
+        val queries = emb.filter(col("vec_id") % 37 === 0)
+        val direct = Similarity.ivfSearch(
+          Similarity.assignCells(emb, "vec_id", "embedding", cents), queries,
+          cents, "vec_id", "embedding", nprobe = 4, k = 5)
+        val fromDisk = Similarity.ivfSearchIndexPersisted(s, path, queries,
+          "vec_id", "embedding", nprobe = 4, k = 5)
+        val extra = direct.exceptAll(fromDisk).count() + fromDisk.exceptAll(direct).count()
+        val nQ = queries.count()
+        import s.implicits._
+        Seq((nQ, extra == 0L)).toDF("n_queries", "append_matches_direct")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS append_matches_direct
+             |FROM embeddings WHERE vec_id % 37 = 0""".stripMargin)),
+
     // ---- multimodal ---------------------------------------------------------
 
     // the engine PARSES width/height/format out of real PNG/JPEG/WebP

@@ -284,6 +284,69 @@ object Similarity {
   def ivfWriteIndex(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Persist the index AND its centroid table (under `_centroids`, an
+    * underscore-hidden dir that plain parquet reads of `path` skip). The
+    * centroid table is the index's IDENTITY: appending or probing with
+    * different centroids puts/looks-for vectors in cells the other side
+    * never visits — the silent-zero-recall failure class — so the
+    * persisted copy, not a caller argument, is the source of truth for
+    * [[ivfAppendIndex]] and [[ivfSearchIndexPersisted]].
+    */
+  def ivfWriteIndexWithCentroids(indexed: DataFrame,
+                                 cents: Seq[(Long, Seq[Float])],
+                                 path: String): Unit = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    ivfWriteIndex(indexed, path)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Read back the persisted centroid table (bounded: ≤ cells rows — the
+    * same broadcast-class size the driver Lloyd loop already holds).
+    */
+  def ivfReadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_centroids")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"ivfReadCentroids: no _centroids table under $path — the index was " +
+        "written without ivfWriteIndexWithCentroids, so appends/searches " +
+        "cannot prove they use the build's centroid table. Rebuild with " +
+        "ivfWriteIndexWithCentroids (or write _centroids explicitly).")
+    spark.read.parquet(s"$path/_centroids")
+      .select(col("cell").cast("long"), col("centroid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Incremental append to an on-disk IVF index: new vectors are assigned
+    * against the index's OWN persisted centroid table (never a caller
+    * argument) and appended under the same `cell=` partition layout —
+    * probed-cell pruning keeps working unchanged, each cell directory just
+    * accumulates one file per append generation. No re-clustering, no
+    * rewrite of existing data: the once-per-corpus build cost stays
+    * once-per-corpus while the corpus grows. (Recall for vectors far from
+    * every existing centroid degrades gracefully — they land in the
+    * nearest cell like any build-time outlier; re-cluster when the corpus
+    * has drifted enough to matter.)
+    */
+  def ivfAppendIndex(emb: DataFrame, id: String, vec: String, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = ivfReadCentroids(spark, path)
+    assignCells(emb, id, vec, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF search against a persisted index using its own centroid table —
+    * the no-trusted-arguments variant of [[ivfSearchIndex]].
+    */
+  def ivfSearchIndexPersisted(spark: SparkSession, indexPath: String,
+                              queries: DataFrame, id: String, vec: String,
+                              nprobe: Int, k: Int): DataFrame =
+    ivfSearchIndex(spark, indexPath, queries,
+      ivfReadCentroids(spark, indexPath), id, vec, nprobe, k)
+
   /** Read only the probed cells of an on-disk index: the literal IN
     * predicate on the partition column prunes at planning time.
     * (Partition-column inference narrows `cell` to int — cast it back so

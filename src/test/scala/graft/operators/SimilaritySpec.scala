@@ -70,6 +70,41 @@ class SimilaritySpec extends SparkTestBase {
       "on-disk probe result differs from the in-memory path")
   }
 
+  test("IVF append: persisted centroids drive the assign; appended vectors are found") {
+    val real = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val half = real.count() / 2
+    val a = real.filter(col("vec_id") < half)
+    val b = real.filter(col("vec_id") >= half)
+    val cents = Similarity.ivfCentroids(a, "vec_id", "embedding", cells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_t").toString
+    Similarity.ivfWriteIndexWithCentroids(
+      Similarity.assignCells(a, "vec_id", "embedding", cents), cents, dir)
+    // the persisted table round-trips exactly (cell-sorted)
+    assert(Similarity.ivfReadCentroids(spark, dir) == cents.sortBy(_._1))
+    Similarity.ivfAppendIndex(b, "vec_id", "embedding", dir)
+    // search FOR an appended vector: its own cell is its nearest probe, so
+    // cosine 1.0 with itself excluded, its duplicate... use a build-half
+    // query that must now see appended neighbors too: total index rows
+    assert(spark.read.parquet(dir).count() == real.count())
+    // a persisted-index search equals the in-memory search over the union
+    val queries = real.filter(col("vec_id") % 97 === 0)
+    val disk = Similarity.ivfSearchIndexPersisted(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 3, k = 4)
+    val mem = Similarity.ivfSearch(
+      Similarity.assignCells(real, "vec_id", "embedding", cents), queries,
+      cents, "vec_id", "embedding", nprobe = 3, k = 4)
+    assert(disk.exceptAll(mem).count() == 0 && mem.exceptAll(disk).count() == 0)
+    // an index written WITHOUT centroids refuses append instead of
+    // silently assigning against the wrong table
+    val bare = java.nio.file.Files.createTempDirectory("ivf_bare_t").toString
+    Similarity.ivfWriteIndex(
+      Similarity.assignCells(a, "vec_id", "embedding", cents), bare)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAppendIndex(b, "vec_id", "embedding", bare)
+    }
+    assert(e.getMessage.contains("_centroids"))
+  }
+
   test("kmeans centroids rescue recall on a content-ordered corpus (first-N-by-id collapses)") {
     // 8 contiguous clusters of 40 near-identical 8-dim vectors: id order IS
     // content order, so first-8-by-id seeding puts every centroid inside
