@@ -1222,6 +1222,9 @@ object QueryCatalog {
         Similarity.ivfWriteIndexWithCentroids(
           Similarity.assignCells(a, "vec_id", "embedding", cents), cents, path)
         Similarity.ivfAppendIndex(b, "vec_id", "embedding", path)
+        // the graded result must survive compaction byte-for-byte (the
+        // q_incremental_neardup contract, for the IVF lifecycle)
+        Similarity.ivfCompactIndex(s, path)
         val queries = emb.filter(col("vec_id") % 37 === 0)
         val direct = Similarity.ivfSearch(
           Similarity.assignCells(emb, "vec_id", "embedding", cents), queries,

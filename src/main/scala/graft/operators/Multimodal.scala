@@ -155,8 +155,13 @@ object Multimodal {
       .as[(Long, Array[Byte], Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, bytes, nBytes, fmt) =>
+          // a crawled-bytes pipeline must tolerate garbage: a blob whose
+          // magic sniffs as BMP/netpbm but whose body is corrupt falls
+          // back to the raw-bytes fold instead of aborting the job
           val features = ImageCodec.sniff(bytes) match {
-            case Some(_) => FakeCodec.fold(ImageCodec.decode(bytes).pixels)
+            case Some(_) =>
+              try FakeCodec.fold(ImageCodec.decode(bytes).pixels)
+              catch { case _: IllegalArgumentException => FakeCodec.decode(bytes) }
             case None => FakeCodec.decode(bytes)
           }
           DecodedMedia(id, nBytes, fmt, features)

@@ -347,6 +347,48 @@ object Similarity {
     ivfSearchIndex(spark, indexPath, queries,
       ivfReadCentroids(spark, indexPath), id, vec, nprobe, k)
 
+  /** Compact an appended IVF index to one file per cell (appends leave a
+    * file per generation per cell, taxing probe reads with extra footers).
+    * The rewrite builds a complete shadow directory (data + `_centroids`)
+    * and swaps it in with delete + rename — like
+    * [[graft.sources.Bucketed.compact]], the swap is NOT one atomic op: a
+    * crash between the two leaves the data safe in the shadow, and
+    * [[ivfRecoverCompact]] (run first here, so the next compact self-heals)
+    * completes the pending swap.
+    */
+  def ivfCompactIndex(spark: SparkSession, path: String): Unit = {
+    ivfRecoverCompact(spark, path)
+    val cents = ivfReadCentroids(spark, path) // validates the index shape
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    fs.delete(tmp, true)
+    // hash-partition on cell before partitionBy: every cell's rows land in
+    // exactly one task → exactly one file per cell directory
+    spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+      .repartition(math.max(cents.size, 1), col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_centroids")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path)),
+      s"ivfCompactIndex: rename $tmp -> $path failed; data is intact in $tmp " +
+        "(run ivfRecoverCompact to complete the swap)")
+  }
+
+  /** Complete an IVF compaction swap that crashed between delete and
+    * rename. Idempotent; a no-op when the index is healthy.
+    */
+  def ivfRecoverCompact(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    if (!fs.exists(p) && fs.exists(tmp))
+      require(fs.rename(tmp, p), s"ivfRecoverCompact: rename $tmp -> $path failed")
+  }
+
   /** Read only the probed cells of an on-disk index: the literal IN
     * predicate on the partition column prunes at planning time.
     * (Partition-column inference narrows `cell` to int — cast it back so

@@ -183,6 +183,17 @@ class MultimodalSpec extends SparkTestBase {
     assert((p2.format, p2.channels) == ("pgm", 1L))
   }
 
+  test("decodeFeatures tolerates a corrupt blob behind a raw-pixel magic") {
+    // "BM" magic but truncated garbage: must fall back to the raw fold,
+    // never abort the scan job
+    val junk = "BMnot really a bitmap".getBytes("UTF-8")
+    val media = Seq((1L, junk, junk.length.toLong, "bmp"))
+      .toDF("doc_id", "media", "media_bytes", "format")
+    val out = Multimodal.decodeFeatures(media).collect()
+    assert(out.length == 1)
+    assert(out.head.features.toSeq == Multimodal.FakeCodec.fold(junk).toSeq)
+  }
+
   test("decodeFeatures routes raw-pixel containers through the REAL decoder") {
     val media = Multimodal.withPixelMedia(docs)
       .withColumn("media_bytes", length(col("media")).cast("long"))

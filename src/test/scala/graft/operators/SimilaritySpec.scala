@@ -103,6 +103,29 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.ivfAppendIndex(b, "vec_id", "embedding", bare)
     }
     assert(e.getMessage.contains("_centroids"))
+
+    // compaction: appended cells hold 2+ files; after compact exactly one,
+    // with identical search results and the centroid table intact
+    def filesPerCell(root: String): Seq[Int] =
+      new java.io.File(root).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(filesPerCell(dir).exists(_ > 1), "append should leave multi-file cells")
+    Similarity.ivfCompactIndex(spark, dir)
+    assert(filesPerCell(dir).forall(_ == 1),
+      s"compact left multi-file cells: ${filesPerCell(dir)}")
+    assert(Similarity.ivfReadCentroids(spark, dir) == cents.sortBy(_._1))
+    val diskC = Similarity.ivfSearchIndexPersisted(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 3, k = 4)
+    assert(diskC.exceptAll(mem).count() == 0 && mem.exceptAll(diskC).count() == 0)
+
+    // crash-window recovery: index dir gone, shadow present → heal
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact"))
+    Similarity.ivfRecoverCompact(spark, dir)
+    assert(Similarity.ivfReadCentroids(spark, dir).nonEmpty)
   }
 
   test("kmeans centroids rescue recall on a content-ordered corpus (first-N-by-id collapses)") {
