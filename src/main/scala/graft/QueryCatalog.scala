@@ -1203,6 +1203,45 @@ object QueryCatalog {
              |FROM embeddings, n
              |WHERE vec_id % greatest(n.n // 16, 1) = greatest(n.n // 16, 1) // 2""".stripMargin)),
 
+    // Schema-drift audit: "new" is documents after an upstream change —
+    // lang dropped, n_chars widened to double, a nullable tok_count added,
+    // and text developing a null stripe — exactly the feed drift a
+    // long-lived pipeline must catch. The oracle rebuilds the per-column
+    // diff + null census closed-form.
+    ("q_schema_drift",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val mutated = docs
+          .drop("lang")
+          .withColumn("n_chars", col("n_chars").cast("double"))
+          .withColumn("tok_count",
+            when(col("doc_id") % 10 === 0, lit(null).cast("long"))
+              .otherwise(col("n_chars").cast("long")))
+          .withColumn("text",
+            when(col("doc_id") % 25 === 0, lit(null).cast("string"))
+              .otherwise(col("text")))
+        Relational.schemaDrift(docs, mutated)
+          .select(col("col_name"), col("status"),
+            col("old_type"), col("new_type"),
+            col("old_nulls").cast("long").as("old_nulls"),
+            col("new_nulls").cast("long").as("new_nulls"))
+          .orderBy("col_name")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n,
+             |  CAST(count(*) FILTER (doc_id % 10 = 0) AS BIGINT) AS tok_nulls,
+             |  CAST(count(*) FILTER (doc_id % 25 = 0) AS BIGINT) AS text_nulls
+             |  FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'doc_id' AS col_name, 'unchanged' AS status,
+             |    'bigint' AS old_type, 'bigint' AS new_type,
+             |    CAST(0 AS BIGINT) AS old_nulls, CAST(0 AS BIGINT) AS new_nulls FROM n
+             |  UNION ALL SELECT 'lang', 'removed', 'string', NULL, 0, NULL FROM n
+             |  UNION ALL SELECT 'n_chars', 'type_changed', 'bigint', 'double', 0, 0 FROM n
+             |  UNION ALL SELECT 'source', 'unchanged', 'string', 'string', 0, 0 FROM n
+             |  UNION ALL SELECT 'text', 'unchanged', 'string', 'string', 0, text_nulls FROM n
+             |  UNION ALL SELECT 'tok_count', 'added', NULL, 'bigint', NULL, tok_nulls FROM n)
+             |ORDER BY col_name""".stripMargin)),
+
     // Incremental IVF index growth: build the on-disk index (with its
     // centroid table persisted as part of the index) from HALF the
     // corpus, append the other half against the persisted centroids, then

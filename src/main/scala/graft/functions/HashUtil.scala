@@ -332,10 +332,13 @@ object HashUtil {
 
   /** Parse an image container header from raw bytes: PNG signature+IHDR
     * (PNG spec §5.2/§11.2.2), JPEG/JFIF marker-segment scan to the first
-    * SOFn frame header (ITU T.81 §B.2.2), or WebP RIFF VP8X canvas size
-    * (WebP container spec). Pure public-file-format arithmetic — no codec
-    * library; this is the metadata half of ingest, the pixel DECODE stays
-    * a stub ([[graft.operators.Multimodal.FakeCodec]]).
+    * SOFn frame header (ITU T.81 §B.2.2), WebP RIFF VP8X canvas size
+    * (WebP container spec), BMP BITMAPINFOHEADER signed-LE dims, or
+    * netpbm P6/P5 ASCII headers. Pure public-file-format arithmetic — no
+    * codec library; this is the metadata half of ingest. Pixel DECODE is
+    * real for the raw-pixel containers
+    * ([[graft.operators.ImageCodec]]); only compressed-codec decode stays
+    * a labeled stub ([[graft.operators.Multimodal.FakeCodec]]).
     *
     * Returns an InternalRow (format: string, width: long, height: long),
     * or null when no known signature matches or the header is truncated —

@@ -406,4 +406,44 @@ object Relational {
     val w = Window.partitionBy(col(grp)).orderBy(col(measure).desc, col(tiebreak).asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** Schema-drift audit between two snapshots of "the same" table — the
+    * upstream-changed-the-feed alarm a long-lived ingest pipeline needs.
+    * One row per column name across both sides: status
+    * (added/removed/type_changed/unchanged), the catalog type on each
+    * side, and the side's NULL count (the usual symptom of a silent
+    * upstream type/semantics change is a null-rate jump, so the audit
+    * carries it alongside the type diff).
+    *
+    * Scale shape: schema comparison is driver-side metadata (no data
+    * touched); the null census is ONE conditional-sum aggregate per side —
+    * two single scans, no shuffle beyond each one-row aggregate. The
+    * result is cols-many rows, built driver-side like any profile summary.
+    */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    def census(df: DataFrame): Map[String, Long] = {
+      if (df.columns.isEmpty) return Map.empty
+      val aggs = df.columns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+      val row = df.agg(aggs.head, aggs.tail.toSeq: _*).collect().head
+      df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    }
+    val oldTypes = oldDf.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val newTypes = newDf.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val oldNulls = census(oldDf)
+    val newNulls = census(newDf)
+    val rows = (oldTypes.keySet ++ newTypes.keySet).toSeq.sorted.map { c =>
+      val status = (oldTypes.get(c), newTypes.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "unchanged"
+      }
+      (c, status, oldTypes.get(c), newTypes.get(c),
+        oldNulls.get(c), newNulls.get(c))
+    }
+    rows.toDF("col_name", "status", "old_type", "new_type", "old_nulls", "new_nulls")
+  }
 }

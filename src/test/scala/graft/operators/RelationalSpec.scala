@@ -188,4 +188,25 @@ class RelationalSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("fr") == 0L) // absent combo is 0, not null
     assert(out(1).getAs[Long]("de") == 0L && out(1).getAs[Long]("en") == 1L)
   }
+
+  test("schemaDrift: added/removed/type_changed/unchanged + null census per side") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], 20))
+      .toDF("id", "name", "v")
+    val newDf = Seq((1L, 10.0, "x"), (2L, 20.0, null.asInstanceOf[String]))
+      .toDF("id", "v", "tag")
+    val out = Relational.schemaDrift(oldDf, newDf).orderBy("col_name").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("id").getString(1) == "unchanged")
+    assert(out("name").getString(1) == "removed" && out("name").isNullAt(3))
+    assert(out("v").getString(1) == "type_changed")
+    assert(out("v").getString(2) == "int" && out("v").getString(3) == "double")
+    assert(out("tag").getString(1) == "added" && out("tag").isNullAt(2))
+    assert(out("name").getLong(4) == 1L)       // old-side null census
+    assert(out("tag").getLong(5) == 1L)        // new-side null census
+    assert(out("id").getLong(4) == 0L && out("id").getLong(5) == 0L)
+    // identical frames: everything unchanged
+    assert(Relational.schemaDrift(oldDf, oldDf)
+      .filter(col("status") =!= "unchanged").count() == 0L)
+  }
 }
