@@ -147,6 +147,51 @@ class StreamsSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ingest_idx_test")
   }
 
+  test("ingestDedup file stream: restart on the same checkpoint never re-reads processed files") {
+    import graft.operators.Dedup
+    val seed = Seq((1L, "seed corpus document")).toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(seed, "doc_id", "text", "ingest_fidx_test", buckets = 4)
+    try {
+      val inDir = Files.createTempDirectory("fstream_in").toString
+      val ckpt = Files.createTempDirectory("fstream_ckpt").toString
+      def addFile(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+        val stage = Files.createTempDirectory("fstream_stage").resolve("out")
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(stage).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+        val dst = java.nio.file.Paths.get(inDir, name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val schema = seed.schema
+      var invocations = 0
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def run(): Unit = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        Streams.ingestDedup(stream, "doc_id", "text", "ingest_fidx_test",
+          ckpt, buckets = 4) { fresh =>
+          invocations += 1
+          accepted ++= fresh.select("doc_id").collect().map(_.getLong(0))
+        }.start().awaitTermination()
+      }
+      addFile("a.parquet", Seq((2L, "doc alpha"), (3L, "doc beta")), 1700000000000L)
+      run()
+      assert(invocations == 1 && accepted.sorted == Seq(2L, 3L))
+      // restart with one NEW file: the checkpoint's source log must skip
+      // the processed file — exactly one new foreachBatch invocation
+      addFile("b.parquet", Seq((4L, "doc gamma")), 1700000060000L)
+      run()
+      assert(invocations == 2, s"expected 1 new batch, saw ${invocations - 1}")
+      assert(accepted.sorted == Seq(2L, 3L, 4L))
+      // restart with nothing new: zero invocations
+      run()
+      assert(invocations == 2, "a no-new-data restart re-processed files")
+    } finally spark.sql("DROP TABLE IF EXISTS ingest_fidx_test")
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
