@@ -31,18 +31,44 @@ object QueryCatalog {
   /** Temp dir for queries that materialize an intermediate layout (z-order
     * copy, JSONL round-trip, pipeline warehouse). Deleted recursively at
     * JVM exit so repeated verify runs don't accumulate table-sized copies
-    * in /tmp (deleteOnExit alone can't remove non-empty directories).
+    * in /tmp (deleteOnExit alone can't remove non-empty directories). ONE
+    * static hook drains a queue of registered paths — a hook thread per
+    * call would accumulate unboundedly across catalog re-runs in a
+    * long-lived JVM.
     */
-  private def scratchDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles()).foreach(_.foreach(rm))
         p.delete(): Unit
       }
-      rm(dir.toFile)
+      var d = scratchDirs.poll()
+      while (d != null) { rm(d.toFile); d = scratchDirs.poll() }
     }))
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(dir)
     dir.toString
+  }
+
+  /** Write `df` as ONE parquet file named `name` inside `inDir`, with a
+    * pinned modification time — the arrival-file writer behind the
+    * streaming queries: the file source orders micro-batches by mtime, so
+    * the pin is the batch-order contract, not cosmetics.
+    */
+  private[graft] def stageArrivalFile(df: DataFrame, inDir: String,
+                                      name: String, mtimeMs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stage = java.nio.file.Files.createTempDirectory("stage_arrival").resolve("out")
+    df.coalesce(1).write.parquet(stage.toString)
+    val part = java.nio.file.Files.list(stage).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    val dst = java.nio.file.Paths.get(inDir, name)
+    java.nio.file.Files.move(part, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
   }
 
   /** Identical SQL text runs on both engines. Revenue is exact at 4
@@ -1554,8 +1580,6 @@ object QueryCatalog {
     // (original-then-clone and clone-then-original).
     ("q_stream_ingest",
       (s: SparkSession, d: String) => {
-        import java.nio.file.{Files => JF, Paths => JP}
-        import scala.jdk.CollectionConverters._
         val docs = t(s, d, "documents").select("doc_id", "text")
         val inp = docs
           .withColumn("gen", (col("doc_id") % 3).cast("int"))
@@ -1563,18 +1587,9 @@ object QueryCatalog {
             .select((col("doc_id") + 10000L).as("doc_id"), col("text"),
               ((col("doc_id") + 1) % 3).cast("int").as("gen")))
         val inDir = scratchDir("stream_in")
-        val stage = scratchDir("stream_stage")
         (0 to 2).foreach { g =>
-          val dir = JP.get(stage, s"g$g")
-          inp.filter(col("gen") === g).select("doc_id", "text")
-            .coalesce(1).write.parquet(dir.toString)
-          val part = JF.list(dir).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).next()
-          val dst = JP.get(inDir, s"gen$g.parquet")
-          JF.move(part, dst)
-          // file-stream batch order follows modification time — pin it
-          JF.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + g * 60000L))
+          stageArrivalFile(inp.filter(col("gen") === g).select("doc_id", "text"),
+            inDir, s"gen$g.parquet", 1700000000000L + g * 60000L)
         }
         s.sql("DROP TABLE IF EXISTS stream_fp_idx")
         Dedup.writeFingerprintIndex(docs.limit(0), "doc_id", "text",
@@ -1616,8 +1631,6 @@ object QueryCatalog {
     // analog, which DuckDB replays with window functions.
     ("q_stream_session",
       (s: SparkSession, d: String) => {
-        import java.nio.file.{Files => JF, Paths => JP}
-        import scala.jdk.CollectionConverters._
         val ev = t(s, d, "events")
           .select(col("user_id").cast("long").as("user_id"),
             col("ts").cast("timestamp").as("ts"))
@@ -1634,16 +1647,8 @@ object QueryCatalog {
           ev.select("user_id").distinct()
             .withColumn("ts", timestamp_millis(lit(flushMs))))
         val inDir = scratchDir("sess_in")
-        val stage = scratchDir("sess_stage")
         batches.zipWithIndex.foreach { case (b, i) =>
-          val dir = JP.get(stage, s"b$i")
-          b.coalesce(1).write.parquet(dir.toString)
-          val part = JF.list(dir).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).next()
-          val dst = JP.get(inDir, s"batch$i.parquet")
-          JF.move(part, dst)
-          JF.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          stageArrivalFile(b, inDir, s"batch$i.parquet", 1700000000000L + i * 60000L)
         }
         val outDir = scratchDir("sess_out")
         import s.implicits._

@@ -411,32 +411,52 @@ object HashUtil {
       }
       return null
     }
-    // netpbm binary PPM/PGM: ASCII header — magic, then whitespace/comment
-    // separated width and height
+    // netpbm binary PPM/PGM: shared header-scan core (also the parser
+    // behind ImageCodec.decodeNetpbm — ONE grammar, two failure styles)
     if (b.length >= 2 && u(0) == 'P' && (u(1) == '6' || u(1) == '5')) {
-      val fmt = if (u(1) == '6') "ppm" else "pgm"
-      val dims = new Array[Long](2)
-      var k = 0
-      var p = 2
-      var inComment = false
-      while (k < 2 && p < b.length) {
-        val c = u(p)
-        if (inComment) { if (c == '\n' || c == '\r') inComment = false; p += 1 }
-        else if (c == '#') { inComment = true; p += 1 }
-        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f') p += 1
-        else if (c >= '0' && c <= '9') {
-          var v = 0L
-          while (p < b.length && u(p) >= '0' && u(p) <= '9' && v <= (1 << 20)) {
-            v = v * 10 + (u(p) - '0'); p += 1
-          }
-          if (v > (1 << 20)) return null // implausible header value
-          dims(k) = v; k += 1
-        } else return null // garbage where an integer should be
-      }
-      if (k == 2 && dims(0) > 0 && dims(1) > 0) return row(fmt, dims(0), dims(1))
-      return null
+      val hd = netpbmHeader(b)
+      if (hd == null) return null
+      return row(if (u(1) == '6') "ppm" else "pgm", hd(0), hd(1))
     }
     null
+  }
+
+  /** Non-throwing netpbm (P6/P5) header scan — the ONE implementation of
+    * the grammar (magic, `#`-to-EOL comments, whitespace-separated width /
+    * height / maxval, then exactly one whitespace byte before the raster).
+    * Returns `Array(width, height, maxval, rasterOffset)`, or null on a
+    * malformed or implausible (dim > 2^20) header. [[mediaHeader]] maps
+    * null to a NULL row; [[graft.operators.ImageCodec]] maps it to a loud
+    * decode error — same parse, different failure contracts.
+    */
+  def netpbmHeader(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 2 || b(0) != 'P' || (b(1) != '6' && b(1) != '5')) return null
+    def u(i: Int): Int = b(i) & 0xff
+    def isWs(c: Int): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f'
+    val out = new Array[Long](4)
+    var k = 0
+    var p = 2
+    var inComment = false
+    while (k < 3 && p < b.length) {
+      val c = u(p)
+      if (inComment) { if (c == '\n' || c == '\r') inComment = false; p += 1 }
+      else if (c == '#') { inComment = true; p += 1 }
+      else if (isWs(c)) p += 1
+      else if (c >= '0' && c <= '9') {
+        var v = 0L
+        while (p < b.length && u(p) >= '0' && u(p) <= '9') {
+          v = v * 10 + (u(p) - '0'); p += 1
+          if (v > (1 << 20)) return null // implausible header value
+        }
+        out(k) = v; k += 1
+      } else return null // garbage where an integer should be
+    }
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (k < 3 || p >= b.length || !isWs(u(p))) return null
+    out(3) = p + 1
+    if (out(0) <= 0 || out(1) <= 0) return null
+    out
   }
 
   /** Rabin-Karp rolling polynomial hash (base 1000003, mod 2⁶⁴ wraparound)

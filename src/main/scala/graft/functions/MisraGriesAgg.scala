@@ -133,7 +133,9 @@ case class MisraGriesAgg(
     (0 until n).foreach { _ =>
       val len = in.readInt()
       remaining -= 4
-      require(len >= 0 && len + 8 <= remaining,
+      // Long compare: len + 8 as Int wraps negative for len near
+      // Int.MaxValue and would pass the bound it exists to enforce
+      require(len >= 0 && len.toLong + 8 <= remaining,
         s"mg_summary: corrupt buffer — token length $len exceeds remaining $remaining bytes")
       val b = new Array[Byte](len)
       in.readFully(b)

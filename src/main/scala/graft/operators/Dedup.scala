@@ -653,7 +653,10 @@ object Dedup {
     val spark = batch.sparkSession
     checkLshParams(spark, table, shingleK, numHashes, bands)
     require(maxBatchRows > 0, s"nearDupAgainstIndex: maxBatchRows must be > 0, got $maxBatchRows")
-    val probed = batch.limit(maxBatchRows + 1).count()
+    // saturating +1: maxBatchRows = Int.MaxValue means "unbounded", and a
+    // wrapped negative limit would be an AnalysisException on every call
+    val probed = batch.limit(
+      if (maxBatchRows == Int.MaxValue) Int.MaxValue else maxBatchRows + 1).count()
     require(probed <= maxBatchRows,
       s"nearDupAgainstIndex: ingest batch exceeds maxBatchRows=$maxBatchRows — the " +
         "batch token arrays ride a broadcast, so an unbounded batch would blow " +

@@ -227,33 +227,15 @@ object ImageCodec {
     else (maxW, math.max(1, (h.toLong * maxW / w).toInt)) // width binds
   }
 
-  private def isSpace(c: Int): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f'
-
   private def decodeNetpbm(b: Array[Byte], format: String, channels: Int): DecodedImage = {
-    // header tokens: whitespace-separated ints, '#' starts a to-EOL comment
-    var p = 2 // past magic
-    def nextInt(): Int = {
-      var inComment = false
-      while (p < b.length && (inComment || isSpace(b(p)) || b(p) == '#')) {
-        if (b(p) == '#') inComment = true
-        else if (b(p) == '\n' || b(p) == '\r') inComment = false
-        p += 1
-      }
-      require(p < b.length && b(p) >= '0' && b(p) <= '9',
-        s"$format: malformed header (expected integer at byte $p)")
-      var v = 0
-      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
-        v = v * 10 + (b(p) - '0'); p += 1
-        require(v <= (1 << 20), s"$format: implausible header value $v")
-      }
-      v
-    }
-    val width = nextInt(); val height = nextInt(); val maxval = nextInt()
-    require(maxval == 255, s"$format: only maxval 255 supported, got $maxval")
-    require(p < b.length && isSpace(b(p)),
-      s"$format: missing single whitespace after maxval")
-    p += 1 // exactly ONE whitespace byte separates header from raster (netpbm spec)
+    // ONE grammar for netpbm headers, shared with media_header's metadata
+    // path (graft.functions.HashUtil.netpbmHeader) — the decode contract
+    // turns its null into a loud error instead of a NULL row
+    val hd = graft.functions.HashUtil.netpbmHeader(b)
+    require(hd != null, s"$format: malformed netpbm header")
+    require(hd(2) == 255, s"$format: only maxval 255 supported, got ${hd(2)}")
+    val width = hd(0).toInt; val height = hd(1).toInt
+    val p = hd(3).toInt
     // Long arithmetic: an adversarial header near the 2^20 dim cap could
     // overflow an Int product into a small positive n and mis-decode
     val nL = width.toLong * height * channels

@@ -425,8 +425,10 @@ object Relational {
     import spark.implicits._
     def census(df: DataFrame): Map[String, Long] = {
       if (df.columns.isEmpty) return Map.empty
+      // coalesce: sum over ZERO rows is NULL, and a 0-row snapshot is
+      // exactly the drift this operator must report, not crash on
       val aggs = df.columns.map(c =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c))
       val row = df.agg(aggs.head, aggs.tail.toSeq: _*).collect().head
       df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
     }

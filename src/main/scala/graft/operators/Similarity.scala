@@ -355,6 +355,14 @@ object Similarity {
     * crash between the two leaves the data safe in the shadow, and
     * [[ivfRecoverCompact]] (run first here, so the next compact self-heals)
     * completes the pending swap.
+    *
+    * SINGLE-WRITER contract: compaction assumes no concurrent
+    * [[ivfAppendIndex]] — an append landing between the compact's read and
+    * the delete would be wiped with the old directory (silent vector
+    * loss). Serialize maintenance with ingest (pause the ingest stream, or
+    * run compaction from the same single-threaded scheduler slot that runs
+    * appends), exactly as you would for any file-level rewrite of a live
+    * append target.
     */
   def ivfCompactIndex(spark: SparkSession, path: String): Unit = {
     ivfRecoverCompact(spark, path)

@@ -160,7 +160,11 @@ object PostsTable {
     // collect itself, so a corpus-sized staging relation fails loudly here
     // instead of OOMing the driver
     val keyRows = staging.select(col(key).cast("string"))
-      .distinct().limit(maxStagedKeys + 1).collect()
+      .distinct()
+      // saturating +1: Int.MaxValue means "unbounded" rather than a
+      // wrapped negative limit
+      .limit(if (maxStagedKeys == Int.MaxValue) Int.MaxValue else maxStagedKeys + 1)
+      .collect()
     require(keyRows.length <= maxStagedKeys,
       s"upsert: staging batch carries more than maxStagedKeys=$maxStagedKeys distinct " +
         "keys — the key set collects driver-side for partition pruning, so an " +

@@ -154,17 +154,9 @@ class StreamsSpec extends SparkTestBase {
     try {
       val inDir = Files.createTempDirectory("fstream_in").toString
       val ckpt = Files.createTempDirectory("fstream_ckpt").toString
-      def addFile(name: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
-        val stage = Files.createTempDirectory("fstream_stage").resolve("out")
-        rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
-        import scala.jdk.CollectionConverters._
-        val part = Files.list(stage).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).next()
-        val dst = java.nio.file.Paths.get(inDir, name)
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      def addFile(name: String, rows: Seq[(Long, String)], mtime: Long): Unit =
+        graft.QueryCatalog.stageArrivalFile(
+          rows.toDF("doc_id", "text"), inDir, name, mtime)
       val schema = seed.schema
       var invocations = 0
       val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
