@@ -1568,6 +1568,36 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio decode, graded byte-exact — the audio modality analog of
+    // q_pixel_decode: the engine encodes a genuine RIFF/WAVE 16-bit PCM
+    // clip per doc, DECODES the bytes back (chunk scan, LE samples, sign),
+    // and reduces to a position-weighted checksum + peak amplitude. The
+    // oracle replays the closed-form sample generator; the numbers match
+    // only if encode→decode round-trips the container bit-exactly.
+    ("q_audio_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(Multimodal.withAudioMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 64 + n_chars % 200 AS n,
+             |    8000 + (n_chars % 3) * 4000 AS rate
+             |  FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, d.rate, t.i,
+             |    ((31*d.doc_id + 7*t.i) % 65536) - 32768 AS s
+             |  FROM dims d JOIN range(0, 264) t(i) ON t.i < d.n),
+             |ag AS (
+             |  SELECT doc_id, n, rate, sum(s) AS ssum,
+             |    sum(s * (i % 97 + 1)) AS schk, max(abs(s)) AS pk
+             |  FROM sm GROUP BY doc_id, n, rate)
+             |SELECT doc_id, CAST(44 + 2*n AS BIGINT) AS media_bytes,
+             |  CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // REAL streaming run under the oracle: documents (+ planted clones of
     // every doc_id%7==0 doc, shifted one generation later — so gen-2
     // originals see their clone arrive FIRST) split into three arrival

@@ -206,6 +206,69 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Deterministic audio fixture: doc `docId`'s i-th signed 16-bit sample
+    * is `((31·docId + 7·i) mod 65536) − 32768` — the audio analog of
+    * [[pixGen]], closed-form replayable by the oracle.
+    */
+  private def sampleGen(docId: Long)(i: Int): Short =
+    (((31L * docId + 7L * i) % 65536L) - 32768L).toShort
+
+  /** Attach a REAL RIFF/WAVE PCM clip to `documents`: sample count and
+    * rate derive from `n_chars`, samples from [[sampleGen]]. Generation is
+    * fixture plumbing; the graded operator is [[decodeAudioStats]] over
+    * these bytes.
+    */
+  def withAudioMedia(docs: DataFrame, id: String = "doc_id",
+                     nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val n = (64 + nc % 200).toInt
+          val rate = (8000 + (nc % 3) * 4000).toInt
+          (docId, WavCodec.encodePcm16(rate, n, sampleGen(docId)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-clip stats computed FROM THE DECODED SAMPLES: rate and count as
+    * parsed from the container, a plain sample sum, a position-weighted
+    * checksum (`Σ s(i)·(i mod 97 + 1)` — byte-exact grade for LE order and
+    * sign handling), and the peak absolute amplitude (the clipping-detector
+    * statistic a real audio-ingest pipeline computes here).
+    */
+  case class AudioStats(doc_id: Long, media_bytes: Long, sample_rate: Long,
+                        n_samples: Long, sample_sum: Long,
+                        sample_checksum: Long, peak_abs: Long)
+
+  /** Decode every WAV blob through [[WavCodec]] and reduce to
+    * [[AudioStats]]. Same zero-shuffle `mapPartitions` scan shape as
+    * [[decodePixelStats]].
+    */
+  def decodeAudioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val a = WavCodec.decodePcm16(bytes)
+          var sum = 0L; var chk = 0L; var peak = 0L; var i = 0
+          while (i < a.samples.length) {
+            val v = a.samples(i).toLong
+            sum += v; chk += v * (i % 97 + 1)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          AudioStats(id, bytes.length.toLong, a.sampleRate.toLong,
+            a.samples.length.toLong, sum, chk, peak)
+        }
+      }
+  }
+
   /** Per-image stats computed FROM THE DECODED PIXELS (not from the
     * generating arithmetic): dimensions and channel count as parsed from
     * the container, plus a plain byte sum and a position-weighted checksum

@@ -167,6 +167,39 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](ImageCodec.decode(badMaxval))
   }
 
+  test("WavCodec: PCM encode→decode round-trips; chunk scan skips unknown chunks") {
+    val samples = (0 until 100).map(i => ((i * 997 % 65536) - 32768).toShort)
+    val wav = WavCodec.encodePcm16(16000, 100, samples(_))
+    assert(wav.length == 44 + 200)
+    val dec = WavCodec.decodePcm16(wav)
+    assert((dec.sampleRate, dec.channels) == (16000, 1))
+    assert(dec.samples.toSeq == samples)
+    // splice an odd-sized LIST chunk between fmt and data: the scanner
+    // must skip it including its pad byte
+    val listChunk = "LIST".getBytes("ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // size 3 + pad
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    // RIFF size field is now stale, but chunk scan doesn't use it
+    assert(WavCodec.decodePcm16(spliced).samples.toSeq == samples)
+    // corrupt cases fail loudly
+    intercept[IllegalArgumentException](WavCodec.decodePcm16(wav.take(30)))
+    val badFmt = wav.clone(); badFmt(20) = 3 // IEEE float format
+    intercept[IllegalArgumentException](WavCodec.decodePcm16(badFmt))
+    intercept[IllegalArgumentException](WavCodec.decodePcm16("RIFFxxxxJUNK".getBytes))
+  }
+
+  test("audio pipeline: decode stats come from the bytes and match the generator") {
+    val out = Multimodal.decodeAudioStats(Multimodal.withAudioMedia(docs))
+      .collect().map(a => a.doc_id -> a).toMap
+    // doc 1: n_chars=11 → n = 64 + 11%200 = 75, rate = 8000 + (11%3)*4000 = 16000
+    val a1 = out(1L)
+    assert((a1.n_samples, a1.sample_rate, a1.media_bytes) == (75L, 16000L, 44L + 150L))
+    val gen = (0 until 75).map(i => ((31L * 1 + 7L * i) % 65536L) - 32768L)
+    assert(a1.sample_sum == gen.sum)
+    assert(a1.sample_checksum == gen.zipWithIndex.map { case (v, i) => v * (i % 97 + 1) }.sum)
+    assert(a1.peak_abs == gen.map(math.abs).max)
+  }
+
   test("pixel pipeline: decode stats come from the bytes and match the generator") {
     val out = Multimodal.decodePixelStats(Multimodal.withPixelMedia(docs))
       .collect().map(p => p.doc_id -> p).toMap
