@@ -1598,6 +1598,38 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // REAL video frame sampling, graded byte-exact — the third modality:
+    // the engine encodes a genuine uncompressed AVI (RIFF hdrl/movi, DIB
+    // frames) per doc, DECODES it back, picks 3 evenly spaced frames by
+    // exact integer arithmetic, and folds a per-frame checksum scaled by
+    // the sample ordinal. The oracle replays frame selection AND pixel
+    // values closed-form, so a decoder that returns the wrong frame for
+    // an index — or misreads the DIB raster — cannot match.
+    ("q_video_frames",
+      (s: SparkSession, d: String) =>
+        Multimodal.sampleVideoFrames(Multimodal.withVideoMedia(t(s, d, "documents")), 3)
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 4 + n_chars % 9 AS w, 3 + n_chars % 7 AS h,
+             |    2 + doc_id % 4 AS nf
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.nf,
+             |    sum(((31*d.doc_id + 11*((j.j * d.nf) // 3) + 7*t.i) % 256)
+             |        * (t.i % 97 + 1) * (j.j + 1)) AS chk
+             |  FROM dims d
+             |  CROSS JOIN range(0, 3) j(j)
+             |  JOIN range(0, 324) t(i) ON t.i < d.w*d.h*3
+             |  GROUP BY d.doc_id, d.w, d.h, d.nf)
+             |SELECT doc_id,
+             |  CAST(224 + nf*(8 + ((3*w + 3)//4)*4*h) AS BIGINT) AS media_bytes,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(3 AS BIGINT) AS frames_sampled,
+             |  CAST(chk AS BIGINT) AS sampled_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL streaming run under the oracle: documents (+ planted clones of
     // every doc_id%7==0 doc, shifted one generation later — so gen-2
     // originals see their clone arrive FIRST) split into three arrival

@@ -90,21 +90,60 @@ object ImageCodec {
     putLe32(30, 0)             // BI_RGB (uncompressed)
     putLe32(34, imageSize)
     putLe32(38, 2835); putLe32(42, 2835) // 72 DPI in px/metre
+    encodeDibRaster(width, height, pix, out, 54)
+    out
+  }
+
+  /** Write a 24-bit DIB raster (bottom-up, BGR, 4-byte-padded rows) from
+    * logical top-down RGB `pix` into `out` at `off` — the ONE raster
+    * grammar shared by BMP files and AVI `00db` video frames.
+    */
+  private[operators] def encodeDibRaster(width: Int, height: Int,
+                                         pix: Int => Byte,
+                                         out: Array[Byte], off: Int): Unit = {
+    val rowSize = bmpRowSize(width)
     var fileRow = 0
     while (fileRow < height) {
       val logicalRow = height - 1 - fileRow // bottom-up
       var x = 0
       while (x < width) {
         val base = (logicalRow * width + x) * 3
-        val off = 54 + fileRow * rowSize + x * 3
-        out(off) = pix(base + 2)     // B
-        out(off + 1) = pix(base + 1) // G
-        out(off + 2) = pix(base)     // R
+        val o = off + fileRow * rowSize + x * 3
+        out(o) = pix(base + 2)     // B
+        out(o + 1) = pix(base + 1) // G
+        out(o + 2) = pix(base)     // R
         x += 1
       }
       fileRow += 1
     }
-    out
+  }
+
+  /** Read a 24-bit DIB raster at `off` back to logical top-down RGB —
+    * exact inverse of [[encodeDibRaster]] (or the top-down variant when
+    * `topDown`).
+    */
+  private[operators] def decodeDibRaster(b: Array[Byte], off: Int,
+                                         width: Int, height: Int,
+                                         topDown: Boolean = false): Array[Byte] = {
+    val rowSize = bmpRowSize(width)
+    require(b.length.toLong >= off.toLong + rowSize.toLong * height,
+      s"dib: need ${off.toLong + rowSize.toLong * height} bytes, have ${b.length}")
+    val pixels = new Array[Byte](width * height * 3)
+    var fileRow = 0
+    while (fileRow < height) {
+      val logicalRow = if (topDown) fileRow else height - 1 - fileRow
+      var x = 0
+      while (x < width) {
+        val o = off + fileRow * rowSize + x * 3
+        val base = (logicalRow * width + x) * 3
+        pixels(base) = b(o + 2)     // R
+        pixels(base + 1) = b(o + 1) // G
+        pixels(base + 2) = b(o)     // B
+        x += 1
+      }
+      fileRow += 1
+    }
+    pixels
   }
 
   private def decodeBmp(b: Array[Byte]): DecodedImage = {
@@ -126,22 +165,8 @@ object ImageCodec {
     val rowSize = bmpRowSize(width)
     require(dataOffset >= 54 && b.length.toLong >= dataOffset.toLong + rowSize.toLong * height,
       s"bmp: need ${dataOffset.toLong + rowSize.toLong * height} bytes, have ${b.length}")
-    val pixels = new Array[Byte](width * height * 3)
-    var fileRow = 0
-    while (fileRow < height) {
-      val logicalRow = if (topDown) fileRow else height - 1 - fileRow
-      var x = 0
-      while (x < width) {
-        val off = dataOffset + fileRow * rowSize + x * 3
-        val base = (logicalRow * width + x) * 3
-        pixels(base) = b(off + 2)     // R
-        pixels(base + 1) = b(off + 1) // G
-        pixels(base + 2) = b(off)     // B
-        x += 1
-      }
-      fileRow += 1
-    }
-    DecodedImage("bmp", width, height, 3, pixels)
+    DecodedImage("bmp", width, height, 3,
+      decodeDibRaster(b, dataOffset, width, height, topDown))
   }
 
   // ---- netpbm (PPM P6 / PGM P5) -------------------------------------------

@@ -269,6 +269,72 @@ object Multimodal {
       }
   }
 
+  /** Deterministic video fixture: byte `i` of frame `f` of doc `docId` is
+    * `(31·docId + 11·f + 7·i) mod 256` — frame-dependent so a decoder
+    * that returns the wrong frame for an index fails the checksum.
+    */
+  private def frameGen(docId: Long)(f: Int, i: Int): Byte =
+    ((31L * docId + 11L * f + 7L * i) % 256L).toByte
+
+  /** Attach a REAL uncompressed AVI clip to `documents`: dims from
+    * `n_chars`, frame count from `doc_id`, pixels from [[frameGen]].
+    */
+  def withVideoMedia(docs: DataFrame, id: String = "doc_id",
+                     nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val w = (4 + nc % 9).toInt
+          val h = (3 + nc % 7).toInt
+          val nf = (2 + docId % 4).toInt
+          (docId, AviCodec.encodeAvi24(w, h, nf, fps = 10, frameGen(docId)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-clip stats from REAL frame sampling: decode the AVI, pick `n`
+    * evenly spaced frames (`f_j = j·nFrames/n`, exact integer arithmetic),
+    * and fold a per-frame position-weighted pixel checksum scaled by the
+    * sample ordinal — byte-exact evidence that the right FRAME was decoded
+    * at the right index, not just some frame.
+    */
+  case class VideoFrameStats(doc_id: Long, media_bytes: Long, width: Long,
+                             height: Long, n_frames: Long,
+                             frames_sampled: Long, sampled_checksum: Long)
+
+  /** The video-keyframe access pattern made real for raw-frame AVI: same
+    * zero-shuffle `mapPartitions` scan shape as [[decodePixelStats]].
+    */
+  def sampleVideoFrames(media: DataFrame, n: Int): Dataset[VideoFrameStats] = {
+    require(n > 0, s"sampleVideoFrames: n must be > 0, got $n")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val v = AviCodec.decodeAvi24(bytes)
+          var chk = 0L
+          var j = 0
+          while (j < n) {
+            val frame = v.frames(j * v.frames.length / n)
+            var i = 0
+            while (i < frame.length) {
+              chk += (frame(i) & 0xff).toLong * (i % 97 + 1) * (j + 1)
+              i += 1
+            }
+            j += 1
+          }
+          VideoFrameStats(id, bytes.length.toLong, v.width.toLong,
+            v.height.toLong, v.frames.length.toLong, n.toLong, chk)
+        }
+      }
+  }
+
   /** Per-image stats computed FROM THE DECODED PIXELS (not from the
     * generating arithmetic): dimensions and channel count as parsed from
     * the container, plus a plain byte sum and a position-weighted checksum

@@ -188,6 +188,43 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodePcm16("RIFFxxxxJUNK".getBytes))
   }
 
+  test("AviCodec: uncompressed AVI round-trips frame-exact; corrupt clips fail loudly") {
+    // 3 frames of 5x3 (odd width → padded DIB rows), frame-dependent pixels
+    val pix = (f: Int, i: Int) => ((f * 50 + i * 7) % 256).toByte
+    val avi = AviCodec.encodeAvi24(5, 3, 3, fps = 10, pix)
+    assert(AviCodec.isAvi(avi))
+    val v = AviCodec.decodeAvi24(avi)
+    assert((v.width, v.height, v.frames.length) == (5, 3, 3))
+    (0 until 3).foreach { f =>
+      assert(v.frames(f).toSeq == (0 until 45).map(i => pix(f, i)),
+        s"frame $f mis-decoded")
+    }
+    // size arithmetic the oracle relies on: 224 + nf*(8 + rowSize*h)
+    assert(avi.length == 224 + 3 * (8 + 16 * 3))
+    intercept[IllegalArgumentException](AviCodec.decodeAvi24(avi.take(100)))
+    val comp = avi.clone()
+    // find strf's biCompression and corrupt it → must refuse, not misdecode
+    val strfAt = avi.indexOfSlice("strf".getBytes("ASCII"))
+    comp(strfAt + 8 + 16) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](AviCodec.decodeAvi24(comp))
+    intercept[IllegalArgumentException](AviCodec.decodeAvi24("RIFFxxxxWAVE".getBytes))
+  }
+
+  test("video pipeline: sampled-frame stats come from the bytes and match the generator") {
+    val out = Multimodal.sampleVideoFrames(Multimodal.withVideoMedia(docs), 3)
+      .collect().map(v => v.doc_id -> v).toMap
+    // doc 1: n_chars=11 → w=4+11%9=6, h=3+11%7=7; frames = 2+1%4 = 3
+    val v1 = out(1L)
+    assert((v1.width, v1.height, v1.n_frames) == (6L, 7L, 3L))
+    val gen = (f: Int, i: Int) => (31L * 1 + 11L * f + 7L * i) % 256L
+    val expected = (0 until 3).map { j =>
+      val f = j * 3 / 3
+      (0 until 6 * 7 * 3).map(i => gen(f, i) * (i % 97 + 1) * (j + 1)).sum
+    }.sum
+    assert(v1.sampled_checksum == expected)
+    assert(v1.media_bytes == 224L + 3 * (8 + ((3 * 6 + 3) / 4) * 4 * 7))
+  }
+
   test("audio pipeline: decode stats come from the bytes and match the generator") {
     val out = Multimodal.decodeAudioStats(Multimodal.withAudioMedia(docs))
       .collect().map(a => a.doc_id -> a).toMap
