@@ -1833,9 +1833,9 @@ object QueryCatalog {
           .select(col("g"), col("n_rows"), col("nd_exact"),
             Sketches.withinRel(col("_nda"), col("nd_exact"), 0.1).as("hll_ok"),
             round(col("_p50e"), 4).as("p50_exact"),
-            // ~1M near-uniform distinct values: rank error ≤1/accuracy
-            // maps to ~0.1% value error, so a 5% value tolerance is a
-            // stable grade without a third corpus scan
+            // ~100k near-uniform distinct values: rank error ≤1/accuracy
+            // (0.1%) maps to ~0.1% of the value range, so a 5% value
+            // tolerance is a stable grade without a third corpus scan
             Sketches.withinRel(col("_p50a"), col("_p50e"), 0.05).as("p50_ok"))
           .orderBy("g")
       },

@@ -26,7 +26,7 @@ object AviCodec {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
 
-  private def rowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+  private def rowSize(width: Int): Int = Riff.dibRowSize(width)
 
   /** Encode an uncompressed 24-bit AVI: `pix(f, i)` is byte `i` of frame
     * `f`'s logical top-down RGB stream. Minimal spec-complete layout:
@@ -46,18 +46,9 @@ object AviCodec {
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
     val out = new Array[Byte](8 + riffSize)
     var p = 0
-    def tag(s: String): Unit = {
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        .foreach { b => out(p) = b; p += 1 }
-    }
-    def le32(v: Int): Unit = {
-      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
-      out(p + 2) = ((v >> 16) & 0xff).toByte; out(p + 3) = ((v >> 24) & 0xff).toByte
-      p += 4
-    }
-    def le16(v: Int): Unit = {
-      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
-    }
+    def tag(s: String): Unit = { Riff.putTag(out, p, s); p += 4 }
+    def le32(v: Int): Unit = { Riff.putLe32(out, p, v); p += 4 }
+    def le16(v: Int): Unit = { Riff.putLe16(out, p, v); p += 2 }
     tag("RIFF"); le32(riffSize); tag("AVI ")
     tag("LIST"); le32(hdrlSize); tag("hdrl")
     tag("avih"); le32(56)
@@ -106,13 +97,11 @@ object AviCodec {
     */
   def decodeAvi24(b: Array[Byte]): DecodedVideo = {
     require(isAvi(b), "avi: missing RIFF/AVI signature")
-    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def le32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-    def fourcc(i: Int): String =
-      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le16(i: Int): Int = Riff.le16(b, i)
+    def le32(i: Int): Int = Riff.le32(b, i)
+    def fourcc(i: Int): String = Riff.tag(b, i)
     var width = -1; var height = -1
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // chunk offsets
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, declared size)
     // recursive LIST walk: (start, end) byte ranges of chunk sequences
     def walk(start: Int, end: Int): Unit = {
       var p = start
@@ -129,7 +118,7 @@ object AviCodec {
           height = le32(p + 8 + 8)
           require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
             s"avi: implausible dims ${width}x$height")
-        } else if (tag == "00db" || tag == "00dc") frames += (p + 8)
+        } else if (tag == "00db" || tag == "00dc") frames += ((p + 8, size))
         p += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
@@ -137,8 +126,12 @@ object AviCodec {
     require(width > 0, "avi: no 'strf' video format chunk found")
     require(frames.nonEmpty, "avi: no frame chunks found")
     val fb = rowSize(width) * height
-    val decoded = frames.map { off =>
-      require(b.length.toLong >= off.toLong + fb, "avi: truncated frame chunk")
+    val decoded = frames.map { case (off, declared) =>
+      // the chunk's own declared size is the frame extent — comparing
+      // against b.length alone would let a short frame chunk silently
+      // decode the NEXT chunk's bytes as pixels
+      require(declared == fb,
+        s"avi: frame chunk declares $declared bytes, expected $fb for ${width}x$height")
       ImageCodec.decodeDibRaster(b, off, width, height)
     }.toArray
     DecodedVideo(width, height, decoded)

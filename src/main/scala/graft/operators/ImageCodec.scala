@@ -52,14 +52,9 @@ object ImageCodec {
 
   // ---- BMP ----------------------------------------------------------------
 
-  private def le16(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-
-  private def le32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def bmpRowSize(width: Int): Int = ((3 * width + 3) / 4) * 4
+  private def le16(b: Array[Byte], off: Int): Int = Riff.le16(b, off)
+  private def le32(b: Array[Byte], off: Int): Int = Riff.le32(b, off)
+  private def bmpRowSize(width: Int): Int = Riff.dibRowSize(width)
 
   /** Encode a 24-bit uncompressed BMP from logical pixels: `pix(i)` is the
     * i-th byte of the row-major top-down RGB stream. Storage is the spec's
@@ -72,13 +67,8 @@ object ImageCodec {
     val rowSize = bmpRowSize(width)
     val imageSize = rowSize * height
     val out = new Array[Byte](54 + imageSize) // zero-filled → padding is 0
-    def putLe16(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def putLe32(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
-    }
+    def putLe16(off: Int, v: Int): Unit = Riff.putLe16(out, off, v)
+    def putLe32(off: Int, v: Int): Unit = Riff.putLe32(out, off, v)
     out(0) = 'B'; out(1) = 'M'
     putLe32(2, 54 + imageSize) // file size
     putLe32(10, 54)            // pixel data offset

@@ -30,16 +30,9 @@ object WavCodec {
     require(sampleRate > 0 && n >= 0, s"encodePcm16: bad args rate=$sampleRate n=$n")
     val dataBytes = 2 * n
     val out = new Array[Byte](44 + dataBytes)
-    def putLe16(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def putLe32(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
-    }
-    def putTag(off: Int, s: String): Unit =
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        .zipWithIndex.foreach { case (b, i) => out(off + i) = b }
+    def putLe16(off: Int, v: Int): Unit = Riff.putLe16(out, off, v)
+    def putLe32(off: Int, v: Int): Unit = Riff.putLe32(out, off, v)
+    def putTag(off: Int, s: String): Unit = Riff.putTag(out, off, s)
     putTag(0, "RIFF"); putLe32(4, 36 + dataBytes); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe32(16, 16)
     putLe16(20, 1)              // PCM
@@ -63,17 +56,20 @@ object WavCodec {
   def decodePcm16(b: Array[Byte]): DecodedAudio = {
     require(isWav(b), "wav: missing RIFF/WAVE signature")
     var fmtOff = -1; var dataOff = -1; var dataLen = -1
-    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def le32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def le16(i: Int): Int = Riff.le16(b, i)
+    def le32(i: Int): Int = Riff.le32(b, i)
     var p = 12
     while (p + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
-      val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val tag = Riff.tag(b, p)
       val size = le32(p + 4)
       require(size >= 0 && p + 8 + size.toLong <= b.length,
         s"wav: chunk '$tag' size $size overruns the ${b.length}-byte blob")
-      if (tag == "fmt ") fmtOff = p + 8
-      else if (tag == "data") { dataOff = p + 8; dataLen = size }
+      if (tag == "fmt ") {
+        // the PCM format block is 16 bytes; a shorter declared chunk would
+        // read format fields out of the neighboring chunk's bytes
+        require(size >= 16, s"wav: 'fmt ' chunk too short ($size bytes, need 16)")
+        fmtOff = p + 8
+      } else if (tag == "data") { dataOff = p + 8; dataLen = size }
       p += 8 + size + (size & 1) // chunks are word-aligned: odd sizes pad
     }
     require(fmtOff >= 0, "wav: no 'fmt ' chunk")

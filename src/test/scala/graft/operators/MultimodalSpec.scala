@@ -185,6 +185,10 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodePcm16(wav.take(30)))
     val badFmt = wav.clone(); badFmt(20) = 3 // IEEE float format
     intercept[IllegalArgumentException](WavCodec.decodePcm16(badFmt))
+    // a 'fmt ' chunk shorter than the 16-byte PCM block must refuse, not
+    // read format fields out of the neighboring chunk
+    val shortFmt = wav.clone(); shortFmt(16) = 8
+    intercept[IllegalArgumentException](WavCodec.decodePcm16(shortFmt))
     intercept[IllegalArgumentException](WavCodec.decodePcm16("RIFFxxxxJUNK".getBytes))
   }
 
@@ -202,6 +206,12 @@ class MultimodalSpec extends SparkTestBase {
     // size arithmetic the oracle relies on: 224 + nf*(8 + rowSize*h)
     assert(avi.length == 224 + 3 * (8 + 16 * 3))
     intercept[IllegalArgumentException](AviCodec.decodeAvi24(avi.take(100)))
+    // a frame chunk whose declared size disagrees with the strf dims must
+    // refuse, not decode the next chunk's bytes as pixels
+    val shortFrame = avi.clone()
+    val firstDb = avi.indexOfSlice("00db".getBytes("ASCII"))
+    shortFrame(firstDb + 4) = 8 // declare 8 bytes instead of rowSize*h
+    intercept[IllegalArgumentException](AviCodec.decodeAvi24(shortFrame))
     val comp = avi.clone()
     // find strf's biCompression and corrupt it → must refuse, not misdecode
     val strfAt = avi.indexOfSlice("strf".getBytes("ASCII"))
