@@ -414,9 +414,12 @@ object Multimodal {
           greatest((col("media_bytes") * scale * scale).cast("int"), lit(1))))
   }
 
-  /** Frame-sample: pick `n` evenly spaced "frames" (fixed-size byte windows)
-    * from each blob — the video-keyframe access pattern. In-row `transform`
-    * over a `sequence`, no explode of the full frame set.
+  /** Frame-sample STUB for compressed video containers: `n` evenly spaced
+    * fixed-size byte windows per blob — the keyframe ACCESS PATTERN without
+    * a codec. For raw-frame AVI the real thing exists:
+    * [[sampleVideoFrames]] decodes genuine DIB frames via [[AviCodec]].
+    * In-row `transform` over a `sequence`, no explode of the full frame
+    * set.
     */
   def sampleFrames(media: DataFrame, n: Int, frameBytes: Int = 16): DataFrame =
     media.withColumn(
