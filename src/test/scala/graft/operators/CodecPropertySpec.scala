@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Property tests for the container codecs: encode→decode must be the
+  * identity on logical content for ARBITRARY dims and payloads — the
+  * graded queries prove it for the fixture generator; these prove it for
+  * the whole parameter space (odd widths exercising DIB padding, 1-pixel
+  * edges, extreme sample values).
+  *
+  * Case budget: `GRAFT_PROP_CASES` (default 12) — same contract as the
+  * other property suites (see README).
+  */
+class CodecPropertySpec extends SparkTestBase {
+
+  private val nCases: Int = sys.env.getOrElse("GRAFT_PROP_CASES", "12").toInt
+
+  private def gen[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val dims: Gen[(Int, Int)] =
+    for { w <- Gen.chooseNum(1, 40); h <- Gen.chooseNum(1, 30) } yield (w, h)
+
+  test("BMP/PPM/PGM: encode→decode is the identity for arbitrary dims and pixels") {
+    (1L to nCases).foreach { seed =>
+      val (w, h) = gen(dims, seed)
+      val rgb = gen(Gen.listOfN(w * h * 3, Gen.chooseNum(0, 255)), seed + 1000)
+        .map(_.toByte).toArray
+      val gray = gen(Gen.listOfN(w * h, Gen.chooseNum(0, 255)), seed + 2000)
+        .map(_.toByte).toArray
+      Seq(
+        ImageCodec.encodeBmp24(w, h, rgb(_)) -> rgb,
+        ImageCodec.encodePpm(w, h, rgb(_)) -> rgb,
+        ImageCodec.encodePgm(w, h, gray(_)) -> gray
+      ).foreach { case (blob, expected) =>
+        val img = ImageCodec.decode(blob)
+        assert((img.width, img.height) == (w, h), s"seed=$seed dims mismatch")
+        assert(img.pixels.toSeq == expected.toSeq, s"seed=$seed ${img.format} pixels differ")
+        // re-encode is byte-identical (full container determinism)
+        assert(ImageCodec.encode(img).toSeq == blob.toSeq, s"seed=$seed re-encode differs")
+      }
+    }
+  }
+
+  test("WAV PCM: encode→decode is the identity for arbitrary rates and samples") {
+    (1L to nCases).foreach { seed =>
+      val n = gen(Gen.chooseNum(0, 500), seed)
+      val rate = gen(Gen.chooseNum(1, 192000), seed + 1)
+      val samples = gen(Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt)), seed + 2)
+        .map(_.toShort).toArray
+      val a = WavCodec.decodePcm16(WavCodec.encodePcm16(rate, n, samples(_)))
+      assert(a.sampleRate == rate && a.channels == 1, s"seed=$seed header mismatch")
+      assert(a.samples.toSeq == samples.toSeq, s"seed=$seed samples differ")
+    }
+  }
+
+  test("AVI: encode→decode is frame-exact for arbitrary dims and frame counts") {
+    (1L to math.max(1L, nCases / 2L)).foreach { seed =>
+      val (w, h) = gen(dims, seed)
+      val nf = gen(Gen.chooseNum(1, 6), seed + 1)
+      val content = gen(Gen.listOfN(nf * w * h * 3, Gen.chooseNum(0, 255)), seed + 2)
+        .map(_.toByte).toArray
+      val v = AviCodec.decodeAvi24(
+        AviCodec.encodeAvi24(w, h, nf, fps = 25, (f, i) => content(f * w * h * 3 + i)))
+      assert((v.width, v.height, v.frames.length) == (w, h, nf), s"seed=$seed shape")
+      (0 until nf).foreach { f =>
+        assert(v.frames(f).toSeq ==
+          content.slice(f * w * h * 3, (f + 1) * w * h * 3).toSeq,
+          s"seed=$seed frame $f differs")
+      }
+    }
+  }
+
+  test("resizeNearest: output dims exact; every output pixel exists in the source frame") {
+    (1L to nCases).foreach { seed =>
+      val (w, h) = gen(dims, seed)
+      val rgb = gen(Gen.listOfN(w * h * 3, Gen.chooseNum(0, 255)), seed + 3000)
+        .map(_.toByte).toArray
+      val img = ImageCodec.DecodedImage("ppm", w, h, 3, rgb)
+      val (ow, oh) = ImageCodec.fitBox(w, h, 9, 7)
+      assert(ow <= 9 && oh <= 7 && ow >= 1 && oh >= 1, s"seed=$seed box violated")
+      // no upscale: an in-box image passes through unchanged
+      if (w <= 9 && h <= 7) assert((ow, oh) == (w, h))
+      val out = ImageCodec.resizeNearest(img, ow, oh)
+      assert(out.pixels.length == ow * oh * 3)
+      // each output pixel is the exact source pixel the index map names
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          val (xs, ys) = (x * w / ow, y * h / oh)
+          (0 until 3).foreach { c =>
+            assert(out.pixels((y * ow + x) * 3 + c) == rgb((ys * w + xs) * 3 + c),
+              s"seed=$seed pixel ($x,$y,$c)")
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+}
