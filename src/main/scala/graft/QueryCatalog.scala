@@ -1598,6 +1598,39 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio resample, graded byte-exact: decode → integer-exact
+    // nearest-neighbor rate conversion to 12 kHz → re-encode → re-decode.
+    // The fixture's three source rates exercise pass-through (12 kHz,
+    // sample-identical), 1.5× upsample (8 kHz) and 0.75× downsample
+    // (16 kHz); the oracle replays the time-preserving index map
+    // closed-form per output sample.
+    ("q_audio_resample",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(
+            Multimodal.resampleAudio(
+              Multimodal.withAudioMedia(t(s, d, "documents")), outRate = 12000))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 64 + n_chars % 200 AS n,
+             |    8000 + (n_chars % 3) * 4000 AS rate
+             |  FROM documents),
+             |od AS (SELECT doc_id, n, rate, (n * 12000) // rate AS onn FROM dims),
+             |sm AS (
+             |  SELECT d.doc_id, d.onn, t.i,
+             |    ((31*d.doc_id + 7*((t.i * d.rate) // 12000)) % 65536) - 32768 AS s
+             |  FROM od d JOIN range(0, 512) t(i) ON t.i < d.onn),
+             |ag AS (
+             |  SELECT doc_id, onn, sum(s) AS ssum,
+             |    sum(s * (i % 97 + 1)) AS schk, max(abs(s)) AS pk
+             |  FROM sm GROUP BY doc_id, onn)
+             |SELECT doc_id, CAST(44 + 2*onn AS BIGINT) AS media_bytes,
+             |  CAST(12000 AS BIGINT) AS sample_rate, CAST(onn AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // REAL video frame sampling, graded byte-exact — the third modality:
     // the engine encodes a genuine uncompressed AVI (RIFF hdrl/movi, DIB
     // frames) per doc, DECODES it back, picks 3 evenly spaced frames by

@@ -234,6 +234,34 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** REAL audio resample for PCM WAV: decode → nearest-neighbor sample-rate
+    * conversion in exact integer arithmetic (`outN = n·outRate/inRate`,
+    * source index `j·inRate/outRate` — the time-preserving map) →
+    * re-encode at the target rate. A clip already at `outRate` passes
+    * through sample-identical. The audio analog of [[resizeMedia]]; same
+    * zero-shuffle scan shape; graded byte-exact in q_audio_resample.
+    * (Real production resampling would filter+interpolate; nearest is the
+    * honest no-DSP baseline, and the SHAPE — decode, index map, re-encode
+    * — is what a windowed-sinc kernel would drop into.)
+    */
+  def resampleAudio(media: DataFrame, outRate: Int): DataFrame = {
+    require(outRate > 0, s"resampleAudio: outRate must be > 0, got $outRate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val a = WavCodec.decodePcm16(bytes)
+          val outN = (a.samples.length.toLong * outRate / a.sampleRate).toInt
+          val out = WavCodec.encodePcm16(outRate, outN,
+            j => a.samples((j.toLong * a.sampleRate / outRate).toInt))
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Per-clip stats computed FROM THE DECODED SAMPLES: rate and count as
     * parsed from the container, a plain sample sum, a position-weighted
     * checksum (`Σ s(i)·(i mod 97 + 1)` — byte-exact grade for LE order and

@@ -247,6 +247,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(a1.peak_abs == gen.map(math.abs).max)
   }
 
+  test("resampleAudio: integer-exact rate conversion; same-rate clips pass through") {
+    val media = Multimodal.withAudioMedia(docs)
+    val out = Multimodal.decodeAudioStats(Multimodal.resampleAudio(media, 12000))
+      .collect().map(a => a.doc_id -> a).toMap
+    // doc 1: 75 samples @16000 → downsample: outN = 75*12000/16000 = 56,
+    // src index j*16000/12000 = j*4/3
+    val a1 = out(1L)
+    assert((a1.sample_rate, a1.n_samples) == (12000L, 56L))
+    val gen = (i: Int) => ((31L * 1 + 7L * i) % 65536L) - 32768L
+    val resampled = (0 until 56).map(j => gen(j * 16000 / 12000))
+    assert(a1.sample_sum == resampled.sum)
+    assert(a1.sample_checksum ==
+      resampled.zipWithIndex.map { case (v, i) => v * (i % 97 + 1) }.sum)
+    // doc 2: n_chars=3 → rate 8000 + (3%3)*4000 = 8000 → 1.5× upsample of
+    // n = 64+3 = 67 samples → 100
+    assert((out(2L).sample_rate, out(2L).n_samples) == (12000L, 100L))
+  }
+
   test("pixel pipeline: decode stats come from the bytes and match the generator") {
     val out = Multimodal.decodePixelStats(Multimodal.withPixelMedia(docs))
       .collect().map(p => p.doc_id -> p).toMap
