@@ -253,7 +253,18 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
           val a = WavCodec.decodePcm16(bytes)
-          val outN = (a.samples.length.toLong * outRate / a.sampleRate).toInt
+          // the decoder accepts multi-channel PCM but this index map (and
+          // the mono re-encoder) would scramble interleaved channels —
+          // refuse rather than emit a corrupt clip with a wrong header
+          require(a.channels == 1,
+            s"resampleAudio: mono PCM only (got ${a.channels} channels) — " +
+              "resample per channel before interleaving")
+          // Long until bounds-checked: a large clip at a high upsample
+          // ratio could wrap .toInt into a small positive wrong count
+          val outNL = a.samples.length.toLong * outRate / a.sampleRate
+          require(outNL <= (Int.MaxValue - 44) / 2,
+            s"resampleAudio: output clip of $outNL samples exceeds the WAV container bound")
+          val outN = outNL.toInt
           val out = WavCodec.encodePcm16(outRate, outN,
             j => a.samples((j.toLong * a.sampleRate / outRate).toInt))
           (id, out)
