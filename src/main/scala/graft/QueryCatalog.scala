@@ -60,11 +60,13 @@ object QueryCatalog {
     */
   private[graft] def stageArrivalFile(df: DataFrame, inDir: String,
                                       name: String, mtimeMs: Long): Unit = {
-    import scala.jdk.CollectionConverters._
-    val stage = java.nio.file.Files.createTempDirectory("stage_arrival").resolve("out")
+    // staging dir registered via scratchDir so the shutdown hook removes it
+    val stage = java.nio.file.Paths.get(scratchDir("stage_arrival")).resolve("out")
     df.coalesce(1).write.parquet(stage.toString)
-    val part = java.nio.file.Files.list(stage).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).next()
+    // listFiles (not Files.list) — the stream variant leaks a file
+    // descriptor per arrival file unless explicitly closed
+    val part = stage.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
     val dst = java.nio.file.Paths.get(inDir, name)
     java.nio.file.Files.move(part, dst)
     java.nio.file.Files.setLastModifiedTime(dst,
@@ -1798,10 +1800,16 @@ object QueryCatalog {
     // documented cap contract.
     ("q_skew_dedup",
       (s: SparkSession, _: String) => {
+        // tail docs are TOKEN-DISJOINT (every token embeds the doc id), so
+        // any cross-doc candidate pair verifies at Jaccard exactly 0 — the
+        // oracle's n_lsh_pairs = 0 follows solely from the hot-bucket cap
+        // contract, not from threshold filtering of a near-miss tail
         val docs = s.range(1000000L).select(col("id").as("doc_id"),
           when(col("id") < 999000L,
             lit("all the same boilerplate body of text repeated across the corpus"))
-            .otherwise(concat(lit("unique document text number "), col("id")))
+            .otherwise(concat(
+              lit("tok"), col("id"), lit("a tok"), col("id"),
+              lit("b tok"), col("id"), lit("c")))
             .as("text"))
         val ex = Dedup.exact(docs, "doc_id", "text")
         // 16 hashes / 8 bands: the graded property is the bucket-cap
@@ -1820,7 +1828,7 @@ object QueryCatalog {
              |  SELECT range AS doc_id,
              |    CASE WHEN range < 999000
              |      THEN 'all the same boilerplate body of text repeated across the corpus'
-             |      ELSE 'unique document text number ' || range END AS text
+             |      ELSE 'tok' || range || 'a tok' || range || 'b tok' || range || 'c' END AS text
              |  FROM range(1000000)),
              |f AS (
              |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -102,24 +102,43 @@ object AviCodec {
     def fourcc(i: Int): String = Riff.tag(b, i)
     var width = -1; var height = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, declared size)
-    // recursive LIST walk: (start, end) byte ranges of chunk sequences
-    def walk(start: Int, end: Int): Unit = {
+    // Iterative depth-first in-order LIST walk. Recursion depth here would
+    // be attacker-controlled — a blob of nested LISTs (~length/12 deep)
+    // raises StackOverflowError, a fatal JVM error, instead of the
+    // documented IllegalArgumentException. The continuation stack holds
+    // suspended (resume, end) positions in enclosing lists, so traversal
+    // order (and thus frame order and first-strf selection) is identical
+    // to the recursive form: descend into a LIST immediately, resume the
+    // parent after it.
+    def walk(start: Int, end0: Int): Unit = {
+      val resume = scala.collection.mutable.Stack.empty[(Int, Int)]
       var p = start
-      while (p + 8 <= end) {
-        val tag = fourcc(p)
-        val size = le32(p + 4)
-        require(size >= 0 && p + 8 + size.toLong <= end,
-          s"avi: chunk '$tag' size $size overruns its parent list")
-        if (tag == "LIST") walk(p + 12, p + 8 + size) // skip the list type fourcc
-        else if (tag == "strf" && width < 0 && size >= 40) {
-          require(le16(p + 8 + 14) == 24, s"avi: only 24-bit DIB frames supported")
-          require(le32(p + 8 + 16) == 0, s"avi: only uncompressed (BI_RGB) frames supported")
-          width = le32(p + 8 + 4)
-          height = le32(p + 8 + 8)
-          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
-            s"avi: implausible dims ${width}x$height")
-        } else if (tag == "00db" || tag == "00dc") frames += ((p + 8, size))
-        p += 8 + size + (size & 1) // chunks are word-aligned
+      var end = end0
+      while (p + 8 <= end || resume.nonEmpty) {
+        if (p + 8 > end) {
+          val (rp, re) = resume.pop(); p = rp; end = re
+        } else {
+          val tag = fourcc(p)
+          val size = le32(p + 4)
+          require(size >= 0 && p + 8 + size.toLong <= end,
+            s"avi: chunk '$tag' size $size overruns its parent list")
+          val next = p + 8 + size + (size & 1) // chunks are word-aligned
+          if (tag == "LIST") {
+            resume.push((next, end)) // suspend parent, descend now
+            end = p + 8 + size
+            p += 12 // skip the list type fourcc
+          } else {
+            if (tag == "strf" && width < 0 && size >= 40) {
+              require(le16(p + 8 + 14) == 24, s"avi: only 24-bit DIB frames supported")
+              require(le32(p + 8 + 16) == 0, s"avi: only uncompressed (BI_RGB) frames supported")
+              width = le32(p + 8 + 4)
+              height = le32(p + 8 + 8)
+              require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+                s"avi: implausible dims ${width}x$height")
+            } else if (tag == "00db" || tag == "00dc") frames += ((p + 8, size))
+            p = next
+          }
+        }
       }
     }
     walk(12, b.length)

@@ -653,14 +653,19 @@ object Dedup {
     val spark = batch.sparkSession
     checkLshParams(spark, table, shingleK, numHashes, bands)
     require(maxBatchRows > 0, s"nearDupAgainstIndex: maxBatchRows must be > 0, got $maxBatchRows")
-    // saturating +1: maxBatchRows = Int.MaxValue means "unbounded", and a
-    // wrapped negative limit would be an AnalysisException on every call
-    val probed = batch.limit(
-      if (maxBatchRows == Int.MaxValue) Int.MaxValue else maxBatchRows + 1).count()
-    require(probed <= maxBatchRows,
-      s"nearDupAgainstIndex: ingest batch exceeds maxBatchRows=$maxBatchRows — the " +
-        "batch token arrays ride a broadcast, so an unbounded batch would blow " +
-        "executor memory. Split the ingest into smaller batches or raise the budget.")
+    // Int.MaxValue is the documented "unbounded" escape hatch: skip the
+    // probe entirely — limit(MaxValue).count() would still pay a full
+    // count job over the batch lineage for a check that cannot fail.
+    // Caveat: the probe evaluates the batch lineage a second time (the
+    // candidate join below is the first) — a nondeterministic batch source
+    // should be cached/checkpointed by the caller before this call.
+    if (maxBatchRows != Int.MaxValue) {
+      val probed = batch.limit(maxBatchRows + 1).count()
+      require(probed <= maxBatchRows,
+        s"nearDupAgainstIndex: ingest batch exceeds maxBatchRows=$maxBatchRows — the " +
+          "batch token arrays ride a broadcast, so an unbounded batch would blow " +
+          "executor memory. Split the ingest into smaller batches or raise the budget.")
+    }
     val cands = bandKeys(batch, id, text, "batch_id", shingleK, numHashes, bands)
       .join(graft.sources.Bucketed.read(spark, table), Seq("bb"))
       .select(col("batch_id"), explode(col("ids")).as("corpus_id"))

@@ -75,6 +75,31 @@ class CodecPropertySpec extends SparkTestBase {
     }
   }
 
+  test("AVI: 100k-deep nested LISTs fail with IAE, not StackOverflowError") {
+    // attacker-controlled nesting depth must never become recursion depth:
+    // the walk is iterative, so a pathological blob terminates normally and
+    // then fails the documented "no 'strf'" require
+    val depth = 100000
+    var inner = Array[Byte]('j', 'u', 'n', 'k') // innermost LIST type fourcc only
+    (1 to depth).foreach { _ =>
+      val out = new java.io.ByteArrayOutputStream(inner.length + 12)
+      out.write(Array[Byte]('L', 'I', 'S', 'T'))
+      val size = inner.length + 4
+      out.write(Array[Byte](size.toByte, (size >> 8).toByte, (size >> 16).toByte, (size >> 24).toByte))
+      out.write(Array[Byte]('r', 'e', 'c', ' '))
+      out.write(inner)
+      inner = out.toByteArray
+    }
+    val body = new java.io.ByteArrayOutputStream(inner.length + 12)
+    body.write(Array[Byte]('R', 'I', 'F', 'F'))
+    val rsz = inner.length + 4
+    body.write(Array[Byte](rsz.toByte, (rsz >> 8).toByte, (rsz >> 16).toByte, (rsz >> 24).toByte))
+    body.write(Array[Byte]('A', 'V', 'I', ' '))
+    body.write(inner)
+    val ex = intercept[IllegalArgumentException](AviCodec.decodeAvi24(body.toByteArray))
+    assert(ex.getMessage.contains("strf"))
+  }
+
   test("resizeNearest: output dims exact; every output pixel exists in the source frame") {
     (1L to nCases).foreach { seed =>
       val (w, h) = gen(dims, seed)
