@@ -1570,6 +1570,42 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL PNG decode, graded byte-exact: the engine encodes each doc into
+    // a genuine PNG (chunk layout + CRC-32 + JDK zlib deflate, per-row
+    // filter rotating (doc_id+row) mod 5 so every filter branch is live),
+    // DECODES the bytes through the full pipeline — chunk walk, CRC check,
+    // Inflater, None/Sub/Up/Average/Paeth reconstruction — and reduces to
+    // the position-weighted checksum. The oracle never sees the container:
+    // it replays the closed-form pixel generator, so the numbers only
+    // match if filter→deflate→inflate→reconstruct is an exact identity.
+    // media_bytes is intentionally NOT graded: DEFLATE output size is not
+    // closed-form replayable.
+    ("q_png_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(Multimodal.withPngMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1
+             |         WHEN 1 THEN 3 ELSE 4 END AS c
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.c,
+             |    sum((31*d.doc_id + 7*t.i) % 256) AS pix_sum,
+             |    sum(((31*d.doc_id + 7*t.i) % 256) * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 1024) t(i) ON t.i < d.w*d.h*d.c
+             |  GROUP BY d.doc_id, d.w, d.h, d.c)
+             |SELECT doc_id, 'png' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL audio decode, graded byte-exact — the audio modality analog of
     // q_pixel_decode: the engine encodes a genuine RIFF/WAVE 16-bit PCM
     // clip per doc, DECODES the bytes back (chunk scan, LE samples, sign),

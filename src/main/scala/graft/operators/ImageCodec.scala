@@ -17,9 +17,11 @@ package graft.operators
   * pair is exact-inverse on that logical order, which is what lets the
   * graded pixel query predict decode output in closed form.
   *
-  * Compressed containers (PNG/JPEG/WebP) genuinely need codec libraries
-  * that this environment does not ship; [[Multimodal.FakeCodec]] remains
-  * the labeled stand-in for those, behind the same byte signature.
+  * PNG routes to [[PngCodec]] — REAL decode, since PNG's entropy coder is
+  * zlib DEFLATE and `java.util.zip.Inflater` ships in the JDK. Only
+  * JPEG (Huffman+DCT) and WebP (VP8) genuinely need codec libraries this
+  * environment does not ship; [[Multimodal.FakeCodec]] remains the
+  * labeled stand-in for those, behind the same byte signature.
   */
 object ImageCodec {
 
@@ -29,11 +31,13 @@ object ImageCodec {
   final case class DecodedImage(format: String, width: Int, height: Int,
                                 channels: Int, pixels: Array[Byte])
 
-  /** Container sniff on magic bytes alone: Some("bmp"|"ppm"|"pgm") when
-    * this codec can decode the blob, None otherwise (including null/short).
+  /** Container sniff on magic bytes alone: Some("bmp"|"ppm"|"pgm"|"png")
+    * when this codec can decode the blob, None otherwise (including
+    * null/short).
     */
   def sniff(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 2) None
+    else if (PngCodec.isPng(bytes)) Some("png")
     else (bytes(0), bytes(1)) match {
       case ('B', 'M') => Some("bmp")
       case ('P', '6') => Some("ppm")
@@ -46,8 +50,9 @@ object ImageCodec {
     case Some("bmp") => decodeBmp(bytes)
     case Some("ppm") => decodeNetpbm(bytes, "ppm", 3)
     case Some("pgm") => decodeNetpbm(bytes, "pgm", 1)
+    case Some("png") => PngCodec.decodePng(bytes)
     case _ => throw new IllegalArgumentException(
-      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6' or PGM 'P5' magic)")
+      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5' or PNG magic)")
   }
 
   // ---- BMP ----------------------------------------------------------------
@@ -197,6 +202,8 @@ object ImageCodec {
     case "pgm" =>
       require(img.channels == 1, s"pgm: 1 channel required, got ${img.channels}")
       encodePgm(img.width, img.height, img.pixels(_))
+    case "png" =>
+      PngCodec.encodePng(img.width, img.height, img.channels, img.pixels(_))
     case other => throw new IllegalArgumentException(s"encode: unsupported format '$other'")
   }
 

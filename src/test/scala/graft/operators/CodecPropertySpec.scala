@@ -75,6 +75,46 @@ class CodecPropertySpec extends SparkTestBase {
     }
   }
 
+  test("PNG: encode→decode is the identity for arbitrary dims, channels and filters") {
+    (1L to nCases).foreach { seed =>
+      val (w, h) = gen(dims, seed)
+      val c = gen(Gen.oneOf(1, 3, 4), seed + 4000)
+      val px = gen(Gen.listOfN(w * h * c, Gen.chooseNum(0, 255)), seed + 5000)
+        .map(_.toByte).toArray
+      // fixed per-image filter AND rotating filter: both must round-trip
+      Seq[Int => Int](_ => (seed % 5).toInt, r => (r + seed).toInt % 5).foreach { fo =>
+        val blob = PngCodec.encodePng(w, h, c, px(_), fo)
+        assert(ImageCodec.sniff(blob).contains("png"), s"seed=$seed sniff")
+        val img = ImageCodec.decode(blob)
+        assert((img.format, img.width, img.height, img.channels) == ("png", w, h, c),
+          s"seed=$seed shape")
+        assert(img.pixels.toSeq == px.toSeq, s"seed=$seed pixels differ")
+        // ImageCodec.encode dispatch re-encodes decodable pngs
+        assert(ImageCodec.decode(ImageCodec.encode(img)).pixels.toSeq == px.toSeq)
+      }
+    }
+  }
+
+  test("PNG: malformed blobs fail with IAE — truncation, CRC flip, bad filter, size lies") {
+    val good = PngCodec.encodePng(5, 4, 3, i => (i * 7).toByte)
+    // truncations at every prefix length fail loudly and only with IAE
+    (8 until good.length by 7).foreach { n =>
+      intercept[IllegalArgumentException](PngCodec.decodePng(good.take(n)))
+    }
+    // flip one payload byte inside IDAT → CRC catches it
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x55).toByte
+    assert(intercept[IllegalArgumentException](PngCodec.decodePng(corrupt))
+      .getMessage.contains("CRC"))
+    // the synthetic header-only fixture (IHDR + text payload, zero CRC)
+    // must reject — that is what routes it to the FakeCodec fallback
+    val fixture = good.take(33) ++ "some text payload".getBytes("UTF-8")
+    intercept[IllegalArgumentException](PngCodec.decodePng(fixture))
+    // filter byte 5 is out of spec: rebuild IDAT with a bad filter
+    intercept[IllegalArgumentException](
+      PngCodec.encodePng(3, 3, 1, _ => 0.toByte, _ => 5))
+  }
+
   test("AVI: 100k-deep nested LISTs fail with IAE, not StackOverflowError") {
     // attacker-controlled nesting depth must never become recursion depth:
     // the walk is iterative, so a pathological blob terminates normally and
