@@ -248,16 +248,18 @@ object Dedup {
     * maxHamming ≤ 3). Buckets are size-capped like [[minhashLsh]]'s: a hot
     * chunk key (e.g. every near-empty doc hashing to the same signature)
     * is dropped instead of exploding into O(n²) pairs on one reducer.
+    * `reliable` picks the [[Materialize]] persistence mode for the
+    * signature relation (executor-loss tradeoff documented there).
     */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 1000,
+                   reliable: Boolean = false): DataFrame = {
     import graft.functions.{simhash64, popcount64}
     // signatures materialized once (16 bytes/doc — corpus-text-free): the
     // chunk explode and both verification joins would otherwise each
     // re-tokenize and re-hash the full corpus
-    val sigs = docs.select(col(id).as("doc_id"),
-      simhash64(TextAnalysis.tokens(col(text))).as("sig"))
-      .localCheckpoint(false)
+    val sigs = Materialize.once(docs.select(col(id).as("doc_id"),
+      simhash64(TextAnalysis.tokens(col(text))).as("sig")), reliable)
     // chunk shift amounts unrolled Scala-side: shiftright needs an Int literal
     val chunks = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(c =>
@@ -376,19 +378,21 @@ object Dedup {
     *
     * Scale shape: shingles hash to 64-bit in-row before anything shuffles
     * — the exchange carries (doc_id, hash) longs, never shingle text. The
-    * shingle relation is materialized once (non-eager localCheckpoint) and
-    * feeds both the per-shingle doc-frequency aggregate and the per-doc
-    * totals; both aggregates are plain two-phase hash aggs. No join ever
+    * shingle relation is materialized once ([[Materialize.once]] — the
+    * `reliable` knob picks localCheckpoint vs replicated persist, tradeoff
+    * documented there) and feeds both the per-shingle doc-frequency
+    * aggregate and the per-doc totals; both aggregates are plain two-phase
+    * hash aggs. No join ever
     * explodes: the doc-frequency side is (distinct-shingle)-sized and the
     * equi-join back is on the hash key.
     */
   def duplicateSpans(docs: DataFrame, id: String, text: String,
-                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+                     k: Int = 8, minDocs: Int = 2,
+                     reliable: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"duplicateSpans: minDocs must be >= 2, got $minDocs")
-    val sh = docs.select(col(id).as("doc_id"),
+    val sh = Materialize.once(docs.select(col(id).as("doc_id"),
         explode(graft.functions.word_shingles(col(text), k)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")), reliable)
     // rows are (doc, shingle)-distinct (kernel dedups within a doc), so a
     // plain count per hash IS the shingle's document frequency
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("nd"))
@@ -431,15 +435,11 @@ object Dedup {
     *    doc that is nearly all duplicated spans, still memory-bounded by
     *    the row.
     *
-    * Fault-tolerance tradeoff: the span relation is `localCheckpoint`ed so
-    * it computes once and feeds both the doc-frequency aggregate and the
-    * start-set join — but localCheckpoint stores the blocks executor-local
-    * with TRUNCATED lineage, so losing an executor mid-job fails the job
-    * (no recompute path), and the pinned relation is corpus-sized
-    * (~tokens-per-doc rows/doc at 12 bytes + overhead). On a long cluster
-    * run where executor loss is expected, prefer `reliable = true`, which
-    * swaps in a replicated persist (MEMORY_AND_DISK_2) that survives a
-    * single executor loss at the cost of 2× storage traffic.
+    * Fault-tolerance: the span relation computes once and feeds both the
+    * doc-frequency aggregate and the start-set join; it is corpus-sized
+    * (~tokens-per-doc rows/doc at 12 bytes + overhead), so the `reliable`
+    * knob matters here — see [[Materialize.once]] for the
+    * localCheckpoint-vs-replicated-persist tradeoff it selects.
     */
   def removeDuplicateSpans(docs: DataFrame, id: String, text: String,
                            k: Int = 6, minDocs: Int = 2,
@@ -454,9 +454,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(tk) - $k), i -> xxhash64(array_join(slice(tk, i + 1, $k), ' ')))")))
       .toDF("doc_id", "pos", "h")
-    val sh = if (reliable)
-      shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
-    else shPlan.localCheckpoint(false)
+    val sh = Materialize.once(shPlan, reliable)
     val dupH = sh.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

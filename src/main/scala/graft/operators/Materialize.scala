@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** House-wide "compute once, read many times" materialization for the
+  * multi-consumer intermediate relations (shingle/bigram/signature/token
+  * tables) that several downstream branches read.
+  *
+  * The tradeoff the `reliable` knob controls, stated once here and
+  * referenced by every operator that exposes it:
+  *
+  *  - `reliable = false` (default): non-eager `localCheckpoint`. Blocks
+  *    are stored executor-local with TRUNCATED lineage — the cheapest way
+  *    to stop Catalyst's separately-pruned subplans from re-scanning and
+  *    re-deriving the corpus per consumer (plain `.cache()` does not help
+  *    for self-join shapes: attribute dedup defeats the cache lookup).
+  *    The cost: losing an executor mid-job fails the job, because there is
+  *    no recompute path. Right for single-node runs and short jobs.
+  *  - `reliable = true`: replicated persist (MEMORY_AND_DISK_2). Every
+  *    block lives on two executors, so the job survives a single executor
+  *    loss, at the cost of 2× storage traffic and memory/disk footprint.
+  *    Right for long cluster runs where executor loss is expected —
+  *    at 1000 executors some loss is routine, and an hours-long curation
+  *    pass should not restart because one machine went away.
+  *
+  * Either way the relation is materialized once; the ContextCleaner frees
+  * the blocks when the frame becomes unreferenced.
+  */
+private[graft] object Materialize {
+  def once(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    else df.localCheckpoint(eager = false)
+}

@@ -238,7 +238,8 @@ object TextAnalysis {
     *
     * Plan: one corpus scan explodes bigram windows
     * ([[graft.functions.word_ngrams]], codegen'd); the relation is
-    * materialized once (non-eager localCheckpoint) and feeds the bigram
+    * materialized once ([[Materialize.once]]; `reliable` picks the
+    * persistence mode, tradeoff documented there) and feeds the bigram
     * counts, the context counts (an aggregate OVER the bigram aggregate —
     * vocabulary-sized input, not corpus-sized), and the scoring join. The
     * vocabulary size is a second, text-column-pruned scan: V cannot be
@@ -249,10 +250,10 @@ object TextAnalysis {
     * count. Both joins are equi-joins on token keys; AQE broadcasts the
     * (vocabulary-bounded) count sides when they fit.
     */
-  def lmScore(docs: DataFrame, id: String, text: String): DataFrame = {
-    val bg = docs.select(col(id).as("doc_id"),
-        explode(graft.functions.word_ngrams(col(text), 2)).as("bg"))
-      .localCheckpoint(false)
+  def lmScore(docs: DataFrame, id: String, text: String,
+              reliable: Boolean = false): DataFrame = {
+    val bg = Materialize.once(docs.select(col(id).as("doc_id"),
+        explode(graft.functions.word_ngrams(col(text), 2)).as("bg")), reliable)
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     // context count = occurrences of w1 as a bigram start — summed from the

@@ -161,6 +161,31 @@ class CurationSpec extends SparkTestBase {
     assert(new java.io.File(dir, "split=train").listFiles().count(_.getName.endsWith(".json")) == 4)
   }
 
+  test("reliable=true (replicated persist) is result-identical at every Materialize site") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+      .select("doc_id", "text").limit(120)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Curation.tfidfTopTerms(docs, "doc_id", "text", reliable = true)) ==
+      rows(Curation.tfidfTopTerms(docs, "doc_id", "text")))
+    assert(rows(Curation.contamination(docs.limit(40), docs, "doc_id", "text", reliable = true)) ==
+      rows(Curation.contamination(docs.limit(40), docs, "doc_id", "text")))
+    assert(rows(TextAnalysis.lmScore(docs, "doc_id", "text", reliable = true)) ==
+      rows(TextAnalysis.lmScore(docs, "doc_id", "text")))
+    assert(rows(Dedup.duplicateSpans(docs, "doc_id", "text", reliable = true)) ==
+      rows(Dedup.duplicateSpans(docs, "doc_id", "text")))
+    assert(rows(Dedup.simhashPairs(docs, "doc_id", "text", reliable = true)) ==
+      rows(Dedup.simhashPairs(docs, "doc_id", "text")))
+    assert(rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text", reliable = true)) ==
+      rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text")))
+    val (cr, rep) = Curation.curate(docs, "doc_id", "text", reliable = true)
+    val (cf, repF) = Curation.curate(docs, "doc_id", "text")
+    assert(rows(cr) == rows(cf) && rep == repF)
+    // replicated persists must not linger after the frames are dropped —
+    // unpersist what this test pinned so later suites start clean
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
+
   test("curate: end-to-end pipeline drops planted junk, exact dups, and near-dups") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
       .select("doc_id", "text")
