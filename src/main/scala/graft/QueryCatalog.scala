@@ -956,6 +956,51 @@ object QueryCatalog {
              |  CAST(0 AS BIGINT) AS subset_violations
              |FROM documents""".stripMargin)),
 
+    // minhashLsh at 10× the graded corpus (55k docs vs the 5.5k of
+    // q_minhash_lsh) — the measured counterpart of the ids-only-exchange
+    // claim, same pattern q_sketch_scale uses for sketches: generate the
+    // corpus in-query so bench tracks the runtime shape at volume. Docs
+    // are TOKEN-DISJOINT (every token embeds the doc id), so banding
+    // buckets hold only each doc and its planted clone: recall of the 5k
+    // exact clones is probability-1 (identical text → identical signature
+    // → every band collides), and exact verification makes extra pairs
+    // provably zero (cross-doc Jaccard is exactly 0). The exchange carries
+    // (band, hash, id) rows only — 8×55k = 440k longs, never text — which
+    // is WHY this shape survives 100 TB.
+    ("q_lsh_scale",
+      (s: SparkSession, _: String) => {
+        val base = s.range(50000L).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit("tok"), col("id"), lit(s"x$j"))): _*).as("text"))
+        val corpus = base.union(
+          base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val lsh = Dedup.minhashLsh(corpus, "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).cache()
+        try {
+          val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+          val plantedExpected = base.filter(col("doc_id") % 10 === 0)
+            .agg(count(lit(1)).as("planted_expected"))
+          val plantedFound = lsh
+            .filter(col("b_id") === col("a_id") + 1000000L
+              && col("a_id") < 1000000L && col("jaccard") === 1.0)
+            .agg(count(lit(1)).as("planted_found"))
+          val extra = lsh
+            .filter(!(col("b_id") === col("a_id") + 1000000L) || col("jaccard") =!= 1.0)
+            .agg(count(lit(1)).as("extra_pairs"))
+          val summary = nDocs.crossJoin(plantedExpected).crossJoin(plantedFound)
+            .crossJoin(extra)
+          s.createDataFrame(java.util.List.of(summary.collect(): _*), summary.schema)
+        } finally lsh.unpersist()
+      },
+      Some("""WITH r AS (SELECT range AS id FROM range(50000)),
+             |c AS (SELECT count(*) AS n FROM r WHERE id % 10 = 0)
+             |SELECT CAST((SELECT count(*) FROM r) + c.n AS BIGINT) AS n_docs,
+             |  CAST(c.n AS BIGINT) AS planted_expected,
+             |  CAST(c.n AS BIGINT) AS planted_found,
+             |  CAST(0 AS BIGINT) AS extra_pairs
+             |FROM c""".stripMargin)),
+
     // same invariant pattern for SimHash: planted clones are hamming-0
     // (always recalled via every chunk), and the 4×16-bit pigeonhole makes
     // the output *complete* for maxHamming ≤ 3 — checked brute-force on a
