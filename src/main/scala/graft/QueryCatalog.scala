@@ -1424,6 +1424,43 @@ object QueryCatalog {
              |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // The training-export sink end-to-end: splitAssign → exportJsonl's
+    // split-partitioned hash-sharded JSONL layout → read back through the
+    // partition-discovered directory tree → per-split content profile. The
+    // oracle replays the split thresholds off the parquet originals, so
+    // the row grades BOTH the deterministic assignment and export/re-read
+    // fidelity (escaping, nulls, numeric width) on the partitioned layout;
+    // the 4-files-per-split shard layout itself is asserted in
+    // CurationSpec (file counts aren't an oracle-replayable property).
+    ("q_export_jsonl",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text", "n_chars")
+        val path = scratchDir("verify_export")
+        Curation.exportJsonl(Curation.splitAssign(docs, "doc_id"),
+          "split", "doc_id", shards = 4, path)
+        s.read.schema(docs.schema).json(path)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"))
+          .orderBy("split")
+      },
+      Some("""WITH s AS (
+             |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+             |              WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+             |              ELSE 'test' END AS split, doc_id, text, n_chars
+             |  FROM documents)
+             |SELECT split, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+             |FROM s GROUP BY split ORDER BY split""".stripMargin)),
+
     ("q_reddit_pipeline_summary",
       (s: SparkSession, _: String) => {
         val root = scratchDir("verify_posts")
