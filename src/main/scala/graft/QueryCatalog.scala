@@ -1424,6 +1424,38 @@ object QueryCatalog {
              |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Gzip-compressed JSONL ingest: documents → .json.gz shards →
+    // readClean (codec selected by extension) → the q_jsonl_roundtrip
+    // profile, plus an all_gz flag proving the scan really read
+    // compressed files. Non-splittability is the documented tradeoff
+    // (JsonLinesSpec measures it: one .gz file = one task); fidelity
+    // through the compressed path is what this row grades.
+    ("q_jsonl_gzip",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = scratchDir("verify_jsonl_gz")
+        graft.sources.JsonLines.writeGzip(docs, path)
+        graft.sources.JsonLines.readClean(s, path, docs.schema)
+          // projected BEFORE the aggregate: input_file_name() is
+          // nondeterministic and may not ride inside agg arguments
+          .withColumn("gz",
+            when(input_file_name().endsWith(".json.gz"), 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"),
+            (min(col("gz")) === 1L).as("all_gz"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+             |  true AS all_gz
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // The training-export sink end-to-end: splitAssign → exportJsonl's
     // split-partitioned hash-sharded JSONL layout → read back through the
     // partition-discovered directory tree → per-split content profile. The

@@ -28,6 +28,23 @@ object JsonLines {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Write as gzip-compressed JSON Lines (`part-*.json.gz`) — the shape
+    * compressed corpus shards actually arrive in. The reader side needs no
+    * new code: Spark selects the decompression codec by file extension,
+    * so [[readClean]]/[[badRecords]] work on `.gz` paths unchanged.
+    *
+    * Scale tradeoff, stated plainly: gzip is NOT SPLITTABLE. A plain
+    * JSONL file splits at arbitrary byte offsets (read parallelism follows
+    * bytes); a `.json.gz` file is ONE stream → ONE task, so read
+    * parallelism follows file COUNT. When producing shards for a 1000-
+    * executor consumer, size the shard count to the consumer's
+    * parallelism (`df.repartition(n)` before this call), not to the
+    * writer's — a single 100 GB .gz shard serializes the whole downstream
+    * scan behind one core.
+    */
+  def writeGzip(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
   /** Clean rows only: the parser drops malformed lines in-stream
     * (DROPMALFORMED), so nothing is cached and no corrupt column exists —
     * the shape for the 100 TB read path. Pair with [[badRecords]] when the
