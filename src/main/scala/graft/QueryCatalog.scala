@@ -1720,6 +1720,54 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // The resize chain through the PNG codec — q_pixel_resize's pattern
+    // with deflate in the loop and a 4-channel (RGBA) path live: decode →
+    // integer box-fit → nearest-neighbor resample → re-encode as PNG →
+    // decode AGAIN and checksum. The oracle replays the whole chain
+    // closed-form per output pixel; a match requires both decodes, the
+    // index map, and the re-encode (filter + deflate) to be bit-faithful.
+    ("q_png_resize",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.resizeMedia(
+              Multimodal.withPngMedia(t(s, d, "documents")), maxW = 9, maxH = 7))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 1
+             |         WHEN 1 THEN 3 ELSE 4 END AS c
+             |  FROM documents),
+             |od AS (
+             |  SELECT doc_id, w, h, c,
+             |    CASE WHEN w <= 9 AND h <= 7 THEN w
+             |         WHEN w*7 <= h*9 THEN greatest(1, (w*7)//h)
+             |         ELSE 9 END AS ow,
+             |    CASE WHEN w <= 9 AND h <= 7 THEN h
+             |         WHEN w*7 <= h*9 THEN 7
+             |         ELSE greatest(1, (h*9)//w) END AS oh
+             |  FROM dims),
+             |pxmap AS (
+             |  SELECT d.doc_id, d.ow, d.oh, d.c, t.i,
+             |    (31*d.doc_id + 7*(
+             |      ((((t.i // (d.c*d.ow)) * d.h) // d.oh) * d.w
+             |        + ((((t.i // d.c) % d.ow) * d.w) // d.ow)) * d.c
+             |      + (t.i % d.c))) % 256 AS val
+             |  FROM od d JOIN range(0, 1024) t(i) ON t.i < d.ow*d.oh*d.c),
+             |px AS (
+             |  SELECT doc_id, ow, oh, c,
+             |    sum(val) AS pix_sum, sum(val * (i % 97 + 1)) AS pix_checksum
+             |  FROM pxmap GROUP BY doc_id, ow, oh, c)
+             |SELECT doc_id, 'png' AS format,
+             |  CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(ow*oh*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL audio decode, graded byte-exact — the audio modality analog of
     // q_pixel_decode: the engine encodes a genuine RIFF/WAVE 16-bit PCM
     // clip per doc, DECODES the bytes back (chunk scan, LE samples, sign),
