@@ -10,14 +10,17 @@ import graft.operators.ImageCodec.DecodedImage
   * library" here — unlike JPEG (Huffman+DCT) and WebP (VP8), which do.
   *
   * Supported profile (PNG spec, W3C/ISO 15948): non-interlaced, bit depth
-  * 8, color types 0 (grayscale, 1 channel), 2 (truecolor RGB, 3 channels)
-  * and 6 (truecolor+alpha RGBA, 4 channels). Decode is the full pipeline:
-  * signature + chunk walk with CRC-32 verification (§5.3), IDAT
+  * 8, all five color types — 0 (grayscale, 1 channel), 2 (truecolor RGB,
+  * 3), 3 (palette — indices expanded through PLTE to RGB on decode),
+  * 4 (gray+alpha, 2) and 6 (truecolor+alpha RGBA, 4). Decode is the full
+  * pipeline: signature + chunk walk with CRC-32 verification (§5.3), IDAT
   * concatenation across chunks (§11.2.4), zlib inflate, then per-row
   * filter reconstruction for all five filter types — None/Sub/Up/Average/
-  * Paeth (§9.2). The encoder is the exact inverse and deliberately VARIES
-  * the filter per row, so an encode→decode round-trip exercises every
-  * reconstruction branch, not just filter 0.
+  * Paeth (§9.2). The encoder is the exact inverse for the non-palette
+  * types and deliberately VARIES the filter per row, so an encode→decode
+  * round-trip exercises every reconstruction branch, not just filter 0.
+  * Not supported (rejected loudly): bit depths other than 8, Adam7
+  * interlace, and palette transparency (tRNS alpha entries).
   *
   * Robustness contract (same as the other codecs): any malformed,
   * truncated, or unsupported blob raises IllegalArgumentException — never
@@ -53,12 +56,18 @@ object PngCodec {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  private def channelsOf(colorType: Int): Int = colorType match {
+  /** Bytes per pixel as STORED in the filtered scanlines (palette rows
+    * store one index byte per pixel, expanded to RGB only after
+    * reconstruction).
+    */
+  private def storedChannelsOf(colorType: Int): Int = colorType match {
     case 0 => 1 // grayscale
     case 2 => 3 // truecolor
+    case 3 => 1 // palette indices
+    case 4 => 2 // gray + alpha
     case 6 => 4 // truecolor + alpha
     case ct => throw new IllegalArgumentException(
-      s"png: color type $ct unsupported (0/2/6 only — palette and gray+alpha omitted)")
+      s"png: color type $ct is not defined by the spec (0/2/3/4/6)")
   }
 
   /** Decode a PNG to logical row-major top-down channel-interleaved
@@ -82,7 +91,8 @@ object PngCodec {
   private def decodeChecked(b: Array[Byte]): DecodedImage = {
     // ---- chunk walk: IHDR must be first; concatenate IDAT; stop at IEND
     var p = 8
-    var width = -1; var height = -1; var channels = -1
+    var width = -1; var height = -1; var channels = -1; var colorType = -1
+    var palette: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
@@ -106,23 +116,35 @@ object PngCodec {
           width = be32(b, dataOff)
           height = be32(b, dataOff + 4)
           val bitDepth = b(dataOff + 8) & 0xff
-          val colorType = b(dataOff + 9) & 0xff
+          colorType = b(dataOff + 9) & 0xff
           val compression = b(dataOff + 10) & 0xff
           val filterMethod = b(dataOff + 11) & 0xff
           val interlace = b(dataOff + 12) & 0xff
           require(bitDepth == 8, s"png: bit depth $bitDepth unsupported (8 only)")
-          channels = channelsOf(colorType)
+          channels = storedChannelsOf(colorType)
           require(compression == 0, s"png: compression method $compression, spec defines 0 only")
           require(filterMethod == 0, s"png: filter method $filterMethod, spec defines 0 only")
           require(interlace == 0, "png: Adam7 interlace unsupported (non-interlaced only)")
           require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
             s"png: implausible dims ${width}x$height")
-          require(width.toLong * height * channels + height <= MaxRawBytes,
-            s"png: declared raster ${width}x${height}x$channels exceeds the $MaxRawBytes-byte bound")
+          // bound the LARGER of the stored raster and its post-palette
+          // RGB expansion, so neither allocation is attacker-sized
+          val effC = if (colorType == 3) 3 else channels
+          require(width.toLong * height * effC + height <= MaxRawBytes,
+            s"png: declared raster ${width}x${height}x$effC exceeds the $MaxRawBytes-byte bound")
           seenIhdr = true
         case "IDAT" =>
           require(seenIhdr, "png: IDAT before IHDR")
           idat.write(b, dataOff, len)
+        case "PLTE" =>
+          require(seenIhdr, "png: PLTE before IHDR")
+          require(len > 0 && len % 3 == 0 && len <= 768,
+            s"png: PLTE length $len not a multiple of 3 in 3..768")
+          palette = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len)
+        case "tRNS" =>
+          // palette alpha would silently decode to wrong (opaque) pixels —
+          // outside the supported profile, so reject rather than mis-decode
+          throw new IllegalArgumentException("png: tRNS transparency unsupported")
         case "IEND" => seenIend = true
         case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable by design
       }
@@ -130,6 +152,7 @@ object PngCodec {
     }
     require(seenIhdr, "png: no IHDR chunk")
     require(idat.size > 0, "png: no IDAT data")
+    require(colorType != 3 || palette != null, "png: palette image without PLTE chunk")
 
     // ---- zlib inflate to exactly height·(1 + rowBytes) filtered bytes
     val rowBytes = width * channels
@@ -188,7 +211,24 @@ object PngCodec {
       }
       y += 1
     }
-    DecodedImage("png", width, height, channels, pixels)
+    if (colorType != 3) DecodedImage("png", width, height, channels, pixels)
+    else {
+      // palette expansion: index bytes → RGB triples through PLTE. An
+      // index past the palette is corrupt data, not a blank pixel.
+      val nEntries = palette.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < pixels.length) {
+        val idx = pixels(i) & 0xff
+        require(idx < nEntries,
+          s"png: palette index $idx out of range (palette has $nEntries entries)")
+        rgb(i * 3) = palette(idx * 3)
+        rgb(i * 3 + 1) = palette(idx * 3 + 1)
+        rgb(i * 3 + 2) = palette(idx * 3 + 2)
+        i += 1
+      }
+      DecodedImage("png", width, height, 3, rgb)
+    }
   }
 
   /** Encode logical pixels as a real PNG. `filterOf(row)` picks the
@@ -203,10 +243,11 @@ object PngCodec {
     require(width > 0 && height > 0, s"encodePng: bad dims ${width}x$height")
     val colorType = channels match {
       case 1 => 0
+      case 2 => 4 // gray + alpha
       case 3 => 2
       case 4 => 6
       case c => throw new IllegalArgumentException(
-        s"encodePng: $c channels unsupported (1/3/4)")
+        s"encodePng: $c channels unsupported (1/2/3/4)")
     }
     val rowBytes = width * channels
     val bpp = channels

@@ -78,7 +78,7 @@ class CodecPropertySpec extends SparkTestBase {
   test("PNG: encode→decode is the identity for arbitrary dims, channels and filters") {
     (1L to nCases).foreach { seed =>
       val (w, h) = gen(dims, seed)
-      val c = gen(Gen.oneOf(1, 3, 4), seed + 4000)
+      val c = gen(Gen.oneOf(1, 2, 3, 4), seed + 4000)
       val px = gen(Gen.listOfN(w * h * c, Gen.chooseNum(0, 255)), seed + 5000)
         .map(_.toByte).toArray
       // fixed per-image filter AND rotating filter: both must round-trip
@@ -93,6 +93,50 @@ class CodecPropertySpec extends SparkTestBase {
         assert(ImageCodec.decode(ImageCodec.encode(img)).pixels.toSeq == px.toSeq)
       }
     }
+  }
+
+  test("PNG: palette images decode through PLTE to exact RGB; bad indices and tRNS reject") {
+    // hand-built palette PNG: 4 entries, 3x2 image, filter 0 rows
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      val v = crc.getValue.toInt
+      out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.toByteArray
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    val ihdr = chunk("IHDR", Array[Byte](0, 0, 0, 3, 0, 0, 0, 2, 8, 3, 0, 0, 0))
+    val plte = chunk("PLTE", Array[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120))
+    def blob(indices: Array[Byte], extra: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val raw = Array[Byte](0, indices(0), indices(1), indices(2),
+        0, indices(3), indices(4), indices(5))
+      sig ++ ihdr ++ plte ++ extra ++ chunk("IDAT", deflate(raw)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val img = PngCodec.decodePng(blob(Array[Byte](0, 1, 2, 3, 2, 1)))
+    assert((img.width, img.height, img.channels) == (3, 2, 3))
+    assert(img.pixels.toSeq == Seq[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90,
+      100, 110, 120, 70, 80, 90, 40, 50, 60))
+    // index 4 points past the 4-entry palette
+    val bad = intercept[IllegalArgumentException](
+      PngCodec.decodePng(blob(Array[Byte](0, 1, 2, 4, 2, 1))))
+    assert(bad.getMessage.contains("palette index"))
+    // tRNS alpha entries are outside the profile — reject, never mis-decode opaque
+    val trns = intercept[IllegalArgumentException](
+      PngCodec.decodePng(blob(Array[Byte](0, 1, 2, 3, 2, 1), chunk("tRNS", Array[Byte](0)))))
+    assert(trns.getMessage.contains("tRNS"))
   }
 
   test("PNG: malformed blobs fail with IAE — truncation, CRC flip, bad filter, size lies") {
