@@ -116,14 +116,23 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
-    // contention sentinel: one fixed cheap query timed at session start,
-    // middle, and end. It measures the HOST under this session, not the
-    // engine — the engine code it runs is identical each time.
-    val sentinelName = "q_t1_top_k"
+    // contention sentinel: one fixed query timed at session start, middle,
+    // and end. It measures the HOST under this session, not the engine —
+    // the engine code it runs is identical each time. q_a2_having_sort
+    // (~0.9 s of scan + shuffle + sort) rather than a ~0.15 s probe: at
+    // the 150 ms scale, fixed scheduling jitter is ±30% and the drift
+    // ratio lives inside its own noise floor; at ~1 s the ratio tracks
+    // sustained host slowdown (the 2-4× contention class the flag is for).
+    val sentinelName = "q_a2_having_sort"
     val sentinel = SparkEntry.queries.get(sentinelName)
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // each sentinel point is min-of-N like every query: the min strips
+    // one-off scheduling/JIT noise, so drift across points reflects a
+    // SUSTAINED host slowdown, not a single slow execution (a first
+    // measured run on a clean host was 1.76× its last purely from
+    // residual warmup — exactly the false positive this prevents)
     def timeSentinel(tag: String): Unit = sentinel.foreach { fn =>
-      val r = runOnce(s"sentinel-$tag", fn)
+      val r = runMeasured(s"sentinel-$tag", fn)
       if (r.ok) {
         sentinelTimes += r.sec
         System.err.println(f"[bench] ${s"sentinel($tag)"}%-28s ${r.sec}%8.2fs")
@@ -132,8 +141,9 @@ object Bench {
 
     // warm the sentinel's own plan/codegen path untimed first — otherwise
     // the start point carries sentinel-specific JIT cost and reads as
-    // fake session-long drift
-    sentinel.foreach(fn => runOnce("sentinel-warmup", fn))
+    // fake session-long drift (3 executions: C2 tiering needs more than
+    // one pass before the timing stabilizes)
+    sentinel.foreach(fn => (1 to 3).foreach(_ => runOnce("sentinel-warmup", fn)))
     timeSentinel("start")
     val mid = selected.length / 2
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
@@ -154,9 +164,23 @@ object Bench {
     val drift =
       if (sentinelTimes.size >= 2) sentinelTimes.max / math.max(1e-9, sentinelTimes.min)
       else 1.0
+    // contended-flag rule: mid/end points hold the 1.5× bar against each
+    // other; the start point gets a 2× allowance against the later points
+    // because JVM-wide C2 warmup inflates it ~1.3-1.5× even on an idle
+    // host (measured) and only tens of real queries fully burn that off.
+    // The contention class this flag exists for is 2-4×, so both bars
+    // still catch it.
+    val later = sentinelTimes.drop(1)
+    val laterDrift =
+      if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
+    val startRatio =
+      if (sentinelTimes.nonEmpty && later.nonEmpty)
+        sentinelTimes.head / math.max(1e-9, later.min)
+      else 1.0
+    val contended = laterDrift > 1.5 || startRatio > 2.0
     val sentinelJson = {
       val pts = sentinelTimes.map(s => f"$s%.3f").mkString("[", ",", "]")
-      f"""{"query":"$sentinelName","times":$pts,"drift":$drift%.3f,"contended":${drift > 1.5}}"""
+      f"""{"query":"$sentinelName","times":$pts,"drift":$drift%.3f,"contended":$contended}"""
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
