@@ -159,6 +159,36 @@ class CodecPropertySpec extends SparkTestBase {
       PngCodec.encodePng(3, 3, 1, _ => 0.toByte, _ => 5))
   }
 
+  test("PNG: arbitrary garbage after a valid signature only ever raises IAE") {
+    // the tolerant-caller contract (decodeFeatures fallback): any byte
+    // soup must surface as IllegalArgumentException, never a raw bounds /
+    // zip / negative-size error. Also fuzz VALID encodes with one byte
+    // mutated anywhere — the CRC/bounds layer must contain every case.
+    val rnd = new scala.util.Random(42)
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    (1 to 200).foreach { i =>
+      val body = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(body)
+      try { PngCodec.decodePng(sig ++ body); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"case $i: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    val good = PngCodec.encodePng(6, 5, 3, i => (i * 13).toByte)
+    (1 to 300).foreach { i =>
+      val mutated = good.clone()
+      val pos = rnd.nextInt(mutated.length)
+      mutated(pos) = (mutated(pos) ^ (1 + rnd.nextInt(255))).toByte
+      try { PngCodec.decodePng(mutated); () } // a sig-byte flip may just decode-fail
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"mutation at $pos: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("AVI: 100k-deep nested LISTs fail with IAE, not StackOverflowError") {
     // attacker-controlled nesting depth must never become recursion depth:
     // the walk is iterative, so a pathological blob terminates normally and
