@@ -336,9 +336,9 @@ object HashUtil {
     * (WebP container spec), BMP BITMAPINFOHEADER signed-LE dims, or
     * netpbm P6/P5 ASCII headers. Pure public-file-format arithmetic — no
     * codec library; this is the metadata half of ingest. Pixel DECODE is
-    * real for the raw-pixel containers
-    * ([[graft.operators.ImageCodec]]); only compressed-codec decode stays
-    * a labeled stub ([[graft.operators.Multimodal.FakeCodec]]).
+    * real for BMP/PPM/PGM ([[graft.operators.ImageCodec]]) and PNG
+    * ([[graft.operators.PngCodec]], JDK zlib); only JPEG/WebP decode
+    * stays a labeled stub ([[graft.operators.Multimodal.FakeCodec]]).
     *
     * Returns an InternalRow (format: string, width: long, height: long),
     * or null when no known signature matches or the header is truncated —
