@@ -52,10 +52,16 @@ class PlanQualitySpec extends SparkTestBase {
   test("pixel decode/resize are zero-shuffle scan jobs; header parse stays in codegen") {
     val docs = spark.range(20).selectExpr("id AS doc_id", "id + 48 AS n_chars")
     val media = Multimodal.withPixelMedia(docs)
+    val png = Multimodal.withPngMedia(docs)
     Seq(
       "decode" -> plan(Multimodal.decodePixelStats(media).toDF()),
       "resize" -> plan(Multimodal.decodePixelStats(
-        Multimodal.resizeMedia(media, 9, 7)).toDF())
+        Multimodal.resizeMedia(media, 9, 7)).toDF()),
+      // deflate in the codec changes nothing about the plan shape: PNG
+      // decode/resize ride the same zero-exchange mapPartitions scan
+      "png-decode" -> plan(Multimodal.decodePixelStats(png).toDF()),
+      "png-resize" -> plan(Multimodal.decodePixelStats(
+        Multimodal.resizeMedia(png, 9, 7)).toDF())
     ).foreach { case (name, p) =>
       assert(!p.contains("Exchange"), s"$name should be a pure scan job:\n$p")
     }
