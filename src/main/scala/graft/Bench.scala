@@ -145,7 +145,10 @@ object Bench {
     // one pass before the timing stabilizes)
     sentinel.foreach(fn => (1 to 3).foreach(_ => runOnce("sentinel-warmup", fn)))
     timeSentinel("start")
-    val mid = selected.length / 2
+    // the mid point only means something with queries on both sides of it:
+    // under a 0/1-query SPARK_GRAFT_ONLY dev filter it would fire right
+    // after "start" and make laterDrift compare two adjacent measurements
+    val mid = if (selected.length >= 2) selected.length / 2 else -1
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == mid) timeSentinel("mid")
       val r = runMeasured(name, fn)
@@ -182,7 +185,14 @@ object Bench {
       val pts = sentinelTimes.map(s => f"$s%.3f").mkString("[", ",", "]")
       f"""{"query":"$sentinelName","times":$pts,"drift":$drift%.3f,"contended":$contended}"""
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact keeps only a 2000-char stdout tail, which
+    // truncates the per-query maps — persist the full line so round-to-
+    // round comparison never needs a bench re-run
+    try java.nio.file.Files.write(java.nio.file.Paths.get("dev/bench_latest.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_latest.json: ${e.getMessage}") }
     spark.stop()
   }
 }

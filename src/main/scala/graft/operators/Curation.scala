@@ -376,6 +376,41 @@ object Curation {
     docs.repartition(shards, col(key))
       .write.mode("overwrite").partitionBy(splitCol).json(path)
 
+  /** [[exportJsonl]] with the shard count sized from a BYTES target
+    * instead of a raw count — the knob that matters at 100 TB, where shard
+    * size IS downstream read parallelism (a plain .jsonl splits at byte
+    * offsets, but a gzipped shard is one stream = one consumer task, so an
+    * oversized shard serializes the whole scan behind one core —
+    * [[graft.sources.JsonLines.writeGzip]]).
+    *
+    * count = ceil(estimated serialized bytes / `targetShardBytes`), where
+    * the estimate is rows × mean JSONL line bytes over a `sampleRows`-
+    * bounded sample (measured through `to_json` on the actual schema, so
+    * it tracks the writer's null-omitting serialization, not the input
+    * format's size). Costs one count plus one O(sampleRows) sample job
+    * before the export — noise against the export itself, and the price
+    * of not guessing. Returns the chosen shard count so callers can log
+    * or assert it.
+    */
+  def exportJsonlSized(docs: DataFrame, splitCol: String, key: String,
+                       targetShardBytes: Long, path: String,
+                       sampleRows: Int = 4096): Int = {
+    require(targetShardBytes > 0,
+      s"exportJsonlSized: targetShardBytes must be positive, got $targetShardBytes")
+    require(sampleRows > 0,
+      s"exportJsonlSized: sampleRows must be positive, got $sampleRows")
+    val nRows = docs.count()
+    // +1 per row for the newline the line writer appends
+    val avgRow = docs.limit(sampleRows)
+      .select((length(to_json(struct(col("*")))).cast("long") + 1L).as("b"))
+      .agg(avg(col("b")).as("avg_b"))
+      .collect()(0)
+    val avgBytes = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
+    val shards = math.max(1, math.ceil(nRows * avgBytes / targetShardBytes).toInt)
+    exportJsonl(docs, splitCol, key, shards, path)
+    shards
+  }
+
   /** Split-leakage audit: counts of exact-duplicate pairs that straddle
     * split boundaries (train/test leakage through duplicated documents)
     * versus pairs inside one split. Aggregate-only formulation: group by

@@ -310,8 +310,9 @@ object Dedup {
     * diameter) ≪ `maxRounds`; the loop stops at the fixpoint (no label
     * changed). Output: (doc_id, cluster) for every node of `pairs`.
     */
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame =
-    nearDupClustersResult(pairs, maxRounds).labels
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20,
+                      reliable: Boolean = false): DataFrame =
+    nearDupClustersResult(pairs, maxRounds, reliable).labels
 
   /** [[nearDupClustersResult]] outcome: the labeling plus whether the
     * propagation actually reached its fixpoint within `maxRounds` and how
@@ -325,14 +326,21 @@ object Dedup {
 
   /** [[nearDupClusters]] with the convergence outcome surfaced. Logs a
     * warning when `maxRounds` is exhausted instead of failing silently.
+    * Per-round materialization goes through [[Materialize.once]] — the
+    * `reliable` knob picks executor-local checkpoint blocks vs replicated
+    * persist (tradeoff documented there); an iterative job is exactly
+    * where a long cluster run wants the replicated option.
     */
-  def nearDupClustersResult(pairs: DataFrame, maxRounds: Int = 20): ClusterResult = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint(true)
+  def nearDupClustersResult(pairs: DataFrame, maxRounds: Int = 20,
+                            reliable: Boolean = false): ClusterResult = {
+    val edges = Materialize.once(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      reliable, eager = true)
+    var labels = Materialize.once(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")),
+      reliable, eager = true)
     var round = 0
     var changed = 1L
     while (round < maxRounds && changed > 0) {
@@ -340,12 +348,13 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster")).as("nmin"))
-      val updated = labels
-        .join(neighbourMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("new_cluster"),
-          col("cluster"))
-        .localCheckpoint(true)
+      val updated = Materialize.once(
+        labels
+          .join(neighbourMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("new_cluster"),
+            col("cluster")),
+        reliable, eager = true)
       changed = updated.filter(col("new_cluster") < col("cluster")).count()
       labels = updated.select(col("doc_id"), col("new_cluster").as("cluster"))
       round += 1
@@ -362,8 +371,9 @@ object Dedup {
   /** [[nearDupClusters]] extended over a full corpus: documents in no pair
     * become singleton clusters of themselves.
     */
-  def clusterCorpus(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
-    val labels = nearDupClusters(pairs)
+  def clusterCorpus(docs: DataFrame, id: String, pairs: DataFrame,
+                    reliable: Boolean = false): DataFrame = {
+    val labels = nearDupClusters(pairs, reliable = reliable)
     docs.select(col(id).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -28,7 +28,13 @@ import org.apache.spark.storage.StorageLevel
   * the blocks when the frame becomes unreferenced.
   */
 private[graft] object Materialize {
-  def once(df: DataFrame, reliable: Boolean): DataFrame =
+  /** `eager` forces materialization NOW (iterative callers — label
+    * propagation, per-batch survivor reuse — want the blocks pinned before
+    * the frame is consumed twice); the default stays lazy so linear
+    * pipelines pay nothing until first use. Under `reliable` the persist
+    * is materialized by the caller's first action either way.
+    */
+  def once(df: DataFrame, reliable: Boolean, eager: Boolean = false): DataFrame =
     if (reliable) df.persist(StorageLevel.MEMORY_AND_DISK_2)
-    else df.localCheckpoint(eager = false)
+    else df.localCheckpoint(eager = eager)
 }

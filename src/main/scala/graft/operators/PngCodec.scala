@@ -9,18 +9,28 @@ import graft.operators.ImageCodec.DecodedImage
   * `Deflater`), so "compressed container" does not mean "needs a codec
   * library" here — unlike JPEG (Huffman+DCT) and WebP (VP8), which do.
   *
-  * Supported profile (PNG spec, W3C/ISO 15948): non-interlaced, bit depth
-  * 8, all five color types — 0 (grayscale, 1 channel), 2 (truecolor RGB,
-  * 3), 3 (palette — indices expanded through PLTE to RGB on decode),
-  * 4 (gray+alpha, 2) and 6 (truecolor+alpha RGBA, 4). Decode is the full
-  * pipeline: signature + chunk walk with CRC-32 verification (§5.3), IDAT
-  * concatenation across chunks (§11.2.4), zlib inflate, then per-row
-  * filter reconstruction for all five filter types — None/Sub/Up/Average/
-  * Paeth (§9.2). The encoder is the exact inverse for the non-palette
-  * types and deliberately VARIES the filter per row, so an encode→decode
-  * round-trip exercises every reconstruction branch, not just filter 0.
-  * Not supported (rejected loudly): bit depths other than 8, Adam7
-  * interlace, and palette transparency (tRNS alpha entries).
+  * Supported profile (PNG spec, W3C/ISO 15948): non-interlaced, bit
+  * depths 8 and 16 (16 for the non-palette types — the filter algebra is
+  * identical, just over 2-byte big-endian samples; decode returns the
+  * high-order byte of each 16-bit sample, which is EXACT for content
+  * produced by the spec's 8→16 scaling v·257 and the standard
+  * approximation otherwise), all five color types — 0 (grayscale, 1
+  * channel), 2 (truecolor RGB, 3), 3 (palette — indices expanded through
+  * PLTE to RGB on decode), 4 (gray+alpha, 2) and 6 (truecolor+alpha RGBA,
+  * 4). Decode is the full pipeline: signature + chunk walk with CRC-32
+  * verification (§5.3), IDAT concatenation across chunks (§11.2.4), zlib
+  * inflate, then per-row filter reconstruction for all five filter types —
+  * None/Sub/Up/Average/Paeth (§9.2). The encoder is the exact inverse for
+  * the non-palette types (at depth 16 it stores each 8-bit sample as
+  * v·257, so encode→decode round-trips bit-exact at either depth) and
+  * deliberately VARIES the filter per row, so a round-trip exercises every
+  * reconstruction branch, not just filter 0. Chunk-walk strictness per
+  * §5.3.2/§11.2.3: an UNRECOGNIZED CRITICAL chunk (bit 5 of the first tag
+  * byte clear) is a loud reject — only ancillary chunks are skippable —
+  * and PLTE must appear exactly once, before the first IDAT, and only for
+  * the color types the spec allows it with. Not supported (rejected
+  * loudly): bit depths 1/2/4, Adam7 interlace, and palette transparency
+  * (tRNS alpha entries).
   *
   * Robustness contract (same as the other codecs): any malformed,
   * truncated, or unsupported blob raises IllegalArgumentException — never
@@ -92,6 +102,7 @@ object PngCodec {
     // ---- chunk walk: IHDR must be first; concatenate IDAT; stop at IEND
     var p = 8
     var width = -1; var height = -1; var channels = -1; var colorType = -1
+    var bytesPerSample = 1
     var palette: Array[Byte] = null
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -120,16 +131,19 @@ object PngCodec {
           val compression = b(dataOff + 10) & 0xff
           val filterMethod = b(dataOff + 11) & 0xff
           val interlace = b(dataOff + 12) & 0xff
-          require(bitDepth == 8, s"png: bit depth $bitDepth unsupported (8 only)")
           channels = storedChannelsOf(colorType)
+          require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+            s"png: bit depth $bitDepth unsupported for color type $colorType (8, or 16 non-palette)")
+          bytesPerSample = bitDepth / 8
           require(compression == 0, s"png: compression method $compression, spec defines 0 only")
           require(filterMethod == 0, s"png: filter method $filterMethod, spec defines 0 only")
           require(interlace == 0, "png: Adam7 interlace unsupported (non-interlaced only)")
           require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
             s"png: implausible dims ${width}x$height")
-          // bound the LARGER of the stored raster and its post-palette
-          // RGB expansion, so neither allocation is attacker-sized
-          val effC = if (colorType == 3) 3 else channels
+          // bound the LARGER of the stored raster (2 bytes/sample at depth
+          // 16) and its post-palette RGB expansion, so neither allocation
+          // is attacker-sized
+          val effC = math.max(channels * bytesPerSample, if (colorType == 3) 3 else 0)
           require(width.toLong * height * effC + height <= MaxRawBytes,
             s"png: declared raster ${width}x${height}x$effC exceeds the $MaxRawBytes-byte bound")
           seenIhdr = true
@@ -138,6 +152,12 @@ object PngCodec {
           idat.write(b, dataOff, len)
         case "PLTE" =>
           require(seenIhdr, "png: PLTE before IHDR")
+          // §11.2.3: exactly one PLTE, before the first IDAT, and never in
+          // a grayscale image — a stray palette must not silently recolor
+          require(palette == null, "png: duplicate PLTE chunk")
+          require(idat.size == 0, "png: PLTE after first IDAT")
+          require(colorType == 2 || colorType == 3 || colorType == 6,
+            s"png: PLTE not permitted for grayscale color type $colorType")
           require(len > 0 && len % 3 == 0 && len <= 768,
             s"png: PLTE length $len not a multiple of 3 in 3..768")
           palette = java.util.Arrays.copyOfRange(b, dataOff, dataOff + len)
@@ -146,7 +166,13 @@ object PngCodec {
           // outside the supported profile, so reject rather than mis-decode
           throw new IllegalArgumentException("png: tRNS transparency unsupported")
         case "IEND" => seenIend = true
-        case _ => () // ancillary chunks (tEXt, pHYs, …) are skippable by design
+        case _ =>
+          // §5.3.2: bit 5 of the first tag byte distinguishes ancillary
+          // (lowercase, safely skippable — tEXt, pHYs, …) from critical
+          // chunks, which a decoder that doesn't understand them must NOT
+          // ignore: skipping one would mis-decode, so reject loudly.
+          require((b(p + 4) & 0x20) != 0,
+            s"png: unrecognized critical chunk '$tag'")
       }
       p = dataOff + len + 4
     }
@@ -155,7 +181,7 @@ object PngCodec {
     require(colorType != 3 || palette != null, "png: palette image without PLTE chunk")
 
     // ---- zlib inflate to exactly height·(1 + rowBytes) filtered bytes
-    val rowBytes = width * channels
+    val rowBytes = width * channels * bytesPerSample
     val raw = new Array[Byte]((rowBytes + 1) * height)
     val inf = new Inflater()
     try {
@@ -178,9 +204,11 @@ object PngCodec {
       }
     } finally inf.end()
 
-    // ---- per-row filter reconstruction (§9.2); bpp = channels at depth 8
+    // ---- per-row filter reconstruction (§9.2) — bytewise at either
+    // depth; bpp is the byte distance to the pixel on the left (§9.2's
+    // "bpp" is defined in bytes, rounding up, so 2·channels at depth 16)
     val pixels = new Array[Byte](rowBytes * height)
-    val bpp = channels
+    val bpp = channels * bytesPerSample
     var y = 0
     while (y < height) {
       val f = raw(y * (rowBytes + 1)) & 0xff
@@ -211,7 +239,18 @@ object PngCodec {
       }
       y += 1
     }
-    if (colorType != 3) DecodedImage("png", width, height, channels, pixels)
+    // depth 16 → logical 8-bit: samples are big-endian (§7.1), so the
+    // high-order byte is byte 0 of each pair — exact for v·257-scaled
+    // content, the standard truncation otherwise
+    val samples =
+      if (bytesPerSample == 1) pixels
+      else {
+        val out = new Array[Byte](width * height * channels)
+        var i = 0
+        while (i < out.length) { out(i) = pixels(i << 1); i += 1 }
+        out
+      }
+    if (colorType != 3) DecodedImage("png", width, height, channels, samples)
     else {
       // palette expansion: index bytes → RGB triples through PLTE. An
       // index past the palette is corrupt data, not a blank pixel.
@@ -234,13 +273,18 @@ object PngCodec {
   /** Encode logical pixels as a real PNG. `filterOf(row)` picks the
     * per-row filter type (0-4) — the encoder computes the filtered bytes
     * exactly per §9.2, so ANY choice round-trips; varying it per row makes
-    * a single image exercise every reconstruction branch. Compression
-    * level 6 (Deflater default); output readable by any standards
-    * conformant PNG reader.
+    * a single image exercise every reconstruction branch. At
+    * `bitDepth = 16` each logical 8-bit sample v is stored as the 16-bit
+    * big-endian value v·257 (the spec's exact 8→16 scaling, both bytes =
+    * v), so [[decodePng]]'s high-byte conversion returns it bit-exact.
+    * Compression level 6 (Deflater default); output readable by any
+    * standards-conformant PNG reader.
     */
   def encodePng(width: Int, height: Int, channels: Int, pix: Int => Byte,
-                filterOf: Int => Int = _ % 5): Array[Byte] = {
+                filterOf: Int => Int = _ % 5, bitDepth: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0, s"encodePng: bad dims ${width}x$height")
+    require(bitDepth == 8 || bitDepth == 16,
+      s"encodePng: bit depth $bitDepth unsupported (8/16)")
     val colorType = channels match {
       case 1 => 0
       case 2 => 4 // gray + alpha
@@ -249,8 +293,17 @@ object PngCodec {
       case c => throw new IllegalArgumentException(
         s"encodePng: $c channels unsupported (1/2/3/4)")
     }
-    val rowBytes = width * channels
-    val bpp = channels
+    val bps = bitDepth / 8
+    // same raster bound as decode: near-Int-overflow dims must fail loudly
+    // here, not wrap (rowBytes+1)·height into a NegativeArraySizeException
+    require(width.toLong * height * channels * bps + height <= MaxRawBytes,
+      s"encodePng: raster ${width}x${height}x$channels@$bitDepth exceeds the $MaxRawBytes-byte bound")
+    val rowBytes = width * channels * bps
+    val bpp = channels * bps
+    // the unfiltered byte at stream offset k: at depth 16 both bytes of a
+    // sample equal the logical value (v·257 big-endian), so k maps to
+    // logical sample k/2
+    def srcByte(k: Int): Int = pix(if (bps == 2) k >> 1 else k) & 0xff
     // filter every row per the chosen type
     val raw = new Array[Byte]((rowBytes + 1) * height)
     var y = 0
@@ -261,16 +314,16 @@ object PngCodec {
       val dst = y * (rowBytes + 1) + 1
       var x = 0
       while (x < rowBytes) {
-        val cur = pix(y * rowBytes + x) & 0xff
-        val a = if (x >= bpp) pix(y * rowBytes + x - bpp) & 0xff else 0
-        val up = if (y > 0) pix((y - 1) * rowBytes + x) & 0xff else 0
+        val cur = srcByte(y * rowBytes + x)
+        val a = if (x >= bpp) srcByte(y * rowBytes + x - bpp) else 0
+        val up = if (y > 0) srcByte((y - 1) * rowBytes + x) else 0
         val filtered = f match {
           case 0 => cur
           case 1 => cur - a
           case 2 => cur - up
           case 3 => cur - ((a + up) >> 1)
           case _ =>
-            val c = if (x >= bpp && y > 0) pix((y - 1) * rowBytes + x - bpp) & 0xff else 0
+            val c = if (x >= bpp && y > 0) srcByte((y - 1) * rowBytes + x - bpp) else 0
             val pp = a + up - c
             val pa = math.abs(pp - a); val pb = math.abs(pp - up); val pc = math.abs(pp - c)
             cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
@@ -298,7 +351,7 @@ object PngCodec {
     out.write(Signature)
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, width); putBe32(ihdr, 4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace = 0
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte // compression/filter/interlace = 0
     writeChunk(out, "IHDR", ihdr)
     writeChunk(out, "IDAT", compressed)
     writeChunk(out, "IEND", Array.emptyByteArray)

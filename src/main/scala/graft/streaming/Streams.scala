@@ -181,18 +181,23 @@ object Streams {
     * instead — losing data on a crash between the two — so accept-first
     * is the safe order for a no-data-loss pipeline.
     * The index table must exist ([[graft.operators.Dedup.writeFingerprintIndex]]).
+    * The per-batch survivor materialization goes through
+    * [[graft.operators.Materialize.once]] (`reliable` picks executor-local
+    * blocks vs replicated persist — tradeoff documented there); eager, so
+    * `accept` and the index append read the same computed blocks.
     */
   def ingestDedup(stream: DataFrame, id: String, text: String,
                   indexTable: String, checkpoint: String,
-                  buckets: Int = 64)(accept: DataFrame => Unit): DataStreamWriter[Row] =
+                  buckets: Int = 64, reliable: Boolean = false)
+                 (accept: DataFrame => Unit): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fresh = graft.operators.Dedup
-          .dedupAgainstIndex(batch, id, text, indexTable)
-          .localCheckpoint(true) // survivors computed once: accept + append both read blocks
+        val fresh = graft.operators.Materialize.once(
+          graft.operators.Dedup.dedupAgainstIndex(batch, id, text, indexTable),
+          reliable, eager = true)
         accept(fresh)
         graft.operators.Dedup.appendFingerprintIndex(fresh, id, text, indexTable, buckets)
       }

@@ -95,6 +95,109 @@ class CodecPropertySpec extends SparkTestBase {
     }
   }
 
+  test("PNG: depth-16 encode→decode is the identity; true 16-bit content decodes to high bytes") {
+    (1L to nCases).foreach { seed =>
+      val (w, h) = gen(dims, seed)
+      val c = gen(Gen.oneOf(1, 2, 3, 4), seed + 6000)
+      val px = gen(Gen.listOfN(w * h * c, Gen.chooseNum(0, 255)), seed + 7000)
+        .map(_.toByte).toArray
+      val blob = PngCodec.encodePng(w, h, c, px(_), r => (r + seed).toInt % 5, bitDepth = 16)
+      assert((blob(24) & 0xff) == 16, s"seed=$seed IHDR depth byte")
+      val img = ImageCodec.decode(blob)
+      assert((img.format, img.width, img.height, img.channels) == ("png", w, h, c),
+        s"seed=$seed shape")
+      assert(img.pixels.toSeq == px.toSeq, s"seed=$seed pixels differ at depth 16")
+    }
+    // a genuine 16-bit sample (not v·257): big-endian high byte comes back
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      val v = crc.getValue.toInt
+      out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.toByteArray
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    val ihdr16 = chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 16, 0, 0, 0, 0))
+    val one16 = sig ++ ihdr16 ++
+      chunk("IDAT", deflate(Array[Byte](0, 0xab.toByte, 0xcd.toByte))) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img16 = PngCodec.decodePng(one16)
+    assert((img16.width, img16.height, img16.channels) == (1, 1, 1))
+    assert((img16.pixels(0) & 0xff) == 0xab)
+    // depth-16 palette is not defined by the spec — reject loudly
+    val ihdr16p = chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 16, 3, 0, 0, 0))
+    val badP = intercept[IllegalArgumentException](PngCodec.decodePng(
+      sig ++ ihdr16p ++ chunk("IDAT", deflate(Array[Byte](0, 0))) ++
+        chunk("IEND", Array.emptyByteArray)))
+    assert(badP.getMessage.contains("bit depth"))
+  }
+
+  test("PNG: chunk-walk strictness — unknown critical chunks, PLTE rules, encode raster bound") {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      val v = crc.getValue.toInt
+      out.write(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.toByteArray
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte)
+    val ihdrGray = chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0))
+    val idatGray = chunk("IDAT", deflate(Array[Byte](0, 42)))
+    val iend = chunk("IEND", Array.emptyByteArray)
+    def gray(extra: Array[Byte]*): Array[Byte] =
+      sig ++ ihdrGray ++ extra.flatten ++ idatGray ++ iend
+    // an unrecognized ANCILLARY chunk (lowercase first tag byte) is
+    // skippable; the same payload under a CRITICAL tag must reject
+    assert((PngCodec.decodePng(gray(chunk("teST", Array[Byte](1, 2, 3)))).pixels(0) & 0xff) == 42)
+    val crit = intercept[IllegalArgumentException](
+      PngCodec.decodePng(gray(chunk("TeST", Array[Byte](1, 2, 3)))))
+    assert(crit.getMessage.contains("critical"))
+    // PLTE in a grayscale image is a spec violation, not a skippable extra
+    val grayPlte = intercept[IllegalArgumentException](
+      PngCodec.decodePng(gray(chunk("PLTE", Array[Byte](1, 2, 3)))))
+    assert(grayPlte.getMessage.contains("not permitted"))
+    // palette image: duplicate PLTE and PLTE-after-IDAT both reject
+    val ihdrPal = chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 3, 0, 0, 0))
+    val plte = chunk("PLTE", Array[Byte](9, 8, 7))
+    val idatPal = chunk("IDAT", deflate(Array[Byte](0, 0)))
+    val dup = intercept[IllegalArgumentException](
+      PngCodec.decodePng(sig ++ ihdrPal ++ plte ++ plte ++ idatPal ++ iend))
+    assert(dup.getMessage.contains("duplicate PLTE"))
+    val late = intercept[IllegalArgumentException](
+      PngCodec.decodePng(sig ++ ihdrPal ++ idatPal ++ plte ++ iend))
+    assert(late.getMessage.contains("after first IDAT"))
+    // well-formed palette image still decodes through this stricter walk
+    val ok = PngCodec.decodePng(sig ++ ihdrPal ++ plte ++ idatPal ++ iend)
+    assert(ok.pixels.toSeq == Seq[Byte](9, 8, 7))
+    // encode-side raster bound: near-overflow dims fail the require, not
+    // the allocator
+    val big = intercept[IllegalArgumentException](
+      PngCodec.encodePng(1 << 20, 1 << 20, 3, _ => 0.toByte))
+    assert(big.getMessage.contains("exceeds"))
+  }
+
   test("PNG: palette images decode through PLTE to exact RGB; bad indices and tRNS reject") {
     // hand-built palette PNG: 4 entries, 3x2 image, filter 0 rows
     def chunk(tag: String, data: Array[Byte]): Array[Byte] = {

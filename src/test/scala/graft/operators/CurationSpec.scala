@@ -161,6 +161,29 @@ class CurationSpec extends SparkTestBase {
     assert(new java.io.File(dir, "split=train").listFiles().count(_.getName.endsWith(".json")) == 4)
   }
 
+  test("exportJsonlSized: shard count follows the bytes target; read-back parallelism matches") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet").select("doc_id", "text")
+    val split = Curation.splitAssign(docs, "doc_id")
+    // ground truth the estimator should land on: the corpus fits inside
+    // the default sample bound here, so est = exact total serialized bytes
+    val totalBytes = split
+      .select((length(to_json(struct(col("*")))) + 1).cast("long").as("b"))
+      .agg(sum(col("b"))).collect()(0).getLong(0)
+    val target = totalBytes / 4
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_sized").toString
+    val n = Curation.exportJsonlSized(split, "split", "doc_id", target, dir)
+    assert(n == math.ceil(totalBytes.toDouble / target).toInt, s"shards=$n")
+    assert(n >= 4, s"bytes target should force multiple shards, got $n")
+    // the layout delivers that parallelism: n shard files per split dir,
+    // so a downstream consumer gets n-way reads even if shards were gzip
+    assert(new java.io.File(dir, "split=train").listFiles()
+      .count(_.getName.endsWith(".json")) == n)
+    assert(spark.read.json(dir).count() == docs.count())
+    // a giant target collapses to a single shard, never zero
+    val dir1 = java.nio.file.Files.createTempDirectory("jsonl_sized1").toString
+    assert(Curation.exportJsonlSized(split, "split", "doc_id", Long.MaxValue, dir1) == 1)
+  }
+
   test("reliable=true (replicated persist) is result-identical at every Materialize site") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
       .select("doc_id", "text").limit(120)
@@ -178,6 +201,11 @@ class CurationSpec extends SparkTestBase {
       rows(Dedup.simhashPairs(docs, "doc_id", "text")))
     assert(rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text", reliable = true)) ==
       rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text")))
+    val chain = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    assert(rows(Dedup.nearDupClusters(chain, reliable = true)) ==
+      rows(Dedup.nearDupClusters(chain)))
+    assert(rows(Dedup.clusterCorpus(docs, "doc_id", chain, reliable = true)) ==
+      rows(Dedup.clusterCorpus(docs, "doc_id", chain)))
     val (cr, rep) = Curation.curate(docs, "doc_id", "text", reliable = true)
     val (cf, repF) = Curation.curate(docs, "doc_id", "text")
     assert(rows(cr) == rows(cf) && rep == repF)
