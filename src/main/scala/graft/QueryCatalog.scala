@@ -1915,6 +1915,50 @@ object QueryCatalog {
              |FROM fp JOIN win ON fp.fingerprint = win.fingerprint AND fp.gen = win.g
              |GROUP BY fp.fingerprint ORDER BY doc_id""".stripMargin)),
 
+    // REAL streaming upsert under the oracle: a PostsTable seeded with the
+    // full orders projection, then TWO mtime-ordered arrival files driven
+    // through Streams.upsertSink (AvailableNow, maxFilesPerTrigger=1), so
+    // each micro-batch is one atomic versioned upsert — batch 1 reprices
+    // keys %10, batch 2 reprices keys %15 (overriding batch 1 on %30) and
+    // inserts brand-new keys. The FINAL table is the graded row set; DuckDB
+    // replays the same two upserts as last-writer-wins set algebra. This
+    // grades the foreachBatch upsert wiring, batch ordering, and the
+    // version-commit chain end-to-end (create → v1 → v2).
+    ("q_stream_upsert",
+      (s: SparkSession, d: String) => {
+        import graft.reddit.PostsTable
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val root = scratchDir("stream_upsert_tbl")
+        PostsTable.create(base, root, "o_orderkey")
+        val b1 = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 4).as("o_totalprice"))
+        val b2 = base.filter(pmod(col("o_orderkey"), lit(15)) === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") * 1.2, 4).as("o_totalprice"))
+          .unionByName(base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+        val inDir = scratchDir("ups_in")
+        stageArrivalFile(b1, inDir, "b1.parquet", 1700000000000L)
+        stageArrivalFile(b2, inDir, "b2.parquet", 1700000060000L)
+        val stream = s.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        graft.streaming.Streams
+          .upsertSink(stream, root, "o_orderkey", scratchDir("ups_ckpt"))
+          .start().awaitTermination()
+        PostsTable.read(s, root).orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+             |b1 AS (SELECT k, round(p * 1.1, 4) AS p FROM base WHERE k % 10 = 0),
+             |b2 AS (SELECT k, round(p * 1.2, 4) AS p FROM base WHERE k % 15 = 0
+             |       UNION ALL
+             |       SELECT k + 10000000, p FROM base WHERE k % 100 = 0)
+             |SELECT k AS o_orderkey, p AS o_totalprice FROM b2
+             |UNION ALL
+             |SELECT k, p FROM b1 WHERE k NOT IN (SELECT k FROM b2)
+             |UNION ALL
+             |SELECT k, p FROM base
+             |WHERE k NOT IN (SELECT k FROM b1) AND k NOT IN (SELECT k FROM b2)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // REAL streaming sessionization under the oracle: the events table
     // streamed as three time-tercile arrival files (time-ordered, so
     // nothing is watermark-late) plus a FLUSH file carrying one far-future
