@@ -1768,6 +1768,48 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL baseline JPEG decode, graded byte-exact: the engine encodes a
+    // genuine SOF0 JPEG per doc (Huffman entropy coding, quantized DCT,
+    // 4:2:0 subsampling on a third of the corpus), then DECODES it through
+    // the full pipeline — segment walk, canonical Huffman, dequant, IDCT,
+    // chroma upsample, YCbCr→RGB — and checksums the pixels. The fixture
+    // is block-constant gray content with flat-8 quant tables, so every
+    // block is DC-only and the decode is closed-form EXACT (see
+    // JpegCodec's scaladoc derivation) — which is what lets DuckDB replay
+    // it. A decoder that mis-walks MCUs, mis-predicts DC, mis-upsamples
+    // chroma, or clips the color matrix fails the position-weighted
+    // checksum. media_bytes is dropped: entropy-coded size has no closed
+    // form (same contract as q_png_decode).
+    ("q_jpeg_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(Multimodal.withJpegMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    8 + n_chars % 25 AS w, 8 + n_chars % 17 AS h,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.c,
+             |    sum((31*d.doc_id
+             |         + 13*(((t.i // (d.c*d.w)) // 8) * ((d.w+7)//8)
+             |               + ((t.i // d.c) % d.w) // 8)) % 256) AS pix_sum,
+             |    sum(((31*d.doc_id
+             |          + 13*(((t.i // (d.c*d.w)) // 8) * ((d.w+7)//8)
+             |                + ((t.i // d.c) % d.w) // 8)) % 256)
+             |        * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 2304) t(i) ON t.i < d.w*d.h*d.c
+             |  GROUP BY d.doc_id, d.w, d.h, d.c)
+             |SELECT doc_id, 'jpeg' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL audio decode, graded byte-exact — the audio modality analog of
     // q_pixel_decode: the engine encodes a genuine RIFF/WAVE 16-bit PCM
     // clip per doc, DECODES the bytes back (chunk scan, LE samples, sign),

@@ -17,11 +17,12 @@ package graft.operators
   * pair is exact-inverse on that logical order, which is what lets the
   * graded pixel query predict decode output in closed form.
   *
-  * PNG routes to [[PngCodec]] — REAL decode, since PNG's entropy coder is
-  * zlib DEFLATE and `java.util.zip.Inflater` ships in the JDK. Only
-  * JPEG (Huffman+DCT) and WebP (VP8) genuinely need codec libraries this
-  * environment does not ship; [[Multimodal.FakeCodec]] remains the
-  * labeled stand-in for those, behind the same byte signature.
+  * PNG routes to [[PngCodec]] (chunk walk + CRC + JDK zlib inflate +
+  * filter reconstruction) and baseline JPEG to [[JpegCodec]] (segment
+  * walk + Huffman + dequant + IDCT + YCbCr→RGB) — both REAL decodes in
+  * pure JDK arithmetic. Of the image containers only WebP (VP8 intra-
+  * frame prediction + boolean arithmetic coding) remains behind the
+  * labeled [[Multimodal.FakeCodec]] stand-in, same byte signature.
   */
 object ImageCodec {
 
@@ -38,6 +39,7 @@ object ImageCodec {
   def sniff(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 2) None
     else if (PngCodec.isPng(bytes)) Some("png")
+    else if (JpegCodec.isJpeg(bytes)) Some("jpeg")
     else (bytes(0), bytes(1)) match {
       case ('B', 'M') => Some("bmp")
       case ('P', '6') => Some("ppm")
@@ -51,8 +53,9 @@ object ImageCodec {
     case Some("ppm") => decodeNetpbm(bytes, "ppm", 3)
     case Some("pgm") => decodeNetpbm(bytes, "pgm", 1)
     case Some("png") => PngCodec.decodePng(bytes)
+    case Some("jpeg") => JpegCodec.decodeJpeg(bytes)
     case _ => throw new IllegalArgumentException(
-      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5' or PNG magic)")
+      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5', PNG or JPEG magic)")
   }
 
   // ---- BMP ----------------------------------------------------------------
@@ -189,8 +192,9 @@ object ImageCodec {
   }
 
   /** Re-encode a decoded image into its own container format. Exact
-    * inverse of [[decode]] for every supported format (BMP re-encodes
-    * bottom-up).
+    * inverse of [[decode]] for every losslessly-coded format (BMP
+    * re-encodes bottom-up); "jpeg" re-encodes faithfully but LOSSILY,
+    * like every real JPEG writer — round-trips are close, not bit-equal.
     */
   def encode(img: DecodedImage): Array[Byte] = img.format match {
     case "bmp" =>
@@ -204,6 +208,10 @@ object ImageCodec {
       encodePgm(img.width, img.height, img.pixels(_))
     case "png" =>
       PngCodec.encodePng(img.width, img.height, img.channels, img.pixels(_))
+    case "jpeg" =>
+      require(img.channels == 1 || img.channels == 3,
+        s"jpeg: 1 or 3 channels required, got ${img.channels}")
+      JpegCodec.encodeJpeg(img.width, img.height, img.channels, img.pixels(_))
     case other => throw new IllegalArgumentException(s"encode: unsupported format '$other'")
   }
 

@@ -61,7 +61,11 @@ class PlanQualitySpec extends SparkTestBase {
       // decode/resize ride the same zero-exchange mapPartitions scan
       "png-decode" -> plan(Multimodal.decodePixelStats(png).toDF()),
       "png-resize" -> plan(Multimodal.decodePixelStats(
-        Multimodal.resizeMedia(png, 9, 7)).toDF())
+        Multimodal.resizeMedia(png, 9, 7)).toDF()),
+      // Huffman+IDCT in the codec likewise: JPEG decode is per-row CPU on
+      // the scan, never an exchange
+      "jpeg-decode" -> plan(Multimodal.decodePixelStats(
+        Multimodal.withJpegMedia(docs)).toDF())
     ).foreach { case (name, p) =>
       assert(!p.contains("Exchange"), s"$name should be a pure scan job:\n$p")
     }
