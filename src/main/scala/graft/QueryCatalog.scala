@@ -1810,6 +1810,45 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL cross-codec transcode, graded byte-exact: JPEG in → full
+    // baseline decode → re-encode as PNG (filter + deflate) → full PNG
+    // decode → checksum. The corpus-normalization step a training pipeline
+    // runs so downstream readers need ONE decoder; the DC-only JPEG
+    // fixture decodes in closed form and PNG is lossless, so the oracle is
+    // q_jpeg_decode's pixel algebra with the container swapped. Both
+    // codecs must be bit-faithful for the checksum to survive the chain.
+    ("q_media_transcode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.transcodeMedia(
+              Multimodal.withJpegMedia(t(s, d, "documents")), "png"))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    8 + n_chars % 25 AS w, 8 + n_chars % 17 AS h,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.c,
+             |    sum((31*d.doc_id
+             |         + 13*(((t.i // (d.c*d.w)) // 8) * ((d.w+7)//8)
+             |               + ((t.i // d.c) % d.w) // 8)) % 256) AS pix_sum,
+             |    sum(((31*d.doc_id
+             |          + 13*(((t.i // (d.c*d.w)) // 8) * ((d.w+7)//8)
+             |                + ((t.i // d.c) % d.w) // 8)) % 256)
+             |        * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 2304) t(i) ON t.i < d.w*d.h*d.c
+             |  GROUP BY d.doc_id, d.w, d.h, d.c)
+             |SELECT doc_id, 'png' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL audio decode, graded byte-exact — the audio modality analog of
     // q_pixel_decode: the engine encodes a genuine RIFF/WAVE 16-bit PCM
     // clip per doc, DECODES the bytes back (chunk scan, LE samples, sign),

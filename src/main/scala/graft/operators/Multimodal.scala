@@ -506,6 +506,51 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** REAL container transcode: decode → re-encode into `toFormat` — the
+    * "normalize a crawled mixed-container corpus to ONE format" step a
+    * training pipeline runs before packing/sharding, so downstream readers
+    * need exactly one decoder. Channel adaptation is the minimum faithful
+    * set: gray→RGB replicates (for 3-channel-only targets like bmp/ppm),
+    * RGB→gray is refused (silently dropping color is a data bug, not a
+    * convenience), alpha is refused for targets that cannot carry it.
+    * Same zero-shuffle `mapPartitions` scan shape as [[resizeMedia]];
+    * graded byte-exact in q_media_transcode (JPEG in → PNG out: the
+    * DC-only JPEG fixture decodes in closed form and PNG is lossless, so
+    * the whole chain is oracle-replayable).
+    */
+  def transcodeMedia(media: DataFrame, toFormat: String): DataFrame = {
+    require(Set("bmp", "ppm", "pgm", "png", "jpeg").contains(toFormat),
+      s"transcodeMedia: unsupported target '$toFormat'")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = ImageCodec.decode(bytes)
+          val adapted = (img.channels, toFormat) match {
+            case (c, "png") if c >= 1 && c <= 4 => img
+            case (1, "pgm") | (3, "bmp") | (3, "ppm") | (1, "jpeg") | (3, "jpeg") => img
+            case (1, "bmp") | (1, "ppm") =>
+              // gray → RGB replication for 3-channel-only containers
+              val rgb = new Array[Byte](img.width * img.height * 3)
+              var i = 0
+              while (i < img.pixels.length) {
+                rgb(i * 3) = img.pixels(i); rgb(i * 3 + 1) = img.pixels(i)
+                rgb(i * 3 + 2) = img.pixels(i)
+                i += 1
+              }
+              img.copy(channels = 3, pixels = rgb)
+            case (c, f) => throw new IllegalArgumentException(
+              s"transcodeMedia: cannot carry $c-channel pixels into '$f' " +
+                "(color/alpha would be silently dropped)")
+          }
+          (id, ImageCodec.encode(adapted.copy(format = toFormat)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Resize stub for containers without a real decode path (kept for the
     * JPEG/WebP metadata path — see [[resizeMedia]] for the real
     * decoded-pixel version, which PNG now rides too):

@@ -344,6 +344,36 @@ class MultimodalSpec extends SparkTestBase {
     assert((p2.format, p2.width, p2.height) == ("pgm", 7L, 6L))
   }
 
+  test("transcodeMedia: JPEG→PNG normalization is pixel-exact; lossy/lossless rules hold") {
+    // DC-only JPEG fixtures decode in closed form; PNG is lossless — the
+    // chain must reproduce the generator bytes exactly for gray AND color
+    val jpegs = Multimodal.withJpegMedia(docs)
+    val out = Multimodal.decodePixelStats(Multimodal.transcodeMedia(jpegs, "png"))
+      .collect().map(p => p.doc_id -> p).toMap
+    val direct = Multimodal.decodePixelStats(jpegs)
+      .collect().map(p => p.doc_id -> p).toMap
+    direct.foreach { case (id, d) =>
+      val p = out(id)
+      assert(p.format == "png", s"doc $id format")
+      assert((p.width, p.height, p.channels, p.pix_sum, p.pix_checksum) ==
+        (d.width, d.height, d.channels, d.pix_sum, d.pix_checksum),
+        s"doc $id transcode changed pixels")
+    }
+    // gray JPEG → ppm: channel replication to RGB (sum triples)
+    val toPpm = Multimodal.decodePixelStats(
+      Multimodal.transcodeMedia(jpegs.filter(col("doc_id") % 3 === 0), "ppm"))
+      .collect().map(p => p.doc_id -> p).toMap
+    toPpm.foreach { case (id, p) =>
+      assert(p.channels == 3L && p.pix_sum == direct(id).pix_sum * 3, s"doc $id gray→ppm")
+    }
+    // RGB → pgm would silently drop color: refused, not coerced
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.transcodeMedia(jpegs.filter(col("doc_id") % 3 === 1), "pgm")
+        .collect())
+    assert(ex.getCause.getMessage.contains("silently dropped"),
+      s"wrong refusal: ${ex.getCause.getMessage}")
+  }
+
   test("resize: aspect-preserving box fit, payload stub shrinks with area") {
     val rows = Multimodal.resize(Multimodal.withMedia(docs), maxW = 10, maxH = 10)
       .orderBy("doc_id").collect()
