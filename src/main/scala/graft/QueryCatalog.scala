@@ -2013,10 +2013,15 @@ object QueryCatalog {
         PostsTable.create(base, root, "o_orderkey")
         val b1 = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
           .select(col("o_orderkey"), round(col("o_totalprice") * 1.1, 4).as("o_totalprice"))
+        // Brand-new keys start at max(o_orderkey)+1: a fixed offset like
+        // 10M collides with real orderkeys at SF>=2 (duplicate keys in b2
+        // would make the upsert winner nondeterministic vs the oracle's
+        // UNION ALL). Mirrored in the oracle SQL below.
+        val maxKey = base.agg(max(col("o_orderkey")).cast("long")).collect()(0).getLong(0)
         val b2 = base.filter(pmod(col("o_orderkey"), lit(15)) === 0)
           .select(col("o_orderkey"), round(col("o_totalprice") * 1.2, 4).as("o_totalprice"))
           .unionByName(base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
-            .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice")))
+            .select((col("o_orderkey") + lit(maxKey + 1L)).as("o_orderkey"), col("o_totalprice")))
         val inDir = scratchDir("ups_in")
         stageArrivalFile(b1, inDir, "b1.parquet", 1700000000000L)
         stageArrivalFile(b2, inDir, "b2.parquet", 1700000060000L)
@@ -2031,7 +2036,8 @@ object QueryCatalog {
              |b1 AS (SELECT k, round(p * 1.1, 4) AS p FROM base WHERE k % 10 = 0),
              |b2 AS (SELECT k, round(p * 1.2, 4) AS p FROM base WHERE k % 15 = 0
              |       UNION ALL
-             |       SELECT k + 10000000, p FROM base WHERE k % 100 = 0)
+             |       SELECT k + (SELECT max(k) + 1 FROM base), p
+             |       FROM base WHERE k % 100 = 0)
              |SELECT k AS o_orderkey, p AS o_totalprice FROM b2
              |UNION ALL
              |SELECT k, p FROM b1 WHERE k NOT IN (SELECT k FROM b2)

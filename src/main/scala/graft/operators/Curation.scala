@@ -400,9 +400,11 @@ object Curation {
     require(sampleRows > 0,
       s"exportJsonlSized: sampleRows must be positive, got $sampleRows")
     val nRows = docs.count()
-    // +1 per row for the newline the line writer appends
+    // +1 per row for the newline the line writer appends. octet_length, not
+    // length: length() counts characters, which undercounts multibyte UTF-8
+    // corpora and would silently produce oversized shards.
     val avgRow = docs.limit(sampleRows)
-      .select((length(to_json(struct(col("*")))).cast("long") + 1L).as("b"))
+      .select((octet_length(to_json(struct(col("*")))).cast("long") + 1L).as("b"))
       .agg(avg(col("b")).as("avg_b"))
       .collect()(0)
     val avgBytes = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)

@@ -343,6 +343,11 @@ object Dedup {
       reliable, eager = true)
     var round = 0
     var changed = 1L
+    // Handle to the round frame whose blocks are currently pinned: on the
+    // reliable path persist entries are NOT freed by the ContextCleaner
+    // (CacheManager pins them), so each superseded round must be released
+    // explicitly or replicated storage grows by one label table per round.
+    var pinned = labels
     while (round < maxRounds && changed > 0) {
       val neighbourMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
@@ -356,9 +361,17 @@ object Dedup {
             col("cluster")),
         reliable, eager = true)
       changed = updated.filter(col("new_cluster") < col("cluster")).count()
+      // `updated` is fully materialized (eager + the count above), so the
+      // previous round's blocks are no longer read — release them now.
+      Materialize.release(pinned, reliable)
+      pinned = updated
       labels = updated.select(col("doc_id"), col("new_cluster").as("cluster"))
       round += 1
     }
+    // The final round's frame stays pinned — the caller owns the returned
+    // labels — but the edge relation is no longer needed once the labels
+    // are materialized (a block loss recomputes through source lineage).
+    Materialize.release(edges, reliable)
     val converged = changed == 0L
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

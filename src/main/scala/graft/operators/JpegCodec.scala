@@ -258,6 +258,11 @@ object JpegCodec {
               require(ns == comps.length,
                 s"jpeg: $ns-component scan over ${comps.length}-component frame " +
                   "unsupported (one interleaved scan only)")
+              // T.81 B.2.3: Ls = 6 + 2*Ns exactly — an inconsistent length
+              // would silently shift the entropy-stream start.
+              require(len == 6 + 2 * ns,
+                s"jpeg: SOS length $len inconsistent with $ns components " +
+                  s"(spec requires ${6 + 2 * ns})")
               val scanDc = new Array[Huff](ns)
               val scanAc = new Array[Huff](ns)
               val order = new Array[Int](ns)
@@ -276,6 +281,11 @@ object JpegCodec {
               }
               require((b(d + 1 + 2 * ns) & 0xff) == 0 && (b(d + 2 + 2 * ns) & 0xff) == 63,
                 "jpeg: spectral selection other than 0..63 is not baseline")
+              // Baseline requires Ah = Al = 0; a nonzero value means a
+              // successive-approximation (progressive) scan — reject rather
+              // than decode it as if baseline.
+              require((b(d + 3 + 2 * ns) & 0xff) == 0,
+                "jpeg: successive approximation (Ah/Al != 0) is not baseline")
               comps.foreach(c => require(qt(c.tq) != null,
                 s"jpeg: component ${c.id} references missing quant table ${c.tq}"))
               return decodeScan(b, dEnd, w, h, comps, order, scanDc, scanAc, qt,

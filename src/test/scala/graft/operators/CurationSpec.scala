@@ -202,6 +202,21 @@ class CurationSpec extends SparkTestBase {
     assert(rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text", reliable = true)) ==
       rows(Dedup.removeDuplicateSpans(docs, "doc_id", "text")))
     val chain = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    // The iterative path must release each superseded round's persist
+    // entry (CacheManager pins them; the ContextCleaner never frees
+    // them) — after the run only the final round's frame may remain
+    // pinned beyond what was already cached before the call.
+    locally {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val res = Dedup.nearDupClustersResult(chain, reliable = true)
+      assert(res.converged)
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after - before <= 1,
+        s"reliable iterative run leaked persist entries: $before -> $after " +
+          "(only the final round's labels may stay pinned)")
+    }
     assert(rows(Dedup.nearDupClusters(chain, reliable = true)) ==
       rows(Dedup.nearDupClusters(chain)))
     assert(rows(Dedup.clusterCorpus(docs, "doc_id", chain, reliable = true)) ==
