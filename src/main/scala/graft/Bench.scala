@@ -125,18 +125,59 @@ object Bench {
     // sustained host slowdown (the 2-4× contention class the flag is for).
     val sentinelName = "q_a2_having_sort"
     val sentinel = SparkEntry.queries.get(sentinelName)
-    val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // each sentinel point is min-of-N like every query: the min strips
-    // one-off scheduling/JIT noise, so drift across points reflects a
-    // SUSTAINED host slowdown, not a single slow execution (a first
-    // measured run on a clean host was 1.76× its last purely from
-    // residual warmup — exactly the false positive this prevents)
-    def timeSentinel(tag: String): Unit = sentinel.foreach { fn =>
-      val r = runMeasured(s"sentinel-$tag", fn)
-      if (r.ok) {
-        sentinelTimes += r.sec
-        System.err.println(f"[bench] ${s"sentinel($tag)"}%-28s ${r.sec}%8.2fs")
+
+    final case class Pass(results: Seq[(String, RunResult)],
+                          sentinelTimes: Seq[Double], drift: Double,
+                          contended: Boolean)
+
+    /** One full measured pass over the selection, sentinel-bracketed.
+      * Each sentinel point is min-of-N like every query: the min strips
+      * one-off scheduling/JIT noise, so drift across points reflects a
+      * SUSTAINED host slowdown, not a single slow execution (a first
+      * measured run on a clean host was 1.76× its last purely from
+      * residual warmup — exactly the false positive this prevents).
+      */
+    def measurePass(): Pass = {
+      val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def timeSentinel(tag: String): Unit = sentinel.foreach { fn =>
+        val r = runMeasured(s"sentinel-$tag", fn)
+        if (r.ok) {
+          sentinelTimes += r.sec
+          System.err.println(f"[bench] ${s"sentinel($tag)"}%-28s ${r.sec}%8.2fs")
+        }
       }
+      timeSentinel("start")
+      // the mid point only means something with queries on both sides of
+      // it: under a 0/1-query SPARK_GRAFT_ONLY dev filter it would fire
+      // right after "start" and make laterDrift compare two adjacent
+      // measurements
+      val mid = if (selected.length >= 2) selected.length / 2 else -1
+      val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == mid) timeSentinel("mid")
+        val r = runMeasured(name, fn)
+        System.err.println(
+          f"[bench] $name%-28s ${r.sec}%8.2fs gc=${r.gcMs}%dms ${if (r.ok) "" else "(FAILED)"}")
+        name -> r
+      }
+      timeSentinel("end")
+      val drift =
+        if (sentinelTimes.size >= 2) sentinelTimes.max / math.max(1e-9, sentinelTimes.min)
+        else 1.0
+      // contended-flag rule: mid/end points hold the 1.5× bar against each
+      // other; the start point gets a 2× allowance against the later
+      // points because JVM-wide C2 warmup inflates it ~1.3-1.5× even on an
+      // idle host (measured) and only tens of real queries fully burn that
+      // off. The contention class this flag exists for is 2-4×, so both
+      // bars still catch it.
+      val later = sentinelTimes.drop(1)
+      val laterDrift =
+        if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
+      val startRatio =
+        if (sentinelTimes.nonEmpty && later.nonEmpty)
+          sentinelTimes.head / math.max(1e-9, later.min)
+        else 1.0
+      Pass(results, sentinelTimes.toSeq, drift,
+        contended = laterDrift > 1.5 || startRatio > 2.0)
     }
 
     // warm the sentinel's own plan/codegen path untimed first — otherwise
@@ -144,48 +185,39 @@ object Bench {
     // fake session-long drift (3 executions: C2 tiering needs more than
     // one pass before the timing stabilizes)
     sentinel.foreach(fn => (1 to 3).foreach(_ => runOnce("sentinel-warmup", fn)))
-    timeSentinel("start")
-    // the mid point only means something with queries on both sides of it:
-    // under a 0/1-query SPARK_GRAFT_ONLY dev filter it would fire right
-    // after "start" and make laterDrift compare two adjacent measurements
-    val mid = if (selected.length >= 2) selected.length / 2 else -1
-    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == mid) timeSentinel("mid")
-      val r = runMeasured(name, fn)
-      System.err.println(
-        f"[bench] $name%-28s ${r.sec}%8.2fs gc=${r.gcMs}%dms ${if (r.ok) "" else "(FAILED)"}")
-      name -> r
-    }
-    timeSentinel("end")
 
+    // SELF-CORRECTING, not just self-adjudicating: a contended pass is
+    // re-run (once by default — contention is host noise, not session
+    // state; per-query cleanup already resets the session between
+    // queries). If every pass is contended, report the quietest one and
+    // stamp value_suspect=true at TOP level, so no consumer can quote the
+    // headline number without seeing the flag (the round-9 driver artifact
+    // — drift 2.194, q_sketch_scale 24.6 s vs 7 s clean — is the exhibit).
+    val maxRetries = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RETRIES", "1").toInt)
+    var pass = measurePass()
+    var passesRun = 1
+    while (pass.contended && passesRun <= maxRetries) {
+      System.err.println(
+        f"[bench] sentinel flagged contention (drift ${pass.drift}%.3f) — " +
+          "re-running the full selection once")
+      val retry = measurePass()
+      passesRun += 1
+      if (!retry.contended || retry.drift < pass.drift) pass = retry
+    }
+
+    val results = pass.results
     val qs = results.map { case (k, r) =>
       "\"" + k + "\":" + (if (r.ok) f"${r.sec}%.3f" else "-1.0")
     }.mkString("{", ",", "}")
     val gcs = results.map { case (k, r) => "\"" + k + "\":" + r.gcMs }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, r) if r.ok => r.sec }.sum
-    val drift =
-      if (sentinelTimes.size >= 2) sentinelTimes.max / math.max(1e-9, sentinelTimes.min)
-      else 1.0
-    // contended-flag rule: mid/end points hold the 1.5× bar against each
-    // other; the start point gets a 2× allowance against the later points
-    // because JVM-wide C2 warmup inflates it ~1.3-1.5× even on an idle
-    // host (measured) and only tens of real queries fully burn that off.
-    // The contention class this flag exists for is 2-4×, so both bars
-    // still catch it.
-    val later = sentinelTimes.drop(1)
-    val laterDrift =
-      if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
-    val startRatio =
-      if (sentinelTimes.nonEmpty && later.nonEmpty)
-        sentinelTimes.head / math.max(1e-9, later.min)
-      else 1.0
-    val contended = laterDrift > 1.5 || startRatio > 2.0
     val sentinelJson = {
-      val pts = sentinelTimes.map(s => f"$s%.3f").mkString("[", ",", "]")
-      f"""{"query":"$sentinelName","times":$pts,"drift":$drift%.3f,"contended":$contended}"""
+      val pts = pass.sentinelTimes.map(s => f"$s%.3f").mkString("[", ",", "]")
+      f"""{"query":"$sentinelName","times":$pts,"drift":${pass.drift}%.3f,"contended":${pass.contended}}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_suspect":${pass.contended},"passes":$passesRun,"queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact keeps only a 2000-char stdout tail, which
     // truncates the per-query maps — persist the full line so round-to-
