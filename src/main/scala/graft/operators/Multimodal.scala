@@ -551,26 +551,12 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
-  /** Resize stub for containers without a real decode path (kept for the
-    * JPEG/WebP metadata path — see [[resizeMedia]] for the real
-    * decoded-pixel version, which PNG now rides too):
-    * aspect-preserving downscale into a `maxW`×`maxH` box. Output metadata
-    * is real arithmetic (what downstream partitioning and batch-shape
-    * logic consume); the payload "re-encode" is the STUB — bytes truncated
-    * proportionally to the area change, standing in for a real codec call
-    * with the same columnar signature.
-    */
-  def resize(media: DataFrame, maxW: Long, maxH: Long): DataFrame = {
-    val scale = least(lit(1.0),
-      least(lit(maxW) / col("width").cast("double"),
-        lit(maxH) / col("height").cast("double")))
-    media
-      .withColumn("out_width", floor(col("width") * scale).cast("long"))
-      .withColumn("out_height", floor(col("height") * scale).cast("long"))
-      .withColumn("out_media",
-        col("media").substr(lit(1),
-          greatest((col("media_bytes") * scale * scale).cast("int"), lit(1))))
-  }
+  // The former byte-truncation `resize` stub is RETIRED: with BMP/netpbm/
+  // PNG/JPEG all real, the only rows it could serve were WebP metadata
+  // rows, and a truncated-byte payload masquerading as a resized image is
+  // worse than a loud reject. [[resizeMedia]] is the one resize surface;
+  // containers without a pixel path (WebP) fail there with ImageCodec's
+  // unrecognized-container error instead of emitting corrupt bytes.
 
   /** Frame-sample STUB for compressed video containers: `n` evenly spaced
     * fixed-size byte windows per blob — the keyframe ACCESS PATTERN without

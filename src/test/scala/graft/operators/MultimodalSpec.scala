@@ -374,12 +374,19 @@ class MultimodalSpec extends SparkTestBase {
       s"wrong refusal: ${ex.getCause.getMessage}")
   }
 
-  test("resize: aspect-preserving box fit, payload stub shrinks with area") {
-    val rows = Multimodal.resize(Multimodal.withMedia(docs), maxW = 10, maxH = 10)
-      .orderBy("doc_id").collect()
-    val r = rows(0) // width 16+11%64=27, height 16+11%48=27 → scale 10/27
-    assert(r.getAs[Long]("out_width") == 10L && r.getAs[Long]("out_height") == 10L)
-    assert(r.getAs[Array[Byte]]("out_media").length < r.getAs[Long]("media_bytes"))
+  test("resizeMedia: container without a pixel path is rejected loudly, " +
+    "never truncated-byte payloads") {
+    // The byte-truncation resize stub is retired: the ONE resize surface
+    // is resizeMedia, and a WebP container (real VP8X header bytes from
+    // withMedia, no decode path) must fail with the codec's unrecognized-
+    // container error — corrupt "resized" bytes must be impossible.
+    val webp = Multimodal.withMedia(docs)
+      .filter(col("format") === "webp").select("doc_id", "media")
+    assert(webp.count() > 0, "fixture should contain WebP rows")
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.resizeMedia(webp, maxW = 10, maxH = 10).collect())
+    assert(ex.getCause.getMessage.contains("unrecognized container"),
+      s"wrong refusal: ${ex.getCause.getMessage}")
   }
 
   test("sampleFrames: n fixed-size windows per blob, in-row") {
