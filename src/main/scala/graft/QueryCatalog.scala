@@ -2046,6 +2046,64 @@ object QueryCatalog {
              |WHERE k NOT IN (SELECT k FROM b1) AND k NOT IN (SELECT k FROM b2)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Streaming CRASH-RECOVERY under the oracle — the property that makes
+    // the foreachBatch upsert exactly-once in production, graded under a
+    // REAL restart rather than a clean run: query 1 consumes batches 1-2
+    // (AvailableNow terminates it — the "crash"), then a NEW query on the
+    // SAME checkpoint sees one more arrival file and must process ONLY it.
+    // Re-application is detectable in the grade itself two ways: (a) the
+    // batches overlap — every key divisible by 30 is repriced by all three
+    // — so a re-applied batch 2 would regress those keys from ×1.3 to ×1.2
+    // and break the hash; (b) versions_after_restart carries the version-
+    // counter delta across the restart, which must be exactly 1 (only
+    // batch 3 committed; a replayed batch would commit again).
+    ("q_stream_recovery",
+      (s: SparkSession, d: String) => {
+        import graft.reddit.PostsTable
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val root = scratchDir("stream_recov_tbl")
+        PostsTable.create(base, root, "o_orderkey")
+        def repriced(m: Int, f: Double) =
+          base.filter(pmod(col("o_orderkey"), lit(m)) === 0)
+            .select(col("o_orderkey"), round(col("o_totalprice") * f, 4).as("o_totalprice"))
+        val inDir = scratchDir("recov_in")
+        val ckpt = scratchDir("recov_ckpt")
+        stageArrivalFile(repriced(10, 1.1), inDir, "b1.parquet", 1700000000000L)
+        stageArrivalFile(repriced(15, 1.2), inDir, "b2.parquet", 1700000060000L)
+        def run(): Unit = {
+          val stream = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+          graft.streaming.Streams
+            .upsertSink(stream, root, "o_orderkey", ckpt)
+            .start().awaitTermination()
+        }
+        run() // query 1: consumes b1, b2, terminates
+        val vBefore = PostsTable.currentVersion(root).get
+        stageArrivalFile(repriced(6, 1.3), inDir, "b3.parquet", 1700000120000L)
+        run() // query 2: fresh query, same checkpoint — must see ONLY b3
+        val vAfter = PostsTable.currentVersion(root).get
+        PostsTable.read(s, root)
+          .withColumn("versions_after_restart", lit(vAfter - vBefore).cast("long"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+             |b1 AS (SELECT k, round(p * 1.1, 4) AS p FROM base WHERE k % 10 = 0),
+             |b2 AS (SELECT k, round(p * 1.2, 4) AS p FROM base WHERE k % 15 = 0),
+             |b3 AS (SELECT k, round(p * 1.3, 4) AS p FROM base WHERE k % 6 = 0)
+             |SELECT k AS o_orderkey, p AS o_totalprice,
+             |       CAST(1 AS BIGINT) AS versions_after_restart FROM b3
+             |UNION ALL
+             |SELECT k, p, CAST(1 AS BIGINT) FROM b2
+             |WHERE k NOT IN (SELECT k FROM b3)
+             |UNION ALL
+             |SELECT k, p, CAST(1 AS BIGINT) FROM b1
+             |WHERE k NOT IN (SELECT k FROM b2) AND k NOT IN (SELECT k FROM b3)
+             |UNION ALL
+             |SELECT k, p, CAST(1 AS BIGINT) FROM base
+             |WHERE k NOT IN (SELECT k FROM b1) AND k NOT IN (SELECT k FROM b2)
+             |  AND k NOT IN (SELECT k FROM b3)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // REAL streaming sessionization under the oracle: the events table
     // streamed as three time-tercile arrival files (time-ordered, so
     // nothing is watermark-late) plus a FLUSH file carrying one far-future

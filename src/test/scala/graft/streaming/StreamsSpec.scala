@@ -51,6 +51,43 @@ class StreamsSpec extends SparkTestBase {
     assert(m == Map("a" -> 1, "b" -> 20, "c" -> 30))
   }
 
+  test("upsertSink file stream: restart from checkpoint applies only new files, one commit") {
+    // The crash-recovery contract behind q_stream_recovery, at unit scale:
+    // query 1 consumes two files and terminates; a NEW query on the SAME
+    // checkpoint (old files still present in the dir) must apply only the
+    // third file — the overlapping key would regress 30 -> 20 if file 2
+    // were replayed, and the version counter must advance exactly once.
+    val root = Files.createTempDirectory("recov_posts").toString
+    val ckpt = Files.createTempDirectory("recov_ckpt").toString
+    val inDir = Files.createTempDirectory("recov_in").toString
+    def addFile(name: String, rows: Seq[(String, Int)], mtime: Long): Unit = {
+      val stage = Files.createTempDirectory("recov_stage").resolve("out")
+      rows.toDF("id", "score").coalesce(1).write.parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = java.nio.file.Paths.get(inDir, name)
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+    }
+    val schema = Seq(("x", 0)).toDF("id", "score").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      Streams.upsertSink(stream, root, "id", ckpt).start().awaitTermination()
+    }
+    addFile("f1.parquet", Seq(("a", 1), ("b", 2)), 1700000000000L)
+    addFile("f2.parquet", Seq(("b", 20), ("c", 21)), 1700000060000L)
+    run()
+    val vBefore = PostsTable.currentVersion(root).get
+    addFile("f3.parquet", Seq(("b", 30), ("d", 31)), 1700000120000L)
+    run()
+    assert(PostsTable.currentVersion(root).get - vBefore == 1,
+      "restarted query must commit exactly one new version (only file 3)")
+    val m = PostsTable.read(spark, root).drop("extract_date")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 1, "b" -> 30, "c" -> 21, "d" -> 31))
+  }
+
   test("asofEnrich: stateful point-in-time enrichment across micro-batches") {
     implicit val sql = spark.sqlContext
     import Streams.{AsofInput, AsofEnriched}
