@@ -1352,6 +1352,122 @@ object QueryCatalog {
              |  true AS append_matches_direct
              |FROM embeddings WHERE vec_id % 37 = 0""".stripMargin)),
 
+    // Product quantization (PQ8), graded on the q_ivf_recall planted-block
+    // corpus: vectors L2-normalized (unit vectors make PQ's L2 ADC ranking
+    // agree with cosine), codebook trained driver-side on the hash-ordered
+    // sample (m=8 subspaces × ≤256 sub-centroids, Lloyd-refined), corpus
+    // encoded to m-byte codes by the codegen'd kernel, searched in the
+    // production shape — per-query ADC lookup table, code-scan shortlist,
+    // exact re-rank of the bounded shortlist — and graded on recall@10 vs
+    // brute-force cosine plus the measured bytes/vector reduction vs SQ8
+    // (both sides data-derived: code bytes from the real binary column,
+    // SQ8 bytes = dims + 4-byte scale from the real embedding width).
+    ("q_pq_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val n = emb.count()
+        val block = math.max(n / 16L, 1L)
+        val bases = emb.filter(col("vec_id") % block === 0)
+          .select(graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"),
+            col("embedding").as("base"))
+        // materialized ONCE: train sample, encode scan, re-rank join,
+        // brute-force truth, and the byte audits all read this relation —
+        // without the checkpoint each action replays the join + synthesis
+        val corpus = operators.Materialize.once(emb
+          .select(col("vec_id"),
+            graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
+          .join(broadcast(bases), Seq("blk"))
+          .select(col("vec_id"),
+            Similarity.l2Normalize(
+              zip_with(col("base"), sequence(lit(0), lit(63)),
+                (b, j) => (b.cast("double")
+                  + ((col("vec_id") * 31 + j) % 11).cast("double") * lit(0.003))
+                  .cast("float"))).as("vec")), reliable = false)
+        val queries = corpus.filter(col("vec_id") % block === block / 2)
+        val cb = Similarity.pqTrain(corpus, "vec_id", "vec", m = 8, k = 256)
+        val codes = corpus.select(col("vec_id"),
+          graft.functions.pq_encode(col("vec"), cb).as("code"))
+        val pq = Similarity.pqSearchTopK(codes, corpus, queries, cb,
+          "vec_id", "vec", "code", k = 10, shortlist = 50)
+          .select("query_id", "neighbor_id")
+        val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
+          .select("query_id", "neighbor_id")
+        // same count as queries.count(), without replaying the synthesis
+        val nQ = emb.filter(col("vec_id") % block === block / 2).count()
+        val found = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val recall = found.toDouble / (nQ * 10L)
+        val st = codes.agg(
+          max(octet_length(col("code"))).cast("long"),
+          min(octet_length(col("code"))).cast("long")).collect()(0)
+        require(st.getLong(0) == st.getLong(1), "pq codes must be fixed-width")
+        val pqBytes = st.getLong(0)
+        val dims = corpus.agg(max(size(col("vec"))).cast("long")).collect()(0).getLong(0)
+        val sq8Bytes = dims + 4L
+        import s.implicits._
+        Seq((nQ, recall >= 0.9, pqBytes, sq8Bytes, sq8Bytes >= 8L * pqBytes))
+          .toDF("n_queries", "recall_ok", "pq_code_bytes", "sq8_code_bytes",
+            "compression_8x")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+             |q AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings, n
+             |      WHERE vec_id % greatest(n.n // 16, 1) = greatest(n.n // 16, 1) // 2),
+             |d AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dims FROM embeddings)
+             |SELECT q.n_queries, true AS recall_ok,
+             |  CAST(8 AS BIGINT) AS pq_code_bytes,
+             |  d.dims + 4 AS sq8_code_bytes,
+             |  true AS compression_8x
+             |FROM q, d""".stripMargin)),
+
+    // IVF × quantization — the composed 100 TB index layout (IVF-SQ8):
+    // cells persist int8 codes + per-vector scale instead of f32 vectors,
+    // probe selection stays f32-vs-centroids, in-cell scoring runs
+    // int8×int8 (scales cancel under cosine — no dequantization at all).
+    // Graded on the exact q_ivf_append lifecycle contract — build from
+    // half, append half against the persisted centroids, compact, then
+    // persisted-index search must equal the direct in-memory quantized
+    // search (exceptAll both ways empty; both sides int8, so equality is
+    // exact) — plus a fidelity leg: every returned int8 cosine must sit
+    // within 0.02 of the f32 cosine for that same pair.
+    ("q_ivf_quantized",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val half = emb.count() / 2
+        val a = emb.filter(col("vec_id") < half)
+        val b = emb.filter(col("vec_id") >= half)
+        val cents = Similarity.ivfCentroidsKmeans(a, "vec_id", "embedding", cells = 16)
+        val path = scratchDir("ivf_quant")
+        Similarity.ivfWriteIndexQuantized(a, "vec_id", "embedding", cents, path)
+        Similarity.ivfAppendIndexQuantized(b, "vec_id", "embedding", path)
+        Similarity.ivfCompactIndex(s, path)
+        val queries = emb.filter(col("vec_id") % 37 === 0)
+        // each search result feeds exceptAll (both directions) + the
+        // tolerance join — materialize the tiny nQ×k frames once instead
+        // of replaying the whole search pipeline per consumer
+        val direct = operators.Materialize.once(
+          Similarity.ivfSearchQuantized(emb, queries, cents,
+            "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
+        val fromDisk = operators.Materialize.once(
+          Similarity.ivfSearchIndexQuantized(s, path, queries,
+            "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
+        val extra = direct.exceptAll(fromDisk).count() +
+          fromDisk.exceptAll(direct).count()
+        val offTol = fromDisk
+          .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+            Seq("query_id"))
+          .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+            Seq("neighbor_id"))
+          .filter(abs(col("cosine")
+            - round(Similarity.cosineF(col("qv"), col("cv")), 6)) > 0.02)
+          .count()
+        val nQ = queries.count()
+        import s.implicits._
+        Seq((nQ, extra == 0L, offTol == 0L))
+          .toDF("n_queries", "append_matches_direct", "all_within_tol")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  true AS append_matches_direct, true AS all_within_tol
+             |FROM embeddings WHERE vec_id % 37 = 0""".stripMargin)),
+
     // ---- multimodal ---------------------------------------------------------
 
     // the engine PARSES width/height/format out of real PNG/JPEG/WebP

@@ -43,6 +43,45 @@ package object functions {
     ColumnBridge.column(
       CosineF32Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** L2-normalize an array<float> column (codegen'd kernel; zero vector
+    * unchanged — same arithmetic as the HOF fold formulation).
+    */
+  def l2_normalize_f32(v: Column): Column =
+    ColumnBridge.column(NormalizeF32Expr(ColumnBridge.expression(v)))
+
+  /** SQ8 quantization of an array<float> column → struct(scale, q)
+    * (codegen'd kernel; bit-identical to the HOF formulation — Spark
+    * Round HALF_UP semantics included).
+    */
+  def quantize_int8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(v)))
+
+  /** Cosine over two array<int> int8-code columns (codegen'd kernel;
+    * exact BIGINT dots, scales cancel — see
+    * [[graft.operators.Similarity.int8Cosine]]).
+    */
+  def cosine_i8(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineI8Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ-encode an array<float> column to m one-byte centroid indexes
+    * against a driver-trained codebook (see [[PqKernels]]). Not
+    * SQL-registered: the codebook is a driver-built object, not a literal.
+    */
+  def pq_encode(vec: Column, cb: graft.operators.Similarity.PqCodebook): Column =
+    ColumnBridge.column(PqEncodeExpr(
+      ColumnBridge.expression(vec), cb.flat, cb.m, cb.subDim, cb.k))
+
+  /** Per-query ADC lookup table (flat m·k floats) for [[pq_adc]]. */
+  def pq_lut(vec: Column, cb: graft.operators.Similarity.PqCodebook): Column =
+    ColumnBridge.column(PqLutExpr(
+      ColumnBridge.expression(vec), cb.flat, cb.m, cb.subDim, cb.k))
+
+  /** Asymmetric PQ distance: m LUT lookups + adds per scanned code. */
+  def pq_adc(lut: Column, codes: Column, k: Int): Column =
+    ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(lut), ColumnBridge.expression(codes), k))
+
   /** Language-ID heuristic (codegen'd kernel; NULL text → NULL). */
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))

@@ -432,11 +432,18 @@ object Similarity {
     * For COSINE the per-vector scale cancels, so similarity over the int8
     * codes needs no dequantization at all — see [[int8CosinePairs]].
     */
-  def quantizeInt8(v: Column): Column = {
+  def quantizeInt8(v: Column): Column = graft.functions.quantize_int8(v)
+
+  /** The HOF formulation [[quantizeInt8]]'s kernel is bit-identical to —
+    * kept for the equivalence spec (double arithmetic throughout the code
+    * computation: float abs/max are exact, and the double divide/multiply
+    * sequence is IEEE-identical on any engine, so round() sees the same
+    * double everywhere). Interpreted and O(d²) per row — the aggregate
+    * subtree inside the transform lambda re-evaluates per element — so the
+    * production path is the codegen'd kernel.
+    */
+  private[graft] def quantizeInt8Hof(v: Column): Column = {
     val maxabs = aggregate(v, lit(0.0f), (m, x) => greatest(m, abs(x)))
-    // double arithmetic throughout the code computation: float abs/max are
-    // exact, and the double divide/multiply sequence is IEEE-identical on
-    // any engine, so round() sees the same double everywhere
     val q = when(maxabs === 0.0f,
         transform(v, _ => lit(0)))
       .otherwise(transform(v, x =>
@@ -450,13 +457,234 @@ object Similarity {
     * divide at the end. The per-vector scales cancel, so no
     * dequantization happens at all.
     */
-  def int8Cosine(qa: Column, qb: Column): Column = {
+  def int8Cosine(qa: Column, qb: Column): Column = graft.functions.cosine_i8(qa, qb)
+
+  /** The HOF formulation [[int8Cosine]]'s kernel is bit-identical to —
+    * kept for the equivalence spec. (Exact BIGINT dots in any order; the
+    * norm product stays < 2⁵³.)
+    */
+  private[graft] def int8CosineHof(qa: Column, qb: Column): Column = {
     def idot(a: Column, b: Column) =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
         lit(0L), (s, x) => s + x)
     val den = sqrt((idot(qa, qa) * idot(qb, qb)).cast("double"))
     when(den === 0.0, lit(0.0))
       .otherwise(idot(qa, qb).cast("double") / den)
+  }
+
+  // --- product quantization (PQ8 — the IVF-PQ memory step) -----------------
+
+  /** A trained PQ codebook: `m` subspaces × `k` sub-centroids × `subDim`
+    * floats, flat row-major (`flat((s·k + j)·subDim + t)`). `m` bytes per
+    * encoded vector vs `4·m·subDim` raw — the memory step that makes a
+    * 100 TB embedding corpus scannable from RAM.
+    */
+  final case class PqCodebook(m: Int, subDim: Int, k: Int, flat: Array[Float]) {
+    require(flat.length == m * k * subDim,
+      s"PqCodebook: flat length ${flat.length} != m·k·subDim ${m * k * subDim}")
+    def dims: Int = m * subDim
+    def codeBytes: Int = m
+  }
+
+  /** Train a PQ codebook driver-side on the hash-ordered ≤ `sampleCap`
+    * sample — the exact seeding discipline of [[ivfCentroidsKmeans]]
+    * (content-independent draw, deterministic, bounded: cap × dims
+    * doubles). Per subspace: seeds are the first `k` sample subvectors in
+    * hash order, refined with `iters` Lloyd iterations under L2 (ties
+    * toward the lowest index, empty cells keep their previous centroid).
+    * Corrupt rows (NULL/ragged/NaN) are dropped from the SEED sample only.
+    */
+  def pqTrain(corpus: DataFrame, id: String, vec: String, m: Int = 8,
+              k: Int = 256, sampleCap: Int = 4096, iters: Int = 8): PqCodebook = {
+    require(m >= 1, s"pqTrain: m must be >= 1, got $m")
+    require(k >= 1 && k <= 256, s"pqTrain: k must be 1..256 for byte codes, got $k")
+    val raw: Array[Array[Double]] = corpus
+      .select(col(id).cast("long").as("_id"), col(vec).as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(sampleCap)
+      .collect()
+      .flatMap(r => Option(r.getSeq[Float](1))
+        .map(_.iterator.map(x => if (x == null) Double.NaN else x.toDouble).toArray))
+    val intact = raw.filter(v => v.nonEmpty && !v.exists(_.isNaN))
+    val sample = intact.headOption.map(h =>
+      intact.filter(_.length == h.length)).getOrElse(Array.empty)
+    require(sample.nonEmpty, "pqTrain: no intact vectors to train on")
+    val dims = sample.head.length
+    require(dims % m == 0, s"pqTrain: dims $dims not divisible by m $m")
+    val subDim = dims / m
+    val kEff = math.min(k, sample.length)
+
+    val flat = new Array[Float](m * kEff * subDim)
+    var s = 0
+    while (s < m) {
+      // subvectors of this subspace
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      var cents: Array[Array[Double]] = Array.tabulate(kEff)(j => sub(j).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Double](kEff, subDim)
+        val counts = new Array[Long](kEff)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < kEff) {
+            var d = 0.0; var t = 0
+            while (t < subDim) { val x = v(t) - cents(c)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < subDim) { sums(best)(t) += v(t); t += 1 }
+        }
+        cents = Array.tabulate(kEff) { c =>
+          if (counts(c) == 0) cents(c)
+          else {
+            val mvec = new Array[Double](subDim)
+            var t = 0
+            while (t < subDim) { mvec(t) = sums(c)(t) / counts(c); t += 1 }
+            mvec
+          }
+        }
+        it += 1
+      }
+      var j = 0
+      while (j < kEff) {
+        var t = 0
+        while (t < subDim) {
+          flat((s * kEff + j) * subDim + t) = cents(j)(t).toFloat
+          t += 1
+        }
+        j += 1
+      }
+      s += 1
+    }
+    PqCodebook(m, subDim, kEff, flat)
+  }
+
+  /** L2-normalize an array<float> column in-row (zero vector stays zero).
+    * On unit vectors L2² = 2 − 2·cos, so PQ's L2-based ADC ranking agrees
+    * with cosine ranking — normalize before encoding AND before querying.
+    * Codegen'd kernel: the HOF formulation (`transform` with the norm
+    * fold inside the lambda) re-evaluates the whole norm aggregate per
+    * element — O(d²) interpreted steps per row.
+    */
+  def l2Normalize(v: Column): Column = graft.functions.l2_normalize_f32(v)
+
+  /** PQ top-k search, production shape: ADC-shortlist `shortlist`
+    * candidates per query over the CODES (m lookups per scanned code —
+    * the codes relation is the only corpus-sized scan, `4·dims/m`× smaller
+    * than the f32 corpus), then exact re-rank of the shortlist against the
+    * f32 vectors (a shortlist-sized join, never corpus-sized). Returns
+    * (query_id, neighbor_id, cosine, rnk) like [[bruteForceTopK]].
+    *
+    * `codes` must carry (id, code) from [[graft.functions.pq_encode]];
+    * `corpus` the f32 vectors for re-rank; `queries` the f32 queries.
+    */
+  def pqSearchTopK(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                   cb: PqCodebook, id: String, vec: String, codeCol: String,
+                   k: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"pqSearchTopK: shortlist $shortlist < k $k")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("q_vec"),
+      graft.functions.pq_lut(col(vec), cb).as("lut"))
+    val scored = codes
+      .select(col(id).as("neighbor_id"), col(codeCol).as("code"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        col("neighbor_id"),
+        // negated: topk_pairs keeps the LARGEST scores, ADC is a distance
+        (-graft.functions.pq_adc(col("lut"), col("code"), cb.k)).as("cosine"))
+    val short = rankTopK(scored, shortlist).select("query_id", "neighbor_id")
+    // exact re-rank of the bounded shortlist
+    val rescored = short
+      .join(queries.select(col(id).as("query_id"), col(vec).as("q_vec")), Seq("query_id"))
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineF(col("q_vec"), col("c_vec")), 6).as("cosine"))
+    rankTopK(rescored, k)
+  }
+
+  // --- IVF × quantization (IVF-SQ8 — the composed 100 TB index layout) -----
+
+  /** Assign cells against `cents` and quantize: the stored index row is
+    * (id, cell, scale, q) — int8 codes + the per-vector scale, NO f32
+    * vector. 4× less index to scan; for cosine the scales cancel
+    * ([[int8Cosine]]), so search needs no dequantization at all.
+    */
+  def assignCellsQuantized(corpus: DataFrame, id: String, vec: String,
+                           cents: Seq[(Long, Seq[Float])]): DataFrame =
+    assignCells(corpus, id, vec, cents)
+      .withColumn("_sq", quantizeInt8(col(vec)))
+      .select(col(id), col("cell"),
+        col("_sq").getField("scale").as("scale"),
+        col("_sq").getField("q").as("q"))
+
+  /** Build + persist the quantized IVF index (same layout contract as
+    * [[ivfWriteIndexWithCentroids]]: cell-partitioned data + `_centroids`
+    * as the index's identity).
+    */
+  def ivfWriteIndexQuantized(corpus: DataFrame, id: String, vec: String,
+                             cents: Seq[(Long, Seq[Float])], path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    assignCellsQuantized(corpus, id, vec, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Incremental append to a quantized index: assignment runs against the
+    * index's OWN persisted centroid table (f32 — the centroid table stays
+    * full precision; only corpus rows are quantized), exactly like
+    * [[ivfAppendIndex]].
+    */
+  def ivfAppendIndexQuantized(emb: DataFrame, id: String, vec: String,
+                              path: String): Unit = {
+    val cents = ivfReadCentroids(emb.sparkSession, path)
+    assignCellsQuantized(emb, id, vec, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Search a persisted quantized index: probe cells are chosen from the
+    * f32 query against the f32 centroid table (unchanged); scoring inside
+    * the probed cells runs int8×int8 — the query is quantized in-row on
+    * the broadcast side, and the per-vector scales cancel under cosine.
+    * Compaction is [[ivfCompactIndex]] unchanged (it is schema-agnostic).
+    */
+  def ivfSearchIndexQuantized(spark: SparkSession, indexPath: String,
+                              queries: DataFrame, id: String, vec: String,
+                              nprobe: Int, k: Int): DataFrame = {
+    val cents = ivfReadCentroids(spark, indexPath)
+    val q = probeQueries(queries, cents, id, vec, nprobe)
+      .withColumn("q_q", quantizeInt8(col("q_vec")).getField("q"))
+      .select("query_id", "q_q", "cell")
+    val cells = q.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val scored = ivfProbeRead(spark, indexPath, cells)
+      .select(col("cell"), col(id).as("neighbor_id"), col("q").as("c_q"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(int8Cosine(col("q_q"), col("c_q")), 6).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** The in-memory analog of [[ivfSearchIndexQuantized]] under the same
+    * centroid table — the direct side of the lifecycle-equality grade
+    * (append+compact ≡ direct, both int8).
+    */
+  def ivfSearchQuantized(corpus: DataFrame, queries: DataFrame,
+                         cents: Seq[(Long, Seq[Float])], id: String, vec: String,
+                         nprobe: Int, k: Int): DataFrame = {
+    val indexed = assignCellsQuantized(corpus, id, vec, cents)
+    val q = probeQueries(queries, cents, id, vec, nprobe)
+      .withColumn("q_q", quantizeInt8(col("q_vec")).getField("q"))
+      .select("query_id", "q_q", "cell")
+    val scored = indexed
+      .select(col("cell"), col(id).as("neighbor_id"), col("q").as("c_q"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(int8Cosine(col("q_q"), col("c_q")), 6).as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Quantization-fidelity audit over a deterministic pair domain

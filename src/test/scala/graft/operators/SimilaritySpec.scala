@@ -190,6 +190,65 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(2L) == ((0.0f, Seq(0, 0, 0))))
   }
 
+  test("codegen kernels are bit-identical to the HOF formulations") {
+    val real = spark.read.parquet(sfDir + "/embeddings.parquet").limit(200)
+    // quantize: struct-for-struct equality, kernel vs interpreted HOF
+    val hofQ = real.select(col("vec_id"), Similarity.quantizeInt8Hof(col("embedding")).as("s"))
+    val kerQ = real.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("s"))
+    assert(hofQ.exceptAll(kerQ).count() == 0 && kerQ.exceptAll(hofQ).count() == 0)
+    // int8 cosine: exact double equality on consecutive pairs
+    val q = real.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding")).getField("q").as("q"))
+    val pairs = q.select(col("vec_id").as("a_id"), col("q").as("qa"))
+      .join(q.select((col("vec_id") - 1).as("a_id"), col("q").as("qb")), Seq("a_id"))
+    val diff = pairs.select(
+      (Similarity.int8Cosine(col("qa"), col("qb"))
+        - Similarity.int8CosineHof(col("qa"), col("qb"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff == 0.0, s"kernel/HOF int8 cosine diverged by $diff")
+    // normalize: unit norm out, zero vector unchanged, direction preserved
+    val nrm = real.select(col("embedding").as("v"),
+      Similarity.l2Normalize(col("embedding")).as("nv"))
+    val checks = nrm.select(
+      abs(sqrt(Similarity.norm2(col("nv"))) - 1.0).as("unit_err"),
+      Similarity.cosineF(col("v"), col("nv")).as("dir")).collect()
+    assert(checks.forall(r => r.getDouble(0) < 1e-6 && r.getDouble(1) > 0.999999))
+    val zero = Seq((1L, Seq(0.0f, 0.0f))).toDF("id", "v")
+      .select(Similarity.l2Normalize(col("v"))).collect().head.getSeq[Float](0)
+    assert(zero == Seq(0.0f, 0.0f))
+  }
+
+  test("pq: encode picks the nearest sub-centroid and ADC replays the LUT distance") {
+    // two planted clusters in 4 dims, m=2 subspaces of 2 — small enough to
+    // verify the arithmetic by hand through the public column surface
+    val docs = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(c + i * 0.001f, c, c - i * 0.001f, c))
+    }.toDF("vec_id", "vec")
+    val cb = Similarity.pqTrain(docs, "vec_id", "vec", m = 2, k = 4, iters = 4)
+    assert(cb.m == 2 && cb.subDim == 2 && cb.k == 4)
+    assert(cb.codeBytes == 2, "PQ8 with m=2 must cost exactly 2 bytes/vector")
+    val codes = docs.select(col("vec_id"), graft.functions.pq_encode(col("vec"), cb).as("code"))
+    // every code byte indexes a real centroid
+    val raw = codes.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(raw.values.forall(c => c.length == 2 && c.forall(b => (b & 0xff) < cb.k)))
+    // adc(lut(q), encode(x)) == sum over subspaces of ||q_s - chosen centroid||²
+    val qv = Seq((0L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "vec")
+    val lutRow = qv.select(graft.functions.pq_lut(col("vec"), cb)).collect().head.getSeq[Float](0)
+    val adc = codes.join(qv.select(graft.functions.pq_lut(col("vec"), cb).as("lut")))
+      .select(col("vec_id"), graft.functions.pq_adc(col("lut"), col("code"), cb.k).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    raw.foreach { case (id, code) =>
+      val expect = (0 until 2).map(s => lutRow(s * cb.k + (code(s) & 0xff)).toDouble).sum
+      assert(math.abs(adc(id) - expect) < 1e-12, s"doc $id adc mismatch")
+    }
+    // the +1 cluster must out-rank the -1 cluster for a +1 query
+    val top = Similarity.pqSearchTopK(codes, docs, qv, cb, "vec_id", "vec", "code",
+      k = 10, shortlist = 20).collect()
+    assert(top.forall(_.getLong(1) % 2 == 0),
+      s"PQ search leaked far-cluster members: ${top.mkString(", ")}")
+  }
+
   test("int8 cosine tracks f32 cosine within tolerance on real vectors") {
     val real = spark.read.parquet(sfDir + "/embeddings.parquet")
     val out = Similarity.int8CosinePairs(real, "vec_id", "embedding").collect()
