@@ -1926,6 +1926,42 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL lossless-WebP (VP8L) decode, graded byte-exact: the engine
+    // encodes each doc into a genuine VP8L stream (canonical prefix codes
+    // emitted through the code-length code, with the coding features
+    // rotating by doc_id — plain literals / subtract-green transform /
+    // color cache / a real LZ77 distance-64 backref), DECODES the bytes
+    // through the full pipeline — RIFF walk, bit reader, both prefix-code
+    // forms, cache, backref copy, inverse transform — and reduces to the
+    // position-weighted checksum. Content is identical across the four
+    // variants (VP8L is lossless), so the oracle replays ONE closed-form
+    // generator and the numbers only match if every coding path is an
+    // exact identity. media_bytes is dropped: entropy-coded size has no
+    // closed form (the q_png_decode contract).
+    ("q_webp_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(Multimodal.withWebpMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    sum((31*d.doc_id + 7*t.i) % 256) AS pix_sum,
+             |    sum(((31*d.doc_id + 7*t.i) % 256) * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 1024) t(i) ON t.i < d.w*d.h*4
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id, 'webp' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(4 AS BIGINT) AS channels,
+             |  CAST(w*h*4 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL cross-codec transcode, graded byte-exact: JPEG in → full
     // baseline decode → re-encode as PNG (filter + deflate) → full PNG
     // decode → checksum. The corpus-normalization step a training pipeline

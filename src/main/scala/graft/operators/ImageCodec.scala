@@ -40,6 +40,7 @@ object ImageCodec {
     if (bytes == null || bytes.length < 2) None
     else if (PngCodec.isPng(bytes)) Some("png")
     else if (JpegCodec.isJpeg(bytes)) Some("jpeg")
+    else if (WebpCodec.isVp8l(bytes)) Some("webp")
     else (bytes(0), bytes(1)) match {
       case ('B', 'M') => Some("bmp")
       case ('P', '6') => Some("ppm")
@@ -54,8 +55,10 @@ object ImageCodec {
     case Some("pgm") => decodeNetpbm(bytes, "pgm", 1)
     case Some("png") => PngCodec.decodePng(bytes)
     case Some("jpeg") => JpegCodec.decodeJpeg(bytes)
+    case Some("webp") => WebpCodec.decodeVp8l(bytes)
     case _ => throw new IllegalArgumentException(
-      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5', PNG or JPEG magic)")
+      "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5', " +
+        "PNG, JPEG or lossless-WebP VP8L magic)")
   }
 
   // ---- BMP ----------------------------------------------------------------
@@ -212,6 +215,8 @@ object ImageCodec {
       require(img.channels == 1 || img.channels == 3,
         s"jpeg: 1 or 3 channels required, got ${img.channels}")
       JpegCodec.encodeJpeg(img.width, img.height, img.channels, img.pixels(_))
+    case "webp" =>
+      WebpCodec.encodeVp8l(img.width, img.height, img.channels, img.pixels(_))
     case other => throw new IllegalArgumentException(s"encode: unsupported format '$other'")
   }
 

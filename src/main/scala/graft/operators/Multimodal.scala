@@ -114,11 +114,12 @@ object Multimodal {
                           features: Array[Float])
 
   /** Deterministic stand-in codec — labeled STUB, now only for the
-    * WebP (VP8) image class: BMP/PPM/PGM, PNG AND baseline JPEG all take
-    * the REAL decode path through [[ImageCodec]]/[[PngCodec]]/
-    * [[JpegCodec]] — see [[decodeFeatures]]'s routing. VP8's intra
-    * prediction + boolean arithmetic coder is unimplemented spec work,
-    * not an impossibility (the PNG/JPEG precedent); it simply has not
+    * LOSSY WebP (VP8) image class: BMP/PPM/PGM, PNG, baseline JPEG AND
+    * lossless WebP (VP8L) all take the REAL decode path through
+    * [[ImageCodec]]/[[PngCodec]]/[[JpegCodec]]/[[WebpCodec]] — see
+    * [[decodeFeatures]]'s routing. VP8's intra prediction + boolean
+    * arithmetic coder is unimplemented spec work, not an impossibility
+    * (the PNG/JPEG/VP8L precedent, three times over); it simply has not
     * been budgeted.
     *
     * Real deployment: replace `decode` with e.g. a JNI/codec call; the
@@ -255,6 +256,33 @@ object Multimodal {
     * [[JpegCodec]] DECODE — Huffman, dequant, IDCT, upsampling, color
     * matrix — over these bytes (q_jpeg_decode).
     */
+  /** Attach a REAL lossless-WebP (VP8L) blob to `documents`: dimensions
+    * derive from `n_chars` (the [[withPngMedia]] grammar), content is
+    * always 4-channel RGBA from [[pixGen]] (VP8L pixels ARE argb), and the
+    * CODING features rotate by `doc_id % 4` so every decoder path is live
+    * in the graded scan — plain literal Huffman / subtract-green
+    * transform / color cache / an LZ77 backref (the generator's 4-byte
+    * pixels repeat every 64 pixels, so images past 64 px carry a real
+    * distance-64 copy). Content is identical across variants — only the
+    * bitstream differs — so ONE closed-form oracle grades all four.
+    */
+  def withWebpMedia(docs: DataFrame, id: String = "doc_id",
+                    nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val w = (4 + nc % 13).toInt
+          val h = (3 + nc % 11).toInt
+          (docId, WebpCodec.encodeVp8l(w, h, 4, pixGen(docId),
+            variant = (docId % 4).toInt))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   def withJpegMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
