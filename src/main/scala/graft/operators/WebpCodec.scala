@@ -118,44 +118,50 @@ object WebpCodec {
       }
       if (n == 1) sym else -1
     }
-    // (len << 16 | code) -> symbol
-    private val table = new java.util.HashMap[Integer, Integer]()
+    // classic canonical decode state: for each length L, firstCode(L) is
+    // the smallest code of that length and offset(L) indexes into the
+    // (length, symbol)-sorted symbol list — O(1) primitive work per bit,
+    // no boxing (the HashMap variant dominated q_webp_decode's profile)
     val maxLen: Int = if (lengths.isEmpty) 0 else lengths.max
-    locally {
+    private val firstCode = new Array[Int](maxLen + 2)
+    private val offset = new Array[Int](maxLen + 2)
+    private val sorted: Array[Int] = {
+      val blCount = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) blCount(l) += 1)
       if (singleSymbol < 0 && maxLen > 0) {
         require(maxLen <= 15, s"vp8l: prefix code length $maxLen > 15")
-        val blCount = new Array[Int](maxLen + 1)
-        lengths.foreach(l => if (l > 0) blCount(l) += 1)
-        val nextCode = new Array[Int](maxLen + 2)
         var code = 0
+        var total = 0
         var l = 1
         while (l <= maxLen) {
           code = (code + blCount(l - 1)) << 1
-          nextCode(l) = code
+          firstCode(l) = code
+          offset(l) = total
+          require(code + blCount(l) <= (1 << l), "vp8l: over-subscribed prefix code")
+          total += blCount(l)
           l += 1
         }
+        val out = new Array[Int](total)
+        val fill = offset.clone()
         var i = 0
         while (i < lengths.length) {
-          val len = lengths(i)
-          if (len > 0) {
-            require(nextCode(len) < (1 << len), "vp8l: over-subscribed prefix code")
-            table.put((len << 16) | nextCode(len), i)
-            nextCode(len) += 1
-          }
+          if (lengths(i) > 0) { out(fill(lengths(i))) = i; fill(lengths(i)) += 1 }
           i += 1
         }
-      }
+        out
+      } else Array.empty
     }
     def read(r: BitReader): Int = {
       if (explicit1Bit != null) return explicit1Bit(r.bit())
       if (singleSymbol >= 0) return singleSymbol
       var code = 0
       var len = 0
-      while (len <= maxLen) {
+      while (len < maxLen) {
         code = (code << 1) | r.bit()
         len += 1
-        val s = table.get((len << 16) | code)
-        if (s != null) return s.intValue()
+        val idx = code - firstCode(len)
+        if (idx >= 0 && offset(len) + idx < (if (len < maxLen) offset(len + 1) else sorted.length))
+          return sorted(offset(len) + idx)
       }
       throw new IllegalArgumentException("vp8l: invalid prefix code in stream")
     }
