@@ -1962,6 +1962,85 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL GIF decode, graded byte-exact: the engine encodes each doc
+    // into a genuine GIF (real LZW with the variable width schedule),
+    // coding features rotating by doc_id — GIF87a plain / GIF89a with a
+    // GCE / interlaced (8/8/4/2 pass order) / local-palette with an
+    // early-Clear cadence forcing mid-stream LZW table resets — then
+    // DECODES through the full pipeline (block walk, LZW, de-interlace,
+    // palette mapping) and reduces to the position-weighted checksum.
+    // The palette is deliberately NON-gray (entry j = (j, 2j+1, 5j+3)
+    // mod 256) so channel-order or index-offset bugs break the grade.
+    // Content is identical across the four variants, so ONE closed-form
+    // oracle grades all of them. media_bytes dropped: LZW size has no
+    // closed form (the q_png_decode contract).
+    ("q_gif_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(Multimodal.withGifMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    sum(CASE t.i % 3
+             |      WHEN 0 THEN (31*d.doc_id + 7*(t.i//3)) % 256
+             |      WHEN 1 THEN (2*((31*d.doc_id + 7*(t.i//3)) % 256) + 1) % 256
+             |      ELSE (5*((31*d.doc_id + 7*(t.i//3)) % 256) + 3) % 256
+             |      END) AS pix_sum,
+             |    sum((CASE t.i % 3
+             |      WHEN 0 THEN (31*d.doc_id + 7*(t.i//3)) % 256
+             |      WHEN 1 THEN (2*((31*d.doc_id + 7*(t.i//3)) % 256) + 1) % 256
+             |      ELSE (5*((31*d.doc_id + 7*(t.i//3)) % 256) + 3) % 256
+             |      END) * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 624) t(i) ON t.i < d.w*d.h*3
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id, 'gif' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*h*3 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // REAL animated-GIF decode, graded byte-exact: each doc carries a
+    // genuine multi-frame GIF89a (per-frame GCEs, NETSCAPE2.0 loop
+    // extension, real LZW per frame); the engine decodes EVERY frame
+    // through the compositing model and reduces to a frame-and-position-
+    // weighted checksum — the animation analog of q_video_frames, but
+    // over a compressed-stream container. Frames are full-canvas so the
+    // oracle replays the per-frame generator closed-form; sub-rect
+    // compositing/transparency/disposal are spec-tested (GifCodecSpec).
+    ("q_gif_anim",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeGifAnimStats(Multimodal.withGifAnimMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 9 AS w, 3 + n_chars % 7 AS h,
+             |    2 + doc_id % 3 AS nf
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.nf,
+             |    sum((CASE t.i % 3
+             |      WHEN 0 THEN (31*d.doc_id + 7*(t.i//3) + 11*f.f) % 256
+             |      WHEN 1 THEN (2*((31*d.doc_id + 7*(t.i//3) + 11*f.f) % 256) + 1) % 256
+             |      ELSE (5*((31*d.doc_id + 7*(t.i//3) + 11*f.f) % 256) + 3) % 256
+             |      END) * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM dims d
+             |  JOIN range(0, 4) f(f) ON f.f < d.nf
+             |  JOIN range(0, 324) t(i) ON t.i < d.w*d.h*3
+             |  GROUP BY d.doc_id, d.w, d.h, d.nf)
+             |SELECT doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL cross-codec transcode, graded byte-exact: JPEG in → full
     // baseline decode → re-encode as PNG (filter + deflate) → full PNG
     // decode → checksum. The corpus-normalization step a training pipeline

@@ -41,6 +41,7 @@ object ImageCodec {
     else if (PngCodec.isPng(bytes)) Some("png")
     else if (JpegCodec.isJpeg(bytes)) Some("jpeg")
     else if (WebpCodec.isVp8l(bytes)) Some("webp")
+    else if (GifCodec.isGif(bytes)) Some("gif")
     else (bytes(0), bytes(1)) match {
       case ('B', 'M') => Some("bmp")
       case ('P', '6') => Some("ppm")
@@ -56,9 +57,10 @@ object ImageCodec {
     case Some("png") => PngCodec.decodePng(bytes)
     case Some("jpeg") => JpegCodec.decodeJpeg(bytes)
     case Some("webp") => WebpCodec.decodeVp8l(bytes)
+    case Some("gif") => GifCodec.decodeGif(bytes)
     case _ => throw new IllegalArgumentException(
       "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5', " +
-        "PNG, JPEG or lossless-WebP VP8L magic)")
+        "PNG, JPEG, GIF or lossless-WebP VP8L magic)")
   }
 
   // ---- BMP ----------------------------------------------------------------
@@ -217,7 +219,55 @@ object ImageCodec {
       JpegCodec.encodeJpeg(img.width, img.height, img.channels, img.pixels(_))
     case "webp" =>
       WebpCodec.encodeVp8l(img.width, img.height, img.channels, img.pixels(_))
+    case "gif" =>
+      encodeGifExact(img)
     case other => throw new IllegalArgumentException(s"encode: unsupported format '$other'")
+  }
+
+  /** GIF encode via an EXACT palette: gray replicates through a 256-gray
+    * identity palette; RGB collects unique colors in first-appearance
+    * order and loudly rejects >256 (quantizing would be silent data
+    * loss — the [[GifCodec]] reject-never-misdecode discipline on the
+    * encode side). Alpha is refused: GIF transparency is a 1-bit keying
+    * concept, not an alpha channel.
+    */
+  private def encodeGifExact(img: DecodedImage): Array[Byte] = img.channels match {
+    case 1 =>
+      val pal = new Array[Byte](768)
+      var j = 0
+      while (j < 256) { pal(3 * j) = j.toByte; pal(3 * j + 1) = j.toByte; pal(3 * j + 2) = j.toByte; j += 1 }
+      GifCodec.encodeGif(img.width, img.height, img.pixels, pal)
+    case 3 =>
+      val colorToIdx = new java.util.LinkedHashMap[Integer, Integer]()
+      val n = img.width * img.height
+      val indices = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val c = ((img.pixels(3 * i) & 0xff) << 16) |
+          ((img.pixels(3 * i + 1) & 0xff) << 8) | (img.pixels(3 * i + 2) & 0xff)
+        var idx = colorToIdx.get(Integer.valueOf(c))
+        if (idx == null) {
+          if (colorToIdx.size >= 256) throw new IllegalArgumentException(
+            "gif: >256 unique colors — lossless GIF impossible, refusing to quantize")
+          idx = Integer.valueOf(colorToIdx.size)
+          colorToIdx.put(Integer.valueOf(c), idx)
+        }
+        indices(i) = idx.intValue().toByte
+        i += 1
+      }
+      val pal = new Array[Byte](3 * colorToIdx.size)
+      val it = colorToIdx.keySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        pal(3 * j) = ((c >> 16) & 0xff).toByte
+        pal(3 * j + 1) = ((c >> 8) & 0xff).toByte
+        pal(3 * j + 2) = (c & 0xff).toByte
+        j += 1
+      }
+      GifCodec.encodeGif(img.width, img.height, indices, pal)
+    case c => throw new IllegalArgumentException(
+      s"gif: $c-channel pixels unsupported (1-bit keying, not alpha — refusing)")
   }
 
   /** Nearest-neighbor resample to `outW`×`outH` — REAL pixel arithmetic

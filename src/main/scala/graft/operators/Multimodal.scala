@@ -283,6 +283,133 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** The GIF fixture palette: entry j = (j, (2j+1) mod 256, (5j+3) mod
+    * 256). Deliberately NON-gray so a decoder that swaps palette channel
+    * order or misindexes the table breaks the checksum (a gray palette
+    * would hide both).
+    */
+  private[operators] def gifPalette: Array[Byte] = {
+    val pal = new Array[Byte](768)
+    var j = 0
+    while (j < 256) {
+      pal(3 * j) = j.toByte
+      pal(3 * j + 1) = ((2 * j + 1) % 256).toByte
+      pal(3 * j + 2) = ((5 * j + 3) % 256).toByte
+      j += 1
+    }
+    pal
+  }
+
+  /** Attach a REAL GIF blob to `documents`: dimensions from the
+    * [[withPngMedia]] grammar, pixel INDEX at position p is
+    * `(31·docId + 7·p) mod 256` through [[gifPalette]], and the CODING
+    * features rotate by `doc_id % 4` so every decoder path is live in
+    * the graded scan — GIF87a plain / GIF89a with a GCE / interlaced
+    * (the 8/8/4/2 four-pass row order) / local-palette with an
+    * early-Clear LZW cadence (mid-stream table resets). Content is
+    * identical across variants — only the bitstream differs — so ONE
+    * closed-form oracle grades all four.
+    */
+  def withGifMedia(docs: DataFrame, id: String = "doc_id",
+                   nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        val pal = gifPalette
+        batch.map { case (docId, nc) =>
+          val w = (4 + nc % 13).toInt
+          val h = (3 + nc % 11).toInt
+          val idx = new Array[Byte](w * h)
+          var p = 0
+          while (p < idx.length) { idx(p) = ((31L * docId + 7L * p) % 256L).toByte; p += 1 }
+          val bytes = (docId % 4) match {
+            case 0 => GifCodec.encodeGif(w, h, idx, pal, version89 = false)
+            case 1 => GifCodec.encodeGif(w, h, idx, pal, withGce = true)
+            case 2 => GifCodec.encodeGif(w, h, idx, pal, interlace = true)
+            case _ => GifCodec.encodeGif(w, h, idx, pal, localPalette = true,
+              clearEvery = 100)
+          }
+          (docId, bytes)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Attach a REAL animated GIF to `documents`: `2 + docId mod 3`
+    * full-canvas frames, frame f's pixel index at p is
+    * `(31·docId + 7·p + 11·f) mod 256` through [[gifPalette]], GIF89a
+    * with per-frame GCEs and the NETSCAPE2.0 loop extension. Sub-rect
+    * frames, transparency keying and disposal compositing are covered by
+    * `GifCodecSpec` (no closed-form oracle survives an argmax over
+    * overdraw history); the graded query drives the multi-frame walk and
+    * per-frame LZW.
+    */
+  def withGifAnimMedia(docs: DataFrame, id: String = "doc_id",
+                       nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        val pal = gifPalette
+        batch.map { case (docId, nc) =>
+          val w = (4 + nc % 9).toInt
+          val h = (3 + nc % 7).toInt
+          val nf = (2 + docId % 3).toInt
+          val frames = (0 until nf).map { f =>
+            val idx = new Array[Byte](w * h)
+            var p = 0
+            while (p < idx.length) {
+              idx(p) = ((31L * docId + 7L * p + 11L * f) % 256L).toByte; p += 1
+            }
+            GifCodec.GifFrame(0, 0, w, h, idx)
+          }
+          (docId, GifCodec.encodeGifAnim(w, h, pal, frames, loop = true))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-animation stats FROM THE DECODED FRAMES: canvas dims, frame
+    * count, and a frame-and-position-weighted checksum
+    * `Σ_f (f+1) · Σ_i pixel_f(i)·(i mod 97 + 1)` — the animated analog
+    * of [[PixelStats]]; byte-exact across the multi-frame block walk,
+    * per-frame LZW, and palette mapping.
+    */
+  case class GifAnimStats(doc_id: Long, width: Long, height: Long,
+                          n_frames: Long, pix_checksum: Long)
+
+  /** Decode every animated-GIF blob through [[GifCodec.decodeGifFrames]]
+    * and reduce to [[GifAnimStats]]. Same zero-shuffle `mapPartitions`
+    * scan shape as [[decodePixelStats]].
+    */
+  def decodeGifAnimStats(media: DataFrame): Dataset[GifAnimStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val anim = GifCodec.decodeGifFrames(bytes)
+          var chk = 0L
+          var f = 0
+          while (f < anim.frames.length) {
+            val fr = anim.frames(f)
+            var i = 0
+            while (i < fr.length) {
+              chk += (fr(i) & 0xff).toLong * (i % 97 + 1) * (f + 1)
+              i += 1
+            }
+            f += 1
+          }
+          GifAnimStats(id, anim.width.toLong, anim.height.toLong,
+            anim.frames.length.toLong, chk)
+        }
+      }
+  }
+
   def withJpegMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
@@ -547,7 +674,7 @@ object Multimodal {
     * the whole chain is oracle-replayable).
     */
   def transcodeMedia(media: DataFrame, toFormat: String): DataFrame = {
-    require(Set("bmp", "ppm", "pgm", "png", "jpeg").contains(toFormat),
+    require(Set("bmp", "ppm", "pgm", "png", "jpeg", "gif").contains(toFormat),
       s"transcodeMedia: unsupported target '$toFormat'")
     val spark = media.sparkSession
     import spark.implicits._
@@ -559,6 +686,9 @@ object Multimodal {
           val adapted = (img.channels, toFormat) match {
             case (c, "png") if c >= 1 && c <= 4 => img
             case (1, "pgm") | (3, "bmp") | (3, "ppm") | (1, "jpeg") | (3, "jpeg") => img
+            // gif: ImageCodec's exact-palette encode (gray identity
+            // palette, or ≤256 unique RGB colors — else a loud reject)
+            case (1, "gif") | (3, "gif") => img
             case (1, "bmp") | (1, "ppm") =>
               // gray → RGB replication for 3-channel-only containers
               val rgb = new Array[Byte](img.width * img.height * 3)
