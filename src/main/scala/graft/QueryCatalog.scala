@@ -2143,6 +2143,73 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // REAL FLAC decode, graded sample-exact: the engine Rice/LPC-encodes a
+    // genuine FLAC stream per doc (fixed orders 0-4 + explicit LPC,
+    // partition orders 0-2, left/side + mid/side stereo, escaped-verbatim
+    // partitions, wasted bits, multi-frame with a partial last block) and
+    // decodes it back through the full frame walk — sync, CRC-8/16, UTF-8
+    // frame numbers, partitioned-Rice residuals, predictor reconstruction,
+    // stereo undecorrelation. FLAC is lossless, so the oracle replays the
+    // interleaved PCM closed-form; media_bytes is entropy-coded (not
+    // closed-form) and is excluded from the grade.
+    ("q_flac_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(Multimodal.withFlacMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (48 + n_chars % 120) * (1 + doc_id % 2) AS n,
+             |    8000 + (n_chars % 3) * 4000 AS rate,
+             |    CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 1 END AS q
+             |  FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, d.rate, t.i,
+             |    ((31*d.doc_id + 7*t.i) % 65536)
+             |      - ((31*d.doc_id + 7*t.i) % 65536) % d.q - 32768 AS s
+             |  FROM dims d JOIN range(0, 336) t(i) ON t.i < d.n),
+             |ag AS (
+             |  SELECT doc_id, n, rate, sum(s) AS ssum,
+             |    sum(s * (i % 97 + 1)) AS schk, max(abs(s)) AS pk
+             |  FROM sm GROUP BY doc_id, n, rate)
+             |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples, CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum, CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // Cross-codec AUDIO normalization, graded byte-exact: FLAC decode →
+    // WAV re-encode → WAV re-decode in ONE scan (the audio analog of
+    // q_media_transcode). Losslessness makes the samples closed-form, and
+    // the WAV container restores a closed-form media_bytes (44 + 2n) —
+    // proving the re-encoded header, not just the payload.
+    ("q_audio_transcode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(
+            Multimodal.transcodeAudio(
+              Multimodal.withFlacMedia(t(s, d, "documents")), "wav"))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, (48 + n_chars % 120) * (1 + doc_id % 2) AS n,
+             |    8000 + (n_chars % 3) * 4000 AS rate,
+             |    CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 1 END AS q
+             |  FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, d.rate, t.i,
+             |    ((31*d.doc_id + 7*t.i) % 65536)
+             |      - ((31*d.doc_id + 7*t.i) % 65536) % d.q - 32768 AS s
+             |  FROM dims d JOIN range(0, 336) t(i) ON t.i < d.n),
+             |ag AS (
+             |  SELECT doc_id, n, rate, sum(s) AS ssum,
+             |    sum(s * (i % 97 + 1)) AS schk, max(abs(s)) AS pk
+             |  FROM sm GROUP BY doc_id, n, rate)
+             |SELECT doc_id, CAST(44 + 2*n AS BIGINT) AS media_bytes,
+             |  CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // REAL video frame sampling, graded byte-exact — the third modality:
     // the engine encodes a genuine uncompressed AVI (RIFF hdrl/movi, DIB
     // frames) per doc, DECODES it back, picks 3 evenly spaced frames by

@@ -515,6 +515,15 @@ object Multimodal {
     * [[AudioStats]]. Same zero-shuffle `mapPartitions` scan shape as
     * [[decodePixelStats]].
     */
+  /** Container-sniffing audio decode: RIFF/WAVE → [[WavCodec]], `fLaC`
+    * → [[FlacCodec]]; anything else is a loud reject.
+    */
+  private[operators] def decodeAnyAudio(bytes: Array[Byte]): WavCodec.DecodedAudio =
+    if (WavCodec.isWav(bytes)) WavCodec.decodePcm16(bytes)
+    else if (FlacCodec.isFlac(bytes)) FlacCodec.decodeFlac(bytes)
+    else throw new IllegalArgumentException(
+      "audio: unrecognized container (need RIFF/WAVE or fLaC magic)")
+
   def decodeAudioStats(media: DataFrame): Dataset[AudioStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -522,7 +531,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          val a = WavCodec.decodePcm16(bytes)
+          val a = decodeAnyAudio(bytes)
           var sum = 0L; var chk = 0L; var peak = 0L; var i = 0
           while (i < a.samples.length) {
             val v = a.samples(i).toLong
@@ -534,6 +543,78 @@ object Multimodal {
             a.samples.length.toLong, sum, chk, peak)
         }
       }
+  }
+
+  /** Attach a REAL FLAC clip to `documents` — the compressed-audio analog
+    * of [[withAudioMedia]]. Interleaved sample `i` replays the
+    * [[sampleGen]] arithmetic (quantized to a multiple of 4 for every
+    * 11th doc so the wasted-bits path is live), so the decoded stream is
+    * closed-form replayable even though the container bytes are entropy
+    * coded. Coding features rotate per doc: fixed predictor orders 0–4
+    * and an explicit quantized-LPC subframe (`docId mod 6`), partition
+    * orders 0–2, independent / left-side / mid-side stereo for the
+    * 2-channel half (`docId mod 3`), escaped-verbatim Rice partitions
+    * every 7th doc, and a 64-sample block size so clips span multiple
+    * frames with a partial last block.
+    */
+  def withFlacMedia(docs: DataFrame, id: String = "doc_id",
+                    nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val channels = 1 + (docId % 2).toInt
+          val frames = (48 + nc % 120).toInt
+          val quant = if (docId % 11 == 0) 4L else 1L
+          val samples = Array.tabulate[Short](frames * channels) { i =>
+            val u = (31L * docId + 7L * i) % 65536L
+            ((u - u % quant) - 32768L).toShort
+          }
+          val mode: FlacCodec.Mode = (docId % 6) match {
+            case 0 => FlacCodec.Fixed(0, 0)
+            case 1 => FlacCodec.Fixed(1, 1)
+            case 2 => FlacCodec.Fixed(2, 2)
+            case 3 => FlacCodec.Fixed(3, 0)
+            case 4 => FlacCodec.Fixed(4, 1)
+            case _ => FlacCodec.Lpc(Array(3, -1), shift = 1, precision = 4, partOrder = 1)
+          }
+          val stereo = if (channels == 2) Array(0, 8, 10)((docId % 3).toInt) else 0
+          val rate = (8000 + (nc % 3) * 4000).toInt
+          (docId, FlacCodec.encodeFlac(rate, channels, samples, blockSize = 64,
+            mode = mode, stereo = stereo, forceEscape = docId % 7 == 0))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Cross-codec audio normalization — the audio analog of
+    * [[transcodeMedia]]: sniff-decode (WAV or FLAC) → re-encode as the
+    * target container, in ONE zero-shuffle scan with both codecs in the
+    * loop. FLAC→WAV is the canonical "decompress for training" path;
+    * sample-exact because FLAC is lossless.
+    */
+  def transcodeAudio(media: DataFrame, target: String): DataFrame = {
+    require(target == "wav" || target == "flac",
+      s"transcodeAudio: unsupported target '$target' (wav | flac)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val a = decodeAnyAudio(bytes)
+          val out = target match {
+            case "wav" =>
+              WavCodec.encodePcm16Ch(a.sampleRate, a.channels, a.samples.length,
+                a.samples(_))
+            case _ => FlacCodec.encodeFlac(a.sampleRate, a.channels, a.samples)
+          }
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "media")
   }
 
   /** Deterministic video fixture: byte `i` of frame `f` of doc `docId` is

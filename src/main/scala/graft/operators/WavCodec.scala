@@ -26,8 +26,17 @@ object WavCodec {
   /** Encode mono 16-bit PCM: canonical 44-byte header + LE samples.
     * `sample(i)` is the i-th signed 16-bit sample.
     */
-  def encodePcm16(sampleRate: Int, n: Int, sample: Int => Short): Array[Byte] = {
+  def encodePcm16(sampleRate: Int, n: Int, sample: Int => Short): Array[Byte] =
+    encodePcm16Ch(sampleRate, 1, n, sample)
+
+  /** Multi-channel variant: `n` is the TOTAL interleaved sample count
+    * (`frames × channels`), `sample(i)` the i-th interleaved sample.
+    */
+  def encodePcm16Ch(sampleRate: Int, channels: Int, n: Int,
+                    sample: Int => Short): Array[Byte] = {
     require(sampleRate > 0 && n >= 0, s"encodePcm16: bad args rate=$sampleRate n=$n")
+    require(channels > 0 && channels <= 64, s"encodePcm16: bad channel count $channels")
+    require(n % channels == 0, s"encodePcm16: $n samples not a multiple of $channels channels")
     val dataBytes = 2 * n
     val out = new Array[Byte](44 + dataBytes)
     def putLe16(off: Int, v: Int): Unit = Riff.putLe16(out, off, v)
@@ -36,10 +45,10 @@ object WavCodec {
     putTag(0, "RIFF"); putLe32(4, 36 + dataBytes); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe32(16, 16)
     putLe16(20, 1)              // PCM
-    putLe16(22, 1)              // mono
+    putLe16(22, channels)
     putLe32(24, sampleRate)
-    putLe32(28, sampleRate * 2) // byte rate
-    putLe16(32, 2)              // block align
+    putLe32(28, sampleRate * 2 * channels) // byte rate
+    putLe16(32, 2 * channels)   // block align
     putLe16(34, 16)             // bits per sample
     putTag(36, "data"); putLe32(40, dataBytes)
     var i = 0
