@@ -99,6 +99,36 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("topk_pairs"), s"bounded top-k aggregate missing:\n$p")
   }
 
+  test("PQ search: query LUTs broadcast; ADC shortlist and re-rank are bounded top-k aggregates") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16,
+      sampleCap = 256, iters = 2)
+    val codes = emb.select(col("vec_id"),
+      graft.functions.pq_encode(col("embedding"), cb).as("code"))
+    val p = plan(Similarity.pqSearchTopK(codes, emb, emb.limit(3), cb,
+      "vec_id", "embedding", "code", k = 3, shortlist = 5))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"unbounded PQ plan:\n$p")
+    // one bounded aggregate for the ADC shortlist, one for the exact re-rank
+    assert("topk_pairs".r.findAllIn(p).length >= 2,
+      s"ADC shortlist / re-rank not bounded top-k aggregates:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"query/LUT side not broadcast — the corpus-sized codes scan would shuffle:\n$p")
+  }
+
+  test("quantized IVF search: probe join broadcasts quantized queries; codes never sort-merge") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val cents = Similarity.ivfCentroidsKmeans(emb, "vec_id", "embedding", cells = 4)
+    val p = plan(Similarity.ivfSearchQuantized(emb, emb.limit(3), cents,
+      "vec_id", "embedding", nprobe = 2, k = 3))
+    assert(p.contains("BroadcastHashJoin"), s"cell probe join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus codes shuffled for the probe join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"unbounded quantized-IVF plan:\n$p")
+    assert(p.contains("topk_pairs"), s"bounded top-k aggregate missing:\n$p")
+  }
+
   test("LSH banding exchange carries ids only (no token/signature arrays)") {
     val docs = Tables(spark, sfDir, "documents")
     // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
