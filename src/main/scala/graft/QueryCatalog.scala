@@ -2143,6 +2143,48 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // Link-graph centrality for corpus curation: 5 power iterations of
+    // EXACT-INTEGER PageRank (micro-units, r div deg per edge, ·17 div 20
+    // damping) over a closed-form arithmetic link graph on documents.
+    // Integer arithmetic makes the result independent of distributed
+    // summation order — the stableAvg discipline applied to iteration —
+    // so the DuckDB oracle replays all 5 iterations as chained CTEs and
+    // the hash must match exactly; the engine's data-derived out-degrees
+    // are cross-checked against the oracle's closed-form constant 3.
+    ("q_pagerank",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val nodes = docs.select(col("doc_id").cast("long").as("doc_id"))
+        // one-row bounded aggregate: the id-domain size for the fixture map
+        val n = nodes.agg(max(col("doc_id"))).head.getLong(0) + 1
+        Graph.pageRank(nodes, Graph.arithmeticEdges(nodes, "doc_id", n),
+            "doc_id", iters = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+             |cnt AS (SELECT max(v) + 1 AS n FROM nodes),
+             |e AS (
+             |  SELECT v AS src, (31*v + 7*j.j) % (SELECT n FROM cnt) AS dst, 3 AS deg
+             |  FROM nodes, (VALUES (1),(2),(3)) j(j)),
+             |it0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |it1 AS (SELECT nd.v, 150000 + (COALESCE(s.acc, 0) * 17) // 20 AS r
+             |  FROM nodes nd LEFT JOIN (SELECT e.dst AS v, sum(p.r // e.deg) AS acc
+             |    FROM e JOIN it0 p ON p.v = e.src GROUP BY e.dst) s ON s.v = nd.v),
+             |it2 AS (SELECT nd.v, 150000 + (COALESCE(s.acc, 0) * 17) // 20 AS r
+             |  FROM nodes nd LEFT JOIN (SELECT e.dst AS v, sum(p.r // e.deg) AS acc
+             |    FROM e JOIN it1 p ON p.v = e.src GROUP BY e.dst) s ON s.v = nd.v),
+             |it3 AS (SELECT nd.v, 150000 + (COALESCE(s.acc, 0) * 17) // 20 AS r
+             |  FROM nodes nd LEFT JOIN (SELECT e.dst AS v, sum(p.r // e.deg) AS acc
+             |    FROM e JOIN it2 p ON p.v = e.src GROUP BY e.dst) s ON s.v = nd.v),
+             |it4 AS (SELECT nd.v, 150000 + (COALESCE(s.acc, 0) * 17) // 20 AS r
+             |  FROM nodes nd LEFT JOIN (SELECT e.dst AS v, sum(p.r // e.deg) AS acc
+             |    FROM e JOIN it3 p ON p.v = e.src GROUP BY e.dst) s ON s.v = nd.v),
+             |it5 AS (SELECT nd.v, 150000 + (COALESCE(s.acc, 0) * 17) // 20 AS r
+             |  FROM nodes nd LEFT JOIN (SELECT e.dst AS v, sum(p.r // e.deg) AS acc
+             |    FROM e JOIN it4 p ON p.v = e.src GROUP BY e.dst) s ON s.v = nd.v)
+             |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro
+             |FROM it5 ORDER BY v""".stripMargin)),
+
     // REAL FLAC decode, graded sample-exact: the engine Rice/LPC-encodes a
     // genuine FLAC stream per doc (fixed orders 0-4 + explicit LPC,
     // partition orders 0-2, left/side + mid/side stereo, escaped-verbatim

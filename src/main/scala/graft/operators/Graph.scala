@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.integral_divide
+
+/** Link-graph analytics for corpus curation.
+  *
+  * Web-scale training corpora carry a link graph, and graph centrality is
+  * a standard quality signal when selecting documents (the reference
+  * pipeline has no graph stage — this is parity-plus capability for the
+  * LLM-data brief, like dedup and ANN).
+  *
+  * PageRank here is EXACT-INTEGER: ranks live in micro-units (1e6 = mass
+  * 1.0) and every step is integer arithmetic — `r div deg` per edge,
+  * `(Σ·17) div 20` for the 0.85 damping — so the result is independent of
+  * distributed summation order. Floating-point PageRank differs run-to-run
+  * at the ulp level once partial sums reorder; the integer formulation is
+  * the [[Relational.stableAvg]] discipline applied to iteration, and it is
+  * what makes the operator oracle-gradeable (and its output cacheable /
+  * diffable across runs) at any cluster size.
+  *
+  * Scale shape: the edge relation (the 100 TB side) is joined with the
+  * node-sized rank relation once per iteration — ranks broadcast when
+  * small, and the per-iteration shuffle is the `groupBy(dst)` partial
+  * aggregate (map-side combined). Out-degrees are attached to the edges
+  * ONCE up front and the augmented edge relation is materialized, so
+  * iterations never recompute the degree aggregate or re-scan the source.
+  */
+object Graph {
+
+  /** Deterministic synthetic link graph over contiguous node ids
+    * `0..n-1`: node `u` links to `(a·u + b·j) mod n` for `j = 1..outDeg`.
+    * Closed-form replayable (the fixture discipline of
+    * [[Multimodal.withPixelMedia]]); real corpora bring their own edge
+    * list straight into [[pageRank]].
+    */
+  def arithmeticEdges(nodes: DataFrame, id: String, n: Long, outDeg: Int = 3,
+                      a: Long = 31, b: Long = 7): DataFrame = {
+    require(n > 0, s"arithmeticEdges: n must be > 0, got $n")
+    require(outDeg >= 1, s"arithmeticEdges: outDeg must be >= 1, got $outDeg")
+    nodes.select(col(id).cast("long").as("src"))
+      .select(col("src"), explode(sequence(lit(1L), lit(outDeg.toLong))).as("j"))
+      .select(col("src"), ((col("src") * a + col("j") * b) % n).as("dst"))
+  }
+
+  /** Integer-exact PageRank: `iters` power iterations at damping 0.85
+    * over micro-unit ranks (`r₀ = 1_000_000`;
+    * `r' = 150_000 + (Σ_in (r div deg) · 17) div 20`). Dangling nodes
+    * (no out-edges) drop their mass — the standard simplification; nodes
+    * with no in-edges settle at the 150 000 base. Returns
+    * `(id, rank_micro)` with the caller's id column name preserved.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, id: String,
+               iters: Int = 5, reliable: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"pageRank: iters must be 1..100, got $iters")
+    val nodeIds = nodes.select(col(id).cast("long").as("v"))
+    // out-degree rides the edge row so iterations never re-aggregate it
+    val deg = edges.select(col("src").cast("long").as("src"))
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    // lazy on the default path (each round is consumed exactly once, so the
+    // checkpoint materializes inside the consuming job — no per-iteration
+    // driver round-trips); eager under `reliable` so a superseded round is
+    // never released before its successor's blocks exist
+    val withDeg = Materialize.once(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .join(deg, Seq("src")), reliable, eager = reliable)
+
+    var ranks = Materialize.once(
+      nodeIds.select(col("v"), lit(1000000L).as("r")), reliable, eager = reliable)
+    var it = 0
+    while (it < iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), integral_divide(col("r"), col("deg")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("acc"))
+      val next = Materialize.once(
+        nodeIds.join(contribs, Seq("v"), "left")
+          .select(col("v"),
+            (lit(150000L) + integral_divide(coalesce(col("acc"), lit(0L)) * 17L, lit(20L)))
+              .as("r")), reliable, eager = reliable)
+      Materialize.release(ranks, reliable)
+      ranks = next
+      it += 1
+    }
+    val out = ranks.select(col("v").as(id), col("r").as("rank_micro"))
+    Materialize.release(withDeg, reliable)
+    out
+  }
+}
