@@ -2252,6 +2252,43 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // Multi-channel resample through the compressed-audio path: FLAC
+    // decode → FRAME-exact rate conversion (the index map runs over frames
+    // so interleaved channels stay aligned) → WAV re-encode → re-decode.
+    // The fixture's stereo half proves channel alignment: a resampler that
+    // mapped raw interleaved indices would swap L/R on odd source frames
+    // and break the position-weighted checksum.
+    ("q_audio_resample_stereo",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(
+            Multimodal.resampleAudio(
+              Multimodal.withFlacMedia(t(s, d, "documents")), outRate = 12000))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 48 + n_chars % 120 AS f, 1 + doc_id % 2 AS c,
+             |    8000 + (n_chars % 3) * 4000 AS rate,
+             |    CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 1 END AS q
+             |  FROM documents),
+             |od AS (SELECT doc_id, c, q, rate, ((f * 12000) // rate) * c AS n
+             |  FROM dims),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, t.i,
+             |    ((31*d.doc_id + 7*(((t.i // d.c) * d.rate // 12000) * d.c + t.i % d.c)) % 65536)
+             |      - ((31*d.doc_id + 7*(((t.i // d.c) * d.rate // 12000) * d.c + t.i % d.c)) % 65536) % d.q
+             |      - 32768 AS s
+             |  FROM od d JOIN range(0, 512) t(i) ON t.i < d.n),
+             |ag AS (
+             |  SELECT doc_id, n, sum(s) AS ssum,
+             |    sum(s * (i % 97 + 1)) AS schk, max(abs(s)) AS pk
+             |  FROM sm GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(44 + 2*n AS BIGINT) AS media_bytes,
+             |  CAST(12000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // REAL video frame sampling, graded byte-exact — the third modality:
     // the engine encodes a genuine uncompressed AVI (RIFF hdrl/movi, DIB
     // frames) per doc, DECODES it back, picks 3 evenly spaced frames by

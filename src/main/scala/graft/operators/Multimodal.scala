@@ -480,21 +480,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          val a = WavCodec.decodePcm16(bytes)
-          // the decoder accepts multi-channel PCM but this index map (and
-          // the mono re-encoder) would scramble interleaved channels —
-          // refuse rather than emit a corrupt clip with a wrong header
-          require(a.channels == 1,
-            s"resampleAudio: mono PCM only (got ${a.channels} channels) — " +
-              "resample per channel before interleaving")
+          val a = decodeAnyAudio(bytes)
+          val ch = a.channels
+          // the index map runs over FRAMES so interleaved channels stay
+          // aligned: output frame j samples source frame j·inRate/outRate
+          // on every channel
+          val frames = a.samples.length / ch
           // Long until bounds-checked: a large clip at a high upsample
           // ratio could wrap .toInt into a small positive wrong count
-          val outNL = a.samples.length.toLong * outRate / a.sampleRate
-          require(outNL <= (Int.MaxValue - 44) / 2,
-            s"resampleAudio: output clip of $outNL samples exceeds the WAV container bound")
-          val outN = outNL.toInt
-          val out = WavCodec.encodePcm16(outRate, outN,
-            j => a.samples((j.toLong * a.sampleRate / outRate).toInt))
+          val outFL = frames.toLong * outRate / a.sampleRate
+          require(outFL * ch <= (Int.MaxValue - 44) / 2,
+            s"resampleAudio: output clip of ${outFL * ch} samples exceeds the WAV container bound")
+          val outF = outFL.toInt
+          val out = WavCodec.encodePcm16Ch(outRate, ch, outF * ch,
+            j => a.samples(((j / ch).toLong * a.sampleRate / outRate).toInt * ch + j % ch))
           (id, out)
         }
       }
