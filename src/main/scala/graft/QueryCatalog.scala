@@ -1468,6 +1468,71 @@ object QueryCatalog {
              |  true AS append_matches_direct, true AS all_within_tol
              |FROM embeddings WHERE vec_id % 37 = 0""".stripMargin)),
 
+    // Graph ANN — the third index class beside IVF and PQ: sharded
+    // single-layer NSW/HNSW graphs (diversity-heuristic wiring, bounded
+    // beam search, candidates-only shuffle). Graded on the q_ivf_recall
+    // planted-block corpus, four verdicts: recall@10 ≥ 0.9 vs brute force;
+    // the walk visits < 75% of what brute force scans even at toy scale
+    // (the ef floor dominates small corpora — GraphAnnSpec pins the
+    // scaling-relevant property that visits are ef-bounded, flat in n);
+    // and the persisted index (partitionBy(shard) + shard-whole reload)
+    // searches identically to the in-memory graph, exceptAll both ways.
+    ("q_graph_ann",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val n = emb.count()
+        val block = math.max(n / 16L, 1L)
+        val bases = emb.filter(col("vec_id") % block === 0)
+          .select(graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"),
+            col("embedding").as("base"))
+        // build scan, both searches, and brute-force truth all read the
+        // planted corpus — materialize the synthesis once
+        val corpus = operators.Materialize.once(emb
+          .select(col("vec_id"),
+            graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
+          .join(broadcast(bases), Seq("blk"))
+          .select(col("vec_id"),
+            zip_with(col("base"), sequence(lit(0), lit(63)),
+              (b, j) => (b.cast("double")
+                + ((col("vec_id") * 31 + j) % 11).cast("double") * lit(0.003))
+                .cast("float")).as("vec")), reliable = false)
+        val queries = corpus.filter(col("vec_id") % block === block / 2)
+        val graph = operators.Materialize.once(
+          GraphAnn.buildGraph(corpus, "vec_id", "vec",
+            shards = 4, m = 8, efConstruction = 32), reliable = false)
+        val cands = operators.Materialize.once(
+          GraphAnn.searchShards(graph, queries, "vec_id", "vec",
+            k = 10, ef = 16), reliable = false)
+        val direct = operators.Materialize.once(
+          GraphAnn.mergeShardResults(cands, 10), reliable = false)
+        val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
+          .select("query_id", "neighbor_id")
+        val nQ = emb.filter(col("vec_id") % block === block / 2).count()
+        val found = truth.join(direct.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        val recall = found.toDouble / (nQ * 10L)
+        val visitedAvg = cands.groupBy("query_id")
+          .agg(sum(col("visited")).as("v"))
+          .agg(avg(col("v"))).collect()(0).getDouble(0)
+        val path = scratchDir("graph_ann")
+        GraphAnn.graphWriteIndex(graph, path)
+        val fromDisk = operators.Materialize.once(
+          GraphAnn.searchGraph(GraphAnn.graphReadIndex(s, path), queries,
+            "vec_id", "vec", k = 10, ef = 16), reliable = false)
+        val extra = direct.exceptAll(fromDisk).count() +
+          fromDisk.exceptAll(direct).count()
+        import s.implicits._
+        Seq((nQ, recall >= 0.9, visitedAvg < n * 0.75,
+            extra == 0L))
+          .toDF("n_queries", "recall_ok", "sublinear_visits",
+            "persisted_matches_direct")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings)
+             |SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok,
+             |  true AS sublinear_visits, true AS persisted_matches_direct
+             |FROM embeddings, n
+             |WHERE vec_id % greatest(n.n // 16, 1) = greatest(n.n // 16, 1) // 2""".stripMargin)),
+
     // ---- multimodal ---------------------------------------------------------
 
     // the engine PARSES width/height/format out of real PNG/JPEG/WebP

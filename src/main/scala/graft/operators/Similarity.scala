@@ -46,7 +46,7 @@ object Similarity {
   /** query_id, neighbor_id, cosine, rnk — from a scored pair relation,
     * bounded top-k per query (no window, no unbounded partitions).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(topk_pairs(col("cosine"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
