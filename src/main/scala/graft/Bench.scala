@@ -25,11 +25,16 @@ import org.apache.spark.sql.SparkSession
   *    the JVM-wide collector time overlapping the reported run — a slow
   *    query with high gc share is memory-pressure noise, one with low gc
   *    share is genuinely slow;
-  *  - a fixed sentinel query (q_t1_top_k) is re-timed at session start,
-  *    middle, and end; `sentinel.drift` = max/min of those three. Drift
-  *    > 1.5 means the HOST got slower/faster underneath the session —
-  *    per-query comparisons against other rounds are suspect and the
-  *    `contended` flag says so in the artifact itself.
+  *  - TWO fixed sentinels are re-timed at session start, middle, and end:
+  *    a scan/shuffle probe (q_a2_having_sort — CPU/scheduler contention)
+  *    and a generated heap-heavy aggregation (memory pressure / GC steal,
+  *    the class the scan probe is blind to). Drift > 1.5 on either means
+  *    the HOST moved underneath the session — per-query comparisons
+  *    against other rounds are suspect and the `contended` flag says so
+  *    in the artifact itself;
+  *  - `failed_queries` counts erroring/timed-out queries; any failure
+  *    forces `value_suspect` because the headline total then sums fewer
+  *    queries than other rounds.
   */
 object Bench {
 
@@ -126,65 +131,100 @@ object Bench {
     val sentinelName = "q_a2_having_sort"
     val sentinel = SparkEntry.queries.get(sentinelName)
 
-    final case class Pass(results: Seq[(String, RunResult)],
-                          sentinelTimes: Seq[Double], drift: Double,
-                          contended: Boolean)
+    // second sentinel, heap-heavy: the r11 artifact proved the scan probe
+    // is structurally blind to MEMORY pressure — the four biggest-heap
+    // queries ran 3-7× slow while the 0.4 s scan sentinel drifted only
+    // 1.38. This probe's cost is dominated by a wide hash aggregation
+    // (1.5M string-bearing groups generated in-session, no fixture
+    // dependency), so host memory pressure / GC steal moves it the way it
+    // moves the big dedup/sketch queries.
+    val heavyName = "generated_heavy_agg"
+    def heavyFn(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      s.range(0L, 12000000L, 1, 32)
+        .select((col("id") % 1500000L).as("k"),
+          col("id").cast("double").as("v"),
+          concat(lit("pad-"), (col("id") % 9973L).cast("string")).as("pad"))
+        .groupBy("k")
+        .agg(sum(length(col("pad"))).as("b"), avg(col("v")).as("a"),
+          max(col("pad")).as("m"))
+        .agg(count(lit(1)).as("groups"), sum(col("b")).as("bytes"))
+    }
 
-    /** One full measured pass over the selection, sentinel-bracketed.
-      * Each sentinel point is min-of-N like every query: the min strips
-      * one-off scheduling/JIT noise, so drift across points reflects a
-      * SUSTAINED host slowdown, not a single slow execution (a first
-      * measured run on a clean host was 1.76× its last purely from
+    final case class Probe(times: Seq[Double], drift: Double, contended: Boolean)
+
+    // contended-flag rule: mid/end points hold the 1.5× bar against each
+    // other; the start point gets a 2× allowance against the later
+    // points because JVM-wide C2 warmup inflates it ~1.3-1.5× even on an
+    // idle host (measured) and only tens of real queries fully burn that
+    // off. The contention class this flag exists for is 2-4×, so both
+    // bars still catch it.
+    def adjudicate(times: Seq[Double]): Probe = {
+      val drift =
+        if (times.size >= 2) times.max / math.max(1e-9, times.min) else 1.0
+      val later = times.drop(1)
+      val laterDrift =
+        if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
+      val startRatio =
+        if (times.nonEmpty && later.nonEmpty)
+          times.head / math.max(1e-9, later.min)
+        else 1.0
+      Probe(times, drift, laterDrift > 1.5 || startRatio > 2.0)
+    }
+
+    final case class Pass(results: Seq[(String, RunResult)],
+                          scan: Probe, heavy: Probe, contended: Boolean)
+
+    /** One full measured pass over the selection, bracketed by BOTH
+      * sentinels. Each sentinel point is min-of-N like every query: the
+      * min strips one-off scheduling/JIT noise, so drift across points
+      * reflects a SUSTAINED host slowdown, not a single slow execution (a
+      * first measured run on a clean host was 1.76× its last purely from
       * residual warmup — exactly the false positive this prevents).
       */
     def measurePass(): Pass = {
-      val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-      def timeSentinel(tag: String): Unit = sentinel.foreach { fn =>
-        val r = runMeasured(s"sentinel-$tag", fn)
-        if (r.ok) {
-          sentinelTimes += r.sec
-          System.err.println(f"[bench] ${s"sentinel($tag)"}%-28s ${r.sec}%8.2fs")
+      val scanTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val heavyTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def timeSentinels(tag: String): Unit = {
+        sentinel.foreach { fn =>
+          val r = runMeasured(s"sentinel-$tag", fn)
+          if (r.ok) {
+            scanTimes += r.sec
+            System.err.println(f"[bench] ${s"sentinel($tag)"}%-28s ${r.sec}%8.2fs")
+          }
+        }
+        val h = runMeasured(s"sentinel-heavy-$tag", heavyFn)
+        if (h.ok) {
+          heavyTimes += h.sec
+          System.err.println(
+            f"[bench] ${s"sentinel-heavy($tag)"}%-28s ${h.sec}%8.2fs gc=${h.gcMs}%dms")
         }
       }
-      timeSentinel("start")
+      timeSentinels("start")
       // the mid point only means something with queries on both sides of
       // it: under a 0/1-query SPARK_GRAFT_ONLY dev filter it would fire
       // right after "start" and make laterDrift compare two adjacent
       // measurements
       val mid = if (selected.length >= 2) selected.length / 2 else -1
       val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-        if (idx == mid) timeSentinel("mid")
+        if (idx == mid) timeSentinels("mid")
         val r = runMeasured(name, fn)
         System.err.println(
           f"[bench] $name%-28s ${r.sec}%8.2fs gc=${r.gcMs}%dms ${if (r.ok) "" else "(FAILED)"}")
         name -> r
       }
-      timeSentinel("end")
-      val drift =
-        if (sentinelTimes.size >= 2) sentinelTimes.max / math.max(1e-9, sentinelTimes.min)
-        else 1.0
-      // contended-flag rule: mid/end points hold the 1.5× bar against each
-      // other; the start point gets a 2× allowance against the later
-      // points because JVM-wide C2 warmup inflates it ~1.3-1.5× even on an
-      // idle host (measured) and only tens of real queries fully burn that
-      // off. The contention class this flag exists for is 2-4×, so both
-      // bars still catch it.
-      val later = sentinelTimes.drop(1)
-      val laterDrift =
-        if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
-      val startRatio =
-        if (sentinelTimes.nonEmpty && later.nonEmpty)
-          sentinelTimes.head / math.max(1e-9, later.min)
-        else 1.0
-      Pass(results, sentinelTimes.toSeq, drift,
-        contended = laterDrift > 1.5 || startRatio > 2.0)
+      timeSentinels("end")
+      val scan = adjudicate(scanTimes.toSeq)
+      val heavy = adjudicate(heavyTimes.toSeq)
+      Pass(results, scan, heavy, contended = scan.contended || heavy.contended)
     }
 
-    // warm the sentinel's own plan/codegen path untimed first — otherwise
+    // warm both sentinels' plan/codegen paths untimed first — otherwise
     // the start point carries sentinel-specific JIT cost and reads as
     // fake session-long drift (3 executions: C2 tiering needs more than
     // one pass before the timing stabilizes)
     sentinel.foreach(fn => (1 to 3).foreach(_ => runOnce("sentinel-warmup", fn)))
+    (1 to 3).foreach(_ => runOnce("sentinel-heavy-warmup", heavyFn))
 
     // SELF-CORRECTING, not just self-adjudicating: a contended pass is
     // re-run (once by default — contention is host noise, not session
@@ -199,11 +239,13 @@ object Bench {
     var passesRun = 1
     while (pass.contended && passesRun <= maxRetries) {
       System.err.println(
-        f"[bench] sentinel flagged contention (drift ${pass.drift}%.3f) — " +
-          "re-running the full selection once")
+        f"[bench] sentinel flagged contention (scan drift ${pass.scan.drift}%.3f, " +
+          f"heavy drift ${pass.heavy.drift}%.3f) — re-running the full selection once")
       val retry = measurePass()
       passesRun += 1
-      if (!retry.contended || retry.drift < pass.drift) pass = retry
+      if (!retry.contended ||
+          math.max(retry.scan.drift, retry.heavy.drift) <
+            math.max(pass.scan.drift, pass.heavy.drift)) pass = retry
     }
 
     val results = pass.results
@@ -213,11 +255,18 @@ object Bench {
     val gcs = results.map { case (k, r) => "\"" + k + "\":" + r.gcMs }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, r) if r.ok => r.sec }.sum
-    val sentinelJson = {
-      val pts = pass.sentinelTimes.map(s => f"$s%.3f").mkString("[", ",", "]")
-      f"""{"query":"$sentinelName","times":$pts,"drift":${pass.drift}%.3f,"contended":${pass.contended}}"""
+    // any erroring/timed-out query makes the headline total incomparable
+    // to other rounds (it silently sums fewer queries) — the artifact
+    // itself must say so, not just the narrative around it
+    val failed = results.count { case (_, r) => !r.ok }
+    val suspect = pass.contended || failed > 0
+    def probeJson(query: String, p: Probe): String = {
+      val pts = p.times.map(s => f"$s%.3f").mkString("[", ",", "]")
+      f"""{"query":"$query","times":$pts,"drift":${p.drift}%.3f,"contended":${p.contended}}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_suspect":${pass.contended},"passes":$passesRun,"queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+    val sentinelJson = probeJson(sentinelName, pass.scan)
+    val heavyJson = probeJson(heavyName, pass.heavy)
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_suspect":$suspect,"failed_queries":$failed,"passes":$passesRun,"queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sentinel_heavy":$heavyJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact keeps only a 2000-char stdout tail, which
     // truncates the per-query maps — persist the full line so round-to-

@@ -44,9 +44,11 @@ import scala.collection.mutable
 object GraphAnn {
 
   /** Build one NSW graph per hash-shard. Output relation:
-    * (id long, vec array<float>, shard int, neighbors array<long>) —
-    * co-partitioned by shard (narrow until the next shuffle), so
-    * [[searchGraph]] directly after build scans it in place.
+    * (id long, vec array<float>, shard int, neighbors array<long>).
+    * Catalyst can't see that the mapPartitions output is clustered by
+    * `shard`, so a direct build→search pays one re-cluster exchange;
+    * persist with [[graphWriteIndex]] / load with [[graphReadIndex]] to
+    * amortize that across query batches.
     *
     * @param m   edges requested per insert (adjacency prunes at 2m)
     * @param efConstruction beam width during insert — recall of the
@@ -83,10 +85,15 @@ object GraphAnn {
     * counterpart of the sublinearity claim (brute force visits the whole
     * shard; the beam visits O(ef · degree · path) of it).
     *
-    * The graph must be shard-whole per partition (true straight out of
-    * [[buildGraph]], restored by [[graphReadIndex]] after a disk
-    * round-trip); a split shard fails LOUDLY rather than silently
-    * searching half a graph.
+    * Shard-wholeness is established HERE, not assumed: the search groups
+    * by `shard` through Catalyst (`groupByKey.flatMapGroups`), so
+    * EnsureRequirements inserts an exchange only when the input isn't
+    * already clustered on `shard`. Straight out of [[graphReadIndex]]
+    * (hash-partitioned by shard at load) the search is exchange-free —
+    * the index-load amortization the Scaladoc above promises; a frame
+    * with disturbed layout (AQE coalesce, checkpoint, direct
+    * [[buildGraph]] output) pays one re-cluster shuffle instead of
+    * failing or silently searching half a graph.
     */
   def searchShards(graph: DataFrame, queries: DataFrame, id: String,
                    vec: String, k: Int, ef: Int = 48): DataFrame = {
@@ -107,29 +114,30 @@ object GraphAnn {
     graph.select(col("id").cast("long"), col("vec"),
         col("shard").cast("int"), col("neighbors"))
       .as[(Long, Array[Float], Int, Array[Long])]
-      .mapPartitions { it =>
-        it.toArray.groupBy(_._3).iterator.flatMap { case (shard, g0) =>
-          val g = g0.sortBy(_._1)
-          val ids = g.map(_._1)
-          val idx = ids.zipWithIndex.toMap
-          val vecs = g.map(_._2)
-          val adj = g.map(_._4.map { nid =>
-            idx.getOrElse(nid, throw new IllegalArgumentException(
-              s"searchShards: shard $shard is split across partitions " +
-                s"(edge to absent node $nid) — read the index through " +
-                "graphReadIndex, or keep the build's partitioning"))
-          })
-          val norms = vecs.map(l2(_))
-          bq.value.iterator.map { case (qid, qv) =>
-            val qn = l2(qv)
-            val (top, visited) =
-              beam(qv, qn, vecs, norms, i => adj(i), vecs.length, effEf)
-            val hits = top.filter(h => ids(h._2) != qid).take(k)
-              .map { case (s, i) =>
-                (math.rint(s * 1e6) / 1e6, ids(i))
-              }
-            (qid, shard, visited, hits)
-          }
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, rows) =>
+        val g = rows.toArray.sortBy(_._1)
+        val ids = g.map(_._1)
+        val idx = ids.zipWithIndex.toMap
+        val vecs = g.map(_._2)
+        val adj = g.map(_._4.map { nid =>
+          // unreachable for a well-formed index (the group holds the whole
+          // shard by construction) — only a corrupt/partially-written
+          // index trips it, and that must fail loudly
+          idx.getOrElse(nid, throw new IllegalArgumentException(
+            s"searchShards: shard $shard has an edge to absent node $nid " +
+              "— the index is corrupt or partially written"))
+        })
+        val norms = vecs.map(l2(_))
+        bq.value.iterator.map { case (qid, qv) =>
+          val qn = l2(qv)
+          val (top, visited) =
+            beam(qv, qn, vecs, norms, i => adj(i), vecs.length, effEf)
+          val hits = top.filter(h => ids(h._2) != qid).take(k)
+            .map { case (s, i) =>
+              (math.rint(s * 1e6) / 1e6, ids(i))
+            }
+          (qid, shard, visited, hits)
         }
       }
       .toDF("query_id", "shard", "visited", "cand")
@@ -193,9 +201,19 @@ object GraphAnn {
     s / d
   }
 
-  /** Bounded-beam greedy search over nodes [0, limit) from entry 0.
-    * Returns (top candidates sorted sim desc / id asc, visited count).
-    * Deterministic: every ordering ties on the node index.
+  /** Bounded-beam greedy search over nodes [0, limit), seeded with a
+    * deterministic stratified sample (every `limit/ef`-th node, ≈ef
+    * seeds) instead of a single fixed entry. Single-entry greedy walks
+    * strand on similarity plateaus: in a clustered corpus every
+    * off-cluster node scores ≈equally badly, there is no gradient toward
+    * the bridge edge, and the beam terminates inside the entry cluster
+    * (recall 0 — `GraphAnnSpec`'s content-ordered corpus pins it).
+    * Stratified seeding guarantees a seed inside every ≥`limit/ef`-sized
+    * cluster, from which the walk follows a real gradient; the seed count
+    * tracks ef, not corpus size, so search work stays sublinear in n
+    * (also pinned by spec). Returns (top candidates sorted sim desc / id
+    * asc, visited count). Deterministic: stride is a pure function of
+    * (limit, ef) and every ordering ties on the node index.
     */
   private def beam(q: Array[Float], qn: Double, vecs: Array[Array[Float]],
                    norms: Array[Double], adj: Int => collection.IndexedSeq[Int],
@@ -226,7 +244,9 @@ object GraphAnn {
       }
     }
 
-    visit(0)
+    val stride = math.max(1, limit / ef)
+    var seed = 0
+    while (seed < limit) { visit(seed); seed += stride }
     var done = false
     while (!done && cands.nonEmpty) {
       val best = cands.dequeue()

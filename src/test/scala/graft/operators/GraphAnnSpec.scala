@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 /** Sharded NSW graph index: build determinism, navigability under
-  * content-ordered insertion (the diversity-heuristic bridge property),
-  * loud failure on split shards, persisted-index equality, result-shape
-  * contracts, and the scaling-relevant sublinearity property (visits are
-  * ef-bounded — flat while the corpus grows).
+  * content-ordered insertion (stratified beam seeding + the
+  * diversity-heuristic bridge property), re-clustering of disturbed
+  * layouts, persisted-index equality, result-shape contracts, and the
+  * scaling-relevant sublinearity property (visits are ef-bounded — flat
+  * while the corpus grows).
   */
 class GraphAnnSpec extends SparkTestBase {
 
@@ -93,19 +94,21 @@ class GraphAnnSpec extends SparkTestBase {
     }
   }
 
-  test("a split shard fails loudly instead of searching half a graph") {
+  test("a disturbed partitioning is re-clustered, never half-searched") {
     val corpus = clustered(200, 2)
     // 1-shard graph scattered across 4 hash partitions: every partition
-    // sees a fragment of shard 0 with edges into the other fragments
-    val broken = GraphAnn.buildGraph(corpus, "id", "vec", shards = 1)
-      .repartition(4, col("id"))
-    val queries = corpus.filter(col("id") === 0)
-    val ex = intercept[Exception] {
-      GraphAnn.searchGraph(broken, queries, "id", "vec", k = 3, ef = 8).collect()
-    }
-    def messages(t: Throwable): List[String] =
-      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("split across partitions")))
+    // sees a fragment of shard 0 with edges into the other fragments —
+    // searchShards must re-cluster by shard and return results identical
+    // to the intact layout (the old contract threw here; silent
+    // half-graph search was the failure mode both contracts exclude)
+    val graph = GraphAnn.buildGraph(corpus, "id", "vec", shards = 1)
+    val broken = graph.repartition(4, col("id"))
+    val queries = corpus.filter(col("id") % 40 === 3)
+    val intact = GraphAnn.searchGraph(graph, queries, "id", "vec", k = 3, ef = 8)
+    val healed = GraphAnn.searchGraph(broken, queries, "id", "vec", k = 3, ef = 8)
+    assert(intact.exceptAll(healed).count() == 0)
+    assert(healed.exceptAll(intact).count() == 0)
+    assert(healed.count() > 0)
   }
 
   test("visits are ef-bounded: corpus grows 4x, visited stays ~flat") {
