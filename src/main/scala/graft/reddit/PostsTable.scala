@@ -97,7 +97,8 @@ object PostsTable {
 
   // --- version writers ------------------------------------------------------
 
-  private def writeVersion(df: DataFrame, root: String, v: Long, key: String): Unit = {
+  private def writeVersion(df: DataFrame, root: String, v: Long, key: String,
+                           sidecar: Map[String, String] = Map.empty): Unit = {
     val tmp = Paths.get(root, s"_tmp_v_$v")
     deleteRecursively(tmp)
     // date-partitioned when the batch carries the extraction clock (one
@@ -107,8 +108,30 @@ object PostsTable {
       dated.write.partitionBy("extract_date").mode("overwrite").parquet(tmp.toString)
       writeManifest(tmp, keyBounds(dated, key))
     } else df.write.mode("overwrite").parquet(tmp.toString)
+    writeSidecar(tmp, sidecar)
     Files.move(tmp, versionDir(root, v), StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Transactional sidecar files: land inside the version directory BEFORE
+    * the atomic move, so sidecar and data commit as one event — a reader
+    * can never observe the new version without its sidecars (the
+    * exactly-once ledger in [[graft.streaming.EpochLedger]] rides on
+    * this). Names must start with `_` so Spark's parquet reader ignores
+    * them and the hard-link merge never carries stale copies forward.
+    */
+  private def writeSidecar(dir: Path, sidecar: Map[String, String]): Unit =
+    sidecar.foreach { case (name, body) =>
+      require(name.startsWith("_"),
+        s"sidecar file name '$name' must start with '_' (Spark-invisible)")
+      Files.writeString(dir.resolve(name), body)
+    }
+
+  /** Read a sidecar file from the live version, if present. */
+  def readSidecar(root: String, name: String): Option[String] =
+    currentVersion(root).flatMap { v =>
+      val p = versionDir(root, v).resolve(name)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
 
   /** Flip CURRENT atomically (write-new + atomic move over the pointer). */
   private def commit(root: String, v: Long): Unit = {
@@ -119,10 +142,11 @@ object PostsTable {
   }
 
   /** S6: create/replace the table from a first batch. */
-  def create(df: DataFrame, root: String, key: String = "id"): Unit = {
+  def create(df: DataFrame, root: String, key: String = "id",
+             sidecar: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(root))
     val v = currentVersion(root).getOrElse(-1L) + 1
-    writeVersion(df, root, v, key)
+    writeVersion(df, root, v, key, sidecar)
     commit(root, v)
   }
 
@@ -134,18 +158,19 @@ object PostsTable {
     * identical table.
     */
   def upsert(spark: SparkSession, root: String, staging: DataFrame, key: String = "id",
-             maxStagedKeys: Int = 1000000): Unit = {
-    if (!exists(root)) { create(staging, root, key); return }
+             maxStagedKeys: Int = 1000000,
+             sidecar: Map[String, String] = Map.empty): Unit = {
+    if (!exists(root)) { create(staging, root, key, sidecar); return }
     val curV = currentVersion(root).get
     val curDir = versionDir(root, curV)
     val main = read(spark, root)
     val v = curV + 1
     if (main.columns.contains("extract_date") && staging.columns.contains("extraction_timestamp"))
-      partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys)
+      partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys, sidecar)
     else {
       // legacy/unpartitioned layout: full rewrite (broadcast anti-join;
       // the main side still never shuffles)
-      writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key)
+      writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key, sidecar)
     }
     commit(root, v)
     vacuum(root, keep = 2)
@@ -153,7 +178,8 @@ object PostsTable {
 
   private def partitionMerge(spark: SparkSession, root: String, curDir: Path,
                              main: DataFrame, staging: DataFrame,
-                             key: String, v: Long, maxStagedKeys: Int): Unit = {
+                             key: String, v: Long, maxStagedKeys: Int,
+                             sidecar: Map[String, String]): Unit = {
     // the daily micro-batch is bounded → its key set and date set collect
     // driver-side (same budget class as a broadcast join's build side).
     // `maxStagedKeys` makes the contract enforceable: the limit bounds the
@@ -211,6 +237,7 @@ object PostsTable {
     }
     writeManifest(tmp,
       manifest.view.filterKeys(unaffected).toMap ++ keyBounds(merged, key))
+    writeSidecar(tmp, sidecar)
     Files.move(tmp, versionDir(root, v), StandardCopyOption.ATOMIC_MOVE)
   }
 

@@ -1,0 +1,343 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Micro-batch streaming source over an immutable parquet directory with
+  * PARQUET-ROW-GROUP-granularity admission control — the rate-limited
+  * ingest source for a continuous training-data pipeline.
+  *
+  * Why row groups and not files: Spark's file stream source admits work
+  * per FILE (`maxFilesPerTrigger`), so one 10 GB file is one indivisible
+  * admission unit — a single trigger must absorb however many rows it
+  * holds, and batch memory is unbounded by the rate limit. A parquet row
+  * group is the file's own internal split unit (its footer publishes each
+  * group's byte range and row count), so admission by row group bounds
+  * every micro-batch by data actually read, independent of how the
+  * upstream writer sized its files. At 100 TB — where files are written
+  * big deliberately — the row group is the only admission unit that is
+  * both exact (no row skipping/seek inside the unit) and bounded.
+  *
+  * Planning cost is one footer read per file at stream start (the same
+  * footer pass any parquet scan pays); data files are never opened until
+  * their group is admitted. Offsets are a count into the path-sorted
+  * (file, rowGroup) slice list, so restart-from-checkpoint resumes
+  * exactly after the last committed slice: each slice is delivered
+  * EXACTLY ONCE to the engine (the replayed tail after a crash is the
+  * standard source-replay contract — pair with
+  * [[graft.streaming.EpochLedger]] for an exactly-once SINK effect).
+  * The directory must be immutable while a checkpoint is live (the
+  * contract every file-based offset scheme has); a shrunk slice list
+  * fails loudly instead of silently re-reading shifted offsets.
+  *
+  * Column pruning pushes into the parquet projection
+  * (`SupportsPushDownRequiredColumns` → parquet read schema), so
+  * `ReadSchema` stays tight through the streaming scan. Supported column
+  * types: BOOLEAN, INT32 (+DATE), INT64 (+TIMESTAMP micros — NTZ is
+  * normalized to session-zone timestamp exactly like
+  * [[Tables.loadEvents]]), FLOAT, DOUBLE, BINARY(UTF8). Anything else is
+  * a loud reject at schema inference, never a silent null.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft-rowgroups")
+  *   .option("path", dir)
+  *   .option("maxRowGroupsPerTrigger", 4)   // or maxRowsPerTrigger
+  *   .load()
+  * }}}
+  */
+class RowGroupStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rowgroups"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = RowGroupStream.pathOption(options)
+    val slices = RowGroupStream.discover(dir)
+    require(slices.nonEmpty, s"graft-rowgroups: no parquet files under $dir")
+    RowGroupStream.toStructType(
+      MessageTypeParser.parseMessageType(slices.head.schemaStr))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new RowGroupTable(schema, properties.get("path"))
+}
+
+private[sources] class RowGroupTable(tableSchema: StructType, dir: String)
+    extends Table with SupportsRead {
+  require(dir != null, "graft-rowgroups: option 'path' is required")
+  override def name(): String = s"graft-rowgroups:$dir"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RowGroupScanBuilder(tableSchema, dir, options)
+}
+
+private[sources] class RowGroupScanBuilder(full: StructType, dir: String,
+                                           options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the source's field order (parquet groups come back in
+    // projection order; keeping file order makes the mapping positional)
+    required = StructType(full.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new RowGroupScan(required, dir, options)
+}
+
+private[sources] class RowGroupScan(readSchemaV: StructType, dir: String,
+                                    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = readSchemaV
+  override def description(): String =
+    s"graft-rowgroups $dir cols=[${readSchemaV.fieldNames.mkString(",")}]"
+
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "graft-rowgroups is a streaming source; batch reads should use spark.read.parquet")
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val maxGroups = Option(options.get("maxRowGroupsPerTrigger")).map(_.toInt)
+    val maxRows = Option(options.get("maxRowsPerTrigger")).map(_.toLong)
+    new RowGroupMicroBatchStream(dir, readSchemaV, maxGroups, maxRows)
+  }
+}
+
+/** Offset = how many slices of the path-sorted (file, rowGroup) list have
+  * been admitted. A bare JSON number, readable in the checkpoint log.
+  */
+private[sources] case class SliceOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class RowGroupMicroBatchStream(
+    dir: String, readSchema: StructType,
+    maxGroups: Option[Int], maxRows: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  require(maxGroups.forall(_ >= 1), "maxRowGroupsPerTrigger must be >= 1")
+  require(maxRows.forall(_ >= 1), "maxRowsPerTrigger must be >= 1")
+
+  // discovered once per stream (re-discovered per restart): footers only
+  private lazy val slices: IndexedSeq[RowGroupStream.Slice] = RowGroupStream.discover(dir)
+  // AvailableNow snapshot: set before the run starts, caps admission so
+  // the query drains a FIXED slice list and then stops
+  @volatile private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = slices.length.toLong
+
+  override def getDefaultReadLimit: ReadLimit =
+    (maxGroups, maxRows) match {
+      case (Some(g), _) => ReadLimit.maxFiles(g) // slices are our "files"
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  override def initialOffset(): Offset = SliceOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = SliceOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SliceOffset].n
+    val total =
+      if (availableNowCap >= 0) math.min(availableNowCap, slices.length.toLong)
+      else slices.length.toLong
+    require(from <= total,
+      s"graft-rowgroups: checkpoint offset $from exceeds the ${slices.length} " +
+        s"slices under $dir — the directory shrank under a live checkpoint " +
+        "(the source requires an immutable/append-only directory)")
+    var end = from
+    var rowBudget = maxRows.getOrElse(Long.MaxValue)
+    val groupBudget = maxGroups.getOrElse(Int.MaxValue)
+    // admit at least one slice even when it alone exceeds the row budget —
+    // a slice is indivisible, and zero admission would stall the stream
+    while (end < total && (end - from) < groupBudget &&
+           (end == from || rowBudget >= slices(end.toInt).rows)) {
+      rowBudget -= slices(end.toInt).rows
+      end += 1
+    }
+    SliceOffset(end)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SliceOffset].n.toInt
+    val to = end.asInstanceOf[SliceOffset].n.toInt
+    (from until to).map(i => slices(i): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RowGroupReaderFactory(readSchema.fieldNames)
+
+  override def commit(end: Offset): Unit = () // files are immutable; nothing to release
+  override def stop(): Unit = ()
+}
+
+private[sources] class RowGroupReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RowGroupReader(partition.asInstanceOf[RowGroupStream.Slice], columns)
+}
+
+/** Reads exactly one parquet row group via the file-range filter (a block
+  * is selected iff its byte midpoint falls in the range — passing the
+  * block's own [start, start+compressedLen) selects precisely it).
+  */
+private[sources] class RowGroupReader(slice: RowGroupStream.Slice,
+                                      columns: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val fileSchema = MessageTypeParser.parseMessageType(slice.schemaStr)
+  private val projection = new MessageType(fileSchema.getName,
+    columns.map(c => fileSchema.getType(fileSchema.getFieldIndex(c))): _*)
+  private val sparkFields = RowGroupStream.toStructType(projection).fields
+
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), new HPath(slice.file))
+      .withConf(conf)
+      .withFileRange(slice.startByte, slice.startByte + slice.lenBytes)
+      .build()
+  }
+
+  private var current: Group = _
+
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](sparkFields.length)
+    var i = 0
+    while (i < sparkFields.length) {
+      vals(i) =
+        if (current.getFieldRepetitionCount(i) == 0) null
+        else sparkFields(i).dataType match {
+          case BooleanType => current.getBoolean(i, 0)
+          case IntegerType | DateType => current.getInteger(i, 0)
+          case LongType | TimestampType => current.getLong(i, 0)
+          case FloatType => current.getFloat(i, 0)
+          case DoubleType => current.getDouble(i, 0)
+          case StringType => UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
+          case dt => throw new IllegalStateException(s"unreachable: $dt passed inference")
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}
+
+private[sources] object RowGroupStream {
+
+  /** One admission unit: a single row group of a single file. Carries the
+    * footer facts the planner and reader need, so executors never re-read
+    * footers.
+    */
+  final case class Slice(file: String, groupIdx: Int, startByte: Long,
+                         lenBytes: Long, rows: Long, schemaStr: String)
+      extends InputPartition
+
+  def pathOption(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-rowgroups: option 'path' is required")
+    p
+  }
+
+  /** Footer pass: path-sorted files → flat slice list. Deterministic, so
+    * the slice index is a stable offset space for a checkpoint.
+    */
+  def discover(dir: String): IndexedSeq[Slice] = {
+    val conf = new Configuration()
+    val d = new java.io.File(dir)
+    val files =
+      if (d.isDirectory)
+        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).sorted.toIndexedSeq
+      else if (d.isFile) IndexedSeq(d.getAbsolutePath)
+      else IndexedSeq.empty
+    files.flatMap { f =>
+      val in = HadoopInputFile.fromPath(new HPath(f), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val schemaStr = r.getFooter.getFileMetaData.getSchema.toString
+        r.getFooter.getBlocks.asScala.toIndexedSeq.zipWithIndex.map {
+          case (b, i) =>
+            Slice(f, i, b.getStartingPos, b.getCompressedSize, b.getRowCount, schemaStr)
+        }
+      } finally r.close()
+    }
+  }
+
+  /** Supported-subset parquet→Spark schema mapping; loud reject beyond it.
+    * TIMESTAMP(MICROS) — adjusted or NTZ — lands as TimestampType, the
+    * engine-wide normalization [[Tables.loadEvents]] documents.
+    */
+  def toStructType(m: MessageType): StructType = StructType(
+    m.getFields.asScala.map { f =>
+      require(f.isPrimitive,
+        s"graft-rowgroups: nested/group field '${f.getName}' is not supported")
+      val p = f.asPrimitiveType()
+      val logical = p.getLogicalTypeAnnotation
+      val dt = p.getPrimitiveTypeName match {
+        case PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveTypeName.INT32 =>
+          logical match {
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
+            case _ => IntegerType
+          }
+        case PrimitiveTypeName.INT64 =>
+          logical match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              require(t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
+                s"graft-rowgroups: timestamp unit ${t.getUnit} on '${f.getName}' " +
+                  "is not supported (MICROS only)")
+              TimestampType
+            case _ => LongType
+          }
+        case PrimitiveTypeName.FLOAT => FloatType
+        case PrimitiveTypeName.DOUBLE => DoubleType
+        case PrimitiveTypeName.BINARY =>
+          logical match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => StringType
+            case other => throw new IllegalArgumentException(
+              s"graft-rowgroups: BINARY field '${f.getName}' with logical type " +
+                s"$other is not supported (UTF8 strings only)")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft-rowgroups: parquet type $other on '${f.getName}' is not supported")
+      }
+      StructField(f.getName, dt, nullable = !f.isRepetition(
+        org.apache.parquet.schema.Type.Repetition.REQUIRED))
+    }.toArray)
+}

@@ -214,4 +214,21 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         PostsTable.upsert(batch.sparkSession, tableRoot, batch, key)
       }
+
+  /** [[upsertSink]] with the exactly-once epoch ledger: a replayed
+    * micro-batch is SKIPPED by ledger lookup instead of re-upserted, and
+    * per-epoch row metrics commit atomically with the data
+    * ([[EpochLedger.exactlyOnceUpsert]]).
+    */
+  def exactlyOnceUpsertSink(stream: DataFrame, tableRoot: String,
+                            key: String = "id",
+                            checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        EpochLedger.exactlyOnceUpsert(batch.sparkSession, tableRoot, batch,
+          epochId, key): Unit
+      }
 }
