@@ -2354,6 +2354,62 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // REAL LOSSY audio, graded hash-exact: G.711 μ-law companding is
+    // stateless, so the oracle replays the entire lossy round trip per
+    // sample in SQL (segmented CASE + integer arithmetic) — the only
+    // lossy-codec class where sample-exact oracle grading is possible at
+    // all. Grades the companding tables, the format-7 container (18-byte
+    // fmt + fact + odd-n pad), and the 2x size reduction in media_bytes.
+    ("q_audio_ulaw",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(Multimodal.withUlawMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 64 + n_chars % 200 AS n FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, t.i,
+             |    ((31*d.doc_id + 7*t.i) % 65536) - 32768 AS s
+             |  FROM dims d JOIN range(0, 264) t(i) ON t.i < d.n),
+             |rt AS (SELECT doc_id, n, i, s, least(abs(s), 32635) + 132 AS m1 FROM sm),
+             |pw AS (
+             |  SELECT doc_id, n, i, s, m1,
+             |    CASE WHEN m1 < 256 THEN 1 WHEN m1 < 512 THEN 2
+             |         WHEN m1 < 1024 THEN 4 WHEN m1 < 2048 THEN 8
+             |         WHEN m1 < 4096 THEN 16 WHEN m1 < 8192 THEN 32
+             |         WHEN m1 < 16384 THEN 64 ELSE 128 END AS p
+             |  FROM rt),
+             |de AS (
+             |  SELECT doc_id, n, i,
+             |    (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+             |      * (132*(p-1) + ((m1 // (8*p)) % 16) * 8 * p) AS ds
+             |  FROM pw),
+             |ag AS (
+             |  SELECT doc_id, n, sum(ds) AS ssum,
+             |    sum(ds * (i % 97 + 1)) AS schk, max(abs(ds)) AS pk
+             |  FROM de GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(58 + n + n % 2 AS BIGINT) AS media_bytes,
+             |  CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // STATEFUL lossy audio: IMA ADPCM's adaptive-step recurrence cannot
+    // be replayed per-sample in SQL, so the grade splits along what each
+    // side can hold exactly — container size and sample count are
+    // closed-form block arithmetic (hash-exact), tracking error against
+    // the regenerated signal is graded as booleans whose bounds
+    // AdpcmCodecSpec pins on the same amplitude/slope grid.
+    ("q_audio_adpcm",
+      (s: SparkSession, d: String) =>
+        Multimodal.adpcmReport(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 600 + n_chars % 1000 AS n FROM documents)
+             |SELECT doc_id,
+             |  CAST(60 + ((n + 504) // 505) * 256 AS BIGINT) AS media_bytes,
+             |  CAST(n AS BIGINT) AS n_samples, CAST(2*n AS BIGINT) AS pcm_bytes,
+             |  true AS err_bounded, true AS mse_bounded
+             |FROM dims ORDER BY doc_id""".stripMargin)),
+
     // REAL video frame sampling, graded byte-exact — the third modality:
     // the engine encodes a genuine uncompressed AVI (RIFF hdrl/movi, DIB
     // frames) per doc, DECODES it back, picks 3 evenly spaced frames by

@@ -149,8 +149,9 @@ object AdpcmCodec {
     require(blockAlign >= 8, s"adpcm: implausible blockAlign $blockAlign")
     require(c.dataLen % blockAlign == 0,
       s"adpcm: data length ${c.dataLen} is not whole ${blockAlign}-byte blocks")
+    // fmt extra bytes = cbSize(2) + wSamplesPerBlock(2)
     val spb =
-      if (c.extra.length >= 2) Riff.le16(c.extra, 0) else samplesPerBlock(blockAlign)
+      if (c.extra.length >= 4) Riff.le16(c.extra, 2) else samplesPerBlock(blockAlign)
     require(spb == samplesPerBlock(blockAlign),
       s"adpcm: header says $spb samples/block, layout implies ${samplesPerBlock(blockAlign)}")
     val nBlocks = c.dataLen / blockAlign

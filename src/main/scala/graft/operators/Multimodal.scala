@@ -462,6 +462,68 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Attach a REAL G.711 μ-law clip (lossy, stateless companding) to
+    * `documents`: same [[sampleGen]] arithmetic and clip-length law as
+    * [[withAudioMedia]], companded to 8-bit at the telephony rate — so
+    * the DuckDB oracle can replay the ENTIRE lossy round trip per sample
+    * (encode∘decode is a pure segmented-integer function).
+    */
+  def withUlawMedia(docs: DataFrame, id: String = "doc_id",
+                    nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val n = (64 + nc % 200).toInt
+          (docId, G711Codec.encodeWavUlaw(8000, n, sampleGen(docId)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** IMA ADPCM lossy round-trip report, one scan: per doc, synthesize the
+    * slope-bounded triangle the codec's tracking contract covers
+    * (amplitude 4000–12000 from `n_chars`, slope 50–550 from `doc_id` —
+    * the exact grid `AdpcmCodecSpec` pins bounds for), encode (4-bit
+    * adaptive), decode, and grade what each side CAN grade: container
+    * size and sample count are closed-form block arithmetic (the SQL
+    * oracle checks them hash-exact), while tracking error — whose
+    * stateful recurrence SQL cannot replay — is reported against the
+    * spec-pinned bounds as booleans.
+    */
+  def adpcmReport(docs: DataFrame, id: String = "doc_id",
+                  nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val n = (600 + nc % 1000).toInt
+          val a = (4000 + nc % 5 * 2000).toInt
+          val slope = (50 + docId % 6 * 100).toInt
+          val period = 4 * a
+          def f(i: Int): Short =
+            (math.abs((i.toLong * slope % period).toInt - 2 * a) - a).toShort
+          val wav = AdpcmCodec.encodeWavIma(8000, n, f)
+          val dec = AdpcmCodec.decodeWavIma(wav)
+          var maxErr = 0L; var se = 0L; var i = 0
+          while (i < n) {
+            val e = math.abs(dec.samples(i) - f(i)).toLong
+            if (e > maxErr) maxErr = e
+            se += e * e
+            i += 1
+          }
+          (docId, wav.length.toLong, dec.samples.length.toLong, 2L * n,
+            maxErr <= 2560L, se / n <= 65536L)
+        }
+      }
+      .toDF("doc_id", "media_bytes", "n_samples", "pcm_bytes",
+        "err_bounded", "mse_bounded")
+  }
+
   /** REAL audio resample for PCM WAV: decode → nearest-neighbor sample-rate
     * conversion in exact integer arithmetic (`outN = n·outRate/inRate`,
     * source index `j·inRate/outRate` — the time-preserving map) →
@@ -514,11 +576,19 @@ object Multimodal {
     * [[AudioStats]]. Same zero-shuffle `mapPartitions` scan shape as
     * [[decodePixelStats]].
     */
-  /** Container-sniffing audio decode: RIFF/WAVE → [[WavCodec]], `fLaC`
-    * → [[FlacCodec]]; anything else is a loud reject.
+  /** Container-sniffing audio decode: RIFF/WAVE dispatched on the format
+    * tag (1 = PCM → [[WavCodec]], 7 = μ-law → [[G711Codec]], 0x11 = IMA
+    * ADPCM → [[AdpcmCodec]]), `fLaC` → [[FlacCodec]]; anything else is a
+    * loud reject.
     */
   private[operators] def decodeAnyAudio(bytes: Array[Byte]): WavCodec.DecodedAudio =
-    if (WavCodec.isWav(bytes)) WavCodec.decodePcm16(bytes)
+    if (WavCodec.isWav(bytes)) Riff.scanWave(bytes).audioFormat match {
+      case 1 => WavCodec.decodePcm16(bytes)
+      case 7 => G711Codec.decodeWavUlaw(bytes)
+      case 0x11 => AdpcmCodec.decodeWavIma(bytes)
+      case f => throw new IllegalArgumentException(
+        s"audio: WAV format tag $f not supported (PCM 1, μ-law 7, IMA 0x11)")
+    }
     else if (FlacCodec.isFlac(bytes)) FlacCodec.decodeFlac(bytes)
     else throw new IllegalArgumentException(
       "audio: unrecognized container (need RIFF/WAVE or fLaC magic)")
