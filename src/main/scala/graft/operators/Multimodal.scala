@@ -483,6 +483,22 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** A-law sibling of [[withUlawMedia]] — G.711's other law, format 6. */
+  def withAlawMedia(docs: DataFrame, id: String = "doc_id",
+                    nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val n = (64 + nc % 200).toInt
+          (docId, G711Codec.encodeWavAlaw(8000, n, sampleGen(docId)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** IMA ADPCM lossy round-trip report, one scan: per doc, synthesize the
     * slope-bounded triangle the codec's tracking contract covers
     * (amplitude 4000–12000 from `n_chars`, slope 50–550 from `doc_id` —
@@ -584,10 +600,11 @@ object Multimodal {
   private[operators] def decodeAnyAudio(bytes: Array[Byte]): WavCodec.DecodedAudio =
     if (WavCodec.isWav(bytes)) Riff.scanWave(bytes).audioFormat match {
       case 1 => WavCodec.decodePcm16(bytes)
+      case 6 => G711Codec.decodeWavAlaw(bytes)
       case 7 => G711Codec.decodeWavUlaw(bytes)
       case 0x11 => AdpcmCodec.decodeWavIma(bytes)
       case f => throw new IllegalArgumentException(
-        s"audio: WAV format tag $f not supported (PCM 1, μ-law 7, IMA 0x11)")
+        s"audio: WAV format tag $f not supported (PCM 1, A-law 6, μ-law 7, IMA 0x11)")
     }
     else if (FlacCodec.isFlac(bytes)) FlacCodec.decodeFlac(bytes)
     else throw new IllegalArgumentException(

@@ -73,5 +73,43 @@ class G711CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // truncated data chunk
       G711Codec.decodeWavUlaw(ok.take(60))
     }
+    intercept[IllegalArgumentException] { // wrong law: A-law blob on μ-law path
+      G711Codec.decodeWavUlaw(G711Codec.encodeWavAlaw(8000, 4, _ => 1.toShort))
+    }
+  }
+
+  test("A-law round-trip error is bounded everywhere; decode is never 0") {
+    var maxErr = 0
+    var s = -32768
+    while (s <= 32767) {
+      val d = G711Codec.alawDecode(G711Codec.alawEncode(s.toShort)).toInt
+      val err = math.abs(d - s)
+      if (err > maxErr) maxErr = err
+      assert(d != 0, s"A-law decoded $s to exact 0 (smallest magnitude is 8)")
+      s += 1
+    }
+    // top segment: 13-bit step 64 → 16-bit step 1024, half-step ±512,
+    // plus the floor(s/8) operand loss of up to 7
+    assert(maxErr <= 519, s"global max A-law error $maxErr")
+  }
+
+  test("every A-law code is a fixed point of encode∘decode") {
+    (0 until 256).foreach { a =>
+      val d = G711Codec.alawDecode(a.toByte)
+      assert((G711Codec.alawEncode(d) & 0xff) == a,
+        s"code $a decoded to $d which re-encoded to ${G711Codec.alawEncode(d) & 0xff}")
+    }
+  }
+
+  test("A-law WAV container round-trips companded samples") {
+    def sig(i: Int): Short = (((i * 2741) % 65536) - 32768).toShort
+    val n = 101
+    val wav = G711Codec.encodeWavAlaw(8000, n, sig)
+    assert(wav.length == 58 + n + 1)
+    val dec = G711Codec.decodeWavAlaw(wav)
+    assert(dec.samples.length == n)
+    (0 until n).foreach { i =>
+      assert(dec.samples(i) == G711Codec.alawDecode(G711Codec.alawEncode(sig(i))))
+    }
   }
 }
