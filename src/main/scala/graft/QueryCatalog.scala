@@ -2442,6 +2442,70 @@ object QueryCatalog {
              |  CAST(pk AS BIGINT) AS peak_abs
              |FROM ag ORDER BY doc_id""".stripMargin)),
 
+    // G.711 LAW TRANSCODE — the telephony interop leg (trunks re-compand
+    // at A-law/μ-law boundaries): A-law clip → decode → μ-law re-encode →
+    // decode, ONE scan, both lossy steps live. The oracle composes the
+    // two per-sample replays: first the A-law round trip, then the μ-law
+    // round trip OF THAT RESULT — a transcoder that skipped either
+    // quantization (or re-companded the original PCM) cannot match.
+    ("q_g711_transcode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(
+            Multimodal.transcodeAudio(
+              Multimodal.withAlawMedia(t(s, d, "documents")), "ulaw"))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 64 + n_chars % 200 AS n FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, t.i,
+             |    ((31*d.doc_id + 7*t.i) % 65536) - 32768 AS s
+             |  FROM dims d JOIN range(0, 264) t(i) ON t.i < d.n),
+             |ax AS (
+             |  SELECT doc_id, n, i,
+             |    CASE WHEN s >= 0 THEN s // 8 ELSE (s - 7) // 8 END AS x0
+             |  FROM sm),
+             |am AS (
+             |  SELECT doc_id, n, i, x0,
+             |    CASE WHEN x0 >= 0 THEN x0 ELSE -x0 - 1 END AS mg
+             |  FROM ax),
+             |ap AS (
+             |  SELECT doc_id, n, i, x0, mg,
+             |    CASE WHEN mg < 32 THEN 1 WHEN mg < 64 THEN 2 WHEN mg < 128 THEN 4
+             |         WHEN mg < 256 THEN 8 WHEN mg < 512 THEN 16
+             |         WHEN mg < 1024 THEN 32 WHEN mg < 2048 THEN 64
+             |         ELSE 128 END AS p
+             |  FROM am),
+             |ade AS (
+             |  SELECT doc_id, n, i,
+             |    (CASE WHEN x0 >= 0 THEN 1 ELSE -1 END) *
+             |    (CASE WHEN p = 1 THEN ((mg // 2) % 16) * 16 + 8
+             |          WHEN p = 2 THEN ((mg // 2) % 16) * 16 + 264
+             |          ELSE (((mg // p) % 16) * 16 + 264) * (p // 2) END) AS s1
+             |  FROM ap),
+             |urt AS (SELECT doc_id, n, i, s1, least(abs(s1), 32635) + 132 AS m1 FROM ade),
+             |upw AS (
+             |  SELECT doc_id, n, i, s1, m1,
+             |    CASE WHEN m1 < 256 THEN 1 WHEN m1 < 512 THEN 2
+             |         WHEN m1 < 1024 THEN 4 WHEN m1 < 2048 THEN 8
+             |         WHEN m1 < 4096 THEN 16 WHEN m1 < 8192 THEN 32
+             |         WHEN m1 < 16384 THEN 64 ELSE 128 END AS up
+             |  FROM urt),
+             |ude AS (
+             |  SELECT doc_id, n, i,
+             |    (CASE WHEN s1 < 0 THEN -1 ELSE 1 END)
+             |      * (132*(up-1) + ((m1 // (8*up)) % 16) * 8 * up) AS ds
+             |  FROM upw),
+             |ag AS (
+             |  SELECT doc_id, n, sum(ds) AS ssum,
+             |    sum(ds * (i % 97 + 1)) AS schk, max(abs(ds)) AS pk
+             |  FROM ude GROUP BY doc_id, n)
+             |SELECT doc_id, CAST(58 + n + n % 2 AS BIGINT) AS media_bytes,
+             |  CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // STATEFUL lossy audio: IMA ADPCM's adaptive-step recurrence cannot
     // be replayed per-sample in SQL, so the grade splits along what each
     // side can hold exactly — container size and sample count are

@@ -682,8 +682,8 @@ object Multimodal {
     * sample-exact because FLAC is lossless.
     */
   def transcodeAudio(media: DataFrame, target: String): DataFrame = {
-    require(target == "wav" || target == "flac",
-      s"transcodeAudio: unsupported target '$target' (wav | flac)")
+    require(Set("wav", "flac", "ulaw", "alaw").contains(target),
+      s"transcodeAudio: unsupported target '$target' (wav | flac | ulaw | alaw)")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
@@ -695,7 +695,16 @@ object Multimodal {
             case "wav" =>
               WavCodec.encodePcm16Ch(a.sampleRate, a.channels, a.samples.length,
                 a.samples(_))
-            case _ => FlacCodec.encodeFlac(a.sampleRate, a.channels, a.samples)
+            case "flac" => FlacCodec.encodeFlac(a.sampleRate, a.channels, a.samples)
+            case law =>
+              // G.711 interop leg (telephony trunks re-compand at law
+              // boundaries): lossy-to-lossy, mono by the law's nature
+              require(a.channels == 1,
+                s"transcodeAudio: G.711 $law is mono-only, got ${a.channels} channels")
+              if (law == "ulaw")
+                G711Codec.encodeWavUlaw(a.sampleRate, a.samples.length, a.samples(_))
+              else
+                G711Codec.encodeWavAlaw(a.sampleRate, a.samples.length, a.samples(_))
           }
           (id, out)
         }
