@@ -173,7 +173,8 @@ object Bench {
     }
 
     final case class Pass(results: Seq[(String, RunResult)],
-                          scan: Probe, heavy: Probe, contended: Boolean)
+                          scan: Probe, heavy: Probe, probeFailed: Boolean,
+                          contended: Boolean)
 
     /** One full measured pass over the selection, bracketed by BOTH
       * sentinels. Each sentinel point is min-of-N like every query: the
@@ -185,20 +186,24 @@ object Bench {
     def measurePass(): Pass = {
       val scanTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
       val heavyTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // a probe that errors or times out is the STRONGEST contention
+      // signal there is — dropping its point silently would read as
+      // drift 1.0 / clean on exactly the pass it was added to flag
+      var probeFailed = false
       def timeSentinels(tag: String): Unit = {
         sentinel.foreach { fn =>
           val r = runMeasured(s"sentinel-$tag", fn)
           if (r.ok) {
             scanTimes += r.sec
             System.err.println(f"[bench] ${s"sentinel($tag)"}%-28s ${r.sec}%8.2fs")
-          }
+          } else probeFailed = true
         }
         val h = runMeasured(s"sentinel-heavy-$tag", heavyFn)
         if (h.ok) {
           heavyTimes += h.sec
           System.err.println(
             f"[bench] ${s"sentinel-heavy($tag)"}%-28s ${h.sec}%8.2fs gc=${h.gcMs}%dms")
-        }
+        } else probeFailed = true
       }
       timeSentinels("start")
       // the mid point only means something with queries on both sides of
@@ -216,7 +221,8 @@ object Bench {
       timeSentinels("end")
       val scan = adjudicate(scanTimes.toSeq)
       val heavy = adjudicate(heavyTimes.toSeq)
-      Pass(results, scan, heavy, contended = scan.contended || heavy.contended)
+      Pass(results, scan, heavy, probeFailed,
+        contended = scan.contended || heavy.contended || probeFailed)
     }
 
     // warm both sentinels' plan/codegen paths untimed first — otherwise

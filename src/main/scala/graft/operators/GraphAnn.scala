@@ -111,10 +111,16 @@ object GraphAnn {
       .sortBy(_._1)
     val bq = spark.sparkContext.broadcast(qRows)
     val effEf = math.max(ef, k)
-    graph.select(col("id").cast("long"), col("vec"),
-        col("shard").cast("int"), col("neighbors"))
+    // COLUMN-keyed grouping, not groupByKey(lambda): an opaque lambda key
+    // becomes a synthetic attribute no existing partitioning can satisfy,
+    // forcing a full shuffle of the index on every query batch. Grouping
+    // on the `shard` column itself lets EnsureRequirements elide the
+    // exchange when the input is already hash-partitioned on it (the
+    // graphReadIndex path) — plan-asserted in GraphAnnSpec.
+    graph.select(col("id").cast("long").as("_1"), col("vec").as("_2"),
+        col("shard").cast("int").as("_3"), col("neighbors").as("_4"))
       .as[(Long, Array[Float], Int, Array[Long])]
-      .groupByKey(_._3)
+      .groupBy(col("_3")).as[Int, (Long, Array[Float], Int, Array[Long])]
       .flatMapGroups { (shard, rows) =>
         val g = rows.toArray.sortBy(_._1)
         val ids = g.map(_._1)

@@ -441,26 +441,33 @@ object Multimodal {
   private def sampleGen(docId: Long)(i: Int): Short =
     (((31L * docId + 7L * i) % 65536L) - 32768L).toShort
 
+  /** The shared fixture frame every audio/media generator uses: project
+    * (doc_id, n_chars) and map each pair through a per-row byte
+    * generator, zero shuffle. One implementation instead of a copy per
+    * codec — a null-handling or schema fix lands once.
+    */
+  private def perDocMedia(docs: DataFrame, id: String, nChars: String)
+                         (gen: (Long, Long) => Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions(batch => batch.map { case (docId, nc) => (docId, gen(docId, nc)) })
+      .toDF("doc_id", "media")
+  }
+
   /** Attach a REAL RIFF/WAVE PCM clip to `documents`: sample count and
     * rate derive from `n_chars`, samples from [[sampleGen]]. Generation is
     * fixture plumbing; the graded operator is [[decodeAudioStats]] over
     * these bytes.
     */
   def withAudioMedia(docs: DataFrame, id: String = "doc_id",
-                     nChars: String = "n_chars"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
-      .as[(Long, Long)]
-      .mapPartitions { batch =>
-        batch.map { case (docId, nc) =>
-          val n = (64 + nc % 200).toInt
-          val rate = (8000 + (nc % 3) * 4000).toInt
-          (docId, WavCodec.encodePcm16(rate, n, sampleGen(docId)))
-        }
-      }
-      .toDF("doc_id", "media")
-  }
+                     nChars: String = "n_chars"): DataFrame =
+    perDocMedia(docs, id, nChars) { (docId, nc) =>
+      val n = (64 + nc % 200).toInt
+      val rate = (8000 + (nc % 3) * 4000).toInt
+      WavCodec.encodePcm16(rate, n, sampleGen(docId))
+    }
 
   /** Attach a REAL G.711 μ-law clip (lossy, stateless companding) to
     * `documents`: same [[sampleGen]] arithmetic and clip-length law as
@@ -469,35 +476,17 @@ object Multimodal {
     * (encode∘decode is a pure segmented-integer function).
     */
   def withUlawMedia(docs: DataFrame, id: String = "doc_id",
-                    nChars: String = "n_chars"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
-      .as[(Long, Long)]
-      .mapPartitions { batch =>
-        batch.map { case (docId, nc) =>
-          val n = (64 + nc % 200).toInt
-          (docId, G711Codec.encodeWavUlaw(8000, n, sampleGen(docId)))
-        }
-      }
-      .toDF("doc_id", "media")
-  }
+                    nChars: String = "n_chars"): DataFrame =
+    perDocMedia(docs, id, nChars) { (docId, nc) =>
+      G711Codec.encodeWavUlaw(8000, (64 + nc % 200).toInt, sampleGen(docId))
+    }
 
   /** A-law sibling of [[withUlawMedia]] — G.711's other law, format 6. */
   def withAlawMedia(docs: DataFrame, id: String = "doc_id",
-                    nChars: String = "n_chars"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
-      .as[(Long, Long)]
-      .mapPartitions { batch =>
-        batch.map { case (docId, nc) =>
-          val n = (64 + nc % 200).toInt
-          (docId, G711Codec.encodeWavAlaw(8000, n, sampleGen(docId)))
-        }
-      }
-      .toDF("doc_id", "media")
-  }
+                    nChars: String = "n_chars"): DataFrame =
+    perDocMedia(docs, id, nChars) { (docId, nc) =>
+      G711Codec.encodeWavAlaw(8000, (64 + nc % 200).toInt, sampleGen(docId))
+    }
 
   /** IMA ADPCM lossy round-trip report, one scan: per doc, synthesize the
     * slope-bounded triangle the codec's tracking contract covers
@@ -644,36 +633,28 @@ object Multimodal {
     * frames with a partial last block.
     */
   def withFlacMedia(docs: DataFrame, id: String = "doc_id",
-                    nChars: String = "n_chars"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
-      .as[(Long, Long)]
-      .mapPartitions { batch =>
-        batch.map { case (docId, nc) =>
-          val channels = 1 + (docId % 2).toInt
-          val frames = (48 + nc % 120).toInt
-          val quant = if (docId % 11 == 0) 4L else 1L
-          val samples = Array.tabulate[Short](frames * channels) { i =>
-            val u = (31L * docId + 7L * i) % 65536L
-            ((u - u % quant) - 32768L).toShort
-          }
-          val mode: FlacCodec.Mode = (docId % 6) match {
-            case 0 => FlacCodec.Fixed(0, 0)
-            case 1 => FlacCodec.Fixed(1, 1)
-            case 2 => FlacCodec.Fixed(2, 2)
-            case 3 => FlacCodec.Fixed(3, 0)
-            case 4 => FlacCodec.Fixed(4, 1)
-            case _ => FlacCodec.Lpc(Array(3, -1), shift = 1, precision = 4, partOrder = 1)
-          }
-          val stereo = if (channels == 2) Array(0, 8, 10)((docId % 3).toInt) else 0
-          val rate = (8000 + (nc % 3) * 4000).toInt
-          (docId, FlacCodec.encodeFlac(rate, channels, samples, blockSize = 64,
-            mode = mode, stereo = stereo, forceEscape = docId % 7 == 0))
-        }
+                    nChars: String = "n_chars"): DataFrame =
+    perDocMedia(docs, id, nChars) { (docId, nc) =>
+      val channels = 1 + (docId % 2).toInt
+      val frames = (48 + nc % 120).toInt
+      val quant = if (docId % 11 == 0) 4L else 1L
+      val samples = Array.tabulate[Short](frames * channels) { i =>
+        val u = (31L * docId + 7L * i) % 65536L
+        ((u - u % quant) - 32768L).toShort
       }
-      .toDF("doc_id", "media")
-  }
+      val mode: FlacCodec.Mode = (docId % 6) match {
+        case 0 => FlacCodec.Fixed(0, 0)
+        case 1 => FlacCodec.Fixed(1, 1)
+        case 2 => FlacCodec.Fixed(2, 2)
+        case 3 => FlacCodec.Fixed(3, 0)
+        case 4 => FlacCodec.Fixed(4, 1)
+        case _ => FlacCodec.Lpc(Array(3, -1), shift = 1, precision = 4, partOrder = 1)
+      }
+      val stereo = if (channels == 2) Array(0, 8, 10)((docId % 3).toInt) else 0
+      val rate = (8000 + (nc % 3) * 4000).toInt
+      FlacCodec.encodeFlac(rate, channels, samples, blockSize = 64,
+        mode = mode, stereo = stereo, forceEscape = docId % 7 == 0)
+    }
 
   /** Cross-codec audio normalization — the audio analog of
     * [[transcodeMedia]]: sniff-decode (WAV or FLAC) → re-encode as the

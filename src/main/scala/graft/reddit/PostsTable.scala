@@ -109,7 +109,21 @@ object PostsTable {
       writeManifest(tmp, keyBounds(dated, key))
     } else df.write.mode("overwrite").parquet(tmp.toString)
     writeSidecar(tmp, sidecar)
-    Files.move(tmp, versionDir(root, v), StandardCopyOption.ATOMIC_MOVE)
+    moveIntoVersion(tmp, root, v)
+  }
+
+  /** Land a fully-written tmp dir as `v_<v>`. A directory already at the
+    * target is the orphan of a commit that crashed between this move and
+    * the CURRENT flip (CURRENT never names it, so no reader can hold it)
+    * — clobber it, otherwise the rename throws and every replay of the
+    * interrupted epoch wedges on the same corpse forever.
+    */
+  private def moveIntoVersion(tmp: Path, root: String, v: Long): Unit = {
+    val target = versionDir(root, v)
+    require(!currentVersion(root).exists(_ >= v),
+      s"PostsTable: version v_$v already committed (CURRENT moved underneath the writer)")
+    deleteRecursively(target)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Transactional sidecar files: land inside the version directory BEFORE
@@ -131,6 +145,25 @@ object PostsTable {
     currentVersion(root).flatMap { v =>
       val p = versionDir(root, v).resolve(name)
       if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+
+  /** Live-version sidecars (`_graft_*` minus the manifest, which each
+    * writer rebuilds). Carried forward into every new version so that a
+    * PLAIN upsert between ledgered ones cannot silently erase the epoch
+    * ledger — losing it would quietly demote the exactly-once sink to
+    * at-least-once.
+    */
+  private def currentSidecars(root: String): Map[String, String] =
+    currentVersion(root) match {
+      case None => Map.empty
+      case Some(v) =>
+        Files.list(versionDir(root, v)).iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) && n.startsWith("_graft_") && n != ManifestName
+          }
+          .map(p => p.getFileName.toString -> Files.readString(p))
+          .toMap
     }
 
   /** Flip CURRENT atomically (write-new + atomic move over the pointer). */
@@ -165,12 +198,15 @@ object PostsTable {
     val curDir = versionDir(root, curV)
     val main = read(spark, root)
     val v = curV + 1
+    // carried-forward sidecars under the caller's: an upsert that doesn't
+    // know about the epoch ledger must not erase it
+    val allSidecar = currentSidecars(root) ++ sidecar
     if (main.columns.contains("extract_date") && staging.columns.contains("extraction_timestamp"))
-      partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys, sidecar)
+      partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys, allSidecar)
     else {
       // legacy/unpartitioned layout: full rewrite (broadcast anti-join;
       // the main side still never shuffles)
-      writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key, sidecar)
+      writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key, allSidecar)
     }
     commit(root, v)
     vacuum(root, keep = 2)
@@ -238,7 +274,7 @@ object PostsTable {
     writeManifest(tmp,
       manifest.view.filterKeys(unaffected).toMap ++ keyBounds(merged, key))
     writeSidecar(tmp, sidecar)
-    Files.move(tmp, versionDir(root, v), StandardCopyOption.ATOMIC_MOVE)
+    moveIntoVersion(tmp, root, v)
   }
 
   private def listPartitionDirs(dir: Path): Set[String] =

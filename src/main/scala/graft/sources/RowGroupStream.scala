@@ -74,10 +74,10 @@ class RowGroupStreamProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = RowGroupStream.pathOption(options)
-    val slices = RowGroupStream.discover(dir)
-    require(slices.nonEmpty, s"graft-rowgroups: no parquet files under $dir")
+    // ONE footer, not a full discover(): schema inference would otherwise
+    // pay the whole per-file footer pass a second time at stream start
     RowGroupStream.toStructType(
-      MessageTypeParser.parseMessageType(slices.head.schemaStr))
+      MessageTypeParser.parseMessageType(RowGroupStream.firstFileSchema(dir)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -129,10 +129,26 @@ private[sources] class RowGroupScan(readSchemaV: StructType, dir: String,
 }
 
 /** Offset = how many slices of the path-sorted (file, rowGroup) list have
-  * been admitted. A bare JSON number, readable in the checkpoint log.
+  * been admitted, plus the IDENTITY (basename#group) of the last admitted
+  * slice. The identity is what makes offset-by-count safe under an
+  * append-only directory: a new file that sorts BEFORE existing ones
+  * would silently shift every index — re-delivering committed rows and
+  * dropping new ones — so restart validates that slice `n-1` is still
+  * the slice the checkpoint said it was, and fails loudly otherwise.
   */
-private[sources] case class SliceOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+private[sources] case class SliceOffset(n: Long, last: Option[String]) extends Offset {
+  override def json(): String = last match {
+    case None => n.toString
+    case Some(l) => s"""{"n":$n,"last":"$l"}"""
+  }
+}
+
+private[sources] object SliceOffset {
+  private val WithLast = """\{"n":(\d+),"last":"(.*)"\}""".r
+  def parse(json: String): SliceOffset = json.trim match {
+    case WithLast(n, l) => SliceOffset(n.toLong, Some(l))
+    case bare => SliceOffset(bare.toLong, None) // pre-identity checkpoints
+  }
 }
 
 private[sources] class RowGroupMicroBatchStream(
@@ -160,23 +176,40 @@ private[sources] class RowGroupMicroBatchStream(
       case _ => ReadLimit.allAvailable()
     }
 
-  override def initialOffset(): Offset = SliceOffset(0L)
+  override def initialOffset(): Offset = SliceOffset(0L, None)
 
-  override def deserializeOffset(json: String): Offset = SliceOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = SliceOffset.parse(json)
 
   override def latestOffset(): Offset =
     throw new IllegalStateException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
+  private def identityAt(i: Long): Option[String] =
+    if (i <= 0) None
+    else {
+      val s = slices((i - 1).toInt)
+      Some(s"${new java.io.File(s.file).getName}#${s.groupIdx}")
+    }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[SliceOffset].n
+    val so = start.asInstanceOf[SliceOffset]
+    val from = so.n
     val total =
       if (availableNowCap >= 0) math.min(availableNowCap, slices.length.toLong)
       else slices.length.toLong
-    require(from <= total,
+    require(from <= slices.length.toLong,
       s"graft-rowgroups: checkpoint offset $from exceeds the ${slices.length} " +
         s"slices under $dir — the directory shrank under a live checkpoint " +
         "(the source requires an immutable/append-only directory)")
+    so.last.foreach { expect =>
+      val actual = identityAt(from)
+      require(actual.contains(expect),
+        s"graft-rowgroups: slice ${from - 1} under $dir is now " +
+          s"${actual.getOrElse("absent")}, but the checkpoint committed $expect " +
+          "— a file was added that sorts before existing ones (or one was " +
+          "replaced), shifting every offset; the directory must be append-only " +
+          "in sort order while a checkpoint is live")
+    }
     var end = from
     var rowBudget = maxRows.getOrElse(Long.MaxValue)
     val groupBudget = maxGroups.getOrElse(Int.MaxValue)
@@ -187,7 +220,7 @@ private[sources] class RowGroupMicroBatchStream(
       rowBudget -= slices(end.toInt).rows
       end += 1
     }
-    SliceOffset(end)
+    SliceOffset(end, identityAt(end))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -274,19 +307,33 @@ private[sources] object RowGroupStream {
     p
   }
 
+  private def listParquet(dir: String): IndexedSeq[String] = {
+    val d = new java.io.File(dir)
+    if (d.isDirectory)
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toIndexedSeq
+    else if (d.isFile) IndexedSeq(d.getAbsolutePath)
+    else IndexedSeq.empty
+  }
+
+  /** Schema string of the first (path-sorted) file — one footer read, for
+    * inference; the full slice discovery happens once at stream start.
+    */
+  def firstFileSchema(dir: String): String = {
+    val files = listParquet(dir)
+    require(files.nonEmpty, s"graft-rowgroups: no parquet files under $dir")
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(files.head), new Configuration()))
+    try r.getFooter.getFileMetaData.getSchema.toString
+    finally r.close()
+  }
+
   /** Footer pass: path-sorted files → flat slice list. Deterministic, so
     * the slice index is a stable offset space for a checkpoint.
     */
   def discover(dir: String): IndexedSeq[Slice] = {
     val conf = new Configuration()
-    val d = new java.io.File(dir)
-    val files =
-      if (d.isDirectory)
-        d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(_.getAbsolutePath).sorted.toIndexedSeq
-      else if (d.isFile) IndexedSeq(d.getAbsolutePath)
-      else IndexedSeq.empty
-    files.flatMap { f =>
+    listParquet(dir).flatMap { f =>
       val in = HadoopInputFile.fromPath(new HPath(f), conf)
       val r = ParquetFileReader.open(in)
       try {
@@ -313,17 +360,29 @@ private[sources] object RowGroupStream {
         case PrimitiveTypeName.BOOLEAN => BooleanType
         case PrimitiveTypeName.INT32 =>
           logical match {
+            case null => IntegerType
             case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
-            case _ => IntegerType
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if i.isSigned && i.getBitWidth == 32 => IntegerType
+            case other => throw new IllegalArgumentException(
+              s"graft-rowgroups: INT32 field '${f.getName}' with logical type " +
+                s"$other is not supported — a DECIMAL/TIME surfaced as its raw " +
+                "unscaled integer would be silent corruption")
           }
         case PrimitiveTypeName.INT64 =>
           logical match {
+            case null => LongType
             case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               require(t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS,
                 s"graft-rowgroups: timestamp unit ${t.getUnit} on '${f.getName}' " +
                   "is not supported (MICROS only)")
               TimestampType
-            case _ => LongType
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if i.isSigned && i.getBitWidth == 64 => LongType
+            case other => throw new IllegalArgumentException(
+              s"graft-rowgroups: INT64 field '${f.getName}' with logical type " +
+                s"$other is not supported — a DECIMAL/TIME surfaced as its raw " +
+                "unscaled integer would be silent corruption")
           }
         case PrimitiveTypeName.FLOAT => FloatType
         case PrimitiveTypeName.DOUBLE => DoubleType

@@ -19,11 +19,16 @@ import graft.reddit.PostsTable
   * `txnAppId`/`txnVersion` does: the sink checks the ledger under the
   * table's own commit protocol and SKIPS a replayed epoch entirely.
   * Crash-window analysis: the ledger entry lands inside `v_<n+1>` before
-  * the CURRENT flip, so a crash BEFORE the flip leaves neither data nor
-  * ledger (replay re-applies cleanly), and a crash AFTER leaves both
-  * (replay skips). There is no window where one is visible without the
-  * other — that atomicity is exactly what a ledger in a separate file
-  * next to the checkpoint cannot give.
+  * the CURRENT flip, so a crash BEFORE the flip leaves at most an orphan
+  * `v_<n+1>` directory that CURRENT never names — no reader sees it,
+  * `committed()` doesn't either, and the replayed epoch clobbers it and
+  * re-applies cleanly (PostsTable.moveIntoVersion). A crash AFTER the
+  * flip leaves data and ledger together (replay skips). There is no
+  * window where one is visible without the other — that atomicity is
+  * exactly what a ledger in a separate file next to the checkpoint
+  * cannot give. Plain (un-ledgered) upserts interleaved on the same
+  * table are safe too: PostsTable carries `_graft_*` sidecars forward
+  * into every new version.
   *
   * The ledger is tiny (one `epoch\trows` line per commit, cumulative,
   * rewritten into each version), so at 100 TB it stays a metadata-class

@@ -111,6 +111,28 @@ class GraphAnnSpec extends SparkTestBase {
     assert(healed.count() > 0)
   }
 
+  test("search straight off graphReadIndex adds NO exchange (plan-asserted)") {
+    val corpus = clustered(240, 3)
+    val graph = GraphAnn.buildGraph(corpus, "id", "vec", shards = 3)
+    val queries = corpus.filter(col("id") % 60 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graph_plan").toString
+    try {
+      GraphAnn.graphWriteIndex(graph, dir)
+      val loaded = GraphAnn.graphReadIndex(spark, dir)
+      val plan = GraphAnn.searchShards(loaded, queries, "id", "vec", k = 3, ef = 8)
+        .queryExecution.sparkPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      // exactly the index-load repartition — a lambda-keyed groupByKey
+      // would append a synthetic key and re-shuffle the whole index here
+      assert(exchanges == 1, s"expected 1 exchange (index load), got $exchanges:\n$plan")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("visits are ef-bounded: corpus grows 4x, visited stays ~flat") {
     // the property that makes the index sublinear at scale: the beam's
     // work tracks ef and degree, not corpus size

@@ -121,6 +121,61 @@ class RowGroupStreamSpec extends SparkTestBase {
       batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet)
   }
 
+  test("a file added that sorts before existing ones fails loudly") {
+    val dir = tmpDir("rg_shift")
+    writeCorpus(dir, 200, files = 2)
+    // rename data files so there is headroom BEFORE them in sort order
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        assert(f.renameTo(new java.io.File(dir, s"m$i.parquet")))
+      }
+    val ck = tmpDir("rg_ck")
+    drain(read(dir), ck)
+    // an "earlier" file appears: every slice index silently shifts by one
+    val stage = tmpDir("rg_stage")
+    spark.range(0, 50).select(col("id"), lit(0.0).as("v"), lit("x").as("tag"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val staged = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(staged.toPath,
+      new java.io.File(dir, "a_first.parquet").toPath)
+    val ex = intercept[Exception] { drain(read(dir), ck) }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("sorts before existing")))
+  }
+
+  test("crash between version move and CURRENT flip does not wedge replay") {
+    import spark.implicits._
+    val root = tmpDir("orphan_tbl") + "/t"
+    val b0 = (0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "body")
+    assert(EpochLedger.exactlyOnceUpsert(spark, root, b0, epochId = 0L))
+    val cur = graft.reddit.PostsTable.currentVersion(root).get
+    // simulate the crash window: the next version dir landed, CURRENT did
+    // not flip — the replayed epoch must clobber the orphan, not wedge
+    val orphan = java.nio.file.Paths.get(root, s"v_${cur + 1}")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk.parquet"), "corpse")
+    val b1 = (5 until 15).map(i => (i.toLong, s"n$i")).toDF("id", "body")
+    assert(EpochLedger.exactlyOnceUpsert(spark, root, b1, epochId = 1L))
+    assert(graft.reddit.PostsTable.currentVersion(root).get == cur + 1)
+    assert(graft.reddit.PostsTable.read(spark, root).count() == 15)
+  }
+
+  test("a plain upsert between ledgered epochs carries the ledger forward") {
+    import spark.implicits._
+    val root = tmpDir("carry_tbl") + "/t"
+    def batch(ids: Range, tag: String): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, s"$tag$i")).toDF("id", "body")
+    assert(EpochLedger.exactlyOnceUpsert(spark, root, batch(0 until 10, "a"), 0L))
+    // manual backfill through the PLAIN path — knows nothing of the ledger
+    graft.reddit.PostsTable.upsert(spark, root, batch(100 until 110, "m"))
+    assert(EpochLedger.committed(root) == Map(0L -> 10L),
+      "plain upsert erased the epoch ledger")
+    // replay of epoch 0 must STILL be skipped after the interleaved upsert
+    assert(!EpochLedger.exactlyOnceUpsert(spark, root, batch(0 until 10, "a"), 0L))
+  }
+
   test("epoch ledger: replayed epoch is skipped, metrics commit with data") {
     import spark.implicits._
     val root = tmpDir("ledger_tbl") + "/t"
