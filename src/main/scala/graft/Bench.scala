@@ -123,12 +123,15 @@ object Bench {
 
     // contention sentinel: one fixed query timed at session start, middle,
     // and end. It measures the HOST under this session, not the engine —
-    // the engine code it runs is identical each time. q_a2_having_sort
-    // (~0.9 s of scan + shuffle + sort) rather than a ~0.15 s probe: at
-    // the 150 ms scale, fixed scheduling jitter is ±30% and the drift
-    // ratio lives inside its own noise floor; at ~1 s the ratio tracks
-    // sustained host slowdown (the 2-4× contention class the flag is for).
-    val sentinelName = "q_a2_having_sort"
+    // the engine code it runs is identical each time. The probe must stay
+    // ~1 s: at the 300 ms scale fixed scheduling jitter is ±30% and the
+    // drift ratio lives inside its own noise floor (q_a2_having_sort, the
+    // original sentinel, optimized its way down to ~0.35 s across rounds
+    // and started tripping the 1.5× bar on 0.2 s wobbles); at ~1 s the
+    // ratio tracks sustained host slowdown (the 2-4× contention class the
+    // flag is for). q_p11_date_parts is a stable scan+project probe in
+    // that regime.
+    val sentinelName = "q_p11_date_parts"
     val sentinel = SparkEntry.queries.get(sentinelName)
 
     // second sentinel, heap-heavy: the r11 artifact proved the scan probe

