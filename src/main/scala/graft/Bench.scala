@@ -26,12 +26,14 @@ import org.apache.spark.sql.SparkSession
   *    query with high gc share is memory-pressure noise, one with low gc
   *    share is genuinely slow;
   *  - TWO fixed sentinels are re-timed at session start, middle, and end:
-  *    a scan/shuffle probe (q_a2_having_sort — CPU/scheduler contention)
-  *    and a generated heap-heavy aggregation (memory pressure / GC steal,
-  *    the class the scan probe is blind to). Drift > 1.5 on either means
-  *    the HOST moved underneath the session — per-query comparisons
-  *    against other rounds are suspect and the `contended` flag says so
-  *    in the artifact itself;
+  *    a ~1 s scan/project probe (q_p11_date_parts — CPU/scheduler
+  *    contention) and a generated heap-heavy aggregation (memory
+  *    pressure / GC steal, the class the scan probe is blind to). Drift
+  *    > 1.5 on either means the HOST moved underneath the session —
+  *    per-query comparisons against other rounds are suspect and the
+  *    `contended` flag says so in the artifact itself; a probe that
+  *    errors or times out forces the flag too (`probe_failed` in the
+  *    JSON records which adjudication path fired);
   *  - `failed_queries` counts erroring/timed-out queries; any failure
   *    forces `value_suspect` because the headline total then sums fewer
   *    queries than other rounds.
@@ -275,7 +277,7 @@ object Bench {
     }
     val sentinelJson = probeJson(sentinelName, pass.scan)
     val heavyJson = probeJson(heavyName, pass.heavy)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_suspect":$suspect,"failed_queries":$failed,"passes":$passesRun,"queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sentinel_heavy":$heavyJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_suspect":$suspect,"failed_queries":$failed,"probe_failed":${pass.probeFailed},"passes":$passesRun,"queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sentinel_heavy":$heavyJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact keeps only a 2000-char stdout tail, which
     // truncates the per-query maps — persist the full line so round-to-

@@ -528,8 +528,12 @@ object Multimodal {
             se += e * e
             i += 1
           }
+          // per-flavor error bounds, each pinned by its codec spec on the
+          // same grid — a shared loose bound would let an IMA regression
+          // into the 2561-4096 range pass silently
+          val errBound = if (flavor == "ima") 2560L else 4096L
           (docId, wav.length.toLong, dec.samples.length.toLong, 2L * n,
-            maxErr <= 4096L, se / n <= 65536L)
+            maxErr <= errBound, se / n <= 65536L)
         }
       }
       .toDF("doc_id", "media_bytes", "n_samples", "pcm_bytes",

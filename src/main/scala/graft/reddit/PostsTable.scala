@@ -117,6 +117,15 @@ object PostsTable {
     * the CURRENT flip (CURRENT never names it, so no reader can hold it)
     * — clobber it, otherwise the rename throws and every replay of the
     * interrupted epoch wedges on the same corpse forever.
+    *
+    * SINGLE-WRITER CONTRACT, stated explicitly: this table has one
+    * logical writer per root (what foreachBatch/AvailableNow guarantees —
+    * epochs are serialized, and a crash-replay writer IS the same logical
+    * writer resuming). Two concurrent writers racing the same version
+    * were never safe under the CURRENT-flip protocol (last flip wins
+    * regardless of this method), and the clobber means the race loses
+    * data silently instead of loudly — do not point two independent
+    * writers at one root; give each its own table and union on read.
     */
   private def moveIntoVersion(tmp: Path, root: String, v: Long): Unit = {
     val target = versionDir(root, v)
@@ -157,13 +166,15 @@ object PostsTable {
     currentVersion(root) match {
       case None => Map.empty
       case Some(v) =>
-        Files.list(versionDir(root, v)).iterator().asScala
+        val stream = Files.list(versionDir(root, v))
+        try stream.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
             Files.isRegularFile(p) && n.startsWith("_graft_") && n != ManifestName
           }
           .map(p => p.getFileName.toString -> Files.readString(p))
           .toMap
+        finally stream.close() // Files.list leaks the dir fd until GC otherwise
     }
 
   /** Flip CURRENT atomically (write-new + atomic move over the pointer). */
@@ -267,9 +278,11 @@ object PostsTable {
       val src = curDir.resolve(p)
       val dst = tmp.resolve(p)
       Files.createDirectories(dst)
-      Files.list(src).iterator().asScala
+      val stream = Files.list(src)
+      try stream.iterator().asScala
         .filter(f => !f.getFileName.toString.startsWith("_"))
         .foreach(f => Files.createLink(dst.resolve(f.getFileName), f))
+      finally stream.close()
     }
     writeManifest(tmp,
       manifest.view.filterKeys(unaffected).toMap ++ keyBounds(merged, key))
@@ -277,11 +290,14 @@ object PostsTable {
     moveIntoVersion(tmp, root, v)
   }
 
-  private def listPartitionDirs(dir: Path): Set[String] =
-    Files.list(dir).iterator().asScala
+  private def listPartitionDirs(dir: Path): Set[String] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("extract_date="))
       .map(_.getFileName.toString)
       .toSet
+    finally stream.close()
+  }
 
   /** Drop all but the newest `keep` versions (old readers get a grace
     * window; storage stays bounded).
@@ -290,15 +306,19 @@ object PostsTable {
     val cur = currentVersion(root).getOrElse(return)
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return
-    Files.list(dir).forEach { p =>
+    val stream = Files.list(dir)
+    try stream.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("v_") && n.drop(2).forall(_.isDigit)
           && n.drop(2).toLong <= cur - keep)
         deleteRecursively(p)
-    }
+    } finally stream.close()
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally walk.close()
+    }
 }

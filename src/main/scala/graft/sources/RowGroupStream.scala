@@ -139,14 +139,19 @@ private[sources] class RowGroupScan(readSchemaV: StructType, dir: String,
 private[sources] case class SliceOffset(n: Long, last: Option[String]) extends Offset {
   override def json(): String = last match {
     case None => n.toString
-    case Some(l) => s"""{"n":$n,"last":"$l"}"""
+    case Some(l) =>
+      // escape the two JSON-active characters a filename could carry —
+      // an unescaped quote would make the checkpoint offset unparseable
+      val esc = l.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"n":$n,"last":"$esc"}"""
   }
 }
 
 private[sources] object SliceOffset {
   private val WithLast = """\{"n":(\d+),"last":"(.*)"\}""".r
   def parse(json: String): SliceOffset = json.trim match {
-    case WithLast(n, l) => SliceOffset(n.toLong, Some(l))
+    case WithLast(n, l) =>
+      SliceOffset(n.toLong, Some(l.replace("\\\"", "\"").replace("\\\\", "\\")))
     case bare => SliceOffset(bare.toLong, None) // pre-identity checkpoints
   }
 }
@@ -191,25 +196,36 @@ private[sources] class RowGroupMicroBatchStream(
       Some(s"${new java.io.File(s.file).getName}#${s.groupIdx}")
     }
 
+  /** Validate an offset's recorded slice identity against the current
+    * directory. Called from BOTH latestOffset and planInputPartitions:
+    * after a crash, Spark replays the pending batch straight from the
+    * offset log through planInputPartitions — no latestOffset call — so
+    * a check that lives only in admission would let exactly that replay
+    * read shifted row groups.
+    */
+  private def validateIdentity(o: SliceOffset): Unit = {
+    require(o.n <= slices.length.toLong,
+      s"graft-rowgroups: checkpoint offset ${o.n} exceeds the ${slices.length} " +
+        s"slices under $dir — the directory shrank under a live checkpoint " +
+        "(the source requires an immutable/append-only directory)")
+    o.last.foreach { expect =>
+      val actual = identityAt(o.n)
+      require(actual.contains(expect),
+        s"graft-rowgroups: slice ${o.n - 1} under $dir is now " +
+          s"${actual.getOrElse("absent")}, but the checkpoint committed $expect " +
+          "— a file was added that sorts before existing ones (or one was " +
+          "replaced), shifting every offset; the directory must be append-only " +
+          "in sort order while a checkpoint is live")
+    }
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[SliceOffset]
     val from = so.n
     val total =
       if (availableNowCap >= 0) math.min(availableNowCap, slices.length.toLong)
       else slices.length.toLong
-    require(from <= slices.length.toLong,
-      s"graft-rowgroups: checkpoint offset $from exceeds the ${slices.length} " +
-        s"slices under $dir — the directory shrank under a live checkpoint " +
-        "(the source requires an immutable/append-only directory)")
-    so.last.foreach { expect =>
-      val actual = identityAt(from)
-      require(actual.contains(expect),
-        s"graft-rowgroups: slice ${from - 1} under $dir is now " +
-          s"${actual.getOrElse("absent")}, but the checkpoint committed $expect " +
-          "— a file was added that sorts before existing ones (or one was " +
-          "replaced), shifting every offset; the directory must be append-only " +
-          "in sort order while a checkpoint is live")
-    }
+    validateIdentity(so)
     var end = from
     var rowBudget = maxRows.getOrElse(Long.MaxValue)
     val groupBudget = maxGroups.getOrElse(Int.MaxValue)
@@ -224,9 +240,11 @@ private[sources] class RowGroupMicroBatchStream(
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[SliceOffset].n.toInt
-    val to = end.asInstanceOf[SliceOffset].n.toInt
-    (from until to).map(i => slices(i): InputPartition).toArray
+    val so = start.asInstanceOf[SliceOffset]
+    val eo = end.asInstanceOf[SliceOffset]
+    validateIdentity(so)
+    validateIdentity(eo) // the crash-replay path arrives here without latestOffset
+    (so.n.toInt until eo.n.toInt).map(i => slices(i): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -363,7 +381,9 @@ private[sources] object RowGroupStream {
             case null => IntegerType
             case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
             case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-                if i.isSigned && i.getBitWidth == 32 => IntegerType
+                // signed narrow widths are value-identical in the int32
+                // physical encoding (arrow/pandas write int8/int16 this way)
+                if i.isSigned && i.getBitWidth <= 32 => IntegerType
             case other => throw new IllegalArgumentException(
               s"graft-rowgroups: INT32 field '${f.getName}' with logical type " +
                 s"$other is not supported — a DECIMAL/TIME surfaced as its raw " +
