@@ -824,6 +824,34 @@ object QueryCatalog {
              |SELECT token, count(*) AS n FROM u
              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
 
+    // BPE merge TRAINING (Sennrich subword learning) — the corpus is
+    // touched once (word counts); the k merge iterations run over the
+    // O(distinct words) table, which is what makes BPE trainable at
+    // 100 TB. Merge #1 is replayed by the oracle hash-exact (one round
+    // of weighted pair counting IS SQL-expressible; the iterated rewrite
+    // is not); the learned ORDER of rounds 2..k is graded through the
+    // wellformedness and compression booleans, and pinned exactly by
+    // BpeSpec's hand-computed corpus.
+    ("q_bpe_train",
+      (s: SparkSession, d: String) =>
+        Bpe.trainReport(t(s, d, "documents"), "text", numMerges = 20),
+      Some("""WITH t AS (
+             |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             |  FROM documents),
+             |w AS (SELECT unnest(toks) AS word FROM t),
+             |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+             |p AS (
+             |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+             |    sum(n) AS pn
+             |  FROM wc JOIN range(1, 512) t2(i) ON i < len(word)
+             |  GROUP BY 1, 2),
+             |top AS (SELECT l, r, pn FROM p ORDER BY pn DESC, l, r LIMIT 1)
+             |SELECT CAST(20 AS BIGINT) AS n_merges, l AS first_left,
+             |  r AS first_right, CAST(pn AS BIGINT) AS first_count,
+             |  true AS wellformed, true AS compressed
+             |FROM top""".stripMargin)),
+
     ("q_fingerprints",
       (s: SparkSession, d: String) =>
         TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
