@@ -2599,6 +2599,44 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS sampled_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL LOSSY VIDEO — Motion JPEG: every frame of every clip is a
+    // genuine baseline JPEG (forward DCT, quantization, Huffman entropy
+    // coding all live per frame), sampled through the same evenly-spaced
+    // frame selection as q_video_frames. Graded HASH-EXACT despite the
+    // lossy codec: grayscale block-constant frames encode as DC-only
+    // blocks, and the flat-8 quantizer round-trips DC bit-exact — the
+    // q_jpeg_decode closed-form-fixture idea extended along the time
+    // axis. media_bytes is dropped: entropy-coded sizes are not
+    // closed-form (that boundary is stated, not papered over — the
+    // ADPCM grading precedent).
+    ("q_mjpeg_frames",
+      (s: SparkSession, d: String) =>
+        Multimodal.sampleVideoFrames(Multimodal.withMjpegMedia(t(s, d, "documents")), 2)
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 8 + n_chars % 17 AS w, 8 + n_chars % 9 AS h,
+             |    2 + doc_id % 3 AS nf
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.nf,
+             |    sum(((31*d.doc_id
+             |          + 13*((((t.i//3) // d.w) // 8) * ((d.w+7)//8)
+             |                + ((t.i//3) % d.w) // 8)
+             |          + 11*((j.j * d.nf) // 2)) % 256)
+             |        * (t.i % 97 + 1) * (j.j + 1)) AS chk
+             |  FROM dims d
+             |  CROSS JOIN range(0, 2) j(j)
+             |  JOIN range(0, 1152) t(i) ON t.i < d.w*d.h*3
+             |  GROUP BY d.doc_id, d.w, d.h, d.nf)
+             |SELECT doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(2 AS BIGINT) AS frames_sampled,
+             |  CAST(chk AS BIGINT) AS sampled_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL streaming run under the oracle: documents (+ planted clones of
     // every doc_id%7==0 doc, shifted one generation later — so gen-2
     // originals see their clone arrive FIRST) split into three arrival
@@ -3572,6 +3610,64 @@ object QueryCatalog {
              |      FROM scored)
              |SELECT doc_id, rank, term, tf, df, tfidf FROM r
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // BM25 top-k retrieval over the persisted inverted index, full
+    // lifecycle graded: build on 4/5 of the corpus, append the last fifth
+    // (append correctness is load-bearing — the oracle scores the FULL
+    // corpus, so a lost or double-counted generation shifts df/avgdl and
+    // misses appended docs), then search with queries derived from the
+    // docs themselves (first 3 tokens of every 37th doc). Scores ranked on
+    // round(·,6) with doc_id tiebreak — the tfidf determinism discipline;
+    // the index side of the probe join is exchange-free, plan-asserted in
+    // PlanQualitySpec.
+    ("q_bm25_search",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        // 8 buckets: layout sized to the graded corpus (see
+        // q_incremental_neardup's note)
+        Retrieval.writePostingsIndex(docs.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", "graft_bm25_index", buckets = 8)
+        Retrieval.appendPostingsIndex(docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", "graft_bm25_index")
+        val queries = docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ").as("qtext"))
+        Retrieval.bm25Search(s, "graft_bm25_index", queries,
+            "query_id", "qtext", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+             |toks AS (SELECT doc_id,
+             |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             |         FROM docs),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |len AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, sum(len) AS total_len FROM len),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |q AS (SELECT doc_id AS query_id,
+             |        list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 3) AS qterms
+             |      FROM documents WHERE doc_id % 37 = 0 AND trim(text) <> ''),
+             |qt AS (SELECT DISTINCT query_id, unnest(qterms) AS term FROM q),
+             |contrib AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |    ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+             |      (tf.tf * (1.2 + 1.0)) /
+             |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.len /
+             |        (CAST(stats.total_len AS DOUBLE) / stats.n))) AS c
+             |  FROM qt
+             |  JOIN tf USING (term)
+             |  JOIN len ON tf.doc_id = len.doc_id
+             |  JOIN dfreq ON qt.term = dfreq.term
+             |  CROSS JOIN stats),
+             |scored AS (SELECT query_id, doc_id, count(*) AS n_terms,
+             |             round(sum(c), 6) AS score
+             |           FROM contrib GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, n_terms, score,
+             |        row_number() OVER (PARTITION BY query_id
+             |          ORDER BY score DESC, doc_id) AS rank
+             |      FROM scored)
+             |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms, score
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // CUBE companion to the A7 rollup: all 2^k grouping combinations in one
     // pass (GROUP BY CUBE), null-first ordering pinned on both engines

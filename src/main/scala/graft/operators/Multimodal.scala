@@ -731,6 +731,40 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Attach a REAL Motion-JPEG clip to `documents`: every frame is a
+    * genuine baseline JPEG (forward DCT + quantization + Huffman per
+    * frame — lossy video for real), built so the LOSSY chain still grades
+    * HASH-EXACT: frames are grayscale and block-constant (one value per
+    * 8×8 block, varying per block and per frame), so each block encodes
+    * as DC-only, and with the flat-8 quantizer the DC round-trips
+    * bit-exact (see [[JpegCodec]]'s object doc) — the q_jpeg_decode
+    * grading idea extended along the time axis.
+    */
+  def withMjpegMedia(docs: DataFrame, id: String = "doc_id",
+                     nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val w = (8 + nc % 17).toInt
+          val h = (8 + nc % 9).toInt
+          val nf = (2 + docId % 3).toInt
+          val bw = (w + 7) / 8
+          val frames = Array.tabulate(nf) { f =>
+            def pix(i: Int): Byte = {
+              val x = i % w; val y = i / w
+              ((31L * docId + 13L * ((y / 8) * bw + x / 8) + 11L * f) % 256L).toByte
+            }
+            JpegCodec.encodeJpeg(w, h, 1, pix)
+          }
+          (docId, AviCodec.encodeAviMjpeg(w, h, fps = 10, frames))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Per-clip stats from REAL frame sampling: decode the AVI, pick `n`
     * evenly spaced frames (`f_j = j·nFrames/n`, exact integer arithmetic),
     * and fold a per-frame position-weighted pixel checksum scaled by the
@@ -752,7 +786,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
-          val v = AviCodec.decodeAvi24(bytes)
+          // decodeAviVideo routes on strf: raw-DIB clips take the exact
+          // old path, MJPG clips decode each frame through JpegCodec
+          val v = AviCodec.decodeAviVideo(bytes)
           var chk = 0L
           var j = 0
           while (j < n) {

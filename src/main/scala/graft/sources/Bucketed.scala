@@ -22,27 +22,7 @@ object Bucketed {
     require(!table.contains("."),
       s"writeBucketed: unqualified table names only (got '$table') — the " +
         "orphan-directory reclaim assumes the default-database managed layout")
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // a table directory left by an EARLIER session is not in this
-    // session's in-memory catalog, and saveAsTable refuses to claim an
-    // orphan location — reclaim it so re-runs are idempotent. Deleting by
-    // naming convention is only safe if the directory actually LOOKS like
-    // a Spark-managed parquet table dir: anything unexpected inside means
-    // it isn't ours, and we fail instead of recursively deleting it.
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) {
-      def looksManaged(n: String): Boolean =
-        n.startsWith("part-") || n == "_SUCCESS" || n == "_temporary" ||
-          n.startsWith(".") || n.endsWith(".crc")
-      val unexpected = fs.listStatus(loc).map(_.getPath.getName).filterNot(looksManaged)
-      require(unexpected.isEmpty,
-        s"writeBucketed: refusing to reclaim $loc — it contains entries " +
-          s"that don't look like a managed parquet table (${unexpected.mkString(", ")})")
-      fs.delete(loc, true)
-    }
+    reclaimManagedLocation(df.sparkSession, table)
     // co-partition writers with the bucket layout: without this every task
     // writes a file into every bucket it has rows for (tasks × buckets tiny
     // files); with it each bucket is ONE file — which also lets later scans
@@ -53,6 +33,32 @@ object Bucketed {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** DROP `table` and delete its managed warehouse directory if a stale
+    * one survives from an EARLIER session: the catalog forgets across
+    * sessions but the directory doesn't, and saveAsTable refuses to claim
+    * an orphan location — reclaim so overwrite-style writers are
+    * idempotent. Deleting by naming convention is only safe if the
+    * directory actually LOOKS like a Spark-managed parquet table dir:
+    * anything unexpected inside means it isn't ours, and we fail instead
+    * of recursively deleting it.
+    */
+  private[graft] def reclaimManagedLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) {
+      def looksManaged(n: String): Boolean =
+        n.startsWith("part-") || n == "_SUCCESS" || n == "_temporary" ||
+          n.startsWith(".") || n.endsWith(".crc")
+      val unexpected = fs.listStatus(loc).map(_.getPath.getName).filterNot(looksManaged)
+      require(unexpected.isEmpty,
+        s"reclaimManagedLocation: refusing to reclaim $loc — it contains entries " +
+          s"that don't look like a managed parquet table (${unexpected.mkString(", ")})")
+      fs.delete(loc, true): Unit
+    }
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

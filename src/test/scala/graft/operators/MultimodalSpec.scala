@@ -220,6 +220,55 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](AviCodec.decodeAvi24("RIFFxxxxWAVE".getBytes))
   }
 
+  test("AviCodec: MJPEG clips decode per-frame through JpegCodec; raw path refuses them") {
+    // block-constant grayscale frames at the flat-8 quantizer → DC-only
+    // blocks that round-trip bit-exact even through the lossy codec
+    val (w, h) = (13, 9)
+    val bw = (w + 7) / 8
+    def gen(f: Int)(i: Int): Byte = {
+      val x = i % w; val y = i / w
+      ((13 * ((y / 8) * bw + x / 8) + 11 * f) % 256).toByte
+    }
+    val frames = Array.tabulate(3)(f => JpegCodec.encodeJpeg(w, h, 1, gen(f)))
+    val avi = AviCodec.encodeAviMjpeg(w, h, fps = 10, frames)
+    assert(AviCodec.isAvi(avi))
+    val v = AviCodec.decodeAviVideo(avi)
+    assert((v.width, v.height, v.frames.length) == (w, h, 3))
+    (0 until 3).foreach { f =>
+      val expect = (0 until w * h).flatMap(i => Seq.fill(3)(gen(f)(i)))
+      assert(v.frames(f).toSeq == expect, s"MJPEG frame $f mis-decoded")
+    }
+    // the raw-DIB entry point must route callers, not misdecode JPEG bytes
+    val ex = intercept[IllegalArgumentException](AviCodec.decodeAvi24(avi))
+    assert(ex.getMessage.contains("decodeAviVideo"))
+
+    // genuinely lossy content (per-pixel gradient, 3 channels) stays
+    // within quantization error and keeps exact dims/frame count
+    val rgb = Array.tabulate(2)(f =>
+      JpegCodec.encodeJpeg(w, h, 3, i => ((i * 3 + f * 40) % 256).toByte))
+    val lv = AviCodec.decodeAviVideo(AviCodec.encodeAviMjpeg(w, h, 10, rgb))
+    assert((lv.width, lv.height, lv.frames.length) == (w, h, 2))
+    (0 until 2).foreach { f =>
+      val err = lv.frames(f).zipWithIndex.map { case (b, i) =>
+        math.abs((b & 0xff) - (((i * 3 + f * 40) % 256) & 0xff)) }.max
+      assert(err <= 64, s"MJPEG frame $f error $err exceeds quantization class")
+    }
+
+    // a frame whose SOF dims disagree with strf is corrupt, not a resize
+    val wrongDims = AviCodec.encodeAviMjpeg(w + 1, h, 10, frames)
+    intercept[IllegalArgumentException](AviCodec.decodeAviVideo(wrongDims))
+    // a corrupted entropy stream inside one frame fails loudly: the SOS
+    // header is 10 bytes, so sos+10/11 are the first entropy bytes — an
+    // unstuffed FF C0 there is an in-stream marker the reader must reject
+    val corrupt = avi.clone()
+    val sos = avi.indexOfSlice(Array[Byte](0xff.toByte, 0xda.toByte))
+    corrupt(sos + 10) = 0xff.toByte; corrupt(sos + 11) = 0xc0.toByte
+    intercept[IllegalArgumentException](AviCodec.decodeAviVideo(corrupt))
+    // non-JPEG frame blobs are refused at encode time
+    intercept[IllegalArgumentException](
+      AviCodec.encodeAviMjpeg(w, h, 10, Array(Array[Byte](1, 2, 3))))
+  }
+
   test("video pipeline: sampled-frame stats come from the bytes and match the generator") {
     val out = Multimodal.sampleVideoFrames(Multimodal.withVideoMedia(docs), 3)
       .collect().map(v => v.doc_id -> v).toMap

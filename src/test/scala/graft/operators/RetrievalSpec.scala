@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval over the persisted postings index ([[Retrieval]]):
+  * hand-computed scores, the append lifecycle, the distinct-query-term
+  * contract, empty-doc exclusion from the corpus stats, and the
+  * exchange-free index side of the probe join.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // N=3 (the empty doc must not count), total_len=9, avgdl=3;
+  // df: apple 1, banana 2, cherry 2, durian 1
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry durian"),
+    (4L, "   ")).toDF("doc_id", "text")
+
+  private def searched(queries: Seq[(Long, String)], k: Int = 10) = {
+    Retrieval.writePostingsIndex(corpus, "doc_id", "text", "bm25_idx_test",
+      buckets = 2)
+    try Retrieval.bm25Search(spark, "bm25_idx_test",
+        queries.toDF("query_id", "qtext"), "query_id", "qtext", k = k)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+      spark.sql("DROP TABLE IF EXISTS bm25_idx_test__stats"): Unit
+    }
+  }
+
+  test("hand-computed scores, ranking, and duplicate query terms counting once") {
+    // "apple cherry apple": distinct terms {apple, cherry}; expected scores
+    // computed by hand from the BM25 formula (k1=1.2, b=0.75, avgdl=3)
+    val rows = searched(Seq((100L, "apple cherry apple")))
+    assert(rows == Seq(
+      (100L, 1L, 1L, 1L, 1.34864),
+      (100L, 2L, 3L, 1L, 0.689339),
+      (100L, 3L, 2L, 1L, 0.544215)))
+  }
+
+  test("single-term query, empty-text doc excluded from N and avgdl") {
+    // idf(durian)=ln(2.5/1.5+1) uses N=3: if the whitespace-only doc
+    // counted, N=4 would give ln(3.5/1.5+1)≈1.2528 and score 1.10248
+    assert(searched(Seq((7L, "durian"))) == Seq((7L, 1L, 3L, 1L, 0.86313)))
+  }
+
+  test("no-match and empty queries produce no rows; k bounds output") {
+    assert(searched(Seq((1L, "zzz"), (2L, "  "))).isEmpty)
+    assert(searched(Seq((9L, "cherry")), k = 1) == Seq((9L, 1L, 3L, 1L, 0.689339)))
+  }
+
+  test("append lifecycle: built-then-appended index scores equal the one-shot index") {
+    val queries = Seq((50L, "apple banana cherry durian")).toDF("query_id", "qtext")
+    Retrieval.writePostingsIndex(corpus, "doc_id", "text", "bm25_full_test",
+      buckets = 2)
+    Retrieval.writePostingsIndex(corpus.filter(col("doc_id") <= 2),
+      "doc_id", "text", "bm25_app_test", buckets = 2)
+    Retrieval.appendPostingsIndex(corpus.filter(col("doc_id") > 2),
+      "doc_id", "text", "bm25_app_test")
+    try {
+      val full = Retrieval.bm25Search(spark, "bm25_full_test", queries,
+        "query_id", "qtext").orderBy("rank").collect().toSeq
+      val app = Retrieval.bm25Search(spark, "bm25_app_test", queries,
+        "query_id", "qtext").orderBy("rank").collect().toSeq
+      assert(full == app && full.size == 3)
+    } finally {
+      Seq("bm25_full_test", "bm25_full_test__stats", "bm25_app_test",
+        "bm25_app_test__stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")): Unit
+    }
+  }
+
+  test("probe join: index side pays no exchange") {
+    Retrieval.writePostingsIndex(corpus, "doc_id", "text", "bm25_plan_test",
+      buckets = 2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qt = Seq((1L, "cherry")).toDF("query_id", "term")
+      val p = Retrieval.probe(
+        graft.sources.Bucketed.read(spark, "bm25_plan_test"), qt)
+      p.collect()
+      val plan = p.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(!exchanges.exists(_.toString.contains("bm25_plan_test")),
+        s"index side shuffled:\n$plan")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"expected a broadcast probe:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS bm25_plan_test")
+      spark.sql("DROP TABLE IF EXISTS bm25_plan_test__stats"): Unit
+    }
+  }
+}
