@@ -3035,6 +3035,78 @@ object QueryCatalog {
              |  ON p.user_id = d.user_id AND p.ts >= d.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // REAL stream-stream interval join under the oracle: impressions and
+    // clicks (disjoint event splits) arrive as two INDEPENDENT file
+    // streams, each in three time-tercile files, joined on user within a
+    // 6-hour attribution window. The cross-batch pairs straddling the
+    // tercile cuts are the grade's teeth: they only appear if the left
+    // side's state survives exactly until the watermark passes
+    // imp_ts + bound (premature eviction loses them, no eviction is the
+    // unbounded-state bug). Emitted pairs must equal the batch interval
+    // join, which DuckDB replays natively.
+    ("q_stream_join",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"),
+            col("ts").cast("timestamp").as("ts"))
+        val imps = ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+            col("ts").as("imp_ts"))
+        val clicks = ev.filter(col("event_id") % 3 =!= 0)
+          .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+            col("ts").as("click_ts"))
+        val Array(minMs, maxMs) = ev
+          .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut1 = minMs + (maxMs - minMs) / 3
+        val cut2 = minMs + 2 * (maxMs - minMs) / 3
+        val impDir = scratchDir("sj_imp")
+        val clickDir = scratchDir("sj_click")
+        Seq((impDir, imps, "imp_ts"), (clickDir, clicks, "click_ts")).foreach {
+          case (dir, df, tc) =>
+            val ms = unix_millis(col(tc))
+            Seq(df.filter(ms < cut1),
+                df.filter(ms >= cut1 && ms < cut2),
+                df.filter(ms >= cut2)).zipWithIndex.foreach { case (b, i) =>
+              stageArrivalFile(b, dir, s"batch$i.parquet",
+                1700000000000L + i * 60000L)
+            }
+        }
+        val outDir = scratchDir("sj_out")
+        val q = graft.streaming.Streams.intervalJoin(
+            s.readStream.schema(imps.schema)
+              .option("maxFilesPerTrigger", 1).parquet(impDir),
+            s.readStream.schema(clicks.schema)
+              .option("maxFilesPerTrigger", 1).parquet(clickDir),
+            "imp_user", "imp_ts", "click_user", "click_ts",
+            boundMs = 6L * 3600 * 1000)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", scratchDir("sj_ckpt"))
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("imp_id"), col("click_id"),
+            col("imp_user").as("user_id"),
+            date_format(col("imp_ts"), "yyyy-MM-dd HH:mm:ss").as("imp_ts_s"),
+            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"))
+          .orderBy("imp_id", "click_id")
+      },
+      Some("""WITH i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+             |          FROM events WHERE event_id % 3 = 0),
+             |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |      FROM events WHERE event_id % 3 <> 0)
+             |SELECT i.imp_id, c.click_id, i.user_id,
+             |  strftime(i.imp_ts, '%Y-%m-%d %H:%M:%S') AS imp_ts_s,
+             |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
+             |FROM i JOIN c ON i.user_id = c.user_id
+             |  AND c.click_ts >= i.imp_ts
+             |  AND c.click_ts <= i.imp_ts + INTERVAL 6 HOURS
+             |ORDER BY imp_id, click_id""".stripMargin)),
+
     // Skew stress at bench scale: a boilerplate-heavy degenerate corpus —
     // 999k copies of ONE document (one fingerprint = 999k rows, one
     // over-full LSH bucket per band) plus a 1k unique tail. Exact dedup

@@ -202,6 +202,38 @@ object Streams {
         graft.operators.Dedup.appendFingerprintIndex(fresh, id, text, indexTable, buckets)
       }
 
+  /** Stream-stream interval INNER join — the attribution primitive
+    * (impression ⋈ click within a time window) and the one join class
+    * Structured Streaming can run with BOUNDED state: the equi-key plus
+    * the two-sided time condition lets Spark evict left rows once the
+    * watermark passes `leftTs + boundMs` and right rows once it passes
+    * `rightTs`, so state is O(rows inside the bound window), not O(stream).
+    * Both sides get the event-time watermark here — a caller-supplied
+    * watermark on only one side would silently pin the other side's state
+    * forever, which is the failure mode this wrapper exists to prevent.
+    *
+    * Join condition: `leftKey = rightKey AND rightTs ∈ [leftTs,
+    * leftTs + boundMs]` (inclusive both ends — the batch-replayable
+    * contract the oracle mirrors). Column names must be disjoint across
+    * the sides: Spark's streaming join state manager keys raw attributes,
+    * and duplicate names make the emitted schema ambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, leftTs: String,
+                   rightKey: String, rightTs: String,
+                   boundMs: Long, watermark: String = "0 seconds"): DataFrame = {
+    require(boundMs >= 0, s"intervalJoin: negative bound $boundMs")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin: sides share column names ${shared.mkString(", ")} — " +
+        "rename one side, the joined schema must be unambiguous")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $boundMs milliseconds"))
+  }
+
   /** Continuous ingest into the versioned posts table: every micro-batch is
     * one atomic delete-matching upsert (U3 as the foreachBatch body).
     */

@@ -224,6 +224,50 @@ class StreamsSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ingest_fidx_test")
   }
 
+  test("intervalJoin: cross-batch pairs, inclusive bound, late clicks dropped after eviction") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.intervalJoin(
+        imps.toDF().toDF("imp_id", "imp_user", "imp_ts"),
+        clicks.toDF().toDF("click_id", "click_user", "click_ts"),
+        "imp_user", "imp_ts", "click_user", "click_ts", boundMs = 60000L)
+      .select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("sj_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 1: same-batch pair (1,101); imp 2 on another user
+    imps.addData((1L, 7L, ts("2024-01-01 10:00:00")), (2L, 8L, ts("2024-01-01 10:00:00")))
+    clicks.addData((101L, 7L, ts("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    // batch 2: click exactly AT the bound (inclusive) joins the batch-1
+    // imp — the cross-batch case that needs imp state alive; user-8 click
+    // outside the bound must not pair
+    clicks.addData((102L, 7L, ts("2024-01-01 10:01:00")),
+      (103L, 8L, ts("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    // batch 3: advance both watermarks far past imp 1's eviction time,
+    // then offer a click that WOULD have matched it — late, dropped
+    imps.addData((3L, 9L, ts("2024-01-01 12:00:00")))
+    clicks.addData((104L, 9L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    clicks.addData((105L, 7L, ts("2024-01-01 10:00:40")))
+    q.processAllAvailable()
+    val got = spark.table("sj_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 101L), (1L, 102L), (3L, 104L)))
+
+    // guard rails: shared column names and negative bounds are refused
+    val df = imps.toDF().toDF("imp_id", "imp_user", "imp_ts")
+    intercept[IllegalArgumentException](
+      Streams.intervalJoin(df, df, "imp_user", "imp_ts", "imp_user", "imp_ts", 1L))
+    intercept[IllegalArgumentException](
+      Streams.intervalJoin(df,
+        clicks.toDF().toDF("click_id", "click_user", "click_ts"),
+        "imp_user", "imp_ts", "click_user", "click_ts", -1L))
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
