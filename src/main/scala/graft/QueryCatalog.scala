@@ -73,6 +73,76 @@ object QueryCatalog {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
   }
 
+  /** Shared body of q_stream_join / q_stream_join_outer: impressions and
+    * clicks (disjoint event splits) as two independent file streams in
+    * time-tercile arrival files, interval-joined on user within a 6-hour
+    * bound under AvailableNow, output read back ordered. The outer run
+    * appends a 4th arrival file to BOTH sides — one far-future flush pair
+    * on a sentinel user (filtered from the output) — because unmatched
+    * left rows only emit when the watermark passes `imp_ts + bound` and
+    * evicts them: without the flush the tail impressions stay in the
+    * checkpoint and the batch oracle can never match.
+    */
+  private def runStreamIntervalJoin(s: SparkSession, d: String,
+                                    joinType: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+    val imps = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clicks = ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val Array(minMs, maxMs) = ev
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut1 = minMs + (maxMs - minMs) / 3
+    val cut2 = minMs + 2 * (maxMs - minMs) / 3
+    val flushMs = maxMs + 30L * 24 * 3600 * 1000
+    val impDir = scratchDir("sj_imp")
+    val clickDir = scratchDir("sj_click")
+    Seq((impDir, imps, "imp_ts"), (clickDir, clicks, "click_ts")).foreach {
+      case (dir, df, tc) =>
+        val ms = unix_millis(col(tc))
+        val terciles = Seq(df.filter(ms < cut1),
+          df.filter(ms >= cut1 && ms < cut2),
+          df.filter(ms >= cut2))
+        val batches =
+          if (joinType == "inner") terciles
+          else terciles :+ df.sparkSession.range(1)
+            .select(lit(-1L).as(df.columns(0)), lit(-1L).as(df.columns(1)),
+              timestamp_millis(lit(flushMs)).as(tc))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          stageArrivalFile(b, dir, s"batch$i.parquet",
+            1700000000000L + i * 60000L)
+        }
+    }
+    val outDir = scratchDir("sj_out")
+    val q = graft.streaming.Streams.intervalJoin(
+        s.readStream.schema(imps.schema)
+          .option("maxFilesPerTrigger", 1).parquet(impDir),
+        s.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(clickDir),
+        "imp_user", "imp_ts", "click_user", "click_ts",
+        boundMs = 6L * 3600 * 1000, joinType = joinType)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", scratchDir("sj_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("imp_id") =!= -1L)
+      .select(col("imp_id"), col("click_id"),
+        col("imp_user").as("user_id"),
+        date_format(col("imp_ts"), "yyyy-MM-dd HH:mm:ss").as("imp_ts_s"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"))
+      .orderBy(col("imp_id"), col("click_id").asc_nulls_first)
+  }
+
   /** Identical SQL text runs on both engines. Revenue is exact at 4
     * decimals, so `K = round(sum·10⁴)` is an engine-identical BIGINT; the
     * final 2-decimal half-up round is `floor((2K+100)/200)` — done with a
@@ -3045,56 +3115,7 @@ object QueryCatalog {
     // unbounded-state bug). Emitted pairs must equal the batch interval
     // join, which DuckDB replays natively.
     ("q_stream_join",
-      (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events")
-          .select(col("event_id").cast("long").as("event_id"),
-            col("user_id").cast("long").as("user_id"),
-            col("ts").cast("timestamp").as("ts"))
-        val imps = ev.filter(col("event_id") % 3 === 0)
-          .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
-            col("ts").as("imp_ts"))
-        val clicks = ev.filter(col("event_id") % 3 =!= 0)
-          .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
-            col("ts").as("click_ts"))
-        val Array(minMs, maxMs) = ev
-          .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-        val cut1 = minMs + (maxMs - minMs) / 3
-        val cut2 = minMs + 2 * (maxMs - minMs) / 3
-        val impDir = scratchDir("sj_imp")
-        val clickDir = scratchDir("sj_click")
-        Seq((impDir, imps, "imp_ts"), (clickDir, clicks, "click_ts")).foreach {
-          case (dir, df, tc) =>
-            val ms = unix_millis(col(tc))
-            Seq(df.filter(ms < cut1),
-                df.filter(ms >= cut1 && ms < cut2),
-                df.filter(ms >= cut2)).zipWithIndex.foreach { case (b, i) =>
-              stageArrivalFile(b, dir, s"batch$i.parquet",
-                1700000000000L + i * 60000L)
-            }
-        }
-        val outDir = scratchDir("sj_out")
-        val q = graft.streaming.Streams.intervalJoin(
-            s.readStream.schema(imps.schema)
-              .option("maxFilesPerTrigger", 1).parquet(impDir),
-            s.readStream.schema(clicks.schema)
-              .option("maxFilesPerTrigger", 1).parquet(clickDir),
-            "imp_user", "imp_ts", "click_user", "click_ts",
-            boundMs = 6L * 3600 * 1000)
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", scratchDir("sj_ckpt"))
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(outDir)
-          .select(col("imp_id"), col("click_id"),
-            col("imp_user").as("user_id"),
-            date_format(col("imp_ts"), "yyyy-MM-dd HH:mm:ss").as("imp_ts_s"),
-            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"))
-          .orderBy("imp_id", "click_id")
-      },
+      (s: SparkSession, d: String) => runStreamIntervalJoin(s, d, "inner"),
       Some("""WITH i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
              |          FROM events WHERE event_id % 3 = 0),
              |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
@@ -3106,6 +3127,26 @@ object QueryCatalog {
              |  AND c.click_ts >= i.imp_ts
              |  AND c.click_ts <= i.imp_ts + INTERVAL 6 HOURS
              |ORDER BY imp_id, click_id""".stripMargin)),
+
+    // LEFT-OUTER variant: unconverted impressions must ALSO emit (with
+    // null click columns) — the attribution report's other half. Outer
+    // rows only materialize when the watermark evicts the left state, so
+    // the run stages a far-future flush arrival on both sides (the
+    // q_stream_session flush-event discipline); a missing or mistimed
+    // eviction is visible as missing null-rows vs the batch left join.
+    ("q_stream_join_outer",
+      (s: SparkSession, d: String) => runStreamIntervalJoin(s, d, "left_outer"),
+      Some("""WITH i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+             |          FROM events WHERE event_id % 3 = 0),
+             |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |      FROM events WHERE event_id % 3 <> 0)
+             |SELECT i.imp_id, c.click_id, i.user_id,
+             |  strftime(i.imp_ts, '%Y-%m-%d %H:%M:%S') AS imp_ts_s,
+             |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
+             |FROM i LEFT JOIN c ON i.user_id = c.user_id
+             |  AND c.click_ts >= i.imp_ts
+             |  AND c.click_ts <= i.imp_ts + INTERVAL 6 HOURS
+             |ORDER BY imp_id, click_id NULLS FIRST""".stripMargin)),
 
     // Skew stress at bench scale: a boilerplate-heavy degenerate corpus —
     // 999k copies of ONE document (one fingerprint = 999k rows, one

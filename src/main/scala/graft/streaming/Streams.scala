@@ -221,17 +221,28 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, leftTs: String,
                    rightKey: String, rightTs: String,
-                   boundMs: Long, watermark: String = "0 seconds"): DataFrame = {
+                   boundMs: Long, watermark: String = "0 seconds",
+                   joinType: String = "inner"): DataFrame = {
     require(boundMs >= 0, s"intervalJoin: negative bound $boundMs")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin: joinType '$joinType' (inner or left_outer; right_outer " +
+        "is the mirrored call, full_outer has no bounded-state formulation here)")
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty,
       s"intervalJoin: sides share column names ${shared.mkString(", ")} — " +
         "rename one side, the joined schema must be unambiguous")
+    // left_outer emits an unmatched left row with right-side nulls ONLY
+    // when the watermark passes leftTs + bound and evicts it — so a
+    // drain-to-end run (AvailableNow) must push a final far-future event
+    // through BOTH sides or tail rows stay unemitted in the checkpoint
+    // (the q_stream_session flush-event discipline; q_stream_join_outer
+    // stages exactly that file)
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"interval $boundMs milliseconds"))
+          col(rightTs) <= col(leftTs) + expr(s"interval $boundMs milliseconds"),
+        joinType)
   }
 
   /** Continuous ingest into the versioned posts table: every micro-batch is

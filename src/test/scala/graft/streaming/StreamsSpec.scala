@@ -268,6 +268,43 @@ class StreamsSpec extends SparkTestBase {
         "imp_user", "imp_ts", "click_user", "click_ts", -1L))
   }
 
+  test("intervalJoin left_outer: unmatched imps emit null-click rows on eviction") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.intervalJoin(
+        imps.toDF().toDF("imp_id", "imp_user", "imp_ts"),
+        clicks.toDF().toDF("click_id", "click_user", "click_ts"),
+        "imp_user", "imp_ts", "click_user", "click_ts", boundMs = 60000L,
+        joinType = "left_outer")
+      .select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("sj_outer_test")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // imp 1 converts; imp 2 never does — its null row may only appear
+    // after the watermark passes imp_ts + bound
+    imps.addData((1L, 7L, ts("2024-01-01 10:00:00")), (2L, 8L, ts("2024-01-01 10:00:00")))
+    clicks.addData((101L, 7L, ts("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    val early = spark.table("sj_outer_test").collect()
+    assert(!early.exists(r => r.getLong(0) == 2L),
+      "unmatched imp emitted before its state could be evicted")
+    // far-future events on BOTH sides advance the joint watermark → evict
+    imps.addData((99L, 9L, ts("2024-01-01 12:00:00")))
+    clicks.addData((199L, 9L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("sj_outer_test").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    q.stop()
+    assert(got == Set((1L, Some(101L)), (2L, None), (99L, Some(199L))))
+    intercept[IllegalArgumentException](
+      Streams.intervalJoin(
+        imps.toDF().toDF("imp_id", "imp_user", "imp_ts"),
+        clicks.toDF().toDF("click_id", "click_user", "click_ts"),
+        "imp_user", "imp_ts", "click_user", "click_ts", 1L,
+        joinType = "full_outer"))
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
