@@ -3782,6 +3782,41 @@ object QueryCatalog {
              |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms, score
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Exact phrase search over the POSITIONAL inverted index (Lucene-style
+    // term/doc/pos rows), with a genuinely independent oracle: the engine
+    // matches relationally — every query offset votes for a base position,
+    // a base holding all k distinct offsets is a phrase hit — while DuckDB
+    // decides by substring containment on the whitespace-normalized text.
+    // Two unrelated algorithms must produce the identical pair set.
+    // Lifecycle graded like q_bm25_search: index built on 4/5, last fifth
+    // appended; phrases are tokens 2-4 of every 53rd doc.
+    ("q_phrase_search",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        Retrieval.writePositionalIndex(docs.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "text", "graft_pos_index", buckets = 8)
+        Retrieval.appendPositionalIndex(docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", "graft_pos_index")
+        val queries = docs.filter(col("doc_id") % 53 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), 2, 3), " ").as("qtext"))
+        Retrieval.phraseSearch(s, "graft_pos_index", queries,
+          "query_id", "qtext")
+      },
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |    ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' ' AS s
+             |  FROM documents WHERE trim(text) <> ''),
+             |q AS (SELECT doc_id AS query_id,
+             |        array_to_string(
+             |          list_slice(regexp_split_to_array(trim(text), '\s+'), 2, 4),
+             |          ' ') AS phrase
+             |      FROM documents WHERE doc_id % 53 = 0 AND trim(text) <> '')
+             |SELECT q.query_id, n.doc_id
+             |FROM q JOIN norm n ON q.phrase <> ''
+             |  AND contains(n.s, ' ' || q.phrase || ' ')
+             |ORDER BY query_id, doc_id""".stripMargin)),
+
     // CUBE companion to the A7 rollup: all 2^k grouping combinations in one
     // pass (GROUP BY CUBE), null-first ordering pinned on both engines
     ("q_a8_cube",

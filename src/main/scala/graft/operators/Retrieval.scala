@@ -124,6 +124,67 @@ object Retrieval {
   private[graft] def probe(post: DataFrame, qt: DataFrame): DataFrame =
     post.join(broadcast(qt.select("term").distinct()), Seq("term"))
 
+  /** Positional inverted index: one row per term OCCURRENCE —
+    * `term, doc_id, pos` (0-based token position) — bucketed+sorted on
+    * `term`. The Lucene-style layout phrase/proximity matching needs;
+    * ~`len` rows per doc instead of the BM25 index's distinct-term rows.
+    */
+  def writePositionalIndex(docs: DataFrame, id: String, text: String,
+                           table: String, buckets: Int = 64): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      positional(docs, id, text), table, "term", buckets)
+
+  /** Append a new batch's positional postings (same bucket spec; same
+    * new-doc_ids-only contract as [[appendPostingsIndex]]).
+    */
+  def appendPositionalIndex(batch: DataFrame, id: String, text: String,
+                            table: String): Unit = {
+    val buckets = graft.sources.Bucketed.bucketCount(batch.sparkSession, table)
+    positional(batch, id, text)
+      .repartition(buckets, col("term"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(table)
+  }
+
+  private def positional(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(text))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search: (query_id, doc_id) pairs where the query's
+    * token sequence occurs contiguously in the doc. Relational positional
+    * matching: each query token i joins postings on its term, every match
+    * votes for base position `pos - i`, and a base with ALL k distinct
+    * offsets present is a phrase occurrence — duplicate terms inside the
+    * phrase are handled by counting distinct offsets, not terms.
+    * Whitespace-only queries match nothing.
+    *
+    * Scale shape: the probe is the same broadcast-onto-bucketed-scan as
+    * [[bm25Search]] (index side exchange-free); the vote aggregation
+    * shuffles only matched postings keyed by (query, doc, base).
+    */
+  def phraseSearch(spark: SparkSession, table: String, queries: DataFrame,
+                   queryId: String, queryText: String): DataFrame = {
+    val qt = queries.select(col(queryId).as("query_id"),
+        posexplode(TextAnalysis.tokens(col(queryText))).as(Seq("qpos", "term")))
+      .select(col("query_id"), col("qpos").cast("long").as("qpos"), col("term"))
+    val qlen = qt.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    // one broadcast join IS the probe: (query, offset) pairs land on the
+    // bucketed postings scan with no index-side exchange
+    val matched = graft.sources.Bucketed.read(spark, table)
+      .join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), (col("pos") - col("qpos")).as("base"),
+        col("qpos"))
+    matched.groupBy("query_id", "doc_id", "base")
+      .agg(count_distinct(col("qpos")).as("nofs"))
+      .join(broadcast(qlen), Seq("query_id"))
+      .filter(col("nofs") === col("qlen"))
+      .select("query_id", "doc_id")
+      .distinct()
+      .orderBy("query_id", "doc_id")
+  }
+
   def bm25Search(spark: SparkSession, table: String, queries: DataFrame,
                  queryId: String, queryText: String, k: Int = 10,
                  k1: Double = 1.2, b: Double = 0.75,

@@ -74,6 +74,34 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("phraseSearch: contiguous-occurrence matching incl. duplicate terms and overlaps") {
+    // p1 holds "a b a" at bases 0 AND 2 (overlapping) — must emit ONE pair
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "x a b a y"),
+      (3L, "b a b"),
+      (4L, "a b")).toDF("doc_id", "text")
+    Retrieval.writePositionalIndex(docs.filter(col("doc_id") <= 3),
+      "doc_id", "text", "pos_idx_test", buckets = 2)
+    Retrieval.appendPositionalIndex(docs.filter(col("doc_id") > 3),
+      "doc_id", "text", "pos_idx_test")
+    try {
+      def search(qs: Seq[(Long, String)]) =
+        Retrieval.phraseSearch(spark, "pos_idx_test",
+            qs.toDF("query_id", "qtext"), "query_id", "qtext")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // duplicate-term phrase: offsets 0 and 2 are both 'a' — a doc with
+      // just one 'a' adjacent to 'b' must NOT pass a term-count shortcut
+      assert(search(Seq((10L, "a b a"))) == Set((10L, 1L), (10L, 2L)))
+      assert(search(Seq((11L, "b a"))) == Set((11L, 1L), (11L, 2L), (11L, 3L)))
+      // single-token phrase, multi-query batch, and the appended doc
+      assert(search(Seq((12L, "y"), (13L, "a b"), (14L, "  "))) ==
+        Set((12L, 2L), (13L, 1L), (13L, 2L), (13L, 3L), (13L, 4L)))
+      // a phrase crossing what would be a doc boundary matches nothing
+      assert(search(Seq((15L, "y b"))) == Set.empty)
+    } finally spark.sql("DROP TABLE IF EXISTS pos_idx_test"): Unit
+  }
+
   test("probe join: index side pays no exchange") {
     Retrieval.writePostingsIndex(corpus, "doc_id", "text", "bm25_plan_test",
       buckets = 2)
