@@ -3535,6 +3535,44 @@ object QueryCatalog {
     // summaries) so no engine-independent oracle exists for the raw
     // estimates; the graded contract is the EXACT value plus a boolean
     // "sketch landed within tolerance" — both engine-independent.
+    // Count-Min sketch graded HASH-EXACT, not bound-only: the row hashes
+    // are md5-derived so DuckDB rebuilds the identical d×w grid and every
+    // point estimate must match bit-for-bit — inflated collisions
+    // included (w=64 << vocab forces real collisions, so est > true_cnt
+    // rows exist and the overestimate-only property is data-visible).
+    // The relational grid IS the scale story: the agg has ≤ d·w keys, so
+    // partials crossing the exchange are O(d·w) per task regardless of
+    // corpus size, and estimation broadcasts the grid.
+    ("q_count_min",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        val sketch = Sketches.countMinSketch(toks, "token", depth = 4, width = 64)
+        val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+        Sketches.cmsEstimate(sketch, toks, "token", depth = 4, width = 64)
+          .withColumnRenamed("item", "token")
+          .join(truth, Seq("token"))
+          .select(col("token"), col("true_cnt"), col("est"))
+          .orderBy("token")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents WHERE trim(text) <> ''),
+             |g AS (SELECT t.r,
+             |        ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 8))::BIGINT
+             |          % 64 AS bucket,
+             |        count(*) AS cnt
+             |      FROM toks CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+             |q AS (SELECT DISTINCT token FROM toks),
+             |est AS (SELECT q.token, min(coalesce(g.cnt, 0)) AS est
+             |        FROM q CROSS JOIN range(0, 4) t(r)
+             |        LEFT JOIN g ON g.r = t.r AND g.bucket =
+             |          ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || q.token), 1, 8))::BIGINT % 64
+             |        GROUP BY 1),
+             |truth AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY 1)
+             |SELECT est.token, truth.true_cnt, est.est
+             |FROM est JOIN truth USING (token) ORDER BY token""".stripMargin)),
+
     ("q_sketch_checks",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

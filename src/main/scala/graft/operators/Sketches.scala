@@ -93,6 +93,53 @@ object Sketches {
     * exact side is the test-scale oracle; at 100 TB the O(k)-state summary
     * IS the product and the exact two-phase count is what it replaces.
     */
+  /** Count-Min row hash: `conv(first 8 md5 hex chars of "r:item") mod
+    * width` — deterministic and engine-portable (DuckDB replays it as
+    * `('0x' || substr(md5(...), 1, 8))::BIGINT % width`), which is what
+    * makes the WHOLE sketch state oracle-replayable, not just its
+    * guarantees.
+    */
+  private def cmsBucket(r: Column, item: Column, width: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), item).cast("binary")),
+      1, 8), 16, 10).cast("long") % width
+
+  /** Count-Min sketch AS A RELATION: the d×w counter grid materialized as
+    * (r, bucket, cnt) rows. The relational formulation is the idiomatic
+    * Spark shape for this sketch: the aggregation has at most d·w distinct
+    * keys, so two-phase hash agg crosses the exchange with O(d·w) partials
+    * per task — the same bounded-state property a custom merge buffer
+    * would give, with zero custom code and the grid queryable/persistable
+    * as a plain table. Nulls don't count (no item, no increment).
+    */
+  def countMinSketch(items: DataFrame, item: String,
+                     depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0 && width > 0, s"count-min: bad grid ${depth}x$width")
+    items.select(col(item).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(explode(array((0 until depth).map(lit): _*)).as("r"), col("item"))
+      .withColumn("bucket", cmsBucket(col("r"), col("item"), width))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]] grid: est(x) = min over
+    * rows of the counter x hashes to (a row whose bucket holds nothing is
+    * 0 — the left join keeps that case an estimate, not a dropped item).
+    * Classic CMS guarantees hold deterministically here: est ≥ true
+    * always; collisions only ever inflate. The grid is d·w rows →
+    * broadcast-class, so estimation is a map-side join however large the
+    * query set.
+    */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, item: String,
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0 && width > 0, s"count-min: bad grid ${depth}x$width")
+    queries.select(col(item).cast("string").as("item")).distinct()
+      .select(col("item"), explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("item"), width))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("item").agg(min(col("cnt")).as("est"))
+  }
+
   def heavyHitters(docs: DataFrame, text: String, k: Int): DataFrame = {
     val tok = docs.select(explode(TextAnalysis.tokens(col(text))).as("tkn"))
     val mg = tok.agg(

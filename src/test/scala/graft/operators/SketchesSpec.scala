@@ -54,6 +54,47 @@ class SketchesSpec extends SparkTestBase {
     assert(out(giant) <= 1000L && out(giant) >= 1000L - 2000L / 5)
   }
 
+  test("count-min: grid and estimates equal an independent in-memory replay") {
+    import spark.implicits._
+    val (depth, width) = (3, 8) // tiny grid → guaranteed collisions
+    val stream = Seq("a", "b", "a", "c", "a", "d", "e", "b", "f", "g", "h", "i")
+    val items = stream.toDF("token")
+    // independent replay: same md5-derived hash, plain Scala fold
+    def bucket(r: Int, item: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r:$item".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+    val grid = Array.ofDim[Long](depth, width)
+    stream.foreach(it => (0 until depth).foreach(r => grid(r)(bucket(r, it)) += 1))
+    val got = Sketches.countMinSketch(items, "token", depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet ==
+      (for (r <- 0 until depth; b <- 0 until width if grid(r)(b) > 0)
+        yield (r, b.toLong, grid(r)(b))).toSet)
+    val est = Sketches.cmsEstimate(
+        Sketches.countMinSketch(items, "token", depth, width),
+        items, "token", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    stream.distinct.foreach { it =>
+      val expected = (0 until depth).map(r => grid(r)(bucket(r, it))).min
+      assert(est(it) == expected, s"estimate($it)")
+      assert(est(it) >= truth(it), s"CMS must never undercount $it")
+    }
+    // an unseen item estimates from whatever collided into its cells — may
+    // be 0 (empty cell path through the left join) or inflated, never null
+    val unseen = Sketches.cmsEstimate(
+        Sketches.countMinSketch(items, "token", depth, width),
+        Seq("zzz").toDF("token"), "token", depth, width)
+      .collect().head.getLong(1)
+    assert(unseen == (0 until depth).map(r => grid(r)(bucket(r, "zzz"))).min)
+    // nulls neither count nor crash
+    assert(Sketches.countMinSketch(Seq(Some("a"), None).toDF("token"), "token",
+      depth, width).agg(sum("cnt")).collect().head.getLong(0) == depth.toLong)
+  }
+
   test("madOutlierStats and winsorizedStats ignore NULL values consistently") {
     import spark.implicits._
     val df = (Seq.fill(3)(("g", None: Option[Double])) ++
