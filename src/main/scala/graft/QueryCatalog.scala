@@ -1735,6 +1735,83 @@ object QueryCatalog {
              |  true AS all_gz
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // WARC (ISO 28500) round trip — the Common Crawl container: documents
+    // become real WARC records (version line, named + X-Graft-* headers,
+    // Content-Length framing, CRLF record separators) across 4 shards,
+    // read back by the strict parser, reconstructed, and profiled with
+    // the q_jsonl_roundtrip md5-fidelity contract. A framing error
+    // desynchronizes every later record in a shard, so md5-for-md5
+    // equality grades the byte framing itself, not just field values.
+    ("q_warc_roundtrip",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = scratchDir("verify_warc")
+        graft.sources.Warc.write(
+          docs.select(
+            concat(lit("urn:graft:doc:"), col("doc_id")).as("record_id"),
+            lit("resource").as("warc_type"),
+            concat(lit("graft://documents/"), col("doc_id")).as("target_uri"),
+            col("text").cast("binary").as("payload"),
+            col("lang"), col("source"),
+            col("n_chars").cast("string").as("n_chars")),
+          path, shards = 4)
+        graft.sources.Warc.read(s, path)
+          .select(
+            substring(col("record_id"), 15, 20).cast("long").as("doc_id"),
+            col("payload").cast("string").as("text"),
+            col("headers")("x-graft-source").as("source"),
+            col("headers")("x-graft-n_chars").cast("long").as("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // The .warc.gz path — Common Crawl's actual shipping format: same
+    // fidelity contract through gzip, plus the all_gz proof that the scan
+    // really decompressed (source_file provenance, since binaryFiles-based
+    // reads have no input_file_name).
+    ("q_warc_gzip",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = scratchDir("verify_warc_gz")
+        graft.sources.Warc.write(
+          docs.select(
+            concat(lit("urn:graft:doc:"), col("doc_id")).as("record_id"),
+            col("text").cast("binary").as("payload"),
+            col("source"),
+            col("n_chars").cast("string").as("n_chars")),
+          path, shards = 3, gzip = true)
+        graft.sources.Warc.read(s, path)
+          .select(
+            col("payload").cast("string").as("text"),
+            col("headers")("x-graft-source").as("source"),
+            col("headers")("x-graft-n_chars").cast("long").as("n_chars"),
+            when(col("source_file").endsWith(".warc.gz"), 1L).otherwise(0L).as("gz"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"),
+            (min(col("gz")) === 1L).as("all_gz"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+             |  true AS all_gz
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // The training-export sink end-to-end: splitAssign → exportJsonl's
     // split-partitioned hash-sharded JSONL layout → read back through the
     // partition-discovered directory tree → per-split content profile. The
