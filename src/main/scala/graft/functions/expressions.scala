@@ -145,6 +145,29 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode canonicalization kernel (see [[HashUtil.normalizeText]]):
+  * NFC → lowercase → strip combining marks → NFC, codegen'd — the
+  * dedup-key normalizer for corpora where composed/decomposed/accented
+  * spellings of the same text must collide.
+  */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"normalize_text needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
 /** Quality-counter kernel (see [[HashUtil.qualityCounts]]): string →
   * [n_chars, n_tokens, nonspace_chars, stop_hits, punct_chars] in one pass,
   * codegen'd — replaces a 3×-tokenizing interpreted HOF/regex chain.

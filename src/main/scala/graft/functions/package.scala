@@ -86,6 +86,12 @@ package object functions {
   def lang_id(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
 
+  /** Unicode canonicalization (codegen'd kernel; see
+    * [[HashUtil.normalizeText]]): NFC → lowercase → strip accents → NFC.
+    */
+  def normalize_text(text: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(text)))
+
   /** One-pass quality counters (codegen'd kernel; see
     * [[HashUtil.qualityCounts]]): [n_chars, n_tokens, nonspace_chars,
     * stop_hits, punct_chars].

@@ -85,9 +85,17 @@ object Warc {
       fs.mkdirs(new org.apache.hadoop.fs.Path(pathStr))
       val suffix = if (gzip) ".warc.gz" else ".warc"
       val file = new org.apache.hadoop.fs.Path(pathStr, f"part-$idx%05d$suffix")
+      // attempt-unique temp + rename-on-close: two attempts of one
+      // partition (retry, speculation) can never interleave bytes in the
+      // live file — each writes its own temp, the rename publishes whole
+      // shards only, and a later attempt's rename-over replaces, not mixes
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new org.apache.hadoop.fs.Path(pathStr,
+        f".part-$idx%05d$suffix.inprogress-$attempt")
       val out: java.io.OutputStream =
-        if (gzip) new java.util.zip.GZIPOutputStream(fs.create(file, true))
-        else fs.create(file, true)
+        if (gzip) new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
+        else fs.create(tmp, true)
       var n = 0L
       rows.foreach { r =>
         val id = r.getString(0)
@@ -116,6 +124,9 @@ object Warc {
         n += 1
       }
       out.close()
+      fs.delete(file, false)
+      require(fs.rename(tmp, file),
+        s"warc write: could not publish $tmp as $file")
       Iterator.single(n)
     }.count(): Unit
   }

@@ -21,6 +21,7 @@ class GraftExtensionsSpec extends SparkTestBase {
         |  size(word_shingles('a b c', 2)) AS nsh,
         |  size(word_ngrams('a b c', 2)) AS nng,
         |  bounded_levenshtein('abc', 'abd', 2) AS lev,
+        |  normalize_text('Café') AS norm,
         |  size(minhash_bands(array('a', 'b'), 16, 4)) AS nbands,
         |  media_header(CAST(NULL AS BINARY)) AS hdr
         |""".stripMargin).collect().head
@@ -28,6 +29,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Int]("nsh") == 2 && row.getAs[Int]("nng") == 2)
     assert(row.getAs[Long]("lev") == 1L)
+    assert(row.getAs[String]("norm") == "cafe")
     assert(row.getAs[Int]("nbands") == 4)
     assert(row.isNullAt(row.fieldIndex("hdr")))
 

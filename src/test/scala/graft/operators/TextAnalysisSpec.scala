@@ -63,6 +63,21 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, 1L, r4(math.log(2.0 / 7)))))  // (1+1)/(3+4)
   }
 
+  test("normalize_text: composed, decomposed and cased spellings all collide") {
+    val df = Seq(
+      (1, "Café"), (2, "Café"), (3, "CAFÉ"), (4, "cafe"),
+      (5, "niño"), (6, "nin\u0303o"),
+      (7, "日本語"), (8, null: String)).toDF("id", "t")
+      .select(col("id"), graft.functions.normalize_text(col("t")).as("n"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert((1 to 4).map(df).toSet == Set("cafe"),
+      "composed/decomposed/cased variants of the same word must collide")
+    assert(df(5) == "nino" && df(6) == "nino")
+    assert(df(7) == "日本語", "CJK text passes through untouched")
+    assert(df(8) == null)
+  }
+
   test("tokens: whitespace split, empty and blank → empty array") {
     val df = Seq("a b  c", "", "   ", "one").toDF("t")
       .select(size(TextAnalysis.tokens(col("t"))).as("n"))
