@@ -129,12 +129,7 @@ object QueryCatalog {
     // first checkpoint, so the setting can't leak into other queries'
     // stores. At production volume you size this to throughput, exactly
     // like batch shuffle partitions.
-    // restored only after the drain: the partition count is captured into
-    // the checkpoint's offset metadata when the FIRST micro-batch plans,
-    // which happens after start() returns — an early restore would race it
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    withShufflePartitions(s, 8) {
       val q = graft.streaming.Streams.intervalJoin(
           s.readStream.schema(imps.schema)
             .option("maxFilesPerTrigger", 1).parquet(impDir),
@@ -149,7 +144,7 @@ object QueryCatalog {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
       .filter(col("imp_id") =!= -1L)
       .select(col("imp_id"), col("click_id"),
@@ -157,6 +152,23 @@ object QueryCatalog {
         date_format(col("imp_ts"), "yyyy-MM-dd HH:mm:ss").as("imp_ts_s"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"))
       .orderBy(col("imp_id"), col("click_id").asc_nulls_first)
+  }
+
+  /** Scope `spark.sql.shuffle.partitions` to `n` for a streaming drain:
+    * stateful operators instantiate state stores PER PARTITION PER
+    * micro-batch (a stream-stream join: four per side), so 32 partitions
+    * over a graded 100k-row run is hundreds of store lifecycles of pure
+    * fixed cost. Safe to scope because each graded query drains a FRESH
+    * checkpoint — the count is pinned into that checkpoint's offset
+    * metadata at the first batch and can't leak to other queries — and the
+    * restore happens only after `awaitTermination` (an early restore would
+    * race the first batch's planning). At production volume this knob is
+    * sized to throughput, exactly like batch shuffle partitions.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Identical SQL text runs on both engines. Revenue is exact at 4
@@ -2829,13 +2841,15 @@ object QueryCatalog {
         val outDir = scratchDir("stream_out")
         val stream = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
-        val q = graft.streaming.Streams.ingestDedup(stream, "doc_id", "text",
-          "stream_fp_idx", scratchDir("stream_ckpt"), buckets = 8) { fresh =>
-          fresh.select(col("doc_id"),
-              TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-            .write.mode("append").parquet(outDir)
-        }.start()
-        q.awaitTermination()
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams.ingestDedup(stream, "doc_id", "text",
+            "stream_fp_idx", scratchDir("stream_ckpt"), buckets = 8) { fresh =>
+            fresh.select(col("doc_id"),
+                TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+              .write.mode("append").parquet(outDir)
+          }.start()
+          q.awaitTermination()
+        }
         s.read.parquet(outDir).orderBy("doc_id")
       },
       Some("""WITH inp AS (
@@ -3089,15 +3103,17 @@ object QueryCatalog {
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
           .as[graft.streaming.Streams.SessionEvent]
-        val q = graft.streaming.Streams
-          .sessionize(stream, gapSeconds = 1800L, watermark = "0 seconds")
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", scratchDir("sess_ckpt"))
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams
+            .sessionize(stream, gapSeconds = 1800L, watermark = "0 seconds")
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", scratchDir("sess_ckpt"))
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(outDir)
           .select(col("user_id"),
             date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
@@ -3171,16 +3187,18 @@ object QueryCatalog {
         val stream = s.readStream.schema(inp.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
           .as[graft.streaming.Streams.AsofInput]
-        val q = graft.streaming.Streams
-          .asofEnrich(stream, watermark = "0 seconds",
-            retentionMs = 10L * 365 * 24 * 3600 * 1000)
-          .writeStream.format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", scratchDir("asof_ckpt"))
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams
+            .asofEnrich(stream, watermark = "0 seconds",
+              retentionMs = 10L * 365 * 24 * 3600 * 1000)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", scratchDir("asof_ckpt"))
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(outDir)
           .select(col("event_id"), col("key").as("user_id"),
             date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
@@ -3693,6 +3711,47 @@ object QueryCatalog {
              |truth AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY 1)
              |SELECT est.token, truth.true_cnt, est.est
              |FROM est JOIN truth USING (token) ORDER BY token""".stripMargin)),
+
+    // The optimizer's question answered from sketches: |orders ⋈ customer|
+    // estimated from two Count-Min grids via the classic inner product
+    // (min over rows of Σ_b cntA·cntB — never an undercount), WITHOUT
+    // touching either table at estimate time. Graded hash-exact: DuckDB
+    // rebuilds both grids and the inner products, and the true join size
+    // rides alongside so the overestimate property is data-visible.
+    ("q_cms_join_size",
+      (s: SparkSession, d: String) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = t(s, d, "customer").select(col("c_custkey").as("k"))
+        val est = Sketches.cmsJoinSizeEstimate(
+          Sketches.countMinSketch(a, "k", depth = 4, width = 128),
+          Sketches.countMinSketch(b, "k", depth = 4, width = 128),
+          depth = 4)
+        val truth = a.join(b, Seq("k")).agg(count(lit(1)).as("true_size"))
+        truth.crossJoin(est).select(col("true_size"), col("join_size_est"))
+      },
+      Some("""WITH a AS (SELECT CAST(o_custkey AS VARCHAR) AS item
+             |           FROM orders WHERE o_custkey IS NOT NULL),
+             |b AS (SELECT CAST(c_custkey AS VARCHAR) AS item
+             |      FROM customer WHERE c_custkey IS NOT NULL),
+             |ga AS (SELECT t.r,
+             |         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || item), 1, 8))::BIGINT
+             |           % 128 AS bucket,
+             |         count(*) AS ca
+             |       FROM a CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+             |gb AS (SELECT t.r,
+             |         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || item), 1, 8))::BIGINT
+             |           % 128 AS bucket,
+             |         count(*) AS cb
+             |       FROM b CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+             |ip AS (SELECT ga.r, sum(ga.ca * gb.cb) AS ip
+             |       FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
+             |       GROUP BY 1),
+             |est AS (SELECT min(coalesce(ip.ip, 0)) AS join_size_est
+             |        FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
+             |truth AS (SELECT count(*) AS true_size
+             |          FROM orders JOIN customer ON o_custkey = c_custkey)
+             |SELECT truth.true_size, est.join_size_est
+             |FROM truth CROSS JOIN est""".stripMargin)),
 
     ("q_sketch_checks",
       (s: SparkSession, d: String) => {

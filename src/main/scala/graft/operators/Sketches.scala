@@ -140,6 +140,32 @@ object Sketches {
       .groupBy("item").agg(min(col("cnt")).as("est"))
   }
 
+  /** Equi-join cardinality estimate from two [[countMinSketch]] grids
+    * over the join key — the classic CMS inner product: for each row r,
+    * `Σ_b cntA[r][b]·cntB[r][b]` NEVER undercounts `|A ⋈ B|` (every true
+    * pair lands in the same bucket; collisions only add), so the min over
+    * rows is the estimate. This is the optimizer's question — "how big is
+    * this join going to be" — answered from two O(d·w) summaries without
+    * touching either table, which is the whole point at 100 TB: the
+    * sketches are collected once at ingest and the estimate is a
+    * grid-sized join.
+    */
+  def cmsJoinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame,
+                          depth: Int = 4): DataFrame = {
+    require(depth > 0, s"count-min: bad depth $depth")
+    val ip = sketchA
+      .join(sketchB.withColumnRenamed("cnt", "cnt_b"), Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+    // rows whose buckets never coincide have inner product 0 and must
+    // participate in the min — the left join against the full row domain
+    // keeps them
+    sketchA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("r"))
+      .join(ip, Seq("r"), "left")
+      .na.fill(0L, Seq("ip"))
+      .agg(min(col("ip")).as("join_size_est"))
+  }
+
   def heavyHitters(docs: DataFrame, text: String, k: Int): DataFrame = {
     val tok = docs.select(explode(TextAnalysis.tokens(col(text))).as("tkn"))
     val mg = tok.agg(

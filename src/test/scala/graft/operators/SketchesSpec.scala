@@ -95,6 +95,40 @@ class SketchesSpec extends SparkTestBase {
       depth, width).agg(sum("cnt")).collect().head.getLong(0) == depth.toLong)
   }
 
+  test("cmsJoinSizeEstimate: inner-product min equals the replay, never undercounts") {
+    import spark.implicits._
+    val (depth, width) = (3, 8)
+    val as = Seq("a", "a", "b", "c")
+    val bs = Seq("a", "b", "b", "d")
+    // true |A ⋈ B| = 2·1 (a) + 1·2 (b) = 4
+    def bucket(r: Int, item: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r:$item".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+    def grid(xs: Seq[String]) = {
+      val g = Array.ofDim[Long](depth, width)
+      xs.foreach(x => (0 until depth).foreach(r => g(r)(bucket(r, x)) += 1))
+      g
+    }
+    val (ga, gb) = (grid(as), grid(bs))
+    val expected = (0 until depth)
+      .map(r => (0 until width).map(b => ga(r)(b) * gb(r)(b)).sum).min
+    val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.countMinSketch(as.toDF("k"), "k", depth, width),
+        Sketches.countMinSketch(bs.toDF("k"), "k", depth, width), depth)
+      .collect().head.getLong(0)
+    assert(est == expected && est >= 4)
+    // disjoint key sets: the estimate may be 0 and must not lose the row
+    val z = Sketches.cmsJoinSizeEstimate(
+        Sketches.countMinSketch(Seq("x").toDF("k"), "k", depth, width),
+        Sketches.countMinSketch(Seq("y").toDF("k"), "k", depth, width), depth)
+      .collect().head.getLong(0)
+    assert(z == (0 until depth).map(r =>
+      if (bucket(r, "x") == bucket(r, "y")) 1L else 0L).min)
+  }
+
   test("madOutlierStats and winsorizedStats ignore NULL values consistently") {
     import spark.implicits._
     val df = (Seq.fill(3)(("g", None: Option[Double])) ++
