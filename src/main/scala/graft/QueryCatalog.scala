@@ -2774,6 +2774,43 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS sampled_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // Cross-container VIDEO transcode: animated GIF (LZW, palettes,
+    // compositing) → full decode → uncompressed AVI re-encode → frame
+    // sampling on the TRANSCODED clip. The whole chain is replayed
+    // closed-form: frames are full-canvas so the oracle combines the GIF
+    // generator's palette arithmetic with the AVI container-size formula
+    // — both codecs must be bit-faithful for the sampled checksum to
+    // survive, the q_media_transcode contract extended to video.
+    ("q_video_transcode",
+      (s: SparkSession, d: String) =>
+        Multimodal.sampleVideoFrames(
+            Multimodal.transcodeGifToAvi(
+              Multimodal.withGifAnimMedia(t(s, d, "documents"))), 2)
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 4 + n_chars % 9 AS w, 3 + n_chars % 7 AS h,
+             |    2 + doc_id % 3 AS nf
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h, d.nf,
+             |    sum((CASE t.i % 3
+             |      WHEN 0 THEN (31*d.doc_id + 7*(t.i//3) + 11*((j.j*d.nf)//2)) % 256
+             |      WHEN 1 THEN (2*((31*d.doc_id + 7*(t.i//3) + 11*((j.j*d.nf)//2)) % 256) + 1) % 256
+             |      ELSE (5*((31*d.doc_id + 7*(t.i//3) + 11*((j.j*d.nf)//2)) % 256) + 3) % 256
+             |      END) * (t.i % 97 + 1) * (j.j + 1)) AS chk
+             |  FROM dims d
+             |  CROSS JOIN range(0, 2) j(j)
+             |  JOIN range(0, 324) t(i) ON t.i < d.w*d.h*3
+             |  GROUP BY d.doc_id, d.w, d.h, d.nf)
+             |SELECT doc_id,
+             |  CAST(224 + nf*(8 + ((3*w + 3)//4)*4*h) AS BIGINT) AS media_bytes,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(2 AS BIGINT) AS frames_sampled,
+             |  CAST(chk AS BIGINT) AS sampled_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL LOSSY VIDEO — Motion JPEG: every frame of every clip is a
     // genuine baseline JPEG (forward DCT, quantization, Huffman entropy
     // coding all live per frame), sampled through the same evenly-spaced

@@ -731,6 +731,28 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Cross-container VIDEO transcode: animated GIF in → full multi-frame
+    * decode through the compositing model → uncompressed AVI out, one
+    * scan, zero shuffle. The video analog of [[transcodeMedia]]'s
+    * JPEG→PNG normalization: downstream readers get ONE frame container
+    * regardless of what the crawl delivered, and both codecs must be
+    * bit-faithful for a sampled-frame checksum to survive the chain.
+    */
+  def transcodeGifToAvi(media: DataFrame, fps: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val anim = GifCodec.decodeGifFrames(bytes)
+          (id, AviCodec.encodeAvi24(anim.width, anim.height,
+            anim.frames.length, fps, (f, i) => anim.frames(f)(i)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Attach a REAL Motion-JPEG clip to `documents`: every frame is a
     * genuine baseline JPEG (forward DCT + quantization + Huffman per
     * frame — lossy video for real), built so the LOSSY chain still grades

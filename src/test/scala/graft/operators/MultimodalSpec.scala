@@ -269,6 +269,23 @@ class MultimodalSpec extends SparkTestBase {
       AviCodec.encodeAviMjpeg(w, h, 10, Array(Array[Byte](1, 2, 3))))
   }
 
+  test("video transcode: GIF animation → AVI keeps every composited frame byte-exact") {
+    import spark.implicits._
+    val one = Seq((5L, 20L)).toDF("doc_id", "n_chars")
+    val gif = Multimodal.withGifAnimMedia(one)
+      .collect().head.getAs[Array[Byte]]("media")
+    val anim = GifCodec.decodeGifFrames(gif)
+    val avi = Multimodal.transcodeGifToAvi(Multimodal.withGifAnimMedia(one))
+      .collect().head.getAs[Array[Byte]]("media")
+    val v = AviCodec.decodeAvi24(avi)
+    assert((v.width, v.height, v.frames.length) ==
+      (anim.width, anim.height, anim.frames.length))
+    anim.frames.indices.foreach { f =>
+      assert(v.frames(f).toSeq == anim.frames(f).toSeq,
+        s"transcoded frame $f diverged")
+    }
+  }
+
   test("video pipeline: sampled-frame stats come from the bytes and match the generator") {
     val out = Multimodal.sampleVideoFrames(Multimodal.withVideoMedia(docs), 3)
       .collect().map(v => v.doc_id -> v).toMap
