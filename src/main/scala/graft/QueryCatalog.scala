@@ -171,6 +171,19 @@ object QueryCatalog {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shared chat fixture for q_chat_render / q_loss_mask: documents
+    * grouped 5-per-conversation, roles from the turn index (turn 0 system,
+    * odd turns user, even turns assistant).
+    */
+  private def chatTurns(docs: DataFrame): DataFrame =
+    docs.select(
+      expr("doc_id DIV 5").as("conv_id"),
+      (col("doc_id") % 5).as("turn"),
+      when(col("doc_id") % 5 === 0, "system")
+        .when(col("doc_id") % 5 % 2 === 1, "user")
+        .otherwise("assistant").as("role"),
+      col("text"))
+
   /** Identical SQL text runs on both engines. Revenue is exact at 4
     * decimals, so `K = round(sum·10⁴)` is an engine-identical BIGINT; the
     * final 2-decimal half-up round is `floor((2K+100)/200)` — done with a
@@ -3710,6 +3723,66 @@ object QueryCatalog {
              |    WHEN 2 THEN 'niño pequeño'
              |    ELSE 'Café français' END))) AS norm
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Conversational (SFT) data prep: documents grouped 5-per-conversation
+    // (system/user/assistant roles from the turn index), rendered to the
+    // deterministic <role>text</s> template in turn order. The rendered
+    // string is graded by length + md5 — and the companion q_loss_mask
+    // grades the exact character spans, so the template arithmetic can't
+    // drift between the two.
+    ("q_chat_render",
+      (s: SparkSession, d: String) => {
+        Conversations.renderChat(chatTurns(t(s, d, "documents")),
+            "conv_id", "turn", "role", "text")
+          .select(col("conv_id"), col("n_turns"),
+            length(col("rendered")).cast("long").as("n_chars"),
+            md5(col("rendered").cast("binary")).as("rendered_md5"))
+          .orderBy("conv_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'system'
+             |         WHEN doc_id % 5 % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    coalesce(text, '') AS txt
+             |  FROM documents),
+             |r AS (SELECT conv_id, count(*) AS n_turns,
+             |        string_agg('<' || role || '>' || txt || '</s>', ''
+             |          ORDER BY turn) AS rendered
+             |      FROM t GROUP BY conv_id)
+             |SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+             |  CAST(length(rendered) AS BIGINT) AS n_chars,
+             |  md5(rendered) AS rendered_md5
+             |FROM r ORDER BY conv_id""".stripMargin)),
+
+    // The loss-mask half: 0-based [start_char, end_char) of every
+    // assistant turn's TEXT inside the rendered string (markers excluded —
+    // loss lands on content, not template). Pure length accumulation, so
+    // the oracle replays every span with a window sum; one wrong marker
+    // length anywhere shifts every later span in the conversation.
+    ("q_loss_mask",
+      (s: SparkSession, d: String) =>
+        Conversations.lossMaskSpans(chatTurns(t(s, d, "documents")),
+            "conv_id", "turn", "role", "text")
+          .orderBy("conv_id", "turn"),
+      Some("""WITH t AS (
+             |  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'system'
+             |         WHEN doc_id % 5 % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    coalesce(text, '') AS txt
+             |  FROM documents),
+             |p AS (SELECT conv_id, turn, role, length(txt) AS tl,
+             |        length(role) + 6 + length(txt) AS pl
+             |      FROM t),
+             |x AS (SELECT conv_id, turn, role, tl,
+             |        coalesce(sum(pl) OVER (PARTITION BY conv_id ORDER BY turn
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+             |      FROM p)
+             |SELECT conv_id, CAST(turn AS BIGINT) AS turn,
+             |  CAST(prefix + length(role) + 2 AS BIGINT) AS start_char,
+             |  CAST(prefix + length(role) + 2 + tl AS BIGINT) AS end_char
+             |FROM x WHERE role = 'assistant' ORDER BY conv_id, turn""".stripMargin)),
 
     // Count-Min sketch graded HASH-EXACT, not bound-only: the row hashes
     // are md5-derived so DuckDB rebuilds the identical d×w grid and every

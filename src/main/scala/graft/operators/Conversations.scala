@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversational (SFT/RLHF) training-data preparation: multi-turn chats
+  * rendered to model-input strings with LOSS-MASK OFFSETS — the step that
+  * turns a conversation table into trainable sequences. The engine's flat
+  * `documents` operators (dedup, quality, packing) handle the corpus;
+  * this module handles the structured half: role-tagged turns must render
+  * deterministically, and the trainer needs exact character spans of the
+  * assistant turns because loss is computed only on them.
+  *
+  * Template (fixed, deterministic): each turn renders as
+  * `<role>text</s>`, concatenated in turn order. All offset arithmetic is
+  * plain length accumulation, so a SQL oracle replays the whole operator
+  * — rendered strings, spans and all — with window sums (the
+  * engine-stable discipline: no float, no engine-specific formatting).
+  *
+  * Scale shape: ONE exchange on the conversation key for both operators;
+  * per-key state is the conversation's own turns (conversations are many
+  * and individually small — the sessionization argument). The render
+  * aggregates sorted structs; spans ride a per-conversation window that
+  * shares the same single sort.
+  */
+object Conversations {
+
+  private def turnPiece(role: Column, text: Column): Column =
+    concat(lit("<"), role, lit(">"), text, lit("</s>"))
+
+  /** Render each conversation to one training string: turns ordered by
+    * `turnCol`, each as `<role>text</s>`. Output: `conv_id, n_turns,
+    * rendered`. Null text renders as the empty string (a present-but-empty
+    * turn keeps its markers — dropping it would silently renumber spans).
+    */
+  def renderChat(turns: DataFrame, convId: String, turnCol: String,
+                 role: String, text: String): DataFrame =
+    turns.select(col(convId).as("conv_id"),
+        struct(col(turnCol).cast("long").as("t"),
+          turnPiece(col(role), coalesce(col(text), lit(""))).as("piece")).as("s"))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(array_sort(collect_list(col("s"))),
+          x => x.getField("piece")), "").as("rendered"))
+
+  /** Loss-mask spans: for every turn of `maskRole` (default assistant),
+    * the 0-based character interval [start_char, end_char) its TEXT
+    * occupies inside [[renderChat]]'s rendered string — markers excluded,
+    * because loss is computed on the content the model should learn, not
+    * on the template. One row per masked turn: `conv_id, turn, start_char,
+    * end_char`.
+    */
+  def lossMaskSpans(turns: DataFrame, convId: String, turnCol: String,
+                    role: String, text: String,
+                    maskRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy(col("turn"))
+    val pieces = turns.select(col(convId).as("conv_id"),
+      col(turnCol).cast("long").as("turn"),
+      col(role).as("role"),
+      length(coalesce(col(text), lit(""))).cast("long").as("text_len"))
+      // piece length = text + <role> + ></s> markers (role length + 6)
+      .withColumn("piece_len",
+        col("text_len") + length(col("role")) + lit(6L))
+    pieces
+      .withColumn("prefix",
+        coalesce(sum(col("piece_len")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("role") === maskRole)
+      .select(col("conv_id"), col("turn"),
+        (col("prefix") + length(col("role")) + 2L).as("start_char"),
+        (col("prefix") + length(col("role")) + 2L + col("text_len")).as("end_char"))
+  }
+}
