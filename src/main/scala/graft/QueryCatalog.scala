@@ -3784,6 +3784,44 @@ object QueryCatalog {
              |  CAST(prefix + length(role) + 2 + tl AS BIGINT) AS end_char
              |FROM x WHERE role = 'assistant' ORDER BY conv_id, turn""".stripMargin)),
 
+    // DPO preference pairs: 4 candidate responses per conversation with a
+    // deterministic integer score; chosen/rejected via combinable
+    // max/min-of-struct (the exactByPriority discipline — one agg
+    // exchange, no window), graded against DuckDB's independent
+    // window-rank formulation with matching tie-breaks. The md5s prove
+    // the TEXT travelled with the winning ids.
+    ("q_preference_pairs",
+      (s: SparkSession, d: String) => {
+        val cands = t(s, d, "documents").select(
+          expr("doc_id DIV 4").as("conv_id"),
+          col("doc_id").as("cand_id"),
+          ((col("doc_id") * 37) % 100).as("score"),
+          col("text"))
+        Conversations.preferencePairs(cands, "conv_id", "cand_id",
+            "text", "score")
+          .orderBy("conv_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id // 4 AS conv_id, doc_id AS cand_id,
+             |    (doc_id * 37) % 100 AS s, coalesce(text, '') AS t
+             |  FROM documents),
+             |ch AS (SELECT conv_id, cand_id, s, t, row_number() OVER (
+             |         PARTITION BY conv_id ORDER BY s DESC, cand_id DESC) AS r
+             |       FROM c),
+             |rj AS (SELECT conv_id, cand_id, s, t, row_number() OVER (
+             |         PARTITION BY conv_id ORDER BY s ASC, cand_id ASC) AS r
+             |       FROM c),
+             |n AS (SELECT conv_id, count(*) AS n_cands FROM c GROUP BY 1)
+             |SELECT n.conv_id, CAST(n.n_cands AS BIGINT) AS n_cands,
+             |  ch.cand_id AS chosen_id, rj.cand_id AS rejected_id,
+             |  CAST(ch.s - rj.s AS BIGINT) AS margin,
+             |  md5(ch.t) AS chosen_md5, md5(rj.t) AS rejected_md5
+             |FROM n
+             |JOIN ch ON ch.conv_id = n.conv_id AND ch.r = 1
+             |JOIN rj ON rj.conv_id = n.conv_id AND rj.r = 1
+             |WHERE n.n_cands >= 2 AND ch.cand_id <> rj.cand_id
+             |ORDER BY n.conv_id""".stripMargin)),
+
     // Count-Min sketch graded HASH-EXACT, not bound-only: the row hashes
     // are md5-derived so DuckDB rebuilds the identical d×w grid and every
     // point estimate must match bit-for-bit — inflated collisions

