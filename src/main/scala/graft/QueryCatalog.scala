@@ -3784,6 +3784,63 @@ object QueryCatalog {
              |  CAST(prefix + length(role) + 2 + tl AS BIGINT) AS end_char
              |FROM x WHERE role = 'assistant' ORDER BY conv_id, turn""".stripMargin)),
 
+    // Chat-structure gate over deliberately damaged conversations: every
+    // conv_id%5==1 loses its system turn, %5==2 loses its final assistant
+    // turn, %5==3 gets an adjacent-role violation, and naturally-empty
+    // assistant texts trip no_empty_assistant — so the failed-rule lists
+    // vary across the corpus and the oracle (window-lag + arg_min/max
+    // formulation, an independent algorithm from the engine's sorted-array
+    // HOF scan) must reproduce every verdict string exactly.
+    ("q_chat_validate",
+      (s: SparkSession, d: String) => {
+        val damaged = chatTurns(t(s, d, "documents"))
+          .filter(!(col("conv_id") % 5 === 1 && col("turn") === 0))
+          .filter(!(col("conv_id") % 5 === 2 && col("turn") === 4))
+          .withColumn("role",
+            when(col("conv_id") % 5 === 3 && col("turn") === 3, "assistant")
+              .otherwise(col("role")))
+        Conversations.validateChat(damaged, "conv_id", "turn", "role", "text")
+          .orderBy("conv_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id // 5 AS conv_id, doc_id % 5 AS turn,
+             |    CASE WHEN doc_id % 5 = 0 THEN 'system'
+             |         WHEN doc_id % 5 % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    trim(coalesce(text, '')) AS tx
+             |  FROM documents),
+             |t AS (
+             |  SELECT conv_id, turn,
+             |    CASE WHEN conv_id % 5 = 3 AND turn = 3 THEN 'assistant'
+             |         ELSE role END AS role, tx
+             |  FROM t0
+             |  WHERE NOT (conv_id % 5 = 1 AND turn = 0)
+             |    AND NOT (conv_id % 5 = 2 AND turn = 4)),
+             |adj AS (
+             |  SELECT conv_id, bool_or(role = prev) AS adjacent_same
+             |  FROM (SELECT conv_id, role,
+             |          lag(role) OVER (PARTITION BY conv_id ORDER BY turn) AS prev
+             |        FROM t)
+             |  GROUP BY 1),
+             |a AS (
+             |  SELECT conv_id, count(*) AS n_turns,
+             |    arg_min(role, turn) AS first_role,
+             |    arg_max(role, turn) AS last_role,
+             |    bool_or(role = 'assistant' AND tx = '') AS empty_a
+             |  FROM t GROUP BY 1)
+             |SELECT a.conv_id, CAST(a.n_turns AS BIGINT) AS n_turns,
+             |  (a.first_role = 'system' AND NOT adj.adjacent_same
+             |    AND a.last_role = 'assistant' AND NOT a.empty_a
+             |    AND a.n_turns >= 3) AS keep,
+             |  concat_ws(',',
+             |    CASE WHEN a.first_role <> 'system' THEN 'starts_with_system' END,
+             |    CASE WHEN adj.adjacent_same THEN 'alternation' END,
+             |    CASE WHEN a.last_role <> 'assistant' THEN 'ends_with_assistant' END,
+             |    CASE WHEN a.empty_a THEN 'no_empty_assistant' END,
+             |    CASE WHEN a.n_turns < 3 THEN 'min_turns' END) AS failed_rules
+             |FROM a JOIN adj ON a.conv_id = adj.conv_id
+             |ORDER BY a.conv_id""".stripMargin)),
+
     // DPO preference pairs: 4 candidate responses per conversation with a
     // deterministic integer score; chosen/rejected via combinable
     // max/min-of-struct (the exactByPriority discipline — one agg

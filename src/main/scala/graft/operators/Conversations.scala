@@ -44,6 +44,45 @@ object Conversations {
         array_join(transform(array_sort(collect_list(col("s"))),
           x => x.getField("piece")), "").as("rendered"))
 
+  /** Chat-structure quality gate — the conversational analog of
+    * [[TextAnalysis.qualityGate]]: named structural rules per
+    * conversation, failed-rule list in a FIXED order so the verdict is
+    * engine-stable, `keep` = all pass. Rules:
+    * `starts_with_system` (first turn's role), `alternation` (no two
+    * consecutive turns share a role), `ends_with_assistant`,
+    * `no_empty_assistant` (no assistant turn whose trimmed text is
+    * empty), `min_turns` (≥ `minTurns`). One combinable aggregate over
+    * sorted turn structs — a single exchange on the conversation key,
+    * array HOFs for the adjacency scan, no window.
+    */
+  def validateChat(turns: DataFrame, convId: String, turnCol: String,
+                   role: String, text: String, minTurns: Int = 3): DataFrame = {
+    val sorted = array_sort(collect_list(struct(
+      col(turnCol).cast("long").as("t"), col(role).as("r"),
+      trim(coalesce(col(text), lit(""))).as("tx"))))
+    val agg = turns.select(col(convId).as("conv_id"), col(turnCol), col(role), col(text))
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"), sorted.as("ts"))
+    val roles = transform(col("ts"), x => x.getField("r"))
+    val r1 = element_at(roles, 1) === "system"
+    val r2 = !exists(
+      zip_with(slice(roles, lit(1), size(roles) - 1),
+        slice(roles, lit(2), size(roles) - 1), (a, b) => a === b),
+      x => x)
+    val r3 = element_at(roles, -1) === "assistant"
+    val r4 = !exists(col("ts"),
+      x => x.getField("r") === "assistant" && x.getField("tx") === "")
+    val r5 = col("n_turns") >= minTurns
+    agg.select(col("conv_id"), col("n_turns"),
+      (r1 && r2 && r3 && r4 && r5).as("keep"),
+      concat_ws(",",
+        when(!r1, "starts_with_system"),
+        when(!r2, "alternation"),
+        when(!r3, "ends_with_assistant"),
+        when(!r4, "no_empty_assistant"),
+        when(!r5, "min_turns")).as("failed_rules"))
+  }
+
   /** Preference-pair (DPO) construction: per conversation, the
     * highest-scored candidate response becomes `chosen` and the lowest
     * `rejected`, with deterministic tie-breaks (equal scores → larger /

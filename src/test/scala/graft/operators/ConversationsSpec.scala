@@ -58,6 +58,26 @@ class ConversationsSpec extends SparkTestBase {
       2L -> (21L, 20L, 0L)))
   }
 
+  test("validateChat: every rule fires on its own damage class, in fixed order") {
+    val convs = Seq(
+      (1L, 0L, "system", "s"), (1L, 1L, "user", "q"), (1L, 2L, "assistant", "a"),
+      (2L, 0L, "user", "q"), (2L, 1L, "assistant", "a"),
+      (3L, 0L, "system", "s"), (3L, 1L, "user", "q"), (3L, 2L, "user", "q2"),
+      (3L, 3L, "assistant", "a"),
+      (4L, 0L, "system", "s"), (4L, 1L, "user", "q"), (4L, 2L, "assistant", "  "),
+      (5L, 0L, "system", "s"), (5L, 1L, "user", "q"), (5L, 2L, "assistant", "a"),
+      (5L, 3L, "user", "follow-up")
+    ).toDF("conv_id", "turn", "role", "text")
+    val out = Conversations.validateChat(convs, "conv_id", "turn", "role", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(out == Map(
+      1L -> (true, ""),
+      2L -> (false, "starts_with_system,min_turns"),
+      3L -> (false, "alternation"),
+      4L -> (false, "no_empty_assistant"),
+      5L -> (false, "ends_with_assistant")))
+  }
+
   test("maskRole selects which side carries loss") {
     val spans = Conversations.lossMaskSpans(turns, "conv_id", "turn", "role", "text",
         maskRole = "user")
