@@ -3784,6 +3784,37 @@ object QueryCatalog {
              |  CAST(prefix + length(role) + 2 + tl AS BIGINT) AS end_char
              |FROM x WHERE role = 'assistant' ORDER BY conv_id, turn""".stripMargin)),
 
+    // Fill-in-middle rewrite graded bit-exact: the hash-selected half of
+    // the corpus is cut at two md5-derived character offsets and re-emitted
+    // in PSM order; DuckDB replays the selection hash, both cut offsets
+    // and the three-way substring reassembly, so a single off-by-one in
+    // any span boundary flips the md5.
+    ("q_fim_transform",
+      (s: SparkSession, d: String) =>
+        Curation.fimTransform(t(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("fim"),
+            length(col("out_text")).cast("long").as("n_chars"),
+            md5(col("out_text").cast("binary")).as("out_md5"))
+          .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+             |c AS (SELECT doc_id, t, length(t) AS n,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8))::BIGINT
+             |          % (length(t) + 1) AS c1,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 8))::BIGINT
+             |          % (length(t) + 1) AS c2,
+             |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS sel
+             |      FROM d),
+             |x AS (SELECT doc_id, (sel AND n > 0) AS fim,
+             |        CASE WHEN sel AND n > 0 THEN
+             |          '<PRE>' || substring(t, 1, least(c1, c2)) ||
+             |          '<SUF>' || substring(t, greatest(c1, c2) + 1, n - greatest(c1, c2)) ||
+             |          '<MID>' || substring(t, least(c1, c2) + 1, greatest(c1, c2) - least(c1, c2))
+             |        ELSE t END AS out
+             |      FROM c)
+             |SELECT doc_id, fim, CAST(length(out) AS BIGINT) AS n_chars,
+             |  md5(out) AS out_md5
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
     // Chat-structure gate over deliberately damaged conversations: every
     // conv_id%5==1 loses its system turn, %5==2 loses its final assistant
     // turn, %5==3 gets an adjacent-role violation, and naturally-empty

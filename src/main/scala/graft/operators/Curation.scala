@@ -290,6 +290,36 @@ object Curation {
     * at all unless the caller adds a downstream exchange — at 100 TB this
     * is scan-bound by construction.
     */
+  /** Fill-in-middle (FIM) transform — the code-model training rewrite: a
+    * hash-selected `ratePct`% of docs are cut at two HASH-DETERMINISTIC
+    * character offsets and re-emitted in PSM order
+    * (`<PRE>prefix<SUF>suffix<MID>middle`); the rest pass through. Cut
+    * points derive from md5 of the doc id (the [[splitAssign]] hex
+    * discipline applied to offsets), so the transform is content-stable
+    * across re-runs and repartitions AND fully oracle-replayable —
+    * `df.sample`-style randomness would be neither. Empty/null docs are
+    * never FIM'd (no span to cut). In-row, zero shuffle: at 100 TB the
+    * rewrite is a free column on the scan.
+    */
+  def fimTransform(docs: DataFrame, id: String, text: String,
+                   ratePct: Int = 50): DataFrame = {
+    val t = coalesce(col(text), lit(""))
+    val n = length(t).cast("long")
+    def cut(k: Int): Column =
+      conv(substring(md5(concat(col(id).cast("string"), lit(s":$k"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % (n + 1)
+    val lo = least(cut(1), cut(2))
+    val hi = greatest(cut(1), cut(2))
+    val selected = hexHash(col(id), 2) < lit(hexThreshold(ratePct, 2))
+    docs.select(col(id),
+      (selected && n > 0).as("fim"),
+      when(selected && n > 0,
+        concat(lit("<PRE>"), t.substr(lit(1L), lo),
+          lit("<SUF>"), t.substr(hi + 1L, n - hi),
+          lit("<MID>"), t.substr(lo + 1L, hi - lo)))
+        .otherwise(t).as("out_text"))
+  }
+
   def chunkDocs(docs: DataFrame, id: String, text: String,
                 chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0,

@@ -329,6 +329,40 @@ class CurationSpec extends SparkTestBase {
     assert(out.toSeq == Seq("val"), s"NULL texts split as: ${out.toSeq}")
   }
 
+  test("fimTransform: PSM reassembly inverts to the original; pass-through and empties hold") {
+    import spark.implicits._
+    val docs = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit("doc "), col("id"), lit(" body abcdefghijklmnop")).as("text"))
+      .unionByName(Seq((9001L, ""), (9002L, null: String)).toDF("doc_id", "text"))
+    val out = Curation.fimTransform(docs, "doc_id", "text", ratePct = 50)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    // empty/null docs are never FIM'd and emit ''
+    assert(byId(9001L) == ((9001L, false, "")) && byId(9002L) == ((9002L, false, "")))
+    val (fimmed, plain) = out.filter(_._1 < 200).partition(_._2)
+    // rate 50% over 200 uniform hashes: both classes must be populated
+    assert(fimmed.nonEmpty && plain.nonEmpty)
+    plain.foreach { case (id, _, t) =>
+      assert(t == s"doc $id body abcdefghijklmnop", s"pass-through mutated doc $id")
+    }
+    fimmed.foreach { case (id, _, t) =>
+      // <PRE>P<SUF>S<MID>M with P+M+S == original (the fixture has no '<')
+      assert(t.startsWith("<PRE>"), s"doc $id: $t")
+      val sufAt = t.indexOf("<SUF>"); val midAt = t.indexOf("<MID>")
+      assert(sufAt >= 5 && midAt > sufAt, s"doc $id: marker order in $t")
+      val p = t.substring(5, sufAt)
+      val sfx = t.substring(sufAt + 5, midAt)
+      val m = t.substring(midAt + 5)
+      assert(p + m + sfx == s"doc $id body abcdefghijklmnop",
+        s"doc $id: spans do not reassemble")
+    }
+    // content-stable: a second run produces identical output
+    val again = Curation.fimTransform(docs, "doc_id", "text", ratePct = 50)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("chunkDocs: overlapping windows, short tail kept, empty doc absent") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6"), // size 4, stride 2 → starts 0,2,4,6
