@@ -1302,6 +1302,23 @@ object QueryCatalog {
              |  abs(cos_f32 - cos_int8) <= 0.02 AS within_tol
              |FROM p ORDER BY a_id""".stripMargin)),
 
+    // Per-label embedding centroids (the kNN-classifier prototype /
+    // cluster-drift primitive): dim-wise means over the embeddings table,
+    // one exchange bounded by labels × dims. DuckDB replays via a
+    // range-join element extraction; both engines round the double mean
+    // to 6dp (accumulation-order error ~1e-13, the cosine discipline).
+    ("q_label_centroids",
+      (s: SparkSession, d: String) =>
+        Similarity.labelCentroids(t(s, d, "embeddings"), "label", "embedding")
+          .orderBy("label", "dim"),
+      Some("""WITH e AS (SELECT label, embedding FROM embeddings
+             |          WHERE embedding IS NOT NULL),
+             |x AS (SELECT label, d.i AS dim, embedding[d.i + 1] AS v
+             |      FROM e JOIN range(0, 512) d(i) ON d.i < len(embedding))
+             |SELECT label, CAST(dim AS BIGINT) AS dim,
+             |  CAST(count(*) AS BIGINT) AS n_vecs, round(avg(v), 6) AS centroid
+             |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
+
     ("q_cosine_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -1814,6 +1831,45 @@ object QueryCatalog {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
              |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // The full Common Crawl harvest chain: documents wrapped as HTTP
+    // responses (status line + headers + CRLFCRLF + body) inside WARC
+    // `response` records, archived, read back, and the BODY extracted by
+    // the header-terminator split — md5-for-md5 equality against the
+    // original text proves the extractor finds the FIRST terminator (a
+    // body containing its own CRLFCRLF must not shift the cut) and that
+    // the framing carried every byte.
+    ("q_warc_http",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = scratchDir("verify_warc_http")
+        graft.sources.Warc.write(
+          docs.select(
+            concat(lit("urn:graft:doc:"), col("doc_id")).as("record_id"),
+            lit("response").as("warc_type"),
+            concat(lit("http://graft.example/"), col("doc_id")).as("target_uri"),
+            concat(
+              lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"),
+              coalesce(col("text"), lit(""))).cast("binary").as("payload"),
+            col("source")),
+          path, shards = 3)
+        graft.sources.Warc.read(s, path)
+          .select(col("headers")("x-graft-source").as("source"),
+            graft.sources.Warc.httpBodyText(col("payload")).as("text"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("sum_chars"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(coalesce(text, ''))) AS min_md5,
+             |  max(md5(coalesce(text, ''))) AS max_md5
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // The .warc.gz path — Common Crawl's actual shipping format: same

@@ -18,6 +18,22 @@ import graft.functions.topk_pairs
   */
 object Similarity {
 
+  /** Per-label embedding centroids — the prototype vectors of kNN-class
+    * quality filters and the reference points of cluster-drift audits:
+    * dim-wise mean per label, one row per (label, dim). One partial-agg
+    * exchange bounded by labels × dims (never vector count); means are
+    * rounded to 6dp for the cross-engine compare (values are O(1) floats,
+    * accumulation-order error ~1e-13 — the cosine discipline). NULL
+    * vectors are excluded from both the mean and n_vecs.
+    */
+  def labelCentroids(embs: DataFrame, label: String, vec: String): DataFrame =
+    embs.filter(col(vec).isNotNull)
+      .select(col(label).as("label"), posexplode(col(vec)).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("v")), 6).as("centroid"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        col("n_vecs"), col("centroid"))
+
   /** Dot product in double precision (left-to-right fold — the same
     * accumulation order every engine's sequential loop uses).
     */

@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{DataInputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -212,6 +212,26 @@ object Warc {
       first = readLine(in)
     }
     out.result()
+  }
+
+  /** Extract the BODY of a text HTTP response carried in a WARC
+    * `response` record (ISO 28500 §6.3: the record content is the full
+    * HTTP message, status line + headers + body): everything after the
+    * first CRLFCRLF. The Common Crawl processing step between "read the
+    * archive" and "curate the text", as a plain column expression —
+    * composes with [[read]] on the scan, zero shuffle, codegen'd.
+    *
+    * Text scope, stated: the payload is decoded as UTF-8, which is exact
+    * for the text responses this step exists to harvest; binary bodies
+    * (images etc.) are not round-trippable through a string column and
+    * belong to the media pipeline, not this extractor. A payload with no
+    * header terminator yields NULL — treating a truncated header block as
+    * body would silently feed HTTP headers into the text pipeline.
+    */
+  def httpBodyText(payload: Column): Column = {
+    val s = payload.cast("string")
+    val at = locate("\r\n\r\n", s)
+    when(at > 0, s.substr(at + 4, length(s))).otherwise(lit(null).cast("string"))
   }
 
   /** Read one CRLF-terminated line as UTF-8, null at EOF. A bare LF or a

@@ -13,6 +13,19 @@ class SimilaritySpec extends SparkTestBase {
     (2L, Array(0.0f, 1.0f)),
     (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
 
+  test("labelCentroids: dim-wise means per label, null vectors excluded") {
+    val labeled = Seq(
+      (1, Array(1.0f, 3.0f)), (1, Array(3.0f, 5.0f)),
+      (2, Array(10.0f, 0.0f)),
+      (2, null: Array[Float])).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(labeled, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (1, 0L) -> (2L, 2.0), (1, 1L) -> (2L, 4.0),
+      (2, 0L) -> (1L, 10.0), (2, 1L) -> (1L, 0.0)))
+  }
+
   test("cosine: unit axes") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))

@@ -94,6 +94,22 @@ class WarcSpec extends SparkTestBase {
       parse("WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
   }
 
+  test("httpBodyText: first-terminator split; headerless payloads yield NULL") {
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nX: y\r\n\r\nplain body"),
+      (2L, "HTTP/1.1 200 OK\r\n\r\nbody with\r\n\r\nits own blank line"),
+      (3L, "HTTP/1.1 200 OK\r\n\r\n"),
+      (4L, "no terminator at all")).toDF("id", "p")
+      .select(col("id"), Warc.httpBodyText(col("p").cast("binary")).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) == "plain body")
+    assert(rows(2L) == "body with\r\n\r\nits own blank line",
+      "a terminator inside the body must not shift the cut")
+    assert(rows(3L) == "")
+    assert(rows(4L) == null)
+  }
+
   test("header names case-fold on read; CRLF in header values refused at write") {
     val rec = "WARC/1.1\r\nwarc-record-id: X\r\nWARC-TYPE: response\r\n" +
       "X-Graft-k: v\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
