@@ -1319,6 +1319,38 @@ object QueryCatalog {
              |  CAST(count(*) AS BIGINT) AS n_vecs, round(avg(v), 6) AS centroid
              |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)),
 
+    // Nearest-centroid classification end-to-end: centroids from
+    // q_label_centroids' operator feed the prototype classifier, and the
+    // full confusion matrix (true label × predicted) is graded — DuckDB
+    // replays centroid computation, every dot product (rounded 6dp, the
+    // discipline that makes the argmax engine-stable) and the
+    // smaller-label tiebreak. The embedding analog of the model-based
+    // text quality filter.
+    ("q_nearest_centroid",
+      (s: SparkSession, d: String) => {
+        val embs = t(s, d, "embeddings")
+        Similarity.nearestCentroid(embs, "vec_id", "label", "embedding",
+            Similarity.labelCentroids(embs, "label", "embedding"))
+          .groupBy("label", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "predicted")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+             |          WHERE embedding IS NOT NULL),
+             |x AS (SELECT vec_id, label, d.i AS dim, embedding[d.i + 1] AS v
+             |      FROM e JOIN range(0, 512) d(i) ON d.i < len(embedding)),
+             |c AS (SELECT label AS c_label, dim, round(avg(v), 6) AS centroid
+             |      FROM x GROUP BY 1, 2),
+             |s AS (SELECT x.vec_id, x.label, c.c_label,
+             |        round(sum(x.v * c.centroid), 6) AS score
+             |      FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2, 3),
+             |p AS (SELECT vec_id, label, c_label, row_number() OVER (
+             |        PARTITION BY vec_id ORDER BY score DESC, c_label ASC) AS r
+             |      FROM s)
+             |SELECT label, CAST(c_label AS INT) AS predicted,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM p WHERE r = 1 GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)),
+
     ("q_cosine_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")

@@ -34,6 +34,35 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"),
         col("n_vecs"), col("centroid"))
 
+  /** Nearest-centroid classification — the prototype classifier over
+    * [[labelCentroids]]: every vector scores against every label centroid
+    * by dot product and takes the argmax, with the engine-stable
+    * discipline (score rounded to 6dp, ties break on smaller label) so
+    * the decision is reproducible cross-engine. The centroid relation is
+    * labels × dims → broadcast; scoring is one fan-out join bounded by
+    * label count, and the argmax is a combinable max-of-struct — no
+    * window over vectors. Output: one row per vector
+    * (vec_id, label, predicted).
+    */
+  def nearestCentroid(embs: DataFrame, id: String, label: String,
+                      vec: String, centroids: DataFrame): DataFrame = {
+    val v = embs.filter(col(vec).isNotNull)
+      .select(col(id).as("vec_id"), col(label).as("label"),
+        posexplode(col(vec)).as(Seq("dim", "comp")))
+      .withColumn("dim", col("dim").cast("long"))
+    val scored = v
+      .join(broadcast(centroids.select(col("label").as("c_label"),
+        col("dim"), col("centroid"))), Seq("dim"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg(round(sum(col("comp") * col("centroid")), 6).as("score"))
+    scored.groupBy("vec_id", "label")
+      // argmax with deterministic ties: max struct compares score first,
+      // then NEGATED label so the smaller label wins an exact tie
+      .agg(max(struct(col("score"), (-col("c_label")).as("nl"))).as("m"))
+      .select(col("vec_id"), col("label"),
+        (-col("m.nl")).as("predicted"))
+  }
+
   /** Dot product in double precision (left-to-right fold — the same
     * accumulation order every engine's sequential loop uses).
     */

@@ -26,6 +26,21 @@ class SimilaritySpec extends SparkTestBase {
       (2, 0L) -> (1L, 10.0), (2, 1L) -> (1L, 0.0)))
   }
 
+  test("nearestCentroid: prototype argmax with smaller-label tiebreak") {
+    val train = Seq(
+      (10L, 1, Array(1.0f, 0.0f)), (11L, 1, Array(1.0f, 0.0f)),
+      (12L, 2, Array(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroids(train, "label", "embedding")
+    val test_ = Seq(
+      (20L, 1, Array(0.9f, 0.2f)),  // clearly label 1
+      (21L, 2, Array(0.1f, 0.8f)),  // clearly label 2
+      (22L, 1, Array(0.5f, 0.5f))   // exact tie → smaller label wins
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.nearestCentroid(test_, "vec_id", "label", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(20L -> 1, 21L -> 2, 22L -> 1))
+  }
+
   test("cosine: unit axes") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
