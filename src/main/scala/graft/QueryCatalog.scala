@@ -1351,6 +1351,64 @@ object QueryCatalog {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM p WHERE r = 1 GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)),
 
+    // Integer-exact distributed k-means: the PageRank discipline applied
+    // to clustering. Vectors quantize to micro-units (+2e6 shift so
+    // integer division is floor in any engine), Lloyd's runs 3 iterations
+    // with in-row assignment against broadcast centroids and one
+    // k×dims-bounded exchange per update, and DuckDB replays the ENTIRE
+    // trajectory as chained CTEs — every distance, every argmin tiebreak,
+    // every centroid division — so the grade is hash-exact with no float
+    // tolerance. One flipped assignment in any iteration moves
+    // n_vecs/wcss; one off-by-one centroid unit moves the checksum.
+    ("q_kmeans",
+      (s: SparkSession, d: String) =>
+        Similarity.kMeans(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 3),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+             |          WHERE embedding IS NOT NULL),
+             |x AS (SELECT vec_id, d.i AS dim,
+             |        CAST(floor(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+             |          + 2000000 AS q
+             |      FROM e JOIN range(0, 512) d(i) ON d.i < len(embedding)),
+             |sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |       FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+             |c0 AS (SELECT sd.c, x.dim, x.q AS cd FROM sd JOIN x USING (vec_id)),
+             |a1 AS (SELECT x.vec_id, c0.c, sum((x.q - c0.cd)*(x.q - c0.cd)) AS dist
+             |       FROM x JOIN c0 ON x.dim = c0.dim GROUP BY 1, 2),
+             |m1 AS (SELECT vec_id, c AS cl, dist FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY dist, c) AS r FROM a1) WHERE r = 1),
+             |u1 AS (SELECT m.cl AS c, x.dim, sum(x.q) // count(*) AS cd
+             |       FROM x JOIN m1 m ON m.vec_id = x.vec_id GROUP BY 1, 2),
+             |c1 AS (SELECT c0.c, c0.dim, coalesce(u1.cd, c0.cd) AS cd
+             |       FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+             |a2 AS (SELECT x.vec_id, c1.c, sum((x.q - c1.cd)*(x.q - c1.cd)) AS dist
+             |       FROM x JOIN c1 ON x.dim = c1.dim GROUP BY 1, 2),
+             |m2 AS (SELECT vec_id, c AS cl, dist FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY dist, c) AS r FROM a2) WHERE r = 1),
+             |u2 AS (SELECT m.cl AS c, x.dim, sum(x.q) // count(*) AS cd
+             |       FROM x JOIN m2 m ON m.vec_id = x.vec_id GROUP BY 1, 2),
+             |c2 AS (SELECT c1.c, c1.dim, coalesce(u2.cd, c1.cd) AS cd
+             |       FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+             |a3 AS (SELECT x.vec_id, c2.c, sum((x.q - c2.cd)*(x.q - c2.cd)) AS dist
+             |       FROM x JOIN c2 ON x.dim = c2.dim GROUP BY 1, 2),
+             |m3 AS (SELECT vec_id, c AS cl, dist FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY dist, c) AS r FROM a3) WHERE r = 1),
+             |u3 AS (SELECT m.cl AS c, x.dim, sum(x.q) // count(*) AS cd
+             |       FROM x JOIN m3 m ON m.vec_id = x.vec_id GROUP BY 1, 2),
+             |c3 AS (SELECT c2.c, c2.dim, coalesce(u3.cd, c2.cd) AS cd
+             |       FROM c2 LEFT JOIN u3 ON u3.c = c2.c AND u3.dim = c2.dim),
+             |ck AS (SELECT c, sum((dim + 1) * cd) AS cent_checksum
+             |       FROM c3 GROUP BY c)
+             |SELECT CAST(m3.cl AS INT) AS cluster_id,
+             |  CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(m3.dist) AS BIGINT) AS wcss, ck.cent_checksum
+             |FROM m3 JOIN ck ON ck.c = m3.cl
+             |GROUP BY m3.cl, ck.cent_checksum
+             |ORDER BY cluster_id""".stripMargin)),
+
     ("q_cosine_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -1773,6 +1831,34 @@ object QueryCatalog {
     // the explicit schema → per-source profile. The oracle computes the
     // same profile off the parquet originals, so any write/read corruption
     // (escaping, nulls, numeric width) breaks the md5-anchored compare.
+    // ORC interchange round trip: documents → zstd ORC shards → schema-
+    // enforced read-back → the md5-for-md5 fidelity profile, plus an
+    // all_orc flag proving the scan really read ORC files. Unlike the
+    // JSONL row format, ORC keeps the two 100 TB properties that matter
+    // at the exchange boundary: splittable scans and stripe-stat
+    // predicate pushdown.
+    ("q_orc_roundtrip",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = scratchDir("verify_orc")
+        graft.sources.Orc.write(docs, path)
+        val back = graft.sources.Orc.read(s, path, docs.schema)
+        back.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
+            min(md5(col("text").cast("binary"))).as("min_md5"),
+            max(md5(col("text").cast("binary"))).as("max_md5"),
+            every(input_file_name().endsWith(".orc")).as("all_orc"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5,
+             |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+             |  true AS all_orc
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     ("q_jsonl_roundtrip",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
@@ -3604,6 +3690,42 @@ object QueryCatalog {
     // Train side deliberately contains the texts of every doc_id % 4 == 1
     // eval document (planted leak): those rows must come back contamination
     // = 1.0, the disjoint eval half near 0 — so the check is non-vacuous.
+    // DSIR-style importance selection, graded hash-exact end-to-end: the
+    // hashed-token bucket models, the add-one-smoothed fixed-point
+    // likelihood ratios, every per-doc weighted-mean score and the
+    // top-25% cut with its doc_id tiebreak are all integer arithmetic
+    // over md5 buckets, so DuckDB replays the ENTIRE selection — one doc
+    // swapped in or out anywhere fails the grade. Target = the 'en'
+    // slice; the spec asserts the selected set actually shifts toward it.
+    ("q_dsir_select",
+      (s: SparkSession, d: String) =>
+        Curation.dsirSelect(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 64, selectNth = 4),
+      Some("""WITH base AS (SELECT doc_id, text, lang = 'en' AS is_target
+             |              FROM documents),
+             |tok AS (SELECT doc_id, is_target,
+             |          ('0x' || substr(md5(tkn), 1, 8))::BIGINT % 64 AS b
+             |        FROM (SELECT doc_id, is_target,
+             |                unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |              FROM base WHERE trim(text) <> '')),
+             |dom AS (SELECT i AS b FROM range(0, 64) t(i)),
+             |tc AS (SELECT b, count(*) AS tb FROM tok WHERE is_target GROUP BY 1),
+             |qc AS (SELECT b, count(*) AS qb FROM tok GROUP BY 1),
+             |rr AS (SELECT dom.b,
+             |         ((coalesce(tb, 0) + 1) * 1000000) // (coalesce(qb, 0) + 1) AS r
+             |       FROM dom LEFT JOIN tc USING (b) LEFT JOIN qc USING (b)),
+             |db AS (SELECT doc_id, b, count(*) AS c FROM tok GROUP BY 1, 2),
+             |sc AS (SELECT doc_id, sum(c * r) // sum(c) AS score_micro
+             |       FROM db JOIN rr USING (b) GROUP BY 1),
+             |al AS (SELECT base.doc_id, coalesce(sc.score_micro, 0) AS score_micro
+             |       FROM base LEFT JOIN sc ON sc.doc_id = base.doc_id),
+             |rk AS (SELECT doc_id, score_micro, row_number() OVER (
+             |         ORDER BY score_micro DESC, doc_id) AS r FROM al)
+             |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  CAST(score_micro AS BIGINT) AS score_micro
+             |FROM rk WHERE r <= (SELECT count(*) // 4 FROM base)
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q_contamination",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
@@ -4076,6 +4198,96 @@ object QueryCatalog {
              |          FROM orders JOIN customer ON o_custkey = c_custkey)
              |SELECT truth.true_size, est.join_size_est
              |FROM truth CROSS JOIN est""".stripMargin)),
+
+    // KMV distinct sketch graded HASH-EXACT end-to-end: the k smallest
+    // md5-derived hashes are a replayable STATE, and the classic
+    // (k−1)·2³²/h_k estimator is computed in integer arithmetic, so the
+    // estimate itself — not a tolerance band — must match DuckDB. Truth
+    // rides alongside so the accuracy is data-visible. The sketch is the
+    // mergeable O(k) summary that answers distinct-count at 100 TB from
+    // per-partition state; here the TakeOrdered k-smallest means at most
+    // k hashes leave any partition.
+    ("q_kmv_distinct",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val est = Sketches.kmvEstimate(Sketches.kmvSketch(o, "k", 256), 256)
+        val truth = o.filter(col("k").isNotNull)
+          .agg(count_distinct(col("k")).as("true_distinct"))
+        est.crossJoin(truth)
+      },
+      Some("""WITH it AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS item
+             |           FROM orders WHERE o_custkey IS NOT NULL),
+             |h AS (SELECT DISTINCT ('0x' || substr(md5(item), 1, 8))::BIGINT AS h
+             |      FROM it),
+             |sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+             |ag AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM sk),
+             |truth AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+             |            AS true_distinct
+             |          FROM orders WHERE o_custkey IS NOT NULL)
+             |SELECT CAST(k_used AS BIGINT) AS k_used,
+             |  coalesce(kth_hash, 0) AS kth_hash,
+             |  CAST(CASE WHEN k_used < 256 THEN k_used
+             |       ELSE (255 * 4294967296) // kth_hash END AS BIGINT)
+             |    AS est_distinct,
+             |  truth.true_distinct
+             |FROM ag CROSS JOIN truth""".stripMargin)),
+
+    // KMV set algebra: union and intersection cardinality from the two
+    // sketches ALONE (orders' custkeys vs customer's) — the "how many
+    // keys overlap" question answered in O(k) without rescanning either
+    // table. Union sketch = k smallest of the merged hash sets;
+    // intersection = n_common·est_union div k_used. Hash-exact grade
+    // with both true cardinalities alongside.
+    ("q_kmv_set_ops",
+      (s: SparkSession, d: String) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = t(s, d, "customer").select(col("c_custkey").as("k"))
+        val ops = Sketches.kmvSetOps(
+          Sketches.kmvSketch(a, "k", 256), Sketches.kmvSketch(b, "k", 256), 256)
+        val da = a.filter(col("k").isNotNull).distinct()
+        val db = b.filter(col("k").isNotNull).distinct()
+        val truth = da.union(db).distinct().agg(count(lit(1)).as("true_union"))
+          .crossJoin(da.join(db, Seq("k")).agg(count(lit(1)).as("true_intersect")))
+        ops.crossJoin(truth)
+      },
+      Some("""WITH a AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+             |  FROM orders WHERE o_custkey IS NOT NULL),
+             |sa AS (SELECT h FROM a ORDER BY h LIMIT 256),
+             |b AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+             |  FROM customer WHERE c_custkey IS NOT NULL),
+             |sb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+             |u AS (SELECT DISTINCT h FROM
+             |        (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+             |      ORDER BY h LIMIT 256),
+             |fl AS (SELECT count(*) AS k_used, max(h) AS kth_hash,
+             |         sum(CASE WHEN u.h IN (SELECT h FROM sa)
+             |                   AND u.h IN (SELECT h FROM sb)
+             |             THEN 1 ELSE 0 END) AS n_common
+             |       FROM u),
+             |e AS (SELECT n_common, k_used,
+             |        CASE WHEN k_used < 256 THEN k_used
+             |             ELSE (255 * 4294967296) // kth_hash END AS est_union
+             |      FROM fl),
+             |truth AS (
+             |  SELECT (SELECT count(DISTINCT k) FROM (
+             |            SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+             |            UNION ALL
+             |            SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+             |           AS true_union,
+             |         (SELECT count(*) FROM
+             |            (SELECT DISTINCT o_custkey FROM orders) o
+             |            JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |              ON o.o_custkey = c.c_custkey) AS true_intersect)
+             |SELECT CAST(n_common AS BIGINT) AS n_common,
+             |  CAST(est_union AS BIGINT) AS est_union,
+             |  CAST(CASE WHEN k_used = 0 THEN 0
+             |       ELSE (n_common * est_union) // k_used END AS BIGINT)
+             |    AS est_intersect,
+             |  CAST(truth.true_union AS BIGINT) AS true_union,
+             |  CAST(truth.true_intersect AS BIGINT) AS true_intersect
+             |FROM e CROSS JOIN truth""".stripMargin)),
 
     ("q_sketch_checks",
       (s: SparkSession, d: String) => {

@@ -752,4 +752,87 @@ object Similarity {
         abs(col("cos_f32") - col("cos_int8")) <= tol)
       .orderBy("a_id")
   }
+
+  /** Micro-unit quantization of an embedding for integer-exact k-means:
+    * `floor(x · 1e6) + 2_000_000` per dim. The shift keeps every value
+    * positive so integer division below is floor division in any engine;
+    * squared distances are shift-invariant so assignments are unchanged.
+    */
+  private def microQuantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long")
+      + lit(2000000L))
+
+  /** Integer-exact distributed k-means (Lloyd's) — the [[graft.operators.Graph]]
+    * PageRank discipline applied to clustering: vectors quantize to BIGINT
+    * micro-units, distances and centroid updates stay in integer arithmetic
+    * (sum-then-floor-divide), and argmin ties break on the smaller cluster
+    * id, so the trajectory is independent of distributed summation order
+    * and bit-for-bit replayable by any engine. Seeds are the `k` vectors
+    * with the smallest ids (cluster j = rank j).
+    *
+    * Shape per iteration (the 100 TB contract): assignment is IN-ROW
+    * against a broadcast `k × dims` centroid literal — zero shuffle; the
+    * update is one partial-agg exchange bounded by `k × dims` keys (never
+    * vector count); the only driver materialization is the `k × dims`
+    * centroid table itself. Empty clusters keep their previous centroid.
+    *
+    * Output: one row per cluster of the FINAL assignment —
+    * (cluster_id, n_vecs, wcss, cent_checksum), where wcss is the summed
+    * integer squared distance of members to the centroid they were
+    * assigned against, and cent_checksum = Σ (dim+1)·c_dim over the
+    * post-update centroids. A single flipped assignment anywhere in any
+    * iteration changes n_vecs/wcss; a single off-by-one centroid unit
+    * changes the checksum.
+    */
+  def kMeans(embs: DataFrame, id: String, vec: String, k: Int,
+             iters: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val data = embs.filter(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vec_id"), microQuantized(col(vec)).as("qv"))
+    // Seeds: bounded collect of k rows (an index-build step, like IVF).
+    val seeds = data.orderBy("vec_id").limit(k).collect()
+    var cents: Array[Array[Long]] =
+      seeds.map(_.getAs[scala.collection.Seq[Long]]("qv").toArray)
+
+    def assigned(c: Array[Array[Long]]): DataFrame = {
+      val dists = c.zipWithIndex.map { case (cent, j) =>
+        struct(
+          aggregate(
+            zip_with(col("qv"), typedLit(cent.toSeq),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(j).as("c"))
+      }
+      // array_min over struct<d,c> = lexical min: nearest centroid,
+      // smaller id on an exact tie — combinable and engine-stable.
+      data.withColumn("best", array_min(array(dists.toIndexedSeq: _*)))
+        .select(col("vec_id"), col("qv"),
+          col("best.c").as("cluster"), col("best.d").as("dist"))
+    }
+
+    var lastAssign: DataFrame = null
+    for (_ <- 0 until iters) {
+      val a = assigned(cents)
+      lastAssign = a
+      val upd = a.select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy("cluster", "dim")
+        .agg(expr("sum(q) div count(1)").as("cd"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        old.indices.map(dim => upd.getOrElse((j, dim), old(dim))).toArray
+      }
+    }
+
+    val checksums = cents.zipWithIndex.map { case (cent, j) =>
+      (j, cent.zipWithIndex.map { case (cd, dim) => (dim + 1L) * cd }.sum)
+    }.toSeq.toDF("cluster", "cent_checksum")
+    lastAssign.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("wcss"))
+      .join(broadcast(checksums), Seq("cluster"))
+      .select(col("cluster").cast("int").as("cluster_id"), col("n_vecs"),
+        col("wcss"), col("cent_checksum"))
+      .orderBy("cluster_id")
+  }
 }

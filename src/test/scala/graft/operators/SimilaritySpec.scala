@@ -277,6 +277,42 @@ class SimilaritySpec extends SparkTestBase {
       s"PQ search leaked far-cluster members: ${top.mkString(", ")}")
   }
 
+  test("kMeans: integer-exact Lloyd's separates obvious groups deterministically") {
+    // two tight groups far apart; seeds (ids 0,1) start one per group
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.1f, 0.0f)), (3L, Array(0.0f, 0.1f)),
+      (4L, Array(10.1f, 10.0f)), (5L, Array(10.0f, 10.1f)),
+      (6L, null: Array[Float])).toDF("vec_id", "embedding")
+    val out = Similarity.kMeans(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0, 1))
+    assert(out(0)._1 == 3L && out(1)._1 == 3L, s"membership: $out")
+    // run twice: integer arithmetic must make the trajectory bit-identical
+    val again = Similarity.kMeans(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
+  test("kMeans: empty cluster keeps its seed centroid; counts cover the input") {
+    // seed 1 (id 1) is strictly closer to every point than seed 0 after
+    // iteration 1 pulls it to the group mean — cluster 0 goes empty but
+    // its row must survive with n_vecs absent from output only
+    val pts = Seq(
+      (0L, Array(100.0f, 100.0f)),
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.2f, 0.0f)), (3L, Array(0.0f, 0.2f)),
+      (4L, Array(0.2f, 0.2f)), (5L, Array(0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.kMeans(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 6L)
+    val real = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val full = Similarity.kMeans(real, "vec_id", "embedding", k = 8, iters = 3)
+      .collect()
+    val n = real.filter(col("embedding").isNotNull).count()
+    assert(full.map(_.getLong(1)).sum == n, "every vector assigned exactly once")
+    assert(full.forall(_.getLong(2) >= 0L))
+  }
+
   test("int8 cosine tracks f32 cosine within tolerance on real vectors") {
     val real = spark.read.parquet(sfDir + "/embeddings.parquet")
     val out = Similarity.int8CosinePairs(real, "vec_id", "embedding").collect()

@@ -193,6 +193,42 @@ class SketchesSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_outliers") == 1L)
   }
 
+  test("kmv: unsaturated sketch is the exact distinct count; merge ≡ rebuild") {
+    import spark.implicits._
+    val small = (1 to 50).map(i => s"v${i % 20}").toDF("x") // 20 distinct
+    val sk = Sketches.kmvSketch(small, "x", 256)
+    assert(sk.count() == 20)
+    val est = Sketches.kmvEstimate(sk, 256).collect().head
+    assert(est.getLong(0) == 20L && est.getLong(2) == 20L)
+    // mergeability: union-of-sketches == sketch-of-union (the O(k) contract)
+    val a = (1 to 400).map(i => s"a$i").toDF("x")
+    val b = (200 to 600).map(i => s"a$i").toDF("x")
+    val direct = Sketches.kmvSketch(a.union(b), "x", 64)
+    val viaSketches = Sketches.kmvSketch(a, "x", 64)
+      .union(Sketches.kmvSketch(b, "x", 64)).distinct().orderBy("h").limit(64)
+    assert(direct.collect().map(_.getLong(0)).toSeq ==
+      viaSketches.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("kmv: estimator lands near truth and set ops are consistent on real keys") {
+    val orders = spark.read.parquet(sfDir + "/orders.parquet")
+      .select(col("o_custkey").as("k"))
+    val cust = spark.read.parquet(sfDir + "/customer.parquet")
+      .select(col("c_custkey").as("k"))
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(orders, "k", 128), 128)
+      .collect().head
+    val truth = orders.filter(col("k").isNotNull).distinct().count()
+    assert(math.abs(est.getLong(2) - truth).toDouble <= truth * 0.25,
+      s"kmv est ${est.getLong(2)} vs true $truth")
+    val ops = Sketches.kmvSetOps(
+      Sketches.kmvSketch(orders, "k", 128),
+      Sketches.kmvSketch(cust, "k", 128), 128).collect().head
+    val trueInter = orders.distinct().join(cust.distinct(), Seq("k")).count()
+    assert(ops.getLong(2) >= 0L && ops.getLong(1) >= est.getLong(2) / 2)
+    assert(math.abs(ops.getLong(2) - trueInter).toDouble <= trueInter * 0.35 + 5,
+      s"kmv inter ${ops.getLong(2)} vs true $trueInter")
+  }
+
   test("sketch pair: hll and percentile stay within tolerance on real data") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val v = Sketches.vocabSize(docs, "text").collect().head
