@@ -1843,13 +1843,14 @@ object QueryCatalog {
         val path = scratchDir("verify_orc")
         graft.sources.Orc.write(docs, path)
         val back = graft.sources.Orc.read(s, path, docs.schema)
+          .withColumn("is_orc", input_file_name().endsWith(".orc"))
         back.groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("sum_chars"),
             count_distinct(md5(col("text").cast("binary"))).as("n_distinct_md5"),
             min(md5(col("text").cast("binary"))).as("min_md5"),
             max(md5(col("text").cast("binary"))).as("max_md5"),
-            every(input_file_name().endsWith(".orc")).as("all_orc"))
+            every(col("is_orc")).as("all_orc"))
           .orderBy("source")
       },
       Some("""SELECT source, count(*) AS n_docs,

@@ -580,4 +580,63 @@ object Curation {
       .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
         col("tf"), col("df"), col("tfidf"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): rank raw documents by how much their
+    * hashed-token distribution looks like a TARGET slice of the corpus,
+    * and keep the top 1/`selectNth`. This engine's variant swaps DSIR's
+    * log-likelihood-ratio for the per-bucket likelihood RATIO in
+    * fixed-point integer arithmetic — `r_b = (t_b+1)·10⁶ div (q_b+1)`,
+    * add-one smoothed, with the bucket-independent total-count factor
+    * dropped (it scales every doc identically, so the RANKING is
+    * unchanged) — which makes the whole selection engine-exact instead of
+    * depending on whose `ln` rounds last. A document's score is the
+    * token-count-weighted mean ratio (`Σ c_b·r_b div Σ c_b` — per-token,
+    * so length doesn't masquerade as relevance); ties break on doc_id.
+    *
+    * Scale shape: tokens hash to `buckets` cells IN-ROW; the two model
+    * aggregates are bounded by `buckets` keys and broadcast back; the
+    * per-doc agg is two-phase with ≤ `buckets` partials per doc; the
+    * final selection is TakeOrdered (k per partition crosses the wire).
+    * The only driver action is the corpus row-count that sizes the cut.
+    * Zero-token docs score 0 and sort by id among themselves.
+    */
+  def dsirSelect(docs: DataFrame, id: String, text: String,
+                 targetPred: Column, buckets: Int = 64,
+                 selectNth: Int = 4, reliable: Boolean = false): DataFrame = {
+    require(buckets > 0 && selectNth > 0,
+      s"dsirSelect: bad buckets=$buckets selectNth=$selectNth")
+    val base = docs.select(col(id).cast("long").as("doc_id"),
+      col(text).as("text"), targetPred.as("is_target"))
+    val tok = base
+      .select(col("doc_id"), col("is_target"),
+        explode(TextAnalysis.tokens(col("text"))).as("tkn"))
+      .withColumn("b",
+        conv(substring(md5(col("tkn").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets)
+    // The doc×bucket histogram is materialized ONCE and every model
+    // relation derives from it — without this the target counts, raw
+    // counts, and per-doc scores are separately-pruned subplans that
+    // re-scan and re-tokenize the corpus (the tfidfTopTerms lesson).
+    // is_target is constant within a doc so carrying it in the grouping
+    // adds no keys.
+    val docBuckets = Materialize.once(
+      tok.groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("c")),
+      reliable)
+    val dom = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    val tCnt = docBuckets.filter(col("is_target")).groupBy("b")
+      .agg(sum("c").as("tb"))
+    val qCnt = docBuckets.groupBy("b").agg(sum("c").as("qb"))
+    val ratio = dom.join(tCnt, Seq("b"), "left").join(qCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("tb", "qb"))
+      .select(col("b"), expr("((tb + 1) * 1000000L) div (qb + 1)").as("r"))
+    val scored = docBuckets.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(expr("sum(c * r) div sum(c)").as("score_micro"))
+    val all = base.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("score_micro"))
+    val nSel = (base.count() / selectNth).toInt
+    all.orderBy(col("score_micro").desc, col("doc_id")).limit(nSel)
+      .orderBy("doc_id")
+  }
 }

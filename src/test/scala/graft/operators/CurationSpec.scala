@@ -407,4 +407,34 @@ class CurationSpec extends SparkTestBase {
     val cents = r.getAs[Long]("sum_clipped_cents")
     assert(cents < (5050.0 + 1000.0) * 100 && cents > 5050 * 100 - 100 * lo * 100)
   }
+
+  test("dsirSelect: selection shifts toward the target distribution, deterministically") {
+    import spark.implicits._
+    // target-ish docs share vocabulary with the target slice; noise docs don't
+    val docs = ((0 until 20).map(i => (i.toLong, "alpha beta gamma delta", "en")) ++
+      (20 until 40).map(i => (i.toLong, "omega sigma tau rho", "de")) ++
+      (40 until 60).map(i => (i.toLong, "alpha beta something else", "de")) ++
+      Seq((60L, "", "de"))).toDF("doc_id", "text", "lang")
+    val sel = Curation.dsirSelect(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64, selectNth = 4).collect()
+    assert(sel.length == 61 / 4)
+    // every selected doc shares target vocabulary (alpha/beta family)
+    val ids = sel.map(_.getLong(0)).toSet
+    assert(ids.forall(i => i < 20 || (i >= 40 && i < 60)), s"selected: $ids")
+    val again = Curation.dsirSelect(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64, selectNth = 4).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      sel.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // real corpus: the en share of the selected quarter must exceed the
+    // corpus-wide en share (the whole point of importance selection)
+    val real = spark.read.parquet(sfDir + "/documents.parquet")
+    val picked = Curation.dsirSelect(real, "doc_id", "text",
+      col("lang") === "en", buckets = 64, selectNth = 4)
+      .join(real.select("doc_id", "lang"), Seq("doc_id"))
+    val pickedEn = picked.filter(col("lang") === "en").count().toDouble /
+      picked.count()
+    val corpusEn = real.filter(col("lang") === "en").count().toDouble /
+      real.count()
+    assert(pickedEn > corpusEn, s"picked en=$pickedEn corpus en=$corpusEn")
+  }
 }
