@@ -202,6 +202,31 @@ object QueryCatalog {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  private val ExistsSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT max(o3.o_totalprice) FROM orders o3
+      |   WHERE o3.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  private val GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |  count(*) AS n,
+      |  CAST(floor((2*CAST(round(sum(l_extendedprice) * 10000) AS BIGINT) + 100)
+      |    / 200e0) AS BIGINT) AS sum_price_cents
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** name -> (query fn, optional DuckDB oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -535,6 +560,30 @@ object QueryCatalog {
         s.sql(RevenueByNationSql)
       },
       Some(RevenueByNationSql)),
+
+    // Correlated-subquery depth of the SQL surface in ONE shared string:
+    // EXISTS, NOT EXISTS, and a correlated scalar aggregate — the shapes
+    // Catalyst must decorrelate into joins (semi, anti, and a grouped
+    // left join) for the plan to be runnable at all at scale; DuckDB
+    // executes the identical text, so the grade covers the decorrelation
+    // semantics, NULL-on-empty scalar included.
+    ("q_sql_exists",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(ExistsSql)
+      },
+      Some(ExistsSql)),
+
+    // GROUPING SETS with grouping() markers — the third grouping-family
+    // row beside rollup and cube, again one shared string. The sum uses
+    // the revenue query's noise-tolerant cents rounding so double
+    // summation order can't flip the grade.
+    ("q_sql_grouping_sets",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(GroupingSetsSql)
+      },
+      Some(GroupingSetsSql)),
 
     // ---- events: time-window aggregation (streaming-shaped, batch-checked) --
 
@@ -3379,6 +3428,88 @@ object QueryCatalog {
     // timeouts. Retention is set above the data's time span — expiry
     // semantics are spec'd separately in StreamsSpec; the graded contract
     // here is streaming ≡ batch.
+    // Watermark late-data semantics made data-visible: the newest third
+    // of events arrives FIRST, advancing the watermark to max−span/2;
+    // the older two-thirds then arrive late — rows whose hour window
+    // still ends above the watermark merge, rows below it are DROPPED by
+    // the watermark filter, and the final counts differ from the batch
+    // rollup by exactly those rows. DuckDB replays the cut and watermark
+    // arithmetic closed-form (ms precision, Spark's watermark clock), so
+    // one row kept or dropped on the wrong side of the boundary fails
+    // the grade. Two Spark-semantics subtleties are load-bearing and
+    // graded: the late-event filter lags one batch behind eviction
+    // (SPARK-40925: lateEvents uses the PREVIOUS batch's watermark), so
+    // a nudge batch sits between fresh and late arrivals to make the
+    // advanced watermark the active late threshold; and the far-future
+    // flush row emits every surviving window while its own window
+    // outlives the final watermark and stays in state.
+    ("q_stream_late_data",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("value").cast("double").as("value"),
+            col("ts").cast("timestamp").as("ts"))
+        val Array(minUs, maxUs) = ev
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val spanUs = maxUs - minUs
+        val delaySec = spanUs / 2 / 1000000L
+        val cut = minUs + 2L * spanUs / 3
+        val nudgeUs = maxUs + spanUs
+        val flushUs = maxUs + 4L * spanUs
+        def marker(name: String, tsUs: Long) =
+          s.range(1).select(lit(name).as("event_type"),
+            lit(0.0).as("value"), timestamp_micros(lit(tsUs)).as("ts"))
+        val batches = Seq(
+          ev.filter(unix_micros(col("ts")) >= cut),
+          marker("__nudge", nudgeUs),
+          ev.filter(unix_micros(col("ts")) < cut),
+          marker("__flush", flushUs))
+        val inDir = scratchDir("late_in")
+        batches.zipWithIndex.foreach { case (b, i) =>
+          stageArrivalFile(b, inDir, s"batch$i.parquet", 1700000000000L + i * 60000L)
+        }
+        val outDir = scratchDir("late_out")
+        val stream = s.readStream.schema(batches.head.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams
+            .hourlyCounts(stream, "ts", s"$delaySec seconds")
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", scratchDir("late_ckpt"))
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(outDir)
+          .filter(!col("event_type").startsWith("__"))
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"),
+            expr("CAST(floor((2*CAST(round(sum_value*10000) AS BIGINT) + 100) / 200e0) AS BIGINT)")
+              .as("sum_cents"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH sp AS (SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+             |            FROM events),
+             |pr AS (SELECT mn + 2*(mx - mn)//3 AS cut,
+             |         (mx // 1000) - ((mx - mn)//2//1000000)*1000 AS wm_ms
+             |       FROM sp),
+             |b1 AS (SELECT * FROM events
+             |       WHERE epoch_us(ts) >= (SELECT cut FROM pr)),
+             |k2 AS (SELECT * FROM events
+             |       WHERE epoch_us(ts) < (SELECT cut FROM pr)
+             |         AND epoch_ms(date_trunc('hour', ts)) + 3600000
+             |             > (SELECT wm_ms FROM pr)),
+             |ak AS (SELECT * FROM b1 UNION ALL SELECT * FROM k2)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             |    AS window_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(floor((2*CAST(round(sum(value)*10000) AS BIGINT) + 100)
+             |    / 200e0) AS BIGINT) AS sum_cents
+             |FROM ak GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     ("q_stream_asof",
       (s: SparkSession, d: String) => {
         val ev = t(s, d, "events")
