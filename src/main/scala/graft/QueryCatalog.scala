@@ -484,6 +484,76 @@ object QueryCatalog {
              |FROM orders WHERE o_orderkey % 10 = 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // CDC apply — the lakehouse MERGE primitive beyond upsert: a change
+    // log with deletes, conflicting out-of-order updates, and inserts
+    // folds onto the orders snapshot last-writer-wins by (key, seq).
+    // Coverage is adversarial by construction: keys divisible by 105
+    // carry a seq-2 DELETE that must LOSE to a seq-3 update; by 35 the
+    // delete wins over a seq-1 update; inserted keys ride a +10M offset.
+    // The graded profile (count / distinct keys / cents sum per final
+    // status) shifts if any single key resolves wrong. DuckDB replays
+    // the log, the per-key argmax, and the merge.
+    ("q_cdc_apply",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val del = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val upd1 = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+            col("o_custkey"), lit("U1").as("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val upd2 = o.filter(col("o_orderkey") % 15 === 0)
+          .select(col("o_orderkey"), lit(3L).as("seq"), lit("U").as("op"),
+            col("o_custkey"), lit("U2").as("o_orderstatus"),
+            (col("o_totalprice") * 2.0).as("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val ins = o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit(1L).as("seq"), lit("I").as("op"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        val changes = del.unionByName(upd1).unionByName(upd2).unionByName(ins)
+        Relational.cdcApply(o, changes, "o_orderkey", "seq", "op")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("o_orderkey")).as("n_keys"),
+            expr("CAST(floor((2*CAST(round(sum(o_totalprice)*10000) AS BIGINT) + 100) / 200e0) AS BIGINT)")
+              .as("sum_cents"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_orderkey AS k, 2 AS seq, 'D' AS op, o_custkey,
+             |    o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 1, 'U', o_custkey, 'U1', o_totalprice + 1000.0
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 3, 'U', o_custkey, 'U2', o_totalprice * 2.0
+             |  FROM orders WHERE o_orderkey % 15 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, 1, 'I', o_custkey, 'N', o_totalprice
+             |  FROM orders WHERE o_orderkey % 11 = 0),
+             |lt AS (SELECT k, op, o_orderstatus, o_totalprice FROM (
+             |         SELECT ch.*, row_number() OVER (PARTITION BY k
+             |           ORDER BY seq DESC) AS r FROM ch) WHERE r = 1),
+             |m AS (SELECT
+             |        coalesce(o.o_orderkey, lt.k) AS k,
+             |        CASE WHEN lt.op IS NULL THEN o.o_orderstatus
+             |             ELSE lt.o_orderstatus END AS st,
+             |        CASE WHEN lt.op IS NULL THEN o.o_totalprice
+             |             ELSE lt.o_totalprice END AS price
+             |      FROM orders o FULL OUTER JOIN lt ON o.o_orderkey = lt.k
+             |      WHERE lt.op IS NULL OR lt.op <> 'D')
+             |SELECT st AS o_orderstatus, count(*) AS n,
+             |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+             |  CAST(floor((2*CAST(round(sum(price)*10000) AS BIGINT) + 100)
+             |    / 200e0) AS BIGINT) AS sum_cents
+             |FROM m GROUP BY st ORDER BY st""".stripMargin)),
+
     // ---- §2.8 window (parity-plus) ------------------------------------------
 
     ("q_w1_topk_per_group",
@@ -5082,6 +5152,51 @@ object QueryCatalog {
     // corpus-self-trained bigram LM score (the perplexity-filter signal);
     // the smoothed probabilities are exact rationals of corpus counts, so
     // both engines differ only in ln() ulps — 4dp round absorbs that
+    // CCNet-style head/middle/tail quality stratification composed from
+    // the graded LM scorer: per-language ntile(3) over the 4dp-rounded
+    // bigram score (doc_id tiebreak keeps tertile edges engine-stable),
+    // head kept whole, middle at a 50% md5 threshold ('8000'), tail at
+    // 10% ('1999') — the kept set is content-stable and the whole
+    // stratification replays in DuckDB: totals, kept counts, and summed
+    // scores per (lang, bucket) are all exact.
+    ("q_perplexity_buckets",
+      (s: SparkSession, d: String) =>
+        Curation.perplexityBuckets(t(s, d, "documents"), "doc_id", "text",
+          "lang", midFrac = 0.5, tailFrac = 0.1),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |bg AS (
+             |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS bg, a[i] AS w1
+             |  FROM d, unnest(range(1, greatest(len(a)-1,0)+1)) AS t(i)),
+             |cbg AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY 1),
+             |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+             |        FROM cbg GROUP BY 1),
+             |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v_size
+             |      FROM (SELECT unnest(a) AS w FROM d)),
+             |scored AS (
+             |  SELECT doc_id,
+             |    ln((c_bg + 1) / (CAST(c_ctx AS DOUBLE) + v_size)) AS lp
+             |  FROM bg JOIN cbg USING (bg) JOIN ctx USING (w1) CROSS JOIN v),
+             |ds AS (SELECT doc_id, round(avg(lp), 4) AS lm_score
+             |       FROM scored GROUP BY doc_id),
+             |wl AS (SELECT ds.doc_id, ds.lm_score, documents.lang,
+             |         ntile(3) OVER (PARTITION BY documents.lang
+             |           ORDER BY ds.lm_score DESC, ds.doc_id) AS bucket
+             |       FROM ds JOIN documents ON documents.doc_id = ds.doc_id),
+             |k AS (SELECT *,
+             |        bucket = 1
+             |        OR (bucket = 2 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+             |        OR (bucket = 3 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
+             |          AS kept
+             |      FROM wl)
+             |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+             |  count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(floor((2*CAST(round(sum(lm_score)*10000) AS BIGINT) + 100)
+             |    / 200e0) AS BIGINT) AS sum_score_cents
+             |FROM k GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
     ("q_lm_score",
       (s: SparkSession, d: String) =>
         TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")

@@ -581,6 +581,48 @@ object Curation {
         col("tf"), col("df"), col("tfidf"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    * rank documents by the bigram LM score ([[TextAnalysis.lmScore]] —
+    * higher = more fluent), split into head/middle/tail tertiles with
+    * `ntile(3)`, and keep the head whole, a hash fraction of the middle,
+    * and a sliver of the tail — the classic quality-stratified
+    * downsampling of a web crawl. The kept set is content-stable (md5
+    * threshold per doc id, the [[sampleByHash]] discipline), and the
+    * ranking sorts the 4dp-ROUNDED score with a doc_id tiebreak so tertile
+    * boundaries are engine-stable. Output: one row per (lang, bucket) —
+    * total docs, kept docs, and the bucket's summed score in guard-banded
+    * cents, so a single doc landing in the wrong tertile or the wrong
+    * side of a keep threshold moves the grade.
+    *
+    * Scale: the LM model aggregates are vocabulary-bounded; the only
+    * per-doc ordering is the within-language ntile window — a sort
+    * partitioned by language, the same shape CCNet itself shards by.
+    */
+  def perplexityBuckets(docs: DataFrame, id: String, text: String,
+                        lang: String, midFrac: Double = 0.5,
+                        tailFrac: Double = 0.1): DataFrame = {
+    val scored = TextAnalysis.lmScore(docs, id, text)
+      .join(docs.select(col(id).cast("long").as("doc_id"),
+        col(lang).as("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    val keep = col("bucket") === 1 ||
+      (col("bucket") === 2 &&
+        hexHash(col("doc_id"), 4) < lit(hexThreshold(midFrac * 100.0, 4))) ||
+      (col("bucket") === 3 &&
+        hexHash(col("doc_id"), 4) < lit(hexThreshold(tailFrac * 100.0, 4)))
+    scored.withColumn("bucket", ntile(3).over(w))
+      .withColumn("kept", keep)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("CAST(floor((2*CAST(round(sum(lm_score)*10000) AS BIGINT) + 100) / 200e0) AS BIGINT)")
+          .as("sum_score_cents"))
+      .select(col("lang"), col("bucket").cast("long").as("bucket"),
+        col("n_docs"), col("n_kept"), col("sum_score_cents"))
+      .orderBy("lang", "bucket")
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * via Importance Resampling"): rank raw documents by how much their
     * hashed-token distribution looks like a TARGET slice of the corpus,

@@ -381,6 +381,31 @@ object Relational {
   def upsert(main: DataFrame, staging: DataFrame, key: String): DataFrame =
     antiJoin(main, staging, Seq(key)).unionByName(staging)
 
+  /** CDC apply — fold a change log onto a snapshot with last-writer-wins
+    * by `(key, seq)`: the latest change per key is a COMBINABLE
+    * max-of-struct argmax (partials reduce to one row per key per
+    * partition before the exchange — a window over the log would sort it
+    * instead), then one full-outer join on the key applies it: `D` drops
+    * the row, `U`/`I` replace/insert the payload, untouched keys pass
+    * through. Out-of-order arrival is the POINT: a delete at seq 2 loses
+    * to an update at seq 3 no matter which arrives first. Sequence
+    * numbers must be unique per key (the CDC source's contract); the
+    * struct tiebreak beyond seq is deterministic but unspecified.
+    */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame, key: String,
+               seqCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == key).toSeq
+    val latest = changes.groupBy(col(key))
+      .agg(max(struct(col(seqCol).as("_s") +: col(opCol).as("_o")
+        +: payload.map(c => col(c).as(c)): _*)).as("m"))
+      .select(col(key) +: col("m._o").as("_op")
+        +: payload.map(c => col(s"m.`$c`").as(s"_c_$c")): _*)
+    snapshot.join(latest, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(key) +: payload.map(c =>
+        when(col("_op").isNull, col(c)).otherwise(col(s"_c_$c")).as(c)): _*)
+  }
+
   /** Pivot (long → wide) with an explicit value list: per-`row` counts of
     * each pivot value as its own column, absent combinations as 0 (Spark's
     * bare pivot yields NULL there; 0 is what a crosstab means).

@@ -408,6 +408,25 @@ class CurationSpec extends SparkTestBase {
     assert(cents < (5050.0 + 1000.0) * 100 && cents > 5050 * 100 - 100 * lo * 100)
   }
 
+  test("perplexityBuckets: head kept whole, tail thinned, totals cover the corpus") {
+    val real = spark.read.parquet(sfDir + "/documents.parquet")
+    val out = Curation.perplexityBuckets(real, "doc_id", "text", "lang").collect()
+    val langs = out.map(_.getString(0)).distinct
+    assert(langs.length >= 2)
+    langs.foreach { l =>
+      val rows = out.filter(_.getString(0) == l)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L), s"lang $l buckets")
+      val head = rows.find(_.getLong(1) == 1L).get
+      assert(head.getLong(3) == head.getLong(2), s"lang $l head must be kept whole")
+      val tail = rows.find(_.getLong(1) == 3L).get
+      assert(tail.getLong(3) < tail.getLong(2), s"lang $l tail must be thinned")
+    }
+    // every scored doc (>=1 bigram) lands in exactly one bucket
+    val scoredDocs = graft.operators.TextAnalysis
+      .lmScore(real, "doc_id", "text").count()
+    assert(out.map(_.getLong(2)).sum == scoredDocs)
+  }
+
   test("dsirSelect: selection shifts toward the target distribution, deterministically") {
     import spark.implicits._
     // target-ish docs share vocabulary with the target slice; noise docs don't

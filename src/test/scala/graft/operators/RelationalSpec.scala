@@ -209,4 +209,28 @@ class RelationalSpec extends SparkTestBase {
     assert(Relational.schemaDrift(oldDf, oldDf)
       .filter(col("status") =!= "unchanged").count() == 0L)
   }
+
+  test("cdcApply: last-writer-wins with out-of-order deletes, updates, inserts") {
+    import spark.implicits._
+    val snap = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "v", "p")
+    val changes = Seq(
+      // key 1: delete at seq 2 LOSES to update at seq 3 (out-of-order arrival)
+      (1L, 3L, "U", "a2", 11.0),
+      (1L, 2L, "D", "a", 10.0),
+      // key 2: update at seq 1 loses to delete at seq 2
+      (2L, 1L, "U", "b2", 21.0),
+      (2L, 2L, "D", "b", 20.0),
+      // key 5: pure insert
+      (5L, 1L, "I", "e", 50.0)
+    ).toDF("k", "seq", "op", "v", "p")
+    val out = Relational.cdcApply(snap, changes, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      1L -> ("a2", 11.0),  // survived: update beat the earlier delete
+      3L -> ("c", 30.0),   // untouched passthrough
+      4L -> ("d", 40.0),
+      5L -> ("e", 50.0)))  // inserted; key 2 deleted
+  }
 }
