@@ -1099,6 +1099,35 @@ object QueryCatalog {
              |  min(doc_id) AS keep_id, count(*) AS dup_count
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Prefix-filter EXACT similarity join (AllPairs/PPJoin family): the
+    // graded claim is zero candidate loss — the oracle is the plain
+    // all-pairs ground truth, so any pair the rarest-prefix + size
+    // pruning wrongly discards fails the hash compare. The exact rung
+    // between the capped brute-force verifier and probabilistic LSH:
+    // only prefix slices explode into the join; full token arrays travel
+    // once to verify candidates in-row.
+    ("q_prefix_join",
+      (s: SparkSession, d: String) =>
+        Dedup.prefixJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          tauNum = 9, tauDen = 10, maxId = 1000L)
+          .orderBy("a_id", "b_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+             |  FROM documents WHERE trim(text) <> '' AND doc_id < 1000),
+             |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+             |x AS (SELECT doc_id, unnest(toks) AS token FROM tt),
+             |sz AS (SELECT doc_id, len(toks) AS n FROM tt),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+             |      FROM x a JOIN x b ON a.token = b.token AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2),
+             |j AS (SELECT p.a_id, p.b_id,
+             |        round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+             |      FROM p JOIN sz sa ON sa.doc_id = p.a_id
+             |             JOIN sz sb ON sb.doc_id = p.b_id)
+             |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     ("q_jaccard_pairs",
       (s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",

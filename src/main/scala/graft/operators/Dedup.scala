@@ -95,6 +95,74 @@ object Dedup {
         round(jaccard(col("a_toks"), col("b_toks")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** Candidate pairs of the prefix-filter join: docs sharing at least one
+    * token in their RAREST-first prefixes, size-filtered. Package-private
+    * so the spec can grade the pruning itself, not just the final pairs.
+    */
+  private[operators] def prefixCandidates(toks: DataFrame, tauNum: Int,
+                                          tauDen: Int): DataFrame = {
+    val x = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freq = x.groupBy("tok").agg(count(lit(1)).as("freq"))
+    // per-doc token list ordered rarest-first: the ordering KEY is the
+    // (global count, token) pair itself — no global rank window needed
+    val sorted = x.join(freq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("st"),
+        count(lit(1)).as("n"))
+    // Jaccard >= num/den needs the two sets to agree on at least one of
+    // the first n - ceil(num*n/den) + 1 rarest tokens (the prefix-filter
+    // principle); all arithmetic integer so both engines cut identically
+    val pref = sorted
+      .select(col("doc_id"), col("n"),
+        explode(expr(s"slice(st, 1, n - ($tauNum*n + ${tauDen - 1}) div $tauDen + 1)"))
+          .as("pt"))
+      .select(col("doc_id"), col("n"), col("pt.tok").as("tok"))
+    pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * tauNum <= col("b.n") * tauDen &&
+        col("b.n") * tauNum <= col("a.n") * tauDen)
+      // sizes ride along (functionally dependent on the ids) so the
+      // verify stage can form the union as n_a + n_b − |∩| instead of
+      // materializing a distinct-concat per candidate
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+  }
+
+  /** Prefix-filter exact similarity join (AllPairs/PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair with token-set
+    * Jaccard ≥ tauNum/tauDen, with NO candidate loss — the exact rung
+    * between the capped brute-force verifier ([[ngramJaccardPairs]]) and
+    * probabilistic [[minhashLsh]]. Pruning is twofold and loss-free:
+    * candidates must share a token among their rarest-prefix slices
+    * (length n − ⌈τn⌉ + 1), and sizes must satisfy τ·|a| ≤ |b| ≤ |a|/τ.
+    * Only prefix tokens are exploded; full token arrays travel once, to
+    * verify surviving candidates in-row.
+    *
+    * `maxId` is the quadratic guard of the verify stage (the prefix join
+    * itself is fan-out-bounded): an order of magnitude looser than the
+    * brute-force cap because verification touches candidates, not pairs.
+    */
+  def prefixJaccardPairs(docs: DataFrame, id: String, text: String,
+                         tauNum: Int = 9, tauDen: Int = 10,
+                         maxId: Long = 1000000L): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"prefixJaccardPairs: bad threshold $tauNum/$tauDen")
+    val toks = docs.filter(col(id) < maxId)
+      .select(col(id).cast("long").as("doc_id"),
+        array_distinct(graft.operators.TextAnalysis.tokens(col(text))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val cand = prefixCandidates(toks, tauNum, tauDen)
+    cand
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
+  }
+
   /** Asymmetric containment pairs: c(A→B) = |S(A)∩S(B)| / |S(A)| over
     * distinct token sets, both directions per pair — the quote/subset
     * signal Jaccard misses (a short doc fully embedded in a long one has

@@ -444,4 +444,32 @@ class DedupSpec extends SparkTestBase {
         s"string column ${f.name}: ${f.dataType} crossed a span exchange"))
     }
   }
+
+  test("prefixJaccardPairs: equals brute force with zero candidate loss, and prunes") {
+    import spark.implicits._
+    // sparse corpus: 3 near-dup families plus unrelated docs
+    val docs = (Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),     // J(0,1)=4/6
+      (2L, "alpha beta gamma delta epsilon"),  // J(0,2)=1.0
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),     // J(3,4)=1.0
+      (5L, "unrelated words entirely here")) ++
+      (6 until 40).map(i => (i.toLong, s"solo$i filler$i noise$i"))).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 2L), (3L, 4L)), s"got $out")
+    // brute-force equality at a lower threshold too (J=2/3 pairs appear)
+    val lo = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2.0 / 3, 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lo == brute, s"prefix join lost candidates: $brute vs $lo")
+    // the pruning is real: candidates a small fraction of all pairs
+    val toks = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+    val nCand = Dedup.prefixCandidates(toks, 9, 10).count()
+    val nAll = 40L * 39 / 2
+    assert(nCand <= nAll / 10, s"prefix filter pruned nothing: $nCand of $nAll")
+  }
 }
