@@ -2290,6 +2290,67 @@ object QueryCatalog {
     // encode→decode is an exact inverse, padding, BGR and row order
     // included. media_bytes additionally pins the encoder's container
     // size (BMP 4-byte row padding, netpbm ASCII header width).
+    // DCT perceptual hash (pHash) — the image-dedup bridge: decode the
+    // real BMP/netpbm blobs, 32×32 integer luma grid, fixed-point 8×8
+    // DCT corner, median-threshold bits. The ENTIRE hash is integer
+    // arithmetic and the DCT basis table is computed once in Scala and
+    // embedded into this oracle as literals, so both engines multiply
+    // identical integers — DuckDB rebuilds every bit and the consecutive
+    // -id hamming distances; one flipped bit anywhere fails the grade.
+    // Hashes split into two non-negative 32-bit halves so Σ bit·2^k
+    // never touches the BIGINT sign bit in either engine.
+    ("q_phash",
+      (s: SparkSession, d: String) => {
+        val ph = Multimodal.perceptualHash(
+          Multimodal.withPixelMedia(t(s, d, "documents")))
+        val prev = ph.select((col("doc_id") + 1).as("doc_id"),
+          col("phash_hi").as("p_hi"), col("phash_lo").as("p_lo"))
+        ph.join(prev, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+            expr("CAST(bit_count(phash_hi ^ p_hi) + bit_count(phash_lo ^ p_lo) AS BIGINT)")
+              .as("ham_prev"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dims AS (
+             |  SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |tab(u, x, t) AS (VALUES ${graft.operators.Multimodal.phashDctTableSql}),
+             |grid AS (
+             |  SELECT d.doc_id, gy.y, gx.x,
+             |    CASE WHEN d.c = 1
+             |      THEN (31*d.doc_id + 7*(((gy.y*d.h)//32)*d.w + (gx.x*d.w)//32)) % 256
+             |      ELSE (299*((31*d.doc_id + 7*((((gy.y*d.h)//32)*d.w + (gx.x*d.w)//32)*3)) % 256)
+             |          + 587*((31*d.doc_id + 7*((((gy.y*d.h)//32)*d.w + (gx.x*d.w)//32)*3 + 1)) % 256)
+             |          + 114*((31*d.doc_id + 7*((((gy.y*d.h)//32)*d.w + (gx.x*d.w)//32)*3 + 2)) % 256)) // 1000
+             |    END AS gray
+             |  FROM dims d CROSS JOIN range(0, 32) gy(y) CROSS JOIN range(0, 32) gx(x)),
+             |co AS (SELECT gr.doc_id, tu.u AS cu, tv.u AS cv,
+             |         sum(gr.gray * tv.t * tu.t) AS cval
+             |       FROM grid gr JOIN tab tu ON tu.x = gr.y
+             |                    JOIN tab tv ON tv.x = gr.x
+             |       GROUP BY 1, 2, 3),
+             |ac AS (SELECT doc_id, cval,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY cval) AS r
+             |       FROM co WHERE NOT (cu = 0 AND cv = 0)),
+             |md AS (SELECT doc_id, cval AS med FROM ac WHERE r = 32),
+             |bits AS (SELECT co.doc_id, cu*8 + cv AS k,
+             |           CASE WHEN NOT (cu = 0 AND cv = 0) AND co.cval > md.med
+             |                THEN 1 ELSE 0 END AS b
+             |         FROM co JOIN md ON md.doc_id = co.doc_id),
+             |hv AS (SELECT doc_id,
+             |         sum(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32))
+             |             ELSE 0 END) AS phash_hi,
+             |         sum(CASE WHEN k < 32 THEN b * (1::BIGINT << k)
+             |             ELSE 0 END) AS phash_lo
+             |       FROM bits GROUP BY 1),
+             |f AS (SELECT hv.doc_id, hv.phash_hi, hv.phash_lo,
+             |        bit_count(xor(hv.phash_hi, pv.phash_hi))
+             |          + bit_count(xor(hv.phash_lo, pv.phash_lo)) AS ham_prev
+             |      FROM hv LEFT JOIN hv pv ON pv.doc_id = hv.doc_id - 1)
+             |SELECT doc_id, phash_hi, phash_lo, CAST(ham_prev AS BIGINT) AS ham_prev
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     ("q_pixel_decode",
       (s: SparkSession, d: String) =>
         Multimodal.decodePixelStats(Multimodal.withPixelMedia(t(s, d, "documents")))

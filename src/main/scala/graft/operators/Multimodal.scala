@@ -957,4 +957,110 @@ object Multimodal {
         i => col("media").substr(
           (i * greatest((col("media_bytes") / n).cast("int"), lit(1)) + 1).cast("int"),
           lit(frameBytes))))
+
+  /** Fixed-point 32-point DCT-II basis, low-frequency rows only:
+    * `T(u)(x) = ⌊cos((2x+1)·u·π/64) · 10⁶⌋` for u < 8, x < 32. Computed
+    * once here and EMBEDDED as literals into the oracle SQL
+    * ([[phashDctTableSql]]) so both engines multiply the identical
+    * integers — no cross-engine `cos` ulp can flip a bit.
+    */
+  private[operators] val PhashDctTable: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.floor(math.cos((2 * x + 1) * u * math.Pi / 64.0) * 1000000.0).toLong)
+
+  /** The table as a SQL VALUES list `(u, x, t)` for the DuckDB replay. */
+  private[graft] def phashDctTableSql: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u,$x,${PhashDctTable(u)(x)})").mkString(",")
+
+  /** 64-bit DCT perceptual hash of a decoded image, integer-exact:
+    * nearest-neighbor 32×32 luma grid (floor index mapping, integer
+    * 299/587/114 luma), the 8×8 low-frequency corner of the fixed-point
+    * DCT, bits set where a coefficient exceeds the median of the 63
+    * non-DC coefficients (strictly — ties clear the bit; the DC bit is
+    * always 0). Returned as two non-negative 32-bit halves so every
+    * arithmetic step — including the oracle's Σ bit·2^k — stays inside
+    * BIGINT with no sign-bit edge.
+    */
+  private[operators] def phash64(img: ImageCodec.DecodedImage): (Long, Long) = {
+    val w = img.width; val h = img.height; val c = img.channels
+    require(c == 1 || c >= 3, s"phash64: unsupported channel count $c")
+    val g = new Array[Long](32 * 32)
+    var y = 0
+    while (y < 32) {
+      val sy = y * h / 32
+      var x = 0
+      while (x < 32) {
+        val sx = x * w / 32
+        val base = (sy * w + sx) * c
+        g(y * 32 + x) =
+          if (c == 1) (img.pixels(base) & 0xff).toLong
+          else {
+            val r = img.pixels(base) & 0xff
+            val gg = img.pixels(base + 1) & 0xff
+            val b = img.pixels(base + 2) & 0xff
+            (299L * r + 587L * gg + 114L * b) / 1000L
+          }
+        x += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var yy = 0
+        while (yy < 32) {
+          val tu = PhashDctTable(u)(yy)
+          var xx = 0
+          while (xx < 32) {
+            s += g(yy * 32 + xx) * PhashDctTable(v)(xx) * tu
+            xx += 1
+          }
+          yy += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(coef, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hi = 0L; var lo = 0L
+    var k = 1
+    while (k < 64) {
+      if (coef(k) > med) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Perceptual-hash relation over an image-blob column: decode (BMP/
+    * netpbm via [[ImageCodec]]), hash via [[phash64]]. The image-dedup
+    * bridge between the codec family and the dedup family — at 100 TB
+    * the 8-byte hash is what crosses exchanges and feeds banded/bucketed
+    * near-dup joins ([[graft.operators.Dedup]]), never pixels.
+    * mapPartitions is the codec-decode exception to the expression rule
+    * (the decoders are imperative byte walks).
+    */
+  def perceptualHash(media: DataFrame, id: String = "doc_id",
+                     mediaCol: String = "media"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(id).cast("long").as("doc_id"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (docId, blob) =>
+          val (hi, lo) = phash64(ImageCodec.decode(blob))
+          (docId, hi, lo)
+        }
+      }
+      .toDF("doc_id", "phash_hi", "phash_lo")
+  }
 }

@@ -455,6 +455,42 @@ class MultimodalSpec extends SparkTestBase {
       s"wrong refusal: ${ex.getCause.getMessage}")
   }
 
+  test("phash64: deterministic, brightness-scale invariant, near beats far") {
+    def img(w: Int, h: Int, f: Int => Int) =
+      ImageCodec.DecodedImage("ppm", w, h, 3,
+        Array.tabulate(w * h * 3)(i => f(i).toByte))
+    val a = img(16, 12, i => (i / 3) % 256)
+    assert(Multimodal.phash64(a) == Multimodal.phash64(img(16, 12, i => (i / 3) % 256)),
+      "hash must be deterministic")
+    // EXACT invariance under positive brightness scaling: all DCT
+    // coefficients and the median scale together, so every bit holds.
+    // Grayscale path (c=1) keeps luma linear in the pixel value.
+    def gray(f: Int => Int) = ImageCodec.DecodedImage("pgm", 16, 12, 1,
+      Array.tabulate(192)(i => f(i).toByte))
+    val base = gray(i => (i * 7) % 80)
+    val scaled = gray(i => ((i * 7) % 80) * 3)
+    assert(Multimodal.phash64(base) == Multimodal.phash64(scaled),
+      "pHash must be invariant under 3x brightness scaling")
+    // perceptual ordering needs TEXTURED content (a pure gradient leaves
+    // 60 of 63 AC coefficients hovering at the median — their bits are
+    // noise by construction): low-amplitude noise over a textured base
+    // stays close; structurally different texture lands near 32/64
+    val tex = img(16, 12, i => (i * 37 + (i * i) % 251) % 256)
+    val near = img(16, 12, i => ((i * 37 + (i * i) % 251) % 256 + i % 3) % 256)
+    val far = img(16, 12, i => (i * 53 + (i * i) % 241) % 256)
+    val (th, tl) = Multimodal.phash64(tex)
+    val (nh, nl) = Multimodal.phash64(near)
+    val (fh, fl) = Multimodal.phash64(far)
+    val hamNear = java.lang.Long.bitCount(th ^ nh) + java.lang.Long.bitCount(tl ^ nl)
+    val hamFar = java.lang.Long.bitCount(th ^ fh) + java.lang.Long.bitCount(tl ^ fl)
+    assert(hamNear < 16, s"low-amplitude noise moved $hamNear of 64 bits")
+    assert(hamFar > hamNear, s"different texture ($hamFar) not farther than noise ($hamNear)")
+    // the halves stay inside 32 bits (the no-sign-bit contract)
+    Seq((th, tl), (nh, nl), (fh, fl)).foreach { case (h, l) =>
+      assert(h >= 0L && h < (1L << 32) && l >= 0L && l < (1L << 32))
+    }
+  }
+
   test("sampleFrames: n fixed-size windows per blob, in-row") {
     val rows = Multimodal.sampleFrames(Multimodal.withMedia(docs), n = 3, frameBytes = 4)
       .select("doc_id", "frames").orderBy("doc_id").collect()
