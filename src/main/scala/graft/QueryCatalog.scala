@@ -852,6 +852,52 @@ object QueryCatalog {
              |  ON e.user_id = d.user_id AND e.ts >= d.dts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // Directional as-of joins — the rest of the pandas merge_asof
+    // surface: forward (earliest snapshot at-or-after) and nearest
+    // (closer of the two, exact tie backward — pandas' rule), both from
+    // the same one-exchange union/window formulation with the dim
+    // timestamp riding in the payload. DuckDB replays forward natively
+    // (ASOF with <=) and nearest as a CASE over both directions, so
+    // every pick — including the µs tie arithmetic — is graded.
+    ("q_asof_directions",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val dim = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+          .agg(max(col("value")).as("snap_value"))
+        val probe = ev.select("event_id", "user_id", "ts")
+        val fwd = Temporal.asofJoinDirectional(probe, dim, "user_id", "ts",
+            Seq("snap_value"), "forward")
+          .withColumnRenamed("snap_value", "fwd_value")
+        val near = Temporal.asofJoinDirectional(probe, dim, "user_id", "ts",
+            Seq("snap_value"), "nearest")
+          .withColumnRenamed("snap_value", "near_value")
+        fwd.join(near, Seq("event_id", "user_id", "ts"))
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("fwd_value"), col("near_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS dts, max(value) AS snap_value
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT e.event_id, e.user_id, e.ts, d.dts AS bts,
+             |        d.snap_value AS bval
+             |      FROM events e ASOF LEFT JOIN dim d
+             |        ON e.user_id = d.user_id AND e.ts >= d.dts),
+             |f AS (SELECT e.event_id, d.dts AS fts, d.snap_value AS fval
+             |      FROM events e ASOF LEFT JOIN dim d
+             |        ON e.user_id = d.user_id AND e.ts <= d.dts)
+             |SELECT b.event_id, strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  f.fval AS fwd_value,
+             |  CASE WHEN b.bval IS NULL THEN f.fval
+             |       WHEN f.fval IS NULL THEN b.bval
+             |       WHEN epoch_us(b.ts) - epoch_us(b.bts)
+             |            <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
+             |       ELSE f.fval END AS near_value
+             |FROM b JOIN f ON f.event_id = b.event_id
+             |ORDER BY b.event_id""".stripMargin)),
+
     // SCD2 history: customer priority states over time — consecutive
     // identical states collapse, valid_to = next valid_from, NULL = current.
     // The change stream is pre-aggregated per (key, instant), the SCD2

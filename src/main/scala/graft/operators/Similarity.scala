@@ -786,6 +786,7 @@ object Similarity {
     */
   def kMeans(embs: DataFrame, id: String, vec: String, k: Int,
              iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"kMeans: need k > 0 and iters > 0, got k=$k iters=$iters")
     val spark = embs.sparkSession
     import spark.implicits._
     val data = embs.filter(col(vec).isNotNull)

@@ -55,6 +55,63 @@ object Temporal {
         valueCols.map(c => col("_asof").getField(c).as(c)): _*)
   }
 
+  /** Directional as-of join — the full pandas `merge_asof` surface over
+    * the same single-shuffle union/window formulation as [[asofJoin]]:
+    *
+    *  - `backward`: greatest dim `ts` ≤ probe's (== [[asofJoin]])
+    *  - `forward`:  smallest dim `ts` ≥ probe's
+    *  - `nearest`:  whichever of the two is closer in time; an exact tie
+    *    takes the backward match (pandas' rule)
+    *
+    * The dim timestamp rides inside the payload struct so `nearest` can
+    * compare distances without a second join. Both window passes share
+    * the ONE exchange on `key` (same partitioning, two sorted frames).
+    * Inclusive on both sides, like pandas with `allow_exact_matches`.
+    */
+  def asofJoinDirectional(probe: DataFrame, dim: DataFrame, key: String,
+                          ts: String, valueCols: Seq[String],
+                          direction: String): DataFrame = {
+    val reserved = Seq("_dim_payload", "_back", "_fwd", "_is_dim", "_dim_ts")
+    val clashes = probe.columns.filter(c => reserved.contains(c) || valueCols.contains(c))
+    require(clashes.isEmpty,
+      s"asofJoinDirectional: probe columns collide: ${clashes.mkString(", ")}")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoinDirectional: unknown direction '$direction'")
+    val dimTagged = dim.select(
+      col(key), col(ts),
+      struct((valueCols.map(col) :+ col(ts).as("_dim_ts")): _*).as("_dim_payload"),
+      lit(1).as("_is_dim"))
+    val probeTagged = probe.withColumn("_is_dim", lit(0))
+    val unioned = probeTagged.unionByName(dimTagged, allowMissingColumns = true)
+    // backward: dims sort BEFORE probes at equal ts so the inclusive
+    // preceding frame sees them; forward mirrors with the following frame
+    // (dims after probes at equal ts remain inside it)
+    val wBack = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_is_dim").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_is_dim").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = unioned
+      .withColumn("_back", last(col("_dim_payload"), ignoreNulls = true).over(wBack))
+      .withColumn("_fwd", first(col("_dim_payload"), ignoreNulls = true).over(wFwd))
+      .filter(col("_is_dim") === 0)
+    val pick = direction match {
+      case "backward" => col("_back")
+      case "forward"  => col("_fwd")
+      case "nearest"  =>
+        val dBack = unix_micros(col(ts)) - unix_micros(col("_back").getField("_dim_ts"))
+        val dFwd = unix_micros(col("_fwd").getField("_dim_ts")) - unix_micros(col(ts))
+        when(col("_back").isNull, col("_fwd"))
+          .when(col("_fwd").isNull, col("_back"))
+          .when(dBack <= dFwd, col("_back"))
+          .otherwise(col("_fwd"))
+    }
+    both.withColumn("_pick", pick)
+      .select(probe.columns.map(col) ++
+        valueCols.map(c => col("_pick").getField(c).as(c)): _*)
+  }
+
   /** Interval-containment join: every (`points` row, `intervals` row) pair
     * with matching `key` and `lo ≤ ts ≤ hi`.
     *

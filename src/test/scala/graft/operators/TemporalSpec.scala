@@ -125,4 +125,33 @@ class TemporalSpec extends SparkTestBase {
     assert(exchanges <= 1, s"scd2 shuffles $exchanges times:\n$p")
     assert(sorts <= 1, s"scd2 re-sorts between windows ($sorts sorts):\n$p")
   }
+
+  test("asofJoinDirectional: forward and nearest semantics, ties backward") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 12:00:00"), 200.0)).toDF("k", "ts", "v")
+    val probe = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")),  // before all: fwd=100, near=100
+      (11L, 1L, ts("2024-01-01 10:30:00")),  // back 100 (30m), fwd 200 (90m) -> near 100
+      (12L, 1L, ts("2024-01-01 11:00:00")),  // EXACT tie 60m/60m -> backward 100
+      (13L, 1L, ts("2024-01-01 11:30:00")),  // back 100 (90m), fwd 200 (30m) -> near 200
+      (14L, 1L, ts("2024-01-01 12:00:00")),  // exact match both directions -> 200
+      (15L, 1L, ts("2024-01-01 13:00:00"))   // after all: fwd NULL, near=200
+    ).toDF("id", "k", "ts")
+    def run(dir: String) =
+      Temporal.asofJoinDirectional(probe, dim, "k", "ts", Seq("v"), dir)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val fwd = run("forward")
+    assert(fwd == Map(10L -> Some(100.0), 11L -> Some(200.0), 12L -> Some(200.0),
+      13L -> Some(200.0), 14L -> Some(200.0), 15L -> None))
+    val near = run("nearest")
+    assert(near == Map(10L -> Some(100.0), 11L -> Some(100.0), 12L -> Some(100.0),
+      13L -> Some(200.0), 14L -> Some(200.0), 15L -> Some(200.0)))
+    val back = run("backward")
+    assert(back == Map(10L -> None, 11L -> Some(100.0), 12L -> Some(100.0),
+      13L -> Some(100.0), 14L -> Some(200.0), 15L -> Some(200.0)))
+  }
 }
