@@ -484,6 +484,46 @@ object QueryCatalog {
              |FROM orders WHERE o_orderkey % 10 = 0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Time travel over the versioned table: create v0, upsert to v1, and
+    // read BOTH versions side by side — the immutable version directory
+    // IS the snapshot index, so the old profile must equal the pre-upsert
+    // state exactly (a reader holding v0 is unaffected by the v1 commit).
+    // DuckDB replays both generations from the upsert algebra closed-form.
+    ("q_time_travel",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val root = scratchDir("tt_table")
+        val v0 = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        graft.reddit.PostsTable.create(v0, root, key = "o_orderkey")
+        val staged = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice"))
+        graft.reddit.PostsTable.upsert(s, root, staged, key = "o_orderkey")
+        val vs = graft.reddit.PostsTable.versions(root)
+        val old = graft.reddit.PostsTable.readVersion(s, root, vs.head)
+        val cur = graft.reddit.PostsTable.read(s, root).drop("extract_date")
+        def prof(df: DataFrame, p: String) = df.agg(
+          count(lit(1)).as(s"${p}_n"),
+          expr("CAST(floor((2*CAST(round(sum(o_totalprice)*10000) AS BIGINT) + 100) / 200e0) AS BIGINT)")
+            .as(s"${p}_cents"))
+        prof(old, "v0").crossJoin(prof(cur, "v1"))
+          .select(col("v0_n"), col("v0_cents"), col("v1_n"), col("v1_cents"))
+      },
+      Some("""WITH v0 AS (SELECT o_orderkey AS k, o_totalprice AS p
+             |            FROM orders WHERE o_orderkey % 3 = 0),
+             |st AS (SELECT o_orderkey AS k, o_totalprice * 2.0 AS p
+             |       FROM orders WHERE o_orderkey % 5 = 0),
+             |v1 AS (SELECT k, p FROM v0 WHERE k NOT IN (SELECT k FROM st)
+             |       UNION ALL SELECT k, p FROM st),
+             |p0 AS (SELECT count(*) AS v0_n,
+             |         CAST(floor((2*CAST(round(sum(p)*10000) AS BIGINT) + 100)
+             |           / 200e0) AS BIGINT) AS v0_cents FROM v0),
+             |p1 AS (SELECT count(*) AS v1_n,
+             |         CAST(floor((2*CAST(round(sum(p)*10000) AS BIGINT) + 100)
+             |           / 200e0) AS BIGINT) AS v1_cents FROM v1)
+             |SELECT p0.v0_n, p0.v0_cents, p1.v1_n, p1.v1_cents
+             |FROM p0 CROSS JOIN p1""".stripMargin)),
+
     // CDC apply — the lakehouse MERGE primitive beyond upsert: a change
     // log with deletes, conflicting out-of-order updates, and inserts
     // folds onto the orders snapshot last-writer-wins by (key, seq).

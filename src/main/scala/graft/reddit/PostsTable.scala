@@ -299,6 +299,31 @@ object PostsTable {
     finally stream.close()
   }
 
+  /** Time-travel read: any still-retained version by number. The
+    * versioned-directory layout IS the time-travel index — a version is
+    * immutable once committed, so this read needs no snapshot isolation
+    * machinery; [[vacuum]]'s `keep` window bounds how far back is
+    * readable (the Delta/Iceberg retention trade, stated plainly).
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val dir = versionDir(root, v)
+    require(Files.isDirectory(dir),
+      s"PostsTable: version v_$v not retained at $root (vacuumed or never written)")
+    spark.read.parquet(dir.toString).drop("extract_date")
+  }
+
+  /** Retained version numbers, ascending. */
+  def versions(root: String): Seq[Long] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v_") && n.drop(2).forall(_.isDigit))
+      .map(_.drop(2).toLong).toSeq.sorted
+    finally stream.close()
+  }
+
   /** Drop all but the newest `keep` versions (old readers get a grace
     * window; storage stays bounded).
     */

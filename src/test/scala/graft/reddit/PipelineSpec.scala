@@ -172,4 +172,29 @@ class PipelineSpec extends SparkTestBase {
       s"expected ${stats.length} bars")
     assert(svg.contains("avg score by subreddit"))
   }
+
+  test("time travel: a retained version reads back exactly; vacuum bounds history") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("tt_spec").toString
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    PostsTable.create(v0, root, key = "id")
+    PostsTable.upsert(spark, root, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), key = "id")
+    val vs = PostsTable.versions(root)
+    assert(vs == Seq(0L, 1L))
+    val old = PostsTable.readVersion(spark, root, 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      "v0 must be untouched by the v1 commit")
+    val cur = PostsTable.read(spark, root).drop("extract_date")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // a second upsert vacuums v0 (keep=2): time travel past the window fails loudly
+    PostsTable.upsert(spark, root, Seq((5L, "e")).toDF("id", "v"), key = "id")
+    assert(PostsTable.versions(root) == Seq(1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      PostsTable.readVersion(spark, root, 0L)
+    }
+    assert(ex.getMessage.contains("not retained"))
+  }
 }
