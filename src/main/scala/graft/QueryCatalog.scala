@@ -2902,6 +2902,47 @@ object QueryCatalog {
     // so the DuckDB oracle replays all 5 iterations as chained CTEs and
     // the hash must match exactly; the engine's data-derived out-degrees
     // are cross-checked against the oracle's closed-form constant 3.
+    // Connected components by bounded-round min-label propagation — the
+    // step that turns near-dup PAIRS into dedup GROUPS. The block graph
+    // (decade stars chained to 100-block roots) has known components of
+    // depth 2, so 4 rounds provably converge and DuckDB replays every
+    // round as a chained CTE — membership, counts, and id sums all
+    // hash-exact, no convergence hand-waving.
+    ("q_connected_components",
+      (s: SparkSession, d: String) => {
+        val nodes = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        Graph.connectedComponents(nodes,
+            Graph.blockEdges(nodes, "doc_id"), "doc_id", iters = 4)
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("doc_id")).as("sum_v"))
+          .orderBy("component")
+      },
+      Some("""WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS v FROM documents),
+             |e0 AS (
+             |  SELECT v AS src, v - v % 10 AS dst FROM nodes WHERE v % 10 <> 0
+             |  UNION ALL
+             |  SELECT v, v - v % 100 FROM nodes
+             |  WHERE v % 10 = 0 AND v % 100 <> 0),
+             |e AS (SELECT DISTINCT src, dst FROM
+             |        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+             |l0 AS (SELECT v, v AS label FROM nodes),
+             |l1 AS (SELECT l.v, least(l.label, coalesce(m.nl, l.label)) AS label
+             |       FROM l0 l LEFT JOIN (SELECT e.dst AS v, min(p.label) AS nl
+             |         FROM e JOIN l0 p ON p.v = e.src GROUP BY 1) m ON m.v = l.v),
+             |l2 AS (SELECT l.v, least(l.label, coalesce(m.nl, l.label)) AS label
+             |       FROM l1 l LEFT JOIN (SELECT e.dst AS v, min(p.label) AS nl
+             |         FROM e JOIN l1 p ON p.v = e.src GROUP BY 1) m ON m.v = l.v),
+             |l3 AS (SELECT l.v, least(l.label, coalesce(m.nl, l.label)) AS label
+             |       FROM l2 l LEFT JOIN (SELECT e.dst AS v, min(p.label) AS nl
+             |         FROM e JOIN l2 p ON p.v = e.src GROUP BY 1) m ON m.v = l.v),
+             |l4 AS (SELECT l.v, least(l.label, coalesce(m.nl, l.label)) AS label
+             |       FROM l3 l LEFT JOIN (SELECT e.dst AS v, min(p.label) AS nl
+             |         FROM e JOIN l3 p ON p.v = e.src GROUP BY 1) m ON m.v = l.v)
+             |SELECT label AS component, count(*) AS n_nodes,
+             |  CAST(sum(v) AS BIGINT) AS sum_v
+             |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("q_pagerank",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

@@ -88,4 +88,69 @@ object Graph {
     Materialize.release(withDeg, reliable)
     out
   }
+
+  /** Deterministic multi-component test graph: within each `blockSize`
+    * block of ids, non-hub nodes (id % 10 ≠ 0) star onto their decade hub
+    * (id − id%10), and hubs chain onto the block root (id − id%blockSize).
+    * Every block is one component of known membership, depth 2 — so
+    * min-label propagation converges in 3 rounds and the oracle can
+    * replay each round as a chained CTE. Closed-form, like
+    * [[arithmeticEdges]]; real corpora bring their own edge list.
+    */
+  def blockEdges(nodes: DataFrame, id: String, blockSize: Long = 100L): DataFrame = {
+    require(blockSize >= 20, s"blockEdges: blockSize must be >= 20, got $blockSize")
+    val v = nodes.select(col(id).cast("long").as("src"))
+    val leaf = v.filter(col("src") % 10 =!= 0)
+      .select(col("src"), (col("src") - col("src") % 10).as("dst"))
+    val hub = v.filter(col("src") % 10 === 0 && col("src") % blockSize =!= 0)
+      .select(col("src"), (col("src") - col("src") % blockSize).as("dst"))
+    leaf.unionByName(hub)
+  }
+
+  /** Connected components by bounded-round min-label propagation —
+    * the consolidation step that turns near-dup PAIRS into dedup GROUPS
+    * at corpus scale. Labels start at the node id; each round every node
+    * takes the minimum of its own label and its neighbours' previous
+    * labels (edges symmetrized once up front). After `iters` rounds every
+    * component whose radius (from its minimum-id node) is ≤ `iters` has
+    * converged to that minimum id — the caller picks `iters` from the
+    * expected component diameter, and the fixed round count is what keeps
+    * the operator oracle-replayable instead of
+    * converged-whenever-the-loop-stopped.
+    *
+    * Scale shape (the PageRank discipline): the symmetrized edge relation
+    * is materialized ONCE; each round is one join against the node-sized
+    * label relation plus one `groupBy(dst) min` partial-agg exchange —
+    * min is fully combinable, so a hot hub reduces map-side. Superseded
+    * label rounds are released.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, id: String,
+                          iters: Int, reliable: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"connectedComponents: iters must be 1..100, got $iters")
+    val sym = Materialize.once(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+        .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+        .distinct(), reliable, eager = reliable)
+    var labels = Materialize.once(
+      nodes.select(col(id).cast("long").as("v"), col(id).cast("long").as("label")),
+      reliable, eager = reliable)
+    var it = 0
+    while (it < iters) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(min(col("label")).as("nl"))
+      val next = Materialize.once(
+        labels.join(nbrMin, Seq("v"), "left")
+          .select(col("v"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
+        reliable, eager = reliable)
+      Materialize.release(labels, reliable)
+      labels = next
+      it += 1
+    }
+    val out = labels.select(col("v").as(id), col("label").as("component"))
+    Materialize.release(sym, reliable)
+    out
+  }
 }

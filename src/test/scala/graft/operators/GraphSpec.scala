@@ -62,4 +62,25 @@ class GraphSpec extends SparkTestBase {
     val leaked = spark.sparkContext.getPersistentRDDs.size - before
     assert(leaked <= 1, s"$leaked persisted entries leaked from the iteration")
   }
+
+  test("connectedComponents: block graph converges to known membership; rounds are bounded") {
+    import spark.implicits._
+    val nodes = (0L until 250L).toDF("v")
+    val edges = Graph.blockEdges(nodes, "v")
+    val cc = Graph.connectedComponents(nodes, edges, "v", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 250)
+    assert((0L until 250L).forall(v => cc(v) == v - v % 100),
+      "every node must label to its block root")
+    // bounded rounds are semantics, not an accident: after ONE round a
+    // leaf has only reached its decade hub, not the block root
+    val one = Graph.connectedComponents(nodes, edges, "v", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(145L) == 140L && cc(145L) == 100L,
+      s"round-1 label ${one(145L)} should be the hub, round-4 ${cc(145L)} the root")
+    // determinism
+    val again = Graph.connectedComponents(nodes, edges, "v", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == cc)
+  }
 }
