@@ -2387,8 +2387,12 @@ object QueryCatalog {
     // never touches the BIGINT sign bit in either engine.
     ("q_phash",
       (s: SparkSession, d: String) => {
-        val ph = Multimodal.perceptualHash(
-          Multimodal.withPixelMedia(t(s, d, "documents")))
+        // hashes materialized ONCE: ph and its shifted self are two
+        // consumers, and without this the decode+DCT chain runs twice
+        // (the tfidfTopTerms lesson)
+        val ph = graft.operators.Materialize.once(
+          Multimodal.perceptualHash(
+            Multimodal.withPixelMedia(t(s, d, "documents"))), reliable = false)
         val prev = ph.select((col("doc_id") + 1).as("doc_id"),
           col("phash_hi").as("p_hi"), col("phash_lo").as("p_lo"))
         ph.join(prev, Seq("doc_id"), "left")

@@ -677,7 +677,9 @@ object Curation {
       .agg(expr("sum(c * r) div sum(c)").as("score_micro"))
     val all = base.select("doc_id").join(scored, Seq("doc_id"), "left")
       .na.fill(0L, Seq("score_micro"))
-    val nSel = (base.count() / selectNth).toInt
+    // saturating clamp: a 10¹⁰-doc corpus over selectNth=4 overflows a
+    // bare .toInt into a negative limit
+    val nSel = math.min(base.count() / selectNth, Int.MaxValue.toLong).toInt
     all.orderBy(col("score_micro").desc, col("doc_id")).limit(nSel)
       .orderBy("doc_id")
   }

@@ -145,13 +145,19 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, id: String, text: String,
                          tauNum: Int = 9, tauDen: Int = 10,
-                         maxId: Long = 1000000L): DataFrame = {
+                         maxId: Long = 1000000L,
+                         reliable: Boolean = false): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen,
       s"prefixJaccardPairs: bad threshold $tauNum/$tauDen")
-    val toks = docs.filter(col(id) < maxId)
-      .select(col(id).cast("long").as("doc_id"),
-        array_distinct(graft.operators.TextAnalysis.tokens(col(text))).as("toks"))
-      .filter(size(col("toks")) > 0)
+    // tokenized ONCE: candidate generation and both verify joins are
+    // three consumers of the token relation — without the
+    // materialization each is a separately-pruned subplan that re-scans
+    // and re-tokenizes the corpus (the tfidfTopTerms lesson)
+    val toks = Materialize.once(
+      docs.filter(col(id) < maxId)
+        .select(col(id).cast("long").as("doc_id"),
+          array_distinct(graft.operators.TextAnalysis.tokens(col(text))).as("toks"))
+        .filter(size(col("toks")) > 0), reliable)
     val cand = prefixCandidates(toks, tauNum, tauDen)
     cand
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))

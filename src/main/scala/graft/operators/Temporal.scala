@@ -71,10 +71,11 @@ object Temporal {
   def asofJoinDirectional(probe: DataFrame, dim: DataFrame, key: String,
                           ts: String, valueCols: Seq[String],
                           direction: String): DataFrame = {
-    val reserved = Seq("_dim_payload", "_back", "_fwd", "_is_dim", "_dim_ts")
-    val clashes = probe.columns.filter(c => reserved.contains(c) || valueCols.contains(c))
+    val reserved = Seq("_dim_payload", "_back", "_fwd", "_is_dim", "_dim_ts", "_pick")
+    val clashes = probe.columns.filter(c => reserved.contains(c) || valueCols.contains(c)) ++
+      valueCols.filter(reserved.contains) // a valueCol named _dim_ts would duplicate a struct field
     require(clashes.isEmpty,
-      s"asofJoinDirectional: probe columns collide: ${clashes.mkString(", ")}")
+      s"asofJoinDirectional: probe columns collide: ${clashes.distinct.mkString(", ")}")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asofJoinDirectional: unknown direction '$direction'")
     val dimTagged = dim.select(

@@ -319,7 +319,10 @@ object PostsTable {
     val stream = Files.list(dir)
     try stream.iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v_") && n.drop(2).forall(_.isDigit))
+      // length > 2: a stray bare "v_" dir would make "".toLong throw;
+      // <= 19 digits keeps the parse inside Long
+      .filter(n => n.startsWith("v_") && n.length > 2 && n.length <= 21
+        && n.drop(2).forall(_.isDigit))
       .map(_.drop(2).toLong).toSeq.sorted
     finally stream.close()
   }

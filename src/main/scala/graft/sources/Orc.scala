@@ -26,9 +26,16 @@ object Orc {
 
   /** Read with the expected schema enforced (by-name projection, the ORC
     * reader resolves columns positionally only for schema-less files —
-    * ours carry names). A column absent from the files reads as NULL,
-    * which the boundary check below rejects loudly.
+    * ours carry names). Spark would silently read a column absent from
+    * the files as all-NULL; the footer-schema check below turns that
+    * drift into a loud boundary failure instead (footer read only — no
+    * data scan).
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val actual = spark.read.orc(path).schema.fieldNames.toSet
+    val missing = schema.fieldNames.filterNot(actual.contains)
+    require(missing.isEmpty,
+      s"Orc.read: columns missing from $path: ${missing.mkString(", ")}")
     spark.read.schema(schema).orc(path)
+  }
 }

@@ -26,6 +26,15 @@ class OrcSpec extends SparkTestBase {
     assert(files.exists(_.endsWith(".orc")), files.mkString(", "))
   }
 
+  test("read rejects schema drift at the boundary: missing column fails loudly") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val path = Files.createTempDirectory("orc_drift").toString
+    Orc.write(df, path)
+    val wider = df.schema.add("extra", org.apache.spark.sql.types.DoubleType)
+    val ex = intercept[IllegalArgumentException](Orc.read(spark, path, wider))
+    assert(ex.getMessage.contains("extra"), ex.getMessage)
+  }
+
   test("filters push into the ORC scan") {
     val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
     val path = Files.createTempDirectory("orc_push").toString
