@@ -215,6 +215,14 @@ object QueryCatalog {
       |                    AND o2.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  private val LateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
   private val GroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
@@ -524,6 +532,30 @@ object QueryCatalog {
              |SELECT p0.v0_n, p0.v0_cents, p1.v1_n, p1.v1_cents
              |FROM p0 CROSS JOIN p1""".stripMargin)),
 
+    // Unpivot (melt): the wide per-source profile folds into long
+    // (source, metric, value) form — the reshape every metrics store
+    // ingests. Spark's native unpivot (Expand under the hood — one pass,
+    // no join); DuckDB replays as a UNION ALL stack.
+    ("q_unpivot",
+      (s: SparkSession, d: String) => {
+        val wide = t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            sum("n_chars").cast("double").as("sum_chars"),
+            count_distinct(col("lang")).cast("double").as("n_langs"))
+        wide.unpivot(Array(col("source")),
+            Array(col("n_docs"), col("sum_chars"), col("n_langs")),
+            "metric", "value")
+          .orderBy("source", "metric")
+      },
+      Some("""WITH w AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+             |    CAST(sum(n_chars) AS DOUBLE) AS sum_chars,
+             |    CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+             |  FROM documents GROUP BY 1)
+             |SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+             |UNION ALL SELECT source, 'sum_chars', sum_chars FROM w
+             |UNION ALL SELECT source, 'n_langs', n_langs FROM w
+             |ORDER BY source, metric""".stripMargin)),
+
     // CDC apply — the lakehouse MERGE primitive beyond upsert: a change
     // log with deletes, conflicting out-of-order updates, and inserts
     // folds onto the orders snapshot last-writer-wins by (key, seq).
@@ -683,6 +715,18 @@ object QueryCatalog {
         s.sql(ExistsSql)
       },
       Some(ExistsSql)),
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // top-n-per-key shape as SQL text (the window-free formulation an
+    // analyst actually writes). One shared string: Catalyst must plan
+    // the correlated limit (decorrelation into a ranked join) and match
+    // DuckDB's LATERAL row-for-row, tiebreaks included.
+    ("q_sql_lateral",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(LateralSql)
+      },
+      Some(LateralSql)),
 
     // GROUPING SETS with grouping() markers — the third grouping-family
     // row beside rollup and cube, again one shared string. The sum uses
