@@ -5508,7 +5508,129 @@ object QueryCatalog {
              |          ELSE list_inner_product(a.v, b.v)
              |               / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) END, 6) AS cosine
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-             |WHERE cosine >= 0.99 ORDER BY a_id, b_id""".stripMargin))
+             |WHERE cosine >= 0.99 ORDER BY a_id, b_id""".stripMargin)),
+
+    // Per-domain frequency cap (RefinedWeb-style): keep the 10 longest
+    // docs per source, ties to the lower id, via the bounded topk_pairs
+    // aggregate (O(cap) state, map-side combined). The oracle is the
+    // row_number-window formulation the engine deliberately avoids — so
+    // the grade proves the skew-proof shape computes the window's answer.
+    ("q_domain_cap",
+      (s: SparkSession, d: String) =>
+        Curation.domainCap(t(s, d, "documents"), "source", "doc_id",
+            col("n_chars"), cap = 10)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // C4-style corpus LINE dedup, keep-first semantics: multi-line docs are
+    // constructed by prefixing every document with a corpus-wide header
+    // line and a per-source line, so the dedup must (a) keep the header
+    // exactly once globally, (b) keep each source line once in that
+    // source's first doc, (c) leave the unique body lines alone. The
+    // keeper is the global (doc_id, pos) argmin — a combinable
+    // min-of-struct, replayed in the oracle as min(doc_id*1e6+pos).
+    ("q_line_dedup",
+      (s: SparkSession, d: String) => {
+        val docs2 = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("every doc shares this header\n"),
+            lit("src "), col("source"), lit("\n"), col("text")).as("text"))
+        Dedup.lineDedup(docs2, "doc_id", "text", minCount = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d2 AS (SELECT doc_id,
+             |    'every doc shares this header' || chr(10) || 'src ' || source
+             |      || chr(10) || text AS t
+             |  FROM documents),
+             |ln AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM d2),
+             |l AS (SELECT doc_id, i - 1 AS pos, a[i] AS line
+             |      FROM ln, unnest(range(1, len(a)+1)) AS u(i)),
+             |h AS (SELECT doc_id, pos, line, md5(trim(line)) AS k FROM l),
+             |c AS (SELECT k, count(*) AS n,
+             |        min(doc_id * 1000000 + pos) AS keeper FROM h GROUP BY 1),
+             |kept AS (SELECT h.doc_id, h.pos, h.line FROM h JOIN c USING (k)
+             |         WHERE c.n < 3 OR h.doc_id * 1000000 + h.pos = c.keeper),
+             |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             |               count(*) AS n_kept FROM kept GROUP BY 1),
+             |tot AS (SELECT doc_id, len(string_split(t, chr(10))) AS n_lines FROM d2)
+             |SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+             |  coalesce(agg.n_kept, 0) AS n_kept,
+             |  CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""".stripMargin)),
+
+    // Multi-clause MERGE on a deterministic delta of orders: every 5th key
+    // arrives as a source row (every 3rd of those a DELETE, the rest
+    // UPDATE price+status), and every 11th≡3 key re-arrives shifted as an
+    // INSERT with half price. Prices ride as integer cents (floor of the
+    // same double in both engines) so every clause's arithmetic is
+    // BIGINT-exact — the engine-stable discipline, no float rounding in
+    // the grade.
+    ("q_merge_multi",
+      (s: SparkSession, d: String) => {
+        val target = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        val src = target.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, "D").otherwise("U").as("op"),
+            expr("price_cents * 11 div 10").as("new_cents"))
+          .unionByName(target.filter(col("o_orderkey") % 11 === 3)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              lit("I").as("op"),
+              expr("price_cents div 2").as("new_cents")))
+        Relational.mergeInto(target, src, "o_orderkey",
+            deleteWhen = col("s_op") === "D",
+            updates = Map(
+              "price_cents" -> col("s_new_cents"),
+              "o_orderstatus" -> lit("M")),
+            insertWhen = col("s_op") === "I")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             |  FROM orders),
+             |src AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             |    price_cents * 11 // 10 AS new_cents
+             |  FROM tgt WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, 'I', price_cents // 2
+             |  FROM tgt WHERE o_orderkey % 11 = 3),
+             |m AS (
+             |  SELECT t.o_orderkey AS tk, t.o_custkey, t.o_orderstatus,
+             |         t.price_cents, s.o_orderkey AS sk, s.op, s.new_cents
+             |  FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+             |SELECT coalesce(tk, sk) AS o_orderkey, o_custkey,
+             |  CASE WHEN sk IS NULL THEN o_orderstatus ELSE 'M' END AS o_orderstatus,
+             |  CASE WHEN sk IS NULL THEN price_cents ELSE new_cents END AS price_cents
+             |FROM m
+             |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND op = 'D')
+             |  AND (tk IS NOT NULL OR op = 'I')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // lag/lead/ntile/percent_rank in ONE window pass per user — the
+    // sequence-feature surface (inter-arrival gaps, activity quartiles).
+    // Gaps are µs BIGINTs (no float time math); percent_rank is the only
+    // float and rounds at 6dp on an O(1) value.
+    ("q_w4_seq_features",
+      (s: SparkSession, d: String) =>
+        Relational.sequenceFeatures(t(s, d, "events"), "user_id", "ts", "event_id")
+          .select(col("user_id"), col("event_id"), col("gap_prev_us"),
+            col("gap_next_us"), col("quartile").cast("long").as("quartile"),
+            col("pct_rank"))
+          .orderBy("event_id"),
+      Some("""SELECT user_id, event_id,
+             |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_prev_us,
+             |  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_next_us,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

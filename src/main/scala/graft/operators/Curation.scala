@@ -683,4 +683,28 @@ object Curation {
     all.orderBy(col("score_micro").desc, col("doc_id")).limit(nSel)
       .orderBy("doc_id")
   }
+
+  /** Per-domain frequency cap (the RefinedWeb/CC-pipeline "domain capping"
+    * step): keep at most `cap` documents per domain, preferring higher
+    * `score`, ties to the lower id. Without it a handful of SEO farms and
+    * boilerplate-heavy hosts dominate a web-scale corpus no matter how good
+    * the per-document quality filters are — the cap bounds any single
+    * domain's contribution to the training mix by construction.
+    *
+    * Scale shape: the keep-set comes from the bounded
+    * [[graft.functions.topk_pairs]] aggregate — O(cap) reducer state per
+    * domain, partially aggregated map-side, so a 10⁸-page domain sends
+    * `cap` pairs per partition across the shuffle, never its row set (the
+    * `row_number` window formulation sorts the whole domain inside one
+    * task — exactly the skew OOM a hot domain triggers at 100 TB). The
+    * ids-only keep-set (#domains × cap rows) then left-semi-joins back to
+    * the corpus; AQE broadcasts it, so the corpus itself never shuffles.
+    */
+  def domainCap(df: DataFrame, domain: String, id: String,
+                score: Column, cap: Int): DataFrame = {
+    val kept = df.groupBy(col(domain))
+      .agg(graft.functions.topk_pairs(score, col(id), cap).as("top"))
+      .select(explode(col("top.id")).as("_keep_id"))
+    df.join(kept, col(id).cast("long") === col("_keep_id"), "left_semi")
+  }
 }

@@ -841,4 +841,55 @@ object Dedup {
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .distinct()
+
+  /** Corpus-level exact LINE dedup (the C4 / RefinedWeb line-dedup step):
+    * any line whose normalized form (whitespace-trimmed) occurs at least
+    * `minCount` times across the whole corpus is removed from every
+    * document EXCEPT its single globally-first occurrence (smallest
+    * `(doc_id, pos)`) — boilerplate navigation, cookie banners and license
+    * headers vanish corpus-wide while one canonical copy survives, which
+    * is C4's published "keep one" semantic rather than a lossy drop-all.
+    * Lines below the threshold pass through untouched. Returns one row per
+    * input document: `(doc_id, text, n_kept, n_removed)` with `text`
+    * reassembled from the kept lines in original order (original bytes,
+    * not the trimmed match key; a fully-boilerplate document survives as
+    * an empty string rather than disappearing).
+    *
+    * Scale shape: line TEXT never crosses a shuffle. The exploded line
+    * relation carries `(doc_id, pos, key)` where key is the line's md5 —
+    * the census (`count` + combinable min-of-struct argmin for the keeper)
+    * is a two-phase hash aggregate on that key, and the verdict join runs
+    * on the SAME key so the exchange is reused, not repeated. Kept
+    * POSITIONS (ints) then group back per doc — O(lines(doc)) state, the
+    * same bound as any per-document op — and reassembly re-splits the
+    * original text in-row, keeping surviving positions. The md5-hex key is
+    * what the DuckDB oracle can replay; at 100 TB you'd swap it for
+    * xxhash64 (8-byte exchanges, identical shape).
+    */
+  def lineDedup(docs: DataFrame, id: String, text: String,
+                minCount: Int): DataFrame = {
+    require(minCount >= 2, s"lineDedup: minCount must be >= 2, got $minCount")
+    val base = docs.select(col(id).cast("long").as("doc_id"),
+      col(text).as("_text"))
+    val lines = base.select(col("doc_id"),
+        posexplode(split(col("_text"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), md5(trim(col("line"))).as("k"))
+    val census = lines.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val keptPos = lines.join(census, Seq("k"))
+      .filter(col("n") < minCount ||
+        (col("keeper.doc_id") === col("doc_id") && col("keeper.pos") === col("pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("keep"))
+    base.join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          transform(coalesce(col("keep"), array().cast("array<int>")),
+            p => element_at(split(col("_text"), "\n"), p + 1)),
+          "\n").as("text"),
+        coalesce(size(col("keep")), lit(0)).cast("long").as("n_kept"),
+        (size(split(col("_text"), "\n")) -
+          coalesce(size(col("keep")), lit(0))).cast("long").as("n_removed"))
+  }
 }

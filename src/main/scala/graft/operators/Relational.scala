@@ -473,4 +473,78 @@ object Relational {
     }
     rows.toDF("col_name", "status", "old_type", "new_type", "old_nulls", "new_nulls")
   }
+
+  /** Multi-clause MERGE (the Delta/Iceberg `MERGE INTO` statement expressed
+    * relationally), evaluated in standard clause order:
+    *
+    *   1. WHEN MATCHED AND `deleteWhen`  THEN DELETE
+    *   2. WHEN MATCHED                   THEN UPDATE SET `updates`
+    *   3. WHEN NOT MATCHED AND `insertWhen` THEN INSERT
+    *
+    * Target rows without a source match pass through untouched; source
+    * rows that match nothing and fail `insertWhen` (e.g. a delete for an
+    * absent key) are ignored. Inside `deleteWhen` / `updates` /
+    * `insertWhen`, target columns are addressed by their own names and
+    * source columns as `s_<name>` — both sides are in scope, so an update
+    * can mix them (`col("o_totalprice") + col("s_delta")`). On insert,
+    * each target column takes `updates` evaluated with target-side inputs
+    * NULL (the INSERT VALUES expression), or stays NULL if unmapped.
+    *
+    * Contract (same as every MERGE engine's): at most one source row per
+    * key — duplicates make the result nondeterministic, and Delta throws
+    * exactly here. [[cdcApply]] is the variant that RESOLVES duplicates by
+    * sequence number; this one applies an already-resolved delta.
+    *
+    * Scale shape: one full-outer shuffle join on the key (the source delta
+    * is usually micro-batch-sized, so AQE turns it into a broadcast and
+    * the target never shuffles); clause resolution is a pure in-row CASE —
+    * whole-stage codegen, no window, no second pass.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, key: String,
+                deleteWhen: Column, updates: Map[String, Column],
+                insertWhen: Column): DataFrame = {
+    val s = source.columns.foldLeft(source) { (df, c) =>
+      df.withColumnRenamed(c, if (c == key) c else s"s_$c")
+    }
+    val joined = target.withColumn("_in_t", lit(true))
+      .join(s.withColumn("_in_s", lit(true)), Seq(key), "full_outer")
+    val matched = col("_in_t").isNotNull && col("_in_s").isNotNull
+    val kept = joined.filter(
+      // survives unless: matched delete clause, or an unmatched source row
+      // whose insert clause declines
+      (!matched || !coalesce(deleteWhen, lit(false))) &&
+        (col("_in_t").isNotNull || coalesce(insertWhen, lit(false))))
+    kept.select(col(key) +: target.columns.filterNot(_ == key).toSeq.map { c =>
+      val updated = updates.getOrElse(c, col(c))
+      when(col("_in_s").isNull, col(c)).otherwise(updated).as(c)
+    }: _*)
+  }
+
+  /** Per-entity sequence features over an ordered event stream — the
+    * lag/lead/ntile/percent_rank window surface in one pass: for each row,
+    * the µs gap to the previous and next event of the same entity, the
+    * event's quartile by `order` position, and its percent rank. The
+    * feature-engineering step behind session-gap stats, inter-arrival
+    * models and per-user activity curves.
+    *
+    * Scale shape: ONE window partitioning serves all four functions (one
+    * shuffle on the entity key, one sort per partition); state is a single
+    * row of look-behind/look-ahead — nothing accumulates. Partition sizes
+    * are per-entity event counts, the natural bound; a pathological
+    * hot entity is a data-model problem (pre-split by day) rather than an
+    * operator one.
+    */
+  def sequenceFeatures(df: DataFrame, entity: String, order: String,
+                       tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col(order).asc, col(tiebreak).asc)
+    df.select(col(entity), col(tiebreak), col(order))
+      .withColumn("gap_prev_us",
+        unix_micros(col(order)) - unix_micros(lag(col(order), 1).over(w)))
+      .withColumn("gap_next_us",
+        unix_micros(lead(col(order), 1).over(w)) - unix_micros(col(order)))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
 }

@@ -456,4 +456,22 @@ class CurationSpec extends SparkTestBase {
       real.count()
     assert(pickedEn > corpusEn, s"picked en=$pickedEn corpus en=$corpusEn")
   }
+
+  test("domainCap: top-cap per domain by score, ties to lower id, skewed domain bounded") {
+    val rows = Seq(
+      // hot domain: 6 docs, scores with a tie at 30
+      ("hot", 1L, 10.0), ("hot", 2L, 30.0), ("hot", 3L, 30.0),
+      ("hot", 4L, 50.0), ("hot", 5L, 20.0), ("hot", 6L, 40.0),
+      // small domain under the cap: everything survives
+      ("tiny", 7L, 1.0), ("tiny", 8L, 2.0))
+      .toDF("source", "doc_id", "score")
+    val kept = Curation.domainCap(rows, "source", "doc_id", col("score"), cap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // hot: 50, 40, then the 30-tie resolves to the LOWER id (2, not 3)
+    assert(kept == Set(4L, 6L, 2L, 7L, 8L), s"got $kept")
+    // content-stable under repartition (the aggregate is order-independent)
+    val again = Curation.domainCap(rows.repartition(7), "source", "doc_id",
+      col("score"), cap = 3).select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
 }

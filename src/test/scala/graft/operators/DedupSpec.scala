@@ -472,4 +472,28 @@ class DedupSpec extends SparkTestBase {
     val nAll = 40L * 39 / 2
     assert(nCand <= nAll / 10, s"prefix filter pruned nothing: $nCand of $nAll")
   }
+
+  test("lineDedup: keep-first global semantics, reassembly preserves original bytes") {
+    val docs = Seq(
+      (10L, "boiler\nunique ten\nboiler"),   // first doc: keeps pos-0 boiler, drops pos-2
+      (20L, "boiler\nunique twenty"),        // later doc: boiler removed
+      (30L, "boiler \nboiler"),              // trailing space normalizes to the same key
+      (40L, "all alone"))                    // under-threshold line untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minCount = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((10L, "boiler\nunique ten", 2L, 1L)))
+    assert(out(1) == ((20L, "unique twenty", 1L, 1L)))
+    // doc 30 loses BOTH occurrences (keeper lives in doc 10) — and had the
+    // keeper landed here, the kept line would carry its original trailing
+    // space, not the trimmed match key
+    assert(out(2) == ((30L, "", 0L, 2L)))
+    assert(out(3) == ((40L, "all alone", 1L, 0L)))
+    // keeper choice is global-(doc_id,pos) deterministic under repartition
+    val again = Dedup.lineDedup(docs.repartition(5), "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

@@ -233,4 +233,51 @@ class RelationalSpec extends SparkTestBase {
       4L -> ("d", 40.0),
       5L -> ("e", 50.0)))  // inserted; key 2 deleted
   }
+
+  test("mergeInto: delete / update / insert clauses resolve in order; absent-key delete ignored") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L), (4L, "d", 400L))
+      .toDF("k", "tag", "cents")
+    val source = Seq(
+      (2L, "D", 0L),    // matched delete
+      (3L, "U", 333L),  // matched update
+      (5L, "I", 555L),  // unmatched insert
+      (6L, "D", 0L))    // delete for an absent key: ignored
+      .toDF("k", "op", "new_cents")
+    val out = Relational.mergeInto(target, source, "k",
+        deleteWhen = col("s_op") === "D",
+        updates = Map("cents" -> col("s_new_cents")),
+        insertWhen = col("s_op") === "I")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> (Some("a"), Some(100L)),  // untouched passthrough
+      3L -> (Some("c"), Some(333L)),  // updated; unmapped tag kept
+      4L -> (Some("d"), Some(400L)),
+      5L -> (None, Some(555L))))      // inserted; unmapped tag NULL
+  }
+
+  test("sequenceFeatures: gaps, quartiles and percent_rank from one window pass") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, 10L, at(0)), (1L, 11L, at(5)), (1L, 12L, at(5)), (1L, 13L, at(60)),
+      (2L, 20L, at(7)))
+      .toDF("user_id", "event_id", "ts")
+    val out = Relational.sequenceFeatures(ev, "user_id", "ts", "event_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getInt(5), r.getDouble(6)))
+    assert(out(0) == ((10L, None, Some(5000000L), 1, 0.0)))
+    // the ts tie at +5s orders by event_id: 11 before 12, gap 0 between them
+    assert(out(1) == ((11L, Some(5000000L), Some(0L), 2, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(out(2) == ((12L, Some(0L), Some(55000000L), 3, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out(3) == ((13L, Some(55000000L), None, 4, 1.0)))
+    // singleton user: no neighbors, rank 0, first quartile
+    assert(out(4) == ((20L, None, None, 1, 0.0)))
+  }
 }
