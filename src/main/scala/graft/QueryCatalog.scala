@@ -5630,7 +5630,119 @@ object QueryCatalog {
              |  ntile(4) OVER w AS quartile,
              |  round(percent_rank() OVER w, 6) AS pct_rank
              |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Incremental view maintenance: the engine updates the custkey summary
+    // ALGEBRAICALLY from a delta (upserts that move rows between groups,
+    // deletes, inserts) — the oracle recomputes the summary from the
+    // upserted base from scratch, so the grade proves the delta algebra,
+    // including the group-move case a delta-only reaggregate gets wrong.
+    ("q_ivm_summary",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        val delta = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 13 === 5, "D").otherwise("U").as("op"),
+            (col("o_custkey") % 50).as("o_custkey"),
+            expr("price_cents * 3 div 2").as("price_cents"))
+          .unionByName(base.filter(col("o_orderkey") % 17 === 4)
+            .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+              lit("U").as("op"), col("o_custkey"),
+              expr("price_cents div 3").as("price_cents")))
+        val summary = Incremental.summarize(base, "o_custkey", "price_cents")
+        Incremental.maintainSummary(summary, base, delta,
+            "o_orderkey", "o_custkey", "price_cents", "op")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             |  FROM orders),
+             |delta AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 13 = 5 THEN 'D' ELSE 'U' END AS op,
+             |    o_custkey % 50 AS o_custkey, price_cents * 3 // 2 AS price_cents
+             |  FROM base WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 50000000, 'U', o_custkey, price_cents // 3
+             |  FROM base WHERE o_orderkey % 17 = 4),
+             |applied AS (
+             |  SELECT o_custkey, price_cents FROM base
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+             |  UNION ALL
+             |  SELECT o_custkey, price_cents FROM delta WHERE op = 'U')
+             |SELECT o_custkey, count(*) AS n_rows,
+             |  CAST(sum(price_cents) AS BIGINT) AS sum_measure
+             |FROM applied GROUP BY 1 ORDER BY o_custkey""".stripMargin)),
+
+    // NDCG@10 of a deterministic ranking against sparse graded labels —
+    // the eval-metric side of the retrieval family. Unlabeled results
+    // score 0, label ties break to the lower doc id, and queries with no
+    // positive labels grade 0, all replayed in the oracle.
+    ("q_ndcg_eval",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val results = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("lang").as("query_id"), col("doc_id"),
+            row_number().over(
+              Window.partitionBy(col("lang")).orderBy(col("doc_id")))
+              .cast("long").as("rank"))
+        val labels = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("lang").as("query_id"), col("doc_id"),
+            (col("n_chars") % 4).cast("int").as("rel"))
+        Retrieval.ndcgAtK(results, labels, k = 10).orderBy("query_id")
+      },
+      Some("""WITH res AS (
+             |  SELECT lang AS query_id, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |lab AS (
+             |  SELECT lang AS query_id, doc_id, n_chars % 4 AS rel
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |d AS (
+             |  SELECT r.query_id,
+             |    sum((pow(2, coalesce(l.rel, 0)) - 1) / log2(r.rnk + 1)) AS dcg
+             |  FROM res r LEFT JOIN lab l
+             |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+             |  WHERE r.rnk <= 10 GROUP BY 1),
+             |i AS (
+             |  SELECT query_id, sum((pow(2, rel) - 1) / log2(irank + 1)) AS idcg
+             |  FROM (SELECT query_id, rel,
+             |          row_number() OVER (PARTITION BY query_id
+             |            ORDER BY rel DESC, doc_id) AS irank
+             |        FROM lab WHERE rel > 0)
+             |  WHERE irank <= 10 GROUP BY 1)
+             |SELECT query_id, round(coalesce(d.dcg, 0), 6) AS dcg,
+             |  round(coalesce(d.dcg / i.idcg, 0), 6) AS ndcg
+             |FROM d FULL OUTER JOIN i USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
+    // HTML main-content extraction graded CLOSED-FORM: the engine strips a
+    // deterministically-built page (head/script/style/comment blocks, tags,
+    // the five common entities) and must land byte-exactly on the expected
+    // string the oracle assembles directly — the oracle never runs the
+    // extraction, so a regex that eats content or double-decodes fails.
+    ("q_html_extract",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val html = concat(
+          lit("<html><head><title>skip title</title></head><body><h1>Doc "),
+          col("doc_id"),
+          lit("</h1><script type=\"text/javascript\">var x = \"<p>code</p>\";</script>"),
+          lit("<style type=\"text/css\">p { color: red; }</style><!-- hidden --><p>"),
+          col("text"),
+          lit("</p><div>tail &amp; entities &lt;ok&gt; &quot;q&#39;</div></body></html>"))
+        docs.select(col("doc_id"),
+            TextAnalysis.htmlExtract(html).as("content"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    'Doc ' || doc_id || ' ' || text || ' tail & entities <ok> "q''',
+             |    '\s+', ' ', 'g')) AS content
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -216,4 +216,44 @@ object Retrieval {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("n_terms"), col("score"))
   }
+
+  /** NDCG@k — the standard graded-relevance quality metric for a ranked
+    * retrieval run (the eval side of [[bm25Search]]): per query,
+    * `DCG@k = Σ_{rank≤k} (2^rel − 1) / log2(rank + 1)` over the run's
+    * ranking, normalized by the ideal DCG of that query's labels (relevance
+    * sorted descending, ties to the lower doc id). Unlabeled retrieved
+    * docs count as rel 0; a query with no positive labels scores 0 (not
+    * NULL, not an error) so eval-set averages stay well-defined.
+    *
+    * `results` carries `(query_id, doc_id, rank)` with rank unique per
+    * query (any ranker's output contract — [[bm25Search]] emits exactly
+    * this); `labels` carries `(query_id, doc_id, rel)` with rel ≥ 0.
+    *
+    * Scale shape: one delta-sized equi-join of run rows against labels
+    * (both eval-set-bounded — k rows per query and judgments per query;
+    * the corpus is never touched), two map-side-combined per-query sums,
+    * and the ideal ranking's window sorts only each query's own labels.
+    * Scores round at 6dp (O(1) values — the [[bm25Search]] discipline).
+    */
+  def ndcgAtK(results: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"ndcgAtK: k must be positive, got $k")
+    def gain(rel: Column, rank: Column): Column =
+      (pow(lit(2.0), rel.cast("double")) - 1.0) / log2(rank.cast("double") + 1.0)
+    val dcg = results.filter(col("rank") <= k)
+      .join(labels, Seq("query_id", "doc_id"), "left")
+      .na.fill(0, Seq("rel"))
+      .groupBy("query_id")
+      .agg(sum(gain(col("rel"), col("rank"))).as("dcg"))
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = labels.filter(col("rel") > 0)
+      .withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum(gain(col("rel"), col("irank"))).as("idcg"))
+    dcg.join(idcg, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 6).as("ndcg"))
+  }
 }

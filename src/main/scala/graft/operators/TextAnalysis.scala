@@ -318,4 +318,33 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), fingerprint(col(text)).as("fingerprint"))
+
+  /** Main-content extraction from raw HTML — the step between a web crawl
+    * and every text operator above: drop the `<head>`, `<script>`,
+    * `<style>` and comment blocks wholesale (their character data is code,
+    * not content), strip remaining tags to spaces, decode the five
+    * ubiquitous entities (`&amp;` LAST — decoding it first would
+    * double-decode `&amp;lt;` into a phantom tag), collapse whitespace,
+    * trim. Deliberately a deterministic spec, not a readability heuristic:
+    * the same bytes extract identically on every engine and every run,
+    * which is what makes downstream dedup fingerprints stable.
+    *
+    * In-row regexp chain over the scan (codegen'd `regexp_replace`, no
+    * UDF): at 100 TB this is scan-bound like the rest of this file. The
+    * block regexes are non-greedy and DOTALL so multi-line scripts drop
+    * without backtracking blowups.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noHead = regexp_replace(html, "(?is)<head[^>]*>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e), v)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("maintainSummary: equals recompute under group moves, deletes, inserts") {
+    val base = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "b", 300L),
+      (4L, "b", 400L), (5L, "c", 500L))
+      .toDF("k", "g", "m")
+    val delta = Seq(
+      (2L, "U", "b", 250L),  // update that MOVES a → b
+      (3L, "D", "b", 0L),    // delete
+      (5L, "D", "c", 0L),    // delete emptying group c entirely
+      (6L, "U", "a", 600L),  // insert
+      (9L, "D", "zz", 0L))   // delete for an absent key: no-op
+      .toDF("k", "op", "g", "m")
+    val summary = Incremental.summarize(base, "g", "m")
+    val out = Incremental.maintainSummary(summary, base, delta, "k", "g", "m", "op")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // recompute ground truth: a={1,6}, b={4,2'}, c gone
+    assert(out.toSeq == Seq(("a", 2L, 700L), ("b", 2L, 650L)))
+  }
+
+  test("maintainSummary: delta-only reaggregate would be wrong — the displaced row subtracts") {
+    // single group move: naive "add the delta rows" leaves the old group's
+    // count intact; the algebra must subtract the displaced contribution
+    val base = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "g", "m")
+    val delta = Seq((1L, "U", "y", 11L)).toDF("k", "op", "g", "m")
+    val out = Incremental.maintainSummary(
+        Incremental.summarize(base, "g", "m"), base, delta, "k", "g", "m", "op")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("y", 2L, 31L)))  // x vanished, y gained the moved row
+  }
+
+  test("maintainSummary: base is only probed by delta keys (no base shuffle)") {
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("k", "g", "m")
+    val delta = Seq((3L, "U", "b", 33L)).toDF("k", "op", "g", "m")
+    val plan = Incremental.maintainSummary(
+      Incremental.summarize(base, "g", "m"), base, delta, "k", "g", "m", "op")
+      .queryExecution.executedPlan.toString
+    // the base-side probe join must be a broadcast of the (tiny) delta key
+    // set — a sort-merge join there means the 100 TB base shuffles per batch
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the delta-key probe to broadcast:\n$plan")
+  }
+}

@@ -125,4 +125,35 @@ class RetrievalSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bm25_plan_test__stats"): Unit
     }
   }
+
+  test("ndcgAtK: ideal ranking scores 1, swaps score less, no-positives scores 0") {
+    import spark.implicits._
+    val labels = Seq(
+      ("q1", 1L, 3), ("q1", 2L, 2), ("q1", 3L, 1),
+      ("q2", 1L, 0))  // q2 has judgments but no positive ones
+      .toDF("query_id", "doc_id", "rel")
+    val ideal = Seq(
+      ("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L),
+      ("q2", 1L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.ndcgAtK(ideal, labels, k = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("q1") == 1.0)
+    assert(got("q2") == 0.0)
+    // worst ordering of the same docs: strictly below 1, above 0
+    val reversed = Seq(("q1", 3L, 1L), ("q1", 2L, 2L), ("q1", 1L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r = Retrieval.ndcgAtK(reversed, labels, 10)
+      .filter(col("query_id") === "q1").collect().head.getDouble(2)
+    assert(r > 0 && r < 1, s"got $r")
+    // hand arithmetic: dcg = 1/log2(2) + 3/log2(3) + 7/log2(4)
+    val dcg = 1.0 / 1.0 + 3.0 / (math.log(3) / math.log(2)) + 7.0 / 2.0
+    val idcg = 7.0 / 1.0 + 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    assert(math.abs(r - dcg / idcg) < 1e-6, s"got $r want ${dcg / idcg}")
+    // unlabeled retrieved docs gain nothing but don't crash the join
+    val extra = Seq(("q1", 99L, 1L), ("q1", 1L, 2L)).toDF("query_id", "doc_id", "rank")
+    val e = Retrieval.ndcgAtK(extra, labels, 10)
+      .filter(col("query_id") === "q1").collect().head.getDouble(2)
+    assert(e > 0 && e < 1)
+  }
 }

@@ -166,4 +166,24 @@ class TextAnalysisSpec extends SparkTestBase {
       .select((TextAnalysis.fingerprint(col("x")) === TextAnalysis.fingerprint(col("y"))).as("eq"))
     assert(df.as[Boolean].collect().head)
   }
+
+  test("htmlExtract: blocks drop whole, tags strip, entities decode once") {
+    def extract(html: String): String =
+      Seq(html).toDF("h")
+        .select(TextAnalysis.htmlExtract(col("h")).as("c"))
+        .as[String].collect().head
+    // head/script/style/comment character data is NOT content
+    assert(extract("<html><head><title>nope</title></head><body>" +
+      "<script>var a = '<b>x</b>';\nvar b = 2;</script>" +
+      "<style>p { color: red }</style><!-- nope -->" +
+      "<p>Hello   <b>world</b></p></body></html>") == "Hello world")
+    // entities decode exactly once: &amp;lt; is the LITERAL text "&lt;",
+    // never a second-round "<" (the double-decode bug)
+    assert(extract("<p>a &amp; b &lt;tag&gt; &quot;q&#39; &amp;lt;</p>") ==
+      "a & b <tag> \"q' &lt;")
+    // attributes with > inside quotes are out of scope by spec; plain
+    // attributes strip with the tag
+    assert(extract("<a href=\"x\" class='y'>link</a> tail") == "link tail")
+    assert(extract("") == "")
+  }
 }
