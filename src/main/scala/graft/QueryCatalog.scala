@@ -5742,7 +5742,58 @@ object QueryCatalog {
              |  trim(regexp_replace(
              |    'Doc ' || doc_id || ' ' || text || ' tail & entities <ok> "q''',
              |    '\s+', ' ', 'g')) AS content
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL stream-static enrichment run: events arrive as three
+    // time-tercile files (one per micro-batch under AvailableNow) and
+    // left-join the static customer dimension per batch — no watermark, no
+    // streaming state, the broadcast-dim join family. A quarter of the
+    // customers are withheld from the dim so the null (unmatched) path is
+    // graded too; emitted rows must equal DuckDB's batch left join.
+    ("q_stream_static_join",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          col("ts"), col("event_type"))
+        val dim = t(s, d, "customer").filter(col("c_custkey") % 4 =!= 1)
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        val Array(minMs, maxMs) = ev
+          .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut1 = minMs + (maxMs - minMs) / 3
+        val cut2 = minMs + 2 * (maxMs - minMs) / 3
+        val batches = Seq(
+          ev.filter(unix_millis(col("ts")) < cut1),
+          ev.filter(unix_millis(col("ts")) >= cut1 && unix_millis(col("ts")) < cut2),
+          ev.filter(unix_millis(col("ts")) >= cut2))
+        val inDir = scratchDir("ss_in")
+        batches.zipWithIndex.foreach { case (b, i) =>
+          stageArrivalFile(b, inDir, s"batch$i.parquet",
+            1700000000000L + i * 60000L)
+        }
+        val outDir = scratchDir("ss_out")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams.staticEnrich(stream, dim, "user_id")
+            .select("event_id", "user_id", "event_type", "segment", "acctbal_cents")
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", scratchDir("ss_ckpt"))
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(outDir).orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type,
+             |  c.c_mktsegment AS segment,
+             |  CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+             |FROM events e LEFT JOIN customer c
+             |  ON e.user_id = c.c_custkey AND c.c_custkey % 4 <> 1
+             |ORDER BY e.event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -274,4 +274,24 @@ object Streams {
         EpochLedger.exactlyOnceUpsert(batch.sparkSession, tableRoot, batch,
           epochId, key): Unit
       }
+
+  /** Stream-static enrichment: left-join every micro-batch against a
+    * STATIC dimension snapshot — the other join family Structured
+    * Streaming supports besides stream-stream, and the common one (enrich
+    * a click stream with the user/catalog table). Unlike
+    * [[intervalJoin]] there is NO streaming state and no watermark: the
+    * dimension is not a stream, so nothing buffers, nothing evicts, and
+    * the checkpoint holds only source offsets — restart cost is O(1)
+    * regardless of how long the stream has run.
+    *
+    * Scale shape: the dim side broadcasts (explicitly — a dimension that
+    * does not fit a broadcast belongs in [[asofEnrich]]'s keyed state or a
+    * bucketed index join instead), so each micro-batch is a map-side hash
+    * join: zero shuffle of the stream at any batch size. The dim plan
+    * re-resolves per micro-batch, which is what makes a
+    * swap-under-the-same-name dimension refresh pattern work without
+    * restarting the query.
+    */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

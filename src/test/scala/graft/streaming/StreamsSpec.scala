@@ -305,6 +305,28 @@ class StreamsSpec extends SparkTestBase {
         joinType = "full_outer"))
   }
 
+  test("staticEnrich: per-batch broadcast join, no streaming state, unmatched keys null") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streams.staticEnrich(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("static_enrich_test")
+      .outputMode("append").start()
+    mem.addData((10L, 1L), (11L, 3L))
+    q.processAllAvailable()
+    mem.addData((12L, 2L))
+    q.processAllAvailable()
+    // NO stateful operators: the join must not buffer either side
+    assert(q.lastProgress.stateOperators.isEmpty,
+      s"stream-static join grew state: ${q.lastProgress.json}")
+    val rows = spark.table("static_enrich_test")
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    q.stop()
+    // cross-batch: both batches enriched; absent dim key → null, row kept
+    assert(rows == Map(10L -> Some("gold"), 11L -> None, 12L -> Some("silver")))
+  }
+
   test("curation ops are streaming-safe: PII scrub + split + quality gate on a live stream") {
     // splitAssign / piiScrubText / tokenCount are stateless row expressions,
     // so the same curation code runs unchanged under readStream — the shape
