@@ -5793,7 +5793,75 @@ object QueryCatalog {
              |  CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
              |FROM events e LEFT JOIN customer c
              |  ON e.user_id = c.c_custkey AND c.c_custkey % 4 <> 1
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Link extraction graded closed-form: every doc carries three known
+    // anchors (one with nested markup, one relative, one mailto, one with
+    // collapsible whitespace) — the oracle assembles the expected relation
+    // directly, so a regex that misaligns href/anchor pairs or eats
+    // nested tags fails the hash.
+    ("q_html_links",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val html = concat(
+          lit("<p>intro</p><a href=\"https://"), col("source"),
+          lit(".example.com/page/"), col("doc_id"),
+          lit("\">First <b>Link</b></a> mid <a class=\"x\" href=\"/rel/"),
+          col("doc_id"),
+          lit("\" rel=\"nofollow\">second</a>" +
+            "<a href=\"mailto:contact@example.com\">mail  me</a>"))
+        TextAnalysis.htmlLinks(
+            docs.select(col("doc_id"), html.as("h")), "doc_id", "h")
+          .orderBy("doc_id", "pos")
+      },
+      Some("""SELECT doc_id, pos,
+             |  CASE pos
+             |    WHEN 0 THEN 'https://' || source || '.example.com/page/' || doc_id
+             |    WHEN 1 THEN '/rel/' || doc_id
+             |    ELSE 'mailto:contact@example.com' END AS href,
+             |  CASE pos WHEN 0 THEN 'First Link' WHEN 1 THEN 'second'
+             |    ELSE 'mail me' END AS anchor
+             |FROM documents, unnest(range(0, 3)) AS t(pos)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // URL canonicalization graded closed-form over six rotating spelling
+    // variants (case, default ports, www, fragments, utm params in three
+    // positions, empty path, trailing slashes) — the oracle assembles the
+    // expected canonical string per variant, never running the rules.
+    ("q_url_canon",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val m = col("doc_id") % 6
+        val url = when(m === 0, concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".Example.COM:80/Path/")))
+          .when(m === 1, concat(lit("https://"), col("source"),
+            lit(".example.com:443/a/b?x=1&utm_source=feed&y=2#frag")))
+          .when(m === 2, concat(lit("https://"), col("source"), lit(".example.com")))
+          .when(m === 3, concat(lit("http://"), col("source"),
+            lit(".example.com/?utm_campaign=c")))
+          .when(m === 4, concat(lit("https://"), col("source"),
+            lit(".example.com:8443/keep:port?utm_a=1&utm_b=2")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".example.com/a//b/")))
+        docs.select(col("doc_id"), url.as("url"),
+            Curation.canonicalizeUrl(url).as("canon"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 6
+             |    WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.Example.COM:80/Path/'
+             |    WHEN 1 THEN 'https://' || source || '.example.com:443/a/b?x=1&utm_source=feed&y=2#frag'
+             |    WHEN 2 THEN 'https://' || source || '.example.com'
+             |    WHEN 3 THEN 'http://' || source || '.example.com/?utm_campaign=c'
+             |    WHEN 4 THEN 'https://' || source || '.example.com:8443/keep:port?utm_a=1&utm_b=2'
+             |    ELSE 'http://' || source || '.example.com/a//b/' END AS url,
+             |  CASE doc_id % 6
+             |    WHEN 0 THEN 'http://' || source || '.example.com/Path'
+             |    WHEN 1 THEN 'https://' || source || '.example.com/a/b?x=1&y=2'
+             |    WHEN 2 THEN 'https://' || source || '.example.com/'
+             |    WHEN 3 THEN 'http://' || source || '.example.com/'
+             |    WHEN 4 THEN 'https://' || source || '.example.com:8443/keep:port'
+             |    ELSE 'http://' || source || '.example.com/a//b' END AS canon
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

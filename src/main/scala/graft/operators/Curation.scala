@@ -707,4 +707,46 @@ object Curation {
       .select(explode(col("top.id")).as("_keep_id"))
     df.join(kept, col(id).cast("long") === col("_keep_id"), "left_semi")
   }
+
+  /** URL canonicalization — the normalization that makes URL-keyed dedup
+    * and [[domainCap]] grouping actually collapse the same page's spelling
+    * variants: lowercase scheme and host, drop the scheme's default port
+    * (`:80`/`:443`) and a leading `www.`, strip the fragment, remove
+    * `utm_*` tracking parameters (tidying separators), default an empty
+    * path to `/` and strip a non-root path's trailing slashes. Path CASE
+    * IS PRESERVED (paths are case-sensitive by RFC 3986; only scheme/host
+    * are not). A value with no `scheme://` prefix passes through trimmed
+    * and untouched — this canonicalizes URLs, it does not guess at
+    * non-URLs.
+    *
+    * Pure in-row regexp/string surgery (codegen, zero shuffle) — the same
+    * deterministic-spec stance as
+    * [[graft.operators.TextAnalysis.htmlExtract]]: every engine and every
+    * run lands on identical bytes, which is what dedup fingerprints key on.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(u, schemePat, 1))
+    // schemePat itself captures group 1, so these capture as group 2
+    val hostPort = lower(regexp_extract(u, schemePat + "([^/?#]+)", 2))
+    val rest = regexp_extract(u, schemePat + "[^/?#]+(.*)$", 2)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    // drop utm_* params, then tidy the separators the removal orphaned
+    val noUtm = regexp_replace(noFrag, "utm_[A-Za-z0-9_]*=[^&#]*", "")
+    val tidy = regexp_replace(
+      regexp_replace(regexp_replace(noUtm, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    val path = regexp_extract(tidy, "^([^?]*)", 1)
+    val query = regexp_extract(tidy, "(\\?.*)$", 1)
+    val pathStripped = regexp_replace(path, "/+$", "")
+    val pathNorm = when(pathStripped === "", lit("/")).otherwise(pathStripped)
+    val hostNoDefault =
+      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+    val host = regexp_replace(hostNoDefault, "^www\\.", "")
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, pathNorm, query))
+  }
 }

@@ -347,4 +347,32 @@ object TextAnalysis {
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Outgoing links of an HTML document as a relation —
+    * `(doc_id, pos, href, anchor)` with pos the in-document link order and
+    * anchor the tag-stripped, whitespace-collapsed anchor text. This is
+    * how the link graph [[Graph.pageRank]] scores gets BUILT from a crawl:
+    * extract here, [[graft.operators.Curation.canonicalizeUrl]] the hrefs,
+    * aggregate to (src_host, dst_host) edges.
+    *
+    * Double-quoted `href` attributes only (the normalized-crawl contract;
+    * single-quoted/bare attributes are the HTML-tidy step's job, not a
+    * silent partial match). In-row `regexp_extract_all` + one
+    * `posexplode` — output size is the link count, and nothing shuffles:
+    * at 100 TB this is scan-bound extraction like every op in this file.
+    */
+  def htmlLinks(docs: DataFrame, id: String, html: String): DataFrame = {
+    val pat = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    // two group extractions of the SAME pattern see the same match list,
+    // so zipping them cannot misalign href i with anchor j
+    docs.select(col(id).as("doc_id"),
+        posexplode(arrays_zip(
+          regexp_extract_all(col(html), lit(pat), lit(1)).as("href"),
+          regexp_extract_all(col(html), lit(pat), lit(2)).as("anchor")))
+          .as(Seq("pos", "lnk")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("lnk.href").as("href"),
+        trim(regexp_replace(regexp_replace(col("lnk.anchor"), "<[^>]*>", " "),
+          "\\s+", " ")).as("anchor"))
+  }
 }

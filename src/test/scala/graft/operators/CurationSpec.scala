@@ -474,4 +474,33 @@ class CurationSpec extends SparkTestBase {
       col("score"), cap = 3).select("doc_id").as[Long].collect().toSet
     assert(again == kept)
   }
+
+  test("canonicalizeUrl: every rule, idempotence, and non-URL passthrough") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Curation.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect().head
+    val cases = Seq(
+      // scheme/host case + default port + www + trailing slash; path case kept
+      "HTTP://WWW.Ex.COM:80/CaseKept/" -> "http://ex.com/CaseKept",
+      "https://ex.com:443/a" -> "https://ex.com/a",
+      // non-default port survives; :80 is only default for http
+      "https://ex.com:80/a" -> "https://ex.com:80/a",
+      "https://ex.com:8443/x" -> "https://ex.com:8443/x",
+      // fragment, utm stripping in first/middle/last/only position
+      "http://ex.com/p?utm_source=a&x=1#f" -> "http://ex.com/p?x=1",
+      "http://ex.com/p?x=1&utm_a=2&y=3" -> "http://ex.com/p?x=1&y=3",
+      "http://ex.com/p?x=1&utm_a=2" -> "http://ex.com/p?x=1",
+      "http://ex.com/p?utm_a=1&utm_b=2" -> "http://ex.com/p",
+      // empty path → '/', root slash kept
+      "http://ex.com" -> "http://ex.com/",
+      "http://ex.com/" -> "http://ex.com/",
+      // non-URLs pass through trimmed, untouched
+      "  not a url  " -> "not a url",
+      "ftp://Keep.Me/X" -> "ftp://keep.me/X")
+    cases.foreach { case (in, want) =>
+      assert(canon(in) == want, s"canon($in)")
+      // canonical form is a fixed point
+      assert(canon(want) == want, s"idempotence of $want")
+    }
+  }
 }

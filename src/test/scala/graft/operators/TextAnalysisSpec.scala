@@ -186,4 +186,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(extract("<a href=\"x\" class='y'>link</a> tail") == "link tail")
     assert(extract("") == "")
   }
+
+  test("htmlLinks: href/anchor pairs stay aligned, nested markup strips, no links → no rows") {
+    val docs = Seq(
+      (1L, "<a href=\"https://a.com/1\">one</a><p>x</p>" +
+        "<a class=\"z\" href=\"/two\">t<b>w</b>o</a>"),
+      (2L, "no links at all"),
+      (3L, "<A HREF=\"https://up.com\">CASED TAG</A>"))
+      .toDF("doc_id", "h")
+    val out = TextAnalysis.htmlLinks(docs, "doc_id", "h")
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "https://a.com/1", "one"),
+      (1L, 1L, "/two", "t w o"),   // nested tags strip to spaces, collapsed
+      (3L, 0L, "https://up.com", "CASED TAG")))
+  }
 }
