@@ -5861,7 +5861,80 @@ object QueryCatalog {
              |    WHEN 3 THEN 'http://' || source || '.example.com/'
              |    WHEN 4 THEN 'https://' || source || '.example.com:8443/keep:port'
              |    ELSE 'http://' || source || '.example.com/a//b' END AS canon
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // T5-style span corruption, hash-deterministic (the fimTransform
+    // discipline applied to the denoising objective): the oracle rebuilds
+    // inputs/targets positionally — sentinels interleaved at block starts,
+    // final sentinel appended — so a mis-numbered sentinel, an off-by-one
+    // block cut, or a dropped final marker all fail the hash.
+    ("q_span_corrupt",
+      (s: SparkSession, d: String) =>
+        Curation.spanCorrupt(t(s, d, "documents"), "doc_id", "text",
+            spanTokens = 3, ratePct = 15)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+             |  FROM documents),
+             |pos AS (SELECT doc_id, i - 1 AS p, a[i] AS tok, (i - 1) // 3 AS b
+             |        FROM tk, unnest(range(1, len(a) + 1)) u(i)),
+             |sel AS (SELECT DISTINCT doc_id, b,
+             |          substr(md5(doc_id || ':' || b), 1, 4) < '2666' AS s
+             |        FROM pos),
+             |k AS (SELECT doc_id, b,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS j
+             |      FROM sel WHERE s),
+             |ns AS (SELECT doc_id, count(*) AS n_spans FROM k GROUP BY 1),
+             |in_items AS (
+             |  SELECT p.doc_id, 2 * p.p AS ord, p.tok AS piece
+             |  FROM pos p JOIN sel ON sel.doc_id = p.doc_id AND sel.b = p.b
+             |  WHERE NOT sel.s
+             |  UNION ALL
+             |  SELECT doc_id, 2 * (b * 3), '<X' || j || '>' FROM k),
+             |inp AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS inputs
+             |        FROM in_items GROUP BY 1),
+             |tg_items AS (
+             |  SELECT p.doc_id, 2 * p.p AS ord, p.tok AS piece
+             |  FROM pos p JOIN k ON k.doc_id = p.doc_id AND k.b = p.b
+             |  UNION ALL
+             |  SELECT doc_id, 2 * (b * 3) - 1, '<X' || j || '>' FROM k
+             |  UNION ALL
+             |  SELECT doc_id, 2000000000, '<X' || n_spans || '>' FROM ns),
+             |tgt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord) AS targets
+             |        FROM tg_items GROUP BY 1)
+             |SELECT d.doc_id, coalesce(ns.n_spans, 0) AS n_spans,
+             |  coalesce(inp.inputs, '') AS inputs,
+             |  coalesce(tgt.targets, '') AS targets
+             |FROM documents d LEFT JOIN ns USING (doc_id)
+             |LEFT JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Exact triangle counts over the supplier co-occurrence graph (two
+    // suppliers share an order → edge). The engine orients edges by
+    // (degree, id) — the O(√m) out-degree bound that makes distributed
+    // triangle enumeration feasible — while the oracle enumerates with
+    // plain id-ordered joins: two different orientations must agree on
+    // every node's count.
+    ("q_triangle_counts",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_suppkey").as("sp")).distinct()
+        val pairs = li.join(li.select(col("k"), col("sp").as("sp2")), Seq("k"))
+          .filter(col("sp") < col("sp2"))
+          .select(col("sp").as("src"), col("sp2").as("dst"))
+        Graph.triangleCounts(pairs, "src", "dst").orderBy("node")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS s
+             |  FROM lineitem),
+             |e AS (SELECT DISTINCT a.s AS x, b.s AS y
+             |      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s),
+             |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+             |        FROM e e1 JOIN e e2 ON e2.x = e1.y
+             |        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+             |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+             |SELECT node, count(*) AS n_triangles FROM n
+             |GROUP BY 1 ORDER BY node""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -320,6 +320,59 @@ object Curation {
         .otherwise(t).as("out_text"))
   }
 
+  /** T5/UL2-style span corruption — the denoising-objective rewrite: token
+    * positions partition into fixed blocks of `spanTokens`; a
+    * hash-selected `ratePct`% of blocks become spans, each replaced in the
+    * INPUTS by a sentinel `<Xk>` (k = the span's 0-based in-document
+    * order) while the TARGETS emit every sentinel followed by the tokens
+    * it hides, closed by a final `<Xn>` sentinel — exactly the
+    * (inputs, targets) pair a span-corruption pretraining batch is built
+    * from. Block selection derives from md5 of `(id, block)` (the
+    * [[splitAssign]] hex discipline), so the corruption is content-stable
+    * across re-runs/repartitions and fully oracle-replayable, unlike any
+    * `rand()` formulation. Uncorrupted or empty docs emit their text
+    * unchanged with empty targets and `n_spans` 0.
+    *
+    * In-row array HOFs over the scan (no explode, no shuffle): the
+    * prefix-count that numbers a span is O(blocks²) per doc in the worst
+    * case, but blocks = tokens/spanTokens and the work is per-row compute
+    * inside codegen'd transforms — at 100 TB this stays scan-bound like
+    * [[fimTransform]].
+    */
+  def spanCorrupt(docs: DataFrame, id: String, text: String,
+                  spanTokens: Int = 3, ratePct: Int = 15): DataFrame = {
+    require(spanTokens > 0, s"spanCorrupt: spanTokens must be > 0")
+    val thr = hexThreshold(ratePct, 4)
+    val B = spanTokens
+    docs
+      .select(col(id), TextAnalysis.tokens(col(text)).as("tk"))
+      .withColumn("nb", expr(s"cast(ceil(size(tk) / ${B}e0) as int)"))
+      // blocks = [0, nb); sequence(0, nb - 1) DESCENDS for nb = 0, so every
+      // range below is sequence(0, nb) filtered to x < nb (likewise the
+      // prefix count at block 0 — sequence(0, -1) would be [0, -1], not [])
+      .withColumn("blks", expr("filter(sequence(0, nb), b -> b < nb)"))
+      // sel[b] = block b is corrupted (SQL bracket indexing is 0-based)
+      .withColumn("sel", expr(
+        s"transform(blks, b -> " +
+          s"substring(md5(cast(concat(cast(`$id` as string), ':', b) as binary)), 1, 4) < '$thr')"))
+      .select(col(id),
+        expr("size(filter(sel, s -> s))").cast("long").as("n_spans"),
+        expr(
+          s"""array_join(flatten(transform(blks, b ->
+             |  IF(sel[b],
+             |     array(concat('<X',
+             |       size(filter(sequence(0, b), x -> x < b AND sel[x])), '>')),
+             |     slice(tk, b * $B + 1, $B)))), ' ')""".stripMargin)
+          .as("inputs"),
+        when(expr("size(filter(sel, s -> s))") > 0, expr(
+          s"""concat(array_join(flatten(transform(
+             |    filter(blks, b -> sel[b]), (b, j) ->
+             |    concat(array(concat('<X', j, '>')),
+             |      slice(tk, b * $B + 1, $B)))), ' '),
+             |  ' <X', size(filter(sel, s -> s)), '>')""".stripMargin))
+          .otherwise(lit("")).as("targets"))
+  }
+
   def chunkDocs(docs: DataFrame, id: String, text: String,
                 chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0,

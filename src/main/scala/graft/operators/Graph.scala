@@ -153,4 +153,53 @@ object Graph {
     Materialize.release(sym, reliable)
     out
   }
+
+  /** Exact per-node triangle counts via DEGREE-ORDERED edge orientation —
+    * the clustering-coefficient numerator, a standard link-spam signal
+    * (farms are near-cliques; organic neighborhoods are sparse). Each
+    * undirected edge orients from its lower endpoint to its higher under
+    * the total order (degree, id); every triangle then has exactly one
+    * node with both out-edges, so wedges from that apex joined against the
+    * closing oriented edge count each triangle once.
+    *
+    * The orientation IS the scale story: out-degrees under it are
+    * O(√m)-bounded (a 10⁷-degree hub's wedges explode quadratically if
+    * edges orient by raw id; ordered by degree the hub receives edges
+    * instead of fanning them out), which is the standard bound that makes
+    * distributed triangle enumeration feasible. Wedge build and closure
+    * are two equi-joins on the oriented relation — no windows, no
+    * cross product; per-node counts are one exploded aggregate at the end.
+    * Output: `(node, n_triangles)` for nodes in at least one triangle.
+    */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient each edge from the smaller (degree, id) endpoint to the larger
+    val keyed = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val oriented = keyed.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("da").as("ku"), col("b").as("v"), col("db").as("kv")))
+        .otherwise(
+          struct(col("b").as("u"), col("db").as("ku"), col("a").as("v"), col("da").as("kv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.ku").as("ku"),
+        col("e.v").as("v"), col("e.kv").as("kv"))
+    // wedges (u → x, u → y) with x before y in the total order; the closing
+    // edge, if present, is oriented exactly x → y
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("kv").as("ky"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(struct(col("kx"), col("x")) < struct(col("ky"), col("y")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

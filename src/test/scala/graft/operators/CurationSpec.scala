@@ -503,4 +503,40 @@ class CurationSpec extends SparkTestBase {
       assert(canon(want) == want, s"idempotence of $want")
     }
   }
+
+  test("spanCorrupt: sentinel substitution reconstructs the original text exactly") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet").limit(120)
+    val out = Curation.spanCorrupt(docs, "doc_id", "text",
+        spanTokens = 3, ratePct = 40)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .collect()
+    assert(out.nonEmpty)
+    var corrupted = 0
+    out.foreach { r =>
+      val (n, inputs, targets, orig) =
+        (r.getAs[Long]("n_spans"), r.getAs[String]("inputs"),
+          r.getAs[String]("targets"), r.getAs[String]("text"))
+      val origNorm = orig.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      if (n == 0) {
+        assert(inputs == origNorm && targets == "")
+      } else {
+        corrupted += 1
+        // targets: '<Xj> span-tokens ... <Xn>' — parse spans by sentinel
+        assert(targets.endsWith(s"<X$n>"), s"final sentinel: $targets")
+        val spans = (0L until n).map { j =>
+          val from = targets.indexOf(s"<X$j>")
+          val to = targets.indexOf(s"<X${j + 1}>")
+          assert(from >= 0 && to > from, s"sentinel order in: $targets")
+          j -> targets.substring(from + s"<X$j>".length, to).trim
+        }.toMap
+        // substituting each sentinel's span back into inputs = original
+        val rebuilt = spans.foldLeft(inputs) { case (acc, (j, span)) =>
+          acc.replace(s"<X$j>", span)
+        }.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == origNorm, s"doc ${r.getAs[Long]("doc_id")}")
+      }
+    }
+    // at 40% block rate over 100+ docs, corruption must actually happen
+    assert(corrupted > 20, s"only $corrupted docs corrupted")
+  }
 }

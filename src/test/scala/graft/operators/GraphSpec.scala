@@ -83,4 +83,26 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == cc)
   }
+
+  test("triangleCounts: hand graph, star has none, duplicate/reversed edges collapse") {
+    import spark.implicits._
+    // two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; pendant 5
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L), (4L, 5L),
+      // noise: duplicate, reversed, self-loop — all must collapse/drop
+      (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
+    // a star (hub to 50 leaves) has no triangles at all — and under the
+    // degree orientation the hub fans OUT nothing (all edges point at it)
+    val star = (1L to 50L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Graph.triangleCounts(star, "src", "dst").count() == 0)
+    // triangle count is invariant to the input's edge direction convention
+    val flipped = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val again = Graph.triangleCounts(flipped, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
