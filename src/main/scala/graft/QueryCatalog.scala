@@ -5920,21 +5920,169 @@ object QueryCatalog {
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey").as("k"), col("l_suppkey").as("sp")).distinct()
+        // raw co-occurrence is near-complete at bench scale (~91% of all
+        // supplier pairs share SOME order) — a deterministic edge-hash
+        // filter keeps the graded graph sparse so triangle volume measures
+        // the operator, not a quasi-clique's cubic blowup
         val pairs = li.join(li.select(col("k"), col("sp").as("sp2")), Seq("k"))
           .filter(col("sp") < col("sp2"))
           .select(col("sp").as("src"), col("sp2").as("dst"))
+          .filter((col("src") * 31 + col("dst")) % 20 === 0)
         Graph.triangleCounts(pairs, "src", "dst").orderBy("node")
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS s
              |  FROM lineitem),
-             |e AS (SELECT DISTINCT a.s AS x, b.s AS y
-             |      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s),
+             |e0 AS (SELECT DISTINCT a.s AS x, b.s AS y
+             |       FROM li a JOIN li b ON a.k = b.k AND a.s < b.s),
+             |e AS (SELECT x, y FROM e0 WHERE (x * 31 + y) % 20 = 0),
              |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
              |        FROM e e1 JOIN e e2 ON e2.x = e1.y
              |        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
              |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
              |SELECT node, count(*) AS n_triangles FROM n
-             |GROUP BY 1 ORDER BY node""".stripMargin))
+             |GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // Ordered funnel: view → click → purchase with the strictly-after
+    // chaining rule (a purchase BEFORE the first qualifying click must not
+    // convert) — the oracle replays the chained conditional-min CTEs, so a
+    // stage that forgets the ordering constraint or counts the wrong first
+    // hit shifts timestamps and fails the hash.
+    ("q_funnel_stages",
+      (s: SparkSession, d: String) =>
+        Temporal.funnelStages(t(s, d, "events"), "user_id", "ts",
+            "event_type", Seq("view", "click", "purchase"))
+          .select(col("user_id"),
+            date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("t1_s"),
+            date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("t2_s"),
+            date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("t3_s"),
+            col("stage"))
+          .orderBy("user_id"),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+             |       WHERE e.event_type = 'click' GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+             |       WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT u.user_id,
+             |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS t1_s,
+             |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS t2_s,
+             |  strftime(t3, '%Y-%m-%d %H:%M:%S') AS t3_s,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+             |            WHEN t2 IS NOT NULL THEN 2
+             |            WHEN t1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS BIGINT) AS stage
+             |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             |LEFT JOIN s3 USING (user_id) ORDER BY u.user_id""".stripMargin)),
+
+    // Weekly cohort retention: both engines ISO-Monday-truncate, so every
+    // (cohort, offset) cell is integer-exact; offset 0 is the cohort size
+    // by construction.
+    ("q_cohort_retention",
+      (s: SparkSession, d: String) =>
+        Temporal.cohortRetention(t(s, d, "events"), "user_id", "ts")
+          .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+            col("week_offset"), col("n_active"))
+          .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+             |  FROM events)
+             |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+             |  date_diff('day', cw, w) // 7 AS week_offset,
+             |  count(*) AS n_active
+             |FROM a JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming MATERIALIZED VIEW: three arrival batches upsert into the
+    // versioned table while the per-type summary is maintained
+    // ALGEBRAICALLY and committed as a sidecar of the same version flip.
+    // Batches 2 and 3 UPDATE earlier keys (one moving rows to a new
+    // group, one re-pricing), so a summary that only adds deltas — or one
+    // rebuilt from the wrong version — diverges from the oracle's
+    // from-scratch recompute of the final LWW table.
+    ("q_stream_ivm",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        val b1 = ev.filter(col("event_id") % 5 === 0)
+          .select(col("event_id"), lit("moved").as("event_type"),
+            (col("cents") + 7L).as("cents"))
+        val b2 = ev.filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("event_type"),
+            (col("cents") * 2L).as("cents"))
+        val inDir = scratchDir("ivm_in")
+        Seq(ev, b1, b2).zipWithIndex.foreach { case (b, i) =>
+          stageArrivalFile(b, inDir, s"batch$i.parquet",
+            1700000000000L + i * 60000L)
+        }
+        val root = scratchDir("ivm_tbl") + "/t"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams.summaryUpsertSink(stream, root,
+            "event_id", "event_type", "cents", scratchDir("ivm_ckpt")).start()
+          q.awaitTermination()
+        }
+        graft.streaming.Streams.readSummary(s, root, "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+             |fin AS (SELECT event_id,
+             |    CASE WHEN event_id % 7 = 0 THEN event_type
+             |         WHEN event_id % 5 = 0 THEN 'moved'
+             |         ELSE event_type END AS event_type,
+             |    CASE WHEN event_id % 7 = 0 THEN cents * 2
+             |         WHEN event_id % 5 = 0 THEN cents + 7
+             |         ELSE cents END AS cents
+             |  FROM ev)
+             |SELECT event_type, count(*) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_measure
+             |FROM fin GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Horizontal-mirror augmentation graded closed-form: output index j
+    // reads generator value at the mirrored index (same row, column
+    // w-1-x), so the position-weighted checksum MOVES under the
+    // permutation while the plain pixel sum must not — a flip that
+    // forgets channel interleaving or mirrors rows instead of columns
+    // shifts the checksum and fails the hash.
+    ("q_pixel_flip",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.flipMedia(
+              Multimodal.withPixelMedia(t(s, d, "documents"))))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+             |         WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.format, d.w, d.h, d.c,
+             |    sum((31*d.doc_id + 7*t.i) % 256) AS pix_sum,
+             |    sum(((31*d.doc_id + 7*(
+             |        ((t.i // (d.c*d.w)) * d.w
+             |          + (d.w - 1 - ((t.i // d.c) % d.w))) * d.c
+             |        + (t.i % d.c))) % 256) * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 1024) t(i) ON t.i < d.w*d.h*d.c
+             |  GROUP BY d.doc_id, d.format, d.w, d.h, d.c)
+             |SELECT doc_id, format,
+             |  CAST(CASE format
+             |    WHEN 'bmp' THEN 54 + ((3*w + 3)//4)*4*h
+             |    ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*c
+             |  END AS BIGINT) AS media_bytes,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

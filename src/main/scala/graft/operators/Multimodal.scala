@@ -887,6 +887,45 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Deterministic training-time augmentation: horizontal mirror — decode,
+    * reverse each raster row pixel-wise (channels stay interleaved), and
+    * re-encode into the same container. The canonical cheap augmentation a
+    * vision training pipeline applies at data-prep time; deterministic by
+    * construction (no RNG), so augmented shards reproduce bit-identically
+    * across runs — the [[graft.operators.Curation]] determinism contract
+    * applied to pixels. Same zero-shuffle `mapPartitions` scan shape as
+    * [[resizeMedia]]; graded in q_pixel_flip, where the oracle replays the
+    * mirrored index arithmetic closed-form (the position-weighted checksum
+    * moves under the permutation; the plain pixel sum must NOT).
+    */
+  def flipMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = ImageCodec.decode(bytes)
+          val c = img.channels
+          val out = new Array[Byte](img.pixels.length)
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              val src = (y * img.width + (img.width - 1 - x)) * c
+              val dst = (y * img.width + x) * c
+              var ch = 0
+              while (ch < c) { out(dst + ch) = img.pixels(src + ch); ch += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          (id, ImageCodec.encode(img.copy(pixels = out)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** REAL container transcode: decode → re-encode into `toFormat` — the
     * "normalize a crawled mixed-container corpus to ONE format" step a
     * training pipeline runs before packing/sharding, so downstream readers

@@ -167,4 +167,76 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev", ts)
   }
+
+  /** Ordered funnel analysis — for each entity, the timestamps at which it
+    * first reached each stage IN ORDER (stage k counts only strictly after
+    * the stage k−1 hit: a purchase before the first click does not convert
+    * the click funnel), and the furthest stage reached. The
+    * match-first-sequence semantics of every product-analytics funnel.
+    *
+    * One conditional-min aggregate per stage, each chained through a join
+    * on the PREVIOUS stage's hit time — `stages.length` exchanges, all on
+    * the same entity key (co-partitioned, the exchange is reused), no
+    * windows, no per-entity sorts: at 100 TB each stage pass is a
+    * map-side-combined min over the stage's own events only. Entities that
+    * never reach stage 1 still emit (stage 0) via the final left-join
+    * chain onto the entity universe.
+    *
+    * Output: `(entity, t1..tN timestamps — NULL once fallen out, stage)`.
+    */
+  def funnelStages(events: DataFrame, entity: String, ts: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
+    val universe = events.select(col(entity)).distinct()
+    // fold: hits(k) = per-entity min ts of stage-k events strictly after
+    // the entity's stage-(k-1) hit
+    val hits = stages.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, i)) =>
+        val own = events.filter(col(typeCol) === stage)
+          .select(col(entity), col(ts).as("__t"))
+        val qualified = prev match {
+          case None => own
+          case Some(p) =>
+            own.join(p.select(col(entity), col(s"t$i").as("__prev")), Seq(entity))
+              .filter(col("__t") > col("__prev"))
+        }
+        val mine = qualified.groupBy(col(entity))
+          .agg(min(col("__t")).as(s"t${i + 1}"))
+        Some(prev match {
+          case None => mine
+          case Some(p) => p.join(mine, Seq(entity), "left")
+        })
+    }.get
+    val withTs = universe.join(hits, Seq(entity), "left")
+    // ascending fold so the HIGHEST reached stage's `when` ends up
+    // outermost (a descending fold would let stage 1 shadow everything)
+    val stageCol = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withTs.withColumn("stage", stageCol.cast("long"))
+  }
+
+  /** Weekly cohort retention — the product-analytics staple: entities
+    * cohort by the ISO week of their first event; a cell
+    * `(cohort_week, week_offset)` counts the cohort's entities active in
+    * that later week. Row `offset 0` is the cohort size by construction.
+    *
+    * Two map-side-combined aggregates (first-event per entity, distinct
+    * active weeks per entity) joined on the entity key, then one
+    * cells-sized count — no windows, and the distinct-week relation is
+    * bounded by entities × weeks, not events.
+    */
+  def cohortRetention(events: DataFrame, entity: String, ts: String): DataFrame = {
+    val first = events.groupBy(col(entity))
+      .agg(date_trunc("week", min(col(ts))).as("cohort_week"))
+    val active = events
+      .select(col(entity), date_trunc("week", col(ts)).as("week"))
+      .distinct()
+    active.join(first, Seq(entity))
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

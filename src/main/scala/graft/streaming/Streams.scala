@@ -294,4 +294,68 @@ object Streams {
     */
   def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Name of the maintained-summary sidecar inside the versioned table. */
+  val SummarySidecar = "_graft_summary"
+
+  /** Streaming MATERIALIZED VIEW: a foreachBatch sink that upserts each
+    * micro-batch into the versioned table AND maintains the table's
+    * grouped count/sum summary ALGEBRAICALLY
+    * ([[graft.operators.Incremental.maintainSummary]]) — the summary rides
+    * as a sidecar of the SAME atomic version commit, so readers can never
+    * observe a table/summary pair that disagrees (the
+    * [[EpochLedger]] transactional-sidecar idea applied to derived state).
+    * The base table is probed only by the batch's keys per commit — the
+    * summary never costs a table rescan, which is the entire point of a
+    * continuously-maintained view.
+    *
+    * `group` values must be strings and `measure` integral (the summary
+    * serializes as a TSV sidecar — group-cardinality-bounded driver state,
+    * the same class as the epoch ledger; at warehouse scale it would land
+    * as an underscore-prefixed parquet file in the version dir, same
+    * atomicity, no driver round-trip). Batch keys must be unique per
+    * micro-batch (the upsert contract).
+    */
+  def summaryUpsertSink(stream: DataFrame, tableRoot: String, key: String,
+                        group: String, measure: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val next =
+          if (!PostsTable.exists(tableRoot))
+            graft.operators.Incremental.summarize(batch, group, measure)
+          else {
+            val base = PostsTable.read(spark, tableRoot)
+            val prior = readSummary(spark, tableRoot, group)
+            graft.operators.Incremental.maintainSummary(
+              prior, base, batch.withColumn("__op", lit("U")),
+              key, group, measure, "__op")
+          }
+        val body = next.collect().toSeq
+          .map(r => s"${r.get(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
+          .sorted.mkString("\n")
+        PostsTable.upsert(spark, tableRoot, batch, key,
+          sidecar = Map(SummarySidecar -> body))
+      }
+
+  /** The maintained summary of [[summaryUpsertSink]]'s table, as a
+    * relation `(group, n_rows, sum_measure)` — read from the live
+    * version's sidecar, never recomputed.
+    */
+  def readSummary(spark: SparkSession, tableRoot: String,
+                  group: String): DataFrame = {
+    import spark.implicits._
+    val body = PostsTable.readSidecar(tableRoot, SummarySidecar)
+      .getOrElse(throw new IllegalStateException(
+        s"no $SummarySidecar sidecar at $tableRoot — not a summary-maintained table"))
+    val rows = body.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(g, n, m) = line.split("\t", 3)
+      (g, n.toLong, m.toLong)
+    }
+    rows.toDF(group, "n_rows", "sum_measure")
+  }
 }

@@ -499,4 +499,28 @@ class MultimodalSpec extends SparkTestBase {
     // the first frame window starts at the blob's head — the RIFF fourcc
     assert(new String(frames.head, "ASCII") == "RIFF")
   }
+
+  test("flipMedia: mirrors columns channel-wise; involution; sum invariant") {
+    import spark.implicits._
+    // 3x2 RGB with per-pixel-distinct values: pixel (x,y) = (10x+y, 100+x, 200+y)
+    val w = 3; val h = 2; val c = 3
+    val px = new Array[Byte](w * h * c)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * c
+      px(i) = (10 * x + y).toByte; px(i + 1) = (100 + x).toByte; px(i + 2) = (200 + y).toByte
+    }
+    val bytes = ImageCodec.encode(ImageCodec.DecodedImage("ppm", w, h, c, px))
+    val df = Seq((1L, bytes)).toDF("doc_id", "media")
+    val once = Multimodal.flipMedia(df)
+    val img = ImageCodec.decode(once.collect().head.getAs[Array[Byte]]("media"))
+    // (0,0) must now hold the original (2,0) = (20, 102, 200)
+    assert((img.pixels(0) & 0xff, img.pixels(1) & 0xff, img.pixels(2) & 0xff) ==
+      ((20, 102, 200)))
+    // flip twice = identity
+    val twice = ImageCodec.decode(
+      Multimodal.flipMedia(once).collect().head.getAs[Array[Byte]]("media"))
+    assert(twice.pixels.toSeq == px.toSeq)
+    // the value multiset is permuted, never changed
+    assert(img.pixels.map(_ & 0xff).sum == px.map(_ & 0xff).sum)
+  }
 }

@@ -154,4 +154,46 @@ class TemporalSpec extends SparkTestBase {
     assert(back == Map(10L -> None, 11L -> Some(100.0), 12L -> Some(100.0),
       13L -> Some(100.0), 14L -> Some(200.0), 15L -> Some(200.0)))
   }
+
+  test("funnelStages: strictly-after chaining, fallouts at every stage, zero-stage users") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE the click → stops at stage 2
+      (2L, "view", ts(1)), (2L, "purchase", ts(2)), (2L, "click", ts(3)),
+      // user 3: click before any view → stage 1 only (click doesn't chain)
+      (3L, "click", ts(1)), (3L, "view", ts(2)),
+      // user 4: never enters
+      (4L, "error", ts(1)),
+      // user 5: SAME-timestamp click as the first view — strict > excludes
+      // it, the later one converts
+      (5L, "view", ts(1)), (5L, "click", ts(1)), (5L, "click", ts(4)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Temporal.funnelStages(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("stage"), Option(r.getAs[Timestamp]("t2")))).toMap
+    assert(out(1L) == ((3L, Some(ts(2)))))
+    assert(out(2L) == ((2L, Some(ts(3)))))  // click converts, purchase never re-fires
+    assert(out(3L) == ((1L, None)))
+    assert(out(4L) == ((0L, None)))
+    assert(out(5L) == ((2L, Some(ts(4)))), "same-instant click must not convert")
+  }
+
+  test("cohortRetention: offset 0 is cohort size; gaps stay absent") {
+    def t(d: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
+    val ev = Seq(
+      (1L, t(2)), (1L, t(9)), (1L, t(16)),   // cohort w0, active offsets 0,1,2
+      (2L, t(3)), (2L, t(17)),               // cohort w0, offsets 0,2 (gap at 1)
+      (3L, t(10)))                           // cohort w1, offset 0 only
+      .toDF("user_id", "ts")
+    val got = Temporal.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.substring(0, 10),
+        r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L), s"got $got")
+  }
 }

@@ -305,6 +305,33 @@ class StreamsSpec extends SparkTestBase {
         joinType = "full_outer"))
   }
 
+  test("summaryUpsertSink: summary sidecar tracks the table through updates and group moves") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("ivm_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("ivm_ckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("id", "grp", "m")
+
+    mem.addData((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+    Streams.summaryUpsertSink(df, root, "id", "grp", "m", ckpt)
+      .start().awaitTermination()
+    // update 2 moves a → b; 4 inserts; group 'a' must LOSE 2's old value
+    mem.addData((2L, "b", 25L), (4L, "c", 40L))
+    Streams.summaryUpsertSink(df, root, "id", "grp", "m", ckpt)
+      .start().awaitTermination()
+
+    val summary = Streams.readSummary(spark, root, "grp")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary == Map("a" -> (1L, 10L), "b" -> (2L, 55L), "c" -> (1L, 40L)),
+      s"got $summary")
+    // the sidecar must agree with a recompute over the committed table —
+    // and with the table read at the SAME version (atomicity of the pair)
+    val recomputed = graft.operators.Incremental.summarize(
+        PostsTable.read(spark, root).drop("extract_date"), "grp", "m")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(recomputed == summary)
+  }
+
   test("staticEnrich: per-batch broadcast join, no streaming state, unmatched keys null") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
