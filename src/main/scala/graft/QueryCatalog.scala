@@ -235,6 +235,24 @@ object QueryCatalog {
       |ORDER BY g_flag, g_status,
       |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // one shared string, five window shapes: ranking (two flavors), a
+  // running frame, a whole-partition aggregate, and first_value — all on
+  // integer cents so nothing floats
+  private val WindowSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT user_id, event_id, cents,
+      |  CAST(rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id)
+      |    AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id)
+      |    AS BIGINT) AS drnk,
+      |  sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+      |  min(cents) OVER (PARTITION BY user_id) AS min_cents,
+      |  first_value(event_id) OVER (PARTITION BY user_id
+      |    ORDER BY cents DESC, event_id) AS top_event
+      |FROM e ORDER BY event_id""".stripMargin
+
   /** name -> (query fn, optional DuckDB oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -738,6 +756,17 @@ object QueryCatalog {
         s.sql(GroupingSetsSql)
       },
       Some(GroupingSetsSql)),
+
+    // The window-function SQL surface as one shared string — ranking,
+    // running frames, whole-partition aggregates and first_value must
+    // parse and evaluate identically in both engines, rows and ties
+    // included.
+    ("q_sql_window",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(WindowSql)
+      },
+      Some(WindowSql)),
 
     // ---- events: time-window aggregation (streaming-shaped, batch-checked) --
 

@@ -867,13 +867,18 @@ object Dedup {
     * xxhash64 (8-byte exchanges, identical shape).
     */
   def lineDedup(docs: DataFrame, id: String, text: String,
-                minCount: Int): DataFrame = {
+                minCount: Int, reliable: Boolean = false): DataFrame = {
     require(minCount >= 2, s"lineDedup: minCount must be >= 2, got $minCount")
     val base = docs.select(col(id).cast("long").as("doc_id"),
       col(text).as("_text"))
-    val lines = base.select(col("doc_id"),
-        posexplode(split(col("_text"), "\n")).as(Seq("pos", "line")))
-      .select(col("doc_id"), col("pos"), md5(trim(col("line"))).as("k"))
+    // census AND verdict both read the line relation — materialized once
+    // so the corpus isn't re-split per consumer (the duplicateSpans
+    // discipline)
+    val lines = Materialize.once(
+      base.select(col("doc_id"),
+          posexplode(split(col("_text"), "\n")).as(Seq("pos", "line")))
+        .select(col("doc_id"), col("pos"), md5(trim(col("line"))).as("k")),
+      reliable)
     val census = lines.groupBy("k").agg(
       count(lit(1)).as("n"),
       min(struct(col("doc_id"), col("pos"))).as("keeper"))

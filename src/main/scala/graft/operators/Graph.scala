@@ -171,7 +171,8 @@ object Graph {
     * cross product; per-node counts are one exploded aggregate at the end.
     * Output: `(node, n_triangles)` for nodes in at least one triangle.
     */
-  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, src: String, dst: String,
+                     reliable: Boolean = false): DataFrame = {
     val und = edges
       .select(least(col(src), col(dst)).cast("long").as("a"),
         greatest(col(src), col(dst)).cast("long").as("b"))
@@ -183,14 +184,18 @@ object Graph {
     val keyed = und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-    val oriented = keyed.select(
-      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-        struct(col("a").as("u"), col("da").as("ku"), col("b").as("v"), col("db").as("kv")))
-        .otherwise(
-          struct(col("b").as("u"), col("db").as("ku"), col("a").as("v"), col("da").as("kv")))
-        .as("e"))
-      .select(col("e.u").as("u"), col("e.ku").as("ku"),
-        col("e.v").as("v"), col("e.kv").as("kv"))
+    // three downstream consumers (both wedge legs + closure probe) —
+    // materialized once so the dedup + degree joins don't run three times
+    val oriented = Materialize.once(
+      keyed.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("da").as("ku"), col("b").as("v"), col("db").as("kv")))
+          .otherwise(
+            struct(col("b").as("u"), col("db").as("ku"), col("a").as("v"), col("da").as("kv")))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.ku").as("ku"),
+          col("e.v").as("v"), col("e.kv").as("kv")),
+      reliable)
     // wedges (u → x, u → y) with x before y in the total order; the closing
     // edge, if present, is oriented exactly x → y
     val e1 = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))

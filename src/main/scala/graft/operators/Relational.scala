@@ -495,10 +495,13 @@ object Relational {
     * exactly here. [[cdcApply]] is the variant that RESOLVES duplicates by
     * sequence number; this one applies an already-resolved delta.
     *
-    * Scale shape: one full-outer shuffle join on the key (the source delta
-    * is usually micro-batch-sized, so AQE turns it into a broadcast and
-    * the target never shuffles); clause resolution is a pure in-row CASE —
-    * whole-stage codegen, no window, no second pass.
+    * Scale shape: ONE shuffle of both sides on the key — a full outer join
+    * cannot broadcast (no Spark strategy supports it), and that is the
+    * honest cost of a MERGE whose not-matched clause can insert: Delta's
+    * own MERGE pays the same join. When the delta carries no inserts,
+    * [[upsert]]/[[cdcApply]] are the broadcast-friendly variants (the
+    * target never shuffles there). Clause resolution is a pure in-row
+    * CASE — whole-stage codegen, no window, no second pass.
     */
   def mergeInto(target: DataFrame, source: DataFrame, key: String,
                 deleteWhen: Column, updates: Map[String, Column],
