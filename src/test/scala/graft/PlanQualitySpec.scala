@@ -274,4 +274,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(keys.nonEmpty && keys.subsetOf(Set("h", "doc_id")),
       s"unexpected shuffle keys $keys:\n$p")
   }
+
+  test("domainCap: bounded aggregate + semi join, never a window") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(Curation.domainCap(docs, "source", "doc_id", col("n_chars"), 10))
+    assert(!p.contains("Window"), s"domain cap fell back to a window:\n$p")
+    assert(p.contains("topkpairs") || p.contains("TopKPairs") ||
+      p.contains("ObjectHashAggregate"),
+      s"no bounded aggregate in the keep-set:\n$p")
+    assert(p.contains("LeftSemi"), s"keep-set must semi-join back:\n$p")
+  }
+
+  test("spanCorrupt and canonicalizeUrl are zero-shuffle in-row plans") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p1 = plan(Curation.spanCorrupt(docs, "doc_id", "text"))
+    assert(!p1.contains("Exchange"), s"spanCorrupt shuffled:\n$p1")
+    val p2 = plan(docs.select(Curation.canonicalizeUrl(col("text")).as("u")))
+    assert(!p2.contains("Exchange"), s"canonicalizeUrl shuffled:\n$p2")
+    val p3 = plan(docs.select(TextAnalysis.htmlExtract(col("text")).as("c")))
+    assert(!p3.contains("Exchange"), s"htmlExtract shuffled:\n$p3")
+  }
+
+  test("lineDedup: census/verdict exchange hashed keys and ints, never line text") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(Dedup.lineDedup(docs, "doc_id", "text", minCount = 3))
+    // shuffle keys are the md5 key and the doc id only
+    val keys = "hashpartitioning\\(([A-Za-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("k", "doc_id")),
+      s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("funnelStages: no windows — conditional-min aggregates per stage") {
+    val ev = Tables(spark, sfDir, "events")
+    val p = plan(Temporal.funnelStages(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")))
+    assert(!p.contains("Window"), s"funnel fell back to a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"no map-side-combined min:\n$p")
+  }
 }

@@ -500,6 +500,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(new String(frames.head, "ASCII") == "RIFF")
   }
 
+  test("gainAudio: truncating division, both clip rails, rate/layout untouched") {
+    import spark.implicits._
+    val samples = Array[Short](30000, -30000, 5, -5, 0, 32767, -32768)
+    val wav = WavCodec.encodePcm16(22050, samples.length, i => samples(i))
+    val out = Multimodal.gainAudio(Seq((1L, wav)).toDF("doc_id", "media"), 5, 4)
+      .collect().head.getAs[Array[Byte]]("media")
+    val dec = WavCodec.decodePcm16(out)
+    assert(dec.sampleRate == 22050 && dec.channels == 1)
+    // 37500 clips to 32767; -37500 to -32768; 6.25 truncates to 6 (and
+    // -6.25 to -6, NOT -7 — SQL integer division truncates toward zero)
+    assert(dec.samples.toSeq == Seq[Short](32767, -32768, 6, -6, 0, 32767, -32768),
+      s"got ${dec.samples.toSeq}")
+  }
+
   test("flipMedia: mirrors columns channel-wise; involution; sum invariant") {
     import spark.implicits._
     // 3x2 RGB with per-pixel-distinct values: pixel (x,y) = (10x+y, 100+x, 200+y)

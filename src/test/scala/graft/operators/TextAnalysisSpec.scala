@@ -187,6 +187,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(extract("") == "")
   }
 
+  test("rougeN: clipped multiset overlap, hand arithmetic, empty-side zeros") {
+    val pairs = Seq(
+      (1L, "the cat the", "the cat sat"),
+      (2L, "", "the cat"),
+      (3L, "the cat", ""))
+      .toDF("id", "cand", "ref")
+    val r1 = TextAnalysis.rougeN(pairs, "id", "cand", "ref", 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // cand {the:2, cat:1} vs ref {the:1, cat:1, sat:1}: clipped = 1 + 1
+    assert(r1(1L) == ((2L, 0.666667, 0.666667, 0.666667)))
+    assert(r1(2L) == ((0L, 0.0, 0.0, 0.0)))  // empty candidate
+    assert(r1(3L) == ((0L, 0.0, 0.0, 0.0)))  // empty reference
+    val r2 = TextAnalysis.rougeN(pairs, "id", "cand", "ref", 2)
+      .filter(col("id") === 1).collect().head
+    // bigrams: {"the cat","cat the"} vs {"the cat","cat sat"} → overlap 1
+    assert((r2.getLong(1), r2.getDouble(4), r2.getDouble(5), r2.getDouble(6)) ==
+      ((1L, 0.5, 0.5, 0.5)))
+  }
+
   test("htmlLinks: href/anchor pairs stay aligned, nested markup strips, no links → no rows") {
     val docs = Seq(
       (1L, "<a href=\"https://a.com/1\">one</a><p>x</p>" +
