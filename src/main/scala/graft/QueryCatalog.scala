@@ -830,6 +830,56 @@ object QueryCatalog {
              |  CASE WHEN p2 + r2 = 0 THEN 0 ELSE round(2*p2*r2/(p2+r2), 6) END AS f2
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Cross-source decile calibration: discrete within-source quantile
+    // cuts (actual data values, engine-exact comparisons) assign each doc
+    // its source-relative rank 0..9 — the normalization before any global
+    // quality threshold. Oracle recomputes with percentile_disc.
+    ("q_score_calibrate",
+      (s: SparkSession, d: String) =>
+        Curation.calibrateScores(
+            t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+            "source", "n_chars", deciles = 10)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("calibrated"))
+          .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT source,
+             |    percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS c1,
+             |    percentile_disc(0.2) WITHIN GROUP (ORDER BY n_chars) AS c2,
+             |    percentile_disc(0.3) WITHIN GROUP (ORDER BY n_chars) AS c3,
+             |    percentile_disc(0.4) WITHIN GROUP (ORDER BY n_chars) AS c4,
+             |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS c5,
+             |    percentile_disc(0.6) WITHIN GROUP (ORDER BY n_chars) AS c6,
+             |    percentile_disc(0.7) WITHIN GROUP (ORDER BY n_chars) AS c7,
+             |    percentile_disc(0.8) WITHIN GROUP (ORDER BY n_chars) AS c8,
+             |    percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS c9
+             |  FROM documents GROUP BY 1)
+             |SELECT doc_id, d.source, n_chars,
+             |  CAST(CAST(n_chars > c1 AS INT) + CAST(n_chars > c2 AS INT) + CAST(n_chars > c3 AS INT) + CAST(n_chars > c4 AS INT) + CAST(n_chars > c5 AS INT) + CAST(n_chars > c6 AS INT) + CAST(n_chars > c7 AS INT) + CAST(n_chars > c8 AS INT) + CAST(n_chars > c9 AS INT) AS BIGINT) AS calibrated
+             |FROM documents d JOIN c USING (source)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Greedy per-source token budgeting: best-quality-first running sum,
+    // keep while within budget — the step that turns scores into a mix.
+    // The doc that would cross the budget is the first one dropped.
+    ("q_token_budget",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars"), ((col("doc_id") * 37) % 100).as("quality"))
+        Curation.tokenBudgetSelect(docs, "source", "n_chars",
+            col("quality"), "doc_id", budgetTokens = 2000L)
+          .select(col("doc_id"), col("source"), col("quality"), col("cum_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |    (doc_id * 37) % 100 AS quality FROM documents),
+             |w AS (SELECT doc_id, source, quality,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM d)
+             |SELECT doc_id, source, quality,
+             |  CAST(cum AS BIGINT) AS cum_tokens
+             |FROM w WHERE cum <= 2000 ORDER BY doc_id""".stripMargin)),
+
     // ---- events: time-window aggregation (streaming-shaped, batch-checked) --
 
     ("q_events_hourly_window",

@@ -737,6 +737,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Cross-source score calibration: map each row's raw quality score to
+    * its within-source decile (0..deciles-1) so scores from heterogeneous
+    * sources become comparable — the normalization step before any global
+    * quality threshold, since a "0.7" from one classifier run or domain
+    * rarely means what a "0.7" from another does. Cut values are DISCRETE
+    * within-source quantiles ([[Relational.discreteCuts]] — actual data
+    * values, so `score > cut` comparisons are engine-exact, never a
+    * float-interpolation ulp); the calibrated rank counts strictly-greater
+    * cuts, deterministic under ties by construction.
+    *
+    * Scale shape: one grouped quantile aggregate (source-cardinality
+    * output) broadcast back onto the scan; the assignment is an in-row
+    * CASE sum — the corpus itself never shuffles. At 100 TB swap the
+    * exact cuts for `approx_percentile`, shape unchanged.
+    */
+  def calibrateScores(df: DataFrame, source: String, score: String,
+                      deciles: Int = 10): DataFrame = {
+    require(deciles >= 2 && deciles <= 100,
+      s"calibrateScores: deciles must be 2..100, got $deciles")
+    val probs = (1 until deciles).map(i => i.toDouble / deciles -> s"__cut$i")
+    val cuts = Relational.discreteCuts(df, source, score, probs)
+    val rank = probs.map { case (_, n) =>
+      when(col(score) > col(n), 1).otherwise(0)
+    }.reduce(_ + _)
+    df.join(broadcast(cuts), Seq(source))
+      .withColumn("calibrated", rank.cast("long"))
+      .drop(probs.map(_._2): _*)
+  }
+
+  /** Greedy token-budget selection: per source, keep documents in quality
+    * order (ties to the lower id) while the running token total stays
+    * within `budgetTokens` — the "fill N tokens per domain, best first"
+    * step that turns per-document quality scores into an actual training
+    * mix. Inclusive prefix: the document that would cross the budget is
+    * the first one dropped.
+    *
+    * Scale shape: one window per source (shuffle on the source key + a
+    * per-source sort — the same cost class as any per-domain ranking; for
+    * a pathologically hot source, pre-filter with [[domainCap]] or a
+    * coarse hash sample first, then budget-select the survivors).
+    */
+  def tokenBudgetSelect(df: DataFrame, source: String, tokens: String,
+                        quality: Column, tiebreak: String,
+                        budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"tokenBudgetSelect: bad budget $budgetTokens")
+    val w = Window.partitionBy(col(source))
+      .orderBy(quality.desc, col(tiebreak).asc)
+    df.withColumn("cum_tokens", sum(col(tokens)).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Per-domain frequency cap (the RefinedWeb/CC-pipeline "domain capping"
     * step): keep at most `cap` documents per domain, preferring higher
     * `score`, ties to the lower id. Without it a handful of SEO farms and

@@ -504,6 +504,33 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("calibrateScores: within-source deciles, exact-tie determinism, cross-source comparability") {
+    // source A scores 1..10 (clean deciles); source B all-equal scores
+    // (every cut the same value → strictly-greater rank 0 for all)
+    val rows = ((1 to 10).map(i => ("A", i.toLong, i.toLong * 10)) ++
+      (1 to 6).map(i => ("B", 100L + i, 7L)))
+      .toDF("source", "doc_id", "score")
+    val out = Curation.calibrateScores(rows, "source", "score", deciles = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("calibrated")).toMap
+    // A: score 10·i sits above exactly i-1 cuts
+    (1 to 10).foreach(i => assert(out(i.toLong) == i - 1L, s"A doc $i"))
+    assert((1 to 6).forall(i => out(100L + i) == 0L), "all-tied source must rank 0")
+  }
+
+  test("tokenBudgetSelect: greedy prefix — the crossing doc is dropped, nothing back-fills") {
+    val rows = Seq(
+      // quality order: 1(q90,800), 2(q80,900), 3(q70,500), 4(q60,100)
+      ("s", 1L, 800L, 90L), ("s", 2L, 900L, 80L),
+      ("s", 3L, 500L, 70L), ("s", 4L, 100L, 60L))
+      .toDF("source", "doc_id", "tokens", "q")
+    val kept = Curation.tokenBudgetSelect(rows, "source", "tokens",
+        col("q"), "doc_id", budgetTokens = 1800L)
+      .select("doc_id").as[Long].collect().toSet
+    // 800+900=1700 ≤ 1800; +500 crosses → doc 3 dropped, and doc 4 (100,
+    // which WOULD fit) is dropped too: greedy prefix, not knapsack
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
+
   test("spanCorrupt: sentinel substitution reconstructs the original text exactly") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet").limit(120)
     val out = Curation.spanCorrupt(docs, "doc_id", "text",
