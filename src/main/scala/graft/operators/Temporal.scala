@@ -136,6 +136,37 @@ object Temporal {
       .drop("_bin")
   }
 
+  /** Interval-interval OVERLAP join — the two-sided completion of
+    * [[rangeJoin]] (point-in-interval): pairs of intervals on the same key
+    * that overlap (inclusive bounds), e.g. sessions × incident windows,
+    * ad flights × attribution windows. Same time-binning strategy — both
+    * sides explode into the bins they touch and equi-join on
+    * `(key, bin)` — so the plan is a hash join, never a nested loop.
+    *
+    * Each overlapping pair is emitted EXACTLY ONCE without a distinct
+    * pass: a pair sharing many bins matches only in its canonical bin,
+    * the one containing the overlap's start (`max(lo_a, lo_b)`) — the
+    * dedup is a filter, not a shuffle. Bin width trades fan-out for join
+    * selectivity exactly as in [[rangeJoin]]: set it near the typical
+    * interval length.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, key: String,
+                  lLo: String, lHi: String, rLo: String, rHi: String,
+                  binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def bins(lo: String, hi: String) =
+      explode(sequence(
+        floor(unix_timestamp(col(lo)) / binSeconds),
+        floor(unix_timestamp(col(hi)) / binSeconds)))
+    val lB = left.withColumn("_bin", bins(lLo, lHi))
+    val rB = right.withColumn("_bin", bins(rLo, rHi))
+    lB.join(rB, Seq(key, "_bin"))
+      .filter(col(rLo) <= col(lHi) && col(lLo) <= col(rHi))
+      .filter(col("_bin") ===
+        floor(unix_timestamp(greatest(col(lLo), col(rLo))) / binSeconds))
+      .drop("_bin")
+  }
+
   /** Slowly-changing-dimension type-2 history from a change stream: one
     * validity interval per OBSERVED attribute state, consecutive identical
     * states collapsed (a change record that changes nothing does not open

@@ -181,6 +181,31 @@ class TemporalSpec extends SparkTestBase {
     assert(out(5L) == ((2L, Some(ts(4)))), "same-instant click must not convert")
   }
 
+  test("overlapJoin: inclusive bounds, multi-bin pairs emit once, no nested loop") {
+    def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val a = Seq(
+      (1L, 1L, ts(1), ts(9)),   // spans 8+ hourly bins
+      (2L, 1L, ts(10), ts(11)),
+      (3L, 2L, ts(1), ts(2)))   // other key
+      .toDF("a_id", "k", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 1L, ts(3), ts(12)), // overlaps a1 across MANY shared bins + a2
+      (11L, 1L, ts(9), ts(9, 30)),  // touches a1 exactly at its end (inclusive)
+      (12L, 1L, ts(13), ts(14)),    // disjoint
+      (13L, 2L, ts(2), ts(3)))      // touches a3 at a bin boundary
+      .toDF("b_id", "k", "b_lo", "b_hi")
+    val out = Temporal.overlapJoin(a, b, "k", "a_lo", "a_hi", "b_lo", "b_hi", 3600L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once despite bin sharing: no duplicate pairs at all
+    assert(out.length == out.toSet.size, s"duplicate pairs: ${out.toSeq}")
+    assert(out.toSet == Set((1L, 10L), (2L, 10L), (1L, 11L), (3L, 13L)),
+      s"got ${out.toSet}")
+    val plan = Temporal.overlapJoin(a, b, "k", "a_lo", "a_hi", "b_lo", "b_hi", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"overlap join fell back to a nested loop:\n$plan")
+  }
+
   test("cohortRetention: offset 0 is cohort size; gaps stay absent") {
     def t(d: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     // weeks: Mon 2024-01-01, Mon 2024-01-08, Mon 2024-01-15
