@@ -1433,6 +1433,61 @@ object QueryCatalog {
              |             JOIN sz sb ON sb.doc_id = p.b_id)
              |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.9
              |ORDER BY a_id, b_id""".stripMargin)),
+    // CAPSTONE composition — the web-corpus front end end-to-end in ONE
+    // plan: HTML main-content extraction -> URL canonicalization -> host
+    // derivation -> per-host frequency cap (skew-proof bounded aggregate)
+    // -> content-stable split assignment. The oracle replays the whole
+    // chain closed-form; any stage drifting (an eaten entity, a port left
+    // on a default host, a cap tie resolved wrong, a split threshold off
+    // by one hex digit) fails the hash.
+    ("q_web_pipeline",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val html = concat(
+          lit("<html><head><title>skip title</title></head><body><h1>Doc "),
+          col("doc_id"),
+          lit("</h1><script type=\"text/javascript\">var x = \"<p>code</p>\";</script>"),
+          lit("<style type=\"text/css\">p { color: red; }</style><!-- hidden --><p>"),
+          col("text"),
+          lit("</p><div>tail &amp; entities &lt;ok&gt; &quot;q&#39;</div></body></html>"))
+        val m = col("doc_id") % 6
+        val url = when(m === 0, concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".Example.COM:80/Path/")))
+          .when(m === 1, concat(lit("https://"), col("source"),
+            lit(".example.com:443/a/b?x=1&utm_source=feed&y=2#frag")))
+          .when(m === 2, concat(lit("https://"), col("source"), lit(".example.com")))
+          .when(m === 3, concat(lit("http://"), col("source"),
+            lit(".example.com/?utm_campaign=c")))
+          .when(m === 4, concat(lit("https://"), col("source"),
+            lit(".example.com:8443/keep:port?utm_a=1&utm_b=2")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".example.com/a//b/")))
+        val extracted = docs.select(col("doc_id"),
+            TextAnalysis.htmlExtract(html).as("content"),
+            Curation.canonicalizeUrl(url).as("canon"))
+          .withColumn("host",
+            regexp_extract(col("canon"), "^[a-z0-9+.-]+://([^/]+)", 1))
+          .withColumn("n_content", length(col("content")).cast("long"))
+        val capped = Curation.domainCap(extracted, "host", "doc_id",
+          col("n_content"), cap = 15)
+        Curation.splitAssign(capped, "doc_id")
+          .select(col("doc_id"), col("host"), col("n_content"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+             |    CAST(length(trim(regexp_replace(
+             |      'Doc ' || doc_id || ' ' || text || ' tail & entities <ok> "q''',
+             |      '\s+', ' ', 'g'))) AS BIGINT) AS n_content,
+             |    CASE WHEN doc_id % 6 = 4 THEN source || '.example.com:8443'
+             |         ELSE source || '.example.com' END AS host
+             |  FROM documents),
+             |c AS (SELECT *, row_number() OVER (PARTITION BY host
+             |        ORDER BY n_content DESC, doc_id) AS rn FROM x)
+             |SELECT doc_id, host, n_content,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'cc' THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'e6' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM c WHERE rn <= 15 ORDER BY doc_id""".stripMargin)),
+
 
     ("q_jaccard_pairs",
       (s: SparkSession, d: String) =>
