@@ -235,6 +235,26 @@ object QueryCatalog {
       |ORDER BY g_flag, g_status,
       |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // one shared string over the four bag/set operators — multiplicity
+  // semantics (ALL vs DISTINCT) must agree between engines, summarized
+  // as per-operator count + key-sum so the whole bag is graded
+  private val SetOpsSql: String =
+    """WITH o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      |f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |i1 AS (SELECT k FROM o INTERSECT SELECT k FROM f),
+      |i2 AS (SELECT k FROM o INTERSECT ALL SELECT k FROM f),
+      |e1 AS (SELECT k FROM o EXCEPT SELECT k FROM f),
+      |e2 AS (SELECT k FROM o EXCEPT ALL SELECT k FROM f)
+      |SELECT 'intersect' AS op, count(*) AS n,
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) AS ksum FROM i1
+      |UNION ALL SELECT 'intersect_all', count(*),
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) FROM i2
+      |UNION ALL SELECT 'except', count(*),
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) FROM e1
+      |UNION ALL SELECT 'except_all', count(*),
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) FROM e2
+      |ORDER BY op""".stripMargin
+
   // one shared string, five window shapes: ranking (two flavors), a
   // running frame, a whole-partition aggregate, and first_value — all on
   // integer cents so nothing floats
@@ -761,6 +781,15 @@ object QueryCatalog {
     // running frames, whole-partition aggregates and first_value must
     // parse and evaluate identically in both engines, rows and ties
     // included.
+    // INTERSECT / INTERSECT ALL / EXCEPT / EXCEPT ALL as one shared
+    // string — the bag-semantics corner of the SQL surface.
+    ("q_sql_setops",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(SetOpsSql)
+      },
+      Some(SetOpsSql)),
+
     ("q_sql_window",
       (s: SparkSession, d: String) => {
         Tables.registerAll(s, d)

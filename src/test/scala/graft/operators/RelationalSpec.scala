@@ -258,6 +258,37 @@ class RelationalSpec extends SparkTestBase {
       5L -> (None, Some(555L))))      // inserted; unmapped tag NULL
   }
 
+  test("mergeInto: identities — empty source is a no-op, delete-all-matched empties the matches") {
+    import spark.implicits._
+    val target = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "cents")
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "op", "new_cents")
+    val same = Relational.mergeInto(target, empty, "k",
+        deleteWhen = col("s_op") === "D",
+        updates = Map("cents" -> col("s_new_cents")),
+        insertWhen = col("s_op") === "I")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // delete every matched key → only the untouched row remains
+    val delAll = Seq((1L, "D", 0L), (2L, "D", 0L)).toDF("k", "op", "new_cents")
+    val left = Relational.mergeInto(target, delAll, "k",
+        deleteWhen = col("s_op") === "D",
+        updates = Map("cents" -> col("s_new_cents")),
+        insertWhen = col("s_op") === "I")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(left == Map(3L -> 30L))
+    // merge is idempotent for pure updates: applying the same update
+    // delta twice equals applying it once
+    val upd = Seq((2L, "U", 25L)).toDF("k", "op", "new_cents")
+    def apply1(t: org.apache.spark.sql.DataFrame) =
+      Relational.mergeInto(t, upd, "k",
+        deleteWhen = col("s_op") === "D",
+        updates = Map("cents" -> col("s_new_cents")),
+        insertWhen = col("s_op") === "I")
+    val once = apply1(target).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twice = apply1(apply1(target)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == twice && once == Set((1L, 10L), (2L, 25L), (3L, 30L)))
+  }
+
   test("sequenceFeatures: gaps, quartiles and percent_rank from one window pass") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
