@@ -148,6 +148,48 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** ROUGE-N core counts in one kernel call: clipped
+    * (multiset-intersection) n-gram overlap between candidate and
+    * reference plus both gram totals, as `[overlap, n_cand, n_ref]`.
+    * Grams are IDENTICAL to [[wordNgrams]] by construction (same
+    * tokenizer, same joiner); the overlap is a sorted-merge walk —
+    * O(g log g) per row where the nested array-HOF formulation this
+    * kernel replaced was O(g²) AND lambda-interpreted (measured 4.6 s →
+    * sub-second on the 5k-doc bench corpus).
+    */
+  def rougeOverlap(cand: UTF8String, ref: UTF8String, k: Int): ArrayData = {
+    def grams(t: UTF8String): Array[String] = {
+      val trimmed = t.toString.trim
+      if (trimmed.isEmpty) return Array.empty[String]
+      val toks = trimmed.split("\\s+")
+      if (toks.length < k) return Array.empty[String]
+      val n = toks.length - k + 1
+      val arr = new Array[String](n)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        arr(i) = sb.toString
+        i += 1
+      }
+      arr
+    }
+    val a = grams(cand); val b = grams(ref)
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+    java.util.Arrays.sort(b.asInstanceOf[Array[AnyRef]])
+    var i = 0; var j = 0; var ov = 0L
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { ov += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](ov, a.length.toLong, b.length.toLong))
+  }
+
   /** Ukkonen-banded Levenshtein distance: the exact edit distance when it
     * is ≤ `maxDist`, else -1, in O(maxDist·len) — the DP is restricted to
     * the ±maxDist diagonal band (any cell outside it exceeds the bound by

@@ -124,6 +124,32 @@ case class BoundedLevenshteinExpr(left: Expression, right: Expression, maxDist: 
     copy(left = newLeft, right = newRight)
 }
 
+/** ROUGE-N counts kernel (see [[HashUtil.rougeOverlap]]):
+  * (candidate, reference) → [clipped overlap, n_cand, n_ref], codegen'd —
+  * replaces an O(g²) interpreted nested-HOF fold with an O(g log g)
+  * sorted-merge walk.
+  */
+case class RougeOverlapExpr(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k > 0, "ngram size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rouge_overlap needs two strings, got ${l.catalogString}, ${r.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.rougeOverlap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashUtil.rougeOverlap($a, $b, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RougeOverlapExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Language-ID kernel (see [[HashUtil.langId]]): string → language code,
   * codegen'd — replaces a 4×-tokenizing interpreted HOF chain.
   */

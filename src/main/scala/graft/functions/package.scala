@@ -135,6 +135,11 @@ package object functions {
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** ROUGE-N counts (see [[RougeOverlapExpr]]): [overlap, n_cand, n_ref]. */
+  def rouge_overlap(cand: Column, ref: Column, k: Int): Column =
+    ColumnBridge.column(RougeOverlapExpr(
+      ColumnBridge.expression(cand), ColumnBridge.expression(ref), k))
+
   /** Bounded top-k aggregate (see [[TopKPairsAgg]]): best k (score, id)
     * pairs per group, map-side combined — the scale-safe window-top-k
     * replacement.
