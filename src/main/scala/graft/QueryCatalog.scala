@@ -789,6 +789,31 @@ object QueryCatalog {
         s.sql(SetOpsSql)
       },
       Some(SetOpsSql)),
+    // Integer-exact EWMA per user, graded step-by-step: the oracle is a
+    // DuckDB RECURSIVE CTE replaying the fixed-point recurrence
+    // s_t = (v_t + 3·s_{t-1}) div 4 — the one query family whose state
+    // is provably not window-expressible, graded exactly anyway.
+    ("q_ewma",
+      (s: SparkSession, d: String) =>
+        Sessionize.ewmaFixedPoint(
+            t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+              floor(col("value") * 100).cast("long").as("cents")),
+            "user_id", "ts", "event_id", "cents",
+            alphaNum = 1L, alphaDen = 4L)
+          .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, event_id, v, rn, v AS s FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.event_id, e.v, e.rn,
+             |    (1 * e.v + 3 * r.s) // 4
+             |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT user_id, event_id, v AS value_units, s AS ewma_units
+             |FROM r ORDER BY event_id""".stripMargin)),
+
 
     ("q_sql_window",
       (s: SparkSession, d: String) => {

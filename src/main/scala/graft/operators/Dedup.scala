@@ -843,7 +843,8 @@ object Dedup {
       .distinct()
 
   /** Corpus-level exact LINE dedup (the C4 / RefinedWeb line-dedup step):
-    * any line whose normalized form (whitespace-trimmed) occurs at least
+    * any line whose normalized form (space-trimmed — Spark/DuckDB `trim`
+    * semantics, ASCII 0x20 only) occurs at least
     * `minCount` times across the whole corpus is removed from every
     * document EXCEPT its single globally-first occurrence (smallest
     * `(doc_id, pos)`) — boilerplate navigation, cookie banners and license
