@@ -287,10 +287,18 @@ object Streams {
     * Scale shape: the dim side broadcasts (explicitly — a dimension that
     * does not fit a broadcast belongs in [[asofEnrich]]'s keyed state or a
     * bucketed index join instead), so each micro-batch is a map-side hash
-    * join: zero shuffle of the stream at any batch size. The dim plan
-    * re-resolves per micro-batch, which is what makes a
-    * swap-under-the-same-name dimension refresh pattern work without
-    * restarting the query.
+    * join: zero shuffle of the stream at any batch size.
+    *
+    * Dimension freshness, stated honestly (measured, not assumed): the
+    * dim DataFrame's FILE LISTING pins at query start. Overwriting a
+    * plain parquet path mid-query KILLS the stream (FILE_NOT_EXIST on the
+    * vanished files); committing a new [[graft.reddit.PostsTable]] version
+    * is safe — the old version's files survive until vacuum — but the
+    * running query keeps reading its original snapshot (stale-consistent,
+    * never torn; StreamsSpec pins both behaviors). A dimension that must
+    * refresh per micro-batch belongs in a `foreachBatch` body that
+    * re-reads it each batch, or in [[asofEnrich]]'s keyed state where
+    * updates flow as a stream.
     */
   def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")

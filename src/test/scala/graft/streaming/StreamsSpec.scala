@@ -332,6 +332,37 @@ class StreamsSpec extends SparkTestBase {
     assert(recomputed == summary)
   }
 
+  test("staticEnrich: dim snapshot pins at query start — version commits are safe, not visible") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the SAFE refresh vehicle: a versioned table — committing v1 mid-query
+    // must neither crash the stream (old files survive vacuum) nor leak
+    // into the pinned snapshot
+    val root = Files.createTempDirectory("se_dim_tbl").toString + "/t"
+    PostsTable.create(Seq((1L, "v1")).toDF("user_id", "tier"), root, key = "user_id")
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "user_id")
+    val dim = PostsTable.read(spark, root).drop("extract_date")
+    val q = Streams.staticEnrich(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("se_snapshot_test")
+      .outputMode("append").start()
+    mem.addData((10L, 1L))
+    q.processAllAvailable()
+    PostsTable.upsert(spark, root, Seq((1L, "v2")).toDF("user_id", "tier"),
+      key = "user_id")
+    mem.addData((11L, 1L))
+    q.processAllAvailable()
+    val rows = spark.table("se_snapshot_test")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    q.stop()
+    // both batches read the ORIGINAL snapshot: stale-consistent, never torn
+    assert(rows == Map(10L -> "v1", 11L -> "v1"), s"got $rows")
+    // a fresh read AFTER the commit sees v2 — the refresh path is a
+    // foreachBatch re-read, not a silent in-query swap
+    val now = PostsTable.read(spark, root).select("tier").as[String].collect().toSeq
+    assert(now == Seq("v2"))
+  }
+
   test("staticEnrich: per-batch broadcast join, no streaming state, unmatched keys null") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
