@@ -57,6 +57,20 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}"); n_bad += 1; continue
         problems = []
+        # Oracle type lint: the driver's hasher serializes HUGEINT/DECIMAL
+        # differently from int64/float64 even when values are equal (this is
+        # the blind spot that shipped 4 value-identical-but-red rows in r12 —
+        # python comparison below can't see it). DESCRIBE the oracle and fail
+        # loudly on any final column of a hash-unsafe type.
+        try:
+            desc = con.execute(f"DESCRIBE ({oracle[name].rstrip().rstrip(';')})").fetchall()
+            bad_types = [(c, t) for c, t, *_ in desc
+                         if any(k in t.upper() for k in ("HUGEINT", "DECIMAL", "UHUGEINT"))]
+            if bad_types:
+                problems.append(f"oracle type lint: hash-unsafe columns {bad_types} "
+                                f"(wrap in CAST(... AS BIGINT/DOUBLE))")
+        except Exception as e:
+            problems.append(f"oracle DESCRIBE failed: {e}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):

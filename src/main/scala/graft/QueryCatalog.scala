@@ -266,8 +266,9 @@ object QueryCatalog {
       |    AS BIGINT) AS rnk,
       |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY cents DESC, event_id)
       |    AS BIGINT) AS drnk,
-      |  sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_cents,
       |  min(cents) OVER (PARTITION BY user_id) AS min_cents,
       |  first_value(event_id) OVER (PARTITION BY user_id
       |    ORDER BY cents DESC, event_id) AS top_event
@@ -814,6 +815,32 @@ object QueryCatalog {
              |SELECT user_id, event_id, v AS value_units, s AS ewma_units
              |FROM r ORDER BY event_id""".stripMargin)),
 
+    // Same recurrence, CHUNKED execution: weekly chunks with the per-key
+    // final state carried between them (the unbounded-history task-memory
+    // bound). The oracle is the SAME whole-history recursive CTE — the
+    // graded claim is precisely that chunking is invisible in the output.
+    ("q_ewma_chunked",
+      (s: SparkSession, d: String) =>
+        Sessionize.ewmaChunked(
+            t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+              floor(col("value") * 100).cast("long").as("cents")),
+            "user_id", "ts", "event_id", "cents",
+            alphaNum = 1L, alphaDen = 4L,
+            chunkExpr = graft.functions.integral_divide(
+              unix_micros(col("ts")), lit(604800000000L)))
+          .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, event_id, v, rn, v AS s FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.event_id, e.v, e.rn,
+             |    (1 * e.v + 3 * r.s) // 4
+             |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT user_id, event_id, v AS value_units, s AS ewma_units
+             |FROM r ORDER BY event_id""".stripMargin)),
 
     ("q_sql_window",
       (s: SparkSession, d: String) => {
@@ -1963,7 +1990,7 @@ object QueryCatalog {
              |       FROM x JOIN m3 m ON m.vec_id = x.vec_id GROUP BY 1, 2),
              |c3 AS (SELECT c2.c, c2.dim, coalesce(u3.cd, c2.cd) AS cd
              |       FROM c2 LEFT JOIN u3 ON u3.c = c2.c AND u3.dim = c2.dim),
-             |ck AS (SELECT c, sum((dim + 1) * cd) AS cent_checksum
+             |ck AS (SELECT c, CAST(sum((dim + 1) * cd) AS BIGINT) AS cent_checksum
              |       FROM c3 GROUP BY c)
              |SELECT CAST(m3.cl AS INT) AS cluster_id,
              |  CAST(count(*) AS BIGINT) AS n_vecs,
@@ -2001,7 +2028,10 @@ object QueryCatalog {
 
     // IVF is pure cosine arithmetic on the data (deterministic first-N
     // centroids, argmax assignment, nprobe nearest cells) — DuckDB replays
-    // the whole index-build + probe + search pipeline exactly.
+    // the whole index-build + probe + search pipeline exactly. First-N
+    // seeding is DELIBERATE here (the oracle can't replay Lloyd
+    // iterations); the production default is ivfAssign/ivfCentroidsKmeans,
+    // whose recall floor q_ivf_recall grades on a content-ordered corpus.
     ("q_ivf_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -2758,10 +2788,10 @@ object QueryCatalog {
              |                THEN 1 ELSE 0 END AS b
              |         FROM co JOIN md ON md.doc_id = co.doc_id),
              |hv AS (SELECT doc_id,
-             |         sum(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32))
-             |             ELSE 0 END) AS phash_hi,
-             |         sum(CASE WHEN k < 32 THEN b * (1::BIGINT << k)
-             |             ELSE 0 END) AS phash_lo
+             |         CAST(sum(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32))
+             |             ELSE 0 END) AS BIGINT) AS phash_hi,
+             |         CAST(sum(CASE WHEN k < 32 THEN b * (1::BIGINT << k)
+             |             ELSE 0 END) AS BIGINT) AS phash_lo
              |       FROM bits GROUP BY 1),
              |f AS (SELECT hv.doc_id, hv.phash_hi, hv.phash_lo,
              |        bit_count(xor(hv.phash_hi, pv.phash_hi))
@@ -4976,7 +5006,8 @@ object QueryCatalog {
              |ip AS (SELECT ga.r, sum(ga.ca * gb.cb) AS ip
              |       FROM ga JOIN gb ON ga.r = gb.r AND ga.bucket = gb.bucket
              |       GROUP BY 1),
-             |est AS (SELECT min(coalesce(ip.ip, 0)) AS join_size_est
+             |est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT)
+             |          AS join_size_est
              |        FROM range(0, 4) t(r) LEFT JOIN ip ON ip.r = t.r),
              |truth AS (SELECT count(*) AS true_size
              |          FROM orders JOIN customer ON o_custkey = c_custkey)

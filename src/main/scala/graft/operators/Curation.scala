@@ -782,8 +782,13 @@ object Curation {
                         quality: Column, tiebreak: String,
                         budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"tokenBudgetSelect: bad budget $budgetTokens")
+    // ROWS frame, explicitly: the default RANGE frame includes ALL peer
+    // rows that tie on (quality, tiebreak) at once, which diverges from
+    // the documented greedy-prefix semantics (and from the ROWS-framed
+    // oracle) the moment two rows tie.
     val w = Window.partitionBy(col(source))
       .orderBy(quality.desc, col(tiebreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokens)).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }
@@ -836,8 +841,11 @@ object Curation {
     val hostPort = lower(regexp_extract(u, schemePat + "([^/?#]+)", 2))
     val rest = regexp_extract(u, schemePat + "[^/?#]+(.*)$", 2)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    // drop utm_* params, then tidy the separators the removal orphaned
-    val noUtm = regexp_replace(noFrag, "utm_[A-Za-z0-9_]*=[^&#]*", "")
+    // drop utm_* params — anchored to a parameter boundary (`?` or `&`)
+    // so a non-utm param whose NAME merely contains "utm_" (?xutm_a=1)
+    // and a PATH segment spelled like one (/utm_campaign=spring) pass
+    // through untouched — then tidy the separators the removal orphaned
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[A-Za-z0-9_]*=[^&#]*", "$1")
     val tidy = regexp_replace(
       regexp_replace(regexp_replace(noUtm, "\\?&+", "?"), "&&+", "&"),
       "[?&]+$", "")

@@ -56,8 +56,9 @@ object Sessionize {
     * per-key ordered-scan case the brief's escape-hatch ordering reserves
     * typed groups for. One exchange on the key, per-key sort in task
     * memory — state bounded by a single key's history (the sessionize
-    * bound); for unbounded histories, process time-chunks with the final
-    * state carried, or the streaming
+    * bound); for unbounded histories, [[ewmaChunked]] processes
+    * time-chunks with the final state carried (identical trajectories,
+    * per-chunk task memory), or use the streaming
     * [[graft.streaming.Streams.asofEnrich]]-style keyed state.
     */
   def ewmaFixedPoint(events: DataFrame, userCol: String, tsCol: String,
@@ -83,5 +84,99 @@ object Sessionize {
         }
       }
       .toDF(userCol, tieBreak, "value_units", "ewma_units")
+  }
+
+  /** Chunked carry-state EWMA — bit-identical trajectories to
+    * [[ewmaFixedPoint]] with task memory bounded by ONE KEY'S EVENTS PER
+    * CHUNK instead of its whole history: the unbounded-history variant
+    * [[ewmaFixedPoint]]'s scaladoc promises.
+    *
+    * The recurrence's truncating division makes chunk results
+    * non-composable (no algebraic merge exists), so chunks run
+    * SEQUENTIALLY in chunk order: each chunk is ONE distributed cogroup
+    * of its events with the carried per-key state, emitting the chunk's
+    * output rows and each key's final state from the same pass (keys
+    * silent in a chunk pass their carry through — no separate merge).
+    * The cogroup result is persisted and the state slice forced, so
+    * cross-chunk lineage is cut — plan depth stays O(1) per chunk, not
+    * O(chunks) nested. At warehouse scale the carry would land as a
+    * keyed table per chunk (the [[graft.reddit.PostsTable]] pattern);
+    * here it stays a persisted O(keys + chunk) relation.
+    *
+    * `chunkExpr` must be integral and MONOTONE in event time — chunk
+    * order has to agree with `(ts, tieBreak)` order within every key, or
+    * the replayed trajectory would interleave wrongly. That contract is
+    * ENFORCED, not assumed: one map-side-combinable pass computes each
+    * (key, chunk)'s time bounds and any overlap between consecutive
+    * chunks fails loudly with the violation count.
+    */
+  def ewmaChunked(events: DataFrame, userCol: String, tsCol: String,
+                  tieBreak: String, valueCol: String,
+                  alphaNum: Long, alphaDen: Long,
+                  chunkExpr: Column): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"ewmaChunked: alpha must be in (0,1), got $alphaNum/$alphaDen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select(
+      col(userCol).cast("long").as("_k"),
+      unix_micros(col(tsCol)).as("_t"),
+      col(tieBreak).cast("long").as("_tb"),
+      col(valueCol).cast("long").as("_v"),
+      chunkExpr.cast("long").as("_c"))
+
+    // chunk-monotonicity gate: consecutive chunks of a key must not
+    // overlap in (ts, tiebreak) — lexicographic struct compare
+    val bounds = base.groupBy("_k", "_c").agg(
+      min(struct(col("_t"), col("_tb"))).as("lo"),
+      max(struct(col("_t"), col("_tb"))).as("hi"))
+    val byKey = Window.partitionBy(col("_k")).orderBy(col("_c"))
+    val violations = bounds
+      .withColumn("prev_hi", lag(col("hi"), 1).over(byKey))
+      .filter(col("prev_hi").isNotNull && col("prev_hi") >= col("lo"))
+      .count()
+    require(violations == 0,
+      s"ewmaChunked: chunk order disagrees with ($tsCol, $tieBreak) order " +
+      s"for $violations (key, chunk) pairs — chunkExpr must be monotone " +
+      "in event time")
+
+    val chunks = base.select(col("_c")).distinct().as[Long].collect().sorted
+    var carry: DataFrame = Seq.empty[(Long, Long)].toDF("_k", "_s")
+    var acc: DataFrame = null
+    chunks.foreach { c =>
+      val ev = base.filter(col("_c") === c)
+        .select(col("_k"), col("_t"), col("_tb"), col("_v"))
+      // one cogroup emits BOTH the chunk's data rows (_st=false) and each
+      // key's final state (_st=true) — silent carried keys pass their
+      // state through, so no separate full-outer merge pass exists
+      val out = ev.as[(Long, Long, Long, Long)].groupByKey(_._1)
+        .cogroup(carry.as[(Long, Long)].groupByKey(_._1)) { (k, evIt, stIt) =>
+          val evs = evIt.toArray.sortBy(e => (e._2, e._3))
+          var s = 0L
+          var first = true
+          stIt.toSeq.headOption.foreach { st => s = st._2; first = false }
+          if (evs.isEmpty) {
+            if (first) Iterator.empty
+            else Iterator.single((true, k, 0L, 0L, 0L, s))
+          } else {
+            val rows = evs.map { e =>
+              s = if (first) { first = false; e._4 }
+              else (alphaNum * e._4 + (alphaDen - alphaNum) * s) / alphaDen
+              (false, k, e._2, e._3, e._4, s)
+            }
+            rows.iterator ++ Iterator.single((true, k, 0L, 0L, 0L, s))
+          }
+        }
+        .toDF("_st", "_k", "_t", "_tb", "_v", "_s")
+        .persist()
+      carry = out.filter(col("_st")).select(col("_k"), col("_s"))
+      carry.count() // force NOW: cuts this chunk out of later chunks' plans
+      val data = out.filter(!col("_st"))
+      acc = if (acc == null) data else acc.union(data)
+    }
+    if (acc == null) return Seq.empty[(Long, Long, Long, Long)]
+      .toDF(userCol, tieBreak, "value_units", "ewma_units")
+    acc.select(col("_k").as(userCol), col("_tb").as(tieBreak),
+      col("_v").as("value_units"), col("_s").as("ewma_units"))
   }
 }

@@ -272,9 +272,15 @@ object Similarity {
     * computed in-row against the broadcast-as-literal centroid table — the
     * corpus is scanned once and never shuffled (at cluster scale, write the
     * result partitioned by `cell` for probe-side partition pruning).
+    *
+    * Seeds with [[ivfCentroidsKmeans]] — the production path (first-N-by-id
+    * [[ivfCentroids]] degrades recall whenever id order correlates with
+    * content; `q_ivf_recall` pins the ≥0.9 floor this seeding restores).
+    * Call [[assignCells]] with [[ivfCentroids]] directly only when an
+    * external system must replay the index build step-for-step.
     */
   def ivfAssign(corpus: DataFrame, id: String, vec: String, cells: Int): DataFrame =
-    assignCells(corpus, id, vec, ivfCentroids(corpus, id, vec, cells))
+    assignCells(corpus, id, vec, ivfCentroidsKmeans(corpus, id, vec, cells))
 
   def assignCells(corpus: DataFrame, id: String, vec: String,
                   cents: Seq[(Long, Seq[Float])]): DataFrame =

@@ -326,7 +326,8 @@ object Streams {
     */
   def summaryUpsertSink(stream: DataFrame, tableRoot: String, key: String,
                         group: String, measure: String,
-                        checkpoint: String): DataStreamWriter[Row] =
+                        checkpoint: String,
+                        maxGroups: Int = 100000): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -343,7 +344,25 @@ object Streams {
               prior, base, batch.withColumn("__op", lit("U")),
               key, group, measure, "__op")
           }
-        val body = next.collect().toSeq
+        // Loud-failure budget, not an OOM: the sidecar is driver state
+        // bounded by group cardinality — enforce that bound the way
+        // PostsTable.upsert enforces maxStagedKeys, BEFORE collecting.
+        val nGroups = next.count()
+        require(nGroups <= maxGroups,
+          s"summaryUpsertSink: summary has $nGroups groups, over the " +
+          s"maxGroups budget of $maxGroups — the TSV sidecar is driver " +
+          s"state; raise the budget deliberately or aggregate to a " +
+          s"coarser group key")
+        val rows = next.collect().toSeq
+        // The TSV contract, enforced at write time (a tab or newline in a
+        // group value would corrupt readSummary's parse silently).
+        rows.foreach { r =>
+          val g = String.valueOf(r.get(0))
+          require(!g.contains('\t') && !g.contains('\n'),
+            s"summaryUpsertSink: group value ${g.take(40)}... contains a " +
+            "tab/newline — not representable in the TSV sidecar")
+        }
+        val body = rows
           .map(r => s"${r.get(0)}\t${r.getLong(1)}\t${r.getLong(2)}")
           .sorted.mkString("\n")
         PostsTable.upsert(spark, tableRoot, batch, key,

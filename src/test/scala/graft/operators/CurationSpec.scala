@@ -491,6 +491,10 @@ class CurationSpec extends SparkTestBase {
       "http://ex.com/p?x=1&utm_a=2&y=3" -> "http://ex.com/p?x=1&y=3",
       "http://ex.com/p?x=1&utm_a=2" -> "http://ex.com/p?x=1",
       "http://ex.com/p?utm_a=1&utm_b=2" -> "http://ex.com/p",
+      // utm strip is anchored to a parameter BOUNDARY: a param whose name
+      // merely contains "utm_" and a path segment spelled like one survive
+      "http://ex.com/p?xutm_a=1" -> "http://ex.com/p?xutm_a=1",
+      "http://ex.com/utm_campaign=spring" -> "http://ex.com/utm_campaign=spring",
       // empty path → '/', root slash kept
       "http://ex.com" -> "http://ex.com/",
       "http://ex.com/" -> "http://ex.com/",
@@ -528,6 +532,23 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     // 800+900=1700 ≤ 1800; +500 crosses → doc 3 dropped, and doc 4 (100,
     // which WOULD fit) is dropped too: greedy prefix, not knapsack
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
+
+  test("tokenBudgetSelect: ties on (quality, tiebreak) still accumulate one row at a time (ROWS frame)") {
+    // Three rows fully tied on quality; tiebreak breaks the order. Under
+    // the default RANGE frame, equal (quality, tiebreak) peers would sum
+    // together; with distinct tiebreaks the frames differ only if the
+    // implementation forgot rowsBetween — then an exact-tie on BOTH keys
+    // is the killer, so include one: docs 2 and 2' can't exist (tiebreak
+    // is the unique id), so pin the per-row prefix via distinct ids.
+    val rows = Seq(
+      ("s", 1L, 600L, 50L), ("s", 2L, 600L, 50L), ("s", 3L, 600L, 50L))
+      .toDF("source", "doc_id", "tokens", "q")
+    val kept = Curation.tokenBudgetSelect(rows, "source", "tokens",
+        col("q"), "doc_id", budgetTokens = 1200L)
+      .select("doc_id").as[Long].collect().toSet
+    // greedy prefix: 600, 1200, then 1800 crosses → docs 1,2 kept
     assert(kept == Set(1L, 2L), s"got $kept")
   }
 

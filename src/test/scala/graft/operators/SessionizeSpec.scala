@@ -46,4 +46,37 @@ class SessionizeSpec extends SparkTestBase {
     assert(run(neg)(2L) == -75L)
     assert(run(ev.repartition(7)) == got)
   }
+
+  test("ewmaChunked: identical to ewmaFixedPoint across a chunk boundary; silent keys keep their carry") {
+    import org.apache.spark.sql.functions.{col, dayofmonth}
+    // key 1: events straddle the day boundary (state must carry);
+    // key 2: active day 1, SILENT day 2, active day 3 (carry must survive
+    // the silent chunk); key 3: single event
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 100L),
+      (1L, ts("2024-01-01 10:01:00"), 2L, 20L),
+      (1L, ts("2024-01-02 09:00:00"), 3L, -50L),
+      (2L, ts("2024-01-01 08:00:00"), 4L, 7L),
+      (2L, ts("2024-01-03 08:00:00"), 5L, 99L),
+      (3L, ts("2024-01-02 12:00:00"), 6L, 5L))
+      .toDF("user_id", "ts", "event_id", "cents")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val whole = m(Sessionize.ewmaFixedPoint(
+      ev, "user_id", "ts", "event_id", "cents", 1L, 4L))
+    val chunked = m(Sessionize.ewmaChunked(
+      ev, "user_id", "ts", "event_id", "cents", 1L, 4L, dayofmonth(col("ts"))))
+    assert(chunked == whole, s"chunked=$chunked whole=$whole")
+    // the boundary-crossing step really used the carried state:
+    // key 1 day 2: s = (-50 + 3·80)/4 = 190/4 = 47 (carry s=80, not fresh)
+    assert(chunked(3L) == 47L)
+    // key 2 after the silent chunk: s = (99 + 3·7)/4 = 30
+    assert(chunked(5L) == 30L)
+    // a chunk expr that DISAGREES with time order fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Sessionize.ewmaChunked(ev, "user_id", "ts", "event_id", "cents",
+        1L, 4L, col("event_id") % 2)
+    }
+    assert(ex.getMessage.contains("monotone"), ex.getMessage)
+  }
 }

@@ -332,6 +332,38 @@ class StreamsSpec extends SparkTestBase {
     assert(recomputed == summary)
   }
 
+  test("summaryUpsertSink: over-cardinality group set fails the maxGroups budget loudly, not as an OOM") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("ivm_budget_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("ivm_budget_ckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("id", "grp", "m")
+    // 5 distinct groups against a budget of 3 → the sink must refuse with
+    // the budget message BEFORE collecting the summary to the driver
+    mem.addData((1 to 5).map(i => (i.toLong, s"g$i", i.toLong)): _*)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.summaryUpsertSink(df, root, "id", "grp", "m", ckpt, maxGroups = 3)
+        .start().awaitTermination()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("maxGroups budget"), s"wrong failure: $msg")
+  }
+
+  test("summaryUpsertSink: a tab/newline in a group value is rejected at write time (TSV contract)") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("ivm_tsv_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("ivm_tsv_ckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val df = mem.toDF().toDF("id", "grp", "m")
+    mem.addData((1L, "ok", 1L), (2L, "bad\tgroup", 2L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.summaryUpsertSink(df, root, "id", "grp", "m", ckpt)
+        .start().awaitTermination()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("tab/newline"), s"wrong failure: $msg")
+  }
+
   test("staticEnrich: dim snapshot pins at query start — version commits are safe, not visible") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
