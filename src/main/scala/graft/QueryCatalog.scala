@@ -2674,6 +2674,109 @@ object QueryCatalog {
              |  586.178e0 AS avg_score, 111.623e0 AS avg_comments,
              |  CAST(14587 AS BIGINT) AS max_score""".stripMargin)),
 
+    // S3 CSV sink closed-loop: tolerant COPY read of the reference fixture
+    // → CsvReddit.write (header, RFC-4180 quoting, "True"/"False"
+    // booleans, µs timestamps) → tolerant read BACK → a profile whose
+    // golden values were derived INDEPENDENTLY from the raw file (DuckDB
+    // over the CSV at authoring time, PipelineSpec derivation style).
+    // Any write-side corruption — quoting, null round-trip, boolean
+    // spelling, timestamp precision — lands in one of these columns.
+    ("q_s3_csv_roundtrip",
+      (s: SparkSession, _: String) => {
+        val path = scratchDir("verify_csv_sink")
+        graft.reddit.CsvReddit.write(
+          graft.reddit.CsvReddit.read(s, "/root/reference/tmp/20250324.csv"), path)
+        graft.reddit.CsvReddit.read(s, path).agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("id")).as("n_ids"),
+          sum(col("score")).cast("long").as("sum_score"),
+          sum(col("num_comments")).cast("long").as("sum_comments"),
+          count(when(col("author").isNull, 1)).as("n_null_author"),
+          count(when(col("stickied"), 1)).as("n_stickied"),
+          sum(col("selftext_length")).cast("long").as("sum_selftext_len"),
+          date_format(min(col("created_utc")), "yyyy-MM-dd HH:mm:ss").as("min_created"),
+          date_format(max(col("created_utc")), "yyyy-MM-dd HH:mm:ss").as("max_created"),
+          date_format(max(col("extraction_timestamp")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_extraction"))
+      },
+      Some("""SELECT CAST(183 AS BIGINT) AS n_rows, CAST(183 AS BIGINT) AS n_ids,
+             |  CAST(70996 AS BIGINT) AS sum_score,
+             |  CAST(18303 AS BIGINT) AS sum_comments,
+             |  CAST(1 AS BIGINT) AS n_null_author,
+             |  CAST(1 AS BIGINT) AS n_stickied,
+             |  CAST(305274 AS BIGINT) AS sum_selftext_len,
+             |  '2025-03-17 15:15:28' AS min_created,
+             |  '2025-03-24 13:33:11' AS max_created,
+             |  '2025-03-24 14:36:59.582638' AS max_extraction""".stripMargin)),
+
+    // S4: the S3 object layout (one `YYYYMMDD.csv` object per run date,
+    // upload_to_s3.py:41-47) graded data-driven: S3Layout maps every
+    // distinct event date to its object path on the Scala side; DuckDB
+    // spells the same convention independently. The collect is bounded by
+    // run-date cardinality — the pipeline's own parallelism unit.
+    ("q_s4_s3_layout",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val days = t(s, d, "events")
+          .select(to_date(col("ts")).as("run_date")).distinct()
+          .collect().map(_.getDate(0).toLocalDate).toSeq
+        days.map(ld => (ld.toString,
+            graft.reddit.S3Layout.dailyPath("s3://reddit-bucket", ld)))
+          .toDF("run_date", "s3_path").orderBy("run_date")
+      },
+      Some("""SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS run_date,
+             |  's3://reddit-bucket/' || strftime(CAST(ts AS DATE), '%Y%m%d')
+             |    || '.csv' AS s3_path
+             |FROM events ORDER BY run_date""".stripMargin)),
+
+    // S9/S10/T5: the pre-load inspection surface (test.py:5-32,
+    // s3_to_redshift.py:236-282) — header probe without reading the body,
+    // first-5 raw physical lines under an inspection limit — reduced to
+    // md5 anchors. The golden md5s were computed from the raw fixture
+    // bytes at authoring time; the header list the oracle hashes is the
+    // full 16-column contract, so a reordered or renamed column fails.
+    ("q_s9_header_inspect",
+      (s: SparkSession, _: String) => {
+        import s.implicits._
+        val fix = "/root/reference/tmp/20250324.csv"
+        val cols = graft.reddit.CsvReddit.headerProbe(s, fix)
+        val raw5 = graft.reddit.CsvReddit.rawLines(s, fix, 5)
+          .collect().map(_.getString(0))
+        Seq((cols.length.toLong, cols.head, cols.last, cols.mkString(","),
+            raw5.length.toLong, raw5.sorted.mkString("\n")))
+          .toDF("n_cols", "first_col", "last_col", "_cols", "n_raw_lines", "_raw")
+          .select(col("n_cols"), col("first_col"), col("last_col"),
+            md5(col("_cols").cast("binary")).as("cols_md5"),
+            col("n_raw_lines"),
+            md5(col("_raw").cast("binary")).as("raw5_md5"))
+      },
+      Some("""SELECT CAST(16 AS BIGINT) AS n_cols, 'id' AS first_col,
+             |  'is_nsfw' AS last_col,
+             |  md5('id,title,score,num_comments,author,created_utc,url,'
+             |    || 'upvote_ratio,over_18,spoiler,stickied,selftext,subreddit,'
+             |    || 'extraction_timestamp,selftext_length,is_nsfw') AS cols_md5,
+             |  CAST(5 AS BIGINT) AS n_raw_lines,
+             |  'ba162ff7c52faf18f81b4125c1f9b270' AS raw5_md5""".stripMargin)),
+
+    // P6: the injectable clock, graded end-to-end — the reference stamps
+    // extraction_timestamp from datetime.now() (extract-from-reddit.py:115);
+    // here the clock is INJECTED, so the stamp (and the P14 run id derived
+    // from it) is a deterministic, hashable output. With a wall clock this
+    // row could never hash-match — that is precisely the property graded.
+    ("q_p6_clock_stamp",
+      (s: SparkSession, _: String) => {
+        val posts = graft.reddit.CsvReddit.read(s, "/root/reference/tmp/20250324.csv")
+        val now = java.sql.Timestamp.valueOf("2025-03-24 12:00:00")
+        graft.reddit.Enrich.transform(posts, now).agg(
+          count(lit(1)).as("n_rows"),
+          count_distinct(col("extraction_timestamp")).as("n_stamps"),
+          date_format(max(col("extraction_timestamp")),
+            "yyyy-MM-dd HH:mm:ss").as("stamp"),
+          max(graft.reddit.Enrich.runId(col("extraction_timestamp"))).as("run_id"))
+      },
+      Some("""SELECT CAST(183 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS n_stamps,
+             |  '2025-03-24 12:00:00' AS stamp, '20250324' AS run_id""".stripMargin)),
+
     // FakeCodec is pure byte arithmetic (f[i%8] += byte/255 in float32) —
     // DuckDB replays it bit-exactly over the full blob (real container
     // header + UTF-8 payload), float32 casts and all, so the stub decode

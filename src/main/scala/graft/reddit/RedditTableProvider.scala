@@ -1,0 +1,254 @@
+package graft.reddit
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 as a real DataSource V2 connector — the live-API slot the fixture
+  * sources stand in for (extract-from-reddit.py:61-75), with the
+  * reference's transport semantics (retry ×N `:35-59`, inter-call
+  * throttle `:86-88`) living executor-side behind [[RedditTransport]].
+  *
+  * `spark.read.format("reddit").option("path", fixture).load()` plans one
+  * input partition PER SUBREDDIT — the API's own parallelism unit (a
+  * listing is cursor-paginated, so pages within a subreddit are
+  * inherently sequential; distinct subreddits fan out across executors).
+  * The emitted schema is the RAW API shape (13 fields, `created_utc` as
+  * epoch seconds) — the P-chain ([[Enrich]]) derives the rest, exactly as
+  * the reference does in pandas after the fetch.
+  *
+  * Scale/efficiency: `SupportsPushDownLimit` stops PAGE FETCHES — not
+  * just row emission — once the pushed limit is reached, so
+  * `.limit(100)` against a million-post subreddit costs one API page,
+  * the `top(time_filter, limit)` contract's cost model (T4).
+  */
+object RedditApi {
+
+  /** Raw API post shape (PRAW submission fields the reference extracts,
+    * extract-from-reddit.py:63-75). `created_utc` is epoch SECONDS, as
+    * the API returns it; `author` is None for deleted accounts.
+    */
+  final case class Post(
+      id: String,
+      title: Option[String],
+      score: Option[Int],
+      num_comments: Option[Int],
+      author: Option[String],
+      created_utc: Option[Double],
+      url: Option[String],
+      upvote_ratio: Option[Double],
+      over_18: Option[Boolean],
+      spoiler: Option[Boolean],
+      stickied: Option[Boolean],
+      selftext: Option[String],
+      subreddit: Option[String])
+
+  /** One page of a listing plus whether another page exists. */
+  final case class Page(posts: Seq[Post], hasMore: Boolean)
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("title", StringType),
+    StructField("score", IntegerType),
+    StructField("num_comments", IntegerType),
+    StructField("author", StringType),
+    StructField("created_utc", DoubleType),
+    StructField("url", StringType),
+    StructField("upvote_ratio", DoubleType),
+    StructField("over_18", BooleanType),
+    StructField("spoiler", BooleanType),
+    StructField("stickied", BooleanType),
+    StructField("selftext", StringType),
+    StructField("subreddit", StringType)))
+}
+
+/** The transport seam: page-at-a-time fetch for one subreddit. A live
+  * HTTP client, a recorded-response replayer, and the JSONL fixture
+  * transport all fit behind this one method; retry/backoff/throttle wrap
+  * it uniformly in the partition reader.
+  */
+trait RedditTransport extends Serializable {
+  def fetch(subreddit: String, page: Int): RedditApi.Page
+}
+
+/** Named transport factories so `option("transport", name)` can select an
+  * implementation executor-side without serializing closures. "jsonl" is
+  * the built-in fixture transport; tests register fakes (flaky, counting).
+  */
+object RedditTransports {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String] => RedditTransport]()
+
+  register("jsonl", opts => new JsonlTransport(
+    opts.getOrElse("path",
+      throw new IllegalArgumentException("reddit source: option 'path' is required")),
+    opts.getOrElse("pagesize", "100").toInt))
+
+  def register(name: String, factory: Map[String, String] => RedditTransport): Unit =
+    registry.put(name, factory)
+
+  def create(name: String, opts: Map[String, String]): RedditTransport =
+    Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"reddit source: unknown transport '$name'"))
+      .apply(opts)
+}
+
+/** Fixture transport: a JSONL file of API-shaped posts (one JSON object
+  * per line, `created_utc` epoch seconds — the format a live client's
+  * response recorder would write). Reads lazily ON THE EXECUTOR, filters
+  * to the requested subreddit, serves fixed-size pages.
+  */
+final class JsonlTransport(path: String, pageSize: Int) extends RedditTransport {
+  @transient private lazy val bySubreddit: Map[String, IndexedSeq[RedditApi.Post]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      src.getLines().filter(_.trim.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        def str(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+        def i(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
+        def d(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asDouble)
+        def b(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean)
+        RedditApi.Post(
+          id = str("id").getOrElse(
+            throw new IllegalArgumentException(s"fixture post missing id: $line")),
+          title = str("title"), score = i("score"),
+          num_comments = i("num_comments"), author = str("author"),
+          created_utc = d("created_utc"), url = str("url"),
+          upvote_ratio = d("upvote_ratio"), over_18 = b("over_18"),
+          spoiler = b("spoiler"), stickied = b("stickied"),
+          selftext = str("selftext"), subreddit = str("subreddit"))
+      }.toIndexedSeq.groupBy(_.subreddit.getOrElse(""))
+    } finally src.close()
+  }
+
+  def fetch(subreddit: String, page: Int): RedditApi.Page = {
+    val all = bySubreddit.getOrElse(subreddit, IndexedSeq.empty)
+    val from = page * pageSize
+    RedditApi.Page(all.slice(from, from + pageSize),
+      hasMore = all.length > from + pageSize)
+  }
+}
+
+class RedditTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "reddit"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RedditApi.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new RedditTable(properties.asScala.toMap.map { case (k, v) => k.toLowerCase -> v })
+}
+
+final class RedditTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"reddit(${options.getOrElse("path", options.getOrElse("transport", "?"))})"
+  override def schema(): StructType = RedditApi.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new RedditScanBuilder(options ++ caseInsensitive.asScala)
+}
+
+final class RedditScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownLimit {
+  private var limit: Int = Int.MaxValue
+  // Spark still applies the global limit on top; the push stops each
+  // partition's PAGE FETCHES at n rows — the actual API-cost win.
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def build(): Scan = new RedditScan(options, limit)
+}
+
+final class RedditScan(options: Map[String, String], limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = RedditApi.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    options.getOrElse("subreddits", "stocks").split(",").map(_.trim)
+      .filter(_.nonEmpty).map(sr => RedditInputPartition(sr): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RedditReaderFactory(options, limit)
+}
+
+final case class RedditInputPartition(subreddit: String) extends InputPartition
+
+final class RedditReaderFactory(options: Map[String, String], limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RedditInputPartition]
+    new RedditPartitionReader(
+      RedditTransports.create(options.getOrElse("transport", "jsonl"), options),
+      p.subreddit,
+      maxRetries = options.getOrElse("maxretries", "3").toInt,
+      backoffMs = options.getOrElse("backoffms", "0").toLong,
+      throttleMs = options.getOrElse("throttlems", "0").toLong,
+      limit = limit)
+  }
+}
+
+/** Sequential cursor walk over one subreddit's listing with the
+  * reference's transport discipline: each page fetch is retried up to
+  * `maxRetries` times with exponential backoff
+  * (extract-from-reddit.py:35-59), consecutive fetches are separated by
+  * `throttleMs` (`:86-88`), and fetching stops — pages, not just rows —
+  * once a pushed-down limit is satisfied.
+  */
+final class RedditPartitionReader(transport: RedditTransport, subreddit: String,
+                                  maxRetries: Int, backoffMs: Long,
+                                  throttleMs: Long, limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var page = 0
+  private var emitted = 0
+  private var buf: Iterator[RedditApi.Post] = Iterator.empty
+  private var hasMore = true
+  private var current: RedditApi.Post = _
+
+  private def fetchWithRetry(): RedditApi.Page = {
+    var attempt = 0
+    while (true) {
+      try return transport.fetch(subreddit, page)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          if (backoffMs > 0) Thread.sleep(backoffMs << (attempt - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def next(): Boolean = {
+    if (emitted >= limit) return false
+    while (!buf.hasNext && hasMore) {
+      if (page > 0 && throttleMs > 0) Thread.sleep(throttleMs)
+      val p = fetchWithRetry()
+      buf = p.posts.iterator
+      hasMore = p.hasMore
+      page += 1
+    }
+    if (!buf.hasNext) return false
+    current = buf.next()
+    emitted += 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val p = current
+    def s(v: Option[String]) = v.map(UTF8String.fromString).orNull
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p.id), s(p.title),
+      p.score.map(Int.box).orNull, p.num_comments.map(Int.box).orNull,
+      s(p.author), p.created_utc.map(Double.box).orNull, s(p.url),
+      p.upvote_ratio.map(Double.box).orNull,
+      p.over_18.map(Boolean.box).orNull, p.spoiler.map(Boolean.box).orNull,
+      p.stickied.map(Boolean.box).orNull, s(p.selftext), s(p.subreddit)))
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,105 @@
+package graft.reddit
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkTestBase
+
+/** The S1 DataSource V2 seam: `spark.read.format("reddit")` resolves the
+  * connector via META-INF/services, plans one partition per subreddit,
+  * honors retry ×N / throttle at the transport boundary, and stops page
+  * fetches on a pushed-down limit.
+  */
+class RedditTableProviderSpec extends SparkTestBase {
+
+  private def jsonl(lines: Seq[String]): String = {
+    val f = Files.createTempDirectory("reddit_dsv2").resolve("posts.jsonl")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  private val fixture = Seq(
+    """{"id":"a1","title":"Tesla ’s week","score":10,"num_comments":3,"author":"u1","created_utc":1742826791.0,"url":"http://x/1","upvote_ratio":0.9,"over_18":false,"spoiler":false,"stickied":false,"selftext":"body one","subreddit":"stocks"}""",
+    """{"id":"a2","title":"two","score":20,"num_comments":0,"author":null,"created_utc":1742826792.0,"upvote_ratio":0.5,"over_18":true,"selftext":null,"subreddit":"stocks"}""",
+    """{"id":"a3","title":"three","score":5,"created_utc":1742826793.0,"subreddit":"stocks"}""",
+    """{"id":"b1","title":"other sub","score":7,"created_utc":1742826794.0,"subreddit":"wallstreetbets"}""")
+
+  test("format(\"reddit\") resolves via service registration and reads the fixture, one partition per subreddit") {
+    val path = jsonl(fixture)
+    val df = spark.read.format("reddit")
+      .option("path", path)
+      .option("subreddits", "stocks,wallstreetbets")
+      .load()
+    assert(df.schema == RedditApi.schema)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val a2 = rows.find(_.getString(0) == "a2").get
+    assert(a2.isNullAt(a2.fieldIndex("author")), "deleted account stays null")
+    assert(a2.getBoolean(a2.fieldIndex("over_18")))
+    assert(a2.getDouble(a2.fieldIndex("created_utc")) == 1742826792.0)
+    // partition count = subreddit count (the API's parallelism unit)
+    assert(df.rdd.getNumPartitions == 2)
+    // a subreddit filter composes downstream
+    assert(df.filter("subreddit = 'stocks'").count() == 3)
+    // epoch seconds flow into the P4 conversion unchanged
+    val ts = Enrich.epochToTimestamp(df.filter("id = 'a1'")).collect().head
+    assert(ts.getAs[java.sql.Timestamp]("created_utc").toInstant.getEpochSecond == 1742826791L)
+  }
+
+  test("pushed-down limit stops page fetches, not just row emission") {
+    val calls = RedditTableProviderSpec.fetchCalls
+    calls.set(0)
+    RedditTransports.register("counting", opts => new RedditTransport {
+      private val inner = new JsonlTransport(opts("path"), pageSize = 1)
+      def fetch(subreddit: String, page: Int): RedditApi.Page = {
+        RedditTableProviderSpec.fetchCalls.incrementAndGet()
+        inner.fetch(subreddit, page)
+      }
+    })
+    val path = jsonl(fixture)
+    val got = spark.read.format("reddit")
+      .option("path", path).option("transport", "counting")
+      .option("subreddits", "stocks")
+      .load().limit(1).collect()
+    assert(got.length == 1)
+    // 3 stocks posts at pageSize=1: without the push this is 3 fetches
+    assert(calls.get() == 1, s"expected 1 page fetch, got ${calls.get()}")
+  }
+
+  test("transport failures are retried maxRetries times, then surface") {
+    RedditTransports.register("flaky", opts => new RedditTransport {
+      private val inner = new JsonlTransport(opts("path"), pageSize = 100)
+      def fetch(subreddit: String, page: Int): RedditApi.Page = {
+        if (RedditTableProviderSpec.flakyFailures.getAndDecrement() > 0)
+          throw new RuntimeException("simulated 503")
+        inner.fetch(subreddit, page)
+      }
+    })
+    val path = jsonl(fixture)
+    def read(maxRetries: Int) = spark.read.format("reddit")
+      .option("path", path).option("transport", "flaky")
+      .option("subreddits", "stocks").option("maxretries", maxRetries.toString)
+      .load().count()
+
+    RedditTableProviderSpec.flakyFailures.set(2)
+    assert(read(maxRetries = 3) == 3, "two failures then success inside the x3 budget")
+
+    RedditTableProviderSpec.flakyFailures.set(2)
+    val ex = intercept[org.apache.spark.SparkException](read(maxRetries = 1))
+    assert(ex.getMessage.contains("503") ||
+      Option(ex.getCause).exists(_.getMessage.contains("503")))
+  }
+
+  test("missing path fails loudly; unknown transport fails loudly") {
+    intercept[Exception](
+      spark.read.format("reddit").load().collect())
+    intercept[Exception](
+      spark.read.format("reddit").option("path", "/nope")
+        .option("transport", "imaginary").load().collect())
+  }
+}
+
+object RedditTableProviderSpec {
+  val fetchCalls = new AtomicInteger(0)
+  val flakyFailures = new AtomicInteger(0)
+}
