@@ -6533,7 +6533,153 @@ object QueryCatalog {
              |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
              |  CAST(pix_sum AS BIGINT) AS pix_sum,
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
-             |FROM px ORDER BY doc_id""".stripMargin))
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // Ordered funnel (view → click → purchase), greedy earliest-match:
+    // the oracle replays the same semantics as three chained
+    // earliest-strictly-after picks with the (ts, event_id) tiebreak, so
+    // a funnel that ignores ordering (set-intersection "funnels") or
+    // breaks ties differently fails the hash. Engine side is ONE
+    // exchange + a streaming O(steps)-state scan (Sessionize.funnel).
+    ("q_funnel_steps",
+      (s: SparkSession, d: String) =>
+        Sessionize.funnel(t(s, d, "events"), "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM (
+             |    SELECT user_id, ts, event_id, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |    FROM events WHERE event_type = 'view') WHERE rn = 1),
+             |c AS (SELECT user_id, ts, event_id FROM (
+             |    SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+             |      PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+             |    FROM events e JOIN v ON v.user_id = e.user_id
+             |      AND (e.ts > v.ts OR (e.ts = v.ts AND e.event_id > v.event_id))
+             |    WHERE e.event_type = 'click') WHERE rn = 1),
+             |p AS (SELECT user_id FROM (
+             |    SELECT e.user_id, row_number() OVER (
+             |      PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+             |    FROM events e JOIN c ON c.user_id = e.user_id
+             |      AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id))
+             |    WHERE e.event_type = 'purchase') WHERE rn = 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+             |  UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM c)
+             |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM p))
+             |ORDER BY stage""".stripMargin)),
+
+    // Weekly cohort retention matrix — first-active week buckets × active
+    // week offsets, counted once per (user, week). Integer week ids via
+    // integral division of epoch micros, so no float rounding can move a
+    // boundary event across cohorts in either engine.
+    ("q_cohort_retention",
+      (s: SparkSession, d: String) =>
+        Sessionize.cohortRetention(t(s, d, "events"), "user_id", "ts"),
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 604800000000 AS wk FROM events),
+             |ch AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+             |SELECT ch.cohort_week, uw.wk - ch.cohort_week AS week_offset,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM uw JOIN ch USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Bloom-filter join pruning, graded bit-for-bit: the filter words are
+    // md5-derived (the count-min discipline) so DuckDB rebuilds the SAME
+    // bitmap and replays every membership test. The graded row pins the
+    // bloom contract — n_false_neg MUST be 0 — and makes the FP cost
+    // data-visible. Probe side never shuffles: the words ride in-row as a
+    // broadcast-class literal (mBits/32 longs).
+    ("q_bloom_prefilter",
+      (s: SparkSession, d: String) => {
+        val mBits = 65536; val k = 3
+        val keys = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")).distinct()
+        val words = Sketches.bloomCollect(
+          Sketches.bloomWords(keys, "c_custkey", mBits, k), mBits)
+        t(s, d, "orders")
+          .select(col("o_custkey"),
+            Sketches.bloomProbe(col("o_custkey"), words, mBits, k).as("pass"))
+          .join(broadcast(keys.withColumn("hit", lit(1L))),
+            col("o_custkey") === col("c_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_passed"),
+            sum(when(col("hit") === 1L, 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("pass") && col("hit").isNull, 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when(!col("pass") && col("hit") === 1L, 1L).otherwise(0L))
+              .as("n_false_neg"))
+          .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_keys"))))
+      },
+      Some("""WITH keys AS (SELECT DISTINCT c_custkey FROM customer
+             |  WHERE c_mktsegment = 'BUILDING'),
+             |pos AS (SELECT ('0x' || substr(md5(t.i || ':' ||
+             |      CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS p
+             |  FROM keys CROSS JOIN range(0, 3) t(i)),
+             |words AS (SELECT p // 32 AS w,
+             |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS v
+             |  FROM pos GROUP BY 1),
+             |cust AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+             |ppos AS (SELECT c.o_custkey,
+             |    ('0x' || substr(md5(t.i || ':' ||
+             |      CAST(c.o_custkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS p
+             |  FROM cust c CROSS JOIN range(0, 3) t(i)),
+             |hit AS (SELECT o_custkey,
+             |    count(*) FILTER (WHERE (coalesce(words.v, 0)
+             |      & (1::BIGINT << CAST(p % 32 AS INT))) <> 0) AS nbits
+             |  FROM ppos LEFT JOIN words ON words.w = p // 32
+             |  GROUP BY 1),
+             |fl AS (SELECT h.o_custkey, c.n, h.nbits = 3 AS pass,
+             |    h.o_custkey IN (SELECT c_custkey FROM keys) AS really
+             |  FROM hit h JOIN cust c USING (o_custkey))
+             |SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+             |  CAST(sum(CASE WHEN pass THEN n ELSE 0 END) AS BIGINT) AS n_passed,
+             |  CAST(sum(CASE WHEN really THEN n ELSE 0 END) AS BIGINT) AS n_true,
+             |  CAST(sum(CASE WHEN pass AND NOT really THEN n ELSE 0 END)
+             |    AS BIGINT) AS n_false_pos,
+             |  CAST(sum(CASE WHEN really AND NOT pass THEN n ELSE 0 END)
+             |    AS BIGINT) AS n_false_neg,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys
+             |FROM fl""".stripMargin)),
+
+    // Streaming exact dedup under the oracle: the full events table then a
+    // replay of every event_id % 5 = 0 row arrive as two mtime-ordered
+    // micro-batches; dropDuplicatesWithinWatermark (40-day horizon covers
+    // the fixture's span, so no state evicts mid-test) must emit each id
+    // exactly once — first arrival wins, re-deliveries suppressed by keyed
+    // state. The graded set is simply the distinct events relation.
+    ("q_stream_dedup",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select("event_id", "user_id", "ts", "value")
+        val inDir = scratchDir("sdedup_in")
+        stageArrivalFile(ev, inDir, "b1.parquet", 1700000000000L)
+        stageArrivalFile(ev.filter(col("event_id") % 5 === 0),
+          inDir, "b2.parquet", 1700000060000L)
+        val outDir = scratchDir("sdedup_out")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams
+            .dedupWithinWatermark(stream, Seq("event_id"), "ts", "40 days")
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", scratchDir("sdedup_ckpt"))
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(outDir)
+          .select(col("event_id"), col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(floor(value * 100) AS BIGINT) AS cents
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -179,4 +179,104 @@ object Sessionize {
     acc.select(col("_k").as(userCol), col("_tb").as(tieBreak),
       col("_v").as("value_units"), col("_s").as("ewma_units"))
   }
+
+  /** Ordered funnel: how many users complete the first `s` steps of
+    * `steps` IN ORDER — each step's event strictly after the previous
+    * step's, in `(ts, tieBreak)` order (the product-analytics
+    * view→click→purchase question). Greedy earliest-match semantics: a
+    * user is at stage `s` iff taking the EARLIEST qualifying event for
+    * each step in turn reaches step `s` — greedy is optimal here (an
+    * earlier step-i match can only admit more step-i+1 candidates), so
+    * this equals "any subsequence matches".
+    *
+    * One exchange on the user key, one ordered in-task scan holding
+    * O(steps) state per user — NOT O(events): unlike [[ewmaFixedPoint]]
+    * nothing needs the full history buffered, so this streams unbounded
+    * per-user histories safely. Output: one row per stage with the count
+    * of users whose furthest stage is ≥ it.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             tieBreak: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: no steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    // secondary sort, not mapGroups: repartition on the user key, sort
+    // (user, ts, tiebreak) inside each partition (external, spillable),
+    // then ONE streaming pass holding only the current user's stage —
+    // per-task memory is O(steps) regardless of history length
+    val reached = events
+      .select(col(userCol).cast("long").as("_u"),
+        unix_micros(col(tsCol)).as("_t"),
+        col(tieBreak).cast("long").as("_tb"),
+        col(typeCol).cast("string").as("_e"))
+      .repartition(col("_u"))
+      .sortWithinPartitions(col("_u"), col("_t"), col("_tb"))
+      .as[(Long, Long, Long, String)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private var curUser = 0L
+          private var curStage = 0
+          private var open = false
+          private var out: (Long, Long) = _
+          private var ready = false
+          private def advance(): Unit = {
+            while (!ready && it.hasNext) {
+              val (u, _, _, e) = it.next()
+              if (!open) { open = true; curUser = u; curStage = 0 }
+              else if (u != curUser) {
+                out = (curUser, curStage.toLong); ready = true
+                curUser = u; curStage = 0
+              }
+              if (curStage < nSteps && stepIdx.get(e).contains(curStage))
+                curStage += 1
+            }
+            if (!ready && !it.hasNext && open) {
+              out = (curUser, curStage.toLong); ready = true; open = false
+            }
+          }
+          def hasNext: Boolean = { advance(); ready }
+          def next(): (Long, Long) = {
+            advance()
+            if (!ready) throw new NoSuchElementException
+            ready = false; out
+          }
+        }
+      }
+      .toDF(userCol, "stage_reached")
+    val aggs = steps.indices.map(s =>
+      sum(when(col("stage_reached") > s, 1L).otherwise(0L)).as(s"_s$s"))
+    val counts = reached.groupBy().agg(aggs.head, aggs.tail: _*)
+    val rows = steps.indices.map(s =>
+      counts.select(lit(s + 1L).as("stage"), lit(steps(s)).as("step"),
+        col(s"_s$s").as("n_users")))
+    rows.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users bucketed by first-active week, then
+    * for every (cohort_week, week_offset) the number of that cohort's
+    * users active `offset` weeks later — the retention-matrix mart.
+    *
+    * Scale shape: ONE exchange on the user key does all per-user work
+    * (`collect_set` of active weeks is bounded by the calendar horizon,
+    * not the event count — a year is 52 entries no matter how many
+    * billions of events), then one bounded aggregation over
+    * (cohort, offset) keys. No window over event history, no self-join
+    * of the event table.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // integral division, not floor(double /): epoch micros are integer-
+    // exact, so no float rounding can move a boundary event across weeks
+    val wk = graft.functions.integral_divide(
+      unix_micros(col(tsCol)), lit(604800000000L)).as("wk")
+    events.select(col(userCol).as("u"), wk)
+      .groupBy(col("u"))
+      .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("wks"))
+      .select(col("u"), col("cohort_week"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -259,4 +259,51 @@ object Sketches {
         coalesce(expr("(n_common * est_union) div k_used"), lit(0L))
           .as("est_intersect"))
   }
+
+  /** Bloom-filter bit position `i` of `key` in an `mBits`-bit filter —
+    * the [[cmsBucket]] md5 discipline, so the whole bitmap is
+    * engine-replayable (`('0x' || substr(md5(i || ':' || key), 1,
+    * 8))::BIGINT % mBits` in DuckDB).
+    */
+  private def bloomPos(i: Int, key: Column, mBits: Int): Column =
+    conv(substring(md5(concat(lit(i).cast("string"), lit(":"),
+      key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % mBits
+
+  /** Bloom filter AS A RELATION: `(word, bits)` rows, 32 filter bits per
+    * int64 word (bit 31 max keeps every word value positive, so no engine
+    * disagrees on sign). Build is one bounded aggregation — ≤ mBits/32
+    * distinct keys, partials merged map-side via `bit_or` — the mergeable
+    * O(m) state that makes a bloom the 100 TB join-pruning primitive:
+    * ship the words, not the key set.
+    */
+  def bloomWords(keys: DataFrame, key: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits % 32 == 0 && mBits > 0, s"bloomWords: mBits $mBits not a multiple of 32")
+    require(k >= 1 && k <= 16, s"bloomWords: bad k $k")
+    val pos = (0 until k).map(i => bloomPos(i, col(key), mBits))
+    keys.select(explode(array(pos: _*)).as("p"))
+      .groupBy((col("p") / 32).cast("long").as("word"))
+      .agg(bit_or(pow(lit(2.0d), (col("p") % 32).cast("double")).cast("long"))
+        .as("bits"))
+  }
+
+  /** Membership test against a collected bloom (index 0..mBits/32-1 →
+    * word value, missing words = 0). The words array is broadcast-class
+    * by construction (mBits/32 longs); the probe is pure in-row codegen
+    * arithmetic — the big side never shuffles, which is the entire point
+    * of bloom-pruning a join.
+    */
+  def bloomProbe(key: Column, words: Seq[Long], mBits: Int, k: Int): Column = {
+    val wordsLit = array(words.map(lit): _*)
+    (0 until k).map { i =>
+      val p = bloomPos(i, key, mBits)
+      val mask = pow(lit(2.0d), (p % 32).cast("double")).cast("long")
+      element_at(wordsLit, ((p / 32) + 1).cast("int")).bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** [[bloomWords]] densified to a driver array for [[bloomProbe]]. */
+  def bloomCollect(words: DataFrame, mBits: Int): Seq[Long] = {
+    val m = words.collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until mBits / 32).map(w => m.getOrElse(w, 0L))
+  }
 }

@@ -303,6 +303,22 @@ object Streams {
   def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming exact dedup with BOUNDED state: watermark the event-time
+    * column by `horizon`, then `dropDuplicatesWithinWatermark` on the id
+    * columns — first arrival wins and is emitted immediately (dedup
+    * operators don't hold rows back in append mode); re-deliveries inside
+    * the horizon are suppressed by keyed state that the watermark then
+    * EVICTS, so state is O(distinct ids per horizon), not per stream
+    * lifetime. `horizon` is the contract: a duplicate arriving more than
+    * `horizon` after the watermark high-mark may re-emit — size it to the
+    * upstream's maximum re-delivery lag (an at-least-once bus retries in
+    * seconds-to-hours, not days).
+    */
+  def dedupWithinWatermark(stream: DataFrame, idCols: Seq[String],
+                           tsCol: String, horizon: String): DataFrame =
+    stream.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Name of the maintained-summary sidecar inside the versioned table. */
   val SummarySidecar = "_graft_summary"
 

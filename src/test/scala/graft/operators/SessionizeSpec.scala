@@ -79,4 +79,56 @@ class SessionizeSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("monotone"), ex.getMessage)
   }
+
+  test("funnel: order matters, greedy earliest-match, strict-after on ties, repartition-stable") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      // user 2: purchase BEFORE click — stops at click (stage 2)
+      (2L, ts("2024-01-01 09:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 09:01:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 09:02:00"), 6L, "click"),
+      // user 3: click only, no view — stage 0
+      (3L, ts("2024-01-01 08:00:00"), 7L, "click"),
+      // user 4: view+click at the SAME ts — event_id tiebreak makes the
+      // click strictly after the view, so stage 2
+      (4L, ts("2024-01-01 07:00:00"), 8L, "view"),
+      (4L, ts("2024-01-01 07:00:00"), 9L, "click"),
+      // user 5: click at same ts but LOWER event_id than the view — the
+      // click is NOT after the view in (ts, id) order, stage 1
+      (5L, ts("2024-01-01 06:00:00"), 11L, "view"),
+      (5L, ts("2024-01-01 06:00:00"), 10L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sessionize.funnel(df, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = run(ev)
+    // stage1 (view): users 1,2,4,5 → 4; stage2 (click after view): 1,2,4 → 3;
+    // stage3: only user 1
+    assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 1L), s"got $got")
+    assert(run(ev.repartition(7)) == got)
+  }
+
+  test("cohortRetention: cohorts split by first week, gaps don't shift offsets") {
+    // week id 2824 = 2024-02-19..25; user 1 first wk W, active W and W+2
+    // (gap at W+1); user 2 first wk W; user 3 first wk W+1
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-15 10:00:00"), 2L),
+      (1L, ts("2024-01-15 11:00:00"), 3L), // same week twice: counted once
+      (2L, ts("2024-01-03 10:00:00"), 4L),
+      (3L, ts("2024-01-08 10:00:00"), 5L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessionize.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = 19723L / 7L // 2024-01-01 epoch-day 19723 → epoch-week
+    // cohort w0: users 1,2 at offset 0; user 1 alone at offset 2;
+    // cohort w0+1: user 3 at offset 0
+    assert(got == Map(
+      (w0, 0L) -> 2L, (w0, 2L) -> 1L, (w0 + 1L, 0L) -> 1L), s"got $got")
+  }
 }

@@ -236,4 +236,31 @@ class SketchesSpec extends SparkTestBase {
     val m = Sketches.tokenMedian(docs, "text").collect().head
     assert(math.abs(m.getDouble(1) - m.getDouble(0)) <= m.getDouble(0) * 0.05)
   }
+
+  test("bloom: zero false negatives, bounded false positives, build is partitioning-invariant") {
+    import spark.implicits._
+    val mBits = 4096; val k = 3
+    val members = (0L until 200L).map(i => i * 7L + 1L)
+    val keys = members.toDF("k")
+    val words = Sketches.bloomCollect(
+      Sketches.bloomWords(keys, "k", mBits, k), mBits)
+    assert(words.length == mBits / 32)
+    assert(words.forall(_ >= 0L), "32-bit words must stay sign-safe in int64")
+    // every member passes — the bloom contract
+    val memberPass = keys
+      .select(Sketches.bloomProbe(col("k"), words, mBits, k).as("p"))
+      .filter(!col("p")).count()
+    assert(memberPass == 0L, "false negative!")
+    // non-members: FP rate must be near theory ((kn/m-ish)^k ≈ 2.4%), not
+    // saturated; 10x headroom keeps the assertion noise-proof
+    val nonMembers = (100000L until 102000L).toDF("k")
+    val fp = nonMembers
+      .select(Sketches.bloomProbe(col("k"), words, mBits, k).as("p"))
+      .filter(col("p")).count()
+    assert(fp.toDouble / 2000 < 0.25, s"fp rate ${fp / 2000.0} looks saturated")
+    // bit_or aggregation is order/partitioning-independent
+    val again = Sketches.bloomCollect(
+      Sketches.bloomWords(keys.repartition(13), "k", mBits, k), mBits)
+    assert(again == words)
+  }
 }
