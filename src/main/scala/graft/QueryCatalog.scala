@@ -6570,21 +6570,6 @@ object QueryCatalog {
              |    (SELECT CAST(count(*) AS BIGINT) FROM p))
              |ORDER BY stage""".stripMargin)),
 
-    // Weekly cohort retention matrix — first-active week buckets × active
-    // week offsets, counted once per (user, week). Integer week ids via
-    // integral division of epoch micros, so no float rounding can move a
-    // boundary event across cohorts in either engine.
-    ("q_cohort_retention",
-      (s: SparkSession, d: String) =>
-        Sessionize.cohortRetention(t(s, d, "events"), "user_id", "ts"),
-      Some("""WITH uw AS (SELECT DISTINCT user_id,
-             |    epoch_us(ts) // 604800000000 AS wk FROM events),
-             |ch AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
-             |SELECT ch.cohort_week, uw.wk - ch.cohort_week AS week_offset,
-             |  CAST(count(*) AS BIGINT) AS n_users
-             |FROM uw JOIN ch USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
     // Bloom-filter join pruning, graded bit-for-bit: the filter words are
     // md5-derived (the count-min discipline) so DuckDB rebuilds the SAME
     // bitmap and replays every membership test. The graded row pins the
@@ -6681,6 +6666,13 @@ object QueryCatalog {
              |  CAST(floor(value * 100) AS BIGINT) AS cents
              |FROM events ORDER BY event_id""".stripMargin))
   )
+
+  // a duplicate name would silently SHADOW an earlier graded row in these
+  // maps, shrinking the surface with no error anywhere — fail loudly
+  // instead (a real round-13 near-miss: two q_cohort_retention entries)
+  require(entries.map(_._1).distinct.size == entries.size,
+    "duplicate query names: " + entries.map(_._1)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map { case (n, f, _) => n -> f }.toMap

@@ -192,8 +192,13 @@ object Sessionize {
     * One exchange on the user key, one ordered in-task scan holding
     * O(steps) state per user — NOT O(events): unlike [[ewmaFixedPoint]]
     * nothing needs the full history buffered, so this streams unbounded
-    * per-user histories safely. Output: one row per stage with the count
-    * of users whose furthest stage is ≥ it.
+    * per-user histories safely. The complementary plan to
+    * [[Temporal.funnelStages]] (per-stage conditional-min joins — better
+    * when stages are few and per-stage selectivity is high; this one-pass
+    * shape wins on deep funnels or when the per-stage timestamps aren't
+    * needed, and is the only one that breaks same-timestamp ties
+    * deterministically). Output: one row per stage with the count of
+    * users whose furthest stage is ≥ it.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              tieBreak: String, typeCol: String,
@@ -255,28 +260,4 @@ object Sessionize {
     rows.reduce(_.unionByName(_)).orderBy("stage")
   }
 
-  /** Weekly cohort retention: users bucketed by first-active week, then
-    * for every (cohort_week, week_offset) the number of that cohort's
-    * users active `offset` weeks later — the retention-matrix mart.
-    *
-    * Scale shape: ONE exchange on the user key does all per-user work
-    * (`collect_set` of active weeks is bounded by the calendar horizon,
-    * not the event count — a year is 52 entries no matter how many
-    * billions of events), then one bounded aggregation over
-    * (cohort, offset) keys. No window over event history, no self-join
-    * of the event table.
-    */
-  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    // integral division, not floor(double /): epoch micros are integer-
-    // exact, so no float rounding can move a boundary event across weeks
-    val wk = graft.functions.integral_divide(
-      unix_micros(col(tsCol)), lit(604800000000L)).as("wk")
-    events.select(col(userCol).as("u"), wk)
-      .groupBy(col("u"))
-      .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("wks"))
-      .select(col("u"), col("cohort_week"), explode(col("wks")).as("wk"))
-      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
-  }
 }

@@ -112,23 +112,4 @@ class SessionizeSpec extends SparkTestBase {
     assert(run(ev.repartition(7)) == got)
   }
 
-  test("cohortRetention: cohorts split by first week, gaps don't shift offsets") {
-    // week id 2824 = 2024-02-19..25; user 1 first wk W, active W and W+2
-    // (gap at W+1); user 2 first wk W; user 3 first wk W+1
-    val ev = Seq(
-      (1L, ts("2024-01-01 10:00:00"), 1L),
-      (1L, ts("2024-01-15 10:00:00"), 2L),
-      (1L, ts("2024-01-15 11:00:00"), 3L), // same week twice: counted once
-      (2L, ts("2024-01-03 10:00:00"), 4L),
-      (3L, ts("2024-01-08 10:00:00"), 5L))
-      .toDF("user_id", "ts", "event_id")
-    val got = Sessionize.cohortRetention(ev, "user_id", "ts")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val w0 = 19723L / 7L // 2024-01-01 epoch-day 19723 → epoch-week
-    // cohort w0: users 1,2 at offset 0; user 1 alone at offset 2;
-    // cohort w0+1: user 3 at offset 0
-    assert(got == Map(
-      (w0, 0L) -> 2L, (w0, 2L) -> 1L, (w0 + 1L, 0L) -> 1L), s"got $got")
-  }
 }
