@@ -6630,6 +6630,46 @@ object QueryCatalog {
              |  (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys
              |FROM fl""".stripMargin)),
 
+    // Dynamic partition pruning end-to-end: lineitem re-laid out as a
+    // month-partitioned fact table, joined to a RUNTIME-computed dim (the
+    // 3 months with the most urgent orders — unknowable at plan time, so
+    // only DPP can skip the other ~80 partitions; PlanQualitySpec asserts
+    // the dynamicpruning filter reaches the scan). The graded row proves
+    // the partitioned layout + pruned join lose no rows vs the plain
+    // tables.
+    ("q_dpp_partitioned_join",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_extendedprice"), col("l_quantity"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        val path = scratchDir("verify_dpp")
+        graft.sources.Partitioned.write(li, "ship_month", path)
+        val fact = graft.sources.Partitioned.read(s, path)
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("ship_month")).limit(3)
+          .select("ship_month")
+        fact.join(dim, Seq("ship_month"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")) * 100).cast("long").as("sum_price_cents"),
+            round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+            count_distinct(col("ship_month")).as("n_months"))
+      },
+      Some("""WITH f AS (SELECT strftime(l_shipdate, '%Y-%m') AS m,
+             |    l_extendedprice, l_quantity FROM lineitem),
+             |top3 AS (SELECT m FROM (
+             |    SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n
+             |    FROM orders WHERE o_orderpriority = '1-URGENT'
+             |    GROUP BY 1 ORDER BY n DESC, m LIMIT 3)),
+             |j AS (SELECT f.* FROM f JOIN top3 USING (m))
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_cents,
+             |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+             |  CAST(count(DISTINCT m) AS BIGINT) AS n_months
+             |FROM j""".stripMargin)),
+
     // Streaming exact dedup under the oracle: the full events table then a
     // replay of every event_id % 5 = 0 row arrive as two mtime-ordered
     // micro-batches; dropDuplicatesWithinWatermark (40-day horizon covers
