@@ -6630,6 +6630,105 @@ object QueryCatalog {
              |  (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys
              |FROM fl""".stripMargin)),
 
+    // Content-defined chunking graded boundary-for-boundary: the gear
+    // hash's shifted-sum form makes each boundary a pure per-position
+    // formula over the trailing maskBits bytes, so DuckDB replays the
+    // ENTIRE segmentation positionally — n_chunks, total bytes, and an
+    // md5 over the exact boundary list per document.
+    ("q_cdc_chunking",
+      (s: SparkSession, d: String) => {
+        val b = graft.functions.cdc_boundaries(col("text"), 6, 1)
+        t(s, d, "documents").select(col("doc_id"),
+            size(b).cast("long").as("n_chunks"),
+            length(encode(col("text"), "UTF-8")).cast("long").as("total_bytes"),
+            md5(array_join(b, ",").cast("binary")).as("bounds_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n FROM documents),
+             |by AS (SELECT doc_id, n, list_transform(range(1, n+1),
+             |    i -> (strpos('0123456789abcdef', substr(hx, CAST(2*i-1 AS INT), 1))-1)*16
+             |       + (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INT), 1))-1)) AS bs
+             |  FROM x),
+             |bd AS (SELECT doc_id, n, list_filter(range(1, n+1), i ->
+             |      list_sum(list_transform(range(greatest(i-5, 1), i+1),
+             |        p -> ((bs[p] + 1) * 2654435761 % 4294967296)
+             |             * CAST(power(2, i - p) AS BIGINT))) % 64 = 0) AS e0
+             |  FROM by),
+             |fe AS (SELECT doc_id, n,
+             |    CASE WHEN n = 0 THEN []::BIGINT[]
+             |         WHEN len(e0) > 0 AND e0[len(e0)] = n THEN e0
+             |         ELSE list_append(e0, CAST(n AS BIGINT)) END AS ends
+             |  FROM bd)
+             |SELECT doc_id, CAST(len(ends) AS BIGINT) AS n_chunks,
+             |  CAST(n AS BIGINT) AS total_bytes,
+             |  md5(array_to_string(ends, ',')) AS bounds_md5
+             |FROM fe ORDER BY doc_id""".stripMargin)),
+
+    // The property CDC exists for, graded exactly: clones with a PREFIX
+    // INSERTION ('PATCH v2: ') re-align at the first content boundary, so
+    // nearly all clone bytes dedup against the originals at chunk
+    // granularity — fixed-size blocks would share almost nothing. All
+    // counts exact: DuckDB rebuilds every chunk of both generations.
+    ("q_cdc_chunk_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(docs.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("PATCH v2: "), col("text")).as("text")))
+        val ch = Materialize.once(
+          Dedup.cdcChunks(corpus, "doc_id", "text"), reliable = false)
+        val tot = ch.agg(count(lit(1)).as("n_chunks_total"),
+          count_distinct(col("chunk_md5")).as("n_distinct_chunks"),
+          sum(col("len")).cast("long").as("total_bytes"))
+        val dup = ch.groupBy("chunk_md5")
+          .agg(max(col("len")).as("l"), count(lit(1)).as("c"))
+          .agg(coalesce(sum(col("l") * (col("c") - 1)), lit(0L)).cast("long")
+            .as("dup_bytes"))
+        val shared = ch.filter(col("doc_id") >= 1000000L)
+          .join(ch.filter(col("doc_id") < 1000000L)
+            .select("chunk_md5").distinct(), Seq("chunk_md5"), "left_semi")
+          .agg(count(lit(1)).as("n_clone_chunks_shared"),
+            coalesce(sum(col("len")), lit(0L)).cast("long").as("clone_shared_bytes"))
+        tot.crossJoin(dup).crossJoin(shared)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, 'PATCH v2: ' || text FROM documents),
+             |x AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+             |    octet_length(encode(text)) AS n FROM corpus),
+             |by AS (SELECT doc_id, hx, n, list_transform(range(1, n+1),
+             |    i -> (strpos('0123456789abcdef', substr(hx, CAST(2*i-1 AS INT), 1))-1)*16
+             |       + (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INT), 1))-1)) AS bs
+             |  FROM x),
+             |bd AS (SELECT doc_id, hx, n, list_filter(range(1, n+1), i ->
+             |      list_sum(list_transform(range(greatest(i-5, 1), i+1),
+             |        p -> ((bs[p] + 1) * 2654435761 % 4294967296)
+             |             * CAST(power(2, i - p) AS BIGINT))) % 64 = 0) AS e0
+             |  FROM by),
+             |fe AS (SELECT doc_id, hx,
+             |    CASE WHEN n = 0 THEN []::BIGINT[]
+             |         WHEN len(e0) > 0 AND e0[len(e0)] = n THEN e0
+             |         ELSE list_append(e0, CAST(n AS BIGINT)) END AS ends
+             |  FROM bd),
+             |ch AS (SELECT doc_id,
+             |    md5(substr(hx,
+             |      2*(CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i-1]+1 END) - 1,
+             |      2*(ends[u.i] - (CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i-1]+1 END) + 1))) AS h,
+             |    ends[u.i] - (CASE WHEN u.i = 1 THEN 1 ELSE ends[u.i-1]+1 END) + 1 AS ln
+             |  FROM fe, unnest(range(1, len(ends)+1)) u(i)),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks_total,
+             |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+             |    CAST(sum(ln) AS BIGINT) AS total_bytes FROM ch),
+             |pm AS (SELECT h, max(ln) AS l, count(*) AS c FROM ch GROUP BY 1),
+             |dup AS (SELECT CAST(coalesce(sum(l * (c - 1)), 0) AS BIGINT)
+             |    AS dup_bytes FROM pm),
+             |og AS (SELECT DISTINCT h FROM ch WHERE doc_id < 1000000),
+             |cl AS (SELECT CAST(count(*) AS BIGINT) AS n_clone_chunks_shared,
+             |    CAST(coalesce(sum(ln), 0) AS BIGINT) AS clone_shared_bytes
+             |  FROM ch WHERE doc_id >= 1000000 AND h IN (SELECT h FROM og))
+             |SELECT * FROM tot CROSS JOIN dup CROSS JOIN cl""".stripMargin)),
+
     // Dynamic partition pruning end-to-end: lineitem re-laid out as a
     // month-partitioned fact table, joined to a RUNTIME-computed dim (the
     // 3 months with the most urgent orders — unknowable at plan time, so

@@ -538,4 +538,42 @@ object HashUtil {
     }
     h
   }
+
+  /** Content-defined chunk boundaries (gear-style CDC — the
+    * insertion-robust splitter behind sub-document dedup): a windowed
+    * rolling hash `h_i = sum_{j=0..63} T(b_(i-j)) * 2^j (mod 2^64)` over the
+    * UTF-8 BYTES, with `T(b) = ((b+1) * 2654435761) mod 2^32` (Knuth
+    * multiplicative). Byte `i` (1-based) closes a chunk when at least
+    * `minLen` bytes have accumulated since the previous boundary and the
+    * low `maskBits` bits of `h_i` are zero; the final byte always closes
+    * the last chunk. The shifted-sum form means `h_i & mask` depends on
+    * only the trailing `maskBits` bytes, so an external engine can replay
+    * every boundary POSITIONALLY (no sequential fold) — with minLen = 1
+    * the whole segmentation is a pure per-position formula.
+    *
+    * Returns the chunk END positions (1-based, ascending); empty array
+    * for empty input. Chunks are byte ranges, so slicing happens on the
+    * encoded binary and never tears a UTF-8 code point's IDENTITY — chunk
+    * equality is byte equality, which is what dedup keys on.
+    */
+  def cdcBoundaries(s: UTF8String, maskBits: Int, minLen: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val mask = (1L << maskBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var last = 0
+    var i = 0
+    while (i < n) {
+      val t = ((bytes(i) & 0xff) + 1L) * 2654435761L % 4294967296L
+      h = (h << 1) + t // mod 2^64 via Long wrap; bytes age out after 64 shifts
+      if (i + 1 - last >= minLen && (h & mask) == 0L) {
+        out += (i + 1)
+        last = i + 1
+      }
+      i += 1
+    }
+    if (last < n) out += n
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

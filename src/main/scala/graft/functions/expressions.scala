@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hash kernels. Generated code calls
@@ -294,5 +294,31 @@ case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.rollingHash64($c)")
   override protected def withNewChildInternal(newChild: Expression): RollingHash64Expr =
+    copy(child = newChild)
+}
+
+/** Content-defined chunk boundary kernel (see [[HashUtil.cdcBoundaries]]):
+  * string → array<int> of 1-based chunk END byte positions, codegen'd —
+  * the insertion-robust splitter behind sub-document dedup.
+  */
+case class CdcBoundariesExpr(child: Expression, maskBits: Int, minLen: Int)
+    extends UnaryExpression {
+  require(maskBits >= 1 && maskBits <= 20, s"cdc maskBits out of range: $maskBits")
+  require(minLen >= 1, s"cdc minLen must be >= 1: $minLen")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cdc_boundaries needs string, got ${other.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.cdcBoundaries(input.asInstanceOf[UTF8String], maskBits, minLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.cdcBoundaries($c, $maskBits, $minLen)")
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundariesExpr =
     copy(child = newChild)
 }

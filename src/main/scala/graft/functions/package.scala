@@ -19,6 +19,13 @@ package object functions {
   def rolling_hash64(text: Column): Column =
     ColumnBridge.column(RollingHash64Expr(ColumnBridge.expression(text)))
 
+  /** Content-defined chunk end positions (1-based bytes) of a string
+    * column — gear-style CDC (codegen'd kernel).
+    */
+  def cdc_boundaries(text: Column, maskBits: Int, minLen: Int): Column =
+    ColumnBridge.column(
+      CdcBoundariesExpr(ColumnBridge.expression(text), maskBits, minLen))
+
   /** MinHash LSH band-bucket hashes of an array<string> shingle column —
     * the whole signature+banding in one codegen'd kernel.
     */
@@ -183,6 +190,9 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cdc_boundaries",
+      es => CdcBoundariesExpr(es(0), intLit(es(1), "maskBits"), intLit(es(2), "minLen")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_f32", es => CosineF32Expr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("quality_counts", es => QualityCountsExpr(es.head), "scala_udf")

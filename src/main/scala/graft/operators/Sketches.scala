@@ -275,6 +275,15 @@ object Sketches {
     * distinct keys, partials merged map-side via `bit_or` — the mergeable
     * O(m) state that makes a bloom the 100 TB join-pruning primitive:
     * ship the words, not the key set.
+    *
+    * Relationship to [[Relational.bloomAntiJoin]] (which wraps Spark's
+    * `stat.bloomFilter` + the codegen `bloom_might_contain` kernel): that
+    * is the PRODUCTION probe path — opaque optimized bits, graded on the
+    * exact post-verification result. THIS is the transparent formulation:
+    * md5-derived positions any engine replays bit-for-bit, so the graded
+    * row (`q_bloom_prefilter`) pins the filter's own behavior — zero
+    * false negatives and the exact false-positive count — and the bitmap
+    * persists/merges as a plain table across pipelines and engines.
     */
   def bloomWords(keys: DataFrame, key: String, mBits: Int, k: Int): DataFrame = {
     require(mBits % 32 == 0 && mBits > 0, s"bloomWords: mBits $mBits not a multiple of 32")

@@ -19,7 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Partitioned {
 
   def write(df: DataFrame, partitionCol: String, path: String): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    // hash-partition on the key BEFORE partitionBy: without it every
+    // write task opens a file in every partition directory — tasks ×
+    // partitions small files, the classic lakehouse write anti-pattern.
+    // With it each partition value lands in one task → one file.
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -496,4 +496,45 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("cdcChunks: chunks tile the document, realign after an insertion, and honor minLen") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val docs = Seq((1L, base), (2L, "INSERTED-PREFIX " + base), (3L, ""))
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", maskBits = 4, minLen = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // chunks tile: starts/lens are contiguous from byte 1 to the doc length
+    Seq(1L, 2L).foreach { id =>
+      val cs = ch.filter(_._1 == id).sortBy(_._2)
+      assert(cs.nonEmpty)
+      assert(cs.head._3 == 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4, s"gap in doc $id")
+        case _ =>
+      }
+      val n = docs.filter(col("doc_id") === id).select(
+        length(encode(col("text"), "UTF-8"))).as[Int].collect().head
+      assert(cs.last._3 + cs.last._4 - 1 == n, s"doc $id doesn't tile to $n")
+    }
+    // empty doc → zero chunks
+    assert(!ch.exists(_._1 == 3L))
+    // insertion robustness: once past the prefix, doc 2 re-aligns — the
+    // majority of doc 1's chunk keys reappear in doc 2
+    val h1 = ch.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._5).toSet
+    val sharedFrac = h1.intersect(h2).size.toDouble / h1.size
+    assert(sharedFrac > 0.6, s"only ${sharedFrac * 100}% of chunks realigned")
+    // minLen pushes boundaries apart (except the forced final chunk)
+    val chMin = Dedup.cdcChunks(docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", maskBits = 4, minLen = 32)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(chMin.dropRight(1).forall(_._2 >= 32L),
+      s"minLen violated: ${chMin.mkString(",")}")
+    // identical input → identical segmentation under repartition
+    val again = Dedup.cdcChunks(docs.repartition(7), "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(again == ch.map(t => (t._1, t._2, t._5)).toSet)
+  }
 }
