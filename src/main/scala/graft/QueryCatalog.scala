@@ -6630,6 +6630,36 @@ object QueryCatalog {
              |  (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys
              |FROM fl""".stripMargin)),
 
+    // Single-pass write audit via Dataset.observe: the metrics ride the
+    // WRITE job's accumulators — no second scan — and the oracle computes
+    // the same aggregates independently, so a metric that drifts from the
+    // data that actually landed fails the hash. (observe-legal aggregates
+    // only: count/sum/min/max and conditional forms.)
+    ("q_observed_write",
+      (s: SparkSession, d: String) =>
+        graft.quality.DataQuality.writeAudited(
+          t(s, d, "documents"), scratchDir("verify_observed"),
+          Seq(
+            "n_rows" -> count(lit(1)),
+            "sum_chars" -> sum(col("n_chars")),
+            "min_doc" -> min(col("doc_id")),
+            "max_doc" -> max(col("doc_id")),
+            "n_en" -> sum(when(col("lang") === "en", 1L).otherwise(0L))))
+          .orderBy("metric"),
+      Some("""SELECT metric, value FROM (
+             |  SELECT 'n_rows' AS metric, CAST(count(*) AS VARCHAR) AS value
+             |    FROM documents
+             |  UNION ALL SELECT 'sum_chars', CAST(sum(n_chars) AS VARCHAR)
+             |    FROM documents
+             |  UNION ALL SELECT 'min_doc', CAST(min(doc_id) AS VARCHAR)
+             |    FROM documents
+             |  UNION ALL SELECT 'max_doc', CAST(max(doc_id) AS VARCHAR)
+             |    FROM documents
+             |  UNION ALL SELECT 'n_en',
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS VARCHAR)
+             |    FROM documents)
+             |ORDER BY metric""".stripMargin)),
+
     // Content-defined chunking graded boundary-for-boundary: the gear
     // hash's shifted-sum form makes each boundary a pure per-position
     // formula over the trailing maskBits bytes, so DuckDB replays the

@@ -125,4 +125,32 @@ object DataQuality {
 
   def passes(df: DataFrame, rules: Seq[Rule]): Boolean =
     check(df, rules, sampleRows = 0).forall(_.violationCount == 0)
+
+  /** Write-path audit: materialize `df` to `path` while collecting the
+    * named aggregate `measures` from THE SAME PASS via `Dataset.observe`
+    * — the at-scale telemetry discipline: a 100 TB ingest cannot afford a
+    * second scan just to learn what it wrote, and a separately-computed
+    * profile can silently disagree with the committed data (retries,
+    * source churn). Observed metrics are collected by an accumulator
+    * riding the write job itself, so they describe EXACTLY the rows that
+    * landed.
+    *
+    * `measures` must be observe-legal aggregates (count/sum/min/max and
+    * conditional forms — nothing needing a shuffle, e.g. no distinct).
+    * Returns the metrics as (metric, value-as-string) rows — stringly so
+    * heterogeneous measure types fit one relation.
+    */
+  def writeAudited(df: DataFrame, path: String,
+                   measures: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(measures.nonEmpty, "writeAudited: no measures")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation(s"graft_audit_${measures.hashCode}")
+    val named = measures.map { case (n, c) => c.as(n) }
+    df.observe(obs, named.head, named.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    val got = obs.get
+    measures.map { case (n, _) => (n, String.valueOf(got(n))) }
+      .toDF("metric", "value")
+  }
 }

@@ -37,4 +37,22 @@ class DataQualitySpec extends SparkTestBase {
     assert(check(Seq((Option.empty[Double], "a")).toDF("v", "k"),
       Seq(InRange("v", 0d, 1d))).head.violationCount == 0)
   }
+
+  test("writeAudited: observed metrics describe exactly the written rows, one pass") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 10L, "en"), (2L, 20L, "de"), (3L, 30L, "en"))
+      .toDF("id", "n", "lang")
+    val path = java.nio.file.Files.createTempDirectory("audit").toString + "/out"
+    val metrics = DataQuality.writeAudited(df, path, Seq(
+        "n_rows" -> count(lit(1)),
+        "sum_n" -> sum(col("n")),
+        "n_en" -> sum(when(col("lang") === "en", 1L).otherwise(0L))))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(metrics == Map("n_rows" -> "3", "sum_n" -> "60", "n_en" -> "2"),
+      s"got $metrics")
+    // the write really committed, and agrees with the metrics
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.agg(sum("n")).collect().head.getLong(0) == 60L)
+  }
 }
