@@ -6833,7 +6833,66 @@ object QueryCatalog {
       },
       Some("""SELECT event_id, user_id,
              |  CAST(floor(value * 100) AS BIGINT) AS cents
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Semi-structured ingestion: events.props is a JSON string; parse it
+    // ONCE to VARIANT, then typed-path extraction + filter + aggregate.
+    // The oracle extracts the same path with DuckDB's JSON operators —
+    // parity proves variant_get's typed extraction matches a reference
+    // JSON engine, not just itself.
+    ("q_variant_extract",
+      (s: SparkSession, d: String) => {
+        val ev = graft.operators.SemiStructured.parseJson(
+          t(s, d, "events"), "props")
+        graft.operators.SemiStructured
+          .shred(ev, "v", Seq(("k", "$.k", "long")))
+          .filter(col("k") >= 50)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("sum_k"),
+            min(col("k")).cast("long").as("min_k"),
+            max(col("k")).cast("long").as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""WITH x AS (SELECT event_type,
+             |    CAST(props->>'k' AS BIGINT) AS k FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM x WHERE k >= 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Variant shredding round-trip: build a nested payload (object +
+    // nested struct + sometimes-ABSENT array) from document columns,
+    // parse to VARIANT, shred typed paths back out. The oracle computes
+    // every expected value directly from the base columns, so the whole
+    // construct→parse→extract pipeline is graded against ground truth:
+    // missing paths must be null (tags on 2/3 of rows), and a
+    // present-but-uncastable path must be null under TRY semantics
+    // (bad_cast asks for $.meta.lang AS BIGINT).
+    ("q_variant_shred",
+      (s: SparkSession, d: String) => {
+        val ss = graft.operators.SemiStructured
+        val docs = t(s, d, "documents")
+          .withColumn("payload", ss.demoPayload())
+        val withV = ss.parseJson(docs, "payload")
+        val shredded = ss.shred(withV, "v", Seq(
+          ("did", "$.id", "long"),
+          ("lang2", "$.meta.lang", "string"),
+          ("chars", "$.meta.chars", "long"),
+          ("tag0", "$.tags[0]", "string"),
+          ("tag1", "$.tags[1]", "string")))
+        ss.tryShred(shredded, "v", Seq(("bad_cast", "$.meta.lang", "long")))
+          .select(col("did").as("doc_id"), col("lang2").as("lang"),
+            col("chars").as("n_chars"), col("tag0"), col("tag1"),
+            col("bad_cast"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CASE WHEN doc_id % 3 = 0 THEN source END AS tag0,
+             |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) END AS tag1,
+             |  CAST(NULL AS BIGINT) AS bad_cast
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these
