@@ -6892,7 +6892,80 @@ object QueryCatalog {
              |  CASE WHEN doc_id % 3 = 0 THEN source END AS tag0,
              |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) END AS tag1,
              |  CAST(NULL AS BIGINT) AS bad_cast
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE → iterative UnionLoop): the
+    // documents arranged as a binary heap (parent = (id-1) div 2) give a
+    // ~9-deep hierarchy; the ancestor closure is graded depth-by-depth
+    // against DuckDB running the SAME recursive SQL — two independent
+    // recursive-CTE engines must agree on every (depth, count, checksum).
+    ("q_recursive_cte",
+      (s: SparkSession, d: String) => {
+        val edges = t(s, d, "documents")
+          .filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("child"),
+            expr("(doc_id - 1) div 2").as("parent"))
+        graft.operators.Hierarchy.ancestorClosure(edges, "child", "parent")
+          .groupBy(col("depth").cast("long").as("depth"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("node")).cast("long").as("sum_nodes"),
+            sum(col("ancestor")).cast("long").as("sum_anc"))
+          .orderBy("depth")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT doc_id AS child, (doc_id - 1) // 2 AS parent
+             |  FROM documents WHERE doc_id >= 1),
+             |anc AS (
+             |  SELECT child AS node, parent AS ancestor, 1 AS depth FROM e
+             |  UNION ALL
+             |  SELECT a.node, e.parent, a.depth + 1
+             |  FROM anc a JOIN e ON a.ancestor = e.child)
+             |SELECT CAST(depth AS BIGINT) AS depth,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(node) AS BIGINT) AS sum_nodes,
+             |  CAST(sum(ancestor) AS BIGINT) AS sum_anc
+             |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // rootOf on the same heap: every node's terminal ancestor and its
+    // depth below it, parentless nodes self-rooted at depth 0. Graded
+    // per-node (500 rows) so a single wrong hop anywhere in the
+    // recursion flips the hash.
+    ("q_hierarchy_roots",
+      (s: SparkSession, d: String) => {
+        val edges = t(s, d, "documents")
+          .filter(col("doc_id") >= 1)
+          .select(col("doc_id").as("child"),
+            expr("(doc_id - 1) div 2").as("parent"))
+        graft.operators.Hierarchy.rootOf(edges, "child", "parent")
+          .select(col("node").cast("long").as("node"),
+            col("root").cast("long").as("root"),
+            col("depth").cast("long").as("depth"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT doc_id AS child, (doc_id - 1) // 2 AS parent
+             |  FROM documents WHERE doc_id >= 1),
+             |anc AS (
+             |  SELECT child AS node, parent AS ancestor, 1 AS depth FROM e
+             |  UNION ALL
+             |  SELECT a.node, e.parent, a.depth + 1
+             |  FROM anc a JOIN e ON a.ancestor = e.child),
+             |ch AS (SELECT DISTINCT child FROM e),
+             |-- explicit DISTINCT: inside WITH RECURSIVE, DuckDB gives a
+             |-- bare UNION recursive semantics and skips cross-branch dedup
+             |alln AS (SELECT DISTINCT node FROM (
+             |  SELECT child AS node FROM e
+             |  UNION ALL SELECT parent FROM e)),
+             |rooted AS (
+             |  SELECT node, ancestor AS root, depth FROM anc
+             |  WHERE ancestor NOT IN (SELECT child FROM ch)
+             |  UNION ALL
+             |  SELECT node, node, 0 FROM alln
+             |  WHERE node NOT IN (SELECT child FROM ch))
+             |SELECT CAST(node AS BIGINT) AS node,
+             |  CAST(root AS BIGINT) AS root,
+             |  CAST(depth AS BIGINT) AS depth
+             |FROM rooted ORDER BY node""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these
