@@ -6965,7 +6965,62 @@ object QueryCatalog {
              |SELECT CAST(node AS BIGINT) AS node,
              |  CAST(root AS BIGINT) AS root,
              |  CAST(depth AS BIGINT) AS depth
-             |FROM rooted ORDER BY node""".stripMargin))
+             |FROM rooted ORDER BY node""".stripMargin)),
+
+    // transformWithState (Spark 4 arbitrary-state API, RocksDB-backed):
+    // the events replayed as two mtime-ordered micro-batches (even ids
+    // then odd); the per-user running ledger must emit each touched
+    // user's CUMULATIVE (count, cents) after every batch — so the graded
+    // set is per-user totals over batch 1, plus per-user grand totals for
+    // users batch 2 touches, both computable exactly by the oracle.
+    ("q_stream_tws_ledger",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        val inDir = scratchDir("tws_in")
+        stageArrivalFile(ev.filter(col("event_id") % 2 === 0),
+          inDir, "b1.parquet", 1700000000000L)
+        stageArrivalFile(ev.filter(col("event_id") % 2 === 1),
+          inDir, "b2.parquet", 1700000060000L)
+        val outDir = scratchDir("tws_out")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        import s.implicits._
+        val typed = stream.select("user_id", "cents")
+          .as[graft.streaming.Streams.LedgerEvent]
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams.runningLedger(typed)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", scratchDir("tws_ckpt"))
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+        s.read.parquet(outDir).orderBy("user_id", "n_events")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+             |s1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM ev WHERE event_id % 2 = 0 GROUP BY user_id),
+             |b2u AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1),
+             |sall AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM ev GROUP BY user_id)
+             |SELECT user_id, n_events, cents FROM s1
+             |UNION ALL
+             |SELECT s.user_id, s.n_events, s.cents
+             |FROM sall s JOIN b2u USING (user_id)
+             |ORDER BY user_id, n_events""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -401,4 +401,53 @@ object Streams {
     }
     rows.toDF(group, "n_rows", "sum_measure")
   }
+
+  final case class LedgerEvent(user_id: Long, cents: Long)
+  final case class LedgerState(n: Long, cents: Long)
+  final case class LedgerRow(user_id: Long, n_events: Long, cents: Long)
+
+  /** Per-key cumulative ledger as a `transformWithState` StatefulProcessor
+    * (the Spark-4 arbitrary-state API that replaces
+    * `flatMapGroupsWithState`): one [[LedgerState]] per user in the state
+    * store, and after every micro-batch that touches a user, ONE row with
+    * that user's cumulative (count, cents) — a change-feed of running
+    * per-entity totals. State is O(active keys) and lives in RocksDB
+    * (required by the API; changelog-checkpointed, so at cluster scale
+    * state restores incrementally instead of re-reading full snapshots).
+    * Pass a `TTLConfig` to bound retention for unbounded key spaces.
+    */
+  class RunningLedgerProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig =
+                                 org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LedgerEvent, LedgerRow] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[LedgerState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[LedgerState]("ledger",
+        org.apache.spark.sql.Encoders.product[LedgerState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[LedgerEvent],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LedgerRow] = {
+      val prev = if (st.exists()) st.get() else LedgerState(0L, 0L)
+      var n = prev.n
+      var c = prev.cents
+      rows.foreach { r => n += 1; c += r.cents }
+      st.update(LedgerState(n, c))
+      Iterator.single(LedgerRow(key, n, c))
+    }
+  }
+
+  /** [[RunningLedgerProcessor]] wired onto a stream. The caller's session
+    * must use the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — transformWithState
+    * refuses the default HDFS-backed store.
+    */
+  def runningLedger(events: org.apache.spark.sql.Dataset[LedgerEvent])
+      : org.apache.spark.sql.Dataset[LedgerRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningLedgerProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
 }

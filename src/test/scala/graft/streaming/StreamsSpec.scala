@@ -440,4 +440,34 @@ class StreamsSpec extends SparkTestBase {
     assert(rows(0).getAs[Int]("n_tokens") == 5)
     assert(Set("train", "val", "test").contains(rows(0).getAs[String]("split")))
   }
+
+  test("runningLedger (transformWithState): cumulative per-key state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long)]
+      val typed = mem.toDF().toDF("user_id", "cents").as[Streams.LedgerEvent]
+      val ckpt = Files.createTempDirectory("tws_ckpt").toString
+      val q = Streams.runningLedger(typed)
+        .writeStream.format("memory").queryName("tws_ledger_test")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      mem.addData((1L, 10L), (1L, 5L), (2L, 7L))
+      q.processAllAvailable()
+      mem.addData((1L, 100L))
+      q.processAllAvailable()
+      val rows = spark.table("tws_ledger_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      q.stop()
+      // batch 1: user 1 (2 events, 15), user 2 (1 event, 7);
+      // batch 2 touches only user 1 → cumulative (3 events, 115)
+      assert(rows == Set((1L, 2L, 15L), (2L, 1L, 7L), (1L, 3L, 115L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
