@@ -7020,7 +7020,39 @@ object QueryCatalog {
              |UNION ALL
              |SELECT s.user_id, s.n_events, s.cents
              |FROM sall s JOIN b2u USING (user_id)
-             |ORDER BY user_id, n_events""".stripMargin))
+             |ORDER BY user_id, n_events""".stripMargin)),
+
+    // Co-located fact⋈fact join: both sides written bucketed+sorted on
+    // the join key, so the join runs with NO exchange and NO sort on
+    // either side — the pay-the-shuffle-once layout for tables joined
+    // repeatedly at 100 TB (BucketedSpec pins the zero-exchange plan
+    // shape; this row grades that the layout loses no rows vs the plain
+    // tables). 8 buckets: a layout knob sized to the graded volume.
+    ("q_bucketed_join",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_quantity")
+        val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        graft.sources.Bucketed.writeBucketed(li, "graft_bkt_lineitem",
+          "l_orderkey", 8)
+        graft.sources.Bucketed.writeBucketed(ord, "graft_bkt_orders",
+          "o_orderkey", 8)
+        graft.sources.Bucketed.read(s, "graft_bkt_lineitem")
+          .join(graft.sources.Bucketed.read(s, "graft_bkt_orders").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")) * 100).cast("long")
+              .as("sum_price_cents"),
+            round(sum(col("l_quantity"))).cast("long").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+             |    AS sum_price_cents,
+             |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these
