@@ -7052,7 +7052,67 @@ object QueryCatalog {
              |    AS sum_price_cents,
              |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Join-view IVM: a materialized orders⋈customer view maintained under
+    // one keyed delta batch exercising every case — delete, in-place
+    // update, fk MOVE (custkey+1: may re-match or not, both engines
+    // agree), update-to-no-dim-match (custkey -1 drops from the inner
+    // view), and fresh inserts. The oracle recomputes the upserted base
+    // join FROM SCRATCH, so any drift in the delta algebra flips the
+    // per-segment sums.
+    ("q_ivm_join",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val dim = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        val view0 = Incremental.joinView(base, dim, "o_custkey", "c_custkey")
+        val ok = col("o_orderkey")
+        val upd = base.filter(ok % 10 === 0 && ok % 13 =!= 0)
+          .select(ok,
+            when(ok % 40 === 0, col("o_custkey") + 1)
+              .when(ok % 20 === 0, lit(-1L))
+              .otherwise(col("o_custkey")).as("o_custkey"),
+            (col("cents") + 100000L).as("cents"))
+          .withColumn("op", lit("U"))
+        val del = base.filter(ok % 13 === 0).withColumn("op", lit("D"))
+        val ins = base.filter(ok % 17 === 5)
+          .select((ok + 10000000L).as("o_orderkey"), col("o_custkey"),
+            (col("cents") + 7L).as("cents"))
+          .withColumn("op", lit("U"))
+        val delta = upd.unionByName(del).unionByName(ins)
+        Incremental.maintainJoin(view0, dim, delta,
+            "o_orderkey", "o_custkey", "c_custkey", "op")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("o_orderkey")).as("n_orders"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |upd AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 40 = 0 THEN o_custkey + 1
+             |         WHEN o_orderkey % 20 = 0 THEN -1
+             |         ELSE o_custkey END AS o_custkey,
+             |    cents + 100000 AS cents
+             |  FROM base WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0),
+             |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             |    cents + 7 AS cents FROM base WHERE o_orderkey % 17 = 5),
+             |touched AS (SELECT o_orderkey FROM upd
+             |  UNION ALL
+             |  SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0),
+             |fin AS (
+             |  SELECT * FROM base
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM touched)
+             |  UNION ALL SELECT * FROM upd
+             |  UNION ALL SELECT * FROM ins)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM fin JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -75,4 +75,44 @@ object Incremental {
   def summarize(base: DataFrame, group: String, measure: String): DataFrame =
     base.groupBy(col(group).as(group))
       .agg(count(lit(1)).as("n_rows"), sum(col(measure)).as("sum_measure"))
+
+  /** The materialized inner-join view [[maintainJoin]] maintains:
+    * `base ⋈ dim` on `base.fkCol = dim.dimKeyCol` (both key columns kept,
+    * so the maintained schema is self-describing).
+    */
+  def joinView(base: DataFrame, dim: DataFrame,
+               fkCol: String, dimKeyCol: String): DataFrame =
+    base.join(dim, base(fkCol) === dim(dimKeyCol))
+
+  /** Maintain a materialized join view under a keyed upsert/delete delta
+    * to the BASE side — the join completion of [[maintainSummary]]'s
+    * aggregate algebra: Δ(A ⋈ B) for a keyed delta to A is "drop every
+    * view row addressed by a delta key, add (upserts ⋈ B)". An upsert
+    * that MOVES a row to a different fk lands in its new dim match; an
+    * upsert whose fk has no dim row drops out of the inner view (and
+    * a later dim backfill is a dim-side delta, out of scope here — this
+    * maintains under base-side changes only).
+    *
+    * Correctness contract: `view` must be exactly
+    * `joinView(base, dim, fkCol, dimKeyCol)` for the base this delta
+    * applies to, delta keys unique per batch, and `delta` must carry the
+    * base columns plus `opCol` (`U` upsert / `D` delete — same protocol
+    * as [[maintainSummary]]).
+    *
+    * Scale shape: the VIEW is touched only by one anti-join against the
+    * delta's keys (micro-batch-sized → broadcasts; the view never
+    * shuffles — same class as [[Relational.upsert]]'s main side). The
+    * DIM is probed only by the delta's upsert rows (broadcast delta →
+    * dim never shuffles, and the session's runtime bloom filter prunes
+    * the dim scan to the delta's fk set). The full-recompute alternative
+    * re-joins the whole base every batch.
+    */
+  def maintainJoin(view: DataFrame, dim: DataFrame, delta: DataFrame,
+                   key: String, fkCol: String, dimKeyCol: String,
+                   opCol: String): DataFrame = {
+    val kept = view.join(delta.select(col(key)), Seq(key), "left_anti")
+    val added = joinView(delta.filter(col(opCol) =!= "D").drop(opCol),
+      dim, fkCol, dimKeyCol)
+    kept.unionByName(added)
+  }
 }

@@ -49,4 +49,38 @@ class IncrementalSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected the delta-key probe to broadcast:\n$plan")
   }
+
+  test("maintainJoin equals the from-scratch recompute across every delta case") {
+    val base = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 10L, 300L),
+      (4L, 30L, 400L)).toDF("k", "fk", "m")
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("dk", "seg")
+    val view0 = Incremental.joinView(base, dim, "fk", "dk")
+    val delta = Seq(
+      (1L, "U", 20L, 101L),  // fk move a->b
+      (2L, "D", 0L, 0L),     // delete
+      (3L, "U", 99L, 301L),  // move to no dim match -> drops from inner view
+      (5L, "U", 30L, 500L)   // fresh insert
+    ).toDF("k", "op", "fk", "m")
+    val maintained = Incremental.maintainJoin(view0, dim, delta,
+        "k", "fk", "dk", "op")
+      .select("k", "fk", "m", "dk", "seg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(maintained == Set(
+      (4L, 30L, 400L, 30L, "c"),
+      (1L, 20L, 101L, 20L, "b"),
+      (5L, 30L, 500L, 30L, "c")))
+  }
+
+  test("maintainJoin: the view never shuffles — delta keys broadcast into the anti-join") {
+    val base = Seq((1L, 10L, 100L)).toDF("k", "fk", "m")
+    val dim = Seq((10L, "a")).toDF("dk", "seg")
+    val delta = Seq((1L, "U", 10L, 101L)).toDF("k", "op", "fk", "m")
+    val plan = Incremental.maintainJoin(
+        Incremental.joinView(base, dim, "fk", "dk"), dim, delta,
+        "k", "fk", "dk", "op")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast anti-join on the view side:\n$plan")
+  }
 }
