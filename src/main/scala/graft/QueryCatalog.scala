@@ -7112,6 +7112,58 @@ object QueryCatalog {
              |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
              |  CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM fin JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Dim-side join-view IVM: the view starts over a dim MISSING 1/7 of
+    // the customers, then one dim delta batch updates segments, deletes
+    // keys, and BACKFILLS the missing customers — whose orders must
+    // surface in the maintained inner view. Oracle recomputes from the
+    // post-delta dim from scratch.
+    ("q_ivm_join_dim",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        val ck = col("c_custkey")
+        val dim0 = cust.filter(ck % 7 =!= 3)
+        val view0 = Incremental.joinView(base, dim0, "o_custkey", "c_custkey")
+        val upd = cust.filter(ck % 5 === 0 && ck % 7 =!= 3)
+          .select(ck, concat(lit("X-"), col("c_mktsegment")).as("c_mktsegment"))
+          .withColumn("op", lit("U"))
+        val del = cust.filter(ck % 11 === 0 && ck % 5 =!= 0 && ck % 7 =!= 3)
+          .withColumn("op", lit("D"))
+        val ins = cust.filter(ck % 7 === 3).withColumn("op", lit("U"))
+        val delta = upd.unionByName(del).unionByName(ins)
+        Incremental.maintainJoinDim(view0, base, delta,
+            "c_custkey", "o_custkey", "op")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |dim0 AS (SELECT c_custkey, c_mktsegment FROM customer
+             |  WHERE c_custkey % 7 <> 3),
+             |upd AS (SELECT c_custkey, 'X-' || c_mktsegment AS c_mktsegment
+             |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 3),
+             |ins AS (SELECT c_custkey, c_mktsegment FROM customer
+             |  WHERE c_custkey % 7 = 3),
+             |delk AS (SELECT c_custkey FROM customer
+             |  WHERE c_custkey % 11 = 0 AND c_custkey % 5 <> 0
+             |    AND c_custkey % 7 <> 3),
+             |touched AS (SELECT c_custkey FROM upd
+             |  UNION ALL SELECT c_custkey FROM delk
+             |  UNION ALL SELECT c_custkey FROM ins),
+             |fin AS (
+             |  SELECT * FROM dim0
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
+             |  UNION ALL SELECT * FROM upd
+             |  UNION ALL SELECT * FROM ins)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM base JOIN fin ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 

@@ -115,4 +115,33 @@ object Incremental {
       dim, fkCol, dimKeyCol)
     kept.unionByName(added)
   }
+
+  /** [[maintainJoin]]'s other side: maintain the view under a keyed
+    * upsert/delete delta to the DIM. Every view row whose dim key is
+    * addressed by the delta drops (it joined the now-stale dim row); the
+    * upserted dim rows re-join against the base rows that reference them
+    * — which COVERS BACKFILL: a dim insert surfaces the base rows an
+    * inner view had been dropping.
+    *
+    * Correctness contract mirrors [[maintainJoin]]: `view` exact for
+    * (base, pre-delta dim), delta keys unique per batch, delta carries
+    * the dim columns plus `opCol`.
+    *
+    * Scale shape: the view side is one broadcast anti-join on the delta's
+    * dim keys (zero view shuffle). The base side is probed by a semi join
+    * against the upserted keys' fk set — a SCAN of the base bounded by
+    * the runtime bloom filter, not a shuffle; a deployment replaying
+    * large dim churn should keep the base bucketed on the fk
+    * ([[graft.sources.Bucketed]]) so the probe prunes to matching buckets.
+    */
+  def maintainJoinDim(view: DataFrame, base: DataFrame, dimDelta: DataFrame,
+                      dimKeyCol: String, fkCol: String,
+                      opCol: String): DataFrame = {
+    val kept = view.join(dimDelta.select(col(dimKeyCol)),
+      Seq(dimKeyCol), "left_anti")
+    val newDim = dimDelta.filter(col(opCol) =!= "D").drop(opCol)
+    val touchedBase = base.join(newDim.select(col(dimKeyCol).as(fkCol)),
+      Seq(fkCol), "left_semi")
+    kept.unionByName(joinView(touchedBase, newDim, fkCol, dimKeyCol))
+  }
 }

@@ -83,4 +83,25 @@ class IncrementalSpec extends SparkTestBase {
     assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
       s"expected a broadcast anti-join on the view side:\n$plan")
   }
+
+  test("maintainJoinDim: update, delete, and BACKFILL all equal the recompute") {
+    val base = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L),
+      (4L, 40L, 400L)).toDF("k", "fk", "m")
+    // dim starts WITHOUT key 40 — base row 4 is invisible in the view
+    val dim0 = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("dk", "seg")
+    val view0 = Incremental.joinView(base, dim0, "fk", "dk")
+    val delta = Seq(
+      (10L, "U", "a2"),  // segment update
+      (20L, "D", ""),    // delete -> base row 2 drops from the view
+      (40L, "U", "d")    // backfill -> base row 4 surfaces
+    ).toDF("dk", "op", "seg")
+    val maintained = Incremental.maintainJoinDim(view0, base, delta,
+        "dk", "fk", "op")
+      .select("k", "fk", "m", "dk", "seg")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4))).toSet
+    assert(maintained == Set(
+      (3L, 300L, "c"),   // untouched
+      (1L, 100L, "a2"),  // re-joined against the updated dim row
+      (4L, 400L, "d")))  // backfilled
+  }
 }
