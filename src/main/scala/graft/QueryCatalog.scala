@@ -7164,7 +7164,32 @@ object QueryCatalog {
              |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM base JOIN fin ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // VARIANT storage round-trip: the parsed variant column is WRITTEN to
+    // parquet (Spark shreds the encoded value) and read back; typed-path
+    // extraction from the re-read column must still equal ground truth —
+    // the property that lets a 100 TB semi-structured lake keep ONE
+    // parsed copy and pay per-path at read time.
+    ("q_variant_roundtrip",
+      (s: SparkSession, d: String) => {
+        val ss = graft.operators.SemiStructured
+        val docs = t(s, d, "documents").withColumn("payload", ss.demoPayload())
+        val path = scratchDir("verify_variant")
+        ss.parseJson(docs, "payload").select("doc_id", "v")
+          .write.mode("overwrite").parquet(path)
+        val back = s.read.parquet(path)
+        ss.shred(back, "v", Seq(
+            ("lang", "$.meta.lang", "string"),
+            ("chars", "$.meta.chars", "long"),
+            ("tag0", "$.tags[0]", "string")))
+          .select(col("doc_id"), col("lang"), col("chars").as("n_chars"),
+            col("tag0"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  CASE WHEN doc_id % 3 = 0 THEN source END AS tag0
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these
