@@ -7189,7 +7189,44 @@ object QueryCatalog {
       },
       Some("""SELECT doc_id, lang, n_chars,
              |  CASE WHEN doc_id % 3 = 0 THEN source END AS tag0
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Schema evolution across ingest generations: generation 1 lacks the
+    // n_chars column generation 2 carries; the merged read must yield the
+    // union schema with nulls for gen-1 rows, and BOTH read paths — the
+    // footer-sweeping mergeSchema and the catalog-declared explicit
+    // schema (the 100 TB path) — must agree exactly, so the graded plan
+    // unions them and counts any disagreement into the hash.
+    ("q_schema_merge",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val path = scratchDir("verify_schemaevo")
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+          .write.parquet(path + "/g1")
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+          .write.parquet(path + "/g2")
+        val merged = graft.sources.SchemaEvolution.readMerged(s, path)
+        val declared = graft.sources.SchemaEvolution.readAs(s, path, merged.schema)
+        def summarize(df: DataFrame, tag: String) = df
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("n_chars")).as("n_with_chars"),
+            coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("sum_chars"))
+          .withColumn("read_path", lit(tag))
+        summarize(merged, "merge_schema")
+          .unionByName(summarize(declared, "declared_schema"))
+          .orderBy("read_path", "lang")
+      },
+      Some("""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+             |      AS BIGINT) AS n_with_chars,
+             |    CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END),
+             |      0) AS BIGINT) AS sum_chars
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, n_docs, n_with_chars, sum_chars, read_path
+             |FROM g CROSS JOIN (VALUES ('merge_schema'), ('declared_schema'))
+             |  AS rp(read_path)
+             |ORDER BY read_path, lang""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these
