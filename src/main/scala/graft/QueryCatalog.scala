@@ -7226,7 +7226,53 @@ object QueryCatalog {
              |SELECT lang, n_docs, n_with_chars, sum_chars, read_path
              |FROM g CROSS JOIN (VALUES ('merge_schema'), ('declared_schema'))
              |  AS rp(read_path)
-             |ORDER BY read_path, lang""".stripMargin))
+             |ORDER BY read_path, lang""".stripMargin)),
+
+    // Hard-example triplet mining over the labeled embeddings: hardest
+    // positive = least-similar same-label, hardest negative =
+    // most-similar other-label, per anchor. The oracle re-derives both
+    // extremes with windowed ranks over the full scored cross product —
+    // the combinable min/max-by-struct reduction must agree on every id
+    // and every 6dp cosine.
+    ("q_hard_triplets",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mineTriplets(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", "label")
+          .orderBy("anchor_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av
+             |  FROM e WHERE vec_id < 20),
+             |s AS (
+             |  SELECT a.anchor_id, a.a_label, e.vec_id AS cand_id,
+             |    e.label AS c_label,
+             |    round(CASE WHEN sqrt(list_inner_product(a.av, a.av)
+             |                         * list_inner_product(e.v, e.v)) = 0
+             |          THEN 0.0
+             |          ELSE list_inner_product(a.av, e.v)
+             |               / sqrt(list_inner_product(a.av, a.av)
+             |                      * list_inner_product(e.v, e.v)) END, 6)
+             |      AS cosine
+             |  FROM e JOIN a ON a.anchor_id <> e.vec_id),
+             |pos AS (SELECT anchor_id, cand_id AS pos_id,
+             |    cosine AS pos_cosine,
+             |    row_number() OVER (PARTITION BY anchor_id
+             |                       ORDER BY cosine ASC, cand_id ASC) AS rn
+             |  FROM s WHERE c_label = a_label),
+             |neg AS (SELECT anchor_id, cand_id AS neg_id,
+             |    cosine AS neg_cosine,
+             |    row_number() OVER (PARTITION BY anchor_id
+             |                       ORDER BY cosine DESC, cand_id ASC) AS rn
+             |  FROM s WHERE c_label <> a_label)
+             |SELECT p.anchor_id, p.pos_id, p.pos_cosine,
+             |  n.neg_id, n.neg_cosine
+             |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+             |WHERE p.rn = 1 AND n.rn = 1
+             |ORDER BY p.anchor_id""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

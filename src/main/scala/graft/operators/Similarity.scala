@@ -115,6 +115,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-example triplet mining for contrastive/metric training: for
+    * each anchor, the HARDEST positive — the LEAST-similar same-label
+    * vector — and the HARDEST negative — the MOST-similar
+    * different-label vector. Ties break toward the smaller candidate id
+    * on both sides (cosines pre-rounded to 6 decimals, so tie semantics
+    * are engine-exact).
+    *
+    * Scale shape: anchors broadcast (a bounded mining batch); the corpus
+    * is scanned once, scored in-row, and reduced with two COMBINABLE
+    * min/max-by-struct aggregates — no window over the corpus, no
+    * per-anchor sort, partials O(anchors) per task. At corpus scale,
+    * shortlist negatives with the IVF index first ([[ivfSearch]]) and
+    * re-rank the shortlist here; positives are label-bounded already.
+    *
+    * Anchors with no same-label or no different-label candidate are
+    * dropped (no triplet exists).
+    */
+  def mineTriplets(corpus: DataFrame, anchors: DataFrame, id: String,
+                   vec: String, label: String): DataFrame = {
+    val a = anchors.select(col(id).as("anchor_id"), col(vec).as("a_vec"),
+      col(label).as("a_label"))
+    val c = corpus.select(col(id).as("cand_id"), col(vec).as("c_vec"),
+      col(label).as("c_label"))
+    val scored = c.join(broadcast(a), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("a_label"), col("cand_id"), col("c_label"),
+        round(cosineF(col("a_vec"), col("c_vec")), 6).as("cosine"))
+    scored.groupBy("anchor_id")
+      .agg(
+        // min over (cosine, id): least similar, smaller id on tie
+        min(when(col("c_label") === col("a_label"),
+          struct(col("cosine").as("cos"), col("cand_id").as("cid")))).as("pos"),
+        // max over (cosine, -id): most similar, smaller id on tie
+        max(when(col("c_label") =!= col("a_label"),
+          struct(col("cosine").as("cos"),
+            (-col("cand_id")).as("nid")))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"),
+        col("pos.cid").as("pos_id"), col("pos.cos").as("pos_cosine"),
+        (-col("neg.nid")).as("neg_id"), col("neg.cos").as("neg_cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane matrix for sign-LSH:
     * component (p, d) = xxhash64(p, d) scaled to [-1, 1). No RNG state —
     * reproducible on any engine and any partitioning — and evaluated ONCE

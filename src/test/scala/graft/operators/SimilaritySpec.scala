@@ -327,4 +327,27 @@ class SimilaritySpec extends SparkTestBase {
       .agg(min("c"), max("c")).collect().head
     assert(self.getDouble(0) == 1.0 && self.getDouble(1) == 1.0)
   }
+
+  test("mineTriplets: hardest positive/negative with id tiebreaks; no-candidate anchors drop") {
+    // axis-aligned vectors: cos(a0,a1)=1 etc. label 9 has a single member
+    // (no same-label candidate -> dropped)
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, 0, array(1.0F, 0.0F)),
+        |  (1L, 0, array(1.0F, 0.0F)),
+        |  (2L, 0, array(0.0F, 1.0F)),
+        |  (3L, 1, array(1.0F, 0.0F)),
+        |  (4L, 1, array(1.0F, 0.0F)),
+        |  (5L, 9, array(0.5F, 0.5F))
+        |AS t(vec_id, label, embedding)""".stripMargin)
+    val out = Similarity.mineTriplets(rows, rows, "vec_id", "embedding", "label")
+      .orderBy("anchor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // anchor 0: hardest pos = 2 (cos 0); hardest neg: 3 and 4 tie at cos 1
+    //   -> smaller id 3. anchor 5 (sole label-9 member) must be absent.
+    assert(out.contains((0L, 2L, 3L)), s"got $out")
+    assert(!out.exists(_._1 == 5L), s"anchor without positives kept: $out")
+    // anchor 3: positives = {4} (cos 1); negatives 0,1 tie at cos 1 -> id 0
+    assert(out.contains((3L, 4L, 0L)), s"got $out")
+  }
 }
