@@ -350,4 +350,24 @@ class SimilaritySpec extends SparkTestBase {
     // anchor 3: positives = {4} (cos 1); negatives 0,1 tie at cos 1 -> id 0
     assert(out.contains((3L, 4L, 0L)), s"got $out")
   }
+
+  test("mineTriplets plan: broadcast anchors, combinable aggregate, no window, no sort-merge") {
+    val real = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val p = Similarity.mineTriplets(real, real.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"per-anchor window over the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the score join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchors not broadcast:\n$p")
+    // struct-typed min/max plans as SortAggregate, not HashAggregate —
+    // what matters is the PARTIAL phase (map-side combine) before the
+    // single anchor-key exchange
+    assert(p.contains("partial_min"),
+      s"extremes not reduced via partial aggregation:\n$p")
+    // exactly one SHUFFLE (the anchor-key one); the other Exchange in the
+    // plan is the anchors' BroadcastExchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the anchor-key shuffle:\n$p")
+  }
 }
