@@ -7272,7 +7272,33 @@ object QueryCatalog {
              |  n.neg_id, n.neg_cosine
              |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
              |WHERE p.rn = 1 AND n.rn = 1
-             |ORDER BY p.anchor_id""".stripMargin))
+             |ORDER BY p.anchor_id""".stripMargin)),
+
+    // Detokenization round-trip: decode(encode(x)) must equal x with OOV
+    // tokens rendered <unk> — the oracle never sees the id space at all,
+    // it substitutes directly, so any id-assignment or order bug in
+    // encode OR decode breaks the equality.
+    ("q_vocab_decode",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val vocab = TextAnalysis.buildVocab(docs, "text", maxVocab = 24)
+        TextAnalysis.decode(
+            TextAnalysis.encode(docs, "doc_id", "text", vocab),
+            "token_ids", vocab)
+          .select("doc_id", "decoded").orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |tok AS (
+             |  SELECT doc_id, a[i] AS w, i
+             |  FROM t, unnest(range(1, len(a)+1)) AS u(i)),
+             |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+             |voc AS (SELECT w FROM cnt ORDER BY n DESC, w LIMIT 24)
+             |SELECT doc_id, array_to_string(list(
+             |    CASE WHEN w IN (SELECT w FROM voc) THEN w
+             |         ELSE '<unk>' END ORDER BY i), ' ') AS decoded
+             |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

