@@ -7298,7 +7298,27 @@ object QueryCatalog {
              |SELECT doc_id, array_to_string(list(
              |    CASE WHEN w IN (SELECT w FROM voc) THEN w
              |         ELSE '<unk>' END ORDER BY i), ' ') AS decoded
-             |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Temperature sampling weights (α = 0.5) per language: the one float
+    // op (pow) is rounded to integer micro-units BEFORE the normalizer
+    // sums, so both engines do exact integer arithmetic from there —
+    // weight and epoch-boost ppm must match to the unit.
+    ("q_temperature_mix",
+      (s: SparkSession, d: String) =>
+        Curation.temperatureWeights(t(s, d, "documents"), "lang", 0.5)
+          .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang),
+             |u AS (SELECT lang, n_docs,
+             |    CAST(round(pow(n_docs, 0.5) * 1000000) AS BIGINT) AS u
+             |  FROM c),
+             |z AS (SELECT CAST(sum(u) AS BIGINT) AS z,
+             |    CAST(sum(n_docs) AS BIGINT) AS n_total FROM u)
+             |SELECT lang, n_docs,
+             |  u * 1000000 // z AS weight_ppm,
+             |  (u * 1000000 // z) * n_total // n_docs AS boost_ppm
+             |FROM u CROSS JOIN z ORDER BY lang""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

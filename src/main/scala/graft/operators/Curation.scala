@@ -108,6 +108,37 @@ object Curation {
     df.filter(hexHash(col(key), 4) < thr)
   }
 
+  /** Temperature-based mixture weights (the multilingual α-sampling rule:
+    * sample stratum i with probability ∝ nᵢ^α, α<1 upweighting rare
+    * strata). Emits per-stratum `(n_docs, weight_ppm, boost_ppm)` —
+    * sampling weight and epoch boost in parts-per-million.
+    *
+    * Engine-stable by the fixed-point discipline: the ONE float op is
+    * `pow(nᵢ, α)` on identical inputs, immediately rounded to integer
+    * micro-units; the normalizer is then an INTEGER sum (exact in any
+    * distributed summation order — the stableAvg rule applied to pow)
+    * and the ratios are truncating integer division, so two engines
+    * cannot drift. BIGINT headroom bounds: fine to ~10¹⁰ docs per
+    * stratum at α ≤ 1; beyond that switch the ppm arithmetic to
+    * DECIMAL(38,0).
+    *
+    * One stratum-bounded aggregate + a scalar cross join: the corpus is
+    * scanned once, nothing else shuffles. Feed the boosts to
+    * [[epochsMix]] to realize the mix.
+    */
+  def temperatureWeights(df: DataFrame, stratum: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureWeights: alpha in (0,1], got $alpha")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("u", round(pow(col("n_docs"), alpha) * 1e6).cast("long"))
+    val z = counts.agg(sum("u").cast("long").as("z"),
+      sum("n_docs").cast("long").as("n_total"))
+    counts.crossJoin(z)
+      .select(col(stratum), col("n_docs"),
+        expr("u * 1000000L div z").as("weight_ppm"),
+        expr("(u * 1000000L div z) * n_total div n_docs").as("boost_ppm"))
+  }
+
   /** Epoch-weight a corpus: each stratum is repeated `epochs(stratum)`
     * times, where the fractional part becomes a deterministic hash
     * subsample tagged as the last copy — e.g. 2.25 epochs of wiki = every
