@@ -7318,7 +7318,46 @@ object QueryCatalog {
              |SELECT lang, n_docs,
              |  u * 1000000 // z AS weight_ppm,
              |  (u * 1000000 // z) * n_total // n_docs AS boost_ppm
-             |FROM u CROSS JOIN z ORDER BY lang""".stripMargin))
+             |FROM u CROSS JOIN z ORDER BY lang""".stripMargin)),
+
+    // Spark's NATIVE session_window aggregation (vs the custom-state
+    // Sessionize operator, which this complements): dynamic-gap windows
+    // merge while consecutive events are < 30 min apart, window end =
+    // last event + gap. The oracle replays the same sessions as a
+    // gaps-and-islands window chain — boundary semantics (strict <,
+    // half-open end) must agree on every session.
+    ("q_session_window_native",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents")).cast("long").as("cents"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"), col("cents"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, ts,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+             |m AS (SELECT user_id, ts, cents,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+             |  FROM e),
+             |g AS (SELECT user_id, ts, cents,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts) + INTERVAL 30 MINUTE,
+             |    '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS cents
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these
