@@ -7357,7 +7357,120 @@ object QueryCatalog {
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(sum(cents) AS BIGINT) AS cents
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // per-source Misra-Gries heavy hitters: the two deterministic
+    // guarantees (no false negative above n/(k+1); bounded undercount)
+    // checked independently per group — sketch state is O(k) per
+    // (partition, group) at any corpus size, and the verification join
+    // broadcasts the |groups|-row sketch relation
+    ("q_grouped_heavy_hitters",
+      (s: SparkSession, d: String) =>
+        Sketches.groupedHeavyHitters(t(s, d, "documents"), "source", "text",
+          k = 8).orderBy("g"),
+      Some("""WITH tok AS (SELECT CAST(source AS VARCHAR) AS g,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |  FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT g, tkn, count(*) AS cnt FROM tok GROUP BY 1, 2),
+             |n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c GROUP BY 1)
+             |SELECT c.g, max(n.n_tokens) AS n_tokens,
+             |  CAST(count(*) FILTER (WHERE c.cnt > n.n_tokens / 9e0) AS BIGINT)
+             |    AS n_heavy_exact,
+             |  true AS all_heavy_covered, true AS est_within_bound
+             |FROM c JOIN n USING (g) GROUP BY c.g ORDER BY g""".stripMargin)),
+
+    // Duffield–Lund–Thorup priority sampling: integer priorities
+    // (w·2³² div h) make the selected set, the threshold τ and the
+    // subset-sum estimates ŵ = max(w, τ) replay EXACTLY in the oracle;
+    // the true total rides along so the estimator's accuracy is
+    // data-visible, not just asserted
+    ("q_priority_sample",
+      (s: SparkSession, d: String) =>
+        Curation.prioritySample(t(s, d, "documents"), "doc_id",
+          col("n_chars"), k = 50)
+          .orderBy(col("priority").desc, col("item_id")),
+      Some("""WITH w AS (SELECT doc_id AS item_id,
+             |    greatest(CAST(n_chars AS BIGINT), 1) AS w FROM documents),
+             |h AS (SELECT item_id, w,
+             |    ('0x' || substr(md5('ps:' || CAST(item_id AS VARCHAR)), 1, 8))::BIGINT
+             |      + 1 AS h
+             |  FROM w),
+             |q AS (SELECT item_id, w,
+             |    CAST((w * 4294967296) // h AS BIGINT) AS priority FROM h),
+             |top AS (SELECT * FROM q ORDER BY priority DESC, item_id LIMIT 51),
+             |tau AS (SELECT CAST(min(priority) AS BIGINT) AS tau FROM top),
+             |tot AS (SELECT CAST(sum(w) AS BIGINT) AS true_total FROM w)
+             |SELECT s.item_id, s.w, s.priority,
+             |  CAST(greatest(s.w, tau.tau) AS BIGINT) AS w_hat,
+             |  tau.tau, tot.true_total
+             |FROM (SELECT * FROM q ORDER BY priority DESC, item_id LIMIT 50) s,
+             |  tau, tot
+             |ORDER BY s.priority DESC, s.item_id""".stripMargin)),
+
+    // serpentine-LPT shard packing graded ROW-EXACT: the distributed rank
+    // (range partitions + broadcast offset join, no single-partition
+    // window) must equal the oracle's single-ORDER-BY rank on every row,
+    // and the boustrophedon deal formula replays verbatim
+    ("q_shard_pack",
+      (s: SparkSession, d: String) =>
+        Curation.shardPack(t(s, d, "documents"), "doc_id", col("n_chars"),
+          nShards = 8).orderBy("item_id"),
+      Some("""WITH w AS (SELECT doc_id AS item_id,
+             |    greatest(CAST(n_chars AS BIGINT), 1) AS w FROM documents),
+             |r AS (SELECT item_id, w,
+             |    row_number() OVER (ORDER BY w DESC, item_id) - 1 AS rnk FROM w)
+             |SELECT item_id, w,
+             |  CAST(CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8
+             |            ELSE 7 - rnk % 8 END AS BIGINT) AS shard
+             |FROM r ORDER BY item_id""".stripMargin)),
+
+    // pairwise moment matrix over integer-scaled lineitem features: the
+    // exact BIGINT sufficient statistics for covariance/correlation, one
+    // scan for all pairs — emitted as moments (not correlations) so the
+    // relation is engine-exact AND mergeable across time partitions
+    ("q_feature_moments",
+      (s: SparkSession, d: String) =>
+        Relational.featureMoments(
+          t(s, d, "lineitem").select(
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice")).cast("long").as("price_usd"),
+            round(col("l_discount") * 100, 0).cast("long").as("disc_pct")),
+          Seq("qty", "price_usd", "disc_pct"))
+          .orderBy("x", "y"),
+      Some {
+        val pairs = Seq(("qty", "price_usd"), ("qty", "disc_pct"),
+          ("price_usd", "disc_pct"))
+        pairs.map { case (x, y) =>
+          s"""SELECT '$x' AS x, '$y' AS y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum($x) AS BIGINT) AS sum_x, CAST(sum($y) AS BIGINT) AS sum_y,
+             |  CAST(sum($x * $y) AS BIGINT) AS sum_xy,
+             |  CAST(sum($x * $x) AS BIGINT) AS sum_xx,
+             |  CAST(sum($y * $y) AS BIGINT) AS sum_yy
+             |FROM (SELECT CAST(l_quantity AS BIGINT) AS qty,
+             |        CAST(floor(l_extendedprice) AS BIGINT) AS price_usd,
+             |        CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+             |      FROM lineitem)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY x, y")
+      }),
+
+    // per-source token-distribution entropy in micro-bits fixed point:
+    // each distinct term contributes a per-term ROUNDED integer, so the
+    // cross-partition sum is order-independent — corpus-diversity
+    // telemetry graded exactly
+    ("q_source_entropy",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.sourceEntropy(t(s, d, "documents"), "source", "text")
+          .orderBy("g"),
+      Some("""WITH tok AS (SELECT CAST(source AS VARCHAR) AS g,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |  FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT g, tkn, count(*) AS c FROM tok GROUP BY 1, 2),
+             |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+             |SELECT c.g, max(t.n) AS n_tokens,
+             |  CAST(count(*) AS BIGINT) AS n_terms,
+             |  CAST(sum(CAST(round(1000000 * (c.c / t.n) * log2(t.n / c.c))
+             |    AS BIGINT)) AS BIGINT) AS entropy_ubits
+             |FROM c JOIN t USING (g) GROUP BY c.g ORDER BY g""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -91,6 +91,90 @@ object Curation {
   def sampleByHash(df: DataFrame, key: String, fraction: Double): DataFrame =
     df.filter(hexHash(col(key), 4) < hexThreshold(fraction * 100.0, 4))
 
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a k-item
+    * weighted-without-replacement sample that supports UNBIASED subset-sum
+    * estimation — the right way to "sample docs proportional to token count
+    * and still report corpus totals" at 100 TB.
+    *
+    * Each item gets priority q = w·2³² div h with h ∈ [1, 2³²] an
+    * md5-derived uniform — PURE INTEGER arithmetic (the div-based q is the
+    * exact fixed-point image of w/u), so the selected set, the threshold
+    * and every estimate replay exactly in any engine. The k highest
+    * priorities are the sample; τ = the (k+1)-th priority; each sampled
+    * item's weight estimate is ŵ = max(w, τ), and Σŵ over the sample is
+    * (to fixed-point resolution) an unbiased estimator of Σw over the
+    * population.
+    *
+    * Scale shape: one scan computing (w, h, q) in-row, then
+    * `TakeOrderedAndProject` over q — every partition forwards at most
+    * k+1 rows; no shuffle of the population. The true total rides along
+    * from the same scan for data-visible accuracy.
+    */
+  def prioritySample(df: DataFrame, id: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"prioritySample: need k > 0, got $k")
+    val w = greatest(weight.cast("long"), lit(1L))
+    val h = conv(substring(md5(concat(lit("ps:"),
+      col(id).cast("string"))), 1, 8), 16, 10).cast("long") + lit(1L)
+    val scored = df
+      .select(col(id).as("item_id"), w.as("w"), h.as("_h"))
+      .withColumn("priority", expr("(w * 4294967296L) div _h"))
+      .drop("_h")
+    val top = scored.orderBy(col("priority").desc, col("item_id"))
+      .limit(k + 1)
+    val tau = top.agg(min(col("priority")).as("tau"))
+    val total = scored.agg(sum(col("w")).as("true_total"))
+    top.orderBy(col("priority").desc, col("item_id")).limit(k)
+      .crossJoin(tau)   // one row each: broadcast-class by construction
+      .crossJoin(total)
+      .select(col("item_id"), col("w"), col("priority"),
+        greatest(col("w"), col("tau")).as("w_hat"),
+        col("tau"), col("true_total"))
+  }
+
+  /** Balanced shard packing: assign rows to `nShards` output shards so
+    * per-shard weight sums are near-equal — the shard-writing step of a
+    * training-data pipeline (equal-sized JSONL/parquet shards keep data
+    * loaders in step). Serpentine LPT: rank rows by weight descending and
+    * deal them boustrophedon (0..n-1, n-1..0, …), which bounds the
+    * heaviest-minus-lightest shard gap by one row's weight per pass and
+    * is a pure rank formula — fully deterministic and oracle-replayable.
+    *
+    * Scale shape: the global weight rank is a range-partitioned sort plus
+    * the distributed-zipWithIndex offset trick — `repartitionByRange` on
+    * (w desc, id) makes partition ids monotone in the sort order, so
+    * global rank = broadcast per-partition offset + the local ordinal that
+    * `monotonically_increasing_id` encodes in its low 33 bits (documented
+    * Spark layout). NO single-partition window anywhere: the only
+    * per-partition state is the offset table (one row per partition),
+    * same shape as [[trainingOrder]]'s offsets.
+    */
+  def shardPack(df: DataFrame, id: String, weight: Column,
+                nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardPack: need nShards > 0, got $nShards")
+    val w = greatest(weight.cast("long"), lit(1L))
+    val sorted = df.select(col(id).as("item_id"), w.as("w"))
+      .repartitionByRange(col("w").desc, col("item_id"))
+      .sortWithinPartitions(col("w").desc, col("item_id"))
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_local", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = sorted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    val n = lit(nShards.toLong)
+    sorted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_rank", col("_offset") + col("_local"))
+      .withColumn("shard",
+        when(pmod((col("_rank") / n).cast("long"), lit(2L)) === 0L,
+          pmod(col("_rank"), n))
+          .otherwise(n - lit(1L) - pmod(col("_rank"), n)))
+      .select("item_id", "w", "shard")
+  }
+
   /** Rebalance a corpus toward a target mix: keep each stratum at its own
     * hash fraction (1.0 = keep all, absent = drop the stratum). Because
     * every stratum filters the SAME key hash against its threshold, samples

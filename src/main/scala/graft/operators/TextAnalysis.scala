@@ -270,6 +270,38 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Per-group Shannon entropy of the token distribution, in micro-bits
+    * fixed point — corpus-diversity telemetry (a crawl source whose
+    * entropy collapses is boilerplate-dominated; one whose entropy spikes
+    * is likely spam or encoding noise). Each distinct token contributes
+    * round(10⁶ · p · log₂(1/p)) as a BIGINT, so the cross-partition sum
+    * is integer-exact and independent of distributed summation order —
+    * the same order-independence discipline as [[graft.operators.Graph]]'s
+    * micro-unit PageRank.
+    *
+    * Scale shape: two chained aggregates — (group, token) counts, then the
+    * per-group reduction — both standard two-phase hash aggs; nothing
+    * wider than a token row crosses an exchange.
+    */
+  def sourceEntropy(docs: DataFrame, grp: String, text: String,
+                    reliable: Boolean = false): DataFrame = {
+    val tok = docs.select(col(grp).cast("string").as("g"),
+      explode(tokens(col(text))).as("tkn"))
+    val counts = Materialize.once(
+      tok.groupBy("g", "tkn").agg(count(lit(1)).as("c")), reliable)
+    // totals fold FROM the materialized term counts (never a second corpus
+    // scan) and come back |groups| rows — broadcast-class by construction
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    counts.join(broadcast(totals), Seq("g"))
+      .withColumn("e_fp",
+        round(lit(1000000d) * (col("c") / col("n"))
+          * log2(col("n") / col("c")), 0).cast("long"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("e_fp")).as("entropy_ubits"))
+  }
+
   /** Corpus vocabulary artifact: the `maxVocab` most frequent tokens,
     * id'd by frequency rank (count desc, token asc — fully deterministic).
     * Two-phase token count + TakeOrderedAndProject for the top slice; the

@@ -587,4 +587,55 @@ class CurationSpec extends SparkTestBase {
     // at 40% block rate over 100+ docs, corruption must actually happen
     assert(corrupted > 20, s"only $corrupted docs corrupted")
   }
+
+  test("prioritySample: top-k by deterministic priority, estimates bounded, est near truth") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val out = Curation.prioritySample(docs, "doc_id", col("n_chars"), k = 20)
+      .collect()
+    assert(out.length == 20)
+    val tau = out.head.getAs[Long]("tau")
+    val trueTotal = out.head.getAs[Long]("true_total")
+    out.foreach { r =>
+      // every selected priority clears the threshold; estimates obey
+      // the DLT form max(w, tau)
+      assert(r.getAs[Long]("priority") >= tau)
+      assert(r.getAs[Long]("w_hat") ==
+        math.max(r.getAs[Long]("w"), tau))
+      // priority = w * 2^32 div h >= w (h <= 2^32)
+      assert(r.getAs[Long]("priority") >= r.getAs[Long]("w"))
+    }
+    // deterministic draw on fixed data: the subset-sum estimate's accuracy
+    // is a constant of the fixture — assert a generous but meaningful band
+    val est = out.map(_.getAs[Long]("w_hat")).sum
+    assert(est > trueTotal / 3 && est < trueTotal * 3,
+      s"estimate $est vs true $trueTotal outside 3x band")
+    // re-running yields the identical sample (pure hash arithmetic)
+    val again = Curation.prioritySample(docs.repartition(7), "doc_id",
+      col("n_chars"), k = 20).collect()
+    assert(again.map(_.getAs[Long]("item_id")).toSet ==
+      out.map(_.getAs[Long]("item_id")).toSet)
+  }
+
+  test("shardPack: exhaustive assignment, serpentine balance, partitioning-independent rank") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val n = docs.count()
+    val out = Curation.shardPack(docs, "doc_id", col("n_chars"), nShards = 4)
+      .collect()
+    assert(out.length == n)
+    assert(out.forall(r => { val s = r.getAs[Long]("shard"); s >= 0 && s < 4 }))
+    // serpentine LPT: per-shard weight sums within one max-weight of each other
+    val sums = out.groupBy(_.getAs[Long]("shard")).view
+      .mapValues(_.map(_.getAs[Long]("w")).sum).toMap
+    val maxW = out.map(_.getAs[Long]("w")).max
+    assert(sums.size == 4)
+    assert(sums.values.max - sums.values.min <= maxW,
+      s"imbalance ${sums.values.max - sums.values.min} > max weight $maxW")
+    // the distributed rank (range partitions + offsets) is partitioning-
+    // independent: a skewed repartition yields the identical assignment
+    val again = Curation.shardPack(docs.repartition(3), "doc_id",
+      col("n_chars"), nShards = 4)
+      .collect().map(r => r.getAs[Long]("item_id") -> r.getAs[Long]("shard")).toMap
+    out.foreach(r => assert(
+      again(r.getAs[Long]("item_id")) == r.getAs[Long]("shard")))
+  }
 }

@@ -311,4 +311,29 @@ class RelationalSpec extends SparkTestBase {
     // singleton user: no neighbors, rank 0, first quartile
     assert(out(4) == ((20L, None, None, 1, 0.0)))
   }
+
+  test("featureMoments: exact sums on a hand-checked table; correlation derivable") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 10L), (3L, 4L, 20L), (5L, 6L, 40L))
+      .toDF("a", "b", "c")
+    val rows = Relational.featureMoments(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = rows(("a", "b"))
+    assert(ab.getAs[Long]("n") == 3L)
+    assert(ab.getAs[Long]("sum_x") == 9L && ab.getAs[Long]("sum_y") == 12L)
+    assert(ab.getAs[Long]("sum_xy") == 2 + 12 + 30)
+    assert(ab.getAs[Long]("sum_xx") == 1 + 9 + 25)
+    assert(ab.getAs[Long]("sum_yy") == 4 + 16 + 36)
+    // Pearson r from the moments must agree with Spark's own corr()
+    val m = rows(("a", "c"))
+    val (nn, sx, sy, sxy, sxx, syy) = (m.getAs[Long]("n").toDouble,
+      m.getAs[Long]("sum_x").toDouble, m.getAs[Long]("sum_y").toDouble,
+      m.getAs[Long]("sum_xy").toDouble, m.getAs[Long]("sum_xx").toDouble,
+      m.getAs[Long]("sum_yy").toDouble)
+    val r = (nn * sxy - sx * sy) /
+      math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    val sparkR = df.agg(corr(col("a"), col("c"))).first().getDouble(0)
+    assert(math.abs(r - sparkR) < 1e-12, s"moments r=$r vs corr=$sparkR")
+  }
 }

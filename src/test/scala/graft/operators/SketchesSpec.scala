@@ -263,4 +263,26 @@ class SketchesSpec extends SparkTestBase {
       Sketches.bloomWords(keys.repartition(13), "k", mBits, k), mBits)
     assert(again == words)
   }
+
+  test("groupedHeavyHitters: per-group guarantees with a planted hitter in one group") {
+    // group "hotsrc": 600 of 1000 tokens are "boiler" (way above n/9 for
+    // k=8); group "flat": 40 tokens uniform over 40 words (none heavy)
+    val hot = spark.range(600).select(lit("hotsrc").as("source"), lit("boiler").as("text"))
+      .unionAll(spark.range(400).select(lit("hotsrc").as("source"),
+        concat(lit("w"), col("id") % 200).as("text")))
+    val flat = spark.range(40).select(lit("flat").as("source"),
+      concat(lit("u"), col("id")).as("text"))
+    val out = Sketches.groupedHeavyHitters(
+        hot.unionAll(flat).repartition(8), "source", "text", k = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("hotsrc", "flat"))
+    val h = out("hotsrc")
+    assert(h.getAs[Long]("n_tokens") == 1000L)
+    assert(h.getAs[Long]("n_heavy_exact") == 1L)       // only "boiler"
+    assert(h.getAs[Boolean]("all_heavy_covered"))
+    assert(h.getAs[Boolean]("est_within_bound"))
+    val f = out("flat")
+    assert(f.getAs[Long]("n_heavy_exact") == 0L)
+    assert(f.getAs[Boolean]("all_heavy_covered") && f.getAs[Boolean]("est_within_bound"))
+  }
 }

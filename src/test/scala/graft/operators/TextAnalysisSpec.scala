@@ -222,4 +222,25 @@ class TextAnalysisSpec extends SparkTestBase {
       (1L, 1L, "/two", "t w o"),   // nested tags strip to spaces, collapsed
       (3L, 0L, "https://up.com", "CASED TAG")))
   }
+
+  test("sourceEntropy: closed-form checks and summation-order independence") {
+    import spark.implicits._
+    // uniform over 4 tokens → exactly 2 bits = 2_000_000 µbits
+    // (each term: round(1e6 · ¼ · log2 4) = 500000 — no rounding slack);
+    // single repeated token → 0 bits
+    val df = Seq(
+      ("u", "a b c d"), ("u", "c d a b"),
+      ("mono", "x x x x x")).toDF("source", "text")
+    val out = TextAnalysis.sourceEntropy(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms"),
+         r.getAs[Long]("entropy_ubits"))).toMap
+    assert(out("u") == ((8L, 4L, 2000000L)))
+    assert(out("mono") == ((5L, 1L, 0L)))
+    // per-term fixed-point contributions make the sum independent of
+    // partitioning / merge order
+    val skewed = TextAnalysis.sourceEntropy(df.repartition(7), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("entropy_ubits")).toMap
+    assert(skewed("u") == 2000000L && skewed("mono") == 0L)
+  }
 }
