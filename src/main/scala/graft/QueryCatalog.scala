@@ -7470,7 +7470,70 @@ object QueryCatalog {
              |  CAST(count(*) AS BIGINT) AS n_terms,
              |  CAST(sum(CAST(round(1000000 * (c.c / t.n) * log2(t.n / c.c))
              |    AS BIGINT)) AS BIGINT) AS entropy_ubits
-             |FROM c JOIN t USING (g) GROUP BY c.g ORDER BY g""".stripMargin))
+             |FROM c JOIN t USING (g) GROUP BY c.g ORDER BY g""".stripMargin)),
+
+    // ColBERT-style late-interaction retrieval: score = Σ_i max_j
+    // cosine(q_i, d_j) over 8 deterministic 8-dim chunks — partial
+    // topical overlap ranks above what single-vector cosine allows; the
+    // oracle replays the nested max-of-cosines fold with list_reduce so
+    // double accumulation order matches Spark's left-to-right aggregate
+    ("q_maxsim_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", chunks = 8, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("maxsim"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(range(0, 8), i ->
+             |      list_transform(list_slice(embedding, i*8+1, i*8+8),
+             |        x -> CAST(x AS DOUBLE))) AS cs
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, cs AS qcs FROM e WHERE vec_id < 8),
+             |s AS (
+             |  SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    round(list_reduce(list_transform(q.qcs, qc ->
+             |      list_max(list_transform(e.cs, dc ->
+             |        CASE WHEN sqrt(list_inner_product(qc, qc)
+             |                       * list_inner_product(dc, dc)) = 0 THEN 0e0
+             |             ELSE list_inner_product(qc, dc)
+             |                  / sqrt(list_inner_product(qc, qc)
+             |                         * list_inner_product(dc, dc)) END))),
+             |      (acc, x) -> acc + x), 6) AS maxsim
+             |  FROM e JOIN q ON q.query_id <> e.vec_id),
+             |r AS (SELECT query_id, neighbor_id, maxsim,
+             |        row_number() OVER (PARTITION BY query_id
+             |                           ORDER BY maxsim DESC, neighbor_id) AS rn
+             |      FROM s)
+             |SELECT query_id, neighbor_id, maxsim, CAST(rn AS BIGINT) AS rnk
+             |FROM r WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // distinct-1/2/3 diversity per source (Li et al. 2016's distinct-n):
+    // exact total/distinct window counts + ratio — template-dominated
+    // sources collapse toward 0; the oracle rebuilds every n-gram window
+    // positionally
+    ("q_distinct_ngrams",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.distinctNgrams(t(s, d, "documents"), "source", "text",
+          ns = Seq(1, 2, 3)).orderBy("g", "n"),
+      Some("""WITH tok AS (SELECT CAST(source AS VARCHAR) AS g,
+             |    regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |u AS (
+             |  SELECT 1 AS n, g, unnest(a) AS gram FROM tok
+             |  UNION ALL
+             |  SELECT 2, g, unnest(list_transform(range(1, len(a)),
+             |    i -> a[i] || ' ' || a[i+1])) FROM tok
+             |  UNION ALL
+             |  SELECT 3, g, unnest(list_transform(range(1, len(a) - 1),
+             |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) FROM tok)
+             |SELECT g, CAST(n AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+             |  round(count(DISTINCT gram) / count(*), 6) AS distinct_ratio
+             |FROM u GROUP BY g, n ORDER BY g, n""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -90,6 +90,51 @@ object VectorKernels {
     new GenericInternalRow(Array[Any](maxabs, new GenericArrayData(q)))
   }
 
+  /** Late-interaction MaxSim over two array<float> vectors read as
+    * `chunks` contiguous sub-vectors: Σᵢ maxⱼ cosine(aᵢ, bⱼ) — bit-identical
+    * to the nested-HOF formulation in
+    * [[graft.operators.Similarity.maxSimTopK]]'s reference composition
+    * (per-chunk norms over each side's own chunk width, dot over the
+    * shorter, zero-denominator → 0, left-to-right double folds, sum
+    * seeded at 0.0).
+    */
+  def maxSimF(a: ArrayData, b: ArrayData, chunks: Int): Double = {
+    val wa = a.numElements() / chunks
+    val wb = b.numElements() / chunks
+    var acc = 0.0d
+    var i = 0
+    while (i < chunks) {
+      var best = 0.0d
+      var j = 0
+      while (j < chunks) {
+        val c = chunkCosine(a, i * wa, wa, b, j * wb, wb)
+        if (j == 0 || c > best) best = c
+        j += 1
+      }
+      acc += best
+      i += 1
+    }
+    acc
+  }
+
+  private def chunkDot(a: ArrayData, oa: Int, b: ArrayData, ob: Int,
+                       n: Int): Double = {
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(oa + i).toDouble * b.getFloat(ob + i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  private def chunkCosine(a: ArrayData, oa: Int, wa: Int,
+                          b: ArrayData, ob: Int, wb: Int): Double = {
+    val denom = math.sqrt(chunkDot(a, oa, a, oa, wa) * chunkDot(b, ob, b, ob, wb))
+    if (denom == 0.0d) 0.0d
+    else chunkDot(a, oa, b, ob, math.min(wa, wb)) / denom
+  }
+
   /** Cosine over int8 code arrays — bit-identical to the HOF formulation
     * in [[graft.operators.Similarity.int8Cosine]]: exact BIGINT dots, one
     * double divide.
@@ -167,6 +212,29 @@ case class CosineI8Expr(left: Expression, right: Expression) extends BinaryExpre
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.VectorKernels.cosineI8($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineI8Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd late-interaction MaxSim over two array<float> columns. */
+case class MaxSimF32Expr(left: Expression, right: Expression, chunks: Int)
+  extends BinaryExpression {
+  require(chunks > 0, "maxsim_f32 needs chunks > 0")
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"maxsim_f32 needs two array<float>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.maxSimF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], chunks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.maxSimF($a, $b, $chunks)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MaxSimF32Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -50,6 +50,14 @@ package object functions {
     ColumnBridge.column(
       CosineF32Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Late-interaction MaxSim of two array<float> columns read as `chunks`
+    * sub-vectors (codegen'd kernel; bit-identical to the nested-HOF
+    * max-of-chunk-cosines formulation).
+    */
+  def maxsim_f32(a: Column, b: Column, chunks: Int): Column =
+    ColumnBridge.column(
+      MaxSimF32Expr(ColumnBridge.expression(a), ColumnBridge.expression(b), chunks))
+
   /** L2-normalize an array<float> column (codegen'd kernel; zero vector
     * unchanged — same arithmetic as the HOF fold formulation).
     */
@@ -195,6 +203,8 @@ package object functions {
       "scala_udf")
     reg.createOrReplaceTempFunction("lang_id", es => LangIdExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_f32", es => CosineF32Expr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("maxsim_f32",
+      es => MaxSimF32Expr(es(0), es(1), intLit(es(2), "chunks")), "scala_udf")
     reg.createOrReplaceTempFunction("quality_counts", es => QualityCountsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShinglesExpr(es(0), intLit(es(1), "k")), "scala_udf")

@@ -302,6 +302,36 @@ object TextAnalysis {
         sum(col("e_fp")).as("entropy_ubits"))
   }
 
+  /** Distinct-n diversity metrics per group: for each n-gram size, the
+    * total window count, the distinct count and their ratio — the
+    * distinct-1/distinct-2 diversity telemetry of generation-corpus QA
+    * (Li et al. 2016): a ratio collapsing toward 0 flags template/
+    * boilerplate-dominated sources, complementary to [[sourceEntropy]]
+    * (which weighs by frequency where distinct-n counts support).
+    *
+    * Scale shape: one explode + two-phase agg per n over the codegen'd
+    * [[graft.functions.word_ngrams]] kernel; distinct counts shuffle the
+    * (group, gram) pairs — the exact formulation; swap
+    * `approx_count_distinct` in at corpus scale for O(registers) state
+    * (the [[Sketches.groupedDistinct]] pattern).
+    */
+  def distinctNgrams(docs: DataFrame, grp: String, text: String,
+                     ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), "distinctNgrams: ns must be positive")
+    val per = ns.map { n =>
+      docs.select(col(grp).cast("string").as("g"),
+          explode(graft.functions.word_ngrams(col(text), n)).as("gram"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_grams"),
+          count_distinct(col("gram")).as("n_distinct"))
+        .withColumn("n", lit(n.toLong))
+    }
+    per.reduce(_.unionByName(_))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct") / col("n_grams"), 6))
+      .select("g", "n", "n_grams", "n_distinct", "distinct_ratio")
+  }
+
   /** Corpus vocabulary artifact: the `maxVocab` most frequent tokens,
     * id'd by frequency rank (count desc, token asc — fully deterministic).
     * Two-phase token count + TakeOrderedAndProject for the top slice; the

@@ -370,4 +370,55 @@ class SimilaritySpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"expected exactly the anchor-key shuffle:\n$p")
   }
+
+  test("maxSimTopK: per-chunk best-match semantics on hand-built vectors") {
+    // chunks=2 over dim 4. query [1,0,0,0] → qcs [[1,0],[0,0]] (second
+    // chunk is zero → its cosine guards to 0 everywhere).
+    // doc 1 [1,0,1,0] matches chunk 1 perfectly in BOTH its chunks → maxsim 1
+    // doc 2 [0,1,0,1] is orthogonal to chunk 1 everywhere     → maxsim 0
+    // doc 3 [1,1,0,0] chunk [1,1] gives cos 1/√2; chunk [0,0] guards → ~0.7071
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1f, 0f, 0f, 0f)),
+        |  (1L, array(1f, 0f, 1f, 0f)),
+        |  (2L, array(0f, 1f, 0f, 1f)),
+        |  (3L, array(1f, 1f, 0f, 0f))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val out = Similarity.maxSimTopK(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", chunks = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("maxsim"), r.getAs[Int]("rnk")))
+    assert(out.toSeq == Seq((1L, 1.0, 1), (3L, 0.707107, 2), (2L, 0.0, 3)))
+  }
+
+  test("maxSimTopK rewards partial overlap that whole-vector cosine dilutes") {
+    // doc A shares query chunk 1 exactly but is opposite in chunk 2;
+    // whole-vector cosine ranks it at 0, MaxSim still credits the match
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, array(1f, 0f, 1f, 0f)),
+        |  (1L, array(1f, 0f, -1f, 0f)),
+        |  (2L, array(0.6f, 0.1f, 0.6f, 0.1f))
+        |AS t(vec_id, embedding)""".stripMargin)
+    val q = df.filter(col("vec_id") === 0)
+    val whole = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 2)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    val ms = Similarity.maxSimTopK(df, q, "vec_id", "embedding", chunks = 2, k = 2)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("maxsim")).toMap
+    assert(whole(1L) == 0.0)          // +1·1 and −1·1 cancel in one dot
+    assert(ms(1L) == 2.0)             // each query chunk finds its twin
+    assert(ms(1L) > ms(2L) && whole(2L) > whole(1L))
+  }
+
+  test("maxsim_f32 kernel is bit-identical to the nested-HOF reference on real embeddings") {
+    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = emb.limit(50).crossJoin(broadcast(q))
+    val diff = pairs.select(
+        graft.functions.maxsim_f32(col("qv"), col("embedding"), 8).as("k"),
+        Similarity.maxSimScoreHof(col("qv"), col("embedding"), 8).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff == 0L, s"$diff kernel/HOF mismatches — accumulation drifted")
+  }
 }

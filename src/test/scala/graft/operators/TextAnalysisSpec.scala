@@ -243,4 +243,16 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("entropy_ubits")).toMap
     assert(skewed("u") == 2000000L && skewed("mono") == 0L)
   }
+
+  test("distinctNgrams: hand-checked distinct-1/2 on a repeating doc") {
+    import spark.implicits._
+    val df = Seq(("s", "a b a b")).toDF("source", "text")
+    val out = TextAnalysis.distinctNgrams(df, "source", "text", Seq(1, 2))
+      .collect().map(r => r.getAs[Long]("n") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"),
+         r.getAs[Double]("distinct_ratio"))).toMap
+    // unigrams: a b a b → 4 windows, 2 distinct; bigrams: "a b","b a","a b"
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((3L, 2L, 0.666667)))
+  }
 }
