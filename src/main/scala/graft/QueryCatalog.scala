@@ -7533,7 +7533,71 @@ object QueryCatalog {
              |  CAST(count(*) AS BIGINT) AS n_grams,
              |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
              |  round(count(DISTINCT gram) / count(*), 6) AS distinct_ratio
-             |FROM u GROUP BY g, n ORDER BY g, n""".stripMargin))
+             |FROM u GROUP BY g, n ORDER BY g, n""".stripMargin)),
+
+    // stratified DLT priority sampling: an independent weighted sample +
+    // per-source subset-sum estimates per stratum; selection, per-group
+    // threshold τ and every estimate replay exactly (integer priorities)
+    ("q_stratified_priority",
+      (s: SparkSession, d: String) =>
+        Curation.prioritySampleByGroup(t(s, d, "documents"), "source",
+          "doc_id", col("n_chars"), k = 5)
+          .orderBy(col("g"), col("priority").desc, col("item_id")),
+      Some("""WITH w AS (SELECT CAST(source AS VARCHAR) AS g, doc_id AS item_id,
+             |    greatest(CAST(n_chars AS BIGINT), 1) AS w FROM documents),
+             |h AS (SELECT g, item_id, w,
+             |    ('0x' || substr(md5('ps:' || CAST(item_id AS VARCHAR)), 1, 8))::BIGINT
+             |      + 1 AS h FROM w),
+             |q AS (SELECT g, item_id, w,
+             |    CAST((w * 4294967296) // h AS BIGINT) AS priority FROM h),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY g
+             |        ORDER BY priority DESC, item_id) AS rn FROM q),
+             |tau AS (SELECT g, CAST(coalesce(max(CASE WHEN rn = 6 THEN priority END), 0)
+             |          AS BIGINT) AS tau FROM r GROUP BY g),
+             |tot AS (SELECT g, CAST(sum(w) AS BIGINT) AS true_total FROM w GROUP BY g)
+             |SELECT r.g, r.item_id, r.w, r.priority,
+             |  CAST(greatest(r.w, tau.tau) AS BIGINT) AS w_hat, tau.tau, tot.true_total
+             |FROM r JOIN tau USING (g) JOIN tot USING (g)
+             |WHERE r.rn <= 5
+             |ORDER BY r.g, r.priority DESC, r.item_id""".stripMargin)),
+
+    // pairwise Jensen-Shannon divergence matrix between source token
+    // distributions, µbits fixed point — per-term contributions round
+    // BEFORE the sum (order-independent); n_shared rides along so
+    // vocabulary overlap is data-visible next to the divergence
+    ("q_js_divergence",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.jsDivergence(t(s, d, "documents"), "source", "text")
+          .orderBy("ga", "gb"),
+      Some("""WITH tok AS (SELECT CAST(source AS VARCHAR) AS g,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |  FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT g, tkn, count(*) AS c FROM tok GROUP BY 1, 2),
+             |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+             |d AS (SELECT c.g, c.tkn, c.c, t.n FROM c JOIN t USING (g)),
+             |f AS (SELECT least(d.g, s.g) AS ga, greatest(d.g, s.g) AS gb, d.tkn,
+             |        CASE WHEN d.g < s.g THEN d.c ELSE 0 END AS ca,
+             |        CASE WHEN d.g < s.g THEN 0 ELSE d.c END AS cb,
+             |        CASE WHEN d.g < s.g THEN d.n ELSE s.n END AS na,
+             |        CASE WHEN d.g < s.g THEN s.n ELSE d.n END AS nb
+             |      FROM d CROSS JOIN t s WHERE d.g <> s.g),
+             |bt AS (SELECT ga, gb, tkn, sum(ca) AS ca, sum(cb) AS cb,
+             |         max(na) AS na, max(nb) AS nb
+             |       FROM f GROUP BY 1, 2, 3),
+             |e AS (SELECT ga, gb,
+             |        CAST(round(1000000 * (
+             |          CASE WHEN ca > 0 THEN (ca / na)
+             |            * log2(2 * (ca / na) / ((ca / na) + (cb / nb)))
+             |            ELSE 0 END * 0.5
+             |        + CASE WHEN cb > 0 THEN (cb / nb)
+             |            * log2(2 * (cb / nb) / ((ca / na) + (cb / nb)))
+             |            ELSE 0 END * 0.5)) AS BIGINT) AS efp,
+             |        CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS sh
+             |      FROM bt)
+             |SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_terms,
+             |  CAST(sum(sh) AS BIGINT) AS n_shared,
+             |  CAST(sum(efp) AS BIGINT) AS js_ubits
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -132,6 +132,46 @@ object Curation {
         col("tau"), col("true_total"))
   }
 
+  /** Per-group [[prioritySample]]: an independent k-item DLT sample per
+    * stratum (per-source weighted samples with per-source subset-sum
+    * estimates — the stratified form a mix-aware curation pass wants).
+    *
+    * Scale shape: one in-row scoring scan, then `topk_pairs` under the
+    * group key — O(k+1) aggregate state per (partition, group), never a
+    * per-group window over the data. The k·|groups| selected ids
+    * broadcast back onto the scan to recover weights. Priorities ride a
+    * double inside the top-k heap: exact while w·2³² < 2⁵³, i.e. weights
+    * up to ~2²⁰ (tokens-per-doc scale); bigger weights need a rescaled
+    * uniform, same shape.
+    */
+  def prioritySampleByGroup(df: DataFrame, grp: String, id: String,
+                            weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"prioritySampleByGroup: need k > 0, got $k")
+    val w = greatest(weight.cast("long"), lit(1L))
+    val h = conv(substring(md5(concat(lit("ps:"),
+      col(id).cast("string"))), 1, 8), 16, 10).cast("long") + lit(1L)
+    val scored = df
+      .select(col(grp).cast("string").as("g"), col(id).as("item_id"),
+        w.as("w"), h.as("_h"))
+      .withColumn("priority", expr("(w * 4294967296L) div _h"))
+      .drop("_h")
+    val top = scored.groupBy("g")
+      .agg(graft.functions.topk_pairs(col("priority"), col("item_id"), k + 1)
+          .as("top"),
+        sum(col("w")).as("true_total"))
+      .withColumn("tau",
+        when(size(col("top")) === k + 1,
+          element_at(col("top"), k + 1).getField("score").cast("long"))
+          .otherwise(lit(0L)))
+    val sel = top.select(col("g"), col("tau"), col("true_total"),
+        explode(slice(col("top"), 1, k)).as("p"))
+      .select(col("g"), col("p.id").as("item_id"), col("tau"), col("true_total"))
+    scored.join(broadcast(sel), Seq("g", "item_id"))
+      .select(col("g"), col("item_id"), col("w"), col("priority"),
+        greatest(col("w"), col("tau")).as("w_hat"),
+        col("tau"), col("true_total"))
+  }
+
   /** Balanced shard packing: assign rows to `nShards` output shards so
     * per-shard weight sums are near-equal — the shard-writing step of a
     * training-data pipeline (equal-sized JSONL/parquet shards keep data

@@ -302,6 +302,54 @@ object TextAnalysis {
         sum(col("e_fp")).as("entropy_ubits"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between every two sources' token
+    * distributions, in micro-bits fixed point — the corpus-drift /
+    * source-redundancy matrix (JS ≈ 0: two crawls are near-duplicates at
+    * the distribution level; JS → 1 bit: disjoint vocabularies). Symmetric
+    * and bounded unlike KL, with no infinities on one-sided terms.
+    *
+    * Per-term contributions round to integer µbits BEFORE the sum (the
+    * [[sourceEntropy]] discipline), so the reduction is order-independent.
+    *
+    * Scale shape: term counts materialize once; each (g, term) row fans
+    * out to its S−1 source pairs against the broadcast |sources| totals
+    * relation, then one (pair, term) two-phase agg and one pair-level
+    * reduction — O(S · vocab) exchanged rows, never corpus-sized.
+    */
+  def jsDivergence(docs: DataFrame, grp: String, text: String,
+                   reliable: Boolean = false): DataFrame = {
+    val tok = docs.select(col(grp).cast("string").as("g"),
+      explode(tokens(col(text))).as("tkn"))
+    val counts = Materialize.once(
+      tok.groupBy("g", "tkn").agg(count(lit(1)).as("c")), reliable)
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    val dist = counts.join(broadcast(totals), Seq("g"))
+    val srcs = totals.select(col("g").as("g2"), col("n").as("n2"))
+    val fanned = dist.crossJoin(broadcast(srcs)).filter(col("g") =!= col("g2"))
+      .select(
+        least(col("g"), col("g2")).as("ga"),
+        greatest(col("g"), col("g2")).as("gb"),
+        col("tkn"),
+        when(col("g") < col("g2"), col("c")).otherwise(lit(0L)).as("ca"),
+        when(col("g") < col("g2"), lit(0L)).otherwise(col("c")).as("cb"),
+        when(col("g") < col("g2"), col("n")).otherwise(col("n2")).as("na"),
+        when(col("g") < col("g2"), col("n2")).otherwise(col("n")).as("nb"))
+    val byTerm = fanned.groupBy("ga", "gb", "tkn")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+    val p = col("ca") / col("na")
+    val q = col("cb") / col("nb")
+    val contrib =
+      when(col("ca") > 0, p * log2(lit(2) * p / (p + q))).otherwise(lit(0.0)) * 0.5 +
+      when(col("cb") > 0, q * log2(lit(2) * q / (p + q))).otherwise(lit(0.0)) * 0.5
+    byTerm
+      .withColumn("e_fp", round(lit(1000000d) * contrib, 0).cast("long"))
+      .withColumn("sh", when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_terms"), sum(col("sh")).as("n_shared"),
+        sum(col("e_fp")).as("js_ubits"))
+  }
+
   /** Distinct-n diversity metrics per group: for each n-gram size, the
     * total window count, the distinct count and their ratio — the
     * distinct-1/distinct-2 diversity telemetry of generation-corpus QA

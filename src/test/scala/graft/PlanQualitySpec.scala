@@ -374,4 +374,59 @@ class PlanQualitySpec extends SparkTestBase {
       s"bloom probe shuffled the probed table:\n$p")
     assert(!p.contains("Join"), s"bloom probe joined instead of in-row test:\n$p")
   }
+
+  test("priority sample is TakeOrdered-shaped: no global sort, no window") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(Curation.prioritySample(docs, "doc_id", col("n_chars"), 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority sample fell back to a full sort:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in priority sample:\n$p")
+  }
+
+  test("per-group priority sample aggregates top-k — never a window over the data") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(Curation.prioritySampleByGroup(docs, "source", "doc_id",
+      col("n_chars"), 5))
+    assert(!p.contains("Window"),
+      s"per-group sample used a window over the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"selected ids not broadcast back onto the scan:\n$p")
+  }
+
+  test("shardPack ranks via range partitions — the data never coalesces to one partition") {
+    val docs = Tables(spark, sfDir, "documents")
+    val df = Curation.shardPack(docs, "doc_id", col("n_chars"), 8)
+    val p = plan(df)
+    assert(p.contains("Exchange rangepartitioning"),
+      s"global rank lost its range sort:\n$p")
+    // the only Window runs over the per-partition COUNT relation (rows =
+    // number of range partitions), fed by a hash aggregate — never the data
+    assert(p.contains("monotonically_increasing_id"),
+      s"local ordinal not derived from the sorted stream:\n$p")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
+      s"offsets window is not over the aggregated partition counts:\n$p")
+  }
+
+  test("maxsim scores in-row against broadcast queries — no shuffle of the corpus, no window") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val p = plan(Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 4),
+      "vec_id", "embedding", chunks = 8, k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to score:\n$p")
+    assert(!p.contains("Window"), s"top-k fell back to a window:\n$p")
+  }
+
+  test("featureMoments computes every pair's sums in ONE scan") {
+    val li = Tables(spark, sfDir, "lineitem").select(
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_extendedprice")).cast("long").as("price_usd"),
+      round(col("l_discount") * 100, 0).cast("long").as("disc_pct"))
+    val p = plan(Relational.featureMoments(li, Seq("qty", "price_usd", "disc_pct")))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"moment matrix rescanned the table:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"global moment agg should not hash-shuffle:\n$p")
+  }
 }

@@ -616,6 +616,30 @@ class CurationSpec extends SparkTestBase {
       out.map(_.getAs[Long]("item_id")).toSet)
   }
 
+  test("prioritySampleByGroup: per-group saturation, unsaturated tau=0, DLT estimates") {
+    import spark.implicits._
+    val df = ((1 to 3).map(i => ("small", i.toLong, 10L)) ++
+        (11 to 22).map(i => ("big", i.toLong, i.toLong)))
+      .toDF("src", "id", "nch")
+    val out = Curation.prioritySampleByGroup(df, "src", "id", col("nch"), k = 5)
+      .collect().groupBy(_.getAs[String]("g"))
+    // unsaturated group: everything selected, tau 0, estimates = raw weights
+    val small = out("small")
+    assert(small.length == 3)
+    assert(small.forall(r => r.getAs[Long]("tau") == 0L &&
+      r.getAs[Long]("w_hat") == r.getAs[Long]("w")))
+    // saturated group: exactly k rows, all clearing tau, w_hat = max(w, tau)
+    val big = out("big")
+    assert(big.length == 5)
+    val tau = big.head.getAs[Long]("tau")
+    assert(tau > 0L)
+    big.foreach { r =>
+      assert(r.getAs[Long]("priority") >= tau)
+      assert(r.getAs[Long]("w_hat") == math.max(r.getAs[Long]("w"), tau))
+      assert(r.getAs[Long]("true_total") == (11 to 22).map(_.toLong).sum)
+    }
+  }
+
   test("shardPack: exhaustive assignment, serpentine balance, partitioning-independent rank") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val n = docs.count()

@@ -244,6 +244,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(skewed("u") == 2000000L && skewed("mono") == 0L)
   }
 
+  test("jsDivergence: 0 for identical distributions, exactly 1 bit for disjoint ones") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "w x y z"), ("b", "z y x w"),       // identical distributions
+      ("c", "p q r s")                           // disjoint from both
+    ).toDF("source", "text")
+    val out = TextAnalysis.jsDivergence(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("n_shared"),
+         r.getAs[Long]("js_ubits"))).toMap
+    // identical → every per-term log2(2p/(p+q)) is log2(1) = 0
+    assert(out(("a", "b")) == ((4L, 4L, 0L)))
+    // disjoint uniform-4 vs uniform-4 → 8 one-sided terms, each
+    // round(1e6 · 0.5 · 0.25 · log2 2) = 125000 → exactly 1 bit
+    assert(out(("a", "c")) == ((8L, 0L, 1000000L)))
+    assert(out(("b", "c")) == ((8L, 0L, 1000000L)))
+  }
+
   test("distinctNgrams: hand-checked distinct-1/2 on a repeating doc") {
     import spark.implicits._
     val df = Seq(("s", "a b a b")).toDF("source", "text")
