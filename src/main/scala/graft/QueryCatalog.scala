@@ -7597,7 +7597,116 @@ object QueryCatalog {
              |SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_terms,
              |  CAST(sum(sh) AS BIGINT) AS n_shared,
              |  CAST(sum(efp) AS BIGINT) AS js_ubits
-             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // C4-style line cleaning (Raffel et al. 2020 §2.2) over pages built
+    // from the fixture with every rule exercised: terminal-punct,
+    // min-words, javascript line drops; lorem-ipsum / curly-brace /
+    // too-few-kept page drops — graded with full accounting per page
+    ("q_c4_line_filter",
+      (s: SparkSession, d: String) => {
+        val page = concat(
+          lit("This opening line has enough words to stay.\n"),
+          lit("Another fine line survives cleaning here.\n"),
+          lit("no terminal punct line\n"),
+          lit("Tiny.\n"),
+          lit("This line mentions javascript and must go.\n"),
+          concat(array_join(slice(TextAnalysis.tokens(col("text")), 1, 8), " "),
+            lit(".")),
+          when(col("doc_id") % 13 === 0, lit("\nlorem ipsum")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("\nBraces { break pages."))
+            .otherwise(lit("")))
+        TextAnalysis.c4Clean(
+            t(s, d, "documents").select(col("doc_id"), page.as("text")),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    'This opening line has enough words to stay.' || chr(10) ||
+             |    'Another fine line survives cleaning here.' || chr(10) ||
+             |    'no terminal punct line' || chr(10) ||
+             |    'Tiny.' || chr(10) ||
+             |    'This line mentions javascript and must go.' || chr(10) ||
+             |    array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'),
+             |      1, 8), ' ') || '.' ||
+             |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END ||
+             |    CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Braces { break pages.'
+             |         ELSE '' END AS t
+             |  FROM documents),
+             |k AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+             |        list_filter(string_split(t, chr(10)), x ->
+             |          regexp_matches(trim(x), '[.!?"]$')
+             |          AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+             |          AND NOT contains(lower(x), 'javascript')) AS kept
+             |      FROM p)
+             |SELECT doc_id,
+             |  (NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{')))
+             |    AND len(kept) >= 3 AS keep,
+             |  CAST(len(ls) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             |  CASE WHEN (NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{')))
+             |              AND len(kept) >= 3
+             |       THEN array_to_string(kept, chr(10)) ELSE '' END AS cleaned
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // hybrid retrieval via Reciprocal Rank Fusion: a lexical ranking
+    // (term frequency of 'spark') and a semantic ranking (cosine to the
+    // vec_id-0 embedding) merge through integer RRF contributions — the
+    // fused list and its corroboration counts replay exactly
+    ("q_hybrid_rrf",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val lex = docs.select(col("doc_id"),
+            size(filter(TextAnalysis.tokens(col("text")), tk => tk === "spark"))
+              .cast("long").as("tf"))
+          .filter(col("tf") > 0)
+          .orderBy(col("tf").desc, col("doc_id")).limit(20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("tf").desc, col("doc_id"))))
+          .select("doc_id", "rank")
+        val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.cosineF(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select("doc_id", "rank")
+        Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank", kConst = 60, topK = 10)
+          .orderBy(col("rrf_fp").desc, col("item_id"))
+      },
+      Some("""WITH lex0 AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |      t -> t = 'spark')) AS BIGINT) AS tf
+             |  FROM documents WHERE trim(text) <> ''),
+             |lex AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id)
+             |          AS rank
+             |        FROM (SELECT * FROM lex0 WHERE tf > 0
+             |              ORDER BY tf DESC, doc_id LIMIT 20)),
+             |e AS (SELECT vec_id,
+             |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |      FROM embeddings),
+             |qv AS (SELECT v FROM e WHERE vec_id = 0),
+             |sem0 AS (SELECT e.vec_id AS doc_id,
+             |    round(CASE WHEN sqrt(list_inner_product(e.v, e.v)
+             |                         * list_inner_product(qv.v, qv.v)) = 0 THEN 0e0
+             |          ELSE list_inner_product(e.v, qv.v)
+             |               / sqrt(list_inner_product(e.v, e.v)
+             |                      * list_inner_product(qv.v, qv.v)) END, 6) AS cos
+             |  FROM e, qv WHERE e.vec_id <> 0),
+             |sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+             |          AS rank
+             |        FROM (SELECT * FROM sem0 ORDER BY cos DESC, doc_id LIMIT 20)),
+             |u AS (SELECT doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT)
+             |        AS c FROM lex
+             |      UNION ALL
+             |      SELECT doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT)
+             |      FROM sem)
+             |SELECT doc_id AS item_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+             |  CAST(count(*) AS BIGINT) AS n_lists
+             |FROM u GROUP BY 1 ORDER BY rrf_fp DESC, item_id LIMIT 10""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

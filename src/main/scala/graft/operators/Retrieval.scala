@@ -256,4 +256,31 @@ object Retrieval {
         round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
         round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 6).as("ndcg"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * combine any number of rankings of the same id space — the hybrid
+    * lexical+semantic search merge. Each list contributes
+    * round(10⁹ / (kConst + rank)) as a BIGINT, so the fused score is
+    * integer-exact in any summation order and the merged ranking replays
+    * in any engine (the float 1/(k+r) would be engine-stable anyway, but
+    * the fixed-point form makes ties bit-defined). `n_lists` rides along:
+    * an id found by both retrievers is visibly corroborated.
+    *
+    * Scale shape: union of k-bounded ranked lists (tiny by construction)
+    * → one hash agg on the id → TakeOrderedAndProject. The expensive
+    * part is the upstream retrievers; fusion itself never touches the
+    * corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], id: String, rank: String,
+              kConst: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(kConst > 0 && topK > 0, "rrfFuse: kConst and topK must be positive")
+    val tagged = rankings.map(_.select(col(id).cast("long").as("item_id"),
+      round(lit(1000000000d) / (lit(kConst) + col(rank)), 0).cast("long").as("c")))
+    tagged.reduce(_.unionByName(_))
+      .groupBy("item_id")
+      .agg(sum(col("c")).as("rrf_fp"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_fp").desc, col("item_id"))
+      .limit(topK)
+  }
 }

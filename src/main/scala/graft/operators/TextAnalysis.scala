@@ -302,6 +302,36 @@ object TextAnalysis {
         sum(col("e_fp")).as("entropy_ubits"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep lines
+    * that end in terminal punctuation, have at least `minWordsPerLine`
+    * words and don't mention javascript; drop the whole page when it
+    * contains "lorem ipsum" or a curly brace, or keeps fewer than
+    * `minKeptLines` lines. The canonical web-corpus cleaning pass,
+    * reported with its accounting (kept flag + line counts) so the gate
+    * is auditable, not silent.
+    *
+    * Scale shape: pure in-row array HOFs on the scan — zero shuffle at
+    * any corpus size (the [[qualityGate]] cost class).
+    */
+  def c4Clean(docs: DataFrame, id: String, text: String,
+              minWordsPerLine: Int = 3, minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(text), "\n")
+    val keptLines = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val pageBad = lower(col(text)).contains("lorem ipsum") ||
+      col(text).contains("{")
+    docs.select(col(id).as("doc_id"), lines.as("_lines"), keptLines.as("_kept"),
+        pageBad.as("_bad"))
+      .select(col("doc_id"),
+        (!col("_bad") && size(col("_kept")) >= minKeptLines).as("keep"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept_lines"),
+        when(!col("_bad") && size(col("_kept")) >= minKeptLines,
+          array_join(col("_kept"), "\n")).otherwise(lit("")).as("cleaned"))
+  }
+
   /** Pairwise Jensen-Shannon divergence between every two sources' token
     * distributions, in micro-bits fixed point — the corpus-drift /
     * source-redundancy matrix (JS ≈ 0: two crawls are near-duplicates at

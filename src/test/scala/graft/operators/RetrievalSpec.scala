@@ -156,4 +156,23 @@ class RetrievalSpec extends SparkTestBase {
       .filter(col("query_id") === "q1").collect().head.getDouble(2)
     assert(e > 0 && e < 1)
   }
+
+  test("rrfFuse: corroborated ids outrank single-list wins; fixed-point contributions exact") {
+    import spark.implicits._
+    // doc 1: rank 1 in A only; doc 2: rank 2 in both; doc 3: rank 3+1
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 2), (3L, 1)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", kConst = 60, topK = 10)
+      .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("rrf_fp"),
+        r.getAs[Long]("n_lists")))
+    def c(r: Int) = math.round(1e9 / (60 + r))
+    val expect = Seq(
+      (3L, c(3) + c(1), 2L),   // 1/63 + 1/61
+      (2L, c(2) + c(2), 2L),   // corroborated at rank 2 twice
+      (1L, c(1), 1L))          // best single-list rank still loses to fusion
+      .sortBy { case (id, s, _) => (-s, id) }
+    assert(out.toSeq == expect)
+    // both corroborated docs beat the single-list rank-1 doc
+    assert(out.takeWhile(_._1 != 1L).forall(_._3 == 2L))
+  }
 }

@@ -262,6 +262,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(("b", "c")) == ((8L, 0L, 1000000L)))
   }
 
+  test("c4Clean: every line rule and every page rule fires") {
+    import spark.implicits._
+    val good = "One solid line ends properly.\nA second fine line stays here.\nThird keeper line is good."
+    val df = Seq(
+      (1L, good),                                            // 3 kept → page kept
+      (2L, good + "\nbad line no punct\nJavaScript is bad."), // extra lines drop, page survives
+      (3L, good + "\nlorem ipsum"),                          // page marker → dropped
+      (4L, good + "\nhas a { brace."),                       // brace → dropped
+      (5L, "Only two keepers here today.\nSecond keeper line stays fine.") // 2 < 3 → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Long]("n_lines"),
+         r.getAs[Long]("n_kept_lines"), r.getAs[String]("cleaned"))).toMap
+    assert(out(1L) == ((true, 3L, 3L, good)))
+    // "JavaScript is bad." ends in punct + 3 words but mentions javascript
+    assert(out(2L) == ((true, 5L, 3L, good)))
+    assert(out(3L)._1 == false && out(3L)._4 == "")
+    assert(out(4L)._1 == false)
+    assert(out(5L) == ((false, 2L, 2L, "")))
+  }
+
   test("distinctNgrams: hand-checked distinct-1/2 on a repeating doc") {
     import spark.implicits._
     val df = Seq(("s", "a b a b")).toDF("source", "text")
