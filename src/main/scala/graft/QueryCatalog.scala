@@ -7706,7 +7706,48 @@ object QueryCatalog {
              |      FROM sem)
              |SELECT doc_id AS item_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
              |  CAST(count(*) AS BIGINT) AS n_lists
-             |FROM u GROUP BY 1 ORDER BY rrf_fp DESC, item_id LIMIT 10""".stripMargin))
+             |FROM u GROUP BY 1 ORDER BY rrf_fp DESC, item_id LIMIT 10""".stripMargin)),
+
+    // silence trim at |s| ≥ 30000 (~8% of the synthetic amplitude range,
+    // so leading/trailing runs vary per doc and a few clips trim to
+    // EMPTY): the oracle finds the first/last loud sample analytically
+    // and replays the kept range's stats with re-based checksum indices
+    ("q_audio_trim",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAudioStats(
+            Multimodal.trimSilence(
+              Multimodal.withAudioMedia(t(s, d, "documents")), threshold = 30000))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 64 + n_chars % 200 AS n,
+             |    8000 + (n_chars % 3) * 4000 AS rate
+             |  FROM documents),
+             |sm AS (
+             |  SELECT d.doc_id, d.n, d.rate, t.i,
+             |    (((31*d.doc_id + 7*t.i) % 65536) - 32768) AS s
+             |  FROM dims d JOIN range(0, 264) t(i) ON t.i < d.n),
+             |b AS (
+             |  SELECT doc_id, n, rate,
+             |    min(CASE WHEN abs(s) >= 30000 THEN i END) AS fi,
+             |    max(CASE WHEN abs(s) >= 30000 THEN i END) AS la
+             |  FROM sm GROUP BY doc_id, n, rate),
+             |k AS (SELECT doc_id, rate, fi, coalesce(la - fi + 1, 0) AS kept FROM b),
+             |ag AS (
+             |  SELECT k.doc_id, k.rate, k.kept,
+             |    coalesce(sum(CASE WHEN sm.i >= k.fi AND sm.i < k.fi + k.kept
+             |      THEN sm.s END), 0) AS ssum,
+             |    coalesce(sum(CASE WHEN sm.i >= k.fi AND sm.i < k.fi + k.kept
+             |      THEN sm.s * ((sm.i - k.fi) % 97 + 1) END), 0) AS schk,
+             |    coalesce(max(CASE WHEN sm.i >= k.fi AND sm.i < k.fi + k.kept
+             |      THEN abs(sm.s) END), 0) AS pk
+             |  FROM k JOIN sm USING (doc_id) GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(44 + 2*kept AS BIGINT) AS media_bytes,
+             |  CAST(rate AS BIGINT) AS sample_rate, CAST(kept AS BIGINT) AS n_samples,
+             |  CAST(ssum AS BIGINT) AS sample_sum,
+             |  CAST(schk AS BIGINT) AS sample_checksum,
+             |  CAST(pk AS BIGINT) AS peak_abs
+             |FROM ag ORDER BY doc_id""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -582,6 +582,51 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Leading/trailing silence trim: drop samples before the first and
+    * after the last frame whose amplitude reaches `threshold` (mono
+    * semantics — for multi-channel, a frame is loud when ANY channel
+    * clears the threshold, and whole frames trim so channels stay
+    * aligned). All-silent clips collapse to zero samples. The standard
+    * speech-corpus preprocessing step; deterministic, so shards
+    * reproduce bit-identically like the other augmentations.
+    *
+    * Scale shape: zero-shuffle mapPartitions decode→slice→re-encode,
+    * same cost class as [[gainAudio]].
+    */
+  def trimSilence(media: DataFrame, threshold: Int): DataFrame = {
+    require(threshold > 0 && threshold <= 32768,
+      s"trimSilence: threshold must be in (0, 32768], got $threshold")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val a = WavCodec.decodePcm16(bytes)
+          val ch = a.channels
+          val frames = a.samples.length / ch
+          def loud(f: Int): Boolean = {
+            var c = 0
+            var hit = false
+            while (c < ch && !hit) {
+              if (math.abs(a.samples(f * ch + c).toInt) >= threshold) hit = true
+              c += 1
+            }
+            hit
+          }
+          var first = 0
+          while (first < frames && !loud(first)) first += 1
+          var last = frames - 1
+          while (last >= first && !loud(last)) last -= 1
+          val keptF = if (first > last) 0 else last - first + 1
+          val out = WavCodec.encodePcm16Ch(a.sampleRate, ch, keptF * ch,
+            j => a.samples(first * ch + j))
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   def resampleAudio(media: DataFrame, outRate: Int): DataFrame = {
     require(outRate > 0, s"resampleAudio: outRate must be > 0, got $outRate")
     val spark = media.sparkSession

@@ -192,6 +192,27 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodePcm16("RIFFxxxxJUNK".getBytes))
   }
 
+  test("trimSilence: leading/trailing runs drop, stereo frames stay aligned, all-silent empties") {
+    import spark.implicits._
+    // mono: [0 0 5 0 -9 0 0] at |s|>=5 → kept [5 0 -9]
+    val m = Array[Short](0, 0, 5, 0, -9, 0, 0)
+    val mono = WavCodec.encodePcm16(8000, 7, m(_))
+    // stereo frames (L,R): (0,0) (0,6) (2,0) (0,0) — frame 1 is loud on R,
+    // frames 2,3 are quiet on both channels → kept frames 1..1 → [0,6]
+    val st = Array[Short](0, 0, 0, 6, 2, 0, 0, 0)
+    val stereo = WavCodec.encodePcm16Ch(8000, 2, 8, st(_))
+    val sl = Array[Short](1, -2, 3, -1)
+    val silent = WavCodec.encodePcm16(8000, 4, sl(_))
+    val df = Seq((1L, mono), (2L, stereo), (3L, silent)).toDF("doc_id", "media")
+    val out = Multimodal.trimSilence(df, threshold = 5)
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> WavCodec.decodePcm16(b) }.toMap
+    assert(out(1L).samples.toSeq == Seq[Short](5, 0, -9))
+    assert(out(2L).channels == 2 && out(2L).samples.toSeq == Seq[Short](0, 6))
+    assert(out(3L).samples.isEmpty)
+    assert(out(3L).sampleRate == 8000) // header survives an empty trim
+  }
+
   test("AviCodec: uncompressed AVI round-trips frame-exact; corrupt clips fail loudly") {
     // 3 frames of 5x3 (odd width → padded DIB rows), frame-dependent pixels
     val pix = (f: Int, i: Int) => ((f * 50 + i * 7) % 256).toByte
