@@ -274,6 +274,25 @@ object QueryCatalog {
       |    ORDER BY cents DESC, event_id) AS top_event
       |FROM e ORDER BY event_id""".stripMargin
 
+  // TPC-H Q3 shape (shipping-priority top-10) in exact integer
+  // cent·percent units; one shared string both engines execute. The
+  // three-table join is THE classic join-order/broadcast benchmark shape.
+  private val ShippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |    AS revenue_cp,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date,
+      |  o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, order_date, o_orderpriority
+      |ORDER BY revenue_cp DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** name -> (query fn, optional DuckDB oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -7747,7 +7766,59 @@ object QueryCatalog {
              |  CAST(ssum AS BIGINT) AS sample_sum,
              |  CAST(schk AS BIGINT) AS sample_checksum,
              |  CAST(pk AS BIGINT) AS peak_abs
-             |FROM ag ORDER BY doc_id""".stripMargin))
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // TPC-H Q3 shape: the canonical 3-table join-order benchmark as one
+    // shared SQL string — Catalyst must broadcast the filtered customer
+    // side and push both date filters to the scans for this to be the
+    // right plan at scale
+    ("q_sql_shipping_priority",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(ShippingPrioritySql)
+      },
+      Some(ShippingPrioritySql)),
+
+    // histogram selectivity estimation under AVI vs the truth, on the
+    // DELIBERATELY correlated (l_quantity, l_extendedprice) pair — the
+    // row shows the independence assumption failing, which is exactly
+    // what multi-column stats exist to fix
+    ("q_selectivity_est",
+      (s: SparkSession, d: String) =>
+        Relational.selectivityEstimate(t(s, d, "lineitem"),
+          "l_quantity", 24.0, "l_extendedprice", 30000.0, buckets = 8),
+      Some("""WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+             |s AS (SELECT list_sort(list(x)) AS xs, list_sort(list(y)) AS ys,
+             |        count(*) AS n,
+             |        sum(CASE WHEN x > 24 AND y < 30000 THEN 1 ELSE 0 END) AS m
+             |      FROM v),
+             |c AS (SELECT n, m,
+             |    (CASE WHEN xs[CAST(ceil(n * 0.125) AS BIGINT)] <= 24 THEN 1 ELSE 0 END
+             |   + CASE WHEN xs[CAST(ceil(n * 0.25)  AS BIGINT)] <= 24 THEN 1 ELSE 0 END
+             |   + CASE WHEN xs[CAST(ceil(n * 0.375) AS BIGINT)] <= 24 THEN 1 ELSE 0 END
+             |   + CASE WHEN xs[CAST(ceil(n * 0.5)   AS BIGINT)] <= 24 THEN 1 ELSE 0 END
+             |   + CASE WHEN xs[CAST(ceil(n * 0.625) AS BIGINT)] <= 24 THEN 1 ELSE 0 END
+             |   + CASE WHEN xs[CAST(ceil(n * 0.75)  AS BIGINT)] <= 24 THEN 1 ELSE 0 END
+             |   + CASE WHEN xs[CAST(ceil(n * 0.875) AS BIGINT)] <= 24 THEN 1 ELSE 0 END)
+             |      AS nbx,
+             |    (CASE WHEN ys[CAST(ceil(n * 0.125) AS BIGINT)] < 30000 THEN 1 ELSE 0 END
+             |   + CASE WHEN ys[CAST(ceil(n * 0.25)  AS BIGINT)] < 30000 THEN 1 ELSE 0 END
+             |   + CASE WHEN ys[CAST(ceil(n * 0.375) AS BIGINT)] < 30000 THEN 1 ELSE 0 END
+             |   + CASE WHEN ys[CAST(ceil(n * 0.5)   AS BIGINT)] < 30000 THEN 1 ELSE 0 END
+             |   + CASE WHEN ys[CAST(ceil(n * 0.625) AS BIGINT)] < 30000 THEN 1 ELSE 0 END
+             |   + CASE WHEN ys[CAST(ceil(n * 0.75)  AS BIGINT)] < 30000 THEN 1 ELSE 0 END
+             |   + CASE WHEN ys[CAST(ceil(n * 0.875) AS BIGINT)] < 30000 THEN 1 ELSE 0 END)
+             |      AS nby
+             |  FROM s)
+             |SELECT CAST(round(10000 * (8 - nbx - 0.5) / 8) AS BIGINT) AS x_est_bp,
+             |  CAST(round(10000 * (nby + 0.5) / 8) AS BIGINT) AS y_est_bp,
+             |  CAST((CAST(round(10000 * (8 - nbx - 0.5) / 8) AS BIGINT)
+             |        * CAST(round(10000 * (nby + 0.5) / 8) AS BIGINT)) // 10000
+             |    AS BIGINT) AS combined_est_bp,
+             |  CAST(round(10000 * m / n) AS BIGINT) AS actual_bp,
+             |  CAST(n AS BIGINT) AS n_rows, CAST(m AS BIGINT) AS n_match
+             |FROM c""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -551,6 +551,53 @@ object Relational {
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
 
+  /** Histogram-based conjunctive selectivity estimation — the cost-based
+    * optimizer's core trick surfaced as a graded, data-visible operator:
+    * estimate sel(x > xGt AND y < yLt) from two independent B-bucket
+    * equi-depth histograms under the attribute-value-independence (AVI)
+    * assumption, and report the TRUE selectivity beside it. On correlated
+    * columns (quantity vs extended price) the AVI error is the point —
+    * the row SHOWS why real optimizers need multi-column stats.
+    *
+    * Estimates use only the B−1 cut boundaries with the classic
+    * half-bucket credit for the straddling bucket, in basis points —
+    * integer-exact replay. The graded cuts are discrete quantiles
+    * ([[discreteCuts]] — O(column) collect, test-scale only); at corpus
+    * scale swap `approx_percentile` for the cuts, shape unchanged (the
+    * [[graft.operators.Curation.calibrateScores]] note).
+    */
+  def selectivityEstimate(df: DataFrame, xCol: String, xGt: Double,
+                          yCol: String, yLt: Double,
+                          buckets: Int = 8): DataFrame = {
+    require(buckets > 1, s"selectivityEstimate: need buckets > 1, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val g = df.select(lit(1).as("__g"), col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val xc = discreteCuts(g, "__g", "x",
+      probs.zipWithIndex.map { case (p, i) => p -> s"x$i" })
+    val yc = discreteCuts(g, "__g", "y",
+      probs.zipWithIndex.map { case (p, i) => p -> s"y$i" })
+    val nbx = probs.indices.map(i =>
+      when(col(s"x$i") <= xGt, 1).otherwise(0)).reduce(_ + _)
+    val nby = probs.indices.map(i =>
+      when(col(s"y$i") < yLt, 1).otherwise(0)).reduce(_ + _)
+    val actual = g.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("x") > xGt && col("y") < yLt, 1L).otherwise(0L)).as("n_match"))
+    xc.join(yc, Seq("__g")).crossJoin(actual)
+      .select(
+        round(lit(10000d) * (lit(buckets) - nbx - lit(0.5)) / buckets, 0)
+          .cast("long").as("x_est_bp"),
+        round(lit(10000d) * (nby + lit(0.5)) / buckets, 0)
+          .cast("long").as("y_est_bp"),
+        col("n_rows"), col("n_match"),
+        round(lit(10000d) * col("n_match") / col("n_rows"), 0)
+          .cast("long").as("actual_bp"))
+      .withColumn("combined_est_bp",
+        expr("(x_est_bp * y_est_bp) div 10000"))
+      .select("x_est_bp", "y_est_bp", "combined_est_bp", "actual_bp",
+        "n_rows", "n_match")
+  }
+
   /** Pairwise moment matrix over integer-scaled features: for every
     * unordered column pair, the exact BIGINT sufficient statistics
     * (n, Σx, Σy, Σxy, Σx², Σy²) from which covariance and Pearson

@@ -418,6 +418,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), s"top-k fell back to a window:\n$p")
   }
 
+  test("TPC-H Q3 shape: filtered customer broadcasts, date filters reach the scans") {
+    Tables.registerAll(spark, sfDir)
+    val df = spark.sql(QueryCatalog.oracleSql("q_sql_shipping_priority"))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in Q3:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q3:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed to the scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"customer segment filter not pushed:\n$p")
+  }
+
   test("featureMoments computes every pair's sums in ONE scan") {
     val li = Tables(spark, sfDir, "lineitem").select(
       col("l_quantity").cast("long").as("qty"),

@@ -312,6 +312,24 @@ class RelationalSpec extends SparkTestBase {
     assert(out(4) == ((20L, None, None, 1, 0.0)))
   }
 
+  test("selectivityEstimate: exact half-bucket arithmetic; AVI is near-truth on independent columns") {
+    import spark.implicits._
+    // 8×8 cross product: x and y PERFECTLY independent, each uniform 1..8
+    val rows = for (x <- 1 to 8; y <- 1 to 8) yield (x.toDouble, y.toDouble)
+    val df = rows.toDF("x", "y")
+    val r = Relational.selectivityEstimate(df, "x", 4.0, "y", 5.0, buckets = 8)
+      .collect().head
+    // cuts at ceil(64·i/8) land on the value i → nbx = 4 boundaries ≤ 4,
+    // nby = 4 boundaries < 5
+    assert(r.getAs[Long]("x_est_bp") == 4375L)   // (8−4−0.5)/8
+    assert(r.getAs[Long]("y_est_bp") == 5625L)   // (4+0.5)/8
+    assert(r.getAs[Long]("combined_est_bp") == 4375L * 5625L / 10000L)
+    assert(r.getAs[Long]("actual_bp") == 2500L)  // truth: 0.5 · 0.5
+    assert(r.getAs[Long]("n_rows") == 64L && r.getAs[Long]("n_match") == 16L)
+    // independence → the AVI estimate lands within half a bucket of truth
+    assert(math.abs(r.getAs[Long]("combined_est_bp") - 2500L) < 10000L / 8)
+  }
+
   test("featureMoments: exact sums on a hand-checked table; correlation derivable") {
     import spark.implicits._
     val df = Seq((1L, 2L, 10L), (3L, 4L, 20L), (5L, 6L, 40L))
