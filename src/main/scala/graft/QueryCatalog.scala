@@ -7818,7 +7818,47 @@ object QueryCatalog {
              |    AS BIGINT) AS combined_est_bp,
              |  CAST(round(10000 * m / n) AS BIGINT) AS actual_bp,
              |  CAST(n AS BIGINT) AS n_rows, CAST(m AS BIGINT) AS n_match
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // streaming distribution-drift monitor: a REAL three-batch
+    // AvailableNow run maintaining per-(source, token) counts, graded on
+    // the FULL per-epoch entropy ledger — epoch e must equal the entropy
+    // of the batch-0..e prefix, which the oracle recomputes from scratch
+    ("q_stream_drift",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val inDir = scratchDir("drift_in")
+        (0 until 3).foreach { i =>
+          stageArrivalFile(docs.filter(col("doc_id") % 3 === i), inDir,
+            s"batch$i.parquet", 1700000000000L + i * 60000L)
+        }
+        val root = scratchDir("drift_tbl")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.Streams.entropyDriftSink(stream,
+            "source", "text", root, scratchDir("drift_ckpt")).start()
+          q.awaitTermination()
+        }
+        graft.streaming.Streams.readDriftLedger(s, root)
+          .select(col("epoch").cast("long").as("epoch"), col("g"),
+            col("n_tokens"), col("n_terms"), col("entropy_ubits"))
+          .orderBy("epoch", "g")
+      },
+      Some("""WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+             |tok AS (SELECT e.epoch, CAST(d.source AS VARCHAR) AS g,
+             |    unnest(regexp_split_to_array(trim(d.text), '\s+')) AS tkn
+             |  FROM documents d JOIN e ON d.doc_id % 3 <= e.epoch
+             |  WHERE trim(d.text) <> ''),
+             |c AS (SELECT epoch, g, tkn, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+             |t AS (SELECT epoch, g, CAST(sum(c) AS BIGINT) AS n
+             |      FROM c GROUP BY 1, 2)
+             |SELECT CAST(c.epoch AS BIGINT) AS epoch, c.g,
+             |  max(t.n) AS n_tokens, CAST(count(*) AS BIGINT) AS n_terms,
+             |  CAST(sum(CAST(round(1000000 * (c.c / t.n) * log2(t.n / c.c))
+             |    AS BIGINT)) AS BIGINT) AS entropy_ubits
+             |FROM c JOIN t USING (epoch, g) GROUP BY c.epoch, c.g
+             |ORDER BY epoch, g""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -289,8 +289,17 @@ object TextAnalysis {
       explode(tokens(col(text))).as("tkn"))
     val counts = Materialize.once(
       tok.groupBy("g", "tkn").agg(count(lit(1)).as("c")), reliable)
-    // totals fold FROM the materialized term counts (never a second corpus
-    // scan) and come back |groups| rows — broadcast-class by construction
+    entropyOfCounts(counts)
+  }
+
+  /** The entropy reduction of [[sourceEntropy]] over an existing
+    * `(g, tkn, c)` count relation — shared with the streaming drift
+    * monitor, whose maintained counts make per-epoch entropy O(vocab)
+    * instead of a corpus rescan.
+    */
+  def entropyOfCounts(counts: DataFrame): DataFrame = {
+    // totals fold FROM the term counts (never a second corpus scan) and
+    // come back |groups| rows — broadcast-class by construction
     val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
     counts.join(broadcast(totals), Seq("g"))
       .withColumn("e_fp",

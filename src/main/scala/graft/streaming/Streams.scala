@@ -385,6 +385,77 @@ object Streams {
           sidecar = Map(SummarySidecar -> body))
       }
 
+  /** Streaming corpus-drift monitor: maintain per-(group, token) counts
+    * across micro-batches of APPENDED documents (counts only ever add)
+    * and write a per-epoch entropy ledger row per group — the
+    * [[graft.operators.TextAnalysis.sourceEntropy]] telemetry kept live
+    * on a stream, with per-epoch cost O(vocab), never a corpus rescan.
+    *
+    * Storage: `root/counts/v<epoch>` (the maintained count relation —
+    * distributed parquet, vocab-bounded, NOT driver state) and
+    * `root/ledger/v<epoch>` (that epoch's entropy rows). Replay-safe the
+    * PostsTable way: an epoch merges from the LARGEST version strictly
+    * below itself and overwrites its own dirs, so a crashed epoch replays
+    * idempotently and never double-merges its own output.
+    */
+  def entropyDriftSink(stream: DataFrame, grp: String, text: String,
+                       root: String, checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val bc = batch.select(col(grp).cast("string").as("g"),
+            explode(graft.operators.TextAnalysis.tokens(col(text))).as("tkn"))
+          .groupBy("g", "tkn").agg(count(lit(1)).as("c"))
+        val merged = (versionBelow(s"$root/counts", epochId) match {
+          case Some(v) =>
+            spark.read.parquet(s"$root/counts/v$v").unionByName(bc)
+              .groupBy("g", "tkn").agg(sum(col("c")).as("c"))
+          case None => bc
+        }).persist()
+        try {
+          // single-file versions: counts are vocab-bounded and the ledger
+          // is groups-bounded — per-epoch file count matters more than
+          // write parallelism here
+          merged.coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/counts/v$epochId")
+          // entropy from the same cached relation the version committed —
+          // the ledger and counts can't diverge within an epoch
+          graft.operators.TextAnalysis.entropyOfCounts(merged)
+            .withColumn("epoch", lit(epochId)).coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/ledger/v$epochId")
+        } finally merged.unpersist()
+      }
+
+  /** The drift ledger of [[entropyDriftSink]]: every epoch's per-group
+    * entropy rows, unioned across version dirs.
+    */
+  def readDriftLedger(spark: SparkSession, root: String): DataFrame = {
+    val vs = listVersions(s"$root/ledger")
+    require(vs.nonEmpty, s"no drift ledger at $root")
+    vs.map(v => spark.read.parquet(s"$root/ledger/v$v"))
+      .reduce(_.unionByName(_))
+  }
+
+  private def listVersions(dir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+        .sorted
+      finally s.close()
+    }
+  }
+
+  private def versionBelow(dir: String, epoch: Long): Option[Long] =
+    listVersions(dir).filter(_ < epoch).lastOption
+
   /** The maintained summary of [[summaryUpsertSink]]'s table, as a
     * relation `(group, n_rows, sum_measure)` — read from the live
     * version's sidecar, never recomputed.

@@ -364,6 +364,41 @@ class StreamsSpec extends SparkTestBase {
     assert(msg.contains("tab/newline"), s"wrong failure: $msg")
   }
 
+  test("entropyDriftSink: per-epoch ledger equals from-scratch prefix entropy; restart appends") {
+    import graft.operators.TextAnalysis
+    val inDir = Files.createTempDirectory("drift_in").toString
+    val ckpt = Files.createTempDirectory("drift_ckpt").toString
+    val root = Files.createTempDirectory("drift_root").toString
+    val b0 = Seq((1L, "a", "w w x"), (2L, "b", "y z")).toDF("doc_id", "source", "text")
+    val b1 = Seq((3L, "a", "x x q")).toDF("doc_id", "source", "text")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      Streams.entropyDriftSink(stream, "source", "text", root, ckpt)
+        .start().awaitTermination()
+    }
+    graft.QueryCatalog.stageArrivalFile(b0, inDir, "b0.parquet", 1700000000000L)
+    run()
+    // restart with a second file: the counts must MERGE, not restart
+    graft.QueryCatalog.stageArrivalFile(b1, inDir, "b1.parquet", 1700000060000L)
+    run()
+    val ledger = Streams.readDriftLedger(spark, root)
+      .collect().map(r => (r.getAs[Long]("epoch"), r.getAs[String]("g")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("entropy_ubits"))).toMap
+    // epoch 0 = batch 0 alone; epoch 1 = both batches — each must equal
+    // the from-scratch sourceEntropy of that prefix
+    val e0 = TextAnalysis.sourceEntropy(b0, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("entropy_ubits"))).toMap
+    val e1 = TextAnalysis.sourceEntropy(b0.unionByName(b1), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("entropy_ubits"))).toMap
+    assert(ledger((0L, "a")) == e0("a") && ledger((0L, "b")) == e0("b"))
+    assert(ledger((1L, "a")) == e1("a") && ledger((1L, "b")) == e1("b"))
+    // source b had no batch-1 docs: its counts persist across the epoch
+    assert(ledger((1L, "b")) == ledger((0L, "b")))
+  }
+
   test("staticEnrich: dim snapshot pins at query start — version commits are safe, not visible") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
