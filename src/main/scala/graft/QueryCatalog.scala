@@ -293,6 +293,20 @@ object QueryCatalog {
       |ORDER BY revenue_cp DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  // null-safe equality (IS NOT DISTINCT FROM): the join predicate an
+  // equi-join silently gets WRONG when keys are nullable — the NULL
+  // bucket must survive the join. One shared string.
+  private val NullSafeJoinSql: String =
+    """WITH a AS (SELECT NULLIF(o_orderstatus, 'O') AS st,
+      |            CAST(count(*) AS BIGINT) AS n_a FROM orders GROUP BY 1),
+      |b AS (SELECT NULLIF(o_orderstatus, 'O') AS st,
+      |        CAST(sum(o_orderkey % 997) AS BIGINT) AS key_chk
+      |      FROM orders GROUP BY 1)
+      |SELECT CASE WHEN a.st IS NULL THEN '<null>' ELSE a.st END AS bucket,
+      |  a.n_a, b.key_chk
+      |FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+      |ORDER BY bucket""".stripMargin
+
   /** name -> (query fn, optional DuckDB oracle SQL). */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -7858,7 +7872,41 @@ object QueryCatalog {
              |  CAST(sum(CAST(round(1000000 * (c.c / t.n) * log2(t.n / c.c))
              |    AS BIGINT)) AS BIGINT) AS entropy_ubits
              |FROM c JOIN t USING (epoch, g) GROUP BY c.epoch, c.g
-             |ORDER BY epoch, g""".stripMargin))
+             |ORDER BY epoch, g""".stripMargin)),
+
+    // per-user time-weighted average over the irregular event stream —
+    // step interpolation in exact integer cents·µs; the oracle replays
+    // the lead window and the truncating division
+    ("q_twap",
+      (s: SparkSession, d: String) =>
+        Temporal.twap(t(s, d, "events"), "user_id", "ts", "value")
+          .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, ts,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+             |s AS (SELECT user_id, cents,
+             |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, cents))
+             |      - epoch_us(ts) AS dt,
+             |    first_value(cents) OVER (PARTITION BY user_id ORDER BY ts, cents)
+             |      AS fc
+             |  FROM e),
+             |g AS (SELECT user_id, count(*) AS n_events,
+             |        sum(cents * dt) AS vdt, sum(dt) AS span, max(fc) AS fc
+             |      FROM s GROUP BY 1)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(CASE WHEN span IS NULL OR span = 0 THEN fc
+             |       ELSE vdt // span END AS BIGINT) AS twap_cents,
+             |  CAST(coalesce(span, 0) AS BIGINT) AS span_us
+             |FROM g ORDER BY user_id""".stripMargin)),
+
+    // null-safe equality join — the NULL bucket must SURVIVE the join
+    // (an equi-join drops it); one shared string, Catalyst plans the
+    // <=> predicate as a hash join key
+    ("q_sql_nullsafe_join",
+      (s: SparkSession, d: String) => {
+        Tables.registerAll(s, d)
+        s.sql(NullSafeJoinSql)
+      },
+      Some(NullSafeJoinSql))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -270,4 +270,40 @@ object Temporal {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Time-weighted average per entity over an irregular event stream:
+    * each observation holds from its timestamp to the next one
+    * (step interpolation), so TWAP = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first)
+    * — the correct mean for irregularly-sampled series where the
+    * arithmetic mean over-weights bursts. All integer: values in cents,
+    * durations in µs, Σ v·Δt exact in BIGINT (cents·µs ≈ 10⁶·10¹² keeps
+    * ~10² rows of headroom per entity — callers with year-long spans
+    * scale to ms). The last observation has no holding interval (step
+    * semantics); single-event entities report the value itself.
+    *
+    * Scale shape: ONE window partitioning (lead) on the entity key plus
+    * the per-entity aggregate on the same key — one exchange total;
+    * per-row look-ahead state only (the [[graft.operators.Relational
+    * .sequenceFeatures]] cost class).
+    */
+  def twap(events: DataFrame, entity: String, ts: String,
+           value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col(ts).asc, col("cents").asc)
+    val stepped = events
+      .select(col(entity), col(ts),
+        floor(col(value) * 100).cast("long").as("cents"))
+      .withColumn("dt_us",
+        unix_micros(lead(col(ts), 1).over(w)) - unix_micros(col(ts)))
+    stepped.groupBy(col(entity))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * col("dt_us")).as("vdt"),
+        sum(col("dt_us")).as("span_us"),
+        min(struct(col(ts), col("cents"))).getField("cents").as("first_cents"))
+      .select(col(entity), col("n_events"),
+        when(col("span_us").isNull || col("span_us") === 0L, col("first_cents"))
+          .otherwise(expr("vdt div span_us")).as("twap_cents"),
+        coalesce(col("span_us"), lit(0L)).as("span_us"))
+  }
 }

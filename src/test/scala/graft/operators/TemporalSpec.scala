@@ -221,4 +221,34 @@ class TemporalSpec extends SparkTestBase {
       ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
       ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L), s"got $got")
   }
+
+  test("twap: step interpolation, burst doesn't over-weight, singletons and same-ts ties") {
+    val ev = Seq(
+      // user 1: 1.00 holds 10s, 3.00 holds 30s → (100·10 + 300·30)/40 = 250
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:10"), 3.0),
+      (1L, ts("2024-01-01 00:00:40"), 2.0),
+      // user 2: a 3-event BURST at 9.00 then a long 1.00 hold — the
+      // arithmetic mean says 6.5, TWAP must say ~1 side
+      (2L, ts("2024-01-01 00:00:00"), 9.0),
+      (2L, ts("2024-01-01 00:00:01"), 9.0),
+      (2L, ts("2024-01-01 00:00:02"), 9.0),
+      (2L, ts("2024-01-01 00:00:03"), 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 5.0),
+      // user 3: singleton → value itself, zero span
+      (3L, ts("2024-01-01 00:00:00"), 7.5),
+      // user 4: all events at ONE timestamp → zero span, first by tie
+      (4L, ts("2024-01-01 00:00:00"), 4.0),
+      (4L, ts("2024-01-01 00:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.twap(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("twap_cents"),
+         r.getAs[Long]("span_us"))).toMap
+    assert(out(1L) == ((3L, 250L, 40000000L)))
+    // user 2: (900·1 + 900·1 + 900·1 + 100·3597)/3600 = 100.6… → 100
+    assert(out(2L) == ((5L, (900L * 3 + 100L * 3597) / 3600, 3600000000L)))
+    assert(out(3L) == ((1L, 750L, 0L)))
+    assert(out(4L) == ((2L, 200L, 0L)))  // tie → smaller cents is "first"
+  }
 }
