@@ -7898,6 +7898,45 @@ object QueryCatalog {
              |  CAST(coalesce(span, 0) AS BIGINT) AS span_us
              |FROM g ORDER BY user_id""".stripMargin)),
 
+    // sliding 7-day distinct users: exact vs MERGED DAILY KMV SKETCHES —
+    // the windowed-distinct problem where sketches turn windowDays×
+    // re-scans into O(k) merges; sketch state and integer estimator
+    // replay exactly (md5 hash discipline), accuracy is data-visible
+    ("q_sliding_distinct",
+      (s: SparkSession, d: String) =>
+        Sketches.slidingDistinct(t(s, d, "events"), "ts", "user_id",
+          windowDays = 7, k = 64)
+          .orderBy("window_day"),
+      Some("""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    CAST(user_id AS VARCHAR) AS u FROM events),
+             |days AS (SELECT DISTINCT day FROM e),
+             |dh AS (SELECT DISTINCT day,
+             |         ('0x' || substr(md5(u), 1, 8))::BIGINT AS h FROM e),
+             |sk AS (SELECT day, h FROM (
+             |        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h)
+             |          AS rn FROM dh)
+             |       WHERE rn <= 64),
+             |sw AS (SELECT DISTINCT (s.day + CAST(o.o AS INTEGER)) AS wday, s.h
+             |       FROM sk s CROSS JOIN range(0, 7) o(o)
+             |       JOIN days d ON d.day = s.day + CAST(o.o AS INTEGER)),
+             |mg AS (SELECT wday, h,
+             |         row_number() OVER (PARTITION BY wday ORDER BY h) AS rn,
+             |         count(*) OVER (PARTITION BY wday) AS cnt
+             |       FROM sw),
+             |m2 AS (SELECT wday, least(cnt, 64) AS k_used,
+             |         max(CASE WHEN rn = least(cnt, 64) THEN h END) AS kth
+             |       FROM mg WHERE rn <= 64 GROUP BY wday, cnt),
+             |ex AS (SELECT wday, CAST(count(DISTINCT u) AS BIGINT) AS n_exact
+             |       FROM (SELECT (e.day + CAST(o.o AS INTEGER)) AS wday, e.u
+             |             FROM e CROSS JOIN range(0, 7) o(o)
+             |             JOIN days d ON d.day = e.day + CAST(o.o AS INTEGER))
+             |       GROUP BY wday)
+             |SELECT CAST(m2.wday AS VARCHAR) AS window_day, ex.n_exact,
+             |  CAST(m2.k_used AS BIGINT) AS k_used,
+             |  CAST(CASE WHEN m2.k_used < 64 THEN m2.k_used
+             |       ELSE (63 * 4294967296) // m2.kth END AS BIGINT) AS est_distinct
+             |FROM ex JOIN m2 USING (wday) ORDER BY window_day""".stripMargin)),
+
     // null-safe equality join — the NULL bucket must SURVIVE the join
     // (an equi-join drops it); one shared string, Catalyst plans the
     // <=> predicate as a hash join key

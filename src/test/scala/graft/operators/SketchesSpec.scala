@@ -264,6 +264,32 @@ class SketchesSpec extends SparkTestBase {
     assert(again == words)
   }
 
+  test("slidingDistinct: window arithmetic exact; unsaturated sketch IS the exact count") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // day 1: users 1,2; day 2: users 2,3; day 5: user 9
+    val ev = Seq((t(1), 1L), (t(1), 2L), (t(1), 2L), (t(2), 2L), (t(2), 3L),
+      (t(5), 9L)).toDF("ts", "user_id")
+    val out = Sketches.slidingDistinct(ev, "ts", "user_id",
+        windowDays = 3, k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("k_used"),
+         r.getAs[Long]("est_distinct"))).toMap
+    // window(d) = days d-2..d: w(1)={1,2}, w(2)={1,2,3}, w(5)={9}
+    assert(out.keySet == Set("2024-01-01", "2024-01-02", "2024-01-05"))
+    assert(out("2024-01-01") == ((2L, 2L, 2L)))
+    assert(out("2024-01-02") == ((3L, 3L, 3L)))   // day-1 sketch merged in
+    assert(out("2024-01-05") == ((1L, 1L, 1L)))   // day 2 outside the window
+    // saturation: 500 users in one day with k=16 still estimates sanely
+    val big = (1 to 500).map(u => (t(10), u.toLong)).toDF("ts", "user_id")
+    val sat = Sketches.slidingDistinct(big, "ts", "user_id", 3, k = 16)
+      .collect().head
+    assert(sat.getAs[Long]("k_used") == 16L)
+    val est = sat.getAs[Long]("est_distinct")
+    assert(est > 100L && est < 2500L, s"KMV estimate wildly off: $est for 500")
+  }
+
   test("groupedHeavyHitters: per-group guarantees with a planted hitter in one group") {
     // group "hotsrc": 600 of 1000 tokens are "boiler" (way above n/9 for
     // k=8); group "flat": 40 tokens uniform over 40 words (none heavy)
