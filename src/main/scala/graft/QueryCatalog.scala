@@ -7937,6 +7937,36 @@ object QueryCatalog {
              |       ELSE (63 * 4294967296) // m2.kth END AS BIGINT) AS est_distinct
              |FROM ex JOIN m2 USING (wday) ORDER BY window_day""".stripMargin)),
 
+    // top-20 collocations by count with fixed-point PMI riding along —
+    // the oracle rebuilds bigrams positionally and replays the PMI
+    // formula structurally
+    ("q_collocations",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.collocations(t(s, d, "documents"), "text", k = 20)
+          .orderBy(col("c_xy").desc, col("bigram")),
+      Some("""WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |bg AS (SELECT unnest(list_transform(range(1, len(a)),
+             |         i -> a[i] || ' ' || a[i+1])) AS bigram FROM t),
+             |bc AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1
+             |       HAVING count(*) >= 2),
+             |uni AS (SELECT unnest(a) AS w FROM t),
+             |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+             |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_tokens,
+             |               (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n_bigrams),
+             |sc AS (SELECT bc.bigram, bc.c_xy, x.c AS c_x, y.c AS c_y,
+             |         CAST(round(1000000 * log2(
+             |           (bc.c_xy / tot.n_bigrams)
+             |           / ((x.c / tot.n_tokens) * (y.c / tot.n_tokens)))) AS BIGINT)
+             |           AS pmi_ubits
+             |       FROM bc
+             |       JOIN uc x ON x.w = split_part(bc.bigram, ' ', 1)
+             |       JOIN uc y ON y.w = split_part(bc.bigram, ' ', 2)
+             |       CROSS JOIN tot)
+             |SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+             |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_ubits
+             |FROM sc ORDER BY c_xy DESC, bigram LIMIT 20""".stripMargin)),
+
     // null-safe equality join — the NULL bucket must SURVIVE the join
     // (an equi-join drops it); one shared string, Catalyst plans the
     // <=> predicate as a hash join key

@@ -311,6 +311,43 @@ object TextAnalysis {
         sum(col("e_fp")).as("entropy_ubits"))
   }
 
+  /** Collocation mining: the corpus's top-k adjacent bigrams by count,
+    * with pointwise mutual information in µbits fixed point — the
+    * phrase-discovery pass (tokenizer vocab candidates, boilerplate
+    * phrase detection). Ranked by COUNT with PMI reported, not ranked by
+    * PMI (raw PMI famously surfaces hapax pairs; the count rank keeps
+    * the row stable and the PMI column shows association strength).
+    *
+    * Scale shape: bigram counts are one two-phase agg over the codegen'd
+    * [[graft.functions.word_ngrams]] kernel; unigram counts join in
+    * broadcast (vocab-bounded); the final slice is TakeOrdered. PMI is
+    * per-row arithmetic over the joined counts.
+    */
+  def collocations(docs: DataFrame, text: String, k: Int,
+                   minCount: Long = 2L): DataFrame = {
+    require(k > 0, s"collocations: need k > 0, got $k")
+    val bg = docs.select(
+      explode(graft.functions.word_ngrams(col(text), 2)).as("bigram"))
+    val bgCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = docs.select(explode(tokens(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_bigrams")))
+    val scored = bgCounts
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(lit(1000000d) * log2(
+          (col("c_xy") / col("n_bigrams"))
+            / ((col("c_x") / col("n_tokens")) * (col("c_y") / col("n_tokens")))),
+          0).cast("long").as("pmi_ubits"))
+    scored.orderBy(col("c_xy").desc, col("bigram")).limit(k)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep lines
     * that end in terminal punctuation, have at least `minWordsPerLine`
     * words and don't mention javascript; drop the whole page when it

@@ -262,6 +262,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(("b", "c")) == ((8L, 0L, 1000000L)))
   }
 
+  test("collocations: counts, PMI sign, hapax filter") {
+    import spark.implicits._
+    // "a b" appears 3×, "b a" 2×, "b c"/"c a" once (hapax → filtered)
+    val df = Seq((1L, "a b a b a b c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, "text", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+         r.getAs[Long]("pmi_ubits"))).toMap
+    assert(out.keySet == Set("a b", "b a"))
+    assert(out("a b")._1 == 3L && out("a b")._2 == 4L && out("a b")._3 == 3L)
+    // PMI("a b") = log2((3/7)/((4/8)·(3/8))) = log2(16/7) > 0 → associated
+    assert(out("a b")._4 == math.round(1e6 * math.log(3.0 / 7 / (0.5 * 3.0 / 8)) / math.log(2)))
+    assert(out("a b")._4 > 0L)
+  }
+
   test("c4Clean: every line rule and every page rule fires") {
     import spark.implicits._
     val good = "One solid line ends properly.\nA second fine line stays here.\nThird keeper line is good."
