@@ -7967,6 +7967,62 @@ object QueryCatalog {
              |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_ubits
              |FROM sc ORDER BY c_xy DESC, bigram LIMIT 20""".stripMargin)),
 
+    // BT.601 integer-luma histogram per image (8×32-level bins) — the
+    // exposure-profile curation feature; the oracle replays the luma
+    // formula pixel-by-pixel from the synthetic generator
+    ("q_luminance_hist",
+      (s: SparkSession, d: String) =>
+        Multimodal.luminanceHistogram(
+            Multimodal.withPixelMedia(t(s, d, "documents")))
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |lum AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.c = 1 THEN (31*d.doc_id + 7*t.i) % 256
+             |         ELSE (299*((31*d.doc_id + 7*(3*t.i)) % 256)
+             |             + 587*((31*d.doc_id + 7*(3*t.i+1)) % 256)
+             |             + 114*((31*d.doc_id + 7*(3*t.i+2)) % 256)) // 1000
+             |    END AS l
+             |  FROM dims d JOIN range(0, 1024) t(i) ON t.i < d.w*d.h)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(l) AS BIGINT) AS lum_sum,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 0) AS BIGINT) AS bin0,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 1) AS BIGINT) AS bin1,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 2) AS BIGINT) AS bin2,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 3) AS BIGINT) AS bin3,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 4) AS BIGINT) AS bin4,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 5) AS BIGINT) AS bin5,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 6) AS BIGINT) AS bin6,
+             |  CAST(count(*) FILTER (WHERE l // 32 = 7) AS BIGINT) AS bin7
+             |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // per-month moment matrix: the mergeability claim of
+    // q_feature_moments made concrete — month rows ADD component-wise
+    // to the whole-table row, so a year of correlations never rescans
+    ("q_grouped_moments",
+      (s: SparkSession, d: String) =>
+        Relational.featureMomentsBy(
+          t(s, d, "lineitem").select(
+            date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice")).cast("long").as("price_usd")),
+          "month", Seq("qty", "price_usd"))
+          .orderBy("month", "x", "y"),
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             |  'qty' AS x, 'price_usd' AS y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(qty) AS BIGINT) AS sum_x,
+             |  CAST(sum(price_usd) AS BIGINT) AS sum_y,
+             |  CAST(sum(qty * price_usd) AS BIGINT) AS sum_xy,
+             |  CAST(sum(qty * qty) AS BIGINT) AS sum_xx,
+             |  CAST(sum(price_usd * price_usd) AS BIGINT) AS sum_yy
+             |FROM (SELECT l_shipdate, CAST(l_quantity AS BIGINT) AS qty,
+             |        CAST(floor(l_extendedprice) AS BIGINT) AS price_usd
+             |      FROM lineitem)
+             |GROUP BY month ORDER BY month, x, y""".stripMargin)),
+
     // null-safe equality join — the NULL bucket must SURVIVE the join
     // (an equi-join drops it); one shared string, Catalyst plans the
     // <=> predicate as a hash join key

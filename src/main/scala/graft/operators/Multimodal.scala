@@ -941,6 +941,46 @@ object Multimodal {
       }
   }
 
+  /** Per-image luminance histogram: decode → ITU-R BT.601 integer luma
+    * ((299·R + 587·G + 114·B) div 1000; grayscale passes through) →
+    * 8 bins of 32 levels. The exposure-profile feature of an image
+    * curation pass (all-dark / blown-out detection), integer-exact so
+    * the histogram replays analytically.
+    *
+    * Scale shape: zero-shuffle mapPartitions decode, O(one image) per
+    * row — the [[decodePixelStats]] cost class.
+    */
+  def luminanceHistogram(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = ImageCodec.decode(bytes)
+          val bins = new Array[Long](8)
+          var lumSum = 0L
+          val c = img.channels
+          val nPx = img.pixels.length / c
+          var p = 0
+          while (p < nPx) {
+            val lum =
+              if (c == 1) img.pixels(p) & 0xff
+              else ((img.pixels(3 * p) & 0xff) * 299
+                + (img.pixels(3 * p + 1) & 0xff) * 587
+                + (img.pixels(3 * p + 2) & 0xff) * 114) / 1000
+            bins(lum >> 5) += 1L
+            lumSum += lum
+            p += 1
+          }
+          (id, nPx.toLong, lumSum, bins(0), bins(1), bins(2), bins(3),
+            bins(4), bins(5), bins(6), bins(7))
+        }
+      }
+      .toDF("doc_id", "n_px", "lum_sum", "bin0", "bin1", "bin2", "bin3",
+        "bin4", "bin5", "bin6", "bin7")
+  }
+
   /** REAL resize for raw-pixel containers: decode → aspect-preserving
     * box fit ([[ImageCodec.fitBox]], exact integer arithmetic) →
     * nearest-neighbor resample ([[ImageCodec.resizeNearest]]) → re-encode

@@ -613,6 +613,43 @@ object Relational {
     * six sums ride the same two-phase hash agg; no shuffle wider than
     * one row of 6·pairs longs.
     */
+  /** [[featureMoments]] per group (per-month / per-partition moment
+    * rows): the rows ADD component-wise across groups — the merge that
+    * makes a year of correlations a sum over monthly statistics instead
+    * of a rescan. Same single-scan shape, one two-phase agg on the
+    * group key.
+    */
+  def featureMomentsBy(df: DataFrame, grp: String,
+                       cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "featureMomentsBy: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (x, y) =>
+      val (cx, cy) = (col(x).cast("long"), col(y).cast("long"))
+      Seq(
+        sum(cx).as(s"sum__${x}__${y}__x"),
+        sum(cy).as(s"sum__${x}__${y}__y"),
+        sum(cx * cy).as(s"sum__${x}__${y}__xy"),
+        sum(cx * cx).as(s"sum__${x}__${y}__xx"),
+        sum(cy * cy).as(s"sum__${x}__${y}__yy"))
+    } :+ count(lit(1)).as("n")
+    val one = df.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y"),
+        col("n").as("n"),
+        col(s"sum__${x}__${y}__x").as("sum_x"),
+        col(s"sum__${x}__${y}__y").as("sum_y"),
+        col(s"sum__${x}__${y}__xy").as("sum_xy"),
+        col(s"sum__${x}__${y}__xx").as("sum_xx"),
+        col(s"sum__${x}__${y}__yy").as("sum_yy"))
+    }
+    one.select(col(grp), explode(array(pairStructs: _*)).as("p"))
+      .select(col(grp), col("p.x"), col("p.y"), col("p.n"),
+        col("p.sum_x"), col("p.sum_y"), col("p.sum_xy"),
+        col("p.sum_xx"), col("p.sum_yy"))
+  }
+
   def featureMoments(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "featureMoments: need at least two columns")
     val pairs = for {

@@ -640,6 +640,20 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("prioritySampleByGroup degenerates to the global sample on one group") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val global = Curation.prioritySample(docs, "doc_id", col("n_chars"), k = 15)
+      .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("w_hat"),
+        r.getAs[Long]("tau"))).toSet
+    val oneGroup = Curation.prioritySampleByGroup(
+        docs.withColumn("all", lit("all")), "all", "doc_id",
+        col("n_chars"), k = 15)
+      .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("w_hat"),
+        r.getAs[Long]("tau"))).toSet
+    assert(oneGroup == global,
+      "stratified sampler with one stratum diverged from the global sampler")
+  }
+
   test("shardPack: exhaustive assignment, serpentine balance, partitioning-independent rank") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val n = docs.count()

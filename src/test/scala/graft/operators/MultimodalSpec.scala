@@ -192,6 +192,27 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodePcm16("RIFFxxxxJUNK".getBytes))
   }
 
+  test("luminanceHistogram: BT.601 integer luma, gray passthrough, bin edges") {
+    import spark.implicits._
+    // gray 2×1: pixels 0 and 255 → bins 0 and 7, lum_sum 255
+    val g = Array[Byte](0, -1)
+    val pgm = ImageCodec.encodePgm(2, 1, g(_))
+    // RGB 2×1: pure red (luma 299·255/1000 = 76 → bin 2) and pure
+    // white (luma 255 → bin 7)
+    val rgb = Array[Byte](-1, 0, 0, -1, -1, -1)
+    val ppm = ImageCodec.encodePpm(2, 1, rgb(_))
+    val out = Multimodal.luminanceHistogram(
+        Seq((1L, pgm), (2L, ppm)).toDF("doc_id", "media"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_px") == 2L && r1.getAs[Long]("lum_sum") == 255L)
+    assert(r1.getAs[Long]("bin0") == 1L && r1.getAs[Long]("bin7") == 1L)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_px") == 2L)
+    assert(r2.getAs[Long]("lum_sum") == 76L + 255L)
+    assert(r2.getAs[Long]("bin2") == 1L && r2.getAs[Long]("bin7") == 1L)
+  }
+
   test("trimSilence: leading/trailing runs drop, stereo frames stay aligned, all-silent empties") {
     import spark.implicits._
     // mono: [0 0 5 0 -9 0 0] at |s|>=5 → kept [5 0 -9]

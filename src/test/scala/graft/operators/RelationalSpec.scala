@@ -330,6 +330,18 @@ class RelationalSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Long]("combined_est_bp") - 2500L) < 10000L / 8)
   }
 
+  test("featureMomentsBy: per-group moment rows merge component-wise to the global row") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("a", 3L, 4L), ("b", 5L, 6L), ("b", 7L, 8L))
+      .toDF("g", "x", "y")
+    val per = Relational.featureMomentsBy(df, "g", Seq("x", "y")).collect()
+    val global = Relational.featureMoments(df, Seq("x", "y")).collect().head
+    for (f <- Seq("n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy")) {
+      assert(per.map(_.getAs[Long](f)).sum == global.getAs[Long](f),
+        s"component $f does not merge")
+    }
+  }
+
   test("featureMoments: exact sums on a hand-checked table; correlation derivable") {
     import spark.implicits._
     val df = Seq((1L, 2L, 10L), (3L, 4L, 20L), (5L, 6L, 40L))
