@@ -7967,6 +7967,62 @@ object QueryCatalog {
              |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_ubits
              |FROM sc ORDER BY c_xy DESC, bigram LIMIT 20""".stripMargin)),
 
+    // mixed-language detection: quarter-chunk language votes with a
+    // planted German tail on every 7th doc — the oracle replays the
+    // lang-ID heuristic per chunk, slice boundaries and all
+    ("q_lang_consistency",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 7 === 0,
+            lit(" der die das und ist der die das und ist"))
+            .otherwise(lit(""))).as("text"))
+        TextAnalysis.langConsistency(docs, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    text || CASE WHEN doc_id % 7 = 0
+             |      THEN ' der die das und ist der die das und ist'
+             |      ELSE '' END AS text2
+             |  FROM documents),
+             |tk AS (SELECT doc_id,
+             |    CASE WHEN trim(text2) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text2), '\s+') END AS toks
+             |  FROM t),
+             |c AS (SELECT doc_id, toks, len(toks) AS n,
+             |        greatest(CAST(ceil(len(toks) / 4.0) AS INT), 1) AS w
+             |      FROM tk),
+             |ch AS (SELECT doc_id, u.i,
+             |         array_to_string(list_slice(toks, u.i*w + 1, u.i*w + w), ' ')
+             |           AS ctext
+             |       FROM c, unnest([0, 1, 2, 3]) AS u(i) WHERE u.i*w < c.n),
+             |lg AS (SELECT doc_id, i, ctext,
+             |         CASE WHEN trim(ctext) = '' THEN []::VARCHAR[]
+             |              ELSE regexp_split_to_array(lower(trim(ctext)), '\s+')
+             |         END AS ct
+             |       FROM ch),
+             |lv AS (SELECT doc_id, i,
+             |    len(list_filter(ct, x -> x IN ('the','and','of','to','is'))) AS h_en,
+             |    len(list_filter(ct, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+             |    len(list_filter(ct, x -> x IN ('el','los','que','es','una'))) AS h_es,
+             |    len(list_filter(ct, x -> x IN ('le','les','des','est','une'))) AS h_fr,
+             |    ctext
+             |  FROM lg),
+             |ld AS (SELECT doc_id, i,
+             |    CASE WHEN length(regexp_replace(ctext, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0
+             |           THEN 'zh'
+             |         WHEN h_en = greatest(h_en, h_de, h_es, h_fr) AND h_en > 0 THEN 'en'
+             |         WHEN h_de = greatest(h_en, h_de, h_es, h_fr) AND h_de > 0 THEN 'de'
+             |         WHEN h_es = greatest(h_en, h_de, h_es, h_fr) AND h_es > 0 THEN 'es'
+             |         WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) AND h_fr > 0 THEN 'fr'
+             |         ELSE 'und' END AS lang
+             |  FROM lv),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |          array_to_string(list(lang ORDER BY i), ',') AS chunk_langs,
+             |          CAST(len(list_distinct(list(lang))) AS BIGINT) AS n_langs
+             |        FROM ld GROUP BY doc_id)
+             |SELECT doc_id, n_chunks, chunk_langs, n_langs, n_langs > 1 AS mixed
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // BT.601 integer-luma histogram per image (8×32-level bins) — the
     // exposure-profile curation feature; the oracle replays the luma
     // formula pixel-by-pixel from the synthetic generator

@@ -311,6 +311,29 @@ object TextAnalysis {
         sum(col("e_fp")).as("entropy_ubits"))
   }
 
+  /** Mixed-language detection: language-ID each quarter of the document
+    * and flag docs whose chunks disagree — the language-consistency
+    * filter of a multilingual curation pass (a "French" page with an
+    * English boilerplate half trains neither model well). Runs the
+    * codegen'd [[langId]] kernel per chunk inside an in-row HOF — zero
+    * shuffle, O(doc) per row.
+    */
+  def langConsistency(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tk = tokens(col(text))
+    val n = size(tk)
+    val w = greatest(ceil(n / lit(4.0)).cast("int"), lit(1))
+    val chunkLangs = filter(
+      transform(sequence(lit(0), lit(3)), i =>
+        when(i * w < n, langId(array_join(slice(tk, i * w + 1, w), " ")))),
+      x => x.isNotNull)
+    docs.select(col(id).as("doc_id"), chunkLangs.as("_cl"))
+      .select(col("doc_id"),
+        size(col("_cl")).cast("long").as("n_chunks"),
+        array_join(col("_cl"), ",").as("chunk_langs"),
+        size(array_distinct(col("_cl"))).cast("long").as("n_langs"))
+      .withColumn("mixed", col("n_langs") > 1L)
+  }
+
   /** Collocation mining: the corpus's top-k adjacent bigrams by count,
     * with pointwise mutual information in µbits fixed point — the
     * phrase-discovery pass (tokenizer vocab candidates, boilerplate

@@ -262,6 +262,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(("b", "c")) == ((8L, 0L, 1000000L)))
   }
 
+  test("langConsistency: uniform docs pass, mixed en/de doc flags, short docs chunk sanely") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is of the and to is the dog of and is to the end"),
+      (2L, "the cat is of the and to is der hund und die katze ist das"),
+      (3L, "x y")   // 2 tokens → w=1, only 2 live chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langConsistency(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[String]("chunk_langs"),
+         r.getAs[Boolean]("mixed"))).toMap
+    assert(out(1L)._1 == 4L && !out(1L)._3, s"uniform doc flagged: ${out(1L)}")
+    assert(out(2L)._3, s"mixed doc not flagged: ${out(2L)}")
+    assert(out(2L)._2.split(",").contains("de"))
+    assert(out(3L)._1 == 2L)
+  }
+
   test("collocations: counts, PMI sign, hapax filter") {
     import spark.implicits._
     // "a b" appears 3×, "b a" 2×, "b c"/"c a" once (hapax → filtered)
