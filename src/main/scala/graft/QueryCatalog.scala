@@ -7967,6 +7967,57 @@ object QueryCatalog {
              |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_ubits
              |FROM sc ORDER BY c_xy DESC, bigram LIMIT 20""".stripMargin)),
 
+    // chrF-6 generation eval (char-gram P/R/F2 over whitespace-stripped
+    // strings) on the rouge_eval candidate construction — the oracle
+    // rebuilds every char 6-gram positionally and clips the multiset
+    // overlap through a counts join
+    ("q_chrf_eval",
+      (s: SparkSession, d: String) => {
+        val docs2 = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            array_join(concat(
+              expr("slice(tk, 1, (size(tk) * 2 + 2) div 3)"),
+              array(lit("spark"), lit("spark"))), " ").as("cand"),
+            array_join(col("tk"), " ").as("ref"))
+        TextAnalysis.chrF(docs2, "doc_id", "cand", "ref", k = 6)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+             |  FROM documents),
+             |cr AS (SELECT doc_id,
+             |    regexp_replace(array_to_string(
+             |      list_concat(a[1:(2*len(a)+2)//3], ['spark','spark']), ' '),
+             |      '\s+', '', 'g') AS c,
+             |    regexp_replace(array_to_string(a, ' '), '\s+', '', 'g') AS r
+             |  FROM tk),
+             |cg AS (SELECT doc_id, substr(c, u.i, 6) AS g
+             |       FROM cr, unnest(range(1, greatest(length(c) - 5, 0) + 1)) u(i)),
+             |rg AS (SELECT doc_id, substr(r, u.i, 6) AS g
+             |       FROM cr, unnest(range(1, greatest(length(r) - 5, 0) + 1)) u(i)),
+             |cc AS (SELECT doc_id, g, count(*) AS cn FROM cg GROUP BY 1, 2),
+             |rc AS (SELECT doc_id, g, count(*) AS rn FROM rg GROUP BY 1, 2),
+             |ov AS (SELECT cc.doc_id, sum(least(cc.cn, rc.rn)) AS ov
+             |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+             |       GROUP BY 1),
+             |n AS (SELECT cr.doc_id,
+             |        greatest(length(cr.c) - 5, 0) AS nc,
+             |        greatest(length(cr.r) - 5, 0) AS nr,
+             |        coalesce(ov.ov, 0) AS ov
+             |      FROM cr LEFT JOIN ov ON cr.doc_id = ov.doc_id),
+             |pr AS (SELECT doc_id, CAST(ov AS BIGINT) AS n_overlap,
+             |         CAST(nc AS BIGINT) AS n_cand, CAST(nr AS BIGINT) AS n_ref,
+             |         CASE WHEN nc = 0 THEN 0e0 ELSE round(ov / nc, 6) END AS precision,
+             |         CASE WHEN nr = 0 THEN 0e0 ELSE round(ov / nr, 6) END AS recall
+             |       FROM n)
+             |SELECT doc_id, n_overlap, n_cand, n_ref, precision, recall,
+             |  CASE WHEN 4 * precision + recall = 0 THEN 0e0
+             |       ELSE round(5 * precision * recall
+             |                  / (4 * precision + recall), 6) END AS f2
+             |FROM pr ORDER BY doc_id""".stripMargin)),
+
     // mixed-language detection: quarter-chunk language votes with a
     // planted German tail on every 7th doc — the oracle replays the
     // lang-ID heuristic per chunk, slice boundaries and all

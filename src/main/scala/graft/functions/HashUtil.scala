@@ -190,6 +190,31 @@ object HashUtil {
       Array[Any](ov, a.length.toLong, b.length.toLong))
   }
 
+  /** chrF counts: clipped multiset overlap of CHARACTER k-grams over the
+    * whitespace-stripped strings (the chrF convention — Popović 2015:
+    * word boundaries don't contribute grams), via the same sorted-merge
+    * walk as [[rougeOverlap]]. Returns [overlap, n_cand, n_ref].
+    */
+  def chrOverlap(cand: UTF8String, ref: UTF8String, k: Int): ArrayData = {
+    def grams(t: UTF8String): Array[String] = {
+      val s = t.toString.replaceAll("\\s+", "")
+      if (s.length < k) return Array.empty[String]
+      Array.tabulate(s.length - k + 1)(i => s.substring(i, i + k))
+    }
+    val a = grams(cand); val b = grams(ref)
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])
+    java.util.Arrays.sort(b.asInstanceOf[Array[AnyRef]])
+    var i = 0; var j = 0; var ov = 0L
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { ov += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](ov, a.length.toLong, b.length.toLong))
+  }
+
   /** Ukkonen-banded Levenshtein distance: the exact edit distance when it
     * is ≤ `maxDist`, else -1, in O(maxDist·len) — the DP is restricted to
     * the ±maxDist diagonal band (any cell outside it exceeds the bound by

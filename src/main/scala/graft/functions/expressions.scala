@@ -150,6 +150,31 @@ case class RougeOverlapExpr(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** chrF character-k-gram overlap kernel (see [[HashUtil.chrOverlap]]):
+  * clipped multiset overlap over whitespace-stripped char grams,
+  * codegen'd — the character-level sibling of [[RougeOverlapExpr]].
+  */
+case class ChrOverlapExpr(left: Expression, right: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k > 0, "chr gram size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"chr_overlap needs two strings, got ${l.catalogString}, ${r.catalogString}")
+    }
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.chrOverlap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashUtil.chrOverlap($a, $b, $k)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ChrOverlapExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Language-ID kernel (see [[HashUtil.langId]]): string → language code,
   * codegen'd — replaces a 4×-tokenizing interpreted HOF chain.
   */

@@ -150,6 +150,11 @@ package object functions {
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** chrF counts (see [[ChrOverlapExpr]]): [overlap, n_cand, n_ref]. */
+  def chr_overlap(cand: Column, ref: Column, k: Int): Column =
+    ColumnBridge.column(ChrOverlapExpr(
+      ColumnBridge.expression(cand), ColumnBridge.expression(ref), k))
+
   /** ROUGE-N counts (see [[RougeOverlapExpr]]): [overlap, n_cand, n_ref]. */
   def rouge_overlap(cand: Column, ref: Column, k: Int): Column =
     ColumnBridge.column(RougeOverlapExpr(

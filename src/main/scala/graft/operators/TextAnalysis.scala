@@ -617,6 +617,39 @@ object TextAnalysis {
               (col("precision") + col("recall")), 6)))
   }
 
+  /** chrF generation-eval score (Popović, WMT 2015): clipped character
+    * k-gram precision/recall over whitespace-stripped strings, combined
+    * with β=2 recall weighting — the tokenization-free MT/generation
+    * metric that credits partial word matches ROUGE's word grams miss.
+    * Counts come from the codegen'd [[graft.functions.chr_overlap]]
+    * kernel (the [[rougeN]] sorted-merge discipline at char level);
+    * P/R round to 6dp and F2 folds from the rounded pair, engine-exact.
+    *
+    * Scale shape: in-row on the scan, zero shuffle — the [[rougeN]]
+    * cost class, O(chars log chars) per row.
+    */
+  def chrF(pairs: DataFrame, id: String, candidate: String,
+           reference: String, k: Int = 6): DataFrame = {
+    require(k >= 1, s"chrF: k must be >= 1, got $k")
+    pairs
+      .select(col(id),
+        graft.functions.chr_overlap(col(candidate), col(reference), k).as("_s"))
+      .select(col(id),
+        col("_s")(0).as("n_overlap"),
+        col("_s")(1).as("n_cand"),
+        col("_s")(2).as("n_ref"))
+      .select(col(id), col("n_overlap"), col("n_cand"), col("n_ref"),
+        when(col("n_cand") === 0, lit(0.0))
+          .otherwise(round(col("n_overlap") / col("n_cand"), 6)).as("precision"),
+        when(col("n_ref") === 0, lit(0.0))
+          .otherwise(round(col("n_overlap") / col("n_ref"), 6)).as("recall"))
+      .withColumn("f2",
+        when(lit(4.0) * col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(round(
+            lit(5.0) * col("precision") * col("recall") /
+              (lit(4.0) * col("precision") + col("recall")), 6)))
+  }
+
   /** Outgoing links of an HTML document as a relation —
     * `(doc_id, pos, href, anchor)` with pos the in-document link order and
     * anchor the tag-stripped, whitespace-collapsed anchor text. This is

@@ -262,6 +262,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(("b", "c")) == ((8L, 0L, 1000000L)))
   }
 
+  test("chrF: hand-checked char-gram counts, whitespace stripped, F2 recall weighting") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc def", "abc def"),       // identical → stripped "abcdef", 3 3-grams, P=R=F2=1
+      (2L, "abcdxf", "abcdef"),         // grams abc,bcd,cdx,dxf vs abc,bcd,cde,def → ov 2
+      (3L, "ab", "abcdef")              // cand too short → 0 grams, P=0
+    ).toDF("id", "cand", "ref")
+    val out = TextAnalysis.chrF(df, "id", "cand", "ref", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Long]("n_cand"),
+         r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+         r.getAs[Double]("f2"))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0, 1.0, 1.0)))
+    assert(out(2L)._1 == 2L && out(2L)._2 == 4L)
+    assert(out(2L)._3 == 0.5 && out(2L)._4 == 0.5)
+    // F2 weights recall 4:1 — for asymmetric P/R the score sits near R
+    val p = 0.5; val r = 0.5
+    assert(math.abs(out(2L)._5 - 5 * p * r / (4 * p + r)) < 1e-9)
+    assert(out(3L)._3 == 0.0 && out(3L)._5 == 0.0)
+  }
+
   test("langConsistency: uniform docs pass, mixed en/de doc flags, short docs chunk sanely") {
     import spark.implicits._
     val df = Seq(
