@@ -7967,6 +7967,62 @@ object QueryCatalog {
              |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_ubits
              |FROM sc ORDER BY c_xy DESC, bigram LIMIT 20""".stripMargin)),
 
+    // per-channel histogram equalization graded through the decoded
+    // stats of the remapped image — the oracle rebuilds every channel's
+    // 256-bin CDF closed-form and replays the integer remap formula
+    // pixel-by-pixel (truncating // matches the JVM integer division)
+    ("q_hist_equalize",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.equalizeMedia(
+              Multimodal.withPixelMedia(t(s, d, "documents"))))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 4 + n_chars % 13 AS w, 3 + n_chars % 11 AS h,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+             |         WHEN 1 THEN 'ppm' ELSE 'pgm' END AS format,
+             |    CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 ELSE 3 END AS c
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.format, d.w, d.h, d.c, t.i,
+             |    CAST(t.i % d.c AS INT) AS ch,
+             |    (31*d.doc_id + 7*t.i) % 256 AS v
+             |  FROM dims d JOIN range(0, 1024) t(i) ON t.i < d.w*d.h*d.c),
+             |hist AS (SELECT doc_id, ch, v, count(*) AS n
+             |         FROM px GROUP BY 1, 2, 3),
+             |cdf AS (SELECT doc_id, ch, v,
+             |          sum(n) OVER (PARTITION BY doc_id, ch ORDER BY v) AS cdf
+             |        FROM hist),
+             |cm AS (SELECT cdf.doc_id, cdf.ch, cdf.cdf AS cdfmin
+             |       FROM cdf JOIN (SELECT doc_id, ch, min(v) AS vmin
+             |                      FROM hist GROUP BY 1, 2) m
+             |         ON cdf.doc_id = m.doc_id AND cdf.ch = m.ch AND cdf.v = m.vmin),
+             |map AS (SELECT cdf.doc_id, cdf.ch, cdf.v, d.w * d.h AS npx,
+             |          CASE WHEN d.w * d.h = cm.cdfmin THEN 0
+             |               ELSE (cdf.cdf - cm.cdfmin) * 255 // (d.w * d.h - cm.cdfmin)
+             |          END AS nv
+             |        FROM cdf
+             |        JOIN cm ON cdf.doc_id = cm.doc_id AND cdf.ch = cm.ch
+             |        JOIN dims d ON d.doc_id = cdf.doc_id),
+             |rp AS (SELECT px.doc_id, px.format, px.w, px.h, px.c, px.i, map.nv
+             |       FROM px JOIN map ON px.doc_id = map.doc_id
+             |         AND px.ch = map.ch AND px.v = map.v),
+             |ag AS (SELECT doc_id, format, w, h, c,
+             |         sum(nv) AS pix_sum, sum(nv * (i % 97 + 1)) AS pix_checksum
+             |       FROM rp GROUP BY 1, 2, 3, 4, 5)
+             |SELECT doc_id, format,
+             |  CAST(CASE format
+             |    WHEN 'bmp' THEN 54 + ((3*w + 3)//4)*4*h
+             |    ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*c
+             |  END AS BIGINT) AS media_bytes,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(c AS BIGINT) AS channels,
+             |  CAST(w*h*c AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
     // chrF-6 generation eval (char-gram P/R/F2 over whitespace-stripped
     // strings) on the rouge_eval candidate construction — the oracle
     // rebuilds every char 6-gram positionally and clips the multiset

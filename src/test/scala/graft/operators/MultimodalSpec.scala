@@ -192,6 +192,23 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](WavCodec.decodePcm16("RIFFxxxxJUNK".getBytes))
   }
 
+  test("equalizeMedia: known CDF remap, full-range stretch, constant plane to zero") {
+    import spark.implicits._
+    // gray 4×1 plane [10, 10, 20, 30]: cdf 10→2, 20→3, 30→4; cdfmin=2,
+    // N=4 → remap 10→0, 20→(3−2)·255/2=127, 30→(4−2)·255/2=255
+    val g = Array[Byte](10, 10, 20, 30)
+    val pgm = ImageCodec.encodePgm(4, 1, g(_))
+    // constant plane → all zero by the documented convention
+    val flat = ImageCodec.encodePgm(3, 1, _ => 77.toByte)
+    val out = Multimodal.equalizeMedia(
+        Seq((1L, pgm), (2L, flat)).toDF("doc_id", "media"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> ImageCodec.decode(b).pixels.map(_ & 0xff).toSeq }
+      .toMap
+    assert(out(1L) == Seq(0, 0, 127, 255))
+    assert(out(2L) == Seq(0, 0, 0))
+  }
+
   test("luminanceHistogram: BT.601 integer luma, gray passthrough, bin edges") {
     import spark.implicits._
     // gray 2×1: pixels 0 and 255 → bins 0 and 7, lum_sum 255
