@@ -7967,6 +7967,50 @@ object QueryCatalog {
              |  CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi_ubits
              |FROM sc ORDER BY c_xy DESC, bigram LIMIT 20""".stripMargin)),
 
+    // export manifest over the serpentine shard assignment: per-shard
+    // counts, weight sums and an ORDER-INDEPENDENT md5-derived content
+    // checksum — the reproducibility artifact a re-run diffs instead of
+    // bytes; oracle replays rank, deal and checksum
+    ("q_shard_manifest",
+      (s: SparkSession, d: String) =>
+        Curation.shardManifest(
+            Curation.shardPack(t(s, d, "documents"), "doc_id",
+              col("n_chars"), nShards = 8))
+          .orderBy("shard"),
+      Some("""WITH w AS (SELECT doc_id AS item_id,
+             |    greatest(CAST(n_chars AS BIGINT), 1) AS w FROM documents),
+             |r AS (SELECT item_id, w,
+             |    row_number() OVER (ORDER BY w DESC, item_id) - 1 AS rnk FROM w),
+             |a AS (SELECT item_id, w,
+             |    CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8
+             |         ELSE 7 - rnk % 8 END AS shard FROM r)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(w) AS BIGINT) AS w_sum,
+             |  CAST(sum(('0x' || substr(md5('mf:' || CAST(item_id AS VARCHAR)), 1, 8))::BIGINT)
+             |    AS BIGINT) AS content_chk
+             |FROM a GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // weighted (volume-weighted) median per group: smallest value whose
+    // cumulative weight reaches half the total — DISCRETE, so the
+    // cutoff is a data value and the compare replays exactly
+    ("q_weighted_median",
+      (s: SparkSession, d: String) =>
+        Relational.weightedMedian(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", "l_quantity")
+          .orderBy("l_returnflag"),
+      Some("""WITH s AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |c AS (SELECT g, v, w,
+             |    sum(w) OVER (PARTITION BY g ORDER BY v, w
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(w) OVER (PARTITION BY g) AS tot
+             |  FROM s)
+             |SELECT g AS l_returnflag, min(v) AS w_median,
+             |  CAST(max(tot) AS BIGINT) AS total_weight
+             |FROM c WHERE cum * 2 >= tot GROUP BY g
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // per-channel histogram equalization graded through the decoded
     // stats of the remapped image — the oracle rebuilds every channel's
     // 256-bin CDF closed-form and replays the integer remap formula

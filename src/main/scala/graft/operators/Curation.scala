@@ -132,6 +132,25 @@ object Curation {
         col("tau"), col("true_total"))
   }
 
+  /** Export manifest over a shard assignment ([[shardPack]]'s output or
+    * any `(item_id, w, shard)` relation): per shard, the row count,
+    * weight sum and an ORDER-INDEPENDENT content checksum (sum of
+    * md5-derived per-id integers — commutative, so the manifest doesn't
+    * depend on task order). The reproducibility artifact an export job
+    * publishes beside its shards: a re-run diffs manifests instead of
+    * bytes.
+    *
+    * Scale shape: one two-phase agg on the shard key; checksum folds
+    * map-side.
+    */
+  def shardManifest(assigned: DataFrame): DataFrame =
+    assigned
+      .withColumn("_ck", conv(substring(md5(concat(lit("mf:"),
+        col("item_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("w_sum"),
+        sum(col("_ck")).as("content_chk"))
+
   /** Per-group [[prioritySample]]: an independent k-item DLT sample per
     * stratum (per-source weighted samples with per-source subset-sum
     * estimates — the stratified form a mix-aware curation pass wants).

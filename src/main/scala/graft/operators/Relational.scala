@@ -551,6 +551,32 @@ object Relational {
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
   }
 
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — the volume-weighted central
+    * price / typical-value statistic a plain median gets wrong when rows
+    * carry different weights. DISCRETE (an actual data value, the
+    * [[madOutlierStats]] engine-exactness discipline) with integer
+    * weights, so the cutoff comparison replays exactly.
+    *
+    * Scale shape: one group-key window (cumulative weight, the running-
+    * total cost class, O(rows per group)) + one bounded per-group min.
+    */
+  def weightedMedian(df: DataFrame, grp: String, value: String,
+                     weight: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grp))
+      .orderBy(col(value).asc, col("_w").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(grp))
+    df.select(col(grp), col(value), col(weight).cast("long").as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("_tot", sum(col("_w")).over(tot))
+      .filter(col("_cum") * 2 >= col("_tot"))
+      .groupBy(col(grp))
+      .agg(min(col(value)).as("w_median"),
+        max(col("_tot")).as("total_weight"))
+  }
+
   /** Histogram-based conjunctive selectivity estimation — the cost-based
     * optimizer's core trick surfaced as a graded, data-visible operator:
     * estimate sel(x > xGt AND y < yLt) from two independent B-bucket

@@ -640,6 +640,23 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("shardManifest: checksum is order/partitioning-independent and shard-exhaustive") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val m1 = Curation.shardManifest(
+        Curation.shardPack(docs, "doc_id", col("n_chars"), 4))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("w_sum"),
+         r.getAs[Long]("content_chk"))).toMap
+    val m2 = Curation.shardManifest(
+        Curation.shardPack(docs.repartition(7), "doc_id", col("n_chars"), 4))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("w_sum"),
+         r.getAs[Long]("content_chk"))).toMap
+    assert(m1 == m2, "manifest depended on input partitioning")
+    assert(m1.keySet == Set(0L, 1L, 2L, 3L))
+    assert(m1.values.map(_._1).sum == docs.count())
+  }
+
   test("prioritySampleByGroup degenerates to the global sample on one group") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val global = Curation.prioritySample(docs, "doc_id", col("n_chars"), k = 15)

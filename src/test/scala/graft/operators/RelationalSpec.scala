@@ -330,6 +330,20 @@ class RelationalSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Long]("combined_est_bp") - 2500L) < 10000L / 8)
   }
 
+  test("weightedMedian: weight-skewed median diverges from the plain median correctly") {
+    import spark.implicits._
+    // group a: values 1,2,3 with weights 1,1,8 → half of 10 is 5, first
+    // value reaching cum≥5 is 3 (plain median would say 2)
+    // group b: equal weights → ordinary lower median
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 8L),
+      ("b", 10.0, 1L), ("b", 20.0, 1L)).toDF("g", "v", "w")
+    val out = Relational.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getAs[Long]("total_weight"))).toMap
+    assert(out("a") == ((3.0, 10L)))
+    assert(out("b") == ((10.0, 2L)))  // cum(10)=1, 2·1 >= 2 → lower median
+  }
+
   test("featureMomentsBy: per-group moment rows merge component-wise to the global row") {
     import spark.implicits._
     val df = Seq(("a", 1L, 2L), ("a", 3L, 4L), ("b", 5L, 6L), ("b", 7L, 8L))
