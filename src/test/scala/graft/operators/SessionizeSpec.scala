@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
+
 import graft.SparkTestBase
 
 class SessionizeSpec extends SparkTestBase {
@@ -112,4 +114,48 @@ class SessionizeSpec extends SparkTestBase {
     assert(run(ev.repartition(7)) == got)
   }
 
+  test("holtFixedPoint: hand-stepped recurrence, constant and ramp series") {
+    import spark.implicits._
+    // user 1: constant 100 -> level pinned at 100, trend 0 forever
+    // user 2: ramp 0,80,160,240 with a=1/2, g=1/2:
+    //   t1: l=0 b=0; t2: l=(80+0)/2=40, b=(40-0)/2=20
+    //   t3: l=(160+60)/2=110, b=((110-40)/2 + 20/... wait: b=(1*(110-40)+1*20)/2=45
+    //   t4: l=(240+155)/2=197, b=((197-110)+45)/2=66
+    val ev = Seq(
+      (1L, 0L, 1L, 100L), (1L, 1L, 2L, 100L), (1L, 2L, 3L, 100L),
+      (2L, 0L, 4L, 0L), (2L, 1L, 5L, 80L), (2L, 2L, 6L, 160L),
+      (2L, 3L, 7L, 240L))
+      .toDF("user_id", "tsec", "event_id", "v")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("event_id"), col("v"))
+    val out = Sessionize.holtFixedPoint(ev.repartition(5), "user_id", "ts",
+        "event_id", "v", 1L, 2L, 1L, 2L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("level_units"), r.getAs[Long]("trend_units"),
+          r.getAs[Long]("forecast_units")))).toMap
+    assert(out(1L) == ((100L, 0L, 100L)))
+    assert(out(3L) == ((100L, 0L, 100L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+    assert(out(5L) == ((40L, 20L, 60L)))
+    assert(out(6L) == ((110L, 45L, 155L)))
+    assert(out(7L) == ((197L, 66L, 263L)))
+  }
+
+  test("holtFixedPoint: negative trend on a falling series stays integer-exact") {
+    import spark.implicits._
+    val ev = Seq((1L, 0L, 1L, 1000L), (1L, 1L, 2L, 500L), (1L, 2L, 3L, 0L))
+      .toDF("user_id", "tsec", "event_id", "v")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("event_id"), col("v"))
+    val out = Sessionize.holtFixedPoint(ev, "user_id", "ts", "event_id", "v",
+        1L, 2L, 1L, 2L)
+      .orderBy("event_id").collect()
+    // t2: l=(500+1000)/2=750, b=(750-1000)/2 = -125 (truncation toward 0)
+    assert(out(1).getAs[Long]("level_units") == 750L)
+    assert(out(1).getAs[Long]("trend_units") == -125L)
+    // t3: prev=625, l=(0+625)/2=312, b=((312-750)+(-125))/2 = -563/2 = -281
+    assert(out(2).getAs[Long]("level_units") == 312L)
+    assert(out(2).getAs[Long]("trend_units") == -281L)
+    assert(out(2).getAs[Long]("forecast_units") == 31L)
+  }
 }

@@ -311,4 +311,51 @@ class SketchesSpec extends SparkTestBase {
     assert(f.getAs[Long]("n_heavy_exact") == 0L)
     assert(f.getAs[Boolean]("all_heavy_covered") && f.getAs[Boolean]("est_within_bound"))
   }
+
+  test("hll: registers are dense, bounded, and merge = pointwise max = union") {
+    val a = spark.range(0, 3000).select(col("id").as("k"))
+    val b = spark.range(2000, 5000).select(col("id").as("k"))
+    val ra = Sketches.hllRegisters(a, "k", 32)
+    val rb = Sketches.hllRegisters(b, "k", 32)
+    assert(ra.count() == 32 && rb.count() == 32, "registers must be dense")
+    ra.collect().foreach { r =>
+      val reg = r.getAs[Long]("reg")
+      assert(reg >= 0L && reg <= 43L, s"register out of range: $reg")
+    }
+    val merged = Sketches.hllMerge(ra, rb)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    val direct = Sketches.hllRegisters(a.unionAll(b), "k", 32)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    assert(merged == direct, "merge must equal the sketch of the union")
+  }
+
+  test("hll: estimate is within 3 sigma of a known cardinality") {
+    // m=32 -> relative standard error 1.04/sqrt(32) ~ 18.4%; 3 sigma ~ 55%
+    val items = spark.range(0, 5000).select(col("id").as("k"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(items, "k", 32), 32)
+      .collect().head.getAs[Long]("est_distinct")
+    assert(est > 2250L && est < 7750L, s"estimate off: $est for 5000 distinct")
+  }
+
+  test("hll: empty input reports all buckets empty and the known raw bias") {
+    val row = Sketches.hllEstimate(
+      Sketches.hllRegisters(
+        spark.range(0).select(col("id").as("k")), "k", 32), 32)
+      .collect().head
+    assert(row.getAs[Long]("empty_buckets") == 32L)
+    // raw HLL estimate without linear counting is alpha*m = ~22, not 0 —
+    // empty_buckets is reported exactly so a caller can apply the
+    // small-range correction
+    assert(row.getAs[Long]("est_distinct") == 697L * 1024L / 32000L)
+  }
+
+  test("hll: duplicate items do not move the registers") {
+    val once = spark.range(0, 1000).select(col("id").as("k"))
+    val thrice = once.unionAll(once).unionAll(once)
+    val r1 = Sketches.hllRegisters(once, "k", 32)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    val r3 = Sketches.hllRegisters(thrice.repartition(8), "k", 32)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    assert(r1 == r3, "multiplicity must not affect a distinct-count sketch")
+  }
 }

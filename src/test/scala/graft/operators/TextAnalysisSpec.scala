@@ -348,4 +348,49 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L) == ((4L, 2L, 0.5)))
     assert(out(2L) == ((3L, 2L, 0.666667)))
   }
+
+  test("corpusBleu: identical candidate and reference scores 1.0") {
+    import spark.implicits._
+    val pairs = Seq((1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "a b c d e", "a b c d e")).toDF("id", "cand", "ref")
+    val r = TextAnalysis.corpusBleu(pairs, "id", "cand", "ref").collect().head
+    (1 to 4).foreach { n =>
+      assert(r.getAs[Long](s"match_$n") == r.getAs[Long](s"total_$n"))
+      assert(r.getAs[Double](s"p_$n") == 1.0)
+    }
+    assert(r.getAs[Double]("bp") == 1.0 && r.getAs[Double]("bleu") == 1.0)
+  }
+
+  test("corpusBleu: brevity penalty and per-order precisions by hand") {
+    import spark.implicits._
+    // cand "the cat sat" vs ref "the cat sat on the mat" (maxN=3):
+    // p1=3/3, p2=2/2, p3=1/1, bp=exp(1-6/3)=exp(-1)
+    val pairs = Seq((1L, "the cat sat", "the cat sat on the mat"))
+      .toDF("id", "cand", "ref")
+    val r = TextAnalysis.corpusBleu(pairs, "id", "cand", "ref", maxN = 3)
+      .collect().head
+    assert(r.getAs[Long]("match_1") == 3L && r.getAs[Long]("total_1") == 3L)
+    assert(r.getAs[Long]("match_3") == 1L && r.getAs[Long]("total_3") == 1L)
+    assert(r.getAs[Double]("bp") == 0.367879) // round(exp(-1), 6)
+    assert(r.getAs[Double]("bleu") == 0.367879)
+  }
+
+  test("corpusBleu: repeated candidate n-grams are clipped at the reference count") {
+    import spark.implicits._
+    val pairs = Seq((1L, "the the the the", "the cat")).toDF("id", "cand", "ref")
+    val r = TextAnalysis.corpusBleu(pairs, "id", "cand", "ref").collect().head
+    assert(r.getAs[Long]("match_1") == 1L, "clip at ref count 1")
+    assert(r.getAs[Long]("total_1") == 4L)
+    assert(r.getAs[Double]("p_1") == 0.25)
+    // no 4-gram in a 2-token ref -> p_4 = 0 -> bleu hard-zeroes
+    assert(r.getAs[Double]("bleu") == 0.0)
+  }
+
+  test("corpusBleu: empty candidate yields zero score, not a crash") {
+    import spark.implicits._
+    val pairs = Seq((1L, "", "the cat")).toDF("id", "cand", "ref")
+    val r = TextAnalysis.corpusBleu(pairs, "id", "cand", "ref").collect().head
+    assert(r.getAs[Long]("cand_len") == 0L)
+    assert(r.getAs[Double]("bp") == 0.0 && r.getAs[Double]("bleu") == 0.0)
+  }
 }

@@ -55,4 +55,31 @@ class DataQualitySpec extends SparkTestBase {
     assert(back.count() == 3)
     assert(back.agg(sum("n")).collect().head.getLong(0) == 60L)
   }
+
+  test("benfordAudit: digit extraction, dense rows, and both verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // geometric series 2^(i/64) spans magnitudes multiplicatively ->
+    // close to Benford -> not suspicious
+    val benfordish = spark.range(0, 1280)
+      .select(pow(lit(2.0), col("id") / lit(64.0)).as("v"))
+    val ok = DataQuality.benfordAudit(benfordish, "v")
+    val okRows = ok.collect()
+    assert(okRows.length == 9, "audit must always be 9 dense rows")
+    assert(okRows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(!okRows.head.getAs[Boolean]("suspicious"),
+      s"multiplicative data flagged: chi2=${okRows.head.getAs[Double]("chi2")}")
+    // all-same-digit data is maximally non-Benford -> suspicious
+    val flat = spark.range(0, 1000).select((col("id") % 5 + 910).as("v"))
+    val bad = DataQuality.benfordAudit(flat, "v").collect()
+    assert(bad.head.getAs[Boolean]("suspicious"))
+    assert(bad.filter(_.getAs[Int]("digit") == 9).head
+      .getAs[Long]("observed") == 1000L)
+    assert(bad.filter(_.getAs[Int]("digit") != 9)
+      .forall(_.getAs[Long]("observed") == 0L))
+    // sub-1 and negative values are excluded from the digit census
+    val edge = Seq(0.5d, -123.0d, 0.0d, 19.0d).toDF("v")
+    val e = DataQuality.benfordAudit(edge, "v").collect()
+    assert(e.map(_.getAs[Long]("n")).head == 1L)
+  }
 }
