@@ -8524,7 +8524,127 @@ object QueryCatalog {
              |       FROM x)
              |SELECT event_type, CAST(true_count AS BIGINT) AS true_count, h,
              |  noise, round(true_count + noise, 6) AS released
-             |FROM nz ORDER BY event_type""".stripMargin))
+             |FROM nz ORDER BY event_type""".stripMargin)),
+
+    // STREAMING HLL: three mtime-ordered arrival files feed an Update-mode
+    // max aggregation whose state is 32 registers FOREVER (the
+    // bounded-state streaming distinct), upserted per micro-batch into a
+    // versioned table seeded with zeroed registers — the final table must
+    // equal the BATCH sketch of everything that arrived, estimator and all
+    ("q_stream_hll",
+      (s: SparkSession, d: String) => {
+        import graft.reddit.PostsTable
+        val keys = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val staged = keys.select(col("o_custkey").as("k"))
+        val root = scratchDir("shll_tbl")
+        PostsTable.create(
+          s.range(0, 32).select(col("id").as("bucket"), lit(0L).as("reg")),
+          root, "bucket")
+        val inDir = scratchDir("shll_in")
+        (0 until 3).foreach { i =>
+          stageArrivalFile(keys.filter(pmod(col("o_orderkey"), lit(3)) === i)
+            .select(col("o_custkey").as("k")), inDir, s"b$i.parquet",
+            1700000000000L + i * 60000L)
+        }
+        val stream = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        withShufflePartitions(s, 8) {
+          graft.streaming.Streams.hllRegisterSink(stream, "k", 32, root,
+            scratchDir("shll_ckpt")).start().awaitTermination()
+        }
+        val regs = PostsTable.read(s, root).select(col("bucket"), col("reg"))
+        val est = Sketches.hllEstimate(regs, 32)
+        val truth = keys.filter(col("o_custkey").isNotNull)
+          .agg(count_distinct(col("o_custkey")).as("true_distinct"))
+        regs.crossJoin(est).crossJoin(truth).orderBy("bucket")
+      },
+      Some("""WITH a AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM orders WHERE o_custkey IS NOT NULL),
+             |bk AS (SELECT CAST(r.range AS BIGINT) AS bucket FROM range(0, 32) r),
+             |rg AS (SELECT bk.bucket, coalesce(max(least(43,
+             |           CASE WHEN a.h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(a.h // 32)) END)), 0) AS reg
+             |       FROM bk LEFT JOIN a ON a.h % 32 = bk.bucket GROUP BY 1),
+             |e AS (SELECT CAST((697 * 1024 * (1::BIGINT << 43))
+             |          // (1000 * sum(1::BIGINT << CAST(43 - reg AS INT)))
+             |          AS BIGINT) AS est_distinct,
+             |        CAST(count(*) FILTER (WHERE reg = 0) AS BIGINT)
+             |          AS empty_buckets
+             |      FROM rg),
+             |tr AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+             |          AS true_distinct
+             |       FROM orders WHERE o_custkey IS NOT NULL)
+             |SELECT rg.bucket, CAST(rg.reg AS BIGINT) AS reg, e.est_distinct,
+             |  e.empty_buckets, tr.true_distinct
+             |FROM rg CROSS JOIN e CROSS JOIN tr
+             |ORDER BY rg.bucket""".stripMargin)),
+
+    // two-proportion z-test per event_type (arm = user parity, success =
+    // value >= 50): integer arm counts, 6dp rates, the pooled z composed
+    // in one fixed IEEE expression order, and the |z| > 1.96 verdict
+    ("q_abtest_eval",
+      (s: SparkSession, d: String) =>
+        Relational.abTestProportions(
+            t(s, d, "events").select(col("event_type"), col("user_id"),
+              col("value")),
+            "event_type", pmod(col("user_id"), lit(2)) === 1,
+            col("value") >= 50.0d)
+          .orderBy("event_type"),
+      Some("""WITH g AS (SELECT event_type,
+             |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             |    sum(CASE WHEN user_id % 2 = 0 AND value >= 50.0 THEN 1
+             |        ELSE 0 END) AS s_a,
+             |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+             |    sum(CASE WHEN user_id % 2 = 1 AND value >= 50.0 THEN 1
+             |        ELSE 0 END) AS s_b
+             |  FROM events GROUP BY 1),
+             |z AS (SELECT event_type,
+             |    CAST(n_a AS BIGINT) AS n_a, CAST(s_a AS BIGINT) AS s_a,
+             |    CAST(n_b AS BIGINT) AS n_b, CAST(s_b AS BIGINT) AS s_b,
+             |    round(s_a / n_a, 6) AS p_a, round(s_b / n_b, 6) AS p_b,
+             |    round((s_a / n_a - s_b / n_b) /
+             |      sqrt(((s_a + s_b) / (n_a + n_b))
+             |        * (1.0 - (s_a + s_b) / (n_a + n_b))
+             |        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+             |  FROM g)
+             |SELECT event_type, n_a, s_a, n_b, s_b, p_a, p_b, z,
+             |  abs(z) > 1.96 AS significant
+             |FROM z ORDER BY event_type""".stripMargin)),
+
+    // RFM quintile scoring: user rollup, three distributed global ranks
+    // (range-partitioned sort + offset join — no single-partition
+    // window), tile = rank*5 div n + 1 replayed exactly by the oracle's
+    // row_number arithmetic
+    ("q_rfm_scores",
+      (s: SparkSession, d: String) =>
+        Relational.rfmScores(t(s, d, "events"), "user_id", "ts", "value")
+          .orderBy("user_id"),
+      Some("""WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+             |    count(*) AS frequency,
+             |    sum(CAST(floor(value * 100) AS BIGINT)) AS monetary_cents
+             |  FROM events GROUP BY 1),
+             |mx AS (SELECT max(last_us) AS max_us FROM pu),
+             |b AS (SELECT pu.user_id,
+             |        (mx.max_us - pu.last_us) // 3600000000 AS recency_hours,
+             |        pu.frequency, pu.monetary_cents
+             |      FROM pu CROSS JOIN mx),
+             |n AS (SELECT count(*) AS n FROM b),
+             |rk AS (SELECT b.*,
+             |    row_number() OVER (ORDER BY recency_hours DESC, user_id) - 1
+             |      AS rr,
+             |    row_number() OVER (ORDER BY frequency, user_id) - 1 AS rf,
+             |    row_number() OVER (ORDER BY monetary_cents, user_id) - 1 AS rm
+             |  FROM b)
+             |SELECT user_id, CAST(recency_hours AS BIGINT) AS recency_hours,
+             |  CAST(frequency AS BIGINT) AS frequency,
+             |  CAST(monetary_cents AS BIGINT) AS monetary_cents,
+             |  CAST(rr * 5 // n.n + 1 AS BIGINT) AS r_score,
+             |  CAST(rf * 5 // n.n + 1 AS BIGINT) AS f_score,
+             |  CAST(rm * 5 // n.n + 1 AS BIGINT) AS m_score,
+             |  CAST((rr * 5 // n.n + 1) * 100 + (rf * 5 // n.n + 1) * 10
+             |    + (rm * 5 // n.n + 1) AS BIGINT) AS rfm
+             |FROM rk CROSS JOIN n ORDER BY user_id""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

@@ -704,4 +704,106 @@ object Relational {
       .select("p.x", "p.y", "p.n", "p.sum_x", "p.sum_y",
         "p.sum_xy", "p.sum_xx", "p.sum_yy")
   }
+
+  /** Two-proportion z-test per metric — the A/B experiment readout: for
+    * each `metricCol` group, arm sizes and successes (exact BIGINTs), the
+    * 6dp success rates, the pooled z statistic and the |z| > 1.96
+    * verdict. The z is composed from the integer counts in ONE fixed
+    * expression order (division / multiply / sqrt are IEEE-exact-rounded,
+    * so both engines produce the identical double before the 6dp round).
+    *
+    * Scale shape: one hash agg on the metric key with conditional-sum
+    * partials (variant never shuffles as rows, only as four counters per
+    * metric), then in-row arithmetic — the experiment readout over a
+    * 100 TB event log is one scan.
+    */
+  def abTestProportions(df: DataFrame, metricCol: String, isB: Column,
+                        success: Column): DataFrame = {
+    val b = isB.cast("boolean")
+    val s = success.cast("boolean")
+    df.groupBy(col(metricCol))
+      .agg(
+        sum(when(!b, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!b && s, 1L).otherwise(0L)).as("s_a"),
+        sum(when(b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(b && s, 1L).otherwise(0L)).as("s_b"))
+      .withColumn("p_a", round(col("s_a") / col("n_a"), 6))
+      .withColumn("p_b", round(col("s_b") / col("n_b"), 6))
+      .withColumn("z", round(
+        (col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+          sqrt(((col("s_a") + col("s_b")) / (col("n_a") + col("n_b"))) *
+            (lit(1.0) - (col("s_a") + col("s_b")) / (col("n_a") + col("n_b"))) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  /** Distributed global 0-based rank by `sortCols` — range-partitioned
+    * sort + the per-partition offset trick ([[Curation.shardPack]]'s
+    * discipline): NO single-partition window. `sortCols` must be a total
+    * order (include a unique tiebreak) or ranks are nondeterministic.
+    */
+  private def globalRank(df: DataFrame, sortCols: Seq[Column],
+                         out: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_local", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offsets = sorted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("_pid")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    sorted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(out, col("_offset") + col("_local"))
+      .drop("_mid", "_pid", "_local", "_offset")
+  }
+
+  /** RFM customer scoring (recency / frequency / monetary quintiles) —
+    * the classic engagement-segmentation mart. Per user: days since last
+    * event (relative to the corpus max timestamp), event count, monetary
+    * cents; each metric ranks ALL users (unique tiebreak on user id) and
+    * maps to a quintile by the exact formula `rank·5 quot n + 1`, oriented
+    * so 5 is always "best" (most recent / most frequent / highest spend);
+    * `rfm = 100·r + 10·f + m`.
+    *
+    * Scale shape: one hash agg collapses the event log to the user
+    * rollup (|users| ≪ |events|), then three [[globalRank]]s over that
+    * rollup — range-partitioned sorts with broadcast offset tables, no
+    * single-partition window at any size.
+    */
+  def rfmScores(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("_us"),
+        floor(col(valueCol) * 100).cast("long").as("_cents"))
+      .groupBy("user_id")
+      .agg(max(col("_us")).as("_last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("_cents")).as("monetary_cents"))
+    val maxUs = perUser.agg(max(col("_last_us")).as("_max_us"))
+    val base = perUser.crossJoin(broadcast(maxUs))
+      .withColumn("recency_hours", expr("(_max_us - _last_us) div 3600000000"))
+      .drop("_last_us", "_max_us")
+    // oldest first -> newest users land in the top tile; same orientation
+    // for frequency and spend
+    val r1 = globalRank(base,
+      Seq(col("recency_hours").desc, col("user_id")), "_rr")
+    val r2 = globalRank(r1, Seq(col("frequency"), col("user_id")), "_rf")
+    val r3 = globalRank(r2, Seq(col("monetary_cents"), col("user_id")), "_rm")
+    val total = base.agg(count(lit(1)).as("_n"))
+    r3.crossJoin(broadcast(total))
+      .withColumn("r_score", expr("_rr * 5 div _n + 1"))
+      .withColumn("f_score", expr("_rf * 5 div _n + 1"))
+      .withColumn("m_score", expr("_rm * 5 div _n + 1"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .select("user_id", "recency_hours", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "rfm")
+  }
 }

@@ -437,22 +437,32 @@ object Sketches {
     * algorithm reified as data so the state itself is inspectable,
     * persistable, and oracle-replayable.
     */
-  def hllRegisters(items: DataFrame, item: String, m: Int = 32): DataFrame = {
+  /** Per-item `(bucket, rho)` rows — the map side of [[hllRegisters]],
+    * exposed separately so a STREAMING aggregation can run the same
+    * register update over micro-batches
+    * ([[graft.streaming.Streams.hllRegisterSink]]): the register max is
+    * algebraic, so batch and stream converge to identical state.
+    */
+  def hllItemLevels(items: DataFrame, item: String, m: Int = 32): DataFrame = {
     val (_, _, cap) = HllParams.getOrElse(m,
-      sys.error(s"hllRegisters: unsupported m=$m (use ${HllParams.keys})"))
+      sys.error(s"hllItemLevels: unsupported m=$m (use ${HllParams.keys})"))
     val b = Integer.numberOfTrailingZeros(m)
     val width = 48 - b
-    val spark = items.sparkSession
-    val sparse = items.select(col(item).cast("string").as("item"))
+    items.select(col(item).cast("string").as("item"))
       .filter(col("item").isNotNull)
       .select(hll48Hash(col("item")).as("h"))
       .select((col("h") % m).cast("long").as("bucket"),
         expr(s"h div $m").as("w"))
       .select(col("bucket"),
         least(lit(cap), when(col("w") === 0L, lit(width + 1))
-          .otherwise(lit(width + 1) - length(bin(col("w"))))).as("rho"))
+          .otherwise(lit(width + 1) - length(bin(col("w")))))
+          .cast("long").as("rho"))
+  }
+
+  def hllRegisters(items: DataFrame, item: String, m: Int = 32): DataFrame = {
+    val sparse = hllItemLevels(items, item, m)
       .groupBy("bucket").agg(max(col("rho")).cast("long").as("reg"))
-    spark.range(0, m).select(col("id").as("bucket"))
+    items.sparkSession.range(0, m).select(col("id").as("bucket"))
       .join(sparse, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
   }

@@ -380,4 +380,62 @@ class RelationalSpec extends SparkTestBase {
     val sparkR = df.agg(corr(col("a"), col("c"))).first().getDouble(0)
     assert(math.abs(r - sparkR) < 1e-12, s"moments r=$r vs corr=$sparkR")
   }
+
+  test("abTestProportions: counts, rates and z against a hand computation") {
+    import spark.implicits._
+    // metric m: arm A 4 of 8 convert, arm B 6 of 8 convert
+    val rows = (0 until 8).map(i => ("m", false, i < 4)) ++
+      (0 until 8).map(i => ("m", true, i < 6))
+    val df = rows.toDF("metric", "is_b", "won")
+    val r = Relational.abTestProportions(df, "metric", col("is_b"), col("won"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 8L && r.getAs[Long]("s_a") == 4L)
+    assert(r.getAs[Long]("n_b") == 8L && r.getAs[Long]("s_b") == 6L)
+    assert(r.getAs[Double]("p_a") == 0.5 && r.getAs[Double]("p_b") == 0.75)
+    // z = (0.5-0.75)/sqrt(0.625*0.375*(1/8+1/8)) = -1.032795...
+    assert(r.getAs[Double]("z") == -1.032796)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  test("abTestProportions: a lopsided arm split goes significant") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => ("m", false, i < 40)) ++ // 20%
+      (0 until 200).map(i => ("m", true, i < 100))             // 50%
+    val r = Relational.abTestProportions(rows.toDF("metric", "is_b", "won"),
+      "metric", col("is_b"), col("won")).collect().head
+    assert(r.getAs[Boolean]("significant"))
+    assert(r.getAs[Double]("z") < -1.96)
+  }
+
+  test("rfmScores: quintile arithmetic and tie handling on 10 users") {
+    import spark.implicits._
+    // 10 users, one event each at hour (10 - uid), value = uid dollars:
+    // recency_hours = uid - 1 for user uid? build explicitly instead:
+    // user u has event at ts = u hours, value = u, plus user 10 has an
+    // extra event (frequency signal)
+    val ev = ((1 to 10).map(u =>
+      (u.toLong, u.toLong * 3600L, u.toDouble)) :+
+      ((10L, 36001L * 1L, 10.0d)))
+      .toDF("user_id", "tsec", "value")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("value"))
+    val out = Relational.rfmScores(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.size == 10)
+    // user 10: most recent (recency 0), most frequent, highest spend
+    assert(out(10L).getAs[Long]("recency_hours") == 0L)
+    assert(out(10L).getAs[Long]("frequency") == 2L)
+    assert(out(10L).getAs[Long]("rfm") == 555L)
+    // user 1: oldest event -> r tile 1
+    assert(out(1L).getAs[Long]("r_score") == 1L)
+    assert(out(1L).getAs[Long]("m_score") == 1L)
+    // ranks are total-ordered: with n=10 each tile holds exactly 2 users
+    val rTiles = out.values.groupBy(_.getAs[Long]("r_score"))
+      .map { case (k, v) => k -> v.size }
+    assert(rTiles == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2))
+    // frequency ties (users 1-9 all have 1 event) break by user_id, so
+    // f tiles are determined: users 1,2 -> 1 ... user 9,10 -> 5
+    assert(out(2L).getAs[Long]("f_score") == 1L)
+    assert(out(9L).getAs[Long]("f_score") == 5L)
+  }
 }

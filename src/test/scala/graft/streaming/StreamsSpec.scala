@@ -399,6 +399,41 @@ class StreamsSpec extends SparkTestBase {
     assert(ledger((1L, "b")) == ledger((0L, "b")))
   }
 
+  test("hllRegisterSink: streamed registers equal the batch sketch; restart merges") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("hll_in").toString
+    val ckpt = Files.createTempDirectory("hll_ckpt").toString
+    val root = Files.createTempDirectory("hll_root").toString + "/t"
+    val b0 = spark.range(0, 400).select(col("id").as("k"))
+    val b1 = spark.range(300, 700).select(col("id").as("k"))
+    PostsTable.create(
+      spark.range(0, 32).select(col("id").as("bucket"), lit(0L).as("reg")),
+      root, "bucket")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      Streams.hllRegisterSink(stream, "k", 32, root, ckpt)
+        .start().awaitTermination()
+    }
+    def regs() = PostsTable.read(spark, root)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    graft.QueryCatalog.stageArrivalFile(b0, inDir, "b0.parquet", 1700000000000L)
+    run()
+    val afterB0 = regs()
+    val batch0 = graft.operators.Sketches.hllRegisters(b0, "k", 32)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    assert(afterB0 == batch0, "streamed state must equal the batch sketch")
+    // restart from the checkpoint with a new arrival: registers MERGE
+    // (monotone max), they don't restart from zero
+    graft.QueryCatalog.stageArrivalFile(b1, inDir, "b1.parquet", 1700000060000L)
+    run()
+    val batchAll = graft.operators.Sketches
+      .hllRegisters(b0.unionByName(b1), "k", 32)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("reg")).toMap
+    assert(regs() == batchAll)
+    assert(regs().size == 32, "table stays dense across upserts")
+  }
+
   test("staticEnrich: dim snapshot pins at query start — version commits are safe, not visible") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
