@@ -8644,7 +8644,95 @@ object QueryCatalog {
              |  CAST(rm * 5 // n.n + 1 AS BIGINT) AS m_score,
              |  CAST((rr * 5 // n.n + 1) * 100 + (rf * 5 // n.n + 1) * 10
              |    + (rm * 5 // n.n + 1) AS BIGINT) AS rfm
-             |FROM rk CROSS JOIN n ORDER BY user_id""".stripMargin))
+             |FROM rk CROSS JOIN n ORDER BY user_id""".stripMargin)),
+
+    // two-sided CUSUM with a PLANTED level shift (+30.00 for every 5th
+    // user from Jan 20): pure max/add integer recurrence, so the oracle
+    // recursive CTE replays every accumulator and alarm exactly
+    ("q_cusum_shift",
+      (s: SparkSession, d: String) =>
+        Sessionize.cusumFixedPoint(
+            t(s, d, "events").select(col("user_id"), col("ts"),
+              col("event_id"),
+              (floor(col("value") * 100).cast("long") +
+                when(col("user_id") % 5 === 0 &&
+                  to_date(col("ts")) >= lit("2024-01-20").cast("date"), 3000L)
+                  .otherwise(0L)).as("cents")),
+            "user_id", "ts", "event_id", "cents",
+            ref = 5000L, slack = 1000L, threshold = 15000L)
+          .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (SELECT user_id, event_id,
+             |    CAST(floor(value * 100) AS BIGINT)
+             |      + CASE WHEN user_id % 5 = 0
+             |               AND CAST(ts AS DATE) >= DATE '2024-01-20'
+             |             THEN 3000 ELSE 0 END AS v,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS rn
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, event_id, v, rn,
+             |    greatest(0, (v - 5000) - 1000) AS sp,
+             |    greatest(0, (5000 - v) - 1000) AS sn
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.event_id, e.v, e.rn,
+             |    greatest(0, r.sp + (e.v - 5000) - 1000) AS sp,
+             |    greatest(0, r.sn + (5000 - e.v) - 1000) AS sn
+             |  FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+             |SELECT user_id, event_id, v AS value_units,
+             |  CAST(sp AS BIGINT) AS cusum_pos, CAST(sn AS BIGINT) AS cusum_neg,
+             |  sp > 15000 AS alarm_up, sn > 15000 AS alarm_down
+             |FROM r ORDER BY event_id""".stripMargin)),
+
+    // first-order Markov transition matrix over per-user event-type
+    // sequences: adjacent-pair counts through one lag window, row-
+    // normalized probabilities at 6dp
+    ("q_markov_transitions",
+      (s: SparkSession, d: String) =>
+        Sessionize.markovTransitions(t(s, d, "events"), "user_id", "ts",
+            "event_id", "event_type")
+          .orderBy("from_state", "to_state"),
+      Some("""WITH sq AS (SELECT user_id, event_type AS to_state,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS from_state
+             |  FROM events),
+             |p AS (SELECT from_state, to_state, count(*) AS n
+             |      FROM sq WHERE from_state IS NOT NULL GROUP BY 1, 2),
+             |tt AS (SELECT from_state, sum(n) AS row_total
+             |       FROM p GROUP BY 1)
+             |SELECT p.from_state, p.to_state, CAST(p.n AS BIGINT) AS n,
+             |  CAST(tt.row_total AS BIGINT) AS row_total,
+             |  round(p.n / tt.row_total, 6) AS p
+             |FROM p JOIN tt ON p.from_state = tt.from_state
+             |ORDER BY p.from_state, p.to_state""".stripMargin)),
+
+    // daily gap-fill + forward fill: per-user dense day grid over the
+    // active span, sequence-number last-writer-wins within a day, the
+    // carried value and the observed flag graded per grid row
+    ("q_time_resample",
+      (s: SparkSession, d: String) =>
+        Temporal.fillDaily(t(s, d, "events"), "user_id", "ts", "event_id",
+            "value")
+          .orderBy("user_id", "day"),
+      Some("""WITH o AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    arg_max(CAST(floor(value * 100) AS BIGINT), event_id)
+             |      AS day_cents
+             |  FROM events GROUP BY 1, 2),
+             |sp AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+             |       FROM o GROUP BY 1),
+             |g AS (SELECT user_id,
+             |        unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+             |          AS day
+             |      FROM sp),
+             |f AS (SELECT g.user_id, g.day,
+             |        arg_max(o.day_cents, o.day) AS cents_filled,
+             |        max(CASE WHEN o.day = g.day THEN 1 ELSE 0 END) AS obs
+             |      FROM g JOIN o ON o.user_id = g.user_id AND o.day <= g.day
+             |      GROUP BY 1, 2)
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+             |  CAST(cents_filled AS BIGINT) AS cents_filled,
+             |  obs = 1 AS observed
+             |FROM f ORDER BY user_id, day""".stripMargin))
   )
 
   // a duplicate name would silently SHADOW an earlier graded row in these

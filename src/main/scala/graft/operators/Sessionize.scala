@@ -314,4 +314,75 @@ object Sessionize {
       .toDF(userCol, tieBreak, "value_units", "level_units", "trend_units",
         "forecast_units")
   }
+
+  /** Two-sided CUSUM change-point detection (Page 1954) per key in pure
+    * integer units — the drift-detection trio's third member beside
+    * [[ewmaFixedPoint]] (lagging mean) and [[holtFixedPoint]] (ramps):
+    * CUSUM accumulates small persistent deviations and fires on LEVEL
+    * SHIFTS fast, which is how a pipeline catches "this source's quality
+    * metric stepped down on Tuesday".
+    *
+    *   s⁺_t = max(0, s⁺ + (x_t − ref) − slack)
+    *   s⁻_t = max(0, s⁻ + (ref − x_t) − slack)
+    *
+    * with an alarm when either side exceeds `threshold`. All longs — no
+    * division at all, so the oracle recursive CTE replays it with
+    * greatest(0, …) and nothing else.
+    *
+    * Scale shape: identical to [[ewmaFixedPoint]] — one exchange on the
+    * key, per-key sequential fold, O(1) carry state (s⁺, s⁻), so the
+    * [[ewmaChunked]] persisted-carry pattern applies unchanged.
+    */
+  def cusumFixedPoint(events: DataFrame, userCol: String, tsCol: String,
+                      tieBreak: String, valueCol: String,
+                      ref: Long, slack: Long, threshold: Long): DataFrame = {
+    require(slack >= 0 && threshold > 0,
+      s"cusumFixedPoint: bad slack=$slack threshold=$threshold")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long"), unix_micros(col(tsCol)),
+        col(tieBreak).cast("long"), col(valueCol).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var sp = 0L
+        var sn = 0L
+        evs.iterator.map { e =>
+          sp = math.max(0L, sp + (e._4 - ref) - slack)
+          sn = math.max(0L, sn + (ref - e._4) - slack)
+          (k, e._3, e._4, sp, sn, sp > threshold, sn > threshold)
+        }
+      }
+      .toDF(userCol, tieBreak, "value_units", "cusum_pos", "cusum_neg",
+        "alarm_up", "alarm_down")
+  }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count every adjacent `(from_state → to_state)` pair (ordered by
+    * time with a unique tiebreak) and report row-normalized transition
+    * probabilities at 6dp — the behavioral-analytics summary ("after a
+    * click, what happens next?") and the generator a sequence simulator
+    * samples from.
+    *
+    * Scale shape: one exchange on the key for the lag window (O(1)
+    * look-behind state), then one tiny hash agg on (from, to) — state
+    * count squared rows out, regardless of input size.
+    */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+                        tieBreak: String, stateCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieBreak),
+        col(stateCol).as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(w))
+      .filter(col("from_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_state").agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"), col("row_total"),
+        round(col("n") / col("row_total"), 6).as("p"))
+  }
 }

@@ -306,4 +306,50 @@ object Temporal {
           .otherwise(expr("vdt div span_us")).as("twap_cents"),
         coalesce(col("span_us"), lit(0L)).as("span_us"))
   }
+
+  /** Calendar gap-fill with forward fill — resample an irregular per-key
+    * event stream onto a dense daily grid from each key's first to last
+    * active day, carrying the last observed value across silent days
+    * (`observed` marks which grid rows are real). The regularization step
+    * before any daily time-series model, and the canonical "no row ≠
+    * zero" fix in activity reporting.
+    *
+    * Within a day the kept value is the one with the highest `tieBreak`
+    * (sequence-number last-writer-wins — a total order both engines
+    * replay). Days are emitted as `yyyy-MM-dd` strings (the house
+    * cross-engine date discipline).
+    *
+    * Scale shape: one hash agg to a per-key-day rollup, an in-row
+    * `sequence()` explode whose output is the grid (bounded by the key's
+    * active span — a key silent for years does NOT pay for the gap until
+    * it reappears, and the grid is O(span), not O(calendar)), and one
+    * exchange on the key for the forward-fill window with O(1) state.
+    */
+  def fillDaily(events: DataFrame, userCol: String, tsCol: String,
+                tieBreak: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    val daily = events
+      .select(col(userCol).as("user_id"),
+        to_date(col(tsCol)).as("day"),
+        col(tieBreak).cast("long").as("_tb"),
+        floor(col(valueCol) * 100).cast("long").as("_cents"))
+      .groupBy("user_id", "day")
+      .agg(max_by(col("_cents"), col("_tb")).as("day_cents"))
+    val grid = daily
+      .groupBy("user_id")
+      .agg(min(col("day")).as("_lo"), max(col("day")).as("_hi"))
+      .select(col("user_id"),
+        explode(sequence(col("_lo"), col("_hi"),
+          expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("cents_filled",
+        last(col("day_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents_filled"),
+        col("day_cents").isNotNull.as("observed"))
+  }
 }

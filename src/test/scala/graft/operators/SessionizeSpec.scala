@@ -158,4 +158,54 @@ class SessionizeSpec extends SparkTestBase {
     assert(out(2).getAs[Long]("trend_units") == -281L)
     assert(out(2).getAs[Long]("forecast_units") == 31L)
   }
+
+  test("cusumFixedPoint: level shift alarms, noise does not, accumulators reset") {
+    import spark.implicits._
+    // ref=100, slack=20, threshold=150. user 1: on-target noise
+    // (90..110) never accumulates past slack; user 2: shift to 180 ->
+    // +60/event -> alarm on the 3rd shifted event; then a return to
+    // target drains the accumulator back to 0
+    val vals1 = Seq(90L, 110L, 95L, 105L, 100L)
+    val vals2 = Seq(100L, 180L, 180L, 180L, 100L, 100L)
+    val ev = (vals1.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) } ++
+      vals2.zipWithIndex.map { case (v, i) => (2L, i.toLong, 100L + i, v) })
+      .toDF("user_id", "tsec", "event_id", "v")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("event_id"), col("v"))
+    val out = Sessionize.cusumFixedPoint(ev.repartition(4), "user_id", "ts",
+        "event_id", "v", ref = 100L, slack = 20L, threshold = 150L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("cusum_pos"), r.getAs[Long]("cusum_neg"),
+          r.getAs[Boolean]("alarm_up")))).toMap
+    // user 1: every deviation is inside the slack band -> all zeros
+    (0L to 4L).foreach(i => assert(out(i) == ((0L, 0L, false)), s"at $i: ${out(i)}"))
+    // user 2: sp walks 0, 60, 120, 180(alarm), then drains 160, 140
+    assert(out(101L) == ((60L, 0L, false)))
+    assert(out(102L) == ((120L, 0L, false)))
+    assert(out(103L)._1 == 180L && out(103L)._3, "3rd shifted event must alarm")
+    assert(out(104L) == ((160L, 0L, true)))
+    assert(out(105L) == ((140L, 0L, false)))
+  }
+
+  test("markovTransitions: counts and row-normalized probabilities by hand") {
+    import spark.implicits._
+    // user 1: a b a b a ; user 2: a a b
+    // pairs: a->b (x2 from u1), b->a (x2 from u1), a->a (u2), a->b (u2)
+    val seqs = Seq((1L, Seq("a", "b", "a", "b", "a")), (2L, Seq("a", "a", "b")))
+    val ev = seqs.flatMap { case (u, ss) =>
+      ss.zipWithIndex.map { case (st, i) => (u, i.toLong, u * 100 + i, st) }
+    }.toDF("user_id", "tsec", "event_id", "state")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("event_id"), col("state"))
+    val out = Sessionize.markovTransitions(ev.repartition(3), "user_id", "ts",
+        "event_id", "state")
+      .collect().map(r => (r.getAs[String]("from_state"),
+        r.getAs[String]("to_state")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("row_total"),
+          r.getAs[Double]("p")))).toMap
+    assert(out(("a", "b")) == ((3L, 4L, 0.75)))
+    assert(out(("a", "a")) == ((1L, 4L, 0.25)))
+    assert(out(("b", "a")) == ((2L, 2L, 1.0)))
+    assert(out.size == 3, "no b->b pair exists")
+  }
 }

@@ -251,4 +251,30 @@ class TemporalSpec extends SparkTestBase {
     assert(out(3L) == ((1L, 750L, 0L)))
     assert(out(4L) == ((2L, 200L, 0L)))  // tie → smaller cents is "first"
   }
+
+  test("fillDaily: dense grid, forward fill, within-day last-writer-wins") {
+    import spark.implicits._
+    // user 1: events on day 1 (two — ids 10 then 11), day 4; grid = 1..4
+    // user 2: single-day user -> one grid row
+    val day = 86400L
+    val ev = Seq(
+      (1L, 0L * day + 100L, 10L, 3.00d),  // day 1, overwritten by id 11
+      (1L, 0L * day + 50L, 11L, 5.00d),   // later id wins despite earlier ts
+      (1L, 3L * day + 10L, 12L, 9.00d),   // day 4
+      (2L, 1L * day, 20L, 7.00d))
+      .toDF("user_id", "tsec", "event_id", "value")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("event_id"), col("value"))
+    val out = Temporal.fillDaily(ev.repartition(3), "user_id", "ts",
+        "event_id", "value")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("cents_filled"), r.getAs[Boolean]("observed")))).toMap
+    assert(out.size == 5, s"grid size: ${out.keys}")
+    assert(out((1L, "1970-01-01")) == ((500L, true)),
+      "highest event id wins within the day")
+    assert(out((1L, "1970-01-02")) == ((500L, false)), "gap carries forward")
+    assert(out((1L, "1970-01-03")) == ((500L, false)))
+    assert(out((1L, "1970-01-04")) == ((900L, true)))
+    assert(out((2L, "1970-01-02")) == ((700L, true)))
+  }
 }
