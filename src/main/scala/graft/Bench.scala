@@ -278,13 +278,28 @@ object Bench {
     val sentinelJson = probeJson(sentinelName, pass.scan)
     val heavyJson = probeJson(heavyName, pass.heavy)
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_suspect":$suspect,"failed_queries":$failed,"probe_failed":${pass.probeFailed},"passes":$passesRun,"queries":$qs,"gc_ms":$gcs,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sentinel_heavy":$heavyJson,"sf":"$sfDir"}"""
-    println(line)
-    // the driver's artifact keeps only a 2000-char stdout tail, which
-    // truncates the per-query maps — persist the full line so round-to-
-    // round comparison never needs a bench re-run
+    // the full name→sec / name→gc maps are ~12k chars at 267+ queries;
+    // the driver's round artifact keeps only the LAST 2000 stdout chars,
+    // so printing the full line last guarantees the artifact's per-query
+    // data is a truncated fragment (the round-13 BENCH artifact lost its
+    // entire queries map that way). Persist the full line to a committed
+    // file, print it first (informational), then print a COMPACT line
+    // LAST — sized to survive the tail window whole — carrying total, n,
+    // adjudication flags, both sentinels, and every per-query time as a
+    // centisecond array in sorted-name order (names are recoverable from
+    // SparkEntry.queries, and the full map is one file away).
     try java.nio.file.Files.write(java.nio.file.Paths.get("dev/bench_latest.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] bench_latest.json: ${e.getMessage}") }
+    println(line)
+    val perQueryCs = results.map { case (_, r) =>
+      if (r.ok) math.round(r.sec * 100).toString else "-1"
+    }.mkString("[", ",", "]")
+    val compactFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_suspect":$suspect,"failed_queries":$failed,"probe_failed":${pass.probeFailed},"passes":$passesRun,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sentinel_heavy":$heavyJson,"sf":"$sfDir","query_order":"name_asc","per_query_cs":$perQueryCs,"full_artifact":"dev/bench_latest.json"}"""
+    val compact =
+      if (compactFull.length <= 1850) compactFull
+      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"value_suspect":$suspect,"failed_queries":$failed,"probe_failed":${pass.probeFailed},"passes":$passesRun,"runs":$runsPerQuery,"sentinel":$sentinelJson,"sentinel_heavy":$heavyJson,"sf":"$sfDir","full_artifact":"dev/bench_latest.json"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -48,7 +48,30 @@ object QueryCatalog {
     }))
   private def scratchDir(prefix: String): String = {
     scratchHook
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    // scratch prefers tmpfs (/dev/shm): checkpoint fsyncs and arrival-
+    // file round-trips are pure fixed cost in the graded streaming/index
+    // queries, and on a disk-backed /tmp they dominate the micro-batch
+    // machinery (~3 s/query measured). RAM-backed scratch changes no
+    // semantics — every byte is still written, moved and re-read through
+    // the same code paths. Stale sweep first: a kill -9'd JVM never runs
+    // the shutdown hook, and tmpfs leaks are RAM leaks.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isWritable(shm)) {
+        val root = shm.resolve("graft_scratch")
+        java.nio.file.Files.createDirectories(root)
+        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        Option(root.toFile.listFiles()).foreach(_.foreach { f =>
+          if (f.lastModified() < cutoff) {
+            def rm(p: java.io.File): Unit = {
+              Option(p.listFiles()).foreach(_.foreach(rm))
+              p.delete(): Unit
+            }
+            rm(f)
+          }
+        })
+        java.nio.file.Files.createTempDirectory(root, prefix)
+      } else java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(dir)
     dir.toString
   }
@@ -1477,30 +1500,100 @@ object QueryCatalog {
     // BPE merge TRAINING (Sennrich subword learning) — the corpus is
     // touched once (word counts); the k merge iterations run over the
     // O(distinct words) table, which is what makes BPE trainable at
-    // 100 TB. Merge #1 is replayed by the oracle hash-exact (one round
-    // of weighted pair counting IS SQL-expressible; the iterated rewrite
-    // is not); the learned ORDER of rounds 2..k is graded through the
-    // wellformedness and compression booleans, and pinned exactly by
-    // BpeSpec's hand-computed corpus.
+    // 100 TB. The ENTIRE learned 3-merge table is graded hash-exact:
+    // DuckDB replays each round's weighted pair count + tie-break AND
+    // the greedy within-word rewrite (delimiter-fenced leftmost
+    // non-overlapping replace ≡ mergePair), so ranks 2 and 3 — which
+    // depend on earlier rewrites — are independently rebuilt, not
+    // self-asserted. Deeper runs' wellformedness/compression laws are
+    // pinned by BpeSpec's hand-computed corpus.
     ("q_bpe_train",
       (s: SparkSession, d: String) =>
-        Bpe.trainReport(t(s, d, "documents"), "text", numMerges = 20),
-      Some("""WITH t AS (
+        Bpe.train(t(s, d, "documents"), "text", numMerges = 3)
+          .orderBy("rank"),
+      Some("""WITH tk AS (
              |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
              |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
              |  FROM documents),
-             |w AS (SELECT unnest(toks) AS word FROM t),
+             |w AS (SELECT unnest(toks) AS word FROM tk),
              |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
-             |p AS (
-             |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
-             |    sum(n) AS pn
-             |  FROM wc JOIN range(1, 512) t2(i) ON i < len(word)
-             |  GROUP BY 1, 2),
-             |top AS (SELECT l, r, pn FROM p ORDER BY pn DESC, l, r LIMIT 1)
-             |SELECT CAST(20 AS BIGINT) AS n_merges, l AS first_left,
-             |  r AS first_right, CAST(pn AS BIGINT) AS first_count,
-             |  true AS wellformed, true AS compressed
-             |FROM top""".stripMargin)),
+             |s0 AS (SELECT chr(1) || array_to_string(
+             |         regexp_split_to_array(word, ''), chr(1)) || chr(1) AS s, n
+             |       FROM wc),
+             |a1 AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS arr, n FROM s0),
+             |p1 AS (SELECT arr[i] AS l, arr[i+1] AS r, sum(n) AS pn
+             |       FROM a1, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
+             |t1 AS (SELECT l, r, CAST(pn AS BIGINT) AS pn FROM p1
+             |       ORDER BY pn DESC, l, r LIMIT 1),
+             |s1 AS (SELECT replace(s0.s, chr(1)||t1.l||chr(1)||t1.r||chr(1),
+             |         chr(1)||t1.l||t1.r||chr(1)) AS s, s0.n FROM s0, t1),
+             |a2 AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS arr, n FROM s1),
+             |p2 AS (SELECT arr[i] AS l, arr[i+1] AS r, sum(n) AS pn
+             |       FROM a2, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
+             |t2 AS (SELECT l, r, CAST(pn AS BIGINT) AS pn FROM p2
+             |       ORDER BY pn DESC, l, r LIMIT 1),
+             |s2 AS (SELECT replace(s1.s, chr(1)||t2.l||chr(1)||t2.r||chr(1),
+             |         chr(1)||t2.l||t2.r||chr(1)) AS s, s1.n FROM s1, t2),
+             |a3 AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS arr, n FROM s2),
+             |p3 AS (SELECT arr[i] AS l, arr[i+1] AS r, sum(n) AS pn
+             |       FROM a3, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
+             |t3 AS (SELECT l, r, CAST(pn AS BIGINT) AS pn FROM p3
+             |       ORDER BY pn DESC, l, r LIMIT 1)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS rank, l AS "left", r AS "right",
+             |    pn AS pair_count FROM t1
+             |  UNION ALL SELECT 1, l, r, pn FROM t2
+             |  UNION ALL SELECT 2, l, r, pn FROM t3)
+             |ORDER BY rank""".stripMargin)),
+
+    // BPE corpus SEGMENTATION (the train→encode→pack middle step): a
+    // fixed literal merge table so the oracle replays the ENTIRE greedy
+    // algorithm — DuckDB folds the merges in rank order as delimiter-
+    // fenced string replaces (leftmost non-overlapping replace IS the
+    // Sennrich within-word merge), so every (doc, token, subword, id)
+    // row is graded hash-exact, including the rank-priority interaction
+    // (a,t) before (t,a) and the recursive build (ta → tab). Spark side
+    // runs the production kernel: broadcast merge table, in-row
+    // lowest-rank segmentation with a per-partition memo, zero shuffle.
+    ("q_bpe_encode",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),
+          (3L, "l", "e"), (4L, "e", "r")).toDF("rank", "left", "right")
+        Bpe.encode(t(s, d, "documents").filter(col("doc_id") < 100),
+            "doc_id", "text", merges)
+          .orderBy("doc_id", "tok_pos", "sym_pos")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE doc_id < 100 AND trim(text) <> ''),
+             |tok AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tok_pos, a[i] AS w
+             |  FROM t, unnest(range(1, len(a)+1)) AS u(i)),
+             |seg AS (
+             |  SELECT doc_id, tok_pos,
+             |    replace(replace(replace(replace(replace(
+             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1),
+             |      chr(1)||'a'||chr(1)||'t'||chr(1), chr(1)||'at'||chr(1)),
+             |      chr(1)||'t'||chr(1)||'a'||chr(1), chr(1)||'ta'||chr(1)),
+             |      chr(1)||'ta'||chr(1)||'b'||chr(1), chr(1)||'tab'||chr(1)),
+             |      chr(1)||'l'||chr(1)||'e'||chr(1), chr(1)||'le'||chr(1)),
+             |      chr(1)||'e'||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS s
+             |  FROM tok),
+             |sy AS (
+             |  SELECT doc_id, tok_pos,
+             |    list_filter(string_split(s, chr(1)), x -> x <> '') AS arr
+             |  FROM seg),
+             |syms AS (
+             |  SELECT doc_id, tok_pos, CAST(i - 1 AS BIGINT) AS sym_pos,
+             |    arr[i] AS sym
+             |  FROM sy, unnest(range(1, len(arr)+1)) AS u(i))
+             |SELECT doc_id, tok_pos, sym_pos, sym,
+             |  CAST(CASE WHEN length(sym) = 1 THEN unicode(sym)
+             |       WHEN sym = 'at' THEN 65536 WHEN sym = 'ta' THEN 65537
+             |       WHEN sym = 'tab' THEN 65538 WHEN sym = 'le' THEN 65539
+             |       WHEN sym = 'er' THEN 65540 ELSE -1 END AS BIGINT) AS sym_id
+             |FROM syms ORDER BY doc_id, tok_pos, sym_pos""".stripMargin)),
 
     ("q_fingerprints",
       (s: SparkSession, d: String) =>
@@ -2189,19 +2282,23 @@ object QueryCatalog {
 
     // Incremental IVF index growth: build the on-disk index (with its
     // centroid table persisted as part of the index) from HALF the
-    // corpus, append the other half against the persisted centroids, then
-    // prove a persisted-index search over the appended whole equals a
-    // direct in-memory IVF search of the full corpus under the same
-    // centroid table — exceptAll in both directions must be empty. The
-    // q_ivf_recall pattern: a data-derived query count the oracle
-    // replays, plus the equality verdict.
+    // corpus, append the other half against the persisted centroids,
+    // compact, then the GRADED RESULT is the persisted-index search's
+    // actual top-k lists — DuckDB replays the whole pipeline (first-16
+    // centroids of the build half, full-corpus assignment, nprobe
+    // probing, in-cell cosine, top-k), so a regression anywhere in the
+    // write → append → compact → partition-pruned-read path changes the
+    // hashed rows. Deterministic first-N seeding HERE (oracle can't
+    // replay Lloyd; k-means seeding quality is q_ivf_recall's job). The
+    // persisted-equals-direct lifecycle law is enforced by a loud
+    // require, not a self-asserted column.
     ("q_ivf_append",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
         val half = emb.count() / 2
         val a = emb.filter(col("vec_id") < half)
         val b = emb.filter(col("vec_id") >= half)
-        val cents = Similarity.ivfCentroidsKmeans(a, "vec_id", "embedding", cells = 16)
+        val cents = Similarity.ivfCentroids(a, "vec_id", "embedding", cells = 16)
         val path = scratchDir("ivf_append")
         Similarity.ivfWriteIndexWithCentroids(
           Similarity.assignCells(a, "vec_id", "embedding", cents), cents, path)
@@ -2213,16 +2310,47 @@ object QueryCatalog {
         val direct = Similarity.ivfSearch(
           Similarity.assignCells(emb, "vec_id", "embedding", cents), queries,
           cents, "vec_id", "embedding", nprobe = 4, k = 5)
-        val fromDisk = Similarity.ivfSearchIndexPersisted(s, path, queries,
-          "vec_id", "embedding", nprobe = 4, k = 5)
+        val fromDisk = operators.Materialize.once(
+          Similarity.ivfSearchIndexPersisted(s, path, queries,
+            "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
         val extra = direct.exceptAll(fromDisk).count() + fromDisk.exceptAll(direct).count()
-        val nQ = queries.count()
-        import s.implicits._
-        Seq((nQ, extra == 0L)).toDF("n_queries", "append_matches_direct")
+        require(extra == 0L,
+          s"ivf append lifecycle: persisted search diverged from direct ($extra rows)")
+        fromDisk
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
       },
-      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
-             |  true AS append_matches_direct
-             |FROM embeddings WHERE vec_id % 37 = 0""".stripMargin)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |h AS (SELECT count(*) // 2 AS half FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM e, h
+             |          WHERE vec_id < h.half ORDER BY vec_id LIMIT 16),
+             |sc AS (SELECT e.vec_id, c.cell,
+             |    CASE WHEN sqrt(list_inner_product(e.v,e.v)*list_inner_product(c.cv,c.cv)) = 0 THEN 0.0
+             |         ELSE list_inner_product(e.v,c.cv)
+             |              / sqrt(list_inner_product(e.v,e.v)*list_inner_product(c.cv,c.cv)) END AS s
+             |  FROM e CROSS JOIN cents c),
+             |assign AS (SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |    FROM sc) WHERE rn = 1),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |    FROM sc WHERE vec_id % 37 = 0) WHERE rn <= 4),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(CASE WHEN sqrt(list_inner_product(q.v,q.v)*list_inner_product(c2.v,c2.v)) = 0 THEN 0.0
+             |          ELSE list_inner_product(q.v,c2.v)
+             |               / sqrt(list_inner_product(q.v,q.v)*list_inner_product(c2.v,c2.v)) END, 6) AS cosine
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN e c2 ON c2.vec_id = a.vec_id
+             |  WHERE a.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+             |      FROM scored)
+             |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
+             |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // Product quantization (PQ8), graded on the q_ivf_recall planted-block
     // corpus: vectors L2-normalized (unit vectors make PQ's L2 ADC ranking
@@ -2306,23 +2434,32 @@ object QueryCatalog {
         val half = emb.count() / 2
         val a = emb.filter(col("vec_id") < half)
         val b = emb.filter(col("vec_id") >= half)
-        val cents = Similarity.ivfCentroidsKmeans(a, "vec_id", "embedding", cells = 16)
+        // deterministic first-N seeding so the GRADED RESULT is the
+        // persisted quantized search's actual top-k lists: DuckDB replays
+        // f32 probe selection, the round(x/max|v|·127) int8 codes, the
+        // exact-BIGINT int8 cosine, and the top-k — any regression in the
+        // quantize kernel, the int8 scorer, or the write→append→compact→
+        // pruned-read lifecycle changes hashed rows. (K-means seeding
+        // quality stays q_ivf_recall's job.)
+        val cents = Similarity.ivfCentroids(a, "vec_id", "embedding", cells = 16)
         val path = scratchDir("ivf_quant")
         Similarity.ivfWriteIndexQuantized(a, "vec_id", "embedding", cents, path)
         Similarity.ivfAppendIndexQuantized(b, "vec_id", "embedding", path)
         Similarity.ivfCompactIndex(s, path)
         val queries = emb.filter(col("vec_id") % 37 === 0)
-        // each search result feeds exceptAll (both directions) + the
-        // tolerance join — materialize the tiny nQ×k frames once instead
-        // of replaying the whole search pipeline per consumer
         val direct = operators.Materialize.once(
           Similarity.ivfSearchQuantized(emb, queries, cents,
             "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
         val fromDisk = operators.Materialize.once(
           Similarity.ivfSearchIndexQuantized(s, path, queries,
             "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
+        // lifecycle + fidelity laws enforced loudly, not self-asserted:
+        // persisted ≡ direct (both int8), and every returned int8 cosine
+        // within 0.02 of the f32 cosine for the same pair
         val extra = direct.exceptAll(fromDisk).count() +
           fromDisk.exceptAll(direct).count()
+        require(extra == 0L,
+          s"quantized ivf lifecycle: persisted search diverged from direct ($extra rows)")
         val offTol = fromDisk
           .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
             Seq("query_id"))
@@ -2331,14 +2468,51 @@ object QueryCatalog {
           .filter(abs(col("cosine")
             - round(Similarity.cosineF(col("qv"), col("cv")), 6)) > 0.02)
           .count()
-        val nQ = queries.count()
-        import s.implicits._
-        Seq((nQ, extra == 0L, offTol == 0L))
-          .toDF("n_queries", "append_matches_direct", "all_within_tol")
+        require(offTol == 0L,
+          s"quantized ivf fidelity: $offTol results off the f32 cosine by > 0.02")
+        fromDisk
+          .select(col("query_id"), col("neighbor_id"), col("cosine"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy("query_id", "rnk")
       },
-      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
-             |  true AS append_matches_direct, true AS all_within_tol
-             |FROM embeddings WHERE vec_id % 37 = 0""".stripMargin)),
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |h AS (SELECT count(*) // 2 AS half FROM embeddings),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM e, h
+             |          WHERE vec_id < h.half ORDER BY vec_id LIMIT 16),
+             |sc AS (SELECT e.vec_id, c.cell,
+             |    CASE WHEN sqrt(list_inner_product(e.v,e.v)*list_inner_product(c.cv,c.cv)) = 0 THEN 0.0
+             |         ELSE list_inner_product(e.v,c.cv)
+             |              / sqrt(list_inner_product(e.v,e.v)*list_inner_product(c.cv,c.cv)) END AS s
+             |  FROM e CROSS JOIN cents c),
+             |assign AS (SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |    FROM sc) WHERE rn = 1),
+             |probes AS (SELECT vec_id AS query_id, cell FROM (
+             |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+             |    FROM sc WHERE vec_id % 37 = 0) WHERE rn <= 4),
+             |q8 AS (SELECT vec_id,
+             |    CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             |         ELSE list_transform(v, x -> CAST(round(x / ma * 127) AS BIGINT)) END AS q
+             |  FROM (SELECT vec_id, v,
+             |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma
+             |        FROM e)),
+             |scored AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(CASE WHEN sqrt(list_inner_product(qq.q, qq.q)
+             |                         * list_inner_product(cq.q, cq.q)) = 0 THEN 0.0
+             |          ELSE list_inner_product(qq.q, cq.q)
+             |               / sqrt(list_inner_product(qq.q, qq.q)
+             |                      * list_inner_product(cq.q, cq.q)) END, 6) AS cosine
+             |  FROM probes p JOIN assign a ON a.cell = p.cell
+             |  JOIN q8 qq ON qq.vec_id = p.query_id
+             |  JOIN q8 cq ON cq.vec_id = a.vec_id
+             |  WHERE a.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+             |      FROM scored)
+             |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
+             |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // Graph ANN — the third index class beside IVF and PQ: sharded
     // single-layer NSW/HNSW graphs (diversity-heuristic wiring, bounded
@@ -4101,18 +4275,27 @@ object QueryCatalog {
         val nRows = got.count()
         val nDistinct = got.select("event_id").distinct().count()
         val sliceCap = 3L * ((evCount + 7L) / 8L) // round-robin slices are ~even
-        val Array(minId, maxId) = got.agg(min("event_id"), max("event_id"))
-          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        // content-sensitive sums over the SINK (not the source): a
+        // dropped, duplicated or corrupted event anywhere in the
+        // row-group admission path moves them off the oracle's
+        // source-side replay — graded values, not self-asserted booleans
+        val st = got.agg(min("event_id"), max("event_id"),
+          sum("event_id").cast("long"),
+          sum(col("user_id") * col("event_id")).cast("long")).collect()(0)
         import s.implicits._
-        Seq((nRows, minId, maxId,
+        Seq((nRows, nDistinct, st.getLong(0), st.getLong(1), st.getLong(2),
+            st.getLong(3),
             nRows == evCount && nDistinct == evCount,
             batchRows.length == 3,
             batchRows.forall(_ <= sliceCap)))
-          .toDF("n_rows", "min_id", "max_id", "exactly_once",
-            "n_batches_ok", "rate_limited")
+          .toDF("n_rows", "n_distinct", "min_id", "max_id", "id_sum",
+            "content_chk", "exactly_once", "n_batches_ok", "rate_limited")
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
              |  min(event_id) AS min_id, max(event_id) AS max_id,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id * event_id) AS BIGINT) AS content_chk,
              |  true AS exactly_once, true AS n_batches_ok, true AS rate_limited
              |FROM events""".stripMargin)),
 
@@ -4145,17 +4328,26 @@ object QueryCatalog {
         val replayApplied = EpochLedger.exactlyOnceUpsert(
           s, root, ev.limit(10), epochId = 0L, key = "event_id")
         val ledger = EpochLedger.committed(root)
-        val tableRows = PostsTable.read(s, root).count()
+        val table = PostsTable.read(s, root)
+        val tableRows = table.count()
+        // content sums over the COMMITTED TABLE, oracle-replayed from the
+        // source: a lost/doubled epoch moves them even if the counts
+        // happen to agree
+        val st = table.agg(sum("event_id").cast("long"),
+          sum(col("user_id") * col("event_id")).cast("long")).collect()(0)
         import s.implicits._
-        Seq((tableRows,
+        Seq((tableRows, st.getLong(0), st.getLong(1),
             ledger.size == 4,
             ledger.values.sum == tableRows,
             !replayApplied && PostsTable.currentVersion(root).get == vDrained,
             vRerun == vDrained))
-          .toDF("n_rows", "n_epochs_ok", "ledger_matches_table",
-            "replay_skipped", "rerun_noop")
+          .toDF("n_rows", "id_sum", "content_chk", "n_epochs_ok",
+            "ledger_matches_table", "replay_skipped", "rerun_noop")
       },
-      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS n_epochs_ok,
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(user_id * event_id) AS BIGINT) AS content_chk,
+             |  true AS n_epochs_ok,
              |  true AS ledger_matches_table, true AS replay_skipped,
              |  true AS rerun_noop
              |FROM events""".stripMargin)),
@@ -4516,9 +4708,17 @@ object QueryCatalog {
         val approx = rows.groupBy("g").agg(
           approx_count_distinct(col("v"), 0.02).as("_nda"),
           expr("approx_percentile(v, 0.5d, 1000)").as("_p50a"))
-        exact.join(approx, Seq("g"))
+        // the REPLAYABLE sketch beside the builtin one: per-group
+        // HLL-as-data estimates graded cell-exact by the oracle's own
+        // md5/bin register replay over the same generator
+        val hll = Sketches.groupedHllEstimate(rows, "g", "v", 32)
+          .select(col("g").cast("long").as("g"),
+            col("est_distinct").as("hll_est"),
+            col("empty_buckets").as("hll_empty"))
+        exact.join(approx, Seq("g")).join(hll, Seq("g"))
           .select(col("g"), col("n_rows"), col("nd_exact"),
             Sketches.withinRel(col("_nda"), col("nd_exact"), 0.1).as("hll_ok"),
+            col("hll_est"), col("hll_empty"),
             round(col("_p50e"), 4).as("p50_exact"),
             // ~100k near-uniform distinct values: rank error ≤1/accuracy
             // (0.1%) maps to ~0.1% of the value range, so a 5% value
@@ -4528,13 +4728,28 @@ object QueryCatalog {
       },
       Some("""WITH r AS (
              |  SELECT range % 8 AS g, (range * 2654435761) % 100000 AS v
-             |  FROM range(10000000))
-             |SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+             |  FROM range(10000000)),
+             |hh AS (SELECT DISTINCT g,
+             |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM r),
+             |rg AS (SELECT g, h % 32 AS bucket,
+             |    max(least(43, CASE WHEN h // 32 = 0 THEN 44
+             |         ELSE 44 - length(bin(h // 32)) END)) AS reg
+             |  FROM hh GROUP BY 1, 2),
+             |e AS (SELECT g,
+             |    CAST((697 * 1024 * (1::BIGINT << 43))
+             |      // (1000 * (sum(1::BIGINT << CAST(43 - reg AS INT))
+             |                 + (32 - count(*)) * (1::BIGINT << 43)))
+             |      AS BIGINT) AS hll_est,
+             |    CAST(32 - count(*) AS BIGINT) AS hll_empty
+             |  FROM rg GROUP BY g)
+             |SELECT r.g, CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(count(DISTINCT v) AS BIGINT) AS nd_exact,
-             |  true AS hll_ok,
+             |  true AS hll_ok, max(e.hll_est) AS hll_est,
+             |  max(e.hll_empty) AS hll_empty,
              |  round(quantile_cont(v, 0.5), 4) AS p50_exact,
              |  true AS p50_ok
-             |FROM r GROUP BY g ORDER BY g""".stripMargin)),
+             |FROM r JOIN e ON e.g = r.g GROUP BY r.g ORDER BY r.g""".stripMargin)),
 
     // Crosstab of the corpus: docs per source × lang as a wide table — the
     // DuckDB oracle is the equivalent conditional aggregation.
@@ -5240,31 +5455,56 @@ object QueryCatalog {
              |  CAST(truth.true_intersect AS BIGINT) AS true_intersect
              |FROM e CROSS JOIN truth""".stripMargin)),
 
+    // the builtin-sketch tolerance booleans stay, but the row also grades
+    // the REPLAYABLE HLL-as-data estimate (md5/bin register arithmetic —
+    // the q_hll_union discipline) as integer columns the oracle rebuilds
+    // independently: a regression in the sketch machinery itself, not
+    // just its tolerance, now flips hashed cells
     ("q_sketch_checks",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        val tok = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tkn"))
+        val hll = Sketches.hllEstimate(Sketches.hllRegisters(tok, "tkn", 32), 32)
+          .select(col("est_distinct").as("hll_est"),
+            col("empty_buckets").as("hll_empty"))
         Sketches.vocabSize(docs, "text")
           .crossJoin(Sketches.tokenMedian(docs, "text"))
+          .crossJoin(hll)
           .select(
             col("n_distinct_exact"),
             Sketches.withinRel(col("n_distinct_approx"), col("n_distinct_exact"), 0.1)
               .as("hll_ok"),
+            col("hll_est"), col("hll_empty"),
             round(col("p50_exact"), 4).as("p50_exact"),
             Sketches.withinRel(col("p50_approx"), col("p50_exact"), 0.05)
               .as("p50_ok"))
       },
-      Some("""WITH v AS (
-             |  SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS n_distinct_exact
-             |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
-             |        FROM documents WHERE trim(text) <> '')),
+      Some("""WITH tok AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tkn
+             |  FROM documents WHERE trim(text) <> ''),
+             |v AS (SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS n_distinct_exact
+             |      FROM tok),
+             |hh AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(tkn), 1, 12))::BIGINT AS h FROM tok),
+             |hr AS (SELECT h % 32 AS bucket, least(43,
+             |           CASE WHEN h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(h // 32)) END) AS rho FROM hh),
+             |bk AS (SELECT CAST(r.range AS BIGINT) AS bucket FROM range(0, 32) r),
+             |rg AS (SELECT bk.bucket, coalesce(max(hr.rho), 0) AS reg
+             |       FROM bk LEFT JOIN hr ON hr.bucket = bk.bucket GROUP BY 1),
+             |e AS (SELECT CAST((697 * 1024 * (1::BIGINT << 43))
+             |          // (1000 * sum(1::BIGINT << CAST(43 - reg AS INT)))
+             |          AS BIGINT) AS hll_est,
+             |        CAST(count(*) FILTER (WHERE reg = 0) AS BIGINT) AS hll_empty
+             |      FROM rg),
              |q AS (
              |  SELECT quantile_cont(CAST(CASE WHEN trim(text) = '' THEN 0
              |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT), 0.5)
              |    AS p50
              |  FROM documents)
-             |SELECT n_distinct_exact, true AS hll_ok,
+             |SELECT n_distinct_exact, true AS hll_ok, e.hll_est, e.hll_empty,
              |  round(p50, 4) AS p50_exact, true AS p50_ok
-             |FROM v CROSS JOIN q""".stripMargin)),
+             |FROM v CROSS JOIN e CROSS JOIN q""".stripMargin)),
 
     // two-pass exact top-10 tokens (MG candidates → exact recount): the
     // output is the TRUE top-10 because every corpus token sits above
@@ -5290,7 +5530,9 @@ object QueryCatalog {
              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok)
              |SELECT n.n_tokens,
              |  (SELECT CAST(count(*) AS BIGINT) FROM c WHERE cnt > n.n_tokens / 9e0) AS n_heavy_exact,
-             |  true AS all_heavy_covered, true AS est_within_bound
+             |  true AS all_heavy_covered, true AS est_within_bound,
+             |  (SELECT coalesce(string_agg(tkn, ',' ORDER BY tkn), '') FROM c
+             |   WHERE cnt > n.n_tokens / 9e0) AS heavy_covered
              |FROM n""".stripMargin)),
 
     // grouped distinct cardinality: exact + HLL verdict per source (the
@@ -7409,7 +7651,9 @@ object QueryCatalog {
              |SELECT c.g, max(n.n_tokens) AS n_tokens,
              |  CAST(count(*) FILTER (WHERE c.cnt > n.n_tokens / 9e0) AS BIGINT)
              |    AS n_heavy_exact,
-             |  true AS all_heavy_covered, true AS est_within_bound
+             |  true AS all_heavy_covered, true AS est_within_bound,
+             |  coalesce(string_agg(tkn, ',' ORDER BY tkn)
+             |    FILTER (WHERE c.cnt > n.n_tokens / 9e0), '') AS heavy_covered
              |FROM c JOIN n USING (g) GROUP BY c.g ORDER BY g""".stripMargin)),
 
     // Duffield–Lund–Thorup priority sampling: integer priorities
@@ -7431,7 +7675,8 @@ object QueryCatalog {
              |q AS (SELECT item_id, w,
              |    CAST((w * 4294967296) // h AS BIGINT) AS priority FROM h),
              |top AS (SELECT * FROM q ORDER BY priority DESC, item_id LIMIT 51),
-             |tau AS (SELECT CAST(min(priority) AS BIGINT) AS tau FROM top),
+             |tau AS (SELECT CAST(CASE WHEN count(*) < 51 THEN 0
+             |    ELSE min(priority) END AS BIGINT) AS tau FROM top),
              |tot AS (SELECT CAST(sum(w) AS BIGINT) AS true_total FROM w)
              |SELECT s.item_id, s.w, s.priority,
              |  CAST(greatest(s.w, tau.tau) AS BIGINT) AS w_hat,
@@ -8275,18 +8520,21 @@ object QueryCatalog {
              |  FROM part WHERE p_partkey IS NOT NULL),
              |u AS (SELECT h FROM a UNION SELECT h FROM b),
              |bk AS (SELECT CAST(r.range AS BIGINT) AS bucket FROM range(0, 32) r),
-             |ra AS (SELECT bk.bucket, coalesce(max(least(43,
-             |           CASE WHEN a.h // 32 = 0 THEN 44
-             |                ELSE 44 - length(bin(a.h // 32)) END)), 0) AS reg
-             |       FROM bk LEFT JOIN a ON a.h % 32 = bk.bucket GROUP BY 1),
-             |rb AS (SELECT bk.bucket, coalesce(max(least(43,
-             |           CASE WHEN b.h // 32 = 0 THEN 44
-             |                ELSE 44 - length(bin(b.h // 32)) END)), 0) AS reg
-             |       FROM bk LEFT JOIN b ON b.h % 32 = bk.bucket GROUP BY 1),
-             |ru AS (SELECT bk.bucket, coalesce(max(least(43,
-             |           CASE WHEN u.h // 32 = 0 THEN 44
-             |                ELSE 44 - length(bin(u.h // 32)) END)), 0) AS reg
-             |       FROM bk LEFT JOIN u ON u.h % 32 = bk.bucket GROUP BY 1),
+             |ar AS (SELECT h % 32 AS bucket, least(43,
+             |           CASE WHEN h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(h // 32)) END) AS rho FROM a),
+             |br AS (SELECT h % 32 AS bucket, least(43,
+             |           CASE WHEN h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(h // 32)) END) AS rho FROM b),
+             |ur AS (SELECT h % 32 AS bucket, least(43,
+             |           CASE WHEN h // 32 = 0 THEN 44
+             |                ELSE 44 - length(bin(h // 32)) END) AS rho FROM u),
+             |ra AS (SELECT bk.bucket, coalesce(max(ar.rho), 0) AS reg
+             |       FROM bk LEFT JOIN ar ON ar.bucket = bk.bucket GROUP BY 1),
+             |rb AS (SELECT bk.bucket, coalesce(max(br.rho), 0) AS reg
+             |       FROM bk LEFT JOIN br ON br.bucket = bk.bucket GROUP BY 1),
+             |ru AS (SELECT bk.bucket, coalesce(max(ur.rho), 0) AS reg
+             |       FROM bk LEFT JOIN ur ON ur.bucket = bk.bucket GROUP BY 1),
              |m AS (SELECT ra.bucket, greatest(ra.reg, rb.reg) AS reg
              |      FROM ra JOIN rb ON ra.bucket = rb.bucket),
              |e AS (SELECT CAST((697 * 1024 * (1::BIGINT << 43))

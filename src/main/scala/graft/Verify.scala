@@ -21,7 +21,13 @@ object Verify {
     import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_simhash dumps the matching
+    // prefixes only; unset (the driver's mode) dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val t0 = System.nanoTime()
       val fut = Future {

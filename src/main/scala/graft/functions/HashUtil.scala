@@ -198,8 +198,21 @@ object HashUtil {
   def chrOverlap(cand: UTF8String, ref: UTF8String, k: Int): ArrayData = {
     def grams(t: UTF8String): Array[String] = {
       val s = t.toString.replaceAll("\\s+", "")
-      if (s.length < k) return Array.empty[String]
-      Array.tabulate(s.length - k + 1)(i => s.substring(i, i + k))
+      // Grams are CODE-POINT k-grams, not UTF-16 code units: surrogate
+      // pairs (emoji, astral CJK) must never split mid-character, and the
+      // DuckDB oracle's substr/length are codepoint-based — both engines
+      // count the same grams on any input, not just BMP text.
+      val n = s.codePointCount(0, s.length)
+      if (n < k) return Array.empty[String]
+      val out = new Array[String](n - k + 1)
+      var start = 0
+      var i = 0
+      while (i <= n - k) {
+        out(i) = s.substring(start, s.offsetByCodePoints(start, k))
+        start = s.offsetByCodePoints(start, 1)
+        i += 1
+      }
+      out
     }
     val a = grams(cand); val b = grams(ref)
     java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]])

@@ -28,6 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** The base alphabet of a word: one symbol per CODE POINT — surrogate
+    * pairs never split (a bare surrogate half is not a unit any engine
+    * can agree on; DuckDB's codepoint-based split is the oracle side).
+    */
+  private[operators] def codePoints(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      val next = word.offsetByCodePoints(off, 1)
+      out(i) = word.substring(off, next)
+      off = next
+      i += 1
+    }
+    out
+  }
+
   /** Greedy left-to-right non-overlapping merge of (l, r) → l+r. */
   private[operators] def mergePair(syms: List[String], l: String, r: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -44,7 +62,7 @@ object Bpe {
 
   /** Apply a learned merge table (in rank order) to one word. */
   private[operators] def applyMerges(word: String, merges: Seq[(String, String)]): List[String] =
-    merges.foldLeft(word.map(_.toString).toList) { case (syms, (l, r)) =>
+    merges.foldLeft(codePoints(word).toList) { case (syms, (l, r)) =>
       mergePair(syms, l, r)
     }
 
@@ -84,7 +102,7 @@ object Bpe {
       .select(explode(TextAnalysis.tokens(col(text))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString).toList, n) }
+      .map { case (w, n) => (codePoints(w).toList, n) }
       .localCheckpoint(eager = true) // the ONE corpus pass
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 0L
@@ -100,6 +118,109 @@ object Bpe {
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Iterative lowest-rank BPE segmentation of one word — the encoder's
+    * in-row kernel. Equivalent to folding the merge table in rank order
+    * ([[applyMerges]], the Sennrich apply semantics: merging adjacent
+    * symbols can only create pairs INVOLVING the merged symbol, never a
+    * new adjacency of two older symbols, so "lowest available rank
+    * first" and "every rank once, in order" segment identically — the
+    * spec pins the equivalence), but O(len² + len·lookup) per word
+    * INDEPENDENT of merge-table size, vs the fold's O(merges·len):
+    * at a production 64k-merge table the fold is ~10⁴× more work per
+    * token, which is the difference between scan-bound and unusable at
+    * 100 TB.
+    */
+  private[operators] def encodeWord(word: String,
+                                    rankOf: collection.Map[(String, String), Int],
+                                    pairByRank: Array[(String, String)]): List[String] = {
+    var syms: Array[String] = codePoints(word)
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) best = rk
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = pairByRank(best)
+        // greedy left-to-right non-overlapping, exactly [[mergePair]]
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toList
+  }
+
+  /** Corpus SEGMENTATION with a learned merge table — the step between
+    * [[train]] and sequence packing that tokenizes 100 TB of text into
+    * subword units. One row out per (doc, token, subword):
+    * `(doc_id, tok_pos, sym_pos, sym, sym_id)`, positions 0-based, with
+    * the deterministic id scheme `sym_id = codepoint(sym)` for
+    * single-char symbols (corpus-independent) and
+    * `65536 + min rank producing sym` for merged symbols — pure
+    * functions of the merge table, so any engine replays them.
+    *
+    * Scale shape: the merge table (driver-budgeted like k-means
+    * centroids) ships ONCE per executor as a broadcast, and the
+    * segmentation is a zero-shuffle in-row `mapPartitions` scan with a
+    * bounded per-partition word→segmentation memo (natural-language
+    * token frequency is Zipfian — the memo hit rate is the distinct/total
+    * word ratio, typically >95%). Cost class: scan-bound, like every
+    * in-row text kernel in [[TextAnalysis]].
+    */
+  def encode(docs: DataFrame, id: String, text: String,
+             merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeSeq: Array[(String, String)] = merges.orderBy("rank")
+      .select(col("left").cast("string"), col("right").cast("string"))
+      .as[(String, String)].collect()
+    require(mergeSeq.length <= 65536,
+      s"bpeEncode: merge table has ${mergeSeq.length} rows (> 65536) — " +
+        "not a learned-vocab-sized relation")
+    val bc = spark.sparkContext.broadcast(mergeSeq)
+    docs
+      .select(col(id).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(text)).as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val pairs = bc.value
+        val rk = new scala.collection.mutable.HashMap[(String, String), Int]
+        var i = pairs.length - 1
+        while (i >= 0) { rk.put(pairs(i), i); i -= 1 } // earliest rank wins
+        val idOf = new scala.collection.mutable.HashMap[String, Long]
+        i = pairs.length - 1
+        while (i >= 0) { idOf.put(pairs(i)._1 + pairs(i)._2, 65536L + i); i -= 1 }
+        val memo = new java.util.LinkedHashMap[String, List[String]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, List[String]]): Boolean = size > 65536
+        }
+        def symId(s: String): Long =
+          if (s.codePointCount(0, s.length) == 1) s.codePointAt(0).toLong
+          else idOf.getOrElse(s, -1L)
+        it.flatMap { case (d, toks) =>
+          toks.iterator.zipWithIndex.flatMap { case (w, ti) =>
+            var segs = memo.get(w)
+            if (segs == null) { segs = encodeWord(w, rk, pairs); memo.put(w, segs) }
+            segs.iterator.zipWithIndex.map { case (s, si) =>
+              (d, ti.toLong, si.toLong, s, symId(s))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "tok_pos", "sym_pos", "sym", "sym_id")
   }
 
   /** Training self-report for the graded query: merge #1 replayed by the
@@ -121,8 +242,8 @@ object Bpe {
     // well-formed order: each operand is a single char or a previous output
     var built = Set.empty[String]
     val wellformed = merges.forall { case (_, l, r, _) =>
-      val ok = (l.length == 1 || built.contains(l)) &&
-        (r.length == 1 || built.contains(r))
+      val ok = (l.codePointCount(0, l.length) == 1 || built.contains(l)) &&
+        (r.codePointCount(0, r.length) == 1 || built.contains(r))
       built += (l + r)
       ok
     }
@@ -133,7 +254,8 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
       .map { case (w, n) =>
-        (w.length.toLong * n, applyMerges(w, mergeSeq).length.toLong * n)
+        (w.codePointCount(0, w.length).toLong * n,
+          applyMerges(w, mergeSeq).length.toLong * n)
       }
       .toDF("chars", "syms")
       .agg(sum("chars").as("chars"), sum("syms").as("syms"))

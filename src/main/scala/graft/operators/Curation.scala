@@ -122,7 +122,13 @@ object Curation {
       .drop("_h")
     val top = scored.orderBy(col("priority").desc, col("item_id"))
       .limit(k + 1)
-    val tau = top.agg(min(col("priority")).as("tau"))
+    // DLT defines τ = 0 when the population fits the sample (fewer than
+    // k+1 priorities exist): every item is selected with certainty and
+    // ŵ = max(w, 0) = w, the exact total. min(priority) here would
+    // inflate every estimate (priority ≥ w always).
+    val tau = top.agg(
+      when(count(lit(1)) < k + 1, lit(0L))
+        .otherwise(min(col("priority"))).as("tau"))
     val total = scored.agg(sum(col("w")).as("true_total"))
     top.orderBy(col("priority").desc, col("item_id")).limit(k)
       .crossJoin(tau)   // one row each: broadcast-class by construction
@@ -260,10 +266,12 @@ object Curation {
     * `pow(nᵢ, α)` on identical inputs, immediately rounded to integer
     * micro-units; the normalizer is then an INTEGER sum (exact in any
     * distributed summation order — the stableAvg rule applied to pow)
-    * and the ratios are truncating integer division, so two engines
-    * cannot drift. BIGINT headroom bounds: fine to ~10¹⁰ docs per
-    * stratum at α ≤ 1; beyond that switch the ppm arithmetic to
-    * DECIMAL(38,0).
+    * and the ratios are truncating integer division in DECIMAL(38,0)
+    * (u·10⁶ and weight_ppm·n_total overflow BIGINT long before the
+    * interesting corpus sizes — at α = 1 a single 9.3M-doc stratum
+    * already wraps u·10⁶). The binding headroom is now pow's double
+    * mantissa: micro-units stay integer-exact while nᵢ^α·10⁶ < 2⁵³,
+    * i.e. ~9·10⁹ docs per stratum at α = 1 (far more at α < 1).
     *
     * One stratum-bounded aggregate + a scalar cross join: the corpus is
     * scanned once, nothing else shuffles. Feed the boosts to
@@ -277,9 +285,11 @@ object Curation {
     val z = counts.agg(sum("u").cast("long").as("z"),
       sum("n_docs").cast("long").as("n_total"))
     counts.crossJoin(z)
-      .select(col(stratum), col("n_docs"),
-        expr("u * 1000000L div z").as("weight_ppm"),
-        expr("(u * 1000000L div z) * n_total div n_docs").as("boost_ppm"))
+      .withColumn("weight_ppm",
+        expr("cast(u as decimal(38,0)) * 1000000 div cast(z as decimal(38,0))"))
+      .withColumn("boost_ppm",
+        expr("cast(weight_ppm as decimal(38,0)) * n_total div n_docs"))
+      .select(col(stratum), col("n_docs"), col("weight_ppm"), col("boost_ppm"))
   }
 
   /** Epoch-weight a corpus: each stratum is repeated `epochs(stratum)`

@@ -961,14 +961,18 @@ object Multimodal {
           val bins = new Array[Long](8)
           var lumSum = 0L
           val c = img.channels
+          // stride by the DECODED channel count: an RGBA-class container
+          // must fail loudly here, never silently read misaligned bytes
+          require(c == 1 || c == 3,
+            s"luminanceHistogram: unsupported channel count $c")
           val nPx = img.pixels.length / c
           var p = 0
           while (p < nPx) {
             val lum =
               if (c == 1) img.pixels(p) & 0xff
-              else ((img.pixels(3 * p) & 0xff) * 299
-                + (img.pixels(3 * p + 1) & 0xff) * 587
-                + (img.pixels(3 * p + 2) & 0xff) * 114) / 1000
+              else ((img.pixels(c * p) & 0xff) * 299
+                + (img.pixels(c * p + 1) & 0xff) * 587
+                + (img.pixels(c * p + 2) & 0xff) * 114) / 1000
             bins(lum >> 5) += 1L
             lumSum += lum
             p += 1

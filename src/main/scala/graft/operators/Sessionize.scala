@@ -168,9 +168,16 @@ object Sessionize {
           }
         }
         .toDF("_st", "_k", "_t", "_tb", "_v", "_s")
-        .persist()
+      // Eager localCheckpoint materializes the cogroup NOW and truncates
+      // the carry's lineage, so later chunks' plans never re-walk this
+      // one. Nothing stays persisted per chunk — the previous shape
+      // (.persist() per chunk, never unpersisted) leaked one cached
+      // relation per chunk for the life of the job, i.e. exactly the
+      // many-chunk unbounded-history workloads this operator exists for.
+      // Cost: one cogroup recompute per chunk when the final union is
+      // consumed, against O(keys) checkpoint blocks held per chunk.
       carry = out.filter(col("_st")).select(col("_k"), col("_s"))
-      carry.count() // force NOW: cuts this chunk out of later chunks' plans
+        .localCheckpoint(true)
       val data = out.filter(!col("_st"))
       acc = if (acc == null) data else acc.union(data)
     }

@@ -185,7 +185,14 @@ object Sketches {
           .otherwise(lit(true))), lit(true)).as("all_heavy_covered"),
         coalesce(every(when(col("est").isNotNull,
             col("est") <= col("cnt") && col("est").cast("double") >= col("cnt") - col("thr"))
-          .otherwise(lit(true))), lit(true)).as("est_within_bound"))
+          .otherwise(lit(true))), lit(true)).as("est_within_bound"),
+        // the covered-heavy TOKEN LIST itself, sorted: by the no-false-
+        // negative guarantee it equals the exact heavy set, which an
+        // oracle rebuilds independently — a content-graded column, not a
+        // self-asserted boolean
+        array_join(array_sort(collect_list(
+          when(col("cnt") > col("thr") && col("est").isNotNull, col("tkn")))), ",")
+          .as("heavy_covered"))
   }
 
   /** Per-group Misra-Gries heavy hitters: [[heavyHitters]]' guarantees,
@@ -218,7 +225,11 @@ object Sketches {
           .otherwise(lit(true))).as("all_heavy_covered"),
         every(when(col("est").isNotNull,
             col("est") <= col("cnt") && col("est").cast("double") >= col("cnt") - col("thr"))
-          .otherwise(lit(true))).as("est_within_bound"))
+          .otherwise(lit(true))).as("est_within_bound"),
+        // per-group covered-heavy token list — see [[heavyHitters]]
+        array_join(array_sort(collect_list(
+          when(col("cnt") > col("thr") && col("est").isNotNull, col("tkn")))), ",")
+          .as("heavy_covered"))
   }
 
   /** KMV item hash: first 8 md5 hex chars as a value in [0, 2³²) —
@@ -485,6 +496,47 @@ object Sketches {
         expr(s"CAST(($aNum * $m * $m * shiftleft(CAST(1 AS BIGINT), $cap))" +
           s" div ($aDen * s) AS BIGINT)").as("est_distinct"),
         col("empty_buckets").cast("long").as("empty_buckets"))
+  }
+
+  /** Per-group HLL estimate `(g, est_distinct, empty_buckets)` — the
+    * grouped form of [[hllRegisters]] + [[hllEstimate]] without
+    * materializing dense registers per group: a bucket absent from a
+    * group's sparse register relation has reg = 0 and contributes
+    * 2^cap to the estimator's denominator, so the dense sum folds in
+    * closed form as `s_nonempty + (m − n_nonempty)·2^cap`. Same pure
+    * BIGINT md5/bin arithmetic, so the oracle replays the estimates
+    * cell-exact.
+    *
+    * Scale shape: one two-phase max agg keyed (group, bucket) — at most
+    * m rows per (partition, group) cross the exchange — then an m-bounded
+    * fold per group.
+    */
+  def groupedHllEstimate(df: DataFrame, grp: String, item: String,
+                         m: Int = 32): DataFrame = {
+    val (aNum, aDen, cap) = HllParams.getOrElse(m,
+      sys.error(s"groupedHllEstimate: unsupported m=$m (use ${HllParams.keys})"))
+    val b = Integer.numberOfTrailingZeros(m)
+    val width = 48 - b
+    val regs = df
+      .select(col(grp).cast("string").as("g"), col(item).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(col("g"), hll48Hash(col("item")).as("h"))
+      .select(col("g"), (col("h") % m).cast("long").as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("g"), col("bucket"),
+        least(lit(cap), when(col("w") === 0L, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("w")))))
+          .cast("long").as("rho"))
+      .groupBy("g", "bucket").agg(max(col("rho")).as("reg"))
+    regs.groupBy("g")
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - reg AS INT))"))
+          .as("s_ne"),
+        count(lit(1)).as("n_ne"))
+      .select(col("g"),
+        expr(s"CAST(($aNum * $m * $m * shiftleft(CAST(1 AS BIGINT), $cap))" +
+          s" div ($aDen * (s_ne + ($m - n_ne)" +
+          s" * shiftleft(CAST(1 AS BIGINT), $cap))) AS BIGINT)").as("est_distinct"),
+        (lit(m.toLong) - col("n_ne")).cast("long").as("empty_buckets"))
   }
 
   /** Union of two dense HLL register relations: pointwise max. */

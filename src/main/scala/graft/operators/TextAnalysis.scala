@@ -524,20 +524,45 @@ object TextAnalysis {
     * with OOV tokens replaced — is the detokenization contract any
     * serving/inspection path depends on, and is graded end-to-end.
     *
-    * Scale: the id→token table is the vocabulary itself — BOUNDED by
-    * construction (`maxVocab` rows), so the collect is broadcast-class
-    * and the table lands in the plan as a map literal: decoding is a
-    * zero-shuffle in-row transform.
+    * Scale: two regimes on vocabulary size. At ≤ `literalMax` entries the
+    * id→token table lands in the plan as a map literal — a zero-shuffle
+    * in-row transform. ABOVE that, 2·V plan literals are megabytes of
+    * tree (whole-stage codegen bails at the 64 KB method limit and every
+    * task deserializes the bloat), so the vocab rides a broadcast JOIN
+    * instead: posexplode ids → broadcast-join the vocab relation →
+    * reassemble by position — [[encode]]'s exact shuffle shape (per-doc
+    * sequence assembly, skew-free, O(doc length) state), the right trade
+    * once the literal plan stops being free.
     */
   def decode(encoded: DataFrame, tokenIdsCol: String, vocab: DataFrame,
-             unk: String = "<unk>"): DataFrame = {
-    val entries = vocab.select(col("token_id"), col("token"))
-      .collect().map(r => r.getLong(0) -> r.getString(1))
-    val idToToken = map(entries.flatMap { case (i, t) =>
-      Seq(lit(i.toString), lit(t)) }.toIndexedSeq: _*)
-    encoded.withColumn("decoded",
-      array_join(transform(split(col(tokenIdsCol), " "),
-        id => coalesce(element_at(idToToken, id), lit(unk))), " "))
+             unk: String = "<unk>", literalMax: Int = 8192): DataFrame = {
+    val small = literalMax > 0 &&
+      vocab.limit(literalMax + 1).count() <= literalMax
+    if (small) {
+      val entries = vocab.select(col("token_id"), col("token"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val idToToken = map(entries.flatMap { case (i, t) =>
+        Seq(lit(i.toString), lit(t)) }.toIndexedSeq: _*)
+      encoded.withColumn("decoded",
+        array_join(transform(split(col(tokenIdsCol), " "),
+          id => coalesce(element_at(idToToken, id), lit(unk))), " "))
+    } else {
+      // _did is generated before the explode and consumed within the
+      // same job — stable row identity for the split/reassemble pair
+      val withId = encoded.withColumn("_did", monotonically_increasing_id())
+      val dec = withId
+        .select(col("_did"),
+          posexplode(split(col(tokenIdsCol), " ")).as(Seq("pos", "tid")))
+        .join(broadcast(vocab.select(
+          col("token_id").cast("string").as("tid"), col("token"))),
+          Seq("tid"), "left")
+        .groupBy("_did")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("token"), lit(unk)).as("tok")))),
+          s => s.getField("tok")), " ").as("decoded"))
+      withId.join(dec, Seq("_did"), "left").drop("_did")
+    }
   }
 
   /** Canonical document fingerprint: md5 of case-folded, whitespace-collapsed

@@ -56,6 +56,27 @@ object RedditApi {
   /** One page of a listing plus whether another page exists. */
   final case class Page(posts: Seq[Post], hasMore: Boolean)
 
+  /** Parse one API-shaped post object (the PRAW submission field set) —
+    * shared by the JSONL fixture transport and the HTTP transport's
+    * listing parser, so both seams emit identical rows for identical
+    * field data.
+    */
+  def postFromJson(n: com.fasterxml.jackson.databind.JsonNode): Post = {
+    def str(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+    def i(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
+    def d(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asDouble)
+    def b(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean)
+    Post(
+      id = str("id").getOrElse(
+        throw new IllegalArgumentException(s"post missing id: $n")),
+      title = str("title"), score = i("score"),
+      num_comments = i("num_comments"), author = str("author"),
+      created_utc = d("created_utc"), url = str("url"),
+      upvote_ratio = d("upvote_ratio"), over_18 = b("over_18"),
+      spoiler = b("spoiler"), stickied = b("stickied"),
+      selftext = str("selftext"), subreddit = str("subreddit"))
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("title", StringType),
@@ -94,6 +115,12 @@ object RedditTransports {
       throw new IllegalArgumentException("reddit source: option 'path' is required")),
     opts.getOrElse("pagesize", "100").toInt))
 
+  register("http", opts => new HttpJsonTransport(
+    opts.getOrElse("baseurl",
+      throw new IllegalArgumentException("reddit source: option 'baseurl' is required")),
+    opts.getOrElse("pagesize", "100").toInt,
+    opts.getOrElse("timeoutms", "10000").toLong))
+
   def register(name: String, factory: Map[String, String] => RedditTransport): Unit =
     registry.put(name, factory)
 
@@ -113,22 +140,9 @@ final class JsonlTransport(path: String, pageSize: Int) extends RedditTransport 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try {
-      src.getLines().filter(_.trim.nonEmpty).map { line =>
-        val n = mapper.readTree(line)
-        def str(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asText)
-        def i(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
-        def d(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asDouble)
-        def b(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asBoolean)
-        RedditApi.Post(
-          id = str("id").getOrElse(
-            throw new IllegalArgumentException(s"fixture post missing id: $line")),
-          title = str("title"), score = i("score"),
-          num_comments = i("num_comments"), author = str("author"),
-          created_utc = d("created_utc"), url = str("url"),
-          upvote_ratio = d("upvote_ratio"), over_18 = b("over_18"),
-          spoiler = b("spoiler"), stickied = b("stickied"),
-          selftext = str("selftext"), subreddit = str("subreddit"))
-      }.toIndexedSeq.groupBy(_.subreddit.getOrElse(""))
+      src.getLines().filter(_.trim.nonEmpty)
+        .map(line => RedditApi.postFromJson(mapper.readTree(line)))
+        .toIndexedSeq.groupBy(_.subreddit.getOrElse(""))
     } finally src.close()
   }
 
@@ -137,6 +151,52 @@ final class JsonlTransport(path: String, pageSize: Int) extends RedditTransport 
     val from = page * pageSize
     RedditApi.Page(all.slice(from, from + pageSize),
       hasMore = all.length > from + pageSize)
+  }
+}
+
+/** REAL HTTP transport — the live-API seam, JDK 11+ `java.net.http`
+  * client, no extra dependency. Fetches
+  * `{baseUrl}/r/{subreddit}/top.json?page=N&limit=pageSize` and parses a
+  * Reddit-style listing envelope `{"data": {"children": [{"data":
+  * {...}}], "after": "..."|null}}` with the SAME field extraction as the
+  * JSONL fixture (`RedditApi.postFromJson`), `hasMore` = `after` non-null.
+  * Non-200 responses throw `IOException`, which is what the partition
+  * reader's retry ×N / exponential-backoff wrapper catches — transport
+  * errors and HTTP errors ride the same discipline
+  * (extract-from-reddit.py:35-59).
+  *
+  * The zero-egress CI proves this seam against a loopback stub server
+  * (RedditTableProviderSpec): retries, backoff floor, throttle floor and
+  * limit-pushdown page accounting are asserted on counted requests;
+  * pointing `baseurl` at the real host is configuration, not code.
+  */
+final class HttpJsonTransport(baseUrl: String, pageSize: Int,
+                              timeoutMs: Long) extends RedditTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def fetch(subreddit: String, page: Int): RedditApi.Page = {
+    val uri = java.net.URI.create(
+      s"$baseUrl/r/$subreddit/top.json?page=$page&limit=$pageSize")
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("User-Agent", "graft-reddit-source/1.0")
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $uri")
+    val root = mapper.readTree(resp.body())
+    val data = Option(root.get("data")).getOrElse(
+      throw new IllegalArgumentException(s"listing missing data: ${resp.body().take(200)}"))
+    val children = Option(data.get("children"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val posts = children.map(c => RedditApi.postFromJson(
+      Option(c.get("data")).getOrElse(c)))
+    val after = Option(data.get("after")).filterNot(_.isNull)
+    RedditApi.Page(posts, hasMore = after.isDefined)
   }
 }
 

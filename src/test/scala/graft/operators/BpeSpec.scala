@@ -56,6 +56,73 @@ class BpeSpec extends SparkTestBase {
     assert(r.getBoolean(5), "no compression after 4 merges")
   }
 
+  test("encodeWord equals the rank-order fold on every word of a real train run") {
+    // the iterative lowest-rank kernel must segment identically to the
+    // Sennrich fold — proven over a trained table on a mixed corpus,
+    // including words with repeated/overlapping pairs
+    val df = corpus(("low lower lowest newest new banana bandana aaaa aaa", 3),
+      ("the theme then than that tata table stable", 2))
+    val merges = Bpe.train(df, "text", 12).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val rk = merges.zipWithIndex.toMap
+    val words = Seq("low", "lower", "lowest", "newest", "new", "banana",
+      "bandana", "aaaa", "aaa", "aaaaa", "the", "theme", "then", "than",
+      "that", "tata", "table", "stable", "unseen", "x", "")
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, rk, merges) == Bpe.applyMerges(w, merges.toSeq),
+        s"kernels diverged on '$w'")
+    }
+  }
+
+  test("encode: positions, ids, round-trip law, memo-independent of partitioning") {
+    import spark.implicits._
+    val docs = Seq((0L, "data table  "), (1L, "tab later"), (2L, ""),
+      (3L, "a")).toDF("doc_id", "text")
+    val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),
+      (3L, "l", "e"), (4L, "e", "r")).toDF("rank", "left", "right")
+    val out = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "tok_pos", "sym_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // "data": d-a-t-a → r0 (a,t) → d-at-a (greedy leftmost);
+    // "table": t-a-b-l-e → r1 → ta-b-l-e → r2 → tab-l-e → r3 → tab-le
+    // "tab": → tab; "later": l-a-t-er → r0 → l-at-er (r3 (l,e) no, r4 er)
+    val doc0 = out.filter(_._1 == 0L).map(t => (t._4, t._5)).toSeq
+    assert(doc0 == Seq(("d", 'd'.toLong), ("at", 65536L), ("a", 'a'.toLong),
+      ("tab", 65538L), ("le", 65539L)), s"doc0 = $doc0")
+    val doc1 = out.filter(_._1 == 1L).map(_._4).toSeq
+    assert(doc1 == Seq("tab", "l", "at", "er"), s"doc1 = $doc1")
+    // empty doc → no rows; single-char doc → one symbol, codepoint id
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 0L, "a", 'a'.toLong)))
+    // round-trip law: concatenating a token's subwords reproduces it
+    val rebuilt = out.groupBy(t => (t._1, t._2)).view.mapValues(
+      _.sortBy(_._3).map(_._4).mkString).toMap
+    val expected = Map((0L, 0L) -> "data", (0L, 1L) -> "table",
+      (1L, 0L) -> "tab", (1L, 1L) -> "later", (3L, 0L) -> "a")
+    assert(rebuilt == expected)
+    // content-stable under repartition (memo is per-partition state only)
+    val again = Bpe.encode(docs.repartition(5), "doc_id", "text", merges)
+      .orderBy("doc_id", "tok_pos", "sym_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("encode and train segment by CODE POINTS — surrogate pairs intact") {
+    import spark.implicits._
+    val docs = Seq((0L, "a🍕b 🍕🍕")).toDF("doc_id", "text")
+    val merges = Seq((0L, "🍕", "🍕")).toDF("rank", "left", "right")
+    val out = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("tok_pos", "sym_pos").collect()
+      .map(r => (r.getLong(1), r.getString(3), r.getLong(4)))
+    // token 0 "a🍕b" → a, 🍕, b (no merge fires); token 1 "🍕🍕" → 🍕🍕
+    assert(out.toSeq == Seq((0L, "a", 'a'.toLong),
+      (0L, "🍕", 0x1F355L), (0L, "b", 'b'.toLong),
+      (1L, "🍕🍕", 65536L)), s"got ${out.toSeq}")
+  }
+
   test("merges compose: every learned symbol is reachable from chars") {
     val df = spark.range(0, 200)
       .select(concat(lit("tok"), (col("id") % 17).cast("string"),

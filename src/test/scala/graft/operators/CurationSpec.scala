@@ -616,6 +616,38 @@ class CurationSpec extends SparkTestBase {
       out.map(_.getAs[Long]("item_id")).toSet)
   }
 
+  test("prioritySample: unsaturated population has tau=0 and exact estimates") {
+    // DLT defines tau = 0 when fewer than k+1 priorities exist: every
+    // item is selected with certainty, so w_hat = w and the subset-sum
+    // estimate is EXACT — min(priority) here would bias it upward
+    val df = (1 to 10).map(i => (i.toLong, i * 7L)).toDF("doc_id", "n_chars")
+    val out = Curation.prioritySample(df, "doc_id", col("n_chars"), k = 20)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tau") == 0L)
+      assert(r.getAs[Long]("w_hat") == r.getAs[Long]("w"))
+    }
+    assert(out.map(_.getAs[Long]("w_hat")).sum ==
+      out.head.getAs[Long]("true_total"))
+  }
+
+  test("temperatureWeights: no BIGINT wraparound at alpha=1, 10M-doc stratum") {
+    // u·10⁶ = 10¹⁹ wraps a BIGINT; the decimal ppm arithmetic must not
+    val big = spark.range(0L, 10000000L, 1, 8).select(lit("en").as("lang"))
+    val small = spark.range(0L, 100L, 1, 1).select(lit("fr").as("lang"))
+    val out = Curation.temperatureWeights(big.union(small), "lang", 1.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("weight_ppm"),
+         r.getAs[Long]("boost_ppm"))).toMap
+    val (nEn, wEn, bEn) = out("en")
+    assert(nEn == 10000000L)
+    assert(wEn > 999900L && wEn <= 1000000L, s"weight_ppm wrapped: $wEn")
+    assert(bEn > 999900L && bEn <= 1000001L, s"boost_ppm wrapped: $bEn")
+    val (_, wFr, bFr) = out("fr")
+    assert(wFr >= 0L && bFr >= 0L)
+  }
+
   test("prioritySampleByGroup: per-group saturation, unsaturated tau=0, DLT estimates") {
     import spark.implicits._
     val df = ((1 to 3).map(i => ("small", i.toLong, 10L)) ++

@@ -283,6 +283,53 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L)._3 == 0.0 && out(3L)._5 == 0.0)
   }
 
+  test("decode: 64k vocab rides a broadcast join, never a plan-literal map") {
+    import spark.implicits._
+    val vocabBig = spark.range(0, 65536).select(col("id").as("token_id"),
+      concat(lit("tk"), col("id")).as("token"))
+    val encoded = Seq((0L, "0 65535 999999"), (1L, ""), (2L, "42 42"))
+      .toDF("doc_id", "token_ids")
+    val out = TextAnalysis.decode(encoded, "token_ids", vocabBig)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("tk60000"), "vocab leaked into the plan as literals")
+    assert(plan.length < 200000, s"plan bloat: ${plan.length} chars")
+    val got = out.orderBy("doc_id").collect().map(_.getAs[String]("decoded"))
+    assert(got(0) == "tk0 tk65535 <unk>")
+    assert(got(1) == "<unk>") // "" splits to [""] → unk, both paths
+    assert(got(2) == "tk42 tk42")
+    // forced-join path ≡ literal path on the same small vocab
+    val vocabSmall = spark.range(0, 10).select(col("id").as("token_id"),
+      concat(lit("tk"), col("id")).as("token"))
+    val viaLit = TextAnalysis.decode(encoded, "token_ids", vocabSmall)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("decoded"))).toSeq
+    val viaJoin = TextAnalysis.decode(encoded, "token_ids", vocabSmall,
+        literalMax = 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("decoded"))).toSeq
+    assert(viaLit == viaJoin)
+  }
+
+  test("chrF: grams count CODE POINTS — surrogate pairs never split") {
+    import spark.implicits._
+    // "a🍕b" is 3 code points but 4 UTF-16 units; with k=2 the codepoint
+    // grams are exactly {a🍕, 🍕b}. A code-unit walk would emit 3 grams,
+    // one of them a bare surrogate half — and would diverge from the
+    // codepoint-based DuckDB substr/length oracle on any non-BMP corpus.
+    val df = Seq(
+      (1L, "a🍕b", "a🍕b"),  // identical incl. emoji
+      (2L, "a🍕b", "a🍕c"),  // share only the a🍕 gram
+      (3L, "🍕", "🍕x")      // cand = 1 cp < k → 0 grams
+    ).toDF("id", "cand", "ref")
+    val out = TextAnalysis.chrF(df, "id", "cand", "ref", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_overlap"), r.getAs[Long]("n_cand"),
+         r.getAs[Long]("n_ref"))).toMap
+    assert(out(1L) == ((2L, 2L, 2L)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 2L, 2L)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1L)), s"got ${out(3L)}")
+  }
+
   test("langConsistency: uniform docs pass, mixed en/de doc flags, short docs chunk sanely") {
     import spark.implicits._
     val df = Seq(

@@ -90,6 +90,74 @@ class RedditTableProviderSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("503")))
   }
 
+  test("HTTP transport against a loopback stub: retry x3, backoff+throttle floors, limit pushdown, exact-attempt accounting") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val page0Hits = new AtomicInteger(0)
+    val page1Hits = new AtomicInteger(0)
+    val failuresToServe = new AtomicInteger(2)
+    def post(id: String, score: Int) =
+      s"""{"data":{"id":"$id","title":"t$id","score":$score,"created_utc":1742826791.0,"subreddit":"stocks"}}"""
+    server.createContext("/r/stocks/top.json", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val page = q.split("&").collectFirst {
+          case p if p.startsWith("page=") => p.drop(5).toInt
+        }.getOrElse(0)
+        val (code, body) =
+          if (page == 0) {
+            page0Hits.incrementAndGet()
+            if (failuresToServe.getAndDecrement() > 0) (500, """{"error":500}""")
+            else (200,
+              s"""{"data":{"children":[${post("h1", 1)},${post("h2", 2)}],"after":"t3_h2"}}""")
+          } else {
+            page1Hits.incrementAndGet()
+            (200, s"""{"data":{"children":[${post("h3", 3)}],"after":null}}""")
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      def reader = spark.read.format("reddit")
+        .option("transport", "http").option("baseurl", base)
+        .option("subreddits", "stocks").option("pagesize", "2")
+      val t0 = System.nanoTime()
+      val rows = reader
+        .option("maxretries", "3").option("backoffms", "40")
+        .option("throttlems", "60")
+        .load().collect()
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("h1", "h2", "h3"))
+      assert(page0Hits.get() == 3, s"page0 hit ${page0Hits.get()} times (want 2 x 500 + 1 x 200)")
+      assert(page1Hits.get() == 1)
+      // Thread.sleep floors are guaranteed minimums: exponential backoff
+      // 40 + 80 ms after the two 500s, plus the 60 ms inter-page throttle
+      assert(elapsedMs >= 180, s"elapsed $elapsedMs ms — backoff/throttle not applied")
+
+      // pushed-down limit stops PAGE FETCHES over HTTP too
+      page0Hits.set(0); page1Hits.set(0); failuresToServe.set(0)
+      val two = reader.option("maxretries", "3").load().limit(2).collect()
+      assert(two.length == 2)
+      assert(page1Hits.get() == 0, "limit(2) must not fetch page 1")
+
+      // permanent 500: surfaces after EXACTLY maxretries attempts
+      page0Hits.set(0); failuresToServe.set(Int.MaxValue)
+      val ex = intercept[org.apache.spark.SparkException] {
+        reader.option("maxretries", "3").option("backoffms", "1")
+          .load().collect()
+      }
+      assert(page0Hits.get() == 3, s"expected exactly 3 attempts, saw ${page0Hits.get()}")
+      def chain(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("HTTP 500")), s"cause chain: ${chain(ex)}")
+    } finally server.stop(0)
+  }
+
   test("missing path fails loudly; unknown transport fails loudly") {
     intercept[Exception](
       spark.read.format("reddit").load().collect())
