@@ -1154,9 +1154,15 @@ object QueryCatalog {
         // the interpolated exact percentile can sit between far-apart
         // elements, so value tolerance is the wrong check): the returned
         // element's rank interval [count(<a), count(<=a)]/n must bracket
-        // the target quantile within the accuracy bound
+        // the target quantile within the accuracy bound. Beside the
+        // builtin t-digest (not engine-replayable, hence booleans), the
+        // row also grades a REPLAYABLE quantile sketch: bottom-64-by-md5
+        // row sample per group (deterministic uniform draw, O(64) heap
+        // state map-side via topk_pairs — never a per-group window), with
+        // its lower-median a hash-graded DATA VALUE the oracle rebuilds.
         val nt = TextAnalysis.tokenCount(col("text")).cast("long")
-        val docs = t(s, d, "documents").select(col("source"), nt.as("nt"))
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), nt.as("nt"))
           .localCheckpoint(false)
         val approx = docs.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
@@ -1164,6 +1170,17 @@ object QueryCatalog {
           expr("approx_percentile(nt, 0.5d, 1000)").as("_p50a"),
           expr("percentile(nt, 0.9d)").as("_p90e"),
           expr("approx_percentile(nt, 0.9d, 1000)").as("_p90a"))
+        val sampled = docs
+          .withColumn("_h", conv(substring(md5(concat(lit("qs:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .groupBy("source")
+          .agg(graft.functions.topk_pairs(-col("_h"), col("nt"), 64).as("_top"))
+          .select(col("source"),
+            array_sort(expr("transform(_top, p -> p.id)")).as("_vals"))
+          .select(col("source"),
+            element_at(col("_vals"), ((size(col("_vals")) + 1) / 2)
+              .cast("int")).as("p50_sample"),
+            size(col("_vals")).cast("long").as("n_sample"))
         val eps = 0.02 // >= 1/accuracy, plus slack
         def rankOk(a: Column, q: Double): Column =
           (count(when(col("nt") <= a, 1)).cast("double") / count(lit(1)) >= q - eps) &&
@@ -1176,16 +1193,32 @@ object QueryCatalog {
             rankOk(col("_p50a"), 0.5).as("p50_ok"),
             round(max(col("_p90e")), 4).as("p90_exact"),
             rankOk(col("_p90a"), 0.9).as("p90_ok"))
+          .join(broadcast(sampled), Seq("source"))
           .orderBy("source")
       },
       Some("""WITH n AS (
-             |  SELECT source, CAST(CASE WHEN trim(text) = '' THEN 0
+             |  SELECT doc_id, source, CAST(CASE WHEN trim(text) = '' THEN 0
              |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
-             |  FROM documents)
-             |SELECT source, count(*) AS n_docs,
+             |  FROM documents),
+             |h AS (SELECT source, nt,
+             |    ('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+             |  FROM n),
+             |samp AS (SELECT source, nt FROM (
+             |    SELECT source, nt,
+             |      row_number() OVER (PARTITION BY source ORDER BY h, nt) AS rn
+             |    FROM h) WHERE rn <= 64),
+             |med AS (SELECT source, nt AS p50_sample, m AS n_sample FROM (
+             |    SELECT source, nt,
+             |      row_number() OVER (PARTITION BY source ORDER BY nt) AS r,
+             |      count(*) OVER (PARTITION BY source) AS m
+             |    FROM samp) WHERE r = (m + 1) // 2)
+             |SELECT n.source, count(*) AS n_docs,
              |  round(quantile_cont(nt, 0.5), 4) AS p50_exact, true AS p50_ok,
-             |  round(quantile_cont(nt, 0.9), 4) AS p90_exact, true AS p90_ok
-             |FROM n GROUP BY source ORDER BY source""".stripMargin)),
+             |  round(quantile_cont(nt, 0.9), 4) AS p90_exact, true AS p90_ok,
+             |  max(med.p50_sample) AS p50_sample,
+             |  CAST(max(med.n_sample) AS BIGINT) AS n_sample
+             |FROM n JOIN med ON med.source = n.source
+             |GROUP BY n.source ORDER BY n.source""".stripMargin)),
 
     // Trailing 1-hour moving average per user, RANGE-framed over epoch
     // millis on BOTH engines (a time-cast frame would truncate sub-second
@@ -1438,6 +1471,42 @@ object QueryCatalog {
              |        / greatest(length(text), 1), 4) AS punct_ratio
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Encoding-damage census on a corpus with PLANTED mojibake (both
+    // engines apply the same deterministic damage: double-encoded UTF-8
+    // + U+FFFD on the %7 stripe, C1 controls on the %11 stripe): every
+    // count and the BIGINT ppm score graded cell-exact. The oracle
+    // builds its character classes with chr() — RE2 has no \uXXXX.
+    ("q_encoding_quality",
+      (s: SparkSession, d: String) => {
+        val damaged = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" cafÃ© � naÃ¯ve")))
+          .when(col("doc_id") % 11 === 0,
+            concat(lit("\u0085bad\u0092ctrl "), col("text")))
+          .otherwise(col("text")).as("text"))
+        TextAnalysis.encodingQuality(damaged, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169)
+             |           || ' ' || chr(65533) || ' na' || chr(195) || chr(175) || 've'
+             |         WHEN doc_id % 11 = 0 THEN chr(133) || 'bad' || chr(146) || 'ctrl ' || text
+             |         ELSE text END AS t
+             |  FROM documents),
+             |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             |    CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT)
+             |      AS n_replacement,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[' || chr(128) || '-' || chr(159) || ']', '', 'g')) AS BIGINT)
+             |      AS n_c1_controls,
+             |    CAST(len(regexp_extract_all(t, '[' || chr(194) || chr(195) || ']['
+             |      || chr(128) || '-' || chr(191) || ']')) AS BIGINT) AS n_double_utf8
+             |  FROM p)
+             |SELECT doc_id, n_chars, n_replacement, n_c1_controls, n_double_utf8,
+             |  CAST((1000000 * (n_replacement + n_c1_controls + n_double_utf8))
+             |    // greatest(n_chars, 1) AS BIGINT) AS mojibake_ppm
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     ("q_lang_id",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
@@ -1594,6 +1663,24 @@ object QueryCatalog {
              |       WHEN sym = 'tab' THEN 65538 WHEN sym = 'le' THEN 65539
              |       WHEN sym = 'er' THEN 65540 ELSE -1 END AS BIGINT) AS sym_id
              |FROM syms ORDER BY doc_id, tok_pos, sym_pos""".stripMargin)),
+
+    // tokenizer round-trip THROUGH the real pipeline: decode(encode(x))
+    // must equal whitespace-normalized x for every document — any bug in
+    // segmentation order, position bookkeeping, or reassembly breaks the
+    // string equality; the oracle never sees the subword space at all
+    ("q_bpe_roundtrip",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),
+          (3L, "l", "e"), (4L, "e", "r")).toDF("rank", "left", "right")
+        Bpe.decode(Bpe.encode(t(s, d, "documents"), "doc_id", "text", merges))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')
+             |    AS decoded
+             |FROM documents WHERE trim(text) <> ''
+             |ORDER BY doc_id""".stripMargin)),
 
     ("q_fingerprints",
       (s: SparkSession, d: String) =>

@@ -223,6 +223,29 @@ object Bpe {
       .toDF("doc_id", "tok_pos", "sym_pos", "sym", "sym_id")
   }
 
+  /** Invert [[encode]]: reassemble whitespace-normalized text from the
+    * segment relation — subwords concatenate (no separator) within a
+    * token, tokens join with single spaces. `decode(encode(docs)) =`
+    * tokens-normalized `docs` is the tokenizer round-trip law, graded
+    * end-to-end through the REAL pipeline (q_bpe_roundtrip), not just
+    * asserted on fixtures.
+    *
+    * Scale shape: two standard aggregations — (doc, token) reassembly
+    * then per-doc join — each O(row group) state; the second operates on
+    * the |tokens| relation, not subwords.
+    */
+  def decode(segments: DataFrame): DataFrame = {
+    val toks = segments
+      .groupBy("doc_id", "tok_pos")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sym_pos"), col("sym")))),
+        s => s.getField("sym")), "").as("tok"))
+    toks.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tok_pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("decoded"))
+  }
+
   /** Training self-report for the graded query: merge #1 replayed by the
     * SQL oracle hash-exact (pair counting over the word table IS
     * SQL-expressible for one round; the iterated rewrite is not), plus

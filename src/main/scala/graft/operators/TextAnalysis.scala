@@ -93,6 +93,37 @@ object TextAnalysis {
       round(punct.cast("double") / greatest(length(t), lit(1)).cast("double"), 4).as("punct_ratio"))
   }
 
+  /** Encoding-damage census — the mojibake detector of a web-corpus
+    * cleaning pass. Three deterministic signals per document:
+    * U+FFFD replacement characters (a decoder already gave up), C1
+    * control codepoints U+0080–U+009F (classic cp1252-as-latin1 damage),
+    * and the double-encoded UTF-8 signature `[Â Ã][U+0080–U+00BF]`
+    * (é → Ã©, NBSP → Â  — UTF-8 bytes re-decoded as latin1). The ppm
+    * score folds them over the char count in pure BIGINT division, so
+    * gates on it replay exactly in any engine.
+    *
+    * Scale shape: in-row on the scan, zero shuffle — the
+    * [[qualityScore]] cost class.
+    */
+  def encodingQuality(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val repl = (length(t)
+      - length(regexp_replace(t, "\\uFFFD", ""))).cast("long")
+    val c1 = (length(t)
+      - length(regexp_replace(t, "[\\u0080-\\u009F]", ""))).cast("long")
+    val dbl = size(regexp_extract_all(t,
+      lit("[\\u00C2\\u00C3][\\u0080-\\u00BF]"), lit(0))).cast("long")
+    docs.select(
+      col(id),
+      length(t).cast("long").as("n_chars"),
+      repl.as("n_replacement"),
+      c1.as("n_c1_controls"),
+      dbl.as("n_double_utf8"),
+      graft.functions.integral_divide(
+        lit(1000000L) * (repl + c1 + dbl),
+        greatest(length(t).cast("long"), lit(1L))).as("mojibake_ppm"))
+  }
+
   /** Marker-token tables for the n-gram-free language-ID heuristic.
     * Deliberately tiny and deterministic: argmax of stopword hits with a
     * fixed priority order on ties (en > de > es > fr), CJK codepoints → zh.

@@ -110,6 +110,20 @@ class BpeSpec extends SparkTestBase {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("decode inverts encode: whitespace-normalized round trip") {
+    import spark.implicits._
+    val docs = Seq((0L, "  data   table "), (1L, "later"), (2L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"))
+      .toDF("rank", "left", "right")
+    val out = Bpe.decode(Bpe.encode(docs, "doc_id", "text", merges))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // multiple/leading/trailing whitespace normalizes to single spaces;
+    // the empty doc produces no segments and is absent from the output
+    assert(out == Seq((0L, "data table"), (1L, "later")))
+  }
+
   test("encode and train segment by CODE POINTS — surrogate pairs intact") {
     import spark.implicits._
     val docs = Seq((0L, "a🍕b 🍕🍕")).toDF("doc_id", "text")

@@ -310,6 +310,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaLit == viaJoin)
   }
 
+  test("encodingQuality: mojibake signals counted exactly, ppm integer-exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "cafÃ© naÃ¯ve"), // double-encoded é and ï
+      (3L, "bad � bytes �"),
+      (4L, "ctrl"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Long]("n_replacement"),
+         r.getAs[Long]("n_c1_controls"), r.getAs[Long]("n_double_utf8"),
+         r.getAs[Long]("mojibake_ppm"))).toMap
+    assert(out(1L) == ((16L, 0L, 0L, 0L, 0L)))
+    assert(out(2L)._4 == 2L && out(2L)._2 == 0L, s"doc2 ${out(2L)}")
+    assert(out(3L)._2 == 2L)
+    assert(out(4L)._3 == 2L)
+    assert(out(4L)._5 == 2000000L / 6L) // BIGINT div, length 6
+    assert(out(5L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("chrF: grams count CODE POINTS — surrogate pairs never split") {
     import spark.implicits._
     // "a🍕b" is 3 code points but 4 UTF-16 units; with k=2 the codepoint
