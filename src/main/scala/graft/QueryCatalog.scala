@@ -1507,6 +1507,61 @@ object QueryCatalog {
              |    // greatest(n_chars, 1) AS BIGINT) AS mojibake_ppm
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Unicode-script census on a corpus with PLANTED multilingual tails
+    // (Cyrillic / CJK / Arabic stripes applied identically by both
+    // engines): every per-script count, the n_other remainder, and the
+    // tie-broken dominant_script graded cell-exact. Codepoint ranges,
+    // not \p{Script} — RE2 and Java regex agree on ranges everywhere.
+    ("q_script_census",
+      (s: SparkSession, d: String) => {
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" Привет мир")))
+          .when(col("doc_id") % 5 === 1, concat(col("text"), lit(" 你好世界")))
+          .when(col("doc_id") % 5 === 2, concat(col("text"), lit(" مرحبا 42")))
+          .otherwise(col("text")).as("text"))
+        TextAnalysis.scriptCensus(planted, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' Привет мир'
+             |         WHEN doc_id % 5 = 1 THEN text || ' 你好世界'
+             |         WHEN doc_id % 5 = 2 THEN text || ' مرحبا 42'
+             |         ELSE text END AS t
+             |  FROM documents),
+             |c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_cjk,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS BIGINT) AS n_hangul,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+             |  FROM p)
+             |SELECT doc_id, n_chars, n_latin, n_cjk, n_cyrillic, n_arabic,
+             |  n_greek, n_hangul, n_digit,
+             |  n_chars - n_latin - n_cjk - n_cyrillic - n_arabic - n_greek
+             |    - n_hangul - n_digit AS n_other,
+             |  CASE WHEN greatest(n_latin, n_cjk, n_cyrillic, n_arabic,
+             |         n_greek, n_hangul) = 0 THEN 'none'
+             |       WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic,
+             |         n_arabic, n_greek, n_hangul) THEN 'latin'
+             |       WHEN n_cjk = greatest(n_cjk, n_cyrillic, n_arabic,
+             |         n_greek, n_hangul) THEN 'cjk'
+             |       WHEN n_cyrillic = greatest(n_cyrillic, n_arabic,
+             |         n_greek, n_hangul) THEN 'cyrillic'
+             |       WHEN n_arabic = greatest(n_arabic, n_greek, n_hangul)
+             |         THEN 'arabic'
+             |       WHEN n_greek = greatest(n_greek, n_hangul) THEN 'greek'
+             |       ELSE 'hangul' END AS dominant_script
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     ("q_lang_id",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
@@ -2211,6 +2266,57 @@ object QueryCatalog {
              |FROM m3 JOIN ck ON ck.c = m3.cl
              |GROUP BY m3.cl, ck.cent_checksum
              |ORDER BY cluster_id""".stripMargin)),
+
+    // per-dimension fixed-point moments of the embedding corpus — the
+    // q_feature_moments discipline on vector columns: exact BIGINTs,
+    // mergeable across partitions, every cell oracle-replayed
+    ("q_dim_stats",
+      (s: SparkSession, d: String) =>
+        Similarity.dimStats(t(s, d, "embeddings"), "embedding")
+          .orderBy("dim"),
+      Some("""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |u AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+             |    CAST(floor(v[i] * 1000) AS BIGINT) AS u
+             |  FROM e, unnest(range(1, len(v)+1)) t(i))
+             |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(u) AS BIGINT) AS sum_u,
+             |  CAST(sum(u*u) AS BIGINT) AS sumsq_u,
+             |  min(u) AS min_u, max(u) AS max_u
+             |FROM u GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // feature standardization against those moments: z = (x-mean)/std in
+    // a FIXED IEEE expression order, so the 6dp-rounded doubles match the
+    // oracle bit-for-bit; zero-variance dims → 0
+    ("q_standardize",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val stats = Similarity.dimStats(emb, "embedding")
+        Similarity.standardize(emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", stats)
+          .select(col("vec_id"), posexplode(col("z")).as(Seq("dim", "z")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("z"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, v[i] AS x,
+             |    CAST(floor(v[i] * 1000) AS BIGINT) AS u
+             |  FROM e, unnest(range(1, len(v)+1)) t(i)),
+             |st AS (SELECT dim, count(*) AS n, sum(u) AS sum_u,
+             |    sum(u*u) AS sumsq_u FROM u GROUP BY dim),
+             |sd AS (SELECT dim,
+             |    CAST(sum_u AS DOUBLE) / n / 1000 AS mean,
+             |    sqrt(greatest(n * sumsq_u - sum_u * sum_u, 0))
+             |      / (CAST(n AS DOUBLE) * 1000) AS std
+             |  FROM st)
+             |SELECT u.vec_id, u.dim,
+             |  round(CASE WHEN sd.std = 0 THEN 0.0
+             |        ELSE (u.x - sd.mean) / sd.std END, 6) AS z
+             |FROM u JOIN sd ON sd.dim = u.dim
+             |WHERE u.vec_id < 10
+             |ORDER BY u.vec_id, u.dim""".stripMargin)),
 
     ("q_cosine_topk",
       (s: SparkSession, d: String) => {

@@ -711,6 +711,73 @@ object Similarity {
     */
   def l2Normalize(v: Column): Column = graft.functions.l2_normalize_f32(v)
 
+  /** Per-dimension fixed-point moments of an embedding column:
+    * `(dim, n, sum_u, sumsq_u, min_u, max_u)` with u = ⌊x·unitScale⌋ —
+    * the sufficient statistics for feature standardization ([[standardize]]),
+    * whitening diagnostics, and dead/saturated-dimension detection, all
+    * EXACT BIGINTs so the relation is engine-replayable AND mergeable
+    * across corpus partitions (the q_feature_moments discipline applied
+    * to vector columns).
+    *
+    * Resolution/headroom knob: at the default milli-units, |x| ≤ 1
+    * embeddings give u² ≤ 10⁶, so sumsq_u holds to ~9·10¹² vectors per
+    * dimension before BIGINT overflow; micro-units buy 10³× resolution
+    * at 10⁶× less headroom — pick per corpus.
+    *
+    * Scale shape: posexplode to (dim, u) then ONE two-phase agg keyed by
+    * the dims-bounded key — partials are dims-sized per partition.
+    */
+  def dimStats(emb: DataFrame, vec: String, unitScale: Long = 1000L): DataFrame = {
+    require(unitScale > 0, s"dimStats: unitScale must be positive, got $unitScale")
+    emb.select(posexplode(col(vec)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * unitScale).cast("long").as("u"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(col("u") * col("u")).as("sumsq_u"),
+        min(col("u")).as("min_u"),
+        max(col("u")).as("max_u"))
+  }
+
+  /** Standardize an embedding column against a [[dimStats]] relation:
+    * z_d = (x_d − mean_d) / std_d per dimension, zero-variance dims → 0,
+    * rounded to 6dp in a FIXED IEEE expression order (mean = sum_u/n/scale,
+    * std = sqrt(n·sumsq_u − sum_u²)/(n·scale)) so two engines produce the
+    * identical double before the round — the preprocessing step ahead of
+    * k-means/IVF when dimensions have wildly different scales.
+    *
+    * Scale shape: the stats relation is dims-bounded (require-guarded),
+    * collected once and landed as array literals — standardization is a
+    * zero-shuffle in-row transform on the scan.
+    */
+  def standardize(emb: DataFrame, id: String, vec: String, stats: DataFrame,
+                  unitScale: Long = 1000L): DataFrame = {
+    val st = stats.select(col("dim").cast("long"), col("n").cast("long"),
+        col("sum_u").cast("long"), col("sumsq_u").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    require(st.nonEmpty && st.length <= 4096,
+      s"standardize: stats must hold 1..4096 dims, got ${st.length}")
+    require(st.map(_._1).toSeq == (0L until st.length.toLong),
+      "standardize: stats dims must be contiguous from 0")
+    val means = st.map { case (_, n, su, _) =>
+      su.toDouble / n.toDouble / unitScale.toDouble }
+    val stds = st.map { case (_, n, su, sq) =>
+      math.sqrt(math.max(0L, n * sq - su * su).toDouble) /
+        (n.toDouble * unitScale.toDouble) }
+    val meanArr = array(means.map(lit).toIndexedSeq: _*)
+    val stdArr = array(stds.map(lit).toIndexedSeq: _*)
+    emb.select(col(id), col(vec).as("_v"))
+      .select(col(id),
+        transform(
+          zip_with(
+            zip_with(col("_v"), meanArr, (x, m) => x.cast("double") - m),
+            stdArr,
+            (d, sd) => when(sd === 0.0d, lit(0.0d)).otherwise(d / sd)),
+          z => round(z, 6)).as("z"))
+  }
+
   /** PQ top-k search, production shape: ADC-shortlist `shortlist`
     * candidates per query over the CODES (m lookups per scanned code —
     * the codes relation is the only corpus-sized scan, `4·dims/m`× smaller

@@ -124,6 +124,49 @@ object TextAnalysis {
         greatest(length(t).cast("long"), lit(1L))).as("mojibake_ppm"))
   }
 
+  /** Unicode-script census — the writing-system profile of a document:
+    * counts of Latin letters, CJK ideographs, Cyrillic, Arabic, Greek,
+    * Hangul, digits, and everything-else, plus the dominant script by
+    * count (ties break on the fixed column order). The multilingual
+    * curation signal language-ID alone misses: a "Russian" doc that is
+    * 60% Latin boilerplate, CJK embedded in English docs, etc.
+    *
+    * Codepoint RANGES, not \p{Script} classes — RE2 (the oracle side)
+    * and Java regex disagree on script-property edge cases, ranges are
+    * identical everywhere. Scale shape: in-row regex counts on the scan,
+    * zero shuffle — the [[qualityScore]] cost class.
+    */
+  def scriptCensus(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    def cnt(range: String): Column =
+      (length(t) - length(regexp_replace(t, s"[$range]", ""))).cast("long")
+    val latin = cnt("A-Za-z\\u00C0-\\u024F")
+    val cjk = cnt("\\u4E00-\\u9FFF\\u3040-\\u30FF")
+    val cyr = cnt("\\u0400-\\u04FF")
+    val arab = cnt("\\u0600-\\u06FF")
+    val greek = cnt("\\u0370-\\u03FF")
+    val hangul = cnt("\\uAC00-\\uD7AF\\u1100-\\u11FF")
+    val digit = cnt("0-9")
+    val named = Seq("latin" -> latin, "cjk" -> cjk, "cyrillic" -> cyr,
+      "arabic" -> arab, "greek" -> greek, "hangul" -> hangul)
+    val best = named.map(_._2).reduce(greatest(_, _))
+    // ties break on column order; all-zero → "none"
+    val dominant = named.foldLeft(Option.empty[Column]) {
+      case (acc, (name, c)) =>
+        val cond = (c === best) && (best > 0L)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.get.otherwise(lit("none"))
+    docs.select(
+      col(id),
+      length(t).cast("long").as("n_chars"),
+      latin.as("n_latin"), cjk.as("n_cjk"), cyr.as("n_cyrillic"),
+      arab.as("n_arabic"), greek.as("n_greek"), hangul.as("n_hangul"),
+      digit.as("n_digit"),
+      (length(t).cast("long") - latin - cjk - cyr - arab - greek - hangul
+        - digit).as("n_other"),
+      dominant.as("dominant_script"))
+  }
+
   /** Marker-token tables for the n-gram-free language-ID heuristic.
     * Deliberately tiny and deterministic: argmax of stopword hits with a
     * fixed priority order on ties (en > de > es > fr), CJK codepoints → zh.

@@ -421,4 +421,42 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("k") =!= col("h")).count()
     assert(diff == 0L, s"$diff kernel/HOF mismatches — accumulation drifted")
   }
+
+  test("dimStats: exact milli-unit moments on hand-computed vectors") {
+    val df = Seq(
+      (0L, Array(0.5f, -0.25f)),
+      (1L, Array(1.0f, 0.75f)),
+      (2L, Array(0.0f, -0.25f))).toDF("vec_id", "vec")
+    val out = Similarity.dimStats(df, "vec").orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // dim0 u: 500, 1000, 0; dim1 u: -250, 750, -250
+    assert(out(0) == ((0L, 3L, 1500L, 1250000L, 0L, 1000L)))
+    assert(out(1) == ((1L, 3L, 250L, 687500L, -250L, 750L)))
+  }
+
+  test("standardize: zero mean/unit variance out, zero-variance dim to 0") {
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f)),
+      (1L, Array(3.0f, 5.0f))).toDF("vec_id", "vec")
+    val stats = Similarity.dimStats(df, "vec")
+    val z = Similarity.standardize(df, "vec_id", "vec", stats)
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Double](1))
+    // dim0: mean 2, std 1 -> z = -1, 1; dim1 constant -> 0
+    assert(z(0) == Seq(-1.0, 0.0), s"got ${z(0)}")
+    assert(z(1) == Seq(1.0, 0.0))
+    // standardized stats really are ~N(0,1) on the real embeddings table
+    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val st = Similarity.dimStats(emb, "embedding")
+    val zz = Similarity.standardize(emb, "vec_id", "embedding", st)
+      .select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.col("z")).as(Seq("dim", "zv")))
+      .agg(org.apache.spark.sql.functions.avg("zv"),
+        org.apache.spark.sql.functions.stddev_pop("zv"))
+      .collect()(0)
+    assert(math.abs(st.count() - 64L) == 0L)
+    assert(math.abs(zz.getDouble(0)) < 0.01, s"mean ${zz.getDouble(0)}")
+    assert(math.abs(zz.getDouble(1) - 1.0) < 0.05, s"std ${zz.getDouble(1)}")
+  }
 }

@@ -310,6 +310,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaLit == viaJoin)
   }
 
+  test("scriptCensus: per-script counts, remainder, dominant with tie priority") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world"),        // latin 10, space 1
+      (2L, "你好 мир"),            // cjk 2, cyrillic 3 → cyrillic wins count
+      (3L, "abc 你好世界"),        // latin 3 < cjk 4 → cjk
+      (4L, "42 !!"),              // digits only → dominant none
+      (5L, "ab 你好")              // latin 2 == cjk 2 → tie → latin (priority)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptCensus(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_latin"), r.getAs[Long]("n_cjk"),
+         r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_digit"),
+         r.getAs[Long]("n_other"), r.getAs[String]("dominant_script"))).toMap
+    assert(out(1L) == ((10L, 0L, 0L, 0L, 1L, "latin")))
+    assert(out(2L) == ((0L, 2L, 3L, 0L, 1L, "cyrillic")))
+    assert(out(3L) == ((3L, 4L, 0L, 0L, 1L, "cjk")))
+    assert(out(4L)._6 == "none" && out(4L)._4 == 2L && out(4L)._5 == 3L)
+    assert(out(5L)._6 == "latin", s"tie must break to latin: ${out(5L)}")
+  }
+
   test("encodingQuality: mojibake signals counted exactly, ppm integer-exact") {
     import spark.implicits._
     val df = Seq(
