@@ -168,12 +168,16 @@ object Bench {
 
     final case class Probe(times: Seq[Double], drift: Double, contended: Boolean)
 
-    // contended-flag rule: mid/end points hold the 1.5× bar against each
-    // other; the start point gets a 2× allowance against the later
-    // points because JVM-wide C2 warmup inflates it ~1.3-1.5× even on an
-    // idle host (measured) and only tens of real queries fully burn that
-    // off. The contention class this flag exists for is 2-4×, so both
-    // bars still catch it.
+    // contended-flag rules: (a) mid/end points hold the 1.5× bar against
+    // each other; (b) the start point gets a 2× allowance against the
+    // later points because JVM-wide C2 warmup inflates it ~1.3-1.5× even
+    // on an idle host (measured) and only tens of real queries fully
+    // burn that off; (c) LATE-ONSET contention — a quiet start followed
+    // by inflated mid AND end (min(later)/start > 1.5) — is the inverse
+    // shape warmup can never produce (later points only get faster on a
+    // quiet host), so it has no allowance: the r14 run where the heavy
+    // probe went 1.09 → 2.31 → 1.78 with both prior rules silent is the
+    // exhibit (mid/end agreed with each other, so laterDrift was 1.30).
     def adjudicate(times: Seq[Double]): Probe = {
       val drift =
         if (times.size >= 2) times.max / math.max(1e-9, times.min) else 1.0
@@ -184,7 +188,12 @@ object Bench {
         if (times.nonEmpty && later.nonEmpty)
           times.head / math.max(1e-9, later.min)
         else 1.0
-      Probe(times, drift, laterDrift > 1.5 || startRatio > 2.0)
+      val onsetRatio =
+        if (times.nonEmpty && later.nonEmpty)
+          later.min / math.max(1e-9, times.head)
+        else 1.0
+      Probe(times, drift,
+        laterDrift > 1.5 || startRatio > 2.0 || onsetRatio > 1.5)
     }
 
     final case class Pass(results: Seq[(String, RunResult)],
