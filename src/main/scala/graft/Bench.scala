@@ -42,6 +42,37 @@ object Bench {
 
   private final case class RunResult(sec: Double, gcMs: Long, ok: Boolean)
 
+  final case class Probe(times: Seq[Double], drift: Double, contended: Boolean)
+
+  /** Contention adjudication over a sentinel's (start, mid, end) timings
+    * — object-level (not inside main) so the three rules are unit-tested:
+    * (a) mid/end hold the 1.5× bar against each other; (b) the start
+    * point gets a 2× allowance against the later points (JVM-wide C2
+    * warmup inflates it ~1.3-1.5× even on an idle host, measured); (c)
+    * LATE-ONSET contention — a quiet start followed by inflated mid AND
+    * end (min(later)/start > 1.5) — the inverse shape warmup can never
+    * produce (later points only get faster on a quiet host); the r14 run
+    * where the heavy probe went 1.09 → 2.31 → 1.78 with (a) and (b)
+    * silent is the exhibit (mid/end agreed with each other at 1.30×).
+    */
+  private[graft] def adjudicate(times: Seq[Double]): Probe = {
+    val drift =
+      if (times.size >= 2) times.max / math.max(1e-9, times.min) else 1.0
+    val later = times.drop(1)
+    val laterDrift =
+      if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
+    val startRatio =
+      if (times.nonEmpty && later.nonEmpty)
+        times.head / math.max(1e-9, later.min)
+      else 1.0
+    val onsetRatio =
+      if (times.nonEmpty && later.nonEmpty)
+        later.min / math.max(1e-9, times.head)
+      else 1.0
+    Probe(times, drift,
+      laterDrift > 1.5 || startRatio > 2.0 || onsetRatio > 1.5)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -166,35 +197,6 @@ object Bench {
         .agg(count(lit(1)).as("groups"), sum(col("b")).as("bytes"))
     }
 
-    final case class Probe(times: Seq[Double], drift: Double, contended: Boolean)
-
-    // contended-flag rules: (a) mid/end points hold the 1.5× bar against
-    // each other; (b) the start point gets a 2× allowance against the
-    // later points because JVM-wide C2 warmup inflates it ~1.3-1.5× even
-    // on an idle host (measured) and only tens of real queries fully
-    // burn that off; (c) LATE-ONSET contention — a quiet start followed
-    // by inflated mid AND end (min(later)/start > 1.5) — is the inverse
-    // shape warmup can never produce (later points only get faster on a
-    // quiet host), so it has no allowance: the r14 run where the heavy
-    // probe went 1.09 → 2.31 → 1.78 with both prior rules silent is the
-    // exhibit (mid/end agreed with each other, so laterDrift was 1.30).
-    def adjudicate(times: Seq[Double]): Probe = {
-      val drift =
-        if (times.size >= 2) times.max / math.max(1e-9, times.min) else 1.0
-      val later = times.drop(1)
-      val laterDrift =
-        if (later.size >= 2) later.max / math.max(1e-9, later.min) else 1.0
-      val startRatio =
-        if (times.nonEmpty && later.nonEmpty)
-          times.head / math.max(1e-9, later.min)
-        else 1.0
-      val onsetRatio =
-        if (times.nonEmpty && later.nonEmpty)
-          later.min / math.max(1e-9, times.head)
-        else 1.0
-      Probe(times, drift,
-        laterDrift > 1.5 || startRatio > 2.0 || onsetRatio > 1.5)
-    }
 
     final case class Pass(results: Seq[(String, RunResult)],
                           scan: Probe, heavy: Probe, probeFailed: Boolean,

@@ -441,4 +441,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"global moment agg should not hash-shuffle:\n$p")
   }
+
+  test("bpe encode: broadcast merge table, zero-shuffle segmentation scan") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val merges = Seq((0L, "a", "t"), (1L, "t", "a")).toDF("rank", "left", "right")
+    val pl = plan(Bpe.encode(docs, "doc_id", "text", merges))
+    // the corpus-side segmentation is one scan job: no exchange at all
+    assert(!pl.contains("Exchange"), s"segmentation shuffled:\n$pl")
+    assert(!pl.contains("Join"), s"merge table joined instead of broadcast var:\n$pl")
+  }
+
+  test("script census and encoding quality are zero-shuffle in-row plans") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p1 = plan(TextAnalysis.scriptCensus(docs, "doc_id", "text"))
+    assert(!p1.contains("Exchange"), s"scriptCensus shuffled:\n$p1")
+    val p2 = plan(TextAnalysis.encodingQuality(docs, "doc_id", "text"))
+    assert(!p2.contains("Exchange"), s"encodingQuality shuffled:\n$p2")
+  }
+
+  test("dimStats: one two-phase agg on the dim key; standardize is in-row") {
+    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val stats = Similarity.dimStats(emb, "embedding")
+    val p1 = plan(stats)
+    assert("Exchange".r.findAllIn(p1).size == 1, s"dimStats needs exactly one exchange:\n$p1")
+    assert(p1.contains("partial_count") || p1.contains("partial"),
+      s"dim agg not partial before the exchange:\n$p1")
+    val p2 = plan(Similarity.standardize(emb, "vec_id", "embedding", stats))
+    assert(!p2.contains("Exchange") && !p2.contains("Join"),
+      s"standardize must be an in-row transform:\n$p2")
+  }
 }
