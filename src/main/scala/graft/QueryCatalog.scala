@@ -1737,6 +1737,74 @@ object QueryCatalog {
              |FROM documents WHERE trim(text) <> ''
              |ORDER BY doc_id""".stripMargin)),
 
+    // THE END-TO-END TRAINING-DATA PATH in one plan, every stage
+    // hash-graded: explainable quality gate → dup-safe split (fingerprint
+    // membership) → BPE segmentation with a fixed merge table → sequence
+    // packing by REAL subword counts. The oracle independently replays
+    // all four stages (rule predicates, md5-of-fingerprint thresholds,
+    // delimiter-fenced greedy merges, exclusive-cumsum packing), so a
+    // regression anywhere in the composed pipeline moves graded rows.
+    ("q_training_pipeline",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val kept = docs.join(
+          TextAnalysis.qualityGate(docs, "doc_id", "text")
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val train = Curation.dupSafeSplit(kept, "text")
+          .filter(col("split") === "train")
+        val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),
+          (3L, "l", "e"), (4L, "e", "r")).toDF("rank", "left", "right")
+        val counts = Bpe.encode(train, "doc_id", "text", merges)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_syms"))
+        Curation.packSequencesByCount(counts, "doc_id", col("n_syms"),
+            budget = 256L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             |  FROM documents),
+             |s AS (SELECT doc_id, text, toks,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  round(length(regexp_replace(text, '\s+', '', 'g')) / NULLIF(len(toks), 0), 4) AS avg_token_len,
+             |  round(len(list_filter(toks, x -> lower(x) IN
+             |    ('the','a','an','of','and','to','in','is','it','that'))) / NULLIF(len(toks), 0), 4) AS stopword_ratio,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+             |        / greatest(length(text), 1), 4) AS punct_ratio
+             |  FROM t),
+             |tr AS (SELECT doc_id, toks FROM s
+             |  WHERE coalesce(n_tokens BETWEEN 50 AND 100000, false)
+             |    AND coalesce(avg_token_len BETWEEN 2.0 AND 12.0, false)
+             |    AND coalesce(stopword_ratio >= 0.01, false)
+             |    AND coalesce(punct_ratio <= 0.2, false)
+             |    AND substr(md5(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), 1, 2) < 'cc'),
+             |tok AS (SELECT doc_id, unnest(toks) AS w FROM tr),
+             |seg AS (SELECT doc_id,
+             |    replace(replace(replace(replace(replace(
+             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1),
+             |      chr(1)||'a'||chr(1)||'t'||chr(1), chr(1)||'at'||chr(1)),
+             |      chr(1)||'t'||chr(1)||'a'||chr(1), chr(1)||'ta'||chr(1)),
+             |      chr(1)||'ta'||chr(1)||'b'||chr(1), chr(1)||'tab'||chr(1)),
+             |      chr(1)||'l'||chr(1)||'e'||chr(1), chr(1)||'le'||chr(1)),
+             |      chr(1)||'e'||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS sg
+             |  FROM tok),
+             |cnt AS (SELECT doc_id,
+             |    CAST(sum(len(list_filter(string_split(sg, chr(1)), x -> x <> '')))
+             |      AS BIGINT) AS nt
+             |  FROM seg GROUP BY doc_id),
+             |sh AS (SELECT doc_id, nt,
+             |    CAST(strpos('0123456789abcdef',
+             |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard
+             |  FROM cnt),
+             |c AS (SELECT doc_id, nt, shard,
+             |    sum(nt) OVER (PARTITION BY shard ORDER BY doc_id) - nt AS cum
+             |  FROM sh)
+             |SELECT doc_id, nt, shard, CAST(floor(cum / 256) AS BIGINT) AS pack,
+             |  CAST(cum - floor(cum / 256) * 256 AS BIGINT) AS off
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     ("q_fingerprints",
       (s: SparkSession, d: String) =>
         TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")

@@ -448,11 +448,21 @@ object Curation {
     * bottleneck — deliberately avoided.)
     */
   def packSequences(docs: DataFrame, id: String, text: String,
-                    budget: Long): DataFrame = {
+                    budget: Long): DataFrame =
+    packSequencesByCount(docs, id,
+      TextAnalysis.tokenCount(col(text)).cast("long"), budget)
+
+  /** [[packSequences]] with an EXPLICIT per-document token count — the
+    * form the tokenized pipeline uses (pack by real subword counts from
+    * [[Bpe.encode]], not the whitespace proxy). Same shard-window shape.
+    */
+  def packSequencesByCount(docs: DataFrame, id: String, count: Column,
+                           budget: Long): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
     val shard = (expr(s"conv(substring(md5(cast($id as string)), 1, 1), 16, 10)")
       .cast("long")).as("shard")
     val base = docs.select(col(id).as("doc_id"),
-      TextAnalysis.tokenCount(col(text)).cast("long").as("nt"), shard)
+      count.cast("long").as("nt"), shard)
     val w = Window.partitionBy("shard").orderBy("doc_id")
     base
       .withColumn("cum", sum(col("nt")).over(w) - col("nt"))
