@@ -1748,10 +1748,10 @@ object QueryCatalog {
       (s: SparkSession, d: String) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val kept = docs.join(
-          TextAnalysis.qualityGate(docs, "doc_id", "text")
-            .filter(col("keep")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
+        // gate + split both ride the scan in-row — composing through
+        // qualityGate's id-keyed relation would join the whole corpus
+        // back to itself (a corpus-sized shuffle for a row-local verdict)
+        val kept = docs.filter(TextAnalysis.qualityKeep(col("text")))
         val train = Curation.dupSafeSplit(kept, "text")
           .filter(col("split") === "train")
         val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),

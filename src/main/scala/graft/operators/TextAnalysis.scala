@@ -275,6 +275,28 @@ object TextAnalysis {
       .withColumn("keep", col("failed_rules") === "")
   }
 
+  /** The [[defaultQualityRules]] verdict as ONE in-row boolean over the
+    * text column — the join-free form a composed pipeline filters by.
+    * [[qualityGate]] returns the explainable per-rule relation (its own
+    * id-keyed output, which a naive composition joins back to the corpus
+    * — a corpus-sized shuffle); this keeps the gate ON the scan.
+    * Equivalence to `qualityGate(...).keep` under the default rules is
+    * spec-pinned so the two forms cannot drift.
+    */
+  def qualityKeep(text: Column): Column = {
+    val qc = graft.functions.quality_counts(text)
+    val nTokF = nullif(qc.getItem(1).cast("double"), lit(0.0d))
+    val nTok = qc.getItem(1)
+    val avgTok = round(qc.getItem(2).cast("double") / nTokF, 4)
+    val stopR = round(qc.getItem(3).cast("double") / nTokF, 4)
+    val punctR = round(qc.getItem(4).cast("double")
+      / greatest(qc.getItem(0), lit(1L)).cast("double"), 4)
+    coalesce(nTok.between(50L, 100000L), lit(false)) &&
+      coalesce(avgTok.between(2.0, 12.0), lit(false)) &&
+      coalesce(stopR >= 0.01, lit(false)) &&
+      coalesce(punctR <= 0.2, lit(false))
+  }
+
   /** Weights of the default linear quality classifier (a stand-in for a
     * trained fastText-style gate: the weights are injected data, the
     * execution shape — in-row dot product + sigmoid over the one-pass

@@ -471,4 +471,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p2.contains("Exchange") && !p2.contains("Join"),
       s"standardize must be an in-row transform:\n$p2")
   }
+
+  test("training pipeline: gate and split ride the scan — no join, bounded exchanges") {
+    val pl = plan(QueryCatalog.queries("q_training_pipeline")(spark, sfDir))
+    assert(!pl.contains("SortMergeJoin") && !pl.contains("BroadcastHashJoin")
+      && !pl.contains("BroadcastNestedLoopJoin"),
+      s"composed pipeline joined the corpus back to itself:\n$pl")
+    val exchanges = "Exchange".r.findAllIn(pl).size
+    assert(exchanges <= 3, s"pipeline needs <= 3 exchanges (count agg, shard window, final order), got $exchanges:\n$pl")
+  }
 }

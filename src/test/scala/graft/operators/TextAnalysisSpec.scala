@@ -310,6 +310,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaLit == viaJoin)
   }
 
+  test("qualityKeep equals qualityGate.keep on the real documents table") {
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val viaGate = TextAnalysis.qualityGate(docs, "doc_id", "text")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaKeep = docs.select(col("doc_id"),
+        TextAnalysis.qualityKeep(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaGate == viaKeep, "in-row verdict drifted from the gate relation")
+    assert(viaKeep.values.exists(identity) && viaKeep.values.exists(!_),
+      "fixture must exercise both verdicts")
+  }
+
   test("scriptCensus: per-script counts, remainder, dominant with tie priority") {
     import spark.implicits._
     val df = Seq(
