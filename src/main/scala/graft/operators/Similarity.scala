@@ -730,6 +730,10 @@ object Similarity {
   def dimStats(emb: DataFrame, vec: String, unitScale: Long = 1000L): DataFrame = {
     require(unitScale > 0, s"dimStats: unitScale must be positive, got $unitScale")
     emb.select(posexplode(col(vec)).as(Seq("dim", "x")))
+      // non-finite entries are EXCLUDED from every moment including n —
+      // without this, count includes a null/NaN element that sum skips
+      // (silently biased mean) and floor(NaN)→0 poisons sumsq
+      .filter(col("x").isNotNull && !isnan(col("x")))
       .select(col("dim").cast("long").as("dim"),
         floor(col("x").cast("double") * unitScale).cast("long").as("u"))
       .groupBy("dim")
@@ -750,6 +754,11 @@ object Similarity {
     * Scale shape: the stats relation is dims-bounded (require-guarded),
     * collected once and landed as array literals — standardization is a
     * zero-shuffle in-row transform on the scan.
+    *
+    * Ragged inputs: a vector LONGER than the stats relation z-scores its
+    * covered prefix and nulls the tail (`zip_with` pads the shorter
+    * side) — detectable upstream by comparing the vector width against
+    * `stats` row count; this operator does not silently truncate.
     */
   def standardize(emb: DataFrame, id: String, vec: String, stats: DataFrame,
                   unitScale: Long = 1000L): DataFrame = {

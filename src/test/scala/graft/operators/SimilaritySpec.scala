@@ -459,4 +459,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(zz.getDouble(0)) < 0.01, s"mean ${zz.getDouble(0)}")
     assert(math.abs(zz.getDouble(1) - 1.0) < 0.05, s"std ${zz.getDouble(1)}")
   }
+
+  test("dimStats excludes non-finite entries from every moment, including n") {
+    val df = Seq(
+      (0L, Array(1.0f, Float.NaN)),
+      (1L, Array(3.0f, 2.0f))).toDF("vec_id", "vec")
+    val out = Similarity.dimStats(df, "vec").orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dim0: both finite; dim1: NaN dropped -> n = 1, sum = 2000
+    assert(out(0) == ((0L, 2L, 4000L)))
+    assert(out(1) == ((1L, 1L, 2000L)), s"NaN leaked into the moments: ${out(1)}")
+  }
 }
