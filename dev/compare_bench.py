@@ -24,7 +24,20 @@ def main():
     bench_path = args[0] if args else "dev/bench_latest.json"
     bench = json.load(open(bench_path))
     base = json.load(open("dev/baseline_per_query.json"))["queries"]
-    qs = bench["queries"]
+    if "queries" in bench:
+        qs = bench["queries"]
+    elif "per_query_cs" in bench:
+        # compact artifact form (the 2000-char-tail-safe line): centisecond
+        # values in sorted-query-name order; names reconstruct from the
+        # baseline when the counts line up
+        names = sorted(base)
+        cs = bench["per_query_cs"]
+        if len(cs) != len(names):
+            sys.exit(f"compact artifact has {len(cs)} values but baseline "
+                     f"has {len(names)} anchors — re-anchor first")
+        qs = {n: (v / 100.0 if v >= 0 else -1.0) for n, v in zip(names, cs)}
+    else:
+        sys.exit("artifact has neither 'queries' nor 'per_query_cs'")
     missing = sorted(set(qs) - set(base))
     ratios = sorted(((qs[q] / base[q]["sec"], q) for q in qs
                      if q in base and base[q]["sec"] >= floor and qs[q] >= 0),
