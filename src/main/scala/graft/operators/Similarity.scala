@@ -773,8 +773,11 @@ object Similarity {
     val means = st.map { case (_, n, su, _) =>
       su.toDouble / n.toDouble / unitScale.toDouble }
     val stds = st.map { case (_, n, su, sq) =>
-      math.sqrt(math.max(0L, n * sq - su * su).toDouble) /
-        (n.toDouble * unitScale.toDouble) }
+      // variance numerator in BigInt: n·sumsq ≈ n²·u² wraps a Long at
+      // ~3·10⁶ vectors for milli-unit |x| ≤ 1 embeddings; the driver-side
+      // cost is dims-bounded and BigInt→Double rounding is deterministic
+      val num = (BigInt(n) * BigInt(sq) - BigInt(su) * BigInt(su)).max(BigInt(0))
+      math.sqrt(num.toDouble) / (n.toDouble * unitScale.toDouble) }
     val meanArr = array(means.map(lit).toIndexedSeq: _*)
     val stdArr = array(stds.map(lit).toIndexedSeq: _*)
     emb.select(col(id), col(vec).as("_v"))
