@@ -59,18 +59,33 @@ object QueryCatalog {
     val dir =
       if (java.nio.file.Files.isWritable(shm)) {
         val root = shm.resolve("graft_scratch")
+        // Each JVM owns pid_<pid>/ and only ever sweeps roots whose
+        // owning process is DEAD (liveness via ProcessHandle) — a
+        // top-level mtime cutoff is unsafe because directory mtime does
+        // not track nested writes, so an age sweep could rip a
+        // concurrent long-lived JVM's still-active checkpoint out from
+        // under it mid-run. PID reuse only delays cleanup (a live
+        // unrelated pid keeps the dir), never deletes live data.
         java.nio.file.Files.createDirectories(root)
-        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm))
+          p.delete(): Unit
+        }
+        val legacyCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
         Option(root.toFile.listFiles()).foreach(_.foreach { f =>
-          if (f.lastModified() < cutoff) {
-            def rm(p: java.io.File): Unit = {
-              Option(p.listFiles()).foreach(_.foreach(rm))
-              p.delete(): Unit
-            }
-            rm(f)
+          f.getName match {
+            case s if s.startsWith("pid_") =>
+              val alive = scala.util.Try(s.drop(4).toLong).toOption
+                .exists(p => ProcessHandle.of(p).isPresent)
+              if (!alive) rm(f)
+            case _ => // pre-pid-scheme leftover: sweep only when very old
+              if (f.lastModified() < legacyCutoff) rm(f)
           }
         })
-        java.nio.file.Files.createTempDirectory(root, prefix)
+        val mine = root.resolve(s"pid_${ProcessHandle.current().pid()}")
+        java.nio.file.Files.createDirectories(mine)
+        scratchDirs.add(mine) // exit hook removes the whole pid root
+        java.nio.file.Files.createTempDirectory(mine, prefix)
       } else java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(dir)
     dir.toString
@@ -1626,11 +1641,15 @@ object QueryCatalog {
     // O(distinct words) table, which is what makes BPE trainable at
     // 100 TB. The ENTIRE learned 3-merge table is graded hash-exact:
     // DuckDB replays each round's weighted pair count + tie-break AND
-    // the greedy within-word rewrite (delimiter-fenced leftmost
-    // non-overlapping replace ≡ mergePair), so ranks 2 and 3 — which
-    // depend on earlier rewrites — are independently rebuilt, not
-    // self-asserted. Deeper runs' wellformedness/compression laws are
-    // pinned by BpeSpec's hand-computed corpus.
+    // the greedy within-word rewrite. The fencing is TWO-SIDED —
+    // symbol s rides as chr(1)‖s‖chr(2) — so adjacent pattern
+    // occurrences share ZERO characters and one leftmost
+    // non-overlapping replace IS mergePair exactly, including on
+    // XYXY runs ('erer' → [er,er]) and odd same-symbol runs
+    // ('eeeee' + (e,e) → [ee,ee,e]) where a shared-fence encoding
+    // (or even its fixpoint) diverges. The equivalence is graded
+    // directly on trigger words by q_bpe_adversarial and pinned by
+    // BpeSpec's hand-computed corpus.
     ("q_bpe_train",
       (s: SparkSession, d: String) =>
         Bpe.train(t(s, d, "documents"), "text", numMerges = 3)
@@ -1642,23 +1661,23 @@ object QueryCatalog {
              |w AS (SELECT unnest(toks) AS word FROM tk),
              |wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
              |s0 AS (SELECT chr(1) || array_to_string(
-             |         regexp_split_to_array(word, ''), chr(1)) || chr(1) AS s, n
+             |         regexp_split_to_array(word, ''), chr(2)||chr(1)) || chr(2) AS s, n
              |       FROM wc),
-             |a1 AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS arr, n FROM s0),
+             |a1 AS (SELECT list_filter(string_split(replace(s, chr(2), chr(1)), chr(1)), x -> x <> '') AS arr, n FROM s0),
              |p1 AS (SELECT arr[i] AS l, arr[i+1] AS r, sum(n) AS pn
              |       FROM a1, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
              |t1 AS (SELECT l, r, CAST(pn AS BIGINT) AS pn FROM p1
              |       ORDER BY pn DESC, l, r LIMIT 1),
-             |s1 AS (SELECT replace(s0.s, chr(1)||t1.l||chr(1)||t1.r||chr(1),
-             |         chr(1)||t1.l||t1.r||chr(1)) AS s, s0.n FROM s0, t1),
-             |a2 AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS arr, n FROM s1),
+             |s1 AS (SELECT replace(s0.s, chr(1)||t1.l||chr(2)||chr(1)||t1.r||chr(2),
+             |         chr(1)||t1.l||t1.r||chr(2)) AS s, s0.n FROM s0, t1),
+             |a2 AS (SELECT list_filter(string_split(replace(s, chr(2), chr(1)), chr(1)), x -> x <> '') AS arr, n FROM s1),
              |p2 AS (SELECT arr[i] AS l, arr[i+1] AS r, sum(n) AS pn
              |       FROM a2, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
              |t2 AS (SELECT l, r, CAST(pn AS BIGINT) AS pn FROM p2
              |       ORDER BY pn DESC, l, r LIMIT 1),
-             |s2 AS (SELECT replace(s1.s, chr(1)||t2.l||chr(1)||t2.r||chr(1),
-             |         chr(1)||t2.l||t2.r||chr(1)) AS s, s1.n FROM s1, t2),
-             |a3 AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS arr, n FROM s2),
+             |s2 AS (SELECT replace(s1.s, chr(1)||t2.l||chr(2)||chr(1)||t2.r||chr(2),
+             |         chr(1)||t2.l||t2.r||chr(2)) AS s, s1.n FROM s1, t2),
+             |a3 AS (SELECT list_filter(string_split(replace(s, chr(2), chr(1)), chr(1)), x -> x <> '') AS arr, n FROM s2),
              |p3 AS (SELECT arr[i] AS l, arr[i+1] AS r, sum(n) AS pn
              |       FROM a3, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
              |t3 AS (SELECT l, r, CAST(pn AS BIGINT) AS pn FROM p3
@@ -1672,9 +1691,12 @@ object QueryCatalog {
 
     // BPE corpus SEGMENTATION (the train→encode→pack middle step): a
     // fixed literal merge table so the oracle replays the ENTIRE greedy
-    // algorithm — DuckDB folds the merges in rank order as delimiter-
-    // fenced string replaces (leftmost non-overlapping replace IS the
-    // Sennrich within-word merge), so every (doc, token, subword, id)
+    // algorithm — DuckDB folds the merges in rank order as TWO-SIDED
+    // delimiter-fenced string replaces (chr(1)‖sym‖chr(2): adjacent
+    // occurrences share no characters, so one leftmost non-overlapping
+    // replace IS the Sennrich within-word merge — see q_bpe_train's
+    // comment for the shared-fence counterexamples), so every
+    // (doc, token, subword, id)
     // row is graded hash-exact, including the rank-priority interaction
     // (a,t) before (t,a) and the recursive build (ta → tab). Spark side
     // runs the production kernel: broadcast merge table, in-row
@@ -1697,16 +1719,16 @@ object QueryCatalog {
              |seg AS (
              |  SELECT doc_id, tok_pos,
              |    replace(replace(replace(replace(replace(
-             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1),
-             |      chr(1)||'a'||chr(1)||'t'||chr(1), chr(1)||'at'||chr(1)),
-             |      chr(1)||'t'||chr(1)||'a'||chr(1), chr(1)||'ta'||chr(1)),
-             |      chr(1)||'ta'||chr(1)||'b'||chr(1), chr(1)||'tab'||chr(1)),
-             |      chr(1)||'l'||chr(1)||'e'||chr(1), chr(1)||'le'||chr(1)),
-             |      chr(1)||'e'||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS s
+             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(2)||chr(1)) || chr(2),
+             |      chr(1)||'a'||chr(2)||chr(1)||'t'||chr(2), chr(1)||'at'||chr(2)),
+             |      chr(1)||'t'||chr(2)||chr(1)||'a'||chr(2), chr(1)||'ta'||chr(2)),
+             |      chr(1)||'ta'||chr(2)||chr(1)||'b'||chr(2), chr(1)||'tab'||chr(2)),
+             |      chr(1)||'l'||chr(2)||chr(1)||'e'||chr(2), chr(1)||'le'||chr(2)),
+             |      chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2), chr(1)||'er'||chr(2)) AS s
              |  FROM tok),
              |sy AS (
              |  SELECT doc_id, tok_pos,
-             |    list_filter(string_split(s, chr(1)), x -> x <> '') AS arr
+             |    list_filter(string_split(replace(s, chr(2), chr(1)), chr(1)), x -> x <> '') AS arr
              |  FROM seg),
              |syms AS (
              |  SELECT doc_id, tok_pos, CAST(i - 1 AS BIGINT) AS sym_pos,
@@ -1717,6 +1739,65 @@ object QueryCatalog {
              |       WHEN sym = 'at' THEN 65536 WHEN sym = 'ta' THEN 65537
              |       WHEN sym = 'tab' THEN 65538 WHEN sym = 'le' THEN 65539
              |       WHEN sym = 'er' THEN 65540 ELSE -1 END AS BIGINT) AS sym_id
+             |FROM syms ORDER BY doc_id, tok_pos, sym_pos""".stripMargin)),
+
+    // ADVERSARIAL oracle-vs-kernel grading on the exact word shapes
+    // where a shared-fence replace oracle diverges from the greedy
+    // kernel: XYXY repeats ('erer' must segment [er,er], then merge to
+    // [erer] via the recursive (er,er) rule), odd same-symbol runs
+    // ('aaaaa' + (a,a) must give [aa,aa,a], never [aa,a,aa]), and
+    // offset repeats ('rere' → [r,er,e], 'atat' → [a,ta,t]). A literal
+    // corpus pins these cases corpus-independently — the sf tables
+    // happen to contain no trigger words, which is how the one-sided
+    // oracle stayed green through round 14.
+    ("q_bpe_adversarial",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val docs = Seq(
+          (0L, "erer"), (1L, "erere"), (2L, "rere"), (3L, "aaaa"),
+          (4L, "aaaaa"), (5L, "aaa"), (6L, "atat"), (7L, "tata"),
+          (8L, "tatata"), (9L, "tatat"), (10L, "aaerer"),
+          (11L, "erer aaaaa tata"), (12L, "ererer")
+        ).toDF("doc_id", "text")
+        val merges = Seq((0L, "e", "r"), (1L, "a", "a"), (2L, "t", "a"),
+          (3L, "er", "er")).toDF("rank", "left", "right")
+        Bpe.encode(docs, "doc_id", "text", merges)
+          .orderBy("doc_id", "tok_pos", "sym_pos")
+      },
+      Some("""WITH docs(doc_id, text) AS (VALUES
+             |  (0, 'erer'), (1, 'erere'), (2, 'rere'), (3, 'aaaa'),
+             |  (4, 'aaaaa'), (5, 'aaa'), (6, 'atat'), (7, 'tata'),
+             |  (8, 'tatata'), (9, 'tatat'), (10, 'aaerer'),
+             |  (11, 'erer aaaaa tata'), (12, 'ererer')),
+             |t AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM docs WHERE trim(text) <> ''),
+             |tok AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tok_pos, a[i] AS w
+             |  FROM t, unnest(range(1, len(a)+1)) AS u(i)),
+             |seg AS (
+             |  SELECT doc_id, tok_pos,
+             |    replace(replace(replace(replace(
+             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(2)||chr(1)) || chr(2),
+             |      chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2), chr(1)||'er'||chr(2)),
+             |      chr(1)||'a'||chr(2)||chr(1)||'a'||chr(2), chr(1)||'aa'||chr(2)),
+             |      chr(1)||'t'||chr(2)||chr(1)||'a'||chr(2), chr(1)||'ta'||chr(2)),
+             |      chr(1)||'er'||chr(2)||chr(1)||'er'||chr(2), chr(1)||'erer'||chr(2)) AS s
+             |  FROM tok),
+             |sy AS (
+             |  SELECT doc_id, tok_pos,
+             |    list_filter(string_split(replace(s, chr(2), chr(1)), chr(1)), x -> x <> '') AS arr
+             |  FROM seg),
+             |syms AS (
+             |  SELECT doc_id, tok_pos, CAST(i - 1 AS BIGINT) AS sym_pos,
+             |    arr[i] AS sym
+             |  FROM sy, unnest(range(1, len(arr)+1)) AS u(i))
+             |SELECT doc_id, tok_pos, sym_pos, sym,
+             |  CAST(CASE WHEN length(sym) = 1 THEN unicode(sym)
+             |       WHEN sym = 'er' THEN 65536 WHEN sym = 'aa' THEN 65537
+             |       WHEN sym = 'ta' THEN 65538 WHEN sym = 'erer' THEN 65539
+             |       ELSE -1 END AS BIGINT) AS sym_id
              |FROM syms ORDER BY doc_id, tok_pos, sym_pos""".stripMargin)),
 
     // tokenizer round-trip THROUGH the real pipeline: decode(encode(x))
@@ -1783,15 +1864,15 @@ object QueryCatalog {
              |tok AS (SELECT doc_id, unnest(toks) AS w FROM tr),
              |seg AS (SELECT doc_id,
              |    replace(replace(replace(replace(replace(
-             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(1)) || chr(1),
-             |      chr(1)||'a'||chr(1)||'t'||chr(1), chr(1)||'at'||chr(1)),
-             |      chr(1)||'t'||chr(1)||'a'||chr(1), chr(1)||'ta'||chr(1)),
-             |      chr(1)||'ta'||chr(1)||'b'||chr(1), chr(1)||'tab'||chr(1)),
-             |      chr(1)||'l'||chr(1)||'e'||chr(1), chr(1)||'le'||chr(1)),
-             |      chr(1)||'e'||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)) AS sg
+             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(2)||chr(1)) || chr(2),
+             |      chr(1)||'a'||chr(2)||chr(1)||'t'||chr(2), chr(1)||'at'||chr(2)),
+             |      chr(1)||'t'||chr(2)||chr(1)||'a'||chr(2), chr(1)||'ta'||chr(2)),
+             |      chr(1)||'ta'||chr(2)||chr(1)||'b'||chr(2), chr(1)||'tab'||chr(2)),
+             |      chr(1)||'l'||chr(2)||chr(1)||'e'||chr(2), chr(1)||'le'||chr(2)),
+             |      chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2), chr(1)||'er'||chr(2)) AS sg
              |  FROM tok),
              |cnt AS (SELECT doc_id,
-             |    CAST(sum(len(list_filter(string_split(sg, chr(1)), x -> x <> '')))
+             |    CAST(sum(len(list_filter(string_split(replace(sg, chr(2), chr(1)), chr(1)), x -> x <> '')))
              |      AS BIGINT) AS nt
              |  FROM seg GROUP BY doc_id),
              |sh AS (SELECT doc_id, nt,

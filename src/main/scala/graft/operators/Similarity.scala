@@ -732,8 +732,11 @@ object Similarity {
     emb.select(posexplode(col(vec)).as(Seq("dim", "x")))
       // non-finite entries are EXCLUDED from every moment including n —
       // without this, count includes a null/NaN element that sum skips
-      // (silently biased mean) and floor(NaN)→0 poisons sumsq
-      .filter(col("x").isNotNull && !isnan(col("x")))
+      // (silently biased mean), floor(NaN)→0 poisons sumsq, and
+      // floor(±Infinity·scale).cast(long) saturates at Long.Min/MaxValue,
+      // which poisons sum_u/sumsq_u (and every downstream standardize)
+      .filter(col("x").isNotNull && !isnan(col("x")) &&
+        abs(col("x")) =!= Double.PositiveInfinity)
       .select(col("dim").cast("long").as("dim"),
         floor(col("x").cast("double") * unitScale).cast("long").as("u"))
       .groupBy("dim")

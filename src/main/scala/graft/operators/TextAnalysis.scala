@@ -625,10 +625,13 @@ object TextAnalysis {
     * in-row transform. ABOVE that, 2·V plan literals are megabytes of
     * tree (whole-stage codegen bails at the 64 KB method limit and every
     * task deserializes the bloat), so the vocab rides a broadcast JOIN
-    * instead: posexplode ids → broadcast-join the vocab relation →
-    * reassemble by position — [[encode]]'s exact shuffle shape (per-doc
-    * sequence assembly, skew-free, O(doc length) state), the right trade
-    * once the literal plan stops being free.
+    * instead: distinct sequences → posexplode ids → broadcast-join the
+    * vocab relation → reassemble by position → join back on the
+    * sequence string — [[encode]]'s exact shuffle shape (per-sequence
+    * assembly, skew-free, O(doc length) state), the right trade once
+    * the literal plan stops being free. The join key is the sequence
+    * string itself (deterministic under retries), never a synthetic
+    * row id.
     */
   def decode(encoded: DataFrame, tokenIdsCol: String, vocab: DataFrame,
              unk: String = "<unk>", literalMax: Int = 8192): DataFrame = {
@@ -643,21 +646,26 @@ object TextAnalysis {
         array_join(transform(split(col(tokenIdsCol), " "),
           id => coalesce(element_at(idToToken, id), lit(unk))), " "))
     } else {
-      // _did is generated before the explode and consumed within the
-      // same job — stable row identity for the split/reassemble pair
-      val withId = encoded.withColumn("_did", monotonically_increasing_id())
-      val dec = withId
-        .select(col("_did"),
-          posexplode(split(col(tokenIdsCol), " ")).as(Seq("pos", "tid")))
+      // The reassembly key is the token-id STRING itself, never a
+      // synthetic row id: monotonically_increasing_id() is
+      // nondeterministic, so a task retry / AQE recomputation could
+      // assign different ids to the two sides of the final join and
+      // mis-join or drop rows. Identical sequences decode identically,
+      // so keying by the sequence is exact — and deduplicates decode
+      // work for repeated sequences as a bonus.
+      val dec = encoded.select(col(tokenIdsCol).as("_tids")).distinct()
+        .select(col("_tids"),
+          posexplode(split(col("_tids"), " ")).as(Seq("pos", "tid")))
         .join(broadcast(vocab.select(
           col("token_id").cast("string").as("tid"), col("token"))),
           Seq("tid"), "left")
-        .groupBy("_did")
+        .groupBy("_tids")
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"),
             coalesce(col("token"), lit(unk)).as("tok")))),
           s => s.getField("tok")), " ").as("decoded"))
-      withId.join(dec, Seq("_did"), "left").drop("_did")
+      encoded.join(dec, col(tokenIdsCol) === col("_tids"), "left")
+        .drop("_tids")
     }
   }
 

@@ -53,8 +53,17 @@ object RedditApi {
       selftext: Option[String],
       subreddit: Option[String])
 
-  /** One page of a listing plus whether another page exists. */
-  final case class Page(posts: Seq[Post], hasMore: Boolean)
+  /** One page of a listing plus the cursor naming the NEXT page —
+    * `None` means the listing is exhausted. Reddit's real listing API
+    * paginates by this opaque `after` fullname (there is no page=N
+    * parameter), so the cursor is the seam's pagination contract and
+    * each transport defines its own cursor encoding (the HTTP transport
+    * passes the server's `after` through verbatim; the JSONL fixture
+    * encodes its row offset).
+    */
+  final case class Page(posts: Seq[Post], after: Option[String]) {
+    def hasMore: Boolean = after.isDefined
+  }
 
   /** Parse one API-shaped post object (the PRAW submission field set) —
     * shared by the JSONL fixture transport and the HTTP transport's
@@ -93,13 +102,16 @@ object RedditApi {
     StructField("subreddit", StringType)))
 }
 
-/** The transport seam: page-at-a-time fetch for one subreddit. A live
-  * HTTP client, a recorded-response replayer, and the JSONL fixture
-  * transport all fit behind this one method; retry/backoff/throttle wrap
-  * it uniformly in the partition reader.
+/** The transport seam: cursor-at-a-time fetch for one subreddit —
+  * `after = None` asks for the first page; each returned [[RedditApi.Page]]
+  * carries the cursor for the next call. A live HTTP client, a
+  * recorded-response replayer, and the JSONL fixture transport all fit
+  * behind this one method; retry/backoff/throttle wrap it uniformly in
+  * the partition reader. Retrying a failed fetch re-sends the SAME
+  * cursor, so a mid-listing 503 never skips or duplicates a page.
   */
 trait RedditTransport extends Serializable {
-  def fetch(subreddit: String, page: Int): RedditApi.Page
+  def fetch(subreddit: String, after: Option[String]): RedditApi.Page
 }
 
 /** Named transport factories so `option("transport", name)` can select an
@@ -146,20 +158,26 @@ final class JsonlTransport(path: String, pageSize: Int) extends RedditTransport 
     } finally src.close()
   }
 
-  def fetch(subreddit: String, page: Int): RedditApi.Page = {
+  // The fixture's cursor encodes the next row offset — opaque to the
+  // reader, which just hands it back like the live API's fullname.
+  def fetch(subreddit: String, after: Option[String]): RedditApi.Page = {
     val all = bySubreddit.getOrElse(subreddit, IndexedSeq.empty)
-    val from = page * pageSize
+    val from = after.map(_.toInt).getOrElse(0)
     RedditApi.Page(all.slice(from, from + pageSize),
-      hasMore = all.length > from + pageSize)
+      after = if (all.length > from + pageSize) Some((from + pageSize).toString)
+              else None)
   }
 }
 
 /** REAL HTTP transport — the live-API seam, JDK 11+ `java.net.http`
   * client, no extra dependency. Fetches
-  * `{baseUrl}/r/{subreddit}/top.json?page=N&limit=pageSize` and parses a
-  * Reddit-style listing envelope `{"data": {"children": [{"data":
-  * {...}}], "after": "..."|null}}` with the SAME field extraction as the
-  * JSONL fixture (`RedditApi.postFromJson`), `hasMore` = `after` non-null.
+  * `{baseUrl}/r/{subreddit}/top.json?limit=pageSize[&after=cursor]` —
+  * Reddit's actual pagination protocol: the first request sends no
+  * cursor, every later request echoes the previous response's `after`
+  * fullname — and parses the listing envelope `{"data": {"children":
+  * [{"data": {...}}], "after": "..."|null}}` with the SAME field
+  * extraction as the JSONL fixture (`RedditApi.postFromJson`); the
+  * response's `after` becomes the next call's cursor (null = done).
   * Non-200 responses throw `IOException`, which is what the partition
   * reader's retry ×N / exponential-backoff wrapper catches — transport
   * errors and HTTP errors ride the same discipline
@@ -177,9 +195,11 @@ final class HttpJsonTransport(baseUrl: String, pageSize: Int,
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def fetch(subreddit: String, page: Int): RedditApi.Page = {
+  def fetch(subreddit: String, after: Option[String]): RedditApi.Page = {
+    val cursorParam = after.fold("")(a =>
+      "&after=" + java.net.URLEncoder.encode(a, "UTF-8"))
     val uri = java.net.URI.create(
-      s"$baseUrl/r/$subreddit/top.json?page=$page&limit=$pageSize")
+      s"$baseUrl/r/$subreddit/top.json?limit=$pageSize$cursorParam")
     val req = java.net.http.HttpRequest.newBuilder(uri)
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("User-Agent", "graft-reddit-source/1.0")
@@ -195,8 +215,8 @@ final class HttpJsonTransport(baseUrl: String, pageSize: Int,
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val posts = children.map(c => RedditApi.postFromJson(
       Option(c.get("data")).getOrElse(c)))
-    val after = Option(data.get("after")).filterNot(_.isNull)
-    RedditApi.Page(posts, hasMore = after.isDefined)
+    val next = Option(data.get("after")).filterNot(_.isNull).map(_.asText)
+    RedditApi.Page(posts, after = next)
   }
 }
 
@@ -263,16 +283,19 @@ final class RedditPartitionReader(transport: RedditTransport, subreddit: String,
                                   maxRetries: Int, backoffMs: Long,
                                   throttleMs: Long, limit: Int)
     extends PartitionReader[InternalRow] {
-  private var page = 0
+  private var cursor: Option[String] = None
+  private var pagesFetched = 0
   private var emitted = 0
   private var buf: Iterator[RedditApi.Post] = Iterator.empty
   private var hasMore = true
   private var current: RedditApi.Post = _
 
+  // A retry re-sends the SAME cursor — the failed request consumed
+  // nothing, so the walk neither skips nor duplicates a page.
   private def fetchWithRetry(): RedditApi.Page = {
     var attempt = 0
     while (true) {
-      try return transport.fetch(subreddit, page)
+      try return transport.fetch(subreddit, cursor)
       catch {
         case e: Exception =>
           attempt += 1
@@ -286,11 +309,12 @@ final class RedditPartitionReader(transport: RedditTransport, subreddit: String,
   override def next(): Boolean = {
     if (emitted >= limit) return false
     while (!buf.hasNext && hasMore) {
-      if (page > 0 && throttleMs > 0) Thread.sleep(throttleMs)
+      if (pagesFetched > 0 && throttleMs > 0) Thread.sleep(throttleMs)
       val p = fetchWithRetry()
       buf = p.posts.iterator
+      cursor = p.after
       hasMore = p.hasMore
-      page += 1
+      pagesFetched += 1
     }
     if (!buf.hasNext) return false
     current = buf.next()

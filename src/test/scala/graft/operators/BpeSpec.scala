@@ -41,6 +41,25 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.applyMerges("aaaa", Seq(("a", "a"), ("aa", "aa"))) == List("aaaa"))
   }
 
+  test("greedy merge on oracle trigger shapes: XYXY repeats and odd runs") {
+    // the word shapes where a ONE-SIDED fenced-replace oracle diverges
+    // from the kernel: consecutive (l,r) occurrences share the middle
+    // fence ('erer' → [er,e,r] there, [er,er] here) and odd same-symbol
+    // runs drift even under fixpoint iteration ('eeeee' fixpoint gives
+    // [ee,e,ee]; greedy gives [ee,ee,e]) — the two-sided chr(1)‖s‖chr(2)
+    // oracle encoding matches all of these in a single replace pass
+    assert(Bpe.mergePair(List("e", "r", "e", "r"), "e", "r") == List("er", "er"))
+    assert(Bpe.mergePair(List("e", "r", "e", "r", "e", "r"), "e", "r") ==
+      List("er", "er", "er"))
+    assert(Bpe.mergePair(List("e", "e", "e", "e", "e"), "e", "e") ==
+      List("ee", "ee", "e"))
+    assert(Bpe.applyMerges("erer", Seq(("e", "r"), ("er", "er"))) == List("erer"))
+    assert(Bpe.applyMerges("ererer", Seq(("e", "r"), ("er", "er"))) ==
+      List("erer", "er"))
+    assert(Bpe.applyMerges("rere", Seq(("e", "r"))) == List("r", "er", "e"))
+    assert(Bpe.applyMerges("atat", Seq(("t", "a"))) == List("a", "ta", "t"))
+  }
+
   test("training stops early when the corpus runs out of pairs") {
     val df = corpus(("a b c", 4))
     val m = Bpe.train(df, "text", 10)

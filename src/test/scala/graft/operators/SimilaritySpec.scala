@@ -462,12 +462,16 @@ class SimilaritySpec extends SparkTestBase {
 
   test("dimStats excludes non-finite entries from every moment, including n") {
     val df = Seq(
-      (0L, Array(1.0f, Float.NaN)),
-      (1L, Array(3.0f, 2.0f))).toDF("vec_id", "vec")
+      (0L, Array(1.0f, Float.NaN, Float.PositiveInfinity)),
+      (1L, Array(3.0f, 2.0f, Float.NegativeInfinity)),
+      (2L, Array(5.0f, 4.0f, 7.0f))).toDF("vec_id", "vec")
     val out = Similarity.dimStats(df, "vec").orderBy("dim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // dim0: both finite; dim1: NaN dropped -> n = 1, sum = 2000
-    assert(out(0) == ((0L, 2L, 4000L)))
-    assert(out(1) == ((1L, 1L, 2000L)), s"NaN leaked into the moments: ${out(1)}")
+    // dim0: all finite; dim1: NaN dropped -> n = 2; dim2: ±Inf dropped
+    // -> n = 1 (without the finite guard, floor(Inf·scale).cast(long)
+    // saturates at Long.MaxValue and poisons sum_u/sumsq_u)
+    assert(out(0) == ((0L, 3L, 9000L)))
+    assert(out(1) == ((1L, 2L, 6000L)), s"NaN leaked into the moments: ${out(1)}")
+    assert(out(2) == ((2L, 1L, 7000L)), s"Infinity leaked into the moments: ${out(2)}")
   }
 }

@@ -287,7 +287,8 @@ class TextAnalysisSpec extends SparkTestBase {
     import spark.implicits._
     val vocabBig = spark.range(0, 65536).select(col("id").as("token_id"),
       concat(lit("tk"), col("id")).as("token"))
-    val encoded = Seq((0L, "0 65535 999999"), (1L, ""), (2L, "42 42"))
+    val encoded = Seq((0L, "0 65535 999999"), (1L, ""), (2L, "42 42"),
+        (3L, "42 42")) // duplicate sequence: both rows must decode
       .toDF("doc_id", "token_ids")
     val out = TextAnalysis.decode(encoded, "token_ids", vocabBig)
     val plan = out.queryExecution.optimizedPlan.toString
@@ -297,6 +298,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(0) == "tk0 tk65535 <unk>")
     assert(got(1) == "<unk>") // "" splits to [""] → unk, both paths
     assert(got(2) == "tk42 tk42")
+    assert(got(3) == "tk42 tk42")
     // forced-join path ≡ literal path on the same small vocab
     val vocabSmall = spark.range(0, 10).select(col("id").as("token_id"),
       concat(lit("tk"), col("id")).as("token"))

@@ -51,9 +51,9 @@ class RedditTableProviderSpec extends SparkTestBase {
     calls.set(0)
     RedditTransports.register("counting", opts => new RedditTransport {
       private val inner = new JsonlTransport(opts("path"), pageSize = 1)
-      def fetch(subreddit: String, page: Int): RedditApi.Page = {
+      def fetch(subreddit: String, after: Option[String]): RedditApi.Page = {
         RedditTableProviderSpec.fetchCalls.incrementAndGet()
-        inner.fetch(subreddit, page)
+        inner.fetch(subreddit, after)
       }
     })
     val path = jsonl(fixture)
@@ -69,10 +69,10 @@ class RedditTableProviderSpec extends SparkTestBase {
   test("transport failures are retried maxRetries times, then surface") {
     RedditTransports.register("flaky", opts => new RedditTransport {
       private val inner = new JsonlTransport(opts("path"), pageSize = 100)
-      def fetch(subreddit: String, page: Int): RedditApi.Page = {
+      def fetch(subreddit: String, after: Option[String]): RedditApi.Page = {
         if (RedditTableProviderSpec.flakyFailures.getAndDecrement() > 0)
           throw new RuntimeException("simulated 503")
-        inner.fetch(subreddit, page)
+        inner.fetch(subreddit, after)
       }
     })
     val path = jsonl(fixture)
@@ -100,17 +100,21 @@ class RedditTableProviderSpec extends SparkTestBase {
       s"""{"data":{"id":"$id","title":"t$id","score":$score,"created_utc":1742826791.0,"subreddit":"stocks"}}"""
     server.createContext("/r/stocks/top.json", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        // Real Reddit listing protocol: pagination is the `after` cursor
+        // (no page parameter exists) — first request has no cursor, the
+        // follow-up must echo the fullname served in the first response.
         val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val page = q.split("&").collectFirst {
-          case p if p.startsWith("page=") => p.drop(5).toInt
-        }.getOrElse(0)
+        val after = q.split("&").collectFirst {
+          case p if p.startsWith("after=") => p.drop(6)
+        }
         val (code, body) =
-          if (page == 0) {
+          if (after.isEmpty) {
             page0Hits.incrementAndGet()
             if (failuresToServe.getAndDecrement() > 0) (500, """{"error":500}""")
             else (200,
               s"""{"data":{"children":[${post("h1", 1)},${post("h2", 2)}],"after":"t3_h2"}}""")
           } else {
+            assert(after.contains("t3_h2"), s"client sent wrong cursor: $after")
             page1Hits.incrementAndGet()
             (200, s"""{"data":{"children":[${post("h3", 3)}],"after":null}}""")
           }
