@@ -28,6 +28,59 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Generated DuckDB replay of [[graft.operators.Bpe.trainBatched]]:
+    * `rounds` chained round blocks, each computing the weighted pair
+    * counts of the current fenced word table, the top-`window` ranked
+    * candidates, the non-interacting acceptance (an anti-join against
+    * every higher-ranked candidate — the rule is deliberately
+    * non-recursive so plain SQL can replay it), and the next word table
+    * as a `list_reduce` fold of the accepted two-sided fenced replaces
+    * in rank order. Word/candidate CTEs are MATERIALIZED: DuckDB
+    * inlines CTEs by default and each round references its predecessor
+    * twice, which would otherwise re-expand the whole chain
+    * exponentially. Both engines cap at the same `rounds`, so a corpus
+    * that cannot yield `merges` merges within the cap produces the same
+    * shorter table on both sides.
+    */
+  private def bpeBatchedOracleSql(window: Int, rounds: Int, merges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tk AS (
+              |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              |       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              |  FROM documents),
+              |wd AS (SELECT unnest(toks) AS word FROM tk),
+              |wc AS (SELECT word, count(*) AS n FROM wd GROUP BY word),
+              |w0 AS MATERIALIZED (SELECT chr(1) || array_to_string(
+              |     regexp_split_to_array(word, ''), chr(2)||chr(1)) || chr(2) AS s, n FROM wc)""".stripMargin
+    for (k <- 0 until rounds) {
+      sb ++= s""",
+                |a$k AS (SELECT list_filter(string_split(replace(s, chr(2), chr(1)), chr(1)), x -> x <> '') AS arr, n FROM w$k),
+                |p$k AS (SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(n) AS BIGINT) AS pn
+                |   FROM a$k, unnest(range(1, greatest(len(arr), 1))) u(i) GROUP BY 1, 2),
+                |c$k AS MATERIALIZED (SELECT * FROM (SELECT l, r, pn,
+                |     row_number() OVER (ORDER BY pn DESC, l, r) AS rk FROM p$k) WHERE rk <= $window),
+                |acc$k AS MATERIALIZED (SELECT l, r, pn, rk,
+                |     row_number() OVER (ORDER BY rk) AS wrk FROM c$k c
+                |   WHERE NOT EXISTS (SELECT 1 FROM c$k h WHERE h.rk < c.rk AND
+                |     (c.r = h.l OR c.l = h.r OR c.l = h.l||h.r OR c.r = h.l||h.r))),
+                |l$k AS (SELECT coalesce(list(l||chr(3)||r ORDER BY rk), []::VARCHAR[]) AS ms FROM acc$k),
+                |w${k + 1} AS MATERIALIZED (SELECT list_reduce(list_prepend(w$k.s, l$k.ms),
+                |     (acc, x) -> replace(acc,
+                |       chr(1)||split_part(x, chr(3), 1)||chr(2)||chr(1)||split_part(x, chr(3), 2)||chr(2),
+                |       chr(1)||split_part(x, chr(3), 1)||split_part(x, chr(3), 2)||chr(2))) AS s, n
+                |   FROM w$k, l$k)""".stripMargin
+    }
+    val unions = (0 until rounds)
+      .map(k => s"SELECT $k AS round, wrk, l, r, pn FROM acc$k")
+      .mkString("\nUNION ALL ")
+    sb ++= s""",
+              |m AS ($unions)
+              |SELECT CAST(row_number() OVER (ORDER BY round, wrk) - 1 AS BIGINT) AS rank,
+              |  CAST(round AS INT) AS round, l AS "left", r AS "right", pn AS pair_count
+              |FROM m ORDER BY rank LIMIT $merges""".stripMargin
+    sb.toString
+  }
+
   /** Temp dir for queries that materialize an intermediate layout (z-order
     * copy, JSONL round-trip, pipeline warehouse). Deleted recursively at
     * JVM exit so repeated verify runs don't accumulate table-sized copies
@@ -1740,6 +1793,22 @@ object QueryCatalog {
              |       WHEN sym = 'tab' THEN 65538 WHEN sym = 'le' THEN 65539
              |       WHEN sym = 'er' THEN 65540 ELSE -1 END AS BIGINT) AS sym_id
              |FROM syms ORDER BY doc_id, tok_pos, sym_pos""".stripMargin)),
+
+    // DEEP batched training: 64 merges learned by Bpe.trainBatched —
+    // the production-scale trainer (one pair-count job per ROUND, not
+    // per merge). The oracle replays the ENTIRE batched algorithm
+    // independently: 16 generated rounds, each = pair count → ranked
+    // window → the non-interacting acceptance anti-join → list_reduce
+    // fold of the accepted two-sided fenced replaces — so all 64
+    // (rank, round, left, right, pair_count) rows are hash-exact,
+    // including every within-round acceptance decision and every
+    // cross-round count evolution.
+    ("q_bpe_train_deep",
+      (s: SparkSession, d: String) =>
+        Bpe.trainBatched(t(s, d, "documents"), "text", numMerges = 64,
+            window = 32, maxRounds = 16)
+          .orderBy("rank"),
+      Some(bpeBatchedOracleSql(window = 32, rounds = 16, merges = 64))),
 
     // ADVERSARIAL oracle-vs-kernel grading on the exact word shapes
     // where a shared-fence replace oracle diverges from the greedy

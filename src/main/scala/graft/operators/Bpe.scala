@@ -120,6 +120,113 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Batched BPE merge training — the PRODUCTION-SCALE trainer.
+    * [[train]]'s sequential loop is one Spark job (plus an eager
+    * checkpoint) PER MERGE: a real 64k-merge vocabulary would cost 64k
+    * sequential jobs of scheduler + checkpoint overhead, which no 100 TB
+    * run survives. This variant learns merges in ROUNDS: one pair-count
+    * job selects up to `window` top candidates, the driver accepts the
+    * maximal subset that is pairwise NON-INTERACTING, and all accepted
+    * merges apply in one map pass — cutting jobs by the average batch
+    * size (the corpus's non-interacting-pair diversity; tiny-alphabet
+    * fixtures batch ~6, symbol-diverse corpora saturate the window).
+    *
+    * Batched-BPE is a standard variant (merge several mutually
+    * independent pairs per iteration); it is NOT guaranteed to reproduce
+    * [[train]]'s sequential merge order — on corpora where the next best
+    * pair is one a just-applied merge created (common in natural text),
+    * that pair simply waits for the next round. The selection rule is
+    * exact and engine-replayable:
+    *
+    *  - rank ALL pairs by (count DESC, left ASC, right ASC); candidates
+    *    are the top `window` ranks;
+    *  - candidate (l,r) is ACCEPTED iff for EVERY higher-ranked
+    *    candidate (a,b): `r != a && l != b && l != a+b && r != a+b` —
+    *    the exact condition under which (l,r)'s selection count is
+    *    invariant to merging (a,b) first (no occurrence of (l,r) shares
+    *    a consumed position: only r==a or l==b overlap greedy merge
+    *    sites; the `a+b` guards exclude string-collision count
+    *    inflation when the created token spells an existing symbol);
+    *  - accepted merges apply in rank order (each the greedy
+    *    left-to-right pass of [[mergePair]]); ranks are assigned
+    *    (round, within-round order).
+    *
+    * Note the rule compares against every higher-ranked CANDIDATE (not
+    * just accepted ones): that makes acceptance a non-recursive
+    * predicate over the ranked window, which is what lets a SQL oracle
+    * replay it with a window function + anti-join instead of a
+    * sequential scan.
+    *
+    * Rounds are capped at `maxRounds` so the round structure is a
+    * static property both engines share — if the corpus cannot yield
+    * `numMerges` merges within the cap, both stop at the same table.
+    *
+    * Scale shape: per round ONE two-phase aggregation over the
+    * O(distinct words) table + a window-bounded driver collect; the
+    * rewrite is a zero-shuffle map. Lineage is truncated by an eager
+    * localCheckpoint every `checkpointEvery` rounds (same discipline as
+    * [[train]], amortized over the batch).
+    */
+  def trainBatched(docs: DataFrame, text: String, numMerges: Int,
+                   window: Int = 32, maxRounds: Int = 16,
+                   checkpointEvery: Int = 4): DataFrame = {
+    require(numMerges > 0, "trainBatched: numMerges must be positive")
+    require(window > 0 && maxRounds > 0 && checkpointEvery > 0,
+      "trainBatched: window/maxRounds/checkpointEvery must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // checkpoints are LAZY here (unlike train's eager ones): the next
+    // round's pair-count collect materializes them as part of its own
+    // job, so lineage truncation costs zero extra jobs — total job
+    // count is exactly one per round, which is the whole point
+    var words: Dataset[(List[String], Long)] = docs
+      .select(explode(TextAnalysis.tokens(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (codePoints(w).toList, n) }
+      .localCheckpoint(eager = false) // the ONE corpus pass
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (out.size < numMerges && round < maxRounds && !exhausted) {
+      // RDD-level count+top so each round is EXACTLY one Spark job
+      // (reduceByKey map side combines, takeOrdered merges per-partition
+      // heaps on the driver) — the DataFrame agg is semantically
+      // identical but AQE materializes its shuffle as a separate job,
+      // doubling the round cost this operator exists to amortize
+      val top: Array[(String, String, Long)] = words.rdd
+        .flatMap { case (syms, n) =>
+          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p, n))
+        }
+        .reduceByKey(_ + _)
+        .takeOrdered(window)(Ordering.by { case ((l, r), pn) => (-pn, l, r) })
+        .map { case ((l, r), pn) => (l, r, pn) }
+      if (top.isEmpty) exhausted = true
+      else {
+        val accepted = top.indices.filter { j =>
+          val (l, r, _) = top(j)
+          (0 until j).forall { i =>
+            val (a, b, _) = top(i)
+            r != a && l != b && l != a + b && r != a + b
+          }
+        }.map(top)
+        // the WHOLE round applies (both engines see identical word
+        // tables next round); only numMerges rows are REPORTED
+        accepted.foreach { case (l, r, c) =>
+          if (out.size < numMerges) out += ((out.size.toLong, round, l, r, c))
+        }
+        val batch = accepted.map { case (l, r, _) => (l, r) }.toList
+        words = words.map { case (syms, n) =>
+          (batch.foldLeft(syms) { case (s, (l, r)) => mergePair(s, l, r) }, n)
+        }
+        round += 1
+        if (round % checkpointEvery == 0)
+          words = words.localCheckpoint(eager = false)
+      }
+    }
+    out.toSeq.toDF("rank", "round", "left", "right", "pair_count")
+  }
+
   /** Iterative lowest-rank BPE segmentation of one word — the encoder's
     * in-row kernel. Equivalent to folding the merge table in rank order
     * ([[applyMerges]], the Sennrich apply semantics: merging adjacent

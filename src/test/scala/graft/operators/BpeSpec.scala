@@ -169,4 +169,86 @@ class BpeSpec extends SparkTestBase {
       built += (l + r)
     }
   }
+
+  test("trainBatched with window=1 degenerates to exactly sequential train") {
+    // one candidate per round = one merge per round = Sennrich order;
+    // any drift here means the batched loop's counting/apply/rank
+    // bookkeeping diverged from the sequential trainer
+    val df = corpus(("low low low low low", 1), ("lower lower", 1),
+      ("newest", 6), ("wider wider wider", 2))
+    val seq = Bpe.train(df, "text", 6).orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val bat = Bpe.trainBatched(df, "text", 6, window = 1, maxRounds = 6)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(seq.toSeq == bat.toSeq,
+      s"window=1 batched drifted from sequential:\n${seq.toSeq}\n${bat.toSeq}")
+  }
+
+  test("trainBatched: rounds are non-interacting and ranks well-formed") {
+    val df = corpus(("low low low low low", 1), ("lower lower", 1),
+      ("newest", 6), ("wider wider wider", 2))
+    val rows = Bpe.trainBatched(df, "text", 10, window = 8, maxRounds = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong), "ranks not dense")
+    assert(rows.map(_._2).toSeq.sorted == rows.map(_._2).toSeq, "rounds not monotone")
+    // within a round, every pair must satisfy the acceptance guard vs
+    // every EARLIER pair of the same round (rank order = window order)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val inRound = rs.sortBy(_._1).map(t => (t._3, t._4))
+      for (j <- inRound.indices; i <- 0 until j) {
+        val (a, b) = inRound(i); val (l, r) = inRound(j)
+        assert(r != a && l != b && l != a + b && r != a + b,
+          s"round batch interacts: ($a,$b) then ($l,$r)")
+      }
+    }
+    // every learned symbol still buildable across rounds
+    var built = Set.empty[String]
+    rows.foreach { case (_, _, l, r) =>
+      assert(l.length == 1 || built.contains(l), s"left '$l' unbuildable")
+      assert(r.length == 1 || built.contains(r), s"right '$r' unbuildable")
+      built += (l + r)
+    }
+  }
+
+  test("trainBatched: 64 merges on a symbol-diverse corpus within the job budget") {
+    // the scale contract: jobs scale with ROUNDS, not merges — on a
+    // corpus with enough non-interacting top pairs, 64 merges must cost
+    // at most merges/8 Spark jobs (vs ~2 jobs per merge sequentially)
+    import spark.implicits._
+    val alpha = ('a' to 'z').map(_.toString) ++
+      (0 until 40).map(i => (0x3b1 + i).toChar.toString)
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 4000).map { _ =>
+      val len = 4 + rnd.nextInt(9)
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val df = words.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    val m = try {
+      // trainBatched is eager (per-round collects run inside the call),
+      // so the listener scope covers exactly the training jobs; the
+      // result is a local relation, counted after the snapshot
+      val out = Bpe.trainBatched(df, "text", 64, window = 64, maxRounds = 16)
+      // the listener bus is async: give queued job-start events a
+      // moment to drain before snapshotting (stable-count poll)
+      var last = -1
+      while (counter.jobs.get() != last) {
+        last = counter.jobs.get(); Thread.sleep(200)
+      }
+      out
+    } finally spark.sparkContext.removeSparkListener(counter)
+    val jobs = counter.jobs.get()
+    assert(m.count() == 64, "diverse corpus must yield all 64 merges")
+    assert(jobs <= 64 / 8,
+      s"trainBatched(64) cost $jobs jobs — batching is not amortizing")
+  }
 }
