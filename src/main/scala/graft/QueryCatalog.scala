@@ -4945,8 +4945,14 @@ object QueryCatalog {
         val probes = ev.filter(col("event_id") % 5 =!= 0)
           .select(col("user_id").as("key"), col("ts"), col("event_id"),
             lit(null).cast("double").as("dim_value"))
-        val inp = dims.unionByName(probes)
-        val Array(minMs, maxMs) = ev
+        // materialize the merged input ONCE: the three tercile writes and
+        // the span probe below would otherwise each re-run the dims
+        // aggregation shuffle (4 scans + 3 shuffles for one relation);
+        // every ts in ev survives into inp (dims keeps ts in its group
+        // key, probes pass it through), so the span probe reads the
+        // checkpoint, not the source
+        val inp = dims.unionByName(probes).localCheckpoint(eager = true)
+        val Array(minMs, maxMs) = inp
           .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
           .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
         val cut1 = minMs + (maxMs - minMs) / 3
@@ -4964,7 +4970,12 @@ object QueryCatalog {
         val stream = s.readStream.schema(inp.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
           .as[graft.streaming.Streams.AsofInput]
-        withShufflePartitions(s, 8) {
+        // 4 state partitions, not the family's 8: this query's per-trigger
+        // cost is state-store instance lifecycle (4 triggers x instances,
+        // profiled round 15 at ~0.15s/instance-trigger on tmpfs), and its
+        // state is one tiny record per user — halving instances cut the
+        // warm stream phase from 3.0s to 2.4s with identical output
+        withShufflePartitions(s, 4) {
           val q = graft.streaming.Streams
             .asofEnrich(stream, watermark = "0 seconds",
               retentionMs = 10L * 365 * 24 * 3600 * 1000)
