@@ -73,6 +73,22 @@ object Bench {
       laterDrift > 1.5 || startRatio > 2.0 || onsetRatio > 1.5)
   }
 
+  /** Where a finished run's full artifact goes. A `value_suspect` run
+    * must never overwrite a committed CLEAN `dev/bench_latest.json` —
+    * the canonical perf record would silently degrade (the r14 working
+    * tree held exactly that state) — so suspect runs land in the
+    * `dev/bench_suspect.json` sidecar whenever the existing artifact is
+    * clean. A suspect run may replace a suspect artifact (latest noise
+    * beats stale noise), and a clean run always takes the canonical
+    * path. Object-level so the routing rule is unit-tested.
+    */
+  private[graft] def artifactTarget(suspect: Boolean,
+                                    existing: Option[String]): String = {
+    val existingClean = existing.exists(_.contains("\"value_suspect\":false"))
+    if (suspect && existingClean) "dev/bench_suspect.json"
+    else "dev/bench_latest.json"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -311,10 +327,18 @@ object Bench {
     // SparkEntry.queries, and the full map is one file away).
     // full runs only: a SPARK_GRAFT_ONLY dev slice must never clobber the
     // committed round artifact with a partial query map
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("dev/bench_latest.json"),
+    if (only.isEmpty) {
+      val latest = java.nio.file.Paths.get("dev/bench_latest.json")
+      val existing =
+        try Some(java.nio.file.Files.readString(latest))
+        catch { case _: Throwable => None }
+      val target = artifactTarget(suspect, existing)
+      if (target != "dev/bench_latest.json")
+        System.err.println(s"[bench] suspect run; clean artifact kept, writing $target")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(target),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case e: Throwable => System.err.println(s"[bench] bench_latest.json: ${e.getMessage}") }
+      catch { case e: Throwable => System.err.println(s"[bench] $target: ${e.getMessage}") }
+    }
     println(line)
     val perQueryCs = results.map { case (_, r) =>
       if (r.ok) math.round(r.sec * 100).toString else "-1"

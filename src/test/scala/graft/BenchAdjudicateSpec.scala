@@ -36,4 +36,17 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(!Bench.adjudicate(Seq(1.0)).contended)
     assert(!Bench.adjudicate(Seq.empty).contended)
   }
+
+  test("artifact routing: a suspect run never overwrites a clean artifact") {
+    val clean = Some("""{"metric":"total","value":264.08,"value_suspect":false,...}""")
+    val dirty = Some("""{"metric":"total","value":374.90,"value_suspect":true,...}""")
+    // the r14 working-tree failure mode: suspect run over a clean file
+    assert(Bench.artifactTarget(suspect = true, clean) == "dev/bench_suspect.json")
+    // latest noise may replace stale noise; clean always takes the canon
+    assert(Bench.artifactTarget(suspect = true, dirty) == "dev/bench_latest.json")
+    assert(Bench.artifactTarget(suspect = true, None) == "dev/bench_latest.json")
+    assert(Bench.artifactTarget(suspect = false, clean) == "dev/bench_latest.json")
+    assert(Bench.artifactTarget(suspect = false, dirty) == "dev/bench_latest.json")
+    assert(Bench.artifactTarget(suspect = false, None) == "dev/bench_latest.json")
+  }
 }
