@@ -5119,14 +5119,37 @@ object QueryCatalog {
         val rows = s.range(10000000L).select(
           (col("id") % 8).as("g"),
           ((col("id") * 2654435761L) % 100000L).as("v"))
-        // two scans + a tiny join, NOT one mixed aggregate: a distinct
-        // aggregate beside non-distinct ones plans an Expand that
-        // duplicates every input row per aggregate class (measured 3.5×
-        // slower here); separate passes keep each side's shuffle minimal
-        val exact = rows.groupBy("g").agg(
-          count(lit(1)).as("n_rows"),
-          count_distinct(col("v")).as("nd_exact"),
-          expr("percentile(v, 0.5d)").as("_p50e"))
+        // The exact side is deliberately the expensive foil, but its
+        // state must be DISTINCT-bounded, not row-bounded: the previous
+        // percentile(v, 0.5) buffered every row (1.25M longs per group),
+        // which turned host memory pressure into 30s GC swings on this
+        // one row. Count-by-value first (map-side combine collapses 10M
+        // rows to ≤800k (g,v) pairs), then the exact median by
+        // cumulative-count interpolation and exact distinct as a row
+        // count — same values to 4dp, peak allocation down ~100×, and
+        // the exact-vs-sketch crossover (full distinct shuffle + sorted
+        // walk vs O(registers) across the exchange) is still the story.
+        // no materialization: the generator re-runs for each consumer,
+        // which is cheaper than pinning 800k rows (and AQE reuses the
+        // (g,v) exchange where the subtrees coincide)
+        val counts = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+        val tot = counts.groupBy("g").agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("nd_exact"))
+        val cumW = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("v")
+        // sorted[(N-1)/2] and sorted[N/2] via the first value whose
+        // cumulative count passes each 0-based rank — percentile's exact
+        // interpolation at 0.5 is their mean
+        val med = counts
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .join(tot.select(col("g"), col("n_rows")), Seq("g"))
+          .groupBy("g").agg(
+            min(when(col("cum") > (col("n_rows") - 1) / 2, col("v"))).as("_vlo"),
+            min(when(col("cum") > col("n_rows") / 2, col("v"))).as("_vhi"))
+        val exact = tot.join(med, Seq("g")).select(col("g"),
+          col("n_rows"), col("nd_exact"),
+          ((col("_vlo") + col("_vhi")) / 2.0d).as("_p50e"))
         val approx = rows.groupBy("g").agg(
           approx_count_distinct(col("v"), 0.02).as("_nda"),
           expr("approx_percentile(v, 0.5d, 1000)").as("_p50a"))
