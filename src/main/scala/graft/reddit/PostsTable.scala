@@ -112,20 +112,71 @@ object PostsTable {
     moveIntoVersion(tmp, root, v)
   }
 
+  /** CAS-style writer claim on version `v`: an atomic create-if-absent
+    * marker file (`_claim_v_<v>`) taken BEFORE any data is written, so
+    * two drivers racing the same version flip are detected at the start,
+    * not silently last-flip-wins at the end. Exactly one racer's
+    * CREATE_NEW succeeds; the loser fails LOUDLY here with the table
+    * untouched and readable. A claim whose recorded owner process is
+    * dead is the residue of a crashed writer — it is healed (deleted and
+    * re-claimed) so a crash can never wedge the table; if two healers
+    * race the takeover, the CREATE_NEW retry again admits exactly one.
+    * PID liveness is the right lease for this local-FS table format; an
+    * object-store port would swap in a timestamp lease, same protocol.
+    * The claim is released after the CURRENT flip (or on failure), so a
+    * writer that claims after a completed commit still fails loudly on
+    * [[moveIntoVersion]]'s monotonicity check and releases cleanly.
+    */
+  private def claimVersion(root: String, v: Long): Path = {
+    val claim = Paths.get(root, s"_claim_v_$v")
+    val body = s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      try {
+        Files.write(claim, body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryCreate()) {
+      val ownerAlive =
+        try {
+          val pid = Files.readString(claim).takeWhile(_ != '@').toLong
+          ProcessHandle.of(pid).isPresent
+        } catch { case _: Exception => false } // unreadable claim = stale
+      if (ownerAlive)
+        throw new IllegalStateException(
+          s"PostsTable: version v_$v is claimed by a live writer " +
+            s"(${scala.util.Try(Files.readString(claim)).getOrElse("?")}) — " +
+            "two drivers are racing this table; this writer loses loudly " +
+            "rather than silently overwriting the other's commit")
+      Files.deleteIfExists(claim)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"PostsTable: lost the takeover race for stale claim on v_$v — " +
+            "another writer healed it first; retry the upsert")
+    }
+    claim
+  }
+
+  private def releaseClaim(claim: Path): Unit = {
+    try Files.deleteIfExists(claim)
+    catch { case _: Exception => () } // best-effort; stale-healed next time
+    (): Unit
+  }
+
   /** Land a fully-written tmp dir as `v_<v>`. A directory already at the
     * target is the orphan of a commit that crashed between this move and
-    * the CURRENT flip (CURRENT never names it, so no reader can hold it)
-    * — clobber it, otherwise the rename throws and every replay of the
-    * interrupted epoch wedges on the same corpse forever.
+    * the CURRENT flip (CURRENT never names it, so no reader can hold it,
+    * and [[claimVersion]] has already established the orphan's writer is
+    * dead) — clobber it, otherwise the rename throws and every replay of
+    * the interrupted epoch wedges on the same corpse forever.
     *
-    * SINGLE-WRITER CONTRACT, stated explicitly: this table has one
-    * logical writer per root (what foreachBatch/AvailableNow guarantees —
-    * epochs are serialized, and a crash-replay writer IS the same logical
-    * writer resuming). Two concurrent writers racing the same version
-    * were never safe under the CURRENT-flip protocol (last flip wins
-    * regardless of this method), and the clobber means the race loses
-    * data silently instead of loudly — do not point two independent
-    * writers at one root; give each its own table and union on read.
+    * WRITER CONTRACT: one logical writer per root at a time (what
+    * foreachBatch/AvailableNow guarantees — epochs are serialized, and a
+    * crash-replay writer IS the same logical writer resuming). Unlike
+    * rounds ≤14, this is now ENFORCED, not conventional: every version
+    * write holds a [[claimVersion]] marker, so a second driver racing
+    * the same version fails loudly at claim time instead of silently
+    * losing data to the last CURRENT flip.
     */
   private def moveIntoVersion(tmp: Path, root: String, v: Long): Unit = {
     val target = versionDir(root, v)
@@ -190,8 +241,11 @@ object PostsTable {
              sidecar: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(root))
     val v = currentVersion(root).getOrElse(-1L) + 1
-    writeVersion(df, root, v, key, sidecar)
-    commit(root, v)
+    val claim = claimVersion(root, v)
+    try {
+      writeVersion(df, root, v, key, sidecar)
+      commit(root, v)
+    } finally releaseClaim(claim)
   }
 
   /** U3+U4: delete-matching ∪ insert as one atomic version bump
@@ -212,14 +266,17 @@ object PostsTable {
     // carried-forward sidecars under the caller's: an upsert that doesn't
     // know about the epoch ledger must not erase it
     val allSidecar = currentSidecars(root) ++ sidecar
-    if (main.columns.contains("extract_date") && staging.columns.contains("extraction_timestamp"))
-      partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys, allSidecar)
-    else {
-      // legacy/unpartitioned layout: full rewrite (broadcast anti-join;
-      // the main side still never shuffles)
-      writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key, allSidecar)
-    }
-    commit(root, v)
+    val claim = claimVersion(root, v)
+    try {
+      if (main.columns.contains("extract_date") && staging.columns.contains("extraction_timestamp"))
+        partitionMerge(spark, root, curDir, main, staging, key, v, maxStagedKeys, allSidecar)
+      else {
+        // legacy/unpartitioned layout: full rewrite (broadcast anti-join;
+        // the main side still never shuffles)
+        writeVersion(Relational.upsert(main.drop("extract_date"), staging, key), root, v, key, allSidecar)
+      }
+      commit(root, v)
+    } finally releaseClaim(claim)
     vacuum(root, keep = 2)
   }
 

@@ -70,6 +70,76 @@ class PipelineSpec extends SparkTestBase {
     assert(names.count(_.startsWith("v_")) <= 2)
   }
 
+  test("concurrent-writer guard: a live claim loses loudly, table readable throughout") {
+    import java.nio.file.{Files => F, Paths}
+    import spark.implicits._
+    val root = Files.createTempDirectory("posts_table_cas").toString
+    PostsTable.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, key = "id")
+    val before = PostsTable.read(spark, root).orderBy("id").collect().toSeq
+    val nextV = PostsTable.currentVersion(root).get + 1
+    // simulate writer A mid-commit: a claim held by a LIVE process (ours)
+    val claim = Paths.get(root, s"_claim_v_$nextV")
+    F.writeString(claim,
+      s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}")
+    val ex = intercept[IllegalStateException] {
+      PostsTable.upsert(spark, root, Seq((2L, "B")).toDF("id", "v"), key = "id")
+    }
+    assert(ex.getMessage.contains("claimed by a live writer"), ex.getMessage)
+    // the loser touched nothing: same version, same rows, still readable
+    assert(PostsTable.currentVersion(root).contains(nextV - 1))
+    assert(PostsTable.read(spark, root).orderBy("id").collect().toSeq == before)
+    // writer A crashes (claim now names a dead pid): the next upsert heals
+    // the stale claim and wins
+    F.writeString(claim, s"999999999@${System.currentTimeMillis()}")
+    PostsTable.upsert(spark, root, Seq((2L, "B")).toDF("id", "v"), key = "id")
+    assert(PostsTable.currentVersion(root).contains(nextV))
+    assert(PostsTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "B")))
+    // successful commits release their claim — nothing accumulates
+    assert(!new java.io.File(root).list().exists(_.startsWith("_claim_")))
+  }
+
+  test("concurrent-writer guard: two racing upserts — one wins or both serialize, never silent loss") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("posts_table_race").toString
+    PostsTable.create(Seq((1L, "a")).toDF("id", "v"), root, key = "id")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    def racer(tag: String, rows: Seq[(Long, String)]): Thread = {
+      val th = new Thread(() => {
+        gate.await()
+        try {
+          PostsTable.upsert(spark, root, rows.toDF("id", "v"), key = "id")
+          outcomes.add(s"$tag:ok")
+        } catch {
+          // claim loss (IllegalState) or the post-claim monotonicity check
+          // (moveIntoVersion's require) — both are the LOUD failure modes
+          case e @ (_: IllegalStateException | _: IllegalArgumentException)
+              if e.getMessage.contains("claim") || e.getMessage.contains("committed") =>
+            outcomes.add(s"$tag:loud")
+        }
+        (): Unit
+      })
+      th.start(); th
+    }
+    val a = racer("a", Seq((2L, "x")))
+    val b = racer("b", Seq((3L, "y")))
+    gate.countDown(); a.join(120000); b.join(120000)
+    val got = {
+      import scala.jdk.CollectionConverters._
+      outcomes.iterator().asScala.toSet
+    }
+    assert(got.count(_.endsWith(":ok")) >= 1, s"no writer succeeded: $got")
+    // whatever interleaving happened, the table is consistent: readable,
+    // contains key 1, and every winner's write is present
+    val live = PostsTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(live.contains((1L, "a")))
+    if (got("a:ok")) assert(live.contains((2L, "x")), s"a won but lost data: $live")
+    if (got("b:ok")) assert(live.contains((3L, "y")), s"b won but lost data: $live")
+    assert(got.size == 2, s"a racer neither won nor failed loudly: $got")
+  }
+
   test("partition-level upsert: unaffected date partitions hard-link, not copy") {
     import java.nio.file.{Files => F, Paths}
     val root = Files.createTempDirectory("posts_table5").toString
