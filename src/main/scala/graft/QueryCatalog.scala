@@ -2536,6 +2536,32 @@ object QueryCatalog {
              |WHERE u.vec_id < 10
              |ORDER BY u.vec_id, u.dim""".stripMargin)),
 
+    // upper-triangle exact cross-moments of the embedding corpus — the
+    // sufficient statistics for covariance/whitening (the dimStats
+    // discipline on dim PAIRS): every (i ≤ j) cell's n / Σu_iu_j / Σu_i /
+    // Σu_j replayed as BIGINTs by a DuckDB self-join over the same
+    // quantization. The Spark side builds the pairs IN-ROW (suffix-slice
+    // transform, no self-join) and aggregates once on the dims²-bounded
+    // key — the whiten() transform consumes exactly this relation.
+    ("q_dim_covariance",
+      (s: SparkSession, d: String) =>
+        Similarity.dimCrossStats(t(s, d, "embeddings"), "embedding")
+          .orderBy("dim_i", "dim_j"),
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS di,
+             |    CAST(floor(v[i] * 1000) AS BIGINT) AS u
+             |  FROM e, unnest(range(1, len(v)+1)) t(i)),
+             |p AS (SELECT a.di AS dim_i, b.di AS dim_j,
+             |    a.u * b.u AS uu, a.u AS ui, b.u AS uj
+             |  FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.di >= a.di)
+             |SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(uu) AS BIGINT) AS sum_uu,
+             |  CAST(sum(ui) AS BIGINT) AS sum_ui,
+             |  CAST(sum(uj) AS BIGINT) AS sum_uj
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     ("q_cosine_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")

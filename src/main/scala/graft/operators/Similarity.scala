@@ -793,6 +793,120 @@ object Similarity {
           z => round(z, 6)).as("z"))
   }
 
+  /** Exact fixed-point CROSS-moments of an embedding column — the
+    * [[dimStats]] discipline extended to the upper triangle:
+    * `(dim_i, dim_j, n, sum_uu, sum_ui, sum_uj)` for every i ≤ j with
+    * u = ⌊x·unitScale⌋, all BIGINT so the relation is engine-replayable
+    * and mergeable across partitions. These are the sufficient
+    * statistics for the pairwise-complete covariance
+    * `cov_ij = (sum_uu − sum_ui·sum_uj/n)/n / unitScale²` that
+    * [[whiten]] consumes (pairwise n because non-finite ENTRIES are
+    * excluded per pair — a pair needs both members finite, matching
+    * dimStats's per-entry exclusion law).
+    *
+    * Scale shape: the upper-triangle pair products are built IN-ROW
+    * (one `transform` over suffix slices — no self-join, no second
+    * explode), then ONE two-phase agg keyed by the dims²-bounded
+    * (dim_i, dim_j) key: partials are dims²/2-sized per partition, the
+    * same mergeable-moments class as dimStats. Headroom: milli-units on
+    * |x| ≤ 1 give |u_i·u_j| ≤ 10⁶, so sums hold to ~9·10¹² vectors.
+    */
+  def dimCrossStats(emb: DataFrame, vec: String,
+                    unitScale: Long = 1000L): DataFrame = {
+    require(unitScale > 0, s"dimCrossStats: unitScale must be positive, got $unitScale")
+    val u = transform(col(vec), x =>
+      when(x.isNotNull && !isnan(x.cast("double")) &&
+          abs(x.cast("double")) =!= Double.PositiveInfinity,
+        floor(x.cast("double") * unitScale).cast("long")))
+    val pairs = flatten(transform(u, (ui, i) =>
+      transform(slice(u, i + 1, size(u)), (uj, j) =>
+        struct(i.cast("long").as("dim_i"), (i + j).cast("long").as("dim_j"),
+          ui.as("ui"), uj.as("uj")))))
+    emb.select(explode(pairs).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.ui"), col("p.uj"))
+      .filter(col("ui").isNotNull && col("uj").isNotNull)
+      .groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ui") * col("uj")).as("sum_uu"),
+        sum(col("ui")).as("sum_ui"),
+        sum(col("uj")).as("sum_uj"))
+  }
+
+  /** ZCA-free whitening against a [[dimCrossStats]] relation: center by
+    * the per-dim means, then multiply by W = L⁻¹ where L is the lower
+    * Cholesky factor of the (ridge-regularized) covariance — the
+    * classic decorrelation transform: cov(Wx) = L⁻¹ C L⁻ᵀ = I on the
+    * training corpus. The factorization and inversion run DRIVER-side
+    * on the dims×dims matrix (dims ≤ 512 require-guarded — the same
+    * centroid-class bounded collect as [[standardize]]'s stats), in a
+    * FIXED elimination order so the literal weights are deterministic;
+    * the transform itself lands in the plan as array literals and is a
+    * zero-shuffle in-row kernel, exactly [[standardize]]'s shape.
+    *
+    * `eps` is the diagonal ridge (relative to mean diagonal variance)
+    * that keeps rank-deficient corpora factorizable — with it, whitened
+    * covariance is (C+εD)-whitening of C, i.e. I up to ε.
+    */
+  def whiten(emb: DataFrame, id: String, vec: String, cross: DataFrame,
+             unitScale: Long = 1000L, eps: Double = 1e-9): DataFrame = {
+    val rows = cross.select(col("dim_i").cast("int"), col("dim_j").cast("int"),
+        col("n").cast("long"), col("sum_uu").cast("long"),
+        col("sum_ui").cast("long"), col("sum_uj").cast("long"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val dims = rows.keys.map(_._2).max + 1
+    require(dims >= 1 && dims <= 512,
+      s"whiten: cross stats must cover 1..512 dims, got $dims")
+    require((0 until dims).forall(i => (i until dims).forall(j => rows.contains((i, j)))),
+      "whiten: cross stats must cover the full upper triangle from dim 0")
+    val sc = unitScale.toDouble
+    def cov(i: Int, j: Int): Double = {
+      val (n, suu, sui, suj) = rows((math.min(i, j), math.max(i, j)))
+      require(n > 0, s"whiten: empty pair ($i,$j)")
+      (suu.toDouble - sui.toDouble * suj.toDouble / n.toDouble) / n.toDouble / (sc * sc)
+    }
+    val means = (0 until dims).map { i =>
+      val (n, _, sui, _) = rows((i, i))
+      sui.toDouble / n.toDouble / sc
+    }.toArray
+    // Cholesky of C + eps·mean(diag)·I, fixed ikj order (deterministic)
+    val ridge = eps * math.max((0 until dims).map(i => cov(i, i)).sum / dims, 1e-300)
+    val l = Array.ofDim[Double](dims, dims)
+    for (i <- 0 until dims; j <- 0 to i) {
+      var s = cov(i, j) + (if (i == j) ridge else 0.0)
+      var k = 0
+      while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+      if (i == j) {
+        require(s > 0.0, s"whiten: covariance not positive definite at dim $i " +
+          "(raise eps or drop constant dimensions)")
+        l(i)(i) = math.sqrt(s)
+      } else l(i)(j) = s / l(j)(j)
+    }
+    // W = L⁻¹ by forward substitution, row by row (lower triangular)
+    val w = Array.ofDim[Double](dims, dims)
+    for (i <- 0 until dims) {
+      w(i)(i) = 1.0 / l(i)(i)
+      for (j <- 0 until i) {
+        var s = 0.0
+        var k = j
+        while (k < i) { s -= l(i)(k) * w(k)(j); k += 1 }
+        w(i)(j) = s / l(i)(i)
+      }
+    }
+    val meanArr = array(means.map(lit).toIndexedSeq: _*)
+    val wLit = array(w.map(row =>
+      array(row.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    emb.select(col(id), col(vec).as("_v"))
+      .select(col(id),
+        zip_with(col("_v"), meanArr, (x, m) => x.cast("double") - m).as("_c"))
+      .select(col(id),
+        transform(sequence(lit(0), lit(dims - 1)), k =>
+          round(aggregate(
+            zip_with(col("_c"), element_at(wLit, k + 1), (c, wv) => c * wv),
+            lit(0.0d), (acc, x) => acc + x), 6)).as("z"))
+  }
+
   /** PQ top-k search, production shape: ADC-shortlist `shortlist`
     * candidates per query over the CODES (m lookups per scanned code —
     * the codes relation is the only corpus-sized scan, `4·dims/m`× smaller

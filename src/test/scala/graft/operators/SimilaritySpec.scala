@@ -460,6 +460,68 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(zz.getDouble(1) - 1.0) < 0.05, s"std ${zz.getDouble(1)}")
   }
 
+  test("dimCrossStats: hand-computed upper-triangle moments; pairwise non-finite exclusion") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, Float.NaN)),
+      (1L, Array(3.0f, 5.0f, 7.0f))).toDF("vec_id", "vec")
+    val out = Similarity.dimCrossStats(df, "vec").orderBy("dim_i", "dim_j")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // milli-units: row0 = (1000, 2000, -), row1 = (3000, 5000, 7000)
+    assert(out((0L, 0L)) == ((2L, 1000L * 1000 + 3000L * 3000, 4000L, 4000L)))
+    assert(out((0L, 1L)) == ((2L, 1000L * 2000 + 3000L * 5000, 4000L, 7000L)))
+    // pairs touching the NaN entry keep only the finite row
+    assert(out((0L, 2L)) == ((1L, 3000L * 7000, 3000L, 7000L)))
+    assert(out((2L, 2L)) == ((1L, 7000L * 7000, 7000L, 7000L)))
+  }
+
+  test("whiten: decorrelates the training corpus to identity covariance") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // correlated 3-dim data: x2 = x0 + noise, x1 independent
+    val data = (0 until 400).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (i.toLong, Array((a * 0.3).toFloat, (b * 0.2 + 0.5).toFloat,
+        (a * 0.25 + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = data.toDF("vec_id", "vec")
+    val cross = Similarity.dimCrossStats(df, "vec")
+    val z = Similarity.whiten(df, "vec_id", "vec", cross)
+      .select(posexplode(col("z")).as(Seq("dim", "zv")), col("vec_id"))
+    val zr = z.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("dim"), r.getAs[Double]("zv")))
+    val byVec = zr.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val n = byVec.size.toDouble
+    for (i <- 0 until 3; j <- i until 3) {
+      val mi = byVec.values.map(_(i)).sum / n
+      val mj = byVec.values.map(_(j)).sum / n
+      val cij = byVec.values.map(v => (v(i) - mi) * (v(j) - mj)).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      // quantization at milli-units bounds the residual; 5% tolerance
+      assert(math.abs(cij - want) < 0.05,
+        s"whitened cov($i,$j) = $cij, want $want")
+      assert(math.abs(mi) < 0.05, s"whitened mean($i) = $mi, want ~0")
+    }
+  }
+
+  test("whiten: guards — missing triangle, non-PD input, dims cap") {
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "vec")
+    val cross = Similarity.dimCrossStats(df, "vec")
+    // constant dims → zero covariance: ridge keeps it factorizable and
+    // whitened output is defined (zeros after centering)
+    val z = Similarity.whiten(df, "vec_id", "vec", cross)
+      .select(org.apache.spark.sql.functions.col("z")).collect()
+      .map(_.getSeq[Double](0))
+    assert(z.forall(_.forall(v => math.abs(v) < 1e-3)), z.toSeq.toString)
+    // a hole in the triangle fails loudly
+    val holed = cross.filter("NOT (dim_i = 0 AND dim_j = 1)")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.whiten(df, "vec_id", "vec", holed).collect())
+    assert(ex.getMessage.contains("upper triangle"), ex.getMessage)
+  }
+
   test("dimStats excludes non-finite entries from every moment, including n") {
     val df = Seq(
       (0L, Array(1.0f, Float.NaN, Float.PositiveInfinity)),
