@@ -574,6 +574,52 @@ object QueryCatalog {
              |   // (2*count(value)*10000)) / 10000.0 AS avg_score
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // the reference's chart surface (query-test.py:72-79) graded as FILE
+    // BYTES: the hourly-avg relation exports through the real
+    // exportChartCsv path (header row, one part file) with values
+    // pre-rendered in exact 4dp fixed-point strings, and the md5 of the
+    // artifact's bytes must equal DuckDB's independent reconstruction of
+    // the byte stream — header, \n separators, trailing newline, every
+    // digit. Any drift in formatting, ordering, coalescing, or the
+    // export plumbing moves the hash.
+    ("q_chart_export",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val rel = t(s, d, "events")
+          .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
+          .agg(expr("CAST(round(sum(value)*10000) AS BIGINT)").as("_r"),
+            count(col("value")).as("_c"))
+          .select(col("hour_of_day"),
+            expr("(2*_r + _c) DIV (2*_c)").as("_a4"))
+          .select(col("hour_of_day"),
+            concat(expr("CAST(_a4 DIV 10000 AS STRING)"), lit("."),
+              lpad(expr("CAST(_a4 % 10000 AS STRING)"), 4, "0")).as("avg_score"))
+          .coalesce(1).sortWithinPartitions("hour_of_day")
+        val dir = scratchDir("chart_csv")
+        graft.reddit.Analytics.exportChartCsv(rel, dir)
+        val part = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".csv")).head
+        val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val n = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n", -1).count(_.nonEmpty) - 1L
+        Seq((n, md5)).toDF("n_rows", "csv_md5")
+      },
+      Some("""WITH a AS (SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+             |    (2*CAST(round(sum(value)*10000) AS BIGINT) + count(value))
+             |      // (2*count(value)) AS a4
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT h, CAST(h AS VARCHAR) || ',' ||
+             |    CAST(a4 // 10000 AS VARCHAR) || '.' ||
+             |    lpad(CAST(a4 % 10000 AS VARCHAR), 4, '0') AS line
+             |  FROM a),
+             |body AS (SELECT string_agg(line, chr(10) ORDER BY h) AS b,
+             |    CAST(count(*) AS BIGINT) AS n FROM l)
+             |SELECT n AS n_rows,
+             |  md5('hour_of_day,avg_score' || chr(10) || b || chr(10)) AS csv_md5
+             |FROM body""".stripMargin)),
+
     ("q_a4_scalar_stats",
       (s: SparkSession, d: String) =>
         Relational.scalarStats(t(s, d, "lineitem"), "l_quantity", "l_extendedprice"),
