@@ -3869,6 +3869,58 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL lossy-WebP (VP8 key frame) decode, graded byte-exact — the
+    // first LOSSY video-class rung. The engine encodes each doc into a
+    // genuine VP8 intra frame (boolean arithmetic coder, in-stream
+    // coefficient-probability updates, Y2/WHT DC plane, token trees with
+    // category extra bits, intra prediction, exact integer inverse
+    // transforms), with coding features rotating by doc_id: DC_PRED at
+    // the fine quantizer / coarse quantizer + uv delta-q + TWO token
+    // partitions / V_PRED + macroblock skip (prediction-only cascade) /
+    // V_PRED + steered residue. The encoder steers quantized DC levels
+    // so the lossy chain reconstructs closed-form per-MB targets EXACTLY
+    // (Vp8Codec scaladoc derives why: recon delta (v+4)>>3 at y2dc=8
+    // reaches every integer), so the oracle replays the planar-YUV
+    // generator without simulating prediction — any drift anywhere in
+    // the arithmetic-coded pipeline moves the checksum. media_bytes is
+    // dropped: arithmetic-coded size has no closed form.
+    ("q_vp8_key_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(Multimodal.withVp8Media(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    16*(1 + n_chars % 3) AS w, 16*(1 + n_chars % 2) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    sum(val) AS pix_sum,
+             |    sum(val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims d JOIN range(0, 2304) t(i) ON t.i < d.w*d.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN d.doc_id % 4 = 2 THEN 127
+             |    WHEN t.i < d.w*d.h THEN
+             |      (31*d.doc_id + 13*(((t.i // d.w) // 16) * (d.w//16)
+             |        + (t.i % d.w) // 16)) % 256
+             |    WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN
+             |      (91*d.doc_id + 7*((((t.i - d.w*d.h) // (d.w//2)) // 8)
+             |        * (d.w//16) + ((t.i - d.w*d.h) % (d.w//2)) // 8)) % 256
+             |    ELSE
+             |      (53*d.doc_id + 11*((((t.i - d.w*d.h - (d.w//2)*(d.h//2))
+             |        // (d.w//2)) // 8) * (d.w//16)
+             |        + ((t.i - d.w*d.h - (d.w//2)*(d.h//2)) % (d.w//2)) // 8)) % 256
+             |    END AS val) v
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id, 'vp8' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*h*3//2 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

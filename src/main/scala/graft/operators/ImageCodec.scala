@@ -18,11 +18,12 @@ package graft.operators
   * graded pixel query predict decode output in closed form.
   *
   * PNG routes to [[PngCodec]] (chunk walk + CRC + JDK zlib inflate +
-  * filter reconstruction) and baseline JPEG to [[JpegCodec]] (segment
-  * walk + Huffman + dequant + IDCT + YCbCr→RGB) — both REAL decodes in
-  * pure JDK arithmetic. Of the image containers only WebP (VP8 intra-
-  * frame prediction + boolean arithmetic coding) remains behind the
-  * labeled [[Multimodal.FakeCodec]] stand-in, same byte signature.
+  * filter reconstruction), baseline JPEG to [[JpegCodec]] (segment
+  * walk + Huffman + dequant + IDCT + YCbCr→RGB), lossless WebP to
+  * [[WebpCodec]] (VP8L prefix codes + transforms), and lossy WebP key
+  * frames to [[Vp8Codec]] (boolean arithmetic coder + token trees +
+  * intra prediction + exact integer inverse transforms) — all REAL
+  * decodes in pure JDK arithmetic.
   */
 object ImageCodec {
 
@@ -41,6 +42,7 @@ object ImageCodec {
     else if (PngCodec.isPng(bytes)) Some("png")
     else if (JpegCodec.isJpeg(bytes)) Some("jpeg")
     else if (WebpCodec.isVp8l(bytes)) Some("webp")
+    else if (Vp8Codec.isVp8Webp(bytes)) Some("vp8")
     else if (GifCodec.isGif(bytes)) Some("gif")
     else (bytes(0), bytes(1)) match {
       case ('B', 'M') => Some("bmp")
@@ -57,10 +59,16 @@ object ImageCodec {
     case Some("png") => PngCodec.decodePng(bytes)
     case Some("jpeg") => JpegCodec.decodeJpeg(bytes)
     case Some("webp") => WebpCodec.decodeVp8l(bytes)
+    case Some("vp8") =>
+      // lossy WebP keyframe: planar YUV 4:2:0 is the logical pixel stream
+      // (Y then U then V) — channels=3 describes the colorspace, the
+      // payload length is w·h·3/2
+      val f = Vp8Codec.decodeWebp(bytes)
+      DecodedImage("vp8", f.width, f.height, 3, f.y ++ f.u ++ f.v)
     case Some("gif") => GifCodec.decodeGif(bytes)
     case _ => throw new IllegalArgumentException(
       "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5', " +
-        "PNG, JPEG, GIF or lossless-WebP VP8L magic)")
+        "PNG, JPEG, GIF, lossless-WebP VP8L or lossy-WebP VP8 magic)")
   }
 
   // ---- BMP ----------------------------------------------------------------

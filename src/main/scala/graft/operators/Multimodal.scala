@@ -16,13 +16,16 @@ import org.apache.spark.sql.types._
   * five row filters (graded byte-exact in q_png_decode) — and
   * [[JpegCodec]] genuinely decodes baseline SOF0 JPEG — segment walk,
   * Huffman, dequant, IDCT, YCbCr→RGB (graded byte-exact in
-  * q_jpeg_decode via DC-only closed-form fixtures). The deterministic
-  * stub ([[FakeCodec]]) now stands in only for WebP/MP3/AAC/H.264-class
-  * codecs, whose intra prediction + arithmetic/subband coding is a
-  * from-scratch spec project this build has not taken on (NOT an
-  * impossibility — PNG and JPEG were the same claim once). Swapping one
-  * in is a one-function change with the same `Iterator`-batch signature
-  * a vectorized (Arrow/pandas-style) UDF would have.
+  * q_jpeg_decode via DC-only closed-form fixtures), and [[Vp8Codec]]
+  * genuinely decodes LOSSY WebP key frames — boolean arithmetic coder,
+  * token trees, intra prediction, exact integer inverse transforms
+  * (graded byte-exact in q_vp8_key_decode via steered-quantization
+  * fixtures). The deterministic stub ([[FakeCodec]]) now stands in only
+  * for the MP3/AAC/H.264-inter class, whose subband/motion machinery is
+  * unbudgeted spec work, not an impossibility (the PNG/JPEG/VP8L/VP8
+  * precedent, four times over). Swapping one in is a one-function
+  * change with the same `Iterator`-batch signature a vectorized
+  * (Arrow/pandas-style) UDF would have.
   *
   * Scale shape: decode is embarrassingly parallel (`mapPartitions`, no
   * shuffle); metadata extraction is pure column arithmetic inside
@@ -113,14 +116,15 @@ object Multimodal {
   case class DecodedMedia(doc_id: Long, media_bytes: Long, format: String,
                           features: Array[Float])
 
-  /** Deterministic stand-in codec — labeled STUB, now only for the
-    * LOSSY WebP (VP8) image class: BMP/PPM/PGM, PNG, baseline JPEG AND
-    * lossless WebP (VP8L) all take the REAL decode path through
-    * [[ImageCodec]]/[[PngCodec]]/[[JpegCodec]]/[[WebpCodec]] — see
-    * [[decodeFeatures]]'s routing. VP8's intra prediction + boolean
-    * arithmetic coder is unimplemented spec work, not an impossibility
-    * (the PNG/JPEG/VP8L precedent, three times over); it simply has not
-    * been budgeted.
+  /** Deterministic stand-in codec — labeled STUB, now only for codec
+    * classes with no real implementation here (MP3/AAC subband audio,
+    * H.264/VP8-INTER motion compensation): BMP/PPM/PGM, PNG, baseline
+    * JPEG, lossless WebP (VP8L) AND lossy WebP key frames (VP8 intra)
+    * all take the REAL decode path through [[ImageCodec]]/[[PngCodec]]/
+    * [[JpegCodec]]/[[WebpCodec]]/[[Vp8Codec]] — see [[decodeFeatures]]'s
+    * routing. The remaining classes are unimplemented spec work, not an
+    * impossibility (four precedents); they simply have not been
+    * budgeted.
     *
     * Real deployment: replace `decode` with e.g. a JNI/codec call; the
     * signature (bytes in, fixed-length float features out) and the
@@ -266,6 +270,51 @@ object Multimodal {
     * distance-64 copy). Content is identical across variants — only the
     * bitstream differs — so ONE closed-form oracle grades all four.
     */
+  /** Attach a REAL lossy-WebP (VP8 key frame) blob to `documents`:
+    * dimensions are multiples of 16 from `n_chars` (whole macroblocks),
+    * per-MB planar-YUV targets are closed-form in (doc_id, mb), and the
+    * CODING features rotate by `doc_id % 4` so every decoder path is
+    * live in the graded scan — DC_PRED at the fine quantizer / DC_PRED
+    * at a coarse quantizer with a uv delta-q and TWO token partitions /
+    * V_PRED with the macroblock-skip flag (pure prediction cascade) /
+    * V_PRED carrying steered residue. The encoder steers the quantized
+    * DC levels so the LOSSY chain reconstructs the targets exactly
+    * ([[Vp8Codec]]'s scaladoc derivation), which is what lets one
+    * closed-form oracle grade the whole arithmetic-coded pipeline.
+    */
+  def withVp8Media(docs: DataFrame, id: String = "doc_id",
+                   nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val w = (16 * (1 + nc % 3)).toInt
+          val h = (16 * (1 + nc % 2)).toInt
+          (docId, Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(vp8Plan(docId, w, h))))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** The rotating VP8 fixture plan (shared with the spec suite). */
+  private[operators] def vp8Plan(docId: Long, w: Int, h: Int): Vp8Codec.Plan = {
+    def yT(mb: Int): Int = ((31 * docId + 13 * mb) % 256).toInt
+    def uT(mb: Int): Int = ((91 * docId + 7 * mb) % 256).toInt
+    def vT(mb: Int): Int = ((53 * docId + 11 * mb) % 256).toInt
+    (docId % 4) match {
+      case 0 => Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 0,
+        tokenPartitions = 1, skipAll = false, yT, uT, vT)
+      case 1 => Vp8Codec.Plan(w, h, qi = 8, uvDcDelta = -8, yMode = 0,
+        tokenPartitions = 2, skipAll = false, yT, uT, vT)
+      case 2 => Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 1,
+        tokenPartitions = 1, skipAll = true, _ => 127, _ => 127, _ => 127)
+      case _ => Vp8Codec.Plan(w, h, qi = 8, uvDcDelta = -8, yMode = 1,
+        tokenPartitions = 1, skipAll = false, yT, uT, vT)
+    }
+  }
+
   def withWebpMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
