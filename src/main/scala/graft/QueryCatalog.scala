@@ -1704,6 +1704,130 @@ object QueryCatalog {
 
     // Gopher/C4-style repetition + structure signals (all exact integer
     // counts until the final division — bit-reproducible)
+    // TOKENIZER FERTILITY BY SCRIPT — the multilingual tokenizer-eval
+    // composition: dominant-script census × BPE subword counts, per
+    // script group the weighted mean subwords-per-word (fertility; the
+    // signal that says "this tokenizer is 4× more expensive on CJK").
+    // Scripts are planted (some docs replaced with cyrillic/CJK bodies)
+    // so more than one group exists; the oracle independently replays
+    // BOTH stages — the census greatest-CASE and the two-sided fenced
+    // greedy segmentation — and the exact integer sums + 4dp ratio.
+    ("q_tokenizer_fertility",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("Привет мир снова и снова"))
+            .when(col("doc_id") % 7 === 1, lit("你好世界 再见了 朋友"))
+            .otherwise(col("text")).as("text"))
+        val script = TextAnalysis.scriptCensus(planted, "doc_id", "text")
+          .select(col("doc_id"), col("dominant_script"))
+        val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),
+          (3L, "l", "e"), (4L, "e", "r")).toDF("rank", "left", "right")
+        val sub = Bpe.encode(planted, "doc_id", "text", merges)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_subwords"))
+        val words = planted.select(col("doc_id"),
+          when(trim(col("text")) === "", lit(0L))
+            .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+            .as("n_words"))
+        words.join(sub, Seq("doc_id")).join(script, Seq("doc_id"))
+          .groupBy("dominant_script")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_subwords")).as("n_subwords"))
+          .select(col("dominant_script"), col("n_docs").cast("long").as("n_docs"),
+            col("n_words").cast("long").as("n_words"),
+            col("n_subwords").cast("long").as("n_subwords"),
+            round(col("n_subwords").cast("double") / col("n_words"), 4)
+              .as("fertility"))
+          .orderBy("dominant_script")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'Привет мир снова и снова'
+             |         WHEN doc_id % 7 = 1 THEN '你好世界 再见了 朋友'
+             |         ELSE text END AS t
+             |  FROM documents),
+             |cs AS (SELECT doc_id,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_cjk,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+             |    CAST(length(t) - length(regexp_replace(t,
+             |      '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS BIGINT) AS n_hangul
+             |  FROM p),
+             |sc AS (SELECT doc_id,
+             |    CASE WHEN greatest(n_latin, n_cjk, n_cyrillic, n_arabic,
+             |           n_greek, n_hangul) = 0 THEN 'none'
+             |         WHEN n_latin = greatest(n_latin, n_cjk, n_cyrillic,
+             |           n_arabic, n_greek, n_hangul) THEN 'latin'
+             |         WHEN n_cjk = greatest(n_cjk, n_cyrillic, n_arabic,
+             |           n_greek, n_hangul) THEN 'cjk'
+             |         WHEN n_cyrillic = greatest(n_cyrillic, n_arabic,
+             |           n_greek, n_hangul) THEN 'cyrillic'
+             |         WHEN n_arabic = greatest(n_arabic, n_greek, n_hangul)
+             |           THEN 'arabic'
+             |         WHEN n_greek = greatest(n_greek, n_hangul) THEN 'greek'
+             |         ELSE 'hangul' END AS ds
+             |  FROM cs),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(t), '\s+')) AS w
+             |  FROM p WHERE trim(t) <> ''),
+             |seg AS (SELECT doc_id,
+             |    replace(replace(replace(replace(replace(
+             |      chr(1) || array_to_string(regexp_split_to_array(w, ''), chr(2)||chr(1)) || chr(2),
+             |      chr(1)||'a'||chr(2)||chr(1)||'t'||chr(2), chr(1)||'at'||chr(2)),
+             |      chr(1)||'t'||chr(2)||chr(1)||'a'||chr(2), chr(1)||'ta'||chr(2)),
+             |      chr(1)||'ta'||chr(2)||chr(1)||'b'||chr(2), chr(1)||'tab'||chr(2)),
+             |      chr(1)||'l'||chr(2)||chr(1)||'e'||chr(2), chr(1)||'le'||chr(2)),
+             |      chr(1)||'e'||chr(2)||chr(1)||'r'||chr(2), chr(1)||'er'||chr(2)) AS sg
+             |  FROM tok),
+             |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             |    CAST(sum(len(list_filter(string_split(replace(sg, chr(2), chr(1)), chr(1)), x -> x <> '')))
+             |      AS BIGINT) AS n_subwords
+             |  FROM seg GROUP BY doc_id)
+             |SELECT sc.ds AS dominant_script,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(cnt.n_words) AS BIGINT) AS n_words,
+             |  CAST(sum(cnt.n_subwords) AS BIGINT) AS n_subwords,
+             |  round(CAST(sum(cnt.n_subwords) AS DOUBLE) / sum(cnt.n_words), 4)
+             |    AS fertility
+             |FROM cnt JOIN sc USING (doc_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gopher n-gram repetition signals at n=3: most-frequent trigram
+    // (deterministic tie-break to the lex-smallest), its occurrence
+    // fraction, and the duplicated-trigram mass fraction — every cell
+    // replayed by DuckDB over the same token stream, incl. the tie-break
+    // (the oracle takes min(gram) among max-count grams).
+    ("q_ngram_repetition",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.ngramRepetition(t(s, d, "documents"), "doc_id", "text", 3)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+             |  FROM documents WHERE trim(text) <> ''),
+             |g AS (
+             |  SELECT doc_id, array_to_string(a[i:i+2], ' ') AS gram
+             |  FROM t, unnest(range(1, len(a) - 1)) u(i) WHERE len(a) >= 3),
+             |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+             |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+             |    CAST(max(cnt) AS BIGINT) AS top_count,
+             |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_mass
+             |  FROM c GROUP BY 1),
+             |tg AS (SELECT c.doc_id, min(c.gram) AS top_ngram
+             |  FROM c JOIN s ON s.doc_id = c.doc_id AND c.cnt = s.top_count
+             |  GROUP BY 1)
+             |SELECT s.doc_id, s.n_ngrams, tg.top_ngram, s.top_count,
+             |  round(CAST(s.top_count AS DOUBLE) / s.n_ngrams, 4) AS top_ngram_frac,
+             |  round(CAST(s.dup_mass AS DOUBLE) / s.n_ngrams, 4) AS dup_ngram_frac
+             |FROM s JOIN tg ON tg.doc_id = s.doc_id
+             |ORDER BY s.doc_id""".stripMargin)),
+
     ("q_repetition_stats",
       (s: SparkSession, d: String) =>
         TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
@@ -5226,11 +5350,14 @@ object QueryCatalog {
              |FROM f""".stripMargin)),
 
     // The sketch family at 10× the usual bench volume: 10M generated rows
-    // (deterministic multiplicative-hash values, ~100k distinct, 8 groups
+    // (deterministic multiplicative-hash values, ~20k distinct, 8 groups
     // — a 1M-distinct variant measured identical semantics but its exact
     // percentile/distinct buffers were allocation-bound enough to swing
-    // 5× with host memory pressure; 100k keeps the exact-vs-sketch cost
-    // gap while the bench row stays a stable signal),
+    // 5× with host memory pressure, and even the 100k domain left 32
+    // map-side combine tables of ~300k entries each that amplified
+    // suite-wide GC pressure 3× on this one row; 20k keeps the
+    // exact-vs-sketch cost gap — 20k exact distincts vs 32 registers —
+    // while the bench row stays a stable signal),
     // exact count-distinct / exact interpolated median computed BESIDE
     // HLL++ and t-digest, with the sketch error GRADED against the exact
     // value (q_sketch_checks pattern) — the scale point where the docs
@@ -5242,7 +5369,7 @@ object QueryCatalog {
       (s: SparkSession, _: String) => {
         val rows = s.range(10000000L).select(
           (col("id") % 8).as("g"),
-          ((col("id") * 2654435761L) % 100000L).as("v"))
+          ((col("id") * 2654435761L) % 20000L).as("v"))
         // The exact side is deliberately the expensive foil, but its
         // state must be DISTINCT-bounded, not row-bounded: the previous
         // percentile(v, 0.5) buffered every row (1.25M longs per group),
@@ -5253,27 +5380,28 @@ object QueryCatalog {
         // count — same values to 4dp, peak allocation down ~100×, and
         // the exact-vs-sketch crossover (full distinct shuffle + sorted
         // walk vs O(registers) across the exchange) is still the story.
-        // no materialization: the generator re-runs for each consumer,
-        // which is cheaper than pinning 800k rows (and AQE reuses the
-        // (g,v) exchange where the subtrees coincide)
+        // ONE generator pass for the whole exact side: the counts
+        // exchange feeds both windows (ordered cumulative + whole-group
+        // totals share the hash partitioning on g, no second exchange)
+        // and a final tiny agg — totals, exact distinct, and both median
+        // straddle values come out of the same 800k-row relation.
+        // sorted[(N-1)/2] and sorted[N/2] are the first values whose
+        // cumulative count passes each 0-based rank; percentile's exact
+        // interpolation at 0.5 is their mean
         val counts = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
-        val tot = counts.groupBy("g").agg(
-          sum(col("c")).as("n_rows"),
-          count(lit(1)).as("nd_exact"))
         val cumW = org.apache.spark.sql.expressions.Window
           .partitionBy("g").orderBy("v")
-        // sorted[(N-1)/2] and sorted[N/2] via the first value whose
-        // cumulative count passes each 0-based rank — percentile's exact
-        // interpolation at 0.5 is their mean
-        val med = counts
+        val allW = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        val exact = counts
           .withColumn("cum", sum(col("c")).over(cumW))
-          .join(tot.select(col("g"), col("n_rows")), Seq("g"))
+          .withColumn("n_rows", sum(col("c")).over(allW))
           .groupBy("g").agg(
+            max(col("n_rows")).as("n_rows"),
+            count(lit(1)).as("nd_exact"),
             min(when(col("cum") > (col("n_rows") - 1) / 2, col("v"))).as("_vlo"),
             min(when(col("cum") > col("n_rows") / 2, col("v"))).as("_vhi"))
-        val exact = tot.join(med, Seq("g")).select(col("g"),
-          col("n_rows"), col("nd_exact"),
-          ((col("_vlo") + col("_vhi")) / 2.0d).as("_p50e"))
+          .select(col("g"), col("n_rows"), col("nd_exact"),
+            ((col("_vlo") + col("_vhi")) / 2.0d).as("_p50e"))
         val approx = rows.groupBy("g").agg(
           approx_count_distinct(col("v"), 0.02).as("_nda"),
           expr("approx_percentile(v, 0.5d, 1000)").as("_p50a"))
@@ -5289,14 +5417,14 @@ object QueryCatalog {
             Sketches.withinRel(col("_nda"), col("nd_exact"), 0.1).as("hll_ok"),
             col("hll_est"), col("hll_empty"),
             round(col("_p50e"), 4).as("p50_exact"),
-            // ~100k near-uniform distinct values: rank error ≤1/accuracy
+            // ~20k near-uniform distinct values: rank error ≤1/accuracy
             // (0.1%) maps to ~0.1% of the value range, so a 5% value
             // tolerance is a stable grade without a third corpus scan
             Sketches.withinRel(col("_p50a"), col("_p50e"), 0.05).as("p50_ok"))
           .orderBy("g")
       },
       Some("""WITH r AS (
-             |  SELECT range % 8 AS g, (range * 2654435761) % 100000 AS v
+             |  SELECT range % 8 AS g, (range * 2654435761) % 20000 AS v
              |  FROM range(10000000)),
              |hh AS (SELECT DISTINCT g,
              |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12))::BIGINT AS h

@@ -804,32 +804,73 @@ object Similarity {
     * excluded per pair — a pair needs both members finite, matching
     * dimStats's per-entry exclusion law).
     *
-    * Scale shape: the upper-triangle pair products are built IN-ROW
-    * (one `transform` over suffix slices — no self-join, no second
-    * explode), then ONE two-phase agg keyed by the dims²-bounded
-    * (dim_i, dim_j) key: partials are dims²/2-sized per partition, the
-    * same mergeable-moments class as dimStats. Headroom: milli-units on
-    * |x| ≤ 1 give |u_i·u_j| ≤ 10⁶, so sums hold to ~9·10¹² vectors.
+    * Scale shape: a per-partition upper-triangle ACCUMULATOR kernel —
+    * each task folds its rows into a dims²/2-entry (n, Σuu, Σu_i, Σu_j)
+    * table and emits ONLY that table, so the exchange carries
+    * partitions·dims²/2 partial rows, never row·dims² exploded pairs
+    * (the HOF-explode formulation costs O(d²) array slices per row and
+    * shuffles the cross product — measured 6 s vs sub-second here).
+    * `mapPartitions` is warranted exactly as in the codec kernels:
+    * Catalyst has no mergeable matrix-accumulator aggregate. Headroom:
+    * milli-units on |x| ≤ 1 give |u_i·u_j| ≤ 10⁶, so sums hold to
+    * ~9·10¹² vectors.
     */
   def dimCrossStats(emb: DataFrame, vec: String,
                     unitScale: Long = 1000L): DataFrame = {
     require(unitScale > 0, s"dimCrossStats: unitScale must be positive, got $unitScale")
-    val u = transform(col(vec), x =>
-      when(x.isNotNull && !isnan(x.cast("double")) &&
-          abs(x.cast("double")) =!= Double.PositiveInfinity,
-        floor(x.cast("double") * unitScale).cast("long")))
-    val pairs = flatten(transform(u, (ui, i) =>
-      transform(slice(u, i + 1, size(u)), (uj, j) =>
-        struct(i.cast("long").as("dim_i"), (i + j).cast("long").as("dim_j"),
-          ui.as("ui"), uj.as("uj")))))
-    emb.select(explode(pairs).as("p"))
-      .select(col("p.dim_i"), col("p.dim_j"), col("p.ui"), col("p.uj"))
-      .filter(col("ui").isNotNull && col("uj").isNotNull)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scale = unitScale
+    emb.select(col(vec).cast("array<double>"))
+      .as[Seq[Option[Double]]]
+      .mapPartitions { it =>
+        val acc = new java.util.HashMap[Long, Array[Long]]()
+        it.foreach { v =>
+          if (v != null) {
+            val n = v.length
+            require(n <= 4096, s"dimCrossStats: vector has $n dims (> 4096)")
+            val u = new Array[Long](n)
+            val ok = new Array[Boolean](n)
+            var i = 0
+            while (i < n) {
+              v(i) match {
+                case Some(x) if !x.isNaN && !x.isInfinite =>
+                  u(i) = math.floor(x * scale).toLong; ok(i) = true
+                case _ => ok(i) = false
+              }
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              if (ok(i)) {
+                var j = i
+                while (j < n) {
+                  if (ok(j)) {
+                    val key = (i.toLong << 32) | j.toLong
+                    var a = acc.get(key)
+                    if (a == null) { a = new Array[Long](4); acc.put(key, a) }
+                    a(0) += 1L
+                    a(1) += u(i) * u(j)
+                    a(2) += u(i)
+                    a(3) += u(j)
+                  }
+                  j += 1
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        acc.entrySet().iterator().asScala.map { e =>
+          val k = e.getKey; val a = e.getValue
+          (k >> 32, k & 0xffffffffL, a(0), a(1), a(2), a(3))
+        }
+      }
+      .toDF("dim_i", "dim_j", "n", "sum_uu", "sum_ui", "sum_uj")
       .groupBy("dim_i", "dim_j")
-      .agg(count(lit(1)).as("n"),
-        sum(col("ui") * col("uj")).as("sum_uu"),
-        sum(col("ui")).as("sum_ui"),
-        sum(col("uj")).as("sum_uj"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_uu")).as("sum_uu"),
+        sum(col("sum_ui")).as("sum_ui"), sum(col("sum_uj")).as("sum_uj"))
   }
 
   /** ZCA-free whitening against a [[dimCrossStats]] relation: center by

@@ -229,6 +229,51 @@ object TextAnalysis {
       round(symbolToks.cast("double") / nTokF, 4).as("symbol_token_ratio"))
   }
 
+  /** Gopher-style N-GRAM repetition signals — the quality filters the
+    * line-level [[repetitionStats]] cannot see (a doc can have zero
+    * duplicate lines yet be one phrase looping): per doc, over the
+    * whitespace token stream's n-grams,
+    *  - `top_ngram` / `top_count`: the most frequent n-gram (ties break
+    *    to the lexicographically smallest, so the row is deterministic
+    *    and engine-replayable) and its occurrence count;
+    *  - `top_ngram_frac`: top_count ÷ total n-grams (Gopher §A1.1's
+    *    "fraction in the most common n-gram" signal, occurrence-based);
+    *  - `dup_ngram_frac`: Σ counts of n-grams occurring ≥ 2 times ÷
+    *    total n-grams (the duplicated-mass signal).
+    * Docs with fewer than n tokens have no n-grams and no output row
+    * (the oracle filters identically).
+    *
+    * Scale shape: grams are built IN-ROW (one `transform` over the token
+    * array), then ONE two-phase agg on the (doc, gram) key — partials
+    * collapse each partition to its distinct grams before the exchange —
+    * and a per-doc agg where the deterministic top rides a single
+    * `min(struct(-cnt, gram))` (no window, no second scan).
+    */
+  def ngramRepetition(docs: DataFrame, id: String, text: String,
+                      n: Int): DataFrame = {
+    require(n >= 1 && n <= 16, s"ngramRepetition: n must be in 1..16, got $n")
+    val toks = tokens(col(text))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))).otherwise(
+      array().cast("array<string>"))
+    docs.select(col(id).as("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_ngrams"),
+        min(struct((-col("cnt")).as("negc"), col("gram").as("g"))).as("_top"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("_dup"))
+      .select(col("doc_id"),
+        col("n_ngrams").cast("long").as("n_ngrams"),
+        col("_top.g").as("top_ngram"),
+        (-col("_top.negc")).cast("long").as("top_count"),
+        round((-col("_top.negc")).cast("double") / col("n_ngrams"), 4)
+          .as("top_ngram_frac"),
+        round(col("_dup").cast("double") / col("n_ngrams"), 4)
+          .as("dup_ngram_frac"))
+  }
+
   /** Corpus vocabulary heavy hitters: the k most frequent lowercase tokens.
     * Two-phase hash aggregate on (token) — partial counts map-side, one
     * exchange of partials — then a TakeOrderedAndProject for the top-k

@@ -234,11 +234,16 @@ object Vp8Codec {
     * flat — with flat probs a band/context/tree mismatch between encoder
     * and decoder would be invisible (every slot reads the same number);
     * with varied probs any such drift desynchronizes the arithmetic
-    * decoder and the graded checksum collapses.
+    * decoder and the graded checksum collapses. Only the slots the
+    * fixture token layer can reach are varied (planes 0–2, bands 0–1:
+    * DC-only blocks touch the first two coefficient positions) — the
+    * unreachable rest stay at the default, so the update pass writes
+    * ~200 literals instead of 1056 per stream.
     */
   private def fixtureCoefProbs(): Array[Array[Array[Array[Int]]]] =
     Array.tabulate(4, 8, 3, 11) { (p, b, c, n) =>
-      1 + ((37 * p + 11 * b + 5 * c + 3 * n) * 7) % 254
+      if (p <= 2 && b <= 1) 1 + ((37 * p + 11 * b + 5 * c + 3 * n) * 7) % 254
+      else 128
     }
 
   // intra modes (pinned trees; structure = spec's 5-leaf / 4-leaf shape)

@@ -312,6 +312,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(viaLit == viaJoin)
   }
 
+  test("ngramRepetition: hand-computed trigram signals, deterministic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a b": trigrams [a b a, b a b, a b a, b a b] →
+      // n=4, top count 2, tie between "a b a"/"b a b" → lex smallest,
+      // dup mass 4 (both grams occur twice)
+      (0L, "a b a b a b"),
+      // all distinct trigrams
+      (1L, "w x y z"),
+      // fewer than 3 tokens → no output row
+      (2L, "one two"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2, s"short/empty docs must drop: ${out.toSeq}")
+    val r0 = out(0)
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == 4L)
+    assert(r0.getString(2) == "a b a", "tie must break to the lex-smallest gram")
+    assert(r0.getLong(3) == 2L)
+    assert(r0.getDouble(4) == 0.5 && r0.getDouble(5) == 1.0)
+    val r1 = out(1)
+    assert(r1.getLong(1) == 2L && r1.getLong(3) == 1L)
+    assert(r1.getString(2) == "w x y")
+    assert(r1.getDouble(4) == 0.5 && r1.getDouble(5) == 0.0)
+  }
+
   test("qualityKeep equals qualityGate.keep on the real documents table") {
     val docs = spark.read.parquet(sfDir + "/documents.parquet")
     val viaGate = TextAnalysis.qualityGate(docs, "doc_id", "text")
