@@ -472,6 +472,26 @@ class PlanQualitySpec extends SparkTestBase {
       s"standardize must be an in-row transform:\n$p2")
   }
 
+  test("dimCrossStats: partition-accumulator kernel — one exchange of dims²-bounded partials") {
+    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val p = plan(Similarity.dimCrossStats(emb, "embedding"))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"dimCrossStats needs exactly one exchange (the partial merge):\n$p")
+    assert(!p.contains("Generate"),
+      s"dimCrossStats must not explode row×pairs (the kernel accumulates in-task):\n$p")
+    assert(!p.contains("Join"), s"dimCrossStats must not self-join:\n$p")
+  }
+
+  test("ngramRepetition: two keyed aggs, grams built in-row, no join/window") {
+    val docs = Tables(spark, sfDir, "documents")
+    val p = plan(TextAnalysis.ngramRepetition(docs, "doc_id", "text", 3))
+    // (doc, gram) two-phase agg + per-doc agg: exactly two exchanges
+    assert("Exchange".r.findAllIn(p).size == 2,
+      s"ngramRepetition needs exactly two exchanges:\n$p")
+    assert(!p.contains("Join"), s"top-gram must ride the agg, not a self-join:\n$p")
+    assert(!p.contains("Window"), s"top-gram must ride the agg, not a window:\n$p")
+  }
+
   test("training pipeline: gate and split ride the scan — no join, bounded exchanges") {
     val pl = plan(QueryCatalog.queries("q_training_pipeline")(spark, sfDir))
     assert(!pl.contains("SortMergeJoin") && !pl.contains("BroadcastHashJoin")
