@@ -2706,6 +2706,65 @@ object QueryCatalog {
              |WHERE u.vec_id < 10
              |ORDER BY u.vec_id, u.dim""".stripMargin)),
 
+    // WHITENING graded end-to-end on a 2-dim literal corpus: at dims=2
+    // the Cholesky factor and its inverse have closed forms DuckDB can
+    // evaluate (L00=√(c00+ε), L10=c10/L00, L11=√(c11+ε−L10²);
+    // W00=1/L00, W11=1/L11, W10=−L10·W00/L11), so every 6dp whitened
+    // coordinate is hash-graded — quantized moments, pairwise-complete
+    // covariance, ridge, factorization, substitution, and the in-row
+    // transform all replayed with the SAME IEEE operation order. The
+    // 64-dim corpus path is covered by q_dim_covariance (its exact
+    // inputs) + the SimilaritySpec identity-covariance law.
+    ("q_whiten_2d",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val df = Seq(
+          (0L, Array(0.25f, 1.0f)), (1L, Array(0.5f, 1.5f)),
+          (2L, Array(0.75f, 1.25f)), (3L, Array(-0.5f, 0.25f)),
+          (4L, Array(1.25f, 2.0f)), (5L, Array(0.0f, 0.75f))
+        ).toDF("vec_id", "vec")
+        val cross = Similarity.dimCrossStats(df, "vec")
+        Similarity.whiten(df, "vec_id", "vec", cross)
+          .select(col("vec_id"),
+            posexplode(col("z")).as(Seq("dim", "z")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("z"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH v(vec_id, x0, x1) AS (VALUES
+             |  (0, 0.25, 1.0), (1, 0.5, 1.5), (2, 0.75, 1.25),
+             |  (3, -0.5, 0.25), (4, 1.25, 2.0), (5, 0.0, 0.75)),
+             |u AS (SELECT vec_id, x0, x1,
+             |    CAST(floor(x0*1000) AS BIGINT) AS u0,
+             |    CAST(floor(x1*1000) AS BIGINT) AS u1 FROM v),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(u0*u0) AS BIGINT) AS s00,
+             |    CAST(sum(u0*u1) AS BIGINT) AS s01,
+             |    CAST(sum(u1*u1) AS BIGINT) AS s11,
+             |    CAST(sum(u0) AS BIGINT) AS su0,
+             |    CAST(sum(u1) AS BIGINT) AS su1 FROM u),
+             |c AS (SELECT n,
+             |    su0 / CAST(n AS DOUBLE) / 1000e0 AS m0,
+             |    su1 / CAST(n AS DOUBLE) / 1000e0 AS m1,
+             |    (s00 - su0*su0/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c00,
+             |    (s01 - su0*su1/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c01,
+             |    (s11 - su1*su1/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c11
+             |  FROM m),
+             |f AS (SELECT *,
+             |    1e-9 * greatest((c00 + c11) / 2, 1e-300) AS ridge FROM c),
+             |l AS (SELECT *, sqrt(c00 + ridge) AS l00 FROM f),
+             |l2 AS (SELECT *, c01 / l00 AS l10 FROM l),
+             |l3 AS (SELECT *, sqrt(c11 + ridge - l10*l10) AS l11 FROM l2),
+             |w AS (SELECT *, 1e0/l00 AS w00, 1e0/l11 AS w11,
+             |    (0e0 - l10 * (1e0/l00)) / l11 AS w10 FROM l3)
+             |SELECT u.vec_id, CAST(0 AS BIGINT) AS dim,
+             |  round(0e0 + w.w00 * (u.x0 - w.m0) + 0e0 * (u.x1 - w.m1), 6) AS z
+             |FROM u, w
+             |UNION ALL
+             |SELECT u.vec_id, 1,
+             |  round(0e0 + w.w10 * (u.x0 - w.m0) + w.w11 * (u.x1 - w.m1), 6)
+             |FROM u, w
+             |ORDER BY vec_id, dim""".stripMargin)),
+
     // upper-triangle exact cross-moments of the embedding corpus — the
     // sufficient statistics for covariance/whitening (the dimStats
     // discipline on dim PAIRS): every (i ≤ j) cell's n / Σu_iu_j / Σu_i /

@@ -402,8 +402,8 @@ object Vp8Codec {
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
     require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
       s"vp8 encode: 1 or 2 token partitions, got ${plan.tokenPartitions}")
-    require(plan.yMode == ModeDc || plan.yMode == ModeV,
-      "vp8 encode: fixture emits DC_PRED or V_PRED luma")
+    require(plan.yMode == ModeDc || plan.yMode == ModeV || plan.yMode == ModeH,
+      "vp8 encode: fixture emits DC_PRED, V_PRED or H_PRED luma")
     val mbW = plan.w / 16
     val mbH = plan.h / 16
     val probs = fixtureCoefProbs()
@@ -507,10 +507,14 @@ object Vp8Codec {
       while (c < mbW) {
         val mbI = r * mbW + c
         if (plan.skipAll) {
-          // V_PRED + skip: recon = above value (127 at the top edge)
-          reconY(r)(c) = if (r == 0) 127 else reconY(r - 1)(c)
-          reconU(r)(c) = if (r == 0) 127 else reconU(r - 1)(c)
-          reconV(r)(c) = if (r == 0) 127 else reconV(r - 1)(c)
+          // prediction-only cascade: V_PRED propagates the 127 top edge,
+          // H_PRED the 129 left edge
+          def prop(recon: Array[Array[Int]]): Int =
+            if (plan.yMode == ModeH) { if (c == 0) 129 else recon(r)(c - 1) }
+            else { if (r == 0) 127 else recon(r - 1)(c) }
+          reconY(r)(c) = prop(reconY)
+          reconU(r)(c) = prop(reconU)
+          reconV(r)(c) = prop(reconV)
           leftY2 = 0; leftU = Array(0, 0); leftV = Array(0, 0)
           aboveY2(c) = 0
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
@@ -526,9 +530,16 @@ object Vp8Codec {
           }
           def vPred(recon: Array[Array[Int]]): Int =
             if (r == 0) 127 else recon(r - 1)(c)
-          val py = if (plan.yMode == ModeDc) dcPred(reconY) else vPred(reconY)
-          val pu = if (plan.yMode == ModeDc) dcPred(reconU) else vPred(reconU)
-          val pv = if (plan.yMode == ModeDc) dcPred(reconV) else vPred(reconV)
+          def hPred(recon: Array[Array[Int]]): Int =
+            if (c == 0) 129 else recon(r)(c - 1)
+          def pred(recon: Array[Array[Int]]): Int = plan.yMode match {
+            case ModeDc => dcPred(recon)
+            case ModeV => vPred(recon)
+            case _ => hPred(recon)
+          }
+          val py = pred(reconY)
+          val pu = pred(reconU)
+          val pv = pred(reconV)
           val ty = plan.yTarget(mbI); val tu = plan.uTarget(mbI); val tv = plan.vTarget(mbI)
           val vy = steerY2(ty - py)
           val vu = steerUv(tu - pu)
@@ -674,8 +685,8 @@ object Vp8Codec {
       if (skipEnabled) skips(mb) = hd.get(probSkipFalse) == 1
       val ym = hd.tree(kfYmodeTree, kfYmodeProbs)
       require(ym != ModeB, "vp8: B_PRED (4x4 luma modes) unsupported in this profile")
-      require(ym == ModeDc || ym == ModeV,
-        s"vp8: luma mode $ym not in this profile (DC_PRED/V_PRED)")
+      require(ym == ModeDc || ym == ModeV || ym == ModeH,
+        s"vp8: luma mode $ym not in this profile (DC_PRED/V_PRED/H_PRED)")
       yModes(mb) = ym
       val uvm = hd.tree(uvModeTree, uvModeProbs)
       require(uvm == yModes(mb), "vp8: fixture streams mirror uv mode = y mode")
@@ -786,14 +797,28 @@ object Vp8Codec {
             x += 1
           }
         }
+        def fillH(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,
+                  dst: Array[Int]): Unit = {
+          var yy = 0
+          while (yy < n) {
+            val l = if (bx > 0) plane((by + yy) * pw + bx - 1) & 0xff else 129
+            var x = 0
+            while (x < n) { dst(yy * n + x) = l; x += 1 }
+            yy += 1
+          }
+        }
         if (mode == ModeDc) {
           fillDc(yPlane, w, px, py, 16, predY)
           fillDc(uPlane, w / 2, px / 2, py / 2, 8, predU)
           fillDc(vPlane, w / 2, px / 2, py / 2, 8, predV)
-        } else {
+        } else if (mode == ModeV) {
           fillV(yPlane, w, px, py, 16, predY)
           fillV(uPlane, w / 2, px / 2, py / 2, 8, predU)
           fillV(vPlane, w / 2, px / 2, py / 2, 8, predV)
+        } else {
+          fillH(yPlane, w, px, py, 16, predY)
+          fillH(uPlane, w / 2, px / 2, py / 2, 8, predU)
+          fillH(vPlane, w / 2, px / 2, py / 2, 8, predV)
         }
         // --- residue ---
         val residY = new Array[Int](256)

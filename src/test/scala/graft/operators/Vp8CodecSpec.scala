@@ -131,6 +131,25 @@ class Vp8CodecSpec extends AnyFunSuite {
     assert(f.v.forall(b => (b & 0xff) == 127))
   }
 
+  test("H_PRED: skip cascade lands on the 129 left edge; steered residue exact") {
+    val skip = Vp8Codec.Plan(32, 32, qi = 0, uvDcDelta = 0, yMode = 2,
+      tokenPartitions = 1, skipAll = true, _ => 129, _ => 129, _ => 129)
+    val f = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(skip))
+    assert(f.y.forall(b => (b & 0xff) == 129))
+    assert(f.u.forall(b => (b & 0xff) == 129))
+    assert(f.v.forall(b => (b & 0xff) == 129))
+    val steered = Vp8Codec.Plan(48, 32, qi = 0, uvDcDelta = 0, yMode = 2,
+      tokenPartitions = 1, skipAll = false, yT(9L), uT(9L), vT(9L))
+    val g = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(steered))
+    val mbW = 48 / 16
+    var i = 0
+    while (i < 48 * 32) {
+      val mb = (i / 48 / 16) * mbW + (i % 48) / 16
+      assert((g.y(i) & 0xff) == yT(9L)(mb), s"H_PRED Y[$i]")
+      i += 1
+    }
+  }
+
   test("webp container: wrap + sniff + decode route") {
     val p = plans(3L, 16, 16).head
     val webp = Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(p))
