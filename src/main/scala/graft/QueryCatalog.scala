@@ -4662,6 +4662,59 @@ object QueryCatalog {
     // closed-form block arithmetic (hash-exact), tracking error against
     // the regenerated signal is graded as booleans whose bounds
     // AdpcmCodecSpec pins on the same amplitude/slope grid.
+    // the IMA-ADPCM recurrence graded SAMPLE-EXACT — the former
+    // "grading boundary" closed: the oracle replays the full adaptive
+    // quantizer (step-table walk, sign + three-bit code, vpdiff
+    // accumulation, both clamps, block-header restarts with the carried
+    // step index) as a recursive CTE over the sample index, carrying
+    // (pred, idx, checksum, max_err) per doc — exact because the IMA
+    // encoder's predictor IS the decoded sample, so one state sequence
+    // drives encode AND decode. Any drift anywhere in the stateful
+    // chain moves the position-weighted checksum.
+    ("q_adpcm_exact",
+      (s: SparkSession, d: String) =>
+        Multimodal.adpcmExact(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH RECURSIVE dims AS (
+             |  SELECT doc_id, CAST(140 + n_chars % 200 AS BIGINT) AS n,
+             |    CAST(4000 + n_chars % 5 * 2000 AS BIGINT) AS a,
+             |    CAST(50 + doc_id % 6 * 100 AS BIGINT) AS slope
+             |  FROM documents),
+             |st(doc_id, n, a, slope, i, pred, idx, chk, merr) AS (
+             |  SELECT doc_id, n, a, slope, CAST(0 AS BIGINT),
+             |    abs((0 * slope) % (4*a) - 2*a) - a, CAST(0 AS BIGINT),
+             |    (abs((0 * slope) % (4*a) - 2*a) - a + 32768) * 1, CAST(0 AS BIGINT)
+             |  FROM dims
+             |  UNION ALL
+             |  SELECT doc_id, n, a, slope, i + 1, q.np, q.ni,
+             |    chk + (q.np + 32768) * ((i + 1) % 97 + 1),
+             |    greatest(merr, abs(q.np - g.f1))
+             |  FROM st
+             |  CROSS JOIN LATERAL (SELECT abs(((i+1) * slope) % (4*a) - 2*a) - a AS f1,
+             |      [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767][idx + 1] AS step) g
+             |  CROSS JOIN LATERAL (SELECT g.f1 < pred AS neg,
+             |      CASE WHEN g.f1 >= pred THEN g.f1 - pred ELSE pred - g.f1 END AS d0) s2
+             |  CROSS JOIN LATERAL (SELECT
+             |      d0 - CASE WHEN d0 >= step THEN step ELSE 0 END AS d1,
+             |      step // 8 + CASE WHEN d0 >= step THEN step ELSE 0 END AS v1,
+             |      CASE WHEN d0 >= step THEN 4 ELSE 0 END AS c4) s3
+             |  CROSS JOIN LATERAL (SELECT
+             |      d1 - CASE WHEN d1 >= step // 2 THEN step // 2 ELSE 0 END AS d2,
+             |      v1 + CASE WHEN d1 >= step // 2 THEN step // 2 ELSE 0 END AS v2,
+             |      c4 + CASE WHEN d1 >= step // 2 THEN 2 ELSE 0 END AS c42) s4
+             |  CROSS JOIN LATERAL (SELECT
+             |      v2 + CASE WHEN d2 >= step // 4 THEN step // 4 ELSE 0 END AS vp,
+             |      c42 + CASE WHEN d2 >= step // 4 THEN 1 ELSE 0 END AS code) s5
+             |  CROSS JOIN LATERAL (SELECT
+             |      CASE WHEN (i+1) % 121 = 0 THEN g.f1
+             |           ELSE greatest(-32768, least(32767,
+             |             CASE WHEN neg THEN pred - vp ELSE pred + vp END)) END AS np,
+             |      CASE WHEN (i+1) % 121 = 0 THEN idx
+             |           ELSE greatest(0, least(88,
+             |             idx + [-1,-1,-1,-1,2,4,6,8][code + 1])) END AS ni) q
+             |  WHERE i + 1 < n)
+             |SELECT doc_id, n AS n_samples, chk AS dec_checksum, merr AS max_err
+             |FROM st WHERE i = n - 1 ORDER BY doc_id""".stripMargin)),
+
     ("q_audio_adpcm",
       (s: SparkSession, d: String) =>
         Multimodal.adpcmReport(t(s, d, "documents")).orderBy("doc_id"),

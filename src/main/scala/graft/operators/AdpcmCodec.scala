@@ -18,14 +18,16 @@ package graft.operators
   * cross-partition state. The step index still carries ACROSS blocks at
   * encode time (written into each header), matching reference encoders.
   *
-  * Grading boundary, stated honestly: the decode recurrence cannot be
-  * replayed per-sample in SQL (stateful), so unlike the lossless codecs
-  * and μ-law this codec is NOT hash-graded on samples. The graded query
-  * instead pins what IS closed-form — container size from block
-  * arithmetic, exact sample count through the `fact` chunk, the 4:1
-  * compression ratio — plus measured-error booleans whose bounds the
-  * unit suite derives; the sample-exact encode↔decode contracts live in
-  * `AdpcmCodecSpec` property tests.
+  * Grading: fully hash-exact since round 15. The adaptive recurrence IS
+  * SQL-replayable after all — as a recursive CTE carrying (predictor,
+  * step index) per document, exact because the IMA encoder's predictor
+  * is by construction the decoded sample, so one state sequence drives
+  * both directions (q_adpcm_exact: position-weighted checksum of every
+  * decoded sample + exact max error, block-header restarts and the
+  * cross-block index carry included). The original q_audio_adpcm row
+  * keeps the closed-form container/count grades and the spec-derived
+  * error-bound booleans; sample-exact encode↔decode contracts also live
+  * in `AdpcmCodecSpec` property tests.
   */
 object AdpcmCodec {
 

@@ -547,6 +547,50 @@ object Multimodal {
     * stateful recurrence SQL cannot replay — is reported against the
     * spec-pinned bounds as booleans.
     */
+  /** The IMA-ADPCM chain graded SAMPLE-EXACT — the upgrade past
+    * [[adpcmReport]]'s tolerance booleans: every decoded sample of the
+    * full encode→decode round trip is folded into a position-weighted
+    * checksum plus the exact max reconstruction error, and the oracle
+    * replays the COMPLETE adaptive recurrence (step-table walk, sign and
+    * three-bit quantization, clamps, block-header restarts with the
+    * carried step index) as a recursive CTE — possible because the IMA
+    * encoder's predictor IS the decoded value, so one state sequence
+    * drives both directions. A short wave (blockAlign 64, ~140–340
+    * samples, ≥ 2 blocks) keeps the oracle's recursion depth bounded
+    * while every stateful path — including cross-block index carry —
+    * stays live.
+    */
+  def adpcmExact(docs: DataFrame, id: String = "doc_id",
+                 nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val n = (140 + nc % 200).toInt
+          val a = (4000 + nc % 5 * 2000).toInt
+          val slope = (50 + docId % 6 * 100).toInt
+          val period = 4 * a
+          def f(i: Int): Short =
+            (math.abs((i.toLong * slope % period).toInt - 2 * a) - a).toShort
+          val wav = AdpcmCodec.encodeWavIma(8000, n, f, blockAlign = 64)
+          val dec = AdpcmCodec.decodeWavIma(wav)
+          require(dec.samples.length == n,
+            s"adpcmExact: decoded ${dec.samples.length} of $n samples")
+          var chk = 0L; var merr = 0L; var i = 0
+          while (i < n) {
+            chk += (dec.samples(i).toLong + 32768L) * (i % 97 + 1)
+            val e = math.abs(dec.samples(i) - f(i)).toLong
+            if (e > merr) merr = e
+            i += 1
+          }
+          (docId, n.toLong, chk, merr)
+        }
+      }
+      .toDF("doc_id", "n_samples", "dec_checksum", "max_err")
+  }
+
   def adpcmReport(docs: DataFrame, id: String = "doc_id",
                   nChars: String = "n_chars",
                   flavor: String = "ima"): DataFrame = {
