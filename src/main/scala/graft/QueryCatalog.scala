@@ -4715,6 +4715,76 @@ object QueryCatalog {
              |SELECT doc_id, n AS n_samples, chk AS dec_checksum, merr AS max_err
              |FROM st WHERE i = n - 1 ORDER BY doc_id""".stripMargin)),
 
+    // the MS-ADPCM two-tap flavor graded SAMPLE-EXACT, the IMA
+    // recursive-oracle discipline extended one codec class up: the
+    // recursive CTE carries (samp1, samp2, delta) and replays the
+    // truncating code division, the multiplicative 16-entry quantizer
+    // adaptation, both clamps, the verbatim two-sample block headers,
+    // AND the per-block initial-delta estimate (mean |prediction error|
+    // over the early window, itself closed form) — with predictor 0 the
+    // 2-tap prediction collapses exactly to samp1.
+    ("q_msadpcm_exact",
+      (s: SparkSession, d: String) =>
+        Multimodal.msAdpcmExact(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH RECURSIVE dims AS (
+             |  SELECT doc_id, CAST(140 + n_chars % 200 AS BIGINT) AS n,
+             |    CAST(4000 + n_chars % 5 * 2000 AS BIGINT) AS a,
+             |    CAST(50 + doc_id % 6 * 100 AS BIGINT) AS slope
+             |  FROM documents),
+             |blocks AS (
+             |  SELECT doc_id, n, a, slope, b.b AS blk, b.b * 116 AS s
+             |  FROM dims, unnest(range(0, 3)) b(b) WHERE b.b * 116 < n),
+             |d0 AS (
+             |  SELECT doc_id, blk,
+             |    greatest(16,
+             |      (SELECT coalesce(sum(abs(
+             |          (abs((j.j * slope) % (4*a) - 2*a) - a)
+             |          - CASE WHEN j.j = s + 2
+             |                 THEN abs(((s+1) * slope) % (4*a) - 2*a) - a
+             |                 ELSE abs(((j.j-2) * slope) % (4*a) - 2*a) - a END)), 0)
+             |       FROM unnest(range(s + 2, least(n, s + 18))) j(j)
+             |       WHERE (j.j - s) % 2 = 0)
+             |      // greatest(1, (least(n, s + 18) - s - 1) // 2) // 4) AS delta0
+             |  FROM blocks),
+             |st(doc_id, n, a, slope, i, s1, s2, delta, chk, merr) AS (
+             |  SELECT dims.doc_id, n, a, slope, CAST(0 AS BIGINT),
+             |    CASE WHEN 1 < n THEN abs((1 * slope) % (4*a) - 2*a) - a ELSE 0 END,
+             |    abs((0 * slope) % (4*a) - 2*a) - a,
+             |    d0.delta0,
+             |    (abs((0 * slope) % (4*a) - 2*a) - a + 32768) * 1, CAST(0 AS BIGINT)
+             |  FROM dims JOIN d0 ON d0.doc_id = dims.doc_id AND d0.blk = 0
+             |  UNION ALL
+             |  SELECT st.doc_id, n, a, slope, i + 1, q.ns1, q.ns2, q.nd,
+             |    chk + (q.dec + 32768) * ((i + 1) % 97 + 1),
+             |    greatest(merr, abs(q.dec - g.f1))
+             |  FROM st
+             |  LEFT JOIN d0 ON d0.doc_id = st.doc_id AND (i + 1) % 116 = 0
+             |    AND d0.blk = (i + 1) // 116
+             |  CROSS JOIN LATERAL (SELECT abs(((i+1) * slope) % (4*a) - 2*a) - a AS f1) g
+             |  CROSS JOIN LATERAL (SELECT g.f1 - s1 AS diff) s3
+             |  CROSS JOIN LATERAL (SELECT greatest(-8, least(7,
+             |      CAST(trunc(CAST(diff AS DOUBLE) / delta) AS BIGINT))) AS qv) s4
+             |  CROSS JOIN LATERAL (SELECT
+             |      greatest(-32768, least(32767, s1 + qv * delta)) AS rec) s5
+             |  CROSS JOIN LATERAL (SELECT
+             |      CASE WHEN (i+1) % 116 = 0 THEN g.f1
+             |           WHEN (i+1) % 116 = 1 THEN s1
+             |           ELSE s5.rec END AS dec,
+             |      CASE WHEN (i+1) % 116 = 0 THEN
+             |             CASE WHEN i + 2 < n THEN abs(((i+2) * slope) % (4*a) - 2*a) - a ELSE 0 END
+             |           WHEN (i+1) % 116 = 1 THEN s1
+             |           ELSE s5.rec END AS ns1,
+             |      CASE WHEN (i+1) % 116 = 0 THEN g.f1
+             |           WHEN (i+1) % 116 = 1 THEN s2
+             |           ELSE s1 END AS ns2,
+             |      CASE WHEN (i+1) % 116 = 0 THEN d0.delta0
+             |           WHEN (i+1) % 116 = 1 THEN delta
+             |           ELSE greatest(16, ([230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230][CASE WHEN qv < 0 THEN qv + 16 ELSE qv END + 1]
+             |                              * delta) // 256) END AS nd) q
+             |  WHERE i + 1 < n)
+             |SELECT doc_id, n AS n_samples, chk AS dec_checksum, merr AS max_err
+             |FROM st WHERE i = n - 1 ORDER BY doc_id""".stripMargin)),
+
     ("q_audio_adpcm",
       (s: SparkSession, d: String) =>
         Multimodal.adpcmReport(t(s, d, "documents")).orderBy("doc_id"),

@@ -591,6 +591,46 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "dec_checksum", "max_err")
   }
 
+  /** [[adpcmExact]]'s MS-ADPCM sibling: the two-tap-predictor flavor
+    * graded SAMPLE-EXACT. With the fixture's predictor 0 the 2-tap
+    * collapses to samp1 (coef 256/0 and truncating /256 are exact), so
+    * the oracle's recursive CTE carries (samp1, samp2, delta) and
+    * replays the multiplicative quantizer adaptation, the truncating
+    * code division, both clamps, the per-block initial-delta ESTIMATE
+    * (mean |prediction error| over the early window — itself closed
+    * form), and the verbatim two-sample block headers.
+    */
+  def msAdpcmExact(docs: DataFrame, id: String = "doc_id",
+                   nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val n = (140 + nc % 200).toInt
+          val a = (4000 + nc % 5 * 2000).toInt
+          val slope = (50 + docId % 6 * 100).toInt
+          val period = 4 * a
+          def f(i: Int): Short =
+            (math.abs((i.toLong * slope % period).toInt - 2 * a) - a).toShort
+          val wav = MsAdpcmCodec.encodeWavMs(8000, n, f, blockAlign = 64)
+          val dec = MsAdpcmCodec.decodeWavMs(wav)
+          require(dec.samples.length == n,
+            s"msAdpcmExact: decoded ${dec.samples.length} of $n samples")
+          var chk = 0L; var merr = 0L; var i = 0
+          while (i < n) {
+            chk += (dec.samples(i).toLong + 32768L) * (i % 97 + 1)
+            val e = math.abs(dec.samples(i) - f(i)).toLong
+            if (e > merr) merr = e
+            i += 1
+          }
+          (docId, n.toLong, chk, merr)
+        }
+      }
+      .toDF("doc_id", "n_samples", "dec_checksum", "max_err")
+  }
+
   def adpcmReport(docs: DataFrame, id: String = "doc_id",
                   nChars: String = "n_chars",
                   flavor: String = "ima"): DataFrame = {
