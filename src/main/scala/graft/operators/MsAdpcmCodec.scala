@@ -18,10 +18,14 @@ package graft.operators
   * decodes standalone — the same random-access/split property as IMA and
   * parquet row groups.
   *
-  * Same grading boundary as [[AdpcmCodec]]: the per-sample recurrence
-  * (2-tap prediction + multiplicative delta adaptation) is not
-  * SQL-replayable, so the graded query pins closed-form container/count
-  * facts hash-exact and tracking error as spec-derived bounded booleans.
+  * Grading: fully hash-exact since round 15 ([[AdpcmCodec]]'s
+  * recursive-CTE oracle discipline) — q_msadpcm_exact replays the
+  * complete recurrence per sample: the two-tap prediction (exactly
+  * samp1 at predictor 0), the truncating code division, the
+  * multiplicative 16-entry adaptation, both clamps, the verbatim
+  * two-sample block headers, and the per-block initial-delta estimate.
+  * q_audio_msadpcm keeps the closed-form container/count grades and the
+  * spec-derived error-bound booleans.
   */
 object MsAdpcmCodec {
 
