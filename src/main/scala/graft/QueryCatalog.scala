@@ -42,7 +42,8 @@ object QueryCatalog {
     * that cannot yield `merges` merges within the cap produces the same
     * shorter table on both sides.
     */
-  private def bpeBatchedOracleSql(window: Int, rounds: Int, merges: Int): String = {
+  private def bpeBatchedOracleSql(window: Int, rounds: Int, merges: Int,
+                                  segment: Boolean = false): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH tk AS (
               |  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -73,11 +74,35 @@ object QueryCatalog {
     val unions = (0 until rounds)
       .map(k => s"SELECT $k AS round, wrk, l, r, pn FROM acc$k")
       .mkString("\nUNION ALL ")
-    sb ++= s""",
-              |m AS ($unions)
-              |SELECT CAST(row_number() OVER (ORDER BY round, wrk) - 1 AS BIGINT) AS rank,
-              |  CAST(round AS INT) AS round, l AS "left", r AS "right", pn AS pair_count
-              |FROM m ORDER BY rank LIMIT $merges""".stripMargin
+    if (!segment) {
+      sb ++= s""",
+                |m AS ($unions)
+                |SELECT CAST(row_number() OVER (ORDER BY round, wrk) - 1 AS BIGINT) AS rank,
+                |  CAST(round AS INT) AS round, l AS "left", r AS "right", pn AS pair_count
+                |FROM m ORDER BY rank LIMIT $merges""".stripMargin
+    } else {
+      // finisher 2: SEGMENT the corpus with the just-learned table — the
+      // learned merges fold over every document word in rank order (the
+      // same two-sided fenced replace), yielding per-doc subword counts
+      sb ++= s""",
+                |m AS ($unions),
+                |ml AS (SELECT coalesce(list(l||chr(3)||r ORDER BY round, wrk), []::VARCHAR[]) AS ms
+                |  FROM (SELECT * FROM m ORDER BY round, wrk LIMIT $merges)),
+                |dtok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS wrd
+                |  FROM documents WHERE trim(text) <> ''),
+                |dseg AS (SELECT doc_id, list_reduce(list_prepend(
+                |     chr(1) || array_to_string(regexp_split_to_array(wrd, ''), chr(2)||chr(1)) || chr(2),
+                |     ml.ms),
+                |     (acc, x) -> replace(acc,
+                |       chr(1)||split_part(x, chr(3), 1)||chr(2)||chr(1)||split_part(x, chr(3), 2)||chr(2),
+                |       chr(1)||split_part(x, chr(3), 1)||split_part(x, chr(3), 2)||chr(2))) AS sg
+                |  FROM dtok, ml)
+                |SELECT doc_id,
+                |  CAST(sum(len(list_filter(string_split(replace(sg, chr(2), chr(1)), chr(1)), x -> x <> '')))
+                |    AS BIGINT) AS n_subwords,
+                |  CAST(count(*) AS BIGINT) AS n_words
+                |FROM dseg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
     sb.toString
   }
 
@@ -1979,6 +2004,29 @@ object QueryCatalog {
             window = 32, maxRounds = 16)
           .orderBy("rank"),
       Some(bpeBatchedOracleSql(window = 32, rounds = 16, merges = 64))),
+
+    // the tokenizer you TRAIN is the tokenizer you TOKENIZE with,
+    // end-to-end: the 64 batched-learned merges feed Bpe.encode over the
+    // same corpus, and the oracle replays BOTH stages — the full 16-round
+    // training chain AND the learned-table segmentation fold — so a
+    // drift anywhere in train OR encode moves per-doc subword counts.
+    // (q_training_pipeline composes with a FIXED literal table; this row
+    // closes the loop with the LEARNED one.)
+    ("q_bpe_learned_pipeline",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val merges = Bpe.trainBatched(docs, "text", numMerges = 64,
+          window = 32, maxRounds = 16)
+        Bpe.encode(docs, "doc_id", "text", merges)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_subwords"),
+            (max(col("tok_pos")) + 1).as("n_words"))
+          .select(col("doc_id"), col("n_subwords").cast("long").as("n_subwords"),
+            col("n_words").cast("long").as("n_words"))
+          .orderBy("doc_id")
+      },
+      Some(bpeBatchedOracleSql(window = 32, rounds = 16, merges = 64,
+        segment = true))),
 
     // ADVERSARIAL oracle-vs-kernel grading on the exact word shapes
     // where a shared-fence replace oracle diverges from the greedy
