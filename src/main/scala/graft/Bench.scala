@@ -84,7 +84,11 @@ object Bench {
     */
   private[graft] def artifactTarget(suspect: Boolean,
                                     existing: Option[String]): String = {
-    val existingClean = existing.exists(_.contains("\"value_suspect\":false"))
+    // whitespace-tolerant match: formatting drift (space after the colon,
+    // pretty-printing) must not silently classify a clean artifact as
+    // non-clean and let a suspect run clobber it
+    val cleanRe = """"value_suspect"\s*:\s*false""".r
+    val existingClean = existing.exists(s => cleanRe.findFirstIn(s).isDefined)
     if (suspect && existingClean) "dev/bench_suspect.json"
     else "dev/bench_latest.json"
   }

@@ -614,11 +614,18 @@ object QueryCatalog {
           .groupBy(hour(col("ts")).cast("long").as("hour_of_day"))
           .agg(expr("CAST(round(sum(value)*10000) AS BIGINT)").as("_r"),
             count(col("value")).as("_c"))
+          // Spark DIV and DuckDB's integer // BOTH truncate toward zero
+          // (verified: -12345//10000 = -1 in DuckDB), so the division is
+          // sign-consistent as-is; the negative-sum hazard was the
+          // rendering, fixed below by taking |a4| and an explicit sign so
+          // a negative hour still yields well-formed 4dp digits instead
+          // of lpad over a negative remainder
           .select(col("hour_of_day"),
             expr("(2*_r + _c) DIV (2*_c)").as("_a4"))
           .select(col("hour_of_day"),
-            concat(expr("CAST(_a4 DIV 10000 AS STRING)"), lit("."),
-              lpad(expr("CAST(_a4 % 10000 AS STRING)"), 4, "0")).as("avg_score"))
+            concat(expr("CASE WHEN _a4 < 0 THEN '-' ELSE '' END"),
+              expr("CAST(abs(_a4) DIV 10000 AS STRING)"), lit("."),
+              lpad(expr("CAST(abs(_a4) % 10000 AS STRING)"), 4, "0")).as("avg_score"))
           .coalesce(1).sortWithinPartitions("hour_of_day")
         val dir = scratchDir("chart_csv")
         graft.reddit.Analytics.exportChartCsv(rel, dir)
@@ -636,8 +643,9 @@ object QueryCatalog {
              |      // (2*count(value)) AS a4
              |  FROM events GROUP BY 1),
              |l AS (SELECT h, CAST(h AS VARCHAR) || ',' ||
-             |    CAST(a4 // 10000 AS VARCHAR) || '.' ||
-             |    lpad(CAST(a4 % 10000 AS VARCHAR), 4, '0') AS line
+             |    CASE WHEN a4 < 0 THEN '-' ELSE '' END ||
+             |    CAST(abs(a4) // 10000 AS VARCHAR) || '.' ||
+             |    lpad(CAST(abs(a4) % 10000 AS VARCHAR), 4, '0') AS line
              |  FROM a),
              |body AS (SELECT string_agg(line, chr(10) ORDER BY h) AS b,
              |    CAST(count(*) AS BIGINT) AS n FROM l)

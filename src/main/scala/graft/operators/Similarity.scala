@@ -828,7 +828,11 @@ object Similarity {
         it.foreach { v =>
           if (v != null) {
             val n = v.length
-            require(n <= 4096, s"dimCrossStats: vector has $n dims (> 4096)")
+            // 512, matching whiten's cap (the only consumer): at 512 the
+            // per-task upper-triangle map holds ≤ 131k 4-long entries
+            // (~8 MB); admitting 4096 would balloon it to ~8.4M entries
+            // (~500 MB per partition) with no consumer able to use it
+            require(n <= 512, s"dimCrossStats: vector has $n dims (> 512)")
             val u = new Array[Long](n)
             val ok = new Array[Boolean](n)
             var i = 0

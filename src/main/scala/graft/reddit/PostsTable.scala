@@ -34,6 +34,9 @@ import graft.operators.Relational
 object PostsTable {
 
   private val ManifestName = "_graft_manifest.tsv"
+  // serializes heal-takeovers within this JVM (java.nio FileLock is
+  // per-process: overlapping same-JVM locks throw instead of blocking)
+  private val healMutex = new Object
   private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   private def currentFile(root: String): Path = Paths.get(root, "CURRENT")
@@ -118,16 +121,22 @@ object PostsTable {
     * not silently last-flip-wins at the end. Exactly one racer's
     * CREATE_NEW succeeds; the loser fails LOUDLY here with the table
     * untouched and readable. A claim whose recorded owner process is
-    * dead is the residue of a crashed writer — it is healed (deleted and
-    * re-claimed) so a crash can never wedge the table; if two healers
-    * race the takeover, the CREATE_NEW retry again admits exactly one.
+    * dead is the residue of a crashed writer — it is healed so a crash
+    * can never wedge the table. The takeover runs inside a CRASH-SAFE
+    * critical section: an OS file lock on `_heal_lock` (the kernel
+    * releases it if the healer dies, so the lock itself can never go
+    * stale) plus a JVM-global mutex (FileLock is per-process). Inside,
+    * the claim is re-read and deleted only while still provably stale —
+    * a bare check-then-delete would let a slow healer delete a fast
+    * healer's fresh LIVE claim and silently re-admit two writers
+    * (caught by the N-healer race spec in PipelineSpec).
     * PID liveness is the right lease for this local-FS table format; an
     * object-store port would swap in a timestamp lease, same protocol.
     * The claim is released after the CURRENT flip (or on failure), so a
     * writer that claims after a completed commit still fails loudly on
     * [[moveIntoVersion]]'s monotonicity check and releases cleanly.
     */
-  private def claimVersion(root: String, v: Long): Path = {
+  private[reddit] def claimVersion(root: String, v: Long): Path = {
     val claim = Paths.get(root, s"_claim_v_$v")
     val body = s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
     def tryCreate(): Boolean =
@@ -148,11 +157,34 @@ object PostsTable {
             s"(${scala.util.Try(Files.readString(claim)).getOrElse("?")}) — " +
             "two drivers are racing this table; this writer loses loudly " +
             "rather than silently overwriting the other's commit")
-      Files.deleteIfExists(claim)
-      if (!tryCreate())
-        throw new IllegalStateException(
-          s"PostsTable: lost the takeover race for stale claim on v_$v — " +
-            "another writer healed it first; retry the upsert")
+      // Takeover under the heal critical section: serialize all healers
+      // (threads via the JVM mutex, processes via the OS file lock),
+      // RE-READ the claim inside the section, and only delete it if it is
+      // STILL stale — the winner's freshly created live claim is then
+      // unreachable by any loser. The final admission stays CREATE_NEW,
+      // so even a non-healing racer slipping between delete and create
+      // leaves exactly one claim holder.
+      healMutex.synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(root, "_heal_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          try {
+            val stillStale =
+              try {
+                val pid = Files.readString(claim).takeWhile(_ != '@').toLong
+                !ProcessHandle.of(pid).isPresent
+              } catch { case _: Exception => true } // missing/unreadable = healed or stale
+            if (stillStale) Files.deleteIfExists(claim)
+            if (!stillStale || !tryCreate())
+              throw new IllegalStateException(
+                s"PostsTable: lost the takeover race for stale claim on v_$v — " +
+                  "another writer healed it first; retry the upsert")
+          } finally { fl.release(); (): Unit }
+        } finally ch.close()
+      }
     }
     claim
   }

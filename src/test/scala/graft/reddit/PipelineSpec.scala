@@ -140,6 +140,40 @@ class PipelineSpec extends SparkTestBase {
     assert(got.size == 2, s"a racer neither won nor failed loudly: $got")
   }
 
+  test("stale-claim takeover is atomic: N racing healers admit exactly one") {
+    import java.nio.file.{Files => F, Paths}
+    // the TOCTOU this pins: a check-then-delete heal lets a slow healer
+    // delete a fast healer's freshly created LIVE claim, silently admitting
+    // two writers; the atomic move-aside must admit exactly one
+    val root = Files.createTempDirectory("posts_table_heal_race").toString
+    for (trial <- 0 until 20) {
+      val v = 100L + trial
+      F.writeString(Paths.get(root, s"_claim_v_$v"),
+        s"999999999@${System.currentTimeMillis()}") // dead-pid stale claim
+      val n = 8
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until n).map { _ =>
+        val th = new Thread(() => {
+          gate.await()
+          try { PostsTable.claimVersion(root, v); wins.incrementAndGet() }
+          catch { case _: IllegalStateException => () }
+          (): Unit
+        })
+        th.start(); th
+      }
+      gate.countDown(); threads.foreach(_.join(30000))
+      assert(wins.get() == 1, s"trial $trial: ${wins.get()} healers won the takeover")
+      // the winner's claim survives (no loser deleted it) and names a live pid
+      val body = F.readString(Paths.get(root, s"_claim_v_$v"))
+      assert(body.takeWhile(_ != '@').toLong == ProcessHandle.current().pid())
+      // no stale tombs accumulate
+      assert(!new java.io.File(root).list().exists(_.contains("_stale_")))
+      F.deleteIfExists(Paths.get(root, s"_claim_v_$v"))
+      (): Unit
+    }
+  }
+
   test("partition-level upsert: unaffected date partitions hard-link, not copy") {
     import java.nio.file.{Files => F, Paths}
     val root = Files.createTempDirectory("posts_table5").toString
