@@ -243,36 +243,99 @@ object TextAnalysis {
     * Docs with fewer than n tokens have no n-grams and no output row
     * (the oracle filters identically).
     *
-    * Scale shape: grams are built IN-ROW (one `transform` over the token
-    * array), then ONE two-phase agg on the (doc, gram) key — partials
-    * collapse each partition to its distinct grams before the exchange —
-    * and a per-doc agg where the deterministic top rides a single
-    * `min(struct(-cnt, gram))` (no window, no second scan).
+    * Scale shape: ENTIRELY IN-ROW, ZERO exchanges — per doc the grams are
+    * built, sorted, and run-length scanned inside one `mapPartitions`
+    * kernel: equal grams are adjacent after the sort, so max-run = top
+    * count, the FIRST run achieving the max is the lexicographically
+    * smallest tie-winner, and runs ≥ 2 sum to the duplicated mass. The
+    * per-doc row never leaves its input partition. (Rounds ≤ 15 shipped a
+    * (doc, gram-string) two-phase agg — correct, but its first exchange
+    * carried gram TEXT; an `aggregate`-HOF fold removes the shuffle but is
+    * interpreted per element and measured 3.3× slower than the old agg,
+    * while this kernel removes the shuffle AND the interpretation —
+    * the same measured-justification bar as the cross-moments kernel.)
+    * Sort order is CODEPOINT order (= UTF8String/DuckDB binary order, ≠
+    * java.lang.String's UTF-16 code-unit order for non-BMP text) and
+    * fraction rounding is HALF_UP, both matching the engine-replayable
+    * contract of the agg formulation this kernel replaces.
     */
   def ngramRepetition(docs: DataFrame, id: String, text: String,
                       n: Int): DataFrame = {
     require(n >= 1 && n <= 16, s"ngramRepetition: n must be in 1..16, got $n")
-    val toks = tokens(col(text))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))).otherwise(
-      array().cast("array<string>"))
-    docs.select(col(id).as("doc_id"), explode(grams).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(
-        sum(col("cnt")).as("n_ngrams"),
-        min(struct((-col("cnt")).as("negc"), col("gram").as("g"))).as("_top"),
-        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("_dup"))
-      .select(col("doc_id"),
-        col("n_ngrams").cast("long").as("n_ngrams"),
-        col("_top.g").as("top_ngram"),
-        (-col("_top.negc")).cast("long").as("top_count"),
-        round((-col("_top.negc")).cast("double") / col("n_ngrams"), 4)
-          .as("top_ngram_frac"),
-        round(col("_dup").cast("double") / col("n_ngrams"), 4)
-          .as("dup_ngram_frac"))
+    val inSchema = docs.select(col(id), col(text)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.fields(0).copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("n_ngrams",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_ngram",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("top_count",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_ngram_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_ngram_frac",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val nn = n
+    docs.select(col(id), col(text).cast("string"))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val t = if (row.isNullAt(1)) "" else row.getString(1).trim
+          val toks: Array[String] =
+            if (t.isEmpty) Array.empty else t.split("\\s+")
+          val g = toks.length - nn + 1
+          if (g <= 0) Iterator.empty
+          else {
+            val grams = new Array[String](g)
+            var i = 0
+            while (i < g) {
+              val sb = new java.lang.StringBuilder(16 * nn)
+              var j = 0
+              while (j < nn) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              grams(i) = sb.toString; i += 1
+            }
+            java.util.Arrays.sort(grams, codepointOrder)
+            var run = 1L; var top = 0L; var dup = 0L
+            var topg: String = null
+            i = 1
+            while (i <= g) {
+              if (i < g && grams(i) == grams(i - 1)) run += 1
+              else {
+                if (run > top) { top = run; topg = grams(i - 1) }
+                if (run >= 2) dup += run
+                run = 1
+              }
+              i += 1
+            }
+            def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+            Iterator.single(org.apache.spark.sql.Row(
+              row.get(0), g.toLong, topg, top,
+              r4(top.toDouble / g), r4(dup.toDouble / g)))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
+
+  /** Codepoint-order String comparator — equals Spark UTF8String's (and
+    * DuckDB's) binary UTF-8 ordering; java.lang.String's natural order
+    * diverges on non-BMP text (UTF-16 surrogates sort below U+E000+).
+    */
+  private val codepointOrder: java.util.Comparator[String] =
+    new java.util.Comparator[String] with Serializable {
+      def compare(a: String, b: String): Int = {
+        var i = 0; var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca); j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
 
   /** Corpus vocabulary heavy hitters: the k most frequent lowercase tokens.
     * Two-phase hash aggregate on (token) — partial counts map-side, one

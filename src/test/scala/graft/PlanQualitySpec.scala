@@ -482,14 +482,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Join"), s"dimCrossStats must not self-join:\n$p")
   }
 
-  test("ngramRepetition: two keyed aggs, grams built in-row, no join/window") {
+  test("ngramRepetition: in-row run-length fold — zero exchanges, no join/window") {
     val docs = Tables(spark, sfDir, "documents")
     val p = plan(TextAnalysis.ngramRepetition(docs, "doc_id", "text", 3))
-    // (doc, gram) two-phase agg + per-doc agg: exactly two exchanges
-    assert("Exchange".r.findAllIn(p).size == 2,
-      s"ngramRepetition needs exactly two exchanges:\n$p")
-    assert(!p.contains("Join"), s"top-gram must ride the agg, not a self-join:\n$p")
-    assert(!p.contains("Window"), s"top-gram must ride the agg, not a window:\n$p")
+    // sorted-grams fold: the per-doc row never leaves its input partition —
+    // in particular NO gram string (nor anything else) crosses an exchange
+    assert(!p.contains("Exchange"),
+      s"ngramRepetition must be fully in-row (zero exchanges):\n$p")
+    assert(!p.contains("Generate"),
+      s"ngramRepetition must not explode grams to rows:\n$p")
+    assert(!p.contains("Join"), s"top-gram must ride the fold, not a self-join:\n$p")
+    assert(!p.contains("Window"), s"top-gram must ride the fold, not a window:\n$p")
   }
 
   test("training pipeline: gate and split ride the scan — no join, bounded exchanges") {
