@@ -28,7 +28,13 @@ object Pipeline {
     // Enrich only fills what's missing, mirroring the reference's guards)
     val load = CsvReddit.readChecked(spark, csvPath)
     val batch0 = load.data
+    // lazy localCheckpoint: the daily batch is bounded (the upsert's
+    // maxStagedKeys contract) and feeds 4+ downstream actions (key
+    // collect, broadcast build, version write, loaded count) — without it
+    // every action replans and re-executes the tolerant-CSV + enrich
+    // chain; lazy rides the first action's job, adding zero jobs
     val batch = now.fold(batch0)(ts => Enrich.stampExtraction(batch0, ts))
+      .localCheckpoint(eager = false)
 
     // load: delete-matching upsert, atomic swap (stages 2-3)
     PostsTable.upsert(spark, tableRoot, batch, key = "id")

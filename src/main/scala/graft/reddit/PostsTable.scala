@@ -98,6 +98,25 @@ object PostsTable {
   private def withExtractDate(df: DataFrame): DataFrame =
     df.withColumn("extract_date", to_date(col("extraction_timestamp")))
 
+  /** Key bounds of a version that was JUST WRITTEN, computed by reading the
+    * tmp directory back (column-pruned scan of key + partition column) —
+    * strictly cheaper than re-running the merge DAG that produced it: the
+    * old `keyBounds(merged)` recomputed the pruned-read + anti-join + CSV
+    * chain a second time per upsert just to derive the manifest.
+    */
+  private def writtenKeyBounds(spark: SparkSession, tmp: Path,
+                               key: String): Map[String, (String, String)] = {
+    // an empty staging merge writes no data files — no partitions, no bounds
+    val stream = Files.walk(tmp)
+    val hasData =
+      try stream.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally stream.close()
+    if (!hasData) Map.empty
+    else keyBounds(
+      spark.read.parquet(tmp.toString).select(col(key), col("extract_date")),
+      key)
+  }
+
   // --- version writers ------------------------------------------------------
 
   private def writeVersion(df: DataFrame, root: String, v: Long, key: String,
@@ -109,7 +128,7 @@ object PostsTable {
     if (df.columns.contains("extraction_timestamp")) {
       val dated = withExtractDate(df)
       dated.write.partitionBy("extract_date").mode("overwrite").parquet(tmp.toString)
-      writeManifest(tmp, keyBounds(dated, key))
+      writeManifest(tmp, writtenKeyBounds(df.sparkSession, tmp, key))
     } else df.write.mode("overwrite").parquet(tmp.toString)
     writeSidecar(tmp, sidecar)
     moveIntoVersion(tmp, root, v)
@@ -321,20 +340,24 @@ object PostsTable {
     // `maxStagedKeys` makes the contract enforceable: the limit bounds the
     // collect itself, so a corpus-sized staging relation fails loudly here
     // instead of OOMing the driver
-    val keyRows = staging.select(col(key).cast("string"))
+    // ONE collect for both prune sets: (key, date) pairs — a daily batch
+    // stamps one extraction date, so pairs ≈ keys and the pair count is
+    // the enforceable bound on the collect (a second distinct-collect job
+    // per upsert was pure scheduler overhead on a bounded batch)
+    val pairRows = withExtractDate(staging)
+      .select(col(key).cast("string"), col("extract_date").cast("string"))
       .distinct()
       // saturating +1: Int.MaxValue means "unbounded" rather than a
       // wrapped negative limit
       .limit(if (maxStagedKeys == Int.MaxValue) Int.MaxValue else maxStagedKeys + 1)
       .collect()
-    require(keyRows.length <= maxStagedKeys,
+    require(pairRows.length <= maxStagedKeys,
       s"upsert: staging batch carries more than maxStagedKeys=$maxStagedKeys distinct " +
-        "keys — the key set collects driver-side for partition pruning, so an " +
+        "(key, date) pairs — the set collects driver-side for partition pruning, so an " +
         "unbounded batch would exhaust driver memory. Split the batch or raise the budget.")
-    val stagedKeys = keyRows.map(_.getString(0)).filter(_ != null)
-    val stagedDates = withExtractDate(staging)
-      .select(col("extract_date").cast("string")).distinct().collect()
-      .map(r => partDirName(Option(r.getString(0)))).toSet
+    val stagedKeys = pairRows.map(_.getString(0)).filter(_ != null).distinct
+    val stagedDates = pairRows
+      .map(r => partDirName(Option(r.getString(1)))).toSet
 
     // self-heal versions that predate manifests with one key-column scan
     val manifest = readManifest(curDir).getOrElse(keyBounds(main, key))
@@ -361,6 +384,10 @@ object PostsTable {
     val tmp = Paths.get(root, s"_tmp_v_$v")
     deleteRecursively(tmp)
     merged.write.partitionBy("extract_date").mode("overwrite").parquet(tmp.toString)
+    // bounds of the REWRITTEN partitions, read back from tmp now — before
+    // the hard links land, so unaffected partitions are never rescanned
+    // (their bounds carry forward from the old manifest)
+    val mergedBounds = writtenKeyBounds(spark, tmp, key)
     // untouched partitions enter the new version as hard links — no data
     // copy, and vacuuming the old version cannot strand them
     unaffected.foreach { p =>
@@ -374,7 +401,7 @@ object PostsTable {
       finally stream.close()
     }
     writeManifest(tmp,
-      manifest.view.filterKeys(unaffected).toMap ++ keyBounds(merged, key))
+      manifest.view.filterKeys(unaffected).toMap ++ mergedBounds)
     writeSidecar(tmp, sidecar)
     moveIntoVersion(tmp, root, v)
   }
