@@ -2821,6 +2821,108 @@ object QueryCatalog {
              |FROM u, w
              |ORDER BY vec_id, dim""".stripMargin)),
 
+    // WHITENING at d=4 — one rung past q_whiten_2d's closed forms: the
+    // full ikj Cholesky (10 entries) and the forward-substitution inverse
+    // (10 weights) written out as fixed-order SQL, every intermediate in
+    // the SAME IEEE operation order as Similarity.whiten's loops
+    // (s-chains subtract k-ascending, left-associated; diagonal adds the
+    // ridge BEFORE the subtractions; W rows build on already-final W
+    // entries). 8 quarter-valued 4-dim vectors keep the quantized moments
+    // exact; every 6dp whitened coordinate hash-graded.
+    ("q_whiten_4d",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val df = Seq(
+          (0L, Array(0.25f, 1.0f, -0.5f, 0.75f)),
+          (1L, Array(0.5f, 1.5f, 0.25f, -0.25f)),
+          (2L, Array(0.75f, 1.25f, 1.0f, 0.5f)),
+          (3L, Array(-0.5f, 0.25f, 0.75f, 1.25f)),
+          (4L, Array(1.25f, 2.0f, -0.25f, 0.0f)),
+          (5L, Array(0.0f, 0.75f, 0.5f, -0.75f)),
+          (6L, Array(1.0f, -0.25f, 1.5f, 0.25f)),
+          (7L, Array(-0.25f, 0.5f, -1.0f, 1.0f))
+        ).toDF("vec_id", "vec")
+        val cross = Similarity.dimCrossStats(df, "vec")
+        Similarity.whiten(df, "vec_id", "vec", cross)
+          .select(col("vec_id"),
+            posexplode(col("z")).as(Seq("dim", "z")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("z"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH v(vec_id, x0, x1, x2, x3) AS (VALUES
+             |  (0, 0.25, 1.0, -0.5, 0.75), (1, 0.5, 1.5, 0.25, -0.25),
+             |  (2, 0.75, 1.25, 1.0, 0.5), (3, -0.5, 0.25, 0.75, 1.25),
+             |  (4, 1.25, 2.0, -0.25, 0.0), (5, 0.0, 0.75, 0.5, -0.75),
+             |  (6, 1.0, -0.25, 1.5, 0.25), (7, -0.25, 0.5, -1.0, 1.0)),
+             |u AS (SELECT vec_id, x0, x1, x2, x3,
+             |    CAST(floor(x0*1000) AS BIGINT) AS u0,
+             |    CAST(floor(x1*1000) AS BIGINT) AS u1,
+             |    CAST(floor(x2*1000) AS BIGINT) AS u2,
+             |    CAST(floor(x3*1000) AS BIGINT) AS u3 FROM v),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(u0*u0) AS BIGINT) AS s00, CAST(sum(u0*u1) AS BIGINT) AS s01,
+             |    CAST(sum(u0*u2) AS BIGINT) AS s02, CAST(sum(u0*u3) AS BIGINT) AS s03,
+             |    CAST(sum(u1*u1) AS BIGINT) AS s11, CAST(sum(u1*u2) AS BIGINT) AS s12,
+             |    CAST(sum(u1*u3) AS BIGINT) AS s13, CAST(sum(u2*u2) AS BIGINT) AS s22,
+             |    CAST(sum(u2*u3) AS BIGINT) AS s23, CAST(sum(u3*u3) AS BIGINT) AS s33,
+             |    CAST(sum(u0) AS BIGINT) AS su0, CAST(sum(u1) AS BIGINT) AS su1,
+             |    CAST(sum(u2) AS BIGINT) AS su2, CAST(sum(u3) AS BIGINT) AS su3 FROM u),
+             |c AS (SELECT n,
+             |    su0 / CAST(n AS DOUBLE) / 1000e0 AS m0,
+             |    su1 / CAST(n AS DOUBLE) / 1000e0 AS m1,
+             |    su2 / CAST(n AS DOUBLE) / 1000e0 AS m2,
+             |    su3 / CAST(n AS DOUBLE) / 1000e0 AS m3,
+             |    (s00 - su0*su0/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c00,
+             |    (s01 - su0*su1/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c01,
+             |    (s02 - su0*su2/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c02,
+             |    (s03 - su0*su3/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c03,
+             |    (s11 - su1*su1/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c11,
+             |    (s12 - su1*su2/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c12,
+             |    (s13 - su1*su3/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c13,
+             |    (s22 - su2*su2/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c22,
+             |    (s23 - su2*su3/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c23,
+             |    (s33 - su3*su3/CAST(n AS DOUBLE)) / n / (1000e0*1000e0) AS c33
+             |  FROM m),
+             |f AS (SELECT *,
+             |    1e-9 * greatest((c00 + c11 + c22 + c33) / 4e0, 1e-300) AS r FROM c),
+             |la AS (SELECT *, sqrt(c00 + r) AS l00 FROM f),
+             |lb AS (SELECT *, c01/l00 AS l10, c02/l00 AS l20, c03/l00 AS l30 FROM la),
+             |lc AS (SELECT *, sqrt((c11 + r) - l10*l10) AS l11 FROM lb),
+             |ld AS (SELECT *, (c12 - l20*l10)/l11 AS l21,
+             |                 (c13 - l30*l10)/l11 AS l31 FROM lc),
+             |le AS (SELECT *, sqrt(((c22 + r) - l20*l20) - l21*l21) AS l22 FROM ld),
+             |lf AS (SELECT *, ((c23 - l30*l20) - l31*l21)/l22 AS l32 FROM le),
+             |lg AS (SELECT *,
+             |    sqrt((((c33 + r) - l30*l30) - l31*l31) - l32*l32) AS l33 FROM lf),
+             |wa AS (SELECT *, 1e0/l00 AS w00, 1e0/l11 AS w11,
+             |                 1e0/l22 AS w22, 1e0/l33 AS w33 FROM lg),
+             |wb AS (SELECT *, (0e0 - l10*w00)/l11 AS w10 FROM wa),
+             |wc AS (SELECT *, ((0e0 - l20*w00) - l21*w10)/l22 AS w20,
+             |                 (0e0 - l21*w11)/l22 AS w21 FROM wb),
+             |wd AS (SELECT *, (((0e0 - l30*w00) - l31*w10) - l32*w20)/l33 AS w30,
+             |                 ((0e0 - l31*w11) - l32*w21)/l33 AS w31,
+             |                 (0e0 - l32*w22)/l33 AS w32 FROM wc)
+             |SELECT CAST(u.vec_id AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dim,
+             |  round(0e0 + w.w00*(u.x0 - w.m0) + 0e0*(u.x1 - w.m1)
+             |            + 0e0*(u.x2 - w.m2) + 0e0*(u.x3 - w.m3), 6) AS z
+             |FROM u, wd w
+             |UNION ALL
+             |SELECT CAST(u.vec_id AS BIGINT), 1,
+             |  round(0e0 + w.w10*(u.x0 - w.m0) + w.w11*(u.x1 - w.m1)
+             |            + 0e0*(u.x2 - w.m2) + 0e0*(u.x3 - w.m3), 6)
+             |FROM u, wd w
+             |UNION ALL
+             |SELECT CAST(u.vec_id AS BIGINT), 2,
+             |  round(0e0 + w.w20*(u.x0 - w.m0) + w.w21*(u.x1 - w.m1)
+             |            + w.w22*(u.x2 - w.m2) + 0e0*(u.x3 - w.m3), 6)
+             |FROM u, wd w
+             |UNION ALL
+             |SELECT CAST(u.vec_id AS BIGINT), 3,
+             |  round(0e0 + w.w30*(u.x0 - w.m0) + w.w31*(u.x1 - w.m1)
+             |            + w.w32*(u.x2 - w.m2) + w.w33*(u.x3 - w.m3), 6)
+             |FROM u, wd w
+             |ORDER BY vec_id, dim""".stripMargin)),
+
     // upper-triangle exact cross-moments of the embedding corpus — the
     // sufficient statistics for covariance/whitening (the dimStats
     // discipline on dim PAIRS): every (i ≤ j) cell's n / Σu_iu_j / Σu_i /
