@@ -3338,6 +3338,94 @@ object QueryCatalog {
              |SELECT query_id, neighbor_id, cosine, rn AS rnk FROM r
              |WHERE rn <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // IVF-PQ — the composed canonical 100 TB ANN layout (coarse cells ×
+    // residual product codes): cells persist m-BYTE codes of the vector's
+    // RESIDUAL against its cell centroid (no f32, no scale — 4·dims/m×
+    // less index than f32, dims/m+4× less than SQ8); probe selection is
+    // f32-vs-centroids; per (query, probed cell) an ADC lookup table is
+    // built from the QUERY's residual so ADC approximates ‖q−v‖², which
+    // on the L2-normalized corpus ranks like cosine; exact re-rank reads
+    // only the bounded shortlist from the f32 base relation. Graded on
+    // the full lifecycle contract (build from half → append half against
+    // the PERSISTED centroids+codebook → compact → persisted search ≡
+    // direct in-memory search, exceptAll both ways — codes and LUTs are
+    // bit-identical by construction, so equality is exact) plus the
+    // recall law: recall@10 ≥ 0.9 vs brute-force cosine on the planted
+    // corpus, through the ADC shortlist. Codebook identity travels with
+    // the index (`_pq_codebook` beside `_centroids`) and survives
+    // compaction.
+    ("q_ivf_pq",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val n = emb.count()
+        val block = math.max(n / 16L, 1L)
+        val bases = emb.filter(col("vec_id") % block === 0)
+          .select(graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"),
+            col("embedding").as("base"))
+        // planted-block corpus (the q_pq_recall discipline), L2-normalized
+        // so PQ's L2 ADC ranking agrees with the cosine grade; materialized
+        // once — codebook train, both index builds, both searches, and the
+        // brute-force truth all read it
+        val corpus = operators.Materialize.once(emb
+          .select(col("vec_id"),
+            graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
+          .join(broadcast(bases), Seq("blk"))
+          .select(col("vec_id"),
+            Similarity.l2Normalize(
+              zip_with(col("base"), sequence(lit(0), lit(63)),
+                (b, j) => (b.cast("double")
+                  + ((col("vec_id") * 31 + j) % 11).cast("double") * lit(0.003))
+                  .cast("float"))).as("vec")), reliable = false)
+        val half = n / 2
+        val a = corpus.filter(col("vec_id") < half)
+        val b = corpus.filter(col("vec_id") >= half)
+        val cents = Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", cells = 16)
+        val cb = Similarity.ivfPqTrain(a, "vec_id", "vec", cents, m = 8, k = 256)
+        val path = scratchDir("ivf_pq")
+        Similarity.ivfPqWriteIndex(a, "vec_id", "vec", cents, cb, path)
+        Similarity.ivfPqAppendIndex(b, "vec_id", "vec", path)
+        Similarity.ivfCompactIndex(s, path)
+        val queries = corpus.filter(col("vec_id") % block === block / 2)
+        val fromDisk = operators.Materialize.once(
+          Similarity.ivfPqSearchIndex(s, path, corpus, queries,
+            "vec_id", "vec", nprobe = 4, k = 10, shortlist = 30), reliable = false)
+        val direct = operators.Materialize.once(
+          Similarity.ivfPqSearch(corpus, queries, cents, cb,
+            "vec_id", "vec", nprobe = 4, k = 10, shortlist = 30), reliable = false)
+        val extra = direct.exceptAll(fromDisk).count() +
+          fromDisk.exceptAll(direct).count()
+        require(extra == 0L,
+          s"ivf-pq lifecycle: persisted search diverged from direct ($extra rows)")
+        val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
+          .select("query_id", "neighbor_id")
+        val nQ = emb.filter(col("vec_id") % block === block / 2).count()
+        val found = truth.join(fromDisk.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        val recall = found.toDouble / (nQ * 10L)
+        require(recall >= 0.9,
+          f"ivf-pq recall@10 $recall%.3f below the 0.9 floor")
+        // byte audit from the REAL persisted binary column + vector width
+        val st = s.read.parquet(path)
+          .agg(max(octet_length(col("code"))).cast("long"),
+            min(octet_length(col("code"))).cast("long")).collect()(0)
+        require(st.getLong(0) == st.getLong(1), "ivf-pq codes must be fixed-width")
+        val dims = corpus.agg(max(size(col("vec"))).cast("long")).collect()(0).getLong(0)
+        import s.implicits._
+        Seq((nQ, recall >= 0.9, st.getLong(0), 4L * dims,
+            4L * dims >= 32L * st.getLong(0)))
+          .toDF("n_queries", "recall_ok", "pq_code_bytes", "f32_vec_bytes",
+            "compression_32x")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM embeddings),
+             |q AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings, n
+             |      WHERE vec_id % greatest(n.n // 16, 1) = greatest(n.n // 16, 1) // 2),
+             |d AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dims FROM embeddings)
+             |SELECT q.n_queries, true AS recall_ok,
+             |  CAST(8 AS BIGINT) AS pq_code_bytes,
+             |  4 * d.dims AS f32_vec_bytes,
+             |  true AS compression_32x
+             |FROM q, d""".stripMargin)),
+
     // Graph ANN — the third index class beside IVF and PQ: sharded
     // single-layer NSW/HNSW graphs (diversity-heuristic wiring, bounded
     // beam search, candidates-only shuffle). Graded on the q_ivf_recall

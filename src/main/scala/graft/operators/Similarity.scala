@@ -521,6 +521,13 @@ object Similarity {
       .write.partitionBy("cell").parquet(tmp.toString)
     cents.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_centroids")
+    // an IVF-PQ index also carries its codebook sidecar — identity state
+    // must survive the rewrite or every post-compact search decodes with
+    // the wrong codebook (garbage distances, silently)
+    val cbDir = new org.apache.hadoop.fs.Path(s"$path/$CodebookDir")
+    if (fs.exists(cbDir))
+      spark.read.parquet(cbDir.toString)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$CodebookDir")
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path)),
       s"ivfCompactIndex: rename $tmp -> $path failed; data is intact in $tmp " +
@@ -1088,6 +1095,219 @@ object Similarity {
       .withColumn("within_tol",
         abs(col("cos_f32") - col("cos_int8")) <= tol)
       .orderBy("a_id")
+  }
+
+  // --- IVF × PQ (IVF-PQ — the canonical 100 TB ANN index layout) -----------
+
+  /** Best (highest-cosine, then lowest-cell) centroid for a vector, like
+    * [[nearestCell]] but carrying the winning CENTROID through the fold —
+    * the residual then needs no second lookup against the literal
+    * centroid table (each extra embedding of a cells×dims literal array
+    * in a plan costs real analysis/codegen time, a constant per action).
+    * Tie-break is identical to [[nearestCell]], so the assigned cell is
+    * exactly [[assignCells]]'s.
+    */
+  private def nearestCellWithCentroid(vecCol: Column,
+                                      cents: Seq[(Long, Seq[Float])]): Column = {
+    require(cents.nonEmpty, "nearestCellWithCentroid: empty centroid table")
+    val dims = cents.head._2.length
+    val zero = struct(lit(-2.0d).as("sim"), lit(-1L).as("cell"),
+      array_repeat(lit(0.0f), dims).as("centroid"))
+    aggregate(
+      centroidArray(cents), zero,
+      (acc, ct) => {
+        val s = cosineF(vecCol, ct.getField("centroid"))
+        when(s > acc.getField("sim") ||
+             (s === acc.getField("sim") && ct.getField("cell") < acc.getField("cell")),
+          struct(s.as("sim"), ct.getField("cell").as("cell"),
+            ct.getField("centroid").as("centroid")))
+          .otherwise(acc)
+      })
+  }
+
+  /** Residual of a vector against a centroid, in-row f32 — what IVF-PQ
+    * encodes: PQ codebooks trained on residuals are ~an order denser than
+    * on raw vectors because the coarse quantizer has already removed the
+    * between-cell variance.
+    */
+  def residualAgainst(vecCol: Column, centroidCol: Column): Column =
+    zip_with(vecCol, centroidCol, (x, c) => (x - c).cast("float"))
+
+  /** (id, cell, residual) in ONE pass over the corpus — assignment and
+    * residual from the same fold.
+    */
+  private def assignedResiduals(corpus: DataFrame, id: String, vec: String,
+                                cents: Seq[(Long, Seq[Float])]): DataFrame =
+    corpus.select(col(id), col(vec),
+        nearestCellWithCentroid(col(vec), cents).as("_best"))
+      .select(col(id), col("_best").getField("cell").as("cell"),
+        residualAgainst(col(vec), col("_best").getField("centroid")).as("_res"))
+
+  /** Assign cells and residual-encode: the stored IVF-PQ index row is
+    * (id, cell, code) — m bytes per vector, NO f32 vector, NO scale.
+    * The 100 TB layout this engine claims: coarse cells give probe-side
+    * partition pruning, PQ codes give ~4·dims/m× less index to scan
+    * inside a probed cell, and exact re-rank reads only the bounded
+    * shortlist from the f32 base table.
+    */
+  def assignCellsPq(corpus: DataFrame, id: String, vec: String,
+                    cents: Seq[(Long, Seq[Float])], cb: PqCodebook): DataFrame =
+    assignedResiduals(corpus, id, vec, cents)
+      .select(col(id), col("cell"),
+        graft.functions.pq_encode(col("_res"), cb).as("code"))
+
+  /** Train the shared residual codebook for an IVF-PQ index: one
+    * [[pqTrain]] over the residuals of the build corpus against `cents`
+    * (driver-side, hash-ordered ≤ sampleCap sample — the standard single
+    * shared codebook; per-cell codebooks trade accuracy for cells× the
+    * codebook bytes and are not worth it below ~10⁵ cells).
+    */
+  def ivfPqTrain(corpus: DataFrame, id: String, vec: String,
+                 cents: Seq[(Long, Seq[Float])], m: Int = 8, k: Int = 256,
+                 sampleCap: Int = 4096, iters: Int = 8): PqCodebook =
+    pqTrain(assignedResiduals(corpus, id, vec, cents), id, "_res",
+      m, k, sampleCap, iters)
+
+  private val CodebookDir = "_pq_codebook"
+
+  /** Persist the codebook beside the index (underscore-hidden, like
+    * `_centroids`): one row (m, sub_dim, k, flat). The codebook is part
+    * of the index's IDENTITY exactly like the centroid table — encoding
+    * an append or building a query LUT with a different codebook is the
+    * silent-garbage-distances failure class.
+    */
+  def ivfPqWriteCodebook(spark: SparkSession, cb: PqCodebook,
+                         path: String): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.subDim, cb.k, cb.flat.toSeq))
+      .toDF("m", "sub_dim", "k", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/$CodebookDir")
+  }
+
+  def ivfPqReadCodebook(spark: SparkSession, path: String): PqCodebook = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$CodebookDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"ivfPqReadCodebook: no $CodebookDir table under $path — appends and " +
+        "searches must use the build's codebook; rebuild with ivfPqWriteIndex.")
+    val r = spark.read.parquet(dir.toString)
+      .select(col("m").cast("int"), col("sub_dim").cast("int"),
+        col("k").cast("int"), col("flat")).head()
+    PqCodebook(r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getSeq[Float](3).toArray)
+  }
+
+  /** Build + persist the IVF-PQ index: cell-partitioned (id, code) rows +
+    * `_centroids` + `_pq_codebook` — both identity sidecars travel with
+    * the data. [[ivfCompactIndex]] preserves them through rewrites.
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, id: String, vec: String,
+                      cents: Seq[(Long, Seq[Float])], cb: PqCodebook,
+                      path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    assignCellsPq(corpus, id, vec, cents, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    ivfPqWriteCodebook(spark, cb, path)
+  }
+
+  /** Incremental append: assignment against the index's OWN centroid
+    * table, residual-encode with the index's OWN codebook — never caller
+    * arguments (the [[ivfAppendIndex]] no-trusted-arguments law).
+    */
+  def ivfPqAppendIndex(emb: DataFrame, id: String, vec: String,
+                       path: String): Unit = {
+    val spark = emb.sparkSession
+    val cents = ivfReadCentroids(spark, path)
+    val cb = ivfPqReadCodebook(spark, path)
+    assignCellsPq(emb, id, vec, cents, cb)
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Search a persisted IVF-PQ index, production shape: probe cells from
+    * the f32 query vs the f32 centroid table; per (query, probed cell)
+    * build the ADC lookup table from the query's RESIDUAL against that
+    * cell's centroid (so ADC approximates ‖q − v‖² = ‖(q−c) − r‖² — on
+    * L2-normalized corpora that ranking agrees with cosine); shortlist by
+    * ADC over the pruned code scan; exact re-rank of the bounded
+    * shortlist against the f32 base relation. The only corpus-sized scan
+    * is the m-byte code scan of nprobe/cells of the index.
+    */
+  def ivfPqSearchIndex(spark: SparkSession, indexPath: String,
+                       corpus: DataFrame, queries: DataFrame,
+                       id: String, vec: String, nprobe: Int, k: Int,
+                       shortlist: Int = 50): DataFrame = {
+    val cents = ivfReadCentroids(spark, indexPath)
+    val cb = ivfPqReadCodebook(spark, indexPath)
+    val q = probeQueriesPq(queries, cents, cb, id, vec, nprobe)
+    val cells = q.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val codes = ivfProbeRead(spark, indexPath, cells)
+      .select(col("cell"), col(id).as("neighbor_id"), col("code"))
+    ivfPqRank(codes, q, corpus, queries, id, vec, cb, k, shortlist)
+  }
+
+  /** The in-memory analog of [[ivfPqSearchIndex]] under the same centroid
+    * table + codebook — the direct side of the lifecycle-equality grade
+    * (build+append+compact+persisted-search ≡ direct, bit-identical codes
+    * and LUTs on both sides).
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+                  cents: Seq[(Long, Seq[Float])], cb: PqCodebook,
+                  id: String, vec: String, nprobe: Int, k: Int,
+                  shortlist: Int = 50): DataFrame = {
+    val codes = assignCellsPq(corpus, id, vec, cents, cb)
+      .select(col("cell"), col(id).as("neighbor_id"), col("code"))
+    val q = probeQueriesPq(queries, cents, cb, id, vec, nprobe)
+    ivfPqRank(codes, q, corpus, queries, id, vec, cb, k, shortlist)
+  }
+
+  /** (query_id, cell, lut) — one row per probed cell per query, with the
+    * ADC lookup table built from the query's residual against THAT cell's
+    * centroid. The probed centroid rides the probe-sort struct, so the
+    * literal centroid table is embedded once in this plan, not twice.
+    */
+  private def probeQueriesPq(queries: DataFrame,
+                             cents: Seq[(Long, Seq[Float])], cb: PqCodebook,
+                             id: String, vec: String, nprobe: Int): DataFrame = {
+    val probed = transform(
+      slice(array_sort(transform(centroidArray(cents), ct =>
+        struct((-cosineF(col(vec), ct.getField("centroid"))).as("negsim"),
+          ct.getField("cell").as("cell"),
+          ct.getField("centroid").as("centroid")))), 1, nprobe),
+      p => struct(p.getField("cell").as("cell"),
+        p.getField("centroid").as("centroid")))
+    queries
+      .select(col(id).as("query_id"), col(vec).as("q_vec"),
+        explode(probed).as("p"))
+      .select(col("query_id"), col("p").getField("cell").as("cell"),
+        graft.functions.pq_lut(
+          residualAgainst(col("q_vec"), col("p").getField("centroid")), cb)
+          .as("lut"))
+  }
+
+  /** Shared ADC-shortlist + exact-re-rank tail of both IVF-PQ searches. */
+  private def ivfPqRank(codes: DataFrame, q: DataFrame,
+                        corpus: DataFrame, queries: DataFrame,
+                        id: String, vec: String, cb: PqCodebook,
+                        k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"ivfPqRank: shortlist $shortlist < k $k")
+    val scored = codes
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // negated: rankTopK keeps the LARGEST scores, ADC is a distance
+        (-graft.functions.pq_adc(col("lut"), col("code"), cb.k)).as("cosine"))
+    val short = rankTopK(scored, shortlist).select("query_id", "neighbor_id")
+    val rescored = short
+      .join(queries.select(col(id).as("query_id"), col(vec).as("q_vec")),
+        Seq("query_id"))
+      .join(corpus.select(col(id).as("neighbor_id"), col(vec).as("c_vec")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineF(col("q_vec"), col("c_vec")), 6).as("cosine"))
+    rankTopK(rescored, k)
   }
 
   /** Micro-unit quantization of an embedding for integer-exact k-means:

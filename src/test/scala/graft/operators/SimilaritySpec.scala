@@ -536,4 +536,84 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(1) == ((1L, 2L, 6000L)), s"NaN leaked into the moments: ${out(1)}")
     assert(out(2) == ((2L, 1L, 7000L)), s"Infinity leaked into the moments: ${out(2)}")
   }
+
+  // --- IVF-PQ composed index -------------------------------------------------
+
+  private def pqCorpus = Seq.tabulate(64) { i =>
+    // four well-separated direction clusters with small per-id jitter
+    val base = (i % 4) match {
+      case 0 => (1.0f, 0.0f, 0.0f, 0.1f)
+      case 1 => (0.0f, 1.0f, 0.1f, 0.0f)
+      case 2 => (0.0f, 0.1f, 1.0f, 0.0f)
+      case _ => (0.1f, 0.0f, 0.0f, 1.0f)
+    }
+    val j = (i / 4) * 0.01f
+    (i.toLong, Array(base._1 + j, base._2, base._3, base._4 + j))
+  }.toDF("vec_id", "vec")
+
+  test("ivf-pq: codebook round-trips, append uses persisted identity, compact preserves both sidecars") {
+    val corpus = pqCorpus
+    val a = corpus.filter(col("vec_id") < 32)
+    val b = corpus.filter(col("vec_id") >= 32)
+    val cents = Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", 4)
+    val cb = Similarity.ivfPqTrain(a, "vec_id", "vec", cents, m = 2, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Similarity.ivfPqWriteIndex(a, "vec_id", "vec", cents, cb, path)
+    val cb2 = Similarity.ivfPqReadCodebook(spark, path)
+    assert(cb2.m == cb.m && cb2.subDim == cb.subDim && cb2.k == cb.k
+      && java.util.Arrays.equals(cb2.flat, cb.flat),
+      "codebook must round-trip bit-exactly")
+    Similarity.ivfPqAppendIndex(b, "vec_id", "vec", path)
+    assert(spark.read.parquet(path).count() == 64)
+    Similarity.ivfCompactIndex(spark, path)
+    // identity sidecars survive the rewrite
+    val cb3 = Similarity.ivfPqReadCodebook(spark, path)
+    assert(java.util.Arrays.equals(cb3.flat, cb.flat),
+      "compaction must preserve the codebook sidecar")
+    assert(Similarity.ivfReadCentroids(spark, path) == cents.sortBy(_._1))
+    // one file per cell after compaction
+    val cells = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+    cells.foreach { c =>
+      val files = c.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${c.getName}: ${files.length} files after compact")
+    }
+  }
+
+  test("ivf-pq: persisted search equals direct search; exact hits recover through re-rank") {
+    val corpus = pqCorpus
+    val cents = Similarity.ivfCentroidsKmeans(corpus, "vec_id", "vec", 4)
+    val cb = Similarity.ivfPqTrain(corpus, "vec_id", "vec", cents, m = 2, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq2").toString + "/idx"
+    Similarity.ivfPqWriteIndex(corpus, "vec_id", "vec", cents, cb, path)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val disk = Similarity.ivfPqSearchIndex(spark, path, corpus, queries,
+      "vec_id", "vec", nprobe = 2, k = 5, shortlist = 10)
+    val direct = Similarity.ivfPqSearch(corpus, queries, cents, cb,
+      "vec_id", "vec", nprobe = 2, k = 5, shortlist = 10)
+    assert(direct.exceptAll(disk).count() == 0 && disk.exceptAll(direct).count() == 0,
+      "persisted and direct IVF-PQ searches must be identical")
+    // every returned neighbor shares the query's direction cluster: the
+    // ADC shortlist found the right cell content and re-rank ordered it
+    val rows = disk.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getLong(0); val nb = r.getLong(1)
+      assert(q % 4 == nb % 4,
+        s"query $q got cross-cluster neighbor $nb at rank ${r.get(3)}")
+    }
+  }
+
+  test("ivf-pq: missing codebook sidecar fails loudly, never silent garbage") {
+    val corpus = pqCorpus
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "vec", 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq3").toString + "/idx"
+    // an index written WITHOUT the codebook (the plain f32 layout)
+    Similarity.ivfWriteIndexWithCentroids(
+      Similarity.assignCells(corpus, "vec_id", "vec", cents), cents, path)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.ivfPqReadCodebook(spark, path))
+    assert(ex.getMessage.contains("_pq_codebook"), ex.getMessage)
+  }
 }
