@@ -4350,6 +4350,73 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL VP8 INTER-FRAME (motion-compensated) decode, graded byte-exact:
+    // each doc carries a genuine 3-frame VP8 video in an IVF container —
+    // key frame, an inter frame referencing LAST, and an inter frame
+    // mixing LAST and GOLDEN references — with per-MB modes rotating
+    // through ZEROMV / NEWMV (real MV entropy coding: survey-based best-MV
+    // deltas, short-tree/long-form components, in-stream MV prob updates)
+    // / skip (pure motion-compensated copy, NO residue) / intra-in-inter.
+    // Residues are steered so reconstruction lands on closed-form targets
+    // (the q_vp8_key_decode discipline); the skip MBs are what the oracle
+    // cannot fake: frame 3's golden-skip MBs must reproduce FRAME 1's
+    // values (the golden buffer) and its last-skip MBs FRAME 2's — any
+    // buffer-management, MC, or mode-decode drift moves the checksum.
+    ("q_vp8_inter_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8VideoMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |    16*(1 + n_chars % 3) AS w, 16*(1 + n_chars % 2) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM dims d
+             |  JOIN range(0, 3) f(f) ON true
+             |  JOIN range(0, 2304) t(i) ON t.i < d.w*d.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < d.w*d.h THEN 0
+             |         WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN 1
+             |         ELSE 2 END AS pl,
+             |    CASE WHEN t.i < d.w*d.h THEN
+             |      ((t.i // d.w) // 16) * (d.w//16) + (t.i % d.w) // 16
+             |    WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN
+             |      (((t.i - d.w*d.h) // (d.w//2)) // 8) * (d.w//16)
+             |        + ((t.i - d.w*d.h) % (d.w//2)) // 8
+             |    ELSE
+             |      (((t.i - d.w*d.h - (d.w//2)*(d.h//2)) // (d.w//2)) // 8)
+             |        * (d.w//16)
+             |        + ((t.i - d.w*d.h - (d.w//2)*(d.h//2)) % (d.w//2)) // 8
+             |    END AS m) q
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q.pl WHEN 0 THEN (31*d.doc_id + 13*q.m) % 256
+             |              WHEN 1 THEN (91*d.doc_id + 7*q.m) % 256
+             |              ELSE (53*d.doc_id + 11*q.m) % 256 END AS v1,
+             |    CASE q.pl WHEN 0 THEN (47*d.doc_id + 17*q.m) % 256
+             |              WHEN 1 THEN (23*d.doc_id + 5*q.m) % 256
+             |              ELSE (67*d.doc_id + 3*q.m) % 256 END AS t2,
+             |    CASE q.pl WHEN 0 THEN (29*d.doc_id + 19*q.m) % 256
+             |              WHEN 1 THEN (41*d.doc_id + 13*q.m) % 256
+             |              ELSE (59*d.doc_id + 23*q.m) % 256 END AS t3) vv
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN (q.m + d.doc_id) % 4 = 2 THEN vv.v1 ELSE vv.t2 END
+             |      AS f2v) w2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE f.f WHEN 0 THEN vv.v1 WHEN 1 THEN w2.f2v
+             |      ELSE CASE (q.m + 2*d.doc_id) % 4
+             |        WHEN 0 THEN vv.v1 WHEN 1 THEN w2.f2v ELSE vv.t3 END
+             |    END AS val) vl
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

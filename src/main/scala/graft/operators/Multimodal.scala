@@ -459,6 +459,128 @@ object Multimodal {
       }
   }
 
+  /** Each doc carries a REAL 3-frame VP8 video in an IVF container: a key
+    * frame, an inter frame referencing LAST, and an inter frame mixing
+    * LAST and GOLDEN references — per MB rotating through ZEROMV / NEWMV
+    * (motion-compensated, MB-aligned) / skip (pure reference copy) /
+    * intra-in-inter, all steered so reconstruction lands on closed-form
+    * targets ([[Vp8Codec]] inter profile). The skip MBs are the probe
+    * that the BUFFERS are right: frame 3's golden-skip MBs must
+    * reconstruct frame 1's values (not frame 2's), or the checksum
+    * collapses.
+    */
+  def withVp8VideoMedia(docs: DataFrame, id: String = "doc_id",
+                        nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (docId, nc) =>
+          val w = (16 * (1 + nc % 3)).toInt
+          val h = (16 * (1 + nc % 2)).toInt
+          (docId, Vp8Codec.encodeIvf(w, h, vp8VideoFrames(docId, w, h)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** The rotating 3-frame VP8 fixture (shared with the spec suite and
+    * replayed closed-form by the q_vp8_inter_decode oracle).
+    */
+  private[operators] def vp8VideoFrames(docId: Long, w: Int, h: Int): Seq[Array[Byte]] = {
+    val mbW = w / 16
+    val d = docId
+    val qi = (8 * (d % 2)).toInt
+    val uvD = (-8 * (d % 2)).toInt
+    def y1(m: Int) = ((31 * d + 13 * m) % 256).toInt
+    def u1(m: Int) = ((91 * d + 7 * m) % 256).toInt
+    def v1(m: Int) = ((53 * d + 11 * m) % 256).toInt
+    def y2(m: Int) = ((47 * d + 17 * m) % 256).toInt
+    def u2(m: Int) = ((23 * d + 5 * m) % 256).toInt
+    def v2(m: Int) = ((67 * d + 3 * m) % 256).toInt
+    def y3(m: Int) = ((29 * d + 19 * m) % 256).toInt
+    def u3(m: Int) = ((41 * d + 13 * m) % 256).toInt
+    def v3(m: Int) = ((59 * d + 23 * m) % 256).toInt
+    val (kf, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h, qi, uvD,
+      yMode = 0, tokenPartitions = 1, skipAll = false, y1, u1, v1))
+    def newMv(m: Int): (Int, Int) = {
+      val r = m / mbW; val c = m % mbW
+      val dx = if (c > 0) -16 else if (mbW > 1) 16 else 0
+      val dy = if (dx == 0 && r > 0) -16 else 0
+      (dx, dy)
+    }
+    val p2 = Vp8Codec.InterPlan(w, h, qi, uvD,
+      tokenPartitions = 1 + (d % 2).toInt,
+      refreshLast = true, refreshGolden = false,
+      mb = { m =>
+        ((m + d) % 4).toInt match {
+          case 0 => Vp8Codec.InterMb(0, 0, 0, 0, skip = false, y2(m), u2(m), v2(m))
+          case 1 =>
+            val (dx, dy) = newMv(m)
+            Vp8Codec.InterMb(0, 3, dx, dy, skip = false, y2(m), u2(m), v2(m))
+          case 2 => Vp8Codec.InterMb(0, 0, 0, 0, skip = true, 0, 0, 0)
+          case _ => Vp8Codec.IntraMb(1, y2(m), u2(m), v2(m))
+        }
+      })
+    val (f2, g2) = Vp8Codec.encodeInterFrame(p2, g1, g1)
+    val p3 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = true,
+      mb = { m =>
+        ((m + 2 * d) % 4).toInt match {
+          case 0 => Vp8Codec.InterMb(1, 0, 0, 0, skip = true, 0, 0, 0) // golden
+          case 1 => Vp8Codec.InterMb(0, 0, 0, 0, skip = true, 0, 0, 0) // last
+          case 2 =>
+            val (dx, dy) = newMv(m)
+            Vp8Codec.InterMb(0, 3, dx, dy, skip = false, y3(m), u3(m), v3(m))
+          case _ => Vp8Codec.IntraMb(2, y3(m), u3(m), v3(m))
+        }
+      })
+    val (f3, _) = Vp8Codec.encodeInterFrame(p3, g2, g1)
+    Seq(kf, f2, f3)
+  }
+
+  case class Vp8VideoStats(doc_id: Long, width: Long, height: Long,
+                           n_frames: Long, pix_checksum: Long)
+
+  /** Decode every frame of each doc's IVF stream through the full VP8
+    * sequence pipeline (buffer management, MC, residue) and reduce to a
+    * frame-and-position-weighted checksum over the planar YUV bytes:
+    * `Σ_f (f+1) · Σ_i yuv_f(i)·(i mod 97 + 1)`.
+    */
+  def decodeVp8VideoStats(media: DataFrame): Dataset[Vp8VideoStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val frames = Vp8Codec.decodeIvf(bytes)
+          var chk = 0L
+          var f = 0
+          while (f < frames.length) {
+            val fr = frames(f)
+            var i = 0
+            def add(plane: Array[Byte], off: Int): Int = {
+              var j = 0
+              while (j < plane.length) {
+                chk += (plane(j) & 0xff).toLong * ((off + j) % 97 + 1) * (f + 1)
+                j += 1
+              }
+              off + plane.length
+            }
+            i = add(fr.y, 0)
+            i = add(fr.u, i)
+            i = add(fr.v, i)
+            locally { val _ = i }
+            f += 1
+          }
+          Vp8VideoStats(id, frames.head.width.toLong, frames.head.height.toLong,
+            frames.length.toLong, chk)
+        }
+      }
+  }
+
   def withJpegMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession

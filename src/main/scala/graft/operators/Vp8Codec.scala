@@ -396,8 +396,18 @@ object Vp8Codec {
       enc.putTree(coefTree, probs(plane)(band)(ctx), tok)
   }
 
+  /** Per-MB uniform reconstruction values per plane — the closed-form
+    * frame model the steered encoder maintains, and what inter-frame
+    * encoding consumes as its reference state.
+    */
+  final case class MbGrid(y: Array[Array[Int]], u: Array[Array[Int]],
+                          v: Array[Array[Int]])
+
   /** Encode one key frame per `plan` into a raw VP8 stream (no RIFF). */
-  def encodeFrame(plan: Plan): Array[Byte] = {
+  def encodeFrame(plan: Plan): Array[Byte] = encodeKeyFrame(plan)._1
+
+  /** [[encodeFrame]] plus the reconstruction grid (for inter chains). */
+  private[operators] def encodeKeyFrame(plan: Plan): (Array[Byte], MbGrid) = {
     require(plan.w > 0 && plan.h > 0 && plan.w % 16 == 0 && plan.h % 16 == 0,
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
     require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
@@ -589,7 +599,7 @@ object Vp8Codec {
       bos.write(n & 0xff); bos.write((n >> 8) & 0xff); bos.write((n >> 16) & 0xff)
     }
     parts.foreach(p => bos.write(p, 0, p.length))
-    bos.toByteArray
+    (bos.toByteArray, MbGrid(reconY, reconU, reconV))
   }
 
   /** Wrap a raw VP8 frame in a RIFF/WEBP container ("VP8 " chunk). */
@@ -617,6 +627,42 @@ object Vp8Codec {
       b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' '
 
   // ---- decode --------------------------------------------------------------
+
+  /** Read one block's coefficients (zigzag order), return (coefs, nz flag) —
+    * shared by the key-frame and inter-frame token layers.
+    */
+  private def readCoefBlock(td: BoolDecoder, probs: Array[Array[Array[Array[Int]]]],
+                            plane: Int, firstCoef: Int, ctx0: Int): (Array[Int], Int) = {
+    val out = new Array[Int](16)
+    var i = firstCoef
+    var ctx = ctx0
+    var prevZero = false
+    var nz = 0
+    var done = false
+    while (i < 16 && !done) {
+      val start = if (prevZero) 2 else 0 // no EOB directly after a zero
+      val tok = td.tree(coefTree, probs(plane)(coefBand(i))(ctx), start)
+      if (tok == TokEob) done = true
+      else {
+        val a =
+          if (tok <= 4) tok
+          else {
+            val cat = tok - 5
+            var extra = 0
+            var j = 0
+            while (j < catBits(cat)) { extra = (extra << 1) | td.get(catProbs(cat)(j)); j += 1 }
+            catBase(cat) + extra
+          }
+        val v = if (a != 0 && td.get(128) == 1) -a else a
+        out(zigzag(i)) = v
+        prevZero = a == 0
+        ctx = if (a == 0) 0 else if (a == 1) 1 else 2
+        if (a != 0) nz = 1
+        i += 1
+      }
+    }
+    (out, nz)
+  }
 
   /** Decoded key frame: planar YUV 4:2:0 (Y then U then V). */
   final case class Vp8Frame(width: Int, height: Int, y: Array[Byte],
@@ -726,38 +772,8 @@ object Vp8Codec {
 
     def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
 
-    /** Read one block's coefficients (zigzag), return (coefs, nz flag). */
-    def readBlock(td: BoolDecoder, plane: Int, firstCoef: Int, ctx0: Int): (Array[Int], Int) = {
-      val out = new Array[Int](16)
-      var i = firstCoef
-      var ctx = ctx0
-      var prevZero = false
-      var nz = 0
-      var done = false
-      while (i < 16 && !done) {
-        val start = if (prevZero) 2 else 0 // no EOB directly after a zero
-        val tok = td.tree(coefTree, probs(plane)(coefBand(i))(ctx), start)
-        if (tok == TokEob) done = true
-        else {
-          val a =
-            if (tok <= 4) tok
-            else {
-              val cat = tok - 5
-              var extra = 0
-              var j = 0
-              while (j < catBits(cat)) { extra = (extra << 1) | td.get(catProbs(cat)(j)); j += 1 }
-              catBase(cat) + extra
-            }
-          val v = if (a != 0 && td.get(128) == 1) -a else a
-          out(zigzag(i)) = v
-          prevZero = a == 0
-          ctx = if (a == 0) 0 else if (a == 1) 1 else 2
-          if (a != 0) nz = 1
-          i += 1
-        }
-      }
-      (out, nz)
-    }
+    def readBlock(td: BoolDecoder, plane: Int, firstCoef: Int, ctx0: Int): (Array[Int], Int) =
+      readCoefBlock(td, probs, plane, firstCoef, ctx0)
 
     var r = 0
     while (r < mbH) {
@@ -894,4 +910,823 @@ object Vp8Codec {
     }
     Vp8Frame(w, h, yPlane, uPlane, vPlane)
   }
+
+  // ---- inter frames (motion compensation) ----------------------------------
+  //
+  // The RFC 6386 INTERFRAME machinery: frame-buffer management (last /
+  // golden / altref with the refresh flag syntax), per-MB intra/inter and
+  // reference selection, the near-MV survey (above / left / above-left,
+  // the libvpx candidate-merge order) feeding both the mv_ref tree's
+  // probability context and NEWMV's base vector, the two-form motion
+  // vector entropy coder (7-leaf short tree / 10-bit long form with the
+  // implied-bit-3 rule), in-stream MV and mode probability updates, and
+  // whole-MB motion compensation composed with the same steered DC-only
+  // residue layer the key frames grade.
+  //
+  // PROFILE RESTRICTIONS, stated honestly (each enforced loudly in
+  // decode, never silently approximated):
+  //  - FULL-PEL, even-pixel motion only: the 6-tap sub-pel interpolation
+  //    filter is NOT implemented. MV components must be multiples of 16
+  //    in 1/8-pel units (even pixel offsets), which also keeps chroma
+  //    full-pel (chroma offset = luma/2).
+  //  - The motion-compensated source rectangle must lie fully inside the
+  //    reference frame (no edge-extension border).
+  //  - SPLITMV (per-sub-block MVs) and B_PRED are not in the profile;
+  //    sign_bias and buffer-copy flags must be 0; ALTREF may be refreshed
+  //    but not referenced.
+  // Mode/MV probability TABLES follow the pinned-constants discipline:
+  // structure (trees, contexts, update syntax) is the spec's; the default
+  // values are documented implementation values, and every fixture
+  // stream carries VARIED updates in-band so any band/context drift
+  // desynchronizes the arithmetic decode.
+
+  private val MvZero = 0
+  private val MvNearest = 1
+  private val MvNear = 2
+  private val MvNew = 3
+  private val MvSplit = 4
+  private val mvRefTree = Array(-MvZero, 2, -MvNearest, 4, -MvNear, 6, -MvNew, -MvSplit)
+
+  /** Pinned mode-context table: mv_ref tree probs indexed by the survey's
+    * per-slot counts (rows = count 0..6, columns = tree node). Varied so
+    * a context mix-up desynchronizes decode.
+    */
+  private val modeContexts: Array[Array[Int]] =
+    Array.tabulate(7, 4)((i, j) => 7 + ((29 * i + 13 * j) * 11) % 240)
+
+  /** 3-bit short-form MV magnitude tree (libvpx vp8_small_mvtree shape). */
+  private val smallMvTree = Array(2, 8, 4, 6, -0, -1, -2, -3, 10, 12, -4, -5, -6, -7)
+
+  /** Pinned default MV component probs, [2][19]: 0 = long-form flag,
+    * 1 = sign, 2..8 = short tree, 9..18 = long bits (bit 0..9). Varied.
+    */
+  private def defaultMvProbs(): Array[Array[Int]] =
+    Array.tabulate(2, 19)((c, i) => 3 + ((17 * c + 23 * i) * 7) % 250)
+  private val MvUpdateProb = 252 // pinned flat update-probability
+
+  /** The MV probs fixture streams carry via the update pass — must be
+    * update-representable: an updated prob is (literal7 << 1) or 1, i.e.
+    * 1 or an even value in 2..254.
+    */
+  private def fixtureMvProbs(): Array[Array[Int]] =
+    Array.tabulate(2, 19)((c, i) => 2 + 2 * (((13 * c + 7 * i) * 3) % 126))
+
+  // interframe intra-mode coding: the spec's non-key-frame ymode tree
+  // SHAPE (DC first, then V/H vs TM/B) with pinned, in-stream-updatable
+  // prob values; uv reuses the shared uv tree
+  private val interYmodeTree = Array(-ModeDc, 2, 4, 6, -ModeV, -ModeH, -ModeTm, -ModeB)
+  private val interYmodeProbs = Array(112, 86, 140, 37)
+  private val interUvModeProbs = Array(162, 101, 204)
+  private def fixtureInterYmodeProbs() = Array(91, 183, 46, 217)
+  private def fixtureInterUvModeProbs() = Array(133, 67, 229)
+
+  private val RefLast = 0
+  private val RefGolden = 1
+
+  /** The near-MV survey (libvpx vp8_find_near_mvs order, SPLITMV and
+    * sign-bias branches outside the profile): scan above, left,
+    * above-left; nonzero MVs merge into up to two distinct candidates
+    * (a neighbor equal to the LAST added candidate adds weight, a
+    * different one opens the next slot); zero-MV/intra weight lands in
+    * slot 0. Weights 2/2/1. If the second candidate outweighs the first
+    * they swap; best = first candidate if it outweighs slot 0, else the
+    * zero vector. Returns (best, nearest, near, counts) with MVs as
+    * (row, col) in 1/8-pel units; `counts` indexes the [[modeContexts]]
+    * rows for the mv_ref tree probs.
+    */
+  private[operators] def findNearMvs(r: Int, c: Int,
+                                     interFlag: Array[Array[Boolean]],
+                                     mvRow: Array[Array[Int]],
+                                     mvCol: Array[Array[Int]])
+      : ((Int, Int), (Int, Int), (Int, Int), Array[Int]) = {
+    // 4 slots like libvpx's near_mvs[4]: a third distinct neighbor MV
+    // lands in slot 3 (the SPLITMV-context slot) and is never a candidate
+    val cand = Array[(Int, Int)]((0, 0), (0, 0), (0, 0), (0, 0))
+    val cnt = Array(0, 0, 0, 0)
+    var slot = 0
+    def consider(rr: Int, cc: Int, weight: Int): Unit = {
+      if (rr >= 0 && cc >= 0 && interFlag(rr)(cc)) {
+        val m = (mvRow(rr)(cc), mvCol(rr)(cc))
+        if (m != ((0, 0))) {
+          if (cand(slot) != m) { slot += 1; cand(slot) = m }
+          cnt(slot) += weight
+        } else cnt(0) += weight
+      }
+      (): Unit
+    }
+    consider(r - 1, c, 2)
+    consider(r, c - 1, 2)
+    consider(r - 1, c - 1, 1)
+    if (cnt(2) > cnt(1)) {
+      val tc = cnt(1); cnt(1) = cnt(2); cnt(2) = tc
+      val tm = cand(1); cand(1) = cand(2); cand(2) = tm
+    }
+    val best = if (cnt(1) >= cnt(0)) cand(1) else (0, 0)
+    (best, cand(1), cand(2), cnt)
+  }
+
+  private def mvRefProbs(cnt: Array[Int]): Array[Int] =
+    Array.tabulate(4)(j => modeContexts(math.min(cnt(j), 6))(j))
+
+  /** Write one MV component (1/8-pel units; the coder carries half that,
+    * so components are always even). Short form covers magnitudes 0..7,
+    * the long form 8..1023 with bit order 0,1,2,9..4 and bit 3 implied 1
+    * when every higher bit is zero (a long-form value is ≥ 8).
+    */
+  private def writeMvComponent(enc: BoolEncoder, p: Array[Int], v: Int): Unit = {
+    require(v % 2 == 0, s"vp8 mv: component $v must be even")
+    val x = math.abs(v) / 2
+    require(x < 1024, s"vp8 mv: magnitude $x out of long-form range")
+    if (x <= 7) {
+      enc.put(0, p(0))
+      enc.putTree(smallMvTree, java.util.Arrays.copyOfRange(p, 2, 9), x)
+    } else {
+      enc.put(1, p(0))
+      var i = 0
+      while (i < 3) { enc.put((x >> i) & 1, p(9 + i)); i += 1 }
+      i = 9
+      while (i > 3) { enc.put((x >> i) & 1, p(9 + i)); i -= 1 }
+      if ((x & 0xfff0) != 0) enc.put((x >> 3) & 1, p(12))
+    }
+    if (x != 0) enc.put(if (v < 0) 1 else 0, p(1))
+  }
+
+  private def readMvComponent(td: BoolDecoder, p: Array[Int]): Int = {
+    var x = 0
+    if (td.get(p(0)) == 1) {
+      var i = 0
+      while (i < 3) { x |= td.get(p(9 + i)) << i; i += 1 }
+      i = 9
+      while (i > 3) { x |= td.get(p(9 + i)) << i; i -= 1 }
+      if ((x & 0xfff0) != 0) x |= td.get(p(12)) << 3 else x |= 8
+    } else x = td.tree(smallMvTree, java.util.Arrays.copyOfRange(p, 2, 9))
+    if (x != 0 && td.get(p(1)) == 1) -2 * x else 2 * x
+  }
+
+  /** One macroblock of an inter-frame encoding plan. Targets are the
+    * closed-form uniform reconstruction values the steered residue must
+    * land on; a `skip` MB carries no residue, so its reconstruction is
+    * exactly the motion-compensated prediction.
+    */
+  sealed trait MbSpec
+  final case class IntraMb(yMode: Int, ty: Int, tu: Int, tv: Int) extends MbSpec
+  final case class InterMb(ref: Int, mvMode: Int, dxPx: Int, dyPx: Int,
+                           skip: Boolean, ty: Int, tu: Int, tv: Int) extends MbSpec
+
+  final case class InterPlan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
+                             tokenPartitions: Int,
+                             refreshLast: Boolean, refreshGolden: Boolean,
+                             mb: Int => MbSpec)
+
+  /** Encode one inter frame against the uniform-grid reference state;
+    * returns the stream and this frame's reconstruction grid.
+    */
+  private[operators] def encodeInterFrame(plan: InterPlan, last: MbGrid,
+                                          golden: MbGrid): (Array[Byte], MbGrid) = {
+    require(plan.w > 0 && plan.h > 0 && plan.w % 16 == 0 && plan.h % 16 == 0,
+      s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
+    require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
+      s"vp8 encode: 1 or 2 token partitions, got ${plan.tokenPartitions}")
+    val mbW = plan.w / 16
+    val mbH = plan.h / 16
+    val probs = fixtureCoefProbs()
+    val defaults = defaultCoefProbs()
+    val mvProbs = fixtureMvProbs()
+    val mvDefaults = defaultMvProbs()
+    val ymodeProbs = fixtureInterYmodeProbs()
+    val uvProbs = fixtureInterUvModeProbs()
+    val probSkipFalse = 200
+    val probIntra = 77
+    val probLast = 113
+    val probGolden = 91
+
+    // ---- first partition: header ----
+    val hdr = new BoolEncoder
+    hdr.putLiteral(0, 1) // segmentation disabled
+    hdr.putLiteral(0, 1) // filter type
+    hdr.putLiteral(0, 6) // loop filter level 0
+    hdr.putLiteral(0, 3) // sharpness
+    hdr.putLiteral(0, 1) // no lf deltas
+    hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2)
+    hdr.putLiteral(plan.qi, 7)
+    def putDelta(d: Int): Unit =
+      if (d == 0) hdr.putLiteral(0, 1)
+      else {
+        hdr.putLiteral(1, 1)
+        hdr.putLiteral(math.abs(d), 4)
+        hdr.putLiteral(if (d < 0) 1 else 0, 1)
+      }
+    putDelta(0) // y_dc
+    putDelta(0) // y2_dc
+    putDelta(0) // y2_ac
+    putDelta(plan.uvDcDelta)
+    putDelta(0) // uv_ac
+    hdr.putLiteral(if (plan.refreshGolden) 1 else 0, 1)
+    hdr.putLiteral(0, 1) // refresh altref = 0
+    if (!plan.refreshGolden) hdr.putLiteral(0, 2) // copy-to-golden: none
+    hdr.putLiteral(0, 2) // copy-to-altref: none
+    hdr.putLiteral(0, 1) // sign bias golden
+    hdr.putLiteral(0, 1) // sign bias altref
+    hdr.putLiteral(1, 1) // refresh entropy probs
+    hdr.putLiteral(if (plan.refreshLast) 1 else 0, 1)
+    var t = 0
+    while (t < 4 * 8 * 3 * 11) {
+      val (p, b2, c2, n2) =
+        (t / (8 * 3 * 11), (t / (3 * 11)) % 8, (t / 11) % 3, t % 11)
+      if (probs(p)(b2)(c2)(n2) != defaults(p)(b2)(c2)(n2)) {
+        hdr.put(1, UpdateProb)
+        hdr.putLiteral(probs(p)(b2)(c2)(n2), 8)
+      } else hdr.put(0, UpdateProb)
+      t += 1
+    }
+    hdr.putLiteral(1, 1) // mb_no_coeff_skip enabled
+    hdr.putLiteral(probSkipFalse, 8)
+    hdr.putLiteral(probIntra, 8)
+    hdr.putLiteral(probLast, 8)
+    hdr.putLiteral(probGolden, 8)
+    // intra-mode prob updates (flag + 8-bit literals)
+    hdr.putLiteral(1, 1)
+    ymodeProbs.foreach(p => hdr.putLiteral(p, 8))
+    hdr.putLiteral(1, 1)
+    uvProbs.foreach(p => hdr.putLiteral(p, 8))
+    // MV prob update pass: updated prob = literal7 << 1 (or 1 when 0)
+    var comp = 0
+    while (comp < 2) {
+      var i = 0
+      while (i < 19) {
+        if (mvProbs(comp)(i) != mvDefaults(comp)(i)) {
+          hdr.put(1, MvUpdateProb)
+          hdr.putLiteral(mvProbs(comp)(i) >> 1, 7)
+        } else hdr.put(0, MvUpdateProb)
+        i += 1
+      }
+      comp += 1
+    }
+
+    // ---- per-MB modes + tokens ----
+    val encs = Array.fill(plan.tokenPartitions)(new BoolEncoder)
+    val writers = encs.map(new TokenWriter(_, probs))
+    val reconY = Array.fill(mbH, mbW)(0)
+    val reconU = Array.fill(mbH, mbW)(0)
+    val reconV = Array.fill(mbH, mbW)(0)
+    val interFlag = Array.fill(mbH, mbW)(false)
+    val mvRowG = Array.fill(mbH, mbW)(0)
+    val mvColG = Array.fill(mbH, mbW)(0)
+    val aboveY2 = Array.fill(mbW)(0)
+    val aboveU = Array.fill(mbW * 2)(0)
+    val aboveV = Array.fill(mbW * 2)(0)
+    val y2q = y2DcQ(plan.qi, 0)
+    val uvq = uvDcQ(plan.qi, plan.uvDcDelta)
+    def steerY2(m: Int): Int = {
+      if (m == 0) return 0
+      val guess = (64 * m) / y2q
+      var v = guess - 12
+      while (v <= guess + 12) {
+        val dd = (y2q * v + 3) >> 3
+        if (((dd + 4) >> 3) == m) return v
+        v += 1
+      }
+      throw new IllegalStateException(s"vp8 encode: no exact Y2 level for delta $m (q=$y2q)")
+    }
+    def steerUv(m: Int): Int = {
+      if (m == 0) return 0
+      val guess = (8 * m) / uvq
+      var v = guess - 12
+      while (v <= guess + 12) {
+        if (((uvq * v + 4) >> 3) == m) return v
+        v += 1
+      }
+      throw new IllegalStateException(s"vp8 encode: no exact UV level for delta $m (q=$uvq)")
+    }
+
+    var r = 0
+    while (r < mbH) {
+      var leftY2 = 0
+      var leftU = Array(0, 0)
+      var leftV = Array(0, 0)
+      val w = writers(r % plan.tokenPartitions)
+      var c = 0
+      while (c < mbW) {
+        val spec = plan.mb(r * mbW + c)
+        // resolve this MB's mode, mv, and uniform predictor per plane
+        var skip = false
+        var isInter = false
+        var mvR = 0
+        var mvC = 0
+        var py = 0; var pu = 0; var pv = 0
+        spec match {
+          case IntraMb(yMode, _, _, _) =>
+            require(yMode == ModeDc || yMode == ModeV || yMode == ModeH,
+              "vp8 encode: inter-frame intra MBs use DC/V/H in this profile")
+            def pred(recon: Array[Array[Int]]): Int = yMode match {
+              case ModeDc =>
+                val hasA = r > 0; val hasL = c > 0
+                if (hasA && hasL) (recon(r - 1)(c) + recon(r)(c - 1) + 1) >> 1
+                else if (hasA) recon(r - 1)(c)
+                else if (hasL) recon(r)(c - 1)
+                else 128
+              case ModeV => if (r == 0) 127 else recon(r - 1)(c)
+              case _ => if (c == 0) 129 else recon(r)(c - 1)
+            }
+            py = pred(reconY); pu = pred(reconU); pv = pred(reconV)
+          case InterMb(ref, mvMode, dxPx, dyPx, sk, _, _, _) =>
+            isInter = true
+            skip = sk
+            val (best, nearest, near, _) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+            val mv: (Int, Int) = mvMode match {
+              case MvZero => (0, 0)
+              case MvNew => (dyPx * 8, dxPx * 8)
+              case MvNearest => nearest
+              case MvNear => near
+              case other => throw new IllegalArgumentException(
+                s"vp8 encode: mv mode $other not in this profile")
+            }
+            locally { val _ = best }
+            mvR = mv._1; mvC = mv._2
+            require(mvR % 128 == 0 && mvC % 128 == 0,
+              "vp8 encode: the uniform-grid fixture model needs MB-aligned MVs")
+            val sr = r + mvR / 128
+            val sc = c + mvC / 128
+            require(sr >= 0 && sr < mbH && sc >= 0 && sc < mbW,
+              s"vp8 encode: mv ($mvR,$mvC) at MB ($r,$c) leaves the frame")
+            val g = if (ref == RefLast) last else golden
+            py = g.y(sr)(sc); pu = g.u(sr)(sc); pv = g.v(sr)(sc)
+        }
+        // mode syntax
+        hdr.put(if (skip) 1 else 0, probSkipFalse)
+        hdr.put(if (isInter) 1 else 0, probIntra)
+        spec match {
+          case IntraMb(yMode, _, _, _) =>
+            hdr.putTree(interYmodeTree, ymodeProbs, yMode)
+            hdr.putTree(uvModeTree, uvProbs, yMode)
+          case InterMb(ref, mvMode, _, _, _, _, _, _) =>
+            hdr.put(if (ref == RefLast) 0 else 1, probLast)
+            if (ref != RefLast) hdr.put(0, probGolden) // golden (1 = altref)
+            val (best, _, _, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+            hdr.putTree(mvRefTree, mvRefProbs(cnt), mvMode)
+            if (mvMode == MvNew) {
+              writeMvComponent(hdr, mvProbs(0), mvR - best._1)
+              writeMvComponent(hdr, mvProbs(1), mvC - best._2)
+            }
+        }
+        // residue + recon tracking
+        val (ty, tu, tv) = spec match {
+          case IntraMb(_, a, b2, c2) => (a, b2, c2)
+          case InterMb(_, _, _, _, _, a, b2, c2) => (a, b2, c2)
+        }
+        if (skip) {
+          reconY(r)(c) = py; reconU(r)(c) = pu; reconV(r)(c) = pv
+          leftY2 = 0; leftU = Array(0, 0); leftV = Array(0, 0)
+          aboveY2(c) = 0
+          aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
+          aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
+        } else {
+          val vy = steerY2(ty - py)
+          val vu = steerUv(tu - pu)
+          val vv = steerUv(tv - pv)
+          val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
+          aboveY2(c) = nzY2; leftY2 = nzY2
+          var b = 0
+          while (b < 16) { w.dcOnlyBlock(0, 1, 0, 0); b += 1 }
+          var i = 0
+          while (i < 4) {
+            val bc = 2 * c + (i & 1); val br = i >> 1
+            val nz = w.dcOnlyBlock(2, 0, aboveU(bc) + leftU(br), vu)
+            aboveU(bc) = nz; leftU(br) = nz
+            i += 1
+          }
+          i = 0
+          while (i < 4) {
+            val bc = 2 * c + (i & 1); val br = i >> 1
+            val nz = w.dcOnlyBlock(2, 0, aboveV(bc) + leftV(br), vv)
+            aboveV(bc) = nz; leftV(br) = nz
+            i += 1
+          }
+          reconY(r)(c) = ty; reconU(r)(c) = tu; reconV(r)(c) = tv
+        }
+        interFlag(r)(c) = isInter
+        mvRowG(r)(c) = mvR; mvColG(r)(c) = mvC
+        c += 1
+      }
+      r += 1
+    }
+    val part0 = hdr.flush()
+    val parts = encs.map(_.flush())
+
+    // ---- frame assembly (interframe: tag only, no start code / dims) ----
+    val bos = new java.io.ByteArrayOutputStream()
+    val tag = 1 /*inter*/ | (0 << 1) | (1 << 4) /*show*/ | (part0.length << 5)
+    require(part0.length < (1 << 19), "vp8 encode: first partition too large")
+    bos.write(tag & 0xff); bos.write((tag >> 8) & 0xff); bos.write((tag >> 16) & 0xff)
+    bos.write(part0, 0, part0.length)
+    if (plan.tokenPartitions == 2) {
+      val n = parts(0).length
+      bos.write(n & 0xff); bos.write((n >> 8) & 0xff); bos.write((n >> 16) & 0xff)
+    }
+    parts.foreach(p => bos.write(p, 0, p.length))
+    (bos.toByteArray, MbGrid(reconY, reconU, reconV))
+  }
+
+  /** Decode one inter frame against (last, golden); returns the frame and
+    * its (refreshLast, refreshGolden) flags.
+    */
+  private[operators] def decodeInterFrame(b: Array[Byte], lastRef: Vp8Frame,
+                                          goldenRef: Vp8Frame)
+      : (Vp8Frame, Boolean, Boolean) = {
+    require(b.length >= 4, s"vp8: ${b.length}-byte interframe is shorter than any header")
+    val tag = (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16)
+    require((tag & 1) == 1, "vp8: decodeInterFrame on a key frame")
+    val part0Len = tag >> 5
+    require(3L + part0Len <= b.length,
+      s"vp8: first partition ($part0Len) runs past the ${b.length}-byte frame")
+    val w = lastRef.width
+    val h = lastRef.height
+    require(goldenRef.width == w && goldenRef.height == h,
+      "vp8: reference frames disagree on dimensions")
+    val mbW = w / 16
+    val mbH = h / 16
+
+    val hd = new BoolDecoder(b, 3, 3 + part0Len)
+    require(hd.literal(1) == 0, "vp8: segmentation unsupported in this profile")
+    hd.literal(1) // filter type
+    require(hd.literal(6) == 0, "vp8: loop filter must be off in this profile")
+    hd.literal(3) // sharpness
+    require(hd.literal(1) == 0, "vp8: loop-filter deltas unsupported")
+    val log2Parts = hd.literal(2)
+    require(log2Parts <= 1, "vp8: this profile reads 1 or 2 token partitions")
+    val nParts = 1 << log2Parts
+    val qi = hd.literal(7)
+    hd.signedFlagged(4) // y_dc (rides Y2 whenever a Y2 plane exists)
+    hd.signedFlagged(4) // y2_dc (0 in fixture streams; profile ignores)
+    hd.signedFlagged(4) // y2_ac
+    val uvDcDelta = hd.signedFlagged(4)
+    hd.signedFlagged(4) // uv_ac
+    val refreshGolden = hd.literal(1) == 1
+    val refreshAlt = hd.literal(1) == 1
+    require(!refreshAlt, "vp8: altref refresh outside this profile")
+    if (!refreshGolden)
+      require(hd.literal(2) == 0, "vp8: buffer-copy-to-golden outside this profile")
+    require(hd.literal(2) == 0, "vp8: buffer-copy-to-altref outside this profile")
+    require(hd.literal(1) == 0, "vp8: golden sign bias outside this profile")
+    require(hd.literal(1) == 0, "vp8: altref sign bias outside this profile")
+    hd.literal(1) // refresh entropy
+    val refreshLast = hd.literal(1) == 1
+    val probs = defaultCoefProbs()
+    var t = 0
+    while (t < 4 * 8 * 3 * 11) {
+      if (hd.get(UpdateProb) == 1) {
+        val p = t
+        probs(p / (8 * 3 * 11))((p / (3 * 11)) % 8)((p / 11) % 3)(p % 11) = hd.literal(8)
+      }
+      t += 1
+    }
+    val skipEnabled = hd.literal(1) == 1
+    val probSkipFalse = if (skipEnabled) hd.literal(8) else 0
+    val probIntra = hd.literal(8)
+    val probLast = hd.literal(8)
+    val probGolden = hd.literal(8)
+    val ymodeProbs = interYmodeProbs.clone()
+    if (hd.literal(1) == 1) {
+      var i = 0
+      while (i < 4) { ymodeProbs(i) = hd.literal(8); i += 1 }
+    }
+    val uvProbs = interUvModeProbs.clone()
+    if (hd.literal(1) == 1) {
+      var i = 0
+      while (i < 3) { uvProbs(i) = hd.literal(8); i += 1 }
+    }
+    val mvProbs = defaultMvProbs()
+    var comp = 0
+    while (comp < 2) {
+      var i = 0
+      while (i < 19) {
+        if (hd.get(MvUpdateProb) == 1) {
+          val x = hd.literal(7)
+          mvProbs(comp)(i) = if (x > 0) x << 1 else 1
+        }
+        i += 1
+      }
+      comp += 1
+    }
+
+    // ---- per-MB modes (first partition) ----
+    val skips = new Array[Boolean](mbW * mbH)
+    val isInterA = new Array[Boolean](mbW * mbH)
+    val refOf = new Array[Int](mbW * mbH)
+    val yModes = new Array[Int](mbW * mbH)
+    val mvRowA = new Array[Int](mbW * mbH)
+    val mvColA = new Array[Int](mbW * mbH)
+    val interFlag = Array.fill(mbH, mbW)(false)
+    val mvRowG = Array.fill(mbH, mbW)(0)
+    val mvColG = Array.fill(mbH, mbW)(0)
+    var r = 0
+    while (r < mbH) {
+      var c = 0
+      while (c < mbW) {
+        val mbI = r * mbW + c
+        if (skipEnabled) skips(mbI) = hd.get(probSkipFalse) == 1
+        val inter = hd.get(probIntra) == 1
+        isInterA(mbI) = inter
+        if (inter) {
+          val notLast = hd.get(probLast) == 1
+          val ref =
+            if (!notLast) RefLast
+            else {
+              require(hd.get(probGolden) == 0, "vp8: altref reference outside this profile")
+              RefGolden
+            }
+          refOf(mbI) = ref
+          val (best, nearest, near, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+          val mode = hd.tree(mvRefTree, mvRefProbs(cnt))
+          require(mode != MvSplit, "vp8: SPLITMV outside this profile")
+          val mv: (Int, Int) = mode match {
+            case MvZero => (0, 0)
+            case MvNearest => nearest
+            case MvNear => near
+            case _ =>
+              val dr = readMvComponent(hd, mvProbs(0))
+              val dc = readMvComponent(hd, mvProbs(1))
+              (best._1 + dr, best._2 + dc)
+          }
+          mvRowA(mbI) = mv._1; mvColA(mbI) = mv._2
+          require(mv._1 % 16 == 0 && mv._2 % 16 == 0,
+            s"vp8: mv (${mv._1},${mv._2}) needs the sub-pel filter — outside this profile")
+          val sy = r * 16 + mv._1 / 8
+          val sx = c * 16 + mv._2 / 8
+          require(sy >= 0 && sy + 16 <= h && sx >= 0 && sx + 16 <= w,
+            s"vp8: mv (${mv._1},${mv._2}) at MB ($r,$c) reads outside the reference")
+        } else {
+          val ym = hd.tree(interYmodeTree, ymodeProbs)
+          require(ym == ModeDc || ym == ModeV || ym == ModeH,
+            s"vp8: luma mode $ym not in this profile")
+          yModes(mbI) = ym
+          val uvm = hd.tree(uvModeTree, uvProbs)
+          require(uvm == ym, "vp8: fixture streams mirror uv mode = y mode")
+        }
+        interFlag(r)(c) = inter
+        mvRowG(r)(c) = mvRowA(mbI); mvColG(r)(c) = mvColA(mbI)
+        c += 1
+      }
+      r += 1
+    }
+
+    // ---- token partitions ----
+    var off = 3 + part0Len
+    val partBounds = new Array[(Int, Int)](nParts)
+    if (nParts == 2) {
+      require(off + 3 <= b.length, "vp8: truncated partition size table")
+      val n0 = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+      off += 3
+      require(off + n0 <= b.length,
+        s"vp8: token partition 0 ($n0 bytes) runs past the frame")
+      partBounds(0) = (off, off + n0)
+      partBounds(1) = (off + n0, b.length)
+    } else partBounds(0) = (off, b.length)
+    val tds = partBounds.map { case (s, e) => new BoolDecoder(b, s, e) }
+
+    // ---- residue + reconstruction ----
+    val yPlane = new Array[Byte](w * h)
+    val uPlane = new Array[Byte]((w / 2) * (h / 2))
+    val vPlane = new Array[Byte]((w / 2) * (h / 2))
+    val y2q = y2DcQ(qi, 0)
+    val y2aq = 2 * dcQ(qi)
+    val yAcQv = dcQ(qi)
+    val uvq = uvDcQ(qi, uvDcDelta)
+    val uvaq = dcQ(qi)
+    val aboveY = Array.fill(mbW * 4)(0)
+    val aboveU = Array.fill(mbW * 2)(0)
+    val aboveV = Array.fill(mbW * 2)(0)
+    val aboveY2 = Array.fill(mbW)(0)
+    def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+    r = 0
+    while (r < mbH) {
+      val td = tds(r % nParts)
+      var leftY2 = 0
+      val leftY = Array.fill(4)(0)
+      val leftU = Array.fill(2)(0)
+      val leftV = Array.fill(2)(0)
+      var c = 0
+      while (c < mbW) {
+        val mbI = r * mbW + c
+        val px = c * 16; val py = r * 16
+        val predY = new Array[Int](256)
+        val predU = new Array[Int](64)
+        val predV = new Array[Int](64)
+        if (isInterA(mbI)) {
+          val g = if (refOf(mbI) == RefLast) lastRef else goldenRef
+          val dy = mvRowA(mbI) / 8
+          val dx = mvColA(mbI) / 8
+          var k = 0
+          while (k < 256) {
+            predY(k) = g.y((py + (k >> 4) + dy) * w + px + (k & 15) + dx) & 0xff
+            k += 1
+          }
+          val cw = w / 2
+          k = 0
+          while (k < 64) {
+            val ci = (py / 2 + (k >> 3) + dy / 2) * cw + px / 2 + (k & 7) + dx / 2
+            predU(k) = g.u(ci) & 0xff
+            predV(k) = g.v(ci) & 0xff
+            k += 1
+          }
+        } else {
+          val mode = yModes(mbI)
+          def fillDc(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,
+                     dst: Array[Int]): Unit = {
+            val hasA = by > 0; val hasL = bx > 0
+            val dc =
+              if (hasA || hasL) {
+                var s = 0; var cnt2 = 0
+                if (hasA) { var i = 0; while (i < n) { s += plane((by - 1) * pw + bx + i) & 0xff; i += 1 }; cnt2 += n }
+                if (hasL) { var i = 0; while (i < n) { s += plane((by + i) * pw + bx - 1) & 0xff; i += 1 }; cnt2 += n }
+                (s + cnt2 / 2) / cnt2
+              } else 128
+            java.util.Arrays.fill(dst, dc)
+          }
+          def fillV(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,
+                    dst: Array[Int]): Unit = {
+            var x = 0
+            while (x < n) {
+              val a = if (by > 0) plane((by - 1) * pw + bx + x) & 0xff else 127
+              var yy = 0
+              while (yy < n) { dst(yy * n + x) = a; yy += 1 }
+              x += 1
+            }
+          }
+          def fillH(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,
+                    dst: Array[Int]): Unit = {
+            var yy = 0
+            while (yy < n) {
+              val l = if (bx > 0) plane((by + yy) * pw + bx - 1) & 0xff else 129
+              var x = 0
+              while (x < n) { dst(yy * n + x) = l; x += 1 }
+              yy += 1
+            }
+          }
+          if (mode == ModeDc) {
+            fillDc(yPlane, w, px, py, 16, predY)
+            fillDc(uPlane, w / 2, px / 2, py / 2, 8, predU)
+            fillDc(vPlane, w / 2, px / 2, py / 2, 8, predV)
+          } else if (mode == ModeV) {
+            fillV(yPlane, w, px, py, 16, predY)
+            fillV(uPlane, w / 2, px / 2, py / 2, 8, predU)
+            fillV(vPlane, w / 2, px / 2, py / 2, 8, predV)
+          } else {
+            fillH(yPlane, w, px, py, 16, predY)
+            fillH(uPlane, w / 2, px / 2, py / 2, 8, predU)
+            fillH(vPlane, w / 2, px / 2, py / 2, 8, predV)
+          }
+        }
+        val residY = new Array[Int](256)
+        val residU = new Array[Int](64)
+        val residV = new Array[Int](64)
+        if (skipEnabled && skips(mbI)) {
+          leftY2 = 0; java.util.Arrays.fill(leftY, 0)
+          java.util.Arrays.fill(leftU, 0); java.util.Arrays.fill(leftV, 0)
+          aboveY2(c) = 0
+          var i = 0
+          while (i < 4) { aboveY(4 * c + i) = 0; i += 1 }
+          aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
+          aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
+        } else {
+          val (y2c, nz2) = readCoefBlock(td, probs, 1, 0, aboveY2(c) + leftY2)
+          aboveY2(c) = nz2; leftY2 = nz2
+          y2c(0) *= y2q
+          var i = 1
+          while (i < 16) { y2c(i) *= y2aq; i += 1 }
+          val dcs = iwht4x4(y2c)
+          var bidx = 0
+          while (bidx < 16) {
+            val bc = bidx & 3; val br = bidx >> 2
+            val (yc, nzY) = readCoefBlock(td, probs, 0, 1, aboveY(4 * c + bc) + leftY(br))
+            aboveY(4 * c + bc) = nzY; leftY(br) = nzY
+            var k0 = 1
+            while (k0 < 16) { yc(k0) *= yAcQv; k0 += 1 }
+            yc(0) = dcs(bidx)
+            val pix = idct4x4(yc)
+            var k = 0
+            while (k < 16) {
+              residY((br * 4 + (k >> 2)) * 16 + bc * 4 + (k & 3)) = pix(k)
+              k += 1
+            }
+            bidx += 1
+          }
+          def uvBlocks(resid: Array[Int], above: Array[Int], left: Array[Int]): Unit = {
+            var bi = 0
+            while (bi < 4) {
+              val bc = bi & 1; val br = bi >> 1
+              val (cc, nz) = readCoefBlock(td, probs, 2, 0, above(2 * c + bc) + left(br))
+              above(2 * c + bc) = nz; left(br) = nz
+              cc(0) *= uvq
+              var k = 1
+              while (k < 16) { cc(k) *= uvaq; k += 1 }
+              val pix = idct4x4(cc)
+              var k2 = 0
+              while (k2 < 16) {
+                resid((br * 4 + (k2 >> 2)) * 8 + bc * 4 + (k2 & 3)) = pix(k2)
+                k2 += 1
+              }
+              bi += 1
+            }
+          }
+          uvBlocks(residU, aboveU, leftU)
+          uvBlocks(residV, aboveV, leftV)
+        }
+        var k = 0
+        while (k < 256) {
+          yPlane((py + (k >> 4)) * w + px + (k & 15)) = clamp(predY(k) + residY(k))
+          k += 1
+        }
+        k = 0
+        while (k < 64) {
+          uPlane((py / 2 + (k >> 3)) * (w / 2) + px / 2 + (k & 7)) = clamp(predU(k) + residU(k))
+          vPlane((py / 2 + (k >> 3)) * (w / 2) + px / 2 + (k & 7)) = clamp(predV(k) + residV(k))
+          k += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (Vp8Frame(w, h, yPlane, uPlane, vPlane), refreshLast, refreshGolden)
+  }
+
+  /** Decode a frame sequence (first frame must be a key frame) with
+    * last/golden buffer management: a key frame refreshes every buffer;
+    * an inter frame refreshes per its header flags.
+    */
+  def decodeSequence(frames: Seq[Array[Byte]]): Seq[Vp8Frame] = {
+    require(frames.nonEmpty, "vp8: empty sequence")
+    var last: Vp8Frame = null
+    var golden: Vp8Frame = null
+    frames.zipWithIndex.map { case (f, i) =>
+      require(f.length >= 3, s"vp8: frame $i truncated")
+      val isKey = (f(0) & 1) == 0
+      if (i == 0)
+        require(isKey, "vp8: a sequence must start with a key frame")
+      val out =
+        if (isKey) {
+          val fr = decodeFrame(f)
+          last = fr; golden = fr
+          fr
+        } else {
+          require(last != null, "vp8: interframe before any key frame")
+          val (fr, refL, refG) = decodeInterFrame(f, last, golden)
+          if (refL) last = fr
+          if (refG) golden = fr
+          fr
+        }
+      out
+    }
+  }
+
+  // ---- IVF container (the raw-VP8 sequence format libvpx tooling uses) ----
+
+  def encodeIvf(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    bos.write("DKIF".getBytes("US-ASCII"))
+    le16(0) // version
+    le16(32) // header length
+    bos.write("VP80".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    le32(30); le32(1) // timebase den / num
+    le32(frames.length)
+    le32(0) // unused
+    frames.zipWithIndex.foreach { case (f, i) =>
+      le32(f.length)
+      le32(i); le32(0) // 64-bit pts
+      bos.write(f, 0, f.length)
+    }
+    bos.toByteArray
+  }
+
+  def isVp8Ivf(b: Array[Byte]): Boolean =
+    b != null && b.length >= 32 &&
+      b(0) == 'D' && b(1) == 'K' && b(2) == 'I' && b(3) == 'F' &&
+      b(8) == 'V' && b(9) == 'P' && b(10) == '8' && b(11) == '0'
+
+  def ivfPayloads(b: Array[Byte]): Seq[Array[Byte]] = {
+    require(isVp8Ivf(b), "vp8: not an IVF/VP80 stream")
+    val hdrLen = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    require(hdrLen >= 32, s"vp8: IVF header length $hdrLen < 32")
+    val n = Riff.le32(b, 24)
+    require(n >= 0, "vp8: negative IVF frame count")
+    var off = hdrLen
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      require(off + 12 <= b.length, s"vp8: IVF frame $i header truncated")
+      val sz = Riff.le32(b, off)
+      require(sz >= 0 && off + 12L + sz <= b.length,
+        s"vp8: IVF frame $i ($sz bytes) runs past the stream")
+      out += java.util.Arrays.copyOfRange(b, off + 12, off + 12 + sz)
+      off += 12 + sz
+      i += 1
+    }
+    out.result()
+  }
+
+  def decodeIvf(b: Array[Byte]): Seq[Vp8Frame] = decodeSequence(ivfPayloads(b))
 }
