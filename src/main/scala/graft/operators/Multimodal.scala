@@ -581,6 +581,86 @@ object Multimodal {
       }
   }
 
+  /** Each doc carries a REAL MPEG-1 audio stream: Layer I (two frames —
+    * cross-frame filterbank continuity) for even doc_ids, Layer II (one
+    * frame: subband-dependent allocation widths, scfsi scalefactor
+    * sharing, grouped 3/5/9-level codes) for odd. One subband carries
+    * signal per frame; everything — allocation, scalefactors, codes — is
+    * a closed-form formula the oracle replays through the pinned integer
+    * filterbank ([[MpegAudio]]'s constants discipline).
+    */
+  def withMpegAudioMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          val bos = new java.io.ByteArrayOutputStream()
+          if (d % 2 == 0) {
+            var f = 0
+            while (f < 2) {
+              val k0 = ((d + 5 * f) % 32).toInt
+              val allocN = (1 + ((d + f) % 13)).toInt // nb = allocN + 1
+              val n = (1 << (allocN + 1)) - 1
+              val alloc = Array.fill(32)(0); alloc(k0) = allocN
+              val sfArr = Array.fill(32)(0)
+              sfArr(k0) = ((d + 7 * f) % 64).toInt
+              val raw = Array.tabulate(12, 32)((gg, sb) =>
+                if (sb == k0) ((5 * d + 7 * (12 * f + gg) + 3) % n).toInt else 0)
+              val frame = MpegAudio.encodeL1Frame(MpegAudio.L1Frame(alloc, sfArr, raw))
+              bos.write(frame, 0, frame.length)
+              f += 1
+            }
+          } else {
+            val k0 = (d % 11).toInt
+            val allocV = (1 + (d % 15)).toInt
+            val (n, _, _) = MpegAudio.l2Class(allocV)
+            val alloc = Array.fill(MpegAudio.L2SbLimit)(0); alloc(k0) = allocV
+            val scfsi = Array.fill(MpegAudio.L2SbLimit)(0)
+            scfsi(k0) = (d % 4).toInt
+            val sf = Array.fill(MpegAudio.L2SbLimit, 3)(0)
+            var i = 0
+            while (i < 3) { sf(k0)(i) = ((3 * d + 17 * i) % 64).toInt; i += 1 }
+            val raw = Array.tabulate(36, MpegAudio.L2SbLimit)((g, sb) =>
+              if (sb == k0) ((5 * d + 7 * g + 3) % n).toInt else 0)
+            val frame = MpegAudio.encodeL2Frame(MpegAudio.L2Frame(alloc, scfsi, sf, raw))
+            bos.write(frame, 0, frame.length)
+          }
+          (d, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  case class MpegAudioStats(doc_id: Long, layer: Long, n_frames: Long,
+                            n_samples: Long, pcm_checksum: Long)
+
+  /** Decode each doc's MPEG stream through the full Layer I/II pipeline
+    * (framing, allocation, scfsi, grouping, requantization, polyphase
+    * synthesis) and reduce the fixed-point PCM to a position-weighted
+    * checksum `Σ_t pcm(t)·(t mod 97 + 1)`.
+    */
+  def decodeMpegAudioStats(media: DataFrame): Dataset[MpegAudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val out = MpegAudio.decode(bytes)
+          var chk = 0L
+          var t = 0
+          while (t < out.pcm.length) {
+            chk += out.pcm(t) * (t % 97 + 1)
+            t += 1
+          }
+          MpegAudioStats(id, out.layer.toLong, out.nFrames.toLong,
+            out.pcm.length.toLong, chk)
+        }
+      }
+  }
+
   def withJpegMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
