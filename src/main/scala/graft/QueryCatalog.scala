@@ -4417,6 +4417,67 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // SUB-PEL motion compensation graded: the key frame is uniform over
+    // 2×2-MB tiles and the inter frame's odd-position MBs skip with a
+    // (−60,−60) eighth-pel MV (−7.5 px, two-pass 6-tap interpolation on
+    // BOTH axes, chroma halved to (−30,−30)) whose support stays inside
+    // the tile — the RFC 6386 filter must collapse a constant region to
+    // exactly that constant (rows sum to 128; ((128·A)+64)>>7 = A), so
+    // any tap-normalization, rounding, pass-order, offset, or
+    // chroma-halving drift moves the hashed checksum. Non-uniform-data
+    // tap ORDER is pinned bit-exactly by the mcFetch spec replay.
+    ("q_vp8_subpel",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8SubpelMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16*(2 + n_chars % 2) AS w, 32 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM dims d
+             |  JOIN range(0, 2) f(f) ON true
+             |  JOIN range(0, 2304) t(i) ON t.i < d.w*d.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < d.w*d.h THEN 0
+             |         WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN 1
+             |         ELSE 2 END AS pl,
+             |    CASE WHEN t.i < d.w*d.h THEN
+             |      ((t.i // d.w) // 16) * (d.w//16) + (t.i % d.w) // 16
+             |    WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN
+             |      (((t.i - d.w*d.h) // (d.w//2)) // 8) * (d.w//16)
+             |        + ((t.i - d.w*d.h) % (d.w//2)) // 8
+             |    ELSE
+             |      (((t.i - d.w*d.h - (d.w//2)*(d.h//2)) // (d.w//2)) // 8)
+             |        * (d.w//16)
+             |        + ((t.i - d.w*d.h - (d.w//2)*(d.h//2)) % (d.w//2)) // 8
+             |    END AS m) q
+             |  CROSS JOIN LATERAL (SELECT
+             |    (q.m // (d.w//16) // 2) * ((d.w//16 + 1) // 2)
+             |      + (q.m % (d.w//16)) // 2 AS ti,
+             |    q.m // (d.w//16) AS mr, q.m % (d.w//16) AS mc) tt
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q.pl WHEN 0 THEN (31*d.doc_id + 13*tt.ti) % 256
+             |              WHEN 1 THEN (91*d.doc_id + 7*tt.ti) % 256
+             |              ELSE (53*d.doc_id + 11*tt.ti) % 256 END AS v1,
+             |    CASE q.pl WHEN 0 THEN (47*d.doc_id + 17*q.m) % 256
+             |              WHEN 1 THEN (23*d.doc_id + 5*q.m) % 256
+             |              ELSE (67*d.doc_id + 3*q.m) % 256 END AS t2) vv
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN f.f = 0 THEN vv.v1
+             |      WHEN (tt.mr % 2 = 1 AND tt.mc % 2 = 1)
+             |        OR (q.m + d.doc_id) % 2 = 0 THEN vv.v1
+             |      ELSE vv.t2 END AS val) vl
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL MPEG-1 audio (Layer I/II) decode, graded exactly: each doc
     // carries a genuine MPEG stream — Layer I two-frame (cross-frame
     // polyphase FIFO continuity) for even docs, Layer II one-frame

@@ -540,6 +540,57 @@ object Multimodal {
     Seq(kf, f2, f3)
   }
 
+  /** Each doc carries a 2-frame VP8 video exercising the SUB-PEL motion
+    * path: the key frame is uniform over 2×2-MB tiles, and the inter
+    * frame's odd-position MBs skip with a (−60, −60) eighth-pel MV
+    * (−7.5 px) whose entire 6-tap support stays inside the tile — the
+    * two-pass interpolation must collapse to the tile value EXACTLY
+    * (each filter row sums to 128 and ((128·A)+64)>>7 = A), so any
+    * normalization, rounding, offset, or chroma-halving drift moves the
+    * graded checksum. Remaining MBs alternate skip-copy and steered
+    * ZEROMV residue.
+    */
+  def withVp8SubpelMedia(docs: DataFrame, id: String = "doc_id",
+                         nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (2 + nc % 2)).toInt // 2 or 3 MBs wide
+          val h = 32 // 2 MBs tall: odd rows exist for every doc
+          val mbW = w / 16
+          def tile(m: Int): Int =
+            (m / mbW / 2) * ((mbW + 1) / 2) + (m % mbW) / 2
+          def y1(m: Int) = ((31 * d + 13 * tile(m)) % 256).toInt
+          def u1(m: Int) = ((91 * d + 7 * tile(m)) % 256).toInt
+          def v1(m: Int) = ((53 * d + 11 * tile(m)) % 256).toInt
+          def y2(m: Int) = ((47 * d + 17 * m) % 256).toInt
+          def u2(m: Int) = ((23 * d + 5 * m) % 256).toInt
+          def v2(m: Int) = ((67 * d + 3 * m) % 256).toInt
+          val (kf, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h,
+            qi = (8 * (d % 2)).toInt, uvDcDelta = (-8 * (d % 2)).toInt,
+            yMode = 0, tokenPartitions = 1, skipAll = false, y1, u1, v1))
+          val p2 = Vp8Codec.InterPlan(w, h,
+            qi = (8 * (d % 2)).toInt, uvDcDelta = (-8 * (d % 2)).toInt,
+            tokenPartitions = 1, refreshLast = true, refreshGolden = false,
+            mb = { m =>
+              val r = m / mbW; val c = m % mbW
+              if (r % 2 == 1 && c % 2 == 1)
+                Vp8Codec.InterMbUnits(0, -60, -60, skip = true, 0, 0, 0)
+              else if ((m + d) % 2 == 0)
+                Vp8Codec.InterMb(0, 0, 0, 0, skip = true, 0, 0, 0)
+              else
+                Vp8Codec.InterMb(0, 0, 0, 0, skip = false, y2(m), u2(m), v2(m))
+            })
+          val (f2, _) = Vp8Codec.encodeInterFrame(p2, g1, g1)
+          (d, Vp8Codec.encodeIvf(w, h, Seq(kf, f2)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class Vp8VideoStats(doc_id: Long, width: Long, height: Long,
                            n_frames: Long, pix_checksum: Long)
 

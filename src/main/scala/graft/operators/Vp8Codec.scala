@@ -925,12 +925,9 @@ object Vp8Codec {
   //
   // PROFILE RESTRICTIONS, stated honestly (each enforced loudly in
   // decode, never silently approximated):
-  //  - FULL-PEL, even-pixel motion only: the 6-tap sub-pel interpolation
-  //    filter is NOT implemented. MV components must be multiples of 16
-  //    in 1/8-pel units (even pixel offsets), which also keeps chroma
-  //    full-pel (chroma offset = luma/2).
-  //  - The motion-compensated source rectangle must lie fully inside the
-  //    reference frame (no edge-extension border).
+  //  - The motion-compensated source rectangle (including the 6-tap
+  //    filter's −2/+3 support extension on fractionally-moved axes) must
+  //    lie fully inside the reference frame (no edge-extension border).
   //  - SPLITMV (per-sub-block MVs) and B_PRED are not in the profile;
   //    sign_bias and buffer-copy flags must be 0; ALTREF may be refreshed
   //    but not referenced.
@@ -982,6 +979,102 @@ object Vp8Codec {
 
   private val RefLast = 0
   private val RefGolden = 1
+
+  /** RFC 6386 §18.3 six-tap sub-pel interpolation filters, one row per
+    * eighth-pel position (REAL spec values — public constants like the
+    * zigzag table; each row sums to 128, position 0 is the identity).
+    */
+  private[operators] val sixTap: Array[Array[Int]] = Array(
+    Array(0, 0, 128, 0, 0, 0),
+    Array(0, -6, 123, 12, -1, 0),
+    Array(2, -11, 108, 36, -8, 1),
+    Array(0, -9, 93, 50, -6, 0),
+    Array(3, -16, 77, 77, -16, 3),
+    Array(0, -6, 50, 93, -9, 0),
+    Array(1, -8, 36, 108, -11, 2),
+    Array(0, -1, 12, 123, -6, 0))
+
+  /** Motion-compensated block fetch with the spec's two-pass 6-tap
+    * sub-pel interpolation: horizontal filter over (n+5) source rows,
+    * then vertical, each pass rounding ((Σ taps·px) + 64) >> 7 with a
+    * 0..255 clamp; integer-only axes skip their pass. `mv` components in
+    * 1/8-pel units of THIS plane. The caller guarantees the support rect
+    * is in-frame (checked loudly at mode-decode time).
+    */
+  private[operators] def mcFetch(plane: Array[Byte], pw: Int, ph: Int,
+                      bx: Int, by: Int, n: Int,
+                      mvRow: Int, mvCol: Int, dst: Array[Int]): Unit = {
+    val x0 = bx + (mvCol >> 3)
+    val y0 = by + (mvRow >> 3)
+    val fx = mvCol & 7
+    val fy = mvRow & 7
+    require(x0 - (if (fx != 0) 2 else 0) >= 0 && y0 - (if (fy != 0) 2 else 0) >= 0
+      && x0 + n + (if (fx != 0) 3 else 0) <= pw
+      && y0 + n + (if (fy != 0) 3 else 0) <= ph,
+      s"vp8: mv ($mvRow,$mvCol) at block ($bx,$by) reads outside the reference")
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    if (fx == 0 && fy == 0) {
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) { dst(y * n + x) = plane((y0 + y) * pw + x0 + x) & 0xff; x += 1 }
+        y += 1
+      }
+    } else if (fy == 0) { // horizontal only
+      val t = sixTap(fx)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          var s = 0; var k = 0
+          while (k < 6) { s += t(k) * (plane((y0 + y) * pw + x0 + x - 2 + k) & 0xff); k += 1 }
+          dst(y * n + x) = clamp((s + 64) >> 7)
+          x += 1
+        }
+        y += 1
+      }
+    } else if (fx == 0) { // vertical only
+      val t = sixTap(fy)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          var s = 0; var k = 0
+          while (k < 6) { s += t(k) * (plane((y0 + y - 2 + k) * pw + x0 + x) & 0xff); k += 1 }
+          dst(y * n + x) = clamp((s + 64) >> 7)
+          x += 1
+        }
+        y += 1
+      }
+    } else { // two-pass: horizontal into an (n+5)-row temp, then vertical
+      val th = sixTap(fx)
+      val tv = sixTap(fy)
+      val tmp = new Array[Int]((n + 5) * n)
+      var y = 0
+      while (y < n + 5) {
+        var x = 0
+        while (x < n) {
+          var s = 0; var k = 0
+          while (k < 6) { s += th(k) * (plane((y0 + y - 2) * pw + x0 + x - 2 + k) & 0xff); k += 1 }
+          tmp(y * n + x) = clamp((s + 64) >> 7)
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          var s = 0; var k = 0
+          while (k < 6) { s += tv(k) * tmp((y + k) * n + x); k += 1 }
+          dst(y * n + x) = clamp((s + 64) >> 7)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (): Unit
+  }
 
   /** The near-MV survey (libvpx vp8_find_near_mvs order, SPLITMV and
     * sign-bias branches outside the profile): scan above, left,
@@ -1072,6 +1165,11 @@ object Vp8Codec {
   final case class IntraMb(yMode: Int, ty: Int, tu: Int, tv: Int) extends MbSpec
   final case class InterMb(ref: Int, mvMode: Int, dxPx: Int, dyPx: Int,
                            skip: Boolean, ty: Int, tu: Int, tv: Int) extends MbSpec
+  /** NEWMV with the vector given directly in 1/8-pel units (sub-pel
+    * fixtures; components must be even — the coder's invariant).
+    */
+  final case class InterMbUnits(ref: Int, mvRowUnits: Int, mvColUnits: Int,
+                                skip: Boolean, ty: Int, tu: Int, tv: Int) extends MbSpec
 
   final case class InterPlan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
                              tokenPartitions: Int,
@@ -1229,28 +1327,64 @@ object Vp8Codec {
               case _ => if (c == 0) 129 else recon(r)(c - 1)
             }
             py = pred(reconY); pu = pred(reconU); pv = pred(reconV)
-          case InterMb(ref, mvMode, dxPx, dyPx, sk, _, _, _) =>
+          case spec2 @ (_: InterMb | _: InterMbUnits) =>
             isInter = true
+            val (ref, mvMode0, mvUnits, sk) = spec2 match {
+              case InterMb(rf, mm, dxPx, dyPx, k, _, _, _) =>
+                (rf, mm, (dyPx * 8, dxPx * 8), k)
+              case InterMbUnits(rf, mr, mc, k, _, _, _) =>
+                require(mr % 2 == 0 && mc % 2 == 0,
+                  "vp8 encode: mv units must be even (the coder writes half-units)")
+                (rf, MvNew, (mr, mc), k)
+              case _ => throw new MatchError(spec2)
+            }
             skip = sk
             val (best, nearest, near, _) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
-            val mv: (Int, Int) = mvMode match {
+            val mv: (Int, Int) = mvMode0 match {
               case MvZero => (0, 0)
-              case MvNew => (dyPx * 8, dxPx * 8)
+              case MvNew => mvUnits
               case MvNearest => nearest
               case MvNear => near
               case other => throw new IllegalArgumentException(
                 s"vp8 encode: mv mode $other not in this profile")
             }
-            locally { val _ = best }
+            locally { val _ = (best, ref) }
             mvR = mv._1; mvC = mv._2
-            require(mvR % 128 == 0 && mvC % 128 == 0,
-              "vp8 encode: the uniform-grid fixture model needs MB-aligned MVs")
-            val sr = r + mvR / 128
-            val sc = c + mvC / 128
-            require(sr >= 0 && sr < mbH && sc >= 0 && sc < mbW,
-              s"vp8 encode: mv ($mvR,$mvC) at MB ($r,$c) leaves the frame")
             val g = if (ref == RefLast) last else golden
-            py = g.y(sr)(sc); pu = g.u(sr)(sc); pv = g.v(sr)(sc)
+            // the uniform-grid model admits ANY mv (sub-pel included)
+            // whose full filter support lies in a constant-valued region:
+            // the 6-tap rows sum to 128 and ((128·A)+64)>>7 = A exactly,
+            // so the predictor is that constant
+            def uniformVal(grid: Array[Array[Int]], mbPx: Int,
+                           bx: Int, by: Int, n: Int,
+                           mr: Int, mc: Int): Int = {
+              val x0 = bx + (mc >> 3); val y0 = by + (mr >> 3)
+              val fx = mc & 7; val fy = mr & 7
+              val xLo = x0 - (if (fx != 0) 2 else 0)
+              val yLo = y0 - (if (fy != 0) 2 else 0)
+              val xHi = x0 + n - 1 + (if (fx != 0) 3 else 0)
+              val yHi = y0 + n - 1 + (if (fy != 0) 3 else 0)
+              require(xLo >= 0 && yLo >= 0
+                && xHi < mbW * mbPx && yHi < mbH * mbPx,
+                s"vp8 encode: mv ($mr,$mc) support leaves the frame at MB ($r,$c)")
+              val v = grid(yLo / mbPx)(xLo / mbPx)
+              var rr = yLo / mbPx
+              while (rr <= yHi / mbPx) {
+                var cc = xLo / mbPx
+                while (cc <= xHi / mbPx) {
+                  require(grid(rr)(cc) == v,
+                    s"vp8 encode: mv ($mr,$mc) support at MB ($r,$c) spans " +
+                      "non-uniform reference values — the grid fixture model " +
+                      "cannot steer through a mixed-region predictor")
+                  cc += 1
+                }
+                rr += 1
+              }
+              v
+            }
+            py = uniformVal(g.y, 16, c * 16, r * 16, 16, mvR, mvC)
+            pu = uniformVal(g.u, 8, c * 8, r * 8, 8, mvR / 2, mvC / 2)
+            pv = uniformVal(g.v, 8, c * 8, r * 8, 8, mvR / 2, mvC / 2)
         }
         // mode syntax
         hdr.put(if (skip) 1 else 0, probSkipFalse)
@@ -1259,7 +1393,12 @@ object Vp8Codec {
           case IntraMb(yMode, _, _, _) =>
             hdr.putTree(interYmodeTree, ymodeProbs, yMode)
             hdr.putTree(uvModeTree, uvProbs, yMode)
-          case InterMb(ref, mvMode, _, _, _, _, _, _) =>
+          case _ =>
+            val (ref, mvMode) = spec match {
+              case InterMb(rf, mm, _, _, _, _, _, _) => (rf, mm)
+              case InterMbUnits(rf, _, _, _, _, _, _) => (rf, MvNew)
+              case _ => throw new MatchError(spec)
+            }
             hdr.put(if (ref == RefLast) 0 else 1, probLast)
             if (ref != RefLast) hdr.put(0, probGolden) // golden (1 = altref)
             val (best, _, _, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
@@ -1273,6 +1412,7 @@ object Vp8Codec {
         val (ty, tu, tv) = spec match {
           case IntraMb(_, a, b2, c2) => (a, b2, c2)
           case InterMb(_, _, _, _, _, a, b2, c2) => (a, b2, c2)
+          case InterMbUnits(_, _, _, _, a, b2, c2) => (a, b2, c2)
         }
         if (skip) {
           reconY(r)(c) = py; reconU(r)(c) = pu; reconV(r)(c) = pv
@@ -1449,12 +1589,8 @@ object Vp8Codec {
               (best._1 + dr, best._2 + dc)
           }
           mvRowA(mbI) = mv._1; mvColA(mbI) = mv._2
-          require(mv._1 % 16 == 0 && mv._2 % 16 == 0,
-            s"vp8: mv (${mv._1},${mv._2}) needs the sub-pel filter — outside this profile")
-          val sy = r * 16 + mv._1 / 8
-          val sx = c * 16 + mv._2 / 8
-          require(sy >= 0 && sy + 16 <= h && sx >= 0 && sx + 16 <= w,
-            s"vp8: mv (${mv._1},${mv._2}) at MB ($r,$c) reads outside the reference")
+          // in-frame support (incl. the 6-tap extension) is enforced
+          // loudly by mcFetch at reconstruction time
         } else {
           val ym = hd.tree(interYmodeTree, ymodeProbs)
           require(ym == ModeDc || ym == ModeV || ym == ModeH,
@@ -1515,21 +1651,13 @@ object Vp8Codec {
         val predV = new Array[Int](64)
         if (isInterA(mbI)) {
           val g = if (refOf(mbI) == RefLast) lastRef else goldenRef
-          val dy = mvRowA(mbI) / 8
-          val dx = mvColA(mbI) / 8
-          var k = 0
-          while (k < 256) {
-            predY(k) = g.y((py + (k >> 4) + dy) * w + px + (k & 15) + dx) & 0xff
-            k += 1
-          }
-          val cw = w / 2
-          k = 0
-          while (k < 64) {
-            val ci = (py / 2 + (k >> 3) + dy / 2) * cw + px / 2 + (k & 7) + dx / 2
-            predU(k) = g.u(ci) & 0xff
-            predV(k) = g.v(ci) & 0xff
-            k += 1
-          }
+          mcFetch(g.y, w, h, px, py, 16, mvRowA(mbI), mvColA(mbI), predY)
+          // chroma MV = luma MV halved (exact: coded MVs are always even),
+          // applied in the half-res plane's own 1/8-pel units
+          mcFetch(g.u, w / 2, h / 2, px / 2, py / 2, 8,
+            mvRowA(mbI) / 2, mvColA(mbI) / 2, predU)
+          mcFetch(g.v, w / 2, h / 2, px / 2, py / 2, 8,
+            mvRowA(mbI) / 2, mvColA(mbI) / 2, predV)
         } else {
           val mode = yModes(mbI)
           def fillDc(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,

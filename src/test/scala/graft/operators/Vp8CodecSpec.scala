@@ -344,6 +344,84 @@ class Vp8CodecSpec extends AnyFunSuite {
     locally { val _ = (best, near) }
   }
 
+  test("sub-pel: every six-tap row sums to 128; position 0 is identity") {
+    Vp8Codec.sixTap.zipWithIndex.foreach { case (row, i) =>
+      assert(row.length == 6 && row.sum == 128, s"position $i: ${row.toSeq}")
+    }
+    assert(Vp8Codec.sixTap(0).toSeq == Seq(0, 0, 128, 0, 0, 0))
+  }
+
+  test("sub-pel: mcFetch matches an independent two-pass filter replay on non-uniform data") {
+    val pw = 40; val ph = 40
+    val plane = Array.tabulate(pw * ph)(i => ((i * 37 + 11) % 256).toByte)
+    def ref(x: Int, y: Int): Int = plane(y * pw + x) & 0xff
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    for ((mvR, mvC) <- Seq((0, 0), (8, -16), (12, 0), (0, -20), (-13, 19), (5, 5), (28, -27))) {
+      val n = 16
+      val bx = 18; val by = 18
+      val dst = new Array[Int](n * n)
+      Vp8Codec.mcFetch(plane, pw, ph, bx, by, n, mvR, mvC, dst)
+      val x0 = bx + (mvC >> 3); val y0 = by + (mvR >> 3)
+      val fx = mvC & 7; val fy = mvR & 7
+      for (y <- 0 until n; x <- 0 until n) {
+        val want =
+          if (fx == 0 && fy == 0) ref(x0 + x, y0 + y)
+          else if (fy == 0) {
+            val t = Vp8Codec.sixTap(fx)
+            clamp(((0 until 6).map(k => t(k) * ref(x0 + x - 2 + k, y0 + y)).sum + 64) >> 7)
+          } else if (fx == 0) {
+            val t = Vp8Codec.sixTap(fy)
+            clamp(((0 until 6).map(k => t(k) * ref(x0 + x, y0 + y - 2 + k)).sum + 64) >> 7)
+          } else {
+            val th = Vp8Codec.sixTap(fx); val tv = Vp8Codec.sixTap(fy)
+            def hrow(yy: Int, xx: Int): Int =
+              clamp(((0 until 6).map(k => th(k) * ref(x0 + xx - 2 + k, y0 + yy)).sum + 64) >> 7)
+            clamp(((0 until 6).map(k => tv(k) * hrow(y + k - 2, x)).sum + 64) >> 7)
+          }
+        assert(dst(y * n + x) == want, s"mv=($mvR,$mvC) px=($x,$y)")
+      }
+    }
+    // out-of-support fetch fails loudly
+    intercept[IllegalArgumentException](
+      Vp8Codec.mcFetch(plane, pw, ph, 0, 0, 16, -3, 0, new Array[Int](256)))
+  }
+
+  test("sub-pel end-to-end: skip MBs with a -7.5px MV inside uniform 2x2-MB tiles") {
+    // key frame with 2x2-MB uniform tiles; F2's odd-position MBs skip with
+    // mv (-60,-60): the 6-tap support stays inside the tile, so the filter
+    // must collapse to the tile value EXACTLY (any normalization/rounding
+    // drift in either pass moves pixels)
+    val w = 64; val h = 64
+    val mbW = w / 16
+    def tile(m: Int): Int = {
+      val r = m / mbW; val c = m % mbW
+      (r / 2) * ((mbW + 1) / 2) + (c / 2)
+    }
+    def ty(m: Int) = (40 + 13 * tile(m)) % 256
+    def tu(m: Int) = (90 + 7 * tile(m)) % 256
+    def tv2(m: Int) = (50 + 11 * tile(m)) % 256
+    val (kf, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0,
+      yMode = 0, tokenPartitions = 1, skipAll = false, ty, tu, tv2))
+    // InterMb's NEWMV takes whole pixels; -60 units = -7.5px rides the
+    // unit-precise InterMbUnits hook
+    val plan2 = Vp8Codec.InterPlan(w, h, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false,
+      mb = { m =>
+        val r = m / mbW; val c = m % mbW
+        if (r % 2 == 1 && c % 2 == 1)
+          Vp8Codec.InterMbUnits(0, -60, -60, skip = true, 0, 0, 0)
+        else Vp8Codec.InterMb(0, 0, 0, 0, skip = true, 0, 0, 0)
+      })
+    val (f2, _) = Vp8Codec.encodeInterFrame(plan2, g1, g1)
+    val out = Vp8Codec.decodeSequence(Seq(kf, f2))(1)
+    for (r <- 0 until h / 16; c <- 0 until w / 16) {
+      val m = r * mbW + c
+      assert(mbVal(out, 0, r, c) == ty(m), s"Y mb=$m")
+      assert(mbVal(out, 1, r, c) == tu(m), s"U mb=$m")
+      assert(mbVal(out, 2, r, c) == tv2(m), s"V mb=$m")
+    }
+  }
+
   test("inter malformed: every profile violation fails loudly") {
     val (kf, kGrid) = keyGrid(2L, 32, 32)
     val key = Vp8Codec.decodeFrame(kf)
