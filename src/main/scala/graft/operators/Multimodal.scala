@@ -533,7 +533,7 @@ object Multimodal {
           case 2 =>
             val (dx, dy) = newMv(m)
             Vp8Codec.InterMb(0, 3, dx, dy, skip = false, y3(m), u3(m), v3(m))
-          case _ => Vp8Codec.IntraMb(2, y3(m), u3(m), v3(m))
+          case _ => Vp8Codec.IntraMb(3, y3(m), u3(m), v3(m)) // TM_PRED
         }
       })
     val (f3, _) = Vp8Codec.encodeInterFrame(p3, g2, g1)

@@ -403,6 +403,32 @@ object Vp8Codec {
   final case class MbGrid(y: Array[Array[Int]], u: Array[Array[Int]],
                           v: Array[Array[Int]])
 
+  /** Uniform-grid intra predictor for the steered encoders: the per-MB
+    * value of DC/V/H/TM prediction when every neighbor MB is uniform,
+    * with the spec edge constants (127 above row, 129 left column; the
+    * above-left corner rides the above row at r=0 and the left column at
+    * c=0). TM is clamp(L + A − AL) — still uniform for uniform neighbors.
+    */
+  private def gridPred(mode: Int, recon: Array[Array[Int]], r: Int, c: Int): Int =
+    mode match {
+      case ModeDc =>
+        val hasA = r > 0
+        val hasL = c > 0
+        if (hasA && hasL) (recon(r - 1)(c) + recon(r)(c - 1) + 1) >> 1
+        else if (hasA) recon(r - 1)(c)
+        else if (hasL) recon(r)(c - 1)
+        else 128
+      case ModeV => if (r == 0) 127 else recon(r - 1)(c)
+      case ModeH => if (c == 0) 129 else recon(r)(c - 1)
+      case ModeTm =>
+        val a = if (r == 0) 127 else recon(r - 1)(c)
+        val l = if (c == 0) 129 else recon(r)(c - 1)
+        val al = if (r == 0) 127 else if (c == 0) 129 else recon(r - 1)(c - 1)
+        math.max(0, math.min(255, l + a - al))
+      case other => throw new IllegalArgumentException(
+        s"vp8 encode: luma mode $other not in the fixture model")
+    }
+
   /** Encode one key frame per `plan` into a raw VP8 stream (no RIFF). */
   def encodeFrame(plan: Plan): Array[Byte] = encodeKeyFrame(plan)._1
 
@@ -412,8 +438,9 @@ object Vp8Codec {
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
     require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
       s"vp8 encode: 1 or 2 token partitions, got ${plan.tokenPartitions}")
-    require(plan.yMode == ModeDc || plan.yMode == ModeV || plan.yMode == ModeH,
-      "vp8 encode: fixture emits DC_PRED, V_PRED or H_PRED luma")
+    require(plan.yMode == ModeDc || plan.yMode == ModeV || plan.yMode == ModeH
+      || plan.yMode == ModeTm,
+      "vp8 encode: fixture emits DC/V/H/TM_PRED luma")
     val mbW = plan.w / 16
     val mbH = plan.h / 16
     val probs = fixtureCoefProbs()
@@ -518,10 +545,9 @@ object Vp8Codec {
         val mbI = r * mbW + c
         if (plan.skipAll) {
           // prediction-only cascade: V_PRED propagates the 127 top edge,
-          // H_PRED the 129 left edge
+          // H_PRED the 129 left edge, TM the L+A−AL recurrence
           def prop(recon: Array[Array[Int]]): Int =
-            if (plan.yMode == ModeH) { if (c == 0) 129 else recon(r)(c - 1) }
-            else { if (r == 0) 127 else recon(r - 1)(c) }
+            gridPred(plan.yMode, recon, r, c)
           reconY(r)(c) = prop(reconY)
           reconU(r)(c) = prop(reconU)
           reconV(r)(c) = prop(reconV)
@@ -530,23 +556,8 @@ object Vp8Codec {
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
           aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
         } else {
-          def dcPred(recon: Array[Array[Int]]): Int = {
-            val hasA = r > 0
-            val hasL = c > 0
-            if (hasA && hasL) (recon(r - 1)(c) + recon(r)(c - 1) + 1) >> 1
-            else if (hasA) recon(r - 1)(c)
-            else if (hasL) recon(r)(c - 1)
-            else 128
-          }
-          def vPred(recon: Array[Array[Int]]): Int =
-            if (r == 0) 127 else recon(r - 1)(c)
-          def hPred(recon: Array[Array[Int]]): Int =
-            if (c == 0) 129 else recon(r)(c - 1)
-          def pred(recon: Array[Array[Int]]): Int = plan.yMode match {
-            case ModeDc => dcPred(recon)
-            case ModeV => vPred(recon)
-            case _ => hPred(recon)
-          }
+          def pred(recon: Array[Array[Int]]): Int =
+            gridPred(plan.yMode, recon, r, c)
           val py = pred(reconY)
           val pu = pred(reconU)
           val pv = pred(reconV)
@@ -731,8 +742,8 @@ object Vp8Codec {
       if (skipEnabled) skips(mb) = hd.get(probSkipFalse) == 1
       val ym = hd.tree(kfYmodeTree, kfYmodeProbs)
       require(ym != ModeB, "vp8: B_PRED (4x4 luma modes) unsupported in this profile")
-      require(ym == ModeDc || ym == ModeV || ym == ModeH,
-        s"vp8: luma mode $ym not in this profile (DC_PRED/V_PRED/H_PRED)")
+      require(ym == ModeDc || ym == ModeV || ym == ModeH || ym == ModeTm,
+        s"vp8: luma mode $ym not in this profile (DC/V/H/TM_PRED)")
       yModes(mb) = ym
       val uvm = hd.tree(uvModeTree, uvModeProbs)
       require(uvm == yModes(mb), "vp8: fixture streams mirror uv mode = y mode")
@@ -823,6 +834,27 @@ object Vp8Codec {
             yy += 1
           }
         }
+        def fillTm(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,
+                   dst: Array[Int]): Unit = {
+          // TrueMotion: clamp(L + A - AL) per pixel; edge constants 127
+          // (above row, incl. the corner at by=0) and 129 (left column,
+          // incl. the corner at bx=0)
+          val al = if (by == 0) 127
+            else if (bx == 0) 129
+            else plane((by - 1) * pw + bx - 1) & 0xff
+          var yy = 0
+          while (yy < n) {
+            val l = if (bx > 0) plane((by + yy) * pw + bx - 1) & 0xff else 129
+            var x = 0
+            while (x < n) {
+              val a = if (by > 0) plane((by - 1) * pw + bx + x) & 0xff else 127
+              val v = l + a - al
+              dst(yy * n + x) = if (v < 0) 0 else if (v > 255) 255 else v
+              x += 1
+            }
+            yy += 1
+          }
+        }
         if (mode == ModeDc) {
           fillDc(yPlane, w, px, py, 16, predY)
           fillDc(uPlane, w / 2, px / 2, py / 2, 8, predU)
@@ -831,10 +863,14 @@ object Vp8Codec {
           fillV(yPlane, w, px, py, 16, predY)
           fillV(uPlane, w / 2, px / 2, py / 2, 8, predU)
           fillV(vPlane, w / 2, px / 2, py / 2, 8, predV)
-        } else {
+        } else if (mode == ModeH) {
           fillH(yPlane, w, px, py, 16, predY)
           fillH(uPlane, w / 2, px / 2, py / 2, 8, predU)
           fillH(vPlane, w / 2, px / 2, py / 2, 8, predV)
+        } else {
+          fillTm(yPlane, w, px, py, 16, predY)
+          fillTm(uPlane, w / 2, px / 2, py / 2, 8, predU)
+          fillTm(vPlane, w / 2, px / 2, py / 2, 8, predV)
         }
         // --- residue ---
         val residY = new Array[Int](256)
@@ -1314,19 +1350,12 @@ object Vp8Codec {
         var py = 0; var pu = 0; var pv = 0
         spec match {
           case IntraMb(yMode, _, _, _) =>
-            require(yMode == ModeDc || yMode == ModeV || yMode == ModeH,
-              "vp8 encode: inter-frame intra MBs use DC/V/H in this profile")
-            def pred(recon: Array[Array[Int]]): Int = yMode match {
-              case ModeDc =>
-                val hasA = r > 0; val hasL = c > 0
-                if (hasA && hasL) (recon(r - 1)(c) + recon(r)(c - 1) + 1) >> 1
-                else if (hasA) recon(r - 1)(c)
-                else if (hasL) recon(r)(c - 1)
-                else 128
-              case ModeV => if (r == 0) 127 else recon(r - 1)(c)
-              case _ => if (c == 0) 129 else recon(r)(c - 1)
-            }
-            py = pred(reconY); pu = pred(reconU); pv = pred(reconV)
+            require(yMode == ModeDc || yMode == ModeV || yMode == ModeH
+              || yMode == ModeTm,
+              "vp8 encode: inter-frame intra MBs use DC/V/H/TM")
+            py = gridPred(yMode, reconY, r, c)
+            pu = gridPred(yMode, reconU, r, c)
+            pv = gridPred(yMode, reconV, r, c)
           case spec2 @ (_: InterMb | _: InterMbUnits) =>
             isInter = true
             val (ref, mvMode0, mvUnits, sk) = spec2 match {
@@ -1593,7 +1622,7 @@ object Vp8Codec {
           // loudly by mcFetch at reconstruction time
         } else {
           val ym = hd.tree(interYmodeTree, ymodeProbs)
-          require(ym == ModeDc || ym == ModeV || ym == ModeH,
+          require(ym == ModeDc || ym == ModeV || ym == ModeH || ym == ModeTm,
             s"vp8: luma mode $ym not in this profile")
           yModes(mbI) = ym
           val uvm = hd.tree(uvModeTree, uvProbs)
@@ -1692,6 +1721,27 @@ object Vp8Codec {
               yy += 1
             }
           }
+          def fillTm(plane: Array[Byte], pw: Int, bx: Int, by: Int, n: Int,
+                     dst: Array[Int]): Unit = {
+            // TrueMotion: clamp(L + A - AL) per pixel; edge constants 127
+            // (above row, incl. the corner at by=0) and 129 (left column,
+            // incl. the corner at bx=0)
+            val al = if (by == 0) 127
+              else if (bx == 0) 129
+              else plane((by - 1) * pw + bx - 1) & 0xff
+            var yy = 0
+            while (yy < n) {
+              val l = if (bx > 0) plane((by + yy) * pw + bx - 1) & 0xff else 129
+              var x = 0
+              while (x < n) {
+                val a = if (by > 0) plane((by - 1) * pw + bx + x) & 0xff else 127
+                val v = l + a - al
+                dst(yy * n + x) = if (v < 0) 0 else if (v > 255) 255 else v
+                x += 1
+              }
+              yy += 1
+            }
+          }
           if (mode == ModeDc) {
             fillDc(yPlane, w, px, py, 16, predY)
             fillDc(uPlane, w / 2, px / 2, py / 2, 8, predU)
@@ -1700,10 +1750,14 @@ object Vp8Codec {
             fillV(yPlane, w, px, py, 16, predY)
             fillV(uPlane, w / 2, px / 2, py / 2, 8, predU)
             fillV(vPlane, w / 2, px / 2, py / 2, 8, predV)
-          } else {
+          } else if (mode == ModeH) {
             fillH(yPlane, w, px, py, 16, predY)
             fillH(uPlane, w / 2, px / 2, py / 2, 8, predU)
             fillH(vPlane, w / 2, px / 2, py / 2, 8, predV)
+          } else {
+            fillTm(yPlane, w, px, py, 16, predY)
+            fillTm(uPlane, w / 2, px / 2, py / 2, 8, predU)
+            fillTm(vPlane, w / 2, px / 2, py / 2, 8, predV)
           }
         }
         val residY = new Array[Int](256)

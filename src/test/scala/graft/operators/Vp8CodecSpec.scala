@@ -150,6 +150,56 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("TM_PRED: steered key frame exact; skip cascade follows clamp(L+A-AL); clamp live") {
+    // steered: recon = targets regardless of the TM predictor values
+    val steered = Vp8Codec.Plan(48, 32, qi = 0, uvDcDelta = 0, yMode = 3,
+      tokenPartitions = 1, skipAll = false, yT(7L), uT(7L), vT(7L))
+    val f = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(steered))
+    val mbW = 3
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val m = r * mbW + c
+      assert((f.y(r * 16 * 48 + c * 16) & 0xff) == yT(7L)(m), s"TM steered Y mb=$m")
+      assert((f.u(r * 8 * 24 + c * 8) & 0xff) == uT(7L)(m), s"TM steered U mb=$m")
+    }
+    // skip cascade: recon(r,c) = clamp(L + A - AL) with 127/129 edges —
+    // replay the recurrence MB-by-MB and compare
+    val skip = Vp8Codec.Plan(48, 32, qi = 0, uvDcDelta = 0, yMode = 3,
+      tokenPartitions = 1, skipAll = true, _ => 0, _ => 0, _ => 0)
+    val g = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(skip))
+    val grid = Array.fill(2, 3)(0)
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val a = if (r == 0) 127 else grid(r - 1)(c)
+      val l = if (c == 0) 129 else grid(r)(c - 1)
+      val al = if (r == 0) 127 else if (c == 0) 129 else grid(r - 1)(c - 1)
+      grid(r)(c) = math.max(0, math.min(255, l + a - al))
+      assert((g.y(r * 16 * 48 + c * 16) & 0xff) == grid(r)(c), s"TM cascade mb=($r,$c)")
+      // uniform within the MB: the per-pixel formula collapses
+      assert((g.y(r * 16 * 48 + 48 * 7 + c * 16 + 9) & 0xff) == grid(r)(c))
+    }
+    // clamp path: a target of 255 next to 0 forces L+A-AL outside [0,255]
+    // during the NEXT MB's prediction — steering must still land exactly
+    val extremes = Vp8Codec.Plan(48, 16, qi = 0, uvDcDelta = 0, yMode = 3,
+      tokenPartitions = 1, skipAll = false,
+      m => if (m % 2 == 0) 255 else 0, m => 255, m => 0)
+    val e = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(extremes))
+    for (c <- 0 until 3)
+      assert((e.y(c * 16) & 0xff) == (if (c % 2 == 0) 255 else 0), s"extreme mb=$c")
+  }
+
+  test("TM_PRED rides intra-in-inter MBs too") {
+    val (kf, g1) = keyGrid(3L, 32, 32)
+    val plan = Vp8Codec.InterPlan(32, 32, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false,
+      mb = m => Vp8Codec.IntraMb(3, (m * 40 + 10) % 256, 60, 200))
+    val (f2, _) = Vp8Codec.encodeInterFrame(plan, g1, g1)
+    val out = Vp8Codec.decodeSequence(Seq(kf, f2))(1)
+    for (r <- 0 until 2; c <- 0 until 2) {
+      val m = r * 2 + c
+      assert(mbVal(out, 0, r, c) == (m * 40 + 10) % 256, s"inter TM mb=$m")
+      assert(mbVal(out, 1, r, c) == 60 && mbVal(out, 2, r, c) == 200)
+    }
+  }
+
   test("webp container: wrap + sniff + decode route") {
     val p = plans(3L, 16, 16).head
     val webp = Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(p))
