@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 290-query bench generates thousands of whole-stage-codegen classes;
+  // the JVM default 240m code cache fills mid-suite and the JIT falls back
+  // to interpretation for late rows (observed: in-suite times 2x their
+  // isolated min-of-3 on unchanged queries)
+  "-XX:ReservedCodeCacheSize=512m",
 )
