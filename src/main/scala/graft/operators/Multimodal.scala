@@ -305,7 +305,14 @@ object Multimodal {
     def vT(mb: Int): Int = ((53 * docId + 11 * mb) % 256).toInt
     (docId % 4) match {
       case 0 => Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 0,
-        tokenPartitions = 1, skipAll = false, yT, uT, vT)
+        tokenPartitions = 1, skipAll = false, yT, uT, vT,
+        // per-MB DC / B_PRED / TM rotation with mixed B_DC/B_TM
+        // sub-modes: exercises the 4x4 intra layer, the Y2-context
+        // skip over B MBs, and the sub-mode neighbor contexts — the
+        // oracle is unchanged because every MB is steered to the same
+        // closed-form targets
+        bModes = (mbI, b) => ((docId + mbI + b) % 2).toInt,
+        yModeOf = m => Seq(0, 4, 3, 4)(((m + docId) % 4).toInt))
       case 1 => Vp8Codec.Plan(w, h, qi = 8, uvDcDelta = -8, yMode = 0,
         tokenPartitions = 2, skipAll = false, yT, uT, vT)
       case 2 => Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 1,

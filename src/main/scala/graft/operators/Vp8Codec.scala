@@ -257,6 +257,40 @@ object Vp8Codec {
   private val uvModeTree = Array(-ModeDc, 2, -ModeV, 4, -ModeH, -ModeTm)
   private val uvModeProbs = Array(142, 114, 183)
 
+  // B_PRED sub-block intra modes (spec ids and 10-leaf tree SHAPE); this
+  // profile PREDICTS B_DC only but CODES the full tree, with context
+  // probs keyed by the (above, left) neighbor sub-modes — 16×16 modes
+  // map to their implied sub-modes for context, per spec
+  private val BDc = 0
+  private val BTm = 1
+  private val BVe = 2
+  private val BHe = 3
+  private val bmodeTree = Array(
+    -BDc, 2,
+    -BTm, 4,
+    -BVe, 6,
+    8, 12,
+    -BHe, 10,
+    -5 /*B_RD*/, -6 /*B_VR*/,
+    -4 /*B_LD*/, 14,
+    -7 /*B_VL*/, 16,
+    -8 /*B_HD*/, -9 /*B_HU*/)
+
+  /** Pinned context-dependent sub-mode probs [10][10][9] as a formula
+    * (varied so an (above, left) context mix-up desynchronizes decode).
+    */
+  private def bmodeProbs(a: Int, l: Int): Array[Int] =
+    Array.tabulate(9)(n => 5 + ((19 * a + 31 * l + 11 * n) * 7) % 245)
+
+  /** The implied sub-mode of a 16×16 intra mode, for neighbor context. */
+  private def impliedBmode(yMode: Int): Int = yMode match {
+    case ModeDc => BDc
+    case ModeV => BVe
+    case ModeH => BHe
+    case ModeTm => BTm
+    case _ => BDc // inter neighbors context as DC (outside this profile's mixes)
+  }
+
   /** Pinned quantizer profile (monotone, spec SHAPE: y2dc doubled,
     * per-plane delta-q indexes clamped to [0,127]).
     */
@@ -348,7 +382,12 @@ object Vp8Codec {
   final case class Plan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
                         yMode: Int, tokenPartitions: Int, skipAll: Boolean,
                         yTarget: Int => Int, uTarget: Int => Int,
-                        vTarget: Int => Int)
+                        vTarget: Int => Int,
+                        bModes: (Int, Int) => Int = (_, _) => 0,
+                        yModeOf: Int => Int = null) {
+    /** Per-MB luma mode: `yModeOf` override or the uniform `yMode`. */
+    def modeAt(mbI: Int): Int = if (yModeOf == null) yMode else yModeOf(mbI)
+  }
 
   private final class TokenWriter(enc: BoolEncoder,
                                   probs: Array[Array[Array[Array[Int]]]]) {
@@ -438,13 +477,19 @@ object Vp8Codec {
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
     require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
       s"vp8 encode: 1 or 2 token partitions, got ${plan.tokenPartitions}")
-    require(plan.yMode == ModeDc || plan.yMode == ModeV || plan.yMode == ModeH
-      || plan.yMode == ModeTm,
-      "vp8 encode: fixture emits DC/V/H/TM_PRED luma")
+    (0 until (plan.w / 16) * (plan.h / 16)).foreach { m =>
+      val ym = plan.modeAt(m)
+      require(ym == ModeDc || ym == ModeV || ym == ModeH
+        || ym == ModeTm || ym == ModeB,
+        "vp8 encode: fixture emits DC/V/H/TM/B_PRED luma")
+      require(!(ym == ModeB && plan.skipAll),
+        "vp8 encode: the skip cascade fixture uses whole-MB modes")
+    }
     val mbW = plan.w / 16
     val mbH = plan.h / 16
     val probs = fixtureCoefProbs()
     val defaults = defaultCoefProbs()
+    val leftSubScratch = Array.fill(4)(BDc)
 
     // ---- control partition ----
     val hdr = new BoolEncoder
@@ -487,12 +532,40 @@ object Vp8Codec {
     hdr.putLiteral(if (skipEnabled) 1 else 0, 1)
     if (skipEnabled) hdr.putLiteral(255, 8) // prob_skip_false
 
-    // per-MB modes
+    // per-MB modes (B_PRED MBs additionally code 16 sub-modes, each with
+    // probs keyed by the above/left neighbor sub-modes)
+    val aboveSub = Array.fill(mbW * 4)(BDc)
     var mb = 0
     while (mb < mbW * mbH) {
+      val c0 = mb % mbW
+      if (c0 == 0) java.util.Arrays.fill(leftSubScratch, BDc)
+      val myMode = plan.modeAt(mb)
       if (skipEnabled) hdr.put(1, 255) // every MB skips in the skip variant
-      hdr.putTree(kfYmodeTree, kfYmodeProbs, plan.yMode)
-      hdr.putTree(uvModeTree, uvModeProbs, plan.yMode) // uv mirrors y mode
+      hdr.putTree(kfYmodeTree, kfYmodeProbs, myMode)
+      if (myMode == ModeB) {
+        var b = 0
+        while (b < 16) {
+          val bc = b & 3; val br = b >> 2
+          val sm = plan.bModes(mb, b)
+          require(sm == BDc || sm == BTm,
+            "vp8 encode: fixture sub-modes are B_DC or B_TM")
+          hdr.putTree(bmodeTree,
+            bmodeProbs(aboveSub(4 * c0 + bc), leftSubScratch(br)), sm)
+          aboveSub(4 * c0 + bc) = sm
+          leftSubScratch(br) = sm
+          b += 1
+        }
+        hdr.putTree(uvModeTree, uvModeProbs, ModeDc) // uv is DC under B
+      } else {
+        // non-B MBs leave their implied sub-mode for neighbor context
+        var k = 0
+        while (k < 4) {
+          aboveSub(4 * c0 + k) = impliedBmode(myMode)
+          leftSubScratch(k) = impliedBmode(myMode)
+          k += 1
+        }
+        hdr.putTree(uvModeTree, uvModeProbs, myMode) // uv mirrors y mode
+      }
       mb += 1
     }
     val part0 = hdr.flush()
@@ -510,6 +583,9 @@ object Vp8Codec {
     val aboveV = Array.fill(mbW * 2)(0)
     val y2q = y2DcQ(plan.qi, 0)
     val uvq = uvDcQ(plan.qi, plan.uvDcDelta)
+    val ydcq = dcQ(plan.qi) // B_PRED Y blocks carry their own DC (no Y2)
+    val aboveYb = Array.fill(mbW * 4)(0)
+    val leftYb = Array.fill(4)(0)
 
     /** smallest |v| whose DC-only reconstruction delta equals m exactly. */
     def steerY2(m: Int): Int = {
@@ -533,10 +609,21 @@ object Vp8Codec {
       }
       throw new IllegalStateException(s"vp8 encode: no exact UV level for delta $m (q=$uvq)")
     }
+    def steerYb(m: Int): Int = {
+      if (m == 0) return 0
+      val guess = (8 * m) / ydcq
+      var v = guess - 12
+      while (v <= guess + 12) {
+        if (((ydcq * v + 4) >> 3) == m) return v
+        v += 1
+      }
+      throw new IllegalStateException(s"vp8 encode: no exact Y level for delta $m (q=$ydcq)")
+    }
 
     var r = 0
     while (r < mbH) {
       var leftY2 = 0
+      java.util.Arrays.fill(leftYb, 0)
       var leftU = Array(0, 0)
       var leftV = Array(0, 0)
       val w = writers(r % plan.tokenPartitions)
@@ -556,22 +643,60 @@ object Vp8Codec {
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
           aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
         } else {
-          def pred(recon: Array[Array[Int]]): Int =
-            gridPred(plan.yMode, recon, r, c)
-          val py = pred(reconY)
-          val pu = pred(reconU)
-          val pv = pred(reconV)
+          // under B_PRED the luma predictor is per-subblock (below) and
+          // chroma rides DC mode
+          val myMode = plan.modeAt(mbI)
+          val uvMode = if (myMode == ModeB) ModeDc else myMode
+          val pu = gridPred(uvMode, reconU, r, c)
+          val pv = gridPred(uvMode, reconV, r, c)
           val ty = plan.yTarget(mbI); val tu = plan.uTarget(mbI); val tv = plan.vTarget(mbI)
-          val vy = steerY2(ty - py)
           val vu = steerUv(tu - pu)
           val vv = steerUv(tv - pv)
-          // Y2 block (plane 1, coefs from 0)
-          val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
-          aboveY2(c) = nzY2; leftY2 = nzY2
-          // 16 Y blocks (plane 0, coefs from 1 — DC lives in Y2):
-          // all-zero → bare EOB; their nz contexts stay 0
-          var b = 0
-          while (b < 16) { w.dcOnlyBlock(0, 1, 0, 0); b += 1 }
+          if (myMode == ModeB) {
+            // B_PRED: no Y2 block (its nz context is left untouched);
+            // 16 plane-3 Y blocks, each predicted from already-steered
+            // neighbors (uniform, so B_DC = (4A+4L+4)>>3 and B_TM =
+            // clamp(L+A-AL) are closed-form) and steered to the target
+            val aVal = if (r == 0) 127 else reconY(r - 1)(c)
+            val lVal = if (c == 0) 129 else reconY(r)(c - 1)
+            val alMb = if (r == 0) 127 else if (c == 0) 129 else reconY(r - 1)(c - 1)
+            var b = 0
+            while (b < 16) {
+              val bc = b & 3; val br = b >> 2
+              val a = if (br == 0) aVal else ty
+              val l = if (bc == 0) lVal else ty
+              val al =
+                if (br == 0 && bc == 0) alMb
+                else if (br == 0) aVal
+                else if (bc == 0) lVal
+                else ty
+              val pb = plan.bModes(mbI, b) match {
+                case BTm => math.max(0, math.min(255, l + a - al))
+                case _ => (4 * a + 4 * l + 4) >> 3
+              }
+              val vb = steerYb(ty - pb)
+              val nz = w.dcOnlyBlock(3, 0, aboveYb(4 * c + bc) + leftYb(br), vb)
+              aboveYb(4 * c + bc) = nz; leftYb(br) = nz
+              b += 1
+            }
+          } else {
+            val py = gridPred(myMode, reconY, r, c)
+            val vy = steerY2(ty - py)
+            // Y2 block (plane 1, coefs from 0)
+            val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
+            aboveY2(c) = nzY2; leftY2 = nzY2
+            // 16 Y blocks (plane 0, coefs from 1 — DC lives in Y2):
+            // all-zero → bare EOB, but the CONTEXT must be the real
+            // neighbor nz state (a preceding B_PRED MB leaves nonzero
+            // flags; writing with ctx 0 would desync the decoder)
+            var b = 0
+            while (b < 16) {
+              val bc = b & 3; val br = b >> 2
+              val nz = w.dcOnlyBlock(0, 1, aboveYb(4 * c + bc) + leftYb(br), 0)
+              aboveYb(4 * c + bc) = nz; leftYb(br) = nz
+              b += 1
+            }
+          }
           // 4 U then 4 V blocks (plane 2): same DC level per block
           var i = 0
           while (i < 4) {
@@ -737,16 +862,47 @@ object Vp8Codec {
 
     val yModes = new Array[Int](mbW * mbH)
     val skips = new Array[Boolean](mbW * mbH)
+    val subModes = Array.fill(mbW * mbH)(null: Array[Int])
+    val aboveSub = Array.fill(mbW * 4)(BDc)
+    val leftSub = Array.fill(4)(BDc)
     var mb = 0
     while (mb < mbW * mbH) {
+      val c0 = mb % mbW
+      if (c0 == 0) java.util.Arrays.fill(leftSub, BDc)
       if (skipEnabled) skips(mb) = hd.get(probSkipFalse) == 1
       val ym = hd.tree(kfYmodeTree, kfYmodeProbs)
-      require(ym != ModeB, "vp8: B_PRED (4x4 luma modes) unsupported in this profile")
-      require(ym == ModeDc || ym == ModeV || ym == ModeH || ym == ModeTm,
-        s"vp8: luma mode $ym not in this profile (DC/V/H/TM_PRED)")
+      require(ym == ModeDc || ym == ModeV || ym == ModeH || ym == ModeTm
+        || ym == ModeB,
+        s"vp8: luma mode $ym not in this profile")
       yModes(mb) = ym
-      val uvm = hd.tree(uvModeTree, uvModeProbs)
-      require(uvm == yModes(mb), "vp8: fixture streams mirror uv mode = y mode")
+      if (ym == ModeB) {
+        // 16 sub-modes, probs keyed by the above/left neighbor sub-modes
+        val sm = new Array[Int](16)
+        var b = 0
+        while (b < 16) {
+          val bc = b & 3; val br = b >> 2
+          val m2 = hd.tree(bmodeTree,
+            bmodeProbs(aboveSub(4 * c0 + bc), leftSub(br)))
+          require(m2 == BDc || m2 == BTm,
+            s"vp8: sub-mode $m2 — this profile predicts B_DC/B_TM only")
+          sm(b) = m2
+          aboveSub(4 * c0 + bc) = m2
+          leftSub(br) = m2
+          b += 1
+        }
+        subModes(mb) = sm
+        val uvm = hd.tree(uvModeTree, uvModeProbs)
+        require(uvm == ModeDc, "vp8: fixture streams code uv = DC under B_PRED")
+      } else {
+        var k = 0
+        while (k < 4) {
+          aboveSub(4 * c0 + k) = impliedBmode(ym)
+          leftSub(k) = impliedBmode(ym)
+          k += 1
+        }
+        val uvm = hd.tree(uvModeTree, uvModeProbs)
+        require(uvm == yModes(mb), "vp8: fixture streams mirror uv mode = y mode")
+      }
       mb += 1
     }
 
@@ -774,7 +930,9 @@ object Vp8Codec {
     val yAcQv = dcQ(qi)
     val uvq = uvDcQ(qi, uvDcDelta)
     val uvaq = dcQ(qi + uvAcDelta)
-    locally { val _ = yDcDelta } // Y DC rides Y2 whenever a Y2 plane exists
+    // whole-MB modes carry Y DC in the Y2 plane; B_PRED blocks carry
+    // their own DC, quantized with the y_dc_delta-adjusted step
+    val yBdcQv = dcQ(qi + yDcDelta)
 
     val aboveY = Array.fill(mbW * 4)(0) // per 4×4 block column nz flags
     val aboveU = Array.fill(mbW * 2)(0)
@@ -855,7 +1013,13 @@ object Vp8Codec {
             yy += 1
           }
         }
-        if (mode == ModeDc) {
+        if (mode == ModeB) {
+          // chroma rides DC under B_PRED; luma is reconstructed
+          // per-subblock below (prediction depends on already-decoded
+          // neighbor subblocks)
+          fillDc(uPlane, w / 2, px / 2, py / 2, 8, predU)
+          fillDc(vPlane, w / 2, px / 2, py / 2, 8, predV)
+        } else if (mode == ModeDc) {
           fillDc(yPlane, w, px, py, 16, predY)
           fillDc(uPlane, w / 2, px / 2, py / 2, 8, predU)
           fillDc(vPlane, w / 2, px / 2, py / 2, 8, predV)
@@ -876,6 +1040,7 @@ object Vp8Codec {
         val residY = new Array[Int](256)
         val residU = new Array[Int](64)
         val residV = new Array[Int](64)
+        var lumaDone = false
         if (skipEnabled && skips(mbI)) {
           leftY2 = 0; java.util.Arrays.fill(leftY, 0)
           java.util.Arrays.fill(leftU, 0); java.util.Arrays.fill(leftV, 0)
@@ -884,6 +1049,79 @@ object Vp8Codec {
           while (i < 4) { aboveY(4 * c + i) = 0; i += 1 }
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
           aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
+        } else if (mode == ModeB) {
+          // B_PRED luma: no Y2 (its nz context is NOT touched); 16
+          // plane-3 blocks carrying their own DC (quantizer
+          // dcQ(qi + y_dc_delta)), each predicted from the ALREADY
+          // RECONSTRUCTED neighbor pixels and written back immediately
+          // so the next subblock's prediction sees it
+          val sm = subModes(mbI)
+          var bidx = 0
+          while (bidx < 16) {
+            val bc = bidx & 3; val br = bidx >> 2
+            val bx = px + bc * 4; val by = py + br * 4
+            val pred4 = new Array[Int](16)
+            sm(bidx) match {
+              case BTm =>
+                val al = if (by == 0) 127
+                  else if (bx == 0) 129
+                  else yPlane((by - 1) * w + bx - 1) & 0xff
+                var yy = 0
+                while (yy < 4) {
+                  val l = if (bx > 0) yPlane((by + yy) * w + bx - 1) & 0xff else 129
+                  var x = 0
+                  while (x < 4) {
+                    val a = if (by > 0) yPlane((by - 1) * w + bx + x) & 0xff else 127
+                    val v = l + a - al
+                    pred4(yy * 4 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+                    x += 1
+                  }
+                  yy += 1
+                }
+              case _ => // B_DC: (Σ 4 above + Σ 4 left + 4) >> 3, 127/129 borders
+                var sum = 4
+                var i2 = 0
+                while (i2 < 4) {
+                  sum += (if (by > 0) yPlane((by - 1) * w + bx + i2) & 0xff else 127)
+                  sum += (if (bx > 0) yPlane((by + i2) * w + bx - 1) & 0xff else 129)
+                  i2 += 1
+                }
+                java.util.Arrays.fill(pred4, sum >> 3)
+            }
+            val (yc, nzY) = readBlock(td, 3, 0, aboveY(4 * c + bc) + leftY(br))
+            aboveY(4 * c + bc) = nzY; leftY(br) = nzY
+            yc(0) *= yBdcQv
+            var k0 = 1
+            while (k0 < 16) { yc(k0) *= yAcQv; k0 += 1 }
+            val pix = idct4x4(yc)
+            var k = 0
+            while (k < 16) {
+              yPlane((by + (k >> 2)) * w + bx + (k & 3)) = clamp(pred4(k) + pix(k))
+              k += 1
+            }
+            bidx += 1
+          }
+          lumaDone = true
+          def uvB(resid: Array[Int], above: Array[Int], left: Array[Int]): Unit = {
+            var bi = 0
+            while (bi < 4) {
+              val bc = bi & 1; val br = bi >> 1
+              val (cc, nz) = readBlock(td, 2, 0, above(2 * c + bc) + left(br))
+              above(2 * c + bc) = nz; left(br) = nz
+              cc(0) *= uvq
+              var k = 1
+              while (k < 16) { cc(k) *= uvaq; k += 1 }
+              val pix = idct4x4(cc)
+              var k2 = 0
+              while (k2 < 16) {
+                resid((br * 4 + (k2 >> 2)) * 8 + bc * 4 + (k2 & 3)) = pix(k2)
+                k2 += 1
+              }
+              bi += 1
+            }
+          }
+          uvB(residU, aboveU, leftU)
+          uvB(residV, aboveV, leftV)
         } else {
           val (y2c, nz2) = readBlock(td, 1, 0, aboveY2(c) + leftY2)
           aboveY2(c) = nz2; leftY2 = nz2
@@ -929,12 +1167,14 @@ object Vp8Codec {
           uvBlocks(residV, aboveV, leftV)
         }
         // --- reconstruct ---
-        var k = 0
-        while (k < 256) {
-          yPlane((py + (k >> 4)) * w + px + (k & 15)) = clamp(predY(k) + residY(k))
-          k += 1
+        if (!lumaDone) {
+          var k = 0
+          while (k < 256) {
+            yPlane((py + (k >> 4)) * w + px + (k & 15)) = clamp(predY(k) + residY(k))
+            k += 1
+          }
         }
-        k = 0
+        var k = 0
         while (k < 64) {
           uPlane((py / 2 + (k >> 3)) * (w / 2) + px / 2 + (k & 7)) = clamp(predU(k) + residU(k))
           vPlane((py / 2 + (k >> 3)) * (w / 2) + px / 2 + (k & 7)) = clamp(predV(k) + residV(k))
@@ -1332,7 +1572,6 @@ object Vp8Codec {
       }
       throw new IllegalStateException(s"vp8 encode: no exact UV level for delta $m (q=$uvq)")
     }
-
     var r = 0
     while (r < mbH) {
       var leftY2 = 0

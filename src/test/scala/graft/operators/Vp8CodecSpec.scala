@@ -200,6 +200,48 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("B_PRED: 4x4 luma with mixed B_DC/B_TM sub-modes reconstructs exact targets") {
+    for (doc <- Seq(0L, 5L, 21L); (w, h) <- Seq((48, 32), (32, 32))) {
+      val plan = Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 4 /*B*/,
+        tokenPartitions = 1, skipAll = false, yT(doc), uT(doc), vT(doc),
+        bModes = (mbI, b) => ((doc + mbI + b) % 2).toInt)
+      val f = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(plan))
+      val mbW = w / 16
+      var i = 0
+      while (i < w * h) {
+        val mb = (i / w / 16) * mbW + (i % w) / 16
+        assert((f.y(i) & 0xff) == yT(doc)(mb), s"doc=$doc B_PRED Y[$i]")
+        i += 1
+      }
+      i = 0
+      while (i < (w / 2) * (h / 2)) {
+        val mb = (i / (w / 2) / 8) * mbW + (i % (w / 2)) / 8
+        assert((f.u(i) & 0xff) == uT(doc)(mb), s"doc=$doc B_PRED U[$i]")
+        assert((f.v(i) & 0xff) == vT(doc)(mb), s"doc=$doc B_PRED V[$i]")
+        i += 1
+      }
+    }
+  }
+
+  test("B_PRED mixed with whole-MB modes: Y2 context skips B MBs, sub-mode context crosses them") {
+    // alternating DC / B / TM / B MBs in one frame: the whole-MB MBs' Y2
+    // nz contexts must SKIP over the interleaved B MBs (which have no Y2)
+    // and the B sub-mode contexts must pick up the implied sub-modes of
+    // their non-B neighbors — drift in either desyncs the arithmetic
+    // decode and the steered targets stop matching
+    val doc = 9L
+    val plan = Vp8Codec.Plan(64, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+      tokenPartitions = 1, skipAll = false, yT(doc), uT(doc), vT(doc),
+      bModes = (mbI, b) => ((mbI + b) % 2),
+      yModeOf = m => Seq(0, 4, 3, 4)(m % 4)) // DC, B, TM, B
+    val f = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(plan))
+    for (r <- 0 until 2; c <- 0 until 4) {
+      val m = r * 4 + c
+      assert((f.y(r * 16 * 64 + c * 16) & 0xff) == yT(doc)(m), s"mixed mb=$m")
+      assert((f.u(r * 8 * 32 + c * 8) & 0xff) == uT(doc)(m), s"mixed U mb=$m")
+    }
+  }
+
   test("webp container: wrap + sniff + decode route") {
     val p = plans(3L, 16, 16).head
     val webp = Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(p))
