@@ -158,12 +158,21 @@ object PostsTable {
   private[reddit] def claimVersion(root: String, v: Long): Path = {
     val claim = Paths.get(root, s"_claim_v_$v")
     val body = s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
-    def tryCreate(): Boolean =
-      try {
-        Files.write(claim, body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    // Atomic create-with-content: CREATE_NEW + write is TWO events — a
+    // racer can observe the claim created but still EMPTY, classify it
+    // unreadable-therefore-stale, and delete a live claim (caught by the
+    // N-healer race spec under full-suite load). Writing a private temp
+    // file and hard-LINKING it into place makes creation-with-content one
+    // atomic filesystem event (link fails with EEXIST if the claim exists).
+    def tryCreate(): Boolean = {
+      val tmp = Paths.get(root,
+        s"_claim_tmp_${ProcessHandle.current().pid()}_" +
+          s"${Thread.currentThread().getId}_${System.nanoTime()}")
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try { Files.createLink(claim, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { Files.deleteIfExists(tmp); (): Unit }
+    }
     if (!tryCreate()) {
       val ownerAlive =
         try {
