@@ -4478,7 +4478,8 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
-    // REAL MPEG-1 audio (Layer I/II) decode, graded exactly: each doc
+    // REAL MPEG-1 audio (Layer I/II) decode, graded exactly — now MONO AND
+    // STEREO: each doc
     // carries a genuine MPEG stream — Layer I two-frame (cross-frame
     // polyphase FIFO continuity) for even docs, Layer II one-frame
     // (subband-dependent allocation widths, scfsi scalefactor sharing
@@ -4499,43 +4500,50 @@ object QueryCatalog {
           .orderBy("doc_id"),
       Some("""WITH base AS (
              |  SELECT doc_id AS d,
-             |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS layer,
-             |    CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 36 END AS ng
+             |    CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 2 END AS layer,
+             |    CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 2 END AS nch,
+             |    CASE WHEN doc_id % 4 IN (0, 2) THEN 24 ELSE 36 END AS ng
              |  FROM documents),
              |chk AS (
-             |  SELECT b.d, b.layer, b.ng,
+             |  SELECT b.d, b.layer, b.nch, b.ng,
              |    sum(vv.dv * vv.nv * vv.sv
-             |        * ((gg.g * 32 + ii.i) % 97 + 1)) AS pcm_checksum
+             |        * (((gg.g * 32 + ii.i) * b.nch + cc.ch) % 97 + 1))
+             |      AS pcm_checksum
              |  FROM base b
              |  JOIN range(0, 36) gg(g) ON gg.g < b.ng
              |  JOIN range(0, 32) ii(i) ON true
+             |  JOIN range(0, 2) cc(ch) ON cc.ch < b.nch
              |  JOIN range(0, 16) mm(m) ON mm.m <= gg.g
              |  CROSS JOIN LATERAL (SELECT gg.g - mm.m AS sg) x
              |  CROSS JOIN LATERAL (SELECT
-             |    CASE WHEN b.layer = 1 THEN (b.d + 5 * (x.sg // 12)) % 32
-             |         ELSE b.d % 11 END AS k0,
              |    CASE WHEN b.layer = 1 THEN
-             |      (1::BIGINT << (2 + (b.d + x.sg // 12) % 13)) - 1
-             |    ELSE CASE 1 + b.d % 15
+             |      (b.d + 5 * (x.sg // 12) + 11 * cc.ch) % 32
+             |    ELSE (b.d + 3 * cc.ch) % 11 END AS k0,
+             |    CASE WHEN b.layer = 1 THEN
+             |      (1::BIGINT << (2 + (b.d + x.sg // 12 + 2 * cc.ch) % 13)) - 1
+             |    ELSE CASE 1 + (b.d + 5 * cc.ch) % 15
              |      WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 3 THEN 7 WHEN 4 THEN 9
-             |      ELSE (1::BIGINT << (1 + b.d % 15)) - 1 END
+             |      ELSE (1::BIGINT << (1 + (b.d + 5 * cc.ch) % 15)) - 1 END
              |    END AS n,
-             |    CASE WHEN b.layer = 1 THEN (b.d + 7 * (x.sg // 12)) % 64
-             |    ELSE (3 * b.d + 17 * (CASE b.d % 4
+             |    CASE WHEN b.layer = 1 THEN
+             |      (b.d + 7 * (x.sg // 12) + 13 * cc.ch) % 64
+             |    ELSE (3 * b.d + 17 * (CASE (b.d + cc.ch) % 4
              |      WHEN 0 THEN x.sg // 12
              |      WHEN 1 THEN CASE WHEN x.sg // 12 <= 1 THEN 0 ELSE 1 END
              |      WHEN 2 THEN 0
-             |      ELSE CASE WHEN x.sg // 12 = 0 THEN 0 ELSE 1 END END)) % 64
+             |      ELSE CASE WHEN x.sg // 12 = 0 THEN 0 ELSE 1 END END)
+             |      + 29 * cc.ch) % 64
              |    END AS sfidx) q
              |  CROSS JOIN LATERAL (SELECT
              |    ((7 * (mm.m * 32 + ii.i) + 13) % 29) - 14 AS dv,
              |    ((11 * ((mm.m % 2) * 32 + ii.i) + 23 * q.k0 + 7) % 31) - 15 AS nv,
-             |    (2 * ((5 * b.d + 7 * x.sg + 3) % q.n) + 1 - q.n)
+             |    (2 * ((5 * b.d + 7 * x.sg + 3 + 17 * cc.ch) % q.n) + 1 - q.n)
              |      * (1 + (3 * q.sfidx) % 13) AS sv) vv
-             |  GROUP BY b.d, b.layer, b.ng)
+             |  GROUP BY b.d, b.layer, b.nch, b.ng)
              |SELECT d AS doc_id, CAST(layer AS BIGINT) AS layer,
+             |  CAST(nch AS BIGINT) AS n_channels,
              |  CAST(CASE WHEN layer = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_frames,
-             |  CAST(ng * 32 AS BIGINT) AS n_samples,
+             |  CAST(ng * 32 * nch AS BIGINT) AS n_samples,
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 

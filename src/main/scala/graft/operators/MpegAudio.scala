@@ -170,7 +170,7 @@ object MpegAudio {
   final case class L2Frame(alloc: Array[Int], scfsi: Array[Int],
                            sf: Array[Array[Int]], raw: Array[Array[Int]])
 
-  private def header(layer: Int): (BitWriter => Unit) = bw => {
+  private def header(layer: Int, channels: Int = 1): (BitWriter => Unit) = bw => {
     bw.put(0x7ff, 11) // sync
     bw.put(3, 2) // MPEG-1
     bw.put(if (layer == 1) 3 else 2, 2) // layer bits: 11 = I, 10 = II
@@ -179,11 +179,129 @@ object MpegAudio {
     bw.put(0, 2) // sample rate 44100
     bw.put(0, 1) // padding
     bw.put(0, 1) // private
-    bw.put(3, 2) // mode: mono
+    bw.put(if (channels == 1) 3 else 0, 2) // mode: 11 mono / 00 stereo
     bw.put(0, 2) // mode extension
     bw.put(0, 1) // copyright
     bw.put(0, 1) // original
     bw.put(0, 2) // emphasis
+  }
+
+  /** One Layer I STEREO frame: the spec interleave — allocation per
+    * (sb, ch), scalefactors per (sb, ch), samples per (granule, sb, ch).
+    */
+  def encodeL1Stereo(alloc: (Int, Int) => Int, sf: (Int, Int) => Int,
+                     raw: (Int, Int, Int) => Int): Array[Byte] = {
+    val bw = new BitWriter
+    header(1, 2)(bw)
+    var sb = 0
+    while (sb < 32) {
+      var ch = 0
+      while (ch < 2) { bw.put(alloc(ch, sb).toLong, 4); ch += 1 }
+      sb += 1
+    }
+    sb = 0
+    while (sb < 32) {
+      var ch = 0
+      while (ch < 2) {
+        if (alloc(ch, sb) > 0) bw.put(sf(ch, sb).toLong, 6)
+        ch += 1
+      }
+      sb += 1
+    }
+    var g = 0
+    while (g < 12) {
+      sb = 0
+      while (sb < 32) {
+        var ch = 0
+        while (ch < 2) {
+          if (alloc(ch, sb) > 0) {
+            val nb = alloc(ch, sb) + 1
+            val r = raw(g, ch, sb)
+            require(r >= 0 && r < (1 << nb) - 1,
+              s"layer1 stereo: raw $r out of $nb-bit mid-tread domain")
+            bw.put(r.toLong, nb)
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      g += 1
+    }
+    bw.bytes()
+  }
+
+  /** One Layer II STEREO frame: allocation/scfsi/scalefactors per
+    * (sb, ch); per triplet, per sb, per ch a grouped code or 3 samples.
+    */
+  def encodeL2Stereo(alloc: (Int, Int) => Int, scfsi: (Int, Int) => Int,
+                     sf: (Int, Int, Int) => Int,
+                     raw: (Int, Int, Int) => Int): Array[Byte] = {
+    val bw = new BitWriter
+    header(2, 2)(bw)
+    var sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < 2) { bw.put(alloc(ch, sb).toLong, l2AllocBits(sb)); ch += 1 }
+      sb += 1
+    }
+    sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < 2) {
+        if (alloc(ch, sb) > 0) bw.put(scfsi(ch, sb).toLong, 2)
+        ch += 1
+      }
+      sb += 1
+    }
+    sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < 2) {
+        if (alloc(ch, sb) > 0) {
+          val m = scfsi(ch, sb) match {
+            case 0 => 3
+            case 2 => 1
+            case _ => 2
+          }
+          var i = 0
+          while (i < m) { bw.put(sf(ch, sb, i).toLong, 6); i += 1 }
+        }
+        ch += 1
+      }
+      sb += 1
+    }
+    var t = 0
+    while (t < 12) {
+      sb = 0
+      while (sb < L2SbLimit) {
+        var ch = 0
+        while (ch < 2) {
+          if (alloc(ch, sb) > 0) {
+            val (n, grouped, bits) = l2Class(alloc(ch, sb))
+            if (grouped) {
+              val s0 = raw(3 * t, ch, sb); val s1 = raw(3 * t + 1, ch, sb)
+              val s2 = raw(3 * t + 2, ch, sb)
+              require(s0 < n && s1 < n && s2 < n,
+                "layer2 stereo: grouped code out of domain")
+              bw.put((s2.toLong * n + s1) * n + s0, bits)
+            } else {
+              var i = 0
+              while (i < 3) {
+                val r = raw(3 * t + i, ch, sb)
+                require(r >= 0 && r < n,
+                  s"layer2 stereo: raw $r out of $n-level domain")
+                bw.put(r.toLong, bits)
+                i += 1
+              }
+            }
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      t += 1
+    }
+    bw.bytes()
   }
 
   def encodeL1Frame(f: L1Frame): Array[Byte] = {
@@ -268,16 +386,19 @@ object MpegAudio {
 
   // ---- decode ----------------------------------------------------------------
 
-  /** Decoded mono stream: layer, frame count, and the full-precision
-    * fixed-point PCM (the pinned profile omits the final scale/clip).
+  /** Decoded stream: layer, channel count, frame count, and the
+    * full-precision fixed-point PCM, sample-major interleaved for stereo
+    * (L0, R0, L1, R1, …); the pinned profile omits the final scale/clip.
     */
-  final case class MpegPcm(layer: Int, nFrames: Int, pcm: Array[Long])
+  final case class MpegPcm(layer: Int, channels: Int, nFrames: Int,
+                           pcm: Array[Long])
 
   def decode(bytes: Array[Byte]): MpegPcm = {
     val br = new BitReader(bytes, 0)
-    val synth = new Synth
+    var synths: Array[Synth] = null
     val pcmOut = scala.collection.mutable.ArrayBuffer.empty[Long]
     var layer = 0
+    var channels = 0
     var nFrames = 0
     while (!br.atEnd) {
       require(br.get(11) == 0x7ff, "mpeg audio: lost sync")
@@ -297,105 +418,159 @@ object MpegAudio {
       require(br.get(2) == 0, "mpeg audio: fixture sample-rate index must be 0")
       br.get(1) // padding
       br.get(1) // private
-      require(br.get(2) == 3, "mpeg audio: only mono in this profile")
+      val mode = br.get(2)
+      val nCh = mode match {
+        case 3 => 1
+        case 0 => 2 // independent stereo
+        case _ => throw new IllegalArgumentException(
+          "mpeg audio: joint/dual-channel modes outside this profile")
+      }
+      require(channels == 0 || channels == nCh,
+        "mpeg audio: mixed channel modes in one stream")
+      channels = nCh
+      if (synths == null) synths = Array.fill(nCh)(new Synth)
       br.get(2); br.get(1); br.get(1); br.get(2) // mode ext, (c), original, emphasis
 
+      val nGran = if (layer == 1) 12 else 36
+      // per-(channel, granule, subband) dequantized samples
+      val samples = Array.fill(nCh, nGran, 32)(0L)
+
       if (layer == 1) {
-        val alloc = Array.fill(32)(br.get(4))
-        val sf = Array.fill(32)(0)
+        val alloc = Array.fill(nCh, 32)(0)
         var sb = 0
-        while (sb < 32) { if (alloc(sb) > 0) sf(sb) = br.get(6); sb += 1 }
-        val s = new Array[Long](32)
-        var g = 0
-        while (g < 12) {
-          java.util.Arrays.fill(s, 0L)
-          sb = 0
-          while (sb < 32) {
-            if (alloc(sb) > 0) {
-              val nb = alloc(sb) + 1
-              val n = (1 << nb) - 1
-              val raw = br.get(nb)
-              require(raw < n, "mpeg audio: code outside the mid-tread domain")
-              s(sb) = dequant(raw, n) * sfTab(sf(sb))
-            }
-            sb += 1
-          }
-          val out32 = new Array[Long](32)
-          synth.granule(s, out32, 0)
-          pcmOut ++= out32
-          g += 1
+        while (sb < 32) {
+          var ch = 0
+          while (ch < nCh) { alloc(ch)(sb) = br.get(4); ch += 1 }
+          sb += 1
         }
-      } else {
-        val alloc = Array.tabulate(L2SbLimit)(sb => br.get(l2AllocBits(sb)))
-        val scfsi = new Array[Int](L2SbLimit)
-        var sb = 0
-        while (sb < L2SbLimit) { if (alloc(sb) > 0) scfsi(sb) = br.get(2); sb += 1 }
-        val sf = Array.fill(L2SbLimit, 3)(0)
+        val sf = Array.fill(nCh, 32)(0)
         sb = 0
-        while (sb < L2SbLimit) {
-          if (alloc(sb) > 0) scfsi(sb) match {
-            case 0 =>
-              sf(sb)(0) = br.get(6); sf(sb)(1) = br.get(6); sf(sb)(2) = br.get(6)
-            case 1 =>
-              val a = br.get(6); val b = br.get(6)
-              sf(sb)(0) = a; sf(sb)(1) = a; sf(sb)(2) = b
-            case 2 =>
-              val a = br.get(6)
-              sf(sb)(0) = a; sf(sb)(1) = a; sf(sb)(2) = a
-            case _ =>
-              val a = br.get(6); val b = br.get(6)
-              sf(sb)(0) = a; sf(sb)(1) = b; sf(sb)(2) = b
+        while (sb < 32) {
+          var ch = 0
+          while (ch < nCh) {
+            if (alloc(ch)(sb) > 0) sf(ch)(sb) = br.get(6)
+            ch += 1
           }
           sb += 1
         }
-        val samples = Array.fill(36, L2SbLimit)(0L)
+        var g = 0
+        while (g < 12) {
+          sb = 0
+          while (sb < 32) {
+            var ch = 0
+            while (ch < nCh) {
+              if (alloc(ch)(sb) > 0) {
+                val nb = alloc(ch)(sb) + 1
+                val n = (1 << nb) - 1
+                val raw = br.get(nb)
+                require(raw < n, "mpeg audio: code outside the mid-tread domain")
+                samples(ch)(g)(sb) = dequant(raw, n) * sfTab(sf(ch)(sb))
+              }
+              ch += 1
+            }
+            sb += 1
+          }
+          g += 1
+        }
+      } else {
+        val alloc = Array.fill(nCh, L2SbLimit)(0)
+        var sb = 0
+        while (sb < L2SbLimit) {
+          var ch = 0
+          while (ch < nCh) { alloc(ch)(sb) = br.get(l2AllocBits(sb)); ch += 1 }
+          sb += 1
+        }
+        val scfsi = Array.fill(nCh, L2SbLimit)(0)
+        sb = 0
+        while (sb < L2SbLimit) {
+          var ch = 0
+          while (ch < nCh) {
+            if (alloc(ch)(sb) > 0) scfsi(ch)(sb) = br.get(2)
+            ch += 1
+          }
+          sb += 1
+        }
+        val sf = Array.fill(nCh, L2SbLimit, 3)(0)
+        sb = 0
+        while (sb < L2SbLimit) {
+          var ch = 0
+          while (ch < nCh) {
+            if (alloc(ch)(sb) > 0) scfsi(ch)(sb) match {
+              case 0 =>
+                sf(ch)(sb)(0) = br.get(6); sf(ch)(sb)(1) = br.get(6)
+                sf(ch)(sb)(2) = br.get(6)
+              case 1 =>
+                val a = br.get(6); val b = br.get(6)
+                sf(ch)(sb)(0) = a; sf(ch)(sb)(1) = a; sf(ch)(sb)(2) = b
+              case 2 =>
+                val a = br.get(6)
+                sf(ch)(sb)(0) = a; sf(ch)(sb)(1) = a; sf(ch)(sb)(2) = a
+              case _ =>
+                val a = br.get(6); val b = br.get(6)
+                sf(ch)(sb)(0) = a; sf(ch)(sb)(1) = b; sf(ch)(sb)(2) = b
+            }
+            ch += 1
+          }
+          sb += 1
+        }
         var t = 0
         while (t < 12) {
           sb = 0
           while (sb < L2SbLimit) {
-            if (alloc(sb) > 0) {
-              val (n, grouped, bits) = l2Class(alloc(sb))
-              val part = t / 4 // granule 3t..3t+2 is in part (3t)/12 = t/4
-              val sfv = sfTab(sf(sb)(part))
-              if (grouped) {
-                var c = br.get(bits)
-                require(c < n * n * n, "mpeg audio: grouped code out of domain")
-                var i = 0
-                while (i < 3) {
-                  samples(3 * t + i)(sb) = dequant(c % n, n) * sfv
-                  c /= n
-                  i += 1
-                }
-              } else {
-                var i = 0
-                while (i < 3) {
-                  val raw = br.get(bits)
-                  require(raw < n, "mpeg audio: code outside the mid-tread domain")
-                  samples(3 * t + i)(sb) = dequant(raw, n) * sfv
-                  i += 1
+            var ch = 0
+            while (ch < nCh) {
+              if (alloc(ch)(sb) > 0) {
+                val (n, grouped, bits) = l2Class(alloc(ch)(sb))
+                val part = t / 4 // granule 3t..3t+2 is in part (3t)/12 = t/4
+                val sfv = sfTab(sf(ch)(sb)(part))
+                if (grouped) {
+                  var c = br.get(bits)
+                  require(c < n * n * n, "mpeg audio: grouped code out of domain")
+                  var i = 0
+                  while (i < 3) {
+                    samples(ch)(3 * t + i)(sb) = dequant(c % n, n) * sfv
+                    c /= n
+                    i += 1
+                  }
+                } else {
+                  var i = 0
+                  while (i < 3) {
+                    val raw = br.get(bits)
+                    require(raw < n, "mpeg audio: code outside the mid-tread domain")
+                    samples(ch)(3 * t + i)(sb) = dequant(raw, n) * sfv
+                    i += 1
+                  }
                 }
               }
+              ch += 1
             }
             sb += 1
           }
           t += 1
         }
-        val s = new Array[Long](32)
-        var g = 0
-        while (g < 36) {
-          java.util.Arrays.fill(s, 0L)
-          sb = 0
-          while (sb < L2SbLimit) { s(sb) = samples(g)(sb); sb += 1 }
-          val out32 = new Array[Long](32)
-          synth.granule(s, out32, 0)
-          pcmOut ++= out32
-          g += 1
+      }
+
+      // synthesis per channel, PCM interleaved sample-major
+      val outCh = Array.fill(nCh)(new Array[Long](32))
+      var g = 0
+      while (g < nGran) {
+        var ch = 0
+        while (ch < nCh) {
+          synths(ch).granule(samples(ch)(g), outCh(ch), 0)
+          ch += 1
         }
+        var i = 0
+        while (i < 32) {
+          var ch2 = 0
+          while (ch2 < nCh) { pcmOut += outCh(ch2)(i); ch2 += 1 }
+          i += 1
+        }
+        g += 1
       }
       br.alignByte()
       nFrames += 1
     }
     require(nFrames > 0, "mpeg audio: empty stream")
-    MpegPcm(layer, nFrames, pcmOut.toArray)
+    MpegPcm(layer, channels, nFrames, pcmOut.toArray)
   }
 }

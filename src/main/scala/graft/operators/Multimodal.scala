@@ -654,36 +654,64 @@ object Multimodal {
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
+          // one formula family, channel-offset: mono IS channel 0
+          def l1K0(f: Int, ch: Int) = ((d + 5 * f + 11 * ch) % 32).toInt
+          def l1AllocN(f: Int, ch: Int) = (1 + ((d + f + 2 * ch) % 13)).toInt
+          def l1Sf(f: Int, ch: Int) = ((d + 7 * f + 13 * ch) % 64).toInt
+          def rawOf(g: Int, ch: Int, n: Int) =
+            ((5 * d + 7 * g + 3 + 17 * ch) % n).toInt
+          def l2K0(ch: Int) = ((d + 3 * ch) % 11).toInt
+          def l2Alloc(ch: Int) = (1 + ((d + 5 * ch) % 15)).toInt
+          def l2Scfsi(ch: Int) = ((d + ch) % 4).toInt
+          def l2Sf(ch: Int, i: Int) = ((3 * d + 17 * i + 29 * ch) % 64).toInt
           val bos = new java.io.ByteArrayOutputStream()
-          if (d % 2 == 0) {
-            var f = 0
-            while (f < 2) {
-              val k0 = ((d + 5 * f) % 32).toInt
-              val allocN = (1 + ((d + f) % 13)).toInt // nb = allocN + 1
-              val n = (1 << (allocN + 1)) - 1
-              val alloc = Array.fill(32)(0); alloc(k0) = allocN
-              val sfArr = Array.fill(32)(0)
-              sfArr(k0) = ((d + 7 * f) % 64).toInt
-              val raw = Array.tabulate(12, 32)((gg, sb) =>
-                if (sb == k0) ((5 * d + 7 * (12 * f + gg) + 3) % n).toInt else 0)
-              val frame = MpegAudio.encodeL1Frame(MpegAudio.L1Frame(alloc, sfArr, raw))
-              bos.write(frame, 0, frame.length)
-              f += 1
-            }
-          } else {
-            val k0 = (d % 11).toInt
-            val allocV = (1 + (d % 15)).toInt
-            val (n, _, _) = MpegAudio.l2Class(allocV)
-            val alloc = Array.fill(MpegAudio.L2SbLimit)(0); alloc(k0) = allocV
-            val scfsi = Array.fill(MpegAudio.L2SbLimit)(0)
-            scfsi(k0) = (d % 4).toInt
-            val sf = Array.fill(MpegAudio.L2SbLimit, 3)(0)
-            var i = 0
-            while (i < 3) { sf(k0)(i) = ((3 * d + 17 * i) % 64).toInt; i += 1 }
-            val raw = Array.tabulate(36, MpegAudio.L2SbLimit)((g, sb) =>
-              if (sb == k0) ((5 * d + 7 * g + 3) % n).toInt else 0)
-            val frame = MpegAudio.encodeL2Frame(MpegAudio.L2Frame(alloc, scfsi, sf, raw))
-            bos.write(frame, 0, frame.length)
+          (d % 4) match {
+            case 0 => // Layer I mono, two frames (FIFO continuity)
+              var f = 0
+              while (f < 2) {
+                val k0 = l1K0(f, 0)
+                val n = (1 << (l1AllocN(f, 0) + 1)) - 1
+                val alloc = Array.fill(32)(0); alloc(k0) = l1AllocN(f, 0)
+                val sfArr = Array.fill(32)(0); sfArr(k0) = l1Sf(f, 0)
+                val raw = Array.tabulate(12, 32)((gg, sb) =>
+                  if (sb == k0) rawOf(12 * f + gg, 0, n) else 0)
+                val fr = MpegAudio.encodeL1Frame(MpegAudio.L1Frame(alloc, sfArr, raw))
+                bos.write(fr, 0, fr.length)
+                f += 1
+              }
+            case 1 => // Layer II mono
+              val k0 = l2K0(0)
+              val (n, _, _) = MpegAudio.l2Class(l2Alloc(0))
+              val alloc = Array.fill(MpegAudio.L2SbLimit)(0); alloc(k0) = l2Alloc(0)
+              val scfsi = Array.fill(MpegAudio.L2SbLimit)(0); scfsi(k0) = l2Scfsi(0)
+              val sf = Array.fill(MpegAudio.L2SbLimit, 3)(0)
+              var i = 0
+              while (i < 3) { sf(k0)(i) = l2Sf(0, i); i += 1 }
+              val raw = Array.tabulate(36, MpegAudio.L2SbLimit)((g, sb) =>
+                if (sb == k0) rawOf(g, 0, n) else 0)
+              val fr = MpegAudio.encodeL2Frame(MpegAudio.L2Frame(alloc, scfsi, sf, raw))
+              bos.write(fr, 0, fr.length)
+            case 2 => // Layer I STEREO, two frames
+              var f = 0
+              while (f < 2) {
+                val ff = f
+                def nOf(ch: Int) = (1 << (l1AllocN(ff, ch) + 1)) - 1
+                val fr = MpegAudio.encodeL1Stereo(
+                  (ch, sb) => if (sb == l1K0(ff, ch)) l1AllocN(ff, ch) else 0,
+                  (ch, sb) => if (sb == l1K0(ff, ch)) l1Sf(ff, ch) else 0,
+                  (gg, ch, sb) =>
+                    if (sb == l1K0(ff, ch)) rawOf(12 * ff + gg, ch, nOf(ch)) else 0)
+                bos.write(fr, 0, fr.length)
+                f += 1
+              }
+            case _ => // Layer II STEREO
+              def nOf(ch: Int) = MpegAudio.l2Class(l2Alloc(ch))._1
+              val fr = MpegAudio.encodeL2Stereo(
+                (ch, sb) => if (sb == l2K0(ch)) l2Alloc(ch) else 0,
+                (ch, sb) => if (sb == l2K0(ch)) l2Scfsi(ch) else 0,
+                (ch, sb, i) => if (sb == l2K0(ch)) l2Sf(ch, i) else 0,
+                (g, ch, sb) => if (sb == l2K0(ch)) rawOf(g, ch, nOf(ch)) else 0)
+              bos.write(fr, 0, fr.length)
           }
           (d, bos.toByteArray)
         }
@@ -691,8 +719,8 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
-  case class MpegAudioStats(doc_id: Long, layer: Long, n_frames: Long,
-                            n_samples: Long, pcm_checksum: Long)
+  case class MpegAudioStats(doc_id: Long, layer: Long, n_channels: Long,
+                            n_frames: Long, n_samples: Long, pcm_checksum: Long)
 
   /** Decode each doc's MPEG stream through the full Layer I/II pipeline
     * (framing, allocation, scfsi, grouping, requantization, polyphase
@@ -713,8 +741,8 @@ object Multimodal {
             chk += out.pcm(t) * (t % 97 + 1)
             t += 1
           }
-          MpegAudioStats(id, out.layer.toLong, out.nFrames.toLong,
-            out.pcm.length.toLong, chk)
+          MpegAudioStats(id, out.layer.toLong, out.channels.toLong,
+            out.nFrames.toLong, out.pcm.length.toLong, chk)
         }
       }
   }

@@ -132,6 +132,33 @@ class MpegAudioSpec extends AnyFunSuite {
       "after 16 granules the FIFO histories converge")
   }
 
+  test("stereo: channels decode independently and interleave sample-major") {
+    // channel 0 = the mono fixture; channel 1 carries distinct signal —
+    // the stereo stream's deinterleaved channel 0 must equal the mono
+    // decode of the same per-channel data
+    def alloc(ch: Int, sb: Int) = if (sb == 3 + 2 * ch) 5 else 0
+    def sf(ch: Int, sb: Int) = if (sb == 3 + 2 * ch) 10 + 20 * ch else 0
+    def raw(g: Int, ch: Int, sb: Int) =
+      if (sb == 3 + 2 * ch) (g * 7 + 1 + 5 * ch) % ((1 << 6) - 1) else 0
+    val st = MpegAudio.decode(MpegAudio.encodeL1Stereo(alloc, sf, raw))
+    assert(st.layer == 1 && st.channels == 2 && st.pcm.length == 768)
+    for (ch <- 0 to 1) {
+      val a1 = Array.fill(32)(0); a1(3 + 2 * ch) = 5
+      val s1 = Array.fill(32)(0); s1(3 + 2 * ch) = 10 + 20 * ch
+      val r1 = Array.tabulate(12, 32)((g, sb) => raw(g, ch, sb))
+      val mono = MpegAudio.decode(MpegAudio.encodeL1Frame(MpegAudio.L1Frame(a1, s1, r1)))
+      for (t <- 0 until 384)
+        assert(st.pcm(2 * t + ch) == mono.pcm(t), s"ch=$ch t=$t")
+    }
+    // Layer II stereo round-trips too (scfsi + grouping per channel)
+    val st2 = MpegAudio.decode(MpegAudio.encodeL2Stereo(
+      (ch, sb) => if (sb == ch) 2 else 0, // grouped 5-level class
+      (ch, sb) => if (sb == ch) ch else 0,
+      (ch, sb, i) => 7 * (i + 1) + ch,
+      (g, ch, sb) => if (sb == ch) (g + 2 * ch) % 5 else 0))
+    assert(st2.layer == 2 && st2.channels == 2 && st2.pcm.length == 2304)
+  }
+
   test("malformed: every corruption fails loudly") {
     val good = MpegAudio.encodeL1Frame(l1Frame(0L, 0))
     // lost sync
