@@ -4478,6 +4478,72 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // VP8 reference-buffer machinery graded: a 5-frame sequence whose
+    // probing MBs are all SKIP+ZEROMV (pure bookkeeping): F2 refreshes
+    // LAST only; F3 copies pre-frame LAST into ALT while its MBs read
+    // the PRE-frame alt (the swap-order law); F4 copies pre-frame ALT
+    // into GOLDEN while probing all three buffers; F5 proves both
+    // copies landed. Any refresh/copy/reference mix-up, or applying a
+    // copy before the frame's own references resolve, surfaces the
+    // wrong target family in the hashed checksum.
+    ("q_vp8_buffers",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8BufferMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 16*(2 + n_chars % 2) AS w, 32 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT d.doc_id, d.w, d.h,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM dims d
+             |  JOIN range(0, 5) f(f) ON true
+             |  JOIN range(0, 2304) t(i) ON t.i < d.w*d.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < d.w*d.h THEN 0
+             |         WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN 1
+             |         ELSE 2 END AS pl,
+             |    CASE WHEN t.i < d.w*d.h THEN
+             |      ((t.i // d.w) // 16) * (d.w//16) + (t.i % d.w) // 16
+             |    WHEN t.i < d.w*d.h + (d.w//2)*(d.h//2) THEN
+             |      (((t.i - d.w*d.h) // (d.w//2)) // 8) * (d.w//16)
+             |        + ((t.i - d.w*d.h) % (d.w//2)) // 8
+             |    ELSE
+             |      (((t.i - d.w*d.h - (d.w//2)*(d.h//2)) // (d.w//2)) // 8)
+             |        * (d.w//16)
+             |        + ((t.i - d.w*d.h - (d.w//2)*(d.h//2)) % (d.w//2)) // 8
+             |    END AS m) q
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q.pl WHEN 0 THEN (31*d.doc_id + 13*q.m) % 256
+             |              WHEN 1 THEN (91*d.doc_id + 7*q.m) % 256
+             |              ELSE (53*d.doc_id + 11*q.m) % 256 END AS av,
+             |    CASE q.pl WHEN 0 THEN (47*d.doc_id + 17*q.m) % 256
+             |              WHEN 1 THEN (23*d.doc_id + 5*q.m) % 256
+             |              ELSE (67*d.doc_id + 3*q.m) % 256 END AS bv,
+             |    CASE q.pl WHEN 0 THEN (29*d.doc_id + 19*q.m) % 256
+             |              WHEN 1 THEN (41*d.doc_id + 13*q.m) % 256
+             |              ELSE (59*d.doc_id + 23*q.m) % 256 END AS cv) vv
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN (q.m + d.doc_id) % 2 = 0 THEN vv.av ELSE vv.cv END
+             |      AS f3v) w3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE (q.m + 2*d.doc_id) % 3
+             |      WHEN 0 THEN vv.av WHEN 1 THEN vv.bv ELSE w3.f3v END AS f4v) w4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE f.f WHEN 0 THEN vv.av WHEN 1 THEN vv.bv WHEN 2 THEN w3.f3v
+             |      WHEN 3 THEN w4.f4v
+             |      ELSE CASE (q.m + d.doc_id) % 3
+             |        WHEN 0 THEN vv.bv WHEN 1 THEN vv.bv ELSE w4.f4v END
+             |    END AS val) vl
+             |  GROUP BY d.doc_id, d.w, d.h)
+             |SELECT doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(5 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL MPEG-1 audio (Layer I/II) decode, graded exactly — now MONO AND
     // STEREO: each doc
     // carries a genuine MPEG stream — Layer I two-frame (cross-frame

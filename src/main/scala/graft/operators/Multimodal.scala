@@ -598,6 +598,80 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a 5-frame VP8 video exercising the FULL reference
+    * buffer machinery: refresh_last / refresh_alt, buffer-copy-to-alt
+    * (from last) and buffer-copy-to-golden (from alt), ALTREF
+    * referencing, and the spec's swap order (copies read the PRE-frame
+    * buffers; references during a frame see the pre-frame state). All
+    * probing MBs are SKIP + ZEROMV — pure buffer bookkeeping, so the
+    * closed form is a CASE ladder over three target families; any
+    * refresh/copy/reference mix-up surfaces the wrong family in the
+    * hashed checksum.
+    */
+  def withVp8BufferMedia(docs: DataFrame, id: String = "doc_id",
+                         nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (2 + nc % 2)).toInt
+          val h = 32
+          def aY(m: Int) = ((31 * d + 13 * m) % 256).toInt
+          def aU(m: Int) = ((91 * d + 7 * m) % 256).toInt
+          def aV(m: Int) = ((53 * d + 11 * m) % 256).toInt
+          def bY(m: Int) = ((47 * d + 17 * m) % 256).toInt
+          def bU(m: Int) = ((23 * d + 5 * m) % 256).toInt
+          def bV(m: Int) = ((67 * d + 3 * m) % 256).toInt
+          def cY(m: Int) = ((29 * d + 19 * m) % 256).toInt
+          def cU(m: Int) = ((41 * d + 13 * m) % 256).toInt
+          def cV(m: Int) = ((59 * d + 23 * m) % 256).toInt
+          val qi = (8 * (d % 2)).toInt
+          val uvD = (-8 * (d % 2)).toInt
+          val (f1, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h, qi, uvD,
+            yMode = 0, tokenPartitions = 1, skipAll = false, aY, aU, aV))
+          // F2: steered ZEROMV to B; refresh LAST only
+          val p2 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+            refreshLast = true, refreshGolden = false,
+            mb = m => Vp8Codec.InterMb(0, 0, 0, 0, skip = false, bY(m), bU(m), bV(m)))
+          val (f2, g2) = Vp8Codec.encodeInterFrame(p2, g1, g1, g1)
+          // F3: copy LAST(=B) into ALT; MBs probe the PRE-frame alt (=A)
+          // or steer to C against last
+          val p3 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+            refreshLast = true, refreshGolden = false, copyToAlt = 1,
+            mb = m =>
+              if ((m + d) % 2 == 0)
+                Vp8Codec.InterMb(2, 0, 0, 0, skip = true, 0, 0, 0) // ALT = A
+              else
+                Vp8Codec.InterMb(0, 0, 0, 0, skip = false, cY(m), cU(m), cV(m)))
+          val (f3, g3) = Vp8Codec.encodeInterFrame(p3, g2, g1, g1)
+          // buffers now: last = F3, golden = A, alt = B
+          // F4: copy ALT(=B) into GOLDEN; all-skip probe of all three
+          val p4 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+            refreshLast = true, refreshGolden = false, copyToGolden = 2,
+            mb = m => ((m + 2 * d) % 3).toInt match {
+              case 0 => Vp8Codec.InterMb(1, 0, 0, 0, skip = true, 0, 0, 0) // G = A
+              case 1 => Vp8Codec.InterMb(2, 0, 0, 0, skip = true, 0, 0, 0) // ALT = B
+              case _ => Vp8Codec.InterMb(0, 0, 0, 0, skip = true, 0, 0, 0) // LAST = F3
+            })
+          val (f4, g4) = Vp8Codec.encodeInterFrame(p4, g3, g1, g2)
+          // buffers now: last = F4, golden = B (copied from alt), alt = B
+          // F5: all-skip probe proving both copies landed
+          val p5 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+            refreshLast = true, refreshGolden = false,
+            mb = m => ((m + d) % 3).toInt match {
+              case 0 => Vp8Codec.InterMb(1, 0, 0, 0, skip = true, 0, 0, 0) // G = B
+              case 1 => Vp8Codec.InterMb(2, 0, 0, 0, skip = true, 0, 0, 0) // ALT = B
+              case _ => Vp8Codec.InterMb(0, 0, 0, 0, skip = true, 0, 0, 0) // LAST = F4
+            })
+          val (f5, _) = Vp8Codec.encodeInterFrame(p5, g4, g2, g2)
+          (d, Vp8Codec.encodeIvf(w, h, Seq(f1, f2, f3, f4, f5)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class Vp8VideoStats(doc_id: Long, width: Long, height: Long,
                            n_frames: Long, pix_checksum: Long)
 

@@ -1255,6 +1255,7 @@ object Vp8Codec {
 
   private val RefLast = 0
   private val RefGolden = 1
+  private val RefAlt = 2
 
   /** RFC 6386 §18.3 six-tap sub-pel interpolation filters, one row per
     * eighth-pel position (REAL spec values — public constants like the
@@ -1450,13 +1451,18 @@ object Vp8Codec {
   final case class InterPlan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
                              tokenPartitions: Int,
                              refreshLast: Boolean, refreshGolden: Boolean,
-                             mb: Int => MbSpec)
+                             mb: Int => MbSpec,
+                             refreshAlt: Boolean = false,
+                             copyToGolden: Int = 0, // 0 none, 1 last, 2 alt
+                             copyToAlt: Int = 0) // 0 none, 1 last, 2 golden
 
   /** Encode one inter frame against the uniform-grid reference state;
     * returns the stream and this frame's reconstruction grid.
     */
   private[operators] def encodeInterFrame(plan: InterPlan, last: MbGrid,
-                                          golden: MbGrid): (Array[Byte], MbGrid) = {
+                                          golden: MbGrid,
+                                          alt: MbGrid = null): (Array[Byte], MbGrid) = {
+    val altGrid = if (alt == null) golden else alt
     require(plan.w > 0 && plan.h > 0 && plan.w % 16 == 0 && plan.h % 16 == 0,
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
     require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
@@ -1496,9 +1502,9 @@ object Vp8Codec {
     putDelta(plan.uvDcDelta)
     putDelta(0) // uv_ac
     hdr.putLiteral(if (plan.refreshGolden) 1 else 0, 1)
-    hdr.putLiteral(0, 1) // refresh altref = 0
-    if (!plan.refreshGolden) hdr.putLiteral(0, 2) // copy-to-golden: none
-    hdr.putLiteral(0, 2) // copy-to-altref: none
+    hdr.putLiteral(if (plan.refreshAlt) 1 else 0, 1)
+    if (!plan.refreshGolden) hdr.putLiteral(plan.copyToGolden, 2)
+    if (!plan.refreshAlt) hdr.putLiteral(plan.copyToAlt, 2)
     hdr.putLiteral(0, 1) // sign bias golden
     hdr.putLiteral(0, 1) // sign bias altref
     hdr.putLiteral(1, 1) // refresh entropy probs
@@ -1618,7 +1624,11 @@ object Vp8Codec {
             }
             locally { val _ = (best, ref) }
             mvR = mv._1; mvC = mv._2
-            val g = if (ref == RefLast) last else golden
+            val g = ref match {
+              case RefLast => last
+              case RefGolden => golden
+              case _ => altGrid
+            }
             // the uniform-grid model admits ANY mv (sub-pel included)
             // whose full filter support lies in a constant-valued region:
             // the 6-tap rows sum to 128 and ((128·A)+64)>>7 = A exactly,
@@ -1668,7 +1678,8 @@ object Vp8Codec {
               case _ => throw new MatchError(spec)
             }
             hdr.put(if (ref == RefLast) 0 else 1, probLast)
-            if (ref != RefLast) hdr.put(0, probGolden) // golden (1 = altref)
+            if (ref != RefLast)
+              hdr.put(if (ref == RefGolden) 0 else 1, probGolden)
             val (best, _, _, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
             hdr.putTree(mvRefTree, mvRefProbs(cnt), mvMode)
             if (mvMode == MvNew) {
@@ -1738,9 +1749,16 @@ object Vp8Codec {
   /** Decode one inter frame against (last, golden); returns the frame and
     * its (refreshLast, refreshGolden) flags.
     */
+  /** Returns (frame, refreshLast, refreshGolden, refreshAlt,
+    * copyToGolden, copyToAlt) — buffer updates are applied by the CALLER
+    * after decode (references during this frame use the pre-frame
+    * buffers, the spec's swap order).
+    */
   private[operators] def decodeInterFrame(b: Array[Byte], lastRef: Vp8Frame,
-                                          goldenRef: Vp8Frame)
-      : (Vp8Frame, Boolean, Boolean) = {
+                                          goldenRef: Vp8Frame,
+                                          altRef: Vp8Frame = null)
+      : (Vp8Frame, Boolean, Boolean, Boolean, Int, Int) = {
+    val altR = if (altRef == null) goldenRef else altRef
     require(b.length >= 4, s"vp8: ${b.length}-byte interframe is shorter than any header")
     val tag = (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16)
     require((tag & 1) == 1, "vp8: decodeInterFrame on a key frame")
@@ -1771,10 +1789,9 @@ object Vp8Codec {
     hd.signedFlagged(4) // uv_ac
     val refreshGolden = hd.literal(1) == 1
     val refreshAlt = hd.literal(1) == 1
-    require(!refreshAlt, "vp8: altref refresh outside this profile")
-    if (!refreshGolden)
-      require(hd.literal(2) == 0, "vp8: buffer-copy-to-golden outside this profile")
-    require(hd.literal(2) == 0, "vp8: buffer-copy-to-altref outside this profile")
+    val copyToGolden = if (!refreshGolden) hd.literal(2) else 0
+    val copyToAlt = if (!refreshAlt) hd.literal(2) else 0
+    require(copyToGolden <= 2 && copyToAlt <= 2, "vp8: reserved buffer-copy value")
     require(hd.literal(1) == 0, "vp8: golden sign bias outside this profile")
     require(hd.literal(1) == 0, "vp8: altref sign bias outside this profile")
     hd.literal(1) // refresh entropy
@@ -1839,10 +1856,8 @@ object Vp8Codec {
           val notLast = hd.get(probLast) == 1
           val ref =
             if (!notLast) RefLast
-            else {
-              require(hd.get(probGolden) == 0, "vp8: altref reference outside this profile")
-              RefGolden
-            }
+            else if (hd.get(probGolden) == 0) RefGolden
+            else RefAlt
           refOf(mbI) = ref
           val (best, nearest, near, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
           val mode = hd.tree(mvRefTree, mvRefProbs(cnt))
@@ -1918,7 +1933,11 @@ object Vp8Codec {
         val predU = new Array[Int](64)
         val predV = new Array[Int](64)
         if (isInterA(mbI)) {
-          val g = if (refOf(mbI) == RefLast) lastRef else goldenRef
+          val g = refOf(mbI) match {
+            case RefLast => lastRef
+            case RefGolden => goldenRef
+            case _ => altR
+          }
           mcFetch(g.y, w, h, px, py, 16, mvRowA(mbI), mvColA(mbI), predY)
           // chroma MV = luma MV halved (exact: coded MVs are always even),
           // applied in the half-res plane's own 1/8-pel units
@@ -2069,7 +2088,8 @@ object Vp8Codec {
       }
       r += 1
     }
-    (Vp8Frame(w, h, yPlane, uPlane, vPlane), refreshLast, refreshGolden)
+    (Vp8Frame(w, h, yPlane, uPlane, vPlane), refreshLast, refreshGolden,
+      refreshAlt, copyToGolden, copyToAlt)
   }
 
   /** Decode a frame sequence (first frame must be a key frame) with
@@ -2080,6 +2100,7 @@ object Vp8Codec {
     require(frames.nonEmpty, "vp8: empty sequence")
     var last: Vp8Frame = null
     var golden: Vp8Frame = null
+    var alt: Vp8Frame = null
     frames.zipWithIndex.map { case (f, i) =>
       require(f.length >= 3, s"vp8: frame $i truncated")
       val isKey = (f(0) & 1) == 0
@@ -2088,13 +2109,20 @@ object Vp8Codec {
       val out =
         if (isKey) {
           val fr = decodeFrame(f)
-          last = fr; golden = fr
+          last = fr; golden = fr; alt = fr
           fr
         } else {
           require(last != null, "vp8: interframe before any key frame")
-          val (fr, refL, refG) = decodeInterFrame(f, last, golden)
-          if (refL) last = fr
+          val (fr, refL, refG, refA, cpG, cpA) =
+            decodeInterFrame(f, last, golden, alt)
+          // spec swap order: buffer COPIES read the pre-frame buffers,
+          // then the decoded frame lands in the refreshed slots
+          val preLast = last; val preGolden = golden; val preAlt = alt
+          if (cpG == 1) golden = preLast else if (cpG == 2) golden = preAlt
+          if (cpA == 1) alt = preLast else if (cpA == 2) alt = preGolden
           if (refG) golden = fr
+          if (refA) alt = fr
+          if (refL) last = fr
           fr
         }
       out

@@ -514,6 +514,45 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("buffers: refresh_alt, both copy directions, and the pre-frame swap order") {
+    val (kf, g1) = keyGrid(6L, 32, 32)
+    def allSkip(ref: Int) = (_: Int) => Vp8Codec.InterMb(ref, 0, 0, 0, skip = true, 0, 0, 0)
+    // F2 steers to a new value and refreshes ALT (not golden, not... last yes)
+    val p2 = Vp8Codec.InterPlan(32, 32, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false, refreshAlt = true,
+      mb = m => Vp8Codec.InterMb(0, 0, 0, 0, skip = false,
+        (m * 50 + 9) % 256, 77, 140))
+    val (f2, g2) = Vp8Codec.encodeInterFrame(p2, g1, g1, g1)
+    // F3 probes ALT (= F2 via refresh_alt) and GOLDEN (= key still)
+    val p3 = Vp8Codec.InterPlan(32, 32, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false,
+      mb = m => if (m % 2 == 0) allSkip(2)(m) else allSkip(1)(m))
+    val (f3, _) = Vp8Codec.encodeInterFrame(p3, g2, g1, g2)
+    val out = Vp8Codec.decodeSequence(Seq(kf, f2, f3))
+    for (r <- 0 until 2; c <- 0 until 2) {
+      val m = r * 2 + c
+      val want = if (m % 2 == 0) (m * 50 + 9) % 256 else yT(6L)(m)
+      assert(mbVal(out(2), 0, r, c) == want, s"refresh_alt probe mb=$m")
+    }
+    // copy last->golden (code 1): golden becomes F2 for the NEXT frame,
+    // while the copying frame itself still reads the old golden
+    val p4 = Vp8Codec.InterPlan(32, 32, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false, copyToGolden = 1,
+      mb = allSkip(1)) // probes PRE-frame golden = key
+    val (f4, g4) = Vp8Codec.encodeInterFrame(p4, g2, g1, g2)
+    val p5 = Vp8Codec.InterPlan(32, 32, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false,
+      mb = allSkip(1)) // probes POST-copy golden = F2
+    val (f5, _) = Vp8Codec.encodeInterFrame(p5, g4, g2, g2)
+    val out2 = Vp8Codec.decodeSequence(Seq(kf, f2, f4, f5))
+    for (m <- 0 until 4) {
+      assert(mbVal(out2(2), 0, m / 2, m % 2) == yT(6L)(m),
+        s"copying frame must read the PRE-frame golden, mb=$m")
+      assert(mbVal(out2(3), 0, m / 2, m % 2) == (m * 50 + 9) % 256,
+        s"post-copy golden must be F2, mb=$m")
+    }
+  }
+
   test("inter malformed: every profile violation fails loudly") {
     val (kf, kGrid) = keyGrid(2L, 32, 32)
     val key = Vp8Codec.decodeFrame(kf)
