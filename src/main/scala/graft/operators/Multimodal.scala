@@ -793,6 +793,68 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a REAL MPEG-1 Layer III (MP3) mono stream — one or
+    * two frames, one nonzero spectral line per granule with ESC/linbits
+    * every third granule, rotating global gains / scalefac_compress /
+    * scfsi masks / region splits / count1 tables / stuffing bits — so
+    * the whole Huffman+MDCT stage (side info, scalefactor reuse,
+    * region-selected big-value tables, count1 bounded by
+    * part2_3_length, pinned requantization, alias butterflies, IMDCT
+    * overlap-add across granules AND frames, frequency inversion,
+    * polyphase synthesis) is exercised while the oracle replays the
+    * chain closed-form by linearity ([[MpegAudio]]'s constants
+    * discipline).
+    */
+  def withMp3Media(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          def gran(gi: Int): MpegAudio.L3Granule = {
+            val pos = ((17 + 37 * d + 101 * gi) % 576).toInt
+            val esc = (d + gi) % 3 == 0
+            val v = if (esc) (15 + (d % 2)).toInt else (1 + ((d + 3 * gi) % 13)).toInt
+            val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+            val sc = ((d + gi) % 16).toInt
+            val tsel =
+              if (esc) Array((16 + d % 16).toInt, (16 + (d + 1) % 16).toInt,
+                (16 + (d + 2) % 16).toInt)
+              else Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+                (12 + (d + 2) % 3).toInt)
+            val bigValues = pos / 2 + 1
+            MpegAudio.L3Granule(
+              lines = Seq((pos, signed)),
+              globalGain = ((29 * d + 7 * gi) % 256).toInt,
+              scalefacCompress = sc,
+              tableSelect = tsel,
+              region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+              preflag = ((d / 2 + gi) % 2).toInt,
+              scalefacScale = ((d / 4 + gi) % 2).toInt,
+              count1Table = (d % 2).toInt,
+              count1Quads = math.min((d % 5).toInt, (576 - 2 * bigValues) / 4),
+              stuffBits = (3 * ((d + gi) % 2)).toInt,
+              scalefac = band => {
+                val slen = if (band <= 10) sc >> 2 else sc & 3
+                ((3 * d + band + gi) % (1L << slen)).toInt
+              })
+          }
+          val nf = 1 + (d % 2).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            val fr = MpegAudio.encodeL3Frame((d % 16).toInt,
+              Array(gran(2 * f), gran(2 * f + 1)))
+            bos.write(fr, 0, fr.length)
+            f += 1
+          }
+          (d, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class MpegAudioStats(doc_id: Long, layer: Long, n_channels: Long,
                             n_frames: Long, n_samples: Long, pcm_checksum: Long)
 

@@ -169,7 +169,8 @@ class MpegAudioSpec extends AnyFunSuite {
       MpegAudio.decode(java.util.Arrays.copyOf(good, good.length - 4)))
     // empty stream
     intercept[IllegalArgumentException](MpegAudio.decode(Array.emptyByteArray))
-    // layer III bits
+    // layer III bits over a Layer I body: the side info parse must reject
+    // it (the L1 alloc nibbles read back as a nonzero main_data_begin)
     val l3 = good.clone()
     // header bits: sync(11) ver(2) layer(2): layer bits sit at bits 13-14
     // byte1 = [sync3][ver2][layer2][prot1]: set layer bits to 01 (III)
@@ -188,5 +189,166 @@ class MpegAudioSpec extends AnyFunSuite {
       MpegAudio.encodeL2Frame(MpegAudio.L2Frame(alloc, scfsi, sf, raw))
     }
     intercept[IllegalArgumentException](MpegAudio.decode(good ++ l2))
+  }
+
+  // ---- Layer III ------------------------------------------------------------
+
+  /** The q_mp3_decode fixture family: per global granule one nonzero
+    * spectral line (ESC/linbits every third granule), rotating gains,
+    * scalefactors, scfsi masks, region splits, count1 tables and
+    * stuffing. Mirrors Multimodal.withMp3Media and the SQL oracle.
+    */
+  private def l3Granule(d: Long, gi: Int): MpegAudio.L3Granule = {
+    val pos = ((17 + 37 * d + 101 * gi) % 576).toInt
+    val esc = (d + gi) % 3 == 0
+    val v = if (esc) (15 + (d % 2)).toInt else (1 + ((d + 3 * gi) % 13)).toInt
+    val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+    val sc = ((d + gi) % 16).toInt
+    val tsel =
+      if (esc) Array((16 + d % 16).toInt, (16 + (d + 1) % 16).toInt,
+        (16 + (d + 2) % 16).toInt)
+      else Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+        (12 + (d + 2) % 3).toInt)
+    val bigValues = pos / 2 + 1
+    MpegAudio.L3Granule(
+      lines = Seq((pos, signed)),
+      globalGain = ((29 * d + 7 * gi) % 256).toInt,
+      scalefacCompress = sc,
+      tableSelect = tsel,
+      region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+      preflag = ((d / 2 + gi) % 2).toInt,
+      scalefacScale = ((d / 4 + gi) % 2).toInt,
+      count1Table = (d % 2).toInt,
+      count1Quads = math.min((d % 5).toInt, (576 - 2 * bigValues) / 4),
+      stuffBits = (3 * ((d + gi) % 2)).toInt,
+      scalefac = band => {
+        val slen = if (band <= 10) sc >> 2 else sc & 3
+        ((3 * d + band + gi) % (1L << slen)).toInt
+      })
+  }
+
+  private def l3Stream(d: Long): Array[Byte] = {
+    val nf = 1 + (d % 2).toInt
+    (0 until nf).toArray.flatMap { f =>
+      MpegAudio.encodeL3Frame((d % 16).toInt,
+        Array(l3Granule(d, 2 * f), l3Granule(d, 2 * f + 1)))
+    }
+  }
+
+  /** Closed-form replay of the full Layer III chain by LINEARITY: one
+    * nonzero line per granule → requant → ≤2 alias contributions →
+    * 36-point IMDCT landing in two granule-steps → frequency inversion →
+    * the 16-tap polyphase convolution. This is exactly the SQL oracle's
+    * algebra.
+    */
+  private def l3Expected(d: Long): Array[Long] = {
+    val nf = 1 + (d % 2).toInt
+    val ngran = 2 * nf
+    val totalSteps = ngran * 18
+    val pcm = new Array[Long](totalSteps * 32)
+    for (gi <- 0 until ngran) {
+      val pos = ((17 + 37 * d + 101 * gi) % 576).toInt
+      val esc = (d + gi) % 3 == 0
+      val v = if (esc) (15 + (d % 2)).toInt else (1 + ((d + 3 * gi) % 13)).toInt
+      val neg = (d + 5 * gi) % 2 == 1
+      val gg = ((29 * d + 7 * gi) % 256).toInt
+      val band = math.min(pos / 26, 21)
+      val group = if (band < 6) 0 else if (band < 11) 1 else if (band < 16) 2 else 3
+      val scfsiBit = ((d % 16) >> group) & 1
+      val sgi = if (gi % 2 == 1 && scfsiBit == 1) gi - 1 else gi
+      val sc = ((d + sgi) % 16).toInt
+      val slen = if (band <= 10) sc >> 2 else sc & 3
+      val sfRaw = if (band > 20) 0L else (3 * d + band + sgi) % (1L << slen)
+      val pre = ((d / 2 + gi) % 2).toInt
+      val sscale = ((d / 4 + gi) % 2).toInt
+      val sfv = sfRaw + (if (pre == 1) band % 3 else 0)
+      val att = 1 + ((3 * sfv * (1 + sscale)) % 11)
+      val gain = 1 + gg % 9
+      val mag = v.toLong * (v + 2) * gain * att
+      val xr = if (neg) -mag else mag
+      val sb = pos / 18
+      val k = pos % 18
+      val contribs =
+        if (k >= 10 && sb < 31)
+          Seq((sb, k, 2L + (17 - k) % 3), (sb + 1, 17 - k, 1L + (17 - k) % 2))
+        else if (k <= 7 && sb >= 1)
+          Seq((sb, k, 2L + k % 3), (sb - 1, 17 - k, -(1L + k % 2)))
+        else Seq((sb, k, 1L))
+      for ((sbp, kp, w) <- contribs; p <- 0 until 36) {
+        val gs = if (p < 18) gi * 18 + p else (gi + 1) * 18 + (p - 18)
+        if (gs < totalSteps) {
+          val ss = gs % 18
+          val sgn = if (sbp % 2 == 1 && ss % 2 == 1) -1L else 1L
+          val tval = xr * w * (((7 * p + 11 * kp + 3) % 23) - 11) *
+            (1 + ((5 * p + 2) % 9)) * sgn
+          for (m <- 0 to 15; if gs + m < totalSteps; i <- 0 until 32) {
+            pcm((gs + m) * 32 + i) +=
+              tval * MpegAudio.nTab((m % 2) * 32 + i, sbp) * MpegAudio.dTab(m * 32 + i)
+          }
+        }
+      }
+    }
+    pcm
+  }
+
+  test("layer III: decoded PCM matches the closed-form linearity replay") {
+    for (d <- 0L until 24L) {
+      val out = MpegAudio.decode(l3Stream(d))
+      val nf = 1 + (d % 2).toInt
+      assert(out.layer == 3 && out.channels == 1 && out.nFrames == nf)
+      assert(out.pcm.length == nf * 1152)
+      val want = l3Expected(d)
+      assert(out.pcm.sameElements(want),
+        s"d=$d first diff at ${out.pcm.zip(want).indexWhere(t => t._1 != t._2)}")
+    }
+  }
+
+  test("layer III: scfsi reuse changes granule 1, not granule 0") {
+    // two frames identical except the scfsi mask: granule 0 PCM equal,
+    // granule 1 differs where the reused scalefactor differs
+    val g0 = l3Granule(6L, 0)
+    val g1 = l3Granule(6L, 1)
+    val a = MpegAudio.decode(MpegAudio.encodeL3Frame(0, Array(g0, g1)))
+    val b = MpegAudio.decode(MpegAudio.encodeL3Frame(15, Array(g0, g1)))
+    // granule 0 output (first 18 steps) must agree
+    assert(a.pcm.take(576).sameElements(b.pcm.take(576)))
+    assert(!a.pcm.drop(576).sameElements(b.pcm.drop(576)),
+      "scfsi mask must change granule 1's dequantization")
+  }
+
+  test("layer III: ESC/linbits values round-trip through the region tables") {
+    // d=0, gi=0 is an ESC granule (value 15); force linbits coverage by
+    // also checking a plain granule decodes under non-ESC tables
+    val esc = l3Granule(0L, 0)
+    assert(esc.tableSelect.forall(_ >= 16))
+    val out = MpegAudio.decode(MpegAudio.encodeL3Frame(0, Array(esc, l3Granule(0L, 1))))
+    assert(out.pcm.sameElements(l3Expected(0L)))
+  }
+
+  test("layer III: stuffing bits are skipped to part2_3_length exactly") {
+    // gi with (d+gi)%2==1 carries 3 stuffing bits; a second frame after
+    // it only syncs if the skip landed exactly
+    val out = MpegAudio.decode(l3Stream(1L)) // d=1: two frames, stuffed granules
+    assert(out.nFrames == 2 && out.pcm.length == 2304)
+  }
+
+  test("layer III malformed: every corruption fails loudly") {
+    val good = l3Stream(2L)
+    // truncated
+    intercept[IllegalArgumentException](
+      MpegAudio.decode(java.util.Arrays.copyOf(good, good.length - 3)))
+    // window_switching flag set: bit 83 (header 32 + mdb 9 + priv 5 +
+    // scfsi 4 + part23 12 + bv 9 + gg 8 + sc 4)
+    val ws = good.clone()
+    ws(83 / 8) = (ws(83 / 8) | (0x80 >> (83 % 8))).toByte
+    intercept[IllegalArgumentException](MpegAudio.decode(ws))
+    // stereo mode bits under layer III
+    val st = good.clone()
+    st(3) = (st(3) & ~0xc0).toByte
+    intercept[IllegalArgumentException](MpegAudio.decode(st))
+    // nonzero main_data_begin (bit reservoir)
+    val mdb = good.clone()
+    mdb(4) = (mdb(4) | 0x80).toByte // first side-info bit
+    intercept[IllegalArgumentException](MpegAudio.decode(mdb))
   }
 }
