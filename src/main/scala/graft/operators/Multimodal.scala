@@ -322,6 +322,67 @@ object Multimodal {
     }
   }
 
+  /** Each doc carries a loop-filtered VP8 key frame: per-MB uniform
+    * targets STRIPED along one axis (so exactly one edge direction
+    * activates and the closed form stays per-pixel tractable), the
+    * filter type (simple/normal), stripe axis, level and sharpness
+    * rotating by doc. The inactive direction's edges still RUN in the
+    * decoder — between two equal uniform regions every RFC 6386 filter
+    * is an exact no-op — so a filter that fires where it must not (or
+    * drifts in limits, masks, clamps, taps or the 27/18/9 cascade)
+    * moves the checksum.
+    */
+  def withVp8LoopfilterMedia(docs: DataFrame, id: String = "doc_id",
+                             nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          // one MB thick along the INACTIVE axis: the RFC's processing
+          // order makes cross pixels see half-filtered neighbors (above
+          // row already side-filtered, current row not yet), so the two
+          // directions are graded separately; their composition order is
+          // pinned by the checkerboard spec replay
+          val v = (d % 4).toInt
+          val colStripe = v % 2 == 0
+          val simple = v < 2
+          val w = if (colStripe) (16 * (2 + nc % 2)).toInt else 16
+          val h = if (colStripe) 16 else (16 * (2 + nc % 2)).toInt
+          val mbW = w / 16
+          def idx(m: Int): Int = if (colStripe) m % mbW else m / mbW
+          // simple variants: free-ranging stripe values (interior edges
+          // never see MB-edge-modified pixels). Normal variants:
+          // alternating stripes with adjacent deltas ≤ 24, so the
+          // MB-edge cascade's a9 ≤ 3 and the dx=4 interior subblock
+          // filter that READS the cascade's outputs is an exact
+          // arithmetic no-op — the RFC composition stays closed-form.
+          def tOf(pl: Int, j: Int): Int =
+            if (simple) pl match {
+              case 0 => ((31 * d + 29 * j) % 256).toInt
+              case 1 => ((91 * d + 17 * j) % 256).toInt
+              case _ => ((53 * d + 23 * j) % 256).toInt
+            }
+            else pl match {
+              case 0 => (30 + (31 * d) % 170 + ((j + d) % 2) * (1 + d % 24)).toInt
+              case 1 => (25 + (91 * d) % 180 + ((j + d) % 2) * (1 + (d + 7) % 24)).toInt
+              case _ => (20 + (53 * d) % 190 + ((j + d) % 2) * (1 + (d + 13) % 24)).toInt
+            }
+          val plan = Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 0,
+            tokenPartitions = 1, skipAll = false,
+            yTarget = m => tOf(0, idx(m)),
+            uTarget = m => tOf(1, idx(m)),
+            vTarget = m => tOf(2, idx(m)),
+            filterType = if (simple) 1 else 0,
+            filterLevel = (1 + d % 63).toInt,
+            sharpness = (d % 8).toInt)
+          (d, Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(plan)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   def withWebpMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession

@@ -374,17 +374,204 @@ object Vp8Codec {
     out
   }
 
+  // ---- loop filter (RFC 6386 §15) --------------------------------------------
+  //
+  // Both filter types, applied to KEY frames after reconstruction in MB
+  // raster order with the spec's per-MB edge order: left MB edge, interior
+  // vertical subblock edges, top MB edge, interior horizontal edges. The
+  // simple filter (filter_type 1) touches luma only and adjusts p0/q0; the
+  // normal filter (filter_type 0) covers luma + chroma, with the
+  // high-edge-variance (hev) switch and the 27/18/9 three-pixel MB-edge
+  // cascade. Interior subblock edges are filtered only for MBs with coded
+  // coefficients or per-subblock prediction (B_PRED), per §15.2.
+  // PINNED SEMANTICS, stated honestly: adjusted pixels are clamped to the
+  // signed-byte range before the +128 bias (the reference decoder's
+  // signed-char clamp; the spec's pseudo-code leans on int8 wrap), the
+  // hev threshold uses the key-frame ladder (0/1/2 at levels <15 / <40 /
+  // ≥40), and `>>` is the arithmetic shift on both the engine and oracle
+  // sides.
+
+  private def u2s(v: Byte): Int = (v & 0xff) - 128
+  private def clampS(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+  private def s2u(v: Int): Byte = (clampS(v) + 128).toByte
+
+  /** §15.1 interior limit from the frame filter level and sharpness. */
+  private[operators] def lfInteriorLimit(level: Int, sharpness: Int): Int = {
+    var il = level
+    if (sharpness > 0) {
+      il >>= (if (sharpness > 4) 2 else 1)
+      if (il > 9 - sharpness) il = 9 - sharpness
+    }
+    if (il < 1) 1 else il
+  }
+
+  /** Simple filter at one edge position: q0 at index `i`, step `s` (1 for
+    * vertical edges, the row stride for horizontal ones).
+    */
+  private def simpleEdge(pl: Array[Byte], i: Int, s: Int, lim: Int): Unit = {
+    val p1 = u2s(pl(i - 2 * s)); val p0 = u2s(pl(i - s))
+    val q0 = u2s(pl(i)); val q1 = u2s(pl(i + s))
+    if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= lim) {
+      val a = clampS(clampS(p1 - q1) + 3 * (q0 - p0))
+      pl(i) = s2u(q0 - (clampS(a + 4) >> 3))
+      pl(i - s) = s2u(p0 + (clampS(a + 3) >> 3))
+    }
+  }
+
+  /** Normal filter at one edge position: the §15.3 filter_mask (edge
+    * clause + six interior-step clauses), hev, and either the MB-edge
+    * 27/18/9 cascade or the subblock filter with its half-step outer
+    * adjust.
+    */
+  private def normalEdge(pl: Array[Byte], i: Int, s: Int, il: Int, el: Int,
+                         hevT: Int, mbEdge: Boolean): Unit = {
+    val p3 = u2s(pl(i - 4 * s)); val p2 = u2s(pl(i - 3 * s))
+    val p1 = u2s(pl(i - 2 * s)); val p0 = u2s(pl(i - s))
+    val q0 = u2s(pl(i)); val q1 = u2s(pl(i + s))
+    val q2 = u2s(pl(i + 2 * s)); val q3 = u2s(pl(i + 3 * s))
+    val mask =
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= el &&
+        math.abs(p3 - p2) <= il && math.abs(p2 - p1) <= il &&
+        math.abs(p1 - p0) <= il && math.abs(q1 - q0) <= il &&
+        math.abs(q2 - q1) <= il && math.abs(q3 - q2) <= il
+    if (mask) {
+      val hv = math.abs(p1 - p0) > hevT || math.abs(q1 - q0) > hevT
+      if (mbEdge && !hv) {
+        val wv = clampS(clampS(p1 - q1) + 3 * (q0 - p0))
+        var a = clampS((27 * wv + 63) >> 7)
+        pl(i) = s2u(q0 - a); pl(i - s) = s2u(p0 + a)
+        a = clampS((18 * wv + 63) >> 7)
+        pl(i + s) = s2u(q1 - a); pl(i - 2 * s) = s2u(p1 + a)
+        a = clampS((9 * wv + 63) >> 7)
+        pl(i + 2 * s) = s2u(q2 - a); pl(i - 3 * s) = s2u(p2 + a)
+      } else {
+        // common_adjust: outer tap iff hev (always on the hev MB-edge path)
+        val a0 = clampS((if (hv || mbEdge) clampS(p1 - q1) else 0) + 3 * (q0 - p0))
+        val f1 = clampS(a0 + 4) >> 3
+        val f2 = clampS(a0 + 3) >> 3
+        pl(i) = s2u(q0 - f1); pl(i - s) = s2u(p0 + f2)
+        if (!mbEdge && !hv) {
+          val a = (f1 + 1) >> 1
+          pl(i + s) = s2u(q1 - a); pl(i - 2 * s) = s2u(p1 + a)
+        }
+      }
+    }
+  }
+
+  /** Frame loop-filter pass over a reconstructed key frame. `interior(mb)`
+    * gates the subblock edges (coded coefficients present, or B_PRED).
+    */
+  private def applyLoopFilter(y: Array[Byte], u: Array[Byte], v: Array[Byte],
+                              w: Int, filterType: Int, level: Int,
+                              sharpness: Int, mbW: Int, mbH: Int,
+                              interior: Int => Boolean): Unit = {
+    val il = lfInteriorLimit(level, sharpness)
+    val mbLim = (level + 2) * 2 + il
+    val sbLim = level * 2 + il
+    val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
+    val w2 = w / 2
+    var r = 0
+    while (r < mbH) {
+      var c = 0
+      while (c < mbW) {
+        val fi = interior(r * mbW + c)
+        if (filterType == 1) { // simple: luma only
+          if (c > 0) {
+            var row = 0
+            while (row < 16) { simpleEdge(y, (16 * r + row) * w + 16 * c, 1, mbLim); row += 1 }
+          }
+          if (fi) {
+            var dx = 4
+            while (dx < 16) {
+              var row = 0
+              while (row < 16) { simpleEdge(y, (16 * r + row) * w + 16 * c + dx, 1, sbLim); row += 1 }
+              dx += 4
+            }
+          }
+          if (r > 0) {
+            var ci = 0
+            while (ci < 16) { simpleEdge(y, (16 * r) * w + 16 * c + ci, w, mbLim); ci += 1 }
+          }
+          if (fi) {
+            var dy = 4
+            while (dy < 16) {
+              var ci = 0
+              while (ci < 16) { simpleEdge(y, (16 * r + dy) * w + 16 * c + ci, w, sbLim); ci += 1 }
+              dy += 4
+            }
+          }
+        } else { // normal: luma + chroma
+          if (c > 0) {
+            var row = 0
+            while (row < 16) { normalEdge(y, (16 * r + row) * w + 16 * c, 1, il, mbLim, hevT, mbEdge = true); row += 1 }
+            row = 0
+            while (row < 8) {
+              normalEdge(u, (8 * r + row) * w2 + 8 * c, 1, il, mbLim, hevT, mbEdge = true)
+              normalEdge(v, (8 * r + row) * w2 + 8 * c, 1, il, mbLim, hevT, mbEdge = true)
+              row += 1
+            }
+          }
+          if (fi) {
+            var dx = 4
+            while (dx < 16) {
+              var row = 0
+              while (row < 16) { normalEdge(y, (16 * r + row) * w + 16 * c + dx, 1, il, sbLim, hevT, mbEdge = false); row += 1 }
+              dx += 4
+            }
+            var row = 0
+            while (row < 8) {
+              normalEdge(u, (8 * r + row) * w2 + 8 * c + 4, 1, il, sbLim, hevT, mbEdge = false)
+              normalEdge(v, (8 * r + row) * w2 + 8 * c + 4, 1, il, sbLim, hevT, mbEdge = false)
+              row += 1
+            }
+          }
+          if (r > 0) {
+            var ci = 0
+            while (ci < 16) { normalEdge(y, (16 * r) * w + 16 * c + ci, w, il, mbLim, hevT, mbEdge = true); ci += 1 }
+            ci = 0
+            while (ci < 8) {
+              normalEdge(u, (8 * r) * w2 + 8 * c + ci, w2, il, mbLim, hevT, mbEdge = true)
+              normalEdge(v, (8 * r) * w2 + 8 * c + ci, w2, il, mbLim, hevT, mbEdge = true)
+              ci += 1
+            }
+          }
+          if (fi) {
+            var dy = 4
+            while (dy < 16) {
+              var ci = 0
+              while (ci < 16) { normalEdge(y, (16 * r + dy) * w + 16 * c + ci, w, il, sbLim, hevT, mbEdge = false); ci += 1 }
+              dy += 4
+            }
+            var ci = 0
+            while (ci < 8) {
+              normalEdge(u, (8 * r + 4) * w2 + 8 * c + ci, w2, il, sbLim, hevT, mbEdge = false)
+              normalEdge(v, (8 * r + 4) * w2 + 8 * c + ci, w2, il, sbLim, hevT, mbEdge = false)
+              ci += 1
+            }
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+  }
+
   // ---- encode --------------------------------------------------------------
 
   /** Encoding plan for one frame: per-MB uniform targets (the closed-form
-    * generator) with coding features the fixtures rotate.
+    * generator) with coding features the fixtures rotate. A nonzero
+    * `filterLevel` enables the in-loop filter at decode; the returned
+    * [[MbGrid]] stays PRE-filter, so loop-filtered frames must not be
+    * chained as inter references by the steered encoders.
     */
   final case class Plan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
                         yMode: Int, tokenPartitions: Int, skipAll: Boolean,
                         yTarget: Int => Int, uTarget: Int => Int,
                         vTarget: Int => Int,
                         bModes: (Int, Int) => Int = (_, _) => 0,
-                        yModeOf: Int => Int = null) {
+                        yModeOf: Int => Int = null,
+                        filterType: Int = 0, filterLevel: Int = 0,
+                        sharpness: Int = 0) {
     /** Per-MB luma mode: `yModeOf` override or the uniform `yMode`. */
     def modeAt(mbI: Int): Int = if (yModeOf == null) yMode else yModeOf(mbI)
   }
@@ -496,9 +683,12 @@ object Vp8Codec {
     hdr.putLiteral(0, 1) // color space
     hdr.putLiteral(0, 1) // clamping type
     hdr.putLiteral(0, 1) // segmentation disabled
-    hdr.putLiteral(0, 1) // filter type
-    hdr.putLiteral(0, 6) // loop filter level 0 (no loop filtering)
-    hdr.putLiteral(0, 3) // sharpness
+    require(plan.filterLevel >= 0 && plan.filterLevel < 64
+      && (plan.filterType & ~1) == 0
+      && plan.sharpness >= 0 && plan.sharpness < 8, "vp8 encode: filter header")
+    hdr.putLiteral(plan.filterType, 1)
+    hdr.putLiteral(plan.filterLevel, 6)
+    hdr.putLiteral(plan.sharpness, 3)
     hdr.putLiteral(0, 1) // no lf deltas
     hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2) // log2 partitions
     hdr.putLiteral(plan.qi, 7) // y_ac_qi
@@ -833,10 +1023,9 @@ object Vp8Codec {
     hd.literal(1) // color space
     hd.literal(1) // clamping
     require(hd.literal(1) == 0, "vp8: segmentation unsupported in this profile")
-    hd.literal(1) // filter type
+    val filterType = hd.literal(1)
     val filterLevel = hd.literal(6)
-    require(filterLevel == 0, "vp8: loop filter must be off in this profile")
-    hd.literal(3) // sharpness
+    val sharpness = hd.literal(3)
     require(hd.literal(1) == 0, "vp8: loop-filter deltas unsupported")
     val log2Parts = hd.literal(2)
     require(log2Parts <= 1, s"vp8: this profile reads 1 or 2 token partitions")
@@ -938,6 +1127,7 @@ object Vp8Codec {
     val aboveU = Array.fill(mbW * 2)(0)
     val aboveV = Array.fill(mbW * 2)(0)
     val aboveY2 = Array.fill(mbW)(0)
+    val mbNz = new Array[Boolean](mbW * mbH) // any coded coefficient (loop filter)
 
     def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
 
@@ -1090,6 +1280,7 @@ object Vp8Codec {
             }
             val (yc, nzY) = readBlock(td, 3, 0, aboveY(4 * c + bc) + leftY(br))
             aboveY(4 * c + bc) = nzY; leftY(br) = nzY
+            if (nzY != 0) mbNz(mbI) = true
             yc(0) *= yBdcQv
             var k0 = 1
             while (k0 < 16) { yc(k0) *= yAcQv; k0 += 1 }
@@ -1108,6 +1299,7 @@ object Vp8Codec {
               val bc = bi & 1; val br = bi >> 1
               val (cc, nz) = readBlock(td, 2, 0, above(2 * c + bc) + left(br))
               above(2 * c + bc) = nz; left(br) = nz
+              if (nz != 0) mbNz(mbI) = true
               cc(0) *= uvq
               var k = 1
               while (k < 16) { cc(k) *= uvaq; k += 1 }
@@ -1125,6 +1317,7 @@ object Vp8Codec {
         } else {
           val (y2c, nz2) = readBlock(td, 1, 0, aboveY2(c) + leftY2)
           aboveY2(c) = nz2; leftY2 = nz2
+          if (nz2 != 0) mbNz(mbI) = true
           y2c(0) *= y2q
           var i = 1
           while (i < 16) { y2c(i) *= y2aq; i += 1 }
@@ -1134,6 +1327,7 @@ object Vp8Codec {
             val bc = bidx & 3; val br = bidx >> 2
             val (yc, nzY) = readBlock(td, 0, 1, aboveY(4 * c + bc) + leftY(br))
             aboveY(4 * c + bc) = nzY; leftY(br) = nzY
+            if (nzY != 0) mbNz(mbI) = true
             var k0 = 1
             while (k0 < 16) { yc(k0) *= yAcQv; k0 += 1 }
             yc(0) = dcs(bidx) // the Y2 plane carries this block's DC
@@ -1151,6 +1345,7 @@ object Vp8Codec {
               val bc = bi & 1; val br = bi >> 1
               val (cc, nz) = readBlock(td, 2, 0, above(2 * c + bc) + left(br))
               above(2 * c + bc) = nz; left(br) = nz
+              if (nz != 0) mbNz(mbI) = true
               cc(0) *= uvq
               var k = 1
               while (k < 16) { cc(k) *= uvaq; k += 1 }
@@ -1184,6 +1379,9 @@ object Vp8Codec {
       }
       r += 1
     }
+    if (filterLevel > 0)
+      applyLoopFilter(yPlane, uPlane, vPlane, w, filterType, filterLevel,
+        sharpness, mbW, mbH, mb => yModes(mb) == ModeB || mbNz(mb))
     Vp8Frame(w, h, yPlane, uPlane, vPlane)
   }
 

@@ -584,4 +584,130 @@ class Vp8CodecSpec extends AnyFunSuite {
     assert(back.length == 2 && back(1).y.sameElements(
       Vp8Codec.decodeSequence(Seq(kf, f2))(1).y))
   }
+
+  // ---- loop filter ----------------------------------------------------------
+
+  /** Test-local closed forms, written independently of the codec: the
+    * §15 simple filter pair and the normal MB-edge 27/18/9 cascade for
+    * two uniform regions (p-side value `pv`, q-side `qv`).
+    */
+  private def cS(x: Int): Int = math.max(-128, math.min(127, x))
+
+  private def lfLims(level: Int, sharp: Int): Int = {
+    var il = level
+    if (sharp > 0) {
+      il >>= (if (sharp > 4) 2 else 1)
+      if (il > 9 - sharp) il = 9 - sharp
+    }
+    if (il < 1) il = 1
+    (level + 2) * 2 + il
+  }
+
+  private def simplePair(pv: Int, qv: Int, mbLim: Int): (Int, Int) = {
+    val sp = pv - 128; val sq = qv - 128; val dd = sp - sq
+    if (math.abs(dd) * 2 + math.abs(dd) / 2 <= mbLim) {
+      val a = cS(cS(dd) - 3 * dd)
+      (cS(sp + (cS(a + 3) >> 3)) + 128, cS(sq - (cS(a + 4) >> 3)) + 128)
+    } else (pv, qv)
+  }
+
+  private def normalSix(pv: Int, qv: Int, mbLim: Int): (Seq[Int], Seq[Int]) = {
+    val sp = pv - 128; val sq = qv - 128; val dd = sp - sq
+    if (math.abs(dd) * 2 + math.abs(dd) / 2 <= mbLim) {
+      val wv = cS(cS(dd) - 3 * dd)
+      val a27 = cS((27 * wv + 63) >> 7)
+      val a18 = cS((18 * wv + 63) >> 7)
+      val a9 = cS((9 * wv + 63) >> 7)
+      (Seq(cS(sp + a9) + 128, cS(sp + a18) + 128, cS(sp + a27) + 128), // p2,p1,p0
+        Seq(cS(sq - a27) + 128, cS(sq - a18) + 128, cS(sq - a9) + 128)) // q0,q1,q2
+    } else (Seq(pv, pv, pv), Seq(qv, qv, qv))
+  }
+
+  test("loop filter: simple vertical MB edge matches the closed form, luma only") {
+    for ((lvl, sh, a, b) <- Seq((20, 3, 100, 200), (63, 0, 10, 250), (5, 7, 130, 131))) {
+      val plan = Vp8Codec.Plan(32, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+        tokenPartitions = 1, skipAll = false,
+        m => Seq(a, b)(m % 2), m => Seq(60, 180)(m % 2), m => Seq(90, 30)(m % 2),
+        filterType = 1, filterLevel = lvl, sharpness = sh)
+      val fr = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(plan))
+      val (p0, q0) = simplePair(a, b, lfLims(lvl, sh))
+      for (row <- 0 until 32) {
+        assert((fr.y(row * 32 + 14) & 0xff) == a, s"col14 lvl=$lvl")
+        assert((fr.y(row * 32 + 15) & 0xff) == p0, s"col15 lvl=$lvl")
+        assert((fr.y(row * 32 + 16) & 0xff) == q0, s"col16 lvl=$lvl")
+        assert((fr.y(row * 32 + 17) & 0xff) == b, s"col17 lvl=$lvl")
+      }
+      // chroma untouched under the simple filter; horizontal edges are
+      // no-ops (equal uniform regions per column)
+      for (row <- 0 until 16; cc <- 0 until 16)
+        assert((fr.u(row * 16 + cc) & 0xff) == Seq(60, 180)(cc / 8))
+    }
+  }
+
+  test("loop filter: normal horizontal MB edge runs the 27/18/9 cascade on luma and chroma") {
+    for ((lvl, sh, a, b) <- Seq((24, 1, 40, 220), (63, 7, 128, 129), (1, 0, 0, 255))) {
+      val plan = Vp8Codec.Plan(32, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+        tokenPartitions = 1, skipAll = false,
+        m => Seq(a, b)(m / 2), m => Seq(50, 170)(m / 2), m => Seq(200, 20)(m / 2),
+        filterType = 0, filterLevel = lvl, sharpness = sh)
+      val fr = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(plan))
+      val lim = lfLims(lvl, sh)
+      val (ps, qs) = normalSix(a, b, lim)
+      for (cc <- 0 until 32) {
+        assert((fr.y(12 * 32 + cc) & 0xff) == a)
+        for (k <- 0 until 3) {
+          assert((fr.y((13 + k) * 32 + cc) & 0xff) == ps(k), s"p row ${13 + k} lvl=$lvl")
+          assert((fr.y((16 + k) * 32 + cc) & 0xff) == qs(k), s"q row ${16 + k} lvl=$lvl")
+        }
+        assert((fr.y(19 * 32 + cc) & 0xff) == b)
+      }
+      val (pu, qu) = normalSix(50, 170, lim)
+      for (cc <- 0 until 16; k <- 0 until 3) {
+        assert((fr.u((5 + k) * 16 + cc) & 0xff) == pu(k), s"u p row ${5 + k}")
+        assert((fr.u((8 + k) * 16 + cc) & 0xff) == qu(k), s"u q row ${8 + k}")
+      }
+    }
+  }
+
+  test("loop filter: checkerboard pins the edge ORDER (vertical, then horizontal, raster MBs)") {
+    // independent replay of the whole simple-filter pass: per MB in
+    // raster order, left edge then top edge (interior edges are exact
+    // no-ops inside uniform MBs); corner pixels compose both directions
+    val (a, b) = (80, 210)
+    val lvl = 40; val sh = 0
+    val mbLim = lfLims(lvl, sh)
+    def t(mr: Int, mc: Int): Int = if ((mr + mc) % 2 == 0) a else b
+    val plan = Vp8Codec.Plan(32, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+      tokenPartitions = 1, skipAll = false,
+      m => t(m / 2, m % 2), _ => 128, _ => 128,
+      filterType = 1, filterLevel = lvl, sharpness = sh)
+    val fr = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(plan))
+    val ref = Array.tabulate(32 * 32)(i => t((i / 32) / 16, (i % 32) / 16))
+    def sf(iQ: Int, s: Int): Unit = {
+      val p1 = ref(iQ - 2 * s) - 128; val p0 = ref(iQ - s) - 128
+      val q0 = ref(iQ) - 128; val q1 = ref(iQ + s) - 128
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= mbLim) {
+        val w = cS(cS(p1 - q1) + 3 * (q0 - p0))
+        ref(iQ) = cS(q0 - (cS(w + 4) >> 3)) + 128
+        ref(iQ - s) = cS(p0 + (cS(w + 3) >> 3)) + 128
+      }
+    }
+    for (mr <- 0 until 2; mc <- 0 until 2) {
+      if (mc > 0) for (row <- 0 until 16) sf((16 * mr + row) * 32 + 16 * mc, 1)
+      if (mr > 0) for (cc <- 0 until 16) sf((16 * mr) * 32 + 16 * mc + cc, 32)
+    }
+    for (i <- 0 until 32 * 32)
+      assert((fr.y(i) & 0xff) == ref(i), s"pixel $i (${i % 32},${i / 32})")
+  }
+
+  test("loop filter: interior subblock edges are live but inert between equal regions") {
+    // uniform frame, max level: every interior edge runs; nothing changes
+    val plan = Vp8Codec.Plan(32, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+      tokenPartitions = 1, skipAll = false, _ => 77, _ => 99, _ => 111,
+      filterType = 0, filterLevel = 63, sharpness = 0)
+    val fr = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(plan))
+    assert(fr.y.forall(v => (v & 0xff) == 77))
+    assert(fr.u.forall(v => (v & 0xff) == 99))
+    assert(fr.v.forall(v => (v & 0xff) == 111))
+  }
 }
