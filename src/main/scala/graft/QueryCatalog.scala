@@ -4350,6 +4350,154 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL VP8 B_PRED DIRECTIONAL SUB-MODES, graded byte-exact — the
+    // full 4×4 intra prediction family (VE/HE/RD/VR/HD/LD/VL/HU on top
+    // of the already-graded DC/TM): each doc's center MB hosts one
+    // directional sub-block whose support is NON-UNIFORM (distinct
+    // neighbor-MB values; steered donor sub-blocks feed the
+    // above-right-reading LD/VL and the left-column-reading HU), so the
+    // RFC 6386 §12.3 averaging pattern — diagonal bands, the avg2/avg3
+    // cell maps, edge replication — lands per-pixel in the output and
+    // the oracle replays it closed-form. The DC steering anchors each
+    // block at pixel (3,3), with the decoder's reconstruction clamp
+    // replayed on both sides.
+    ("q_vp8_bpred",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.withVp8BpredMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, doc_id % 8 AS v FROM documents),
+             |px AS (
+             |  SELECT b.d,
+             |    sum(vv.val) AS pix_sum,
+             |    sum(vv.val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM base b
+             |  JOIN range(0, 2304) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (31*b.d + 13*4) % 256 AS ty, (31*b.d + 13*1) % 256 AS av,
+             |    (31*b.d + 13*3) % 256 AS lv, (31*b.d) % 256 AS alv,
+             |    (31*b.d + 97) % 256 AS ta, (31*b.d + 181) % 256 AS tb) k
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < 1536 THEN 0
+             |         WHEN t.i < 1920 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % 48
+             |      WHEN 1 THEN (t.i - 1536) % 24 ELSE (t.i - 1920) % 24 END AS x,
+             |    CASE q0.pl WHEN 0 THEN t.i // 48
+             |      WHEN 1 THEN (t.i - 1536) // 24 ELSE (t.i - 1920) // 24 END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (q1.yy // 16) * 3 + q1.x // 16
+             |      ELSE (q1.yy // 8) * 3 + q1.x // 8 END AS mb,
+             |    q1.x % 16 AS lx, q1.yy % 16 AS ly) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (q2.ly // 4) * 4 + q2.lx // 4 AS sb,
+             |    q2.ly % 4 AS r2, q2.lx % 4 AS c2) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    (k.alv + 3*k.av + 2) >> 2 AS a3_al_a,
+             |    (k.alv + 3*k.lv + 2) >> 2 AS a3_al_l,
+             |    (3*k.lv + k.alv + 2) >> 2 AS a3_3l_al,
+             |    (k.lv + 2*k.alv + k.av + 2) >> 2 AS a3_l_al_a,
+             |    (k.alv + k.av + 1) >> 1 AS a2_al_a,
+             |    (k.lv + k.alv + 1) >> 1 AS a2_l_al,
+             |    (3*k.ta + k.tb + 2) >> 2 AS a3_3ta_tb,
+             |    (k.ta + 3*k.tb + 2) >> 2 AS a3_ta_3tb,
+             |    (k.ta + k.tb + 1) >> 1 AS a2_ta_tb,
+             |    greatest(0, least(255, ((k.alv + 3*k.lv + 2) >> 2)
+             |      + k.ty - k.lv)) AS xv) f
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 1 THEN (91*b.d + 7*q2.mb) % 256
+             |    WHEN q0.pl = 2 THEN (53*b.d + 11*q2.mb) % 256
+             |    WHEN q2.mb <> 4 THEN (31*b.d + 13*q2.mb) % 256
+             |    ELSE greatest(0, least(255,
+             |      CASE b.v
+             |      WHEN 0 THEN CASE WHEN q3.sb = 0 AND q3.c2 = 0
+             |        THEN f.a3_al_a + k.ty - k.av ELSE k.ty END
+             |      WHEN 1 THEN CASE WHEN q3.sb = 0 AND q3.r2 = 0
+             |        THEN f.a3_al_l + k.ty - k.lv ELSE k.ty END
+             |      WHEN 2 THEN CASE WHEN q3.sb <> 0 THEN k.ty ELSE
+             |        (CASE q3.c2 - q3.r2
+             |          WHEN -3 THEN k.lv WHEN -2 THEN k.lv
+             |          WHEN -1 THEN f.a3_3l_al
+             |          WHEN 0 THEN f.a3_l_al_a
+             |          WHEN 1 THEN f.a3_al_a ELSE k.av END)
+             |        + k.ty - f.a3_l_al_a END
+             |      WHEN 3 THEN CASE WHEN q3.sb <> 0 THEN k.ty ELSE
+             |        (CASE
+             |          WHEN q3.r2 = 0 THEN
+             |            CASE WHEN q3.c2 = 0 THEN f.a2_al_a ELSE k.av END
+             |          WHEN q3.r2 = 1 THEN
+             |            CASE WHEN q3.c2 = 0 THEN f.a3_l_al_a
+             |                 WHEN q3.c2 = 1 THEN f.a3_al_a ELSE k.av END
+             |          WHEN q3.r2 = 2 THEN
+             |            CASE WHEN q3.c2 = 0 THEN f.a3_3l_al
+             |                 WHEN q3.c2 = 1 THEN f.a2_al_a ELSE k.av END
+             |          ELSE
+             |            CASE WHEN q3.c2 = 0 THEN k.lv
+             |                 WHEN q3.c2 = 1 THEN f.a3_l_al_a
+             |                 WHEN q3.c2 = 2 THEN f.a3_al_a ELSE k.av END
+             |        END) + k.ty - k.av END
+             |      WHEN 4 THEN CASE WHEN q3.sb <> 0 THEN k.ty ELSE
+             |        (CASE
+             |          WHEN q3.r2 = 0 THEN
+             |            CASE WHEN q3.c2 = 0 THEN f.a2_l_al
+             |                 WHEN q3.c2 = 1 THEN f.a3_l_al_a
+             |                 WHEN q3.c2 = 2 THEN f.a3_al_a ELSE k.av END
+             |          WHEN q3.r2 = 1 THEN
+             |            CASE WHEN q3.c2 = 0 THEN k.lv
+             |                 WHEN q3.c2 = 1 THEN f.a3_3l_al
+             |                 WHEN q3.c2 = 2 THEN f.a2_l_al
+             |                 ELSE f.a3_l_al_a END
+             |          WHEN q3.r2 = 2 THEN
+             |            CASE WHEN q3.c2 <= 1 THEN k.lv
+             |                 WHEN q3.c2 = 2 THEN k.lv ELSE f.a3_3l_al END
+             |          ELSE k.lv
+             |        END) + k.ty - k.lv END
+             |      WHEN 5 THEN
+             |        CASE WHEN q3.sb = 0 THEN k.ta WHEN q3.sb = 1 THEN k.tb
+             |        WHEN q3.sb <> 4 THEN k.ty ELSE
+             |        (CASE q3.r2 + q3.c2
+             |          WHEN 0 THEN k.ta WHEN 1 THEN k.ta
+             |          WHEN 2 THEN f.a3_3ta_tb WHEN 3 THEN f.a3_ta_3tb
+             |          ELSE k.tb END) + k.ty - k.tb END
+             |      WHEN 6 THEN
+             |        CASE WHEN q3.sb = 0 THEN k.ta WHEN q3.sb = 1 THEN k.tb
+             |        WHEN q3.sb <> 4 THEN k.ty ELSE
+             |        (CASE
+             |          WHEN q3.r2 = 0 THEN
+             |            CASE WHEN q3.c2 <= 2 THEN k.ta ELSE f.a2_ta_tb END
+             |          WHEN q3.r2 = 1 THEN
+             |            CASE WHEN q3.c2 <= 1 THEN k.ta
+             |                 WHEN q3.c2 = 2 THEN f.a3_3ta_tb
+             |                 ELSE f.a3_ta_3tb END
+             |          WHEN q3.r2 = 2 THEN
+             |            CASE WHEN q3.c2 <= 1 THEN k.ta
+             |                 WHEN q3.c2 = 2 THEN f.a2_ta_tb ELSE k.tb END
+             |          ELSE
+             |            CASE WHEN q3.c2 = 0 THEN k.ta
+             |                 WHEN q3.c2 = 1 THEN f.a3_3ta_tb
+             |                 WHEN q3.c2 = 2 THEN f.a3_ta_3tb ELSE k.tb END
+             |        END) + k.ty - k.tb END
+             |      ELSE
+             |        CASE WHEN q3.sb = 0 AND q3.r2 = 0 THEN f.xv
+             |        WHEN q3.sb = 1 AND q3.r2 = 0 AND q3.c2 = 0
+             |          THEN (f.xv + k.ty + 1) >> 1
+             |        WHEN q3.sb = 1 AND q3.r2 = 0 AND q3.c2 = 1
+             |          THEN (f.xv + 3*k.ty + 2) >> 2
+             |        ELSE k.ty END
+             |      END))
+             |    END AS val) vv
+             |  GROUP BY b.d)
+             |SELECT d AS doc_id, 'vp8' AS format,
+             |  CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(2304 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL VP8 LOOP FILTER, graded byte-exact — the in-loop deblocking
     // stage every real VP8 stream runs: each doc carries a key frame
     // whose per-MB uniform targets are STRIPED along one axis, so

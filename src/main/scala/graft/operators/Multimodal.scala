@@ -383,6 +383,50 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a VP8 key frame whose center MB is B_PRED hosting
+    * ONE directional 4×4 sub-mode (VE/HE/RD/VR/HD/LD/VL/HU rotating by
+    * doc) with NON-UNIFORM support — the neighbor MBs (or steered donor
+    * sub-blocks for the above-right-reading LD/VL and the
+    * left-column-reading HU) supply distinct uniform values, so the
+    * RFC 6386 §12.3 prediction pattern is live and per-pixel
+    * closed-form; every other sub-block is DC-steered back to the MB
+    * target, keeping the rest of the frame on the uniform grid.
+    */
+  def withVp8BpredMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          def yT(m: Int) = ((31 * d + 13 * m) % 256).toInt
+          def uT(m: Int) = ((91 * d + 7 * m) % 256).toInt
+          def vT(m: Int) = ((53 * d + 11 * m) % 256).toInt
+          val v = (d % 8).toInt
+          val mode = Seq(2, 3, 5, 6, 8, 4, 7, 9)(v) // VE HE RD VR HD LD VL HU
+          val ta = ((31 * d + 97) % 256).toInt
+          val tb = ((31 * d + 181) % 256).toInt
+          val specialB = if (v == 5 || v == 6) 4 else 0
+          val plan = Vp8Codec.Plan(48, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+            tokenPartitions = 1, skipAll = false, yT, uT, vT,
+            bModes = (mbI, b) =>
+              if (mbI != 4) 0
+              else if (v == 7) { if (b == 0) 3 else if (b == 1) 9 else 0 }
+              else if (b == specialB) mode else 0,
+            yModeOf = m => if (m == 4) 4 else 0,
+            bTargets =
+              if (v == 5 || v == 6)
+                (mbI, b) =>
+                  if (mbI == 4 && b == 0) ta
+                  else if (mbI == 4 && b == 1) tb
+                  else yT(mbI)
+              else null)
+          (d, Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(plan)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   def withWebpMedia(docs: DataFrame, id: String = "doc_id",
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession

@@ -282,6 +282,130 @@ object Vp8Codec {
   private def bmodeProbs(a: Int, l: Int): Array[Int] =
     Array.tabulate(9)(n => 5 + ((19 * a + 31 * l + 11 * n) * 7) % 245)
 
+  private val BLd = 4
+  private val BRd = 5
+  private val BVr = 6
+  private val BVl = 7
+  private val BHd = 8
+  private val BHu = 9
+
+  /** RFC 6386 §12.3 sub-block intra prediction, all ten modes: `a` holds
+    * the 8 above(+above-right) pixels, `l` the 4 left pixels, `al` the
+    * corner. Returns the 16 predicted pixels row-major. Shared by the
+    * decoder and the steered encoder so both sides reconstruct
+    * identically.
+    */
+  private[operators] def predB4(mode: Int, a: Array[Int], l: Array[Int],
+                                al: Int): Array[Int] = {
+    def avg2(x: Int, y: Int): Int = (x + y + 1) >> 1
+    def avg3(x: Int, y: Int, z: Int): Int = (x + 2 * y + z + 2) >> 2
+    val p = new Array[Int](16)
+    def set(r: Int, c: Int, v: Int): Unit = p(r * 4 + c) = v
+    mode match {
+      case BDc =>
+        val dc = (a(0) + a(1) + a(2) + a(3) + l(0) + l(1) + l(2) + l(3) + 4) >> 3
+        java.util.Arrays.fill(p, dc)
+      case BTm =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val v = l(r) + a(c) - al
+            set(r, c, if (v < 0) 0 else if (v > 255) 255 else v)
+            c += 1
+          }
+          r += 1
+        }
+      case BVe =>
+        var c = 0
+        while (c < 4) {
+          val v = avg3(if (c == 0) al else a(c - 1), a(c), a(c + 1))
+          var r = 0
+          while (r < 4) { set(r, c, v); r += 1 }
+          c += 1
+        }
+      case BHe =>
+        var r = 0
+        while (r < 4) {
+          val v = avg3(if (r == 0) al else l(r - 1), l(r),
+            if (r == 3) l(3) else l(r + 1))
+          var c = 0
+          while (c < 4) { set(r, c, v); c += 1 }
+          r += 1
+        }
+      case BLd =>
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            val d = r + c
+            set(r, c,
+              if (d < 6) avg3(a(d), a(d + 1), a(d + 2))
+              else avg3(a(6), a(7), a(7)))
+            c += 1
+          }
+          r += 1
+        }
+      case BRd =>
+        val e = Array(l(3), l(2), l(1), l(0), al, a(0), a(1), a(2), a(3))
+        var r = 0
+        while (r < 4) {
+          var c = 0
+          while (c < 4) {
+            set(r, c, avg3(e(c - r + 3), e(c - r + 4), e(c - r + 5)))
+            c += 1
+          }
+          r += 1
+        }
+      case BVr =>
+        val e = Array(l(3), l(2), l(1), l(0), al, a(0), a(1), a(2), a(3))
+        var c = 0
+        while (c < 4) {
+          set(0, c, avg2(e(4 + c), e(5 + c)))
+          set(1, c, avg3(e(3 + c), e(4 + c), e(5 + c)))
+          c += 1
+        }
+        set(2, 0, avg3(e(2), e(3), e(4)))
+        set(3, 0, avg3(e(1), e(2), e(3)))
+        c = 1
+        while (c < 4) { set(2, c, p(c - 1)); set(3, c, p(4 + c - 1)); c += 1 }
+      case BVl =>
+        var c = 0
+        while (c < 4) {
+          set(0, c, avg2(a(c), a(c + 1)))
+          set(1, c, avg3(a(c), a(c + 1), a(c + 2)))
+          c += 1
+        }
+        c = 0
+        while (c < 3) { set(2, c, p(c + 1)); set(3, c, p(4 + c + 1)); c += 1 }
+        set(2, 3, avg3(a(4), a(5), a(6)))
+        set(3, 3, avg3(a(5), a(6), a(7)))
+      case BHd =>
+        val e = Array(l(3), l(2), l(1), l(0), al, a(0), a(1), a(2), a(3))
+        var r = 0
+        while (r < 4) {
+          set(3 - r, 0, avg2(e(r), e(r + 1)))
+          set(3 - r, 1, avg3(e(r), e(r + 1), e(r + 2)))
+          r += 1
+        }
+        set(0, 2, avg3(e(4), e(5), e(6)))
+        set(0, 3, avg3(e(5), e(6), e(7)))
+        r = 1
+        while (r < 4) { set(r, 2, p((r - 1) * 4)); set(r, 3, p((r - 1) * 4 + 1)); r += 1 }
+      case BHu =>
+        set(0, 0, avg2(l(0), l(1))); set(0, 1, avg3(l(0), l(1), l(2)))
+        set(0, 2, avg2(l(1), l(2))); set(0, 3, avg3(l(1), l(2), l(3)))
+        set(1, 0, p(2)); set(1, 1, p(3))
+        set(1, 2, avg2(l(2), l(3))); set(1, 3, avg3(l(2), l(3), l(3)))
+        set(2, 0, p(6)); set(2, 1, p(7))
+        set(2, 2, l(3)); set(2, 3, l(3))
+        set(3, 0, l(3)); set(3, 1, l(3)); set(3, 2, l(3)); set(3, 3, l(3))
+      case other =>
+        throw new IllegalArgumentException(s"vp8: unknown sub-mode $other")
+    }
+    p
+  }
+
   /** The implied sub-mode of a 16×16 intra mode, for neighbor context. */
   private def impliedBmode(yMode: Int): Int = yMode match {
     case ModeDc => BDc
@@ -571,7 +695,8 @@ object Vp8Codec {
                         bModes: (Int, Int) => Int = (_, _) => 0,
                         yModeOf: Int => Int = null,
                         filterType: Int = 0, filterLevel: Int = 0,
-                        sharpness: Int = 0) {
+                        sharpness: Int = 0,
+                        bTargets: (Int, Int) => Int = null) {
     /** Per-MB luma mode: `yModeOf` override or the uniform `yMode`. */
     def modeAt(mbI: Int): Int = if (yModeOf == null) yMode else yModeOf(mbI)
   }
@@ -737,8 +862,7 @@ object Vp8Codec {
         while (b < 16) {
           val bc = b & 3; val br = b >> 2
           val sm = plan.bModes(mb, b)
-          require(sm == BDc || sm == BTm,
-            "vp8 encode: fixture sub-modes are B_DC or B_TM")
+          require(sm >= BDc && sm <= BHu, "vp8 encode: unknown sub-mode")
           hdr.putTree(bmodeTree,
             bmodeProbs(aboveSub(4 * c0 + bc), leftSubScratch(br)), sm)
           aboveSub(4 * c0 + bc) = sm
@@ -844,30 +968,62 @@ object Vp8Codec {
           val vv = steerUv(tv - pv)
           if (myMode == ModeB) {
             // B_PRED: no Y2 block (its nz context is left untouched);
-            // 16 plane-3 Y blocks, each predicted from already-steered
-            // neighbors (uniform, so B_DC = (4A+4L+4)>>3 and B_TM =
-            // clamp(L+A-AL) are closed-form) and steered to the target
-            val aVal = if (r == 0) 127 else reconY(r - 1)(c)
-            val lVal = if (c == 0) 129 else reconY(r)(c - 1)
+            // 16 plane-3 Y blocks. The luma model is PER-PIXEL here —
+            // directional sub-modes read non-uniform neighbor pixels
+            // (e.g. a steered donor block's edge), so the encoder
+            // mirrors the decoder's reconstruction exactly and steers
+            // each block's DC against its true prediction (anchored at
+            // pixel (3,3)).
+            val aValU = if (r == 0) 127 else reconY(r - 1)(c)
+            val lValU = if (c == 0) 129 else reconY(r)(c - 1)
             val alMb = if (r == 0) 127 else if (c == 0) 129 else reconY(r - 1)(c - 1)
+            val arMb =
+              if (r == 0) 127
+              else if (c == mbW - 1) aValU // replicate the last above pixel
+              else reconY(r - 1)(c + 1)
+            val pxl = new Array[Int](256)
             var b = 0
             while (b < 16) {
               val bc = b & 3; val br = b >> 2
-              val a = if (br == 0) aVal else ty
-              val l = if (bc == 0) lVal else ty
+              val aArr = new Array[Int](8)
+              var k = 0
+              while (k < 8) {
+                aArr(k) =
+                  if (k >= 4 && bc == 3) arMb
+                  else if (br == 0) aValU
+                  else pxl((br * 4 - 1) * 16 + bc * 4 + k)
+                k += 1
+              }
+              val lArr = Array.tabulate(4)(i2 =>
+                if (bc == 0) lValU else pxl((br * 4 + i2) * 16 + bc * 4 - 1))
               val al =
                 if (br == 0 && bc == 0) alMb
-                else if (br == 0) aVal
-                else if (bc == 0) lVal
-                else ty
-              val pb = plan.bModes(mbI, b) match {
-                case BTm => math.max(0, math.min(255, l + a - al))
-                case _ => (4 * a + 4 * l + 4) >> 3
+                else if (br == 0) aValU
+                else if (bc == 0) lValU
+                else pxl((br * 4 - 1) * 16 + bc * 4 - 1)
+              val pb = predB4(plan.bModes(mbI, b), aArr, lArr, al)
+              val tgt = if (plan.bTargets == null) ty else plan.bTargets(mbI, b)
+              val vb = steerYb(tgt - pb(15))
+              val db = tgt - pb(15)
+              var k2 = 0
+              while (k2 < 16) {
+                val v2 = pb(k2) + db
+                pxl((br * 4 + (k2 >> 2)) * 16 + bc * 4 + (k2 & 3)) =
+                  if (v2 < 0) 0 else if (v2 > 255) 255 else v2
+                k2 += 1
               }
-              val vb = steerYb(ty - pb)
               val nz = w.dcOnlyBlock(3, 0, aboveYb(4 * c + bc) + leftYb(br), vb)
               aboveYb(4 * c + bc) = nz; leftYb(br) = nz
               b += 1
+            }
+            // the uniform-grid model feeding NEIGHBOR MBs stays valid
+            // only if this MB's right column and bottom row land on the
+            // MB target
+            var bEdge = 0
+            while (bEdge < 16) {
+              require(pxl(15 * 16 + bEdge) == ty && pxl(bEdge * 16 + 15) == ty,
+                "vp8 encode: B_PRED boundary pixels must equal the MB target")
+              bEdge += 1
             }
           } else {
             val py = gridPred(myMode, reconY, r, c)
@@ -1072,8 +1228,6 @@ object Vp8Codec {
           val bc = b & 3; val br = b >> 2
           val m2 = hd.tree(bmodeTree,
             bmodeProbs(aboveSub(4 * c0 + bc), leftSub(br)))
-          require(m2 == BDc || m2 == BTm,
-            s"vp8: sub-mode $m2 — this profile predicts B_DC/B_TM only")
           sm(b) = m2
           aboveSub(4 * c0 + bc) = m2
           leftSub(br) = m2
@@ -1250,34 +1404,29 @@ object Vp8Codec {
           while (bidx < 16) {
             val bc = bidx & 3; val br = bidx >> 2
             val bx = px + bc * 4; val by = py + br * 4
-            val pred4 = new Array[Int](16)
-            sm(bidx) match {
-              case BTm =>
-                val al = if (by == 0) 127
-                  else if (bx == 0) 129
-                  else yPlane((by - 1) * w + bx - 1) & 0xff
-                var yy = 0
-                while (yy < 4) {
-                  val l = if (bx > 0) yPlane((by + yy) * w + bx - 1) & 0xff else 129
-                  var x = 0
-                  while (x < 4) {
-                    val a = if (by > 0) yPlane((by - 1) * w + bx + x) & 0xff else 127
-                    val v = l + a - al
-                    pred4(yy * 4 + x) = if (v < 0) 0 else if (v > 255) 255 else v
-                    x += 1
-                  }
-                  yy += 1
+            // support pixels with the spec edge rules: 127 above the
+            // frame, 129 left of it; right-column sub-blocks read the
+            // MB's own above-right row (the pixels right of the current
+            // MB are not yet reconstructed), replicating the last above
+            // pixel at the frame's right edge
+            val aArr = new Array[Int](8)
+            var k3 = 0
+            while (k3 < 8) {
+              aArr(k3) =
+                if (k3 >= 4 && bc == 3) {
+                  if (py == 0) 127
+                  else if (px + 16 + (k3 - 4) >= w) yPlane((py - 1) * w + w - 1) & 0xff
+                  else yPlane((py - 1) * w + px + 16 + (k3 - 4)) & 0xff
                 }
-              case _ => // B_DC: (Σ 4 above + Σ 4 left + 4) >> 3, 127/129 borders
-                var sum = 4
-                var i2 = 0
-                while (i2 < 4) {
-                  sum += (if (by > 0) yPlane((by - 1) * w + bx + i2) & 0xff else 127)
-                  sum += (if (bx > 0) yPlane((by + i2) * w + bx - 1) & 0xff else 129)
-                  i2 += 1
-                }
-                java.util.Arrays.fill(pred4, sum >> 3)
+                else if (by == 0) 127
+                else yPlane((by - 1) * w + bx + k3) & 0xff
+              k3 += 1
             }
+            val lArr = Array.tabulate(4)(i2 =>
+              if (bx == 0) 129 else yPlane((by + i2) * w + bx - 1) & 0xff)
+            val al = if (by == 0) 127 else if (bx == 0) 129
+              else yPlane((by - 1) * w + bx - 1) & 0xff
+            val pred4 = predB4(sm(bidx), aArr, lArr, al)
             val (yc, nzY) = readBlock(td, 3, 0, aboveY(4 * c + bc) + leftY(br))
             aboveY(4 * c + bc) = nzY; leftY(br) = nzY
             if (nzY != 0) mbNz(mbI) = true

@@ -585,6 +585,164 @@ class Vp8CodecSpec extends AnyFunSuite {
       Vp8Codec.decodeSequence(Seq(kf, f2))(1).y))
   }
 
+  // ---- B_PRED directional sub-modes ------------------------------------------
+
+  /** The q_vp8_bpred fixture: 3×2 MBs, MB 4 is B_PRED hosting ONE
+    * directional sub-block with non-uniform support (donor values from
+    * the neighbor MBs or steered donor sub-blocks); everything else is
+    * steered uniform. Mirrors Multimodal.vp8BpredPlan and the oracle.
+    */
+  private def bpredPlan(d: Long): Vp8Codec.Plan = {
+    def yT2(m: Int) = ((31 * d + 13 * m) % 256).toInt
+    def uT2(m: Int) = ((91 * d + 7 * m) % 256).toInt
+    def vT2(m: Int) = ((53 * d + 11 * m) % 256).toInt
+    val v = (d % 8).toInt
+    val mode = Seq(2, 3, 5, 6, 8, 4, 7, 9)(v) // VE HE RD VR HD LD VL HU
+    val ta = ((31 * d + 97) % 256).toInt
+    val tb = ((31 * d + 181) % 256).toInt
+    val specialB = if (v == 5 || v == 6) 4 else 0
+    Vp8Codec.Plan(48, 32, qi = 0, uvDcDelta = 0, yMode = 0,
+      tokenPartitions = 1, skipAll = false, yT2, uT2, vT2,
+      bModes = (mbI, b) =>
+        if (mbI != 4) 0
+        else if (v == 7) { if (b == 0) 3 else if (b == 1) 9 else 0 }
+        else if (b == specialB) mode else 0,
+      yModeOf = m => if (m == 4) 4 else 0,
+      bTargets =
+        if (v == 5 || v == 6)
+          (mbI, b) =>
+            if (mbI == 4 && b == 0) ta
+            else if (mbI == 4 && b == 1) tb
+            else yT2(mbI)
+        else null)
+  }
+
+  /** Expected luma for the special region, written independently. */
+  private def bpredExpected(d: Long): (Int, Int) => Int = {
+    def yT2(m: Int) = ((31 * d + 13 * m) % 256).toInt
+    val v = (d % 8).toInt
+    val ty = yT2(4); val aV = yT2(1); val lV = yT2(3); val alV = yT2(0)
+    val ta = ((31 * d + 97) % 256).toInt
+    val tb = ((31 * d + 181) % 256).toInt
+    def av2(x: Int, y: Int) = (x + y + 1) >> 1
+    def av3(x: Int, y: Int, z: Int) = (x + 2 * y + z + 2) >> 2
+    (x: Int, yy: Int) => {
+      val mb = (yy / 16) * 3 + (x / 16)
+      if (mb != 4) yT2(mb)
+      else {
+        val lx = x - 16; val ly = yy - 16
+        val b = (ly / 4) * 4 + (lx / 4)
+        val r2 = ly % 4; val c2 = lx % 4
+        val raw = v match {
+          case 0 => // VE at b0
+            if (b != 0) ty
+            else if (c2 == 0) av3(alV, aV, aV) + ty - aV
+            else ty
+          case 1 => // HE at b0
+            if (b != 0) ty
+            else if (r2 == 0) av3(alV, lV, lV) + ty - lV
+            else ty
+          case 2 => // RD at b0
+            if (b != 0) ty
+            else {
+              def band(k: Int): Int = k match {
+                case -3 | -2 => lV
+                case -1 => av3(lV, lV, alV)
+                case 0 => av3(lV, alV, aV)
+                case 1 => av3(alV, aV, aV)
+                case _ => aV
+              }
+              band(c2 - r2) + ty - band(0)
+            }
+          case 3 => // VR at b0
+            if (b != 0) ty
+            else {
+              val e = Array(lV, lV, lV, lV, alV, aV, aV, aV, aV)
+              val cell =
+                if (r2 == 0 || r2 == 2) {
+                  val cc = if (r2 == 0) c2 else c2 - 1
+                  if (cc < 0) av3(e(2), e(3), e(4)) else av2(e(4 + cc), e(5 + cc))
+                } else {
+                  val cc = if (r2 == 1) c2 else c2 - 1
+                  if (cc < 0) av3(e(1), e(2), e(3)) else av3(e(3 + cc), e(4 + cc), e(5 + cc))
+                }
+              cell + ty - aV // pred(3,3) = avg3(e6,e7,e8) = aV
+            }
+          case 4 => // HD at b0
+            if (b != 0) ty
+            else {
+              val e = Array(lV, lV, lV, lV, alV, aV, aV, aV, aV)
+              val cell =
+                if (c2 == 0 || c2 == 2) {
+                  val rr = if (c2 == 0) 3 - r2 else 3 - (r2 - 1)
+                  if (rr > 3) av3(e(4), e(5), e(6)) else av2(e(rr), e(rr + 1))
+                } else {
+                  val rr = if (c2 == 1) 3 - r2 else 3 - (r2 - 1)
+                  if (rr > 3) av3(e(5), e(6), e(7)) else av3(e(rr), e(rr + 1), e(rr + 2))
+                }
+              cell + ty - lV // pred(3,3) = avg3(e1,e2,e3) = lV
+            }
+          case 5 => // LD at b4, donors b0=Ta b1=Tb
+            if (b == 0) ta
+            else if (b == 1) tb
+            else if (b != 4) ty
+            else {
+              def ld(k: Int): Int = k match {
+                case 0 | 1 => ta
+                case 2 => av3(ta, ta, tb)
+                case 3 => av3(ta, tb, tb)
+                case _ => tb
+              }
+              ld(r2 + c2) + ty - tb
+            }
+          case 6 => // VL at b4, donors b0=Ta b1=Tb
+            if (b == 0) ta
+            else if (b == 1) tb
+            else if (b != 4) ty
+            else {
+              val a = Array(ta, ta, ta, ta, tb, tb, tb, tb)
+              val cell =
+                if (r2 == 0 || r2 == 2) {
+                  val cc = if (r2 == 0) c2 else c2 + 1
+                  if (cc > 3) av3(a(4), a(5), a(6)) else av2(a(cc), a(cc + 1))
+                } else {
+                  val cc = if (r2 == 1) c2 else c2 + 1
+                  if (cc > 3) av3(a(5), a(6), a(7)) else av3(a(cc), a(cc + 1), a(cc + 2))
+                }
+              cell + ty - tb // pred(3,3) = avg3(a5,a6,a7) = tb
+            }
+          case _ => // HU at b1, donor b0 = HE
+            val xv = math.max(0, math.min(255, av3(alV, lV, lV) + ty - lV))
+            if (b == 0) { if (r2 == 0) xv else ty }
+            else if (b == 1) {
+              if (r2 == 0 && c2 == 0) av2(xv, ty)
+              else if (r2 == 0 && c2 == 1) av3(xv, ty, ty)
+              else ty
+            }
+            else ty
+        }
+        math.max(0, math.min(255, raw)) // the decoder's reconstruction clamp
+      }
+    }
+  }
+
+  test("B_PRED directional sub-modes: every mode reconstructs its RFC pattern exactly") {
+    for (d <- 0L until 16L) {
+      val fr = Vp8Codec.decodeFrame(Vp8Codec.encodeFrame(bpredPlan(d)))
+      val exp = bpredExpected(d)
+      for (yy <- 0 until 32; x <- 0 until 48) {
+        assert((fr.y(yy * 48 + x) & 0xff) == exp(x, yy),
+          s"d=$d (v=${d % 8}) pixel ($x,$yy)")
+      }
+    }
+  }
+
+  test("predB4: all-equal support is an identity for every directional mode") {
+    val a = Array.fill(8)(163); val l = Array.fill(4)(163)
+    for (m <- 2 to 9)
+      assert(Vp8Codec.predB4(m, a, l, 163).forall(_ == 163), s"mode $m")
+  }
+
   // ---- loop filter ----------------------------------------------------------
 
   /** Test-local closed forms, written independently of the codec: the
