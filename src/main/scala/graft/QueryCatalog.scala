@@ -4709,6 +4709,84 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL VP8 SPLITMV, graded byte-exact — the last VP8 macroblock mode:
+    // per-partition motion vectors (all four partitionings: two 16x8,
+    // two 8x16, four 8x8, sixteen 4x4), the LEFT4X4/ABOVE4X4/ZERO4X4/
+    // NEW4X4 sub-mv grammar with its (left, above) context classification
+    // (codes occur organically from the encoder's choice rule), per-4x4
+    // motion compensation, chroma MVs DERIVED per 2x2 luma group (the
+    // signed /8 rounding), no Y2 (plane-3 luma blocks carry their own
+    // DC), and the Y2-context skip rule for skipped split MBs. Sub-MVs
+    // select zero / one-MB-left / one-MB-up whole-MB shifts, so every
+    // cell copies a uniform reference region and the oracle replays the
+    // whole frame per pixel; every fifth MB is coded with residue
+    // (common MV) exercising the plane-3 token path.
+    ("q_vp8_splitmv",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8SplitmvMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 16*(3 + n_chars % 2) AS w, 32 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM (SELECT *, w // 16 AS mbw FROM dims) m
+             |  JOIN range(0, 2) f(f) ON true
+             |  JOIN range(0, 3072) t(i) ON t.i < m.w*m.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*m.h THEN 0
+             |         WHEN t.i < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) % (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN t.i // m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) // (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (q1.yy // 16) * m.mbw + q1.x // 16
+             |      ELSE (q1.yy // 8) * m.mbw + q1.x // 8 END AS mb,
+             |    CASE q0.pl WHEN 0 THEN (q1.yy % 16) // 4
+             |      ELSE (q1.yy % 8) // 4 END AS gr,
+             |    CASE q0.pl WHEN 0 THEN (q1.x % 16) // 4
+             |      ELSE (q1.x % 8) // 4 END AS gc) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (q2.mb + m.d) % 4 AS p,
+             |    (q2.mb + m.d) % 5 = 0 AS residue,
+             |    q2.mb // m.mbw AS mr, q2.mb % m.mbw AS mc) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q3.p WHEN 0 THEN q2.gr // (CASE q0.pl WHEN 0 THEN 2 ELSE 1 END)
+             |      WHEN 1 THEN q2.gc // (CASE q0.pl WHEN 0 THEN 2 ELSE 1 END)
+             |      ELSE (q2.gr // (CASE q0.pl WHEN 0 THEN 2 ELSE 1 END)) * 2
+             |        + q2.gc // (CASE q0.pl WHEN 0 THEN 2 ELSE 1 END) END AS gk) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN f.f = 0 OR q3.residue THEN q2.mb
+             |    ELSE CASE (q4.gk + q2.mb + m.d) % 3
+             |      WHEN 1 THEN CASE WHEN q3.mc > 0 THEN q2.mb - 1 ELSE q2.mb END
+             |      WHEN 2 THEN CASE WHEN q3.mr > 0 THEN q2.mb - m.mbw ELSE q2.mb END
+             |      ELSE q2.mb END
+             |    END AS src) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN f.f = 1 AND q3.residue THEN
+             |      CASE q0.pl WHEN 0 THEN (77 + 31*m.d + 13*q2.mb) % 256
+             |        WHEN 1 THEN (59 + 91*m.d + 7*q2.mb) % 256
+             |        ELSE (43 + 53*m.d + 11*q2.mb) % 256 END
+             |    ELSE
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 13*q5.src) % 256
+             |        WHEN 1 THEN (91*m.d + 7*q5.src) % 256
+             |        ELSE (53*m.d + 11*q5.src) % 256 END
+             |    END AS val) vl
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // SUB-PEL motion compensation graded: the key frame is uniform over
     // 2×2-MB tiles and the inter frame's odd-position MBs skip with a
     // (−60,−60) eighth-pel MV (−7.5 px, two-pass 6-tap interpolation on

@@ -777,6 +777,64 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a 2-frame VP8 video (key + inter) whose inter
+    * frame is ALL-SPLITMV: partitionings rotate per MB (16x8 / 8x16 /
+    * 8x8 / 4x4), per-partition sub-MVs select zero / one-MB-left /
+    * one-MB-up (group-aligned under 4x4 so the derived chroma MVs stay
+    * whole-MB and exact), the LEFT/ABOVE/ZERO/NEW sub-mv codes occur
+    * organically from the encoder's choice rule, and every fifth MB is
+    * coded with residue (common MV, plane-3 luma blocks, no Y2) instead
+    * of skip.
+    */
+  def withVp8SplitmvMedia(docs: DataFrame, id: String = "doc_id",
+                          nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (3 + nc % 2)).toInt
+          val h = 32
+          val mbW = w / 16
+          def yT(m: Int) = ((31 * d + 13 * m) % 256).toInt
+          def uT(m: Int) = ((91 * d + 7 * m) % 256).toInt
+          def vT(m: Int) = ((53 * d + 11 * m) % 256).toInt
+          def ty2(m: Int) = ((77 + 31 * d + 13 * m) % 256).toInt
+          def tu2(m: Int) = ((59 + 91 * d + 7 * m) % 256).toInt
+          def tv2(m: Int) = ((43 + 53 * d + 11 * m) % 256).toInt
+          def groupIdx(p: Int, j: Int): Int =
+            if (p == 3) ((j / 4) / 2) * 2 + (j % 4) / 2 else j
+          def mvOf(m: Int, g: Int): (Int, Int) = {
+            val r = m / mbW; val c = m % mbW
+            ((g + m + d) % 3).toInt match {
+              case 1 => if (c > 0) (0, -128) else (0, 0)
+              case 2 => if (r > 0) (-128, 0) else (0, 0)
+              case _ => (0, 0)
+            }
+          }
+          val kp = Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 0,
+            tokenPartitions = 1, skipAll = false, yT, uT, vT)
+          val (kf, kg) = Vp8Codec.encodeKeyFrame(kp)
+          val ip = Vp8Codec.InterPlan(w, h, qi = 0, uvDcDelta = 0,
+            tokenPartitions = 1, refreshLast = true, refreshGolden = false,
+            mb = m => {
+              val p = ((m + d) % 4).toInt
+              if ((m + d) % 5 == 0) {
+                val common = if (m % mbW > 0) (0, -128) else (0, 0)
+                Vp8Codec.SplitMb(0, p, _ => common, skip = false,
+                  ty2(m), tu2(m), tv2(m))
+              } else
+                Vp8Codec.SplitMb(0, p,
+                  j => mvOf(m, groupIdx(p, j)), skip = true, 0, 0, 0)
+            })
+          val (f2, _) = Vp8Codec.encodeInterFrame(ip, kg, kg)
+          (d, Vp8Codec.encodeIvf(w, h, Seq(kf, f2)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class Vp8VideoStats(doc_id: Long, width: Long, height: Long,
                            n_frames: Long, pix_checksum: Long)
 

@@ -1567,6 +1567,48 @@ object Vp8Codec {
   private val MvSplit = 4
   private val mvRefTree = Array(-MvZero, 2, -MvNearest, 4, -MvNear, 6, -MvNew, -MvSplit)
 
+  // SPLITMV partitionings (spec ids: 0 = two 16x8, 1 = two 8x16,
+  // 2 = four 8x8, 3 = sixteen 4x4); tree SHAPE and probs are pinned
+  // implementation values, the partition/cell geometry and the
+  // LEFT/ABOVE/ZERO/NEW sub-mv grammar follow RFC 6386 §16.2
+  private val mbSplitTree = Array(-0, 2, -1, 4, -2, -3)
+  private def mbSplitProbs = Array(100, 141, 182)
+  private val SubLeft = 0
+  private val SubAbove = 1
+  private val SubZero = 2
+  private val SubNew = 3
+  private val subMvRefTree = Array(-SubLeft, 2, -SubAbove, 4, -SubZero, -SubNew)
+  /** Pinned context-keyed sub-mv-ref probs; the five contexts follow the
+    * reference decoder's (left, above) classification.
+    */
+  private def subMvRefProbs(ctx: Int): Array[Int] =
+    Array.tabulate(3)(i => 20 + ((47 * ctx + 29 * i) % 200))
+  private def subMvCtx(l: (Int, Int), a: (Int, Int)): Int =
+    if (l == a) { if (l == ((0, 0))) 4 else 3 }
+    else if (a == ((0, 0))) 2
+    else if (l == ((0, 0))) 1
+    else 0
+  private[operators] def splitPartitions(p: Int): Int = p match {
+    case 0 | 1 => 2
+    case 2 => 4
+    case _ => 16
+  }
+  /** Cells (ids 0..15 on the MB's 4×4 sub-block grid) of partition `j`
+    * under partitioning `p`, raster order, first cell top-left.
+    */
+  private[operators] def splitCells(p: Int, j: Int): Array[Int] = p match {
+    case 0 => Array.tabulate(8)(i => (j * 2 + i / 4) * 4 + i % 4)
+    case 1 => Array.tabulate(8)(i => (i / 2) * 4 + j * 2 + i % 2)
+    case 2 => Array.tabulate(4)(i => ((j / 2) * 2 + i / 2) * 4 + (j % 2) * 2 + i % 2)
+    case _ => Array(j)
+  }
+  /** Signed symmetric /8 rounding for derived chroma MVs (the sum of a
+    * 2×2 luma cell group's MVs, landing in the half-res plane's own
+    * 1/8-pel units) — the reference decoder's rounding shape.
+    */
+  private[operators] def sdiv8(x: Int): Int =
+    if (x < 0) -((-x + 4) >> 3) else (x + 4) >> 3
+
   /** Pinned mode-context table: mv_ref tree probs indexed by the survey's
     * per-slot counts (rows = count 0..6, columns = tree node). Varied so
     * a context mix-up desynchronizes decode.
@@ -1794,6 +1836,14 @@ object Vp8Codec {
     */
   final case class InterMbUnits(ref: Int, mvRowUnits: Int, mvColUnits: Int,
                                 skip: Boolean, ty: Int, tu: Int, tv: Int) extends MbSpec
+  /** SPLITMV: per-partition MVs (1/8-pel units, even), indexed by the
+    * partition id under `partitioning`. Skip MBs may mix MVs freely
+    * (each cell's support must be a uniform region); non-skip MBs must
+    * use ONE common MV so the uniform steering model holds.
+    */
+  final case class SplitMb(ref: Int, partitioning: Int,
+                           subMv: Int => (Int, Int), skip: Boolean,
+                           ty: Int, tu: Int, tv: Int) extends MbSpec
 
   final case class InterPlan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
                              tokenPartitions: Int,
@@ -1902,8 +1952,21 @@ object Vp8Codec {
     val aboveY2 = Array.fill(mbW)(0)
     val aboveU = Array.fill(mbW * 2)(0)
     val aboveV = Array.fill(mbW * 2)(0)
+    val aboveYb = Array.fill(mbW * 4)(0) // luma nz ctx (plane-3 split blocks)
+    val aboveCellMv = Array.fill(mbW * 4)((0, 0)) // per-4x4 MV state (sub-mv ctx)
     val y2q = y2DcQ(plan.qi, 0)
     val uvq = uvDcQ(plan.qi, plan.uvDcDelta)
+    val ydcq = dcQ(plan.qi) // SPLITMV luma blocks carry their own DC
+    def steerYb(m: Int): Int = {
+      if (m == 0) return 0
+      val guess = (8 * m) / ydcq
+      var v = guess - 12
+      while (v <= guess + 12) {
+        if (((ydcq * v + 4) >> 3) == m) return v
+        v += 1
+      }
+      throw new IllegalStateException(s"vp8 encode: no exact Y level for delta $m (q=$ydcq)")
+    }
     def steerY2(m: Int): Int = {
       if (m == 0) return 0
       val guess = (64 * m) / y2q
@@ -1930,6 +1993,8 @@ object Vp8Codec {
       var leftY2 = 0
       var leftU = Array(0, 0)
       var leftV = Array(0, 0)
+      val leftYb = Array.fill(4)(0)
+      val leftCellMv = Array.fill(4)((0, 0))
       val w = writers(r % plan.tokenPartitions)
       var c = 0
       while (c < mbW) {
@@ -1937,9 +2002,42 @@ object Vp8Codec {
         // resolve this MB's mode, mv, and uniform predictor per plane
         var skip = false
         var isInter = false
+        var isSplit = false
         var mvR = 0
         var mvC = 0
         var py = 0; var pu = 0; var pv = 0
+        var splitCellMvs: Array[(Int, Int)] = null
+        // the uniform-grid model admits ANY mv (sub-pel included)
+        // whose full filter support lies in a constant-valued region:
+        // the 6-tap rows sum to 128 and ((128*A)+64)>>7 = A exactly,
+        // so the predictor is that constant
+        def uniformValOf(grid: Array[Array[Int]], mbPx: Int,
+                         bx: Int, by: Int, n: Int,
+                         mr: Int, mc: Int): Int = {
+          val x0 = bx + (mc >> 3); val y0 = by + (mr >> 3)
+          val fx = mc & 7; val fy = mr & 7
+          val xLo = x0 - (if (fx != 0) 2 else 0)
+          val yLo = y0 - (if (fy != 0) 2 else 0)
+          val xHi = x0 + n - 1 + (if (fx != 0) 3 else 0)
+          val yHi = y0 + n - 1 + (if (fy != 0) 3 else 0)
+          require(xLo >= 0 && yLo >= 0
+            && xHi < mbW * mbPx && yHi < mbH * mbPx,
+            s"vp8 encode: mv ($mr,$mc) support leaves the frame at MB ($r,$c)")
+          val v = grid(yLo / mbPx)(xLo / mbPx)
+          var rr = yLo / mbPx
+          while (rr <= yHi / mbPx) {
+            var cc = xLo / mbPx
+            while (cc <= xHi / mbPx) {
+              require(grid(rr)(cc) == v,
+                s"vp8 encode: mv ($mr,$mc) support at MB ($r,$c) spans " +
+                  "non-uniform reference values — the grid fixture model " +
+                  "cannot steer through a mixed-region predictor")
+              cc += 1
+            }
+            rr += 1
+          }
+          v
+        }
         spec match {
           case IntraMb(yMode, _, _, _) =>
             require(yMode == ModeDc || yMode == ModeV || yMode == ModeH
@@ -1976,40 +2074,66 @@ object Vp8Codec {
               case RefGolden => golden
               case _ => altGrid
             }
-            // the uniform-grid model admits ANY mv (sub-pel included)
-            // whose full filter support lies in a constant-valued region:
-            // the 6-tap rows sum to 128 and ((128·A)+64)>>7 = A exactly,
-            // so the predictor is that constant
-            def uniformVal(grid: Array[Array[Int]], mbPx: Int,
-                           bx: Int, by: Int, n: Int,
-                           mr: Int, mc: Int): Int = {
-              val x0 = bx + (mc >> 3); val y0 = by + (mr >> 3)
-              val fx = mc & 7; val fy = mr & 7
-              val xLo = x0 - (if (fx != 0) 2 else 0)
-              val yLo = y0 - (if (fy != 0) 2 else 0)
-              val xHi = x0 + n - 1 + (if (fx != 0) 3 else 0)
-              val yHi = y0 + n - 1 + (if (fy != 0) 3 else 0)
-              require(xLo >= 0 && yLo >= 0
-                && xHi < mbW * mbPx && yHi < mbH * mbPx,
-                s"vp8 encode: mv ($mr,$mc) support leaves the frame at MB ($r,$c)")
-              val v = grid(yLo / mbPx)(xLo / mbPx)
-              var rr = yLo / mbPx
-              while (rr <= yHi / mbPx) {
-                var cc = xLo / mbPx
-                while (cc <= xHi / mbPx) {
-                  require(grid(rr)(cc) == v,
-                    s"vp8 encode: mv ($mr,$mc) support at MB ($r,$c) spans " +
-                      "non-uniform reference values — the grid fixture model " +
-                      "cannot steer through a mixed-region predictor")
-                  cc += 1
-                }
-                rr += 1
-              }
-              v
+            py = uniformValOf(g.y, 16, c * 16, r * 16, 16, mvR, mvC)
+            pu = uniformValOf(g.u, 8, c * 8, r * 8, 8, mvR / 2, mvC / 2)
+            pv = uniformValOf(g.v, 8, c * 8, r * 8, 8, mvR / 2, mvC / 2)
+          case SplitMb(ref, part, subMv, sk, _, _, _) =>
+            isInter = true
+            isSplit = true
+            skip = sk
+            require(part >= 0 && part <= 3, "vp8 encode: bad partitioning")
+            val g = ref match {
+              case RefLast => last
+              case RefGolden => golden
+              case _ => altGrid
             }
-            py = uniformVal(g.y, 16, c * 16, r * 16, 16, mvR, mvC)
-            pu = uniformVal(g.u, 8, c * 8, r * 8, 8, mvR / 2, mvC / 2)
-            pv = uniformVal(g.v, 8, c * 8, r * 8, 8, mvR / 2, mvC / 2)
+            val cellMv = Array.fill(16)((0, 0))
+            var j = 0
+            while (j < splitPartitions(part)) {
+              val mv = subMv(j)
+              require(mv._1 % 2 == 0 && mv._2 % 2 == 0,
+                "vp8 encode: mv units must be even (the coder writes half-units)")
+              splitCells(part, j).foreach(cl => cellMv(cl) = mv)
+              j += 1
+            }
+            if (!sk) {
+              val mv0 = subMv(0)
+              var j2 = 1
+              while (j2 < splitPartitions(part)) {
+                require(subMv(j2) == mv0,
+                  "vp8 encode: non-skip SPLITMV uses one common MV (steering model)")
+                j2 += 1
+              }
+            }
+            splitCellMvs = cellMv
+            // luma source per cell; chroma per 2x2-group derived MV
+            val yVals = Array.tabulate(16) { cl =>
+              uniformValOf(g.y, 16, c * 16 + (cl % 4) * 4, r * 16 + (cl / 4) * 4,
+                4, cellMv(cl)._1, cellMv(cl)._2)
+            }
+            if (!sk) {
+              var cl = 1
+              while (cl < 16) {
+                require(yVals(cl) == yVals(0),
+                  "vp8 encode: non-skip SPLITMV prediction must be uniform")
+                cl += 1
+              }
+            }
+            py = yVals(15)
+            def chromaMv(q: Int): (Int, Int) = {
+              var sr = 0; var sc2 = 0
+              var i2 = 0
+              while (i2 < 4) {
+                val m = cellMv((2 * (q / 2) + i2 / 2) * 4 + 2 * (q % 2) + i2 % 2)
+                sr += m._1; sc2 += m._2
+                i2 += 1
+              }
+              (sdiv8(sr), sdiv8(sc2))
+            }
+            val cm = chromaMv(3)
+            pu = uniformValOf(g.u, 8, c * 8 + 4, r * 8 + 4, 4, cm._1, cm._2)
+            pv = uniformValOf(g.v, 8, c * 8 + 4, r * 8 + 4, 4, cm._1, cm._2)
+            mvR = cellMv(15)._1; mvC = cellMv(15)._2
         }
         // mode syntax
         hdr.put(if (skip) 1 else 0, probSkipFalse)
@@ -2018,6 +2142,39 @@ object Vp8Codec {
           case IntraMb(yMode, _, _, _) =>
             hdr.putTree(interYmodeTree, ymodeProbs, yMode)
             hdr.putTree(uvModeTree, uvProbs, yMode)
+          case SplitMb(ref, part, _, _, _, _, _) =>
+            hdr.put(if (ref == RefLast) 0 else 1, probLast)
+            if (ref != RefLast)
+              hdr.put(if (ref == RefGolden) 0 else 1, probGolden)
+            val (best, _, _, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+            hdr.putTree(mvRefTree, mvRefProbs(cnt), MvSplit)
+            hdr.putTree(mbSplitTree, mbSplitProbs, part)
+            // the encoder picks LEFT/ABOVE/ZERO when the partition's MV
+            // matches the first cell's neighbor (or zero), NEW otherwise
+            // — the reference encoder's choice rule, so all four sub-mv
+            // codes occur organically
+            val cellScratch = Array.fill(16)((0, 0))
+            var j = 0
+            while (j < splitPartitions(part)) {
+              val cells = splitCells(part, j)
+              val first = cells(0)
+              val cr = first / 4; val cc = first % 4
+              val lmv = if (cc == 0) leftCellMv(cr) else cellScratch(cr * 4 + cc - 1)
+              val amv = if (cr == 0) aboveCellMv(4 * c + cc)
+                else cellScratch((cr - 1) * 4 + cc)
+              val mv = splitCellMvs(first)
+              val p3 = subMvRefProbs(subMvCtx(lmv, amv))
+              if (mv == lmv) hdr.putTree(subMvRefTree, p3, SubLeft)
+              else if (mv == amv) hdr.putTree(subMvRefTree, p3, SubAbove)
+              else if (mv == ((0, 0))) hdr.putTree(subMvRefTree, p3, SubZero)
+              else {
+                hdr.putTree(subMvRefTree, p3, SubNew)
+                writeMvComponent(hdr, mvProbs(0), mv._1 - best._1)
+                writeMvComponent(hdr, mvProbs(1), mv._2 - best._2)
+              }
+              cells.foreach(cl => cellScratch(cl) = splitCellMvs(cl))
+              j += 1
+            }
           case _ =>
             val (ref, mvMode) = spec match {
               case InterMb(rf, mm, _, _, _, _, _, _) => (rf, mm)
@@ -2039,21 +2196,43 @@ object Vp8Codec {
           case IntraMb(_, a, b2, c2) => (a, b2, c2)
           case InterMb(_, _, _, _, _, a, b2, c2) => (a, b2, c2)
           case InterMbUnits(_, _, _, _, a, b2, c2) => (a, b2, c2)
+          case SplitMb(_, _, _, _, a, b2, c2) => (a, b2, c2)
         }
         if (skip) {
           reconY(r)(c) = py; reconU(r)(c) = pu; reconV(r)(c) = pv
-          leftY2 = 0; leftU = Array(0, 0); leftV = Array(0, 0)
-          aboveY2(c) = 0
+          leftU = Array(0, 0); leftV = Array(0, 0)
+          // split MBs have no Y2 plane: its nz context stays untouched
+          if (!isSplit) { aboveY2(c) = 0; leftY2 = 0 }
+          var i = 0
+          while (i < 4) { aboveYb(4 * c + i) = 0; leftYb(i) = 0; i += 1 }
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
           aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
         } else {
-          val vy = steerY2(ty - py)
           val vu = steerUv(tu - pu)
           val vv = steerUv(tv - pv)
-          val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
-          aboveY2(c) = nzY2; leftY2 = nzY2
-          var b = 0
-          while (b < 16) { w.dcOnlyBlock(0, 1, 0, 0); b += 1 }
+          if (isSplit) {
+            // no Y2; 16 plane-3 blocks carry their own DC, steered
+            // against the (uniform) common-MV prediction
+            val vy = steerYb(ty - py)
+            var b = 0
+            while (b < 16) {
+              val bc = b & 3; val br = b >> 2
+              val nz = w.dcOnlyBlock(3, 0, aboveYb(4 * c + bc) + leftYb(br), vy)
+              aboveYb(4 * c + bc) = nz; leftYb(br) = nz
+              b += 1
+            }
+          } else {
+            val vy = steerY2(ty - py)
+            val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
+            aboveY2(c) = nzY2; leftY2 = nzY2
+            var b = 0
+            while (b < 16) {
+              val bc = b & 3; val br = b >> 2
+              val nz = w.dcOnlyBlock(0, 1, aboveYb(4 * c + bc) + leftYb(br), 0)
+              aboveYb(4 * c + bc) = nz; leftYb(br) = nz
+              b += 1
+            }
+          }
           var i = 0
           while (i < 4) {
             val bc = 2 * c + (i & 1); val br = i >> 1
@@ -2072,6 +2251,15 @@ object Vp8Codec {
         }
         interFlag(r)(c) = isInter
         mvRowG(r)(c) = mvR; mvColG(r)(c) = mvC
+        // per-4x4 MV state for the following MBs' sub-mv contexts
+        var k4 = 0
+        while (k4 < 4) {
+          val bottom = if (isSplit) splitCellMvs(12 + k4) else (mvR, mvC)
+          val rightC = if (isSplit) splitCellMvs(k4 * 4 + 3) else (mvR, mvC)
+          aboveCellMv(4 * c + k4) = bottom
+          leftCellMv(k4) = rightC
+          k4 += 1
+        }
         c += 1
       }
       r += 1
@@ -2184,6 +2372,7 @@ object Vp8Codec {
     // ---- per-MB modes (first partition) ----
     val skips = new Array[Boolean](mbW * mbH)
     val isInterA = new Array[Boolean](mbW * mbH)
+    val isSplitA = new Array[Boolean](mbW * mbH)
     val refOf = new Array[Int](mbW * mbH)
     val yModes = new Array[Int](mbW * mbH)
     val mvRowA = new Array[Int](mbW * mbH)
@@ -2191,6 +2380,10 @@ object Vp8Codec {
     val interFlag = Array.fill(mbH, mbW)(false)
     val mvRowG = Array.fill(mbH, mbW)(0)
     val mvColG = Array.fill(mbH, mbW)(0)
+    // per-4x4-cell MVs (full-frame grid): SPLITMV cells carry their own,
+    // whole-MB and intra MBs replicate the MB's MV (zero for intra)
+    val cellMvR = Array.fill(mbH * 4, mbW * 4)(0)
+    val cellMvC = Array.fill(mbH * 4, mbW * 4)(0)
     var r = 0
     while (r < mbH) {
       var c = 0
@@ -2208,17 +2401,54 @@ object Vp8Codec {
           refOf(mbI) = ref
           val (best, nearest, near, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
           val mode = hd.tree(mvRefTree, mvRefProbs(cnt))
-          require(mode != MvSplit, "vp8: SPLITMV outside this profile")
-          val mv: (Int, Int) = mode match {
-            case MvZero => (0, 0)
-            case MvNearest => nearest
-            case MvNear => near
-            case _ =>
-              val dr = readMvComponent(hd, mvProbs(0))
-              val dc = readMvComponent(hd, mvProbs(1))
-              (best._1 + dr, best._2 + dc)
-          }
+          val mv: (Int, Int) =
+            if (mode == MvSplit) {
+              isSplitA(mbI) = true
+              val part = hd.tree(mbSplitTree, mbSplitProbs)
+              var j = 0
+              while (j < splitPartitions(part)) {
+                val cells = splitCells(part, j)
+                val first = cells(0)
+                val cr = first / 4; val cc = first % 4
+                val gr = r * 4 + cr; val gc = c * 4 + cc
+                val lmv = if (gc == 0) ((0, 0)) else (cellMvR(gr)(gc - 1), cellMvC(gr)(gc - 1))
+                val amv = if (gr == 0) ((0, 0)) else (cellMvR(gr - 1)(gc), cellMvC(gr - 1)(gc))
+                val sub = hd.tree(subMvRefTree, subMvRefProbs(subMvCtx(lmv, amv)))
+                val smv: (Int, Int) = sub match {
+                  case SubLeft => lmv
+                  case SubAbove => amv
+                  case SubZero => (0, 0)
+                  case _ =>
+                    val dr = readMvComponent(hd, mvProbs(0))
+                    val dc = readMvComponent(hd, mvProbs(1))
+                    (best._1 + dr, best._2 + dc)
+                }
+                cells.foreach { cl =>
+                  cellMvR(r * 4 + cl / 4)(c * 4 + cl % 4) = smv._1
+                  cellMvC(r * 4 + cl / 4)(c * 4 + cl % 4) = smv._2
+                }
+                j += 1
+              }
+              // the MB's MV (survey state) is the bottom-right cell's
+              (cellMvR(r * 4 + 3)(c * 4 + 3), cellMvC(r * 4 + 3)(c * 4 + 3))
+            } else mode match {
+              case MvZero => (0, 0)
+              case MvNearest => nearest
+              case MvNear => near
+              case _ =>
+                val dr = readMvComponent(hd, mvProbs(0))
+                val dc = readMvComponent(hd, mvProbs(1))
+                (best._1 + dr, best._2 + dc)
+            }
           mvRowA(mbI) = mv._1; mvColA(mbI) = mv._2
+          if (!isSplitA(mbI)) {
+            var cl = 0
+            while (cl < 16) {
+              cellMvR(r * 4 + cl / 4)(c * 4 + cl % 4) = mv._1
+              cellMvC(r * 4 + cl / 4)(c * 4 + cl % 4) = mv._2
+              cl += 1
+            }
+          }
           // in-frame support (incl. the 6-tap extension) is enforced
           // loudly by mcFetch at reconstruction time
         } else {
@@ -2279,7 +2509,51 @@ object Vp8Codec {
         val predY = new Array[Int](256)
         val predU = new Array[Int](64)
         val predV = new Array[Int](64)
-        if (isInterA(mbI)) {
+        if (isInterA(mbI) && isSplitA(mbI)) {
+          val g = refOf(mbI) match {
+            case RefLast => lastRef
+            case RefGolden => goldenRef
+            case _ => altR
+          }
+          // per-cell luma MC, per-2x2-group derived chroma MVs
+          val cell4 = new Array[Int](16)
+          var cl = 0
+          while (cl < 16) {
+            val cr = cl / 4; val cc = cl % 4
+            mcFetch(g.y, w, h, px + cc * 4, py + cr * 4, 4,
+              cellMvR(r * 4 + cr)(c * 4 + cc), cellMvC(r * 4 + cr)(c * 4 + cc), cell4)
+            var k = 0
+            while (k < 16) {
+              predY((cr * 4 + (k >> 2)) * 16 + cc * 4 + (k & 3)) = cell4(k)
+              k += 1
+            }
+            cl += 1
+          }
+          var q = 0
+          while (q < 4) {
+            val cbr = q / 2; val cbc = q % 2
+            var sr = 0; var sc2 = 0
+            var i2 = 0
+            while (i2 < 4) {
+              sr += cellMvR(r * 4 + 2 * cbr + i2 / 2)(c * 4 + 2 * cbc + i2 % 2)
+              sc2 += cellMvC(r * 4 + 2 * cbr + i2 / 2)(c * 4 + 2 * cbc + i2 % 2)
+              i2 += 1
+            }
+            val cmr = sdiv8(sr); val cmc = sdiv8(sc2)
+            def chroma(ref2: Array[Byte], dst: Array[Int]): Unit = {
+              mcFetch(ref2, w / 2, h / 2, px / 2 + cbc * 4, py / 2 + cbr * 4, 4,
+                cmr, cmc, cell4)
+              var k = 0
+              while (k < 16) {
+                dst((cbr * 4 + (k >> 2)) * 8 + cbc * 4 + (k & 3)) = cell4(k)
+                k += 1
+              }
+            }
+            chroma(g.u, predU)
+            chroma(g.v, predV)
+            q += 1
+          }
+        } else if (isInterA(mbI)) {
           val g = refOf(mbI) match {
             case RefLast => lastRef
             case RefGolden => goldenRef
@@ -2369,13 +2643,52 @@ object Vp8Codec {
         val residU = new Array[Int](64)
         val residV = new Array[Int](64)
         if (skipEnabled && skips(mbI)) {
-          leftY2 = 0; java.util.Arrays.fill(leftY, 0)
+          java.util.Arrays.fill(leftY, 0)
           java.util.Arrays.fill(leftU, 0); java.util.Arrays.fill(leftV, 0)
-          aboveY2(c) = 0
+          // SPLITMV MBs have no Y2 plane: its nz context stays untouched
+          if (!isSplitA(mbI)) { aboveY2(c) = 0; leftY2 = 0 }
           var i = 0
           while (i < 4) { aboveY(4 * c + i) = 0; i += 1 }
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
           aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
+        } else if (isSplitA(mbI)) {
+          // no Y2; 16 plane-3 luma blocks carry their own DC
+          var bidx = 0
+          while (bidx < 16) {
+            val bc = bidx & 3; val br = bidx >> 2
+            val (yc, nzY) = readCoefBlock(td, probs, 3, 0, aboveY(4 * c + bc) + leftY(br))
+            aboveY(4 * c + bc) = nzY; leftY(br) = nzY
+            yc(0) *= yAcQv // plane-3 DC: dcQ(qi), the y_dc-delta-free profile
+            var k0 = 1
+            while (k0 < 16) { yc(k0) *= yAcQv; k0 += 1 }
+            val pix = idct4x4(yc)
+            var k = 0
+            while (k < 16) {
+              residY((br * 4 + (k >> 2)) * 16 + bc * 4 + (k & 3)) = pix(k)
+              k += 1
+            }
+            bidx += 1
+          }
+          def uvSplit(resid: Array[Int], above: Array[Int], left: Array[Int]): Unit = {
+            var bi = 0
+            while (bi < 4) {
+              val bc = bi & 1; val br = bi >> 1
+              val (cc, nz) = readCoefBlock(td, probs, 2, 0, above(2 * c + bc) + left(br))
+              above(2 * c + bc) = nz; left(br) = nz
+              cc(0) *= uvq
+              var k = 1
+              while (k < 16) { cc(k) *= uvaq; k += 1 }
+              val pix = idct4x4(cc)
+              var k2 = 0
+              while (k2 < 16) {
+                resid((br * 4 + (k2 >> 2)) * 8 + bc * 4 + (k2 & 3)) = pix(k2)
+                k2 += 1
+              }
+              bi += 1
+            }
+          }
+          uvSplit(residU, aboveU, leftU)
+          uvSplit(residV, aboveV, leftV)
         } else {
           val (y2c, nz2) = readCoefBlock(td, probs, 1, 0, aboveY2(c) + leftY2)
           aboveY2(c) = nz2; leftY2 = nz2

@@ -585,6 +585,106 @@ class Vp8CodecSpec extends AnyFunSuite {
       Vp8Codec.decodeSequence(Seq(kf, f2))(1).y))
   }
 
+  // ---- SPLITMV ----------------------------------------------------------------
+
+  /** The q_vp8_splitmv fixture: key frame with per-MB uniform values,
+    * then an all-SPLITMV inter frame — partitionings rotate per MB,
+    * sub-MVs select zero / one-MB-left / one-MB-up per partition (group-
+    * aligned under 4x4 so derived chroma MVs stay whole-MB), every fifth
+    * MB coded with residue (common MV) instead of skip. Mirrors
+    * Multimodal.withVp8SplitmvMedia and the oracle.
+    */
+  private def splitGroupIdx(p: Int, j: Int): Int =
+    if (p == 3) ((j / 4) / 2) * 2 + (j % 4) / 2 else j
+
+  private def splitMvOf(d: Long, m: Int, mbW: Int, g: Int): (Int, Int) = {
+    val r = m / mbW; val c = m % mbW
+    ((g + m + d) % 3).toInt match {
+      case 1 => if (c > 0) (0, -128) else (0, 0)
+      case 2 => if (r > 0) (-128, 0) else (0, 0)
+      case _ => (0, 0)
+    }
+  }
+
+  private def splitPlan(d: Long, w: Int, h: Int): Vp8Codec.InterPlan = {
+    val mbW = w / 16
+    def ty2(m: Int) = ((77 + 31 * d + 13 * m) % 256).toInt
+    def tu2(m: Int) = ((59 + 91 * d + 7 * m) % 256).toInt
+    def tv2(m: Int) = ((43 + 53 * d + 11 * m) % 256).toInt
+    Vp8Codec.InterPlan(w, h, qi = 0, uvDcDelta = 0, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false,
+      mb = m => {
+        val p = ((m + d) % 4).toInt
+        if ((m + d) % 5 == 0) {
+          val common = if (m % mbW > 0) (0, -128) else (0, 0)
+          Vp8Codec.SplitMb(0, p, _ => common, skip = false,
+            ty2(m), tu2(m), tv2(m))
+        } else
+          Vp8Codec.SplitMb(0, p,
+            j => splitMvOf(d, m, mbW, splitGroupIdx(p, j)),
+            skip = true, 0, 0, 0)
+      })
+  }
+
+  test("SPLITMV: partitionings, sub-mv grammar, per-cell MC, derived chroma MVs — exact") {
+    for (d <- 0L until 12L) {
+      val w = 64; val h = 32
+      val mbW = w / 16
+      val kp = Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 0,
+        tokenPartitions = 1, skipAll = false, yT(d), uT(d), vT(d))
+      val (kf, kg) = Vp8Codec.encodeKeyFrame(kp)
+      val (f2, _) = Vp8Codec.encodeInterFrame(splitPlan(d, w, h), kg, kg)
+      val fr = Vp8Codec.decodeSequence(Seq(kf, f2))(1)
+      def ty2(m: Int) = ((77 + 31 * d + 13 * m) % 256).toInt
+      def tu2(m: Int) = ((59 + 91 * d + 7 * m) % 256).toInt
+      def tv2(m: Int) = ((43 + 53 * d + 11 * m) % 256).toInt
+      def srcMb(m: Int, mv: (Int, Int)): Int = {
+        val r = m / mbW + mv._1 / 128
+        val c = m % mbW + mv._2 / 128
+        r * mbW + c
+      }
+      // luma
+      for (yy <- 0 until h; x <- 0 until w) {
+        val m = (yy / 16) * mbW + x / 16
+        val p = ((m + d) % 4).toInt
+        val want =
+          if ((m + d) % 5 == 0) ty2(m)
+          else {
+            val cr = (yy % 16) / 4; val cc = (x % 16) / 4
+            val j = p match {
+              case 0 => cr / 2
+              case 1 => cc / 2
+              case 2 => (cr / 2) * 2 + cc / 2
+              case _ => cr * 4 + cc
+            }
+            yT(d)(srcMb(m, splitMvOf(d, m, mbW, splitGroupIdx(p, j))))
+          }
+        assert((fr.y(yy * w + x) & 0xff) == want, s"d=$d luma ($x,$yy)")
+      }
+      // chroma: derived group MVs land one whole chroma MB away
+      for (yy <- 0 until h / 2; x <- 0 until w / 2) {
+        val m = (yy / 8) * mbW + x / 8
+        val p = ((m + d) % 4).toInt
+        val g = ((yy % 8) / 4) * 2 + (x % 8) / 4
+        // the group's MV key: partitions span whole groups (p 0/1 key by
+        // the group's row/col half; 8x8 and group-aligned 4x4 key by g)
+        val gKey = p match {
+          case 0 => g / 2
+          case 1 => g % 2
+          case _ => g
+        }
+        val (wu, wv) =
+          if ((m + d) % 5 == 0) (tu2(m), tv2(m))
+          else {
+            val src = srcMb(m, splitMvOf(d, m, mbW, gKey))
+            (uT(d)(src), vT(d)(src))
+          }
+        assert((fr.u(yy * (w / 2) + x) & 0xff) == wu, s"d=$d u ($x,$yy)")
+        assert((fr.v(yy * (w / 2) + x) & 0xff) == wv, s"d=$d v ($x,$yy)")
+      }
+    }
+  }
+
   // ---- B_PRED directional sub-modes ------------------------------------------
 
   /** The q_vp8_bpred fixture: 3×2 MBs, MB 4 is B_PRED hosting ONE
