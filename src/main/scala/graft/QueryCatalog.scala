@@ -4350,6 +4350,66 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 (ITU-T H.264 Annex B) decode, graded byte-exact — the
+    // entry rung of the last named lossy-video class: each doc carries a
+    // genuine Annex B stream (SPS + PPS + one IDR slice) parsed through
+    // the REAL transport and parameter-set machinery — start codes,
+    // emulation-prevention byte removal (every fifth macroblock is
+    // ALL-ZERO, forcing EP bytes through the payload), exp-Golomb ue/se,
+    // the full SPS/PPS field walk, IDR slice headers with
+    // dec_ref_pic_marking — and a macroblock layer of I_PCM (mb_type 25:
+    // pcm alignment + raw 4:2:0 samples), the one mode whose
+    // reconstruction is exact by construction. CAVLC residuals and intra
+    // prediction are the next rung, rejected loudly. The oracle replays
+    // the per-pixel generator; any NAL/EP/Golomb/header/sample-order
+    // drift moves the checksum.
+    ("q_h264_ipcm",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.withH264Media(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d,
+             |    16*(1 + n_chars % 3) AS w, 16*(1 + n_chars % 2) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val) AS pix_sum,
+             |    sum(vv.val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM (SELECT *, w // 16 AS mbw FROM dims) m
+             |  JOIN range(0, 2304) t(i) ON t.i < m.w*m.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*m.h THEN 0
+             |         WHEN t.i < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) % (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN t.i // m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) // (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (q1.yy // 16) * m.mbw + q1.x // 16
+             |      ELSE (q1.yy // 8) * m.mbw + q1.x // 8 END AS mb) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN (q2.mb + m.d) % 5 = 0 THEN 0
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN (31*m.d + 13*q2.mb + q1.x % 16 + 17*(q1.yy % 16)) % 256
+             |      WHEN 1 THEN (91*m.d + 7*q2.mb + 3*(q1.x % 8) + 5*(q1.yy % 8)) % 256
+             |      ELSE (53*m.d + 11*q2.mb + 7*(q1.x % 8) + 13*(q1.yy % 8)) % 256
+             |    END END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, 'h264' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*h*3//2 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL VP8 B_PRED DIRECTIONAL SUB-MODES, graded byte-exact — the
     // full 4×4 intra prediction family (VE/HE/RD/VR/HD/LD/VL/HU on top
     // of the already-graded DC/TM): each doc's center MB hosts one

@@ -44,6 +44,7 @@ object ImageCodec {
     else if (WebpCodec.isVp8l(bytes)) Some("webp")
     else if (Vp8Codec.isVp8Webp(bytes)) Some("vp8")
     else if (GifCodec.isGif(bytes)) Some("gif")
+    else if (H264Codec.isAnnexB(bytes)) Some("h264")
     else (bytes(0), bytes(1)) match {
       case ('B', 'M') => Some("bmp")
       case ('P', '6') => Some("ppm")
@@ -66,6 +67,10 @@ object ImageCodec {
       val f = Vp8Codec.decodeWebp(bytes)
       DecodedImage("vp8", f.width, f.height, 3, f.y ++ f.u ++ f.v)
     case Some("gif") => GifCodec.decodeGif(bytes)
+    case Some("h264") =>
+      // one IDR picture of I_PCM macroblocks: planar YUV 4:2:0 like VP8
+      val f = H264Codec.decode(bytes)
+      DecodedImage("h264", f.width, f.height, 3, f.y ++ f.u ++ f.v)
     case _ => throw new IllegalArgumentException(
       "ImageCodec: unrecognized container (need BMP 'BM', PPM 'P6', PGM 'P5', " +
         "PNG, JPEG, GIF, lossless-WebP VP8L or lossy-WebP VP8 magic)")

@@ -322,6 +322,47 @@ object Multimodal {
     }
   }
 
+  /** Each doc carries a REAL H.264 Annex B stream (SPS + PPS + one IDR
+    * slice of I_PCM macroblocks): per-pixel varying samples, with every
+    * fifth macroblock ALL-ZERO so the payload forces emulation-prevention
+    * bytes — the decode only reproduces the closed-form pixels if the
+    * NAL split, EP-byte removal, exp-Golomb parameter-set walk, slice
+    * header, pcm alignment and sample order are all exact.
+    */
+  def withH264Media(docs: DataFrame, id: String = "doc_id",
+                    nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (1 + nc % 3)).toInt
+          val h = (16 * (1 + nc % 2)).toInt
+          val mbW = w / 16
+          def zeroMb(m: Int): Boolean = (m + d) % 5 == 0
+          val stream = H264Codec.encode(w, h,
+            (x, yy) => {
+              val m = (yy / 16) * mbW + x / 16
+              if (zeroMb(m)) 0
+              else ((31 * d + 13 * m + x % 16 + 17 * (yy % 16)) % 256).toInt
+            },
+            (x2, y2) => {
+              val m = (y2 / 8) * mbW + x2 / 8
+              if (zeroMb(m)) 0
+              else ((91 * d + 7 * m + 3 * (x2 % 8) + 5 * (y2 % 8)) % 256).toInt
+            },
+            (x2, y2) => {
+              val m = (y2 / 8) * mbW + x2 / 8
+              if (zeroMb(m)) 0
+              else ((53 * d + 11 * m + 7 * (x2 % 8) + 13 * (y2 % 8)) % 256).toInt
+            })
+          (d, stream)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a loop-filtered VP8 key frame: per-MB uniform
     * targets STRIPED along one axis (so exactly one edge direction
     * activates and the closed form stays per-pixel tractable), the
