@@ -5142,6 +5142,59 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC-LC (ADTS) decode, graded exactly — the last named rung of
+    // the perceptual-audio ladder: each doc carries a genuine mono ADTS
+    // stream decoded through the full AAC-LC structure — 0xFFF sync +
+    // header with the 13-bit frame_length validated against the consumed
+    // bytes, single_channel_element, ics_info (long windows), run-length
+    // section_data with the 31-escape, DPCM scalefactors through the
+    // pinned codebook, spectral Huffman with the spec's grammar (signed
+    // 4-tuple books 1-2, unsigned with sign bits 3-4 and 7-11, signed
+    // 2-tuple 5-6, book 11's escape sequences), pinned requantization,
+    // and the 2048-point IMDCT with overlap-add carried ACROSS ADTS
+    // frames. One spectral line per frame keeps the chain linear; the
+    // oracle replays requant -> IMDCT -> window -> overlap as one flat
+    // sum; any framing/section/sign/escape/window drift moves the
+    // checksum.
+    ("q_aac_decode",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, 1 + doc_id % 2 AS nf FROM documents),
+             |chk AS (
+             |  SELECT b.d, b.nf,
+             |    sum(vv.xr * ((13*pp.p + 7*vv.pos + 5) % 29 - 14)
+             |        * (1 + (3*pp.p) % 17) * (vv.t % 97 + 1)) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 2) ff(f) ON ff.f < b.nf
+             |  JOIN range(0, 2048) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (37*b.d + 911*ff.f) % 1024 AS pos,
+             |    1 + (b.d + ff.f) % 11 AS cb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.cb = 11 THEN 16 + b.d % 40
+             |    ELSE 1 + (b.d + ff.f) % (CASE q1.cb
+             |      WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+             |      WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 7 WHEN 8 THEN 7
+             |      ELSE 12 END) END AS mag,
+             |    20 + (29*b.d + 7*ff.f) % 200
+             |      + (b.d + 3*ff.f) % 41 - 20 AS sf) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + ff.f) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.mag * (q2.mag + 2) * (1 + (5*q2.sf) % 13) AS xr,
+             |    q1.pos AS pos,
+             |    CASE WHEN pp.p < 1024 THEN ff.f*1024 + pp.p
+             |         ELSE (ff.f + 1)*1024 + pp.p - 1024 END AS t) vv
+             |  WHERE vv.t < 1024*b.nf
+             |  GROUP BY b.d, b.nf)
+             |SELECT d AS doc_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(1024*nf AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

@@ -175,7 +175,7 @@ object MpegAudio {
     * (length, symbol). Both coder directions share the construction, so
     * the code family is self-consistent by construction.
     */
-  private def canonicalCode(weights: Array[Long]): (Array[Int], Array[Int]) = {
+  private[operators] def canonicalCode(weights: Array[Long]): (Array[Int], Array[Int]) = {
     val n = weights.length
     require(n >= 2, "huffman: need at least two symbols")
     final case class Node(w: Long, minSym: Int, syms: List[Int])

@@ -1059,6 +1059,64 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a REAL AAC-LC ADTS stream (one or two frames): one
+    * nonzero spectral line per frame with the codebook rotating through
+    * all 11 spectral books (escape sequences when book 11 comes up),
+    * DPCM scalefactors, and zero-sections around the coded band — the
+    * whole Huffman/IMDCT chain stays linear so the oracle replays it
+    * closed-form ([[AacCodec]]'s pinned-constants discipline).
+    */
+  def withAacMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          def frameOf(f: Int): AacCodec.AacFrame = {
+            val pos = ((37 * d + 911 * f) % 1024).toInt
+            val cb = (1 + (d + f) % 11).toInt
+            val mag =
+              if (cb == 11) (16 + d % 40).toInt
+              else (1 + (d + f) % AacCodec.cbLav(cb)).toInt
+            val v = if ((d + f) % 2 == 1) -mag else mag
+            AacCodec.AacFrame(
+              globalGain = (20 + (29 * d + 7 * f) % 200).toInt,
+              lines = Seq((pos, v, cb)),
+              sfDelta = ((d + 3 * f) % 41 - 20).toInt)
+          }
+          val nf = 1 + (d % 2).toInt
+          (d, AacCodec.encode((0 until nf).map(frameOf)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  case class AacStats(doc_id: Long, n_frames: Long, n_samples: Long,
+                      pcm_checksum: Long)
+
+  /** Decode each doc's ADTS stream through the full AAC-LC pipeline and
+    * reduce the fixed-point PCM to the position-weighted checksum.
+    */
+  def decodeAacStats(media: DataFrame): Dataset[AacStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val out = AacCodec.decode(bytes)
+          var chk = 0L
+          var t = 0
+          while (t < out.pcm.length) {
+            chk += out.pcm(t) * (t % 97 + 1)
+            t += 1
+          }
+          AacStats(id, out.nFrames.toLong, out.pcm.length.toLong, chk)
+        }
+      }
+  }
+
   case class MpegAudioStats(doc_id: Long, layer: Long, n_channels: Long,
                             n_frames: Long, n_samples: Long, pcm_checksum: Long)
 
