@@ -311,7 +311,12 @@ object MpegAudio {
       while (i < 64) {
         var acc = 0L
         var k = 0
-        while (k < 32) { acc += nTab(i, k) * s(k); k += 1 }
+        while (k < 32) {
+          // sparse spectra leave most subbands zero; skipping them is an
+          // exact identity, not an approximation
+          if (s(k) != 0L) acc += nTab(i, k) * s(k)
+          k += 1
+        }
         v(i) = acc
         i += 1
       }
@@ -1035,26 +1040,46 @@ object MpegAudio {
         }
         sb += 1
       }
-      // IMDCT (36-point long window), overlap-add, frequency inversion
+      // IMDCT (36-point long window), overlap-add, frequency inversion.
+      // All-zero subbands contribute nothing new: their output is the
+      // carried overlap and their next overlap is zero — skipping the
+      // 36x18 transform for them is an exact identity
       val tim = Array.ofDim[Long](32, 18)
       sb = 0
       while (sb < 32) {
-        val out = new Array[Long](36)
-        var pp = 0
-        while (pp < 36) {
-          var acc = 0L
-          var k = 0
-          while (k < 18) { acc += xr(18 * sb + k) * l3Cos(pp, k); k += 1 }
-          out(pp) = acc * l3Win(pp)
-          pp += 1
-        }
-        var ss = 0
-        while (ss < 18) {
-          var v = out(ss) + overlap(sb)(ss)
-          if (sb % 2 == 1 && ss % 2 == 1) v = -v
-          tim(sb)(ss) = v
-          overlap(sb)(ss) = out(18 + ss)
-          ss += 1
+        var anyNz = false
+        var k1 = 18 * sb
+        while (k1 < 18 * sb + 18 && !anyNz) { anyNz = xr(k1) != 0L; k1 += 1 }
+        if (anyNz) {
+          val out = new Array[Long](36)
+          var pp = 0
+          while (pp < 36) {
+            var acc = 0L
+            var k = 0
+            while (k < 18) {
+              if (xr(18 * sb + k) != 0L) acc += xr(18 * sb + k) * l3Cos(pp, k)
+              k += 1
+            }
+            out(pp) = acc * l3Win(pp)
+            pp += 1
+          }
+          var ss = 0
+          while (ss < 18) {
+            var v = out(ss) + overlap(sb)(ss)
+            if (sb % 2 == 1 && ss % 2 == 1) v = -v
+            tim(sb)(ss) = v
+            overlap(sb)(ss) = out(18 + ss)
+            ss += 1
+          }
+        } else {
+          var ss = 0
+          while (ss < 18) {
+            var v = overlap(sb)(ss)
+            if (sb % 2 == 1 && ss % 2 == 1) v = -v
+            tim(sb)(ss) = v
+            overlap(sb)(ss) = 0L
+            ss += 1
+          }
         }
         sb += 1
       }

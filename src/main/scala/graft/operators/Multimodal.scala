@@ -1013,6 +1013,11 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(id).cast("long").as("doc_id"))
+      // the local fixture table is a single parquet row group (one scan
+      // split), which would serialize the decode; at corpus scale the
+      // scan arrives in many splits and this exchange of bare ids is
+      // noise next to the per-doc decode work
+      .repartition(32)
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
