@@ -46,7 +46,6 @@ object H264Codec {
       put(code.toLong, n)
     }
     def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
-    def byteAligned: Boolean = nAcc == 0
     def alignZero(): Unit = if (nAcc > 0) put(0, 8 - nAcc)
     /** rbsp_trailing_bits: stop bit + zero alignment. */
     def trailing(): Unit = { put(1, 1); alignZero() }
@@ -81,12 +80,10 @@ object H264Codec {
       val k = ue()
       if (k % 2 == 0) -(k / 2) else (k + 1) / 2
     }
-    def byteAligned: Boolean = bit == 0
     def alignByte(): Unit = {
       while (bit != 0) require(get(1) == 0, "h264: nonzero pcm alignment bit")
     }
     def readByte(): Int = { require(bit == 0); get(8) }
-    def remainingBytes: Int = buf.length - pos - (if (bit > 0) 1 else 0)
     /** rbsp_trailing_bits + cabac_zero_word-free tail. */
     def trailing(): Unit = {
       require(get(1) == 1, "h264: missing rbsp_stop_one_bit")
