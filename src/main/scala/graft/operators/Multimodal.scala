@@ -322,6 +322,50 @@ object Multimodal {
     }
   }
 
+  /** The rotating coded-Intra_16x16 H.264 fixture plan (shared with the
+    * spec suite): per-MB variants cycle DC-only steering / zero-luma-
+    * residual (prediction modes become oracle-visible) / steered-AC
+    * (CAVLC AC path + cbp chroma 2) / I_PCM, luma prediction modes
+    * rotate V/H/DC with the availability mapping, chroma targets are
+    * diagonal-striped so chroma prediction stays uniform, and the last
+    * MB (on >= 2x2-MB frames) codes Plane prediction with zero residual
+    * so the plane ramp itself is oracle-replayed.
+    */
+  private[operators] def h264IntraPlan(d: Long, w: Int, h: Int): H264Codec.IntraPlan = {
+    val mbW = w / 16
+    H264Codec.IntraPlan(w, h,
+      variant = mb => ((d + mb) % 4).toInt,
+      modeSel = mb => ((d + mb) % 3).toInt,
+      tL = mb => ((37 * d + 19 * mb) % 208 + 24).toInt,
+      tCb = mb => ((91 * d + 29 * (mb / mbW + mb % mbW)) % 240 + 8).toInt,
+      tCr = mb => ((53 * d + 31 * (mb / mbW + mb % mbW)) % 240 + 8).toInt,
+      acSign = mb => if ((d + mb) % 2 == 0) 1 else -1)
+  }
+
+  /** Each doc carries a REAL coded H.264 Annex B stream (SPS + PPS + one
+    * IDR slice of Intra_16x16 + I_PCM macroblocks) built from
+    * [[h264IntraPlan]]: the decode only reproduces the closed-form
+    * targets if intra prediction (V/H/DC/Plane with edge fallbacks),
+    * CAVLC residual decoding (nC contexts, trailing ones, level escapes,
+    * total_zeros/run_before), the 4x4 inverse transform and both
+    * Hadamard DC paths, and the chroma QP offset chain are all exact.
+    */
+  def withH264IntraMedia(docs: DataFrame, id: String = "doc_id",
+                         nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (1 + nc % 3)).toInt
+          val h = (16 * (1 + nc % 2)).toInt
+          (d, H264Codec.encodeIntra(h264IntraPlan(d, w, h)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a REAL H.264 Annex B stream (SPS + PPS + one IDR
     * slice of I_PCM macroblocks): per-pixel varying samples, with every
     * fifth macroblock ALL-ZERO so the payload forces emulation-prevention
