@@ -4440,18 +4440,51 @@ object QueryCatalog {
              |dd AS (
              |  SELECT d, w, h, w//16 AS mbw, h//16 AS mbh,
              |    (w//16)*(h//16) AS nmb FROM dims),
+             |mbs0 AS (
+             |  SELECT dd.d, g.i AS mb, (37*dd.d + 19*g.i) % 208 + 24 AS vu
+             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb),
+             |mbs1 AS (
+             |  SELECT dd.d, g.i AS mb,
+             |    CASE ((dd.d + g.i) % 5)
+             |      WHEN 1 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 1 THEN lv.vu
+             |        ELSE (av.vu + lv.vu + 1) // 2 END
+             |      WHEN 4 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 2 = 0 THEN av.vu
+             |        ELSE lv.vu END
+             |      ELSE rv.vu END AS vu
+             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb
+             |  LEFT JOIN mbs0 rv ON rv.d = dd.d AND rv.mb = g.i
+             |  LEFT JOIN mbs0 lv ON lv.d = dd.d AND lv.mb = g.i - 1
+             |  LEFT JOIN mbs0 av ON av.d = dd.d AND av.mb = g.i - dd.mbw),
              |mbs AS (
              |  SELECT dd.d, g.i AS mb,
-             |    CASE WHEN (dd.d + g.i) % 4 = 1 THEN
-             |      CASE WHEN g.i = 0 THEN 128
-             |           WHEN g.i < dd.mbw THEN (37*dd.d + 19*(g.i-1)) % 208 + 24
-             |           WHEN g.i % dd.mbw = 0 THEN (37*dd.d + 19*(g.i-dd.mbw)) % 208 + 24
-             |           WHEN (dd.d + g.i) % 3 = 0 THEN (37*dd.d + 19*(g.i-dd.mbw)) % 208 + 24
-             |           WHEN (dd.d + g.i) % 3 = 1 THEN (37*dd.d + 19*(g.i-1)) % 208 + 24
-             |           ELSE ((37*dd.d + 19*(g.i-dd.mbw)) % 208 + 24
-             |               + (37*dd.d + 19*(g.i-1)) % 208 + 24 + 1) // 2 END
-             |    ELSE (37*dd.d + 19*g.i) % 208 + 24 END AS vu
-             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb),
+             |    CASE ((dd.d + g.i) % 5)
+             |      WHEN 1 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 1 THEN lv.vu
+             |        ELSE (av.vu + lv.vu + 1) // 2 END
+             |      WHEN 4 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 2 = 0 THEN av.vu
+             |        ELSE lv.vu END
+             |      ELSE rv.vu END AS vu
+             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb
+             |  LEFT JOIN mbs0 rv ON rv.d = dd.d AND rv.mb = g.i
+             |  LEFT JOIN mbs1 lv ON lv.d = dd.d AND lv.mb = g.i - 1
+             |  LEFT JOIN mbs1 av ON av.d = dd.d AND av.mb = g.i - dd.mbw),
              |pp AS (
              |  SELECT dd.d, ma.vu AS pa, ml.vu AS pl_, mal.vu AS pal
              |  FROM dd
@@ -4495,10 +4528,15 @@ object QueryCatalog {
              |          (16*(pp.pl_ + pp.pa)
              |           + CAST(floor((40*(pp.pa - pp.pal) + 32) / 64e0) AS BIGINT)*(q2.xx - 7)
              |           + CAST(floor((40*(pp.pl_ - pp.pal) + 32) / 64e0) AS BIGINT)*(q2.zz - 7) + 16) // 32))
-             |      WHEN (m.d + q3.mb) % 4 = 2 AND q2.xx < 4 AND q2.zz < 4 THEN
+             |      WHEN (m.d + q3.mb) % 5 = 2 AND q2.xx < 4 AND q2.zz < 4 THEN
              |        (37*m.d + 19*q3.mb) % 208 + 24 + q3.s *
              |          (CASE q2.xx WHEN 0 THEN 14 WHEN 1 THEN 1
              |            WHEN 2 THEN -9 ELSE -6 END)
+             |      WHEN (m.d + q3.mb) % 5 = 4 AND q2.r = m.mbh - 1 AND q2.r > 0
+             |           AND (q2.c = 0 OR (m.d + q3.mb) % 2 = 0)
+             |           AND q2.xx < 4 AND q2.zz >= 12 THEN
+             |        mm.vu + 4 * (CASE WHEN (m.d + 3*q3.mb) % 2 = 0 THEN 1 ELSE -1 END)
+             |               * (1 + (m.d + q3.mb) % 3)
              |      ELSE mm.vu END
              |    WHEN q0.pl = 1 THEN
              |      CASE WHEN q3.ispl THEN
@@ -4507,7 +4545,7 @@ object QueryCatalog {
              |           + CAST(floor((68*(((91*m.d + 29*(q2.r + q2.c - 1)) % 240 + 8)
              |                 - ((91*m.d + 29*(q2.r + q2.c - 2)) % 240 + 8)) + 16) / 32e0) AS BIGINT)
              |             * (q2.xx - 3 + q2.zz - 3) + 16) // 32))
-             |      WHEN (m.d + q3.mb) % 4 = 2 AND q2.xx < 4 AND q2.zz < 4 THEN
+             |      WHEN (m.d + q3.mb) % 5 = 2 AND q2.xx < 4 AND q2.zz < 4 THEN
              |        (91*m.d + 29*(q2.r + q2.c)) % 240 + 8 + 2 * q3.s *
              |          (CASE q2.xx WHEN 0 THEN 1 WHEN 1 THEN -1
              |            WHEN 2 THEN -1 ELSE 1 END)

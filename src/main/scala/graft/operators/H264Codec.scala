@@ -341,7 +341,11 @@ object H264Codec {
                              modeSel: Int => Int,
                              tL: Int => Int, tCb: Int => Int, tCr: Int => Int,
                              acSign: Int => Int,
-                             planeLast: Boolean = true)
+                             planeLast: Boolean = true,
+                             i4VH: Int => Int = _ => 0,
+                             i4Steer: Int => Int = _ => 1,
+                             i4Modes: (Int, Int) => Int = null,
+                             pcmY: (Int, Int, Int) => Int = null)
 
   def encodeIntra(plan: IntraPlan): Array[Byte] = {
     val w = plan.w; val h = plan.h
@@ -358,6 +362,7 @@ object H264Codec {
     val tcY = new TcGrid(mbW * 4, mbH * 4)
     val tcCb = new TcGrid(mbW * 2, mbH * 2)
     val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    val modeG = new ModeGrid(mbW * 4, mbH * 4)
     val bw = new BitWriter
     bw.ue(0) // first_mb_in_slice
     bw.ue(7) // slice_type: I
@@ -388,7 +393,11 @@ object H264Codec {
         bw.alignZero()
         val ty = plan.tL(mb); val tu = plan.tCb(mb); val tv = plan.tCr(mb)
         var i = 0
-        while (i < 256) { bw.putByte(ty); recY((my + i / 16) * w + mx + i % 16) = ty.toByte; i += 1 }
+        while (i < 256) {
+          val px = if (plan.pcmY != null) plan.pcmY(mb, i % 16, i / 16) else ty
+          bw.putByte(px); recY((my + i / 16) * w + mx + i % 16) = px.toByte
+          i += 1
+        }
         i = 0
         while (i < 64) { bw.putByte(tu); recU((cy + i / 8) * cw + cx + i % 8) = tu.toByte; i += 1 }
         i = 0
@@ -400,6 +409,128 @@ object H264Codec {
           tcCb.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
           tcCr.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
           b += 1
+        }
+      } else if (v == 4) {
+        // I_4x4 macroblock: per-block prediction (fixture: all-V /
+        // all-H with edge fallbacks; spec hook i4Modes for the full
+        // nine-mode family), prev_intra4x4_pred_mode coding against the
+        // mode grid, CBP, and a steered DC residual in block 10 on
+        // last-row vertical MBs (granularity 4 at QP 28 — quarantined:
+        // nothing reads block 10's edges)
+        val explicit = plan.i4Modes != null
+        val eff =
+          if (explicit) -1
+          else if (r == 0 && c == 0) 2
+          else if (r == 0) 1
+          else if (c == 0) 0
+          else plan.i4VH(mb)
+        val steer = !explicit && eff == 0 && r == mbH - 1 && r > 0
+        val cs = if (steer) plan.i4Steer(mb) else 0
+        val modes = Array.tabulate(16)(b => if (explicit) plan.i4Modes(mb, b) else eff)
+        val lumaCoef = Array.fill(16)(new Array[Int](16))
+        if (cs != 0) lumaCoef(10)(0) = cs
+        var b = 0
+        while (b < 16) {
+          val bx = mx + blkX(b); val by = my + blkY(b)
+          val pr = predIntra4(modes(b), recY, w, h, bx, by)
+          val dcoef = new Array[Int](16)
+          var k = 0
+          while (k < 16) {
+            if (lumaCoef(b)(k) != 0) { val p = zig4(k); dcoef(p) = deqAc(lumaCoef(b)(k), qp, p) }
+            k += 1
+          }
+          val rr = invCore4(dcoef)
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              recY((by + yy) * w + bx + xx) =
+                clip255(pr(yy * 4 + xx) + ((rr(yy * 4 + xx) + 32) >> 6)).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          b += 1
+        }
+        if (!explicit) {
+          val base = eff match {
+            case 2 => 128
+            case 1 => recY(my * w + mx - 1) & 0xff
+            case _ => recY((my - 1) * w + mx) & 0xff
+          }
+          var i = 0
+          while (i < 256) {
+            val xx = i % 16; val yy = i / 16
+            val want = base + (if (cs != 0 && xx < 4 && yy >= 12) 4 * cs else 0)
+            require((recY((my + yy) * w + mx + xx) & 0xff) == want,
+              "h264 fixture: I4x4 steering drift")
+            i += 1
+          }
+        }
+        val cmode = eff match { case 0 => 2; case 1 => 1; case _ => 0 }
+        val pCb = predChroma8(cmode, recU, cw, cx, cy)
+        val pCr = predChroma8(cmode, recV, cw, cx, cy)
+        var i = 1
+        while (i < 64) {
+          require(pCb(i) == pCb(0) && pCr(i) == pCr(0),
+            "h264 fixture: non-uniform chroma prediction (targets must be diagonal-striped)")
+          i += 1
+        }
+        val dcCb = new Array[Int](4)
+        val dcCr = new Array[Int](4)
+        dcCb(0) = plan.tCb(mb) - pCb(0)
+        dcCr(0) = plan.tCr(mb) - pCr(0)
+        val cbpC = if (dcCb(0) != 0 || dcCr(0) != 0) 1 else 0
+        val cbpLuma = if (cs != 0) 4 else 0
+        val cbp = cbpLuma | (cbpC << 4)
+        bw.ue(0) // mb_type: I_4x4
+        b = 0
+        while (b < 16) {
+          val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
+          val mpm = modeG.mpm(gx, gy)
+          if (modes(b) == mpm) bw.put(1, 1)
+          else {
+            bw.put(0, 1)
+            bw.put((if (modes(b) < mpm) modes(b) else modes(b) - 1).toLong, 3)
+          }
+          modeG.set(gx, gy, modes(b))
+          b += 1
+        }
+        bw.ue(cmode)
+        bw.ue(cbp) // coded_block_pattern: pinned identity codeNum map
+        if (cbp != 0) bw.se(0) // mb_qp_delta
+        var s8 = 0
+        while (s8 < 4) {
+          if (((cbpLuma >> s8) & 1) == 1) {
+            var j = 0
+            while (j < 4) {
+              val bb = s8 * 4 + j
+              val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
+              tcY.set(gx, gy, writeBlock(bw, lumaCoef(bb), tcY.nc(gx, gy)))
+              j += 1
+            }
+          }
+          s8 += 1
+        }
+        if (cbpC >= 1) {
+          writeBlock(bw, dcCb, -1)
+          writeBlock(bw, dcCr, -1)
+        }
+        val rU = reconChroma(pCb, dcCb, null, qpc)
+        val rV = reconChroma(pCr, dcCr, null, qpc)
+        if (!explicit) {
+          var k = 0
+          while (k < 64) {
+            require(rU(k) == plan.tCb(mb), "h264 fixture: I4x4 Cb steering drift")
+            require(rV(k) == plan.tCr(mb), "h264 fixture: I4x4 Cr steering drift")
+            k += 1
+          }
+        }
+        i = 0
+        while (i < 64) {
+          recU((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
+          recV((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
+          i += 1
         }
       } else {
         val pL = predIntra16(mode, recY, w, mx, my)
@@ -977,6 +1108,126 @@ object H264Codec {
     out
   }
 
+  // ---- Intra_4x4 prediction --------------------------------------------------------
+
+  /** luma4x4BlkIdx whose above-right neighbors are not yet decoded at
+    * their turn in the 8x8-major block order (the classic {3,7,11,13,15}
+    * set); spec rule: replicate p[3,-1] in their place.
+    */
+  private val noAboveRight = Set(3, 7, 11, 13, 15)
+
+  /** Above-right availability for the 4x4 block at pixel (bx, by): at an
+    * MB top row the above MB row is fully decoded (raster slice order),
+    * inside the MB it follows the 8x8-major decode order.
+    */
+  private def arAvailable(bx: Int, by: Int, w: Int): Boolean = {
+    if (bx + 4 >= w) false
+    else if (by % 16 == 0) by > 0
+    else {
+      val rx = (bx % 16) / 4; val ry = (by % 16) / 4
+      val idx = ((ry & 2) << 2) | ((rx & 2) << 1) | ((ry & 1) << 1) | (rx & 1)
+      !noAboveRight.contains(idx)
+    }
+  }
+
+  /** All nine Intra_4x4 prediction modes (8.3.1.2.1-9): 0 V, 1 H, 2 DC,
+    * 3 DDL, 4 DDR, 5 VR, 6 HD, 7 VL, 8 HU — with the spec availability
+    * fallbacks for DC, the above-right replication rule, and loud
+    * requires for modes that need missing neighbors. (bx, by) are the
+    * block's top-left pixel coordinates in the luma plane.
+    */
+  private[operators] def predIntra4(mode: Int, rec: Array[Byte], w: Int, h: Int,
+                                    bx: Int, by: Int): Array[Int] = {
+    val above = by > 0; val left = bx > 0
+    val ar = arAvailable(bx, by, w)
+    // p(i, -1) for i in -1..7 (above incl. above-right), p(-1, j) for j in 0..3
+    def rawTop(i: Int): Int = rec((by - 1) * w + bx + i) & 0xff
+    def top(i: Int): Int =
+      if (i < 0) rawTop(-1)
+      else if (i >= 4 && !ar) rawTop(3)
+      else rawTop(i)
+    def lef(j: Int): Int =
+      if (j < 0) rawTop(-1) else rec((by + j) * w + bx - 1) & 0xff
+    val out = new Array[Int](16)
+    def fill(f: (Int, Int) => Int): Unit = {
+      var y = 0
+      while (y < 4) { var x = 0; while (x < 4) { out(y * 4 + x) = f(x, y); x += 1 }; y += 1 }
+    }
+    mode match {
+      case 0 =>
+        require(above, "h264: intra4 vertical pred without an above neighbor")
+        fill((x, _) => top(x))
+      case 1 =>
+        require(left, "h264: intra4 horizontal pred without a left neighbor")
+        fill((_, y) => lef(y))
+      case 2 =>
+        val dc =
+          if (above && left)
+            (top(0) + top(1) + top(2) + top(3) + lef(0) + lef(1) + lef(2) + lef(3) + 4) >> 3
+          else if (above) (top(0) + top(1) + top(2) + top(3) + 2) >> 2
+          else if (left) (lef(0) + lef(1) + lef(2) + lef(3) + 2) >> 2
+          else 128
+        fill((_, _) => dc)
+      case 3 =>
+        require(above, "h264: intra4 DDL pred without an above neighbor")
+        fill((x, y) =>
+          if (x == 3 && y == 3) (top(6) + 3 * top(7) + 2) >> 2
+          else (top(x + y) + 2 * top(x + y + 1) + top(x + y + 2) + 2) >> 2)
+      case 4 =>
+        require(above && left, "h264: intra4 DDR pred needs both neighbors")
+        fill((x, y) =>
+          if (x > y) (top(x - y - 2) + 2 * top(x - y - 1) + top(x - y) + 2) >> 2
+          else if (x < y) (lef(y - x - 2) + 2 * lef(y - x - 1) + lef(y - x) + 2) >> 2
+          else (top(0) + 2 * top(-1) + lef(0) + 2) >> 2)
+      case 5 =>
+        require(above && left, "h264: intra4 VR pred needs both neighbors")
+        fill((x, y) => {
+          val z = 2 * x - y
+          if (z >= 0 && z % 2 == 0) (top(x - (y >> 1) - 1) + top(x - (y >> 1)) + 1) >> 1
+          else if (z >= 0) (top(x - (y >> 1) - 2) + 2 * top(x - (y >> 1) - 1) + top(x - (y >> 1)) + 2) >> 2
+          else if (z == -1) (lef(0) + 2 * top(-1) + top(0) + 2) >> 2
+          else (lef(y - 1) + 2 * lef(y - 2) + lef(y - 3) + 2) >> 2
+        })
+      case 6 =>
+        require(above && left, "h264: intra4 HD pred needs both neighbors")
+        fill((x, y) => {
+          val z = 2 * y - x
+          if (z >= 0 && z % 2 == 0) (lef(y - (x >> 1) - 1) + lef(y - (x >> 1)) + 1) >> 1
+          else if (z >= 0) (lef(y - (x >> 1) - 2) + 2 * lef(y - (x >> 1) - 1) + lef(y - (x >> 1)) + 2) >> 2
+          else if (z == -1) (lef(0) + 2 * top(-1) + top(0) + 2) >> 2
+          else (top(x - 1) + 2 * top(x - 2) + top(x - 3) + 2) >> 2
+        })
+      case 7 =>
+        require(above, "h264: intra4 VL pred without an above neighbor")
+        fill((x, y) =>
+          if (y % 2 == 0) (top(x + (y >> 1)) + top(x + (y >> 1) + 1) + 1) >> 1
+          else (top(x + (y >> 1)) + 2 * top(x + (y >> 1) + 1) + top(x + (y >> 1) + 2) + 2) >> 2)
+      case 8 =>
+        require(left, "h264: intra4 HU pred without a left neighbor")
+        fill((x, y) => {
+          val z = x + 2 * y
+          if (z > 5) lef(3)
+          else if (z == 5) (lef(2) + 3 * lef(3) + 2) >> 2
+          else if (z % 2 == 0) (lef(y + (x >> 1)) + lef(y + (x >> 1) + 1) + 1) >> 1
+          else (lef(y + (x >> 1)) + 2 * lef(y + (x >> 1) + 1) + lef(y + (x >> 1) + 2) + 2) >> 2
+        })
+      case m => throw new IllegalArgumentException(s"h264: intra4 mode $m")
+    }
+    out
+  }
+
+  /** Per-4x4-block intra-mode grid for prev_intra4x4_pred_mode
+    * prediction: non-I4x4 macroblocks (I16x16, PCM) contribute DC (2),
+    * the spec value for non-MxM neighbors; unavailable neighbors too.
+    */
+  private final class ModeGrid(val gw: Int, val gh: Int) {
+    private val g = Array.fill(gw * gh)(2)
+    def set(bx: Int, by: Int, v: Int): Unit = g(by * gw + bx) = v
+    def mpm(bx: Int, by: Int): Int =
+      if (bx == 0 || by == 0) 2 // either neighbor unavailable -> DC (8.3.1.1)
+      else math.min(g(by * gw + bx - 1), g((by - 1) * gw + bx))
+  }
+
   // ---- shared reconstruction -------------------------------------------------------
 
   /** Intra_16x16 luma reconstruction: zigzag-place the DC scan, inverse
@@ -1094,6 +1345,7 @@ object H264Codec {
     val tcY = new TcGrid(mbW * 4, mbH * 4)
     val tcCb = new TcGrid(mbW * 2, mbH * 2)
     val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    val modeG = new ModeGrid(mbW * 4, mbH * 4)
     var mb = 0
     while (mb < mbW * mbH) {
       val r = mb / mbW; val c = mb % mbW
@@ -1125,9 +1377,114 @@ object H264Codec {
           tcCr.set(c * 2 + (bk & 1), r * 2 + (bk >> 1), 16)
           bk += 1
         }
+      } else if (mbType == 0) {
+        // I_4x4: per-block modes via prev_intra4x4_pred_mode, CBP, then
+        // sequential block reconstruction (later blocks predict from
+        // earlier reconstructed ones)
+        val modes = new Array[Int](16)
+        var b = 0
+        while (b < 16) {
+          val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
+          val mpm = modeG.mpm(gx, gy)
+          modes(b) =
+            if (br.get(1) == 1) mpm
+            else {
+              val rem = br.get(3)
+              if (rem < mpm) rem else rem + 1
+            }
+          modeG.set(gx, gy, modes(b))
+          b += 1
+        }
+        val cmode = br.ue()
+        require(cmode <= 3, "h264: intra_chroma_pred_mode out of range")
+        val cbp = br.ue()
+        require(cbp <= 47, "h264: coded_block_pattern out of range")
+        val cbpLuma = cbp & 15
+        val cbpC = cbp >> 4
+        require(cbpC <= 2, "h264: chroma coded_block_pattern out of range")
+        if (cbp != 0) {
+          qp += br.se()
+          require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
+        }
+        val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
+        val lumaCoef = new Array[Array[Int]](16)
+        var s8 = 0
+        while (s8 < 4) {
+          if (((cbpLuma >> s8) & 1) == 1) {
+            var j = 0
+            while (j < 4) {
+              val bb = s8 * 4 + j
+              val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
+              val coefs = readBlock(br, 16, tcY.nc(gx, gy))
+              lumaCoef(bb) = coefs
+              tcY.set(gx, gy, coefs.count(_ != 0))
+              j += 1
+            }
+          }
+          s8 += 1
+        }
+        var dcCb = new Array[Int](4)
+        var dcCr = new Array[Int](4)
+        if (cbpC >= 1) {
+          dcCb = readBlock(br, 4, -1)
+          dcCr = readBlock(br, 4, -1)
+        }
+        var acCb: Array[Array[Int]] = null
+        var acCr: Array[Array[Int]] = null
+        if (cbpC == 2) {
+          acCb = new Array[Array[Int]](4)
+          var bk = 0
+          while (bk < 4) {
+            val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
+            val blkCoef = readBlock(br, 15, tcCb.nc(bx, by))
+            acCb(bk) = blkCoef
+            tcCb.set(bx, by, blkCoef.count(_ != 0))
+            bk += 1
+          }
+          acCr = new Array[Array[Int]](4)
+          bk = 0
+          while (bk < 4) {
+            val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
+            val blkCoef = readBlock(br, 15, tcCr.nc(bx, by))
+            acCr(bk) = blkCoef
+            tcCr.set(bx, by, blkCoef.count(_ != 0))
+            bk += 1
+          }
+        }
+        b = 0
+        while (b < 16) {
+          val bx = mx + blkX(b); val by = my + blkY(b)
+          val pr = predIntra4(modes(b), y, w, h, bx, by)
+          val dcoef = new Array[Int](16)
+          if (lumaCoef(b) != null) {
+            var k = 0
+            while (k < 16) {
+              if (lumaCoef(b)(k) != 0) { val p = zig4(k); dcoef(p) = deqAc(lumaCoef(b)(k), qp, p) }
+              k += 1
+            }
+          }
+          val rr = invCore4(dcoef)
+          var yy = 0
+          while (yy < 4) {
+            var xx = 0
+            while (xx < 4) {
+              y((by + yy) * w + bx + xx) =
+                clip255(pr(yy * 4 + xx) + ((rr(yy * 4 + xx) + 32) >> 6)).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          b += 1
+        }
+        val rU = reconChroma(predChroma8(cmode, u, cw, cx, cy), dcCb, acCb, qpc)
+        val rV = reconChroma(predChroma8(cmode, v, cw, cx, cy), dcCr, acCr, qpc)
+        var i = 0
+        while (i < 64) {
+          u((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
+          v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
+          i += 1
+        }
       } else {
-        require(mbType != 0,
-          "h264: I_4x4 macroblocks are the next rung (Intra_16x16 + I_PCM decoded here)")
         require(mbType >= 1 && mbType <= 24, s"h264: mb_type $mbType invalid in an I slice")
         val m = mbType - 1
         val mode = m % 4

@@ -334,12 +334,14 @@ object Multimodal {
   private[operators] def h264IntraPlan(d: Long, w: Int, h: Int): H264Codec.IntraPlan = {
     val mbW = w / 16
     H264Codec.IntraPlan(w, h,
-      variant = mb => ((d + mb) % 4).toInt,
+      variant = mb => ((d + mb) % 5).toInt,
       modeSel = mb => ((d + mb) % 3).toInt,
       tL = mb => ((37 * d + 19 * mb) % 208 + 24).toInt,
       tCb = mb => ((91 * d + 29 * (mb / mbW + mb % mbW)) % 240 + 8).toInt,
       tCr = mb => ((53 * d + 31 * (mb / mbW + mb % mbW)) % 240 + 8).toInt,
-      acSign = mb => if ((d + mb) % 2 == 0) 1 else -1)
+      acSign = mb => if ((d + mb) % 2 == 0) 1 else -1,
+      i4VH = mb => ((d + mb) % 2).toInt,
+      i4Steer = mb => (if ((d + 3 * mb) % 2 == 0) 1 else -1) * (1 + ((d + mb) % 3)).toInt)
   }
 
   /** Each doc carries a REAL coded H.264 Annex B stream (SPS + PPS + one
