@@ -348,6 +348,17 @@ object H264Codec {
                              pcmY: (Int, Int, Int) => Int = null)
 
   def encodeIntra(plan: IntraPlan): Array[Byte] = {
+    val (slice, _, _, _) = intraSlice(plan)
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(nal(3, 7, writeSps(plan.w, plan.h)), nal(3, 8, writePps(-6)),
+      nal(3, 5, slice)).foreach(n => out.write(n, 0, n.length))
+    out.toByteArray
+  }
+
+  /** Encode one steered IDR slice; returns (slice RBSP, recon Y/U/V) so
+    * the inter encoder can use the frame as a reference.
+    */
+  private def intraSlice(plan: IntraPlan): (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val w = plan.w; val h = plan.h
     require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
       "h264: this profile codes full-MB frames (no cropping)")
@@ -653,9 +664,253 @@ object H264Codec {
       mb += 1
     }
     bw.trailing()
+    (bw.bytes(), recY, recU, recV)
+  }
+
+  // ---- P slices (inter prediction) -------------------------------------------------
+
+  /** One frame-2 macroblock of the inter fixture plan. kind: 0 = P_Skip,
+    * 1 = P_L0_16x16 with mv (0,0) and a steered whole-MB luma delta of
+    * 4*dL (plus granularity-1 chroma steering to tCb/tCr), 2 =
+    * P_L0_16x16 with motion `mv` (quarter-pel, even full-pel) and no
+    * residual, 3 = Intra_16x16 (DC luma) steered to tL/tCb/tCr.
+    */
+  final case class PMb(kind: Int, mv: (Int, Int) = (0, 0), dL: Int = 0,
+                       tL: Int = 0, tCb: Int = 0, tCr: Int = 0)
+
+  /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`. */
+  final case class InterPlan(intra: IntraPlan, pmb: Int => PMb)
+
+  /** Motion-vector predictor for a 16x16 partition (8.4.1.3): the
+    * B-and-C-unavailable rule, the exactly-one-matching-reference rule,
+    * then the component median. Intra and unavailable neighbors carry
+    * refIdx -1 and mv (0,0); C falls back to D (above-left).
+    */
+  private[operators] def mvPredict16(mb: Int, r: Int, c: Int, mbW: Int,
+                          refIdx: Array[Int], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
+    def info(cond: Boolean, m: Int): (Int, Int, Int) =
+      if (cond) (refIdx(m), mvx(m), mvy(m)) else (-1, 0, 0)
+    val a = info(c > 0, mb - 1)
+    val b = info(r > 0, mb - mbW)
+    val cAvail = r > 0 && c < mbW - 1
+    val dAvail = r > 0 && c > 0
+    val cc = if (cAvail) info(true, mb - mbW + 1) else info(dAvail, mb - mbW - 1)
+    if (r == 0 && c > 0) return (a._2, a._3) // B and C unavailable -> mvA
+    val same = Seq(a, b, cc).filter(_._1 == 0)
+    if (same.length == 1) return (same.head._2, same.head._3)
+    def med(x: Int, y: Int, z: Int) =
+      x + y + z - math.min(x, math.min(y, z)) - math.max(x, math.max(y, z))
+    (med(a._2, b._2, cc._2), med(a._3, b._3, cc._3))
+  }
+
+  /** P_Skip motion (8.4.1.1): zero if the left or above neighbor is
+    * unavailable or is an inter MB with refIdx 0 and mv (0,0); otherwise
+    * the 16x16 predictor.
+    */
+  private[operators] def skipMv(mb: Int, r: Int, c: Int, mbW: Int,
+                     refIdx: Array[Int], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
+    if (c == 0 || r == 0) (0, 0)
+    else if (refIdx(mb - 1) == 0 && mvx(mb - 1) == 0 && mvy(mb - 1) == 0) (0, 0)
+    else if (refIdx(mb - mbW) == 0 && mvx(mb - mbW) == 0 && mvy(mb - mbW) == 0) (0, 0)
+    else mvPredict16(mb, r, c, mbW, refIdx, mvx, mvy)
+  }
+
+  /** Whole-MB motion compensation from the reference frame. This rung
+    * codes even full-pel vectors (mv quarter-pel components divisible by
+    * 8 -> integer chroma offsets) with in-frame support; sub-pel
+    * interpolation and unrestricted MVs are the next rung, rejected
+    * loudly.
+    */
+  private def mcFetch(ref: H264Frame, mx: Int, my: Int, mvX: Int, mvY: Int):
+      (Array[Int], Array[Int], Array[Int]) = {
+    require(mvX % 8 == 0 && mvY % 8 == 0,
+      "h264: sub-pel / odd-pel motion is the next rung (even full-pel MVs here)")
+    val dx = mvX / 4; val dy = mvY / 4
+    val w = ref.width; val h = ref.height
+    require(mx + dx >= 0 && mx + dx + 16 <= w && my + dy >= 0 && my + dy + 16 <= h,
+      "h264: out-of-frame motion (unrestricted MVs are the next rung)")
+    val cw = w / 2
+    val pY = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      pY(i) = ref.y((my + dy + i / 16) * w + mx + dx + i % 16) & 0xff
+      i += 1
+    }
+    val pU = new Array[Int](64)
+    val pV = new Array[Int](64)
+    val cx = mx / 2 + dx / 2; val cy = my / 2 + dy / 2
+    i = 0
+    while (i < 64) {
+      pU(i) = ref.u((cy + i / 8) * cw + cx + i % 8) & 0xff
+      pV(i) = ref.v((cy + i / 8) * cw + cx + i % 8) & 0xff
+      i += 1
+    }
+    (pY, pU, pV)
+  }
+
+  /** Encode the two-frame IDR + P sequence: SPS, PPS, IDR slice (frame
+    * 1), non-IDR P slice (frame 2, frame_num 1) referencing frame 1.
+    */
+  def encodeInter(p: InterPlan): Array[Byte] = {
+    val (idrSlice, rY, rU, rV) = intraSlice(p.intra)
+    val w = p.intra.w; val h = p.intra.h
+    val ref = H264Frame(w, h, rY, rU, rV)
+    val qp = 28
+    val qpc = chromaQp(qp - 6)
+    val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
+    val cw = w / 2
+    val recY = new Array[Byte](w * h)
+    val recU = new Array[Byte](cw * (h / 2))
+    val recV = new Array[Byte](cw * (h / 2))
+    val tcY = new TcGrid(mbW * 4, mbH * 4)
+    val tcCb = new TcGrid(mbW * 2, mbH * 2)
+    val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    val refIdx = Array.fill(nMb)(-1)
+    val mvxA = new Array[Int](nMb)
+    val mvyA = new Array[Int](nMb)
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(5) // slice_type: P
+    bw.ue(0) // pps id
+    bw.put(1, 8) // frame_num 1
+    bw.put(2, 8) // pic_order_cnt_lsb
+    bw.put(0, 1) // num_ref_idx_active_override_flag
+    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    bw.se(qp - 26) // slice_qp_delta
+    bw.ue(0) // disable_deblocking_filter_idc
+    bw.se(0); bw.se(0)
+    var skipRun = 0
+    var mb = 0
+    while (mb < nMb) {
+      val r = mb / mbW; val c = mb % mbW
+      val mx = c * 16; val my = r * 16
+      val cx = c * 8; val cy = r * 8
+      val m0 = p.pmb(mb)
+      if (m0.kind == 0) {
+        val smv = skipMv(mb, r, c, mbW, refIdx, mvxA, mvyA)
+        require(smv == ((0, 0)), "h264 fixture: skip MV must derive to zero by construction")
+        val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
+        var i = 0
+        while (i < 256) { recY((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
+        i = 0
+        while (i < 64) {
+          recU((cy + i / 8) * cw + cx + i % 8) = pU(i).toByte
+          recV((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
+          i += 1
+        }
+        refIdx(mb) = 0; mvxA(mb) = 0; mvyA(mb) = 0
+        skipRun += 1
+      } else {
+        bw.ue(skipRun)
+        skipRun = 0
+        if (m0.kind == 3) {
+          // Intra_16x16 in a P slice: DC luma, V/H/DC chroma by edge
+          bw.ue(5 + 1 + 2 + 4 * 1) // mb_type = 5 + I16x16(DC, cbpC 1, cbpL 0)
+          val pL = predIntra16(2, recY, w, mx, my)
+          val cmode = if (r == 0 && c == 0) 0 else if (r == 0) 1 else 2
+          val pCb = predChroma8(cmode, recU, cw, cx, cy)
+          val pCr = predChroma8(cmode, recV, cw, cx, cy)
+          var i = 1
+          while (i < 64) {
+            require(pCb(i) == pCb(0) && pCr(i) == pCr(0),
+              "h264 fixture: non-uniform chroma prediction in P-slice intra MB")
+            i += 1
+          }
+          bw.ue(cmode)
+          bw.se(0) // mb_qp_delta
+          val dcScan = new Array[Int](16)
+          dcScan(0) = m0.tL - pL(0)
+          val dcCb = new Array[Int](4); dcCb(0) = m0.tCb - pCb(0)
+          val dcCr = new Array[Int](4); dcCr(0) = m0.tCr - pCr(0)
+          writeBlock(bw, dcScan, tcY.nc(c * 4, r * 4))
+          writeBlock(bw, dcCb, -1)
+          writeBlock(bw, dcCr, -1)
+          val rYm = reconI16(pL, dcScan, null, qp)
+          val rUm = reconChroma(pCb, dcCb, null, qpc)
+          val rVm = reconChroma(pCr, dcCr, null, qpc)
+          i = 0
+          while (i < 256) {
+            require(rYm(i) == m0.tL, "h264 fixture: P-slice intra luma steering drift")
+            recY((my + i / 16) * w + mx + i % 16) = rYm(i).toByte
+            i += 1
+          }
+          i = 0
+          while (i < 64) {
+            require(rUm(i) == m0.tCb && rVm(i) == m0.tCr,
+              "h264 fixture: P-slice intra chroma steering drift")
+            recU((cy + i / 8) * cw + cx + i % 8) = rUm(i).toByte
+            recV((cy + i / 8) * cw + cx + i % 8) = rVm(i).toByte
+            i += 1
+          }
+          // refIdx stays -1 (intra); nC grid: DC-only luma leaves 0
+        } else {
+          // P_L0_16x16
+          val mv = if (m0.kind == 2) m0.mv else (0, 0)
+          val mvp = mvPredict16(mb, r, c, mbW, refIdx, mvxA, mvyA)
+          bw.ue(0) // mb_type: P_L0_16x16
+          bw.se(mv._1 - mvp._1)
+          bw.se(mv._2 - mvp._2)
+          val (pY, pU, pV) = mcFetch(ref, mx, my, mv._1, mv._2)
+          val dL = if (m0.kind == 1) m0.dL else 0
+          val gCb = if (m0.kind == 1) m0.tCb - pU(0) else 0
+          val gCr = if (m0.kind == 1) m0.tCr - pV(0) else 0
+          if (m0.kind == 1) {
+            var i = 1
+            while (i < 64) {
+              require(pU(i) == pU(0) && pV(i) == pV(0),
+                "h264 fixture: non-uniform chroma MC under kind-1 steering")
+              i += 1
+            }
+          }
+          val cbpLuma = if (dL != 0) 15 else 0
+          val cbpC = if (gCb != 0 || gCr != 0) 1 else 0
+          val cbp = cbpLuma | (cbpC << 4)
+          bw.ue(cbp) // pinned identity codeNum map
+          if (cbp != 0) bw.se(0) // mb_qp_delta
+          val blkCoef = new Array[Int](16)
+          blkCoef(0) = dL
+          if (cbpLuma == 15) {
+            var b = 0
+            while (b < 16) {
+              val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
+              tcY.set(gx, gy, writeBlock(bw, blkCoef, tcY.nc(gx, gy)))
+              b += 1
+            }
+          }
+          val dcCb = new Array[Int](4); dcCb(0) = gCb
+          val dcCr = new Array[Int](4); dcCr(0) = gCr
+          if (cbpC >= 1) {
+            writeBlock(bw, dcCb, -1)
+            writeBlock(bw, dcCr, -1)
+          }
+          // reconstruct: pred + 4*dL on luma, +gCb/gCr on chroma
+          var i = 0
+          while (i < 256) {
+            val v = clip255(pY(i) + ((deqAc(dL, qp, 0) + 32) >> 6))
+            if (m0.kind == 1)
+              require(v == pY(i) + 4 * dL, "h264 fixture: P residual steering drift")
+            recY((my + i / 16) * w + mx + i % 16) = v.toByte
+            i += 1
+          }
+          val rUm = reconChroma(pU, dcCb, null, qpc)
+          val rVm = reconChroma(pV, dcCr, null, qpc)
+          i = 0
+          while (i < 64) {
+            recU((cy + i / 8) * cw + cx + i % 8) = rUm(i).toByte
+            recV((cy + i / 8) * cw + cx + i % 8) = rVm(i).toByte
+            i += 1
+          }
+          refIdx(mb) = 0; mvxA(mb) = mv._1; mvyA(mb) = mv._2
+        }
+      }
+      mb += 1
+    }
+    if (skipRun > 0) bw.ue(skipRun)
+    bw.trailing()
     val out = new java.io.ByteArrayOutputStream()
-    Seq(nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(chromaOff)),
-      nal(3, 5, bw.bytes())).foreach(n => out.write(n, 0, n.length))
+    Seq(nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6)),
+      nal(3, 5, idrSlice), nal(2, 1, bw.bytes())).foreach(n => out.write(n, 0, n.length))
     out.toByteArray
   }
 
@@ -1317,26 +1572,59 @@ object H264Codec {
       ((b(2) == 0 && b(3) == 1) || b(2) == 1)
 
   def decode(b: Array[Byte]): H264Frame = {
+    val frames = decodeSequence(b)
+    require(frames.length == 1, "h264: multi-frame stream (use decodeSequence)")
+    frames.head
+  }
+
+  /** Decode a full Annex B sequence: SPS, PPS, an IDR slice, then any
+    * number of P slices each referencing the previous decoded frame.
+    */
+  def decodeSequence(b: Array[Byte]): Seq[H264Frame] = {
     val nals = splitNals(b)
-    require(nals.map(_._2) == Seq(7, 8, 5),
-      "h264: this profile expects exactly SPS, PPS, one IDR slice")
+    require(nals.length >= 3 && nals(0)._2 == 7 && nals(1)._2 == 8,
+      "h264: this profile expects SPS, PPS, then slices")
     val sps = parseSps(nals(0)._3)
     val pps = parsePps(nals(1)._3)
+    require(nals(2)._2 == 5, "h264: the first slice must be IDR")
+    var ref: H264Frame = null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[H264Frame]
+    for ((refIdc, t, rbsp) <- nals.drop(2)) {
+      require(t == 5 || t == 1, s"h264: unexpected NAL type $t in the slice stream")
+      val fr = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, ref)
+      frames += fr
+      ref = fr
+    }
+    frames.toSeq
+  }
+
+  private def decodeSliceFrame(rbsp: Array[Byte], sps: Sps, pps: Pps,
+                               isIdr: Boolean, refIdc: Int,
+                               ref: H264Frame): H264Frame = {
     val w = sps.widthMbs * 16
     val h = sps.heightMbs * 16
     val cw = w / 2; val ch = h / 2
     val y = new Array[Byte](w * h)
     val u = new Array[Byte](cw * ch)
     val v = new Array[Byte](cw * ch)
-    val br = new BitReader(nals(2)._3)
+    val br = new BitReader(rbsp)
     require(br.ue() == 0, "h264: slices not starting at MB 0 outside this profile")
     val sliceType = br.ue()
-    require(sliceType == 2 || sliceType == 7, "h264: non-I slice in an IDR picture")
+    val isP = sliceType == 0 || sliceType == 5
+    if (isIdr) require(sliceType == 2 || sliceType == 7, "h264: non-I slice in an IDR picture")
+    else require(isP, "h264: non-IDR slices are P in this profile")
+    if (isP) require(ref != null, "h264: P slice without a reference frame")
     require(br.ue() == 0, "h264: unknown PPS id")
     br.get(sps.log2MaxFrameNum) // frame_num
-    br.ue() // idr_pic_id
+    if (isIdr) br.ue() // idr_pic_id
     br.get(sps.log2MaxPoc) // poc lsb
-    br.get(1); br.get(1) // dec_ref_pic_marking (IDR form)
+    if (isP) {
+      require(br.get(1) == 0, "h264: num_ref_idx override outside this profile")
+      require(br.get(1) == 0, "h264: ref_pic_list_modification outside this profile")
+    }
+    if (isIdr) { br.get(1); br.get(1) } // dec_ref_pic_marking (IDR form)
+    else if (refIdc != 0)
+      require(br.get(1) == 0, "h264: adaptive ref marking outside this profile")
     var qp = pps.picInitQp + br.se() // slice_qp_delta
     require(qp >= 0 && qp <= 51, "h264: slice QP out of range")
     val disableDeblock = br.ue() // deblocking control present in our PPS
@@ -1346,13 +1634,158 @@ object H264Codec {
     val tcCb = new TcGrid(mbW * 2, mbH * 2)
     val tcCr = new TcGrid(mbW * 2, mbH * 2)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
+    val refIdxA = Array.fill(mbW * mbH)(-1)
+    val mvxA = new Array[Int](mbW * mbH)
+    val mvyA = new Array[Int](mbW * mbH)
+    var skipLeft = -1
     var mb = 0
     while (mb < mbW * mbH) {
       val r = mb / mbW; val c = mb % mbW
       val mx = c * 16; val my = r * 16
       val cx = c * 8; val cy = r * 8
-      val mbType = br.ue()
-      if (mbType == 25) {
+      if (isP && skipLeft < 0) skipLeft = br.ue()
+      if (isP && skipLeft > 0) {
+        // P_Skip: derived motion, no residual
+        val smv = skipMv(mb, r, c, mbW, refIdxA, mvxA, mvyA)
+        val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
+        var i = 0
+        while (i < 256) { y((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
+        i = 0
+        while (i < 64) {
+          u((cy + i / 8) * cw + cx + i % 8) = pU(i).toByte
+          v((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
+          i += 1
+        }
+        refIdxA(mb) = 0; mvxA(mb) = smv._1; mvyA(mb) = smv._2
+        skipLeft -= 1
+        mb += 1
+      } else {
+        if (isP) skipLeft = -1
+        val rawType = br.ue()
+        if (isP && rawType < 5) {
+          require(rawType == 0,
+            "h264: P partitions beyond 16x16 are the next rung (P_L0_16x16 here)")
+          val mvp = mvPredict16(mb, r, c, mbW, refIdxA, mvxA, mvyA)
+          val mvX = mvp._1 + br.se()
+          val mvY = mvp._2 + br.se()
+          val (pY, pU, pV) = mcFetch(ref, mx, my, mvX, mvY)
+          val cbp = br.ue()
+          require(cbp <= 47, "h264: coded_block_pattern out of range")
+          val cbpLuma = cbp & 15
+          val cbpC = cbp >> 4
+          require(cbpC <= 2, "h264: chroma coded_block_pattern out of range")
+          if (cbp != 0) {
+            qp += br.se()
+            require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
+          }
+          val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
+          val lumaCoef = new Array[Array[Int]](16)
+          var s8 = 0
+          while (s8 < 4) {
+            if (((cbpLuma >> s8) & 1) == 1) {
+              var j = 0
+              while (j < 4) {
+                val bb = s8 * 4 + j
+                val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
+                val coefs = readBlock(br, 16, tcY.nc(gx, gy))
+                lumaCoef(bb) = coefs
+                tcY.set(gx, gy, coefs.count(_ != 0))
+                j += 1
+              }
+            }
+            s8 += 1
+          }
+          var dcCb = new Array[Int](4)
+          var dcCr = new Array[Int](4)
+          if (cbpC >= 1) {
+            dcCb = readBlock(br, 4, -1)
+            dcCr = readBlock(br, 4, -1)
+          }
+          var acCb: Array[Array[Int]] = null
+          var acCr: Array[Array[Int]] = null
+          if (cbpC == 2) {
+            acCb = new Array[Array[Int]](4)
+            var bk = 0
+            while (bk < 4) {
+              val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
+              val blkCoef = readBlock(br, 15, tcCb.nc(bx, by))
+              acCb(bk) = blkCoef
+              tcCb.set(bx, by, blkCoef.count(_ != 0))
+              bk += 1
+            }
+            acCr = new Array[Array[Int]](4)
+            bk = 0
+            while (bk < 4) {
+              val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
+              val blkCoef = readBlock(br, 15, tcCr.nc(bx, by))
+              acCr(bk) = blkCoef
+              tcCr.set(bx, by, blkCoef.count(_ != 0))
+              bk += 1
+            }
+          }
+          var b = 0
+          while (b < 16) {
+            val bx = mx + blkX(b); val by = my + blkY(b)
+            val dcoef = new Array[Int](16)
+            if (lumaCoef(b) != null) {
+              var k = 0
+              while (k < 16) {
+                if (lumaCoef(b)(k) != 0) { val p = zig4(k); dcoef(p) = deqAc(lumaCoef(b)(k), qp, p) }
+                k += 1
+              }
+            }
+            val rr = invCore4(dcoef)
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                val pi = (blkY(b) + yy) * 16 + blkX(b) + xx
+                y((by + yy) * w + bx + xx) =
+                  clip255(pY(pi) + ((rr(yy * 4 + xx) + 32) >> 6)).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            b += 1
+          }
+          val rU = reconChroma(pU, dcCb, acCb, qpc)
+          val rV = reconChroma(pV, dcCr, acCr, qpc)
+          var i = 0
+          while (i < 64) {
+            u((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
+            v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
+            i += 1
+          }
+          refIdxA(mb) = 0; mvxA(mb) = mvX; mvyA(mb) = mvY
+          mb += 1
+        } else {
+          val mbType = if (isP) rawType - 5 else rawType
+          qp = decodeIntraMb(mbType, br, pps, y, u, v, w, h, mb, qp,
+            tcY, tcCb, tcCr, modeG)
+          mb += 1
+        }
+      }
+    }
+    br.trailing()
+    H264Frame(w, h, y, u, v)
+  }
+
+  /** Decode one intra macroblock (I_PCM / I_4x4 / Intra_16x16) into the
+    * current frame's planes — shared by I slices and the intra MBs of P
+    * slices; returns the updated slice QP.
+    */
+  private def decodeIntraMb(mbType: Int, br: BitReader, pps: Pps,
+                            y: Array[Byte], u: Array[Byte], v: Array[Byte],
+                            w: Int, h: Int, mb: Int, qp0: Int,
+                            tcY: TcGrid, tcCb: TcGrid, tcCr: TcGrid,
+                            modeG: ModeGrid): Int = {
+    val mbW = w / 16
+    val r = mb / mbW; val c = mb % mbW
+    val mx = c * 16; val my = r * 16
+    val cx = c * 8; val cy = r * 8
+    val cw = w / 2
+    var qp = qp0
+    if (mbType == 25) {
         br.alignByte()
         var i = 0
         while (i < 256) {
@@ -1547,10 +1980,7 @@ object H264Codec {
           v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
           i += 1
         }
-      }
-      mb += 1
     }
-    br.trailing()
-    H264Frame(w, h, y, u, v)
+    qp
   }
 }

@@ -368,6 +368,116 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** The two-frame H.264 inter fixture plan (shared with the spec
+    * suite): frame 1 is a steered all-DC IDR; frame 2 is a P slice whose
+    * MB classes stripe by (column + row + doc) so every P_Skip MB's
+    * left neighbor is a zero-motion ref-0 MB (the 8.4.1.1 zero trigger)
+    * or a frame edge. Classes: 0 = P_L0 mv(0,0) + steered residual
+    * (luma granularity 4, chroma 1), 1 = P_Skip, 2 = P_L0 with motion
+    * (MB-aligned shifts; the last row uses a half-MB horizontal shift so
+    * sub-MB source mixing is graded), 3 = Intra_16x16 inside the P
+    * slice.
+    */
+  private[operators] def h264InterPlan(d: Long, w: Int, h: Int): H264Codec.InterPlan = {
+    val mbW = w / 16; val mbH = h / 16
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0,
+      modeSel = _ => 2,
+      tL = mb => ((37 * d + 19 * mb) % 208 + 24).toInt,
+      tCb = mb => ((91 * d + 29 * (mb / mbW + mb % mbW)) % 240 + 8).toInt,
+      tCr = mb => ((53 * d + 31 * (mb / mbW + mb % mbW)) % 240 + 8).toInt,
+      acSign = _ => 1,
+      planeLast = false)
+    H264Codec.InterPlan(intra, mb => {
+      val r = mb / mbW; val c = mb % mbW
+      val cls = ((c + d + r) % 4).toInt
+      val tCb2 = ((91 * d + 23 * mb) % 240 + 8).toInt
+      val tCr2 = ((53 * d + 27 * mb) % 240 + 8).toInt
+      cls match {
+        case 1 => H264Codec.PMb(kind = 0)
+        case 0 =>
+          val dL = (if ((d + 3 * mb) % 2 == 0) 1 else -1) * (1 + ((d + mb) % 6)).toInt
+          H264Codec.PMb(kind = 1, dL = dL, tCb = tCb2, tCr = tCr2)
+        case 2 =>
+          val (sx, sy) =
+            if (r == mbH - 1) (if (c > 0) -8 else 0, -16)
+            else {
+              val sxv = ((d + mb) % 3).toInt match {
+                case 1 => if (c > 0) -16 else 0
+                case 2 => if (c < mbW - 1) 16 else 0
+                case _ => 0
+              }
+              (sxv, if (r > 0) -16 else 16)
+            }
+          H264Codec.PMb(kind = 2, mv = (4 * sx, 4 * sy))
+        case _ =>
+          H264Codec.PMb(kind = 3, tL = ((41 * d + 17 * mb) % 208 + 24).toInt,
+            tCb = tCb2, tCr = tCr2)
+      }
+    })
+  }
+
+  /** Each doc carries a REAL two-frame H.264 Annex B stream (SPS + PPS +
+    * IDR + non-IDR P slice) built from [[h264InterPlan]]: the decode
+    * only reproduces the closed-form targets if the P slice header walk,
+    * mb_skip_run, the P_Skip zero-MV derivation, the 16x16 MV predictor
+    * feeding mvd, whole-MB motion compensation (incl. half-MB source
+    * mixing on the last row), inter residual decoding, and intra-in-P
+    * prediction are all exact.
+    */
+  def withH264InterMedia(docs: DataFrame, id: String = "doc_id",
+                         nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (2 + nc % 2)).toInt
+          val h = 32
+          (d, H264Codec.encodeInter(h264InterPlan(d, w, h)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  case class H264VideoStats(doc_id: Long, width: Long, height: Long,
+                            n_frames: Long, pix_checksum: Long)
+
+  /** Decode every frame of each doc's Annex B sequence through the full
+    * H.264 pipeline (parameter sets, IDR intra, P-slice motion
+    * compensation) and reduce to a frame-and-position-weighted checksum:
+    * `Σ_f (f+1) · Σ_i yuv_f(i)·(i mod 97 + 1)`.
+    */
+  def decodeH264VideoStats(media: DataFrame): Dataset[H264VideoStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val frames = H264Codec.decodeSequence(bytes)
+          var chk = 0L
+          var f = 0
+          while (f < frames.length) {
+            val fr = frames(f)
+            var off = 0
+            for (plane <- Seq(fr.y, fr.u, fr.v)) {
+              var j = 0
+              while (j < plane.length) {
+                chk += (plane(j) & 0xff).toLong * ((off + j) % 97 + 1) * (f + 1)
+                j += 1
+              }
+              off += plane.length
+            }
+            f += 1
+          }
+          H264VideoStats(id, frames.head.width.toLong, frames.head.height.toLong,
+            frames.length.toLong, chk)
+        }
+      }
+  }
+
   /** Each doc carries a REAL H.264 Annex B stream (SPS + PPS + one IDR
     * slice of I_PCM macroblocks): per-pixel varying samples, with every
     * fifth macroblock ALL-ZERO so the payload forces emulation-prevention

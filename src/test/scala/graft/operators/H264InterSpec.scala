@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 P slices: the two-frame IDR + P chain replayed against an
+  * independent closed-form oracle, the 8.4.1.3 MV predictor and 8.4.1.1
+  * P_Skip rules pinned directly, and the malformed/restriction surface.
+  */
+class H264InterSpec extends AnyFunSuite {
+
+  private def expected(d: Long, w: Int, h: Int): (Array[Int], Array[Int]) = {
+    val mbW = w / 16; val mbH = h / 16
+    def tL1(m: Int): Int = ((37 * d + 19 * m) % 208 + 24).toInt
+    def cb1(m: Int): Int = ((91 * d + 29 * (m / mbW + m % mbW)) % 240 + 8).toInt
+    def cr1(m: Int): Int = ((53 * d + 31 * (m / mbW + m % mbW)) % 240 + 8).toInt
+    def tL2(m: Int): Int = ((41 * d + 17 * m) % 208 + 24).toInt
+    def cb2(m: Int): Int = ((91 * d + 23 * m) % 240 + 8).toInt
+    def cr2(m: Int): Int = ((53 * d + 27 * m) % 240 + 8).toInt
+    def cls(m: Int): Int = ((m % mbW + d + m / mbW) % 4).toInt
+    def dL(m: Int): Int =
+      (if ((d + 3 * m) % 2 == 0) 1 else -1) * (1 + ((d + m) % 6)).toInt
+    def shift(m: Int): (Int, Int) = {
+      val r = m / mbW; val c = m % mbW
+      if (r == mbH - 1) (if (c > 0) -8 else 0, -16)
+      else {
+        val sx = ((d + m) % 3).toInt match {
+          case 1 => if (c > 0) -16 else 0
+          case 2 => if (c < mbW - 1) 16 else 0
+          case _ => 0
+        }
+        (sx, if (r > 0) -16 else 16)
+      }
+    }
+    val fb = w * h * 3 / 2
+    val f1 = new Array[Int](fb)
+    val f2 = new Array[Int](fb)
+    for (y <- 0 until h; x <- 0 until w) {
+      val m = (y / 16) * mbW + x / 16
+      f1(y * w + x) = tL1(m)
+      f2(y * w + x) = cls(m) match {
+        case 1 => tL1(m)
+        case 0 => tL1(m) + 4 * dL(m)
+        case 2 =>
+          val (sx, sy) = shift(m)
+          tL1(((y + sy) / 16) * mbW + (x + sx) / 16)
+        case _ => tL2(m)
+      }
+    }
+    val cw = w / 2
+    for (y <- 0 until h / 2; x <- 0 until w / 2) {
+      val m = (y / 8) * mbW + x / 8
+      val base = w * h
+      f1(base + y * cw + x) = cb1(m)
+      f1(base + cw * (h / 2) + y * cw + x) = cr1(m)
+      val (u2, v2) = cls(m) match {
+        case 1 => (cb1(m), cr1(m))
+        case 0 => (cb2(m), cr2(m))
+        case 2 =>
+          val (sx, sy) = shift(m)
+          val sm = ((y + sy / 2) / 8) * mbW + (x + sx / 2) / 8
+          (cb1(sm), cr1(sm))
+        case _ => (cb2(m), cr2(m))
+      }
+      f2(base + y * cw + x) = u2
+      f2(base + cw * (h / 2) + y * cw + x) = v2
+    }
+    (f1, f2)
+  }
+
+  test("two-frame IDR + P chain equals the closed-form replay") {
+    for (d <- 0L until 16L; w <- Seq(32, 48)) {
+      val h = 32
+      val stream = H264Codec.encodeInter(Multimodal.h264InterPlan(d, w, h))
+      val frames = H264Codec.decodeSequence(stream)
+      assert(frames.length == 2)
+      val (e1, e2) = expected(d, w, h)
+      val cw = w / 2
+      for ((fr, ex, fi) <- Seq((frames(0), e1, 1), (frames(1), e2, 2))) {
+        for (i <- 0 until w * h)
+          assert((fr.y(i) & 0xff) == ex(i), s"d=$d w=$w f$fi luma (${i % w},${i / w})")
+        for (i <- 0 until cw * (h / 2)) {
+          assert((fr.u(i) & 0xff) == ex(w * h + i), s"d=$d w=$w f$fi cb $i")
+          assert((fr.v(i) & 0xff) == ex(w * h + cw * (h / 2) + i), s"d=$d w=$w f$fi cr $i")
+        }
+      }
+    }
+  }
+
+  test("MV predictor: exactly-one-matching-ref, median, and edge rules") {
+    // 3x3 MB frame; current MB = 4 (center)
+    val refIdx = Array.fill(9)(-1)
+    val mvx = new Array[Int](9)
+    val mvy = new Array[Int](9)
+    // only B (mb 1) is inter -> mvp = mvB
+    refIdx(1) = 0; mvx(1) = 40; mvy(1) = -8
+    assert(H264Codec.mvPredict16(4, 1, 1, 3, refIdx, mvx, mvy) == ((40, -8)))
+    // A and C inter too -> median per component
+    refIdx(3) = 0; mvx(3) = 8; mvy(3) = 16
+    refIdx(2) = 0; mvx(2) = 24; mvy(2) = 4
+    assert(H264Codec.mvPredict16(4, 1, 1, 3, refIdx, mvx, mvy) == ((24, 4)))
+    // row 0, c > 0: B and C unavailable -> mvA
+    refIdx(0) = 0; mvx(0) = -16; mvy(0) = 8
+    assert(H264Codec.mvPredict16(1, 0, 1, 3, refIdx, mvx, mvy) == ((-16, 8)))
+    // C unavailable at the right edge -> D (above-left) substitutes
+    val r2 = Array.fill(9)(-1); val x2 = new Array[Int](9); val y2 = new Array[Int](9)
+    r2(1) = 0; x2(1) = 8; y2(1) = 8    // D for mb 5 (r1,c2)
+    r2(2) = 0; x2(2) = 32; y2(2) = 0   // B
+    r2(4) = 0; x2(4) = 16; y2(4) = 24  // A
+    assert(H264Codec.mvPredict16(5, 1, 2, 3, r2, x2, y2) == ((16, 8)))
+  }
+
+  test("P_Skip zero triggers: edges and zero-motion neighbors") {
+    val refIdx = Array.fill(9)(0)
+    val mvx = Array.fill(9)(8)
+    val mvy = Array.fill(9)(8)
+    // left/top edges -> zero
+    assert(H264Codec.skipMv(0, 0, 0, 3, refIdx, mvx, mvy) == ((0, 0)))
+    assert(H264Codec.skipMv(3, 1, 0, 3, refIdx, mvx, mvy) == ((0, 0)))
+    assert(H264Codec.skipMv(1, 0, 1, 3, refIdx, mvx, mvy) == ((0, 0)))
+    // interior with all-nonzero inter neighbors -> the 16x16 predictor
+    assert(H264Codec.skipMv(4, 1, 1, 3, refIdx, mvx, mvy) == ((8, 8)))
+    // a zero-mv ref-0 left neighbor forces zero
+    mvx(3) = 0; mvy(3) = 0
+    assert(H264Codec.skipMv(4, 1, 1, 3, refIdx, mvx, mvy) == ((0, 0)))
+  }
+
+  test("restrictions and malformed streams fail loudly") {
+    val good = H264Codec.encodeInter(Multimodal.h264InterPlan(2L, 32, 32))
+    intercept[IllegalArgumentException](
+      H264Codec.decodeSequence(java.util.Arrays.copyOf(good, good.length - 4)))
+    // single-frame decode() refuses multi-frame sequences
+    intercept[IllegalArgumentException](H264Codec.decode(good))
+    // sub-pel motion is rejected at encode time (and would be at decode)
+    val base = Multimodal.h264InterPlan(3L, 32, 32)
+    val odd = H264Codec.InterPlan(base.intra, mb =>
+      if (mb == 3) H264Codec.PMb(kind = 2, mv = (2, 0)) else base.pmb(mb))
+    intercept[IllegalArgumentException](H264Codec.encodeInter(odd))
+    // out-of-frame motion rejected
+    val oob = H264Codec.InterPlan(base.intra, mb =>
+      if (mb == 0) H264Codec.PMb(kind = 2, mv = (-64, 0)) else base.pmb(mb))
+    intercept[IllegalArgumentException](H264Codec.encodeInter(oob))
+  }
+
+  test("sequence shape: SPS, PPS, IDR, then the non-IDR P slice") {
+    val good = H264Codec.encodeInter(Multimodal.h264InterPlan(4L, 32, 32))
+    assert(H264Codec.splitNals(good).map(_._2) == Seq(7, 8, 5, 1))
+    assert(H264Codec.decodeSequence(good).length == 2)
+  }
+}
