@@ -5441,6 +5441,53 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC-LC EIGHT_SHORT_SEQUENCE decode, graded exactly — the
+    // transient-window half of the AAC filterbank: each frame carries
+    // the 4-bit short max_sfb + 7 scale_factor_grouping bits (groups
+    // rotate per doc/frame; a grouping mis-parse desyncs the PER-GROUP
+    // section lists and the grade), group-interleaved spectral data over
+    // the pinned 15-band short table, and eight 256-point IMDCTs placed
+    // at 448 + 128w with cross-frame overlap-add. One line per frame
+    // keeps the chain linear; the oracle replays requant -> short IMDCT
+    // -> window placement -> overlap as one flat sum.
+    ("q_aac_short",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacShortMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, 1 + doc_id % 2 AS nf FROM documents),
+             |chk AS (
+             |  SELECT b.d, b.nf,
+             |    sum(CASE WHEN vv.t < 1024*b.nf THEN
+             |      vv.xr * ((11*pp.p + 5*vv.k + 3) % 23 - 11)
+             |        * (1 + (7*pp.p) % 13) * (vv.t % 97 + 1) ELSE 0 END) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 2) ff(f) ON ff.f < b.nf
+             |  JOIN range(0, 256) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (37*b.d + 911*ff.f) % 1024 AS pos,
+             |    1 + (b.d + ff.f) % 11 AS cb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.cb = 11 THEN 16 + b.d % 40
+             |    ELSE 1 + (b.d + ff.f) % (CASE q1.cb
+             |      WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+             |      WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 7 WHEN 8 THEN 7
+             |      ELSE 12 END) END AS mag,
+             |    20 + (29*b.d + 7*ff.f) % 200
+             |      + (b.d + 3*ff.f) % 41 - 20 AS sf) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + ff.f) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.mag * (q2.mag + 2) * (1 + (5*q2.sf) % 13) AS xr,
+             |    q1.pos % 128 AS k,
+             |    ff.f*1024 + 448 + 128*(q1.pos//128) + pp.p AS t) vv
+             |  GROUP BY b.d, b.nf)
+             |SELECT d AS doc_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(1024*nf AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

@@ -12,12 +12,14 @@ package graft.operators
   *  - raw_data_block: one single_channel_element (id_syn_ele SCE, 4-bit
   *    instance tag) followed by the END element id and byte alignment;
   *  - individual_channel_stream: 8-bit global_gain; ics_info with
-  *    window_sequence (ONLY_LONG in this profile — short/mixed windows
-  *    rejected loudly), window_shape, 6-bit max_sfb, predictor flag
-  *    (rejected if set);
+  *    window_sequence ONLY_LONG (6-bit max_sfb, predictor flag rejected
+  *    if set) or EIGHT_SHORT (4-bit max_sfb + the 7 scale_factor_grouping
+  *    bits; start/stop transition windows are the named next rung,
+  *    rejected loudly), window_shape;
   *  - section_data: run-length sections with a 4-bit codebook id each
-  *    and 5-bit incremental lengths with the 31-escape, covering the
-  *    sfbs up to max_sfb;
+  *    and incremental lengths (5-bit/31-escape long, 3-bit/7-escape
+  *    short) covering the sfbs up to max_sfb, PER WINDOW GROUP for
+  *    short sequences;
   *  - scale_factor_data: the first scalefactor seeded by global_gain,
   *    then DPCM deltas through the (pinned) scalefactor Huffman
   *    codebook for every sfb in a non-zero section;
@@ -27,9 +29,10 @@ package graft.operators
   *    sign bit per nonzero member, and codebook 11's escape sequence
   *    (N ones, a zero, then an (N+4)-bit mantissa → 2^(N+4) + word);
   *    codebook 0 sections are zero, intensity/PNS books are rejected;
-  *  - requantization |q|^(4/3)·2^((sf−100)/4) and the 2048-point IMDCT
-  *    long-window filterbank with 1024-sample overlap-add carried
-  *    ACROSS ADTS frames.
+  *  - requantization |q|^(4/3)·2^((sf−100)/4) and the filterbank:
+  *    the 2048-point long-window IMDCT, or eight 256-point short-window
+  *    IMDCTs placed at 448 + 128w with window-group-interleaved spectra,
+  *    both with 1024-sample overlap-add carried ACROSS ADTS frames.
   *
   * PINNED CONSTANTS, stated honestly (the [[MpegAudio]] discipline):
   * the out-of-band numeric tables — the Huffman codebooks (replaced by
@@ -71,6 +74,22 @@ object AacCodec {
   /** Pinned 2048-point IMDCT cosine and long-window stand-ins. */
   private[operators] def aacCos(p: Int, k: Int): Long = ((13 * p + 7 * k + 5) % 29) - 14
   private[operators] def aacWin(p: Int): Long = 1 + ((3 * p) % 17)
+
+  /** Short-window structure (EIGHT_SHORT_SEQUENCE): 8 windows of 128
+    * spectral lines; pinned short band table (15 bands: 14 of width 8 +
+    * one of 16 — max_sfb is a 4-bit field, which is why the spec's own
+    * short tables stop at 15), 256-point IMDCT cosine/window stand-ins,
+    * and the spec's window offsets — window w contributes at frame
+    * positions 448 + 128w .. +255.
+    */
+  private[operators] val NumSfbShort = 15 // max_sfb is a 4-bit field
+  private[operators] val ShortLen = 128
+  private[operators] val ShortOffset = 448
+  private[operators] def sfbShortStart(b: Int): Int = if (b < 14) 8 * b else 112
+  private[operators] def sfbShortWidth(b: Int): Int = if (b < 14) 8 else 16
+  private[operators] def sfbShort(line: Int): Int = math.min(line / 8, 14)
+  private[operators] def aacCosS(p: Int, k: Int): Long = ((11 * p + 5 * k + 3) % 23) - 11
+  private[operators] def aacWinS(p: Int): Long = 1 + ((7 * p) % 13)
 
   /** The pinned spectral codebook family: canonical Huffman over tuple
     * symbols, the all-zero tuple heavily weighted (sparse spectra code
@@ -162,10 +181,74 @@ object AacCodec {
 
   /** One frame's spec: sparse nonzero lines (each with its codebook) and
     * the per-sfb scalefactor deltas. This profile codes each frame as
-    * sections of codebook 0 around the nonzero sfbs.
+    * sections of codebook 0 around the nonzero sfbs. For
+    * EIGHT_SHORT_SEQUENCE frames (`shortSeq`), `lines` positions are
+    * win*128 + line and `grouping` carries the 7 scale_factor_grouping
+    * bits (MSB first: bit 7-w set -> window w joins window w-1's group).
     */
   final case class AacFrame(globalGain: Int, lines: Seq[(Int, Int, Int)], // (pos, value, cb)
-                            sfDelta: Int)
+                            sfDelta: Int, shortSeq: Boolean = false,
+                            grouping: Int = 0)
+
+  /** Window groups of an EIGHT_SHORT frame: seq of window lists. */
+  private[operators] def windowGroups(grouping: Int): Seq[Seq[Int]] = {
+    require(grouping >= 0 && grouping < 128, "aac: scale_factor_grouping is 7 bits")
+    val groups = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer(0))
+    var w = 1
+    while (w < 8) {
+      if (((grouping >> (7 - w)) & 1) == 1) groups.last += w
+      else groups += scala.collection.mutable.ArrayBuffer(w)
+      w += 1
+    }
+    groups.map(_.toSeq).toSeq
+  }
+
+  /** Write one section's coefficient run in tuples through a spectral
+    * codebook, with the sign-bit and book-11 escape grammar.
+    */
+  private def writeSpectralRun(bw: MpegAudio.BitWriter, cb: Int,
+                               coefAt: Int => Int, n: Int): Unit = {
+    val book = specBooks(cb - 1)
+    val t = book.tuple
+    require(n % t == 0, "aac: section width not a tuple multiple")
+    var off = 0
+    while (off < n) {
+      val vals = new Array[Int](t)
+      val signs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val escapes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < t) {
+        val v = coefAt(off + i)
+        if (book.signed) vals(i) = v
+        else {
+          val a = math.abs(v)
+          if (cb == 11 && a >= 16) {
+            vals(i) = 16
+            escapes += a
+          } else {
+            require(a <= book.lav, s"aac: |$v| outside codebook $cb")
+            vals(i) = a
+          }
+          if (v != 0) signs += (if (v < 0) 1 else 0)
+        }
+        i += 1
+      }
+      book.write(bw.put, book.symOf(vals))
+      signs.foreach(s0 => bw.put(s0.toLong, 1))
+      escapes.foreach { a =>
+        // escape_sequence: N ones, a zero, then an (N+4)-bit word with
+        // value = 2^(N+4) + word
+        var nb = 0
+        while (a >= (1 << (nb + 5))) nb += 1
+        require(a >= (1 << (nb + 4)), "aac: escape value below 16")
+        var k = 0
+        while (k < nb) { bw.put(1, 1); k += 1 }
+        bw.put(0, 1)
+        bw.put((a - (1 << (nb + 4))).toLong, nb + 4)
+      }
+      off += t
+    }
+  }
 
   def encode(frames: Seq[AacFrame]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -176,73 +259,66 @@ object AacCodec {
       bw.put(0, 4) // element_instance_tag
       require(fr.globalGain >= 0 && fr.globalGain < 256)
       bw.put(fr.globalGain.toLong, 8)
-      // ics_info
-      bw.put(0, 1) // ics_reserved
-      bw.put(0, 2) // window_sequence: ONLY_LONG
-      bw.put(0, 1) // window_shape
-      bw.put(NumSfb.toLong, 6) // max_sfb
-      bw.put(0, 1) // predictor_data_present
-      // sections: codebook 0 runs around each coded sfb
       require(fr.lines.nonEmpty, "aac fixture: at least one line")
-      val byBand = fr.lines.groupBy(l => sfb(l._1))
-      require(byBand.size == 1, "aac fixture: one coded sfb per frame")
-      val band = byBand.keys.head
       val cb = fr.lines.head._3
       require(cb >= 1 && cb <= 11)
-      def section(cbId: Int, len: Int): Unit = {
-        if (len > 0) {
-          bw.put(cbId.toLong, 4)
-          var rest = len
-          while (rest >= 31) { bw.put(31, 5); rest -= 31 }
-          bw.put(rest.toLong, 5)
+      def sections(bits: Int, runs: Seq[(Int, Int)]): Unit = {
+        val esc = (1 << bits) - 1
+        runs.foreach { case (cbId, len) =>
+          if (len > 0) {
+            bw.put(cbId.toLong, 4)
+            var rest = len
+            while (rest >= esc) { bw.put(esc.toLong, bits); rest -= esc }
+            bw.put(rest.toLong, bits)
+          }
         }
       }
-      section(0, band)
-      section(cb, 1)
-      section(0, NumSfb - band - 1)
-      // scalefactors: one coded sfb → one DPCM delta from global_gain
-      sfWrite(bw.put, fr.sfDelta)
-      // spectral data for the coded sfb: 32 coeffs in tuples
-      val book = specBooks(cb - 1)
-      val t = book.tuple
-      val base = band * 32
-      var off = 0
-      while (off < 32) {
-        val vals = new Array[Int](t)
-        val signs = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val escapes = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = 0
-        while (i < t) {
-          val pos = base + off + i
-          val v = fr.lines.find(_._1 == pos).map(_._2).getOrElse(0)
-          if (book.signed) vals(i) = v
-          else {
-            val a = math.abs(v)
-            if (cb == 11 && a >= 16) {
-              vals(i) = 16
-              escapes += a
-            } else {
-              require(a <= book.lav, s"aac: |$v| outside codebook $cb")
-              vals(i) = a
-            }
-            if (v != 0) signs += (if (v < 0) 1 else 0)
-          }
-          i += 1
+      if (!fr.shortSeq) {
+        // ics_info (ONLY_LONG)
+        bw.put(0, 1) // ics_reserved
+        bw.put(0, 2) // window_sequence: ONLY_LONG
+        bw.put(0, 1) // window_shape
+        bw.put(NumSfb.toLong, 6) // max_sfb
+        bw.put(0, 1) // predictor_data_present
+        val byBand = fr.lines.groupBy(l => sfb(l._1))
+        require(byBand.size == 1, "aac fixture: one coded sfb per frame")
+        val band = byBand.keys.head
+        sections(5, Seq((0, band), (cb, 1), (0, NumSfb - band - 1)))
+        // scalefactors: one coded sfb → one DPCM delta from global_gain
+        sfWrite(bw.put, fr.sfDelta)
+        val base = band * 32
+        writeSpectralRun(bw, cb,
+          i => fr.lines.find(_._1 == base + i).map(_._2).getOrElse(0), 32)
+      } else {
+        // ics_info (EIGHT_SHORT: 4-bit max_sfb + 7 grouping bits, no
+        // predictor flag)
+        bw.put(0, 1)
+        bw.put(2, 2) // window_sequence: EIGHT_SHORT
+        bw.put(0, 1) // window_shape
+        bw.put(NumSfbShort.toLong, 4)
+        bw.put(fr.grouping.toLong, 7)
+        val groups = windowGroups(fr.grouping)
+        val win = fr.lines.head._1 / ShortLen
+        val band = sfbShort(fr.lines.head._1 % ShortLen)
+        require(fr.lines.forall(l => l._1 / ShortLen == win
+          && sfbShort(l._1 % ShortLen) == band),
+          "aac fixture: one coded (window, sfb) per short frame")
+        val gIdx = groups.indexWhere(_.contains(win))
+        groups.zipWithIndex.foreach { case (_, gi) =>
+          if (gi == gIdx) sections(3, Seq((0, band), (cb, 1), (0, NumSfbShort - band - 1)))
+          else sections(3, Seq((0, NumSfbShort)))
         }
-        book.write(bw.put, book.symOf(vals))
-        signs.foreach(s0 => bw.put(s0.toLong, 1))
-        escapes.foreach { a =>
-          // escape_sequence: N ones, a zero, then an (N+4)-bit word with
-          // value = 2^(N+4) + word
-          var n = 0
-          while (a >= (1 << (n + 5))) n += 1
-          require(a >= (1 << (n + 4)), "aac: escape value below 16")
-          var k = 0
-          while (k < n) { bw.put(1, 1); k += 1 }
-          bw.put(0, 1)
-          bw.put((a - (1 << (n + 4))).toLong, n + 4)
+        sfWrite(bw.put, fr.sfDelta)
+        // spectral run: sfb width per window, window-interleaved inside
+        // the group for the coded sfb
+        val wins = groups(gIdx)
+        val wid = sfbShortWidth(band)
+        val buf = new Array[Int](wins.size * wid)
+        fr.lines.foreach { case (pos, v, _) =>
+          buf(wins.indexOf(pos / ShortLen) * wid
+            + pos % ShortLen - sfbShortStart(band)) = v
         }
-        off += t
+        writeSpectralRun(bw, cb, buf(_), buf.length)
       }
       bw.put(7, 3) // id_syn_ele = END
       bw.padToByte()
@@ -301,109 +377,176 @@ object AacCodec {
       br.get(4) // instance tag
       val globalGain = br.get(8)
       require(br.get(1) == 0, "aac: ics_reserved set")
-      require(br.get(2) == 0, "aac: short/mixed window sequences outside this profile")
+      val wseq = br.get(2)
+      require(wseq == 0 || wseq == 2,
+        "aac: start/stop window sequences are the next rung (long + eight-short here)")
+      val isShort = wseq == 2
       br.get(1) // window shape
-      val maxSfb = br.get(6)
-      require(maxSfb <= NumSfb, "aac: max_sfb beyond the band table")
-      require(br.get(1) == 0, "aac: predictor data outside this profile")
-      // section_data
-      val sfbCb = new Array[Int](maxSfb)
-      var band = 0
-      while (band < maxSfb) {
-        val cb = br.get(4)
-        require(cb <= 11, "aac: intensity/PNS codebooks outside this profile")
-        var len = 0
-        var chunk = br.get(5)
-        while (chunk == 31) { len += 31; chunk = br.get(5) }
-        len += chunk
-        require(len > 0 && band + len <= maxSfb, "aac: section overruns max_sfb")
-        var i = 0
-        while (i < len) { sfbCb(band + i) = cb; i += 1 }
-        band += len
+      val maxSfb = if (isShort) br.get(4) else br.get(6)
+      require(maxSfb <= (if (isShort) NumSfbShort else NumSfb),
+        "aac: max_sfb beyond the band table")
+      val groups =
+        if (isShort) windowGroups(br.get(7))
+        else {
+          require(br.get(1) == 0, "aac: predictor data outside this profile")
+          Seq(Seq(0))
+        }
+      val nGroups = groups.size
+      // section_data (3-bit lengths for short windows, 5-bit for long)
+      val sectBits = if (isShort) 3 else 5
+      val sectEsc = (1 << sectBits) - 1
+      val sfbCb = Array.ofDim[Int](nGroups, maxSfb)
+      var g = 0
+      while (g < nGroups) {
+        var band = 0
+        while (band < maxSfb) {
+          val cb = br.get(4)
+          require(cb <= 11, "aac: intensity/PNS codebooks outside this profile")
+          var len = 0
+          var chunk = br.get(sectBits)
+          while (chunk == sectEsc) { len += sectEsc; chunk = br.get(sectBits) }
+          len += chunk
+          require(len > 0 && band + len <= maxSfb, "aac: section overruns max_sfb")
+          var i = 0
+          while (i < len) { sfbCb(g)(band + i) = cb; i += 1 }
+          band += len
+        }
+        g += 1
       }
-      // scale_factor_data (DPCM from global_gain)
-      val sf = new Array[Int](maxSfb)
+      // scale_factor_data (DPCM from global_gain, chained across groups)
+      val sf = Array.ofDim[Int](nGroups, maxSfb)
       var last = globalGain
-      band = 0
-      while (band < maxSfb) {
-        if (sfbCb(band) != 0) {
-          last += sfRead(br.get)
-          require(last >= 0 && last < 256, "aac: scalefactor out of range")
-          sf(band) = last
-        }
-        band += 1
-      }
-      // spectral_data
-      val spec = new Array[Long](FrameLen)
-      band = 0
-      while (band < maxSfb) {
-        val cb = sfbCb(band)
-        if (cb != 0) {
-          val book = specBooks(cb - 1)
-          val t = book.tuple
-          var offC = 0
-          while (offC < 32) {
-            val vals = book.symVals(book.read(br.get))
-            val out = new Array[Int](t)
-            val negs = new Array[Boolean](t)
-            // spec order: codeword, then one sign bit per nonzero member,
-            // then the escape sequences (book 11) in member order
-            var i = 0
-            while (i < t) {
-              if (!book.signed && vals(i) != 0) negs(i) = br.get(1) == 1
-              i += 1
-            }
-            i = 0
-            while (i < t) {
-              if (book.signed) out(i) = vals(i)
-              else {
-                var a = vals(i)
-                if (cb == 11 && a == 16) {
-                  var n = 0
-                  while (br.get(1) == 1) { n += 1; require(n < 16, "aac: runaway escape") }
-                  a = (1 << (n + 4)) + br.get(n + 4)
-                }
-                out(i) = if (negs(i)) -a else a
-              }
-              i += 1
-            }
-            i = 0
-            while (i < t) {
-              val v = out(i)
-              if (v != 0) {
-                val mag = aacPow43(math.abs(v)) * aacGain(sf(band))
-                spec(band * 32 + offC + i) = if (v < 0) -mag else mag
-              }
-              i += 1
-            }
-            offC += t
+      g = 0
+      while (g < nGroups) {
+        var band = 0
+        while (band < maxSfb) {
+          if (sfbCb(g)(band) != 0) {
+            last += sfRead(br.get)
+            require(last >= 0 && last < 256, "aac: scalefactor out of range")
+            sf(g)(band) = last
           }
+          band += 1
         }
-        band += 1
+        g += 1
+      }
+      // spectral_data: spec layout is win*128 + line for short frames
+      // (line within window), plain 0..1023 for long
+      val spec = new Array[Long](FrameLen)
+      def readRun(cb: Int, n: Int): Array[Int] = {
+        val book = specBooks(cb - 1)
+        val t = book.tuple
+        require(n % t == 0, "aac: section width not a tuple multiple")
+        val out = new Array[Int](n)
+        var offC = 0
+        while (offC < n) {
+          val vals = book.symVals(book.read(br.get))
+          val negs = new Array[Boolean](t)
+          // spec order: codeword, then one sign bit per nonzero member,
+          // then the escape sequences (book 11) in member order
+          var i = 0
+          while (i < t) {
+            if (!book.signed && vals(i) != 0) negs(i) = br.get(1) == 1
+            i += 1
+          }
+          i = 0
+          while (i < t) {
+            if (book.signed) out(offC + i) = vals(i)
+            else {
+              var a = vals(i)
+              if (cb == 11 && a == 16) {
+                var n2 = 0
+                while (br.get(1) == 1) { n2 += 1; require(n2 < 16, "aac: runaway escape") }
+                a = (1 << (n2 + 4)) + br.get(n2 + 4)
+              }
+              out(offC + i) = if (negs(i)) -a else a
+            }
+            i += 1
+          }
+          offC += t
+        }
+        out
+      }
+      g = 0
+      while (g < nGroups) {
+        var band = 0
+        while (band < maxSfb) {
+          val cb = sfbCb(g)(band)
+          if (cb != 0) {
+            val gain = aacGain(sf(g)(band))
+            if (!isShort) {
+              val run = readRun(cb, 32)
+              var i = 0
+              while (i < 32) {
+                val v = run(i)
+                if (v != 0) {
+                  val mag = aacPow43(math.abs(v)) * gain
+                  spec(band * 32 + i) = if (v < 0) -mag else mag
+                }
+                i += 1
+              }
+            } else {
+              val wins = groups(g)
+              val wid = sfbShortWidth(band)
+              val run = readRun(cb, wins.size * wid)
+              var i = 0
+              while (i < run.length) {
+                val v = run(i)
+                if (v != 0) {
+                  val mag = aacPow43(math.abs(v)) * gain
+                  val pos = wins(i / wid) * ShortLen + sfbShortStart(band) + i % wid
+                  spec(pos) = if (v < 0) -mag else mag
+                }
+                i += 1
+              }
+            }
+          }
+          band += 1
+        }
+        g += 1
       }
       require(br.get(3) == 7, "aac: missing END element")
       br.alignByte()
       require(br.pos == off + frameLen,
         s"aac: frame content (${br.pos - off} bytes) disagrees with frame_length $frameLen")
       off += frameLen
-      // filterbank: 2048-point IMDCT over the nonzero lines (exact),
-      // long window, overlap-add with the previous frame's tail
-      val time = new Array[Long](2 * FrameLen)
-      var k = 0
-      while (k < FrameLen) {
-        if (spec(k) != 0) {
-          var p = 0
-          while (p < 2 * FrameLen) {
-            time(p) += spec(k) * aacCos(p, k)
-            p += 1
+      // filterbank: long = one 2048-point IMDCT; short = eight 256-point
+      // IMDCTs windowed and placed at 448 + 128w. Both paths accumulate
+      // over nonzero lines only (exact) and overlap-add across frames.
+      val buf = new Array[Long](2 * FrameLen)
+      if (!isShort) {
+        var k = 0
+        while (k < FrameLen) {
+          if (spec(k) != 0) {
+            var p = 0
+            while (p < 2 * FrameLen) {
+              buf(p) += spec(k) * aacCos(p, k) * aacWin(p)
+              p += 1
+            }
           }
+          k += 1
         }
-        k += 1
+      } else {
+        var wdx = 0
+        while (wdx < 8) {
+          var k = 0
+          while (k < ShortLen) {
+            val s0 = spec(wdx * ShortLen + k)
+            if (s0 != 0) {
+              var p = 0
+              while (p < 2 * ShortLen) {
+                buf(ShortOffset + ShortLen * wdx + p) += s0 * aacCosS(p, k) * aacWinS(p)
+                p += 1
+              }
+            }
+            k += 1
+          }
+          wdx += 1
+        }
       }
       var p = 0
       while (p < FrameLen) {
-        pcmOut += time(p) * aacWin(p) + overlap(p)
-        overlap(p) = time(FrameLen + p) * aacWin(FrameLen + p)
+        pcmOut += buf(p) + overlap(p)
+        overlap(p) = buf(FrameLen + p)
         p += 1
       }
       nFrames += 1

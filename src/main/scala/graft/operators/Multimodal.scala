@@ -1253,6 +1253,42 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a mono ADTS stream of EIGHT_SHORT_SEQUENCE frames:
+    * one spectral line per frame at a rotating (window, line) position,
+    * the 7 scale_factor_grouping bits rotating by doc/frame (wrong group
+    * parsing desyncs the per-group section lists), codebooks rotating
+    * over all 11. The line's window placement (448 + 128w) and the
+    * group-interleaved spectral order are what the closed-form oracle
+    * grades.
+    */
+  def withAacShortMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          def frameOf(f: Int): AacCodec.AacFrame = {
+            val pos = ((37 * d + 911 * f) % 1024).toInt
+            val cb = (1 + (d + f) % 11).toInt
+            val mag =
+              if (cb == 11) (16 + d % 40).toInt
+              else (1 + (d + f) % AacCodec.cbLav(cb)).toInt
+            val v = if ((d + f) % 2 == 1) -mag else mag
+            AacCodec.AacFrame(
+              globalGain = (20 + (29 * d + 7 * f) % 200).toInt,
+              lines = Seq((pos, v, cb)),
+              sfDelta = ((d + 3 * f) % 41 - 20).toInt,
+              shortSeq = true,
+              grouping = ((d + 5 * f) % 128).toInt)
+          }
+          val nf = 1 + (d % 2).toInt
+          (d, AacCodec.encode((0 until nf).map(frameOf)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class AacStats(doc_id: Long, n_frames: Long, n_samples: Long,
                       pcm_checksum: Long)
 

@@ -81,6 +81,44 @@ class AacCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AacCodec.decode(bad))
   }
 
+  test("EIGHT_SHORT sequences: grouped sections, interleave, 448+128w placement") {
+    for (d <- 0 until 12) {
+      val nf = 1 + d % 2
+      def frameOf(f: Int): AacCodec.AacFrame = {
+        val pos = (37 * d + 911 * f) % 1024
+        val cb = 1 + (d + f) % 11
+        val mag = if (cb == 11) 16 + d % 40 else 1 + (d + f) % AacCodec.cbLav(cb)
+        val v = if ((d + f) % 2 == 1) -mag else mag
+        AacCodec.AacFrame(20 + (29 * d + 7 * f) % 200, Seq((pos, v, cb)),
+          (d + 3 * f) % 41 - 20, shortSeq = true, grouping = (d + 5 * f) % 128)
+      }
+      val out = AacCodec.decode(AacCodec.encode((0 until nf).map(frameOf)))
+      assert(out.nFrames == nf && out.pcm.length == 1024 * nf)
+      val exp = new Array[Long](1024 * nf)
+      for (f <- 0 until nf) {
+        val pos = (37 * d + 911 * f) % 1024
+        val win = pos / 128; val k = pos % 128
+        val cb = 1 + (d + f) % 11
+        val mag = if (cb == 11) 16 + d % 40 else 1 + (d + f) % AacCodec.cbLav(cb)
+        val sfv = 20 + (29 * d + 7 * f) % 200 + (d + 3 * f) % 41 - 20
+        val xr = (if ((d + f) % 2 == 1) -1L else 1L) *
+          AacCodec.aacPow43(mag) * AacCodec.aacGain(sfv)
+        for (p <- 0 until 256) {
+          val t = f * 1024 + AacCodec.ShortOffset + 128 * win + p
+          if (t < exp.length)
+            exp(t) += xr * AacCodec.aacCosS(p, k) * AacCodec.aacWinS(p)
+        }
+      }
+      assert(out.pcm.sameElements(exp), s"d=$d")
+    }
+  }
+
+  test("window grouping: the 7 MSB-first merge bits form the spec groups") {
+    assert(AacCodec.windowGroups(0) == Seq(Seq(0), Seq(1), Seq(2), Seq(3), Seq(4), Seq(5), Seq(6), Seq(7)))
+    assert(AacCodec.windowGroups(127) == Seq(0 to 7))
+    assert(AacCodec.windowGroups(0x44) == Seq(Seq(0, 1), Seq(2), Seq(3), Seq(4, 5), Seq(6), Seq(7)))
+  }
+
   test("malformed: every corruption fails loudly") {
     val good = stream(2L)
     // lost sync
