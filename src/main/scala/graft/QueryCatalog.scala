@@ -4656,6 +4656,81 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 QUARTER-PEL MOTION + UNRESTRICTED MVs, graded exactly —
+    // the spec 8.4.2.2 interpolation: the (1,-5,20,20,-5,1) six-tap
+    // half-pel filter incl. the center position j built from UNROUNDED
+    // intermediates (+512 >> 10), the twelve quarter-position averages,
+    // and the eighth-pel bilinear chroma kernel. Frame 1 is uniform
+    // 2x2-MB tiles; frame 2 points quarter-pel vectors INTO tile
+    // interiors (all 16 fractional positions rotate by doc/MB) — over a
+    // uniform support every interpolation position must collapse to
+    // exactly that constant, so any normalization/rounding/offset drift
+    // moves the checksum — plus far OUT-OF-FRAME vectors whose clamped
+    // edge-extended reads land in a DIFFERENT tile (grading the
+    // unrestricted-MV extension), steered residuals on top of the
+    // interpolated prediction, and intra-in-P MBs. Tap ORDER is pinned
+    // in the spec suite against an independent gradient replay.
+    ("q_h264_subpel",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264SubpelMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 32*(1 + n_chars % 2) AS w, 64 AS h
+             |  FROM documents),
+             |dd AS (
+             |  SELECT d, w, h, w//16 AS mbw, h//16 AS mbh, w//32 AS tcols,
+             |    w*h*3//2 AS fb FROM dims),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val * (t.i % m.fb % 97 + 1) * (t.i // m.fb + 1)) AS chk
+             |  FROM dd m
+             |  JOIN range(0, 12288) t(i) ON t.i < 2 * m.fb
+             |  CROSS JOIN LATERAL (SELECT t.i // m.fb AS fi, t.i % m.fb AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < m.w*m.h THEN 0
+             |         WHEN qf.j < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j % m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) % (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN qf.j // m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) // (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN q1.yy // 16 ELSE q1.yy // 8 END AS r,
+             |    CASE q0.pl WHEN 0 THEN q1.x // 16 ELSE q1.x // 8 END AS c) q2
+             |  CROSS JOIN LATERAL (SELECT q2.r * m.mbw + q2.c AS mb,
+             |    (q2.r // 2) * m.tcols + q2.c // 2 AS tile) q3
+             |  CROSS JOIN LATERAL (SELECT (m.d + q3.mb) % 3 AS cls,
+             |    CASE WHEN (m.d + q3.mb) % 3 = 1 THEN
+             |      CASE WHEN q2.c >= 2 THEN (q2.r // 2) * m.tcols ELSE q2.c // 2 END
+             |    ELSE q3.tile END AS srct,
+             |    (CASE WHEN (m.d + 3*q3.mb) % 2 = 0 THEN 1 ELSE -1 END)
+             |      * (1 + (m.d + q3.mb) % 6) AS dl) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN
+             |      CASE WHEN qf.fi = 0 THEN (37*m.d + 23*q3.tile) % 208 + 24
+             |           WHEN q4.cls = 0 THEN (37*m.d + 23*q3.tile) % 208 + 24 + 4*q4.dl
+             |           WHEN q4.cls = 1 THEN (37*m.d + 23*q4.srct) % 208 + 24
+             |           ELSE (41*m.d + 17*q3.mb) % 208 + 24 END
+             |    WHEN q0.pl = 1 THEN
+             |      CASE WHEN qf.fi = 0 THEN (91*m.d + 13*q3.tile) % 240 + 8
+             |           WHEN q4.cls = 1 THEN (91*m.d + 13*q4.srct) % 240 + 8
+             |           ELSE (91*m.d + 23*q3.mb) % 240 + 8 END
+             |    ELSE
+             |      CASE WHEN qf.fi = 0 THEN (53*m.d + 17*q3.tile) % 240 + 8
+             |           WHEN q4.cls = 1 THEN (53*m.d + 17*q4.srct) % 240 + 8
+             |           ELSE (53*m.d + 27*q3.mb) % 240 + 8 END
+             |    END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(chk AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL VP8 B_PRED DIRECTIONAL SUB-MODES, graded byte-exact — the
     // full 4×4 intra prediction family (VE/HE/RD/VR/HD/LD/VL/HU on top
     // of the already-graded DC/TM): each doc's center MB hosts one

@@ -670,10 +670,12 @@ object H264Codec {
   // ---- P slices (inter prediction) -------------------------------------------------
 
   /** One frame-2 macroblock of the inter fixture plan. kind: 0 = P_Skip,
-    * 1 = P_L0_16x16 with mv (0,0) and a steered whole-MB luma delta of
-    * 4*dL (plus granularity-1 chroma steering to tCb/tCr), 2 =
-    * P_L0_16x16 with motion `mv` (quarter-pel, even full-pel) and no
-    * residual, 3 = Intra_16x16 (DC luma) steered to tL/tCb/tCr.
+    * 1 = P_L0_16x16 with motion `mv` (any quarter-pel vector) AND a
+    * steered whole-MB luma delta of 4*dL plus granularity-1 chroma
+    * steering to tCb/tCr (requires the MC prediction to be uniform —
+    * point the vector at a uniform source region), 2 = P_L0_16x16 with
+    * motion `mv` and no residual, 3 = Intra_16x16 (DC luma) steered to
+    * tL/tCb/tCr.
     */
   final case class PMb(kind: Int, mv: (Int, Int) = (0, 0), dL: Int = 0,
                        tL: Int = 0, tCb: Int = 0, tCr: Int = 0)
@@ -715,34 +717,74 @@ object H264Codec {
     else mvPredict16(mb, r, c, mbW, refIdx, mvx, mvy)
   }
 
-  /** Whole-MB motion compensation from the reference frame. This rung
-    * codes even full-pel vectors (mv quarter-pel components divisible by
-    * 8 -> integer chroma offsets) with in-frame support; sub-pel
-    * interpolation and unrestricted MVs are the next rung, rejected
-    * loudly.
+  /** Whole-MB motion compensation from the reference frame, with the
+    * REAL spec interpolation (8.4.2.2): quarter-pel luma through the
+    * (1,-5,20,20,-5,1) six-tap half-pel filter — including the center
+    * position j built from UNROUNDED intermediates with the +512 >> 10
+    * normalization — and the quarter-position averages; eighth-pel
+    * bilinear chroma with the ((8-dx)(8-dy)A + ... + 32) >> 6 kernel.
+    * Out-of-frame support uses the spec's edge extension (coordinate
+    * clamping), so MVs are unrestricted.
     */
-  private def mcFetch(ref: H264Frame, mx: Int, my: Int, mvX: Int, mvY: Int):
+  private[operators] def mcFetch(ref: H264Frame, mx: Int, my: Int, mvX: Int, mvY: Int):
       (Array[Int], Array[Int], Array[Int]) = {
-    require(mvX % 8 == 0 && mvY % 8 == 0,
-      "h264: sub-pel / odd-pel motion is the next rung (even full-pel MVs here)")
-    val dx = mvX / 4; val dy = mvY / 4
     val w = ref.width; val h = ref.height
-    require(mx + dx >= 0 && mx + dx + 16 <= w && my + dy >= 0 && my + dy + 16 <= h,
-      "h264: out-of-frame motion (unrestricted MVs are the next rung)")
-    val cw = w / 2
+    val xI = mx + (mvX >> 2); val yI = my + (mvY >> 2)
+    val fx = mvX & 3; val fy = mvY & 3
+    def P(x: Int, y: Int): Int =
+      ref.y(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x))) & 0xff
+    // raw (unrounded) six-tap sums
+    def bRaw(x: Int, y: Int): Int =
+      P(x - 2, y) - 5 * P(x - 1, y) + 20 * P(x, y) + 20 * P(x + 1, y) -
+        5 * P(x + 2, y) + P(x + 3, y)
+    def hRaw(x: Int, y: Int): Int =
+      P(x, y - 2) - 5 * P(x, y - 1) + 20 * P(x, y) + 20 * P(x, y + 1) -
+        5 * P(x, y + 2) + P(x, y + 3)
+    def half(raw: Int): Int = clip255((raw + 16) >> 5)
+    // center j: vertical six-tap over the raw horizontal sums
+    def jVal(x: Int, y: Int): Int = clip255((bRaw(x, y - 2) - 5 * bRaw(x, y - 1) +
+      20 * bRaw(x, y) + 20 * bRaw(x, y + 1) - 5 * bRaw(x, y + 2) + bRaw(x, y + 3) + 512) >> 10)
+    def avg(a: Int, b: Int): Int = (a + b + 1) >> 1
     val pY = new Array[Int](256)
     var i = 0
     while (i < 256) {
-      pY(i) = ref.y((my + dy + i / 16) * w + mx + dx + i % 16) & 0xff
+      val x = xI + i % 16; val y = yI + i / 16
+      pY(i) = (fx, fy) match {
+        case (0, 0) => P(x, y)
+        case (2, 0) => half(bRaw(x, y))
+        case (0, 2) => half(hRaw(x, y))
+        case (1, 0) => avg(P(x, y), half(bRaw(x, y)))
+        case (3, 0) => avg(half(bRaw(x, y)), P(x + 1, y))
+        case (0, 1) => avg(P(x, y), half(hRaw(x, y)))
+        case (0, 3) => avg(half(hRaw(x, y)), P(x, y + 1))
+        case (2, 2) => jVal(x, y)
+        case (1, 1) => avg(half(bRaw(x, y)), half(hRaw(x, y)))
+        case (3, 1) => avg(half(bRaw(x, y)), half(hRaw(x + 1, y)))
+        case (1, 3) => avg(half(hRaw(x, y)), half(bRaw(x, y + 1)))
+        case (3, 3) => avg(half(hRaw(x + 1, y)), half(bRaw(x, y + 1)))
+        case (2, 1) => avg(half(bRaw(x, y)), jVal(x, y))
+        case (2, 3) => avg(jVal(x, y), half(bRaw(x, y + 1)))
+        case (1, 2) => avg(half(hRaw(x, y)), jVal(x, y))
+        case (3, 2) => avg(jVal(x, y), half(hRaw(x + 1, y)))
+        case _ => throw new IllegalStateException("unreachable")
+      }
       i += 1
     }
+    val cw = w / 2; val chh = h / 2
+    def PC(plane: Array[Byte], x: Int, y: Int): Int =
+      plane(math.max(0, math.min(chh - 1, y)) * cw + math.max(0, math.min(cw - 1, x))) & 0xff
+    val cxI = mx / 2 + (mvX >> 3); val cyI = my / 2 + (mvY >> 3)
+    val cdx = mvX & 7; val cdy = mvY & 7
     val pU = new Array[Int](64)
     val pV = new Array[Int](64)
-    val cx = mx / 2 + dx / 2; val cy = my / 2 + dy / 2
     i = 0
     while (i < 64) {
-      pU(i) = ref.u((cy + i / 8) * cw + cx + i % 8) & 0xff
-      pV(i) = ref.v((cy + i / 8) * cw + cx + i % 8) & 0xff
+      val x = cxI + i % 8; val y = cyI + i / 8
+      def bil(pl: Array[Byte]): Int =
+        ((8 - cdx) * (8 - cdy) * PC(pl, x, y) + cdx * (8 - cdy) * PC(pl, x + 1, y) +
+          (8 - cdx) * cdy * PC(pl, x, y + 1) + cdx * cdy * PC(pl, x + 1, y + 1) + 32) >> 6
+      pU(i) = bil(ref.u)
+      pV(i) = bil(ref.v)
       i += 1
     }
     (pY, pU, pV)
@@ -846,7 +888,7 @@ object H264Codec {
           // refIdx stays -1 (intra); nC grid: DC-only luma leaves 0
         } else {
           // P_L0_16x16
-          val mv = if (m0.kind == 2) m0.mv else (0, 0)
+          val mv = m0.mv
           val mvp = mvPredict16(mb, r, c, mbW, refIdx, mvxA, mvyA)
           bw.ue(0) // mb_type: P_L0_16x16
           bw.se(mv._1 - mvp._1)

@@ -441,6 +441,73 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** The sub-pel H.264 inter plan: frame 1 is an IDR of UNIFORM 2x2-MB
+    * tiles (V/H intra modes keep every prediction uniform regardless of
+    * neighbor values); frame 2 points quarter-pel vectors INTO the tile
+    * interiors — over a uniform support every spec interpolation
+    * position must collapse to exactly that constant, so normalization,
+    * rounding, offset or chroma-kernel drift moves the checksum — plus
+    * far out-of-frame vectors whose clamped (edge-extended) reads land
+    * in a DIFFERENT tile, and intra-in-P MBs. Residuals steer on top of
+    * the interpolated prediction. Tap ORDER is pinned separately in the
+    * spec suite against an independent gradient replay (the
+    * q_vp8_subpel discipline).
+    */
+  private[operators] def h264SubpelPlan(d: Long, w: Int, h: Int): H264Codec.InterPlan = {
+    val mbW = w / 16; val mbH = h / 16
+    val tCols = mbW / 2
+    def tile(m: Int): Int = ((m / mbW) / 2) * tCols + (m % mbW) / 2
+    def tL1(m: Int): Int = ((37 * d + 23 * tile(m)) % 208 + 24).toInt
+    def cB1(m: Int): Int = ((91 * d + 13 * tile(m)) % 240 + 8).toInt
+    def cR1(m: Int): Int = ((53 * d + 17 * tile(m)) % 240 + 8).toInt
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0,
+      modeSel = mb => if (mb / mbW == 0) 1 else 0,
+      tL = tL1, tCb = cB1, tCr = cR1,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra, mb => {
+      val r = mb / mbW; val c = mb % mbW
+      val tCb2 = ((91 * d + 23 * mb) % 240 + 8).toInt
+      val tCr2 = ((53 * d + 27 * mb) % 240 + 8).toInt
+      ((d + mb) % 3).toInt match {
+        case 0 =>
+          val dxI = if (c % 2 == 0) 4 else -4
+          val dyI = if (r % 2 == 0) 4 else -4
+          val fx = ((d + mb) % 4).toInt
+          val fy = ((d + 3 * mb) % 4).toInt
+          val dL = (if ((d + 3 * mb) % 2 == 0) 1 else -1) * (1 + ((d + mb) % 6)).toInt
+          H264Codec.PMb(kind = 1, mv = (4 * dxI + fx, 4 * dyI + fy), dL = dL,
+            tCb = tCb2, tCr = tCr2)
+        case 1 =>
+          H264Codec.PMb(kind = 2, mv = if (c >= 2) (-1600, 0) else (0, -1600))
+        case _ =>
+          H264Codec.PMb(kind = 3, tL = ((41 * d + 17 * mb) % 208 + 24).toInt,
+            tCb = tCb2, tCr = tCr2)
+      }
+    })
+  }
+
+  /** Each doc carries a two-frame H.264 stream from [[h264SubpelPlan]]:
+    * quarter-pel luma (all 16 fractional positions rotating), eighth-pel
+    * bilinear chroma, and clamped out-of-frame motion, all graded
+    * through uniform-collapse closed forms.
+    */
+  def withH264SubpelMedia(docs: DataFrame, id: String = "doc_id",
+                          nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (32 * (1 + nc % 2)).toInt
+          val h = 64
+          (d, H264Codec.encodeInter(h264SubpelPlan(d, w, h)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class H264VideoStats(doc_id: Long, width: Long, height: Long,
                             n_frames: Long, pix_checksum: Long)
 

@@ -124,21 +124,118 @@ class H264InterSpec extends AnyFunSuite {
     assert(H264Codec.skipMv(4, 1, 1, 3, refIdx, mvx, mvy) == ((0, 0)))
   }
 
-  test("restrictions and malformed streams fail loudly") {
+  test("malformed streams fail loudly; multi-frame decode() refused") {
     val good = H264Codec.encodeInter(Multimodal.h264InterPlan(2L, 32, 32))
     intercept[IllegalArgumentException](
       H264Codec.decodeSequence(java.util.Arrays.copyOf(good, good.length - 4)))
     // single-frame decode() refuses multi-frame sequences
     intercept[IllegalArgumentException](H264Codec.decode(good))
-    // sub-pel motion is rejected at encode time (and would be at decode)
-    val base = Multimodal.h264InterPlan(3L, 32, 32)
-    val odd = H264Codec.InterPlan(base.intra, mb =>
-      if (mb == 3) H264Codec.PMb(kind = 2, mv = (2, 0)) else base.pmb(mb))
-    intercept[IllegalArgumentException](H264Codec.encodeInter(odd))
-    // out-of-frame motion rejected
-    val oob = H264Codec.InterPlan(base.intra, mb =>
-      if (mb == 0) H264Codec.PMb(kind = 2, mv = (-64, 0)) else base.pmb(mb))
-    intercept[IllegalArgumentException](H264Codec.encodeInter(oob))
+  }
+
+  test("quarter-pel interpolation: all 16 positions against an independent gradient replay") {
+    // gradient reference: the six-tap/average/bilinear kernels produce
+    // position-dependent values a second implementation must reproduce
+    val w = 64; val h = 32
+    val y = Array.tabulate(w * h)(i => (((i % w) * 7 + (i / w) * 13 + 5) % 256).toByte)
+    val u = Array.tabulate(w / 2 * h / 2)(i => (((i % (w / 2)) * 3 + (i / (w / 2)) * 11) % 256).toByte)
+    val v = Array.tabulate(w / 2 * h / 2)(i => (((i % (w / 2)) * 5 + (i / (w / 2)) * 9 + 1) % 256).toByte)
+    val ref = H264Codec.H264Frame(w, h, y, u, v)
+    def cl(lo: Int, hi: Int, x: Int) = math.max(lo, math.min(hi, x))
+    def P(x: Int, yy: Int): Int = y(cl(0, h - 1, yy) * w + cl(0, w - 1, x)) & 0xff
+    // independent replay: build the padded raw-sum grids then pick per
+    // the spec's position table
+    def braw(x: Int, yy: Int) = P(x - 2, yy) - 5 * P(x - 1, yy) + 20 * P(x, yy) +
+      20 * P(x + 1, yy) - 5 * P(x + 2, yy) + P(x + 3, yy)
+    def hraw(x: Int, yy: Int) = P(x, yy - 2) - 5 * P(x, yy - 1) + 20 * P(x, yy) +
+      20 * P(x, yy + 1) - 5 * P(x, yy + 2) + P(x, yy + 3)
+    def c255(a: Int) = math.max(0, math.min(255, a))
+    def hb(x: Int, yy: Int) = c255((braw(x, yy) + 16) >> 5)
+    def hh(x: Int, yy: Int) = c255((hraw(x, yy) + 16) >> 5)
+    def jj(x: Int, yy: Int) = c255((braw(x, yy - 2) - 5 * braw(x, yy - 1) + 20 * braw(x, yy) +
+      20 * braw(x, yy + 1) - 5 * braw(x, yy + 2) + braw(x, yy + 3) + 512) >> 10)
+    def av(a: Int, b: Int) = (a + b + 1) >> 1
+    for (fx <- 0 to 3; fy <- 0 to 3) {
+      val (pY, pU, pV) = H264Codec.mcFetch(ref, 16, 8, 8 + fx, 4 + fy)
+      for (i <- 0 until 256) {
+        val x = 16 + 2 + i % 16; val yy = 8 + 1 + i / 16
+        val want = (fx, fy) match {
+          case (0, 0) => P(x, yy)
+          case (2, 0) => hb(x, yy)
+          case (0, 2) => hh(x, yy)
+          case (1, 0) => av(P(x, yy), hb(x, yy))
+          case (3, 0) => av(hb(x, yy), P(x + 1, yy))
+          case (0, 1) => av(P(x, yy), hh(x, yy))
+          case (0, 3) => av(hh(x, yy), P(x, yy + 1))
+          case (2, 2) => jj(x, yy)
+          case (1, 1) => av(hb(x, yy), hh(x, yy))
+          case (3, 1) => av(hb(x, yy), hh(x + 1, yy))
+          case (1, 3) => av(hh(x, yy), hb(x, yy + 1))
+          case (3, 3) => av(hh(x + 1, yy), hb(x, yy + 1))
+          case (2, 1) => av(hb(x, yy), jj(x, yy))
+          case (2, 3) => av(jj(x, yy), hb(x, yy + 1))
+          case (1, 2) => av(hh(x, yy), jj(x, yy))
+          case (3, 2) => av(jj(x, yy), hh(x + 1, yy))
+          case _ => fail("unreachable")
+        }
+        assert(pY(i) == want, s"frac ($fx,$fy) px $i")
+      }
+      // chroma bilinear
+      def PC(pl: Array[Byte], x: Int, yy: Int): Int =
+        pl(cl(0, h / 2 - 1, yy) * (w / 2) + cl(0, w / 2 - 1, x)) & 0xff
+      val cdx = (8 + fx) & 7; val cdy = (4 + fy) & 7
+      for (i <- 0 until 64) {
+        val x = 8 + ((8 + fx) >> 3) + i % 8; val yy = 4 + ((4 + fy) >> 3) + i / 8
+        val want = ((8 - cdx) * (8 - cdy) * PC(u, x, yy) + cdx * (8 - cdy) * PC(u, x + 1, yy) +
+          (8 - cdx) * cdy * PC(u, x, yy + 1) + cdx * cdy * PC(u, x + 1, yy + 1) + 32) >> 6
+        assert(pU(i) == want, s"chroma frac ($fx,$fy) px $i")
+      }
+    }
+    // clamped out-of-frame reads: a far-left vector must replicate column 0
+    val (pY2, _, _) = H264Codec.mcFetch(ref, 16, 8, -4000, 0)
+    for (i <- 0 until 256)
+      assert(pY2(i) == (y((8 + i / 16) * w) & 0xff), s"clamp px $i")
+  }
+
+  test("sub-pel chain: uniform tiles collapse under every fractional position") {
+    for (d <- 0L until 10L; w <- Seq(32, 64)) {
+      val h = 64
+      val frames = H264Codec.decodeSequence(
+        H264Codec.encodeInter(Multimodal.h264SubpelPlan(d, w, h)))
+      assert(frames.length == 2)
+      val mbW = w / 16; val tCols = mbW / 2
+      def tile(r16: Int, c16: Int) = (r16 / 2) * tCols + c16 / 2
+      def tL1(t: Int) = ((37 * d + 23 * t) % 208 + 24).toInt
+      def cB1(t: Int) = ((91 * d + 13 * t) % 240 + 8).toInt
+      def cR1(t: Int) = ((53 * d + 17 * t) % 240 + 8).toInt
+      for (yy <- 0 until h; x <- 0 until w) {
+        val r = yy / 16; val c = x / 16; val m = r * mbW + c
+        val tl = tile(r, c)
+        assert((frames(0).y(yy * w + x) & 0xff) == tL1(tl), s"d=$d w=$w f1 ($x,$yy)")
+        val want = ((d + m) % 3).toInt match {
+          case 0 =>
+            val dL = (if ((d + 3 * m) % 2 == 0) 1 else -1) * (1 + ((d + m) % 6)).toInt
+            tL1(tl) + 4 * dL
+          case 1 => if (c >= 2) tL1((r / 2) * tCols) else tL1(c / 2)
+          case _ => ((41 * d + 17 * m) % 208 + 24).toInt
+        }
+        assert((frames(1).y(yy * w + x) & 0xff) == want, s"d=$d w=$w f2 ($x,$yy)")
+      }
+      for (yy <- 0 until h / 2; x <- 0 until w / 2) {
+        val r = yy / 8; val c = x / 8; val m = r * mbW + c
+        val tl = tile(r, c)
+        assert((frames(0).u(yy * (w / 2) + x) & 0xff) == cB1(tl))
+        assert((frames(0).v(yy * (w / 2) + x) & 0xff) == cR1(tl))
+        val (wu, wv) = ((d + m) % 3).toInt match {
+          case 1 =>
+            val st = if (c >= 2) (r / 2) * tCols else c / 2
+            (cB1(st), cR1(st))
+          case 0 | 2 =>
+            (((91 * d + 23 * m) % 240 + 8).toInt, ((53 * d + 27 * m) % 240 + 8).toInt)
+        }
+        assert((frames(1).u(yy * (w / 2) + x) & 0xff) == wu, s"d=$d w=$w f2 cb ($x,$yy)")
+        assert((frames(1).v(yy * (w / 2) + x) & 0xff) == wv, s"d=$d w=$w f2 cr ($x,$yy)")
+      }
+    }
   }
 
   test("sequence shape: SPS, PPS, IDR, then the non-IDR P slice") {
