@@ -675,29 +675,85 @@ object H264Codec {
     * steering to tCb/tCr (requires the MC prediction to be uniform —
     * point the vector at a uniform source region), 2 = P_L0_16x16 with
     * motion `mv` and no residual, 3 = Intra_16x16 (DC luma) steered to
-    * tL/tCb/tCr.
+    * tL/tCb/tCr, 5 = P_L0_L0_16x8 (mv = top partition, mv2 = bottom),
+    * 6 = P_L0_L0_8x16 (mv = left, mv2 = right) — both without residual.
     */
   final case class PMb(kind: Int, mv: (Int, Int) = (0, 0), dL: Int = 0,
-                       tL: Int = 0, tCb: Int = 0, tCr: Int = 0)
+                       tL: Int = 0, tCb: Int = 0, tCr: Int = 0,
+                       mv2: (Int, Int) = (0, 0))
 
   /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`. */
   final case class InterPlan(intra: IntraPlan, pmb: Int => PMb)
 
-  /** Motion-vector predictor for a 16x16 partition (8.4.1.3): the
+  /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
+    * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
+    * derivation for MV prediction reads specific cells, so sub-MB
+    * partitions (16x8 / 8x16) predict against the right sources.
+    */
+  private[operators] final class MotionGrid(val mbW: Int, val mbH: Int) {
+    val gw: Int = mbW * 4
+    val gh: Int = mbH * 4
+    val ref: Array[Int] = Array.fill(gw * gh)(-1)
+    val mvx: Array[Int] = new Array[Int](gw * gh)
+    val mvy: Array[Int] = new Array[Int](gw * gh)
+    def fill(cx: Int, cy: Int, wC: Int, hC: Int, r0: Int, x0: Int, y0: Int): Unit = {
+      var y = cy
+      while (y < cy + hC) {
+        var x = cx
+        while (x < cx + wC) {
+          ref(y * gw + x) = r0; mvx(y * gw + x) = x0; mvy(y * gw + x) = y0
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  /** Cell availability at the time macroblock `mb`'s partition is being
+    * decoded: earlier raster MBs and, within the current MB, cells an
+    * earlier partition already wrote (`writtenInMb` on MB-local cell
+    * coords).
+    */
+  private def cellAvail(g: MotionGrid, mb: Int, x: Int, y: Int,
+                        writtenInMb: (Int, Int) => Boolean): Boolean = {
+    if (x < 0 || y < 0 || x >= g.gw || y >= g.gh) false
+    else {
+      val owner = (y / 4) * g.mbW + x / 4
+      owner < mb || (owner == mb && writtenInMb(x % 4, y % 4))
+    }
+  }
+
+  private[operators] val noneWritten: (Int, Int) => Boolean = (_, _) => false
+
+  /** Motion-vector predictor (8.4.1.3) for a partition whose top-left
+    * cell is (cx0, cy0) spanning wC cells. `part`: 0 = 16x16, 1 = top
+    * 16x8, 2 = bottom 16x8, 3 = left 8x16, 4 = right 8x16 — the spec's
+    * directional preferences (top->B, bottom->A, left->A, right->C when
+    * that neighbor's reference matches) come first, then the
     * B-and-C-unavailable rule, the exactly-one-matching-reference rule,
-    * then the component median. Intra and unavailable neighbors carry
+    * and the component median. Intra and unavailable neighbors carry
     * refIdx -1 and mv (0,0); C falls back to D (above-left).
     */
-  private[operators] def mvPredict16(mb: Int, r: Int, c: Int, mbW: Int,
-                          refIdx: Array[Int], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
-    def info(cond: Boolean, m: Int): (Int, Int, Int) =
-      if (cond) (refIdx(m), mvx(m), mvy(m)) else (-1, 0, 0)
-    val a = info(c > 0, mb - 1)
-    val b = info(r > 0, mb - mbW)
-    val cAvail = r > 0 && c < mbW - 1
-    val dAvail = r > 0 && c > 0
-    val cc = if (cAvail) info(true, mb - mbW + 1) else info(dAvail, mb - mbW - 1)
-    if (r == 0 && c > 0) return (a._2, a._3) // B and C unavailable -> mvA
+  private[operators] def mvPredictPart(g: MotionGrid, mb: Int, cx0: Int, cy0: Int,
+                                       wC: Int, part: Int,
+                                       writtenInMb: (Int, Int) => Boolean): (Int, Int) = {
+    def avail(x: Int, y: Int): Boolean = cellAvail(g, mb, x, y, writtenInMb)
+    def info(x: Int, y: Int): (Int, Int, Int) =
+      if (avail(x, y)) (g.ref(y * g.gw + x), g.mvx(y * g.gw + x), g.mvy(y * g.gw + x))
+      else (-1, 0, 0)
+    val a = info(cx0 - 1, cy0)
+    val b = info(cx0, cy0 - 1)
+    val cAvail = avail(cx0 + wC, cy0 - 1)
+    val cc = if (cAvail) info(cx0 + wC, cy0 - 1) else info(cx0 - 1, cy0 - 1)
+    val cOrD = cAvail || avail(cx0 - 1, cy0 - 1)
+    part match {
+      case 1 => if (b._1 == 0) return (b._2, b._3)
+      case 2 => if (a._1 == 0) return (a._2, a._3)
+      case 3 => if (a._1 == 0) return (a._2, a._3)
+      case 4 => if (cc._1 == 0) return (cc._2, cc._3)
+      case _ => ()
+    }
+    if (!avail(cx0, cy0 - 1) && !cOrD && avail(cx0 - 1, cy0)) return (a._2, a._3)
     val same = Seq(a, b, cc).filter(_._1 == 0)
     if (same.length == 1) return (same.head._2, same.head._3)
     def med(x: Int, y: Int, z: Int) =
@@ -705,16 +761,16 @@ object H264Codec {
     (med(a._2, b._2, cc._2), med(a._3, b._3, cc._3))
   }
 
-  /** P_Skip motion (8.4.1.1): zero if the left or above neighbor is
-    * unavailable or is an inter MB with refIdx 0 and mv (0,0); otherwise
-    * the 16x16 predictor.
+  /** P_Skip motion (8.4.1.1): zero if the left or above neighbor cell is
+    * unavailable or is an inter cell with refIdx 0 and mv (0,0);
+    * otherwise the 16x16 predictor.
     */
-  private[operators] def skipMv(mb: Int, r: Int, c: Int, mbW: Int,
-                     refIdx: Array[Int], mvx: Array[Int], mvy: Array[Int]): (Int, Int) = {
-    if (c == 0 || r == 0) (0, 0)
-    else if (refIdx(mb - 1) == 0 && mvx(mb - 1) == 0 && mvy(mb - 1) == 0) (0, 0)
-    else if (refIdx(mb - mbW) == 0 && mvx(mb - mbW) == 0 && mvy(mb - mbW) == 0) (0, 0)
-    else mvPredict16(mb, r, c, mbW, refIdx, mvx, mvy)
+  private[operators] def skipMvCell(g: MotionGrid, mb: Int, cx0: Int, cy0: Int): (Int, Int) = {
+    def zeroTrig(x: Int, y: Int): Boolean =
+      !cellAvail(g, mb, x, y, noneWritten) ||
+        (g.ref(y * g.gw + x) == 0 && g.mvx(y * g.gw + x) == 0 && g.mvy(y * g.gw + x) == 0)
+    if (zeroTrig(cx0 - 1, cy0) || zeroTrig(cx0, cy0 - 1)) (0, 0)
+    else mvPredictPart(g, mb, cx0, cy0, 4, 0, noneWritten)
   }
 
   /** Whole-MB motion compensation from the reference frame, with the
@@ -727,6 +783,14 @@ object H264Codec {
     * clamping), so MVs are unrestricted.
     */
   private[operators] def mcFetch(ref: H264Frame, mx: Int, my: Int, mvX: Int, mvY: Int):
+      (Array[Int], Array[Int], Array[Int]) =
+    mcFetchRect(ref, mx, my, 16, 16, mvX, mvY)
+
+  /** Rectangular MC fetch for sub-MB partitions: luma wP x hP plus the
+    * corresponding wP/2 x hP/2 chroma.
+    */
+  private[operators] def mcFetchRect(ref: H264Frame, mx: Int, my: Int, wP: Int, hP: Int,
+                                     mvX: Int, mvY: Int):
       (Array[Int], Array[Int], Array[Int]) = {
     val w = ref.width; val h = ref.height
     val xI = mx + (mvX >> 2); val yI = my + (mvY >> 2)
@@ -745,10 +809,10 @@ object H264Codec {
     def jVal(x: Int, y: Int): Int = clip255((bRaw(x, y - 2) - 5 * bRaw(x, y - 1) +
       20 * bRaw(x, y) + 20 * bRaw(x, y + 1) - 5 * bRaw(x, y + 2) + bRaw(x, y + 3) + 512) >> 10)
     def avg(a: Int, b: Int): Int = (a + b + 1) >> 1
-    val pY = new Array[Int](256)
+    val pY = new Array[Int](wP * hP)
     var i = 0
-    while (i < 256) {
-      val x = xI + i % 16; val y = yI + i / 16
+    while (i < wP * hP) {
+      val x = xI + i % wP; val y = yI + i / wP
       pY(i) = (fx, fy) match {
         case (0, 0) => P(x, y)
         case (2, 0) => half(bRaw(x, y))
@@ -775,11 +839,12 @@ object H264Codec {
       plane(math.max(0, math.min(chh - 1, y)) * cw + math.max(0, math.min(cw - 1, x))) & 0xff
     val cxI = mx / 2 + (mvX >> 3); val cyI = my / 2 + (mvY >> 3)
     val cdx = mvX & 7; val cdy = mvY & 7
-    val pU = new Array[Int](64)
-    val pV = new Array[Int](64)
+    val cwP = wP / 2; val chP = hP / 2
+    val pU = new Array[Int](cwP * chP)
+    val pV = new Array[Int](cwP * chP)
     i = 0
-    while (i < 64) {
-      val x = cxI + i % 8; val y = cyI + i / 8
+    while (i < cwP * chP) {
+      val x = cxI + i % cwP; val y = cyI + i / cwP
       def bil(pl: Array[Byte]): Int =
         ((8 - cdx) * (8 - cdy) * PC(pl, x, y) + cdx * (8 - cdy) * PC(pl, x + 1, y) +
           (8 - cdx) * cdy * PC(pl, x, y + 1) + cdx * cdy * PC(pl, x + 1, y + 1) + 32) >> 6
@@ -807,9 +872,7 @@ object H264Codec {
     val tcY = new TcGrid(mbW * 4, mbH * 4)
     val tcCb = new TcGrid(mbW * 2, mbH * 2)
     val tcCr = new TcGrid(mbW * 2, mbH * 2)
-    val refIdx = Array.fill(nMb)(-1)
-    val mvxA = new Array[Int](nMb)
-    val mvyA = new Array[Int](nMb)
+    val mg = new MotionGrid(mbW, mbH)
     val bw = new BitWriter
     bw.ue(0) // first_mb_in_slice
     bw.ue(5) // slice_type: P
@@ -830,7 +893,7 @@ object H264Codec {
       val cx = c * 8; val cy = r * 8
       val m0 = p.pmb(mb)
       if (m0.kind == 0) {
-        val smv = skipMv(mb, r, c, mbW, refIdx, mvxA, mvyA)
+        val smv = skipMvCell(mg, mb, c * 4, r * 4)
         require(smv == ((0, 0)), "h264 fixture: skip MV must derive to zero by construction")
         val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
         var i = 0
@@ -841,7 +904,7 @@ object H264Codec {
           recV((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
           i += 1
         }
-        refIdx(mb) = 0; mvxA(mb) = 0; mvyA(mb) = 0
+        mg.fill(c * 4, r * 4, 4, 4, 0, 0, 0)
         skipRun += 1
       } else {
         bw.ue(skipRun)
@@ -886,10 +949,46 @@ object H264Codec {
             i += 1
           }
           // refIdx stays -1 (intra); nC grid: DC-only luma leaves 0
+        } else if (m0.kind == 5 || m0.kind == 6) {
+          // P_L0_L0_16x8 / P_L0_L0_8x16: two partitions, two mvds
+          // against the directional-preference predictors, no residual
+          val is16x8 = m0.kind == 5
+          bw.ue(if (is16x8) 1 else 2)
+          val parts =
+            if (is16x8) Seq((0, 0, 4, 2, 1, m0.mv), (0, 2, 4, 2, 2, m0.mv2))
+            else Seq((0, 0, 2, 4, 3, m0.mv), (2, 0, 2, 4, 4, m0.mv2))
+          parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, pt, mv), pi) =>
+            val written: (Int, Int) => Boolean =
+              if (pi == 0) noneWritten
+              else if (is16x8) (_, y0) => y0 < 2
+              else (x0, _) => x0 < 2
+            val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
+            bw.se(mv._1 - mvp._1)
+            bw.se(mv._2 - mvp._2)
+            mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mv._1, mv._2)
+          }
+          bw.ue(0) // coded_block_pattern: no residual in this fixture path
+          parts.foreach { case (lx, ly, wC, hC, _, mv) =>
+            val (pY, pU, pV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4,
+              wC * 4, hC * 4, mv._1, mv._2)
+            val wP = wC * 4
+            var i = 0
+            while (i < pY.length) {
+              recY((my + ly * 4 + i / wP) * w + mx + lx * 4 + i % wP) = pY(i).toByte
+              i += 1
+            }
+            val cwP = wC * 2
+            i = 0
+            while (i < pU.length) {
+              recU((cy + ly * 2 + i / cwP) * cw + cx + lx * 2 + i % cwP) = pU(i).toByte
+              recV((cy + ly * 2 + i / cwP) * cw + cx + lx * 2 + i % cwP) = pV(i).toByte
+              i += 1
+            }
+          }
         } else {
           // P_L0_16x16
           val mv = m0.mv
-          val mvp = mvPredict16(mb, r, c, mbW, refIdx, mvxA, mvyA)
+          val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
           bw.ue(0) // mb_type: P_L0_16x16
           bw.se(mv._1 - mvp._1)
           bw.se(mv._2 - mvp._2)
@@ -943,7 +1042,7 @@ object H264Codec {
             recV((cy + i / 8) * cw + cx + i % 8) = rVm(i).toByte
             i += 1
           }
-          refIdx(mb) = 0; mvxA(mb) = mv._1; mvyA(mb) = mv._2
+          mg.fill(c * 4, r * 4, 4, 4, 0, mv._1, mv._2)
         }
       }
       mb += 1
@@ -1676,9 +1775,7 @@ object H264Codec {
     val tcCb = new TcGrid(mbW * 2, mbH * 2)
     val tcCr = new TcGrid(mbW * 2, mbH * 2)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
-    val refIdxA = Array.fill(mbW * mbH)(-1)
-    val mvxA = new Array[Int](mbW * mbH)
-    val mvyA = new Array[Int](mbW * mbH)
+    val mg = new MotionGrid(mbW, mbH)
     var skipLeft = -1
     var mb = 0
     while (mb < mbW * mbH) {
@@ -1688,7 +1785,7 @@ object H264Codec {
       if (isP && skipLeft < 0) skipLeft = br.ue()
       if (isP && skipLeft > 0) {
         // P_Skip: derived motion, no residual
-        val smv = skipMv(mb, r, c, mbW, refIdxA, mvxA, mvyA)
+        val smv = skipMvCell(mg, mb, c * 4, r * 4)
         val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
         var i = 0
         while (i < 256) { y((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
@@ -1698,19 +1795,60 @@ object H264Codec {
           v((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
           i += 1
         }
-        refIdxA(mb) = 0; mvxA(mb) = smv._1; mvyA(mb) = smv._2
+        mg.fill(c * 4, r * 4, 4, 4, 0, smv._1, smv._2)
         skipLeft -= 1
         mb += 1
       } else {
         if (isP) skipLeft = -1
         val rawType = br.ue()
         if (isP && rawType < 5) {
-          require(rawType == 0,
-            "h264: P partitions beyond 16x16 are the next rung (P_L0_16x16 here)")
-          val mvp = mvPredict16(mb, r, c, mbW, refIdxA, mvxA, mvyA)
-          val mvX = mvp._1 + br.se()
-          val mvY = mvp._2 + br.se()
-          val (pY, pU, pV) = mcFetch(ref, mx, my, mvX, mvY)
+          require(rawType <= 2,
+            "h264: P_8x8 sub-macroblock partitions are the next rung")
+          val (pY, pU, pV) =
+            if (rawType == 0) {
+              val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
+              val mvX = mvp._1 + br.se()
+              val mvY = mvp._2 + br.se()
+              mg.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
+              mcFetch(ref, mx, my, mvX, mvY)
+            } else {
+              // P_L0_L0_16x8 / P_L0_L0_8x16: per-partition mvds against
+              // the directional-preference predictors, then per-partition
+              // motion compensation assembled into the MB prediction
+              val is16x8 = rawType == 1
+              val aY = new Array[Int](256)
+              val aU = new Array[Int](64)
+              val aV = new Array[Int](64)
+              val parts =
+                if (is16x8) Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+                else Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+              parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, pt), pi) =>
+                val written: (Int, Int) => Boolean =
+                  if (pi == 0) noneWritten
+                  else if (is16x8) (_, y0) => y0 < 2
+                  else (x0, _) => x0 < 2
+                val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
+                val mvX = mvp._1 + br.se()
+                val mvY = mvp._2 + br.se()
+                mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mvX, mvY)
+                val (fY, fU, fV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4,
+                  wC * 4, hC * 4, mvX, mvY)
+                val wP = wC * 4
+                var i = 0
+                while (i < fY.length) {
+                  aY((ly * 4 + i / wP) * 16 + lx * 4 + i % wP) = fY(i)
+                  i += 1
+                }
+                val cwP = wC * 2
+                i = 0
+                while (i < fU.length) {
+                  aU((ly * 2 + i / cwP) * 8 + lx * 2 + i % cwP) = fU(i)
+                  aV((ly * 2 + i / cwP) * 8 + lx * 2 + i % cwP) = fV(i)
+                  i += 1
+                }
+              }
+              (aY, aU, aV)
+            }
           val cbp = br.ue()
           require(cbp <= 47, "h264: coded_block_pattern out of range")
           val cbpLuma = cbp & 15
@@ -1798,7 +1936,6 @@ object H264Codec {
             v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
             i += 1
           }
-          refIdxA(mb) = 0; mvxA(mb) = mvX; mvyA(mb) = mvY
           mb += 1
         } else {
           val mbType = if (isP) rawType - 5 else rawType

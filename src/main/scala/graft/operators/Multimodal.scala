@@ -487,6 +487,62 @@ object Multimodal {
     })
   }
 
+  /** The sub-MB-partition plan: frame 1 = uniform 2x2-MB tiles (the
+    * [[h264SubpelPlan]] IDR); frame 2 stripes by (column + doc + row) so
+    * every P_Skip's zero trigger is live, and rotates P_L0_L0_16x8 MBs
+    * (top partition reads 16 px up, bottom 16 px left) and
+    * P_L0_L0_8x16 MBs (left partition reads 16 px down, right 16 px
+    * right) — each partition's vector coded against the spec's
+    * DIRECTIONAL preference predictors (top->B, bottom->A, left->A,
+    * right->C) over the per-4x4-cell motion grid, with out-of-frame
+    * reads clamped.
+    */
+  private[operators] def h264PartPlan(d: Long, w: Int, h: Int): H264Codec.InterPlan = {
+    val mbW = w / 16
+    val tCols = mbW / 2
+    def tile(m: Int): Int = ((m / mbW) / 2) * tCols + (m % mbW) / 2
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0,
+      modeSel = mb => if (mb / mbW == 0) 1 else 0,
+      tL = mb => ((37 * d + 23 * tile(mb)) % 208 + 24).toInt,
+      tCb = mb => ((91 * d + 13 * tile(mb)) % 240 + 8).toInt,
+      tCr = mb => ((53 * d + 17 * tile(mb)) % 240 + 8).toInt,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra, mb => {
+      val r = mb / mbW; val c = mb % mbW
+      ((c + d + r) % 4).toInt match {
+        case 0 =>
+          val dL = (if ((d + 3 * mb) % 2 == 0) 1 else -1) * (1 + ((d + mb) % 6)).toInt
+          H264Codec.PMb(kind = 1, dL = dL,
+            tCb = ((91 * d + 23 * mb) % 240 + 8).toInt,
+            tCr = ((53 * d + 27 * mb) % 240 + 8).toInt)
+        case 1 => H264Codec.PMb(kind = 0)
+        case 2 => H264Codec.PMb(kind = 5, mv = (0, -64), mv2 = (-64, 0))
+        case _ => H264Codec.PMb(kind = 6, mv = (0, 64), mv2 = (64, 0))
+      }
+    })
+  }
+
+  /** Each doc carries a two-frame H.264 stream from [[h264PartPlan]]:
+    * sub-MB partitions with per-partition motion against the directional
+    * predictors; graded via the frame-weighted checksum.
+    */
+  def withH264PartMedia(docs: DataFrame, id: String = "doc_id",
+                        nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (32 * (1 + nc % 2)).toInt
+          val h = 64
+          (d, H264Codec.encodeInter(h264PartPlan(d, w, h)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a two-frame H.264 stream from [[h264SubpelPlan]]:
     * quarter-pel luma (all 16 fractional positions rotating), eighth-pel
     * bilinear chroma, and clamped out-of-frame motion, all graded

@@ -88,40 +88,103 @@ class H264InterSpec extends AnyFunSuite {
 
   test("MV predictor: exactly-one-matching-ref, median, and edge rules") {
     // 3x3 MB frame; current MB = 4 (center)
-    val refIdx = Array.fill(9)(-1)
-    val mvx = new Array[Int](9)
-    val mvy = new Array[Int](9)
+    val g = new H264Codec.MotionGrid(3, 3)
+    def setMb(m: Int, ref: Int, x: Int, y: Int): Unit =
+      g.fill((m % 3) * 4, (m / 3) * 4, 4, 4, ref, x, y)
     // only B (mb 1) is inter -> mvp = mvB
-    refIdx(1) = 0; mvx(1) = 40; mvy(1) = -8
-    assert(H264Codec.mvPredict16(4, 1, 1, 3, refIdx, mvx, mvy) == ((40, -8)))
+    setMb(1, 0, 40, -8)
+    assert(H264Codec.mvPredictPart(g, 4, 4, 4, 4, 0, H264Codec.noneWritten) == ((40, -8)))
     // A and C inter too -> median per component
-    refIdx(3) = 0; mvx(3) = 8; mvy(3) = 16
-    refIdx(2) = 0; mvx(2) = 24; mvy(2) = 4
-    assert(H264Codec.mvPredict16(4, 1, 1, 3, refIdx, mvx, mvy) == ((24, 4)))
+    setMb(3, 0, 8, 16)
+    setMb(2, 0, 24, 4)
+    assert(H264Codec.mvPredictPart(g, 4, 4, 4, 4, 0, H264Codec.noneWritten) == ((24, 4)))
     // row 0, c > 0: B and C unavailable -> mvA
-    refIdx(0) = 0; mvx(0) = -16; mvy(0) = 8
-    assert(H264Codec.mvPredict16(1, 0, 1, 3, refIdx, mvx, mvy) == ((-16, 8)))
+    setMb(0, 0, -16, 8)
+    assert(H264Codec.mvPredictPart(g, 1, 4, 0, 4, 0, H264Codec.noneWritten) == ((-16, 8)))
     // C unavailable at the right edge -> D (above-left) substitutes
-    val r2 = Array.fill(9)(-1); val x2 = new Array[Int](9); val y2 = new Array[Int](9)
-    r2(1) = 0; x2(1) = 8; y2(1) = 8    // D for mb 5 (r1,c2)
-    r2(2) = 0; x2(2) = 32; y2(2) = 0   // B
-    r2(4) = 0; x2(4) = 16; y2(4) = 24  // A
-    assert(H264Codec.mvPredict16(5, 1, 2, 3, r2, x2, y2) == ((16, 8)))
+    val g2 = new H264Codec.MotionGrid(3, 3)
+    g2.fill(4, 0, 4, 4, 0, 8, 8)   // mb 1: D for mb 5
+    g2.fill(8, 0, 4, 4, 0, 32, 0)  // mb 2: B
+    g2.fill(4, 4, 4, 4, 0, 16, 24) // mb 4: A
+    assert(H264Codec.mvPredictPart(g2, 5, 8, 4, 4, 0, H264Codec.noneWritten) == ((16, 8)))
+  }
+
+  test("16x8/8x16 directional preferences and in-MB partition neighbors") {
+    val g = new H264Codec.MotionGrid(3, 3)
+    g.fill(0, 4, 4, 4, 0, 10, 2) // mb 3: A of the center MB
+    g.fill(4, 0, 4, 4, 0, 30, 6) // mb 1: B
+    g.fill(8, 0, 4, 4, 0, 50, 4) // mb 2: C
+    // top 16x8 prefers B; left 8x16 prefers A; right 8x16 prefers C
+    assert(H264Codec.mvPredictPart(g, 4, 4, 4, 4, 1, H264Codec.noneWritten) == ((30, 6)))
+    assert(H264Codec.mvPredictPart(g, 4, 4, 4, 2, 3, H264Codec.noneWritten) == ((10, 2)))
+    assert(H264Codec.mvPredictPart(g, 4, 6, 4, 2, 4, H264Codec.noneWritten) == ((50, 4)))
+    // bottom 16x8 prefers A (cells of mb 3's lower rows)
+    val wrote: (Int, Int) => Boolean = (_, y0) => y0 < 2
+    g.fill(4, 4, 4, 2, 0, 70, 8) // the already-decoded top partition
+    assert(H264Codec.mvPredictPart(g, 4, 4, 6, 4, 2, wrote) == ((10, 2)))
+    // A intra -> falls through to the standard process: B = the written
+    // top partition, C unavailable in-row -> D = mb 3's middle rows
+    g.fill(0, 6, 4, 2, -1, 0, 0)
+    assert(H264Codec.mvPredictPart(g, 4, 4, 6, 4, 2, wrote) == ((10, 2)))
   }
 
   test("P_Skip zero triggers: edges and zero-motion neighbors") {
-    val refIdx = Array.fill(9)(0)
-    val mvx = Array.fill(9)(8)
-    val mvy = Array.fill(9)(8)
+    val g = new H264Codec.MotionGrid(3, 3)
+    for (m <- 0 until 9) g.fill((m % 3) * 4, (m / 3) * 4, 4, 4, 0, 8, 8)
     // left/top edges -> zero
-    assert(H264Codec.skipMv(0, 0, 0, 3, refIdx, mvx, mvy) == ((0, 0)))
-    assert(H264Codec.skipMv(3, 1, 0, 3, refIdx, mvx, mvy) == ((0, 0)))
-    assert(H264Codec.skipMv(1, 0, 1, 3, refIdx, mvx, mvy) == ((0, 0)))
+    assert(H264Codec.skipMvCell(g, 0, 0, 0) == ((0, 0)))
+    assert(H264Codec.skipMvCell(g, 3, 0, 4) == ((0, 0)))
+    assert(H264Codec.skipMvCell(g, 1, 4, 0) == ((0, 0)))
     // interior with all-nonzero inter neighbors -> the 16x16 predictor
-    assert(H264Codec.skipMv(4, 1, 1, 3, refIdx, mvx, mvy) == ((8, 8)))
+    assert(H264Codec.skipMvCell(g, 4, 4, 4) == ((8, 8)))
     // a zero-mv ref-0 left neighbor forces zero
-    mvx(3) = 0; mvy(3) = 0
-    assert(H264Codec.skipMv(4, 1, 1, 3, refIdx, mvx, mvy) == ((0, 0)))
+    g.fill(0, 4, 4, 4, 0, 0, 0)
+    assert(H264Codec.skipMvCell(g, 4, 4, 4) == ((0, 0)))
+  }
+
+  test("sub-MB partitions: 16x8/8x16 chain equals the closed-form replay") {
+    for (d <- 0L until 10L; w <- Seq(32, 64)) {
+      val h = 64
+      val frames = H264Codec.decodeSequence(
+        H264Codec.encodeInter(Multimodal.h264PartPlan(d, w, h)))
+      assert(frames.length == 2)
+      val mbW = w / 16; val tCols = mbW / 2
+      def tL1(t: Int) = ((37 * d + 23 * t) % 208 + 24).toInt
+      def cl(hi: Int, v: Int) = math.max(0, math.min(hi - 1, v))
+      for (yy <- 0 until h; x <- 0 until w) {
+        val r = yy / 16; val c = x / 16; val m = r * mbW + c
+        val tile = (r / 2) * tCols + c / 2
+        val want = ((c + d + r) % 4).toInt match {
+          case 0 =>
+            val dL = (if ((d + 3 * m) % 2 == 0) 1 else -1) * (1 + ((d + m) % 6)).toInt
+            tL1(tile) + 4 * dL
+          case 1 => tL1(tile)
+          case 2 =>
+            val (sx, sy) = if (yy % 16 < 8) (0, -16) else (-16, 0)
+            tL1((cl(h, yy + sy) / 32) * tCols + cl(w, x + sx) / 32)
+          case _ =>
+            val (sx, sy) = if (x % 16 < 8) (0, 16) else (16, 0)
+            tL1((cl(h, yy + sy) / 32) * tCols + cl(w, x + sx) / 32)
+        }
+        assert((frames(1).y(yy * w + x) & 0xff) == want, s"d=$d w=$w f2 ($x,$yy)")
+      }
+      for (yy <- 0 until h / 2; x <- 0 until w / 2) {
+        val r = yy / 8; val c = x / 8; val m = r * mbW + c
+        val tile = (r / 2) * tCols + c / 2
+        def cB1(t: Int) = ((91 * d + 13 * t) % 240 + 8).toInt
+        val want = ((c + d + r) % 4).toInt match {
+          case 0 => ((91 * d + 23 * m) % 240 + 8).toInt
+          case 1 => cB1(tile)
+          case 2 =>
+            val (sx, sy) = if (yy % 8 < 4) (0, -8) else (-8, 0)
+            cB1((cl(h / 2, yy + sy) / 16) * tCols + cl(w / 2, x + sx) / 16)
+          case _ =>
+            val (sx, sy) = if (x % 8 < 4) (0, 8) else (8, 0)
+            cB1((cl(h / 2, yy + sy) / 16) * tCols + cl(w / 2, x + sx) / 16)
+        }
+        assert((frames(1).u(yy * (w / 2) + x) & 0xff) == want, s"d=$d w=$w f2 cb ($x,$yy)")
+      }
+    }
   }
 
   test("malformed streams fail loudly; multi-frame decode() refused") {
