@@ -4826,6 +4826,161 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 CABAC, graded byte-exact — the q_h264_intra fixture
+    // re-encoded with entropy_coding_mode_flag = 1: the SAME closed-form
+    // pixel targets through a completely different entropy layer. The
+    // arithmetic engine (range subdivision, renormalization with the
+    // outstanding-bit carry scheme, bypass, terminate, the encoder
+    // flush), per-element context modeling (neighbor-dependent mb_type /
+    // chroma-mode / cbp increments, the coded_block_flag grids), the
+    // significance + last maps, UEG0 level coding with the c1/c2 context
+    // scheme, per-MB end_of_slice terminates, and the I_PCM engine
+    // flush / byte-align / re-init must ALL be exact — any drift
+    // desyncs the arithmetic decoder and the checksum collapses. The
+    // oracle is the identical closed form as q_h264_intra (the entropy
+    // layer must be value-neutral).
+    ("q_h264_cabac",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.withH264CabacMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d,
+             |    16*(1 + n_chars % 3) AS w, 16*(1 + n_chars % 2) AS h
+             |  FROM documents),
+             |dd AS (
+             |  SELECT d, w, h, w//16 AS mbw, h//16 AS mbh,
+             |    (w//16)*(h//16) AS nmb FROM dims),
+             |mbs0 AS (
+             |  SELECT dd.d, g.i AS mb, (37*dd.d + 19*g.i) % 208 + 24 AS vu
+             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb),
+             |mbs1 AS (
+             |  SELECT dd.d, g.i AS mb,
+             |    CASE ((dd.d + g.i) % 5)
+             |      WHEN 1 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 1 THEN lv.vu
+             |        ELSE (av.vu + lv.vu + 1) // 2 END
+             |      WHEN 4 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 2 = 0 THEN av.vu
+             |        ELSE lv.vu END
+             |      ELSE rv.vu END AS vu
+             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb
+             |  LEFT JOIN mbs0 rv ON rv.d = dd.d AND rv.mb = g.i
+             |  LEFT JOIN mbs0 lv ON lv.d = dd.d AND lv.mb = g.i - 1
+             |  LEFT JOIN mbs0 av ON av.d = dd.d AND av.mb = g.i - dd.mbw),
+             |mbs AS (
+             |  SELECT dd.d, g.i AS mb,
+             |    CASE ((dd.d + g.i) % 5)
+             |      WHEN 1 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 3 = 1 THEN lv.vu
+             |        ELSE (av.vu + lv.vu + 1) // 2 END
+             |      WHEN 4 THEN CASE
+             |        WHEN g.i = 0 THEN 128
+             |        WHEN g.i < dd.mbw THEN lv.vu
+             |        WHEN g.i % dd.mbw = 0 THEN av.vu
+             |        WHEN (dd.d + g.i) % 2 = 0 THEN av.vu
+             |        ELSE lv.vu END
+             |      ELSE rv.vu END AS vu
+             |  FROM dd JOIN range(0, 6) g(i) ON g.i < dd.nmb
+             |  LEFT JOIN mbs0 rv ON rv.d = dd.d AND rv.mb = g.i
+             |  LEFT JOIN mbs1 lv ON lv.d = dd.d AND lv.mb = g.i - 1
+             |  LEFT JOIN mbs1 av ON av.d = dd.d AND av.mb = g.i - dd.mbw),
+             |pp AS (
+             |  SELECT dd.d, ma.vu AS pa, ml.vu AS pl_, mal.vu AS pal
+             |  FROM dd
+             |  JOIN mbs ma ON ma.d = dd.d AND ma.mb = dd.nmb - 1 - dd.mbw
+             |  JOIN mbs ml ON ml.d = dd.d AND ml.mb = dd.nmb - 2
+             |  JOIN mbs mal ON mal.d = dd.d AND mal.mb = dd.nmb - dd.mbw - 2
+             |  WHERE dd.mbw >= 2 AND dd.mbh >= 2),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val) AS pix_sum,
+             |    sum(vv.val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dd m
+             |  JOIN range(0, 2304) t(i) ON t.i < m.w*m.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*m.h THEN 0
+             |         WHEN t.i < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) % (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN t.i // m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) // (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN q1.yy // 16 ELSE q1.yy // 8 END AS r,
+             |    CASE q0.pl WHEN 0 THEN q1.x // 16 ELSE q1.x // 8 END AS c,
+             |    CASE q0.pl WHEN 0 THEN q1.x % 16 ELSE q1.x % 8 END AS xx,
+             |    CASE q0.pl WHEN 0 THEN q1.yy % 16 ELSE q1.yy % 8 END AS zz) q2
+             |  CROSS JOIN LATERAL (SELECT q2.r * m.mbw + q2.c AS mb,
+             |    (m.mbw >= 2 AND m.mbh >= 2
+             |      AND q2.r * m.mbw + q2.c = m.nmb - 1) AS ispl,
+             |    CASE WHEN (m.d + q2.r * m.mbw + q2.c) % 2 = 0
+             |      THEN 1 ELSE -1 END AS s) q3
+             |  LEFT JOIN mbs mm ON mm.d = m.d AND mm.mb = q3.mb
+             |  LEFT JOIN pp ON pp.d = m.d
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN
+             |      CASE WHEN q3.ispl THEN
+             |        GREATEST(0, LEAST(255,
+             |          (16*(pp.pl_ + pp.pa)
+             |           + CAST(floor((40*(pp.pa - pp.pal) + 32) / 64e0) AS BIGINT)*(q2.xx - 7)
+             |           + CAST(floor((40*(pp.pl_ - pp.pal) + 32) / 64e0) AS BIGINT)*(q2.zz - 7) + 16) // 32))
+             |      WHEN (m.d + q3.mb) % 5 = 2 AND q2.xx < 4 AND q2.zz < 4 THEN
+             |        (37*m.d + 19*q3.mb) % 208 + 24 + q3.s *
+             |          (CASE q2.xx WHEN 0 THEN 14 WHEN 1 THEN 1
+             |            WHEN 2 THEN -9 ELSE -6 END)
+             |      WHEN (m.d + q3.mb) % 5 = 4 AND q2.r = m.mbh - 1 AND q2.r > 0
+             |           AND (q2.c = 0 OR (m.d + q3.mb) % 2 = 0)
+             |           AND q2.xx < 4 AND q2.zz >= 12 THEN
+             |        mm.vu + 4 * (CASE WHEN (m.d + 3*q3.mb) % 2 = 0 THEN 1 ELSE -1 END)
+             |               * (1 + (m.d + q3.mb) % 3)
+             |      ELSE mm.vu END
+             |    WHEN q0.pl = 1 THEN
+             |      CASE WHEN q3.ispl THEN
+             |        GREATEST(0, LEAST(255,
+             |          (32*((91*m.d + 29*(q2.r + q2.c - 1)) % 240 + 8)
+             |           + CAST(floor((68*(((91*m.d + 29*(q2.r + q2.c - 1)) % 240 + 8)
+             |                 - ((91*m.d + 29*(q2.r + q2.c - 2)) % 240 + 8)) + 16) / 32e0) AS BIGINT)
+             |             * (q2.xx - 3 + q2.zz - 3) + 16) // 32))
+             |      WHEN (m.d + q3.mb) % 5 = 2 AND q2.xx < 4 AND q2.zz < 4 THEN
+             |        (91*m.d + 29*(q2.r + q2.c)) % 240 + 8 + 2 * q3.s *
+             |          (CASE q2.xx WHEN 0 THEN 1 WHEN 1 THEN -1
+             |            WHEN 2 THEN -1 ELSE 1 END)
+             |      ELSE (91*m.d + 29*(q2.r + q2.c)) % 240 + 8 END
+             |    ELSE
+             |      CASE WHEN q3.ispl THEN
+             |        GREATEST(0, LEAST(255,
+             |          (32*((53*m.d + 31*(q2.r + q2.c - 1)) % 240 + 8)
+             |           + CAST(floor((68*(((53*m.d + 31*(q2.r + q2.c - 1)) % 240 + 8)
+             |                 - ((53*m.d + 31*(q2.r + q2.c - 2)) % 240 + 8)) + 16) / 32e0) AS BIGINT)
+             |             * (q2.xx - 3 + q2.zz - 3) + 16) // 32))
+             |      ELSE (53*m.d + 31*(q2.r + q2.c)) % 240 + 8 END
+             |    END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, 'h264' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*h*3//2 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL VP8 B_PRED DIRECTIONAL SUB-MODES, graded byte-exact — the
     // full 4×4 intra prediction family (VE/HE/RD/VR/HD/LD/VL/HU on top
     // of the already-graded DC/TM): each doc's center MB hosts one

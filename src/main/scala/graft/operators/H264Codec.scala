@@ -56,6 +56,7 @@ object H264Codec {
     }
     def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
     def alignZero(): Unit = if (nAcc > 0) put(0, 8 - nAcc)
+    def alignOnes(): Unit = while (nAcc > 0) put(1, 1)
     /** rbsp_trailing_bits: stop bit + zero alignment. */
     def trailing(): Unit = { put(1, 1); alignZero() }
     def putByte(b: Int): Unit = { require(nAcc == 0); out.write(b & 0xff) }
@@ -92,6 +93,15 @@ object H264Codec {
     def alignByte(): Unit = {
       while (bit != 0) require(get(1) == 0, "h264: nonzero pcm alignment bit")
     }
+    /** Discard to the byte boundary without checking the bits. */
+    def alignByte0(): Unit = while (bit != 0) { get(1); () }
+    /** CABAC alignment: the skipped bits must be ones. */
+    def alignOnesCheck(): Unit =
+      while (bit != 0) require(get(1) == 1, "h264: cabac alignment bit not one")
+    /** Bit read that returns zero past the end (the CABAC engine reads
+      * ahead of the true entropy content).
+      */
+    def bitOrZero(): Int = if (pos >= buf.length) 0 else get(1)
     def readByte(): Int = { require(bit == 0); get(8) }
     /** rbsp_trailing_bits + cabac_zero_word-free tail. */
     def trailing(): Unit = {
@@ -205,11 +215,11 @@ object H264Codec {
     bw.bytes()
   }
 
-  private def writePps(chromaQpOff: Int = 0): Array[Byte] = {
+  private def writePps(chromaQpOff: Int = 0, cabac: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0) // pps id
     bw.ue(0) // sps id
-    bw.put(0, 1) // entropy_coding_mode: CAVLC
+    bw.put(if (cabac) 1 else 0, 1) // entropy_coding_mode
     bw.put(0, 1) // bottom_field_pic_order_in_frame_present
     bw.ue(0) // num_slice_groups_minus1
     bw.ue(0) // num_ref_idx_l0_default_active_minus1
@@ -252,7 +262,6 @@ object H264Codec {
     val br = new BitReader(rbsp)
     require(br.ue() == 0 && br.ue() == 0, "h264: multiple parameter sets outside this profile")
     val cabac = br.get(1) == 1
-    require(!cabac, "h264: CABAC outside this profile (CAVLC headers only)")
     br.get(1) // bottom_field_pic_order
     require(br.ue() == 0, "h264: slice groups (FMO) outside this profile")
     br.ue(); br.ue() // ref idx defaults
@@ -347,18 +356,20 @@ object H264Codec {
                              i4Modes: (Int, Int) => Int = null,
                              pcmY: (Int, Int, Int) => Int = null)
 
-  def encodeIntra(plan: IntraPlan): Array[Byte] = {
-    val (slice, _, _, _) = intraSlice(plan)
+  def encodeIntra(plan: IntraPlan, cabac: Boolean = false): Array[Byte] = {
+    val (slice, _, _, _) = intraSlice(plan, cabac)
     val out = new java.io.ByteArrayOutputStream()
-    Seq(nal(3, 7, writeSps(plan.w, plan.h)), nal(3, 8, writePps(-6)),
+    Seq(nal(3, 7, writeSps(plan.w, plan.h)), nal(3, 8, writePps(-6, cabac)),
       nal(3, 5, slice)).foreach(n => out.write(n, 0, n.length))
     out.toByteArray
   }
 
-  /** Encode one steered IDR slice; returns (slice RBSP, recon Y/U/V) so
-    * the inter encoder can use the frame as a reference.
+  /** Encode one steered IDR slice through the chosen entropy backend;
+    * returns (slice RBSP, recon Y/U/V) so the inter encoder can use the
+    * frame as a reference.
     */
-  private def intraSlice(plan: IntraPlan): (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+  private def intraSlice(plan: IntraPlan, cabac: Boolean = false):
+      (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val w = plan.w; val h = plan.h
     require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
       "h264: this profile codes full-MB frames (no cropping)")
@@ -370,9 +381,6 @@ object H264Codec {
     val recY = new Array[Byte](w * h)
     val recU = new Array[Byte](cw * ch)
     val recV = new Array[Byte](cw * ch)
-    val tcY = new TcGrid(mbW * 4, mbH * 4)
-    val tcCb = new TcGrid(mbW * 2, mbH * 2)
-    val tcCr = new TcGrid(mbW * 2, mbH * 2)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
     val bw = new BitWriter
     bw.ue(0) // first_mb_in_slice
@@ -385,6 +393,8 @@ object H264Codec {
     bw.se(qp - 26) // slice_qp_delta -> QP 28
     bw.ue(0) // disable_deblocking_filter_idc
     bw.se(0); bw.se(0)
+    val snk: IntraSink =
+      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     var mb = 0
     while (mb < nMb) {
       val r = mb / mbW; val c = mb % mbW
@@ -400,27 +410,24 @@ object H264Codec {
         else if (c == 0 && mode0 == 1) 2
         else mode0
       if (v == 3) {
-        bw.ue(25)
-        bw.alignZero()
         val ty = plan.tL(mb); val tu = plan.tCb(mb); val tv = plan.tCr(mb)
+        val ys = new Array[Int](256)
         var i = 0
         while (i < 256) {
           val px = if (plan.pcmY != null) plan.pcmY(mb, i % 16, i / 16) else ty
-          bw.putByte(px); recY((my + i / 16) * w + mx + i % 16) = px.toByte
+          ys(i) = px; recY((my + i / 16) * w + mx + i % 16) = px.toByte
           i += 1
         }
+        val us = Array.fill(64)(tu)
+        val vs = Array.fill(64)(tv)
         i = 0
-        while (i < 64) { bw.putByte(tu); recU((cy + i / 8) * cw + cx + i % 8) = tu.toByte; i += 1 }
-        i = 0
-        while (i < 64) { bw.putByte(tv); recV((cy + i / 8) * cw + cx + i % 8) = tv.toByte; i += 1 }
-        var b = 0
-        while (b < 16) { tcY.set(c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, 16); b += 1 }
-        b = 0
-        while (b < 4) {
-          tcCb.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
-          tcCr.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
-          b += 1
+        while (i < 64) {
+          recU((cy + i / 8) * cw + cx + i % 8) = tu.toByte
+          recV((cy + i / 8) * cw + cx + i % 8) = tv.toByte
+          i += 1
         }
+        snk.mbTypeI(25, mb)
+        snk.pcm(ys, us, vs, mb)
       } else if (v == 4) {
         // I_4x4 macroblock: per-block prediction (fixture: all-V /
         // all-H with edge fallbacks; spec hook i4Modes for the full
@@ -494,38 +501,34 @@ object H264Codec {
         val cbpC = if (dcCb(0) != 0 || dcCr(0) != 0) 1 else 0
         val cbpLuma = if (cs != 0) 4 else 0
         val cbp = cbpLuma | (cbpC << 4)
-        bw.ue(0) // mb_type: I_4x4
+        snk.mbTypeI(0, mb)
         b = 0
         while (b < 16) {
           val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
           val mpm = modeG.mpm(gx, gy)
-          if (modes(b) == mpm) bw.put(1, 1)
-          else {
-            bw.put(0, 1)
-            bw.put((if (modes(b) < mpm) modes(b) else modes(b) - 1).toLong, 3)
-          }
+          snk.i4ModeBits(modes(b) == mpm,
+            if (modes(b) < mpm) modes(b) else modes(b) - 1)
           modeG.set(gx, gy, modes(b))
           b += 1
         }
-        bw.ue(cmode)
-        bw.ue(cbp) // coded_block_pattern: pinned identity codeNum map
-        if (cbp != 0) bw.se(0) // mb_qp_delta
+        snk.chromaMode(cmode, mb)
+        snk.cbp(cbp, mb)
+        if (cbp != 0) snk.qpDelta(0)
         var s8 = 0
         while (s8 < 4) {
           if (((cbpLuma >> s8) & 1) == 1) {
             var j = 0
             while (j < 4) {
               val bb = s8 * 4 + j
-              val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
-              tcY.set(gx, gy, writeBlock(bw, lumaCoef(bb), tcY.nc(gx, gy)))
+              snk.residual(2, 0, c * 4 + blkX(bb) / 4, r * 4 + blkY(bb) / 4, mb, lumaCoef(bb))
               j += 1
             }
           }
           s8 += 1
         }
         if (cbpC >= 1) {
-          writeBlock(bw, dcCb, -1)
-          writeBlock(bw, dcCr, -1)
+          snk.residual(3, 1, 0, 0, mb, dcCb)
+          snk.residual(3, 2, 0, 0, mb, dcCr)
         }
         val rU = reconChroma(pCb, dcCb, null, qpc)
         val rV = reconChroma(pCr, dcCr, null, qpc)
@@ -588,33 +591,30 @@ object H264Codec {
         }
         val cbpL15 = v == 2
         val mbType = 1 + mode + 4 * cbpC + (if (cbpL15) 12 else 0)
-        bw.ue(mbType)
-        bw.ue(cmode)
-        bw.se(0) // mb_qp_delta
-        writeBlock(bw, dcScan, tcY.nc(c * 4, r * 4))
+        snk.mbTypeI(mbType, mb)
+        snk.chromaMode(cmode, mb)
+        snk.qpDelta(0)
+        snk.residual(0, 0, 0, 0, mb, dcScan)
         if (cbpL15) {
           var b = 0
           while (b < 16) {
-            val bx = c * 4 + blkX(b) / 4; val by = r * 4 + blkY(b) / 4
-            tcY.set(bx, by, writeBlock(bw, acBlocks(b), tcY.nc(bx, by)))
+            snk.residual(1, 0, c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, mb, acBlocks(b))
             b += 1
           }
         }
         if (cbpC >= 1) {
-          writeBlock(bw, dcCb, -1)
-          writeBlock(bw, dcCr, -1)
+          snk.residual(3, 1, 0, 0, mb, dcCb)
+          snk.residual(3, 2, 0, 0, mb, dcCr)
         }
         if (cbpC == 2) {
           var b = 0
           while (b < 4) {
-            val bx = c * 2 + (b & 1); val by = r * 2 + (b >> 1)
-            tcCb.set(bx, by, writeBlock(bw, acCb(b), tcCb.nc(bx, by)))
+            snk.residual(4, 1, c * 2 + (b & 1), r * 2 + (b >> 1), mb, acCb(b))
             b += 1
           }
           b = 0
           while (b < 4) {
-            val bx = c * 2 + (b & 1); val by = r * 2 + (b >> 1)
-            tcCr.set(bx, by, writeBlock(bw, acCr(b), tcCr.nc(bx, by)))
+            snk.residual(4, 2, c * 2 + (b & 1), r * 2 + (b >> 1), mb, acCr(b))
             b += 1
           }
         }
@@ -661,9 +661,10 @@ object H264Codec {
           i += 1
         }
       }
+      snk.endMb(mb == nMb - 1)
       mb += 1
     }
-    bw.trailing()
+    snk.finish()
     (bw.bytes(), recY, recU, recV)
   }
 
@@ -1351,6 +1352,536 @@ object H264Codec {
     out
   }
 
+  // ---- entropy backends for intra slices -------------------------------------------
+  //
+  // The intra slice layer speaks SYNTAX ELEMENTS to one of two entropy
+  // backends: CAVLC (coeff_token machinery, Exp-Golomb headers) or CABAC
+  // (the H264Cabac engine with per-element context modeling). Residual
+  // categories follow the spec's ctxBlockCat split: 0 = Intra16x16DC
+  // (n=16), 1 = Intra16x16AC (n=15), 2 = LumaLevel4x4 (n=16), 3 =
+  // ChromaDC (n=4), 4 = ChromaAC (n=15).
+
+  private trait IntraSink {
+    def mbTypeI(t: Int, mb: Int): Unit
+    def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit
+    def i4ModeBits(useMpm: Boolean, rem: Int): Unit
+    def chromaMode(m: Int, mb: Int): Unit
+    def cbp(v: Int, mb: Int): Unit
+    def qpDelta(d: Int): Unit
+    def residual(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, coef: Array[Int]): Unit
+    def endMb(last: Boolean): Unit
+    def finish(): Unit
+  }
+
+  private trait IntraSource {
+    def mbTypeI(mb: Int): Int
+    def pcm(mb: Int): (Array[Int], Array[Int], Array[Int])
+    def i4Mode(mpm: Int): Int
+    def chromaMode(mb: Int): Int
+    def cbp(mb: Int): Int
+    def qpDelta(): Int
+    def residual(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, n: Int): Array[Int]
+    def endMb(last: Boolean): Unit
+    def finish(): Unit
+  }
+
+  private final class CavlcSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
+    private val tcY = new TcGrid(mbW * 4, mbH * 4)
+    private val tcCb = new TcGrid(mbW * 2, mbH * 2)
+    private val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    def mbTypeI(t: Int, mb: Int): Unit = bw.ue(t)
+    def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit = {
+      bw.alignZero()
+      ys.foreach(bw.putByte)
+      us.foreach(bw.putByte)
+      vs.foreach(bw.putByte)
+      val r = mb / mbW; val c = mb % mbW
+      var b = 0
+      while (b < 16) { tcY.set(c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, 16); b += 1 }
+      b = 0
+      while (b < 4) {
+        tcCb.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
+        tcCr.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
+        b += 1
+      }
+    }
+    def i4ModeBits(useMpm: Boolean, rem: Int): Unit = {
+      bw.put(if (useMpm) 1 else 0, 1)
+      if (!useMpm) bw.put(rem.toLong, 3)
+    }
+    def chromaMode(m: Int, mb: Int): Unit = bw.ue(m)
+    def cbp(v: Int, mb: Int): Unit = bw.ue(v)
+    def qpDelta(d: Int): Unit = bw.se(d)
+    def residual(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, coef: Array[Int]): Unit =
+      cat match {
+        case 0 =>
+          val r = mb / mbW; val c = mb % mbW
+          writeBlock(bw, coef, tcY.nc(c * 4, r * 4))
+        case 1 | 2 => tcY.set(gx, gy, writeBlock(bw, coef, tcY.nc(gx, gy)))
+        case 3 => writeBlock(bw, coef, -1)
+        case _ =>
+          val g = if (plane == 1) tcCb else tcCr
+          g.set(gx, gy, writeBlock(bw, coef, g.nc(gx, gy)))
+      }
+    def endMb(last: Boolean): Unit = ()
+    def finish(): Unit = bw.trailing()
+  }
+
+  private final class CavlcSource(br: BitReader, mbW: Int, mbH: Int) extends IntraSource {
+    private val tcY = new TcGrid(mbW * 4, mbH * 4)
+    private val tcCb = new TcGrid(mbW * 2, mbH * 2)
+    private val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    def mbTypeI(mb: Int): Int = br.ue()
+    def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
+      br.alignByte()
+      val ys = Array.fill(256)(br.readByte())
+      val us = Array.fill(64)(br.readByte())
+      val vs = Array.fill(64)(br.readByte())
+      val r = mb / mbW; val c = mb % mbW
+      var b = 0
+      while (b < 16) { tcY.set(c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, 16); b += 1 }
+      b = 0
+      while (b < 4) {
+        tcCb.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
+        tcCr.set(c * 2 + (b & 1), r * 2 + (b >> 1), 16)
+        b += 1
+      }
+      (ys, us, vs)
+    }
+    def i4Mode(mpm: Int): Int =
+      if (br.get(1) == 1) mpm
+      else {
+        val rem = br.get(3)
+        if (rem < mpm) rem else rem + 1
+      }
+    def chromaMode(mb: Int): Int = {
+      val m = br.ue()
+      require(m <= 3, "h264: intra_chroma_pred_mode out of range")
+      m
+    }
+    def cbp(mb: Int): Int = {
+      val v = br.ue()
+      require(v <= 47, "h264: coded_block_pattern out of range")
+      v
+    }
+    def qpDelta(): Int = br.se()
+    def residual(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, n: Int): Array[Int] =
+      cat match {
+        case 0 =>
+          val r = mb / mbW; val c = mb % mbW
+          readBlock(br, n, tcY.nc(c * 4, r * 4))
+        case 1 | 2 =>
+          val coefs = readBlock(br, n, tcY.nc(gx, gy))
+          tcY.set(gx, gy, coefs.count(_ != 0))
+          coefs
+        case 3 => readBlock(br, n, -1)
+        case _ =>
+          val g = if (plane == 1) tcCb else tcCr
+          val coefs = readBlock(br, n, g.nc(gx, gy))
+          g.set(gx, gy, coefs.count(_ != 0))
+          coefs
+      }
+    def endMb(last: Boolean): Unit = ()
+    def finish(): Unit = br.trailing()
+  }
+
+  // CABAC context allocation (pinned numbering, documented): see the
+  // sink/source below for the per-element derivations.
+  private val CtxMbType = 0 // +inc 0..2
+  private val CtxMbI16 = 3 // cbpL, cbpC0, cbpC1, mode hi, mode lo -> 3..7
+  private val CtxI4Flag = 8
+  private val CtxI4Rem = 9
+  private val CtxCMode = 10 // +inc 0..2; bins >= 1 at 13
+  private val CtxCbpL = 14 // +inc 0..3
+  private val CtxCbpC0 = 18 // +inc 0..3
+  private val CtxCbpC1 = 22 // +inc 0..3
+  private val CtxQpDelta = 26 // bin0 inc 0..1 -> 26/27; bin1 28; bins>=2 29
+  private val CtxCbf = 30 // + cat*4 + inc
+  private val CtxSig = 50 // + cat*15 + min(i,14)
+  private val CtxLast = 125 // + cat*15 + min(i,14)
+  private val CtxLevel = 200 // + cat*10 + inc (0..4 bin0, 5..9 rest)
+  private val NumCtx = 260
+
+  private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
+    bw.alignOnes() // cabac_alignment_one_bit
+    private val st = new Array[Int](2 * NumCtx)
+    private val eng = new H264Cabac.Enc(b => bw.put(b.toLong, 1))
+    private val mbT = Array.fill(mbW * mbH)(-1)
+    private val cmodeG = new Array[Int](mbW * mbH)
+    private val cbpLG = new Array[Int](mbW * mbH)
+    private val cbpCG = new Array[Int](mbW * mbH)
+    private val cbfY = new TcGrid(mbW * 4, mbH * 4) // 0/1 flags
+    private val cbfDcY = new TcGrid(mbW, mbH)
+    private val cbfDcC = Array(new TcGrid(mbW, mbH), new TcGrid(mbW, mbH))
+    private val cbfAcC = Array(new TcGrid(mbW * 2, mbH * 2), new TcGrid(mbW * 2, mbH * 2))
+    private var prevQpDelta = 0
+
+    def mbTypeI(t: Int, mb: Int): Unit = {
+      val r = mb / mbW; val c = mb % mbW
+      def cond(m: Int, ok: Boolean): Int = if (ok && mbT(m) != 0 && mbT(m) != -1) 1 else 0
+      val inc = cond(mb - 1, c > 0) + cond(mb - mbW, r > 0)
+      eng.bin(st, CtxMbType + inc, if (t == 0) 0 else 1)
+      if (t != 0) {
+        eng.terminate(if (t == 25) 1 else 0)
+        if (t != 25) {
+          val m = t - 1
+          eng.bin(st, CtxMbI16, if (m >= 12) 1 else 0)
+          val cbpC = (m / 4) % 3
+          eng.bin(st, CtxMbI16 + 1, if (cbpC != 0) 1 else 0)
+          if (cbpC != 0) eng.bin(st, CtxMbI16 + 2, if (cbpC == 2) 1 else 0)
+          eng.bin(st, CtxMbI16 + 3, (m % 4) >> 1)
+          eng.bin(st, CtxMbI16 + 4, (m % 4) & 1)
+        }
+      }
+      mbT(mb) = t
+    }
+    def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit = {
+      // the terminate(1) inside mbTypeI flushed the engine; align and
+      // emit raw samples, then re-initialize (9.3.1.2)
+      bw.alignZero()
+      ys.foreach(bw.putByte)
+      us.foreach(bw.putByte)
+      vs.foreach(bw.putByte)
+      eng.reinit()
+      val r = mb / mbW; val c = mb % mbW
+      var b = 0
+      while (b < 16) { cbfY.set(c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, 1); b += 1 }
+      cbfDcY.set(c, r, 1)
+      for (p <- 0 to 1) {
+        cbfDcC(p).set(c, r, 1)
+        var k = 0
+        while (k < 4) { cbfAcC(p).set(c * 2 + (k & 1), r * 2 + (k >> 1), 1); k += 1 }
+      }
+      cbpLG(mb) = 15; cbpCG(mb) = 2
+    }
+    def i4ModeBits(useMpm: Boolean, rem: Int): Unit = {
+      eng.bin(st, CtxI4Flag, if (useMpm) 1 else 0)
+      if (!useMpm) {
+        eng.bin(st, CtxI4Rem, (rem >> 2) & 1)
+        eng.bin(st, CtxI4Rem, (rem >> 1) & 1)
+        eng.bin(st, CtxI4Rem, rem & 1)
+      }
+    }
+    def chromaMode(m: Int, mb: Int): Unit = {
+      val r = mb / mbW; val c = mb % mbW
+      def cond(n: Int, ok: Boolean): Int = if (ok && cmodeG(n) != 0) 1 else 0
+      val inc = cond(mb - 1, c > 0) + cond(mb - mbW, r > 0)
+      eng.bin(st, CtxCMode + inc, if (m > 0) 1 else 0)
+      if (m > 0) eng.bin(st, CtxCMode + 3, if (m > 1) 1 else 0)
+      if (m > 1) eng.bin(st, CtxCMode + 3, if (m > 2) 1 else 0)
+      cmodeG(mb) = m
+    }
+    def cbp(v: Int, mb: Int): Unit = {
+      val r = mb / mbW; val c = mb % mbW
+      var coded = 0
+      var s = 0
+      while (s < 4) {
+        val bit = (v >> s) & 1
+        val leftBit =
+          if ((s & 1) == 1) (coded >> (s - 1)) & 1
+          else if (c > 0) (cbpLG(mb - 1) >> (s + 1)) & 1
+          else 1
+        val aboveBit =
+          if (s >= 2) (coded >> (s - 2)) & 1
+          else if (r > 0) (cbpLG(mb - mbW) >> (s + 2)) & 1
+          else 1
+        val inc = (1 - leftBit) + 2 * (1 - aboveBit)
+        eng.bin(st, CtxCbpL + inc, bit)
+        coded |= bit << s
+        s += 1
+      }
+      val cbpC = v >> 4
+      def condC(n: Int, ok: Boolean, two: Boolean): Int =
+        if (ok && (if (two) cbpCG(n) == 2 else cbpCG(n) != 0)) 1 else 0
+      val inc0 = condC(mb - 1, c > 0, two = false) + 2 * condC(mb - mbW, r > 0, two = false)
+      eng.bin(st, CtxCbpC0 + inc0, if (cbpC != 0) 1 else 0)
+      if (cbpC != 0) {
+        val inc1 = condC(mb - 1, c > 0, two = true) + 2 * condC(mb - mbW, r > 0, two = true)
+        eng.bin(st, CtxCbpC1 + inc1, if (cbpC == 2) 1 else 0)
+      }
+      cbpLG(mb) = v & 15; cbpCG(mb) = cbpC
+    }
+    def qpDelta(d: Int): Unit = {
+      val m = if (d <= 0) -2 * d else 2 * d - 1
+      var i = 0
+      while (i < m) {
+        val ctx = if (i == 0) CtxQpDelta + (if (prevQpDelta != 0) 1 else 0)
+          else if (i == 1) CtxQpDelta + 2 else CtxQpDelta + 3
+        eng.bin(st, ctx, 1)
+        i += 1
+      }
+      val ctx = if (m == 0) CtxQpDelta + (if (prevQpDelta != 0) 1 else 0)
+        else if (m == 1) CtxQpDelta + 2 else CtxQpDelta + 3
+      eng.bin(st, ctx, 0)
+      prevQpDelta = d
+    }
+    private def cbfCtxInc(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int): Int = {
+      val r = mb / mbW; val c = mb % mbW
+      cat match {
+        case 0 => gAt0(cbfDcY, c - 1, r) + 2 * gAt0(cbfDcY, c, r - 1)
+        case 1 | 2 => gAt0(cbfY, gx - 1, gy) + 2 * gAt0(cbfY, gx, gy - 1)
+        case 3 => gAt0(cbfDcC(plane - 1), c - 1, r) + 2 * gAt0(cbfDcC(plane - 1), c, r - 1)
+        case _ => gAt0(cbfAcC(plane - 1), gx - 1, gy) + 2 * gAt0(cbfAcC(plane - 1), gx, gy - 1)
+      }
+    }
+    private def gAt0(g: TcGrid, x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= g.gw || y >= g.gh) 0 else g.at(x, y)
+    private def setCbf(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, v: Int): Unit = {
+      val r = mb / mbW; val c = mb % mbW
+      cat match {
+        case 0 => cbfDcY.set(c, r, v)
+        case 1 | 2 => cbfY.set(gx, gy, v)
+        case 3 => cbfDcC(plane - 1).set(c, r, v)
+        case _ => cbfAcC(plane - 1).set(gx, gy, v)
+      }
+    }
+    def residual(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, coef: Array[Int]): Unit = {
+      val n = coef.length
+      val cbf = if (coef.exists(_ != 0)) 1 else 0
+      eng.bin(st, CtxCbf + cat * 4 + cbfCtxInc(cat, plane, gx, gy, mb), cbf)
+      setCbf(cat, plane, gx, gy, mb, cbf)
+      if (cbf == 0) return
+      // significance map
+      var lastSig = n - 1
+      while (coef(lastSig) == 0) lastSig -= 1
+      var i = 0
+      while (i < n - 1 && i <= lastSig) {
+        val sig = if (coef(i) != 0) 1 else 0
+        eng.bin(st, CtxSig + cat * 15 + math.min(i, 14), sig)
+        if (sig == 1)
+          eng.bin(st, CtxLast + cat * 15 + math.min(i, 14), if (i == lastSig) 1 else 0)
+        i += 1
+      }
+      // levels, reverse scan order, UEG0 with the c1/c2 context scheme
+      var numEq1 = 0
+      var numGt1 = 0
+      var k = lastSig
+      while (k >= 0) {
+        val lv = coef(k)
+        if (lv != 0) {
+          val absm1 = math.abs(lv) - 1
+          val base = CtxLevel + cat * 10
+          val prefix = math.min(absm1, 14)
+          var b = 0
+          while (b < prefix) {
+            val ctx = if (b == 0) base + (if (numGt1 > 0) 0 else math.min(4, 1 + numEq1))
+              else base + 5 + math.min(4, numGt1)
+            eng.bin(st, ctx, 1)
+            b += 1
+          }
+          if (prefix < 14) {
+            val ctx = if (prefix == 0) base + (if (numGt1 > 0) 0 else math.min(4, 1 + numEq1))
+              else base + 5 + math.min(4, numGt1)
+            eng.bin(st, ctx, 0)
+          } else if (absm1 >= 14) {
+            var suf = absm1 - 14
+            var kk = 0
+            while (suf >= (1 << kk)) { eng.bypass(1); suf -= 1 << kk; kk += 1 }
+            eng.bypass(0)
+            var bb = kk - 1
+            while (bb >= 0) { eng.bypass((suf >> bb) & 1); bb -= 1 }
+          }
+          eng.bypass(if (lv < 0) 1 else 0)
+          if (math.abs(lv) == 1) numEq1 += 1 else numGt1 += 1
+        }
+        k -= 1
+      }
+    }
+    def endMb(last: Boolean): Unit = eng.terminate(if (last) 1 else 0)
+    def finish(): Unit = bw.alignZero()
+  }
+
+  private final class CabacSource(br: BitReader, mbW: Int, mbH: Int) extends IntraSource {
+    br.alignOnesCheck() // cabac_alignment_one_bit
+    private val st = new Array[Int](2 * NumCtx)
+    private val eng = new H264Cabac.Dec(() => br.bitOrZero())
+    private val mbT = Array.fill(mbW * mbH)(-1)
+    private val cmodeG = new Array[Int](mbW * mbH)
+    private val cbpLG = new Array[Int](mbW * mbH)
+    private val cbpCG = new Array[Int](mbW * mbH)
+    private val cbfY = new TcGrid(mbW * 4, mbH * 4)
+    private val cbfDcY = new TcGrid(mbW, mbH)
+    private val cbfDcC = Array(new TcGrid(mbW, mbH), new TcGrid(mbW, mbH))
+    private val cbfAcC = Array(new TcGrid(mbW * 2, mbH * 2), new TcGrid(mbW * 2, mbH * 2))
+    private var prevQpDelta = 0
+    private def gAt0(g: TcGrid, x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= g.gw || y >= g.gh) 0 else g.at(x, y)
+
+    def mbTypeI(mb: Int): Int = {
+      val r = mb / mbW; val c = mb % mbW
+      def cond(m: Int, ok: Boolean): Int = if (ok && mbT(m) != 0 && mbT(m) != -1) 1 else 0
+      val inc = cond(mb - 1, c > 0) + cond(mb - mbW, r > 0)
+      val t =
+        if (eng.bin(st, CtxMbType + inc) == 0) 0
+        else if (eng.terminate() == 1) 25
+        else {
+          val cbpL = eng.bin(st, CtxMbI16)
+          val cbpC =
+            if (eng.bin(st, CtxMbI16 + 1) == 0) 0
+            else if (eng.bin(st, CtxMbI16 + 2) == 0) 1
+            else 2
+          val mode = (eng.bin(st, CtxMbI16 + 3) << 1) | eng.bin(st, CtxMbI16 + 4)
+          1 + mode + 4 * cbpC + 12 * cbpL
+        }
+      mbT(mb) = t
+      t
+    }
+    def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
+      br.alignByte0() // discard to the byte boundary after the flush
+      val ys = Array.fill(256)(br.readByte())
+      val us = Array.fill(64)(br.readByte())
+      val vs = Array.fill(64)(br.readByte())
+      eng.reinit()
+      val r = mb / mbW; val c = mb % mbW
+      var b = 0
+      while (b < 16) { cbfY.set(c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, 1); b += 1 }
+      cbfDcY.set(c, r, 1)
+      for (p <- 0 to 1) {
+        cbfDcC(p).set(c, r, 1)
+        var k = 0
+        while (k < 4) { cbfAcC(p).set(c * 2 + (k & 1), r * 2 + (k >> 1), 1); k += 1 }
+      }
+      cbpLG(mb) = 15; cbpCG(mb) = 2
+      (ys, us, vs)
+    }
+    def i4Mode(mpm: Int): Int =
+      if (eng.bin(st, CtxI4Flag) == 1) mpm
+      else {
+        val rem = (eng.bin(st, CtxI4Rem) << 2) | (eng.bin(st, CtxI4Rem) << 1) |
+          eng.bin(st, CtxI4Rem)
+        if (rem < mpm) rem else rem + 1
+      }
+    def chromaMode(mb: Int): Int = {
+      val r = mb / mbW; val c = mb % mbW
+      def cond(n: Int, ok: Boolean): Int = if (ok && cmodeG(n) != 0) 1 else 0
+      val inc = cond(mb - 1, c > 0) + cond(mb - mbW, r > 0)
+      var m = 0
+      if (eng.bin(st, CtxCMode + inc) == 1) {
+        m = 1
+        if (eng.bin(st, CtxCMode + 3) == 1) {
+          m = 2
+          if (eng.bin(st, CtxCMode + 3) == 1) m = 3
+        }
+      }
+      cmodeG(mb) = m
+      m
+    }
+    def cbp(mb: Int): Int = {
+      val r = mb / mbW; val c = mb % mbW
+      var coded = 0
+      var s = 0
+      while (s < 4) {
+        val leftBit =
+          if ((s & 1) == 1) (coded >> (s - 1)) & 1
+          else if (c > 0) (cbpLG(mb - 1) >> (s + 1)) & 1
+          else 1
+        val aboveBit =
+          if (s >= 2) (coded >> (s - 2)) & 1
+          else if (r > 0) (cbpLG(mb - mbW) >> (s + 2)) & 1
+          else 1
+        val inc = (1 - leftBit) + 2 * (1 - aboveBit)
+        coded |= eng.bin(st, CtxCbpL + inc) << s
+        s += 1
+      }
+      def condC(n: Int, ok: Boolean, two: Boolean): Int =
+        if (ok && (if (two) cbpCG(n) == 2 else cbpCG(n) != 0)) 1 else 0
+      val inc0 = condC(mb - 1, c > 0, two = false) + 2 * condC(mb - mbW, r > 0, two = false)
+      var cbpC = 0
+      if (eng.bin(st, CtxCbpC0 + inc0) == 1) {
+        val inc1 = condC(mb - 1, c > 0, two = true) + 2 * condC(mb - mbW, r > 0, two = true)
+        cbpC = if (eng.bin(st, CtxCbpC1 + inc1) == 1) 2 else 1
+      }
+      cbpLG(mb) = coded; cbpCG(mb) = cbpC
+      coded | (cbpC << 4)
+    }
+    def qpDelta(): Int = {
+      var m = 0
+      var ctx = CtxQpDelta + (if (prevQpDelta != 0) 1 else 0)
+      while (eng.bin(st, ctx) == 1) {
+        m += 1
+        require(m <= 104, "h264: runaway mb_qp_delta")
+        ctx = if (m == 1) CtxQpDelta + 2 else CtxQpDelta + 3
+      }
+      val d = if (m % 2 == 0) -(m / 2) else (m + 1) / 2
+      prevQpDelta = d
+      d
+    }
+    private def cbfCtxInc(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int): Int = {
+      val r = mb / mbW; val c = mb % mbW
+      cat match {
+        case 0 => gAt0(cbfDcY, c - 1, r) + 2 * gAt0(cbfDcY, c, r - 1)
+        case 1 | 2 => gAt0(cbfY, gx - 1, gy) + 2 * gAt0(cbfY, gx, gy - 1)
+        case 3 => gAt0(cbfDcC(plane - 1), c - 1, r) + 2 * gAt0(cbfDcC(plane - 1), c, r - 1)
+        case _ => gAt0(cbfAcC(plane - 1), gx - 1, gy) + 2 * gAt0(cbfAcC(plane - 1), gx, gy - 1)
+      }
+    }
+    private def setCbf(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, v: Int): Unit = {
+      val r = mb / mbW; val c = mb % mbW
+      cat match {
+        case 0 => cbfDcY.set(c, r, v)
+        case 1 | 2 => cbfY.set(gx, gy, v)
+        case 3 => cbfDcC(plane - 1).set(c, r, v)
+        case _ => cbfAcC(plane - 1).set(gx, gy, v)
+      }
+    }
+    def residual(cat: Int, plane: Int, gx: Int, gy: Int, mb: Int, n: Int): Array[Int] = {
+      val out = new Array[Int](n)
+      val cbf = eng.bin(st, CtxCbf + cat * 4 + cbfCtxInc(cat, plane, gx, gy, mb))
+      setCbf(cat, plane, gx, gy, mb, cbf)
+      if (cbf == 0) return out
+      val sig = new Array[Boolean](n)
+      var lastSig = -1
+      var i = 0
+      var done = false
+      while (i < n - 1 && !done) {
+        if (eng.bin(st, CtxSig + cat * 15 + math.min(i, 14)) == 1) {
+          sig(i) = true
+          lastSig = i
+          if (eng.bin(st, CtxLast + cat * 15 + math.min(i, 14)) == 1) done = true
+        }
+        i += 1
+      }
+      if (!done) { sig(n - 1) = true; lastSig = n - 1 }
+      var numEq1 = 0
+      var numGt1 = 0
+      var k = lastSig
+      while (k >= 0) {
+        if (sig(k)) {
+          val base = CtxLevel + cat * 10
+          var absm1 = 0
+          var go = true
+          while (go && absm1 < 14) {
+            val ctx = if (absm1 == 0) base + (if (numGt1 > 0) 0 else math.min(4, 1 + numEq1))
+              else base + 5 + math.min(4, numGt1)
+            if (eng.bin(st, ctx) == 1) absm1 += 1 else go = false
+          }
+          if (absm1 == 14) {
+            var kk = 0
+            while (eng.bypass() == 1) {
+              absm1 += 1 << kk
+              kk += 1
+              require(kk < 20, "h264: runaway level escape")
+            }
+            var bb = kk - 1
+            var suf = 0
+            while (bb >= 0) { suf = (suf << 1) | eng.bypass(); bb -= 1 }
+            absm1 += suf
+          }
+          val neg = eng.bypass() == 1
+          out(k) = if (neg) -(absm1 + 1) else absm1 + 1
+          if (absm1 == 0) numEq1 += 1 else numGt1 += 1
+        }
+        k -= 1
+      }
+      out
+    }
+    def endMb(last: Boolean): Unit = {
+      val t = eng.terminate()
+      require((t == 1) == last, "h264: end_of_slice_flag disagrees with the MB count")
+    }
+    def finish(): Unit = ()
+  }
+
   // ---- TotalCoeff bookkeeping ------------------------------------------------------
 
   /** Per-4x4-block TotalCoeff grid with the spec nC derivation: both
@@ -1360,6 +1891,7 @@ object H264Codec {
   private final class TcGrid(val gw: Int, val gh: Int) {
     private val g = new Array[Int](gw * gh)
     def set(bx: Int, by: Int, v: Int): Unit = g(by * gw + bx) = v
+    def at(bx: Int, by: Int): Int = g(by * gw + bx)
     def nc(bx: Int, by: Int): Int = {
       val hasL = bx > 0; val hasA = by > 0
       if (hasL && hasA) (g(by * gw + bx - 1) + g((by - 1) * gw + bx) + 1) >> 1
@@ -1770,10 +2302,12 @@ object H264Codec {
     require(qp >= 0 && qp <= 51, "h264: slice QP out of range")
     val disableDeblock = br.ue() // deblocking control present in our PPS
     if (disableDeblock != 1) { br.se(); br.se() }
+    require(!pps.entropyCabac || !isP,
+      "h264: CABAC P slices are the next rung (CABAC intra + CAVLC P here)")
     val mbW = w / 16; val mbH = h / 16
-    val tcY = new TcGrid(mbW * 4, mbH * 4)
-    val tcCb = new TcGrid(mbW * 2, mbH * 2)
-    val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    val src: IntraSource =
+      if (pps.entropyCabac) new CabacSource(br, mbW, mbH)
+      else new CavlcSource(br, mbW, mbH)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
     val mg = new MotionGrid(mbW, mbH)
     var skipLeft = -1
@@ -1800,7 +2334,7 @@ object H264Codec {
         mb += 1
       } else {
         if (isP) skipLeft = -1
-        val rawType = br.ue()
+        val rawType = if (isP) br.ue() else src.mbTypeI(mb)
         if (isP && rawType < 5) {
           require(rawType <= 2,
             "h264: P_8x8 sub-macroblock partitions are the next rung")
@@ -1866,10 +2400,8 @@ object H264Codec {
               var j = 0
               while (j < 4) {
                 val bb = s8 * 4 + j
-                val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
-                val coefs = readBlock(br, 16, tcY.nc(gx, gy))
-                lumaCoef(bb) = coefs
-                tcY.set(gx, gy, coefs.count(_ != 0))
+                lumaCoef(bb) =
+                  src.residual(2, 0, c * 4 + blkX(bb) / 4, r * 4 + blkY(bb) / 4, mb, 16)
                 j += 1
               }
             }
@@ -1878,8 +2410,8 @@ object H264Codec {
           var dcCb = new Array[Int](4)
           var dcCr = new Array[Int](4)
           if (cbpC >= 1) {
-            dcCb = readBlock(br, 4, -1)
-            dcCr = readBlock(br, 4, -1)
+            dcCb = src.residual(3, 1, 0, 0, mb, 4)
+            dcCr = src.residual(3, 2, 0, 0, mb, 4)
           }
           var acCb: Array[Array[Int]] = null
           var acCr: Array[Array[Int]] = null
@@ -1887,19 +2419,13 @@ object H264Codec {
             acCb = new Array[Array[Int]](4)
             var bk = 0
             while (bk < 4) {
-              val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
-              val blkCoef = readBlock(br, 15, tcCb.nc(bx, by))
-              acCb(bk) = blkCoef
-              tcCb.set(bx, by, blkCoef.count(_ != 0))
+              acCb(bk) = src.residual(4, 1, c * 2 + (bk & 1), r * 2 + (bk >> 1), mb, 15)
               bk += 1
             }
             acCr = new Array[Array[Int]](4)
             bk = 0
             while (bk < 4) {
-              val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
-              val blkCoef = readBlock(br, 15, tcCr.nc(bx, by))
-              acCr(bk) = blkCoef
-              tcCr.set(bx, by, blkCoef.count(_ != 0))
+              acCr(bk) = src.residual(4, 2, c * 2 + (bk & 1), r * 2 + (bk >> 1), mb, 15)
               bk += 1
             }
           }
@@ -1939,24 +2465,24 @@ object H264Codec {
           mb += 1
         } else {
           val mbType = if (isP) rawType - 5 else rawType
-          qp = decodeIntraMb(mbType, br, pps, y, u, v, w, h, mb, qp,
-            tcY, tcCb, tcCr, modeG)
+          qp = decodeIntraMb(mbType, src, pps, y, u, v, w, h, mb, qp, modeG)
+          if (!isP) src.endMb(mb == mbW * mbH - 1)
           mb += 1
         }
       }
     }
-    br.trailing()
+    src.finish()
     H264Frame(w, h, y, u, v)
   }
 
   /** Decode one intra macroblock (I_PCM / I_4x4 / Intra_16x16) into the
-    * current frame's planes — shared by I slices and the intra MBs of P
-    * slices; returns the updated slice QP.
+    * current frame's planes through an entropy source (CAVLC or CABAC) —
+    * shared by I slices and the intra MBs of P slices; returns the
+    * updated slice QP.
     */
-  private def decodeIntraMb(mbType: Int, br: BitReader, pps: Pps,
+  private def decodeIntraMb(mbType: Int, src: IntraSource, pps: Pps,
                             y: Array[Byte], u: Array[Byte], v: Array[Byte],
                             w: Int, h: Int, mb: Int, qp0: Int,
-                            tcY: TcGrid, tcCb: TcGrid, tcCr: TcGrid,
                             modeG: ModeGrid): Int = {
     val mbW = w / 16
     val r = mb / mbW; val c = mb % mbW
@@ -1965,200 +2491,160 @@ object H264Codec {
     val cw = w / 2
     var qp = qp0
     if (mbType == 25) {
-        br.alignByte()
-        var i = 0
-        while (i < 256) {
-          y((my + i / 16) * w + mx + i % 16) = br.readByte().toByte
-          i += 1
+      val (ys, us, vs) = src.pcm(mb)
+      var i = 0
+      while (i < 256) { y((my + i / 16) * w + mx + i % 16) = ys(i).toByte; i += 1 }
+      i = 0
+      while (i < 64) {
+        u((cy + i / 8) * cw + cx + i % 8) = us(i).toByte
+        v((cy + i / 8) * cw + cx + i % 8) = vs(i).toByte
+        i += 1
+      }
+    } else if (mbType == 0) {
+      // I_4x4: per-block modes via prev_intra4x4_pred_mode, CBP, then
+      // sequential block reconstruction (later blocks predict from
+      // earlier reconstructed ones)
+      val modes = new Array[Int](16)
+      var b = 0
+      while (b < 16) {
+        val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
+        modes(b) = src.i4Mode(modeG.mpm(gx, gy))
+        modeG.set(gx, gy, modes(b))
+        b += 1
+      }
+      val cmode = src.chromaMode(mb)
+      val cbp = src.cbp(mb)
+      val cbpLuma = cbp & 15
+      val cbpC = cbp >> 4
+      require(cbpC <= 2, "h264: chroma coded_block_pattern out of range")
+      if (cbp != 0) {
+        qp += src.qpDelta()
+        require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
+      }
+      val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
+      val lumaCoef = new Array[Array[Int]](16)
+      var s8 = 0
+      while (s8 < 4) {
+        if (((cbpLuma >> s8) & 1) == 1) {
+          var j = 0
+          while (j < 4) {
+            val bb = s8 * 4 + j
+            val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
+            lumaCoef(bb) = src.residual(2, 0, gx, gy, mb, 16)
+            j += 1
+          }
         }
-        i = 0
-        while (i < 64) {
-          u((cy + i / 8) * cw + cx + i % 8) = br.readByte().toByte
-          i += 1
-        }
-        i = 0
-        while (i < 64) {
-          v((cy + i / 8) * cw + cx + i % 8) = br.readByte().toByte
-          i += 1
-        }
+        s8 += 1
+      }
+      var dcCb = new Array[Int](4)
+      var dcCr = new Array[Int](4)
+      if (cbpC >= 1) {
+        dcCb = src.residual(3, 1, 0, 0, mb, 4)
+        dcCr = src.residual(3, 2, 0, 0, mb, 4)
+      }
+      var acCb: Array[Array[Int]] = null
+      var acCr: Array[Array[Int]] = null
+      if (cbpC == 2) {
+        acCb = new Array[Array[Int]](4)
         var bk = 0
-        while (bk < 16) { tcY.set(c * 4 + blkX(bk) / 4, r * 4 + blkY(bk) / 4, 16); bk += 1 }
-        bk = 0
         while (bk < 4) {
-          tcCb.set(c * 2 + (bk & 1), r * 2 + (bk >> 1), 16)
-          tcCr.set(c * 2 + (bk & 1), r * 2 + (bk >> 1), 16)
+          acCb(bk) = src.residual(4, 1, c * 2 + (bk & 1), r * 2 + (bk >> 1), mb, 15)
           bk += 1
         }
-      } else if (mbType == 0) {
-        // I_4x4: per-block modes via prev_intra4x4_pred_mode, CBP, then
-        // sequential block reconstruction (later blocks predict from
-        // earlier reconstructed ones)
-        val modes = new Array[Int](16)
-        var b = 0
-        while (b < 16) {
-          val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
-          val mpm = modeG.mpm(gx, gy)
-          modes(b) =
-            if (br.get(1) == 1) mpm
-            else {
-              val rem = br.get(3)
-              if (rem < mpm) rem else rem + 1
-            }
-          modeG.set(gx, gy, modes(b))
-          b += 1
+        acCr = new Array[Array[Int]](4)
+        bk = 0
+        while (bk < 4) {
+          acCr(bk) = src.residual(4, 2, c * 2 + (bk & 1), r * 2 + (bk >> 1), mb, 15)
+          bk += 1
         }
-        val cmode = br.ue()
-        require(cmode <= 3, "h264: intra_chroma_pred_mode out of range")
-        val cbp = br.ue()
-        require(cbp <= 47, "h264: coded_block_pattern out of range")
-        val cbpLuma = cbp & 15
-        val cbpC = cbp >> 4
-        require(cbpC <= 2, "h264: chroma coded_block_pattern out of range")
-        if (cbp != 0) {
-          qp += br.se()
-          require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
-        }
-        val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
-        val lumaCoef = new Array[Array[Int]](16)
-        var s8 = 0
-        while (s8 < 4) {
-          if (((cbpLuma >> s8) & 1) == 1) {
-            var j = 0
-            while (j < 4) {
-              val bb = s8 * 4 + j
-              val gx = c * 4 + blkX(bb) / 4; val gy = r * 4 + blkY(bb) / 4
-              val coefs = readBlock(br, 16, tcY.nc(gx, gy))
-              lumaCoef(bb) = coefs
-              tcY.set(gx, gy, coefs.count(_ != 0))
-              j += 1
-            }
-          }
-          s8 += 1
-        }
-        var dcCb = new Array[Int](4)
-        var dcCr = new Array[Int](4)
-        if (cbpC >= 1) {
-          dcCb = readBlock(br, 4, -1)
-          dcCr = readBlock(br, 4, -1)
-        }
-        var acCb: Array[Array[Int]] = null
-        var acCr: Array[Array[Int]] = null
-        if (cbpC == 2) {
-          acCb = new Array[Array[Int]](4)
-          var bk = 0
-          while (bk < 4) {
-            val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
-            val blkCoef = readBlock(br, 15, tcCb.nc(bx, by))
-            acCb(bk) = blkCoef
-            tcCb.set(bx, by, blkCoef.count(_ != 0))
-            bk += 1
-          }
-          acCr = new Array[Array[Int]](4)
-          bk = 0
-          while (bk < 4) {
-            val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
-            val blkCoef = readBlock(br, 15, tcCr.nc(bx, by))
-            acCr(bk) = blkCoef
-            tcCr.set(bx, by, blkCoef.count(_ != 0))
-            bk += 1
+      }
+      b = 0
+      while (b < 16) {
+        val bx = mx + blkX(b); val by = my + blkY(b)
+        val pr = predIntra4(modes(b), y, w, h, bx, by)
+        val dcoef = new Array[Int](16)
+        if (lumaCoef(b) != null) {
+          var k = 0
+          while (k < 16) {
+            if (lumaCoef(b)(k) != 0) { val p = zig4(k); dcoef(p) = deqAc(lumaCoef(b)(k), qp, p) }
+            k += 1
           }
         }
-        b = 0
-        while (b < 16) {
-          val bx = mx + blkX(b); val by = my + blkY(b)
-          val pr = predIntra4(modes(b), y, w, h, bx, by)
-          val dcoef = new Array[Int](16)
-          if (lumaCoef(b) != null) {
-            var k = 0
-            while (k < 16) {
-              if (lumaCoef(b)(k) != 0) { val p = zig4(k); dcoef(p) = deqAc(lumaCoef(b)(k), qp, p) }
-              k += 1
-            }
+        val rr = invCore4(dcoef)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            y((by + yy) * w + bx + xx) =
+              clip255(pr(yy * 4 + xx) + ((rr(yy * 4 + xx) + 32) >> 6)).toByte
+            xx += 1
           }
-          val rr = invCore4(dcoef)
-          var yy = 0
-          while (yy < 4) {
-            var xx = 0
-            while (xx < 4) {
-              y((by + yy) * w + bx + xx) =
-                clip255(pr(yy * 4 + xx) + ((rr(yy * 4 + xx) + 32) >> 6)).toByte
-              xx += 1
-            }
-            yy += 1
-          }
-          b += 1
+          yy += 1
         }
-        val rU = reconChroma(predChroma8(cmode, u, cw, cx, cy), dcCb, acCb, qpc)
-        val rV = reconChroma(predChroma8(cmode, v, cw, cx, cy), dcCr, acCr, qpc)
-        var i = 0
-        while (i < 64) {
-          u((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
-          v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
-          i += 1
+        b += 1
+      }
+      val rU = reconChroma(predChroma8(cmode, u, cw, cx, cy), dcCb, acCb, qpc)
+      val rV = reconChroma(predChroma8(cmode, v, cw, cx, cy), dcCr, acCr, qpc)
+      var i = 0
+      while (i < 64) {
+        u((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
+        v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
+        i += 1
+      }
+    } else {
+      require(mbType >= 1 && mbType <= 24, s"h264: mb_type $mbType invalid in an I slice")
+      val m = mbType - 1
+      val mode = m % 4
+      val cbpC = (m / 4) % 3
+      val cbpL15 = m >= 12
+      val cmode = src.chromaMode(mb)
+      qp += src.qpDelta()
+      require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
+      val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
+      val dcScan = src.residual(0, 0, 0, 0, mb, 16)
+      var acBlocks: Array[Array[Int]] = null
+      if (cbpL15) {
+        acBlocks = new Array[Array[Int]](16)
+        var bk = 0
+        while (bk < 16) {
+          val bx = c * 4 + blkX(bk) / 4; val by = r * 4 + blkY(bk) / 4
+          acBlocks(bk) = src.residual(1, 0, bx, by, mb, 15)
+          bk += 1
         }
-      } else {
-        require(mbType >= 1 && mbType <= 24, s"h264: mb_type $mbType invalid in an I slice")
-        val m = mbType - 1
-        val mode = m % 4
-        val cbpC = (m / 4) % 3
-        val cbpL15 = m >= 12
-        val cmode = br.ue()
-        require(cmode <= 3, "h264: intra_chroma_pred_mode out of range")
-        qp += br.se() // mb_qp_delta
-        require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
-        val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
-        val dcScan = readBlock(br, 16, tcY.nc(c * 4, r * 4))
-        var acBlocks: Array[Array[Int]] = null
-        if (cbpL15) {
-          acBlocks = new Array[Array[Int]](16)
-          var bk = 0
-          while (bk < 16) {
-            val bx = c * 4 + blkX(bk) / 4; val by = r * 4 + blkY(bk) / 4
-            val blkCoef = readBlock(br, 15, tcY.nc(bx, by))
-            acBlocks(bk) = blkCoef
-            tcY.set(bx, by, blkCoef.count(_ != 0))
-            bk += 1
-          }
+      }
+      var dcCb = new Array[Int](4)
+      var dcCr = new Array[Int](4)
+      if (cbpC >= 1) {
+        dcCb = src.residual(3, 1, 0, 0, mb, 4)
+        dcCr = src.residual(3, 2, 0, 0, mb, 4)
+      }
+      var acCb: Array[Array[Int]] = null
+      var acCr: Array[Array[Int]] = null
+      if (cbpC == 2) {
+        acCb = new Array[Array[Int]](4)
+        var bk = 0
+        while (bk < 4) {
+          acCb(bk) = src.residual(4, 1, c * 2 + (bk & 1), r * 2 + (bk >> 1), mb, 15)
+          bk += 1
         }
-        var dcCb = new Array[Int](4)
-        var dcCr = new Array[Int](4)
-        if (cbpC >= 1) {
-          dcCb = readBlock(br, 4, -1)
-          dcCr = readBlock(br, 4, -1)
+        acCr = new Array[Array[Int]](4)
+        bk = 0
+        while (bk < 4) {
+          acCr(bk) = src.residual(4, 2, c * 2 + (bk & 1), r * 2 + (bk >> 1), mb, 15)
+          bk += 1
         }
-        var acCb: Array[Array[Int]] = null
-        var acCr: Array[Array[Int]] = null
-        if (cbpC == 2) {
-          acCb = new Array[Array[Int]](4)
-          var bk = 0
-          while (bk < 4) {
-            val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
-            val blkCoef = readBlock(br, 15, tcCb.nc(bx, by))
-            acCb(bk) = blkCoef
-            tcCb.set(bx, by, blkCoef.count(_ != 0))
-            bk += 1
-          }
-          acCr = new Array[Array[Int]](4)
-          bk = 0
-          while (bk < 4) {
-            val bx = c * 2 + (bk & 1); val by = r * 2 + (bk >> 1)
-            val blkCoef = readBlock(br, 15, tcCr.nc(bx, by))
-            acCr(bk) = blkCoef
-            tcCr.set(bx, by, blkCoef.count(_ != 0))
-            bk += 1
-          }
-        }
-        val rY = reconI16(predIntra16(mode, y, w, mx, my), dcScan, acBlocks, qp)
-        val rU = reconChroma(predChroma8(cmode, u, cw, cx, cy), dcCb, acCb, qpc)
-        val rV = reconChroma(predChroma8(cmode, v, cw, cx, cy), dcCr, acCr, qpc)
-        var i = 0
-        while (i < 256) { y((my + i / 16) * w + mx + i % 16) = rY(i).toByte; i += 1 }
-        i = 0
-        while (i < 64) {
-          u((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
-          v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
-          i += 1
-        }
+      }
+      val rY = reconI16(predIntra16(mode, y, w, mx, my), dcScan, acBlocks, qp)
+      val rU = reconChroma(predChroma8(cmode, u, cw, cx, cy), dcCb, acCb, qpc)
+      val rV = reconChroma(predChroma8(cmode, v, cw, cx, cy), dcCr, acCr, qpc)
+      var i = 0
+      while (i < 256) { y((my + i / 16) * w + mx + i % 16) = rY(i).toByte; i += 1 }
+      i = 0
+      while (i < 64) {
+        u((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
+        v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
+        i += 1
+      }
     }
     qp
   }

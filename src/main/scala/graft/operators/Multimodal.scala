@@ -368,6 +368,29 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** The [[h264IntraPlan]] fixture re-encoded through the CABAC entropy
+    * backend (entropy_coding_mode_flag = 1): identical closed-form pixel
+    * targets, a completely different entropy layer — arithmetic engine,
+    * context modeling, significance maps, UEG0 levels, end_of_slice
+    * terminates, and the I_PCM engine flush/re-init all must be exact
+    * for the same checksum to come back.
+    */
+  def withH264CabacMedia(docs: DataFrame, id: String = "doc_id",
+                         nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (1 + nc % 3)).toInt
+          val h = (16 * (1 + nc % 2)).toInt
+          (d, H264Codec.encodeIntra(h264IntraPlan(d, w, h), cabac = true))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** The two-frame H.264 inter fixture plan (shared with the spec
     * suite): frame 1 is a steered all-DC IDR; frame 2 is a P slice whose
     * MB classes stripe by (column + row + doc) so every P_Skip MB's

@@ -95,16 +95,13 @@ class H264CodecSpec extends AnyFunSuite {
       H264Codec.decode(java.util.Arrays.copyOf(good, good.length - 9)))
     // garbage before the first start code
     intercept[IllegalArgumentException](H264Codec.decode(0x55.toByte +: good))
-    // a non-I_PCM mb_type: rewrite the slice with mb_type 0 (I_4x4) —
-    // flip the first slice-data bits by corrupting the byte after the
-    // slice header start; easier: craft a stream whose first mb_type is
-    // wrong by truncating PCM and relying on the type check is brittle,
-    // so instead assert the CAVLC/CABAC guards on the parameter sets:
-    // a PPS with entropy_coding_mode=1 is rejected
+    // a PPS with entropy_coding_mode=1 now parses (CABAC is a real
+    // backend); the flag must round-trip
     val nals = H264Codec.splitNals(good)
     val pps = nals(1)._3.clone()
     // pps RBSP starts: ue(0)=1, ue(0)=1, then entropy flag at bit 2
     pps(0) = (pps(0) | 0x20).toByte
-    intercept[IllegalArgumentException](H264Codec.parsePps(pps))
+    assert(H264Codec.parsePps(pps).entropyCabac)
+    assert(!H264Codec.parsePps(nals(1)._3).entropyCabac)
   }
 }

@@ -114,6 +114,62 @@ class H264IntraSpec extends AnyFunSuite {
     }
   }
 
+  test("CABAC chain: the same steered frames decode identically through the CABAC backend") {
+    for (d <- 0L until 12L; (w, h) <- Seq((16, 16), (32, 16), (48, 32), (32, 32))) {
+      val stream = H264Codec.encodeIntra(Multimodal.h264IntraPlan(d, w, h), cabac = true)
+      val f = H264Codec.decode(stream)
+      assert(f.width == w && f.height == h)
+      val (el, eu, ev) = expected(d, w, h)
+      for (i <- 0 until w * h)
+        assert((f.y(i) & 0xff) == el(i), s"cabac d=$d ${w}x$h luma px $i (${i % w},${i / w})")
+      for (i <- 0 until (w / 2) * (h / 2)) {
+        assert((f.u(i) & 0xff) == eu(i), s"cabac d=$d ${w}x$h cb px $i")
+        assert((f.v(i) & 0xff) == ev(i), s"cabac d=$d ${w}x$h cr px $i")
+      }
+      // the entropy layers genuinely differ
+      val cavlc = H264Codec.encodeIntra(Multimodal.h264IntraPlan(d, w, h))
+      assert(!stream.sameElements(cavlc))
+    }
+  }
+
+  test("CABAC engine: context and bypass bins round-trip under random sequences") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 50) {
+      val n = 200 + rnd.nextInt(800)
+      val kinds = Array.fill(n)(rnd.nextInt(3)) // 0 ctx bin, 1 bypass, 2 nothing-extra
+      val ctxs = Array.fill(n)(rnd.nextInt(16))
+      val bits = Array.fill(n)(rnd.nextInt(2))
+      val bw = new java.io.ByteArrayOutputStream()
+      var acc = 0; var nacc = 0
+      def putBit(b: Int): Unit = {
+        acc = (acc << 1) | b; nacc += 1
+        if (nacc == 8) { bw.write(acc); acc = 0; nacc = 0 }
+      }
+      val stE = new Array[Int](2 * 16)
+      val enc = new H264Cabac.Enc(putBit)
+      for (i <- 0 until n) kinds(i) match {
+        case 0 => enc.bin(stE, ctxs(i), bits(i))
+        case 1 => enc.bypass(bits(i))
+        case _ => ()
+      }
+      enc.terminate(1)
+      while (nacc != 0) putBit(0)
+      val buf = bw.toByteArray
+      var pos = 0
+      def nextBit(): Int =
+        if (pos >= buf.length * 8) 0
+        else { val b = (buf(pos / 8) >> (7 - pos % 8)) & 1; pos += 1; b }
+      val stD = new Array[Int](2 * 16)
+      val dec = new H264Cabac.Dec(() => nextBit())
+      for (i <- 0 until n) kinds(i) match {
+        case 0 => assert(dec.bin(stD, ctxs(i)) == bits(i), s"trial $trial ctx bin $i")
+        case 1 => assert(dec.bypass() == bits(i), s"trial $trial bypass $i")
+        case _ => ()
+      }
+      assert(dec.terminate() == 1, s"trial $trial terminate")
+    }
+  }
+
   test("CAVLC round trip: every nC context, escapes, T1 saturation, full blocks") {
     val rnd = new scala.util.Random(42)
     val contexts = Seq(-1, 0, 1, 2, 3, 4, 7, 8, 12, 16)
