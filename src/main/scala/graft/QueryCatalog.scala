@@ -4656,6 +4656,91 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 CABAC P SLICES, graded exactly — the q_h264_inter
+    // fixture re-encoded with entropy_coding_mode_flag = 1: per-MB
+    // mb_skip_flag with neighbor-skip contexts replaces mb_skip_run, the
+    // P mb_type bin tree (and the intra-in-P suffix through the I
+    // machinery), UEG3-binarized mvd with the neighbor-absolute-mvd
+    // context thresholds and bypass escape/sign, plus the shared
+    // residual categories and per-MB end_of_slice terminates. The
+    // entropy layer must be value-neutral: the oracle is identical to
+    // q_h264_inter, and any engine or context drift desyncs the
+    // arithmetic decoder.
+    ("q_h264_pcabac",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264PCabacMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 16*(2 + n_chars % 2) AS w, 32 AS h
+             |  FROM documents),
+             |dd AS (
+             |  SELECT d, w, h, w//16 AS mbw, h//16 AS mbh,
+             |    w*h*3//2 AS fb FROM dims),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val * (t.i % m.fb % 97 + 1) * (t.i // m.fb + 1)) AS chk
+             |  FROM dd m
+             |  JOIN range(0, 4608) t(i) ON t.i < 2 * m.fb
+             |  CROSS JOIN LATERAL (SELECT t.i // m.fb AS fi, t.i % m.fb AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < m.w*m.h THEN 0
+             |         WHEN qf.j < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j % m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) % (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN qf.j // m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) // (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN q1.yy // 16 ELSE q1.yy // 8 END AS r,
+             |    CASE q0.pl WHEN 0 THEN q1.x // 16 ELSE q1.x // 8 END AS c) q2
+             |  CROSS JOIN LATERAL (SELECT q2.r * m.mbw + q2.c AS mb,
+             |    (q2.c + m.d + q2.r) % 4 AS cls) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q2.r = m.mbh - 1 THEN
+             |           CASE WHEN q2.c > 0 THEN -8 ELSE 0 END
+             |         ELSE CASE (m.d + q3.mb) % 3
+             |           WHEN 1 THEN CASE WHEN q2.c > 0 THEN -16 ELSE 0 END
+             |           WHEN 2 THEN CASE WHEN q2.c < m.mbw - 1 THEN 16 ELSE 0 END
+             |           ELSE 0 END END AS sx,
+             |    CASE WHEN q2.r > 0 THEN -16 ELSE 16 END AS sy,
+             |    (CASE WHEN (m.d + 3*q3.mb) % 2 = 0 THEN 1 ELSE -1 END)
+             |      * (1 + (m.d + q3.mb) % 6) AS dl) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN
+             |      CASE WHEN qf.fi = 0 OR q3.cls = 1
+             |             THEN (37*m.d + 19*q3.mb) % 208 + 24
+             |           WHEN q3.cls = 0
+             |             THEN (37*m.d + 19*q3.mb) % 208 + 24 + 4*q4.dl
+             |           WHEN q3.cls = 2
+             |             THEN (37*m.d + 19*(((q1.yy + q4.sy)//16)*m.mbw
+             |                              + (q1.x + q4.sx)//16)) % 208 + 24
+             |           ELSE (41*m.d + 17*q3.mb) % 208 + 24 END
+             |    WHEN q0.pl = 1 THEN
+             |      CASE WHEN qf.fi = 0 OR q3.cls = 1
+             |             THEN (91*m.d + 29*(q2.r + q2.c)) % 240 + 8
+             |           WHEN q3.cls = 2
+             |             THEN (91*m.d + 29*((((q1.yy + q4.sy//2)//8))
+             |                              + ((q1.x + q4.sx//2)//8))) % 240 + 8
+             |           ELSE (91*m.d + 23*q3.mb) % 240 + 8 END
+             |    ELSE
+             |      CASE WHEN qf.fi = 0 OR q3.cls = 1
+             |             THEN (53*m.d + 31*(q2.r + q2.c)) % 240 + 8
+             |           WHEN q3.cls = 2
+             |             THEN (53*m.d + 31*((((q1.yy + q4.sy//2)//8))
+             |                              + ((q1.x + q4.sx//2)//8))) % 240 + 8
+             |           ELSE (53*m.d + 27*q3.mb) % 240 + 8 END
+             |    END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(chk AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 QUARTER-PEL MOTION + UNRESTRICTED MVs, graded exactly —
     // the spec 8.4.2.2 interpolation: the (1,-5,20,20,-5,1) six-tap
     // half-pel filter incl. the center position j built from UNROUNDED

@@ -859,8 +859,8 @@ object H264Codec {
   /** Encode the two-frame IDR + P sequence: SPS, PPS, IDR slice (frame
     * 1), non-IDR P slice (frame 2, frame_num 1) referencing frame 1.
     */
-  def encodeInter(p: InterPlan): Array[Byte] = {
-    val (idrSlice, rY, rU, rV) = intraSlice(p.intra)
+  def encodeInter(p: InterPlan, cabac: Boolean = false): Array[Byte] = {
+    val (idrSlice, rY, rU, rV) = intraSlice(p.intra, cabac)
     val w = p.intra.w; val h = p.intra.h
     val ref = H264Frame(w, h, rY, rU, rV)
     val qp = 28
@@ -870,9 +870,6 @@ object H264Codec {
     val recY = new Array[Byte](w * h)
     val recU = new Array[Byte](cw * (h / 2))
     val recV = new Array[Byte](cw * (h / 2))
-    val tcY = new TcGrid(mbW * 4, mbH * 4)
-    val tcCb = new TcGrid(mbW * 2, mbH * 2)
-    val tcCr = new TcGrid(mbW * 2, mbH * 2)
     val mg = new MotionGrid(mbW, mbH)
     val bw = new BitWriter
     bw.ue(0) // first_mb_in_slice
@@ -886,7 +883,8 @@ object H264Codec {
     bw.se(qp - 26) // slice_qp_delta
     bw.ue(0) // disable_deblocking_filter_idc
     bw.se(0); bw.se(0)
-    var skipRun = 0
+    val snk: IntraSink =
+      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     var mb = 0
     while (mb < nMb) {
       val r = mb / mbW; val c = mb % mbW
@@ -906,13 +904,12 @@ object H264Codec {
           i += 1
         }
         mg.fill(c * 4, r * 4, 4, 4, 0, 0, 0)
-        skipRun += 1
+        snk.pSkip(flag = true, mb)
       } else {
-        bw.ue(skipRun)
-        skipRun = 0
+        snk.pSkip(flag = false, mb)
         if (m0.kind == 3) {
           // Intra_16x16 in a P slice: DC luma, V/H/DC chroma by edge
-          bw.ue(5 + 1 + 2 + 4 * 1) // mb_type = 5 + I16x16(DC, cbpC 1, cbpL 0)
+          snk.pMbType(5 + 1 + 2 + 4 * 1, mb) // mb_type = 5 + I16x16(DC, cbpC 1, cbpL 0)
           val pL = predIntra16(2, recY, w, mx, my)
           val cmode = if (r == 0 && c == 0) 0 else if (r == 0) 1 else 2
           val pCb = predChroma8(cmode, recU, cw, cx, cy)
@@ -923,15 +920,15 @@ object H264Codec {
               "h264 fixture: non-uniform chroma prediction in P-slice intra MB")
             i += 1
           }
-          bw.ue(cmode)
-          bw.se(0) // mb_qp_delta
+          snk.chromaMode(cmode, mb)
+          snk.qpDelta(0)
           val dcScan = new Array[Int](16)
           dcScan(0) = m0.tL - pL(0)
           val dcCb = new Array[Int](4); dcCb(0) = m0.tCb - pCb(0)
           val dcCr = new Array[Int](4); dcCr(0) = m0.tCr - pCr(0)
-          writeBlock(bw, dcScan, tcY.nc(c * 4, r * 4))
-          writeBlock(bw, dcCb, -1)
-          writeBlock(bw, dcCr, -1)
+          snk.residual(0, 0, 0, 0, mb, dcScan)
+          snk.residual(3, 1, 0, 0, mb, dcCb)
+          snk.residual(3, 2, 0, 0, mb, dcCr)
           val rYm = reconI16(pL, dcScan, null, qp)
           val rUm = reconChroma(pCb, dcCb, null, qpc)
           val rVm = reconChroma(pCr, dcCr, null, qpc)
@@ -954,7 +951,7 @@ object H264Codec {
           // P_L0_L0_16x8 / P_L0_L0_8x16: two partitions, two mvds
           // against the directional-preference predictors, no residual
           val is16x8 = m0.kind == 5
-          bw.ue(if (is16x8) 1 else 2)
+          snk.pMbType(if (is16x8) 1 else 2, mb)
           val parts =
             if (is16x8) Seq((0, 0, 4, 2, 1, m0.mv), (0, 2, 4, 2, 2, m0.mv2))
             else Seq((0, 0, 2, 4, 3, m0.mv), (2, 0, 2, 4, 4, m0.mv2))
@@ -964,11 +961,10 @@ object H264Codec {
               else if (is16x8) (_, y0) => y0 < 2
               else (x0, _) => x0 < 2
             val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
-            bw.se(mv._1 - mvp._1)
-            bw.se(mv._2 - mvp._2)
+            snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4 + lx, r * 4 + ly, wC, hC)
             mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mv._1, mv._2)
           }
-          bw.ue(0) // coded_block_pattern: no residual in this fixture path
+          snk.cbp(0, mb) // no residual in this fixture path
           parts.foreach { case (lx, ly, wC, hC, _, mv) =>
             val (pY, pU, pV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4,
               wC * 4, hC * 4, mv._1, mv._2)
@@ -990,9 +986,8 @@ object H264Codec {
           // P_L0_16x16
           val mv = m0.mv
           val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
-          bw.ue(0) // mb_type: P_L0_16x16
-          bw.se(mv._1 - mvp._1)
-          bw.se(mv._2 - mvp._2)
+          snk.pMbType(0, mb)
+          snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4, r * 4, 4, 4)
           val (pY, pU, pV) = mcFetch(ref, mx, my, mv._1, mv._2)
           val dL = if (m0.kind == 1) m0.dL else 0
           val gCb = if (m0.kind == 1) m0.tCb - pU(0) else 0
@@ -1008,23 +1003,22 @@ object H264Codec {
           val cbpLuma = if (dL != 0) 15 else 0
           val cbpC = if (gCb != 0 || gCr != 0) 1 else 0
           val cbp = cbpLuma | (cbpC << 4)
-          bw.ue(cbp) // pinned identity codeNum map
-          if (cbp != 0) bw.se(0) // mb_qp_delta
+          snk.cbp(cbp, mb)
+          if (cbp != 0) snk.qpDelta(0)
           val blkCoef = new Array[Int](16)
           blkCoef(0) = dL
           if (cbpLuma == 15) {
             var b = 0
             while (b < 16) {
-              val gx = c * 4 + blkX(b) / 4; val gy = r * 4 + blkY(b) / 4
-              tcY.set(gx, gy, writeBlock(bw, blkCoef, tcY.nc(gx, gy)))
+              snk.residual(2, 0, c * 4 + blkX(b) / 4, r * 4 + blkY(b) / 4, mb, blkCoef)
               b += 1
             }
           }
           val dcCb = new Array[Int](4); dcCb(0) = gCb
           val dcCr = new Array[Int](4); dcCr(0) = gCr
           if (cbpC >= 1) {
-            writeBlock(bw, dcCb, -1)
-            writeBlock(bw, dcCr, -1)
+            snk.residual(3, 1, 0, 0, mb, dcCb)
+            snk.residual(3, 2, 0, 0, mb, dcCr)
           }
           // reconstruct: pred + 4*dL on luma, +gCb/gCr on chroma
           var i = 0
@@ -1046,12 +1040,12 @@ object H264Codec {
           mg.fill(c * 4, r * 4, 4, 4, 0, mv._1, mv._2)
         }
       }
+      snk.endMb(mb == nMb - 1)
       mb += 1
     }
-    if (skipRun > 0) bw.ue(skipRun)
-    bw.trailing()
+    snk.finish()
     val out = new java.io.ByteArrayOutputStream()
-    Seq(nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6)),
+    Seq(nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6, cabac)),
       nal(3, 5, idrSlice), nal(2, 1, bw.bytes())).foreach(n => out.write(n, 0, n.length))
     out.toByteArray
   }
@@ -1362,6 +1356,12 @@ object H264Codec {
   // ChromaDC (n=4), 4 = ChromaAC (n=15).
 
   private trait IntraSink {
+    // P-slice elements (CAVLC batches skips into mb_skip_run; CABAC
+    // codes a per-MB flag). pMbType takes the CAVLC-style raw value
+    // (0/1/2 inter partitions; 5 + intraType for intra-in-P).
+    def pSkip(flag: Boolean, mb: Int): Unit
+    def pMbType(raw: Int, mb: Int): Unit
+    def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
     def mbTypeI(t: Int, mb: Int): Unit
     def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit
     def i4ModeBits(useMpm: Boolean, rem: Int): Unit
@@ -1374,6 +1374,9 @@ object H264Codec {
   }
 
   private trait IntraSource {
+    def pSkipNext(mb: Int): Boolean
+    def pMbType(mb: Int): Int
+    def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int)
     def mbTypeI(mb: Int): Int
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int])
     def i4Mode(mpm: Int): Int
@@ -1389,6 +1392,16 @@ object H264Codec {
     private val tcY = new TcGrid(mbW * 4, mbH * 4)
     private val tcCb = new TcGrid(mbW * 2, mbH * 2)
     private val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    private var skipRun = 0
+    def pSkip(flag: Boolean, mb: Int): Unit = if (flag) skipRun += 1
+    def pMbType(raw: Int, mb: Int): Unit = {
+      bw.ue(skipRun)
+      skipRun = 0
+      bw.ue(raw)
+    }
+    def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
+      bw.se(dx); bw.se(dy)
+    }
     def mbTypeI(t: Int, mb: Int): Unit = bw.ue(t)
     def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit = {
       bw.alignZero()
@@ -1424,13 +1437,24 @@ object H264Codec {
           g.set(gx, gy, writeBlock(bw, coef, g.nc(gx, gy)))
       }
     def endMb(last: Boolean): Unit = ()
-    def finish(): Unit = bw.trailing()
+    def finish(): Unit = {
+      if (skipRun > 0) bw.ue(skipRun)
+      bw.trailing()
+    }
   }
 
   private final class CavlcSource(br: BitReader, mbW: Int, mbH: Int) extends IntraSource {
     private val tcY = new TcGrid(mbW * 4, mbH * 4)
     private val tcCb = new TcGrid(mbW * 2, mbH * 2)
     private val tcCr = new TcGrid(mbW * 2, mbH * 2)
+    private var skipLeft = -1
+    def pSkipNext(mb: Int): Boolean = {
+      if (skipLeft < 0) skipLeft = br.ue()
+      if (skipLeft > 0) { skipLeft -= 1; true }
+      else { skipLeft = -1; false }
+    }
+    def pMbType(mb: Int): Int = br.ue()
+    def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int) = (br.se(), br.se())
     def mbTypeI(mb: Int): Int = br.ue()
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
       br.alignByte()
@@ -1500,7 +1524,11 @@ object H264Codec {
   private val CtxSig = 50 // + cat*15 + min(i,14)
   private val CtxLast = 125 // + cat*15 + min(i,14)
   private val CtxLevel = 200 // + cat*10 + inc (0..4 bin0, 5..9 rest)
-  private val NumCtx = 260
+  private val CtxSkip = 250 // + inc 0..2
+  private val CtxPMbType = 253 // b0 intra?, b1, b2
+  private val CtxMvdX = 256 // bin0 inc 0..2 at +0..2; bins>=1 at +3..6
+  private val CtxMvdY = 263
+  private val NumCtx = 280
 
   private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
     bw.alignOnes() // cabac_alignment_one_bit
@@ -1534,6 +1562,65 @@ object H264Codec {
         }
       }
       mbT(mb) = t
+    }
+    private val skipG = new Array[Int](mbW * mbH)
+    private val absMx = new TcGrid(mbW * 4, mbH * 4)
+    private val absMy = new TcGrid(mbW * 4, mbH * 4)
+    def pSkip(flag: Boolean, mb: Int): Unit = {
+      val r = mb / mbW; val c = mb % mbW
+      def cond(n: Int, ok: Boolean): Int = if (ok && skipG(n) == 0) 1 else 0
+      val inc = cond(mb - 1, c > 0) + cond(mb - mbW, r > 0)
+      eng.bin(st, CtxSkip + inc, if (flag) 1 else 0)
+      skipG(mb) = if (flag) 1 else 0
+    }
+    def pMbType(raw: Int, mb: Int): Unit = {
+      if (raw >= 5) {
+        eng.bin(st, CtxPMbType, 1)
+        mbTypeI(raw - 5, mb)
+      } else {
+        eng.bin(st, CtxPMbType, 0)
+        raw match {
+          case 0 => eng.bin(st, CtxPMbType + 1, 0); eng.bin(st, CtxPMbType + 2, 0)
+          case 1 => eng.bin(st, CtxPMbType + 1, 1); eng.bin(st, CtxPMbType + 2, 1)
+          case 2 => eng.bin(st, CtxPMbType + 1, 1); eng.bin(st, CtxPMbType + 2, 0)
+          case _ => throw new IllegalArgumentException(s"h264: P mb_type $raw unsupported")
+        }
+        mbT(mb) = -1
+      }
+    }
+    private def mvdComp(d: Int, cx: Int, cy: Int, base: Int, g: TcGrid): Unit = {
+      def gv(x: Int, y: Int): Int =
+        if (x < 0 || y < 0 || x >= g.gw || y >= g.gh) 0 else g.at(x, y)
+      val sum = gv(cx - 1, cy) + gv(cx, cy - 1)
+      val inc = if (sum < 3) 0 else if (sum <= 32) 1 else 2
+      val a = math.abs(d)
+      def ctxOf(b: Int): Int = if (b == 0) base + inc else base + 3 + math.min(b - 1, 3)
+      val prefix = math.min(a, 9)
+      var b = 0
+      while (b < prefix) { eng.bin(st, ctxOf(b), 1); b += 1 }
+      if (prefix < 9) eng.bin(st, ctxOf(prefix), 0)
+      else {
+        var suf = a - 9
+        var k = 3
+        while (suf >= (1 << k)) { eng.bypass(1); suf -= 1 << k; k += 1 }
+        eng.bypass(0)
+        var bb = k - 1
+        while (bb >= 0) { eng.bypass((suf >> bb) & 1); bb -= 1 }
+      }
+      if (a != 0) eng.bypass(if (d < 0) 1 else 0)
+    }
+    def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
+      mvdComp(dx, cx, cy, CtxMvdX, absMx)
+      mvdComp(dy, cx, cy, CtxMvdY, absMy)
+      var y0 = cy
+      while (y0 < cy + hC) {
+        var x0 = cx
+        while (x0 < cx + wC) {
+          absMx.set(x0, y0, math.abs(dx)); absMy.set(x0, y0, math.abs(dy))
+          x0 += 1
+        }
+        y0 += 1
+      }
     }
     def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit = {
       // the terminate(1) inside mbTypeI flushed the engine; align and
@@ -1725,6 +1812,67 @@ object H264Codec {
         }
       mbT(mb) = t
       t
+    }
+    private val skipG = new Array[Int](mbW * mbH)
+    private val absMx = new TcGrid(mbW * 4, mbH * 4)
+    private val absMy = new TcGrid(mbW * 4, mbH * 4)
+    def pSkipNext(mb: Int): Boolean = {
+      val r = mb / mbW; val c = mb % mbW
+      def cond(n: Int, ok: Boolean): Int = if (ok && skipG(n) == 0) 1 else 0
+      val inc = cond(mb - 1, c > 0) + cond(mb - mbW, r > 0)
+      val f = eng.bin(st, CtxSkip + inc)
+      skipG(mb) = f
+      f == 1
+    }
+    def pMbType(mb: Int): Int = {
+      if (eng.bin(st, CtxPMbType) == 1) 5 + mbTypeI(mb)
+      else {
+        val t =
+          if (eng.bin(st, CtxPMbType + 1) == 0) {
+            if (eng.bin(st, CtxPMbType + 2) == 0) 0 else 3 // 3 -> P_8x8, rejected upstream
+          } else if (eng.bin(st, CtxPMbType + 2) == 1) 1
+          else 2
+        mbT(mb) = -1
+        t
+      }
+    }
+    private def mvdComp(cx: Int, cy: Int, base: Int, g: TcGrid): Int = {
+      def gv(x: Int, y: Int): Int =
+        if (x < 0 || y < 0 || x >= g.gw || y >= g.gh) 0 else g.at(x, y)
+      val sum = gv(cx - 1, cy) + gv(cx, cy - 1)
+      val inc = if (sum < 3) 0 else if (sum <= 32) 1 else 2
+      def ctxOf(b: Int): Int = if (b == 0) base + inc else base + 3 + math.min(b - 1, 3)
+      var a = 0
+      while (a < 9 && eng.bin(st, ctxOf(a)) == 1) a += 1
+      if (a == 9) {
+        var k = 3
+        while (eng.bypass() == 1) {
+          a += 1 << k
+          k += 1
+          require(k < 24, "h264: runaway mvd escape")
+        }
+        var bb = k - 1
+        var suf = 0
+        while (bb >= 0) { suf = (suf << 1) | eng.bypass(); bb -= 1 }
+        a += suf
+      }
+      if (a == 0) 0
+      else if (eng.bypass() == 1) -a
+      else a
+    }
+    def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int) = {
+      val dx = mvdComp(cx, cy, CtxMvdX, absMx)
+      val dy = mvdComp(cx, cy, CtxMvdY, absMy)
+      var y0 = cy
+      while (y0 < cy + hC) {
+        var x0 = cx
+        while (x0 < cx + wC) {
+          absMx.set(x0, y0, math.abs(dx)); absMy.set(x0, y0, math.abs(dy))
+          x0 += 1
+        }
+        y0 += 1
+      }
+      (dx, dy)
     }
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
       br.alignByte0() // discard to the byte boundary after the flush
@@ -2302,22 +2450,18 @@ object H264Codec {
     require(qp >= 0 && qp <= 51, "h264: slice QP out of range")
     val disableDeblock = br.ue() // deblocking control present in our PPS
     if (disableDeblock != 1) { br.se(); br.se() }
-    require(!pps.entropyCabac || !isP,
-      "h264: CABAC P slices are the next rung (CABAC intra + CAVLC P here)")
     val mbW = w / 16; val mbH = h / 16
     val src: IntraSource =
       if (pps.entropyCabac) new CabacSource(br, mbW, mbH)
       else new CavlcSource(br, mbW, mbH)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
     val mg = new MotionGrid(mbW, mbH)
-    var skipLeft = -1
     var mb = 0
     while (mb < mbW * mbH) {
       val r = mb / mbW; val c = mb % mbW
       val mx = c * 16; val my = r * 16
       val cx = c * 8; val cy = r * 8
-      if (isP && skipLeft < 0) skipLeft = br.ue()
-      if (isP && skipLeft > 0) {
+      if (isP && src.pSkipNext(mb)) {
         // P_Skip: derived motion, no residual
         val smv = skipMvCell(mg, mb, c * 4, r * 4)
         val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
@@ -2330,19 +2474,19 @@ object H264Codec {
           i += 1
         }
         mg.fill(c * 4, r * 4, 4, 4, 0, smv._1, smv._2)
-        skipLeft -= 1
+        src.endMb(mb == mbW * mbH - 1)
         mb += 1
       } else {
-        if (isP) skipLeft = -1
-        val rawType = if (isP) br.ue() else src.mbTypeI(mb)
+        val rawType = if (isP) src.pMbType(mb) else src.mbTypeI(mb)
         if (isP && rawType < 5) {
           require(rawType <= 2,
             "h264: P_8x8 sub-macroblock partitions are the next rung")
           val (pY, pU, pV) =
             if (rawType == 0) {
               val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
-              val mvX = mvp._1 + br.se()
-              val mvY = mvp._2 + br.se()
+              val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
+              val mvX = mvp._1 + dx
+              val mvY = mvp._2 + dy
               mg.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
               mcFetch(ref, mx, my, mvX, mvY)
             } else {
@@ -2362,8 +2506,9 @@ object H264Codec {
                   else if (is16x8) (_, y0) => y0 < 2
                   else (x0, _) => x0 < 2
                 val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
-                val mvX = mvp._1 + br.se()
-                val mvY = mvp._2 + br.se()
+                val (dx, dy) = src.mvd(c * 4 + lx, r * 4 + ly, wC, hC)
+                val mvX = mvp._1 + dx
+                val mvY = mvp._2 + dy
                 mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mvX, mvY)
                 val (fY, fU, fV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4,
                   wC * 4, hC * 4, mvX, mvY)
@@ -2383,13 +2528,12 @@ object H264Codec {
               }
               (aY, aU, aV)
             }
-          val cbp = br.ue()
-          require(cbp <= 47, "h264: coded_block_pattern out of range")
+          val cbp = src.cbp(mb)
           val cbpLuma = cbp & 15
           val cbpC = cbp >> 4
           require(cbpC <= 2, "h264: chroma coded_block_pattern out of range")
           if (cbp != 0) {
-            qp += br.se()
+            qp += src.qpDelta()
             require(qp >= 0 && qp <= 51, "h264: macroblock QP out of range")
           }
           val qpc = chromaQp(math.max(0, math.min(51, qp + pps.chromaQpOff)))
@@ -2462,11 +2606,12 @@ object H264Codec {
             v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
             i += 1
           }
+          src.endMb(mb == mbW * mbH - 1)
           mb += 1
         } else {
           val mbType = if (isP) rawType - 5 else rawType
           qp = decodeIntraMb(mbType, src, pps, y, u, v, w, h, mb, qp, modeG)
-          if (!isP) src.endMb(mb == mbW * mbH - 1)
+          src.endMb(mb == mbW * mbH - 1)
           mb += 1
         }
       }

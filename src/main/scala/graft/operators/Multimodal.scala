@@ -464,6 +464,29 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** The [[h264InterPlan]] two-frame fixture re-encoded through CABAC
+    * (entropy_coding_mode_flag = 1): per-MB mb_skip_flag with
+    * neighbor-skip contexts replaces mb_skip_run, the P mb_type tree and
+    * intra-in-P suffix, UEG3 mvd with the neighbor-absolute-mvd context
+    * thresholds, and the shared residual/end_of_slice machinery — all
+    * value-neutral, so the q_h264_inter oracle grades it unchanged.
+    */
+  def withH264PCabacMedia(docs: DataFrame, id: String = "doc_id",
+                          nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (16 * (2 + nc % 2)).toInt
+          val h = 32
+          (d, H264Codec.encodeInter(h264InterPlan(d, w, h), cabac = true))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** The sub-pel H.264 inter plan: frame 1 is an IDR of UNIFORM 2x2-MB
     * tiles (V/H intra modes keep every prediction uniform regardless of
     * neighbor values); frame 2 points quarter-pel vectors INTO the tile

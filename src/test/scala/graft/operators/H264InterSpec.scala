@@ -187,6 +187,25 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("CABAC P slices: all three inter fixtures decode identically through CABAC") {
+    for (d <- 0L until 8L) {
+      val pairs = Seq(
+        ("inter", () => Multimodal.h264InterPlan(d, 32, 32)),
+        ("subpel", () => Multimodal.h264SubpelPlan(d, 32, 64)),
+        ("part", () => Multimodal.h264PartPlan(d, 32, 64)))
+      for ((name, mk) <- pairs) {
+        val cb = H264Codec.decodeSequence(H264Codec.encodeInter(mk(), cabac = true))
+        val cv = H264Codec.decodeSequence(H264Codec.encodeInter(mk()))
+        assert(cb.length == 2 && cv.length == 2)
+        for (i <- 0 until 2) {
+          assert(cb(i).y.sameElements(cv(i).y), s"$name d=$d f$i luma")
+          assert(cb(i).u.sameElements(cv(i).u), s"$name d=$d f$i cb")
+          assert(cb(i).v.sameElements(cv(i).v), s"$name d=$d f$i cr")
+        }
+      }
+    }
+  }
+
   test("malformed streams fail loudly; multi-frame decode() refused") {
     val good = H264Codec.encodeInter(Multimodal.h264InterPlan(2L, 32, 32))
     intercept[IllegalArgumentException](
