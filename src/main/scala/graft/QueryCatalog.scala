@@ -5898,6 +5898,76 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC window-sequence transitions, graded exactly — a
+    // four-frame ONLY_LONG -> LONG_START -> EIGHT_SHORT -> LONG_STOP
+    // walk (the shape every real AAC stream uses around transients):
+    // the transition windows carry the spec's piecewise structure with
+    // ZERO regions, so a wrong window sequence moves energy into
+    // samples the oracle expects silent. One line per frame; the oracle
+    // replays all four filterbank shapes plus the cross-frame
+    // overlap-add as one flat sum.
+    ("q_aac_trans",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacTransMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d FROM documents),
+             |chk AS (
+             |  SELECT b.d,
+             |    sum(CASE WHEN vv.t < 4096 AND vv.val IS NOT NULL
+             |      THEN vv.val * (vv.t % 97 + 1) ELSE 0 END) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 4) ff(f) ON true
+             |  JOIN range(0, 2048) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (37*b.d + 911*ff.f) % 1024 AS pos,
+             |    1 + (b.d + ff.f) % 11 AS cb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.cb = 11 THEN 16 + b.d % 40
+             |    ELSE 1 + (b.d + ff.f) % (CASE q1.cb
+             |      WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+             |      WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 7 WHEN 8 THEN 7
+             |      ELSE 12 END) END AS mag,
+             |    20 + (29*b.d + 7*ff.f) % 200
+             |      + (b.d + 3*ff.f) % 41 - 20 AS sf) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + ff.f) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.mag * (q2.mag + 2) * (1 + (5*q2.sf) % 13) AS xr) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN ff.f = 2 THEN
+             |      CASE WHEN pp.p < 256
+             |        THEN ff.f*1024 + 448 + 128*(q1.pos//128) + pp.p
+             |        ELSE 9999 END
+             |    ELSE ff.f*1024 + pp.p END AS t,
+             |    CASE WHEN ff.f = 2 THEN
+             |      CASE WHEN pp.p < 256 THEN
+             |        q3.xr * ((11*pp.p + 5*(q1.pos % 128) + 3) % 23 - 11)
+             |          * (1 + (7*pp.p) % 13)
+             |      ELSE NULL END
+             |    WHEN ff.f = 0 THEN
+             |      q3.xr * ((13*pp.p + 7*q1.pos + 5) % 29 - 14)
+             |        * (1 + (3*pp.p) % 17)
+             |    WHEN ff.f = 1 THEN
+             |      q3.xr * ((13*pp.p + 7*q1.pos + 5) % 29 - 14)
+             |        * (CASE WHEN pp.p < 1024 THEN 1 + (3*pp.p) % 17
+             |            WHEN pp.p < 1472 THEN 7
+             |            WHEN pp.p < 1600 THEN 1 + (7*(1727 - pp.p)) % 13
+             |            ELSE 0 END)
+             |    ELSE
+             |      q3.xr * ((13*pp.p + 7*q1.pos + 5) % 29 - 14)
+             |        * (CASE WHEN pp.p < 448 THEN 0
+             |            WHEN pp.p < 576 THEN 1 + (7*(pp.p - 448)) % 13
+             |            WHEN pp.p < 1024 THEN 7
+             |            ELSE 1 + (3*pp.p) % 17 END)
+             |    END AS val) vv
+             |  GROUP BY b.d)
+             |SELECT d AS doc_id, CAST(4 AS BIGINT) AS n_frames,
+             |  CAST(4096 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

@@ -91,6 +91,28 @@ object AacCodec {
   private[operators] def aacCosS(p: Int, k: Int): Long = ((11 * p + 5 * k + 3) % 23) - 11
   private[operators] def aacWinS(p: Int): Long = 1 + ((7 * p) % 13)
 
+  /** Long-class window by window_sequence: ONLY_LONG (0) uses the long
+    * window; LONG_START (1) keeps the long left half, a flat middle, a
+    * descending short half, then ZEROS; LONG_STOP (3) mirrors it. The
+    * shapes are pinned stand-ins with the spec's PIECEWISE STRUCTURE —
+    * the zero regions make the transition windows value-visible (a
+    * wrong window sequence moves energy into samples the oracle expects
+    * silent).
+    */
+  private[operators] def aacWinSeq(wseq: Int, p: Int): Long = wseq match {
+    case 0 => aacWin(p)
+    case 1 =>
+      if (p < 1024) aacWin(p)
+      else if (p < 1472) 7
+      else if (p < 1600) aacWinS(255 - (p - 1472))
+      else 0
+    case _ =>
+      if (p < 448) 0
+      else if (p < 576) aacWinS(p - 448)
+      else if (p < 1024) 7
+      else aacWin(p)
+  }
+
   /** The pinned spectral codebook family: canonical Huffman over tuple
     * symbols, the all-zero tuple heavily weighted (sparse spectra code
     * compactly, as in the spec's books).
@@ -188,7 +210,10 @@ object AacCodec {
     */
   final case class AacFrame(globalGain: Int, lines: Seq[(Int, Int, Int)], // (pos, value, cb)
                             sfDelta: Int, shortSeq: Boolean = false,
-                            grouping: Int = 0)
+                            grouping: Int = 0, windowSeq: Int = -1) {
+    /** Effective window_sequence: explicit if set, else derived. */
+    def wseq: Int = if (windowSeq >= 0) windowSeq else if (shortSeq) 2 else 0
+  }
 
   /** Window groups of an EIGHT_SHORT frame: seq of window lists. */
   private[operators] def windowGroups(grouping: Int): Seq[Seq[Int]] = {
@@ -273,10 +298,10 @@ object AacCodec {
           }
         }
       }
-      if (!fr.shortSeq) {
-        // ics_info (ONLY_LONG)
+      if (fr.wseq != 2) {
+        // ics_info (long-class: ONLY_LONG / LONG_START / LONG_STOP)
         bw.put(0, 1) // ics_reserved
-        bw.put(0, 2) // window_sequence: ONLY_LONG
+        bw.put(fr.wseq.toLong, 2) // window_sequence
         bw.put(0, 1) // window_shape
         bw.put(NumSfb.toLong, 6) // max_sfb
         bw.put(0, 1) // predictor_data_present
@@ -378,8 +403,6 @@ object AacCodec {
       val globalGain = br.get(8)
       require(br.get(1) == 0, "aac: ics_reserved set")
       val wseq = br.get(2)
-      require(wseq == 0 || wseq == 2,
-        "aac: start/stop window sequences are the next rung (long + eight-short here)")
       val isShort = wseq == 2
       br.get(1) // window shape
       val maxSfb = if (isShort) br.get(4) else br.get(6)
@@ -519,7 +542,7 @@ object AacCodec {
           if (spec(k) != 0) {
             var p = 0
             while (p < 2 * FrameLen) {
-              buf(p) += spec(k) * aacCos(p, k) * aacWin(p)
+              buf(p) += spec(k) * aacCos(p, k) * aacWinSeq(wseq, p)
               p += 1
             }
           }

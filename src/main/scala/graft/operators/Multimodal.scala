@@ -1458,6 +1458,42 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a mono ADTS stream of FOUR frames walking the full
+    * window-sequence family — ONLY_LONG, LONG_START, EIGHT_SHORT,
+    * LONG_STOP — the shape every real AAC stream uses around transients.
+    * The transition windows' ZERO regions make the sequence
+    * value-visible: energy in a sample the oracle expects silent (or
+    * missing from one it expects lit) breaks the checksum.
+    */
+  def withAacTransMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          def frameOf(f: Int): AacCodec.AacFrame = {
+            val pos = ((37 * d + 911 * f) % 1024).toInt
+            val cb = (1 + (d + f) % 11).toInt
+            val mag =
+              if (cb == 11) (16 + d % 40).toInt
+              else (1 + (d + f) % AacCodec.cbLav(cb)).toInt
+            val v = if ((d + f) % 2 == 1) -mag else mag
+            val ws = f // 0 long, 1 start, 2 short, 3 stop
+            AacCodec.AacFrame(
+              globalGain = (20 + (29 * d + 7 * f) % 200).toInt,
+              lines = Seq((pos, v, cb)),
+              sfDelta = ((d + 3 * f) % 41 - 20).toInt,
+              shortSeq = ws == 2,
+              grouping = if (ws == 2) ((d + 5 * f) % 128).toInt else 0,
+              windowSeq = ws)
+          }
+          (d, AacCodec.encode((0 until 4).map(frameOf)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class AacStats(doc_id: Long, n_frames: Long, n_samples: Long,
                       pcm_checksum: Long)
 

@@ -113,6 +113,47 @@ class AacCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("START/STOP transitions: the four-sequence walk matches the flat replay") {
+    for (d <- 0 until 10) {
+      def frameOf(f: Int): AacCodec.AacFrame = {
+        val pos = (37 * d + 911 * f) % 1024
+        val cb = 1 + (d + f) % 11
+        val mag = if (cb == 11) 16 + d % 40 else 1 + (d + f) % AacCodec.cbLav(cb)
+        val v = if ((d + f) % 2 == 1) -mag else mag
+        AacCodec.AacFrame(20 + (29 * d + 7 * f) % 200, Seq((pos, v, cb)),
+          (d + 3 * f) % 41 - 20, shortSeq = f == 2,
+          grouping = if (f == 2) (d + 5 * f) % 128 else 0, windowSeq = f)
+      }
+      val out = AacCodec.decode(AacCodec.encode((0 until 4).map(frameOf)))
+      assert(out.nFrames == 4 && out.pcm.length == 4096)
+      val exp = new Array[Long](4096)
+      for (f <- 0 until 4) {
+        val pos = (37 * d + 911 * f) % 1024
+        val cb = 1 + (d + f) % 11
+        val mag = if (cb == 11) 16 + d % 40 else 1 + (d + f) % AacCodec.cbLav(cb)
+        val sfv = 20 + (29 * d + 7 * f) % 200 + (d + 3 * f) % 41 - 20
+        val xr = (if ((d + f) % 2 == 1) -1L else 1L) *
+          AacCodec.aacPow43(mag) * AacCodec.aacGain(sfv)
+        if (f == 2) {
+          val win = pos / 128; val k = pos % 128
+          for (p <- 0 until 256) {
+            val t = f * 1024 + AacCodec.ShortOffset + 128 * win + p
+            if (t < 4096) exp(t) += xr * AacCodec.aacCosS(p, k) * AacCodec.aacWinS(p)
+          }
+        } else for (p <- 0 until 2048) {
+          val t = f * 1024 + p
+          if (t < 4096) exp(t) += xr * AacCodec.aacCos(p, pos) * AacCodec.aacWinSeq(f, p)
+        }
+      }
+      assert(out.pcm.sameElements(exp), s"d=$d")
+    }
+    // the transition windows' structural pins: zero regions and halves
+    for (p <- 1600 until 2048) assert(AacCodec.aacWinSeq(1, p) == 0)
+    for (p <- 0 until 448) assert(AacCodec.aacWinSeq(3, p) == 0)
+    for (p <- 0 until 1024) assert(AacCodec.aacWinSeq(1, p) == AacCodec.aacWinSeq(0, p))
+    for (p <- 1024 until 2048) assert(AacCodec.aacWinSeq(3, p) == AacCodec.aacWinSeq(0, p))
+  }
+
   test("window grouping: the 7 MSB-first merge bits form the spec groups") {
     assert(AacCodec.windowGroups(0) == Seq(Seq(0), Seq(1), Seq(2), Seq(3), Seq(4), Seq(5), Seq(6), Seq(7)))
     assert(AacCodec.windowGroups(127) == Seq(0 to 7))
