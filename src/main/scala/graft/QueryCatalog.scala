@@ -4656,6 +4656,101 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 P_8x8 SUB-MACROBLOCK PARTITIONS, graded exactly — four
+    // P_L0_8x8 sub-partitions per MB, each with its own mvd against the
+    // standard predictor over its quadrant cells (in-MB availability:
+    // later quadrants predict from earlier ones). Frame 2 stripes by
+    // (column + doc + 2*row): P_8x8 quadrants read up/right/left/down
+    // (clamped at edges), 16x16 motion and zero-motion residual MBs mix
+    // in, and every P_Skip zero trigger stays live. A quadrant mix-up
+    // or sub-partition drift moves the frame-weighted checksum.
+    ("q_h264_p8x8",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264P8Media(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 32*(1 + n_chars % 2) AS w, 64 AS h
+             |  FROM documents),
+             |dd AS (
+             |  SELECT d, w, h, w//16 AS mbw, h//16 AS mbh, w//32 AS tcols,
+             |    w*h*3//2 AS fb FROM dims),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val * (t.i % m.fb % 97 + 1) * (t.i // m.fb + 1)) AS chk
+             |  FROM dd m
+             |  JOIN range(0, 12288) t(i) ON t.i < 2 * m.fb
+             |  CROSS JOIN LATERAL (SELECT t.i // m.fb AS fi, t.i % m.fb AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < m.w*m.h THEN 0
+             |         WHEN qf.j < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j % m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) % (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN qf.j // m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) // (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN q1.yy // 16 ELSE q1.yy // 8 END AS r,
+             |    CASE q0.pl WHEN 0 THEN q1.x // 16 ELSE q1.x // 8 END AS c,
+             |    CASE q0.pl WHEN 0 THEN q1.x % 16 ELSE q1.x % 8 END AS xx,
+             |    CASE q0.pl WHEN 0 THEN q1.yy % 16 ELSE q1.yy % 8 END AS zz) q2
+             |  CROSS JOIN LATERAL (SELECT q2.r * m.mbw + q2.c AS mb,
+             |    (q2.c + m.d + 2*q2.r) % 4 AS cls,
+             |    CASE q0.pl WHEN 0 THEN 8 ELSE 4 END AS hp) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q3.cls = 2 THEN
+             |      CASE WHEN q2.zz < q3.hp AND q2.xx < q3.hp THEN 0
+             |           WHEN q2.zz < q3.hp THEN 2*q3.hp
+             |           WHEN q2.xx < q3.hp THEN -(2*q3.hp)
+             |           ELSE 0 END
+             |    ELSE 0 END AS sx,
+             |    CASE WHEN q3.cls = 2 THEN
+             |      CASE WHEN q2.zz < q3.hp AND q2.xx < q3.hp THEN -(2*q3.hp)
+             |           WHEN q2.zz < q3.hp THEN 0
+             |           WHEN q2.xx < q3.hp THEN 0
+             |           ELSE 2*q3.hp END
+             |    WHEN q3.cls = 3 THEN
+             |      CASE WHEN q2.r > 0 THEN -(2*q3.hp) ELSE 2*q3.hp END
+             |    ELSE 0 END AS sy,
+             |    (CASE WHEN (m.d + 3*q3.mb) % 2 = 0 THEN 1 ELSE -1 END)
+             |      * (1 + (m.d + q3.mb) % 6) AS dl) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    GREATEST(0, LEAST(CASE q0.pl WHEN 0 THEN m.w ELSE m.w//2 END - 1,
+             |      q1.x + q4.sx)) AS sxc,
+             |    GREATEST(0, LEAST(CASE q0.pl WHEN 0 THEN m.h ELSE m.h//2 END - 1,
+             |      q1.yy + q4.sy)) AS syc) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (q5.syc // 32) * m.tcols + q5.sxc // 32
+             |      ELSE (q5.syc // 16) * m.tcols + q5.sxc // 16 END AS stile) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN
+             |      CASE WHEN qf.fi = 0 OR q3.cls = 1
+             |             THEN (37*m.d + 23*((q2.r//2)*m.tcols + q2.c//2)) % 208 + 24
+             |           WHEN q3.cls = 0
+             |             THEN (37*m.d + 23*((q2.r//2)*m.tcols + q2.c//2)) % 208 + 24
+             |                  + 4*q4.dl
+             |           ELSE (37*m.d + 23*q6.stile) % 208 + 24 END
+             |    WHEN q0.pl = 1 THEN
+             |      CASE WHEN qf.fi = 0 OR q3.cls = 1
+             |             THEN (91*m.d + 13*((q2.r//2)*m.tcols + q2.c//2)) % 240 + 8
+             |           WHEN q3.cls = 0 THEN (91*m.d + 23*q3.mb) % 240 + 8
+             |           ELSE (91*m.d + 13*q6.stile) % 240 + 8 END
+             |    ELSE
+             |      CASE WHEN qf.fi = 0 OR q3.cls = 1
+             |             THEN (53*m.d + 17*((q2.r//2)*m.tcols + q2.c//2)) % 240 + 8
+             |           WHEN q3.cls = 0 THEN (53*m.d + 27*q3.mb) % 240 + 8
+             |           ELSE (53*m.d + 17*q6.stile) % 240 + 8 END
+             |    END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(chk AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 CABAC P SLICES, graded exactly — the q_h264_inter
     // fixture re-encoded with entropy_coding_mode_flag = 1: per-MB
     // mb_skip_flag with neighbor-skip contexts replaces mb_skip_run, the

@@ -677,11 +677,14 @@ object H264Codec {
     * point the vector at a uniform source region), 2 = P_L0_16x16 with
     * motion `mv` and no residual, 3 = Intra_16x16 (DC luma) steered to
     * tL/tCb/tCr, 5 = P_L0_L0_16x8 (mv = top partition, mv2 = bottom),
-    * 6 = P_L0_L0_8x16 (mv = left, mv2 = right) — both without residual.
+    * 6 = P_L0_L0_8x16 (mv = left, mv2 = right) — both without residual,
+    * 7 = P_8x8 with P_L0_8x8 sub-types (mvs8: quadrant 0..3 -> mv), no
+    * residual.
     */
   final case class PMb(kind: Int, mv: (Int, Int) = (0, 0), dL: Int = 0,
                        tL: Int = 0, tCb: Int = 0, tCr: Int = 0,
-                       mv2: (Int, Int) = (0, 0))
+                       mv2: (Int, Int) = (0, 0),
+                       mvs8: Int => (Int, Int) = null)
 
   /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`. */
   final case class InterPlan(intra: IntraPlan, pmb: Int => PMb)
@@ -947,6 +950,43 @@ object H264Codec {
             i += 1
           }
           // refIdx stays -1 (intra); nC grid: DC-only luma leaves 0
+        } else if (m0.kind == 7) {
+          // P_8x8: four P_L0_8x8 sub-partitions, each with its own mvd
+          // against the standard predictor over its quadrant cells
+          snk.pMbType(3, mb)
+          var k = 0
+          while (k < 4) { snk.subMbType8(0); k += 1 }
+          k = 0
+          while (k < 4) {
+            val lx = (k & 1) * 2; val ly = (k >> 1) * 2
+            val kk = k
+            val written: (Int, Int) => Boolean =
+              (x0, y0) => (y0 / 2) * 2 + x0 / 2 < kk
+            val mv = m0.mvs8(k)
+            val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, 2, 0, written)
+            snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4 + lx, r * 4 + ly, 2, 2)
+            mg.fill(c * 4 + lx, r * 4 + ly, 2, 2, 0, mv._1, mv._2)
+            k += 1
+          }
+          snk.cbp(0, mb)
+          k = 0
+          while (k < 4) {
+            val lx = (k & 1) * 2; val ly = (k >> 1) * 2
+            val mv = m0.mvs8(k)
+            val (pY, pU, pV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4, 8, 8, mv._1, mv._2)
+            var i = 0
+            while (i < 64) {
+              recY((my + ly * 4 + i / 8) * w + mx + lx * 4 + i % 8) = pY(i).toByte
+              i += 1
+            }
+            i = 0
+            while (i < 16) {
+              recU((cy + ly * 2 + i / 4) * cw + cx + lx * 2 + i % 4) = pU(i).toByte
+              recV((cy + ly * 2 + i / 4) * cw + cx + lx * 2 + i % 4) = pV(i).toByte
+              i += 1
+            }
+            k += 1
+          }
         } else if (m0.kind == 5 || m0.kind == 6) {
           // P_L0_L0_16x8 / P_L0_L0_8x16: two partitions, two mvds
           // against the directional-preference predictors, no residual
@@ -1361,6 +1401,7 @@ object H264Codec {
     // (0/1/2 inter partitions; 5 + intraType for intra-in-P).
     def pSkip(flag: Boolean, mb: Int): Unit
     def pMbType(raw: Int, mb: Int): Unit
+    def subMbType8(t: Int): Unit
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
     def mbTypeI(t: Int, mb: Int): Unit
     def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit
@@ -1376,6 +1417,7 @@ object H264Codec {
   private trait IntraSource {
     def pSkipNext(mb: Int): Boolean
     def pMbType(mb: Int): Int
+    def subMbType8(): Int
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int)
     def mbTypeI(mb: Int): Int
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int])
@@ -1399,6 +1441,7 @@ object H264Codec {
       skipRun = 0
       bw.ue(raw)
     }
+    def subMbType8(t: Int): Unit = bw.ue(t)
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
       bw.se(dx); bw.se(dy)
     }
@@ -1454,6 +1497,7 @@ object H264Codec {
       else { skipLeft = -1; false }
     }
     def pMbType(mb: Int): Int = br.ue()
+    def subMbType8(): Int = br.ue()
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int) = (br.se(), br.se())
     def mbTypeI(mb: Int): Int = br.ue()
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
@@ -1528,6 +1572,7 @@ object H264Codec {
   private val CtxPMbType = 253 // b0 intra?, b1, b2
   private val CtxMvdX = 256 // bin0 inc 0..2 at +0..2; bins>=1 at +3..6
   private val CtxMvdY = 263
+  private val CtxSubMb = 270
   private val NumCtx = 280
 
   private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
@@ -1583,10 +1628,15 @@ object H264Codec {
           case 0 => eng.bin(st, CtxPMbType + 1, 0); eng.bin(st, CtxPMbType + 2, 0)
           case 1 => eng.bin(st, CtxPMbType + 1, 1); eng.bin(st, CtxPMbType + 2, 1)
           case 2 => eng.bin(st, CtxPMbType + 1, 1); eng.bin(st, CtxPMbType + 2, 0)
+          case 3 => eng.bin(st, CtxPMbType + 1, 0); eng.bin(st, CtxPMbType + 2, 1)
           case _ => throw new IllegalArgumentException(s"h264: P mb_type $raw unsupported")
         }
         mbT(mb) = -1
       }
+    }
+    def subMbType8(t: Int): Unit = {
+      require(t == 0, "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
+      eng.bin(st, CtxSubMb, 1) // the spec's '1' bin string for P_L0_8x8
     }
     private def mvdComp(d: Int, cx: Int, cy: Int, base: Int, g: TcGrid): Unit = {
       def gv(x: Int, y: Int): Int =
@@ -1829,12 +1879,17 @@ object H264Codec {
       else {
         val t =
           if (eng.bin(st, CtxPMbType + 1) == 0) {
-            if (eng.bin(st, CtxPMbType + 2) == 0) 0 else 3 // 3 -> P_8x8, rejected upstream
+            if (eng.bin(st, CtxPMbType + 2) == 0) 0 else 3 // P_8x8
           } else if (eng.bin(st, CtxPMbType + 2) == 1) 1
           else 2
         mbT(mb) = -1
         t
       }
+    }
+    def subMbType8(): Int = {
+      require(eng.bin(st, CtxSubMb) == 1,
+        "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
+      0
     }
     private def mvdComp(cx: Int, cy: Int, base: Int, g: TcGrid): Int = {
       def gv(x: Int, y: Int): Int =
@@ -2479,10 +2534,46 @@ object H264Codec {
       } else {
         val rawType = if (isP) src.pMbType(mb) else src.mbTypeI(mb)
         if (isP && rawType < 5) {
-          require(rawType <= 2,
-            "h264: P_8x8 sub-macroblock partitions are the next rung")
+          require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
           val (pY, pU, pV) =
-            if (rawType == 0) {
+            if (rawType == 3) {
+              // P_8x8 with P_L0_8x8 sub-types
+              var k = 0
+              while (k < 4) {
+                require(src.subMbType8() == 0,
+                  "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
+                k += 1
+              }
+              val aY = new Array[Int](256)
+              val aU = new Array[Int](64)
+              val aV = new Array[Int](64)
+              k = 0
+              while (k < 4) {
+                val lx = (k & 1) * 2; val ly = (k >> 1) * 2
+                val kk = k
+                val written: (Int, Int) => Boolean =
+                  (x0, y0) => (y0 / 2) * 2 + x0 / 2 < kk
+                val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, 2, 0, written)
+                val (dx, dy) = src.mvd(c * 4 + lx, r * 4 + ly, 2, 2)
+                val mvX = mvp._1 + dx
+                val mvY = mvp._2 + dy
+                mg.fill(c * 4 + lx, r * 4 + ly, 2, 2, 0, mvX, mvY)
+                val (fY, fU, fV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4, 8, 8, mvX, mvY)
+                var i = 0
+                while (i < 64) {
+                  aY((ly * 4 + i / 8) * 16 + lx * 4 + i % 8) = fY(i)
+                  i += 1
+                }
+                i = 0
+                while (i < 16) {
+                  aU((ly * 2 + i / 4) * 8 + lx * 2 + i % 4) = fU(i)
+                  aV((ly * 2 + i / 4) * 8 + lx * 2 + i % 4) = fV(i)
+                  i += 1
+                }
+                k += 1
+              }
+              (aY, aU, aV)
+            } else if (rawType == 0) {
               val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
               val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
               val mvX = mvp._1 + dx

@@ -569,6 +569,61 @@ object Multimodal {
     })
   }
 
+  /** The P_8x8 plan: frame 1 = uniform 2x2-MB tiles; frame 2 stripes by
+    * (column + doc + 2*row) — zero-motion residual MBs keep the P_Skip
+    * triggers live, P_8x8 MBs give each 8x8 quadrant its OWN vector
+    * (up / right / left / down, clamped at frame edges), and 16x16
+    * motion MBs mix in — so a sub-partition mix-up, a wrong quadrant
+    * neighbor, or an in-MB cell-availability drift is value-visible.
+    */
+  private[operators] def h264P8Plan(d: Long, w: Int, h: Int): H264Codec.InterPlan = {
+    val mbW = w / 16
+    val tCols = mbW / 2
+    def tile(m: Int): Int = ((m / mbW) / 2) * tCols + (m % mbW) / 2
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0,
+      modeSel = mb => if (mb / mbW == 0) 1 else 0,
+      tL = mb => ((37 * d + 23 * tile(mb)) % 208 + 24).toInt,
+      tCb = mb => ((91 * d + 13 * tile(mb)) % 240 + 8).toInt,
+      tCr = mb => ((53 * d + 17 * tile(mb)) % 240 + 8).toInt,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra, mb => {
+      val r = mb / mbW; val c = mb % mbW
+      ((c + d + 2 * r) % 4).toInt match {
+        case 0 =>
+          val dL = (if ((d + 3 * mb) % 2 == 0) 1 else -1) * (1 + ((d + mb) % 6)).toInt
+          H264Codec.PMb(kind = 1, dL = dL,
+            tCb = ((91 * d + 23 * mb) % 240 + 8).toInt,
+            tCr = ((53 * d + 27 * mb) % 240 + 8).toInt)
+        case 1 => H264Codec.PMb(kind = 0)
+        case 2 => H264Codec.PMb(kind = 7, mvs8 = k =>
+          Seq((0, -64), (64, 0), (-64, 0), (0, 64))(k))
+        case _ =>
+          H264Codec.PMb(kind = 2, mv = if (r > 0) (0, -64) else (0, 64))
+      }
+    })
+  }
+
+  /** Each doc carries a two-frame H.264 stream from [[h264P8Plan]]:
+    * P_8x8 sub-macroblock partitions with per-quadrant motion; graded
+    * via the frame-weighted checksum.
+    */
+  def withH264P8Media(docs: DataFrame, id: String = "doc_id",
+                      nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val w = (32 * (1 + nc % 2)).toInt
+          val h = 64
+          (d, H264Codec.encodeInter(h264P8Plan(d, w, h)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a two-frame H.264 stream from [[h264PartPlan]]:
     * sub-MB partitions with per-partition motion against the directional
     * predictors; graded via the frame-weighted checksum.

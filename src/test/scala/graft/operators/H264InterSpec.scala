@@ -187,12 +187,43 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("P_8x8 chain: per-quadrant motion equals the closed-form replay") {
+    for (d <- 0L until 10L; w <- Seq(32, 64)) {
+      val h = 64
+      val frames = H264Codec.decodeSequence(
+        H264Codec.encodeInter(Multimodal.h264P8Plan(d, w, h)))
+      assert(frames.length == 2)
+      val mbW = w / 16; val tCols = mbW / 2
+      def tL1(t: Int) = ((37 * d + 23 * t) % 208 + 24).toInt
+      def cl(hi: Int, v: Int) = math.max(0, math.min(hi - 1, v))
+      for (yy <- 0 until h; x <- 0 until w) {
+        val r = yy / 16; val c = x / 16; val m = r * mbW + c
+        val tile = (r / 2) * tCols + c / 2
+        val want = ((c + d + 2 * r) % 4).toInt match {
+          case 0 =>
+            val dL = (if ((d + 3 * m) % 2 == 0) 1 else -1) * (1 + ((d + m) % 6)).toInt
+            tL1(tile) + 4 * dL
+          case 1 => tL1(tile)
+          case 2 =>
+            val k = (if (yy % 16 < 8) 0 else 2) + (if (x % 16 < 8) 0 else 1)
+            val (sx, sy) = Seq((0, -16), (16, 0), (-16, 0), (0, 16))(k)
+            tL1((cl(h, yy + sy) / 32) * tCols + cl(w, x + sx) / 32)
+          case _ =>
+            val sy = if (r > 0) -16 else 16
+            tL1((cl(h, yy + sy) / 32) * tCols + x / 32)
+        }
+        assert((frames(1).y(yy * w + x) & 0xff) == want, s"d=$d w=$w f2 ($x,$yy)")
+      }
+    }
+  }
+
   test("CABAC P slices: all three inter fixtures decode identically through CABAC") {
     for (d <- 0L until 8L) {
       val pairs = Seq(
         ("inter", () => Multimodal.h264InterPlan(d, 32, 32)),
         ("subpel", () => Multimodal.h264SubpelPlan(d, 32, 64)),
-        ("part", () => Multimodal.h264PartPlan(d, 32, 64)))
+        ("part", () => Multimodal.h264PartPlan(d, 32, 64)),
+        ("p8x8", () => Multimodal.h264P8Plan(d, 32, 64)))
       for ((name, mk) <- pairs) {
         val cb = H264Codec.decodeSequence(H264Codec.encodeInter(mk(), cabac = true))
         val cv = H264Codec.decodeSequence(H264Codec.encodeInter(mk()))
