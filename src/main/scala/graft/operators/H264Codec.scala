@@ -686,8 +686,23 @@ object H264Codec {
                        mv2: (Int, Int) = (0, 0),
                        mvs8: Int => (Int, Int) = null)
 
-  /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`. */
-  final case class InterPlan(intra: IntraPlan, pmb: Int => PMb)
+  /** One frame-3 macroblock of the B-slice fixture plan. kind: 0 =
+    * B_L0_16x16 (list 0 = the P frame), 1 = B_L1_16x16 (list 1 = the
+    * IDR), 2 = B_Bi_16x16 (the spec's default (p0 + p1 + 1) >> 1
+    * average), 3 = Intra_16x16 steered to tL/tCb/tCr. mv0/mv1 are the
+    * per-list vectors; no residual on inter kinds.
+    */
+  final case class BMb(kind: Int, mv0: (Int, Int) = (0, 0), mv1: (Int, Int) = (0, 0),
+                       tL: Int = 0, tCb: Int = 0, tCr: Int = 0)
+
+  /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`;
+    * when `bmb` is set a third (non-reference) B slice follows, its
+    * list 0 pinned to the P frame and list 1 to the IDR — the two most
+    * recent references in decode order (no POC-based reordering in this
+    * profile; documented).
+    */
+  final case class InterPlan(intra: IntraPlan, pmb: Int => PMb,
+                             bmb: Int => BMb = null)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1084,10 +1099,131 @@ object H264Codec {
       mb += 1
     }
     snk.finish()
+    val nals = scala.collection.mutable.ArrayBuffer(
+      nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6, cabac)),
+      nal(3, 5, idrSlice), nal(2, 1, bw.bytes()))
+    if (p.bmb != null) {
+      require(!cabac, "h264: CABAC B slices are the next rung")
+      val f2 = H264Frame(w, h, recY, recU, recV)
+      nals += nal(0, 1, bSlice(p, w, h, ref, f2))
+    }
     val out = new java.io.ByteArrayOutputStream()
-    Seq(nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6, cabac)),
-      nal(3, 5, idrSlice), nal(2, 1, bw.bytes())).foreach(n => out.write(n, 0, n.length))
+    nals.foreach(n => out.write(n, 0, n.length))
     out.toByteArray
+  }
+
+  /** Encode the non-reference B slice (frame 3): list 0 = the P frame,
+    * list 1 = the IDR; B_L0/B_L1/B_Bi 16x16 with per-list MV prediction
+    * over per-list cell grids and the spec's default (p0 + p1 + 1) >> 1
+    * bi average; Intra_16x16 MBs steered. B_Skip/direct and sub-MB B
+    * partitions are the named next rung.
+    */
+  private def bSlice(p: InterPlan, w: Int, h: Int,
+                     ref0past: H264Frame, refP: H264Frame): Array[Byte] = {
+    val qp = 28
+    val qpc = chromaQp(qp - 6)
+    val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
+    val cw = w / 2
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(6) // slice_type: B
+    bw.ue(0) // pps id
+    bw.put(2, 8) // frame_num
+    bw.put(4, 8) // pic_order_cnt_lsb
+    bw.put(0, 1) // direct_spatial_mv_pred_flag
+    bw.put(0, 1) // num_ref_idx_active_override_flag
+    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    bw.put(0, 1) // ref_pic_list_modification_flag_l1
+    // nal_ref_idc = 0: no dec_ref_pic_marking
+    bw.se(qp - 26)
+    bw.ue(0); bw.se(0); bw.se(0)
+    val snk = new CavlcSink(bw, mbW, mbH)
+    val mg0 = new MotionGrid(mbW, mbH)
+    val mg1 = new MotionGrid(mbW, mbH)
+    val bY = new Array[Byte](w * h)
+    val bU = new Array[Byte](cw * (h / 2))
+    val bV = new Array[Byte](cw * (h / 2))
+    var mb = 0
+    while (mb < nMb) {
+      val r = mb / mbW; val c = mb % mbW
+      val mx = c * 16; val my = r * 16
+      val cx = c * 8; val cy = r * 8
+      val m0 = p.bmb(mb)
+      snk.pSkip(flag = false, mb) // no B_Skip in this profile
+      if (m0.kind == 3) {
+        snk.pMbType(23 + 1 + 2 + 4 * 1, mb) // 23 + I16x16(DC, cbpC 1)
+        val pL = predIntra16(2, bY, w, mx, my)
+        val cmode = if (r == 0 && c == 0) 0 else if (r == 0) 1 else 2
+        val pCb = predChroma8(cmode, bU, cw, cx, cy)
+        val pCr = predChroma8(cmode, bV, cw, cx, cy)
+        var i = 1
+        while (i < 64) {
+          require(pCb(i) == pCb(0) && pCr(i) == pCr(0),
+            "h264 fixture: non-uniform chroma prediction in B-slice intra MB")
+          i += 1
+        }
+        snk.chromaMode(cmode, mb)
+        snk.qpDelta(0)
+        val dcScan = new Array[Int](16); dcScan(0) = m0.tL - pL(0)
+        val dcCb = new Array[Int](4); dcCb(0) = m0.tCb - pCb(0)
+        val dcCr = new Array[Int](4); dcCr(0) = m0.tCr - pCr(0)
+        snk.residual(0, 0, 0, 0, mb, dcScan)
+        snk.residual(3, 1, 0, 0, mb, dcCb)
+        snk.residual(3, 2, 0, 0, mb, dcCr)
+        val rY = reconI16(pL, dcScan, null, qp)
+        val rU = reconChroma(pCb, dcCb, null, qpc)
+        val rV = reconChroma(pCr, dcCr, null, qpc)
+        i = 0
+        while (i < 256) {
+          require(rY(i) == m0.tL, "h264 fixture: B-slice intra luma steering drift")
+          bY((my + i / 16) * w + mx + i % 16) = rY(i).toByte
+          i += 1
+        }
+        i = 0
+        while (i < 64) {
+          require(rU(i) == m0.tCb && rV(i) == m0.tCr,
+            "h264 fixture: B-slice intra chroma steering drift")
+          bU((cy + i / 8) * cw + cx + i % 8) = rU(i).toByte
+          bV((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
+          i += 1
+        }
+      } else {
+        snk.pMbType(1 + m0.kind, mb) // 1 B_L0, 2 B_L1, 3 B_Bi
+        if (m0.kind == 0 || m0.kind == 2) {
+          val mvp = mvPredictPart(mg0, mb, c * 4, r * 4, 4, 0, noneWritten)
+          snk.mvd(m0.mv0._1 - mvp._1, m0.mv0._2 - mvp._2, c * 4, r * 4, 4, 4)
+          mg0.fill(c * 4, r * 4, 4, 4, 0, m0.mv0._1, m0.mv0._2)
+        }
+        if (m0.kind == 1 || m0.kind == 2) {
+          val mvp = mvPredictPart(mg1, mb, c * 4, r * 4, 4, 0, noneWritten)
+          snk.mvd(m0.mv1._1 - mvp._1, m0.mv1._2 - mvp._2, c * 4, r * 4, 4, 4)
+          mg1.fill(c * 4, r * 4, 4, 4, 0, m0.mv1._1, m0.mv1._2)
+        }
+        snk.cbp(0, mb)
+        val (pY, pU, pV) = m0.kind match {
+          case 0 => mcFetch(refP, mx, my, m0.mv0._1, m0.mv0._2)
+          case 1 => mcFetch(ref0past, mx, my, m0.mv1._1, m0.mv1._2)
+          case _ =>
+            val (a0, b0, c0) = mcFetch(refP, mx, my, m0.mv0._1, m0.mv0._2)
+            val (a1, b1, c1) = mcFetch(ref0past, mx, my, m0.mv1._1, m0.mv1._2)
+            (a0.zip(a1).map { case (x, y2) => (x + y2 + 1) >> 1 },
+              b0.zip(b1).map { case (x, y2) => (x + y2 + 1) >> 1 },
+              c0.zip(c1).map { case (x, y2) => (x + y2 + 1) >> 1 })
+        }
+        var i = 0
+        while (i < 256) { bY((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
+        i = 0
+        while (i < 64) {
+          bU((cy + i / 8) * cw + cx + i % 8) = pU(i).toByte
+          bV((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
+          i += 1
+        }
+      }
+      snk.endMb(mb == nMb - 1)
+      mb += 1
+    }
+    snk.finish()
+    bw.bytes()
   }
 
   // ---- coded-macroblock machinery (Intra_16x16 + CAVLC) ---------------------------
@@ -2463,20 +2599,21 @@ object H264Codec {
     val sps = parseSps(nals(0)._3)
     val pps = parsePps(nals(1)._3)
     require(nals(2)._2 == 5, "h264: the first slice must be IDR")
-    var ref: H264Frame = null
+    var refA: H264Frame = null // most recent reference frame
+    var refB: H264Frame = null // the one before it
     val frames = scala.collection.mutable.ArrayBuffer.empty[H264Frame]
     for ((refIdc, t, rbsp) <- nals.drop(2)) {
       require(t == 5 || t == 1, s"h264: unexpected NAL type $t in the slice stream")
-      val fr = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, ref)
+      val fr = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
       frames += fr
-      ref = fr
+      if (refIdc != 0) { refB = refA; refA = fr } // sliding reference window
     }
     frames.toSeq
   }
 
   private def decodeSliceFrame(rbsp: Array[Byte], sps: Sps, pps: Pps,
                                isIdr: Boolean, refIdc: Int,
-                               ref: H264Frame): H264Frame = {
+                               ref: H264Frame, refPrev: H264Frame): H264Frame = {
     val w = sps.widthMbs * 16
     val h = sps.heightMbs * 16
     val cw = w / 2; val ch = h / 2
@@ -2487,16 +2624,24 @@ object H264Codec {
     require(br.ue() == 0, "h264: slices not starting at MB 0 outside this profile")
     val sliceType = br.ue()
     val isP = sliceType == 0 || sliceType == 5
+    val isB = sliceType == 1 || sliceType == 6
     if (isIdr) require(sliceType == 2 || sliceType == 7, "h264: non-I slice in an IDR picture")
-    else require(isP, "h264: non-IDR slices are P in this profile")
-    if (isP) require(ref != null, "h264: P slice without a reference frame")
+    else require(isP || isB, "h264: non-IDR slices are P or B in this profile")
+    if (isP || isB) require(ref != null, "h264: inter slice without a reference frame")
+    if (isB) {
+      require(refPrev != null, "h264: B slice needs two reference frames")
+      require(!pps.entropyCabac, "h264: CABAC B slices are the next rung")
+    }
     require(br.ue() == 0, "h264: unknown PPS id")
     br.get(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
     br.get(sps.log2MaxPoc) // poc lsb
-    if (isP) {
+    if (isB) require(br.get(1) == 0,
+      "h264: spatial-direct B prediction is the next rung")
+    if (isP || isB) {
       require(br.get(1) == 0, "h264: num_ref_idx override outside this profile")
       require(br.get(1) == 0, "h264: ref_pic_list_modification outside this profile")
+      if (isB) require(br.get(1) == 0, "h264: ref_pic_list_modification (l1) outside this profile")
     }
     if (isIdr) { br.get(1); br.get(1) } // dec_ref_pic_marking (IDR form)
     else if (refIdc != 0)
@@ -2510,13 +2655,15 @@ object H264Codec {
       if (pps.entropyCabac) new CabacSource(br, mbW, mbH)
       else new CavlcSource(br, mbW, mbH)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
-    val mg = new MotionGrid(mbW, mbH)
+    val mg = new MotionGrid(mbW, mbH) // list 0
+    val mgB1 = new MotionGrid(mbW, mbH) // list 1 (B slices)
     var mb = 0
     while (mb < mbW * mbH) {
       val r = mb / mbW; val c = mb % mbW
       val mx = c * 16; val my = r * 16
       val cx = c * 8; val cy = r * 8
-      if (isP && src.pSkipNext(mb)) {
+      if ((isP || isB) && src.pSkipNext(mb)) {
+        require(isP, "h264: B_Skip (direct) macroblocks are the next rung")
         // P_Skip: derived motion, no residual
         val smv = skipMvCell(mg, mb, c * 4, r * 4)
         val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
@@ -2532,11 +2679,43 @@ object H264Codec {
         src.endMb(mb == mbW * mbH - 1)
         mb += 1
       } else {
-        val rawType = if (isP) src.pMbType(mb) else src.mbTypeI(mb)
-        if (isP && rawType < 5) {
-          require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
+        val rawType = if (isP || isB) src.pMbType(mb) else src.mbTypeI(mb)
+        if (isB && rawType < 23) {
+          require(rawType >= 1 && rawType <= 3,
+            "h264: B_Direct and sub-16x16 B partitions are the next rung")
+        }
+        if ((isP && rawType < 5) || (isB && rawType < 23)) {
+          if (isP) require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
           val (pY, pU, pV) =
-            if (rawType == 3) {
+            if (isB) {
+              // B_L0 / B_L1 / B_Bi 16x16: per-list mvd over per-list
+              // grids; list 0 = the newest reference (the P frame),
+              // list 1 = the one before it (the IDR); Bi = the spec's
+              // default (p0 + p1 + 1) >> 1 average
+              val useL0 = rawType == 1 || rawType == 3
+              val useL1 = rawType == 2 || rawType == 3
+              var f0: (Array[Int], Array[Int], Array[Int]) = null
+              var f1: (Array[Int], Array[Int], Array[Int]) = null
+              if (useL0) {
+                val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
+                val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
+                val mvX = mvp._1 + dx; val mvY = mvp._2 + dy
+                mg.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
+                f0 = mcFetch(ref, mx, my, mvX, mvY)
+              }
+              if (useL1) {
+                val mvp = mvPredictPart(mgB1, mb, c * 4, r * 4, 4, 0, noneWritten)
+                val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
+                val mvX = mvp._1 + dx; val mvY = mvp._2 + dy
+                mgB1.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
+                f1 = mcFetch(refPrev, mx, my, mvX, mvY)
+              }
+              if (rawType == 1) f0
+              else if (rawType == 2) f1
+              else (f0._1.zip(f1._1).map { case (a, b) => (a + b + 1) >> 1 },
+                f0._2.zip(f1._2).map { case (a, b) => (a + b + 1) >> 1 },
+                f0._3.zip(f1._3).map { case (a, b) => (a + b + 1) >> 1 })
+            } else if (rawType == 3) {
               // P_8x8 with P_L0_8x8 sub-types
               var k = 0
               while (k < 4) {
@@ -2700,7 +2879,7 @@ object H264Codec {
           src.endMb(mb == mbW * mbH - 1)
           mb += 1
         } else {
-          val mbType = if (isP) rawType - 5 else rawType
+          val mbType = if (isP) rawType - 5 else if (isB) rawType - 23 else rawType
           qp = decodeIntraMb(mbType, src, pps, y, u, v, w, h, mb, qp, modeG)
           src.endMb(mb == mbW * mbH - 1)
           mb += 1

@@ -665,6 +665,62 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** The B-slice plan: frame 1 = uniform 2x2-MB tiles (IDR), frame 2 =
+    * all zero-motion P MBs with steered residuals (so frame 2 differs
+    * from frame 1 by a known per-MB delta), frame 3 = a NON-REFERENCE B
+    * slice striping B_L0 (reads the P frame), B_L1 (reads the IDR,
+    * shifted a tile row), B_Bi (the spec's (p0+p1+1)>>1 average of the
+    * two — value-visible because the lists differ by the known delta),
+    * and Intra_16x16 MBs.
+    */
+  private[operators] def h264BPlan(d: Long, w: Int, h: Int): H264Codec.InterPlan = {
+    val mbW = w / 16
+    val tCols = mbW / 2
+    def tile(m: Int): Int = ((m / mbW) / 2) * tCols + (m % mbW) / 2
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0,
+      modeSel = mb => if (mb / mbW == 0) 1 else 0,
+      tL = mb => ((37 * d + 23 * tile(mb)) % 208 + 24).toInt,
+      tCb = mb => ((91 * d + 13 * tile(mb)) % 240 + 8).toInt,
+      tCr = mb => ((53 * d + 17 * tile(mb)) % 240 + 8).toInt,
+      acSign = _ => 1, planeLast = false)
+    def dl2(mb: Int): Int =
+      (if ((d + 3 * mb) % 2 == 0) 1 else -1) * (1 + ((d + mb) % 6)).toInt
+    H264Codec.InterPlan(intra,
+      pmb = mb => H264Codec.PMb(kind = 1, dL = dl2(mb),
+        tCb = ((91 * d + 23 * mb) % 240 + 8).toInt,
+        tCr = ((53 * d + 27 * mb) % 240 + 8).toInt),
+      bmb = mb => {
+        val r = mb / mbW; val c = mb % mbW
+        ((c + d + r) % 4).toInt match {
+          case 0 => H264Codec.BMb(kind = 0)
+          case 1 => H264Codec.BMb(kind = 1,
+            mv1 = if (r > 0) (0, -64) else (0, 64))
+          case 2 => H264Codec.BMb(kind = 2)
+          case _ => H264Codec.BMb(kind = 3,
+            tL = ((43 * d + 19 * mb) % 208 + 24).toInt,
+            tCb = ((91 * d + 29 * mb) % 240 + 8).toInt,
+            tCr = ((53 * d + 31 * mb) % 240 + 8).toInt)
+        }
+      })
+  }
+
+  /** Each doc carries a three-frame H.264 stream from [[h264BPlan]]:
+    * IDR + P + a non-reference B slice with two reference lists.
+    */
+  def withH264BMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264BPlan(d, 32, 64)))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class H264VideoStats(doc_id: Long, width: Long, height: Long,
                             n_frames: Long, pix_checksum: Long)
 

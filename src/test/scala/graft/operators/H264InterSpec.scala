@@ -217,6 +217,39 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("B slices: two reference lists, bi-prediction average, closed-form replay") {
+    for (d <- 0L until 12L) {
+      val w = 32; val h = 64
+      val frames = H264Codec.decodeSequence(
+        H264Codec.encodeInter(Multimodal.h264BPlan(d, w, h)))
+      assert(frames.length == 3)
+      val mbW = w / 16; val tCols = mbW / 2
+      def tile(m: Int) = ((m / mbW) / 2) * tCols + (m % mbW) / 2
+      def tL1(t: Int) = ((37 * d + 23 * t) % 208 + 24).toInt
+      def dl2(m: Int) = (if ((d + 3 * m) % 2 == 0) 1 else -1) * (1 + ((d + m) % 6)).toInt
+      for (yy <- 0 until h; x <- 0 until w) {
+        val r = yy / 16; val c = x / 16; val m = r * mbW + c
+        val f1v = tL1(tile(m))
+        val f2v = f1v + 4 * dl2(m)
+        assert((frames(0).y(yy * w + x) & 0xff) == f1v, s"d=$d f1 ($x,$yy)")
+        assert((frames(1).y(yy * w + x) & 0xff) == f2v, s"d=$d f2 ($x,$yy)")
+        val want = ((c + d + r) % 4).toInt match {
+          case 0 => f2v
+          case 1 =>
+            val sy = if (r > 0) -16 else 16
+            tL1(((yy + sy) / 32) * tCols + x / 32)
+          case 2 => (f1v + f2v + 1) >> 1
+          case _ => ((43 * d + 19 * m) % 208 + 24).toInt
+        }
+        assert((frames(2).y(yy * w + x) & 0xff) == want, s"d=$d f3 ($x,$yy) cls ${(c + d + r) % 4}")
+      }
+      // the B frame is NON-reference: had it entered the sliding window,
+      // a fourth P slice would reference it — assert the stream shape
+      assert(H264Codec.splitNals(H264Codec.encodeInter(Multimodal.h264BPlan(d, w, h)))
+        .map(n => (n._1, n._2)).drop(2) == Seq((3, 5), (2, 1), (0, 1)))
+    }
+  }
+
   test("CABAC P slices: all three inter fixtures decode identically through CABAC") {
     for (d <- 0L until 8L) {
       val pairs = Seq(
