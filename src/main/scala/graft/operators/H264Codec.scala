@@ -1103,9 +1103,8 @@ object H264Codec {
       nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6, cabac)),
       nal(3, 5, idrSlice), nal(2, 1, bw.bytes()))
     if (p.bmb != null) {
-      require(!cabac, "h264: CABAC B slices are the next rung")
       val f2 = H264Frame(w, h, recY, recU, recV)
-      nals += nal(0, 1, bSlice(p, w, h, ref, f2))
+      nals += nal(0, 1, bSlice(p, w, h, ref, f2, cabac))
     }
     val out = new java.io.ByteArrayOutputStream()
     nals.foreach(n => out.write(n, 0, n.length))
@@ -1119,7 +1118,8 @@ object H264Codec {
     * partitions are the named next rung.
     */
   private def bSlice(p: InterPlan, w: Int, h: Int,
-                     ref0past: H264Frame, refP: H264Frame): Array[Byte] = {
+                     ref0past: H264Frame, refP: H264Frame,
+                     cabac: Boolean): Array[Byte] = {
     val qp = 28
     val qpc = chromaQp(qp - 6)
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
@@ -1137,7 +1137,8 @@ object H264Codec {
     // nal_ref_idc = 0: no dec_ref_pic_marking
     bw.se(qp - 26)
     bw.ue(0); bw.se(0); bw.se(0)
-    val snk = new CavlcSink(bw, mbW, mbH)
+    val snk: IntraSink =
+      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     val mg0 = new MotionGrid(mbW, mbH)
     val mg1 = new MotionGrid(mbW, mbH)
     val bY = new Array[Byte](w * h)
@@ -1151,7 +1152,7 @@ object H264Codec {
       val m0 = p.bmb(mb)
       snk.pSkip(flag = false, mb) // no B_Skip in this profile
       if (m0.kind == 3) {
-        snk.pMbType(23 + 1 + 2 + 4 * 1, mb) // 23 + I16x16(DC, cbpC 1)
+        snk.bMbType(23 + 1 + 2 + 4 * 1, mb) // 23 + I16x16(DC, cbpC 1)
         val pL = predIntra16(2, bY, w, mx, my)
         val cmode = if (r == 0 && c == 0) 0 else if (r == 0) 1 else 2
         val pCb = predChroma8(cmode, bU, cw, cx, cy)
@@ -1188,7 +1189,7 @@ object H264Codec {
           i += 1
         }
       } else {
-        snk.pMbType(1 + m0.kind, mb) // 1 B_L0, 2 B_L1, 3 B_Bi
+        snk.bMbType(1 + m0.kind, mb) // 1 B_L0, 2 B_L1, 3 B_Bi
         if (m0.kind == 0 || m0.kind == 2) {
           val mvp = mvPredictPart(mg0, mb, c * 4, r * 4, 4, 0, noneWritten)
           snk.mvd(m0.mv0._1 - mvp._1, m0.mv0._2 - mvp._2, c * 4, r * 4, 4, 4)
@@ -1537,6 +1538,7 @@ object H264Codec {
     // (0/1/2 inter partitions; 5 + intraType for intra-in-P).
     def pSkip(flag: Boolean, mb: Int): Unit
     def pMbType(raw: Int, mb: Int): Unit
+    def bMbType(raw: Int, mb: Int): Unit
     def subMbType8(t: Int): Unit
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
     def mbTypeI(t: Int, mb: Int): Unit
@@ -1553,6 +1555,7 @@ object H264Codec {
   private trait IntraSource {
     def pSkipNext(mb: Int): Boolean
     def pMbType(mb: Int): Int
+    def bMbType(mb: Int): Int
     def subMbType8(): Int
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int)
     def mbTypeI(mb: Int): Int
@@ -1577,6 +1580,7 @@ object H264Codec {
       skipRun = 0
       bw.ue(raw)
     }
+    def bMbType(raw: Int, mb: Int): Unit = pMbType(raw, mb)
     def subMbType8(t: Int): Unit = bw.ue(t)
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
       bw.se(dx); bw.se(dy)
@@ -1633,6 +1637,7 @@ object H264Codec {
       else { skipLeft = -1; false }
     }
     def pMbType(mb: Int): Int = br.ue()
+    def bMbType(mb: Int): Int = br.ue()
     def subMbType8(): Int = br.ue()
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int) = (br.se(), br.se())
     def mbTypeI(mb: Int): Int = br.ue()
@@ -1709,6 +1714,7 @@ object H264Codec {
   private val CtxMvdX = 256 // bin0 inc 0..2 at +0..2; bins>=1 at +3..6
   private val CtxMvdY = 263
   private val CtxSubMb = 270
+  private val CtxBMbType = 271 // b0 intra?, b1, b2
   private val NumCtx = 280
 
   private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
@@ -1773,6 +1779,21 @@ object H264Codec {
     def subMbType8(t: Int): Unit = {
       require(t == 0, "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
       eng.bin(st, CtxSubMb, 1) // the spec's '1' bin string for P_L0_8x8
+    }
+    def bMbType(raw: Int, mb: Int): Unit = {
+      if (raw >= 23) {
+        eng.bin(st, CtxBMbType, 1)
+        mbTypeI(raw - 23, mb)
+      } else {
+        eng.bin(st, CtxBMbType, 0)
+        raw match {
+          case 1 => eng.bin(st, CtxBMbType + 1, 0); eng.bin(st, CtxBMbType + 2, 0)
+          case 2 => eng.bin(st, CtxBMbType + 1, 0); eng.bin(st, CtxBMbType + 2, 1)
+          case 3 => eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 0)
+          case _ => throw new IllegalArgumentException(s"h264: B mb_type $raw unsupported")
+        }
+        mbT(mb) = -1
+      }
     }
     private def mvdComp(d: Int, cx: Int, cy: Int, base: Int, g: TcGrid): Unit = {
       def gv(x: Int, y: Int): Int =
@@ -2026,6 +2047,18 @@ object H264Codec {
       require(eng.bin(st, CtxSubMb) == 1,
         "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
       0
+    }
+    def bMbType(mb: Int): Int = {
+      if (eng.bin(st, CtxBMbType) == 1) 23 + mbTypeI(mb)
+      else {
+        val t =
+          if (eng.bin(st, CtxBMbType + 1) == 0) {
+            if (eng.bin(st, CtxBMbType + 2) == 0) 1 else 2
+          } else if (eng.bin(st, CtxBMbType + 2) == 0) 3
+          else 0 // B_Direct -> rejected upstream
+        mbT(mb) = -1
+        t
+      }
     }
     private def mvdComp(cx: Int, cy: Int, base: Int, g: TcGrid): Int = {
       def gv(x: Int, y: Int): Int =
@@ -2628,10 +2661,7 @@ object H264Codec {
     if (isIdr) require(sliceType == 2 || sliceType == 7, "h264: non-I slice in an IDR picture")
     else require(isP || isB, "h264: non-IDR slices are P or B in this profile")
     if (isP || isB) require(ref != null, "h264: inter slice without a reference frame")
-    if (isB) {
-      require(refPrev != null, "h264: B slice needs two reference frames")
-      require(!pps.entropyCabac, "h264: CABAC B slices are the next rung")
-    }
+    if (isB) require(refPrev != null, "h264: B slice needs two reference frames")
     require(br.ue() == 0, "h264: unknown PPS id")
     br.get(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
@@ -2679,7 +2709,10 @@ object H264Codec {
         src.endMb(mb == mbW * mbH - 1)
         mb += 1
       } else {
-        val rawType = if (isP || isB) src.pMbType(mb) else src.mbTypeI(mb)
+        val rawType =
+          if (isB) src.bMbType(mb)
+          else if (isP) src.pMbType(mb)
+          else src.mbTypeI(mb)
         if (isB && rawType < 23) {
           require(rawType >= 1 && rawType <= 3,
             "h264: B_Direct and sub-16x16 B partitions are the next rung")

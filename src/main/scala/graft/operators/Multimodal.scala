@@ -721,6 +721,24 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** [[h264BPlan]] re-encoded through CABAC: the B mb_type tree, the
+    * per-list UEG3 mvds, and the non-reference slice machinery under
+    * the arithmetic coder; the q_h264_bslice oracle grades it
+    * unchanged.
+    */
+  def withH264BCabacMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264BPlan(d, 32, 64), cabac = true))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class H264VideoStats(doc_id: Long, width: Long, height: Long,
                             n_frames: Long, pix_checksum: Long)
 

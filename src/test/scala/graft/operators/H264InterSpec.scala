@@ -256,12 +256,13 @@ class H264InterSpec extends AnyFunSuite {
         ("inter", () => Multimodal.h264InterPlan(d, 32, 32)),
         ("subpel", () => Multimodal.h264SubpelPlan(d, 32, 64)),
         ("part", () => Multimodal.h264PartPlan(d, 32, 64)),
-        ("p8x8", () => Multimodal.h264P8Plan(d, 32, 64)))
+        ("p8x8", () => Multimodal.h264P8Plan(d, 32, 64)),
+        ("bslice", () => Multimodal.h264BPlan(d, 32, 64)))
       for ((name, mk) <- pairs) {
         val cb = H264Codec.decodeSequence(H264Codec.encodeInter(mk(), cabac = true))
         val cv = H264Codec.decodeSequence(H264Codec.encodeInter(mk()))
-        assert(cb.length == 2 && cv.length == 2)
-        for (i <- 0 until 2) {
+        assert(cb.length == cv.length && cb.length >= 2)
+        for (i <- cb.indices) {
           assert(cb(i).y.sameElements(cv(i).y), s"$name d=$d f$i luma")
           assert(cb(i).u.sameElements(cv(i).u), s"$name d=$d f$i cb")
           assert(cb(i).v.sameElements(cv(i).v), s"$name d=$d f$i cr")
