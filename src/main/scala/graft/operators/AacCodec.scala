@@ -11,11 +11,12 @@ package graft.operators
   *    number_of_raw_data_blocks (0 = one block per frame);
   *  - raw_data_block: one single_channel_element (id_syn_ele SCE, 4-bit
   *    instance tag) followed by the END element id and byte alignment;
-  *  - individual_channel_stream: 8-bit global_gain; ics_info with
-  *    window_sequence ONLY_LONG (6-bit max_sfb, predictor flag rejected
-  *    if set) or EIGHT_SHORT (4-bit max_sfb + the 7 scale_factor_grouping
-  *    bits; start/stop transition windows are the named next rung,
-  *    rejected loudly), window_shape;
+  *  - individual_channel_stream: 8-bit global_gain; ics_info with all
+  *    four window_sequence values decoded — the long-class trio
+  *    ONLY_LONG / LONG_START / LONG_STOP (6-bit max_sfb, predictor flag
+  *    rejected if set; the transition shapes in [[aacWinSeq]]) and
+  *    EIGHT_SHORT (4-bit max_sfb + the 7 scale_factor_grouping bits),
+  *    window_shape;
   *  - section_data: run-length sections with a 4-bit codebook id each
   *    and incremental lengths (5-bit/31-escape long, 3-bit/7-escape
   *    short) covering the sfbs up to max_sfb, PER WINDOW GROUP for

@@ -898,6 +898,7 @@ object H264Codec {
     bw.put(0, 1) // num_ref_idx_active_override_flag
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
     bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26) // slice_qp_delta
     bw.ue(0) // disable_deblocking_filter_idc
     bw.se(0); bw.se(0)
@@ -1135,6 +1136,7 @@ object H264Codec {
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
     bw.put(0, 1) // ref_pic_list_modification_flag_l1
     // nal_ref_idc = 0: no dec_ref_pic_marking
+    if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26)
     bw.ue(0); bw.se(0); bw.se(0)
     val snk: IntraSink =
@@ -2676,6 +2678,10 @@ object H264Codec {
     if (isIdr) { br.get(1); br.get(1) } // dec_ref_pic_marking (IDR form)
     else if (refIdc != 0)
       require(br.get(1) == 0, "h264: adaptive ref marking outside this profile")
+    if (pps.entropyCabac && (isP || isB)) {
+      val cabacInitIdc = br.ue() // 7.3.3: cabac_init_idc, 0..2
+      require(cabacInitIdc == 0, "h264: only cabac_init_idc 0 context tables are pinned")
+    }
     var qp = pps.picInitQp + br.se() // slice_qp_delta
     require(qp >= 0 && qp <= 51, "h264: slice QP out of range")
     val disableDeblock = br.ue() // deblocking control present in our PPS
