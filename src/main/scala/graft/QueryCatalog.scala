@@ -5323,6 +5323,117 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 IN-LOOP DEBLOCKING (§8.7), graded byte-exact — docs
+    // rotate over {intra, inter} × {vertical, horizontal} MB-stripe
+    // variants with disable_deblocking_filter_idc = 0. Every boundary
+    // strength lands a graded consequence: bS=4 strong (Δ5 < (α>>2)+2,
+    // six samples move) and weak (Δ12) and the α=20 cutoff (Δ40 frozen),
+    // the I_PCM QP-0 exemption (boundary AND internal 4x4 stripes must
+    // survive exactly), bS=2 coded-residual edges with the p1/q1
+    // refinements, the hand-derived second-order CASCADE (an internal
+    // bS=2 edge reading a boundary-filtered sample as its p2), bS=1 on a
+    // 64-quarter-pel mv difference with the tC clip binding, and bS=0
+    // skip-over-discontinuity edges that MUST stay sharp. Chroma runs
+    // its own α/β/3-tap path on deliberately different boundaries than
+    // luma. The filtered offsets are doc-independent by construction, so
+    // the oracle replays every sample closed-form; frame 1 of the inter
+    // variant grades the idc=1 path (raw reference) at the same time.
+    ("q_h264_deblock",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264DeblockMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d,
+             |    doc_id % 2 = 0 AS colv,
+             |    doc_id % 4 < 2 AS intra,
+             |    40 + (31*doc_id) % 120 AS b0,
+             |    30 + (17*doc_id) % 150 AS c0,
+             |    30 + (23*doc_id) % 150 AS d0,
+             |    40 + (29*doc_id) % 120 AS cc,
+             |    30 + (13*doc_id) % 150 AS e0,
+             |    30 + (19*doc_id) % 150 AS f0
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 3840) t(i)
+             |    ON t.i < (CASE WHEN m.intra THEN 1 ELSE 2 END) * 1920
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN q3.s // 16 ELSE q3.s // 8 END AS mi) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.intra THEN
+             |      CASE q0.pl
+             |      WHEN 0 THEN CASE q3.s
+             |        WHEN 13 THEN m.b0+1 WHEN 14 THEN m.b0+1 WHEN 15 THEN m.b0+2
+             |        WHEN 16 THEN m.b0+3 WHEN 17 THEN m.b0+4 WHEN 18 THEN m.b0+4
+             |        WHEN 31 THEN m.b0+8 WHEN 32 THEN m.b0+14
+             |        ELSE CASE q4.mi WHEN 0 THEN m.b0 WHEN 1 THEN m.b0+5
+             |          WHEN 2 THEN m.b0+17 WHEN 3 THEN m.b0+57
+             |          ELSE m.b0+60 + 6*((q3.s % 16 // 4) % 2) END END
+             |      WHEN 1 THEN CASE q3.s
+             |        WHEN 7 THEN m.c0+1 WHEN 8 THEN m.c0+2
+             |        WHEN 23 THEN m.c0+16 WHEN 24 THEN m.c0+19
+             |        ELSE m.c0 + (CASE q4.mi WHEN 0 THEN 0 WHEN 1 THEN 3
+             |          WHEN 2 THEN 15 WHEN 3 THEN 20 ELSE 22 END) END
+             |      ELSE CASE q3.s
+             |        WHEN 7 THEN m.d0+6 WHEN 8 THEN m.d0+2
+             |        WHEN 15 THEN m.d0+2 WHEN 16 THEN m.d0+5
+             |        ELSE m.d0 + (CASE q4.mi WHEN 0 THEN 8 WHEN 1 THEN 0
+             |          WHEN 2 THEN 7 WHEN 3 THEN 30 ELSE 31 END) END
+             |      END
+             |    ELSE CASE WHEN qf.fi = 0 THEN
+             |      CASE q0.pl
+             |      WHEN 0 THEN m.cc + (CASE q4.mi WHEN 0 THEN 0 WHEN 1 THEN 5
+             |        WHEN 2 THEN 7 WHEN 3 THEN 90 ELSE 13 END)
+             |      WHEN 1 THEN m.e0 + (CASE q4.mi WHEN 0 THEN 0 WHEN 1 THEN 4
+             |        WHEN 2 THEN 6 WHEN 3 THEN 40 ELSE 10 END)
+             |      ELSE m.f0 + (CASE q4.mi WHEN 0 THEN 9 WHEN 1 THEN 0
+             |        WHEN 2 THEN 5 WHEN 3 THEN 40 ELSE 12 END)
+             |      END
+             |    ELSE
+             |      CASE q0.pl
+             |      WHEN 0 THEN m.cc + (CASE q3.s
+             |        WHEN 30 THEN 7 WHEN 31 THEN 9 WHEN 32 THEN 11
+             |        WHEN 33 THEN 12 WHEN 34 THEN 13
+             |        WHEN 46 THEN 13 WHEN 47 THEN 12 WHEN 48 THEN 10 WHEN 49 THEN 9
+             |        WHEN 62 THEN 8 WHEN 63 THEN 9 WHEN 64 THEN 11 WHEN 65 THEN 12
+             |        ELSE CASE q4.mi WHEN 0 THEN 0 WHEN 1 THEN 5
+             |          WHEN 2 THEN 15 WHEN 3 THEN 7 ELSE 13 END END)
+             |      WHEN 1 THEN m.e0 + (CASE q3.s
+             |        WHEN 15 THEN 6 WHEN 16 THEN 6 WHEN 23 THEN 7 WHEN 24 THEN 7
+             |        WHEN 31 THEN 8 WHEN 32 THEN 8
+             |        ELSE CASE q4.mi WHEN 0 THEN 0 WHEN 1 THEN 4
+             |          WHEN 2 THEN 8 WHEN 3 THEN 6 ELSE 10 END END)
+             |      ELSE m.f0 + (CASE q3.s
+             |        WHEN 15 THEN 1 WHEN 16 THEN 2 WHEN 23 THEN 4 WHEN 24 THEN 4
+             |        WHEN 31 THEN 7 WHEN 32 THEN 10
+             |        ELSE CASE q4.mi WHEN 0 THEN 9 WHEN 1 THEN 0
+             |          WHEN 2 THEN 3 WHEN 3 THEN 5 ELSE 12 END END)
+             |      END
+             |    END END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(CASE WHEN dims.intra THEN 1 ELSE 2 END AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL VP8 B_PRED DIRECTIONAL SUB-MODES, graded byte-exact — the
     // full 4×4 intra prediction family (VE/HE/RD/VR/HD/LD/VL/HU on top
     // of the already-graded DC/TM): each doc's center MB hosts one

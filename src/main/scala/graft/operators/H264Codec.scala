@@ -297,9 +297,8 @@ object H264Codec {
     bw.put(0, 1)
     bw.put(0, 1)
     bw.se(0) // slice_qp_delta
-    bw.ue(0) // disable_deblocking_filter_idc (control present in PPS)
-    bw.se(0) // slice_alpha_c0_offset_div2
-    bw.se(0) // slice_beta_offset_div2
+    bw.ue(1) // disable_deblocking_filter_idc: off (all-PCM frame; QP-0 rule
+    // would make it a no-op anyway, but the header states the truth)
     var mb = 0
     val mbW = w / 16
     while (mb < mbW * (h / 16)) {
@@ -356,8 +355,9 @@ object H264Codec {
                              i4Modes: (Int, Int) => Int = null,
                              pcmY: (Int, Int, Int) => Int = null)
 
-  def encodeIntra(plan: IntraPlan, cabac: Boolean = false): Array[Byte] = {
-    val (slice, _, _, _) = intraSlice(plan, cabac)
+  def encodeIntra(plan: IntraPlan, cabac: Boolean = false,
+                  deblock: Boolean = false): Array[Byte] = {
+    val (slice, _, _, _) = intraSlice(plan, cabac, deblock)
     val out = new java.io.ByteArrayOutputStream()
     Seq(nal(3, 7, writeSps(plan.w, plan.h)), nal(3, 8, writePps(-6, cabac)),
       nal(3, 5, slice)).foreach(n => out.write(n, 0, n.length))
@@ -368,7 +368,8 @@ object H264Codec {
     * returns (slice RBSP, recon Y/U/V) so the inter encoder can use the
     * frame as a reference.
     */
-  private def intraSlice(plan: IntraPlan, cabac: Boolean = false):
+  private def intraSlice(plan: IntraPlan, cabac: Boolean = false,
+                         deblock: Boolean = false):
       (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     val w = plan.w; val h = plan.h
     require(w > 0 && h > 0 && w % 16 == 0 && h % 16 == 0,
@@ -391,8 +392,9 @@ object H264Codec {
     bw.put(0, 8) // pic_order_cnt_lsb
     bw.put(0, 1); bw.put(0, 1) // dec_ref_pic_marking (IDR)
     bw.se(qp - 26) // slice_qp_delta -> QP 28
-    bw.ue(0) // disable_deblocking_filter_idc
-    bw.se(0); bw.se(0)
+    if (deblock) { bw.ue(0); bw.se(0); bw.se(0) } // filter on, zero offsets
+    else bw.ue(1) // disable_deblocking_filter_idc: off
+    val pcmMb = new Array[Boolean](nMb)
     val snk: IntraSink =
       if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     var mb = 0
@@ -428,6 +430,7 @@ object H264Codec {
         }
         snk.mbTypeI(25, mb)
         snk.pcm(ys, us, vs, mb)
+        pcmMb(mb) = true
       } else if (v == 4) {
         // I_4x4 macroblock: per-block prediction (fixture: all-V /
         // all-H with edge fallbacks; spec hook i4Modes for the full
@@ -665,6 +668,14 @@ object H264Codec {
       mb += 1
     }
     snk.finish()
+    if (deblock) {
+      val meta = new H264Deblock.DeblockMeta(mbW, mbH)
+      java.util.Arrays.fill(meta.intraMb, true)
+      java.util.Arrays.fill(meta.qpMb, 0, nMb, qp)
+      System.arraycopy(pcmMb, 0, meta.pcmMb, 0, nMb)
+      // mg unused: every MB is intra, so bS never consults motion
+      H264Deblock.filterFrame(recY, recU, recV, w, h, meta, null, chromaOff, 0, 0)
+    }
     (bw.bytes(), recY, recU, recV)
   }
 
@@ -877,7 +888,10 @@ object H264Codec {
   /** Encode the two-frame IDR + P sequence: SPS, PPS, IDR slice (frame
     * 1), non-IDR P slice (frame 2, frame_num 1) referencing frame 1.
     */
-  def encodeInter(p: InterPlan, cabac: Boolean = false): Array[Byte] = {
+  def encodeInter(p: InterPlan, cabac: Boolean = false,
+                  deblockP: Boolean = false): Array[Byte] = {
+    // the IDR stays unfiltered (idc=1) so the reference frame keeps the
+    // plan's exact steered constants; only the P slice opts in
     val (idrSlice, rY, rU, rV) = intraSlice(p.intra, cabac)
     val w = p.intra.w; val h = p.intra.h
     val ref = H264Frame(w, h, rY, rU, rV)
@@ -900,8 +914,10 @@ object H264Codec {
     bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
     if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26) // slice_qp_delta
-    bw.ue(0) // disable_deblocking_filter_idc
-    bw.se(0); bw.se(0)
+    if (deblockP) { bw.ue(0); bw.se(0); bw.se(0) } // filter on, zero offsets
+    else bw.ue(1) // disable_deblocking_filter_idc: off
+    val meta = new H264Deblock.DeblockMeta(mbW, mbH)
+    java.util.Arrays.fill(meta.qpMb, qp)
     val snk: IntraSink =
       if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     var mb = 0
@@ -966,6 +982,7 @@ object H264Codec {
             i += 1
           }
           // refIdx stays -1 (intra); nC grid: DC-only luma leaves 0
+          meta.intraMb(mb) = true
         } else if (m0.kind == 7) {
           // P_8x8: four P_L0_8x8 sub-partitions, each with its own mvd
           // against the standard predictor over its quadrant cells
@@ -1057,6 +1074,14 @@ object H264Codec {
             }
           }
           val cbpLuma = if (dL != 0) 15 else 0
+          if (dL != 0) { // every 4x4 block carries a DC level -> bS 2 edges
+            var gy0 = 0
+            while (gy0 < 4) {
+              var gx0 = 0
+              while (gx0 < 4) { meta.markNz(c * 4 + gx0, r * 4 + gy0); gx0 += 1 }
+              gy0 += 1
+            }
+          }
           val cbpC = if (gCb != 0 || gCr != 0) 1 else 0
           val cbp = cbpLuma | (cbpC << 4)
           snk.cbp(cbp, mb)
@@ -1100,6 +1125,9 @@ object H264Codec {
       mb += 1
     }
     snk.finish()
+    // in-loop: the filtered frame IS the reconstruction (and the list-0
+    // reference of any following B slice), matching the decoder exactly
+    if (deblockP) H264Deblock.filterFrame(recY, recU, recV, w, h, meta, mg, -6, 0, 0)
     val nals = scala.collection.mutable.ArrayBuffer(
       nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6, cabac)),
       nal(3, 5, idrSlice), nal(2, 1, bw.bytes()))
@@ -1138,7 +1166,7 @@ object H264Codec {
     // nal_ref_idc = 0: no dec_ref_pic_marking
     if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26)
-    bw.ue(0); bw.se(0); bw.se(0)
+    bw.ue(1) // disable_deblocking_filter_idc: off (B deblock is the next rung)
     val snk: IntraSink =
       if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     val mg0 = new MotionGrid(mbW, mbH)
@@ -2685,8 +2713,11 @@ object H264Codec {
     var qp = pps.picInitQp + br.se() // slice_qp_delta
     require(qp >= 0 && qp <= 51, "h264: slice QP out of range")
     val disableDeblock = br.ue() // deblocking control present in our PPS
-    if (disableDeblock != 1) { br.se(); br.se() }
+    require(disableDeblock <= 2, "h264: disable_deblocking_filter_idc out of range")
+    var offA = 0; var offB = 0 // FilterOffsetA/B = slice offsets doubled
+    if (disableDeblock != 1) { offA = br.se() << 1; offB = br.se() << 1 }
     val mbW = w / 16; val mbH = h / 16
+    val meta = new H264Deblock.DeblockMeta(mbW, mbH)
     val src: IntraSource =
       if (pps.entropyCabac) new CabacSource(br, mbW, mbH)
       else new CavlcSource(br, mbW, mbH)
@@ -2712,6 +2743,7 @@ object H264Codec {
           i += 1
         }
         mg.fill(c * 4, r * 4, 4, 4, 0, smv._1, smv._2)
+        meta.qpMb(mb) = qp
         src.endMb(mb == mbW * mbH - 1)
         mb += 1
       } else {
@@ -2855,6 +2887,8 @@ object H264Codec {
                 val bb = s8 * 4 + j
                 lumaCoef(bb) =
                   src.residual(2, 0, c * 4 + blkX(bb) / 4, r * 4 + blkY(bb) / 4, mb, 16)
+                if (lumaCoef(bb) != null && lumaCoef(bb).exists(_ != 0))
+                  meta.markNz(c * 4 + blkX(bb) / 4, r * 4 + blkY(bb) / 4)
                 j += 1
               }
             }
@@ -2915,17 +2949,25 @@ object H264Codec {
             v((cy + i / 8) * cw + cx + i % 8) = rV(i).toByte
             i += 1
           }
+          meta.qpMb(mb) = qp
           src.endMb(mb == mbW * mbH - 1)
           mb += 1
         } else {
           val mbType = if (isP) rawType - 5 else if (isB) rawType - 23 else rawType
-          qp = decodeIntraMb(mbType, src, pps, y, u, v, w, h, mb, qp, modeG)
+          qp = decodeIntraMb(mbType, src, pps, y, u, v, w, h, mb, qp, modeG, meta)
+          meta.qpMb(mb) = qp
           src.endMb(mb == mbW * mbH - 1)
           mb += 1
         }
       }
     }
     src.finish()
+    if (disableDeblock != 1) {
+      // idc 2 (don't cross slice boundaries) equals idc 0 here: one
+      // slice per picture, and frame borders are never filtered anyway
+      require(!isB, "h264: B-slice deblocking is the next rung")
+      H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff, offA, offB)
+    }
     H264Frame(w, h, y, u, v)
   }
 
@@ -2937,14 +2979,17 @@ object H264Codec {
   private def decodeIntraMb(mbType: Int, src: IntraSource, pps: Pps,
                             y: Array[Byte], u: Array[Byte], v: Array[Byte],
                             w: Int, h: Int, mb: Int, qp0: Int,
-                            modeG: ModeGrid): Int = {
+                            modeG: ModeGrid,
+                            meta: H264Deblock.DeblockMeta): Int = {
     val mbW = w / 16
     val r = mb / mbW; val c = mb % mbW
     val mx = c * 16; val my = r * 16
     val cx = c * 8; val cy = r * 8
     val cw = w / 2
     var qp = qp0
+    meta.intraMb(mb) = true
     if (mbType == 25) {
+      meta.pcmMb(mb) = true // deblock QP-0 rule: PCM samples stay exact
       val (ys, us, vs) = src.pcm(mb)
       var i = 0
       while (i < 256) { y((my + i / 16) * w + mx + i % 16) = ys(i).toByte; i += 1 }

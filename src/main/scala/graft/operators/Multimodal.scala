@@ -739,6 +739,93 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Deblocking fixture, intra variant: one IDR of five MB stripes along
+    * one axis (`disable_deblocking_filter_idc = 0`), constants chosen so
+    * each MB boundary lands in a distinct §8.7 branch — Δ=5 strong
+    * (|p0−q0| < (α>>2)+2), Δ=12 the bS=4 weak fallback, Δ=40 ≥ α
+    * unfiltered, and an I_PCM MB whose QP-0 rule must exempt both its
+    * boundary and its internal 4x4 stripes. Chroma constants hit the
+    * chroma 3-tap filter and its own α cutoff on DIFFERENT boundaries
+    * than luma (the conditions are per-plane). All boundary deltas are
+    * doc-independent, so the filtered offsets are closed-form constants.
+    */
+  private[operators] def h264DeblockIntraPlan(d: Long, colv: Boolean): H264Codec.IntraPlan = {
+    val b0 = (40 + (31 * d) % 120).toInt
+    val c0 = (30 + (17 * d) % 150).toInt
+    val d0 = (30 + (23 * d) % 150).toInt
+    val lums = Array(b0, b0 + 5, b0 + 17, b0 + 57, b0 + 60)
+    val cbs = Array(c0, c0 + 3, c0 + 15, c0 + 20, c0 + 22)
+    val crs = Array(d0 + 8, d0, d0 + 7, d0 + 30, d0 + 31)
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    H264Codec.IntraPlan(w, h,
+      variant = mb => if (mb == 4) 3 else 0,
+      modeSel = _ => 2,
+      tL = mb => lums(mb), tCb = mb => cbs(mb), tCr = mb => crs(mb),
+      acSign = _ => 1,
+      planeLast = false,
+      pcmY = (_, x, y) => lums(4) + 6 * (((if (colv) x else y) / 4) % 2))
+  }
+
+  /** Deblocking fixture, inter variant: raw IDR reference (its slice
+    * keeps idc=1 so the steered constants survive exactly), then a P
+    * slice with idc=0 covering the inter boundary strengths: two P_Skips
+    * over a reference discontinuity (bS=0 — the step MUST survive), a
+    * coded-residual MB (bS=2 edges on both sides), and a ≥4-quarter-pel
+    * motion-vector difference (bS=1), with the tC clip binding on the
+    * bS=1 luma q1 refinement and the bS=1 chroma delta.
+    */
+  private[operators] def h264DeblockInterPlan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    val c = (40 + (29 * d) % 120).toInt
+    val e = (30 + (13 * d) % 150).toInt
+    val f = (30 + (19 * d) % 150).toInt
+    val rl = Array(c, c + 5, c + 7, c + 90, c + 13)
+    val rcb = Array(e, e + 4, e + 6, e + 40, e + 10)
+    val rcr = Array(f + 9, f, f + 5, f + 40, f + 12)
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = mb => rl(mb), tCb = mb => rcb(mb), tCr = mb => rcr(mb),
+      acSign = _ => 1, planeLast = false)
+    val mvBack = if (colv) (-64, 0) else (0, -64)
+    H264Codec.InterPlan(intra, {
+      case 0 | 1 => H264Codec.PMb(kind = 0)
+      case 2 => H264Codec.PMb(kind = 1, mv = (0, 0), dL = 2,
+        tCb = rcb(2) + 2, tCr = rcr(2) - 2)
+      case 3 => H264Codec.PMb(kind = 2, mv = mvBack)
+      case _ => H264Codec.PMb(kind = 2, mv = (0, 0))
+    })
+  }
+
+  /** Each doc carries an H.264 stream with the IN-LOOP DEBLOCKING FILTER
+    * live (`disable_deblocking_filter_idc = 0`): docs rotate over
+    * {intra, inter} × {vertical, horizontal} edge variants from
+    * [[h264DeblockIntraPlan]] / [[h264DeblockInterPlan]]. Between the
+    * two variants every §8.7 boundary-strength class is exercised with
+    * visible effect or a graded must-not-fire: bS=4 strong + weak +
+    * α-cutoff, the I_PCM QP-0 exemption, bS=2 (coded residual), bS=1
+    * (mv difference, tC clip binding), bS=0 (preserved discontinuity);
+    * bS=3 runs on every intra-internal edge (provably zero delta on
+    * uniform MBs — its with-effect case is graded sample-exact by
+    * H264DeblockSpec's independent replay).
+    */
+  def withH264DeblockMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          val v = (d % 4).toInt
+          val colv = v % 2 == 0
+          val bytes =
+            if (v < 2) H264Codec.encodeIntra(h264DeblockIntraPlan(d, colv), deblock = true)
+            else H264Codec.encodeInter(h264DeblockInterPlan(d, colv), deblockP = true)
+          (d, bytes)
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class H264VideoStats(doc_id: Long, width: Long, height: Long,
                             n_frames: Long, pix_checksum: Long)
 
