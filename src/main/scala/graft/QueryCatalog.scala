@@ -6336,6 +6336,61 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC-LC TNS (§4.6.9), graded sample-exact — tns_data_present=1
+    // frames whose single coded impulse propagates through the all-pole
+    // synthesis filter over the top two scalefactor bands. Five rotating
+    // filter shapes: constant run (coef −1), alternating (+1), period-2
+    // (order 2), geometric ×(−2) near the region end, and a DIRECTION-1
+    // downward run — the direction bit, the order loop, the
+    // two's-complement coefficient read, the region walk from max_sfb,
+    // and the zero-history region boundary are each value-visible. The
+    // oracle factors the IMDCT into a doc-INDEPENDENT per-line basis
+    // (one 64x1024 sum shared by all docs) and replays the spectral
+    // runs closed-form on top — the recursion never rides the join.
+    ("q_aac_tns",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacTnsMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH basis AS (
+             |  SELECT kk.k AS k,
+             |    sum(((13*pp.p + 7*kk.k + 5) % 29 - 14)
+             |      * (1 + (3*pp.p) % 17) * (pp.p % 97 + 1)) AS bsum
+             |  FROM range(960, 1024) kk(k)
+             |  JOIN range(0, 1024) pp(p) ON true
+             |  GROUP BY kk.k),
+             |base AS (
+             |  SELECT doc_id AS d, doc_id % 5 AS r,
+             |    1 + doc_id % 4 AS mag,
+             |    CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+             |    20 + (29*doc_id) % 200 + (doc_id % 41) - 20 AS sf
+             |  FROM documents),
+             |xs AS (
+             |  SELECT b.d, b.r,
+             |    b.sgn * b.mag * (b.mag + 2) * (1 + (5*b.sf) % 13) AS x
+             |  FROM base b),
+             |chk AS (
+             |  SELECT x.d,
+             |    sum(basis.bsum * CASE x.r
+             |      WHEN 0 THEN CASE WHEN basis.k >= 970 THEN x.x ELSE 0 END
+             |      WHEN 1 THEN CASE WHEN (basis.k - 960) % 2 = 0
+             |        THEN x.x ELSE -x.x END
+             |      WHEN 2 THEN CASE WHEN basis.k >= 961
+             |          AND (basis.k - 961) % 2 = 0 THEN x.x ELSE 0 END
+             |      WHEN 3 THEN CASE WHEN basis.k >= 1014 THEN
+             |        x.x * (CASE WHEN (basis.k - 1014) % 2 = 1 THEN -1 ELSE 1 END)
+             |          * (1 << GREATEST(basis.k - 1014, 0))
+             |        ELSE 0 END
+             |      ELSE CASE WHEN basis.k <= 1000 THEN x.x ELSE 0 END
+             |    END) AS pcm_checksum
+             |  FROM xs x CROSS JOIN basis
+             |  GROUP BY x.d)
+             |SELECT d AS doc_id, CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(1024 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

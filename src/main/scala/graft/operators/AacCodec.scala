@@ -30,6 +30,14 @@ package graft.operators
   *    sign bit per nonzero member, and codebook 11's escape sequence
   *    (N ones, a zero, then an (N+4)-bit mantissa → 2^(N+4) + word);
   *    codebook 0 sections are zero, intensity/PNS books are rejected;
+  *  - the 4.4.2.1 presence flags between scale_factor_data and
+  *    spectral_data: pulse_data and gain_control_data rejected loudly,
+  *    tns_data PARSED AND APPLIED on long-class frames — n_filt,
+  *    coef_res, per-filter length/order/direction/coef_compress and the
+  *    two's-complement coefficients, filter regions walking DOWN from
+  *    max_sfb, and the §4.6.9 all-pole synthesis over each region with
+  *    zero history at the region edge and direction-1 downward
+  *    recursion (TNS on EIGHT_SHORT frames is the named next rung);
   *  - requantization |q|^(4/3)·2^((sf−100)/4) and the filterbank:
   *    the 2048-point long-window IMDCT, or eight 256-point short-window
   *    IMDCTs placed at 448 + 128w with window-group-interleaved spectra,
@@ -41,8 +49,12 @@ package graft.operators
   * structure), the scalefactor-band boundaries (32 bands of width 32),
   * the requantization curves, and the IMDCT cosines/window — are
   * documented INTEGER implementation values, so every PCM sample is an
-  * exact integer function of the bitstream. Everything STRUCTURAL
-  * follows the spec. The IMDCT accumulates over the nonzero spectral
+  * exact integer function of the bitstream; the TNS coefficient
+  * dequantization (the spec's sin tables + reflection-to-direct-form
+  * recursion) is likewise collapsed to a pinned identity map — the
+  * coded two's-complement field IS the direct-form coefficient — while
+  * the filter STRUCTURE (regions, order, direction, bounded history)
+  * follows the spec. Everything STRUCTURAL follows the spec. The IMDCT accumulates over the nonzero spectral
   * lines only — an exact identity, not an approximation.
   */
 object AacCodec {
@@ -211,7 +223,8 @@ object AacCodec {
     */
   final case class AacFrame(globalGain: Int, lines: Seq[(Int, Int, Int)], // (pos, value, cb)
                             sfDelta: Int, shortSeq: Boolean = false,
-                            grouping: Int = 0, windowSeq: Int = -1) {
+                            grouping: Int = 0, windowSeq: Int = -1,
+                            tns: Seq[(Int, Int, Seq[Int])] = Nil) { // (length, direction, coefs)
     /** Effective window_sequence: explicit if set, else derived. */
     def wseq: Int = if (windowSeq >= 0) windowSeq else if (shortSeq) 2 else 0
   }
@@ -312,6 +325,28 @@ object AacCodec {
         sections(5, Seq((0, band), (cb, 1), (0, NumSfb - band - 1)))
         // scalefactors: one coded sfb → one DPCM delta from global_gain
         sfWrite(bw.put, fr.sfDelta)
+        // pulse / tns / gain_control presence (4.4.2.1 order)
+        bw.put(0, 1) // pulse_data_present
+        if (fr.tns.nonEmpty) {
+          bw.put(1, 1) // tns_data_present
+          require(fr.tns.size <= 3, "aac fixture: n_filt is 2 bits")
+          bw.put(fr.tns.size.toLong, 2) // n_filt
+          bw.put(1, 1) // coef_res = 1 -> 4-bit coefficients
+          fr.tns.foreach { case (len, dir, coefs) =>
+            require(len >= 0 && len < 64 && coefs.size <= 12)
+            bw.put(len.toLong, 6)
+            bw.put(coefs.size.toLong, 5) // order
+            if (coefs.nonEmpty) {
+              bw.put(dir.toLong, 1)
+              bw.put(0, 1) // coef_compress
+              coefs.foreach { c0 =>
+                require(c0 >= -8 && c0 <= 7, "aac fixture: TNS coef outside 4 bits")
+                bw.put((c0 & 0xf).toLong, 4)
+              }
+            }
+          }
+        } else bw.put(0, 1)
+        bw.put(0, 1) // gain_control_data_present
         val base = band * 32
         writeSpectralRun(bw, cb,
           i => fr.lines.find(_._1 == base + i).map(_._2).getOrElse(0), 32)
@@ -340,6 +375,9 @@ object AacCodec {
         val wins = groups(gIdx)
         val wid = sfbShortWidth(band)
         val buf = new Array[Int](wins.size * wid)
+        require(fr.tns.isEmpty, "aac fixture: TNS on EIGHT_SHORT is the named next rung")
+        // pulse / tns / gain_control presence (4.4.2.1 order)
+        bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
         fr.lines.foreach { case (pos, v, _) =>
           buf(wins.indexOf(pos / ShortLen) * wid
             + pos % ShortLen - sfbShortStart(band)) = v
@@ -453,6 +491,41 @@ object AacCodec {
         }
         g += 1
       }
+      // pulse / tns / gain_control presence flags (4.4.2.1: they sit
+      // between scale_factor_data and spectral_data)
+      require(br.get(1) == 0, "aac: pulse_data outside this profile")
+      val tnsFilters: Seq[(Int, Int, Int, Array[Int])] =
+        if (br.get(1) == 1) {
+          require(!isShort, "aac: TNS on EIGHT_SHORT frames is the named next rung")
+          val nFilt = br.get(2)
+          val res = if (nFilt > 0) br.get(1) else 0
+          var top = maxSfb
+          val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
+          var fi = 0
+          while (fi < nFilt) {
+            val len = br.get(6)
+            val order = br.get(5)
+            require(order <= 12, "aac: TNS order beyond the LC limit")
+            val bottom = math.max(0, top - len)
+            if (order > 0) {
+              val dirDown = br.get(1)
+              val compress = br.get(1)
+              val bits = res + 3 - compress
+              // two's-complement coefficients; the sin-table inverse
+              // quantization + reflection->direct-form recursion is
+              // collapsed into a PINNED identity map (object doc)
+              val coefs = Array.fill(order) {
+                val raw = br.get(bits)
+                if (raw >= (1 << (bits - 1))) raw - (1 << bits) else raw
+              }
+              fs += ((bottom * 32, math.min(top, NumSfb) * 32, dirDown, coefs))
+            }
+            top = bottom
+            fi += 1
+          }
+          fs.toSeq
+        } else Nil
+      require(br.get(1) == 0, "aac: gain_control_data outside this profile")
       // spectral_data: spec layout is win*128 + line for short frames
       // (line within window), plain 0..1023 for long
       val spec = new Array[Long](FrameLen)
@@ -527,6 +600,38 @@ object AacCodec {
           band += 1
         }
         g += 1
+      }
+      // TNS (4.6.9): all-pole synthesis over each filter's spectral
+      // region — the spec's noise-shaping inverse. Filter state is
+      // bounded at the region edge (zero history outside), direction 1
+      // runs the recursion downward in frequency. Integer-exact: the
+      // pinned coefficient map keeps every line a Long.
+      tnsFilters.foreach { case (start, end, dirDown, a) =>
+        if (dirDown == 0) {
+          var n = start
+          while (n < end) {
+            var acc = 0L
+            var j = 1
+            while (j <= a.length) {
+              if (n - j >= start) acc += a(j - 1) * spec(n - j)
+              j += 1
+            }
+            spec(n) -= acc
+            n += 1
+          }
+        } else {
+          var n = end - 1
+          while (n >= start) {
+            var acc = 0L
+            var j = 1
+            while (j <= a.length) {
+              if (n + j < end) acc += a(j - 1) * spec(n + j)
+              j += 1
+            }
+            spec(n) -= acc
+            n -= 1
+          }
+        }
       }
       require(br.get(3) == 7, "aac: missing END element")
       br.alignByte()

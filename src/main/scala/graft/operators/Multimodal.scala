@@ -1710,6 +1710,46 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries ONE long-window ADTS frame with a live TNS filter
+    * (`tns_data_present = 1`) over the top two scalefactor bands (lines
+    * 960..1023). The single coded impulse propagates through the §4.6.9
+    * all-pole recursion into a closed-form spectral run — five rotating
+    * shapes: constant run (coef −1), alternating (+1), period-2 (order 2,
+    * coefs 0,−1), geometric ×(−2) from near the region end, and a
+    * DIRECTION-1 downward run (zero above the impulse, constant below —
+    * distinguishable from the upward case only if the direction bit is
+    * honored). The oracle factors the IMDCT into a doc-independent
+    * per-line basis and replays the five spectral shapes exactly.
+    */
+  def withAacTnsMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, withAacTnsMediaBytes(d))))
+      .toDF("doc_id", "media")
+  }
+
+  /** One doc's TNS stream (plan shared with AacTnsSpec's replay). */
+  private[operators] def withAacTnsMediaBytes(d: Long): Array[Byte] = {
+    val r = (d % 5).toInt
+    val mag = (1 + d % 4).toInt
+    val v = if (d % 2 == 1) -mag else mag
+    val (n0, dir, coefs) = r match {
+      case 0 => (970, 0, Seq(-1))
+      case 1 => (960, 0, Seq(1))
+      case 2 => (961, 0, Seq(0, -1))
+      case 3 => (1014, 0, Seq(2))
+      case _ => (1000, 1, Seq(-1))
+    }
+    val fr = AacCodec.AacFrame(
+      globalGain = (20 + (29 * d) % 200).toInt,
+      lines = Seq((n0, v, 6)),
+      sfDelta = ((d % 41) - 20).toInt,
+      tns = Seq((2, dir, coefs)))
+    AacCodec.encode(Seq(fr))
+  }
+
   case class AacStats(doc_id: Long, n_frames: Long, n_samples: Long,
                       pcm_checksum: Long)
 
