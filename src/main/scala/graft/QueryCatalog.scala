@@ -6166,6 +6166,112 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL MPEG-1 Layer III STEREO + JOINT STEREO, graded exactly — the
+    // broadcast-common stereo modes: independent L/R (mode 00, 32-byte
+    // side info, granule-major channel-minor main data), MS stereo
+    // (mode 01 ext 10: the L=M+S / R=M−S butterfly, the spec's 1/sqrt 2
+    // pinned to unit scaling), positional INTENSITY stereo (ext 01: the
+    // left line sits ABOVE the right channel's zero bound, split by the
+    // pinned kL=is_pos / kR=6−is_pos map with is_pos carried in the
+    // right channel's scalefactor field), and MS+intensity combined
+    // (ext 11: MS below the intensity region). The oracle derives each
+    // output channel's effective line set from the mixing rules and
+    // replays the same alias/IMDCT/polyphase algebra as q_mp3_decode,
+    // with the sample-major L/R interleave inside the checksum weights —
+    // a swapped channel, wrong butterfly sign, wrong intensity band
+    // bound, or ignored direction collapses the grade.
+    ("q_mp3_stereo",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMp3StereoMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, doc_id % 4 AS r FROM documents),
+             |tx AS (
+             |  SELECT b.d, b.r, gg.gi, ss.src, q0.pos, q3.xr, q2b.ipos
+             |  FROM base b
+             |  JOIN range(0, 2) gg(gi) ON true
+             |  JOIN range(0, 2) ss(src) ON true
+             |  CROSS JOIN LATERAL (SELECT CASE
+             |      WHEN b.r = 0 AND ss.src = 0 THEN (17 + 37*b.d + 101*gg.gi) % 576
+             |      WHEN b.r = 0 THEN (29 + 41*b.d + 89*gg.gi) % 576
+             |      WHEN b.r = 1 THEN (17 + 37*b.d + 101*gg.gi) % 576
+             |      WHEN ss.src = 0 THEN 300 + (37*b.d + 101*gg.gi) % 270
+             |      ELSE (13 + 7*b.d + 11*gg.gi) % 64 END AS pos) q0
+             |  CROSS JOIN LATERAL (SELECT least(q0.pos // 26, 21) AS band,
+             |    1 + (b.d + 3*gg.gi + 5*ss.src) % 13 AS v,
+             |    (29*b.d + 7*gg.gi + 13*ss.src) % 256 AS gg2) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.band > 20 THEN 0
+             |         ELSE (b.d + q1.band + gg.gi + ss.src) % 7 END AS sfv) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.band > 20 THEN 0
+             |         ELSE (b.d + q1.band + gg.gi + 1) % 7 END AS ipos) q2b
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + 5*gg.gi + ss.src) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q1.v * (q1.v + 2) * (1 + q1.gg2 % 9)
+             |      * (1 + (3*q2.sfv) % 11) AS xr) q3),
+             |eff AS (
+             |  SELECT t.d, t.gi, cc.c AS ch, t.pos, q4.val
+             |  FROM tx t
+             |  JOIN range(0, 2) cc(c) ON true
+             |  CROSS JOIN LATERAL (SELECT CASE
+             |    WHEN t.r = 0 THEN CASE WHEN t.src = cc.c THEN t.xr END
+             |    WHEN t.r = 1 THEN CASE WHEN cc.c = 0 OR t.src = 0
+             |      THEN t.xr ELSE -t.xr END
+             |    WHEN t.src = 0 THEN
+             |      t.xr * (CASE WHEN cc.c = 0 THEN t.ipos ELSE 6 - t.ipos END)
+             |    WHEN t.r = 2 THEN CASE WHEN cc.c = 1 THEN t.xr END
+             |    ELSE CASE WHEN cc.c = 0 THEN t.xr ELSE -t.xr END
+             |    END AS val) q4
+             |  WHERE q4.val IS NOT NULL),
+             |inputs AS (
+             |  SELECT e.d, e.ch, q8.gs, q7.sbp,
+             |    sum(e.val * q7.w * ((7*pp.p + 11*q7.kp + 3) % 23 - 11)
+             |      * (1 + (5*pp.p + 2) % 9)
+             |      * (CASE WHEN q7.sbp % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM eff e
+             |  JOIN range(0, 2) aa(a) ON true
+             |  JOIN range(0, 36) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    e.pos // 18 AS sb, e.pos % 18 AS k) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN aa.a = 0 THEN q2.sb
+             |         WHEN q2.k >= 10 THEN q2.sb + 1 ELSE q2.sb - 1 END AS sbp,
+             |    CASE WHEN aa.a = 0 THEN q2.k ELSE 17 - q2.k END AS kp,
+             |    CASE WHEN aa.a = 0 THEN
+             |      CASE WHEN q2.k >= 10 AND q2.sb < 31 THEN 2 + (17 - q2.k) % 3
+             |           WHEN q2.k <= 7 AND q2.sb >= 1 THEN 2 + q2.k % 3
+             |           ELSE 1 END
+             |    ELSE CASE WHEN q2.k >= 10 THEN 1 + (17 - q2.k) % 2
+             |              ELSE -(1 + q2.k % 2) END END AS w,
+             |    aa.a = 0 OR (q2.k >= 10 AND q2.sb < 31)
+             |      OR (q2.k <= 7 AND q2.sb >= 1) AS valid) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN pp.p < 18 THEN e.gi*18 + pp.p
+             |         ELSE (e.gi + 1)*18 + pp.p - 18 END AS gs) q8
+             |  WHERE q7.valid AND q8.gs < 36
+             |  GROUP BY e.d, e.ch, q8.gs, q7.sbp),
+             |chk AS (
+             |  SELECT s.d,
+             |    sum(s.ival
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*s.sbp + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * ((((s.gs + mm.m)*32 + ii.i)*2 + s.ch) % 97 + 1)) AS pcm_checksum
+             |  FROM inputs s
+             |  JOIN range(0, 16) mm(m) ON s.gs + mm.m < 36
+             |  JOIN range(0, 32) ii(i) ON true
+             |  GROUP BY s.d)
+             |SELECT base.d AS doc_id, CAST(3 AS BIGINT) AS layer,
+             |  CAST(2 AS BIGINT) AS n_channels,
+             |  CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(2304 AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(chk.pcm_checksum, 0) AS BIGINT) AS pcm_checksum
+             |FROM base LEFT JOIN chk ON chk.d = base.d
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL AAC-LC (ADTS) decode, graded exactly — the last named rung of
     // the perceptual-audio ladder: each doc carries a genuine mono ADTS
     // stream decoded through the full AAC-LC structure — 0xFFF sync +

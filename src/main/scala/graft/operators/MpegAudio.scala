@@ -601,12 +601,8 @@ object MpegAudio {
     * between the frame's two granules) and two granules. Free-format
     * framing, main_data_begin = 0 (no bit reservoir in this profile).
     */
-  def encodeL3Frame(scfsi: Int, gr: Array[L3Granule]): Array[Byte] = {
-    require(gr.length == 2, "layer3: MPEG-1 frames carry two granules")
-    require(scfsi >= 0 && scfsi < 16)
-
-    def granuleBits(gi: Int): BitBuf = {
-      val g = gr(gi)
+  /** Main-data bits of one granule-channel (scalefactors + Huffman). */
+  private def l3GranuleBits(g: L3Granule, scfsi: Int, gi: Int): BitBuf = {
       val bb = new BitBuf
       // scalefactors: slen1 bands 0..10, slen2 bands 11..20; granule 1
       // skips groups whose scfsi bit is set (it reuses granule 0's values)
@@ -676,44 +672,80 @@ object MpegAudio {
       var s = 0
       while (s < g.stuffBits) { bb.put(0L, 1); s += 1 }
       bb
-    }
+  }
 
-    val bodies = Array(granuleBits(0), granuleBits(1))
-    bodies.foreach(b => require(b.length < 4096, "layer3: part2_3_length overflow"))
+  /** The 59-bit per-(granule, channel) side-info block. */
+  private def l3WriteSide(bw: BitWriter, g: L3Granule, bodyLen: Int): Unit = {
+    require(bodyLen < 4096, "layer3: part2_3_length overflow")
+    bw.put(bodyLen.toLong, 12) // part2_3_length
+    val bigValues = if (g.lines.isEmpty) 0 else g.lines.map(_._1).max / 2 + 1
+    bw.put(bigValues.toLong, 9)
+    require(g.globalGain >= 0 && g.globalGain < 256)
+    bw.put(g.globalGain.toLong, 8)
+    require(g.scalefacCompress >= 0 && g.scalefacCompress < 16)
+    bw.put(g.scalefacCompress.toLong, 4)
+    bw.put(0, 1) // window_switching_flag: long blocks
+    require(g.tableSelect.length == 3 && g.tableSelect.forall(t => t >= 0 && t < 32))
+    g.tableSelect.foreach(t => bw.put(t.toLong, 5))
+    require(g.region0Count >= 0 && g.region0Count < 16)
+    require(g.region1Count >= 0 && g.region1Count < 8)
+    bw.put(g.region0Count.toLong, 4)
+    bw.put(g.region1Count.toLong, 3)
+    bw.put(g.preflag.toLong, 1)
+    bw.put(g.scalefacScale.toLong, 1)
+    bw.put(g.count1Table.toLong, 1)
+  }
 
-    val bw = new BitWriter
+  /** The 4-byte MPEG-1 Layer III frame header (free format, 44100). */
+  private def l3WriteHeader(bw: BitWriter, mode: Int, modeExt: Int): Unit = {
     bw.put(0x7ff, 11); bw.put(3, 2); bw.put(1, 2) // sync, MPEG-1, layer III (01)
     bw.put(1, 1) // no CRC
     bw.put(0, 4); bw.put(0, 2); bw.put(0, 1); bw.put(0, 1) // free format, 44100
-    bw.put(3, 2) // mono
-    bw.put(0, 2); bw.put(0, 1); bw.put(0, 1); bw.put(0, 2)
+    bw.put(mode.toLong, 2)
+    bw.put(modeExt.toLong, 2)
+    bw.put(0, 1); bw.put(0, 1); bw.put(0, 2)
+  }
+
+  def encodeL3Frame(scfsi: Int, gr: Array[L3Granule]): Array[Byte] = {
+    require(gr.length == 2, "layer3: MPEG-1 frames carry two granules")
+    require(scfsi >= 0 && scfsi < 16)
+    val bodies = Array(l3GranuleBits(gr(0), scfsi, 0), l3GranuleBits(gr(1), scfsi, 1))
+    val bw = new BitWriter
+    l3WriteHeader(bw, mode = 3, modeExt = 0) // mono
     // side info (mono: 17 bytes)
     bw.put(0, 9) // main_data_begin: no reservoir in this profile
     bw.put(0, 5) // private bits
     bw.put(scfsi.toLong, 4)
     var gi = 0
-    while (gi < 2) {
-      val g = gr(gi)
-      bw.put(bodies(gi).length.toLong, 12) // part2_3_length
-      val bigValues = if (g.lines.isEmpty) 0 else g.lines.map(_._1).max / 2 + 1
-      bw.put(bigValues.toLong, 9)
-      require(g.globalGain >= 0 && g.globalGain < 256)
-      bw.put(g.globalGain.toLong, 8)
-      require(g.scalefacCompress >= 0 && g.scalefacCompress < 16)
-      bw.put(g.scalefacCompress.toLong, 4)
-      bw.put(0, 1) // window_switching_flag: long blocks
-      require(g.tableSelect.length == 3 && g.tableSelect.forall(t => t >= 0 && t < 32))
-      g.tableSelect.foreach(t => bw.put(t.toLong, 5))
-      require(g.region0Count >= 0 && g.region0Count < 16)
-      require(g.region1Count >= 0 && g.region1Count < 8)
-      bw.put(g.region0Count.toLong, 4)
-      bw.put(g.region1Count.toLong, 3)
-      bw.put(g.preflag.toLong, 1)
-      bw.put(g.scalefacScale.toLong, 1)
-      bw.put(g.count1Table.toLong, 1)
-      gi += 1
-    }
+    while (gi < 2) { l3WriteSide(bw, gr(gi), bodies(gi).length); gi += 1 }
     bodies.foreach(_.drainTo(bw))
+    bw.bytes()
+  }
+
+  /** One Layer III STEREO frame: per-channel scfsi, granule-channel
+    * grid `gr(granule)(channel)`, coded as independent stereo
+    * (mode 00, `modeExt` ignored = 0) or joint stereo (mode 01) with
+    * `modeExt` selecting intensity (bit 0) / MS (bit 1). Main data in
+    * the spec order granule-major, channel-minor.
+    */
+  def encodeL3Stereo(scfsi: Array[Int], gr: Array[Array[L3Granule]],
+                     joint: Boolean = false, modeExt: Int = 0): Array[Byte] = {
+    require(gr.length == 2 && gr.forall(_.length == 2),
+      "layer3: stereo frames carry two granules x two channels")
+    require(scfsi.length == 2 && scfsi.forall(s => s >= 0 && s < 16))
+    require(modeExt >= 0 && modeExt < 4 && (joint || modeExt == 0))
+    val bodies = Array.tabulate(2, 2)((gi, ch) =>
+      l3GranuleBits(gr(gi)(ch), scfsi(ch), gi))
+    val bw = new BitWriter
+    l3WriteHeader(bw, mode = if (joint) 1 else 0, modeExt = modeExt)
+    // side info (stereo: 32 bytes)
+    bw.put(0, 9) // main_data_begin
+    bw.put(0, 3) // private bits
+    bw.put(scfsi(0).toLong, 4)
+    bw.put(scfsi(1).toLong, 4)
+    for (gi <- 0 to 1; ch <- 0 to 1)
+      l3WriteSide(bw, gr(gi)(ch), bodies(gi)(ch).length)
+    for (gi <- 0 to 1; ch <- 0 to 1) bodies(gi)(ch).drainTo(bw)
     bw.bytes()
   }
 
@@ -729,7 +761,7 @@ object MpegAudio {
   def decode(bytes: Array[Byte]): MpegPcm = {
     val br = new BitReader(bytes, 0)
     var synths: Array[Synth] = null
-    var l3Overlap: Array[Array[Long]] = null // IMDCT overlap state, frame-crossing
+    var l3Overlap: Array[Array[Array[Long]]] = null // per-channel IMDCT overlap, frame-crossing
     val pcmOut = scala.collection.mutable.ArrayBuffer.empty[Long]
     var layer = 0
     var channels = 0
@@ -755,19 +787,25 @@ object MpegAudio {
       val nCh = mode match {
         case 3 => 1
         case 0 => 2 // independent stereo
+        case 1 => // joint stereo: Layer III MS/intensity (L1/L2 joint
+          // subband modes stay the named rung)
+          require(thisLayer == 3,
+            "mpeg audio: joint stereo outside Layer III in this profile")
+          2
         case _ => throw new IllegalArgumentException(
-          "mpeg audio: joint/dual-channel modes outside this profile")
+          "mpeg audio: dual-channel mode outside this profile")
       }
       require(channels == 0 || channels == nCh,
         "mpeg audio: mixed channel modes in one stream")
       channels = nCh
       if (synths == null) synths = Array.fill(nCh)(new Synth)
-      br.get(2); br.get(1); br.get(1); br.get(2) // mode ext, (c), original, emphasis
+      val modeExt = br.get(2)
+      br.get(1); br.get(1); br.get(2) // (c), original, emphasis
 
       if (layer == 3) {
-        require(nCh == 1, "mpeg audio: Layer III profile is mono")
-        if (l3Overlap == null) l3Overlap = Array.fill(32, 18)(0L)
-        decodeL3Frame(br, synths(0), l3Overlap, pcmOut)
+        if (l3Overlap == null) l3Overlap = Array.fill(nCh, 32, 18)(0L)
+        decodeL3Frame(br, synths, l3Overlap, pcmOut, nCh,
+          joint = mode == 1, modeExt = modeExt)
         br.alignByte()
         nFrames += 1
       } else {
@@ -916,8 +954,9 @@ object MpegAudio {
     MpegPcm(layer, channels, nFrames, pcmOut.toArray)
   }
 
-  /** Decode one Layer III MONO frame body (header already consumed):
-    * 17-byte side info, two granules of main data — scalefactors with
+  /** Decode one Layer III frame body (header already consumed), mono or
+    * stereo: 17-byte (mono) / 32-byte (stereo) side info, two granules
+    * of per-channel main data — scalefactors with
     * scfsi reuse, region-selected big-value Huffman with ESC/linbits and
     * sign bits, the count1 quadruple region bounded by part2_3_length
     * (overrunning decodes discarded, stuffing skipped) — then the
@@ -926,17 +965,18 @@ object MpegAudio {
     * overlap-add, frequency inversion, and 18 polyphase steps per
     * granule appended to pcmOut.
     */
-  private def decodeL3Frame(br: BitReader, synth: Synth,
-                            overlap: Array[Array[Long]],
-                            pcmOut: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+  private def decodeL3Frame(br: BitReader, synths: Array[Synth],
+                            overlap: Array[Array[Array[Long]]],
+                            pcmOut: scala.collection.mutable.ArrayBuffer[Long],
+                            nCh: Int, joint: Boolean, modeExt: Int): Unit = {
     require(br.get(9) == 0,
       "mpeg audio: Layer III bit reservoir (main_data_begin != 0) outside this profile")
-    br.get(5) // private bits
-    val scfsi = br.get(4)
+    br.get(if (nCh == 1) 5 else 3) // private bits
+    val scfsi = Array.fill(nCh)(br.get(4))
     case class Side(part23: Int, bigValues: Int, globalGain: Int, sc: Int,
                     tsel: Array[Int], r0: Int, r1: Int, pre: Int,
                     sfScale: Int, c1t: Int)
-    val sides = Array.tabulate(2) { _ =>
+    val sides = Array.tabulate(2, nCh) { (_, _) =>
       val part23 = br.get(12)
       val bv = br.get(9)
       require(bv <= 288, "mpeg audio: big_values beyond the spectrum")
@@ -949,21 +989,28 @@ object MpegAudio {
         br.get(1), br.get(1), br.get(1))
       side
     }
-    val sf = Array.fill(2, 21)(0)
+    val sf = Array.fill(nCh, 21)(0)
     var gi = 0
     while (gi < 2) {
-      val s = sides(gi)
+      // per-channel requantized spectra of this granule; joint-stereo
+      // reconstruction needs both before the filterbank runs
+      val xrs = Array.ofDim[Long](nCh, 576)
+      val zeroBound = new Array[Int](nCh) // lines consumed (bv + count1)
+      var ch = 0
+      while (ch < nCh) {
+      val s = sides(gi)(ch)
       val start = br.bitPos
       val limit = start + s.part23
-      // part 2: scalefactors (scfsi shares granule 0's decoded values)
+      // part 2: scalefactors (scfsi shares granule 0's decoded values,
+      // per channel)
       val slen1 = l3Slen1(s.sc)
       val slen2 = l3Slen2(s.sc)
       var band = 0
       while (band <= 20) {
         val slen = if (band <= 10) slen1 else slen2
-        if (gi == 1 && ((scfsi >> l3ScfsiGroup(band)) & 1) == 1)
-          sf(1)(band) = sf(0)(band)
-        else if (slen > 0) sf(gi)(band) = br.get(slen)
+        if (gi == 1 && ((scfsi(ch) >> l3ScfsiGroup(band)) & 1) == 1)
+          () // keep the granule-0 value
+        else sf(ch)(band) = if (slen > 0) br.get(slen) else 0
         band += 1
       }
       // part 3: big-value pairs through the region-selected tables
@@ -1009,15 +1056,16 @@ object MpegAudio {
           case _ => done = true
         }
       }
+      zeroBound(ch) = pos
       br.seekBits(limit) // stuffing / discarded overrun
       // requantize (pinned integer curves; band 21 has no scalefactor)
-      val xr = new Array[Long](576)
+      val xr = xrs(ch)
       var p = 0
       while (p < 576) {
         val v = raw(p)
         if (v != 0) {
           val bandOf = l3Band(p)
-          val sfv = (if (bandOf <= 20) sf(gi)(bandOf) else 0) +
+          val sfv = (if (bandOf <= 20) sf(ch)(bandOf) else 0) +
             (if (s.pre == 1) l3PreTab(bandOf) else 0)
           val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
             l3SfAtt(sfv, s.sfScale)
@@ -1025,6 +1073,54 @@ object MpegAudio {
         }
         p += 1
       }
+      ch += 1
+      }
+      // joint stereo (Layer III): intensity bands split the transmitted
+      // (left) channel positionally — PINNED integer split kL(p) = p,
+      // kR(p) = 6 − p standing in for the spec's tan-based ratios, the
+      // is_pos = 7 escape falling back to MS (or L/R) per the spec —
+      // and MS bands reconstruct the butterfly L = M+S, R = M−S (the
+      // spec's 1/sqrt(2) is pinned to unit scaling; MpegAudio
+      // discipline: STRUCTURE exact, scale constants documented).
+      if (nCh == 2 && joint) {
+        val msOn = (modeExt & 2) != 0
+        val isOn = (modeExt & 1) != 0
+        val iStart =
+          if (!isOn) 576
+          else { // smallest band boundary at or above the right
+            // channel's zero bound (last coded line)
+            var b = 0
+            while (b < 22 && 26 * b < zeroBound(1)) b += 1
+            math.min(26 * b, 576)
+          }
+        var p = 0
+        while (p < 576) {
+          val ms =
+            if (p >= iStart) {
+              val bandOf = l3Band(p)
+              val isPos = if (bandOf <= 20) sf(1)(bandOf) else 0
+              require(isPos <= 7, "mpeg audio: intensity position beyond 7")
+              if (isPos != 7) {
+                val m = xrs(0)(p)
+                xrs(0)(p) = m * isPos
+                xrs(1)(p) = m * (6 - isPos)
+                false
+              } else msOn // is_pos 7: no intensity; MS if enabled
+            } else msOn
+          if (ms) {
+            val m = xrs(0)(p)
+            val s2 = xrs(1)(p)
+            xrs(0)(p) = m + s2
+            xrs(1)(p) = m - s2
+          }
+          p += 1
+        }
+      }
+      // filterbank per channel
+      var ch2 = 0
+      val pcmCh = Array.ofDim[Long](nCh, 18 * 32)
+      while (ch2 < nCh) {
+      val xr = xrs(ch2)
       // alias reduction across the 31 subband boundaries
       var sb = 1
       while (sb < 32) {
@@ -1065,19 +1161,19 @@ object MpegAudio {
           }
           var ss = 0
           while (ss < 18) {
-            var v = out(ss) + overlap(sb)(ss)
+            var v = out(ss) + overlap(ch2)(sb)(ss)
             if (sb % 2 == 1 && ss % 2 == 1) v = -v
             tim(sb)(ss) = v
-            overlap(sb)(ss) = out(18 + ss)
+            overlap(ch2)(sb)(ss) = out(18 + ss)
             ss += 1
           }
         } else {
           var ss = 0
           while (ss < 18) {
-            var v = overlap(sb)(ss)
+            var v = overlap(ch2)(sb)(ss)
             if (sb % 2 == 1 && ss % 2 == 1) v = -v
             tim(sb)(ss) = v
-            overlap(sb)(ss) = 0L
+            overlap(ch2)(sb)(ss) = 0L
             ss += 1
           }
         }
@@ -1090,10 +1186,19 @@ object MpegAudio {
       while (ss < 18) {
         var sb2 = 0
         while (sb2 < 32) { step(sb2) = tim(sb2)(ss); sb2 += 1 }
-        synth.granule(step, pcmBuf, 0)
+        synths(ch2).granule(step, pcmBuf, 0)
         var i = 0
-        while (i < 32) { pcmOut += pcmBuf(i); i += 1 }
+        while (i < 32) { pcmCh(ch2)(ss * 32 + i) = pcmBuf(i); i += 1 }
         ss += 1
+      }
+      ch2 += 1
+      }
+      // PCM interleave, sample-major (L0, R0, L1, R1, ...)
+      var t = 0
+      while (t < 18 * 32) {
+        var c = 0
+        while (c < nCh) { pcmOut += pcmCh(c)(t); c += 1 }
+        t += 1
       }
       gi += 1
     }

@@ -1605,6 +1605,64 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's Layer III STEREO stream (plan shared with Mp3StereoSpec's
+    * replay): one frame, one coded line per (granule, channel), the
+    * stereo mode rotating by doc — independent L/R, joint MS (same-line
+    * butterfly), joint intensity (left line high above the right
+    * channel's zero bound, right line low below it), and MS+intensity
+    * combined. scalefac_compress 15 keeps 3-bit scalefactors, which
+    * double as the intensity positions (kept ≤ 6).
+    */
+  private[operators] def mp3StereoStream(d: Long): Array[Byte] = {
+    val r = (d % 4).toInt
+    def posOf(gi: Int, ch: Int): Int =
+      if (r == 0) {
+        if (ch == 0) ((17 + 37 * d + 101 * gi) % 576).toInt
+        else ((29 + 41 * d + 89 * gi) % 576).toInt
+      } else if (r == 1) ((17 + 37 * d + 101 * gi) % 576).toInt
+      else if (ch == 0) (300 + ((37 * d + 101 * gi) % 270)).toInt
+      else ((13 + 7 * d + 11 * gi) % 64).toInt
+    def gran(gi: Int, ch: Int): MpegAudio.L3Granule = {
+      val v = (1 + (d + 3 * gi + 5 * ch) % 13).toInt
+      val signed = if ((d + 5 * gi + ch) % 2 == 1) -v else v
+      MpegAudio.L3Granule(
+        lines = Seq((posOf(gi, ch), signed)),
+        globalGain = ((29 * d + 7 * gi + 13 * ch) % 256).toInt,
+        scalefacCompress = 15,
+        tableSelect = Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt),
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = 0, scalefacScale = 0,
+        count1Table = 0, count1Quads = 0,
+        stuffBits = (3 * ((d + gi + ch) % 2)).toInt,
+        scalefac = band => ((d + band + gi + ch) % 7).toInt)
+    }
+    MpegAudio.encodeL3Stereo(Array(0, 0),
+      Array(Array(gran(0, 0), gran(0, 1)), Array(gran(1, 0), gran(1, 1))),
+      joint = r != 0,
+      modeExt = r match { case 0 => 0; case 1 => 2; case 2 => 1; case _ => 3 })
+  }
+
+  /** Each doc carries a REAL MPEG-1 Layer III STEREO stream from
+    * [[mp3StereoStream]] — all four stereo shapes graded: independent
+    * channels, the MS butterfly (pinned unit scaling for the spec's
+    * 1/sqrt(2)), positional intensity stereo above the right channel's
+    * zero bound (pinned kL = is_pos / kR = 6−is_pos split, the
+    * scalefactor field carrying is_pos), and both combined (MS below
+    * the intensity region). The oracle replays the per-channel line
+    * sets through the same linearity algebra as `q_mp3_decode`, with
+    * the sample-major L/R interleave in the checksum weights.
+    */
+  def withMp3StereoMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3StereoStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a REAL AAC-LC ADTS stream (one or two frames): one
     * nonzero spectral line per frame with the codebook rotating through
     * all 11 spectral books (escape sequences when book 11 comes up),
