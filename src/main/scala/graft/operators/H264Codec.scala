@@ -192,7 +192,8 @@ object H264Codec {
 
   final case class Sps(profile: Int, level: Int, widthMbs: Int, heightMbs: Int,
                        log2MaxFrameNum: Int, log2MaxPoc: Int)
-  final case class Pps(entropyCabac: Boolean, picInitQp: Int, chromaQpOff: Int)
+  final case class Pps(entropyCabac: Boolean, picInitQp: Int, chromaQpOff: Int,
+                       weightedPred: Boolean = false)
 
   private def writeSps(w: Int, h: Int): Array[Byte] = {
     val bw = new BitWriter
@@ -215,7 +216,8 @@ object H264Codec {
     bw.bytes()
   }
 
-  private def writePps(chromaQpOff: Int = 0, cabac: Boolean = false): Array[Byte] = {
+  private def writePps(chromaQpOff: Int = 0, cabac: Boolean = false,
+                       weighted: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0) // pps id
     bw.ue(0) // sps id
@@ -224,7 +226,7 @@ object H264Codec {
     bw.ue(0) // num_slice_groups_minus1
     bw.ue(0) // num_ref_idx_l0_default_active_minus1
     bw.ue(0) // num_ref_idx_l1_default_active_minus1
-    bw.put(0, 1) // weighted_pred_flag
+    bw.put(if (weighted) 1 else 0, 1) // weighted_pred_flag
     bw.put(0, 2) // weighted_bipred_idc
     bw.se(0) // pic_init_qp_minus26
     bw.se(0) // pic_init_qs_minus26
@@ -265,14 +267,15 @@ object H264Codec {
     br.get(1) // bottom_field_pic_order
     require(br.ue() == 0, "h264: slice groups (FMO) outside this profile")
     br.ue(); br.ue() // ref idx defaults
-    br.get(1); br.get(2) // weighted pred
+    val weighted = br.get(1) == 1 // weighted_pred_flag (P explicit WP)
+    require(br.get(2) == 0, "h264: weighted bi-prediction outside this profile")
     val qp = 26 + br.se()
     br.se() // pic_init_qs
     val chromaOff = br.se()
     require(chromaOff >= -12 && chromaOff <= 12, "h264: chroma_qp_index_offset out of range")
     br.get(1); br.get(1); br.get(1)
     br.trailing()
-    Pps(cabac, qp, chromaOff)
+    Pps(cabac, qp, chromaOff, weighted)
   }
 
   // ---- encode ---------------------------------------------------------------------
@@ -706,14 +709,32 @@ object H264Codec {
   final case class BMb(kind: Int, mv0: (Int, Int) = (0, 0), mv1: (Int, Int) = (0, 0),
                        tL: Int = 0, tCb: Int = 0, tCr: Int = 0)
 
+  /** One macroblock of the weighted multi-reference P slice: P_L0_16x16
+    * choosing its list-0 reference explicitly (0 = the P frame, 1 = the
+    * IDR), no residual.
+    */
+  final case class WMb(refIdx: Int, mv: (Int, Int) = (0, 0))
+
+  /** Explicit P-slice weighted-prediction table: log2 denominators and
+    * per-reference (weight, offset) for luma / Cb / Cr.
+    */
+  final case class WeightSpec(lumaDenom: Int, chromaDenom: Int,
+                              luma: Seq[(Int, Int)],
+                              cb: Seq[(Int, Int)], cr: Seq[(Int, Int)])
+
   /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`;
     * when `bmb` is set a third (non-reference) B slice follows, its
     * list 0 pinned to the P frame and list 1 to the IDR — the two most
     * recent references in decode order (no POC-based reordering in this
-    * profile; documented).
+    * profile; documented). When `wmb` is set a non-reference WEIGHTED
+    * multi-reference P slice follows instead: PPS weighted_pred_flag=1
+    * (frame 2 carries an identity pred_weight_table), two list-0
+    * references, per-MB ref_idx, and `wspec`'s explicit weights.
     */
   final case class InterPlan(intra: IntraPlan, pmb: Int => PMb,
-                             bmb: Int => BMb = null)
+                             bmb: Int => BMb = null,
+                             wmb: Int => WMb = null,
+                             wspec: WeightSpec = null)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -766,7 +787,8 @@ object H264Codec {
     */
   private[operators] def mvPredictPart(g: MotionGrid, mb: Int, cx0: Int, cy0: Int,
                                        wC: Int, part: Int,
-                                       writtenInMb: (Int, Int) => Boolean): (Int, Int) = {
+                                       writtenInMb: (Int, Int) => Boolean,
+                                       refIdx: Int = 0): (Int, Int) = {
     def avail(x: Int, y: Int): Boolean = cellAvail(g, mb, x, y, writtenInMb)
     def info(x: Int, y: Int): (Int, Int, Int) =
       if (avail(x, y)) (g.ref(y * g.gw + x), g.mvx(y * g.gw + x), g.mvy(y * g.gw + x))
@@ -777,14 +799,14 @@ object H264Codec {
     val cc = if (cAvail) info(cx0 + wC, cy0 - 1) else info(cx0 - 1, cy0 - 1)
     val cOrD = cAvail || avail(cx0 - 1, cy0 - 1)
     part match {
-      case 1 => if (b._1 == 0) return (b._2, b._3)
-      case 2 => if (a._1 == 0) return (a._2, a._3)
-      case 3 => if (a._1 == 0) return (a._2, a._3)
-      case 4 => if (cc._1 == 0) return (cc._2, cc._3)
+      case 1 => if (b._1 == refIdx) return (b._2, b._3)
+      case 2 => if (a._1 == refIdx) return (a._2, a._3)
+      case 3 => if (a._1 == refIdx) return (a._2, a._3)
+      case 4 => if (cc._1 == refIdx) return (cc._2, cc._3)
       case _ => ()
     }
     if (!avail(cx0, cy0 - 1) && !cOrD && avail(cx0 - 1, cy0)) return (a._2, a._3)
-    val same = Seq(a, b, cc).filter(_._1 == 0)
+    val same = Seq(a, b, cc).filter(_._1 == refIdx)
     if (same.length == 1) return (same.head._2, same.head._3)
     def med(x: Int, y: Int, z: Int) =
       x + y + z - math.min(x, math.min(y, z)) - math.max(x, math.max(y, z))
@@ -890,6 +912,11 @@ object H264Codec {
     */
   def encodeInter(p: InterPlan, cabac: Boolean = false,
                   deblockP: Boolean = false): Array[Byte] = {
+    require(p.wmb == null || (p.wspec != null && !cabac),
+      "h264 fixture: the weighted slice needs a WeightSpec and CAVLC (CABAC ref_idx is the next rung)")
+    require(p.wspec == null ||
+      (p.wspec.luma.size == 2 && p.wspec.cb.size == 2 && p.wspec.cr.size == 2),
+      "h264 fixture: two list-0 references need two weight entries")
     // the IDR stays unfiltered (idc=1) so the reference frame keeps the
     // plan's exact steered constants; only the P slice opts in
     val (idrSlice, rY, rU, rV) = intraSlice(p.intra, cabac)
@@ -911,6 +938,14 @@ object H264Codec {
     bw.put(2, 8) // pic_order_cnt_lsb
     bw.put(0, 1) // num_ref_idx_active_override_flag
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    if (p.wspec != null) {
+      // PPS-level weighted_pred_flag covers every P slice: this simple
+      // one carries the identity table (default weights = 1<<denom, 0)
+      bw.ue(p.wspec.lumaDenom)
+      bw.ue(p.wspec.chromaDenom)
+      bw.put(0, 1) // luma_weight_l0_flag
+      bw.put(0, 1) // chroma_weight_l0_flag
+    }
     bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
     if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26) // slice_qp_delta
@@ -1129,15 +1164,77 @@ object H264Codec {
     // reference of any following B slice), matching the decoder exactly
     if (deblockP) H264Deblock.filterFrame(recY, recU, recV, w, h, meta, mg, -6, 0, 0)
     val nals = scala.collection.mutable.ArrayBuffer(
-      nal(3, 7, writeSps(w, h)), nal(3, 8, writePps(-6, cabac)),
+      nal(3, 7, writeSps(w, h)),
+      nal(3, 8, writePps(-6, cabac, weighted = p.wspec != null)),
       nal(3, 5, idrSlice), nal(2, 1, bw.bytes()))
     if (p.bmb != null) {
       val f2 = H264Frame(w, h, recY, recU, recV)
       nals += nal(0, 1, bSlice(p, w, h, ref, f2, cabac))
     }
+    if (p.wmb != null) {
+      // non-reference weighted P slice: list 0 = [the P frame, the IDR]
+      val f2 = H264Frame(w, h, recY, recU, recV)
+      nals += nal(0, 1, weightedSlice(p, w, h, f2, ref))
+    }
     val out = new java.io.ByteArrayOutputStream()
     nals.foreach(n => out.write(n, 0, n.length))
     out.toByteArray
+  }
+
+  /** Encode the non-reference weighted multi-reference P slice: two
+    * list-0 entries (ref_idx te-coded per MB), explicit
+    * pred_weight_table from the plan's [[WeightSpec]], P_L0_16x16 MBs
+    * without residual; the MV predictor runs with reference matching
+    * (8.4.1.3's exactly-one-same-reference rule now discriminates by
+    * the actual refIdx). CAVLC only.
+    */
+  private def weightedSlice(p: InterPlan, w: Int, h: Int,
+                            refNew: H264Frame, refOld: H264Frame): Array[Byte] = {
+    val qp = 28
+    val ws = p.wspec
+    val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(5) // slice_type: P
+    bw.ue(0) // pps id
+    bw.put(2, 8) // frame_num
+    bw.put(6, 8) // pic_order_cnt_lsb
+    bw.put(1, 1) // num_ref_idx_active_override_flag
+    bw.ue(1) // num_ref_idx_l0_active_minus1: two references
+    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    // pred_weight_table: explicit weights for both references
+    bw.ue(ws.lumaDenom)
+    bw.ue(ws.chromaDenom)
+    var ri = 0
+    while (ri < 2) {
+      bw.put(1, 1); bw.se(ws.luma(ri)._1); bw.se(ws.luma(ri)._2)
+      bw.put(1, 1)
+      bw.se(ws.cb(ri)._1); bw.se(ws.cb(ri)._2)
+      bw.se(ws.cr(ri)._1); bw.se(ws.cr(ri)._2)
+      ri += 1
+    }
+    // nal_ref_idc 0: no dec_ref_pic_marking
+    bw.se(qp - 26) // slice_qp_delta
+    bw.ue(1) // disable_deblocking_filter_idc: off
+    val snk: IntraSink = new CavlcSink(bw, mbW, mbH)
+    val mg = new MotionGrid(mbW, mbH)
+    var mb = 0
+    while (mb < nMb) {
+      val r = mb / mbW; val c = mb % mbW
+      val m = p.wmb(mb)
+      require(m.refIdx == 0 || m.refIdx == 1, "h264 fixture: refIdx is 0 or 1")
+      snk.pSkip(flag = false, mb)
+      snk.pMbType(0, mb) // P_L0_16x16
+      bw.put(1 - m.refIdx, 1) // ref_idx_l0: te() with cMax 1
+      val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten, m.refIdx)
+      snk.mvd(m.mv._1 - mvp._1, m.mv._2 - mvp._2, c * 4, r * 4, 4, 4)
+      mg.fill(c * 4, r * 4, 4, 4, m.refIdx, m.mv._1, m.mv._2)
+      snk.cbp(0, mb)
+      snk.endMb(mb == nMb - 1)
+      mb += 1
+    }
+    snk.finish()
+    bw.bytes()
   }
 
   /** Encode the non-reference B slice (frame 3): list 0 = the P frame,
@@ -1302,6 +1399,18 @@ object H264Codec {
     ((f * vTab(qpc % 6)(0) * 16) << (qpc / 6)) >> 5
 
   private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Explicit weighted-prediction transform (8.4.2.3.2, P slices):
+    * pred' = Clip1(((w·pred + 2^(d−1)) >> d) + o), in place per plane.
+    */
+  private def wpApply(a: Array[Int], w: Int, o: Int, d: Int): Unit = {
+    var i = 0
+    while (i < a.length) {
+      a(i) = clip255(if (d > 0) ((w * a(i) + (1 << (d - 1))) >> d) + o
+      else w * a(i) + o)
+      i += 1
+    }
+  }
 
   /** Spec 8.5.12.2 inverse 4x4 transform core (rows then columns; output
     * still carries the 64x gain — callers apply (r+32)>>6).
@@ -2698,10 +2807,42 @@ object H264Codec {
     br.get(sps.log2MaxPoc) // poc lsb
     if (isB) require(br.get(1) == 0,
       "h264: spatial-direct B prediction is the next rung")
+    var numRef0 = 1
     if (isP || isB) {
-      require(br.get(1) == 0, "h264: num_ref_idx override outside this profile")
+      if (br.get(1) == 1) { // num_ref_idx_active_override_flag
+        require(isP, "h264: B num_ref_idx override outside this profile")
+        numRef0 = br.ue() + 1
+        require(numRef0 <= 2, "h264: more than two list-0 references outside this profile")
+        require(!pps.entropyCabac || numRef0 == 1,
+          "h264: CABAC ref_idx coding is the next rung")
+      }
       require(br.get(1) == 0, "h264: ref_pic_list_modification outside this profile")
       if (isB) require(br.get(1) == 0, "h264: ref_pic_list_modification (l1) outside this profile")
+    }
+    if (numRef0 > 1) require(refPrev != null,
+      "h264: two list-0 references need two decoded reference frames")
+    // pred_weight_table (7.3.3.2): explicit P-slice weighted prediction
+    var wpDL = 0
+    var wpDC = 0
+    val wpLuma = Array.fill(math.max(numRef0, 1))((0, 0))
+    val wpCb = Array.fill(math.max(numRef0, 1))((0, 0))
+    val wpCr = Array.fill(math.max(numRef0, 1))((0, 0))
+    if (pps.weightedPred && isP) {
+      wpDL = br.ue(); require(wpDL <= 7, "h264: luma weight denom out of range")
+      wpDC = br.ue(); require(wpDC <= 7, "h264: chroma weight denom out of range")
+      var ri = 0
+      while (ri < numRef0) {
+        if (br.get(1) == 1) wpLuma(ri) = (br.se(), br.se())
+        else wpLuma(ri) = (1 << wpDL, 0)
+        if (br.get(1) == 1) {
+          wpCb(ri) = (br.se(), br.se())
+          wpCr(ri) = (br.se(), br.se())
+        } else {
+          wpCb(ri) = (1 << wpDC, 0)
+          wpCr(ri) = (1 << wpDC, 0)
+        }
+        ri += 1
+      }
     }
     if (isIdr) { br.get(1); br.get(1) } // dec_ref_pic_marking (IDR form)
     else if (refIdc != 0)
@@ -2731,9 +2872,15 @@ object H264Codec {
       val cx = c * 8; val cy = r * 8
       if ((isP || isB) && src.pSkipNext(mb)) {
         require(isP, "h264: B_Skip (direct) macroblocks are the next rung")
-        // P_Skip: derived motion, no residual
+        // P_Skip: derived motion, no residual; refIdx 0 and the explicit
+        // weights still apply (skip is ordinary inter prediction)
         val smv = skipMvCell(mg, mb, c * 4, r * 4)
         val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
+        if (pps.weightedPred) {
+          wpApply(pY, wpLuma(0)._1, wpLuma(0)._2, wpDL)
+          wpApply(pU, wpCb(0)._1, wpCb(0)._2, wpDC)
+          wpApply(pV, wpCr(0)._1, wpCr(0)._2, wpDC)
+        }
         var i = 0
         while (i < 256) { y((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
         i = 0
@@ -2757,6 +2904,9 @@ object H264Codec {
         }
         if ((isP && rawType < 5) || (isB && rawType < 23)) {
           if (isP) require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
+          if (isP && numRef0 > 1) require(rawType == 0,
+            "h264: multi-reference sub-partitions are the next rung")
+          var mbRef0 = 0 // list-0 reference of this MB (P_L0_16x16 only)
           val (pY, pU, pV) =
             if (isB) {
               // B_L0 / B_L1 / B_Bi 16x16: per-list mvd over per-list
@@ -2824,12 +2974,14 @@ object H264Codec {
               }
               (aY, aU, aV)
             } else if (rawType == 0) {
-              val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
+              if (isP && numRef0 > 1)
+                mbRef0 = 1 - br.get(1) // ref_idx_l0: te() with cMax 1
+              val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten, mbRef0)
               val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
               val mvX = mvp._1 + dx
               val mvY = mvp._2 + dy
-              mg.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
-              mcFetch(ref, mx, my, mvX, mvY)
+              mg.fill(c * 4, r * 4, 4, 4, mbRef0, mvX, mvY)
+              mcFetch(if (mbRef0 == 0) ref else refPrev, mx, my, mvX, mvY)
             } else {
               // P_L0_L0_16x8 / P_L0_L0_8x16: per-partition mvds against
               // the directional-preference predictors, then per-partition
@@ -2869,6 +3021,11 @@ object H264Codec {
               }
               (aY, aU, aV)
             }
+          if (isP && pps.weightedPred) {
+            wpApply(pY, wpLuma(mbRef0)._1, wpLuma(mbRef0)._2, wpDL)
+            wpApply(pU, wpCb(mbRef0)._1, wpCb(mbRef0)._2, wpDC)
+            wpApply(pV, wpCr(mbRef0)._1, wpCr(mbRef0)._2, wpDC)
+          }
           val cbp = src.cbp(mb)
           val cbpLuma = cbp & 15
           val cbpC = cbp >> 4

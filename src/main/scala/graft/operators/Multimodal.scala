@@ -826,6 +826,59 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Three-frame weighted-prediction plan (shared with the spec): IDR
+    * constants t1, an all-intra-in-P frame 2 with constants t2 (the two
+    * references thus differ per MB), then the non-reference weighted
+    * multi-ref P slice — per-MB ref_idx rotating by doc, two MBs with
+    * MB-shift MVs so MC composes with the weights, explicit per-ref
+    * luma/chroma weights and offsets rotating by doc (denominators 2
+    * and 1), all constants bounded so the WP transform never clips.
+    */
+  private[operators] def h264WeightedPlan(d: Long): H264Codec.InterPlan = {
+    def t1(mb: Int) = ((37 * d + 19 * mb) % 136 + 24).toInt
+    def t1cb(mb: Int) = ((91 * d + 29 * (mb / 2 + mb % 2)) % 180 + 12).toInt
+    def t1cr(mb: Int) = ((53 * d + 31 * (mb / 2 + mb % 2)) % 180 + 12).toInt
+    def t2(mb: Int) = ((41 * d + 23 * mb) % 136 + 24).toInt
+    def t2cb(mb: Int) = ((67 * d + 17 * mb) % 180 + 12).toInt
+    def t2cr(mb: Int) = ((71 * d + 13 * mb) % 180 + 12).toInt
+    val intra = H264Codec.IntraPlan(32, 32,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = t1, tCb = t1cb, tCr = t1cr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = mb => H264Codec.PMb(kind = 3, tL = t2(mb), tCb = t2cb(mb), tCr = t2cr(mb)),
+      wmb = mb => H264Codec.WMb(
+        refIdx = ((mb + d) % 2).toInt,
+        mv = mb match {
+          case 2 => (64, 0)  // fetches MB 3's region
+          case 3 => (0, -64) // fetches MB 1's region
+          case _ => (0, 0)
+        }),
+      wspec = H264Codec.WeightSpec(
+        lumaDenom = 2, chromaDenom = 1,
+        luma = Seq(((3 + d % 3).toInt, ((d % 11) - 5).toInt),
+          ((2 + (d + 1) % 3).toInt, (((d + 3) % 11) - 5).toInt)),
+        cb = Seq(((1 + d % 2).toInt, ((d % 7) - 3).toInt),
+          ((1 + (d + 1) % 2).toInt, (((d + 2) % 7) - 3).toInt)),
+        cr = Seq(((1 + (d + 1) % 2).toInt, (((d + 5) % 7) - 3).toInt),
+          ((1 + d % 2).toInt, (((d + 1) % 7) - 3).toInt))))
+  }
+
+  /** Each doc carries the [[h264WeightedPlan]] three-frame stream:
+    * explicit weighted prediction + two list-0 references, graded
+    * frame-weighted and byte-exact.
+    */
+  def withH264WeightedMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map(d => (d, H264Codec.encodeInter(h264WeightedPlan(d))))
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class H264VideoStats(doc_id: Long, width: Long, height: Long,
                             n_frames: Long, pix_checksum: Long)
 
