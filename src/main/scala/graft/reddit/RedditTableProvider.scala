@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,6 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * just row emission — once the pushed limit is reached, so
   * `.limit(100)` against a million-post subreddit costs one API page,
   * the `top(time_filter, limit)` contract's cost model (T4).
+  * `SupportsPushDownFilters` accepts `created_utc` range predicates
+  * (evaluated exactly in the reader, so Spark drops them post-scan);
+  * with `timeordered=true` — the PRAW newest-first listing guarantee —
+  * the walk also STOPS at the first post below the window start,
+  * completing the `top(time_filter)` semantics end-to-end: a one-week
+  * window against a years-deep subreddit costs one week of pages.
   */
 object RedditApi {
 
@@ -237,28 +244,96 @@ final class RedditTable(options: Map[String, String]) extends Table with Support
     new RedditScanBuilder(options ++ caseInsensitive.asScala)
 }
 
+/** The created_utc window pushed into the source: optional lower and
+  * upper bounds, each (epoch seconds, inclusive). The lower bound is
+  * PRAW's `top(time_filter=...)` window start — when the transport's
+  * listing is newest-first (`timeordered=true`), the page-fetch walk
+  * STOPS at the first below-window post, ending the API cost exactly
+  * where the reference's time filter would.
+  */
+final case class CreatedWindow(min: Option[(Double, Boolean)],
+                               max: Option[(Double, Boolean)]) {
+  def accepts(cu: Option[Double]): Boolean = cu match {
+    case None => min.isEmpty && max.isEmpty // SQL: NULL fails any bound
+    case Some(v) =>
+      min.forall { case (b, incl) => if (incl) v >= b else v > b } &&
+        max.forall { case (b, incl) => if (incl) v <= b else v < b }
+  }
+  /** Everything from here on is older than the window (ordered walks). */
+  def belowWindow(cu: Option[Double]): Boolean = cu.exists { v =>
+    min.exists { case (b, incl) => if (incl) v < b else v <= b }
+  }
+  def describe: String = (min.map { case (b, i) =>
+    s"created_utc ${if (i) ">=" else ">"} $b" } ++
+    max.map { case (b, i) => s"created_utc ${if (i) "<=" else "<"} $b" })
+    .mkString(", ")
+}
+
 final class RedditScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownFilters {
   private var limit: Int = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var window = CreatedWindow(None, None)
   // Spark still applies the global limit on top; the push stops each
   // partition's PAGE FETCHES at n rows — the actual API-cost win.
   override def pushLimit(n: Int): Boolean = { limit = n; true }
-  override def build(): Scan = new RedditScan(options, limit)
+  // created_utc range predicates are accepted and evaluated EXACTLY in
+  // the reader (so they are consumed, not re-evaluated); everything
+  // else stays with Spark.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def tighterMin(b: Double, incl: Boolean): Unit = window.min match {
+      case Some((b0, i0)) if b0 > b || (b0 == b && !i0) => ()
+      case _ => window = window.copy(min = Some((b, incl)))
+    }
+    def tighterMax(b: Double, incl: Boolean): Unit = window.max match {
+      case Some((b0, i0)) if b0 < b || (b0 == b && !i0) => ()
+      case _ => window = window.copy(max = Some((b, incl)))
+    }
+    val (acc, rest) = filters.partition {
+      case GreaterThanOrEqual("created_utc", v) => num(v).isDefined
+      case GreaterThan("created_utc", v) => num(v).isDefined
+      case LessThanOrEqual("created_utc", v) => num(v).isDefined
+      case LessThan("created_utc", v) => num(v).isDefined
+      case _ => false
+    }
+    acc.foreach {
+      case GreaterThanOrEqual(_, v) => tighterMin(num(v).get, incl = true)
+      case GreaterThan(_, v) => tighterMin(num(v).get, incl = false)
+      case LessThanOrEqual(_, v) => tighterMax(num(v).get, incl = true)
+      case LessThan(_, v) => tighterMax(num(v).get, incl = false)
+      case _ => ()
+    }
+    pushed = acc
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new RedditScan(options, limit, window)
 }
 
-final class RedditScan(options: Map[String, String], limit: Int) extends Scan with Batch {
+final class RedditScan(options: Map[String, String], limit: Int,
+                       window: CreatedWindow) extends Scan with Batch {
   override def readSchema(): StructType = RedditApi.schema
   override def toBatch: Batch = this
+  override def description(): String = {
+    val lim = if (limit == Int.MaxValue) "" else s", PushedLimit: $limit"
+    val win = if (window.describe.isEmpty) "" else s", PushedFilters: [${window.describe}]"
+    s"reddit$win$lim"
+  }
   override def planInputPartitions(): Array[InputPartition] =
     options.getOrElse("subreddits", "stocks").split(",").map(_.trim)
       .filter(_.nonEmpty).map(sr => RedditInputPartition(sr): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new RedditReaderFactory(options, limit)
+    new RedditReaderFactory(options, limit, window)
 }
 
 final case class RedditInputPartition(subreddit: String) extends InputPartition
 
-final class RedditReaderFactory(options: Map[String, String], limit: Int)
+final class RedditReaderFactory(options: Map[String, String], limit: Int,
+                                window: CreatedWindow)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RedditInputPartition]
@@ -268,7 +343,12 @@ final class RedditReaderFactory(options: Map[String, String], limit: Int)
       maxRetries = options.getOrElse("maxretries", "3").toInt,
       backoffMs = options.getOrElse("backoffms", "0").toLong,
       throttleMs = options.getOrElse("throttlems", "0").toLong,
-      limit = limit)
+      limit = limit,
+      window = window,
+      // newest-first listings (PRAW's ordering) may early-stop the page
+      // walk at the window's lower edge; opt-in because an arbitrary
+      // JSONL fixture carries no ordering guarantee
+      timeOrdered = options.getOrElse("timeordered", "false").toBoolean)
   }
 }
 
@@ -281,7 +361,9 @@ final class RedditReaderFactory(options: Map[String, String], limit: Int)
   */
 final class RedditPartitionReader(transport: RedditTransport, subreddit: String,
                                   maxRetries: Int, backoffMs: Long,
-                                  throttleMs: Long, limit: Int)
+                                  throttleMs: Long, limit: Int,
+                                  window: CreatedWindow = CreatedWindow(None, None),
+                                  timeOrdered: Boolean = false)
     extends PartitionReader[InternalRow] {
   private var cursor: Option[String] = None
   private var pagesFetched = 0
@@ -308,18 +390,33 @@ final class RedditPartitionReader(transport: RedditTransport, subreddit: String,
 
   override def next(): Boolean = {
     if (emitted >= limit) return false
-    while (!buf.hasNext && hasMore) {
-      if (pagesFetched > 0 && throttleMs > 0) Thread.sleep(throttleMs)
-      val p = fetchWithRetry()
-      buf = p.posts.iterator
-      cursor = p.after
-      hasMore = p.hasMore
-      pagesFetched += 1
+    while (true) {
+      while (!buf.hasNext && hasMore) {
+        if (pagesFetched > 0 && throttleMs > 0) Thread.sleep(throttleMs)
+        val p = fetchWithRetry()
+        buf = p.posts.iterator
+        cursor = p.after
+        hasMore = p.hasMore
+        pagesFetched += 1
+      }
+      if (!buf.hasNext) return false
+      val cand = buf.next()
+      if (timeOrdered && window.belowWindow(cand.created_utc)) {
+        // newest-first walk: everything after this post is older than
+        // the pushed window start — stop the PAGE FETCHES here
+        buf = Iterator.empty
+        hasMore = false
+        return false
+      }
+      if (window.accepts(cand.created_utc)) {
+        current = cand
+        emitted += 1
+        return true
+      }
+      // out-of-window row (above the window, or NULL created_utc
+      // against a pushed bound): skip and keep walking
     }
-    if (!buf.hasNext) return false
-    current = buf.next()
-    emitted += 1
-    true
+    throw new IllegalStateException("unreachable")
   }
 
   override def get(): InternalRow = {

@@ -66,6 +66,63 @@ class RedditTableProviderSpec extends SparkTestBase {
     assert(calls.get() == 1, s"expected 1 page fetch, got ${calls.get()}")
   }
 
+  test("pushed created_utc window: visible in the plan, rows filtered exactly") {
+    val path = jsonl(fixture)
+    val df = spark.read.format("reddit")
+      .option("path", path)
+      .option("subreddits", "stocks,wallstreetbets")
+      .load()
+      .filter("created_utc >= 1742826792.0 AND created_utc < 1742826794.0")
+    // the window is consumed by the source: the scan node advertises it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("created_utc >= 1.742826792E9"), plan)
+    assert(plan.contains("created_utc < 1.742826794E9"), plan)
+    val ids = df.collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("a2", "a3"))
+    // a post with NULL created_utc fails a pushed bound (SQL semantics)
+    val withNull = jsonl(fixture :+
+      """{"id":"n1","title":"no time","subreddit":"stocks"}""")
+    val got = spark.read.format("reddit")
+      .option("path", withNull).option("subreddits", "stocks")
+      .load().filter("created_utc >= 0.0").collect()
+    assert(!got.exists(_.getString(0) == "n1"))
+  }
+
+  test("timeordered walk stops page fetches at the window's lower edge") {
+    val calls = RedditTableProviderSpec.fetchCalls
+    RedditTransports.register("counting2", opts => new RedditTransport {
+      private val inner = new JsonlTransport(opts("path"), pageSize = 1)
+      def fetch(subreddit: String, after: Option[String]): RedditApi.Page = {
+        RedditTableProviderSpec.fetchCalls.incrementAndGet()
+        inner.fetch(subreddit, after)
+      }
+    })
+    // newest-first listing: 4 stocks posts descending in created_utc
+    val desc = jsonl(Seq(
+      """{"id":"d1","title":"t","score":1,"created_utc":400.0,"subreddit":"stocks"}""",
+      """{"id":"d2","title":"t","score":1,"created_utc":300.0,"subreddit":"stocks"}""",
+      """{"id":"d3","title":"t","score":1,"created_utc":200.0,"subreddit":"stocks"}""",
+      """{"id":"d4","title":"t","score":1,"created_utc":100.0,"subreddit":"stocks"}"""))
+    def run(ordered: Boolean): (Seq[String], Int) = {
+      calls.set(0)
+      val r = spark.read.format("reddit")
+        .option("path", desc).option("transport", "counting2")
+        .option("subreddits", "stocks").option("timeordered", ordered.toString)
+        .load().filter("created_utc >= 300.0")
+        .collect().map(_.getString(0)).sorted.toSeq
+      (r, calls.get())
+    }
+    val (idsOrdered, pagesOrdered) = run(ordered = true)
+    assert(idsOrdered == Seq("d1", "d2"))
+    // page 3 surfaces the first below-window post and STOPS; page 4
+    // (and the cursor-end probe) never happen
+    assert(pagesOrdered == 3, s"expected 3 page fetches, got $pagesOrdered")
+    // without the ordering guarantee: same rows, full walk
+    val (idsFull, pagesFull) = run(ordered = false)
+    assert(idsFull == Seq("d1", "d2"))
+    assert(pagesFull == 4, s"expected 4 page fetches, got $pagesFull")
+  }
+
   test("transport failures are retried maxRetries times, then surface") {
     RedditTransports.register("flaky", opts => new RedditTransport {
       private val inner = new JsonlTransport(opts("path"), pageSize = 100)
