@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** One-shot scale probes for the two candidate-generation families whose
+  * 100 TB arguments were previously design-level only: MinHash-LSH
+  * near-dup and IVF ANN search. Each family runs the SAME bucket math at
+  * 1x and 10x corpus volume (LSH: the q_lsh_scale corpus shape scaled;
+  * IVF: a synthetic embedding corpus with centroids trained ONCE on the
+  * 1x sample and reused, so only the data volume changes) and records
+  * MEASURED wall seconds and rows shuffled (task-level shuffle write
+  * records), then the empirical scaling exponent
+  * log10(wall_10x / wall_1x). Sub-linear-to-linear exponents are the
+  * evidence that the bucketed shapes hold at scale — an all-pairs
+  * regression would read as exponent ~2. Results land in BASELINE.md
+  * (the BpeScale discipline: measured, not extrapolated).
+  */
+object DedupAnnScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        (): Unit
+      }
+    })
+
+    def measured(work: => Long): (Double, Long, Long) = {
+      // the listener bus drains asynchronously; a short settle keeps the
+      // per-probe shuffle accounting from bleeding across probes
+      Thread.sleep(500)
+      shuffleRecords.set(0)
+      val t0 = System.nanoTime()
+      val out = work
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      (math.round(wall * 100) / 100.0, shuffleRecords.get(), out)
+    }
+
+    // ---- MinHash-LSH: the q_lsh_scale corpus shape at 1x and 10x -----------
+    def lshCorpus(mult: Int): DataFrame = {
+      val base = spark.range(50000L * mult).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("tok"), col("id"), lit(s"x$j"))): _*).as("text"))
+      base.union(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    }
+    def lshRun(mult: Int): (Double, Long, Long) = measured {
+      Dedup.minhashLsh(lshCorpus(mult), "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5).count()
+    }
+    lshRun(1) // JVM/codegen warmup outside the measured window
+    val lsh1 = lshRun(1)
+    val lsh10 = lshRun(10)
+
+    // ---- IVF ANN: synthetic 32-dim corpus, centroids trained once ---------
+    val dim = 32
+    val cells = 64
+    def ivfCorpus(mult: Int): DataFrame =
+      spark.range(100000L * mult).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "j -> cast(((id * 31 + j * 7 + (id % 13) * j) % 97) - 48 as float))")
+          .as("embedding"))
+    val cents = Similarity.ivfCentroids(ivfCorpus(1), "vec_id", "embedding", cells = cells)
+    def ivfRun(mult: Int): (Double, Long, Long) = measured {
+      val corpus = ivfCorpus(mult)
+      val indexed = Similarity.assignCells(corpus, "vec_id", "embedding", cents)
+      Similarity.ivfSearch(indexed, corpus.filter(col("vec_id") < 100),
+        cents, "vec_id", "embedding", nprobe = 4, k = 10).count()
+    }
+    ivfRun(1) // warmup
+    val ivf1 = ivfRun(1)
+    val ivf10 = ivfRun(10)
+
+    def exp10(a: Double, b: Double): Double =
+      math.round(math.log(b / a) / math.log(10.0) * 1000) / 1000.0
+    def block(x1: (Double, Long, Long), x10: (Double, Long, Long)): String =
+      s"""{"x1":{"wall_sec":${x1._1},"shuffle_records":${x1._2},"rows_out":${x1._3}},""" +
+        s""""x10":{"wall_sec":${x10._1},"shuffle_records":${x10._2},"rows_out":${x10._3}},""" +
+        s""""wall_exponent":${exp10(x1._1, x10._1)},""" +
+        s""""shuffle_exponent":${exp10(math.max(1, x1._2).toDouble, math.max(1, x10._2).toDouble)}}"""
+    println(s"""{"metric":"dedup_ann_scale","lsh":${block(lsh1, lsh10)},""" +
+      s""""ivf":${block(ivf1, ivf10)}}""")
+    spark.stop()
+  }
+}
