@@ -6350,6 +6350,138 @@ object QueryCatalog {
              |FROM base LEFT JOIN chk ON chk.d = base.d
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL MPEG-1 Layer III WINDOW SWITCHING, graded exactly — the
+    // transient shape every real MP3 uses: four granules walking
+    // long -> START -> SHORT -> STOP. The SHORT granule carries the
+    // switching side info (block_type, mixed flag, TWO table selects,
+    // three subblock gains in the same 22 side bits), 12x3 short
+    // scalefactors, the TRANSMITTED band-major order whose reordering
+    // the decoder must invert, per-window subblock-gain attenuation, NO
+    // alias reduction, and three 12-point IMDCTs overlapping inside the
+    // granule at offsets 6+6w; the transitions run the long filterbank
+    // under piecewise windows whose ZERO regions make the block type
+    // value-visible. One line per granule keeps the chain linear; the
+    // oracle unions the short granule's 12-point path with the
+    // long-class alias/36-point path before the shared polyphase sum.
+    ("q_mp3_short",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMp3SwitchMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id AS d FROM documents),
+             |longs AS (
+             |  SELECT b.d, q8.gs, q7.sbp,
+             |    sum(q6.xr * q7.w * ((7*pp.p + 11*q7.kp + 3) % 23 - 11)
+             |      * q9.win
+             |      * (CASE WHEN q7.sbp % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM base b
+             |  JOIN range(0, 4) gg(gi) ON gg.gi <> 2
+             |  JOIN range(0, 2) aa(a) ON true
+             |  JOIN range(0, 36) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (17 + 37*b.d + 101*gg.gi) % 576 AS pos,
+             |    (b.d + gg.gi) % 16 AS sc,
+             |    (b.d // 4 + gg.gi) % 2 AS sscale,
+             |    1 + ((29*b.d + 7*gg.gi) % 256) % 9 AS gain,
+             |    1 + (b.d + 3*gg.gi) % 13 AS v) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.pos // 18 AS sb, q1.pos % 18 AS k,
+             |    least(q1.pos // 26, 21) AS band) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q2.band <= 10 THEN q1.sc // 4 ELSE q1.sc % 4 END AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN q2.band > 20 THEN 0
+             |          ELSE (3*b.d + q2.band + gg.gi) % (1 << q4.slen) END)
+             |    + CASE WHEN (b.d // 2 + gg.gi) % 2 = 1 THEN q2.band % 3
+             |           ELSE 0 END AS sfv) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + 5*gg.gi) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q1.v * (q1.v + 2) * q1.gain
+             |      * (1 + (3 * q5.sfv * (1 + q1.sscale)) % 11) AS xr) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN aa.a = 0 THEN q2.sb
+             |         WHEN q2.k >= 10 THEN q2.sb + 1 ELSE q2.sb - 1 END AS sbp,
+             |    CASE WHEN aa.a = 0 THEN q2.k ELSE 17 - q2.k END AS kp,
+             |    CASE WHEN aa.a = 0 THEN
+             |      CASE WHEN q2.k >= 10 AND q2.sb < 31 THEN 2 + (17 - q2.k) % 3
+             |           WHEN q2.k <= 7 AND q2.sb >= 1 THEN 2 + q2.k % 3
+             |           ELSE 1 END
+             |    ELSE CASE WHEN q2.k >= 10 THEN 1 + (17 - q2.k) % 2
+             |              ELSE -(1 + q2.k % 2) END END AS w,
+             |    aa.a = 0 OR (q2.k >= 10 AND q2.sb < 31)
+             |      OR (q2.k <= 7 AND q2.sb >= 1) AS valid) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN pp.p < 18 THEN gg.gi*18 + pp.p
+             |         ELSE (gg.gi + 1)*18 + pp.p - 18 END AS gs) q8
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE gg.gi
+             |      WHEN 0 THEN 1 + (5*pp.p + 2) % 9
+             |      WHEN 1 THEN CASE WHEN pp.p < 18 THEN 1 + (5*pp.p + 2) % 9
+             |        WHEN pp.p < 24 THEN 7
+             |        WHEN pp.p < 30 THEN 1 + (5*(11 - (pp.p - 24))) % 11
+             |        ELSE 0 END
+             |      ELSE CASE WHEN pp.p < 6 THEN 0
+             |        WHEN pp.p < 12 THEN 1 + (5*(pp.p - 6)) % 11
+             |        WHEN pp.p < 18 THEN 7
+             |        ELSE 1 + (5*pp.p + 2) % 9 END
+             |    END AS win) q9
+             |  WHERE q7.valid AND q8.gs < 72
+             |  GROUP BY b.d, q8.gs, q7.sbp),
+             |shorts AS (
+             |  SELECT b.d, q8.gs, q2.sb AS sbp,
+             |    sum(q6.xr * ((19*pp.p + 7*q2.i + 3) % 17 - 8)
+             |      * (1 + (5*pp.p) % 11)
+             |      * (CASE WHEN q2.sb % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM base b
+             |  JOIN range(0, 12) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (17 + 37*b.d + 202) % 576 AS pos,
+             |    (b.d + 2) % 16 AS sc,
+             |    (b.d // 4) % 2 AS sscale,
+             |    1 + ((29*b.d + 14) % 256) % 9 AS gain,
+             |    1 + (b.d + 6) % 13 AS v) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.pos // 48 AS s, (q1.pos % 48) // 16 AS w,
+             |    16*(q1.pos // 48) + q1.pos % 16 AS f) q1b
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1b.f // 6 AS sb, q1b.f % 6 AS i) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1b.s <= 5 THEN q1.sc // 4 ELSE q1.sc % 4 END AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (b.d + 2*q1b.w + q1b.s) % (1 << q4.slen) AS sfv,
+             |    1 + (5*((b.d + q1b.w + 2) % 8)) % 7 AS subg) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN b.d % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q1.v * (q1.v + 2) * q1.gain
+             |      * (1 + (3 * q5.sfv * (1 + q1.sscale)) % 11) * q5.subg AS xr) q6
+             |  CROSS JOIN LATERAL (SELECT 6 + 6*q1b.w + pp.p AS s36) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q7.s36 < 18 THEN 36 + q7.s36
+             |         ELSE 54 + q7.s36 - 18 END AS gs) q8
+             |  WHERE q8.gs < 72
+             |  GROUP BY b.d, q8.gs, q2.sb),
+             |inputs AS (SELECT * FROM longs UNION ALL SELECT * FROM shorts),
+             |chk AS (
+             |  SELECT s.d,
+             |    sum(s.ival
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*s.sbp + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * (((s.gs + mm.m)*32 + ii.i) % 97 + 1)) AS pcm_checksum
+             |  FROM inputs s
+             |  JOIN range(0, 16) mm(m) ON s.gs + mm.m < 72
+             |  JOIN range(0, 32) ii(i) ON true
+             |  GROUP BY s.d)
+             |SELECT base.d AS doc_id, CAST(3 AS BIGINT) AS layer,
+             |  CAST(1 AS BIGINT) AS n_channels,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(2304 AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(chk.pcm_checksum, 0) AS BIGINT) AS pcm_checksum
+             |FROM base LEFT JOIN chk ON chk.d = base.d
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL AAC-LC (ADTS) decode, graded exactly — the last named rung of
     // the perceptual-audio ladder: each doc carries a genuine mono ADTS
     // stream decoded through the full AAC-LC structure — 0xFFF sync +

@@ -150,6 +150,61 @@ object MpegAudio {
   /** Pinned 36-point IMDCT cosine stand-in (p ∈ 0..35, k ∈ 0..17). */
   private[operators] def l3Cos(p: Int, k: Int): Long = ((7 * p + 11 * k + 3) % 23) - 11
 
+  /** Pinned 12-point short-block IMDCT cosine / window stand-ins
+    * (block_type 2: three short windows per granule per subband).
+    */
+  private[operators] def l3CosS(p: Int, k: Int): Long = ((19 * p + 7 * k + 3) % 17) - 8
+  private[operators] def l3WinS(p: Int): Long = 1 + (5 * p) % 11
+
+  /** Long-class 36-point window by block_type — 0 normal, 1 START
+    * (long first half, flat middle, descending short half, ZEROS), 3
+    * STOP (mirrored). Pinned values, the spec's piecewise transition
+    * STRUCTURE: the zero regions make the block type value-visible.
+    */
+  private[operators] def l3WinSeq(bt: Int, p: Int): Long = bt match {
+    case 0 => l3Win(p)
+    case 1 =>
+      if (p < 18) l3Win(p)
+      else if (p < 24) 7
+      else if (p < 30) l3WinS(11 - (p - 24))
+      else 0
+    case _ =>
+      if (p < 6) 0
+      else if (p < 12) l3WinS(p - 6)
+      else if (p < 18) 7
+      else l3Win(p)
+  }
+
+  /** Pinned subblock_gain attenuation (spec: 2^(-2·gain) per short
+    * window; multiplicative stand-in).
+    */
+  private[operators] def l3SubGain(g: Int): Long = 1 + (5L * g) % 7
+
+  /** Region of a WINDOW-SWITCHING granule's (transmitted) line: only two
+    * table_selects are coded, and the counts are implicit — pinned here
+    * as a line-96 split for short granules and a band-7 split for the
+    * long-class transitions (the spec's implicit-region structure with
+    * pinned boundary values).
+    */
+  private[operators] def l3RegionSwitch(bt: Int, line: Int): Int =
+    if (bt == 2) { if (line < 96) 0 else 1 }
+    else if (l3Band(line) <= 7) 0 else 1
+
+  /** Short-block layout (pinned): 12 scalefactor bands of width 16 per
+    * window; TRANSMITTED order is band-major then window
+    * (t = band·48 + window·16 + line), and the unreordered spectral slot
+    * interleaves windows inside each polyphase subband
+    * (slot = subband·18 + window·6 + line-in-subband) — the spec's
+    * short-block REORDERING, which the decoder must invert before the
+    * filterbank.
+    */
+  private[operators] def l3ShortBand(t: Int): Int = t / 48
+  private[operators] def l3ShortWin(t: Int): Int = (t % 48) / 16
+  private[operators] def l3ShortSlot(t: Int): Int = {
+    val f = 16 * (t / 48) + t % 16
+    (f / 6) * 18 + ((t % 48) / 16) * 6 + f % 6
+  }
+
   /** Pinned long-block (block_type 0) window. */
   private[operators] def l3Win(p: Int): Long = 1 + ((5 * p + 2) % 9)
 
@@ -579,7 +634,12 @@ object MpegAudio {
                              region0Count: Int, region1Count: Int,
                              preflag: Int, scalefacScale: Int,
                              count1Table: Int, count1Quads: Int,
-                             stuffBits: Int, scalefac: Int => Int)
+                             stuffBits: Int, scalefac: Int => Int,
+                             // window switching: 0 normal long, 1 START,
+                             // 2 SHORT (lines in TRANSMITTED order), 3 STOP
+                             blockType: Int = 0,
+                             subblockGain: Int => Int = _ => 0,
+                             scalefacS: (Int, Int) => Int = null) // (window, band)
 
   /** Bit-level scratch buffer: Layer III granules are sized in bits
     * (part2_3_length is written BEFORE the main data), so granule bodies
@@ -604,10 +664,30 @@ object MpegAudio {
   /** Main-data bits of one granule-channel (scalefactors + Huffman). */
   private def l3GranuleBits(g: L3Granule, scfsi: Int, gi: Int): BitBuf = {
       val bb = new BitBuf
-      // scalefactors: slen1 bands 0..10, slen2 bands 11..20; granule 1
-      // skips groups whose scfsi bit is set (it reuses granule 0's values)
       val slen1 = l3Slen1(g.scalefacCompress)
       val slen2 = l3Slen2(g.scalefacCompress)
+      if (g.blockType == 2) {
+        // short scalefactors: 12 pinned bands x 3 windows, band-major,
+        // slen1 for bands 0..5 and slen2 for 6..11; never reused (scfsi
+        // is a long-block mechanism)
+        require(g.scalefacS != null, "layer3: short granule needs scalefacS")
+        var s = 0
+        while (s < 12) {
+          val slen = if (s <= 5) slen1 else slen2
+          var w = 0
+          while (w < 3) {
+            val v = g.scalefacS(w, s)
+            if (slen > 0) {
+              require(v >= 0 && v < (1 << slen), s"layer3: short scalefac $v exceeds $slen bits")
+              bb.put(v.toLong, slen)
+            } else require(v == 0, "layer3: slen 0 implies scalefactor 0")
+            w += 1
+          }
+          s += 1
+        }
+      } else {
+      // scalefactors: slen1 bands 0..10, slen2 bands 11..20; granule 1
+      // skips groups whose scfsi bit is set (it reuses granule 0's values)
       var band = 0
       while (band <= 20) {
         val slen = if (band <= 10) slen1 else slen2
@@ -621,6 +701,7 @@ object MpegAudio {
         }
         band += 1
       }
+      }
       // big values region: pairs cover lines 0 .. 2·bigValues-1
       val byPos = g.lines.toMap
       require(byPos.size == g.lines.size, "layer3: duplicate line positions")
@@ -633,7 +714,9 @@ object MpegAudio {
       var pair = 0
       while (pair < bigValues) {
         val p0 = 2 * pair
-        val t = g.tableSelect(l3Region(p0, g.region0Count, g.region1Count))
+        val t = g.tableSelect(
+          if (g.blockType != 0) l3RegionSwitch(g.blockType, p0)
+          else l3Region(p0, g.region0Count, g.region1Count))
         val tab = l3BigTables(t)
         val xv = byPos.getOrElse(p0, 0)
         val yv = byPos.getOrElse(p0 + 1, 0)
@@ -684,13 +767,31 @@ object MpegAudio {
     bw.put(g.globalGain.toLong, 8)
     require(g.scalefacCompress >= 0 && g.scalefacCompress < 16)
     bw.put(g.scalefacCompress.toLong, 4)
-    bw.put(0, 1) // window_switching_flag: long blocks
     require(g.tableSelect.length == 3 && g.tableSelect.forall(t => t >= 0 && t < 32))
-    g.tableSelect.foreach(t => bw.put(t.toLong, 5))
-    require(g.region0Count >= 0 && g.region0Count < 16)
-    require(g.region1Count >= 0 && g.region1Count < 8)
-    bw.put(g.region0Count.toLong, 4)
-    bw.put(g.region1Count.toLong, 3)
+    if (g.blockType != 0) {
+      // window switching: block_type + mixed flag + TWO table_selects +
+      // three subblock gains (same 22 side bits as the normal shape)
+      require(g.blockType >= 1 && g.blockType <= 3, "layer3: block_type is 1..3")
+      bw.put(1, 1) // window_switching_flag
+      bw.put(g.blockType.toLong, 2)
+      bw.put(0, 1) // mixed_block_flag (mixed blocks are the next rung)
+      bw.put(g.tableSelect(0).toLong, 5)
+      bw.put(g.tableSelect(1).toLong, 5)
+      var w = 0
+      while (w < 3) {
+        val sg = g.subblockGain(w)
+        require(sg >= 0 && sg < 8, "layer3: subblock_gain is 3 bits")
+        bw.put(sg.toLong, 3)
+        w += 1
+      }
+    } else {
+      bw.put(0, 1) // window_switching_flag: long blocks
+      g.tableSelect.foreach(t => bw.put(t.toLong, 5))
+      require(g.region0Count >= 0 && g.region0Count < 16)
+      require(g.region1Count >= 0 && g.region1Count < 8)
+      bw.put(g.region0Count.toLong, 4)
+      bw.put(g.region1Count.toLong, 3)
+    }
     bw.put(g.preflag.toLong, 1)
     bw.put(g.scalefacScale.toLong, 1)
     bw.put(g.count1Table.toLong, 1)
@@ -709,6 +810,8 @@ object MpegAudio {
   def encodeL3Frame(scfsi: Int, gr: Array[L3Granule]): Array[Byte] = {
     require(gr.length == 2, "layer3: MPEG-1 frames carry two granules")
     require(scfsi >= 0 && scfsi < 16)
+    require(scfsi == 0 || gr.forall(_.blockType != 2),
+      "layer3: scfsi reuse is a long-block mechanism (spec: zero when short blocks appear)")
     val bodies = Array(l3GranuleBits(gr(0), scfsi, 0), l3GranuleBits(gr(1), scfsi, 1))
     val bw = new BitWriter
     l3WriteHeader(bw, mode = 3, modeExt = 0) // mono
@@ -733,6 +836,8 @@ object MpegAudio {
     require(gr.length == 2 && gr.forall(_.length == 2),
       "layer3: stereo frames carry two granules x two channels")
     require(scfsi.length == 2 && scfsi.forall(s => s >= 0 && s < 16))
+    require(gr.forall(_.forall(_.blockType == 0)),
+      "layer3: stereo window switching is the named next rung")
     require(modeExt >= 0 && modeExt < 4 && (joint || modeExt == 0))
     val bodies = Array.tabulate(2, 2)((gi, ch) =>
       l3GranuleBits(gr(gi)(ch), scfsi(ch), gi))
@@ -955,7 +1060,8 @@ object MpegAudio {
   }
 
   /** Decode one Layer III frame body (header already consumed), mono or
-    * stereo: 17-byte (mono) / 32-byte (stereo) side info, two granules
+    * stereo, long or window-switching (START / SHORT / STOP) blocks:
+    * 17-byte (mono) / 32-byte (stereo) side info, two granules
     * of per-channel main data — scalefactors with
     * scfsi reuse, region-selected big-value Huffman with ESC/linbits and
     * sign bits, the count1 quadruple region bounded by part2_3_length
@@ -975,20 +1081,35 @@ object MpegAudio {
     val scfsi = Array.fill(nCh)(br.get(4))
     case class Side(part23: Int, bigValues: Int, globalGain: Int, sc: Int,
                     tsel: Array[Int], r0: Int, r1: Int, pre: Int,
-                    sfScale: Int, c1t: Int)
+                    sfScale: Int, c1t: Int, bt: Int, sbg: Array[Int])
     val sides = Array.tabulate(2, nCh) { (_, _) =>
       val part23 = br.get(12)
       val bv = br.get(9)
       require(bv <= 288, "mpeg audio: big_values beyond the spectrum")
       val gg = br.get(8)
       val sc = br.get(4)
-      require(br.get(1) == 0,
-        "mpeg audio: window switching (short/mixed blocks) outside this profile")
-      val ts = Array.fill(3)(br.get(5))
-      val side = Side(part23, bv, gg, sc, ts, br.get(4), br.get(3),
-        br.get(1), br.get(1), br.get(1))
-      side
+      if (br.get(1) == 1) {
+        // window switching: block_type, mixed flag, TWO table selects,
+        // three subblock gains; region counts are implicit (pinned)
+        val bt = br.get(2)
+        require(bt != 0, "mpeg audio: reserved block_type 0 under window switching")
+        require(br.get(1) == 0, "mpeg audio: mixed blocks are the next rung")
+        val ts = Array(br.get(5), br.get(5), 0)
+        val sbg = Array(br.get(3), br.get(3), br.get(3))
+        Side(part23, bv, gg, sc, ts, 0, 0, br.get(1), br.get(1), br.get(1), bt, sbg)
+      } else {
+        val ts = Array.fill(3)(br.get(5))
+        Side(part23, bv, gg, sc, ts, br.get(4), br.get(3),
+          br.get(1), br.get(1), br.get(1), 0, Array(0, 0, 0))
+      }
     }
+    require(nCh == 1 || !joint || sides.forall(_.forall(_.bt == 0)),
+      "mpeg audio: joint stereo with window switching is the named next rung")
+    // scfsi is a long-block mechanism: reuse against a short granule is
+    // out of spec and would read an undefined source
+    require(scfsi.forall(_ == 0) ||
+      (0 until nCh).forall(ch => sides(0)(ch).bt != 2 && sides(1)(ch).bt != 2),
+      "mpeg audio: scfsi reuse with short blocks in the frame")
     val sf = Array.fill(nCh, 21)(0)
     var gi = 0
     while (gi < 2) {
@@ -1002,9 +1123,22 @@ object MpegAudio {
       val start = br.bitPos
       val limit = start + s.part23
       // part 2: scalefactors (scfsi shares granule 0's decoded values,
-      // per channel)
+      // per channel); short granules carry 12 bands x 3 windows instead
       val slen1 = l3Slen1(s.sc)
       val slen2 = l3Slen2(s.sc)
+      val sfS = Array.ofDim[Int](3, 12)
+      if (s.bt == 2) {
+        var sb0 = 0
+        while (sb0 < 12) {
+          val slen = if (sb0 <= 5) slen1 else slen2
+          var w = 0
+          while (w < 3) {
+            sfS(w)(sb0) = if (slen > 0) br.get(slen) else 0
+            w += 1
+          }
+          sb0 += 1
+        }
+      } else {
       var band = 0
       while (band <= 20) {
         val slen = if (band <= 10) slen1 else slen2
@@ -1013,12 +1147,15 @@ object MpegAudio {
         else sf(ch)(band) = if (slen > 0) br.get(slen) else 0
         band += 1
       }
+      }
       // part 3: big-value pairs through the region-selected tables
       val raw = new Array[Int](576)
       var pos = 0
       var pair = 0
       while (pair < s.bigValues) {
-        val t = s.tsel(l3Region(pos, s.r0, s.r1))
+        val t = s.tsel(
+          if (s.bt != 0) l3RegionSwitch(s.bt, pos)
+          else l3Region(pos, s.r0, s.r1))
         val tab = l3BigTables(t)
         val sym = tab.read(br)
         def finish(c: Int): Int = {
@@ -1058,18 +1195,30 @@ object MpegAudio {
       }
       zeroBound(ch) = pos
       br.seekBits(limit) // stuffing / discarded overrun
-      // requantize (pinned integer curves; band 21 has no scalefactor)
+      // requantize (pinned integer curves; band 21 has no scalefactor).
+      // Short granules also UNREORDER here: transmitted band-major
+      // triplet order -> the window-interleaved subband layout the
+      // filterbank consumes; pretab never applies to short blocks, and
+      // each window carries its subblock_gain attenuation.
       val xr = xrs(ch)
       var p = 0
       while (p < 576) {
         val v = raw(p)
         if (v != 0) {
-          val bandOf = l3Band(p)
-          val sfv = (if (bandOf <= 20) sf(ch)(bandOf) else 0) +
-            (if (s.pre == 1) l3PreTab(bandOf) else 0)
-          val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
-            l3SfAtt(sfv, s.sfScale)
-          xr(p) = if (v < 0) -mag else mag
+          if (s.bt == 2) {
+            val w = l3ShortWin(p)
+            val sfv = sfS(w)(l3ShortBand(p))
+            val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
+              l3SfAtt(sfv, s.sfScale) * l3SubGain(s.sbg(w))
+            xr(l3ShortSlot(p)) = if (v < 0) -mag else mag
+          } else {
+            val bandOf = l3Band(p)
+            val sfv = (if (bandOf <= 20) sf(ch)(bandOf) else 0) +
+              (if (s.pre == 1) l3PreTab(bandOf) else 0)
+            val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
+              l3SfAtt(sfv, s.sfScale)
+            xr(p) = if (v < 0) -mag else mag
+          }
         }
         p += 1
       }
@@ -1121,8 +1270,10 @@ object MpegAudio {
       val pcmCh = Array.ofDim[Long](nCh, 18 * 32)
       while (ch2 < nCh) {
       val xr = xrs(ch2)
-      // alias reduction across the 31 subband boundaries
-      var sb = 1
+      val bt = sides(gi)(ch2).bt
+      // alias reduction across the 31 subband boundaries — long-class
+      // blocks only (the spec applies no aliasing butterflies to short)
+      var sb = if (bt == 2) 32 else 1
       while (sb < 32) {
         var i = 0
         while (i < 8) {
@@ -1148,6 +1299,27 @@ object MpegAudio {
         while (k1 < 18 * sb + 18 && !anyNz) { anyNz = xr(k1) != 0L; k1 += 1 }
         if (anyNz) {
           val out = new Array[Long](36)
+          if (bt == 2) {
+            // three 12-point short IMDCTs over this subband's
+            // window-interleaved 6-line groups, windowed and overlapped
+            // INSIDE the 36-sample granule output at offsets 6 + 6w
+            var w = 0
+            while (w < 3) {
+              var pp = 0
+              while (pp < 12) {
+                var acc = 0L
+                var k = 0
+                while (k < 6) {
+                  val v = xr(18 * sb + 6 * w + k)
+                  if (v != 0L) acc += v * l3CosS(pp, k)
+                  k += 1
+                }
+                out(6 + 6 * w + pp) += acc * l3WinS(pp)
+                pp += 1
+              }
+              w += 1
+            }
+          } else {
           var pp = 0
           while (pp < 36) {
             var acc = 0L
@@ -1156,8 +1328,9 @@ object MpegAudio {
               if (xr(18 * sb + k) != 0L) acc += xr(18 * sb + k) * l3Cos(pp, k)
               k += 1
             }
-            out(pp) = acc * l3Win(pp)
+            out(pp) = acc * l3WinSeq(bt, pp)
             pp += 1
+          }
           }
           var ss = 0
           while (ss < 18) {

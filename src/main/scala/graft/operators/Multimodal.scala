@@ -1696,6 +1696,69 @@ object Multimodal {
       modeExt = r match { case 0 => 0; case 1 => 2; case 2 => 1; case _ => 3 })
   }
 
+  /** One doc's Layer III WINDOW-SWITCHING stream (plan shared with
+    * Mp3ShortSpec's replay): two mono frames whose four granules walk
+    * the transient shape every real MP3 uses — long, START, SHORT, STOP
+    * (block_type = granule index). The SHORT granule codes one line in
+    * TRANSMITTED (band-major, window-interleaved) order with per-window
+    * scalefactors and subblock gains; the transitions' zero window
+    * regions make the block type value-visible.
+    */
+  private[operators] def mp3SwitchStream(d: Long): Array[Byte] = {
+    def gran(gi: Int): MpegAudio.L3Granule = {
+      val pos = ((17 + 37 * d + 101 * gi) % 576).toInt
+      val v = (1 + (d + 3 * gi) % 13).toInt
+      val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+      val sc = ((d + gi) % 16).toInt
+      val bt = gi // 0 long, 1 START, 2 SHORT, 3 STOP
+      MpegAudio.L3Granule(
+        lines = Seq((pos, signed)),
+        globalGain = ((29 * d + 7 * gi) % 256).toInt,
+        scalefacCompress = sc,
+        tableSelect = Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt),
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = ((d / 2 + gi) % 2).toInt,
+        scalefacScale = ((d / 4 + gi) % 2).toInt,
+        count1Table = (d % 2).toInt, count1Quads = 0,
+        stuffBits = (3 * ((d + gi) % 2)).toInt,
+        scalefac = band => {
+          val slen = if (band <= 10) sc >> 2 else sc & 3
+          ((3 * d + band + gi) % (1L << slen)).toInt
+        },
+        blockType = bt,
+        subblockGain = w => ((d + w + gi) % 8).toInt,
+        scalefacS = (w, s) => {
+          val slen = if (s <= 5) sc >> 2 else sc & 3
+          ((d + 2 * w + s) % (1L << slen)).toInt
+        })
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 2) {
+      val fr = MpegAudio.encodeL3Frame(0, Array(gran(2 * f), gran(2 * f + 1)))
+      bos.write(fr, 0, fr.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Each doc carries the [[mp3SwitchStream]] long/START/SHORT/STOP
+    * walk: short-block scalefactors, subblock gains, the transmitted-
+    * order reordering, the 12-point short filterbank with in-granule
+    * window overlap, and the transition window shapes — all graded by
+    * the flat linearity replay.
+    */
+  def withMp3SwitchMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3SwitchStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a REAL MPEG-1 Layer III STEREO stream from
     * [[mp3StereoStream]] — all four stereo shapes graded: independent
     * channels, the MS butterfly (pinned unit scaling for the spec's
