@@ -6707,6 +6707,63 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC STEREO (channel_pair_element), graded sample-exact — the
+    // element every real AAC stream uses: common_window = 1 sharing one
+    // ics_info across both channels, the ms_mask_present family
+    // (0 independent / 1 per-band bits / 2 all bands), and the spec's
+    // integer-exact MS butterfly L = M+S, R = M−S on masked bands. Docs
+    // rotate the four mask shapes, including a per-band mask that
+    // MISSES the coded band (the bits must be read and honored, not
+    // assumed). The oracle derives each channel's effective line from
+    // the mixing rules and replays requant -> IMDCT with the L/R
+    // sample-major interleave inside the checksum weights.
+    ("q_aac_cpe",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacCpeMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id AS d, doc_id % 4 AS r FROM documents),
+             |tx AS (
+             |  SELECT b.d, b.r, ss.src, q0.pos, q3.xr
+             |  FROM base b
+             |  JOIN range(0, 2) ss(src) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN b.r = 0 AND ss.src = 1 THEN (53*b.d + 477) % 1024
+             |         ELSE (37*b.d + 11) % 1024 END AS pos,
+             |    1 + (b.d + 3*ss.src) % 11 AS cb) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.cb = 11 THEN 16 + b.d % 40
+             |    ELSE 1 + (b.d + ss.src) % (CASE q0.cb
+             |      WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+             |      WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 7 WHEN 8 THEN 7
+             |      ELSE 12 END) END AS mag,
+             |    20 + ((29 + 2*ss.src)*b.d) % 200
+             |      + ((b.d + 7*ss.src) % 41) - 20 AS sf) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + ss.src) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.mag * (q2.mag + 2) * (1 + (5*q2.sf) % 13) AS xr) q3),
+             |eff AS (
+             |  SELECT t.d, cc.c AS ch, t.pos, q4.val
+             |  FROM tx t
+             |  JOIN range(0, 2) cc(c) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.r = 1 OR t.r = 2 THEN
+             |      CASE WHEN cc.c = 0 OR t.src = 0 THEN t.xr ELSE -t.xr END
+             |    WHEN t.src = cc.c THEN t.xr END AS val) q4
+             |  WHERE q4.val IS NOT NULL),
+             |chk AS (
+             |  SELECT e.d,
+             |    sum(e.val * ((13*pp.p + 7*e.pos + 5) % 29 - 14)
+             |      * (1 + (3*pp.p) % 17) * ((2*pp.p + e.ch) % 97 + 1)) AS pcm_checksum
+             |  FROM eff e
+             |  JOIN range(0, 1024) pp(p) ON true
+             |  GROUP BY e.d)
+             |SELECT d AS doc_id, CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(2048 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL GIF decode, graded byte-exact: the engine encodes each doc
     // into a genuine GIF (real LZW with the variable width schedule),
     // coding features rotating by doc_id — GIF87a plain / GIF89a with a

@@ -289,15 +289,36 @@ object AacCodec {
     }
   }
 
-  def encode(frames: Seq[AacFrame]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    frames.foreach { fr =>
-      val bw = new MpegAudio.BitWriter
-      // raw_data_block: SCE
-      bw.put(0, 3) // id_syn_ele = SCE (0)
-      bw.put(0, 4) // element_instance_tag
+  /** The ics_info bits — shared by SCE streams and the CPE's
+    * common_window (written once for both channels there).
+    */
+  private def writeIcsInfo(bw: MpegAudio.BitWriter, fr: AacFrame): Unit =
+    if (fr.wseq != 2) {
+      // ics_info (long-class: ONLY_LONG / LONG_START / LONG_STOP)
+      bw.put(0, 1) // ics_reserved
+      bw.put(fr.wseq.toLong, 2) // window_sequence
+      bw.put(0, 1) // window_shape
+      bw.put(NumSfb.toLong, 6) // max_sfb
+      bw.put(0, 1) // predictor_data_present
+    } else {
+      // ics_info (EIGHT_SHORT: 4-bit max_sfb + 7 grouping bits, no
+      // predictor flag)
+      bw.put(0, 1)
+      bw.put(2, 2) // window_sequence: EIGHT_SHORT
+      bw.put(0, 1) // window_shape
+      bw.put(NumSfbShort.toLong, 4)
+      bw.put(fr.grouping.toLong, 7)
+    }
+
+  /** One individual_channel_stream: global_gain, ics_info (unless a
+    * CPE's common_window already carried it), sections, scalefactors,
+    * the presence flags (+tns), spectral data.
+    */
+  private def writeIcs(bw: MpegAudio.BitWriter, fr: AacFrame,
+                       includeInfo: Boolean): Unit = {
       require(fr.globalGain >= 0 && fr.globalGain < 256)
       bw.put(fr.globalGain.toLong, 8)
+      if (includeInfo) writeIcsInfo(bw, fr)
       require(fr.lines.nonEmpty, "aac fixture: at least one line")
       val cb = fr.lines.head._3
       require(cb >= 1 && cb <= 11)
@@ -313,12 +334,6 @@ object AacCodec {
         }
       }
       if (fr.wseq != 2) {
-        // ics_info (long-class: ONLY_LONG / LONG_START / LONG_STOP)
-        bw.put(0, 1) // ics_reserved
-        bw.put(fr.wseq.toLong, 2) // window_sequence
-        bw.put(0, 1) // window_shape
-        bw.put(NumSfb.toLong, 6) // max_sfb
-        bw.put(0, 1) // predictor_data_present
         val byBand = fr.lines.groupBy(l => sfb(l._1))
         require(byBand.size == 1, "aac fixture: one coded sfb per frame")
         val band = byBand.keys.head
@@ -351,13 +366,6 @@ object AacCodec {
         writeSpectralRun(bw, cb,
           i => fr.lines.find(_._1 == base + i).map(_._2).getOrElse(0), 32)
       } else {
-        // ics_info (EIGHT_SHORT: 4-bit max_sfb + 7 grouping bits, no
-        // predictor flag)
-        bw.put(0, 1)
-        bw.put(2, 2) // window_sequence: EIGHT_SHORT
-        bw.put(0, 1) // window_shape
-        bw.put(NumSfbShort.toLong, 4)
-        bw.put(fr.grouping.toLong, 7)
         val groups = windowGroups(fr.grouping)
         val win = fr.lines.head._1 / ShortLen
         val band = sfbShort(fr.lines.head._1 % ShortLen)
@@ -384,75 +392,158 @@ object AacCodec {
         }
         writeSpectralRun(bw, cb, buf(_), buf.length)
       }
+  }
+
+  /** Wrap one raw_data_block body in an ADTS frame. */
+  private def writeAdts(out: java.io.ByteArrayOutputStream, body: Array[Byte],
+                        channels: Int): Unit = {
+    // ADTS header (protection_absent = 1 → 7 bytes)
+    val hw = new MpegAudio.BitWriter
+    hw.put(0xfff, 12) // syncword
+    hw.put(0, 1) // MPEG-4
+    hw.put(0, 2) // layer
+    hw.put(1, 1) // protection_absent
+    hw.put(1, 2) // profile: AAC-LC
+    hw.put(4, 4) // sampling_frequency_index (44100)
+    hw.put(0, 1) // private
+    hw.put(channels.toLong, 3) // channel_configuration
+    hw.put(0, 1); hw.put(0, 1) // original, home
+    hw.put(0, 1); hw.put(0, 1) // copyright id bits
+    hw.put((7 + body.length).toLong, 13) // frame_length
+    hw.put(0x7ff, 11) // buffer fullness (VBR)
+    hw.put(0, 2) // number_of_raw_data_blocks_in_frame - 1 = 0
+    val hdr = hw.bytes()
+    out.write(hdr, 0, hdr.length)
+    out.write(body, 0, body.length)
+  }
+
+  def encode(frames: Seq[AacFrame]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { fr =>
+      val bw = new MpegAudio.BitWriter
+      // raw_data_block: SCE
+      bw.put(0, 3) // id_syn_ele = SCE (0)
+      bw.put(0, 4) // element_instance_tag
+      writeIcs(bw, fr, includeInfo = true)
       bw.put(7, 3) // id_syn_ele = END
       bw.padToByte()
-      val body = bw.bytes()
-      // ADTS header (protection_absent = 1 → 7 bytes)
-      val hw = new MpegAudio.BitWriter
-      hw.put(0xfff, 12) // syncword
-      hw.put(0, 1) // MPEG-4
-      hw.put(0, 2) // layer
-      hw.put(1, 1) // protection_absent
-      hw.put(1, 2) // profile: AAC-LC
-      hw.put(4, 4) // sampling_frequency_index (44100)
-      hw.put(0, 1) // private
-      hw.put(1, 3) // channel_configuration: mono
-      hw.put(0, 1); hw.put(0, 1) // original, home
-      hw.put(0, 1); hw.put(0, 1) // copyright id bits
-      hw.put((7 + body.length).toLong, 13) // frame_length
-      hw.put(0x7ff, 11) // buffer fullness (VBR)
-      hw.put(0, 2) // number_of_raw_data_blocks_in_frame - 1 = 0
-      val hdr = hw.bytes()
-      out.write(hdr, 0, hdr.length)
-      out.write(body, 0, body.length)
+      writeAdts(out, bw.bytes(), channels = 1)
+    }
+    out.toByteArray
+  }
+
+  /** One stereo CPE frame: `msMaskPresent` 0 (independent), 1 (per-band
+    * ms_used bits from `msUsed(group, sfb)`), or 2 (all bands MS). Both
+    * channels share the common_window ics_info (written from `left`).
+    */
+  final case class AacCpe(left: AacFrame, right: AacFrame,
+                          msMaskPresent: Int = 0,
+                          msUsed: (Int, Int) => Boolean = (_, _) => false)
+
+  /** Encode a stereo ADTS stream of channel_pair_elements with
+    * common_window = 1 and the MS-stereo mask family.
+    */
+  def encodeCpe(frames: Seq[AacCpe]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { cpe =>
+      require(cpe.left.wseq == cpe.right.wseq &&
+        cpe.left.grouping == cpe.right.grouping,
+        "aac fixture: common_window needs matching window structure")
+      require(cpe.msMaskPresent >= 0 && cpe.msMaskPresent <= 2)
+      val bw = new MpegAudio.BitWriter
+      bw.put(1, 3) // id_syn_ele = CPE (1)
+      bw.put(0, 4) // element_instance_tag
+      bw.put(1, 1) // common_window
+      writeIcsInfo(bw, cpe.left)
+      bw.put(cpe.msMaskPresent.toLong, 2)
+      if (cpe.msMaskPresent == 1) {
+        val nGroups = if (cpe.left.wseq == 2) windowGroups(cpe.left.grouping).size else 1
+        val maxSfb = if (cpe.left.wseq == 2) NumSfbShort else NumSfb
+        var g = 0
+        while (g < nGroups) {
+          var band = 0
+          while (band < maxSfb) {
+            bw.put(if (cpe.msUsed(g, band)) 1L else 0L, 1)
+            band += 1
+          }
+          g += 1
+        }
+      }
+      writeIcs(bw, cpe.left, includeInfo = false)
+      writeIcs(bw, cpe.right, includeInfo = false)
+      bw.put(7, 3) // id_syn_ele = END
+      bw.padToByte()
+      writeAdts(out, bw.bytes(), channels = 2)
     }
     out.toByteArray
   }
 
   // ---- decode --------------------------------------------------------------------
 
-  final case class AacPcm(nFrames: Int, pcm: Array[Long])
+  final case class AacPcm(nFrames: Int, pcm: Array[Long], channels: Int = 1)
 
   def isAdts(b: Array[Byte]): Boolean =
     b != null && b.length >= 7 && (b(0) & 0xff) == 0xff && (b(1) & 0xf0) == 0xf0
 
-  def decode(bytes: Array[Byte]): AacPcm = {
-    var off = 0
-    var nFrames = 0
-    val overlap = new Array[Long](FrameLen)
-    val pcmOut = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (off < bytes.length) {
-      val br = new MpegAudio.BitReader(bytes, off)
-      require(br.get(12) == 0xfff, "aac: lost ADTS sync")
-      br.get(1) // version
-      require(br.get(2) == 0, "aac: nonzero layer bits")
-      require(br.get(1) == 1, "aac: CRC-protected ADTS outside this profile")
-      require(br.get(2) == 1, "aac: profile must be LC")
-      br.get(4) // sampling frequency index
-      br.get(1) // private
-      require(br.get(3) == 1, "aac: channel configuration must be mono")
-      br.get(1); br.get(1); br.get(1); br.get(1)
-      val frameLen = br.get(13)
-      require(off + frameLen <= bytes.length, "aac: ADTS frame runs past the stream")
-      br.get(11) // buffer fullness
-      require(br.get(2) == 0, "aac: multiple raw data blocks outside this profile")
-      // raw_data_block
-      require(br.get(3) == 0, "aac: expected a single_channel_element")
-      br.get(4) // instance tag
-      val globalGain = br.get(8)
-      require(br.get(1) == 0, "aac: ics_reserved set")
-      val wseq = br.get(2)
-      val isShort = wseq == 2
-      br.get(1) // window shape
-      val maxSfb = if (isShort) br.get(4) else br.get(6)
-      require(maxSfb <= (if (isShort) NumSfbShort else NumSfb),
-        "aac: max_sfb beyond the band table")
-      val groups =
-        if (isShort) windowGroups(br.get(7))
+  /** Parsed ics_info: window sequence, max_sfb, window groups. */
+  private final case class IcsInfo(wseq: Int, maxSfb: Int, groups: Seq[Seq[Int]]) {
+    def isShort: Boolean = wseq == 2
+  }
+
+  private def readIcsInfo(br: MpegAudio.BitReader): IcsInfo = {
+    require(br.get(1) == 0, "aac: ics_reserved set")
+    val wseq = br.get(2)
+    val isShort = wseq == 2
+    br.get(1) // window shape
+    val maxSfb = if (isShort) br.get(4) else br.get(6)
+    require(maxSfb <= (if (isShort) NumSfbShort else NumSfb),
+      "aac: max_sfb beyond the band table")
+    val groups =
+      if (isShort) windowGroups(br.get(7))
+      else {
+        require(br.get(1) == 0, "aac: predictor data outside this profile")
+        Seq(Seq(0))
+      }
+    IcsInfo(wseq, maxSfb, groups)
+  }
+
+  /** MS stereo (4.6.8.1): for masked (group, sfb) bands the transmitted
+    * pair is (mid, side) and the channels reconstruct L = M+S, R = M−S —
+    * AAC's butterfly is integer-exact by the spec itself (no scaling).
+    */
+  private def applyMs(l: Array[Long], r: Array[Long], info: IcsInfo,
+                      used: (Int, Int) => Boolean): Unit = {
+    var p = 0
+    while (p < FrameLen) {
+      val (g, band) =
+        if (!info.isShort) (0, sfb(p))
         else {
-          require(br.get(1) == 0, "aac: predictor data outside this profile")
-          Seq(Seq(0))
+          val win = p / ShortLen
+          (info.groups.indexWhere(_.contains(win)), sfbShort(p % ShortLen))
         }
+      if (band < info.maxSfb && used(g, band)) {
+        val m = l(p)
+        val s = r(p)
+        l(p) = m + s
+        r(p) = m - s
+      }
+      p += 1
+    }
+  }
+
+  /** One individual_channel_stream: global_gain, ics_info unless the
+    * CPE common_window supplied it, sections, scalefactors, presence
+    * flags (+TNS), spectral data; returns the requantized (and
+    * TNS-filtered) spectrum with the info actually in force.
+    */
+  private def readIcs(br: MpegAudio.BitReader,
+                      common: Option[IcsInfo]): (IcsInfo, Array[Long]) = {
+      val globalGain = br.get(8)
+      val info = common.getOrElse(readIcsInfo(br))
+      val wseq = info.wseq
+      val isShort = info.isShort
+      val maxSfb = info.maxSfb
+      val groups = info.groups
       val nGroups = groups.size
       // section_data (3-bit lengths for short windows, 5-bit for long)
       val sectBits = if (isShort) 3 else 5
@@ -633,54 +724,133 @@ object AacCodec {
           }
         }
       }
-      require(br.get(3) == 7, "aac: missing END element")
-      br.alignByte()
-      require(br.pos == off + frameLen,
-        s"aac: frame content (${br.pos - off} bytes) disagrees with frame_length $frameLen")
-      off += frameLen
-      // filterbank: long = one 2048-point IMDCT; short = eight 256-point
-      // IMDCTs windowed and placed at 448 + 128w. Both paths accumulate
-      // over nonzero lines only (exact) and overlap-add across frames.
-      val buf = new Array[Long](2 * FrameLen)
-      if (!isShort) {
+      (info, spec)
+  }
+
+  /** Filterbank: long = one 2048-point IMDCT; short = eight 256-point
+    * IMDCTs windowed and placed at 448 + 128w. Both paths accumulate
+    * over nonzero lines only (exact); the caller overlap-adds.
+    */
+  private def filterbank(spec: Array[Long], wseq: Int): Array[Long] = {
+    val buf = new Array[Long](2 * FrameLen)
+    if (wseq != 2) {
+      var k = 0
+      while (k < FrameLen) {
+        if (spec(k) != 0) {
+          var p = 0
+          while (p < 2 * FrameLen) {
+            buf(p) += spec(k) * aacCos(p, k) * aacWinSeq(wseq, p)
+            p += 1
+          }
+        }
+        k += 1
+      }
+    } else {
+      var wdx = 0
+      while (wdx < 8) {
         var k = 0
-        while (k < FrameLen) {
-          if (spec(k) != 0) {
+        while (k < ShortLen) {
+          val s0 = spec(wdx * ShortLen + k)
+          if (s0 != 0) {
             var p = 0
-            while (p < 2 * FrameLen) {
-              buf(p) += spec(k) * aacCos(p, k) * aacWinSeq(wseq, p)
+            while (p < 2 * ShortLen) {
+              buf(ShortOffset + ShortLen * wdx + p) += s0 * aacCosS(p, k) * aacWinS(p)
               p += 1
             }
           }
           k += 1
         }
-      } else {
-        var wdx = 0
-        while (wdx < 8) {
-          var k = 0
-          while (k < ShortLen) {
-            val s0 = spec(wdx * ShortLen + k)
-            if (s0 != 0) {
-              var p = 0
-              while (p < 2 * ShortLen) {
-                buf(ShortOffset + ShortLen * wdx + p) += s0 * aacCosS(p, k) * aacWinS(p)
-                p += 1
-              }
-            }
-            k += 1
-          }
-          wdx += 1
-        }
+        wdx += 1
       }
+    }
+    buf
+  }
+
+  def decode(bytes: Array[Byte]): AacPcm = {
+    var off = 0
+    var nFrames = 0
+    var channels = 0
+    var overlaps: Array[Array[Long]] = null
+    val pcmOut = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (off < bytes.length) {
+      val br = new MpegAudio.BitReader(bytes, off)
+      require(br.get(12) == 0xfff, "aac: lost ADTS sync")
+      br.get(1) // version
+      require(br.get(2) == 0, "aac: nonzero layer bits")
+      require(br.get(1) == 1, "aac: CRC-protected ADTS outside this profile")
+      require(br.get(2) == 1, "aac: profile must be LC")
+      br.get(4) // sampling frequency index
+      br.get(1) // private
+      val chCfg = br.get(3)
+      require(chCfg == 1 || chCfg == 2,
+        "aac: channel configurations beyond mono/stereo outside this profile")
+      br.get(1); br.get(1); br.get(1); br.get(1)
+      val frameLen = br.get(13)
+      require(off + frameLen <= bytes.length, "aac: ADTS frame runs past the stream")
+      br.get(11) // buffer fullness
+      require(br.get(2) == 0, "aac: multiple raw data blocks outside this profile")
+      require(channels == 0 || channels == chCfg,
+        "aac: mixed channel configurations in one stream")
+      channels = chCfg
+      if (overlaps == null) overlaps = Array.ofDim[Long](chCfg, FrameLen)
+      // raw_data_block: SCE (mono) or CPE (stereo)
+      val id = br.get(3)
+      val streams: Array[(IcsInfo, Array[Long])] =
+        if (chCfg == 1) {
+          require(id == 0, "aac: expected a single_channel_element")
+          br.get(4) // instance tag
+          Array(readIcs(br, None))
+        } else {
+          require(id == 1, "aac: expected a channel_pair_element")
+          br.get(4) // instance tag
+          if (br.get(1) == 1) { // common_window
+            val info = readIcsInfo(br)
+            val msMask = br.get(2)
+            require(msMask <= 2, "aac: reserved ms_mask_present value")
+            val used: (Int, Int) => Boolean =
+              if (msMask == 1) {
+                val bits = Array.ofDim[Boolean](info.groups.size, info.maxSfb)
+                var g = 0
+                while (g < info.groups.size) {
+                  var band = 0
+                  while (band < info.maxSfb) {
+                    bits(g)(band) = br.get(1) == 1
+                    band += 1
+                  }
+                  g += 1
+                }
+                (g2, b2) => bits(g2)(b2)
+              } else if (msMask == 2) (_, _) => true
+              else (_, _) => false
+            val (_, l) = readIcs(br, Some(info))
+            val (_, r) = readIcs(br, Some(info))
+            if (msMask != 0) applyMs(l, r, info, used)
+            Array((info, l), (info, r))
+          } else {
+            // independent windows: each channel carries its own ics_info
+            Array(readIcs(br, None), readIcs(br, None))
+          }
+        }
+      require(br.get(3) == 7, "aac: missing END element")
+      br.alignByte()
+      require(br.pos == off + frameLen,
+        s"aac: frame content (${br.pos - off} bytes) disagrees with frame_length $frameLen")
+      off += frameLen
+      // filterbank per channel, overlap-add, sample-major interleave
+      val bufs = streams.map { case (info, spec) => filterbank(spec, info.wseq) }
       var p = 0
       while (p < FrameLen) {
-        pcmOut += buf(p) + overlap(p)
-        overlap(p) = buf(FrameLen + p)
+        var ch = 0
+        while (ch < chCfg) {
+          pcmOut += bufs(ch)(p) + overlaps(ch)(p)
+          overlaps(ch)(p) = bufs(ch)(FrameLen + p)
+          ch += 1
+        }
         p += 1
       }
       nFrames += 1
     }
     require(nFrames > 0, "aac: empty stream")
-    AacPcm(nFrames, pcmOut.toArray)
+    AacPcm(nFrames, pcmOut.toArray, channels)
   }
 }

@@ -1924,6 +1924,53 @@ object Multimodal {
     AacCodec.encode(Seq(fr))
   }
 
+  /** One doc's stereo AAC CPE stream (plan shared with AacCpeSpec): a
+    * single channel_pair_element frame with common_window = 1, one coded
+    * line per channel, and the MS-mask family rotating by doc —
+    * independent channels (mask 0), all-bands MS (mask 2), a per-band
+    * mask hitting the coded band (mask 1, mixed), and a per-band mask
+    * missing it (mask 1, NOT mixed — the bit plumbing is value-visible
+    * because a mis-read mask flips the butterfly).
+    */
+  private[operators] def aacCpeStream(d: Long): Array[Byte] = {
+    val r = (d % 4).toInt
+    val posL = ((37 * d + 11) % 1024).toInt
+    val posR = if (r == 0) ((53 * d + 477) % 1024).toInt else posL
+    def ch(src: Int): AacCodec.AacFrame = {
+      val cb = (1 + (d + 3 * src) % 11).toInt
+      val mag = if (cb == 11) (16 + d % 40).toInt
+      else (1 + (d + src) % AacCodec.cbLav(cb)).toInt
+      val v = if ((d + src) % 2 == 1) -mag else mag
+      AacCodec.AacFrame(
+        globalGain = (20 + ((29 + 2 * src) * d) % 200).toInt,
+        lines = Seq((if (src == 0) posL else posR, v, cb)),
+        sfDelta = (((d + 7 * src) % 41) - 20).toInt)
+    }
+    val band = posL / 32
+    val msUsed: (Int, Int) => Boolean = r match {
+      case 2 => (_, b) => b == band
+      case 3 => (_, b) => b != band
+      case _ => (_, _) => false
+    }
+    AacCodec.encodeCpe(Seq(AacCodec.AacCpe(ch(0), ch(1),
+      msMaskPresent = r match { case 0 => 0; case 1 => 2; case _ => 1 },
+      msUsed = msUsed)))
+  }
+
+  /** Each doc carries the [[aacCpeStream]] stereo CPE frame: the AAC
+    * stereo element with common_window ics_info sharing and MS-stereo
+    * reconstruction, graded sample-exact with the L/R interleave in the
+    * checksum weights.
+    */
+  def withAacCpeMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacCpeStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   case class AacStats(doc_id: Long, n_frames: Long, n_samples: Long,
                       pcm_checksum: Long)
 

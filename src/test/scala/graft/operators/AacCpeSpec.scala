@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AAC stereo channel_pair_element — common_window, the ms_mask_present
+  * family, MS reconstruction — graded against an independent replay:
+  * the per-channel effective spectra are derived here from the mixing
+  * rules, pushed through the IMDCT identity, and interleaved; plus the
+  * loud-reject surface.
+  */
+class AacCpeSpec extends AnyFunSuite {
+
+  private def xrOf(d: Long, src: Int): Long = {
+    val cb = (1 + (d + 3 * src) % 11).toInt
+    val mag = if (cb == 11) (16 + d % 40).toInt
+    else (1 + (d + src) % AacCodec.cbLav(cb)).toInt
+    val sf = (20 + ((29 + 2 * src) * d) % 200).toInt + (((d + 7 * src) % 41) - 20).toInt
+    val x = AacCodec.aacPow43(mag) * AacCodec.aacGain(sf)
+    if ((d + src) % 2 == 1) -x else x
+  }
+
+  test("CPE mask family matches the independent mixing replay") {
+    for (d <- 0L until 16L) {
+      val r = (d % 4).toInt
+      val posL = ((37 * d + 11) % 1024).toInt
+      val posR = if (r == 0) ((53 * d + 477) % 1024).toInt else posL
+      val xl = xrOf(d, 0)
+      val xr = xrOf(d, 1)
+      // effective per-channel line sets after the MS rules
+      val mixed = r == 1 || r == 2
+      val chLines: Int => Seq[(Int, Long)] = ch =>
+        if (mixed) Seq((posL, if (ch == 0) xl + xr else xl - xr))
+        else if (ch == 0) Seq((posL, xl))
+        else Seq((posR, xr))
+      val out = AacCodec.decode(Multimodal.aacCpeStream(d))
+      assert(out.nFrames == 1 && out.channels == 2 && out.pcm.length == 2048)
+      for (ch <- 0 to 1) {
+        val want = Array.tabulate(1024) { p =>
+          chLines(ch).map { case (k, x) =>
+            x * AacCodec.aacCos(p, k) * AacCodec.aacWin(p)
+          }.sum
+        }
+        for (p <- 0 until 1024)
+          assert(out.pcm(2 * p + ch) == want(p), s"d=$d ch=$ch p=$p (mode $r)")
+      }
+    }
+  }
+
+  test("mask granularity is value-visible: hit vs miss differ") {
+    // d=2 (mask hits the band) vs the same stream with the mask missing
+    val hit = AacCodec.decode(Multimodal.aacCpeStream(2L)).pcm
+    val d = 2L
+    val posL = ((37 * d + 11) % 1024).toInt
+    def ch(src: Int): AacCodec.AacFrame = {
+      val cb = (1 + (d + 3 * src) % 11).toInt
+      val mag = (1 + (d + src) % AacCodec.cbLav(cb)).toInt
+      AacCodec.AacFrame(
+        globalGain = (20 + ((29 + 2 * src) * d) % 200).toInt,
+        lines = Seq((posL, if ((d + src) % 2 == 1) -mag else mag, cb)),
+        sfDelta = (((d + 7 * src) % 41) - 20).toInt)
+    }
+    val miss = AacCodec.decode(AacCodec.encodeCpe(Seq(AacCodec.AacCpe(
+      ch(0), ch(1), msMaskPresent = 1,
+      msUsed = (_, b) => b != posL / 32)))).pcm
+    assert(hit.toSeq != miss.toSeq)
+  }
+
+  test("loud rejects: channel config 3+, mismatched common window, mixed configs") {
+    val bytes = Multimodal.aacCpeStream(1L)
+    val bad = bytes.clone()
+    bad(3) = (bad(3) | 0x40).toByte // channel_configuration 2 -> 3
+    assertThrows[IllegalArgumentException](AacCodec.decode(bad))
+    // common_window requires matching window structure at encode time
+    val long = AacCodec.AacFrame(globalGain = 40, lines = Seq((10, 2, 6)), sfDelta = 0)
+    val short = AacCodec.AacFrame(globalGain = 40, lines = Seq((10, 2, 6)),
+      sfDelta = 0, shortSeq = true)
+    assertThrows[IllegalArgumentException](
+      AacCodec.encodeCpe(Seq(AacCodec.AacCpe(long, short))))
+    // a mono frame followed by a stereo frame must reject
+    val mixedCfg = AacCodec.encode(Seq(long)) ++ Multimodal.aacCpeStream(0L)
+    assertThrows[IllegalArgumentException](AacCodec.decode(mixedCfg))
+  }
+}
