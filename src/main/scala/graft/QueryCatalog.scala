@@ -5434,6 +5434,133 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 B-SLICE DEBLOCKING, graded byte-exact — the two-list
+    // boundary-strength rules: different reference SETS (L0|L1, L1|Bi,
+    // Bi|L0 edges -> bS=1), a per-PICTURE >=4-qpel mv difference between
+    // two bi-predicted MBs (bS=1 via the picture-wise comparison, not a
+    // list-wise shortcut), same-picture-same-mv (bS=0: the step MUST
+    // stay sharp), and intra-in-B (bS=4) whose neighbours are >=20/9
+    // levels away by construction so the edge never fires (no cascades;
+    // the filtered offsets stay closed-form in the boundary constants,
+    // with the alpha cutoffs graded organically on the varying deltas).
+    ("q_h264_bdeblock",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264BDeblockMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv,
+             |    doc_id % 4 >= 2 AS vy,
+             |    CASE WHEN doc_id % 4 >= 2 THEN 80 ELSE 170 END AS rg
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 5760) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN q3.s // 16 ELSE q3.s // 8 END AS mi,
+             |    CASE WHEN q0.pl = 0 THEN (q3.s + 2) // 16
+             |         ELSE (q3.s + 1) // 8 END AS k) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    q3.s - (CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END) * q4.k AS po) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 31 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 17 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1,
+             |    CASE q0.pl WHEN 0 THEN 23 WHEN 1 THEN 19 ELSE 13 END AS cb2,
+             |    CASE q0.pl WHEN 0 THEN 43 WHEN 1 THEN 23 ELSE 83 END AS ci1,
+             |    CASE q0.pl WHEN 0 THEN 11 WHEN 1 THEN 7 ELSE 3 END AS ci2) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN NOT m.vy THEN CASE q4.mi
+             |      WHEN 0 THEN 30 + (cf.cb1*m.d) % m.rg
+             |      WHEN 1 THEN 30 + (cf.ca1*m.d + cf.ca2) % m.rg
+             |      WHEN 2 THEN (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + 2*cf.ca2) % m.rg + 1) // 2
+             |      WHEN 3 THEN 30 + (cf.cb1*m.d + 3*cf.cb2) % m.rg
+             |      ELSE 30 + (cf.cb1*m.d + 4*cf.cb2) % m.rg END
+             |    ELSE CASE q4.mi
+             |      WHEN 0 THEN 30 + (cf.cb1*m.d) % m.rg
+             |      WHEN 1 THEN (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + cf.ca2) % m.rg + 1) // 2
+             |      WHEN 2 THEN (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + 2*cf.ca2) % m.rg + 1) // 2
+             |      WHEN 3 THEN 140 + (cf.ci1*m.d + 3*cf.ci2) % 80
+             |      ELSE 30 + (cf.ca1*m.d + 4*cf.ca2) % m.rg END
+             |    END AS v3own) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    qf.fi = 2 AND q4.k >= 1 AND q4.k <= 4
+             |      AND (CASE WHEN NOT m.vy THEN q4.k <= 3 ELSE q4.k <= 2 END)
+             |      AND (CASE WHEN q0.pl = 0 THEN q5.po >= -2 AND q5.po <= 1
+             |           ELSE q5.po >= -1 AND q5.po <= 0 END) AS zone) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN NOT q7.zone THEN 0 ELSE
+             |    CASE WHEN NOT m.vy THEN CASE q4.k - 1
+             |      WHEN 0 THEN 30 + (cf.cb1*m.d) % m.rg
+             |      WHEN 1 THEN 30 + (cf.ca1*m.d + cf.ca2) % m.rg
+             |      WHEN 2 THEN (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + 2*cf.ca2) % m.rg + 1) // 2
+             |      ELSE 30 + (cf.cb1*m.d + 3*cf.cb2) % m.rg END
+             |    ELSE CASE q4.k - 1
+             |      WHEN 0 THEN 30 + (cf.cb1*m.d) % m.rg
+             |      ELSE (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + cf.ca2) % m.rg + 1) // 2 END
+             |    END END AS lv,
+             |    CASE WHEN NOT q7.zone THEN 0 ELSE
+             |    CASE WHEN NOT m.vy THEN CASE q4.k
+             |      WHEN 1 THEN 30 + (cf.ca1*m.d + cf.ca2) % m.rg
+             |      WHEN 2 THEN (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + 2*cf.ca2) % m.rg + 1) // 2
+             |      ELSE 30 + (cf.cb1*m.d + 3*cf.cb2) % m.rg END
+             |    ELSE CASE q4.k
+             |      WHEN 1 THEN (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + cf.ca2) % m.rg + 1) // 2
+             |      ELSE (30 + (cf.cb1*m.d + 2*cf.cb2) % m.rg
+             |        + 30 + (cf.ca1*m.d + 2*cf.ca2) % m.rg + 1) // 2 END
+             |    END END AS rv) q8
+             |  CROSS JOIN LATERAL (SELECT q8.rv - q8.lv AS dd) q9
+             |  CROSS JOIN LATERAL (SELECT
+             |    q7.zone AND abs(q9.dd) <
+             |      (CASE WHEN q0.pl = 0 THEN 20 ELSE 9 END) AS fire,
+             |    GREATEST(-3, LEAST(3, (3*q9.dd + 4) >> 3)) AS dl,
+             |    GREATEST(-2, LEAST(2, (3*q9.dd + 4) >> 3)) AS dc,
+             |    (q8.lv + q8.rv + 1) >> 1 AS half) q10
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 THEN
+             |      CASE q0.pl WHEN 0 THEN 30 + (cf.ca1*m.d + cf.ca2*q4.mi) % m.rg
+             |        ELSE 30 + (cf.ca1*m.d + cf.ca2*q4.mi) % m.rg END
+             |    WHEN qf.fi = 1 THEN 30 + (cf.cb1*m.d + cf.cb2*q4.mi) % m.rg
+             |    WHEN NOT q10.fire THEN q6.v3own
+             |    WHEN q0.pl = 0 THEN CASE q5.po
+             |      WHEN -2 THEN q8.lv + GREATEST(-1, LEAST(1, (q10.half - q8.lv) >> 1))
+             |      WHEN -1 THEN q8.lv + q10.dl
+             |      WHEN 0 THEN q8.rv - q10.dl
+             |      ELSE q8.rv + GREATEST(-1, LEAST(1, (q10.half - q8.rv) >> 1)) END
+             |    ELSE CASE q5.po
+             |      WHEN -1 THEN q8.lv + q10.dc
+             |      ELSE q8.rv - q10.dc END
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 WEIGHTED PREDICTION + MULTI-REFERENCE LIST 0, graded
     // byte-exact — PPS weighted_pred_flag=1 with explicit per-reference
     // pred_weight_table (luma denom 2, chroma denom 1, weights and

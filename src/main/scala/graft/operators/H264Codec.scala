@@ -911,7 +911,8 @@ object H264Codec {
     * 1), non-IDR P slice (frame 2, frame_num 1) referencing frame 1.
     */
   def encodeInter(p: InterPlan, cabac: Boolean = false,
-                  deblockP: Boolean = false): Array[Byte] = {
+                  deblockP: Boolean = false,
+                  deblockB: Boolean = false): Array[Byte] = {
     require(p.wmb == null || (p.wspec != null && !cabac),
       "h264 fixture: the weighted slice needs a WeightSpec and CAVLC (CABAC ref_idx is the next rung)")
     require(p.wspec == null ||
@@ -1169,7 +1170,7 @@ object H264Codec {
       nal(3, 5, idrSlice), nal(2, 1, bw.bytes()))
     if (p.bmb != null) {
       val f2 = H264Frame(w, h, recY, recU, recV)
-      nals += nal(0, 1, bSlice(p, w, h, ref, f2, cabac))
+      nals += nal(0, 1, bSlice(p, w, h, ref, f2, cabac, deblock = deblockB))
     }
     if (p.wmb != null) {
       // non-reference weighted P slice: list 0 = [the P frame, the IDR]
@@ -1245,7 +1246,7 @@ object H264Codec {
     */
   private def bSlice(p: InterPlan, w: Int, h: Int,
                      ref0past: H264Frame, refP: H264Frame,
-                     cabac: Boolean): Array[Byte] = {
+                     cabac: Boolean, deblock: Boolean = false): Array[Byte] = {
     val qp = 28
     val qpc = chromaQp(qp - 6)
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
@@ -1263,7 +1264,10 @@ object H264Codec {
     // nal_ref_idc = 0: no dec_ref_pic_marking
     if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26)
-    bw.ue(1) // disable_deblocking_filter_idc: off (B deblock is the next rung)
+    if (deblock) { bw.ue(0); bw.se(0); bw.se(0) } // filter on, zero offsets
+    else bw.ue(1) // disable_deblocking_filter_idc: off
+    val meta = new H264Deblock.DeblockMeta(mbW, mbH)
+    java.util.Arrays.fill(meta.qpMb, qp)
     val snk: IntraSink =
       if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     val mg0 = new MotionGrid(mbW, mbH)
@@ -1279,6 +1283,7 @@ object H264Codec {
       val m0 = p.bmb(mb)
       snk.pSkip(flag = false, mb) // no B_Skip in this profile
       if (m0.kind == 3) {
+        meta.intraMb(mb) = true
         snk.bMbType(23 + 1 + 2 + 4 * 1, mb) // 23 + I16x16(DC, cbpC 1)
         val pL = predIntra16(2, bY, w, mx, my)
         val cmode = if (r == 0 && c == 0) 0 else if (r == 0) 1 else 2
@@ -1351,6 +1356,11 @@ object H264Codec {
       mb += 1
     }
     snk.finish()
+    // in-loop filter on the B reconstruction (non-reference, so this
+    // only shapes the output frame) — both motion grids feed the bS
+    // derivation's picture/mv comparisons
+    if (deblock)
+      H264Deblock.filterFrame(bY, bU, bV, w, h, meta, mg0, -6, 0, 0, mg1 = mg1)
     bw.bytes()
   }
 
@@ -3121,9 +3131,10 @@ object H264Codec {
     src.finish()
     if (disableDeblock != 1) {
       // idc 2 (don't cross slice boundaries) equals idc 0 here: one
-      // slice per picture, and frame borders are never filtered anyway
-      require(!isB, "h264: B-slice deblocking is the next rung")
-      H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff, offA, offB)
+      // slice per picture, and frame borders are never filtered anyway;
+      // B slices hand the list-1 grid to the bS derivation
+      H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff,
+        offA, offB, mg1 = if (isB) mgB1 else null)
     }
     H264Frame(w, h, y, u, v)
   }

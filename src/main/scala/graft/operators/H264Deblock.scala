@@ -83,9 +83,16 @@ private[operators] object H264Deblock {
   private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
   /** §8.7.2.1 boundary strength for the edge between luma cells
-    * (gxP,gyP) | (gxQ,gyQ). `mg` may be null for all-intra slices.
+    * (gxP,gyP) | (gxQ,gyQ). `mg` may be null for all-intra slices;
+    * `mg1` is the list-1 grid of a B slice (null elsewhere). Picture
+    * identity in this profile: a list-0 cell's stored refIdx IS the
+    * decode-order picture index (0 = newest reference, 1 = the one
+    * before), and every list-1 cell references picture 1 — so the
+    * different-pictures / different-mv-count / per-picture ≥4-qpel
+    * rules all reduce to comparisons over (pic -> mv) maps.
     */
   private[operators] def strength(meta: DeblockMeta, mg: MotionGrid,
+                                  mg1: MotionGrid,
                                   gxP: Int, gyP: Int, gxQ: Int, gyQ: Int,
                                   mbBoundary: Boolean): Int = {
     val mbP = (gyP / 4) * meta.mbW + gxP / 4
@@ -96,10 +103,23 @@ private[operators] object H264Deblock {
       val iP = gyP * gw + gxP
       val iQ = gyQ * gw + gxQ
       if (meta.nz(iP) || meta.nz(iQ)) 2
-      else if (mg.ref(iP) != mg.ref(iQ) ||
-        math.abs(mg.mvx(iP) - mg.mvx(iQ)) >= 4 ||
-        math.abs(mg.mvy(iP) - mg.mvy(iQ)) >= 4) 1
-      else 0
+      else {
+        // (picture -> mv) map of a cell: list 0 contributes picture
+        // mg.ref (0 or 1), list 1 contributes picture 1
+        def pics(i: Int): Map[Int, (Int, Int)] = {
+          var m = Map.empty[Int, (Int, Int)]
+          if (mg.ref(i) >= 0) m += (mg.ref(i) -> ((mg.mvx(i), mg.mvy(i))))
+          if (mg1 != null && mg1.ref(i) >= 0) m += (1 -> ((mg1.mvx(i), mg1.mvy(i))))
+          m
+        }
+        val p = pics(iP)
+        val q = pics(iQ)
+        def far(a: (Int, Int), b: (Int, Int)): Boolean =
+          math.abs(a._1 - b._1) >= 4 || math.abs(a._2 - b._2) >= 4
+        if (p.keySet != q.keySet) 1
+        else if (p.exists { case (pic, mv) => far(mv, q(pic)) }) 1
+        else 0
+      }
     }
   }
 
@@ -182,7 +202,8 @@ private[operators] object H264Deblock {
   private[operators] def filterFrame(y: Array[Byte], u: Array[Byte], v: Array[Byte],
                                      w: Int, h: Int, meta: DeblockMeta,
                                      mg: MotionGrid, chromaQpOff: Int,
-                                     offA: Int, offB: Int): Unit = {
+                                     offA: Int, offB: Int,
+                                     mg1: MotionGrid = null): Unit = {
     val mbW = w / 16
     val mbH = h / 16
     val cw = w / 2
@@ -205,7 +226,7 @@ private[operators] object H264Deblock {
               val (gxP, gyP, gxQ, gyQ) =
                 if (vertical) (mbc * 4 + e - 1, mbr * 4 + seg, mbc * 4 + e, mbr * 4 + seg)
                 else (mbc * 4 + seg, mbr * 4 + e - 1, mbc * 4 + seg, mbr * 4 + e)
-              val bS = strength(meta, mg, gxP, gyP, gxQ, gyQ, e == 0)
+              val bS = strength(meta, mg, mg1, gxP, gyP, gxQ, gyQ, e == 0)
               if (bS > 0) {
                 val mbP = (gyP / 4) * mbW + gxP / 4
                 val qpAv = (qpL(mbP) + qpL(mb) + 1) >> 1
@@ -237,7 +258,7 @@ private[operators] object H264Deblock {
                   (mbc * 4 + ce * 2 - 1, mbr * 4 + k / 2, mbc * 4 + ce * 2, mbr * 4 + k / 2)
                 else
                   (mbc * 4 + k / 2, mbr * 4 + ce * 2 - 1, mbc * 4 + k / 2, mbr * 4 + ce * 2)
-              val bS = strength(meta, mg, gxP, gyP, gxQ, gyQ, ce == 0)
+              val bS = strength(meta, mg, mg1, gxP, gyP, gxQ, gyQ, ce == 0)
               if (bS > 0) {
                 val mbP = (gyP / 4) * mbW + gxP / 4
                 val qpAv = (qpC(mbP) + qpC(mb) + 1) >> 1

@@ -879,6 +879,70 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** B-slice deblocking plan (shared with the spec): IDR constants A(m)
+    * and an all-intra P frame B(m), both raw (idc=1), then a DEBLOCKED
+    * non-reference B slice whose five MB stripes pin the B-specific
+    * boundary strengths: different reference SETS (L0|L1, L1|Bi, Bi|L0
+    * → bS=1), a per-PICTURE ≥4-qpel mv difference between two
+    * bi-predicted MBs (bS=1), same-picture same-mv (bS=0 — the step
+    * must stay sharp), and intra-in-B (bS=4) whose neighbours sit ≥20
+    * luma / ≥9 chroma levels away BY CONSTRUCTION so the bS=4 edge
+    * never fires (no second-order cascades — the filtered offsets stay
+    * closed-form in the boundary constants).
+    */
+  private[operators] def h264BDeblockPlan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    val variantY = d % 4 >= 2
+    val range = if (variantY) 80 else 170
+    def a0(m: Int) = (30 + (31 * d + 17 * m) % range).toInt
+    def b0(m: Int) = (30 + (41 * d + 23 * m) % range).toInt
+    def acb(m: Int) = (30 + (91 * d + 29 * m) % range).toInt
+    def acr(m: Int) = (30 + (53 * d + 31 * m) % range).toInt
+    def bcb(m: Int) = (30 + (67 * d + 19 * m) % range).toInt
+    def bcr(m: Int) = (30 + (71 * d + 13 * m) % range).toInt
+    def iL(m: Int) = (140 + (43 * d + 11 * m) % 80).toInt
+    def iCb(m: Int) = (140 + (23 * d + 7 * m) % 80).toInt
+    def iCr(m: Int) = (140 + (83 * d + 3 * m) % 80).toInt
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    val mvAlong = if (colv) (64, 0) else (0, 64)
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = a0, tCb = acb, tCr = acr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = m => H264Codec.PMb(kind = 3, tL = b0(m), tCb = bcb(m), tCr = bcr(m)),
+      bmb = m =>
+        if (!variantY) m match {
+          case 0 => H264Codec.BMb(kind = 0) // B_L0 -> B(0)
+          case 1 => H264Codec.BMb(kind = 1) // B_L1 -> A(1)
+          case 2 => H264Codec.BMb(kind = 2) // B_Bi -> avg
+          case _ => H264Codec.BMb(kind = 0) // 3,4: same pic, same mv -> bS 0
+        } else m match {
+          case 0 => H264Codec.BMb(kind = 0)
+          case 1 => H264Codec.BMb(kind = 2, mv0 = mvAlong) // pic-0 mv far
+          case 2 => H264Codec.BMb(kind = 2)
+          case 3 => H264Codec.BMb(kind = 3, tL = iL(3), tCb = iCb(3), tCr = iCr(3))
+          case _ => H264Codec.BMb(kind = 1)
+        })
+  }
+
+  /** Each doc carries the [[h264BDeblockPlan]] three-frame stream with
+    * the B slice deblocked (`deblockB = true`); docs rotate stripe
+    * orientation and the two strength-pattern variants.
+    */
+  def withH264BDeblockMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264BDeblockPlan(d, colv = d % 2 == 0),
+            deblockB = true))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   case class H264VideoStats(doc_id: Long, width: Long, height: Long,
                             n_frames: Long, pix_checksum: Long)
 
