@@ -6834,6 +6834,60 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC SHORT-WINDOW TNS (§4.6.9 on EIGHT_SHORT frames), graded
+    // sample-exact — the per-WINDOW n_filt loop (8 one-bit flags; only
+    // the coded window carries a filter), 4-bit length in SHORT band
+    // units, the 3-bit LC order bound, and the all-pole recursion
+    // bounded INSIDE the window's 128 lines. The five filter shapes of
+    // q_aac_tns rotate across windows 0..3; the oracle factors the
+    // short filterbank (448 + 128w placement, 1024-sample cutoff) into
+    // a doc-independent (window, line) basis.
+    ("q_aac_tns_short",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacTnsShortMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH basis AS (
+             |  SELECT wq.w AS w, kk.k AS k,
+             |    sum(CASE WHEN 448 + 128*wq.w + pp.p < 1024 THEN
+             |      ((11*pp.p + 5*kk.k + 3) % 23 - 11) * (1 + (7*pp.p) % 13)
+             |      * ((448 + 128*wq.w + pp.p) % 97 + 1) ELSE 0 END) AS bsum
+             |  FROM range(0, 4) wq(w)
+             |  JOIN range(104, 128) kk(k) ON true
+             |  JOIN range(0, 256) pp(p) ON true
+             |  GROUP BY wq.w, kk.k),
+             |base AS (
+             |  SELECT doc_id AS d, doc_id % 5 AS r, doc_id % 4 AS w,
+             |    1 + doc_id % 4 AS mag,
+             |    CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+             |    20 + (29*doc_id) % 200 + (doc_id % 41) - 20 AS sf
+             |  FROM documents),
+             |xs AS (
+             |  SELECT b.d, b.r, b.w,
+             |    b.sgn * b.mag * (b.mag + 2) * (1 + (5*b.sf) % 13) AS x
+             |  FROM base b),
+             |chk AS (
+             |  SELECT x.d,
+             |    sum(basis.bsum * CASE x.r
+             |      WHEN 0 THEN CASE WHEN basis.k >= 110 THEN x.x ELSE 0 END
+             |      WHEN 1 THEN CASE WHEN (basis.k - 104) % 2 = 0
+             |        THEN x.x ELSE -x.x END
+             |      WHEN 2 THEN CASE WHEN basis.k >= 105
+             |          AND (basis.k - 105) % 2 = 0 THEN x.x ELSE 0 END
+             |      WHEN 3 THEN CASE WHEN basis.k >= 122 THEN
+             |        x.x * (CASE WHEN (basis.k - 122) % 2 = 1 THEN -1 ELSE 1 END)
+             |          * (1 << GREATEST(basis.k - 122, 0))
+             |        ELSE 0 END
+             |      ELSE CASE WHEN basis.k <= 115 THEN x.x ELSE 0 END
+             |    END) AS pcm_checksum
+             |  FROM xs x JOIN basis ON basis.w = x.w
+             |  GROUP BY x.d)
+             |SELECT d AS doc_id, CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(1024 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL AAC STEREO (channel_pair_element), graded sample-exact — the
     // element every real AAC stream uses: common_window = 1 sharing one
     // ics_info across both channels, the ms_mask_present family

@@ -101,6 +101,12 @@ object AacCodec {
   private[operators] def sfbShortStart(b: Int): Int = if (b < 14) 8 * b else 112
   private[operators] def sfbShortWidth(b: Int): Int = if (b < 14) 8 else 16
   private[operators] def sfbShort(line: Int): Int = math.min(line / 8, 14)
+
+  /** First line of short band `b`, with band 15 (= NumSfbShort) mapping
+    * to the window end — the TNS region walk's upper boundary.
+    */
+  private[operators] def tnsShortLine(b: Int): Int =
+    if (b >= NumSfbShort) ShortLen else sfbShortStart(b)
   private[operators] def aacCosS(p: Int, k: Int): Long = ((11 * p + 5 * k + 3) % 23) - 11
   private[operators] def aacWinS(p: Int): Long = 1 + ((7 * p) % 13)
 
@@ -383,9 +389,37 @@ object AacCodec {
         val wins = groups(gIdx)
         val wid = sfbShortWidth(band)
         val buf = new Array[Int](wins.size * wid)
-        require(fr.tns.isEmpty, "aac fixture: TNS on EIGHT_SHORT is the named next rung")
-        // pulse / tns / gain_control presence (4.4.2.1 order)
-        bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+        // pulse / tns / gain_control presence (4.4.2.1 order); short TNS
+        // codes one 1-bit n_filt per window — this fixture encoder puts
+        // its single filter on the coded line's window
+        bw.put(0, 1) // pulse_data_present
+        if (fr.tns.nonEmpty) {
+          require(fr.tns.size == 1, "aac fixture: short n_filt is 1 bit per window")
+          bw.put(1, 1) // tns_data_present
+          val codedWin = fr.lines.head._1 / ShortLen
+          val (len, dir, coefs) = fr.tns.head
+          require(len >= 0 && len < 16 && coefs.size <= 7,
+            "aac fixture: short TNS length is 4 bits, order 3 bits (LC <= 7)")
+          var w2 = 0
+          while (w2 < 8) {
+            if (w2 == codedWin) {
+              bw.put(1, 1) // n_filt[w] = 1
+              bw.put(1, 1) // coef_res = 1 -> 4-bit coefficients
+              bw.put(len.toLong, 4)
+              bw.put(coefs.size.toLong, 3)
+              if (coefs.nonEmpty) {
+                bw.put(dir.toLong, 1)
+                bw.put(0, 1) // coef_compress
+                coefs.foreach { c0 =>
+                  require(c0 >= -8 && c0 <= 7, "aac fixture: TNS coef outside 4 bits")
+                  bw.put((c0 & 0xf).toLong, 4)
+                }
+              }
+            } else bw.put(0, 1)
+            w2 += 1
+          }
+        } else bw.put(0, 1)
+        bw.put(0, 1) // gain_control_data_present
         fr.lines.foreach { case (pos, v, _) =>
           buf(wins.indexOf(pos / ShortLen) * wid
             + pos % ShortLen - sfbShortStart(band)) = v
@@ -587,7 +621,36 @@ object AacCodec {
       require(br.get(1) == 0, "aac: pulse_data outside this profile")
       val tnsFilters: Seq[(Int, Int, Int, Array[Int])] =
         if (br.get(1) == 1) {
-          require(!isShort, "aac: TNS on EIGHT_SHORT frames is the named next rung")
+          if (isShort) {
+            // short-window TNS: one 1-bit n_filt per window, 4-bit
+            // length in SHORT band units, 3-bit order (LC bound 7);
+            // each filter's region lives inside its window's 128 lines
+            val fs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
+            var w = 0
+            while (w < 8) {
+              if (br.get(1) == 1) {
+                val res = br.get(1)
+                val len = br.get(4)
+                val order = br.get(3)
+                require(order <= 7, "aac: short TNS order beyond the LC limit")
+                val top = math.min(maxSfb, NumSfbShort)
+                val bottom = math.max(0, top - len)
+                if (order > 0) {
+                  val dirDown = br.get(1)
+                  val compress = br.get(1)
+                  val bits = res + 3 - compress
+                  val coefs = Array.fill(order) {
+                    val raw = br.get(bits)
+                    if (raw >= (1 << (bits - 1))) raw - (1 << bits) else raw
+                  }
+                  fs += ((w * ShortLen + tnsShortLine(bottom),
+                    w * ShortLen + tnsShortLine(top), dirDown, coefs))
+                }
+              }
+              w += 1
+            }
+            fs.toSeq
+          } else {
           val nFilt = br.get(2)
           val res = if (nFilt > 0) br.get(1) else 0
           var top = maxSfb
@@ -615,6 +678,7 @@ object AacCodec {
             fi += 1
           }
           fs.toSeq
+          }
         } else Nil
       require(br.get(1) == 0, "aac: gain_control_data outside this profile")
       // spectral_data: spec layout is win*128 + line for short frames

@@ -2035,6 +2035,45 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's SHORT-window TNS stream: one EIGHT_SHORT frame whose
+    * coded window (rotating 0..3) carries a live per-window TNS filter
+    * over the top two short bands (window lines 104..127). The five
+    * filter shapes rotate as in [[withAacTnsMedia]]; windows without a
+    * filter write n_filt = 0, so the per-window loop is value-visible.
+    */
+  private[operators] def aacTnsShortStreamBytes(d: Long): Array[Byte] = {
+    val r = (d % 5).toInt
+    val w = (d % 4).toInt
+    val mag = (1 + d % 4).toInt
+    val v = if (d % 2 == 1) -mag else mag
+    val (off, dir, coefs) = r match {
+      case 0 => (110, 0, Seq(-1))
+      case 1 => (104, 0, Seq(1))
+      case 2 => (105, 0, Seq(0, -1))
+      case 3 => (122, 0, Seq(2))
+      case _ => (115, 1, Seq(-1))
+    }
+    val fr = AacCodec.AacFrame(
+      globalGain = (20 + (29 * d) % 200).toInt,
+      lines = Seq((w * 128 + off, v, 6)),
+      sfDelta = ((d % 41) - 20).toInt,
+      shortSeq = true, grouping = 0,
+      tns = Seq((2, dir, coefs)))
+    AacCodec.encode(Seq(fr))
+  }
+
+  /** Each doc carries the [[aacTnsShortStreamBytes]] short-window TNS
+    * frame, graded by the basis-factorized closed-form oracle.
+    */
+  def withAacTnsShortMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacTnsShortStreamBytes(d))))
+      .toDF("doc_id", "media")
+  }
+
   case class AacStats(doc_id: Long, n_frames: Long, n_samples: Long,
                       pcm_checksum: Long)
 

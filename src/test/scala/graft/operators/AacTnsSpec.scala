@@ -86,14 +86,47 @@ class AacTnsSpec extends AnyFunSuite {
     }
   }
 
+  test("short-window TNS: per-window regions, closed-form shapes") {
+    for (d <- 0L until 20L) {
+      val r = (d % 5).toInt
+      val w = (d % 4).toInt
+      val mag = (1 + d % 4).toInt
+      val sf = (20 + (29 * d) % 200).toInt + ((d % 41) - 20).toInt
+      val x0 = AacCodec.aacPow43(mag) * AacCodec.aacGain(sf) *
+        (if (d % 2 == 1) -1 else 1)
+      // expected spectrum: the filter's run inside window w, lines 104..127
+      val spec = new Array[Long](1024)
+      def at(off: Int, v: Long): Unit = spec(w * 128 + off) = v
+      r match {
+        case 0 => for (o <- 110 to 127) at(o, x0)
+        case 1 => for (o <- 104 to 127) at(o, if ((o - 104) % 2 == 0) x0 else -x0)
+        case 2 => for (o <- 105 to 127 by 2) at(o, x0)
+        case 3 => for (o <- 122 to 127)
+          at(o, x0 * (if ((o - 122) % 2 == 1) -1 else 1) * (1L << (o - 122)))
+        case _ => for (o <- 104 to 115) at(o, x0)
+      }
+      // independent short-filterbank replay (first 1024 samples)
+      val want = new Array[Long](1024)
+      for (wd <- 0 until 8; k <- 0 until 128; if spec(wd * 128 + k) != 0;
+           p <- 0 until 256) {
+        val t = 448 + 128 * wd + p
+        if (t < 1024)
+          want(t) += spec(wd * 128 + k) * AacCodec.aacCosS(p, k) * AacCodec.aacWinS(p)
+      }
+      val got = AacCodec.decode(Multimodal.aacTnsShortStreamBytes(d))
+      assert(got.nFrames == 1 && got.pcm.length == 1024)
+      assert(got.pcm.toSeq == want.toSeq, s"d=$d shape $r window $w")
+    }
+  }
+
   test("syntax surface: zero flags decode as before; rejects are loud") {
     // a no-TNS frame still round-trips (the three new flags ride along)
     val fr = AacCodec.AacFrame(globalGain = 40, lines = Seq((100, 2, 6)), sfDelta = 3)
     val out = AacCodec.decode(AacCodec.encode(Seq(fr)))
     assert(out.nFrames == 1 && out.pcm.exists(_ != 0))
-    // TNS on a short frame is rejected at encode time
+    // a short-frame TNS order beyond the 3-bit LC bound is rejected
     val shortFr = AacCodec.AacFrame(globalGain = 40, lines = Seq((17, 2, 6)),
-      sfDelta = 0, shortSeq = true, tns = Seq((1, 0, Seq(1))))
+      sfDelta = 0, shortSeq = true, tns = Seq((1, 0, Seq.fill(8)(1))))
     assertThrows[IllegalArgumentException](AacCodec.encode(Seq(shortFr)))
     // order beyond the LC limit is rejected at decode time
     val big = AacCodec.AacFrame(globalGain = 40, lines = Seq((970, 2, 6)),
