@@ -309,6 +309,69 @@ object QueryCatalog {
     * except when it IS one (see [[graft.operators.Relational.stableAvg]]
     * for the half-point failure this avoids).
     */
+  private val H264WeightedOracleSql: String =
+    """WITH dims AS (
+             |  SELECT doc_id AS d,
+             |    3 + doc_id % 3 AS wl0, 2 + (doc_id + 1) % 3 AS wl1,
+             |    (doc_id % 11) - 5 AS ol0, ((doc_id + 3) % 11) - 5 AS ol1,
+             |    1 + doc_id % 2 AS wcb0, 1 + (doc_id + 1) % 2 AS wcb1,
+             |    (doc_id % 7) - 3 AS ocb0, ((doc_id + 2) % 7) - 3 AS ocb1,
+             |    1 + (doc_id + 1) % 2 AS wcr0, 1 + doc_id % 2 AS wcr1,
+             |    ((doc_id + 5) % 7) - 3 AS ocr0, ((doc_id + 1) % 7) - 3 AS ocr1
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 4608) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1536 AS fi, t.i % 1536 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1024 THEN 0
+             |         WHEN qf.j < 1280 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (qf.j // 32 // 16) * 2 + (qf.j % 32) // 16
+             |      WHEN 1 THEN ((qf.j - 1024) // 16 // 8) * 2 + ((qf.j - 1024) % 16) // 8
+             |      ELSE ((qf.j - 1280) // 16 // 8) * 2 + ((qf.j - 1280) % 16) // 8
+             |    END AS mb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q1.mb WHEN 2 THEN 3 WHEN 3 THEN 1 ELSE q1.mb END AS smb,
+             |    (q1.mb + m.d) % 2 AS ref) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 2 THEN q2.smb ELSE q1.mb END AS vm) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    (37*m.d + 19*q3.vm) % 136 + 24 AS y1,
+             |    (91*m.d + 29*(q3.vm // 2 + q3.vm % 2)) % 180 + 12 AS cb1,
+             |    (53*m.d + 31*(q3.vm // 2 + q3.vm % 2)) % 180 + 12 AS cr1,
+             |    (41*m.d + 23*q3.vm) % 136 + 24 AS y2,
+             |    (67*m.d + 17*q3.vm) % 180 + 12 AS cb2,
+             |    (71*m.d + 13*q3.vm) % 180 + 12 AS cr2) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 THEN
+             |      CASE q0.pl WHEN 0 THEN q4.y1 WHEN 1 THEN q4.cb1 ELSE q4.cr1 END
+             |    WHEN qf.fi = 1 THEN
+             |      CASE q0.pl WHEN 0 THEN q4.y2 WHEN 1 THEN q4.cb2 ELSE q4.cr2 END
+             |    ELSE
+             |      CASE q0.pl
+             |      WHEN 0 THEN
+             |        ((CASE WHEN q2.ref = 0 THEN m.wl0 ELSE m.wl1 END)
+             |          * (CASE WHEN q2.ref = 0 THEN q4.y2 ELSE q4.y1 END) + 2) // 4
+             |        + (CASE WHEN q2.ref = 0 THEN m.ol0 ELSE m.ol1 END)
+             |      WHEN 1 THEN
+             |        ((CASE WHEN q2.ref = 0 THEN m.wcb0 ELSE m.wcb1 END)
+             |          * (CASE WHEN q2.ref = 0 THEN q4.cb2 ELSE q4.cb1 END) + 1) // 2
+             |        + (CASE WHEN q2.ref = 0 THEN m.ocb0 ELSE m.ocb1 END)
+             |      ELSE
+             |        ((CASE WHEN q2.ref = 0 THEN m.wcr0 ELSE m.wcr1 END)
+             |          * (CASE WHEN q2.ref = 0 THEN q4.cr2 ELSE q4.cr1 END) + 1) // 2
+             |        + (CASE WHEN q2.ref = 0 THEN m.ocr0 ELSE m.ocr1 END)
+             |      END
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT d AS doc_id, CAST(32 AS BIGINT) AS width,
+             |  CAST(32 AS BIGINT) AS height, CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(chk AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin
+
   private val RevenueByNationSql: String =
     """SELECT n_name,
       |  CAST(floor((2*CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT) + 100) / 200e0) AS BIGINT) / 100e0 AS revenue
@@ -5577,67 +5640,21 @@ object QueryCatalog {
             Multimodal.withH264WeightedMedia(t(s, d, "documents")))
           .toDF()
           .orderBy("doc_id"),
-      Some("""WITH dims AS (
-             |  SELECT doc_id AS d,
-             |    3 + doc_id % 3 AS wl0, 2 + (doc_id + 1) % 3 AS wl1,
-             |    (doc_id % 11) - 5 AS ol0, ((doc_id + 3) % 11) - 5 AS ol1,
-             |    1 + doc_id % 2 AS wcb0, 1 + (doc_id + 1) % 2 AS wcb1,
-             |    (doc_id % 7) - 3 AS ocb0, ((doc_id + 2) % 7) - 3 AS ocb1,
-             |    1 + (doc_id + 1) % 2 AS wcr0, 1 + doc_id % 2 AS wcr1,
-             |    ((doc_id + 5) % 7) - 3 AS ocr0, ((doc_id + 1) % 7) - 3 AS ocr1
-             |  FROM documents),
-             |px AS (
-             |  SELECT m.d,
-             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
-             |  FROM dims m
-             |  JOIN range(0, 4608) t(i) ON true
-             |  CROSS JOIN LATERAL (SELECT t.i // 1536 AS fi, t.i % 1536 AS j) qf
-             |  CROSS JOIN LATERAL (SELECT
-             |    CASE WHEN qf.j < 1024 THEN 0
-             |         WHEN qf.j < 1280 THEN 1 ELSE 2 END AS pl) q0
-             |  CROSS JOIN LATERAL (SELECT
-             |    CASE q0.pl WHEN 0 THEN (qf.j // 32 // 16) * 2 + (qf.j % 32) // 16
-             |      WHEN 1 THEN ((qf.j - 1024) // 16 // 8) * 2 + ((qf.j - 1024) % 16) // 8
-             |      ELSE ((qf.j - 1280) // 16 // 8) * 2 + ((qf.j - 1280) % 16) // 8
-             |    END AS mb) q1
-             |  CROSS JOIN LATERAL (SELECT
-             |    CASE q1.mb WHEN 2 THEN 3 WHEN 3 THEN 1 ELSE q1.mb END AS smb,
-             |    (q1.mb + m.d) % 2 AS ref) q2
-             |  CROSS JOIN LATERAL (SELECT
-             |    CASE WHEN qf.fi = 2 THEN q2.smb ELSE q1.mb END AS vm) q3
-             |  CROSS JOIN LATERAL (SELECT
-             |    (37*m.d + 19*q3.vm) % 136 + 24 AS y1,
-             |    (91*m.d + 29*(q3.vm // 2 + q3.vm % 2)) % 180 + 12 AS cb1,
-             |    (53*m.d + 31*(q3.vm // 2 + q3.vm % 2)) % 180 + 12 AS cr1,
-             |    (41*m.d + 23*q3.vm) % 136 + 24 AS y2,
-             |    (67*m.d + 17*q3.vm) % 180 + 12 AS cb2,
-             |    (71*m.d + 13*q3.vm) % 180 + 12 AS cr2) q4
-             |  CROSS JOIN LATERAL (SELECT
-             |    CASE WHEN qf.fi = 0 THEN
-             |      CASE q0.pl WHEN 0 THEN q4.y1 WHEN 1 THEN q4.cb1 ELSE q4.cr1 END
-             |    WHEN qf.fi = 1 THEN
-             |      CASE q0.pl WHEN 0 THEN q4.y2 WHEN 1 THEN q4.cb2 ELSE q4.cr2 END
-             |    ELSE
-             |      CASE q0.pl
-             |      WHEN 0 THEN
-             |        ((CASE WHEN q2.ref = 0 THEN m.wl0 ELSE m.wl1 END)
-             |          * (CASE WHEN q2.ref = 0 THEN q4.y2 ELSE q4.y1 END) + 2) // 4
-             |        + (CASE WHEN q2.ref = 0 THEN m.ol0 ELSE m.ol1 END)
-             |      WHEN 1 THEN
-             |        ((CASE WHEN q2.ref = 0 THEN m.wcb0 ELSE m.wcb1 END)
-             |          * (CASE WHEN q2.ref = 0 THEN q4.cb2 ELSE q4.cb1 END) + 1) // 2
-             |        + (CASE WHEN q2.ref = 0 THEN m.ocb0 ELSE m.ocb1 END)
-             |      ELSE
-             |        ((CASE WHEN q2.ref = 0 THEN m.wcr0 ELSE m.wcr1 END)
-             |          * (CASE WHEN q2.ref = 0 THEN q4.cr2 ELSE q4.cr1 END) + 1) // 2
-             |        + (CASE WHEN q2.ref = 0 THEN m.ocr0 ELSE m.ocr1 END)
-             |      END
-             |    END AS val) vv
-             |  GROUP BY m.d)
-             |SELECT d AS doc_id, CAST(32 AS BIGINT) AS width,
-             |  CAST(32 AS BIGINT) AS height, CAST(3 AS BIGINT) AS n_frames,
-             |  CAST(chk AS BIGINT) AS pix_checksum
-             |FROM px ORDER BY doc_id""".stripMargin)),
+      Some(H264WeightedOracleSql)),
+
+    // The weighted multi-reference fixture re-encoded through CABAC:
+    // ref_idx_l0 as 9.3.3.1.1.6 unary bins with the left/above
+    // refIdx>0 contexts, the pred_weight_table unchanged (slice headers
+    // are always exp-Golomb) — value-neutral, so the IDENTICAL oracle
+    // grades it.
+    ("q_h264_wcabac",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264WeightedCabacMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some(H264WeightedOracleSql)),
+
 
     // REAL VP8 B_PRED DIRECTIONAL SUB-MODES, graded byte-exact — the
     // full 4×4 intra prediction family (VE/HE/RD/VR/HD/LD/VL/HU on top

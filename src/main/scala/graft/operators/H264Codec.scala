@@ -913,8 +913,8 @@ object H264Codec {
   def encodeInter(p: InterPlan, cabac: Boolean = false,
                   deblockP: Boolean = false,
                   deblockB: Boolean = false): Array[Byte] = {
-    require(p.wmb == null || (p.wspec != null && !cabac),
-      "h264 fixture: the weighted slice needs a WeightSpec and CAVLC (CABAC ref_idx is the next rung)")
+    require(p.wmb == null || p.wspec != null,
+      "h264 fixture: the weighted slice needs a WeightSpec")
     require(p.wspec == null ||
       (p.wspec.luma.size == 2 && p.wspec.cb.size == 2 && p.wspec.cr.size == 2),
       "h264 fixture: two list-0 references need two weight entries")
@@ -1175,7 +1175,7 @@ object H264Codec {
     if (p.wmb != null) {
       // non-reference weighted P slice: list 0 = [the P frame, the IDR]
       val f2 = H264Frame(w, h, recY, recU, recV)
-      nals += nal(0, 1, weightedSlice(p, w, h, f2, ref))
+      nals += nal(0, 1, weightedSlice(p, w, h, f2, ref, cabac))
     }
     val out = new java.io.ByteArrayOutputStream()
     nals.foreach(n => out.write(n, 0, n.length))
@@ -1187,10 +1187,12 @@ object H264Codec {
     * pred_weight_table from the plan's [[WeightSpec]], P_L0_16x16 MBs
     * without residual; the MV predictor runs with reference matching
     * (8.4.1.3's exactly-one-same-reference rule now discriminates by
-    * the actual refIdx). CAVLC only.
+    * the actual refIdx). Both entropy backends: CAVLC codes te()
+    * ref_idx, CABAC the 9.3.3.1.1.6 unary bins with neighbor contexts.
     */
   private def weightedSlice(p: InterPlan, w: Int, h: Int,
-                            refNew: H264Frame, refOld: H264Frame): Array[Byte] = {
+                            refNew: H264Frame, refOld: H264Frame,
+                            cabac: Boolean): Array[Byte] = {
     val qp = 28
     val ws = p.wspec
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
@@ -1215,9 +1217,11 @@ object H264Codec {
       ri += 1
     }
     // nal_ref_idc 0: no dec_ref_pic_marking
+    if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26) // slice_qp_delta
     bw.ue(1) // disable_deblocking_filter_idc: off
-    val snk: IntraSink = new CavlcSink(bw, mbW, mbH)
+    val snk: IntraSink =
+      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
     val mg = new MotionGrid(mbW, mbH)
     var mb = 0
     while (mb < nMb) {
@@ -1226,7 +1230,7 @@ object H264Codec {
       require(m.refIdx == 0 || m.refIdx == 1, "h264 fixture: refIdx is 0 or 1")
       snk.pSkip(flag = false, mb)
       snk.pMbType(0, mb) // P_L0_16x16
-      bw.put(1 - m.refIdx, 1) // ref_idx_l0: te() with cMax 1
+      snk.refIdx(m.refIdx, c * 4, r * 4, 4, 4)
       val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten, m.refIdx)
       snk.mvd(m.mv._1 - mvp._1, m.mv._2 - mvp._2, c * 4, r * 4, 4, 4)
       mg.fill(c * 4, r * 4, 4, 4, m.refIdx, m.mv._1, m.mv._2)
@@ -1690,6 +1694,7 @@ object H264Codec {
     def bMbType(raw: Int, mb: Int): Unit
     def subMbType8(t: Int): Unit
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
+    def refIdx(v: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
     def mbTypeI(t: Int, mb: Int): Unit
     def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit
     def i4ModeBits(useMpm: Boolean, rem: Int): Unit
@@ -1707,6 +1712,7 @@ object H264Codec {
     def bMbType(mb: Int): Int
     def subMbType8(): Int
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int)
+    def refIdx(cx: Int, cy: Int, wC: Int, hC: Int): Int
     def mbTypeI(mb: Int): Int
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int])
     def i4Mode(mpm: Int): Int
@@ -1733,6 +1739,10 @@ object H264Codec {
     def subMbType8(t: Int): Unit = bw.ue(t)
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
       bw.se(dx); bw.se(dy)
+    }
+    def refIdx(v: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
+      require(v == 0 || v == 1, "h264: te() ref_idx coded for two references")
+      bw.put(1 - v, 1) // te() with cMax 1: one inverted bit
     }
     def mbTypeI(t: Int, mb: Int): Unit = bw.ue(t)
     def pcm(ys: Array[Int], us: Array[Int], vs: Array[Int], mb: Int): Unit = {
@@ -1789,6 +1799,7 @@ object H264Codec {
     def bMbType(mb: Int): Int = br.ue()
     def subMbType8(): Int = br.ue()
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int) = (br.se(), br.se())
+    def refIdx(cx: Int, cy: Int, wC: Int, hC: Int): Int = 1 - br.get(1)
     def mbTypeI(mb: Int): Int = br.ue()
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
       br.alignByte()
@@ -1864,6 +1875,7 @@ object H264Codec {
   private val CtxMvdY = 263
   private val CtxSubMb = 270
   private val CtxBMbType = 271 // b0 intra?, b1, b2
+  private val CtxRefIdx = 274 // bin0 inc 0..3 at +0..3; bin1 +4; bins>=2 +5
   private val NumCtx = 280
 
   private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
@@ -1975,6 +1987,27 @@ object H264Codec {
           absMx.set(x0, y0, math.abs(dx)); absMy.set(x0, y0, math.abs(dy))
           x0 += 1
         }
+        y0 += 1
+      }
+    }
+    private val refG = new TcGrid(mbW * 4, mbH * 4)
+    // ref_idx_l0 (9.3.3.1.1.6): unary bins; bin 0's context from the
+    // left/above partitions' refIdx>0 flags (condTermA + 2*condTermB),
+    // bin 1 at +4, later bins at +5
+    def refIdx(v: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
+      def gv(x: Int, y: Int): Int =
+        if (x < 0 || y < 0 || x >= refG.gw || y >= refG.gh) 0 else refG.at(x, y)
+      val inc = (if (gv(cx - 1, cy) > 0) 1 else 0) +
+        2 * (if (gv(cx, cy - 1) > 0) 1 else 0)
+      def ctxOf(b: Int): Int =
+        if (b == 0) CtxRefIdx + inc else if (b == 1) CtxRefIdx + 4 else CtxRefIdx + 5
+      var b = 0
+      while (b < v) { eng.bin(st, ctxOf(b), 1); b += 1 }
+      eng.bin(st, ctxOf(v), 0)
+      var y0 = cy
+      while (y0 < cy + hC) {
+        var x0 = cx
+        while (x0 < cx + wC) { refG.set(x0, y0, v); x0 += 1 }
         y0 += 1
       }
     }
@@ -2246,6 +2279,25 @@ object H264Codec {
         y0 += 1
       }
       (dx, dy)
+    }
+    private val refG = new TcGrid(mbW * 4, mbH * 4)
+    def refIdx(cx: Int, cy: Int, wC: Int, hC: Int): Int = {
+      val inc = (if (gAt0(refG, cx - 1, cy) > 0) 1 else 0) +
+        2 * (if (gAt0(refG, cx, cy - 1) > 0) 1 else 0)
+      def ctxOf(b: Int): Int =
+        if (b == 0) CtxRefIdx + inc else if (b == 1) CtxRefIdx + 4 else CtxRefIdx + 5
+      var v = 0
+      while (eng.bin(st, ctxOf(v)) == 1) {
+        v += 1
+        require(v < 32, "h264: runaway ref_idx bins")
+      }
+      var y0 = cy
+      while (y0 < cy + hC) {
+        var x0 = cx
+        while (x0 < cx + wC) { refG.set(x0, y0, v); x0 += 1 }
+        y0 += 1
+      }
+      v
     }
     def pcm(mb: Int): (Array[Int], Array[Int], Array[Int]) = {
       br.alignByte0() // discard to the byte boundary after the flush
@@ -2823,8 +2875,6 @@ object H264Codec {
         require(isP, "h264: B num_ref_idx override outside this profile")
         numRef0 = br.ue() + 1
         require(numRef0 <= 2, "h264: more than two list-0 references outside this profile")
-        require(!pps.entropyCabac || numRef0 == 1,
-          "h264: CABAC ref_idx coding is the next rung")
       }
       require(br.get(1) == 0, "h264: ref_pic_list_modification outside this profile")
       if (isB) require(br.get(1) == 0, "h264: ref_pic_list_modification (l1) outside this profile")
@@ -2985,7 +3035,7 @@ object H264Codec {
               (aY, aU, aV)
             } else if (rawType == 0) {
               if (isP && numRef0 > 1)
-                mbRef0 = 1 - br.get(1) // ref_idx_l0: te() with cMax 1
+                mbRef0 = src.refIdx(c * 4, r * 4, 4, 4)
               val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten, mbRef0)
               val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
               val mvX = mvp._1 + dx

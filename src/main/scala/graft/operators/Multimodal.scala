@@ -879,6 +879,21 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** [[h264WeightedPlan]] re-encoded through CABAC: ref_idx_l0 rides the
+    * arithmetic coder's unary bins with neighbor contexts; the weighted
+    * oracle grades it unchanged.
+    */
+  def withH264WeightedCabacMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map(d => (d, H264Codec.encodeInter(h264WeightedPlan(d), cabac = true)))
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** B-slice deblocking plan (shared with the spec): IDR constants A(m)
     * and an all-intra P frame B(m), both raw (idc=1), then a DEBLOCKED
     * non-reference B slice whose five MB stripes pin the B-specific

@@ -64,12 +64,17 @@ class H264WeightedSpec extends AnyFunSuite {
     }
   }
 
-  test("loud rejects: CABAC ref_idx, missing WeightSpec, B override") {
-    val plan = Multimodal.h264WeightedPlan(3L)
+  test("CABAC ref_idx: both entropy backends decode identically") {
+    for (d <- Seq(1L, 4L, 9L)) {
+      val plan = Multimodal.h264WeightedPlan(d)
+      val a = H264Codec.decodeSequence(H264Codec.encodeInter(plan))
+      val b = H264Codec.decodeSequence(H264Codec.encodeInter(plan, cabac = true))
+      for (fi <- 0 to 2)
+        assert(a(fi).y.toSeq == b(fi).y.toSeq && a(fi).u.toSeq == b(fi).u.toSeq &&
+          a(fi).v.toSeq == b(fi).v.toSeq, s"d=$d frame $fi")
+    }
     assertThrows[IllegalArgumentException](
-      H264Codec.encodeInter(plan, cabac = true))
-    assertThrows[IllegalArgumentException](
-      H264Codec.encodeInter(plan.copy(wspec = null)))
+      H264Codec.encodeInter(Multimodal.h264WeightedPlan(3L).copy(wspec = null)))
   }
 
   test("weights are value-visible: different weights change the frame") {
