@@ -5497,6 +5497,80 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 B_SKIP + B_DIRECT_16x16 (SPATIAL direct), graded
+    // byte-exact — the B macroblocks real streams consist mostly of:
+    // per-list MinPositive reference derivation over the A/B/C
+    // neighbors, mv INHERITANCE through the ref-matching median
+    // predictor (a skip beside an L0 MB with a one-MB vector must
+    // reproduce both the reference AND the vector), the
+    // zero-prediction clause (no neighbors / intra neighbors ->
+    // bi-predict refs 0/0 at zero mv), chained derivations (skip after
+    // direct), and the direct_spatial_mv_pred_flag; every fourth doc
+    // rides CABAC (skip-flag contexts + the direct mb_type bins).
+    ("q_h264_bdirect",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264BDirectMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv,
+             |    (doc_id // 2) % 2 = 1 AS l1
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 5760) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN q3.s // 16 ELSE q3.s // 8 END AS mi) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 37 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 19 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1,
+             |    CASE q0.pl WHEN 0 THEN 23 WHEN 1 THEN 17 ELSE 13 END AS cb2,
+             |    CASE q0.pl WHEN 0 THEN 43 WHEN 1 THEN 23 ELSE 83 END AS ci1,
+             |    CASE q0.pl WHEN 0 THEN 11 WHEN 1 THEN 7 ELSE 3 END AS ci2) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 THEN
+             |      (cf.ca1*m.d + cf.ca2*q4.mi) % 160 + 24
+             |    WHEN qf.fi = 1 THEN
+             |      (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24
+             |    WHEN NOT m.l1 THEN CASE q4.mi
+             |      WHEN 0 THEN (cf.cb1*m.d + cf.cb2) % 160 + 24
+             |      WHEN 1 THEN (cf.cb1*m.d + 2*cf.cb2) % 160 + 24
+             |      WHEN 2 THEN (cf.ca1*m.d + 2*cf.ca2) % 160 + 24
+             |      WHEN 3 THEN (cf.ca1*m.d + 3*cf.ca2) % 160 + 24
+             |      ELSE (cf.ca1*m.d + 4*cf.ca2) % 160 + 24 END
+             |    ELSE CASE q4.mi
+             |      WHEN 0 THEN ((cf.cb1*m.d) % 160 + 24
+             |        + (cf.ca1*m.d) % 160 + 24 + 1) // 2
+             |      WHEN 1 THEN (cf.ci1*m.d + cf.ci2) % 160 + 24
+             |      WHEN 2 THEN ((cf.cb1*m.d + 2*cf.cb2) % 160 + 24
+             |        + (cf.ca1*m.d + 2*cf.ca2) % 160 + 24 + 1) // 2
+             |      WHEN 3 THEN (cf.cb1*m.d + 3*cf.cb2) % 160 + 24
+             |      ELSE (cf.cb1*m.d + 4*cf.cb2) % 160 + 24 END
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 B-SLICE DEBLOCKING, graded byte-exact — the two-list
     // boundary-strength rules: different reference SETS (L0|L1, L1|Bi,
     // Bi|L0 edges -> bS=1), a per-PICTURE >=4-qpel mv difference between

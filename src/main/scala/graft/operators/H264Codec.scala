@@ -825,6 +825,38 @@ object H264Codec {
     else mvPredictPart(g, mb, cx0, cy0, 4, 0, noneWritten)
   }
 
+  /** B spatial direct motion (8.4.1.2.2) in the two-reference profile:
+    * per-list MinPositive reference over the A/B/C (C->D substitution)
+    * neighbor cells, median mvs through the standard ref-matching
+    * predictor, zero-prediction (both refs 0, zero mvs, bi) when every
+    * neighbor list comes up empty. The colocated picture
+    * (RefPicList1[0]) is the all-intra IDR in every stream this codec
+    * emits, so the spec's colZeroFlag is identically FALSE (intra
+    * colocated => refIdxCol = -1 fails the flag's refIdxCol == 0 test)
+    * and the temporal clause never engages — documented, not skipped.
+    */
+  private def directSpatial(mg0: MotionGrid, mg1: MotionGrid, mb: Int,
+                            cx: Int, cy: Int): (Int, (Int, Int), Int, (Int, Int)) = {
+    def minPos(g: MotionGrid): Int = {
+      def refAt(x: Int, y: Int): Int =
+        if (cellAvail(g, mb, x, y, noneWritten)) g.ref(y * g.gw + x) else -1
+      val a = refAt(cx - 1, cy)
+      val b = refAt(cx, cy - 1)
+      val cAvail = cellAvail(g, mb, cx + 4, cy - 1, noneWritten)
+      val cc = if (cAvail) refAt(cx + 4, cy - 1) else refAt(cx - 1, cy - 1)
+      val pos = Seq(a, b, cc).filter(_ >= 0)
+      if (pos.isEmpty) -1 else pos.min
+    }
+    val r0 = minPos(mg0)
+    val r1 = minPos(mg1)
+    if (r0 < 0 && r1 < 0) (0, (0, 0), 0, (0, 0))
+    else (
+      r0,
+      if (r0 >= 0) mvPredictPart(mg0, mb, cx, cy, 4, 0, noneWritten, r0) else (0, 0),
+      r1,
+      if (r1 >= 0) mvPredictPart(mg1, mb, cx, cy, 4, 0, noneWritten, r1) else (0, 0))
+  }
+
   /** Whole-MB motion compensation from the reference frame, with the
     * REAL spec interpolation (8.4.2.2): quarter-pel luma through the
     * (1,-5,20,20,-5,1) six-tap half-pel filter — including the center
@@ -1261,7 +1293,7 @@ object H264Codec {
     bw.ue(0) // pps id
     bw.put(2, 8) // frame_num
     bw.put(4, 8) // pic_order_cnt_lsb
-    bw.put(0, 1) // direct_spatial_mv_pred_flag
+    bw.put(1, 1) // direct_spatial_mv_pred_flag: SPATIAL direct
     bw.put(0, 1) // num_ref_idx_active_override_flag
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
     bw.put(0, 1) // ref_pic_list_modification_flag_l1
@@ -1285,8 +1317,32 @@ object H264Codec {
       val mx = c * 16; val my = r * 16
       val cx = c * 8; val cy = r * 8
       val m0 = p.bmb(mb)
-      snk.pSkip(flag = false, mb) // no B_Skip in this profile
-      if (m0.kind == 3) {
+      snk.pSkip(flag = m0.kind == 4, mb)
+      if (m0.kind == 4 || m0.kind == 5) {
+        // B_Skip (4) / B_Direct_16x16 (5): SPATIAL direct motion — the
+        // decoder re-derives it, so nothing but the (skip flag or
+        // direct mb_type + zero cbp) rides the stream
+        if (m0.kind == 5) { snk.bMbType(0, mb); snk.cbp(0, mb) }
+        val (r0, mv0, r1, mv1) = directSpatial(mg0, mg1, mb, c * 4, r * 4)
+        mg0.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
+        mg1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
+        val f0 = if (r0 >= 0) mcFetch(refP, mx, my, mv0._1, mv0._2) else null
+        val f1 = if (r1 >= 0) mcFetch(ref0past, mx, my, mv1._1, mv1._2) else null
+        val (pY, pU, pV) =
+          if (f0 != null && f1 != null)
+            (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
+              f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
+              f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
+          else if (f0 != null) f0 else f1
+        var i = 0
+        while (i < 256) { bY((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
+        i = 0
+        while (i < 64) {
+          bU((cy + i / 8) * cw + cx + i % 8) = pU(i).toByte
+          bV((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
+          i += 1
+        }
+      } else if (m0.kind == 3) {
         meta.intraMb(mb) = true
         snk.bMbType(23 + 1 + 2 + 4 * 1, mb) // 23 + I16x16(DC, cbpC 1)
         val pL = predIntra16(2, bY, w, mx, my)
@@ -1951,6 +2007,7 @@ object H264Codec {
           case 1 => eng.bin(st, CtxBMbType + 1, 0); eng.bin(st, CtxBMbType + 2, 0)
           case 2 => eng.bin(st, CtxBMbType + 1, 0); eng.bin(st, CtxBMbType + 2, 1)
           case 3 => eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 0)
+          case 0 => eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 1)
           case _ => throw new IllegalArgumentException(s"h264: B mb_type $raw unsupported")
         }
         mbT(mb) = -1
@@ -2867,8 +2924,8 @@ object H264Codec {
     br.get(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
     br.get(sps.log2MaxPoc) // poc lsb
-    if (isB) require(br.get(1) == 0,
-      "h264: spatial-direct B prediction is the next rung")
+    if (isB) require(br.get(1) == 1,
+      "h264: TEMPORAL direct B prediction is the next rung (spatial implemented)")
     var numRef0 = 1
     if (isP || isB) {
       if (br.get(1) == 1) { // num_ref_idx_active_override_flag
@@ -2931,7 +2988,32 @@ object H264Codec {
       val mx = c * 16; val my = r * 16
       val cx = c * 8; val cy = r * 8
       if ((isP || isB) && src.pSkipNext(mb)) {
-        require(isP, "h264: B_Skip (direct) macroblocks are the next rung")
+        if (isB) {
+        // B_Skip: spatial direct motion, no residual
+        val (r0, mv0, r1, mv1) = directSpatial(mg, mgB1, mb, c * 4, r * 4)
+        require(r0 <= 0, "h264: direct list-0 reference beyond this profile")
+        mg.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
+        mgB1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
+        val f0 = if (r0 >= 0) mcFetch(ref, mx, my, mv0._1, mv0._2) else null
+        val f1 = if (r1 >= 0) mcFetch(refPrev, mx, my, mv1._1, mv1._2) else null
+        val (pY, pU, pV) =
+          if (f0 != null && f1 != null)
+            (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
+              f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
+              f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
+          else if (f0 != null) f0 else f1
+        var i = 0
+        while (i < 256) { y((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
+        i = 0
+        while (i < 64) {
+          u((cy + i / 8) * cw + cx + i % 8) = pU(i).toByte
+          v((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
+          i += 1
+        }
+        meta.qpMb(mb) = qp
+        src.endMb(mb == mbW * mbH - 1)
+        mb += 1
+        } else {
         // P_Skip: derived motion, no residual; refIdx 0 and the explicit
         // weights still apply (skip is ordinary inter prediction)
         val smv = skipMvCell(mg, mb, c * 4, r * 4)
@@ -2953,14 +3035,15 @@ object H264Codec {
         meta.qpMb(mb) = qp
         src.endMb(mb == mbW * mbH - 1)
         mb += 1
+        }
       } else {
         val rawType =
           if (isB) src.bMbType(mb)
           else if (isP) src.pMbType(mb)
           else src.mbTypeI(mb)
         if (isB && rawType < 23) {
-          require(rawType >= 1 && rawType <= 3,
-            "h264: B_Direct and sub-16x16 B partitions are the next rung")
+          require(rawType >= 0 && rawType <= 3,
+            "h264: sub-16x16 B partitions are the next rung")
         }
         if ((isP && rawType < 5) || (isB && rawType < 23)) {
           if (isP) require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
@@ -2968,7 +3051,20 @@ object H264Codec {
             "h264: multi-reference sub-partitions are the next rung")
           var mbRef0 = 0 // list-0 reference of this MB (P_L0_16x16 only)
           val (pY, pU, pV) =
-            if (isB) {
+            if (isB && rawType == 0) {
+              // B_Direct_16x16: spatial derivation, no motion syntax
+              val (r0, mv0, r1, mv1) = directSpatial(mg, mgB1, mb, c * 4, r * 4)
+              require(r0 <= 0, "h264: direct list-0 reference beyond this profile")
+              mg.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
+              mgB1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
+              val f0 = if (r0 >= 0) mcFetch(ref, mx, my, mv0._1, mv0._2) else null
+              val f1 = if (r1 >= 0) mcFetch(refPrev, mx, my, mv1._1, mv1._2) else null
+              if (f0 != null && f1 != null)
+                (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
+                  f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
+                  f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
+              else if (f0 != null) f0 else f1
+            } else if (isB) {
               // B_L0 / B_L1 / B_Bi 16x16: per-list mvd over per-list
               // grids; list 0 = the newest reference (the P frame),
               // list 1 = the one before it (the IDR); Bi = the spec's

@@ -894,6 +894,70 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** B_Skip / B_Direct plan (shared with the spec): IDR constants A(m),
+    * an all-intra P frame B(m), then a B slice whose skip and direct
+    * MBs must RE-DERIVE their motion spatially from the steered
+    * neighbors — layout 0 chains inheritance (an L0 MB with a one-MB
+    * motion vector feeds a skip that must inherit BOTH the reference
+    * and the mv; an L1 MB feeds a direct; a direct feeds another skip),
+    * layout 1 pins the zero-prediction clause (skip with no neighbors
+    * and skip beside an intra MB must bi-predict refs 0/0 at zero mv).
+    * Every wrong branch lands on a different per-MB constant.
+    */
+  private[operators] def h264BDirectPlan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    val layout1 = (d / 2) % 2 == 1
+    def a0(m: Int) = ((37 * d + 19 * m) % 160 + 24).toInt
+    def b0(m: Int) = ((41 * d + 23 * m) % 160 + 24).toInt
+    def acb(m: Int) = ((91 * d + 29 * m) % 160 + 24).toInt
+    def acr(m: Int) = ((53 * d + 31 * m) % 160 + 24).toInt
+    def bcb(m: Int) = ((67 * d + 17 * m) % 160 + 24).toInt
+    def bcr(m: Int) = ((71 * d + 13 * m) % 160 + 24).toInt
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    val mvAlong = if (colv) (64, 0) else (0, 64)
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = a0, tCb = acb, tCr = acr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = m => H264Codec.PMb(kind = 3, tL = b0(m), tCb = bcb(m), tCr = bcr(m)),
+      bmb = m =>
+        if (!layout1) m match {
+          case 0 => H264Codec.BMb(kind = 0, mv0 = mvAlong) // L0 -> B(1)
+          case 1 => H264Codec.BMb(kind = 4) // skip: inherits L0 + the mv -> B(2)
+          case 2 => H264Codec.BMb(kind = 1) // L1 -> A(2)
+          case 3 => H264Codec.BMb(kind = 5) // direct: L1-only from A -> A(3)
+          case _ => H264Codec.BMb(kind = 4) // skip after direct -> A(4)
+        } else m match {
+          case 0 => H264Codec.BMb(kind = 4) // no neighbors: zero-pred bi
+          case 1 => H264Codec.BMb(kind = 3, // intra island
+            tL = ((43 * d + 11) % 160 + 24).toInt,
+            tCb = ((23 * d + 7) % 160 + 24).toInt,
+            tCr = ((83 * d + 3) % 160 + 24).toInt)
+          case 2 => H264Codec.BMb(kind = 4) // intra neighbor: zero-pred bi
+          case 3 => H264Codec.BMb(kind = 0) // L0 -> B(3)
+          case _ => H264Codec.BMb(kind = 5) // direct: L0-only -> B(4)
+        })
+  }
+
+  /** Each doc carries the [[h264BDirectPlan]] stream; docs rotate stripe
+    * orientation, layout, and the entropy backend (every fourth doc
+    * CABAC: the B skip flags and the direct mb_type bins ride the
+    * arithmetic coder).
+    */
+  def withH264BDirectMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264BDirectPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** B-slice deblocking plan (shared with the spec): IDR constants A(m)
     * and an all-intra P frame B(m), both raw (idc=1), then a DEBLOCKED
     * non-reference B slice whose five MB stripes pin the B-specific
