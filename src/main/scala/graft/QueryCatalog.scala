@@ -6979,6 +6979,51 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC INTENSITY STEREO (books 14/15 on a CPE's right channel),
+    // graded sample-exact — the intensity band carries NO spectral data:
+    // it reconstructs from the LEFT channel scaled by the pinned is_pos
+    // gain (dpcm_is_position through the scalefactor codebook, chain
+    // seeded at zero, negatives live), in-phase (15) vs out-of-phase
+    // (14), and the 4.6.8.2.3 ms_used interplay (mask 2 INVERTS the
+    // phase while the MS butterfly skips the intensity band). The
+    // oracle replays the left line and the scaled right line with the
+    // L/R interleave in the checksum weights.
+    ("q_aac_intensity",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacIntensityMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, doc_id % 4 AS r,
+             |    (37*doc_id + 11) % 1024 AS pos,
+             |    1 + doc_id % 4 AS mag,
+             |    CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+             |    20 + (29*doc_id) % 200 + (doc_id % 41) - 20 AS sf
+             |  FROM documents),
+             |xs AS (
+             |  SELECT b.d, b.pos,
+             |    b.sgn * b.mag * (b.mag + 2) * (1 + (5*b.sf) % 13) AS xl,
+             |    CASE WHEN b.r = 3 THEN -(1 + b.d % 20)
+             |         ELSE (b.d % 25) - 12 END AS ipos,
+             |    (CASE WHEN b.r = 1 THEN -1 ELSE 1 END)
+             |      * (CASE WHEN b.r = 2 THEN -1 ELSE 1 END) AS ph
+             |  FROM base b),
+             |chk AS (
+             |  SELECT x.d,
+             |    sum((x.xl * ((2*pp.p) % 97 + 1)
+             |      + x.xl * x.ph * (1 + (3*(x.ipos + 60)) % 11)
+             |        * ((2*pp.p + 1) % 97 + 1))
+             |      * ((13*pp.p + 7*x.pos + 5) % 29 - 14)
+             |      * (1 + (3*pp.p) % 17)) AS pcm_checksum
+             |  FROM xs x
+             |  JOIN range(0, 1024) pp(p) ON true
+             |  GROUP BY x.d)
+             |SELECT d AS doc_id, CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(2048 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL AAC STEREO (channel_pair_element), graded sample-exact — the
     // element every real AAC stream uses: common_window = 1 sharing one
     // ics_info across both channels, the ms_mask_present family

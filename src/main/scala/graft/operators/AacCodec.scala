@@ -29,7 +29,8 @@ package graft.operators
   *    signs in the symbol, UNSIGNED books (3,4 and 7–11) followed by a
   *    sign bit per nonzero member, and codebook 11's escape sequence
   *    (N ones, a zero, then an (N+4)-bit mantissa → 2^(N+4) + word);
-  *    codebook 0 sections are zero, intensity/PNS books are rejected;
+  *    codebook 0 sections are zero; intensity books 14/15 are decoded on
+  *    a CPE's right channel (PNS/reserved rejected);
   *  - the 4.4.2.1 presence flags between scale_factor_data and
   *    spectral_data: pulse_data and gain_control_data rejected loudly,
   *    tns_data PARSED AND APPLIED on long-class frames — n_filt,
@@ -428,6 +429,27 @@ object AacCodec {
       }
   }
 
+  /** The right channel of an intensity-stereo CPE: one band coded with
+    * book 15 (in-phase) or 14 (out-of-phase), its dpcm_is_position
+    * through the scalefactor codebook (chain seeded at zero), and NO
+    * spectral data — the decoder reconstructs it from the left channel.
+    */
+  private def writeIcsIntensity(bw: MpegAudio.BitWriter, gg: Int,
+                                band: Int, phase: Int, isPos: Int): Unit = {
+    require(band >= 0 && band < NumSfb && isPos >= -60 && isPos <= 60)
+    bw.put(gg.toLong, 8)
+    val cb = if (phase > 0) 15 else 14
+    def run(cbId: Int, len: Int): Unit = if (len > 0) {
+      bw.put(cbId.toLong, 4)
+      var rest = len
+      while (rest >= 31) { bw.put(31, 5); rest -= 31 }
+      bw.put(rest.toLong, 5)
+    }
+    run(0, band); run(cb, 1); run(0, NumSfb - band - 1)
+    sfWrite(bw.put, isPos) // dpcm_is_position, chain seeded at 0
+    bw.put(0, 1); bw.put(0, 1); bw.put(0, 1) // pulse / tns / gain flags
+  }
+
   /** Wrap one raw_data_block body in an ADTS frame. */
   private def writeAdts(out: java.io.ByteArrayOutputStream, body: Array[Byte],
                         channels: Int): Unit = {
@@ -472,7 +494,10 @@ object AacCodec {
     */
   final case class AacCpe(left: AacFrame, right: AacFrame,
                           msMaskPresent: Int = 0,
-                          msUsed: (Int, Int) => Boolean = (_, _) => false)
+                          msUsed: (Int, Int) => Boolean = (_, _) => false,
+                          // (band, phase +1/-1, is_pos): the right
+                          // channel becomes a single intensity band
+                          intensity: Option[(Int, Int, Int)] = None)
 
   /** Encode a stereo ADTS stream of channel_pair_elements with
     * common_window = 1 and the MS-stereo mask family.
@@ -504,7 +529,12 @@ object AacCodec {
         }
       }
       writeIcs(bw, cpe.left, includeInfo = false)
-      writeIcs(bw, cpe.right, includeInfo = false)
+      cpe.intensity match {
+        case Some((band, phase, isPos)) =>
+          require(cpe.left.wseq != 2, "aac fixture: intensity fixture is long-window")
+          writeIcsIntensity(bw, cpe.right.globalGain, band, phase, isPos)
+        case None => writeIcs(bw, cpe.right, includeInfo = false)
+      }
       bw.put(7, 3) // id_syn_ele = END
       bw.padToByte()
       writeAdts(out, bw.bytes(), channels = 2)
@@ -565,13 +595,46 @@ object AacCodec {
     }
   }
 
+  /** Pinned intensity-gain stand-in for the spec's 0.5^(is_pos/4)
+    * curve: positive, deterministic in is_pos over the legal −60..60
+    * dpcm domain (the MpegAudio discipline).
+    */
+  private[operators] def aacIsGain(p: Int): Long = 1 + ((3 * (p + 60)) % 11)
+
+  /** Intensity stereo (4.6.8.2): bands the right channel codes with
+    * books 14/15 carry no spectra — they reconstruct from the LEFT
+    * channel scaled by the pinned is_pos gain, in-phase (book 15) or
+    * out-of-phase (14), INVERTED where ms_used is set (the 4.6.8.2.3
+    * interplay; those bands are excluded from the MS butterfly).
+    */
+  private def applyIntensity(l: Array[Long], r: Array[Long], info: IcsInfo,
+                             bands: Seq[(Int, Int, Int, Int)],
+                             used: (Int, Int) => Boolean): Unit =
+    bands.foreach { case (g, band, phase, isPos) =>
+      val ph = if (used(g, band)) -phase else phase
+      val gain = aacIsGain(isPos)
+      if (!info.isShort) {
+        var p = band * 32
+        while (p < (band + 1) * 32) { r(p) = l(p) * ph * gain; p += 1 }
+      } else info.groups(g).foreach { win =>
+        var i = sfbShortStart(band)
+        while (i < sfbShortStart(band) + sfbShortWidth(band)) {
+          val p = win * ShortLen + i
+          r(p) = l(p) * ph * gain
+          i += 1
+        }
+      }
+    }
+
   /** One individual_channel_stream: global_gain, ics_info unless the
     * CPE common_window supplied it, sections, scalefactors, presence
     * flags (+TNS), spectral data; returns the requantized (and
     * TNS-filtered) spectrum with the info actually in force.
     */
   private def readIcs(br: MpegAudio.BitReader,
-                      common: Option[IcsInfo]): (IcsInfo, Array[Long]) = {
+                      common: Option[IcsInfo],
+                      cpeSecond: Boolean = false)
+      : (IcsInfo, Array[Long], Seq[(Int, Int, Int, Int)]) = {
       val globalGain = br.get(8)
       val info = common.getOrElse(readIcsInfo(br))
       val wseq = info.wseq
@@ -588,7 +651,8 @@ object AacCodec {
         var band = 0
         while (band < maxSfb) {
           val cb = br.get(4)
-          require(cb <= 11, "aac: intensity/PNS codebooks outside this profile")
+          require(cb <= 11 || (cpeSecond && cb >= 14),
+            "aac: PNS/reserved codebooks outside this profile (intensity is CPE-right only)")
           var len = 0
           var chunk = br.get(sectBits)
           while (chunk == sectEsc) { len += sectEsc; chunk = br.get(sectBits) }
@@ -600,14 +664,23 @@ object AacCodec {
         }
         g += 1
       }
-      // scale_factor_data (DPCM from global_gain, chained across groups)
+      // scale_factor_data (DPCM from global_gain, chained across groups);
+      // intensity bands (books 14/15) ride their OWN dpcm_is_position
+      // chain initialized to zero (4.6.2.3)
       val sf = Array.ofDim[Int](nGroups, maxSfb)
+      val isBands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
       var last = globalGain
+      var isLast = 0
       g = 0
       while (g < nGroups) {
         var band = 0
         while (band < maxSfb) {
-          if (sfbCb(g)(band) != 0) {
+          val cbHere = sfbCb(g)(band)
+          if (cbHere >= 14) {
+            isLast += sfRead(br.get)
+            require(isLast >= -60 && isLast <= 60, "aac: is_position out of range")
+            isBands += ((g, band, if (cbHere == 15) 1 else -1, isLast))
+          } else if (cbHere != 0) {
             last += sfRead(br.get)
             require(last >= 0 && last < 256, "aac: scalefactor out of range")
             sf(g)(band) = last
@@ -723,7 +796,7 @@ object AacCodec {
         var band = 0
         while (band < maxSfb) {
           val cb = sfbCb(g)(band)
-          if (cb != 0) {
+          if (cb >= 1 && cb <= 11) {
             val gain = aacGain(sf(g)(band))
             if (!isShort) {
               val run = readRun(cb, 32)
@@ -788,7 +861,7 @@ object AacCodec {
           }
         }
       }
-      (info, spec)
+      (info, spec, isBands.toSeq)
   }
 
   /** Filterbank: long = one 2048-point IMDCT; short = eight 256-point
@@ -863,7 +936,8 @@ object AacCodec {
         if (chCfg == 1) {
           require(id == 0, "aac: expected a single_channel_element")
           br.get(4) // instance tag
-          Array(readIcs(br, None))
+          val (i1, s1, _) = readIcs(br, None)
+          Array((i1, s1))
         } else {
           require(id == 1, "aac: expected a channel_pair_element")
           br.get(4) // instance tag
@@ -886,13 +960,19 @@ object AacCodec {
                 (g2, b2) => bits(g2)(b2)
               } else if (msMask == 2) (_, _) => true
               else (_, _) => false
-            val (_, l) = readIcs(br, Some(info))
-            val (_, r) = readIcs(br, Some(info))
-            if (msMask != 0) applyMs(l, r, info, used)
+            val (_, l, _) = readIcs(br, Some(info))
+            val (_, r, isBands) = readIcs(br, Some(info), cpeSecond = true)
+            val isSet = isBands.map(ib => (ib._1, ib._2)).toSet
+            if (msMask != 0)
+              applyMs(l, r, info, (g2, b2) => used(g2, b2) && !isSet((g2, b2)))
+            applyIntensity(l, r, info, isBands, used)
             Array((info, l), (info, r))
           } else {
             // independent windows: each channel carries its own ics_info
-            Array(readIcs(br, None), readIcs(br, None))
+            val (iL, sL, _) = readIcs(br, None)
+            val (iR, sR, isBands) = readIcs(br, None, cpeSecond = true)
+            applyIntensity(sL, sR, iR, isBands, (_, _) => false)
+            Array((iL, sL), (iR, sR))
           }
         }
       require(br.get(3) == 7, "aac: missing END element")

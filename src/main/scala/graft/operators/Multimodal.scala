@@ -2114,6 +2114,43 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's intensity-stereo CPE frame: the left channel codes one
+    * line; the right channel is a single INTENSITY band over the same
+    * sfb (book 15 in-phase / 14 out-of-phase rotating, is_pos rotating
+    * through negatives, and one case under ms_mask_present = 2 whose
+    * 4.6.8.2.3 interplay must INVERT the phase while the MS butterfly
+    * skips the intensity band).
+    */
+  private[operators] def aacIntensityStream(d: Long): Array[Byte] = {
+    val r = (d % 4).toInt
+    val pos = ((37 * d + 11) % 1024).toInt
+    val band = pos / 32
+    val mag = (1 + d % 4).toInt
+    val v = if (d % 2 == 1) -mag else mag
+    val isPos = if (r == 3) -(1 + (d % 20)).toInt else ((d % 25) - 12).toInt
+    val phase = if (r == 1) -1 else 1
+    val left = AacCodec.AacFrame(
+      globalGain = (20 + (29 * d) % 200).toInt,
+      lines = Seq((pos, v, 6)),
+      sfDelta = ((d % 41) - 20).toInt)
+    val right = left.copy(globalGain = (20 + (31 * d) % 200).toInt)
+    AacCodec.encodeCpe(Seq(AacCodec.AacCpe(left, right,
+      msMaskPresent = if (r == 2) 2 else 0,
+      intensity = Some((band, phase, isPos)))))
+  }
+
+  /** Each doc carries the [[aacIntensityStream]] CPE frame, graded
+    * sample-exact with the pinned is_pos gain replayed by the oracle.
+    */
+  def withAacIntensityMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacIntensityStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's SHORT-window TNS stream: one EIGHT_SHORT frame whose
     * coded window (rotating 0..3) carries a live per-window TNS filter
     * over the top two short bands (window lines 104..127). The five

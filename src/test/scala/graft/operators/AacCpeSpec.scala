@@ -65,6 +65,28 @@ class AacCpeSpec extends AnyFunSuite {
     assert(hit.toSeq != miss.toSeq)
   }
 
+  test("intensity stereo: phase, is_pos gain, and the MS interplay") {
+    for (d <- 0L until 16L) {
+      val r = (d % 4).toInt
+      val pos = ((37 * d + 11) % 1024).toInt
+      val mag = (1 + d % 4).toInt
+      val sf = (20 + (29 * d) % 200).toInt + ((d % 41) - 20).toInt
+      val xl = AacCodec.aacPow43(mag) * AacCodec.aacGain(sf) *
+        (if (d % 2 == 1) -1 else 1)
+      val isPos = if (r == 3) -(1 + (d % 20)).toInt else ((d % 25) - 12).toInt
+      // book phase, inverted under the ms mask (case 2)
+      val ph = (if (r == 1) -1 else 1) * (if (r == 2) -1 else 1)
+      val xr = xl * ph * AacCodec.aacIsGain(isPos)
+      val out = AacCodec.decode(Multimodal.aacIntensityStream(d))
+      assert(out.channels == 2 && out.pcm.length == 2048)
+      for (p <- 0 until 1024) {
+        val base = AacCodec.aacCos(p, pos) * AacCodec.aacWin(p)
+        assert(out.pcm(2 * p) == xl * base, s"d=$d L p=$p")
+        assert(out.pcm(2 * p + 1) == xr * base, s"d=$d R p=$p")
+      }
+    }
+  }
+
   test("loud rejects: channel config 3+, mismatched common window, mixed configs") {
     val bytes = Multimodal.aacCpeStream(1L)
     val bad = bytes.clone()
