@@ -407,7 +407,8 @@ object MpegAudio {
   final case class L2Frame(alloc: Array[Int], scfsi: Array[Int],
                            sf: Array[Array[Int]], raw: Array[Array[Int]])
 
-  private def header(layer: Int, channels: Int = 1): (BitWriter => Unit) = bw => {
+  private def header(layer: Int, channels: Int = 1,
+                     jointExt: Int = -1): (BitWriter => Unit) = bw => {
     bw.put(0x7ff, 11) // sync
     bw.put(3, 2) // MPEG-1
     bw.put(if (layer == 1) 3 else 2, 2) // layer bits: 11 = I, 10 = II
@@ -416,8 +417,8 @@ object MpegAudio {
     bw.put(0, 2) // sample rate 44100
     bw.put(0, 1) // padding
     bw.put(0, 1) // private
-    bw.put(if (channels == 1) 3 else 0, 2) // mode: 11 mono / 00 stereo
-    bw.put(0, 2) // mode extension
+    bw.put(if (channels == 1) 3 else if (jointExt >= 0) 1 else 0, 2) // mode
+    bw.put(if (jointExt >= 0) jointExt.toLong else 0, 2) // mode extension
     bw.put(0, 1) // copyright
     bw.put(0, 1) // original
     bw.put(0, 2) // emphasis
@@ -426,6 +427,142 @@ object MpegAudio {
   /** One Layer I STEREO frame: the spec interleave — allocation per
     * (sb, ch), scalefactors per (sb, ch), samples per (granule, sb, ch).
     */
+  /** One Layer I JOINT-STEREO frame (mode 01): subbands at or above
+    * bound = 4 + 4*ext carry ONE shared allocation and ONE sample
+    * stream; scalefactors stay per channel (the spec's intensity mode).
+    */
+  def encodeL1Joint(ext: Int, alloc: (Int, Int) => Int, sf: (Int, Int) => Int,
+                    raw: (Int, Int, Int) => Int): Array[Byte] = {
+    require(ext >= 0 && ext < 4)
+    val bound = 4 + 4 * ext
+    val bw = new BitWriter
+    header(1, 2, jointExt = ext)(bw)
+    var sb = 0
+    while (sb < 32) {
+      if (sb >= bound) {
+        require(alloc(0, sb) == alloc(1, sb), "layer1 joint: shared allocation above the bound")
+        bw.put(alloc(0, sb).toLong, 4)
+      } else {
+        var ch = 0
+        while (ch < 2) { bw.put(alloc(ch, sb).toLong, 4); ch += 1 }
+      }
+      sb += 1
+    }
+    sb = 0
+    while (sb < 32) {
+      var ch = 0
+      while (ch < 2) {
+        if (alloc(ch, sb) > 0) bw.put(sf(ch, sb).toLong, 6)
+        ch += 1
+      }
+      sb += 1
+    }
+    var g = 0
+    while (g < 12) {
+      sb = 0
+      while (sb < 32) {
+        val chEnd = if (sb >= bound) 1 else 2
+        var ch = 0
+        while (ch < chEnd) {
+          if (alloc(ch, sb) > 0) {
+            val nb = alloc(ch, sb) + 1
+            val r = raw(g, ch, sb)
+            require(r >= 0 && r < (1 << nb) - 1,
+              s"layer1 joint: raw $r out of $nb-bit mid-tread domain")
+            bw.put(r.toLong, nb)
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      g += 1
+    }
+    bw.bytes()
+  }
+
+  /** One Layer II JOINT-STEREO frame: the L1 bound rule over the L2
+    * side-info machinery (shared allocation + one sample stream above
+    * the bound, per-channel scfsi/scalefactors throughout).
+    */
+  def encodeL2Joint(ext: Int, alloc: (Int, Int) => Int, scfsi: (Int, Int) => Int,
+                    sf: (Int, Int, Int) => Int,
+                    raw: (Int, Int, Int) => Int): Array[Byte] = {
+    require(ext >= 0 && ext < 4)
+    val bound = 4 + 4 * ext
+    val bw = new BitWriter
+    header(2, 2, jointExt = ext)(bw)
+    var sb = 0
+    while (sb < L2SbLimit) {
+      if (sb >= bound) {
+        require(alloc(0, sb) == alloc(1, sb), "layer2 joint: shared allocation above the bound")
+        bw.put(alloc(0, sb).toLong, l2AllocBits(sb))
+      } else {
+        var ch = 0
+        while (ch < 2) { bw.put(alloc(ch, sb).toLong, l2AllocBits(sb)); ch += 1 }
+      }
+      sb += 1
+    }
+    sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < 2) {
+        if (alloc(ch, sb) > 0) bw.put(scfsi(ch, sb).toLong, 2)
+        ch += 1
+      }
+      sb += 1
+    }
+    sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < 2) {
+        if (alloc(ch, sb) > 0) {
+          val pat = scfsi(ch, sb)
+          val count = pat match { case 0 => 3; case 2 => 1; case _ => 2 }
+          var i = 0
+          while (i < count) { bw.put(sf(ch, sb, i).toLong, 6); i += 1 }
+        }
+        ch += 1
+      }
+      sb += 1
+    }
+    var t = 0
+    while (t < 12) {
+      sb = 0
+      while (sb < L2SbLimit) {
+        val chEnd = if (sb >= bound) 1 else 2
+        var ch = 0
+        while (ch < chEnd) {
+          if (alloc(ch, sb) > 0) {
+            val (n, grouped, bits) = l2Class(alloc(ch, sb))
+            if (grouped) {
+              var c = 0
+              var i = 2
+              while (i >= 0) {
+                val r = raw(3 * t + i, ch, sb)
+                require(r >= 0 && r < n, "layer2 joint: sample out of domain")
+                c = c * n + r
+                i -= 1
+              }
+              bw.put(c.toLong, bits)
+            } else {
+              var i = 0
+              while (i < 3) {
+                val r = raw(3 * t + i, ch, sb)
+                require(r >= 0 && r < n, "layer2 joint: sample out of domain")
+                bw.put(r.toLong, bits)
+                i += 1
+              }
+            }
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      t += 1
+    }
+    bw.bytes()
+  }
+
   def encodeL1Stereo(alloc: (Int, Int) => Int, sf: (Int, Int) => Int,
                      raw: (Int, Int, Int) => Int): Array[Byte] = {
     val bw = new BitWriter
@@ -892,11 +1029,7 @@ object MpegAudio {
       val nCh = mode match {
         case 3 => 1
         case 0 => 2 // independent stereo
-        case 1 => // joint stereo: Layer III MS/intensity (L1/L2 joint
-          // subband modes stay the named rung)
-          require(thisLayer == 3,
-            "mpeg audio: joint stereo outside Layer III in this profile")
-          2
+        case 1 => 2 // joint stereo: L3 MS/intensity, L1/L2 bound mode
         case _ => throw new IllegalArgumentException(
           "mpeg audio: dual-channel mode outside this profile")
       }
@@ -919,12 +1052,22 @@ object MpegAudio {
       // per-(channel, granule, subband) dequantized samples
       val samples = Array.fill(nCh, nGran, 32)(0L)
 
+      // joint stereo (L1/L2): subbands at or above the bound share ONE
+      // allocation and ONE sample stream; scalefactors stay per channel
+      // (the spec's intensity mode — bound = 4 + 4*mode_extension)
+      val jointBound = if (mode == 1) 4 + 4 * modeExt else 32
+
       if (layer == 1) {
         val alloc = Array.fill(nCh, 32)(0)
         var sb = 0
         while (sb < 32) {
-          var ch = 0
-          while (ch < nCh) { alloc(ch)(sb) = br.get(4); ch += 1 }
+          if (nCh == 2 && sb >= jointBound) {
+            val a = br.get(4)
+            alloc(0)(sb) = a; alloc(1)(sb) = a
+          } else {
+            var ch = 0
+            while (ch < nCh) { alloc(ch)(sb) = br.get(4); ch += 1 }
+          }
           sb += 1
         }
         val sf = Array.fill(nCh, 32)(0)
@@ -941,6 +1084,16 @@ object MpegAudio {
         while (g < 12) {
           sb = 0
           while (sb < 32) {
+            if (nCh == 2 && sb >= jointBound) {
+              if (alloc(0)(sb) > 0) {
+                val nb = alloc(0)(sb) + 1
+                val n = (1 << nb) - 1
+                val raw = br.get(nb)
+                require(raw < n, "mpeg audio: code outside the mid-tread domain")
+                samples(0)(g)(sb) = dequant(raw, n) * sfTab(sf(0)(sb))
+                samples(1)(g)(sb) = dequant(raw, n) * sfTab(sf(1)(sb))
+              }
+            } else {
             var ch = 0
             while (ch < nCh) {
               if (alloc(ch)(sb) > 0) {
@@ -952,6 +1105,7 @@ object MpegAudio {
               }
               ch += 1
             }
+            }
             sb += 1
           }
           g += 1
@@ -960,8 +1114,13 @@ object MpegAudio {
         val alloc = Array.fill(nCh, L2SbLimit)(0)
         var sb = 0
         while (sb < L2SbLimit) {
-          var ch = 0
-          while (ch < nCh) { alloc(ch)(sb) = br.get(l2AllocBits(sb)); ch += 1 }
+          if (nCh == 2 && sb >= jointBound) {
+            val a = br.get(l2AllocBits(sb))
+            alloc(0)(sb) = a; alloc(1)(sb) = a
+          } else {
+            var ch = 0
+            while (ch < nCh) { alloc(ch)(sb) = br.get(l2AllocBits(sb)); ch += 1 }
+          }
           sb += 1
         }
         val scfsi = Array.fill(nCh, L2SbLimit)(0)
@@ -1001,18 +1160,24 @@ object MpegAudio {
         while (t < 12) {
           sb = 0
           while (sb < L2SbLimit) {
+            val shared = nCh == 2 && sb >= jointBound
+            val chEnd = if (shared) 1 else nCh
             var ch = 0
-            while (ch < nCh) {
+            while (ch < chEnd) {
               if (alloc(ch)(sb) > 0) {
                 val (n, grouped, bits) = l2Class(alloc(ch)(sb))
                 val part = t / 4 // granule 3t..3t+2 is in part (3t)/12 = t/4
-                val sfv = sfTab(sf(ch)(sb)(part))
+                def put(i: Int, q: Long): Unit = {
+                  samples(ch)(3 * t + i)(sb) = q * sfTab(sf(ch)(sb)(part))
+                  if (shared) // one sample stream, per-channel scalefactors
+                    samples(1)(3 * t + i)(sb) = q * sfTab(sf(1)(sb)(part))
+                }
                 if (grouped) {
                   var c = br.get(bits)
                   require(c < n * n * n, "mpeg audio: grouped code out of domain")
                   var i = 0
                   while (i < 3) {
-                    samples(ch)(3 * t + i)(sb) = dequant(c % n, n) * sfv
+                    put(i, dequant(c % n, n))
                     c /= n
                     i += 1
                   }
@@ -1021,7 +1186,7 @@ object MpegAudio {
                   while (i < 3) {
                     val raw = br.get(bits)
                     require(raw < n, "mpeg audio: code outside the mid-tread domain")
-                    samples(ch)(3 * t + i)(sb) = dequant(raw, n) * sfv
+                    put(i, dequant(raw, n))
                     i += 1
                   }
                 }
