@@ -6363,6 +6363,71 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL MPEG-1 Layer I/II JOINT STEREO (the bound / intensity mode),
+    // graded exactly — mode 01 with bound = 4 + 4*mode_extension:
+    // subbands at/above the bound carry ONE shared allocation and ONE
+    // sample stream while the scalefactors stay per channel (the mode's
+    // defining asymmetry — a decoder that duplicates the sample READ
+    // desyncs, one that shares the scalefactor collapses the channels).
+    // One coded subband below the bound per channel plus one shared
+    // subband above; layer and ext rotate by doc; L2 ungrouped classes.
+    ("q_mpeg_joint",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMpegJointMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d,
+             |    1 + doc_id % 2 AS layer,
+             |    4 + 4 * ((doc_id // 2) % 4) AS bound,
+             |    CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 36 END AS ng
+             |  FROM documents),
+             |chk AS (
+             |  SELECT b.d, b.layer, b.ng,
+             |    sum(vv.sv
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*vv.k0 + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * ((((gg.g + mm.m)*32 + ii.i)*2 + cc.ch) % 97 + 1)) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 36) gg(g) ON gg.g < b.ng
+             |  JOIN range(0, 32) ii(i) ON true
+             |  JOIN range(0, 2) cc(ch) ON true
+             |  JOIN range(0, 2) ss(sub) ON true
+             |  JOIN range(0, 16) mm(m) ON gg.g + mm.m < b.ng
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN b.layer = 1 THEN (b.d + 7*cc.ch) % b.bound
+             |         ELSE (b.d + 7*cc.ch) % b.bound END AS kb,
+             |    CASE WHEN b.layer = 1 THEN b.bound + b.d % (32 - b.bound)
+             |         ELSE b.bound + b.d % (23 - b.bound) END AS ka) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN b.layer = 1 THEN (1 << (2 + (b.d + cc.ch) % 8 + 1)) - 1
+             |      ELSE CASE (b.d + cc.ch) % 4 WHEN 0 THEN 7 WHEN 1 THEN 31
+             |        WHEN 2 THEN 63 ELSE 127 END END AS nb,
+             |    CASE WHEN b.layer = 1 THEN (1 << (2 + (b.d + 5) % 8 + 1)) - 1
+             |      ELSE CASE (b.d + 2) % 4 WHEN 0 THEN 7 WHEN 1 THEN 31
+             |        WHEN 2 THEN 63 ELSE 127 END END AS na,
+             |    CASE WHEN b.layer = 1 THEN (b.d + 13*cc.ch) % 64
+             |         ELSE (3*b.d + 29*cc.ch) % 64 END AS sfb,
+             |    CASE WHEN b.layer = 1 THEN (b.d + 19*cc.ch) % 64
+             |         ELSE (3*b.d + 11 + 23*cc.ch) % 64 END AS sfa) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN ss.sub = 0 THEN q1.kb ELSE q1.ka END AS k0,
+             |    CASE WHEN ss.sub = 0 THEN
+             |      (2*((5*b.d + 7*gg.g + 3 + 17*cc.ch) % q2.nb) + 1 - q2.nb)
+             |        * (1 + (3*q2.sfb) % 13)
+             |    ELSE
+             |      (2*((5*b.d + 11*gg.g + 1) % q2.na) + 1 - q2.na)
+             |        * (1 + (3*q2.sfa) % 13)
+             |    END AS sv) vv
+             |  GROUP BY b.d, b.layer, b.ng)
+             |SELECT d AS doc_id, CAST(layer AS BIGINT) AS layer,
+             |  CAST(2 AS BIGINT) AS n_channels,
+             |  CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(ng * 32 * 2 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL MPEG-1 Layer III (MP3) decode, graded exactly — the
     // Huffman/MDCT stage that was the perceptual-audio ladder's last
     // named stub: each doc carries a genuine mono MP3 stream (one or two

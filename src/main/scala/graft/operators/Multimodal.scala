@@ -1839,6 +1839,62 @@ object Multimodal {
       modeExt = r match { case 0 => 0; case 1 => 2; case 2 => 1; case _ => 3 })
   }
 
+  /** One doc's Layer I/II JOINT-STEREO (intensity/bound mode) stream:
+    * one frame, one coded subband BELOW the bound per channel (own
+    * allocation, scalefactor, samples) and one SHARED subband at or
+    * above the bound (one allocation, ONE sample stream, per-channel
+    * scalefactors — the mode's defining asymmetry). The layer and the
+    * mode_extension (bound = 4 + 4·ext) rotate by doc; L2 uses
+    * ungrouped classes only so the dequant stays a flat formula.
+    */
+  private[operators] def mpegJointStream(d: Long): Array[Byte] = {
+    val layer = 1 + (d % 2).toInt
+    val ext = ((d / 2) % 4).toInt
+    val bound = 4 + 4 * ext
+    if (layer == 1) {
+      def kB(ch: Int) = ((d + 7 * ch) % bound).toInt
+      val kA = bound + (d % (32 - bound)).toInt
+      def aB(ch: Int) = (2 + (d + ch) % 8).toInt
+      val aA = (2 + (d + 5) % 8).toInt
+      def nOf(a: Int) = (1 << (a + 1)) - 1
+      MpegAudio.encodeL1Joint(ext,
+        alloc = (ch, sb) =>
+          if (sb == kB(ch)) aB(ch) else if (sb == kA) aA else 0,
+        sf = (ch, sb) =>
+          if (sb == kA) ((d + 19 * ch) % 64).toInt else ((d + 13 * ch) % 64).toInt,
+        raw = (g, ch, sb) =>
+          if (sb == kA) ((5 * d + 11 * g + 1) % nOf(aA)).toInt
+          else ((5 * d + 7 * g + 3 + 17 * ch) % nOf(aB(ch))).toInt)
+    } else {
+      val cls = Array(3, 5, 6, 7) // ungrouped classes, <= 3 alloc bits
+      def kB(ch: Int) = ((d + 7 * ch) % bound).toInt
+      val kA = bound + (d % (23 - bound)).toInt
+      def aB(ch: Int) = cls(((d + ch) % 4).toInt)
+      val aA = cls(((d + 2) % 4).toInt)
+      def nOf(a: Int) = MpegAudio.l2Class(a)._1
+      MpegAudio.encodeL2Joint(ext,
+        alloc = (ch, sb) =>
+          if (sb == kB(ch)) aB(ch) else if (sb == kA) aA else 0,
+        scfsi = (_, _) => 2, // one scalefactor for all three parts
+        sf = (ch, sb, _) =>
+          if (sb == kA) ((3 * d + 11 + 23 * ch) % 64).toInt
+          else ((3 * d + 29 * ch) % 64).toInt,
+        raw = (g, ch, sb) =>
+          if (sb == kA) ((5 * d + 11 * g + 1) % nOf(aA)).toInt
+          else ((5 * d + 7 * g + 3 + 17 * ch) % nOf(aB(ch))).toInt)
+    }
+  }
+
+  /** Each doc carries the [[mpegJointStream]] joint-stereo frame. */
+  def withMpegJointMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mpegJointStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's Layer III WINDOW-SWITCHING stream (plan shared with
     * Mp3ShortSpec's replay): two mono frames whose four granules walk
     * the transient shape every real MP3 uses — long, START, SHORT, STOP
