@@ -5497,6 +5497,80 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 SUB-8x8 PARTITIONS (P_L0_8x4 / 4x8 / 4x4), graded
+    // byte-exact — the finest motion partitioning real P slices use:
+    // four sub_mb_types per P_8x8 MB rotating through all four shapes,
+    // every sub-partition's mvd in decode order against the
+    // written-cell predictor grid, per-sub-rect MC (luma 8x4/4x8/4x4
+    // with the matching chroma rects). Each sub-partition independently
+    // picks its own MB's region or the one-MB back-shift, so a
+    // sub-shape mix-up or order drift moves specific pixels; every
+    // fourth doc rides CABAC's pinned sub_mb_type bin tree.
+    ("q_h264_p4x4",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264P4x4Media(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 3840) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    q2.jj % q2.wpl AS x, q2.jj // q2.wpl AS y) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0
+             |      THEN (CASE WHEN m.colv THEN q3.x ELSE q3.y END) // 16
+             |      ELSE (CASE WHEN m.colv THEN q3.x ELSE q3.y END) // 8
+             |    END AS mi) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0
+             |      THEN ((q3.y % 16) // 8) * 2 + (q3.x % 16) // 8
+             |      ELSE ((q3.y % 8) // 4) * 2 + (q3.x % 8) // 4
+             |    END AS k) q5
+             |  CROSS JOIN LATERAL (SELECT (m.d + q4.mi + q5.k) % 4 AS st) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.pl = 0 THEN
+             |      CASE q6.st WHEN 0 THEN 0
+             |        WHEN 1 THEN (q3.y % 8) // 4
+             |        WHEN 2 THEN (q3.x % 8) // 4
+             |        ELSE ((q3.y % 8) // 4) * 2 + (q3.x % 8) // 4 END
+             |    ELSE
+             |      CASE q6.st WHEN 0 THEN 0
+             |        WHEN 1 THEN (q3.y % 4) // 2
+             |        WHEN 2 THEN (q3.x % 4) // 2
+             |        ELSE ((q3.y % 4) // 2) * 2 + (q3.x % 4) // 2 END
+             |    END AS sj) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 OR q4.mi = 0 THEN q4.mi
+             |      WHEN (m.d + q4.mi + q5.k + q7.sj) % 2 = 0 THEN q4.mi
+             |      ELSE q4.mi - 1 END AS src) q8
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl
+             |      WHEN 0 THEN (37*m.d + 19*q8.src) % 160 + 24
+             |      WHEN 1 THEN (91*m.d + 29*q8.src) % 160 + 24
+             |      ELSE (53*m.d + 31*q8.src) % 160 + 24
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 B_SKIP + B_DIRECT_16x16 (SPATIAL direct), graded
     // byte-exact — the B macroblocks real streams consist mostly of:
     // per-list MinPositive reference derivation over the A/B/C

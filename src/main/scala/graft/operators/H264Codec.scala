@@ -698,7 +698,20 @@ object H264Codec {
   final case class PMb(kind: Int, mv: (Int, Int) = (0, 0), dL: Int = 0,
                        tL: Int = 0, tCb: Int = 0, tCr: Int = 0,
                        mv2: (Int, Int) = (0, 0),
-                       mvs8: Int => (Int, Int) = null)
+                       mvs8: Int => (Int, Int) = null,
+                       sub4: Int => Int = null,
+                       mvs4: (Int, Int) => (Int, Int) = null)
+
+  /** Sub-partitions of a P_8x8 quadrant by sub_mb_type, as
+    * (lx, ly, wC, hC) in 4x4-cell units relative to the quadrant: 0 one
+    * 8x8, 1 two 8x4, 2 two 4x8, 3 four 4x4 (decode order).
+    */
+  private def subParts(t: Int): Seq[(Int, Int, Int, Int)] = t match {
+    case 0 => Seq((0, 0, 2, 2))
+    case 1 => Seq((0, 0, 2, 1), (0, 1, 2, 1))
+    case 2 => Seq((0, 0, 1, 2), (1, 0, 1, 2))
+    case _ => Seq((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))
+  }
 
   /** One frame-3 macroblock of the B-slice fixture plan. kind: 0 =
     * B_L0_16x16 (list 0 = the P frame), 1 = B_L1_16x16 (list 1 = the
@@ -1051,6 +1064,52 @@ object H264Codec {
           }
           // refIdx stays -1 (intra); nC grid: DC-only luma leaves 0
           meta.intraMb(mb) = true
+        } else if (m0.kind == 8) {
+          // P_8x8 with the FULL sub-partition family (8x8/8x4/4x8/4x4):
+          // four sub_mb_types then every sub-partition's mvd in decode
+          // order, recon per sub-rect
+          snk.pMbType(3, mb)
+          var k = 0
+          while (k < 4) { snk.subMbType8(m0.sub4(k)); k += 1 }
+          val wr = Array.ofDim[Boolean](4, 4)
+          val written: (Int, Int) => Boolean = (x0, y0) => wr(y0)(x0)
+          k = 0
+          while (k < 4) {
+            val qx = (k & 1) * 2; val qy = (k >> 1) * 2
+            subParts(m0.sub4(k)).zipWithIndex.foreach { case ((lx, ly, wC, hC), j) =>
+              val cx0 = c * 4 + qx + lx; val cy0 = r * 4 + qy + ly
+              val mv = m0.mvs4(k, j)
+              val mvp = mvPredictPart(mg, mb, cx0, cy0, wC, 0, written)
+              snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, cx0, cy0, wC, hC)
+              mg.fill(cx0, cy0, wC, hC, 0, mv._1, mv._2)
+              var yy = 0
+              while (yy < hC) {
+                var xx = 0
+                while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
+                yy += 1
+              }
+              val (pY, pU, pV) = mcFetchRect(ref, mx + (qx + lx) * 4,
+                my + (qy + ly) * 4, wC * 4, hC * 4, mv._1, mv._2)
+              val wP = wC * 4
+              var i = 0
+              while (i < pY.length) {
+                recY((my + (qy + ly) * 4 + i / wP) * w + mx + (qx + lx) * 4 + i % wP) =
+                  pY(i).toByte
+                i += 1
+              }
+              val cwP = wC * 2
+              i = 0
+              while (i < pU.length) {
+                recU((cy + (qy + ly) * 2 + i / cwP) * cw + cx + (qx + lx) * 2 + i % cwP) =
+                  pU(i).toByte
+                recV((cy + (qy + ly) * 2 + i / cwP) * cw + cx + (qx + lx) * 2 + i % cwP) =
+                  pV(i).toByte
+                i += 1
+              }
+            }
+            k += 1
+          }
+          snk.cbp(0, mb)
         } else if (m0.kind == 7) {
           // P_8x8: four P_L0_8x8 sub-partitions, each with its own mvd
           // against the standard predictor over its quadrant cells
@@ -1932,7 +1991,8 @@ object H264Codec {
   private val CtxSubMb = 270
   private val CtxBMbType = 271 // b0 intra?, b1, b2
   private val CtxRefIdx = 274 // bin0 inc 0..3 at +0..3; bin1 +4; bins>=2 +5
-  private val NumCtx = 280
+  private val CtxSubMb2 = 280 // sub_mb_type bins 1..2 (bin 0 at CtxSubMb)
+  private val NumCtx = 282
 
   private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
     bw.alignOnes() // cabac_alignment_one_bit
@@ -1994,8 +2054,17 @@ object H264Codec {
       }
     }
     def subMbType8(t: Int): Unit = {
-      require(t == 0, "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
-      eng.bin(st, CtxSubMb, 1) // the spec's '1' bin string for P_L0_8x8
+      // pinned P sub_mb_type bin tree: 0 (8x8) '1'; 3 (4x4) '01';
+      // 1 (8x4) '000'; 2 (4x8) '001'
+      t match {
+        case 0 => eng.bin(st, CtxSubMb, 1)
+        case 3 => eng.bin(st, CtxSubMb, 0); eng.bin(st, CtxSubMb2, 1)
+        case 1 => eng.bin(st, CtxSubMb, 0); eng.bin(st, CtxSubMb2, 0)
+          eng.bin(st, CtxSubMb2 + 1, 0)
+        case 2 => eng.bin(st, CtxSubMb, 0); eng.bin(st, CtxSubMb2, 0)
+          eng.bin(st, CtxSubMb2 + 1, 1)
+        case _ => throw new IllegalArgumentException(s"h264: sub_mb_type $t out of range")
+      }
     }
     def bMbType(raw: Int, mb: Int): Unit = {
       if (raw >= 23) {
@@ -2282,11 +2351,11 @@ object H264Codec {
         t
       }
     }
-    def subMbType8(): Int = {
-      require(eng.bin(st, CtxSubMb) == 1,
-        "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
-      0
-    }
+    def subMbType8(): Int =
+      if (eng.bin(st, CtxSubMb) == 1) 0
+      else if (eng.bin(st, CtxSubMb2) == 1) 3
+      else if (eng.bin(st, CtxSubMb2 + 1) == 0) 1
+      else 2
     def bMbType(mb: Int): Int = {
       if (eng.bin(st, CtxBMbType) == 1) 23 + mbTypeI(mb)
       else {
@@ -3093,38 +3162,48 @@ object H264Codec {
                 f0._2.zip(f1._2).map { case (a, b) => (a + b + 1) >> 1 },
                 f0._3.zip(f1._3).map { case (a, b) => (a + b + 1) >> 1 })
             } else if (rawType == 3) {
-              // P_8x8 with P_L0_8x8 sub-types
-              var k = 0
-              while (k < 4) {
-                require(src.subMbType8() == 0,
-                  "h264: sub-partitions below 8x8 are the next rung (P_L0_8x8 here)")
-                k += 1
-              }
+              // P_8x8: four sub_mb_types, then every sub-partition's mvd
+              // in decode order; later sub-partitions predict from the
+              // already-written cells (tracked on an explicit grid)
+              val subT = Array.fill(4)(src.subMbType8())
+              subT.foreach(t => require(t >= 0 && t <= 3,
+                "h264: P sub_mb_type out of range"))
+              val wr = Array.ofDim[Boolean](4, 4)
+              val written: (Int, Int) => Boolean = (x0, y0) => wr(y0)(x0)
               val aY = new Array[Int](256)
               val aU = new Array[Int](64)
               val aV = new Array[Int](64)
-              k = 0
+              var k = 0
               while (k < 4) {
-                val lx = (k & 1) * 2; val ly = (k >> 1) * 2
-                val kk = k
-                val written: (Int, Int) => Boolean =
-                  (x0, y0) => (y0 / 2) * 2 + x0 / 2 < kk
-                val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, 2, 0, written)
-                val (dx, dy) = src.mvd(c * 4 + lx, r * 4 + ly, 2, 2)
-                val mvX = mvp._1 + dx
-                val mvY = mvp._2 + dy
-                mg.fill(c * 4 + lx, r * 4 + ly, 2, 2, 0, mvX, mvY)
-                val (fY, fU, fV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4, 8, 8, mvX, mvY)
-                var i = 0
-                while (i < 64) {
-                  aY((ly * 4 + i / 8) * 16 + lx * 4 + i % 8) = fY(i)
-                  i += 1
-                }
-                i = 0
-                while (i < 16) {
-                  aU((ly * 2 + i / 4) * 8 + lx * 2 + i % 4) = fU(i)
-                  aV((ly * 2 + i / 4) * 8 + lx * 2 + i % 4) = fV(i)
-                  i += 1
+                val qx = (k & 1) * 2; val qy = (k >> 1) * 2
+                subParts(subT(k)).foreach { case (lx, ly, wC, hC) =>
+                  val cx0 = c * 4 + qx + lx; val cy0 = r * 4 + qy + ly
+                  val mvp = mvPredictPart(mg, mb, cx0, cy0, wC, 0, written)
+                  val (dx, dy) = src.mvd(cx0, cy0, wC, hC)
+                  val mvX = mvp._1 + dx
+                  val mvY = mvp._2 + dy
+                  mg.fill(cx0, cy0, wC, hC, 0, mvX, mvY)
+                  var yy = 0
+                  while (yy < hC) {
+                    var xx = 0
+                    while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
+                    yy += 1
+                  }
+                  val (fY, fU, fV) = mcFetchRect(ref, mx + (qx + lx) * 4,
+                    my + (qy + ly) * 4, wC * 4, hC * 4, mvX, mvY)
+                  val wP = wC * 4
+                  var i = 0
+                  while (i < fY.length) {
+                    aY(((qy + ly) * 4 + i / wP) * 16 + (qx + lx) * 4 + i % wP) = fY(i)
+                    i += 1
+                  }
+                  val cwP = wC * 2
+                  i = 0
+                  while (i < fU.length) {
+                    aU(((qy + ly) * 2 + i / cwP) * 8 + (qx + lx) * 2 + i % cwP) = fU(i)
+                    aV(((qy + ly) * 2 + i / cwP) * 8 + (qx + lx) * 2 + i % cwP) = fV(i)
+                    i += 1
+                  }
                 }
                 k += 1
               }

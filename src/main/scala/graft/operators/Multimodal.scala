@@ -894,6 +894,51 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Sub-8x8 partition plan (shared with the spec): frame 1 IDR per-MB
+    * constants, frame 2 all P_8x8 MBs (after a leading skip) whose
+    * quadrants rotate through ALL FOUR sub_mb_types; every
+    * sub-partition independently picks mv 0 (own MB's reference region)
+    * or a one-MB back-shift (the left/up neighbor's region), so each
+    * 8x8 / 8x4 / 4x8 / 4x4 sub-rect lands on its own constant — a
+    * sub-partition mix-up, wrong decode order, or wrong per-sub-rect MC
+    * geometry moves specific pixels.
+    */
+  private[operators] def h264P4x4Plan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    def a0(m: Int) = ((37 * d + 19 * m) % 160 + 24).toInt
+    def acb(m: Int) = ((91 * d + 29 * m) % 160 + 24).toInt
+    def acr(m: Int) = ((53 * d + 31 * m) % 160 + 24).toInt
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    val back = if (colv) (-64, 0) else (0, -64)
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = a0, tCb = acb, tCr = acr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = m =>
+        if (m == 0) H264Codec.PMb(kind = 0) // col/row 0 cannot shift back
+        else H264Codec.PMb(kind = 8,
+          sub4 = k => ((d + m + k) % 4).toInt,
+          mvs4 = (k, j) => if ((d + m + k + j) % 2 == 0) (0, 0) else back))
+  }
+
+  /** Each doc carries the [[h264P4x4Plan]] two-frame stream; orientation
+    * and the entropy backend rotate by doc (the CABAC docs ride the
+    * pinned sub_mb_type bin tree).
+    */
+  def withH264P4x4Media(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264P4x4Plan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 1))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** B_Skip / B_Direct plan (shared with the spec): IDR constants A(m),
     * an all-intra P frame B(m), then a B slice whose skip and direct
     * MBs must RE-DERIVE their motion spatially from the steered
