@@ -6,11 +6,15 @@ package graft.operators
   *
   *  - ADTS framing: the 0xFFF syncword, MPEG-version/layer/protection
   *    bits, profile (LC), sampling-frequency index, channel
-  *    configuration (mono SCE), the 13-bit frame_length the decoder
+  *    configuration (1 = mono SCE, 2 = stereo CPE), the 13-bit
+  *    frame_length the decoder
   *    validates against the consumed bytes, buffer fullness, and
   *    number_of_raw_data_blocks (0 = one block per frame);
-  *  - raw_data_block: one single_channel_element (id_syn_ele SCE, 4-bit
-  *    instance tag) followed by the END element id and byte alignment;
+  *  - raw_data_block: one single_channel_element (id_syn_ele SCE) or
+  *    one channel_pair_element (CPE: common_window sharing one
+  *    ics_info, the ms_mask_present family with the integer-exact MS
+  *    butterfly, and intensity bands 14/15 on the right channel),
+  *    followed by the END element id and byte alignment;
   *  - individual_channel_stream: 8-bit global_gain; ics_info with all
   *    four window_sequence values decoded — the long-class trio
   *    ONLY_LONG / LONG_START / LONG_STOP (6-bit max_sfb, predictor flag
@@ -38,7 +42,9 @@ package graft.operators
   *    two's-complement coefficients, filter regions walking DOWN from
   *    max_sfb, and the §4.6.9 all-pole synthesis over each region with
   *    zero history at the region edge and direction-1 downward
-  *    recursion (TNS on EIGHT_SHORT frames is the named next rung);
+  *    recursion; SHORT frames run the per-window 1-bit n_filt loop with
+  *    4-bit lengths in short band units, regions bounded inside each
+  *    window's 128 lines;
   *  - requantization |q|^(4/3)·2^((sf−100)/4) and the filterbank:
   *    the 2048-point long-window IMDCT, or eight 256-point short-window
   *    IMDCTs placed at 448 + 128w with window-group-interleaved spectra,
