@@ -7118,6 +7118,39 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC PNS (perceptual noise substitution, codebook 13) — a
+    // noise band carries NO spectral data: the decoder fills it from a
+    // PINNED deterministic generator (the spec deliberately leaves the
+    // generator open, which an oracle-exact engine must pin — documented
+    // in AacCodec) scaled by the dpcm noise_nrg (own chain, seeded at
+    // zero, negatives live). global_gain must NOT touch noise bands.
+    ("q_aac_pns",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacPnsMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, doc_id % 32 AS band,
+             |    (doc_id % 41) - 20 AS nrg
+             |  FROM documents),
+             |chk AS (
+             |  SELECT b.d,
+             |    sum((((1103515245 * (kk.k + 7*b.band + 13) + 12345) >> 4) % 17 - 8)
+             |      * (1 + (5*(b.nrg + 60)) % 13)
+             |      * ((13*pp.p + 7*kk.k + 5) % 29 - 14)
+             |      * (1 + (3*pp.p) % 17)
+             |      * (pp.p % 97 + 1)) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 32) q(i) ON true
+             |  CROSS JOIN LATERAL (SELECT b.band * 32 + q.i AS k) kk
+             |  JOIN range(0, 1024) pp(p) ON true
+             |  GROUP BY b.d)
+             |SELECT d AS doc_id, CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(1024 AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL AAC INTENSITY STEREO (books 14/15 on a CPE's right channel),
     // graded sample-exact — the intensity band carries NO spectral data:
     // it reconstructs from the LEFT channel scaled by the pinned is_pos

@@ -456,6 +456,40 @@ object AacCodec {
     bw.put(0, 1); bw.put(0, 1); bw.put(0, 1) // pulse / tns / gain flags
   }
 
+  /** One PNS frame: a mono SCE whose single coded band is a NOISE band
+    * (codebook 13) — no spectral data; noise_nrg rides its own dpcm
+    * chain through the scalefactor codebook.
+    */
+  def encodePns(frames: Seq[(Int, Int, Int)]): Array[Byte] = { // (gg, band, nrg)
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (gg, band, nrg) =>
+      require(band >= 0 && band < NumSfb && nrg >= -60 && nrg <= 60)
+      val bw = new MpegAudio.BitWriter
+      bw.put(0, 3) // SCE
+      bw.put(0, 4) // instance tag
+      require(gg >= 0 && gg < 256)
+      bw.put(gg.toLong, 8)
+      bw.put(0, 1) // ics_reserved
+      bw.put(0, 2) // ONLY_LONG
+      bw.put(0, 1) // window_shape
+      bw.put(NumSfb.toLong, 6)
+      bw.put(0, 1) // predictor_data_present
+      def run(cbId: Int, len: Int): Unit = if (len > 0) {
+        bw.put(cbId.toLong, 4)
+        var rest = len
+        while (rest >= 31) { bw.put(31, 5); rest -= 31 }
+        bw.put(rest.toLong, 5)
+      }
+      run(0, band); run(13, 1); run(0, NumSfb - band - 1)
+      sfWrite(bw.put, nrg) // dpcm noise_nrg, chain seeded at 0
+      bw.put(0, 1); bw.put(0, 1); bw.put(0, 1) // pulse / tns / gain flags
+      bw.put(7, 3) // END
+      bw.padToByte()
+      writeAdts(out, bw.bytes(), channels = 1)
+    }
+    out.toByteArray
+  }
+
   /** Wrap one raw_data_block body in an ADTS frame. */
   private def writeAdts(out: java.io.ByteArrayOutputStream, body: Array[Byte],
                         channels: Int): Unit = {
@@ -607,6 +641,17 @@ object AacCodec {
     */
   private[operators] def aacIsGain(p: Int): Long = 1 + ((3 * (p + 60)) % 11)
 
+  /** Pinned PNS stand-ins (4.6.13): the spec lets every decoder choose
+    * its own noise generator, which is exactly what an oracle-exact
+    * engine cannot leave open — so the per-line noise VALUES are a
+    * documented deterministic map of (band, line), and the noise_nrg
+    * scaling curve is a pinned positive integer map of the decoded
+    * energy (the MpegAudio discipline).
+    */
+  private[operators] def aacPnsNoise(band: Int, line: Int): Long =
+    ((1103515245L * (line + 7L * band + 13) + 12345L) >> 4) % 17 - 8
+  private[operators] def aacPnsGain(nrg: Int): Long = 1 + ((5 * (nrg + 60)) % 13)
+
   /** Intensity stereo (4.6.8.2): bands the right channel codes with
     * books 14/15 carry no spectra — they reconstruct from the LEFT
     * channel scaled by the pinned is_pos gain, in-phase (book 15) or
@@ -657,8 +702,8 @@ object AacCodec {
         var band = 0
         while (band < maxSfb) {
           val cb = br.get(4)
-          require(cb <= 11 || (cpeSecond && cb >= 14),
-            "aac: PNS/reserved codebooks outside this profile (intensity is CPE-right only)")
+          require(cb <= 11 || cb == 13 || (cpeSecond && cb >= 14),
+            "aac: reserved codebook 12 outside this profile (intensity is CPE-right only)")
           var len = 0
           var chunk = br.get(sectBits)
           while (chunk == sectEsc) { len += sectEsc; chunk = br.get(sectBits) }
@@ -675,14 +720,21 @@ object AacCodec {
       // chain initialized to zero (4.6.2.3)
       val sf = Array.ofDim[Int](nGroups, maxSfb)
       val isBands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+      val pnsBands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
       var last = globalGain
       var isLast = 0
+      var nrgLast = 0
       g = 0
       while (g < nGroups) {
         var band = 0
         while (band < maxSfb) {
           val cbHere = sfbCb(g)(band)
-          if (cbHere >= 14) {
+          if (cbHere == 13) {
+            // PNS: noise_nrg rides its own dpcm chain (seeded at zero)
+            nrgLast += sfRead(br.get)
+            require(nrgLast >= -60 && nrgLast <= 60, "aac: noise_nrg out of range")
+            pnsBands += ((g, band, nrgLast))
+          } else if (cbHere >= 14) {
             isLast += sfRead(br.get)
             require(isLast >= -60 && isLast <= 60, "aac: is_position out of range")
             isBands += ((g, band, if (cbHere == 15) 1 else -1, isLast))
@@ -834,6 +886,23 @@ object AacCodec {
           band += 1
         }
         g += 1
+      }
+      // PNS substitution (4.6.13): fill the noise bands from the pinned
+      // generator scaled by the decoded energy — BEFORE TNS, which
+      // filters whatever spectrum is in force
+      pnsBands.foreach { case (g, band, nrg) =>
+        val gain = aacPnsGain(nrg)
+        if (!isShort) {
+          var p = band * 32
+          while (p < (band + 1) * 32) { spec(p) = aacPnsNoise(band, p) * gain; p += 1 }
+        } else groups(g).foreach { win =>
+          var i = sfbShortStart(band)
+          while (i < sfbShortStart(band) + sfbShortWidth(band)) {
+            val p = win * ShortLen + i
+            spec(p) = aacPnsNoise(band, p) * gain
+            i += 1
+          }
+        }
       }
       // TNS (4.6.9): all-pole synthesis over each filter's spectral
       // region — the spec's noise-shaping inverse. Filter state is

@@ -2215,6 +2215,31 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's PNS frame (4.6.13): a mono SCE whose single coded band
+    * is a NOISE band (codebook 13, no spectral data) — the decoder
+    * substitutes the pinned deterministic noise scaled by the dpcm
+    * noise_nrg. Band, energy (negatives live) and global_gain (which
+    * must NOT affect noise bands) rotate by doc.
+    */
+  private[operators] def aacPnsStream(d: Long): Array[Byte] = {
+    val band = (d % 32).toInt
+    val nrg = ((d % 41) - 20).toInt
+    val gg = (20 + (29 * d) % 200).toInt
+    AacCodec.encodePns(Seq((gg, band, nrg)))
+  }
+
+  /** Each doc carries the [[aacPnsStream]] frame, graded sample-exact
+    * against the pinned noise map.
+    */
+  def withAacPnsMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacPnsStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's intensity-stereo CPE frame: the left channel codes one
     * line; the right channel is a single INTENSITY band over the same
     * sfb (book 15 in-phase / 14 out-of-phase rotating, is_pos rotating

@@ -87,6 +87,30 @@ class AacCpeSpec extends AnyFunSuite {
     }
   }
 
+  test("PNS: pinned noise substitution scaled by noise_nrg, gg-independent") {
+    for (d <- 0L until 24L) {
+      val band = (d % 32).toInt
+      val nrg = ((d % 41) - 20).toInt
+      val out = AacCodec.decode(Multimodal.aacPnsStream(d))
+      assert(out.channels == 1 && out.pcm.length == 1024)
+      val gain = AacCodec.aacPnsGain(nrg)
+      for (p <- 0 until 1024) {
+        var want = 0L
+        var k = band * 32
+        while (k < (band + 1) * 32) {
+          want += AacCodec.aacPnsNoise(band, k) * gain *
+            AacCodec.aacCos(p, k) * AacCodec.aacWin(p)
+          k += 1
+        }
+        assert(out.pcm(p) == want, s"d=$d p=$p")
+      }
+    }
+    // global_gain must not touch noise bands: same (band, nrg), other gg
+    val x = AacCodec.decode(AacCodec.encodePns(Seq((40, 5, 3)))).pcm
+    val y = AacCodec.decode(AacCodec.encodePns(Seq((200, 5, 3)))).pcm
+    assert(x.toSeq == y.toSeq)
+  }
+
   test("loud rejects: channel config 3+, mismatched common window, mixed configs") {
     val bytes = Multimodal.aacCpeStream(1L)
     val bad = bytes.clone()
