@@ -37,15 +37,26 @@ object DedupAnnScale {
       }
     })
 
+    def settle(): Unit = {
+      // the listener bus drains asynchronously; wait until the counter is
+      // STABLE (two consecutive reads equal) so a loaded machine's late
+      // task-end events from the previous probe can't bleed into the next
+      // probe's accounting, bounded at ~10 s
+      var prev = -1L
+      var tries = 0
+      while (tries < 20 && shuffleRecords.get() != prev) {
+        prev = shuffleRecords.get()
+        Thread.sleep(500)
+        tries += 1
+      }
+    }
     def measured(work: => Long): (Double, Long, Long) = {
-      // the listener bus drains asynchronously; a short settle keeps the
-      // per-probe shuffle accounting from bleeding across probes
-      Thread.sleep(500)
+      settle()
       shuffleRecords.set(0)
       val t0 = System.nanoTime()
       val out = work
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
+      settle()
       (math.round(wall * 100) / 100.0, shuffleRecords.get(), out)
     }
 

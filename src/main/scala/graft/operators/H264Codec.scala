@@ -13,17 +13,32 @@ package graft.operators
   * per-4x4 TotalCoeff, the 6-bit FLC form at nC >= 8), the 4x4 integer
   * inverse transform, the Intra_16x16 luma-DC 4x4 Hadamard and chroma-DC
   * 2x2 Hadamard paths, per-MB QP tracking with the chroma QP offset/map.
-  * I_4x4 macroblocks and inter slices are the next rung, REJECTED loudly,
-  * never misdecoded.
+  * Beyond that intra-16x16 core the decoded surface now covers nine-mode
+  * Intra_4x4 (with the prediction-mode flag/rem syntax and neighbor
+  * availability rules), P slices (P_Skip with derived motion,
+  * P_L0 16x16/16x8/8x16, P_8x8 with all four sub_mb_types, quarter-pel
+  * 6-tap luma / bilinear chroma motion compensation, median MV
+  * prediction, two list-0 references, explicit weighted prediction),
+  * B slices (B_Skip and B_Direct_16x16 via spatial direct derivation,
+  * B_L0/B_L1/B_Bi 16x16 with default bi-prediction averaging), the CABAC
+  * entropy backend (arithmetic engine, context-modelled bins for all
+  * decoded syntax elements, cross-backend parity with CAVLC), and the
+  * in-loop deblocking filter (bS derivation, alpha/beta tables, the
+  * normal and strong filter paths with slice-level offsets). Remaining
+  * rungs (temporal direct B prediction, sub-16x16 B partitions,
+  * multi-reference sub-partitions) are REJECTED loudly, never misdecoded.
   *
   * Transport, exp-Golomb, the EP-byte rule (00 00 0x with x ≤ 3), the
   * I_PCM sample walk, and all the structural CAVLC/transform/prediction
-  * semantics above are bit-exact per the standard. Two value families
+  * semantics above are bit-exact per the standard. Three value families
   * are documented PINNED IMPLEMENTATION VALUES (the repo's codec
   * discipline): the VLC codeword assignments for
   * coeff_token/total_zeros/run_before (exp-Golomb-indexed pinned
-  * permutations over the spec alphabets and contexts) and the dequant
-  * v-table arithmetic — a tables-only swap away from interop.
+  * permutations over the spec alphabets and contexts), the dequant
+  * v-table arithmetic, and the CABAC P sub_mb_type bin tree
+  * (pinned '1'/'01'/'000'/'001' with local CtxSubMb contexts, vs spec
+  * Table 9-38's '1'/'00'/'011'/'010' on ctx 21-23) — a tables-only swap
+  * away from interop.
   *
   * Cited reference behavior: the reference repo ingests media only as
   * opaque URLs (SURVEY §2.1); the codec ladder is parity-plus for the

@@ -1402,10 +1402,12 @@ object MpegAudio {
         val iStart =
           if (!isOn) 576
           else { // smallest band boundary at or above the right
-            // channel's zero bound (last coded line)
+            // channel's zero bound (last coded line); band b starts at
+            // 26*b for b <= 21 and band 21 spans 546..575 (30 lines,
+            // l3Band geometry), so past band 21 the boundary is 576
             var b = 0
             while (b < 22 && 26 * b < zeroBound(1)) b += 1
-            math.min(26 * b, 576)
+            if (b >= 22) 576 else 26 * b
           }
         var p = 0
         while (p < 576) {
