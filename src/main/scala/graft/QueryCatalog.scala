@@ -5649,6 +5649,92 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 TEMPORAL DIRECT B prediction (8.4.1.2.3), graded
+    // byte-exact — a display-REORDERED B (poc 1 between the IDR at 0
+    // and the reference P at 2) flips the POC-default reference lists,
+    // samples the colocated P-frame motion PER 4x4 CELL, and scales it
+    // through DistScaleFactor: with tb/td = 1/2 that is
+    // mvL0 = (128*mvCol + 128) >> 8 (flooring the exact .5 in BOTH sign
+    // directions: +128 -> +64, -128 -> -64) and mvL1 = mvL0 - mvCol.
+    // Colocated variety per MB: an intra MB (the mvCol = 0 fallback), a
+    // P_8x8 whose four quadrants move differently (per-cell sampling), a
+    // -2 MB and an edge-clamped +2 MB vector, and zero mv; an explicit
+    // B_L0 at zero mv pins the flipped list construction (it must read
+    // the IDR — un-flipped lists read the P frame there). Every fourth
+    // doc rides CABAC with direct_spatial_mv_pred_flag = 0.
+    ("q_h264_tdirect",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264TDirectMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 5760) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS mbspan) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s,
+             |    CASE WHEN m.colv THEN q2.jj // q2.wpl
+             |         ELSE q2.jj % q2.wpl END AS tt) q3
+             |  CROSS JOIN LATERAL (SELECT q3.s // q2.mbspan AS mi,
+             |    (q3.s % q2.mbspan) // (q2.mbspan // 2) AS qs,
+             |    q3.tt // (q2.mbspan // 2) AS qt) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 37 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 19 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    (cf.ca1*m.d) % 160 + 24 AS a0v,
+             |    (cf.ca1*m.d + cf.ca2) % 160 + 24 AS a1v,
+             |    (cf.ca1*m.d + 2*cf.ca2) % 160 + 24 AS a2v,
+             |    (cf.ca1*m.d + 3*cf.ca2) % 160 + 24 AS a3v,
+             |    (cf.ca1*m.d + 4*cf.ca2) % 160 + 24 AS a4v,
+             |    (cf.cb1*m.d) % 160 + 24 AS b0v) av
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 THEN
+             |      (cf.ca1*m.d + cf.ca2*q4.mi) % 160 + 24
+             |    WHEN qf.fi = 1 THEN CASE q4.mi
+             |      WHEN 0 THEN av.b0v
+             |      WHEN 1 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN av.a3v
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN av.a0v
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN av.a1v
+             |        ELSE av.a2v END
+             |      WHEN 2 THEN av.a0v
+             |      ELSE av.a4v END
+             |    ELSE CASE q4.mi
+             |      WHEN 0 THEN (av.a0v + av.b0v + 1) // 2
+             |      WHEN 1 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN (av.a2v + av.b0v + 1) // 2
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN (av.a1v + av.a0v + 1) // 2
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN av.a1v
+             |        ELSE (av.a2v + av.a1v + 1) // 2 END
+             |      WHEN 2 THEN (av.a1v + av.a4v + 1) // 2
+             |      WHEN 3 THEN av.a3v
+             |      ELSE av.a4v END
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 B-SLICE DEBLOCKING, graded byte-exact — the two-list
     // boundary-strength rules: different reference SETS (L0|L1, L1|Bi,
     // Bi|L0 edges -> bS=1), a per-PICTURE >=4-qpel mv difference between

@@ -19,14 +19,17 @@ package graft.operators
   * P_L0 16x16/16x8/8x16, P_8x8 with all four sub_mb_types, quarter-pel
   * 6-tap luma / bilinear chroma motion compensation, median MV
   * prediction, two list-0 references, explicit weighted prediction),
-  * B slices (B_Skip and B_Direct_16x16 via spatial direct derivation,
-  * B_L0/B_L1/B_Bi 16x16 with default bi-prediction averaging), the CABAC
-  * entropy backend (arithmetic engine, context-modelled bins for all
-  * decoded syntax elements, cross-backend parity with CAVLC), and the
-  * in-loop deblocking filter (bS derivation, alpha/beta tables, the
-  * normal and strong filter paths with slice-level offsets). Remaining
-  * rungs (temporal direct B prediction, sub-16x16 B partitions,
-  * multi-reference sub-partitions) are REJECTED loudly, never misdecoded.
+  * B slices (B_Skip and B_Direct_16x16 via spatial direct derivation
+  * AND, for display-reordered POC-between B pictures, temporal direct
+  * with per-4x4-cell colocated sampling and DistScaleFactor scaling;
+  * B_L0/B_L1/B_Bi 16x16 with default bi-prediction averaging over the
+  * POC-ordered lists), the CABAC entropy backend (arithmetic engine,
+  * context-modelled bins for all decoded syntax elements, cross-backend
+  * parity with CAVLC), and the in-loop deblocking filter (bS derivation,
+  * alpha/beta tables, the normal and strong filter paths with
+  * slice-level offsets). Remaining rungs (sub-16x16 B partitions,
+  * multi-reference sub-partitions) are REJECTED loudly, never
+  * misdecoded.
   *
   * Transport, exp-Golomb, the EP-byte rule (00 00 0x with x ≤ 3), the
   * I_PCM sample walk, and all the structural CAVLC/transform/prediction
@@ -751,10 +754,14 @@ object H264Codec {
                               cb: Seq[(Int, Int)], cr: Seq[(Int, Int)])
 
   /** Two-frame plan: frame 1 IDR from `intra`, frame 2 P from `pmb`;
-    * when `bmb` is set a third (non-reference) B slice follows, its
-    * list 0 pinned to the P frame and list 1 to the IDR — the two most
-    * recent references in decode order (no POC-based reordering in this
-    * profile; documented). When `wmb` is set a non-reference WEIGHTED
+    * when `bmb` is set a third (non-reference) B slice follows. By
+    * default it displays after both references (poc 4): list 0 = the P
+    * frame, list 1 = the IDR, spatial direct. With `bTemporal` the B is
+    * display-REORDERED between them (poc 1): the POC-default lists flip
+    * (list 0 = the IDR, list 1 = the P frame), the slice signals
+    * direct_spatial_mv_pred_flag = 0, and skip/direct MBs scale the
+    * colocated P-frame motion per 4x4 cell (8.4.1.2.3, tb/td = 1/2).
+    * When `wmb` is set a non-reference WEIGHTED
     * multi-reference P slice follows instead: PPS weighted_pred_flag=1
     * (frame 2 carries an identity pred_weight_table), two list-0
     * references, per-MB ref_idx, and `wspec`'s explicit weights.
@@ -762,7 +769,8 @@ object H264Codec {
   final case class InterPlan(intra: IntraPlan, pmb: Int => PMb,
                              bmb: Int => BMb = null,
                              wmb: Int => WMb = null,
-                             wspec: WeightSpec = null)
+                             wspec: WeightSpec = null,
+                             bTemporal: Boolean = false)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1276,7 +1284,8 @@ object H264Codec {
       nal(3, 5, idrSlice), nal(2, 1, bw.bytes()))
     if (p.bmb != null) {
       val f2 = H264Frame(w, h, recY, recU, recV)
-      nals += nal(0, 1, bSlice(p, w, h, ref, f2, cabac, deblock = deblockB))
+      nals += nal(0, 1, bSlice(p, w, h, ref, f2, cabac, deblock = deblockB,
+        colMg = mg))
     }
     if (p.wmb != null) {
       // non-reference weighted P slice: list 0 = [the P frame, the IDR]
@@ -1348,15 +1357,27 @@ object H264Codec {
     bw.bytes()
   }
 
-  /** Encode the non-reference B slice (frame 3): list 0 = the P frame,
-    * list 1 = the IDR; B_L0/B_L1/B_Bi 16x16 with per-list MV prediction
-    * over per-list cell grids and the spec's default (p0 + p1 + 1) >> 1
-    * bi average; Intra_16x16 MBs steered. B_Skip/direct and sub-MB B
-    * partitions are the named next rung.
+  /** Encode the non-reference B slice (frame 3). Default (spatial): poc
+    * 4, list 0 = the P frame, list 1 = the IDR, B_L0/B_L1/B_Bi 16x16
+    * with per-list MV prediction over per-list cell grids and the spec's
+    * default (p0 + p1 + 1) >> 1 bi average; Intra_16x16 MBs steered.
+    * With `p.bTemporal`: poc 1 (display-reordered between the IDR at 0
+    * and the P at 2), direct_spatial_mv_pred_flag = 0, the POC-default
+    * lists flip (list 0 = the IDR, list 1 = the P frame), and skip /
+    * direct MBs replay the decoder's per-4x4-cell temporal scaling of
+    * the colocated P motion (`colMg`). Sub-MB B partitions are the
+    * named next rung.
     */
   private def bSlice(p: InterPlan, w: Int, h: Int,
                      ref0past: H264Frame, refP: H264Frame,
-                     cabac: Boolean, deblock: Boolean = false): Array[Byte] = {
+                     cabac: Boolean, deblock: Boolean = false,
+                     colMg: MotionGrid = null): Array[Byte] = {
+    val temporal = p.bTemporal
+    require(!temporal || colMg != null,
+      "h264 fixture: temporal B needs the P frame's motion grid")
+    // list pictures under the POC-default order (see the InterPlan doc)
+    val l0F = if (temporal) ref0past else refP
+    val l1F = if (temporal) refP else ref0past
     val qp = 28
     val qpc = chromaQp(qp - 6)
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
@@ -1366,8 +1387,8 @@ object H264Codec {
     bw.ue(6) // slice_type: B
     bw.ue(0) // pps id
     bw.put(2, 8) // frame_num
-    bw.put(4, 8) // pic_order_cnt_lsb
-    bw.put(1, 1) // direct_spatial_mv_pred_flag: SPATIAL direct
+    bw.put(if (temporal) 1 else 4, 8) // pic_order_cnt_lsb
+    bw.put(if (temporal) 0 else 1, 1) // direct_spatial_mv_pred_flag
     bw.put(0, 1) // num_ref_idx_active_override_flag
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
     bw.put(0, 1) // ref_pic_list_modification_flag_l1
@@ -1393,10 +1414,48 @@ object H264Codec {
       val m0 = p.bmb(mb)
       snk.pSkip(flag = m0.kind == 4, mb)
       if (m0.kind == 4 || m0.kind == 5) {
-        // B_Skip (4) / B_Direct_16x16 (5): SPATIAL direct motion — the
-        // decoder re-derives it, so nothing but the (skip flag or
-        // direct mb_type + zero cbp) rides the stream
+        // B_Skip (4) / B_Direct_16x16 (5): direct motion — the decoder
+        // re-derives it, so nothing but the (skip flag or direct
+        // mb_type + zero cbp) rides the stream
         if (m0.kind == 5) { snk.bMbType(0, mb); snk.cbp(0, mb) }
+        if (temporal) {
+          // per-4x4-cell replay of the decoder's 8.4.1.2.3 derivation:
+          // tb/td = (pocB - pocIdr)/(pocP - pocIdr) = 1/2
+          var cyy = 0
+          while (cyy < 4) {
+            var cxx = 0
+            while (cxx < 4) {
+              val gx = c * 4 + cxx; val gy = r * 4 + cyy
+              val colRef = colMg.ref(gy * colMg.gw + gx)
+              require(colRef <= 0,
+                "h264 fixture: temporal direct over a multi-reference colocated cell")
+              val mcx = if (colRef < 0) 0 else colMg.mvx(gy * colMg.gw + gx)
+              val mcy = if (colRef < 0) 0 else colMg.mvy(gy * colMg.gw + gx)
+              val (l0x, l0y, l1x, l1y) = temporalScale(1, 2, mcx, mcy)
+              mg0.fill(gx, gy, 1, 1, 0, l0x, l0y)
+              mg1.fill(gx, gy, 1, 1, 0, l1x, l1y)
+              val f0 = mcFetchRect(l0F, mx + cxx * 4, my + cyy * 4, 4, 4, l0x, l0y)
+              val f1 = mcFetchRect(l1F, mx + cxx * 4, my + cyy * 4, 4, 4, l1x, l1y)
+              var i = 0
+              while (i < 16) {
+                bY((my + cyy * 4 + i / 4) * w + mx + cxx * 4 + i % 4) =
+                  (((f0._1(i) + f1._1(i) + 1) >> 1)).toByte
+                i += 1
+              }
+              i = 0
+              while (i < 4) {
+                val ccx = cx + cxx * 2; val ccy = cy + cyy * 2
+                bU((ccy + i / 2) * cw + ccx + i % 2) =
+                  ((f0._2(i) + f1._2(i) + 1) >> 1).toByte
+                bV((ccy + i / 2) * cw + ccx + i % 2) =
+                  ((f0._3(i) + f1._3(i) + 1) >> 1).toByte
+                i += 1
+              }
+              cxx += 1
+            }
+            cyy += 1
+          }
+        } else {
         val (r0, mv0, r1, mv1) = directSpatial(mg0, mg1, mb, c * 4, r * 4)
         mg0.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
         mg1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
@@ -1415,6 +1474,7 @@ object H264Codec {
           bU((cy + i / 8) * cw + cx + i % 8) = pU(i).toByte
           bV((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
           i += 1
+        }
         }
       } else if (m0.kind == 3) {
         meta.intraMb(mb) = true
@@ -1468,11 +1528,11 @@ object H264Codec {
         }
         snk.cbp(0, mb)
         val (pY, pU, pV) = m0.kind match {
-          case 0 => mcFetch(refP, mx, my, m0.mv0._1, m0.mv0._2)
-          case 1 => mcFetch(ref0past, mx, my, m0.mv1._1, m0.mv1._2)
+          case 0 => mcFetch(l0F, mx, my, m0.mv0._1, m0.mv0._2)
+          case 1 => mcFetch(l1F, mx, my, m0.mv1._1, m0.mv1._2)
           case _ =>
-            val (a0, b0, c0) = mcFetch(refP, mx, my, m0.mv0._1, m0.mv0._2)
-            val (a1, b1, c1) = mcFetch(ref0past, mx, my, m0.mv1._1, m0.mv1._2)
+            val (a0, b0, c0) = mcFetch(l0F, mx, my, m0.mv0._1, m0.mv0._2)
+            val (a1, b1, c1) = mcFetch(l1F, mx, my, m0.mv1._1, m0.mv1._2)
             (a0.zip(a1).map { case (x, y2) => (x + y2 + 1) >> 1 },
               b0.zip(b1).map { case (x, y2) => (x + y2 + 1) >> 1 },
               c0.zip(c1).map { case (x, y2) => (x + y2 + 1) >> 1 })
@@ -2953,6 +3013,34 @@ object H264Codec {
   final case class H264Frame(width: Int, height: Int, y: Array[Byte],
                              u: Array[Byte], v: Array[Byte])
 
+  /** A decoded reference picture with the state later slices consume:
+    * its picture order count (8.2.1, type 0: poc lsb with no wrap in
+    * this profile) and its list-0 motion grid — the colocated motion a
+    * temporal-direct B slice scales (8.4.1.2.3). Intra pictures carry an
+    * all-(-1) grid, which is exactly the spec's "colocated is intra"
+    * fallback signal.
+    */
+  private final case class RefPic(frame: H264Frame, poc: Int, mg: MotionGrid)
+
+  /** Temporal direct motion scaling (8.4.1.2.3): tb/td are the POC
+    * distances DiffPicOrderCnt(curr, pic0) / DiffPicOrderCnt(colPic,
+    * pic0), clipped to [-128,127]; DistScaleFactor = Clip3(-1024, 1023,
+    * (tb*tx + 32) >> 6) with tx = (16384 + Abs(td/2)) / td; then
+    * mvL0 = (DistScaleFactor * mvCol + 128) >> 8 and mvL1 = mvL0 - mvCol
+    * per component. Returns (mvL0x, mvL0y, mvL1x, mvL1y).
+    */
+  private def temporalScale(tb0: Int, td0: Int,
+                            mvColX: Int, mvColY: Int): (Int, Int, Int, Int) = {
+    val tb = math.max(-128, math.min(127, tb0))
+    val td = math.max(-128, math.min(127, td0))
+    require(td != 0, "h264: temporal direct with zero POC distance outside this profile")
+    val tx = (16384 + math.abs(td / 2)) / td
+    val dsf = math.max(-1024, math.min(1023, (tb * tx + 32) >> 6))
+    val l0x = (dsf * mvColX + 128) >> 8
+    val l0y = (dsf * mvColY + 128) >> 8
+    (l0x, l0y, l0x - mvColX, l0y - mvColY)
+  }
+
   /** Annex B sniff: a leading 3- or 4-byte start code. */
   def isAnnexB(b: Array[Byte]): Boolean =
     b != null && b.length >= 5 && b(0) == 0 && b(1) == 0 &&
@@ -2974,21 +3062,23 @@ object H264Codec {
     val sps = parseSps(nals(0)._3)
     val pps = parsePps(nals(1)._3)
     require(nals(2)._2 == 5, "h264: the first slice must be IDR")
-    var refA: H264Frame = null // most recent reference frame
-    var refB: H264Frame = null // the one before it
+    var refA: RefPic = null // most recent reference picture
+    var refB: RefPic = null // the one before it
     val frames = scala.collection.mutable.ArrayBuffer.empty[H264Frame]
     for ((refIdc, t, rbsp) <- nals.drop(2)) {
       require(t == 5 || t == 1, s"h264: unexpected NAL type $t in the slice stream")
-      val fr = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
-      frames += fr
-      if (refIdc != 0) { refB = refA; refA = fr } // sliding reference window
+      val rp = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
+      frames += rp.frame
+      if (refIdc != 0) { refB = refA; refA = rp } // sliding reference window
     }
     frames.toSeq
   }
 
   private def decodeSliceFrame(rbsp: Array[Byte], sps: Sps, pps: Pps,
                                isIdr: Boolean, refIdc: Int,
-                               ref: H264Frame, refPrev: H264Frame): H264Frame = {
+                               refA: RefPic, refB: RefPic): RefPic = {
+    val ref: H264Frame = if (refA != null) refA.frame else null
+    val refPrev: H264Frame = if (refB != null) refB.frame else null
     val w = sps.widthMbs * 16
     val h = sps.heightMbs * 16
     val cw = w / 2; val ch = h / 2
@@ -3007,9 +3097,20 @@ object H264Codec {
     require(br.ue() == 0, "h264: unknown PPS id")
     br.get(sps.log2MaxFrameNum) // frame_num
     if (isIdr) br.ue() // idr_pic_id
-    br.get(sps.log2MaxPoc) // poc lsb
-    if (isB) require(br.get(1) == 1,
-      "h264: TEMPORAL direct B prediction is the next rung (spatial implemented)")
+    val pocCur = br.get(sps.log2MaxPoc) // poc lsb (type 0, no wrap here)
+    val temporalDirect = isB && br.get(1) == 0 // direct_spatial_mv_pred_flag
+    if (temporalDirect)
+      // temporal direct needs the colocated picture (RefPicList1[0]) to
+      // be the POC-future reference: in this profile's POC-default list
+      // order that means the B displays BETWEEN its two references
+      require(refB.poc < pocCur && pocCur < refA.poc,
+        "h264: temporal direct outside a POC-between B (no future list-1 reference)")
+    // B reference lists (8.2.4.2.3 defaults over the two-picture DPB):
+    // a B that displays AFTER both references keeps list0 = newest /
+    // list1 = oldest; a POC-between (reordered) B gets list0 = the
+    // POC-past picture and list1 = the POC-future one
+    val bL0frame = if (temporalDirect) refPrev else ref
+    val bL1frame = if (temporalDirect) ref else refPrev
     var numRef0 = 1
     if (isP || isB) {
       if (br.get(1) == 1) { // num_ref_idx_active_override_flag
@@ -3066,6 +3167,73 @@ object H264Codec {
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
     val mg = new MotionGrid(mbW, mbH) // list 0
     val mgB1 = new MotionGrid(mbW, mbH) // list 1 (B slices)
+    /** B_Skip / B_Direct_16x16 prediction: fills both motion grids and
+      * returns the whole-MB (luma 256, cb 64, cr 64) prediction. The
+      * SPATIAL branch derives one MV pair per MB (8.4.1.2.2 over this
+      * profile's neighbor state); the TEMPORAL branch samples the
+      * colocated picture's list-0 grid PER 4x4 CELL
+      * (direct_8x8_inference_flag = 0 granularity), scales each cell's
+      * mvCol through [[temporalScale]], and motion-compensates each cell
+      * from both lists with the spec's default bi average.
+      */
+    def directPredictMb(mbI: Int, c: Int, r: Int):
+        (Array[Int], Array[Int], Array[Int]) = {
+      val mx = c * 16; val my = r * 16
+      if (temporalDirect) {
+        val colMg = refA.mg // colocated = RefPicList1[0] = the POC-future ref
+        val tb = pocCur - refB.poc
+        val td = refA.poc - refB.poc
+        val aY = new Array[Int](256)
+        val aU = new Array[Int](64)
+        val aV = new Array[Int](64)
+        var cyy = 0
+        while (cyy < 4) {
+          var cxx = 0
+          while (cxx < 4) {
+            val gx = c * 4 + cxx; val gy = r * 4 + cyy
+            val colRef = colMg.ref(gy * colMg.gw + gx)
+            require(colRef <= 0,
+              "h264: temporal direct over a multi-reference colocated cell outside this profile")
+            // intra colocated (ref -1): mvCol = 0, refIdxCol treated as 0
+            val mcx = if (colRef < 0) 0 else colMg.mvx(gy * colMg.gw + gx)
+            val mcy = if (colRef < 0) 0 else colMg.mvy(gy * colMg.gw + gx)
+            val (l0x, l0y, l1x, l1y) = temporalScale(tb, td, mcx, mcy)
+            mg.fill(gx, gy, 1, 1, 0, l0x, l0y)
+            mgB1.fill(gx, gy, 1, 1, 0, l1x, l1y)
+            val f0 = mcFetchRect(bL0frame, mx + cxx * 4, my + cyy * 4, 4, 4, l0x, l0y)
+            val f1 = mcFetchRect(bL1frame, mx + cxx * 4, my + cyy * 4, 4, 4, l1x, l1y)
+            var i = 0
+            while (i < 16) {
+              aY((cyy * 4 + i / 4) * 16 + cxx * 4 + i % 4) =
+                (f0._1(i) + f1._1(i) + 1) >> 1
+              i += 1
+            }
+            i = 0
+            while (i < 4) {
+              val ci = (cyy * 2 + i / 2) * 8 + cxx * 2 + i % 2
+              aU(ci) = (f0._2(i) + f1._2(i) + 1) >> 1
+              aV(ci) = (f0._3(i) + f1._3(i) + 1) >> 1
+              i += 1
+            }
+            cxx += 1
+          }
+          cyy += 1
+        }
+        (aY, aU, aV)
+      } else {
+        val (r0, mv0, r1, mv1) = directSpatial(mg, mgB1, mbI, c * 4, r * 4)
+        require(r0 <= 0, "h264: direct list-0 reference beyond this profile")
+        mg.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
+        mgB1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
+        val f0 = if (r0 >= 0) mcFetch(bL0frame, mx, my, mv0._1, mv0._2) else null
+        val f1 = if (r1 >= 0) mcFetch(bL1frame, mx, my, mv1._1, mv1._2) else null
+        if (f0 != null && f1 != null)
+          (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
+            f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
+            f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
+        else if (f0 != null) f0 else f1
+      }
+    }
     var mb = 0
     while (mb < mbW * mbH) {
       val r = mb / mbW; val c = mb % mbW
@@ -3073,19 +3241,8 @@ object H264Codec {
       val cx = c * 8; val cy = r * 8
       if ((isP || isB) && src.pSkipNext(mb)) {
         if (isB) {
-        // B_Skip: spatial direct motion, no residual
-        val (r0, mv0, r1, mv1) = directSpatial(mg, mgB1, mb, c * 4, r * 4)
-        require(r0 <= 0, "h264: direct list-0 reference beyond this profile")
-        mg.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
-        mgB1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
-        val f0 = if (r0 >= 0) mcFetch(ref, mx, my, mv0._1, mv0._2) else null
-        val f1 = if (r1 >= 0) mcFetch(refPrev, mx, my, mv1._1, mv1._2) else null
-        val (pY, pU, pV) =
-          if (f0 != null && f1 != null)
-            (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
-              f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
-              f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
-          else if (f0 != null) f0 else f1
+        // B_Skip: direct-mode motion (spatial or temporal), no residual
+        val (pY, pU, pV) = directPredictMb(mb, c, r)
         var i = 0
         while (i < 256) { y((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
         i = 0
@@ -3136,23 +3293,13 @@ object H264Codec {
           var mbRef0 = 0 // list-0 reference of this MB (P_L0_16x16 only)
           val (pY, pU, pV) =
             if (isB && rawType == 0) {
-              // B_Direct_16x16: spatial derivation, no motion syntax
-              val (r0, mv0, r1, mv1) = directSpatial(mg, mgB1, mb, c * 4, r * 4)
-              require(r0 <= 0, "h264: direct list-0 reference beyond this profile")
-              mg.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
-              mgB1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
-              val f0 = if (r0 >= 0) mcFetch(ref, mx, my, mv0._1, mv0._2) else null
-              val f1 = if (r1 >= 0) mcFetch(refPrev, mx, my, mv1._1, mv1._2) else null
-              if (f0 != null && f1 != null)
-                (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
-                  f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
-                  f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
-              else if (f0 != null) f0 else f1
+              // B_Direct_16x16: direct derivation (spatial or temporal),
+              // no motion syntax
+              directPredictMb(mb, c, r)
             } else if (isB) {
               // B_L0 / B_L1 / B_Bi 16x16: per-list mvd over per-list
-              // grids; list 0 = the newest reference (the P frame),
-              // list 1 = the one before it (the IDR); Bi = the spec's
-              // default (p0 + p1 + 1) >> 1 average
+              // grids against the POC-ordered list pictures; Bi = the
+              // spec's default (p0 + p1 + 1) >> 1 average
               val useL0 = rawType == 1 || rawType == 3
               val useL1 = rawType == 2 || rawType == 3
               var f0: (Array[Int], Array[Int], Array[Int]) = null
@@ -3162,14 +3309,14 @@ object H264Codec {
                 val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
                 val mvX = mvp._1 + dx; val mvY = mvp._2 + dy
                 mg.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
-                f0 = mcFetch(ref, mx, my, mvX, mvY)
+                f0 = mcFetch(bL0frame, mx, my, mvX, mvY)
               }
               if (useL1) {
                 val mvp = mvPredictPart(mgB1, mb, c * 4, r * 4, 4, 0, noneWritten)
                 val (dx, dy) = src.mvd(c * 4, r * 4, 4, 4)
                 val mvX = mvp._1 + dx; val mvY = mvp._2 + dy
                 mgB1.fill(c * 4, r * 4, 4, 4, 0, mvX, mvY)
-                f1 = mcFetch(refPrev, mx, my, mvX, mvY)
+                f1 = mcFetch(bL1frame, mx, my, mvX, mvY)
               }
               if (rawType == 1) f0
               else if (rawType == 2) f1
@@ -3376,7 +3523,7 @@ object H264Codec {
       H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff,
         offA, offB, mg1 = if (isB) mgB1 else null)
     }
-    H264Frame(w, h, y, u, v)
+    RefPic(H264Frame(w, h, y, u, v), pocCur, mg)
   }
 
   /** Decode one intra macroblock (I_PCM / I_4x4 / Intra_16x16) into the

@@ -1003,6 +1003,82 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** TEMPORAL direct B plan (shared with the spec): IDR constants A(m)
+    * at poc 0, a REFERENCE P frame at poc 2 whose macroblocks carry the
+    * colocated motion the B scales — an intra MB (the mvCol = 0
+    * fallback), a P_8x8 whose four quadrants move differently (the
+    * per-4x4-cell colocated sampling), whole-MB ±2-MB vectors (the
+    * DistScaleFactor halving in both sign directions, including the
+    * edge-clamped fetch), and a zero-mv MB — then a display-REORDERED
+    * non-reference B at poc 1 (direct_spatial_mv_pred_flag = 0, lists
+    * flipped by POC order: list 0 = the IDR, list 1 = the P frame).
+    * Skip/direct MBs must reproduce mvL0 = (128·mvCol + 128) >> 8 and
+    * mvL1 = mvL0 − mvCol per cell (tb/td = 1/2); the explicit B_L0 MB
+    * at zero mv lands on the IDR constant — wrong (un-flipped) list
+    * construction reads the P frame there instead. All vectors are
+    * chosen so every fetched region is one MB's (or quadrant's)
+    * constant: half-MB scaled vectors stay inside a single source MB.
+    */
+  private[operators] def h264TDirectPlan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    def a0(m: Int) = ((37 * d + 19 * m) % 160 + 24).toInt
+    def b0(m: Int) = ((41 * d + 23 * m) % 160 + 24).toInt
+    def acb(m: Int) = ((91 * d + 29 * m) % 160 + 24).toInt
+    def acr(m: Int) = ((53 * d + 31 * m) % 160 + 24).toInt
+    def bcb(m: Int) = ((67 * d + 17 * m) % 160 + 24).toInt
+    def bcr(m: Int) = ((71 * d + 13 * m) % 160 + 24).toInt
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    def mvA(q: Int): (Int, Int) = if (colv) (q, 0) else (0, q)
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = a0, tCb = acb, tCr = acr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = m => m match {
+        case 0 => H264Codec.PMb(kind = 3, tL = b0(0), tCb = bcb(0), tCr = bcr(0))
+        case 1 => H264Codec.PMb(kind = 7, mvs8 = q => {
+          // quadrant key by (strip-half qs, cross-half qt) so both
+          // orientations carry the same physical layout
+          val (qs, qt) = if (colv) (q % 2, q / 2) else (q / 2, q % 2)
+          (qs, qt) match {
+            case (0, 0) => mvA(128) // +2 MB -> A(3)
+            case (1, 0) => mvA(-64) // -1 MB -> A(0)
+            case (0, 1) => mvA(0) //          A(1)
+            case _      => mvA(64) // +1 MB -> A(2)
+          }
+        })
+        case 2 => H264Codec.PMb(kind = 2, mv = mvA(-128)) // -> A(0)
+        case 3 => H264Codec.PMb(kind = 2, mv = mvA(128)) // clamped -> A(4)
+        case _ => H264Codec.PMb(kind = 2, mv = mvA(0)) // -> A(4)
+      },
+      bmb = m => m match {
+        case 0 => H264Codec.BMb(kind = 5) // direct over intra colocated
+        case 1 => H264Codec.BMb(kind = 4) // skip over the P_8x8 quadrants
+        case 2 => H264Codec.BMb(kind = 4) // skip over mvCol = -2 MB
+        case 3 => H264Codec.BMb(kind = 0) // explicit B_L0, zero mv -> IDR
+        case _ => H264Codec.BMb(kind = 4) // skip over zero colocated mv
+      },
+      bTemporal = true)
+  }
+
+  /** Each doc carries the [[h264TDirectPlan]] stream; docs rotate stripe
+    * orientation, and every fourth doc rides CABAC (the skip flags and
+    * direct mb_type bins cross the arithmetic coder with the temporal
+    * flag set).
+    */
+  def withH264TDirectMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264TDirectPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** B-slice deblocking plan (shared with the spec): IDR constants A(m)
     * and an all-intra P frame B(m), both raw (idc=1), then a DEBLOCKED
     * non-reference B slice whose five MB stripes pin the B-specific
