@@ -731,14 +731,63 @@ object H264Codec {
     case _ => Seq((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1))
   }
 
+  /** B two-partition mb_type spec (Table 7-14, types 4..21): the
+    * list-usage mask per partition (1 = L0 only, 2 = L1 only, 3 = Bi)
+    * and whether the split is 16x8 (even types) or 8x16 (odd).
+    */
+  private def bPartSpec(mbType: Int): ((Int, Int), Boolean) = {
+    require(mbType >= 4 && mbType <= 21, s"h264: B mb_type $mbType is not two-partition")
+    val pair = (mbType - 4) / 2 match {
+      case 0 => (1, 1)
+      case 1 => (2, 2)
+      case 2 => (1, 2)
+      case 3 => (2, 1)
+      case 4 => (1, 3)
+      case 5 => (2, 3)
+      case 6 => (3, 1)
+      case 7 => (3, 2)
+      case _ => (3, 3)
+    }
+    (pair, (mbType - 4) % 2 == 0)
+  }
+
+  /** B sub_mb_type spec (Table 7-18): list-usage mask (0 = direct) and
+    * the [[subParts]] shape index (0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4).
+    */
+  private def bSubSpec(t: Int): (Int, Int) = t match {
+    case 0 => (0, 0)
+    case 1 => (1, 0)
+    case 2 => (2, 0)
+    case 3 => (3, 0)
+    case 4 => (1, 1)
+    case 5 => (1, 2)
+    case 6 => (2, 1)
+    case 7 => (2, 2)
+    case 8 => (3, 1)
+    case 9 => (3, 2)
+    case 10 => (1, 3)
+    case 11 => (2, 3)
+    case 12 => (3, 3)
+    case _ => throw new IllegalArgumentException(s"h264: B sub_mb_type $t out of range")
+  }
+
   /** One frame-3 macroblock of the B-slice fixture plan. kind: 0 =
     * B_L0_16x16 (list 0 = the P frame), 1 = B_L1_16x16 (list 1 = the
     * IDR), 2 = B_Bi_16x16 (the spec's default (p0 + p1 + 1) >> 1
-    * average), 3 = Intra_16x16 steered to tL/tCb/tCr. mv0/mv1 are the
-    * per-list vectors; no residual on inter kinds.
+    * average), 3 = Intra_16x16 steered to tL/tCb/tCr, 4 = B_Skip, 5 =
+    * B_Direct_16x16, 6 = two-partition 16x8/8x16 (`raw2` is the Table
+    * 7-14 mb_type 4..21; `pmv(part, list)` the per-partition per-list
+    * vectors), 7 = B_8x8 (`bsub(q)` the Table 7-18 sub_mb_type per
+    * raster quadrant; `bmvs(q, subIdx, list)` the sub-partition
+    * vectors). mv0/mv1 are the 16x16 per-list vectors; no residual on
+    * inter kinds.
     */
   final case class BMb(kind: Int, mv0: (Int, Int) = (0, 0), mv1: (Int, Int) = (0, 0),
-                       tL: Int = 0, tCb: Int = 0, tCr: Int = 0)
+                       tL: Int = 0, tCb: Int = 0, tCr: Int = 0,
+                       raw2: Int = 0,
+                       pmv: (Int, Int) => (Int, Int) = null,
+                       bsub: Int => Int = null,
+                       bmvs: (Int, Int, Int) => (Int, Int) = null)
 
   /** One macroblock of the weighted multi-reference P slice: P_L0_16x16
     * choosing its list-0 reference explicitly (0 = the P frame, 1 = the
@@ -1412,6 +1461,31 @@ object H264Codec {
       val mx = c * 16; val my = r * 16
       val cx = c * 8; val cy = r * 8
       val m0 = p.bmb(mb)
+      // bi (or one-sided) blend of two list fetches into the frame at
+      // MB-local luma coords, mirroring the decoder's blendInto
+      def writeBlend(px: Int, py: Int, wP: Int, hP: Int,
+                     f0: (Array[Int], Array[Int], Array[Int]),
+                     f1: (Array[Int], Array[Int], Array[Int])): Unit = {
+        var i = 0
+        while (i < wP * hP) {
+          val v0 = if (f0 != null) f0._1(i) else f1._1(i)
+          val v1 = if (f1 != null) f1._1(i) else f0._1(i)
+          bY((my + py + i / wP) * w + mx + px + i % wP) = (((v0 + v1 + 1) >> 1)).toByte
+          i += 1
+        }
+        val cwP = wP / 2
+        i = 0
+        while (i < cwP * (hP / 2)) {
+          val u0 = if (f0 != null) f0._2(i) else f1._2(i)
+          val u1 = if (f1 != null) f1._2(i) else f0._2(i)
+          val w0 = if (f0 != null) f0._3(i) else f1._3(i)
+          val w1 = if (f1 != null) f1._3(i) else f0._3(i)
+          val co = (cy + py / 2 + i / cwP) * cw + cx + px / 2 + i % cwP
+          bU(co) = (((u0 + u1 + 1) >> 1)).toByte
+          bV(co) = (((w0 + w1 + 1) >> 1)).toByte
+          i += 1
+        }
+      }
       snk.pSkip(flag = m0.kind == 4, mb)
       if (m0.kind == 4 || m0.kind == 5) {
         // B_Skip (4) / B_Direct_16x16 (5): direct motion — the decoder
@@ -1475,6 +1549,144 @@ object H264Codec {
           bV((cy + i / 8) * cw + cx + i % 8) = pV(i).toByte
           i += 1
         }
+        }
+      } else if (m0.kind == 6) {
+        // two-partition 16x8/8x16: mb_type from the plan, then the
+        // decoder's exact syntax order (all list-0 mvds, all list-1
+        // mvds) with the same per-list predictors and written-cell rules
+        snk.bMbType(m0.raw2, mb)
+        val ((md0, md1), is16x8) = bPartSpec(m0.raw2)
+        val mds = Array(md0, md1)
+        val parts =
+          if (is16x8) Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+          else Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+        var li = 0
+        while (li < 2) {
+          val g = if (li == 0) mg0 else mg1
+          parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, pt), pi) =>
+            if ((mds(pi) & (1 << li)) != 0) {
+              val written: (Int, Int) => Boolean =
+                if (pi == 0) noneWritten
+                else if (is16x8) (_, y0) => y0 < 2
+                else (x0, _) => x0 < 2
+              val mv = m0.pmv(pi, li)
+              val mvp = mvPredictPart(g, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
+              snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4 + lx, r * 4 + ly, wC, hC)
+              g.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mv._1, mv._2)
+            }
+          }
+          li += 1
+        }
+        snk.cbp(0, mb)
+        parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, _), pi) =>
+          val f0 = if ((mds(pi) & 1) != 0) {
+            val mv = m0.pmv(pi, 0)
+            mcFetchRect(l0F, mx + lx * 4, my + ly * 4, wC * 4, hC * 4, mv._1, mv._2)
+          } else null
+          val f1 = if ((mds(pi) & 2) != 0) {
+            val mv = m0.pmv(pi, 1)
+            mcFetchRect(l1F, mx + lx * 4, my + ly * 4, wC * 4, hC * 4, mv._1, mv._2)
+          } else null
+          writeBlend(lx * 4, ly * 4, wC * 4, hC * 4, f0, f1)
+        }
+      } else if (m0.kind == 7) {
+        // B_8x8: four sub_mb_types, direct sub-MBs derived and filled
+        // first (spatial MB-level derivation from neighbor state), then
+        // the decoder's two per-list mvd passes with identical
+        // written-cell marking
+        require(!temporal, "h264 fixture: temporal B_8x8 not planned")
+        snk.bMbType(22, mb)
+        val subT = Array.tabulate(4)(m0.bsub)
+        val specs = subT.map(bSubSpec)
+        subT.foreach(snk.subMbTypeB)
+        val sp =
+          if (specs.exists(_._1 == 0)) directSpatial(mg0, mg1, mb, c * 4, r * 4)
+          else null
+        var q = 0
+        while (q < 4) {
+          if (specs(q)._1 == 0) {
+            val (r0, dmv0, r1, dmv1) = sp
+            require(r0 <= 0, "h264 fixture: direct list-0 reference beyond this profile")
+            val qx = (q & 1) * 2; val qy = (q >> 1) * 2
+            mg0.fill(c * 4 + qx, r * 4 + qy, 2, 2, r0, dmv0._1, dmv0._2)
+            mg1.fill(c * 4 + qx, r * 4 + qy, 2, 2, r1, dmv1._1, dmv1._2)
+            val f0 = if (r0 >= 0)
+              mcFetchRect(l0F, mx + qx * 4, my + qy * 4, 8, 8, dmv0._1, dmv0._2)
+            else null
+            val f1 = if (r1 >= 0)
+              mcFetchRect(l1F, mx + qx * 4, my + qy * 4, 8, 8, dmv1._1, dmv1._2)
+            else null
+            writeBlend(qx * 4, qy * 4, 8, 8, f0, f1)
+          }
+          q += 1
+        }
+        var li = 0
+        while (li < 2) {
+          val g = if (li == 0) mg0 else mg1
+          val wr = Array.ofDim[Boolean](4, 4)
+          q = 0
+          while (q < 4) {
+            if (specs(q)._1 == 0) {
+              var yy = 0
+              while (yy < 2) {
+                var xx = 0
+                while (xx < 2) { wr((q >> 1) * 2 + yy)((q & 1) * 2 + xx) = true; xx += 1 }
+                yy += 1
+              }
+            }
+            q += 1
+          }
+          val written: (Int, Int) => Boolean = (x0, y0) => wr(y0)(x0)
+          q = 0
+          while (q < 4) {
+            val (mask, shape) = specs(q)
+            val qx = (q & 1) * 2; val qy = (q >> 1) * 2
+            if (mask != 0 && (mask & (1 << li)) != 0) {
+              subParts(shape).zipWithIndex.foreach { case ((lx, ly, wC, hC), j) =>
+                val cx0 = c * 4 + qx + lx; val cy0 = r * 4 + qy + ly
+                val mv = m0.bmvs(q, j, li)
+                val mvp = mvPredictPart(g, mb, cx0, cy0, wC, 0, written)
+                snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, cx0, cy0, wC, hC)
+                g.fill(cx0, cy0, wC, hC, 0, mv._1, mv._2)
+                var yy = 0
+                while (yy < hC) {
+                  var xx = 0
+                  while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
+                  yy += 1
+                }
+              }
+            } else if (mask != 0) {
+              var yy = 0
+              while (yy < 2) {
+                var xx = 0
+                while (xx < 2) { wr(qy + yy)(qx + xx) = true; xx += 1 }
+                yy += 1
+              }
+            }
+            q += 1
+          }
+          li += 1
+        }
+        snk.cbp(0, mb)
+        q = 0
+        while (q < 4) {
+          val (mask, shape) = specs(q)
+          val qx = (q & 1) * 2; val qy = (q >> 1) * 2
+          if (mask != 0) {
+            subParts(shape).zipWithIndex.foreach { case ((lx, ly, wC, hC), j) =>
+              val px = (qx + lx) * 4; val py = (qy + ly) * 4
+              val f0 = if ((mask & 1) != 0) {
+                val mv = m0.bmvs(q, j, 0)
+                mcFetchRect(l0F, mx + px, my + py, wC * 4, hC * 4, mv._1, mv._2)
+              } else null
+              val f1 = if ((mask & 2) != 0) {
+                val mv = m0.bmvs(q, j, 1)
+                mcFetchRect(l1F, mx + px, my + py, wC * 4, hC * 4, mv._1, mv._2)
+              } else null
+              writeBlend(px, py, wC * 4, hC * 4, f0, f1)
+            }
+          }
+          q += 1
         }
       } else if (m0.kind == 3) {
         meta.intraMb(mb) = true
@@ -1883,6 +2095,7 @@ object H264Codec {
     def pMbType(raw: Int, mb: Int): Unit
     def bMbType(raw: Int, mb: Int): Unit
     def subMbType8(t: Int): Unit
+    def subMbTypeB(t: Int): Unit
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
     def refIdx(v: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit
     def mbTypeI(t: Int, mb: Int): Unit
@@ -1901,6 +2114,7 @@ object H264Codec {
     def pMbType(mb: Int): Int
     def bMbType(mb: Int): Int
     def subMbType8(): Int
+    def subMbTypeB(): Int
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int)
     def refIdx(cx: Int, cy: Int, wC: Int, hC: Int): Int
     def mbTypeI(mb: Int): Int
@@ -1927,6 +2141,7 @@ object H264Codec {
     }
     def bMbType(raw: Int, mb: Int): Unit = pMbType(raw, mb)
     def subMbType8(t: Int): Unit = bw.ue(t)
+    def subMbTypeB(t: Int): Unit = bw.ue(t)
     def mvd(dx: Int, dy: Int, cx: Int, cy: Int, wC: Int, hC: Int): Unit = {
       bw.se(dx); bw.se(dy)
     }
@@ -1988,6 +2203,7 @@ object H264Codec {
     def pMbType(mb: Int): Int = br.ue()
     def bMbType(mb: Int): Int = br.ue()
     def subMbType8(): Int = br.ue()
+    def subMbTypeB(): Int = br.ue()
     def mvd(cx: Int, cy: Int, wC: Int, hC: Int): (Int, Int) = (br.se(), br.se())
     def refIdx(cx: Int, cy: Int, wC: Int, hC: Int): Int = 1 - br.get(1)
     def mbTypeI(mb: Int): Int = br.ue()
@@ -2067,7 +2283,10 @@ object H264Codec {
   private val CtxBMbType = 271 // b0 intra?, b1, b2
   private val CtxRefIdx = 274 // bin0 inc 0..3 at +0..3; bin1 +4; bins>=2 +5
   private val CtxSubMb2 = 280 // sub_mb_type bins 1..2 (bin 0 at CtxSubMb)
-  private val NumCtx = 282
+  private val CtxBMbType2 = 282 // B mb_type extension bins (direct/two-part/8x8)
+  private val CtxBSub = 283 // B sub_mb_type bin 0
+  private val CtxBSub2 = 284 // B sub_mb_type bins 1..3
+  private val NumCtx = 285
 
   private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
     bw.alignOnes() // cabac_alignment_one_bit
@@ -2142,6 +2361,9 @@ object H264Codec {
       }
     }
     def bMbType(raw: Int, mb: Int): Unit = {
+      // pinned B mb_type tree: intra escape '1'; '0 00' B_L0(1);
+      // '0 01' B_L1(2); '0 10' B_Bi(3); '0 11 0' B_Direct(0);
+      // '0 11 1' + 5 fixed bins (raw-4, MSB first) for 4..22
       if (raw >= 23) {
         eng.bin(st, CtxBMbType, 1)
         mbTypeI(raw - 23, mb)
@@ -2151,11 +2373,25 @@ object H264Codec {
           case 1 => eng.bin(st, CtxBMbType + 1, 0); eng.bin(st, CtxBMbType + 2, 0)
           case 2 => eng.bin(st, CtxBMbType + 1, 0); eng.bin(st, CtxBMbType + 2, 1)
           case 3 => eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 0)
-          case 0 => eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 1)
-          case _ => throw new IllegalArgumentException(s"h264: B mb_type $raw unsupported")
+          case 0 =>
+            eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 1)
+            eng.bin(st, CtxBMbType2, 0)
+          case t =>
+            require(t >= 4 && t <= 22, s"h264: B mb_type $t unsupported")
+            eng.bin(st, CtxBMbType + 1, 1); eng.bin(st, CtxBMbType + 2, 1)
+            eng.bin(st, CtxBMbType2, 1)
+            var b = 4
+            while (b >= 0) { eng.bin(st, CtxBMbType2, ((t - 4) >> b) & 1); b -= 1 }
         }
         mbT(mb) = -1
       }
+    }
+    def subMbTypeB(t: Int): Unit = {
+      // pinned B sub_mb_type: 4 fixed bins (0..12, MSB first)
+      require(t >= 0 && t <= 12, s"h264: B sub_mb_type $t out of range")
+      eng.bin(st, CtxBSub, (t >> 3) & 1)
+      var b = 2
+      while (b >= 0) { eng.bin(st, CtxBSub2, (t >> b) & 1); b -= 1 }
     }
     private def mvdComp(d: Int, cx: Int, cy: Int, base: Int, g: TcGrid): Unit = {
       def gv(x: Int, y: Int): Int =
@@ -2438,10 +2674,24 @@ object H264Codec {
           if (eng.bin(st, CtxBMbType + 1) == 0) {
             if (eng.bin(st, CtxBMbType + 2) == 0) 1 else 2
           } else if (eng.bin(st, CtxBMbType + 2) == 0) 3
-          else 0 // B_Direct -> rejected upstream
+          else if (eng.bin(st, CtxBMbType2) == 0) 0 // B_Direct_16x16
+          else { // extended family: 5 fixed bins, value raw-4
+            var v = 0
+            var b = 0
+            while (b < 5) { v = (v << 1) | eng.bin(st, CtxBMbType2); b += 1 }
+            require(v <= 18, s"h264: B mb_type extension $v out of range")
+            v + 4
+          }
         mbT(mb) = -1
         t
       }
+    }
+    def subMbTypeB(): Int = {
+      var v = eng.bin(st, CtxBSub)
+      var b = 0
+      while (b < 3) { v = (v << 1) | eng.bin(st, CtxBSub2); b += 1 }
+      require(v <= 12, s"h264: B sub_mb_type $v out of range")
+      v
     }
     private def mvdComp(cx: Int, cy: Int, base: Int, g: TcGrid): Int = {
       def gv(x: Int, y: Int): Int =
@@ -3176,20 +3426,58 @@ object H264Codec {
       * mvCol through [[temporalScale]], and motion-compensates each cell
       * from both lists with the spec's default bi average.
       */
-    def directPredictMb(mbI: Int, c: Int, r: Int):
-        (Array[Int], Array[Int], Array[Int]) = {
+    /** Direct-mode prediction for a cell rect (qx,qy,wC,hC in 4x4-cell
+      * units inside macroblock (c,r)), writing the bi/one-sided average
+      * into the whole-MB arrays and filling both motion grids.
+      * `spatialMv` is the MB-level spatial derivation (computed ONCE per
+      * MB from neighbor state, before any of this MB's fills); ignored
+      * under temporal direct, which samples the colocated picture per
+      * 4x4 cell.
+      */
+    /** Write the bi (or one-sided) average of two list fetches into
+      * whole-MB prediction arrays at MB-local luma coords (px,py); chroma
+      * at half resolution. A null fetch means that list is unused.
+      */
+    def blendInto(aY: Array[Int], aU: Array[Int], aV: Array[Int],
+                  px: Int, py: Int, wP: Int, hP: Int,
+                  f0: (Array[Int], Array[Int], Array[Int]),
+                  f1: (Array[Int], Array[Int], Array[Int])): Unit = {
+      var i = 0
+      while (i < wP * hP) {
+        val v0 = if (f0 != null) f0._1(i) else f1._1(i)
+        val v1 = if (f1 != null) f1._1(i) else f0._1(i)
+        aY((py + i / wP) * 16 + px + i % wP) = (v0 + v1 + 1) >> 1
+        i += 1
+      }
+      val cwP = wP / 2
+      i = 0
+      while (i < cwP * (hP / 2)) {
+        val u0 = if (f0 != null) f0._2(i) else f1._2(i)
+        val u1 = if (f1 != null) f1._2(i) else f0._2(i)
+        val w0 = if (f0 != null) f0._3(i) else f1._3(i)
+        val w1 = if (f1 != null) f1._3(i) else f0._3(i)
+        val ci = (py / 2 + i / cwP) * 8 + px / 2 + i % cwP
+        aU(ci) = (u0 + u1 + 1) >> 1
+        aV(ci) = (w0 + w1 + 1) >> 1
+        i += 1
+      }
+    }
+    def directFillRect(c: Int, r: Int, qx: Int, qy: Int, wC: Int, hC: Int,
+                       spatialMv: (Int, (Int, Int), Int, (Int, Int)),
+                       aY: Array[Int], aU: Array[Int], aV: Array[Int]): Unit = {
       val mx = c * 16; val my = r * 16
+      def blend(px: Int, py: Int, wP: Int, hP: Int,
+                f0: (Array[Int], Array[Int], Array[Int]),
+                f1: (Array[Int], Array[Int], Array[Int])): Unit =
+        blendInto(aY, aU, aV, px, py, wP, hP, f0, f1)
       if (temporalDirect) {
         val colMg = refA.mg // colocated = RefPicList1[0] = the POC-future ref
         val tb = pocCur - refB.poc
         val td = refA.poc - refB.poc
-        val aY = new Array[Int](256)
-        val aU = new Array[Int](64)
-        val aV = new Array[Int](64)
-        var cyy = 0
-        while (cyy < 4) {
-          var cxx = 0
-          while (cxx < 4) {
+        var cyy = qy
+        while (cyy < qy + hC) {
+          var cxx = qx
+          while (cxx < qx + wC) {
             val gx = c * 4 + cxx; val gy = r * 4 + cyy
             val colRef = colMg.ref(gy * colMg.gw + gx)
             require(colRef <= 0,
@@ -3200,39 +3488,39 @@ object H264Codec {
             val (l0x, l0y, l1x, l1y) = temporalScale(tb, td, mcx, mcy)
             mg.fill(gx, gy, 1, 1, 0, l0x, l0y)
             mgB1.fill(gx, gy, 1, 1, 0, l1x, l1y)
-            val f0 = mcFetchRect(bL0frame, mx + cxx * 4, my + cyy * 4, 4, 4, l0x, l0y)
-            val f1 = mcFetchRect(bL1frame, mx + cxx * 4, my + cyy * 4, 4, 4, l1x, l1y)
-            var i = 0
-            while (i < 16) {
-              aY((cyy * 4 + i / 4) * 16 + cxx * 4 + i % 4) =
-                (f0._1(i) + f1._1(i) + 1) >> 1
-              i += 1
-            }
-            i = 0
-            while (i < 4) {
-              val ci = (cyy * 2 + i / 2) * 8 + cxx * 2 + i % 2
-              aU(ci) = (f0._2(i) + f1._2(i) + 1) >> 1
-              aV(ci) = (f0._3(i) + f1._3(i) + 1) >> 1
-              i += 1
-            }
+            blend(cxx * 4, cyy * 4, 4, 4,
+              mcFetchRect(bL0frame, mx + cxx * 4, my + cyy * 4, 4, 4, l0x, l0y),
+              mcFetchRect(bL1frame, mx + cxx * 4, my + cyy * 4, 4, 4, l1x, l1y))
             cxx += 1
           }
           cyy += 1
         }
-        (aY, aU, aV)
       } else {
-        val (r0, mv0, r1, mv1) = directSpatial(mg, mgB1, mbI, c * 4, r * 4)
+        val (r0, mv0, r1, mv1) = spatialMv
         require(r0 <= 0, "h264: direct list-0 reference beyond this profile")
-        mg.fill(c * 4, r * 4, 4, 4, r0, mv0._1, mv0._2)
-        mgB1.fill(c * 4, r * 4, 4, 4, r1, mv1._1, mv1._2)
-        val f0 = if (r0 >= 0) mcFetch(bL0frame, mx, my, mv0._1, mv0._2) else null
-        val f1 = if (r1 >= 0) mcFetch(bL1frame, mx, my, mv1._1, mv1._2) else null
-        if (f0 != null && f1 != null)
-          (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
-            f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
-            f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
-        else if (f0 != null) f0 else f1
+        mg.fill(c * 4 + qx, r * 4 + qy, wC, hC, r0, mv0._1, mv0._2)
+        mgB1.fill(c * 4 + qx, r * 4 + qy, wC, hC, r1, mv1._1, mv1._2)
+        val f0 = if (r0 >= 0)
+          mcFetchRect(bL0frame, mx + qx * 4, my + qy * 4, wC * 4, hC * 4,
+            mv0._1, mv0._2)
+        else null
+        val f1 = if (r1 >= 0)
+          mcFetchRect(bL1frame, mx + qx * 4, my + qy * 4, wC * 4, hC * 4,
+            mv1._1, mv1._2)
+        else null
+        blend(qx * 4, qy * 4, wC * 4, hC * 4, f0, f1)
       }
+    }
+    def directPredictMb(mbI: Int, c: Int, r: Int):
+        (Array[Int], Array[Int], Array[Int]) = {
+      val aY = new Array[Int](256)
+      val aU = new Array[Int](64)
+      val aV = new Array[Int](64)
+      val sp =
+        if (temporalDirect) null
+        else directSpatial(mg, mgB1, mbI, c * 4, r * 4)
+      directFillRect(c, r, 0, 0, 4, 4, sp, aY, aU, aV)
+      (aY, aU, aV)
     }
     var mb = 0
     while (mb < mbW * mbH) {
@@ -3282,10 +3570,6 @@ object H264Codec {
           if (isB) src.bMbType(mb)
           else if (isP) src.pMbType(mb)
           else src.mbTypeI(mb)
-        if (isB && rawType < 23) {
-          require(rawType >= 0 && rawType <= 3,
-            "h264: sub-16x16 B partitions are the next rung")
-        }
         if ((isP && rawType < 5) || (isB && rawType < 23)) {
           if (isP) require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
           if (isP && numRef0 > 1) require(rawType == 0,
@@ -3296,7 +3580,7 @@ object H264Codec {
               // B_Direct_16x16: direct derivation (spatial or temporal),
               // no motion syntax
               directPredictMb(mb, c, r)
-            } else if (isB) {
+            } else if (isB && rawType <= 3) {
               // B_L0 / B_L1 / B_Bi 16x16: per-list mvd over per-list
               // grids against the POC-ordered list pictures; Bi = the
               // spec's default (p0 + p1 + 1) >> 1 average
@@ -3323,6 +3607,149 @@ object H264Codec {
               else (f0._1.zip(f1._1).map { case (a, b) => (a + b + 1) >> 1 },
                 f0._2.zip(f1._2).map { case (a, b) => (a + b + 1) >> 1 },
                 f0._3.zip(f1._3).map { case (a, b) => (a + b + 1) >> 1 })
+            } else if (isB && rawType <= 21) {
+              // B two-partition 16x8/8x16 (Table 7-14): per-partition
+              // list-usage mask; syntax order is all list-0 mvds then all
+              // list-1 mvds (7.3.5.1); per-list directional-preference
+              // predictors — partition 0's cells count as decoded
+              // neighbors of partition 1 in both lists (ref stays -1 on
+              // a list it doesn't use: the spec's intra-like contribution)
+              val ((md0, md1), is16x8) = bPartSpec(rawType)
+              val mds = Array(md0, md1)
+              val parts =
+                if (is16x8) Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+                else Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+              val mvs = Array.ofDim[Int](2, 2, 2) // [part][list][x,y]
+              var list = 0
+              while (list < 2) {
+                val g = if (list == 0) mg else mgB1
+                parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, pt), pi) =>
+                  if ((mds(pi) & (1 << list)) != 0) {
+                    val written: (Int, Int) => Boolean =
+                      if (pi == 0) noneWritten
+                      else if (is16x8) (_, y0) => y0 < 2
+                      else (x0, _) => x0 < 2 // partition 0 always decoded first
+                    val mvp = mvPredictPart(g, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
+                    val (dx, dy) = src.mvd(c * 4 + lx, r * 4 + ly, wC, hC)
+                    val mvX = mvp._1 + dx; val mvY = mvp._2 + dy
+                    g.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mvX, mvY)
+                    mvs(pi)(list)(0) = mvX; mvs(pi)(list)(1) = mvY
+                  }
+                }
+                list += 1
+              }
+              val aY = new Array[Int](256)
+              val aU = new Array[Int](64)
+              val aV = new Array[Int](64)
+              parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, _), pi) =>
+                val f0p = if ((mds(pi) & 1) != 0)
+                  mcFetchRect(bL0frame, mx + lx * 4, my + ly * 4, wC * 4, hC * 4,
+                    mvs(pi)(0)(0), mvs(pi)(0)(1))
+                else null
+                val f1p = if ((mds(pi) & 2) != 0)
+                  mcFetchRect(bL1frame, mx + lx * 4, my + ly * 4, wC * 4, hC * 4,
+                    mvs(pi)(1)(0), mvs(pi)(1)(1))
+                else null
+                blendInto(aY, aU, aV, lx * 4, ly * 4, wC * 4, hC * 4, f0p, f1p)
+              }
+              (aY, aU, aV)
+            } else if (isB) {
+              // B_8x8 (mb_type 22): four B sub_mb_types (Table 7-18);
+              // direct sub-MBs derive their motion first (MB-level
+              // spatial derivation computed from neighbor state BEFORE
+              // any of this MB's fills; temporal samples per cell), then
+              // the two per-list mvd passes over the coded sub-MBs in
+              // raster order — each pass marks every visited sub-MB's
+              // cells written, so earlier sub-MBs are available to the
+              // predictor even when they don't use that list (their grid
+              // ref stays -1: the spec's intra-like contribution)
+              val subT = Array.fill(4)(src.subMbTypeB())
+              val specs = subT.map(bSubSpec)
+              val aY = new Array[Int](256)
+              val aU = new Array[Int](64)
+              val aV = new Array[Int](64)
+              val sp =
+                if (!temporalDirect && specs.exists(_._1 == 0))
+                  directSpatial(mg, mgB1, mb, c * 4, r * 4)
+                else null
+              var q = 0
+              while (q < 4) {
+                if (specs(q)._1 == 0)
+                  directFillRect(c, r, (q & 1) * 2, (q >> 1) * 2, 2, 2, sp, aY, aU, aV)
+                q += 1
+              }
+              val subMvs = Array.ofDim[Int](4, 4, 2, 2) // [q][subIdx][list][x,y]
+              var li = 0
+              while (li < 2) {
+                val g = if (li == 0) mg else mgB1
+                val wr = Array.ofDim[Boolean](4, 4)
+                q = 0
+                while (q < 4) { // direct cells count as decoded neighbors
+                  if (specs(q)._1 == 0) {
+                    var yy = 0
+                    while (yy < 2) {
+                      var xx = 0
+                      while (xx < 2) { wr((q >> 1) * 2 + yy)((q & 1) * 2 + xx) = true; xx += 1 }
+                      yy += 1
+                    }
+                  }
+                  q += 1
+                }
+                val written: (Int, Int) => Boolean = (x0, y0) => wr(y0)(x0)
+                q = 0
+                while (q < 4) {
+                  val (mask, shape) = specs(q)
+                  val qx = (q & 1) * 2; val qy = (q >> 1) * 2
+                  if (mask != 0 && (mask & (1 << li)) != 0) {
+                    subParts(shape).zipWithIndex.foreach { case ((lx, ly, wC, hC), j) =>
+                      val cx0 = c * 4 + qx + lx; val cy0 = r * 4 + qy + ly
+                      val mvp = mvPredictPart(g, mb, cx0, cy0, wC, 0, written)
+                      val (dx, dy) = src.mvd(cx0, cy0, wC, hC)
+                      val mvX = mvp._1 + dx; val mvY = mvp._2 + dy
+                      g.fill(cx0, cy0, wC, hC, 0, mvX, mvY)
+                      var yy = 0
+                      while (yy < hC) {
+                        var xx = 0
+                        while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
+                        yy += 1
+                      }
+                      subMvs(q)(j)(li)(0) = mvX; subMvs(q)(j)(li)(1) = mvY
+                    }
+                  } else if (mask != 0) {
+                    // visited but not using this list: cells still become
+                    // decoded neighbors for later sub-MBs in this pass
+                    var yy = 0
+                    while (yy < 2) {
+                      var xx = 0
+                      while (xx < 2) { wr(qy + yy)(qx + xx) = true; xx += 1 }
+                      yy += 1
+                    }
+                  }
+                  q += 1
+                }
+                li += 1
+              }
+              q = 0
+              while (q < 4) {
+                val (mask, shape) = specs(q)
+                val qx = (q & 1) * 2; val qy = (q >> 1) * 2
+                if (mask != 0) {
+                  subParts(shape).zipWithIndex.foreach { case ((lx, ly, wC, hC), j) =>
+                    val px = (qx + lx) * 4; val py = (qy + ly) * 4
+                    val f0p = if ((mask & 1) != 0)
+                      mcFetchRect(bL0frame, mx + px, my + py, wC * 4, hC * 4,
+                        subMvs(q)(j)(0)(0), subMvs(q)(j)(0)(1))
+                    else null
+                    val f1p = if ((mask & 2) != 0)
+                      mcFetchRect(bL1frame, mx + px, my + py, wC * 4, hC * 4,
+                        subMvs(q)(j)(1)(0), subMvs(q)(j)(1)(1))
+                    else null
+                    blendInto(aY, aU, aV, px, py, wC * 4, hC * 4, f0p, f1p)
+                  }
+                }
+                q += 1
+              }
+              (aY, aU, aV)
             } else if (rawType == 3) {
               // P_8x8: four sub_mb_types, then every sub-partition's mvd
               // in decode order; later sub-partitions predict from the

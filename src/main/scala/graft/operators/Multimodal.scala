@@ -1079,6 +1079,110 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** B sub-16x16 partition plan (shared with the spec): IDR constants
+    * A(m), an all-intra reference P frame B(m), then a SPATIAL B slice
+    * exercising the full partition family below 16x16 — two-partition
+    * 16x8/8x16 MBs with one-sided pairs ((L0,L1), (L1,L0)) and a
+    * (Bi,Bi) pair, and two B_8x8 MBs covering Direct_8x8 (both the
+    * no-neighbor zero-prediction and a derived-from-neighbors case),
+    * one-sided 8x8/8x4/4x8 pairs, a Bi 8x8, and a full L0 4x4 quartet
+    * (one vector edge-clamped). Splits are expressed STRIP-relative so
+    * both orientations decode the same value layout: a "cross-split"
+    * role is 16x8/8x4 in the horizontal strip and 8x16/4x8 in the
+    * vertical one (both shape codes get exercised across docs). All
+    * vectors are strip-axis multiples of 8 px landing inside a single
+    * source MB constant.
+    */
+  private[operators] def h264BSubPlan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    def a0(m: Int) = ((37 * d + 19 * m) % 160 + 24).toInt
+    def b0(m: Int) = ((41 * d + 23 * m) % 160 + 24).toInt
+    def acb(m: Int) = ((91 * d + 29 * m) % 160 + 24).toInt
+    def acr(m: Int) = ((53 * d + 31 * m) % 160 + 24).toInt
+    def bcb(m: Int) = ((67 * d + 17 * m) % 160 + 24).toInt
+    def bcr(m: Int) = ((71 * d + 13 * m) % 160 + 24).toInt
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    def mvA(q: Int): (Int, Int) = if (colv) (q, 0) else (0, q)
+    def sqt(q: Int): (Int, Int) = if (colv) (q % 2, q / 2) else (q / 2, q % 2)
+    // Table 7-14 code from the mode-pair index (0..8 over (L0,L0)..(Bi,Bi))
+    // and the split role: 16x8 codes are even, 8x16 odd
+    def raw2(pidx: Int, crossSplit: Boolean): Int =
+      4 + 2 * pidx + (if (crossSplit == colv) 0 else 1)
+    // Table 7-18 pair codes by list mask; j always indexes the sub-half
+    // along the split axis in both orientations
+    def stripPair(mask: Int): Int =
+      (if (colv) Map(1 -> 5, 2 -> 7, 3 -> 9) else Map(1 -> 4, 2 -> 6, 3 -> 8))(mask)
+    def crossPair(mask: Int): Int =
+      (if (colv) Map(1 -> 4, 2 -> 6, 3 -> 8) else Map(1 -> 5, 2 -> 7, 3 -> 9))(mask)
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = a0, tCb = acb, tCr = acr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = m => H264Codec.PMb(kind = 3, tL = b0(m), tCb = bcb(m), tCr = bcr(m)),
+      bmb = m => m match {
+        case 0 => H264Codec.BMb(kind = 7,
+          bsub = q => sqt(q) match {
+            case (0, 0) => 0 // Direct_8x8: no neighbors -> zero-pred bi
+            case (1, 0) => stripPair(1) // L0 pair along the strip
+            case (0, 1) => crossPair(2) // L1 pair across
+            case _      => 3 // Bi 8x8
+          },
+          bmvs = (q, j, l) => sqt(q) match {
+            case (1, 0) => if (j == 0) mvA(-32) else mvA(64)
+            case (0, 1) => if (j == 0) mvA(64) else mvA(0)
+            case _      => if (l == 0) mvA(64) else mvA(128)
+          })
+        case 1 => H264Codec.BMb(kind = 6, raw2 = raw2(2, crossSplit = true),
+          pmv = (pi, _) => if (pi == 0) mvA(0) else mvA(64)) // (L0, L1)
+        case 2 => H264Codec.BMb(kind = 6, raw2 = raw2(3, crossSplit = false),
+          pmv = (pi, _) => if (pi == 0) mvA(-64) else mvA(64)) // (L1, L0)
+        case 3 => H264Codec.BMb(kind = 6, raw2 = raw2(8, crossSplit = true),
+          pmv = (pi, l) => // (Bi, Bi)
+            if (pi == 0) { if (l == 0) mvA(-64) else mvA(0) }
+            else { if (l == 0) mvA(64) else mvA(-128) })
+        case _ => H264Codec.BMb(kind = 7,
+          bsub = q => sqt(q) match {
+            case (0, 0) => 10 // L0 4x4 quartet
+            case (1, 0) => 2 // L1 8x8
+            case (0, 1) => 0 // Direct_8x8 derived from m3's bi cells
+            case _      => crossPair(1) // L0 pair across
+          },
+          bmvs = (q, j, l) => sqt(q) match {
+            case (0, 0) =>
+              val (xx, yy) = Seq((0, 0), (1, 0), (0, 1), (1, 1))(j)
+              val (us, ut) = if (colv) (xx, yy) else (yy, xx)
+              (us, ut) match {
+                case (0, 0) => mvA(0)
+                case (1, 0) => mvA(-64)
+                case (0, 1) => mvA(-128)
+                case _      => mvA(-32)
+              }
+            case (1, 0) => mvA(-256)
+            case _ => if (j == 0) mvA(32) else mvA(-192) // edge clamp / -3 MB
+          })
+      })
+  }
+
+  /** Each doc carries the [[h264BSubPlan]] stream; docs rotate stripe
+    * orientation (which also swaps the 16x8/8x16 and 8x4/4x8 shape
+    * codes), and every fourth doc rides CABAC — the extended pinned B
+    * mb_type tree and the 4-bin sub_mb_type binarization cross the
+    * arithmetic coder.
+    */
+  def withH264BSubMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264BSubPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** B-slice deblocking plan (shared with the spec): IDR constants A(m)
     * and an all-intra P frame B(m), both raw (idc=1), then a DEBLOCKED
     * non-reference B slice whose five MB stripes pin the B-specific
