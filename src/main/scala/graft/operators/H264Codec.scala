@@ -27,9 +27,13 @@ package graft.operators
   * context-modelled bins for all decoded syntax elements, cross-backend
   * parity with CAVLC), and the in-loop deblocking filter (bS derivation,
   * alpha/beta tables, the normal and strong filter paths with
-  * slice-level offsets). Remaining rungs (sub-16x16 B partitions,
-  * multi-reference sub-partitions) are REJECTED loudly, never
-  * misdecoded.
+  * slice-level offsets), sub-16x16 B partitions (the full Table 7-14
+  * two-partition family and B_8x8 with every Table 7-18 sub type), and
+  * multi-reference sub-partitions (per-partition / per-sub-MB ref_idx
+  * in two-reference P slices). Remaining rungs (cabac_init_idc 1/2
+  * context tables, reference-list modification, adaptive ref marking,
+  * per-partition weighted multi-reference prediction) are REJECTED
+  * loudly, never misdecoded.
   *
   * Transport, exp-Golomb, the EP-byte rule (00 00 0x with x ≤ 3), the
   * I_PCM sample walk, and all the structural CAVLC/transform/prediction
@@ -795,6 +799,18 @@ object H264Codec {
     */
   final case class WMb(refIdx: Int, mv: (Int, Int) = (0, 0))
 
+  /** One macroblock of the non-weighted MULTI-REFERENCE P slice (two
+    * active list-0 references: 0 = the P frame, 1 = the IDR). kind: 0 =
+    * P_L0_16x16, 5 = P_L0_L0_16x8, 6 = P_L0_L0_8x16 — `refs`/`mvs` by
+    * partition index — and 7 = P_8x8 (`sub4(q)` the sub_mb_type per
+    * raster quadrant, `refs(q)` ONE reference per sub-MB as the spec
+    * requires, `mvs8(q, j)` per sub-partition in decode order).
+    */
+  final case class MrMb(kind: Int, refs: Int => Int,
+                        mvs: Int => (Int, Int) = null,
+                        sub4: Int => Int = null,
+                        mvs8: (Int, Int) => (Int, Int) = null)
+
   /** Explicit P-slice weighted-prediction table: log2 denominators and
     * per-reference (weight, offset) for luma / Cb / Cr.
     */
@@ -819,7 +835,8 @@ object H264Codec {
                              bmb: Int => BMb = null,
                              wmb: Int => WMb = null,
                              wspec: WeightSpec = null,
-                             bTemporal: Boolean = false)
+                             bTemporal: Boolean = false,
+                             mrmb: Int => MrMb = null)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1341,6 +1358,10 @@ object H264Codec {
       val f2 = H264Frame(w, h, recY, recU, recV)
       nals += nal(0, 1, weightedSlice(p, w, h, f2, ref, cabac))
     }
+    if (p.mrmb != null) {
+      // non-reference multi-reference P slice with sub-partitions
+      nals += nal(0, 1, multiRefSlice(p, w, h, cabac))
+    }
     val out = new java.io.ByteArrayOutputStream()
     nals.foreach(n => out.write(n, 0, n.length))
     out.toByteArray
@@ -1398,6 +1419,108 @@ object H264Codec {
       val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten, m.refIdx)
       snk.mvd(m.mv._1 - mvp._1, m.mv._2 - mvp._2, c * 4, r * 4, 4, 4)
       mg.fill(c * 4, r * 4, 4, 4, m.refIdx, m.mv._1, m.mv._2)
+      snk.cbp(0, mb)
+      snk.endMb(mb == nMb - 1)
+      mb += 1
+    }
+    snk.finish()
+    bw.bytes()
+  }
+
+  /** Encode the non-reference MULTI-REFERENCE P slice: a plain (not
+    * weighted) P slice with num_ref_idx_l0_active = 2, per-partition /
+    * per-sub-MB te() ref_idx, and the full P partition family — 16x16,
+    * 16x8/8x16 (both ref_idx first, then both mvds, 7.3.5.1), and
+    * P_8x8 with per-sub-MB references over any sub shape. The MV
+    * predictors run ref-matched against each partition's own reference.
+    * Non-reference and residual-free, so no reconstruction is kept.
+    */
+  private def multiRefSlice(p: InterPlan, w: Int, h: Int,
+                            cabac: Boolean): Array[Byte] = {
+    val qp = 28
+    val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(5) // slice_type: P
+    bw.ue(0) // pps id
+    bw.put(2, 8) // frame_num
+    bw.put(6, 8) // pic_order_cnt_lsb
+    bw.put(1, 1) // num_ref_idx_active_override_flag
+    bw.ue(1) // num_ref_idx_l0_active_minus1: two references
+    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    // plain PPS: no pred_weight_table; nal_ref_idc 0: no marking
+    if (cabac) bw.ue(0) // cabac_init_idc
+    bw.se(qp - 26) // slice_qp_delta
+    bw.ue(1) // disable_deblocking_filter_idc: off
+    val snk: IntraSink =
+      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
+    val mg = new MotionGrid(mbW, mbH)
+    var mb = 0
+    while (mb < nMb) {
+      val r = mb / mbW; val c = mb % mbW
+      val m = p.mrmb(mb)
+      snk.pSkip(flag = false, mb)
+      m.kind match {
+        case 0 =>
+          snk.pMbType(0, mb)
+          val ri = m.refs(0)
+          snk.refIdx(ri, c * 4, r * 4, 4, 4)
+          val mv = m.mvs(0)
+          val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten, ri)
+          snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4, r * 4, 4, 4)
+          mg.fill(c * 4, r * 4, 4, 4, ri, mv._1, mv._2)
+        case 5 | 6 =>
+          val is16x8 = m.kind == 5
+          snk.pMbType(if (is16x8) 1 else 2, mb)
+          val parts =
+            if (is16x8) Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
+            else Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+          parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, _), pi) =>
+            snk.refIdx(m.refs(pi), c * 4 + lx, r * 4 + ly, wC, hC)
+          }
+          parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, pt), pi) =>
+            val written: (Int, Int) => Boolean =
+              if (pi == 0) noneWritten
+              else if (is16x8) (_, y0) => y0 < 2
+              else (x0, _) => x0 < 2
+            val mv = m.mvs(pi)
+            val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt,
+              written, m.refs(pi))
+            snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4 + lx, r * 4 + ly, wC, hC)
+            mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, m.refs(pi), mv._1, mv._2)
+          }
+        case 7 =>
+          snk.pMbType(3, mb)
+          var k = 0
+          while (k < 4) { snk.subMbType8(m.sub4(k)); k += 1 }
+          k = 0
+          while (k < 4) {
+            snk.refIdx(m.refs(k), c * 4 + (k & 1) * 2, r * 4 + (k >> 1) * 2, 2, 2)
+            k += 1
+          }
+          val wr = Array.ofDim[Boolean](4, 4)
+          val written: (Int, Int) => Boolean = (x0, y0) => wr(y0)(x0)
+          k = 0
+          while (k < 4) {
+            val qx = (k & 1) * 2; val qy = (k >> 1) * 2
+            subParts(m.sub4(k)).zipWithIndex.foreach { case ((lx, ly, wC, hC), j) =>
+              val cx0 = c * 4 + qx + lx; val cy0 = r * 4 + qy + ly
+              val mv = m.mvs8(k, j)
+              val mvp = mvPredictPart(mg, mb, cx0, cy0, wC, 0, written, m.refs(k))
+              snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, cx0, cy0, wC, hC)
+              mg.fill(cx0, cy0, wC, hC, m.refs(k), mv._1, mv._2)
+              var yy = 0
+              while (yy < hC) {
+                var xx = 0
+                while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
+                yy += 1
+              }
+            }
+            k += 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"h264 fixture: MrMb kind $other")
+      }
       snk.cbp(0, mb)
       snk.endMb(mb == nMb - 1)
       mb += 1
@@ -3572,8 +3695,11 @@ object H264Codec {
           else src.mbTypeI(mb)
         if ((isP && rawType < 5) || (isB && rawType < 23)) {
           if (isP) require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
-          if (isP && numRef0 > 1) require(rawType == 0,
-            "h264: multi-reference sub-partitions are the next rung")
+          // whole-MB wpApply below indexes the weight table by the MB's
+          // single refIdx; per-partition references under explicit
+          // weighting would need per-partition weight application
+          if (isP && numRef0 > 1) require(rawType == 0 || !pps.weightedPred,
+            "h264: per-partition weighted multi-reference prediction outside this profile")
           var mbRef0 = 0 // list-0 reference of this MB (P_L0_16x16 only)
           val (pY, pU, pV) =
             if (isB && rawType == 0) {
@@ -3751,12 +3877,23 @@ object H264Codec {
               }
               (aY, aU, aV)
             } else if (rawType == 3) {
-              // P_8x8: four sub_mb_types, then every sub-partition's mvd
-              // in decode order; later sub-partitions predict from the
-              // already-written cells (tracked on an explicit grid)
+              // P_8x8: four sub_mb_types, then (with two active
+              // references) one ref_idx per sub-MB, then every
+              // sub-partition's mvd in decode order; later
+              // sub-partitions predict from the already-written cells
+              // (tracked on an explicit grid) with ref matching against
+              // the sub-MB's own reference
               val subT = Array.fill(4)(src.subMbType8())
               subT.foreach(t => require(t >= 0 && t <= 3,
                 "h264: P sub_mb_type out of range"))
+              val refs8 = Array.fill(4)(0)
+              if (numRef0 > 1) {
+                var k = 0
+                while (k < 4) {
+                  refs8(k) = src.refIdx(c * 4 + (k & 1) * 2, r * 4 + (k >> 1) * 2, 2, 2)
+                  k += 1
+                }
+              }
               val wr = Array.ofDim[Boolean](4, 4)
               val written: (Int, Int) => Boolean = (x0, y0) => wr(y0)(x0)
               val aY = new Array[Int](256)
@@ -3767,18 +3904,19 @@ object H264Codec {
                 val qx = (k & 1) * 2; val qy = (k >> 1) * 2
                 subParts(subT(k)).foreach { case (lx, ly, wC, hC) =>
                   val cx0 = c * 4 + qx + lx; val cy0 = r * 4 + qy + ly
-                  val mvp = mvPredictPart(mg, mb, cx0, cy0, wC, 0, written)
+                  val mvp = mvPredictPart(mg, mb, cx0, cy0, wC, 0, written, refs8(k))
                   val (dx, dy) = src.mvd(cx0, cy0, wC, hC)
                   val mvX = mvp._1 + dx
                   val mvY = mvp._2 + dy
-                  mg.fill(cx0, cy0, wC, hC, 0, mvX, mvY)
+                  mg.fill(cx0, cy0, wC, hC, refs8(k), mvX, mvY)
                   var yy = 0
                   while (yy < hC) {
                     var xx = 0
                     while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
                     yy += 1
                   }
-                  val (fY, fU, fV) = mcFetchRect(ref, mx + (qx + lx) * 4,
+                  val (fY, fU, fV) = mcFetchRect(if (refs8(k) == 0) ref else refPrev,
+                    mx + (qx + lx) * 4,
                     my + (qy + ly) * 4, wC * 4, hC * 4, mvX, mvY)
                   val wP = wC * 4
                   var i = 0
@@ -3807,9 +3945,12 @@ object H264Codec {
               mg.fill(c * 4, r * 4, 4, 4, mbRef0, mvX, mvY)
               mcFetch(if (mbRef0 == 0) ref else refPrev, mx, my, mvX, mvY)
             } else {
-              // P_L0_L0_16x8 / P_L0_L0_8x16: per-partition mvds against
-              // the directional-preference predictors, then per-partition
-              // motion compensation assembled into the MB prediction
+              // P_L0_L0_16x8 / P_L0_L0_8x16: (with two active
+              // references) both partitions' ref_idx first, then
+              // per-partition mvds against the directional-preference
+              // predictors (ref-matched to each partition's reference),
+              // then per-partition motion compensation assembled into
+              // the MB prediction
               val is16x8 = rawType == 1
               val aY = new Array[Int](256)
               val aU = new Array[Int](64)
@@ -3817,17 +3958,24 @@ object H264Codec {
               val parts =
                 if (is16x8) Seq((0, 0, 4, 2, 1), (0, 2, 4, 2, 2))
                 else Seq((0, 0, 2, 4, 3), (2, 0, 2, 4, 4))
+              val refs2 = Array(0, 0)
+              if (numRef0 > 1)
+                parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, _), pi) =>
+                  refs2(pi) = src.refIdx(c * 4 + lx, r * 4 + ly, wC, hC)
+                }
               parts.zipWithIndex.foreach { case ((lx, ly, wC, hC, pt), pi) =>
                 val written: (Int, Int) => Boolean =
                   if (pi == 0) noneWritten
                   else if (is16x8) (_, y0) => y0 < 2
                   else (x0, _) => x0 < 2
-                val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt, written)
+                val mvp = mvPredictPart(mg, mb, c * 4 + lx, r * 4 + ly, wC, pt,
+                  written, refs2(pi))
                 val (dx, dy) = src.mvd(c * 4 + lx, r * 4 + ly, wC, hC)
                 val mvX = mvp._1 + dx
                 val mvY = mvp._2 + dy
-                mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, 0, mvX, mvY)
-                val (fY, fU, fV) = mcFetchRect(ref, mx + lx * 4, my + ly * 4,
+                mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, refs2(pi), mvX, mvY)
+                val (fY, fU, fV) = mcFetchRect(if (refs2(pi) == 0) ref else refPrev,
+                  mx + lx * 4, my + ly * 4,
                   wC * 4, hC * 4, mvX, mvY)
                 val wP = wC * 4
                 var i = 0

@@ -1183,6 +1183,110 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Multi-reference P sub-partition plan (shared with the spec): IDR
+    * constants A(m), an all-intra reference P frame B(m), then a plain
+    * (non-weighted) P slice with TWO active list-0 references (0 = the
+    * P frame, 1 = the IDR) exercising per-partition references below
+    * 16x16: 16x8/8x16 pairs mixing references across the split, and
+    * P_8x8 MBs whose four sub-MBs carry their own te() ref_idx over
+    * mixed sub shapes (8x8/8x4/4x8/4x4, one vector edge-clamped). A
+    * wrong reference reads the other frame's constant; the MV
+    * predictors run ref-matched so a mis-scoped ref_idx shifts every
+    * later mvd too.
+    */
+  private[operators] def h264PMRefPlan(d: Long, colv: Boolean): H264Codec.InterPlan = {
+    def a0(m: Int) = ((37 * d + 19 * m) % 160 + 24).toInt
+    def b0(m: Int) = ((41 * d + 23 * m) % 160 + 24).toInt
+    def acb(m: Int) = ((91 * d + 29 * m) % 160 + 24).toInt
+    def acr(m: Int) = ((53 * d + 31 * m) % 160 + 24).toInt
+    def bcb(m: Int) = ((67 * d + 17 * m) % 160 + 24).toInt
+    def bcr(m: Int) = ((71 * d + 13 * m) % 160 + 24).toInt
+    val (w, h) = if (colv) (80, 16) else (16, 80)
+    def mvA(q: Int): (Int, Int) = if (colv) (q, 0) else (0, q)
+    def sqt(q: Int): (Int, Int) = if (colv) (q % 2, q / 2) else (q / 2, q % 2)
+    val crossKind = if (colv) 5 else 6 // 16x8 splits cross-strip when horizontal
+    val stripKind = if (colv) 6 else 5
+    val stripPair = if (colv) 2 else 1 // P sub types: 1 = 8x4, 2 = 4x8
+    val crossPair = if (colv) 1 else 2
+    val intra = H264Codec.IntraPlan(w, h,
+      variant = _ => 0, modeSel = _ => 2,
+      tL = a0, tCb = acb, tCr = acr,
+      acSign = _ => 1, planeLast = false)
+    H264Codec.InterPlan(intra,
+      pmb = m => H264Codec.PMb(kind = 3, tL = b0(m), tCb = bcb(m), tCr = bcr(m)),
+      mrmb = m => m match {
+        case 0 => H264Codec.MrMb(kind = crossKind,
+          refs = pi => if (pi == 0) 0 else 1,
+          mvs = pi => if (pi == 0) mvA(0) else mvA(64))
+        case 1 => H264Codec.MrMb(kind = stripKind,
+          refs = pi => if (pi == 0) 1 else 0,
+          mvs = pi => if (pi == 0) mvA(0) else mvA(-64))
+        case 2 => H264Codec.MrMb(kind = 7,
+          sub4 = q => sqt(q) match {
+            case (0, 0) => 0
+            case (1, 0) => stripPair
+            case (0, 1) => crossPair
+            case _      => 3
+          },
+          refs = q => sqt(q) match {
+            case (0, 0) => 1
+            case (1, 0) => 0
+            case (0, 1) => 1
+            case _      => 0
+          },
+          mvs8 = (q, j) => sqt(q) match {
+            case (0, 0) => mvA(128)
+            case (1, 0) => if (j == 0) mvA(-32) else mvA(64)
+            case (0, 1) => if (j == 0) mvA(-64) else mvA(0)
+            case _ =>
+              val (xx, yy) = Seq((0, 0), (1, 0), (0, 1), (1, 1))(j)
+              val (us, ut) = if (colv) (xx, yy) else (yy, xx)
+              (us, ut) match {
+                case (0, 0) => mvA(0)
+                case (1, 0) => mvA(64)
+                case (0, 1) => mvA(-64)
+                case _      => mvA(32)
+              }
+          })
+        case 3 => H264Codec.MrMb(kind = crossKind,
+          refs = _ => 1,
+          mvs = pi => if (pi == 0) mvA(-64) else mvA(64))
+        case _ => H264Codec.MrMb(kind = 7,
+          sub4 = _ => 0,
+          refs = q => sqt(q) match {
+            case (0, 0) => 0
+            case (1, 0) => 1
+            case (0, 1) => 0
+            case _      => 1
+          },
+          mvs8 = (q, _) => sqt(q) match {
+            case (0, 0) => mvA(-64)
+            case (1, 0) => mvA(32) // edge-clamped fetch
+            case (0, 1) => mvA(32)
+            case _      => mvA(-256)
+          })
+      })
+  }
+
+  /** Each doc carries the [[h264PMRefPlan]] stream; docs rotate stripe
+    * orientation (swapping the 16x8/8x16 and 8x4/4x8 codes), and every
+    * fourth doc rides CABAC — per-partition te() ref_idx crosses the
+    * 9.3.3.1.1.6 unary bins with neighbor contexts.
+    */
+  def withH264PMRefMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264PMRefPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** B-slice deblocking plan (shared with the spec): IDR constants A(m)
     * and an all-intra P frame B(m), both raw (idc=1), then a DEBLOCKED
     * non-reference B slice whose five MB stripes pin the B-specific
