@@ -6999,6 +6999,275 @@ object QueryCatalog {
     // value-visible. One line per granule keeps the chain linear; the
     // oracle unions the short granule's 12-point path with the
     // long-class alias/36-point path before the shared polyphase sum.
+    // REAL MPEG-1 Layer III MIXED BLOCKS, graded exactly — block_type 2
+    // with mixed_block_flag: the two lowest polyphase subbands stay
+    // LONG (natural transmitted order, long-band scalefactors with
+    // pretab, the NORMAL long window) while subbands 2..31 run three
+    // short windows (band-major-then-window transmitted order over
+    // per-window lines f >= 12, the pinned short band 0 contributing
+    // only its 12..15 tail, per-window subblock gains), and alias
+    // reduction butterflies ONLY the long-long boundary — a band-1 line
+    // with k >= 8 must NOT butterfly upward into subband 2. Four mixed
+    // granules walk each region; one line per granule keeps the chain
+    // linear for the replay.
+    ("q_mp3_mixed",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMp3MixedMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id AS d FROM documents),
+             |longs AS (
+             |  SELECT b.d, q8.gs, q7.sbp,
+             |    sum(q6.xr * q7.w * ((7*pp.p + 11*q7.kp + 3) % 23 - 11)
+             |      * (1 + (5*pp.p + 2) % 9)
+             |      * (CASE WHEN q7.sbp % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM base b
+             |  JOIN range(0, 4) gg(gi) ON gg.gi = 0 OR gg.gi = 3
+             |  JOIN range(0, 2) aa(a) ON true
+             |  JOIN range(0, 36) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN gg.gi = 0 THEN (5 + 29*b.d) % 26
+             |         ELSE 26 + (7*b.d) % 10 END AS pos,
+             |    (b.d + gg.gi) % 16 AS sc,
+             |    (b.d // 4 + gg.gi) % 2 AS sscale,
+             |    1 + ((29*b.d + 7*gg.gi) % 256) % 9 AS gain,
+             |    1 + (b.d + 3*gg.gi) % 13 AS v) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.pos // 18 AS sb, q1.pos % 18 AS k,
+             |    q1.pos // 26 AS band) q2
+             |  CROSS JOIN LATERAL (SELECT q1.sc // 4 AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (3*b.d + q2.band + gg.gi) % (1 << q4.slen)
+             |    + CASE WHEN (b.d // 2 + gg.gi) % 2 = 1 THEN q2.band % 3
+             |           ELSE 0 END AS sfv) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + 5*gg.gi) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q1.v * (q1.v + 2) * q1.gain
+             |      * (1 + (3 * q5.sfv * (1 + q1.sscale)) % 11) AS xr) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN aa.a = 0 THEN q2.sb
+             |         WHEN q2.k >= 10 THEN q2.sb + 1 ELSE q2.sb - 1 END AS sbp,
+             |    CASE WHEN aa.a = 0 THEN q2.k ELSE 17 - q2.k END AS kp,
+             |    CASE WHEN aa.a = 0 THEN
+             |      CASE WHEN q2.k >= 10 AND q2.sb = 0 THEN 2 + (17 - q2.k) % 3
+             |           WHEN q2.k <= 7 AND q2.sb = 1 THEN 2 + q2.k % 3
+             |           ELSE 1 END
+             |    ELSE CASE WHEN q2.k >= 10 THEN 1 + (17 - q2.k) % 2
+             |              ELSE -(1 + q2.k % 2) END END AS w,
+             |    aa.a = 0 OR (q2.k >= 10 AND q2.sb = 0)
+             |      OR (q2.k <= 7 AND q2.sb = 1) AS valid) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN pp.p < 18 THEN gg.gi*18 + pp.p
+             |         ELSE (gg.gi + 1)*18 + pp.p - 18 END AS gs) q8
+             |  WHERE q7.valid AND q8.gs < 72
+             |  GROUP BY b.d, q8.gs, q7.sbp),
+             |shorts AS (
+             |  SELECT b.d, q8.gs, q2.sb AS sbp,
+             |    sum(q6.xr * ((19*pp.p + 7*q2.i + 3) % 17 - 8)
+             |      * (1 + (5*pp.p) % 11)
+             |      * (CASE WHEN q2.sb % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM base b
+             |  JOIN range(0, 4) gg(gi) ON gg.gi = 1 OR gg.gi = 2
+             |  JOIN range(0, 12) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN gg.gi = 1 THEN 48 + (37*b.d) % 528
+             |         ELSE 36 + b.d % 12 END AS pos,
+             |    (b.d + gg.gi) % 16 AS sc,
+             |    (b.d // 4 + gg.gi) % 2 AS sscale,
+             |    1 + ((29*b.d + 7*gg.gi) % 256) % 9 AS gain,
+             |    1 + (b.d + 3*gg.gi) % 13 AS v) q1
+             |  CROSS JOIN LATERAL (SELECT q1.pos - 36 AS t) q1a
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1a.t < 12 THEN 0 ELSE 1 + (q1a.t - 12) // 48 END AS s,
+             |    CASE WHEN q1a.t < 12 THEN q1a.t // 4
+             |         ELSE ((q1a.t - 12) % 48) // 16 END AS w,
+             |    CASE WHEN q1a.t < 12 THEN 12 + q1a.t % 4
+             |         ELSE 16*(1 + (q1a.t - 12) // 48) + (q1a.t - 12) % 16
+             |    END AS f) q1b
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1b.f // 6 AS sb, q1b.f % 6 AS i) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1b.s <= 5 THEN q1.sc // 4 ELSE q1.sc % 4 END AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (b.d + 2*q1b.w + q1b.s) % (1 << q4.slen) AS sfv,
+             |    1 + (5*((b.d + q1b.w + gg.gi) % 8)) % 7 AS subg) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + 5*gg.gi) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q1.v * (q1.v + 2) * q1.gain
+             |      * (1 + (3 * q5.sfv * (1 + q1.sscale)) % 11) * q5.subg AS xr) q6
+             |  CROSS JOIN LATERAL (SELECT 6 + 6*q1b.w + pp.p AS s36) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q7.s36 < 18 THEN gg.gi*18 + q7.s36
+             |         ELSE (gg.gi + 1)*18 + q7.s36 - 18 END AS gs) q8
+             |  WHERE q8.gs < 72
+             |  GROUP BY b.d, q8.gs, q2.sb),
+             |inputs AS (SELECT * FROM longs UNION ALL SELECT * FROM shorts),
+             |chk AS (
+             |  SELECT s.d,
+             |    sum(s.ival
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*s.sbp + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * (((s.gs + mm.m)*32 + ii.i) % 97 + 1)) AS pcm_checksum
+             |  FROM inputs s
+             |  JOIN range(0, 16) mm(m) ON s.gs + mm.m < 72
+             |  JOIN range(0, 32) ii(i) ON true
+             |  GROUP BY s.d)
+             |SELECT base.d AS doc_id, CAST(3 AS BIGINT) AS layer,
+             |  CAST(1 AS BIGINT) AS n_channels,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(2304 AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(chk.pcm_checksum, 0) AS BIGINT) AS pcm_checksum
+             |FROM base LEFT JOIN chk ON chk.d = base.d
+             |ORDER BY doc_id""".stripMargin)),
+
+    // REAL MPEG-1 Layer III STEREO x WINDOW SWITCHING, graded exactly —
+    // per-channel block types inside one frame: independent short|long,
+    // joint MS with both channels short, independent START|STOP, and
+    // joint MS across MISMATCHED block types. MS mixes in unreordered
+    // slot space, so the short-coded source's slot rides the OTHER
+    // channel's alias + 36-point long filterbank (and a long-coded slot
+    // rides the short channel's 12-point path) — the oracle derives
+    // each line's slot from the SOURCE granule's block type and the
+    // synthesis path from the OUTPUT channel's.
+    ("q_mp3_swstereo",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMp3SwStereoMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, doc_id % 4 AS r FROM documents),
+             |tx AS (
+             |  SELECT b.d, b.r, gg.gi, ss.src, q9.slot, q9.xr
+             |  FROM base b
+             |  JOIN range(0, 2) gg(gi) ON true
+             |  JOIN range(0, 2) ss(src) ON true
+             |  CROSS JOIN LATERAL (SELECT CASE
+             |      WHEN b.r = 1 THEN 2
+             |      WHEN b.r = 2 THEN CASE WHEN ss.src = 0 THEN 1 ELSE 3 END
+             |      ELSE CASE WHEN ss.src = 0 THEN 2 ELSE 0 END END AS bts) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    (17 + 37*b.d + 101*gg.gi + 53*ss.src) % 576 AS pos,
+             |    (b.d + gg.gi + ss.src) % 16 AS sc,
+             |    (b.d // 4 + gg.gi + ss.src) % 2 AS sscale,
+             |    1 + ((29*b.d + 7*gg.gi + 13*ss.src) % 256) % 9 AS gain,
+             |    1 + (b.d + 3*gg.gi + 5*ss.src) % 13 AS v,
+             |    CASE WHEN (b.d + 5*gg.gi + ss.src) % 2 = 1 THEN -1 ELSE 1 END AS sgn) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.pos // 48 AS s2, (q1.pos % 48) // 16 AS w2,
+             |    16*(q1.pos // 48) + q1.pos % 16 AS f2,
+             |    least(q1.pos // 26, 21) AS band) q2
+             |  CROSS JOIN LATERAL (SELECT CASE WHEN q0.bts = 2 THEN
+             |      CASE WHEN q2.s2 <= 5 THEN q1.sc // 4 ELSE q1.sc % 4 END
+             |    ELSE CASE WHEN q2.band <= 10 THEN q1.sc // 4 ELSE q1.sc % 4 END
+             |    END AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT CASE WHEN q0.bts = 2 THEN
+             |      (b.d + 2*q2.w2 + q2.s2 + ss.src) % (1 << q4.slen)
+             |    ELSE (CASE WHEN q2.band > 20 THEN 0
+             |      ELSE (3*b.d + q2.band + gg.gi + ss.src) % (1 << q4.slen) END)
+             |      + CASE WHEN (b.d // 2 + gg.gi + ss.src) % 2 = 1
+             |             THEN q2.band % 3 ELSE 0 END
+             |    END AS sfv,
+             |    CASE WHEN q0.bts = 2
+             |      THEN 1 + (5*((b.d + q2.w2 + gg.gi + ss.src) % 8)) % 7
+             |      ELSE 1 END AS subg) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q0.bts = 2
+             |      THEN (q2.f2 // 6)*18 + q2.w2*6 + q2.f2 % 6
+             |      ELSE q1.pos END AS slot,
+             |    q1.sgn * q1.v * (q1.v + 2) * q1.gain
+             |      * (1 + (3 * q5.sfv * (1 + q1.sscale)) % 11) * q5.subg AS xr) q9),
+             |eff AS (
+             |  SELECT t.d, t.gi, cc.c AS ch, t.slot, q6.val,
+             |    CASE WHEN t.r = 1 THEN 2
+             |      WHEN t.r = 2 THEN CASE WHEN cc.c = 0 THEN 1 ELSE 3 END
+             |      ELSE CASE WHEN cc.c = 0 THEN 2 ELSE 0 END END AS bto
+             |  FROM tx t
+             |  JOIN range(0, 2) cc(c) ON true
+             |  CROSS JOIN LATERAL (SELECT CASE
+             |    WHEN t.r = 0 OR t.r = 2 THEN
+             |      CASE WHEN t.src = cc.c THEN t.xr END
+             |    WHEN cc.c = 0 THEN t.xr
+             |    WHEN t.src = 0 THEN t.xr ELSE -t.xr END AS val) q6
+             |  WHERE q6.val IS NOT NULL),
+             |longs AS (
+             |  SELECT e.d, e.ch, q8.gs, q7.sbp,
+             |    sum(e.val * q7.w * ((7*pp.p + 11*q7.kp + 3) % 23 - 11)
+             |      * q9.win
+             |      * (CASE WHEN q7.sbp % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM eff e
+             |  JOIN range(0, 2) aa(a) ON e.bto <> 2
+             |  JOIN range(0, 36) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    e.slot // 18 AS sb, e.slot % 18 AS k) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN aa.a = 0 THEN q2.sb
+             |         WHEN q2.k >= 10 THEN q2.sb + 1 ELSE q2.sb - 1 END AS sbp,
+             |    CASE WHEN aa.a = 0 THEN q2.k ELSE 17 - q2.k END AS kp,
+             |    CASE WHEN aa.a = 0 THEN
+             |      CASE WHEN q2.k >= 10 AND q2.sb < 31 THEN 2 + (17 - q2.k) % 3
+             |           WHEN q2.k <= 7 AND q2.sb >= 1 THEN 2 + q2.k % 3
+             |           ELSE 1 END
+             |    ELSE CASE WHEN q2.k >= 10 THEN 1 + (17 - q2.k) % 2
+             |              ELSE -(1 + q2.k % 2) END END AS w,
+             |    aa.a = 0 OR (q2.k >= 10 AND q2.sb < 31)
+             |      OR (q2.k <= 7 AND q2.sb >= 1) AS valid) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN pp.p < 18 THEN e.gi*18 + pp.p
+             |         ELSE (e.gi + 1)*18 + pp.p - 18 END AS gs) q8
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE e.bto
+             |      WHEN 0 THEN 1 + (5*pp.p + 2) % 9
+             |      WHEN 1 THEN CASE WHEN pp.p < 18 THEN 1 + (5*pp.p + 2) % 9
+             |        WHEN pp.p < 24 THEN 7
+             |        WHEN pp.p < 30 THEN 1 + (5*(11 - (pp.p - 24))) % 11
+             |        ELSE 0 END
+             |      ELSE CASE WHEN pp.p < 6 THEN 0
+             |        WHEN pp.p < 12 THEN 1 + (5*(pp.p - 6)) % 11
+             |        WHEN pp.p < 18 THEN 7
+             |        ELSE 1 + (5*pp.p + 2) % 9 END
+             |    END AS win) q9
+             |  WHERE q7.valid AND q8.gs < 36
+             |  GROUP BY e.d, e.ch, q8.gs, q7.sbp),
+             |shorts AS (
+             |  SELECT e.d, e.ch, q8.gs, q2.sb AS sbp,
+             |    sum(e.val * ((19*pp.p + 7*q2.i + 3) % 17 - 8)
+             |      * (1 + (5*pp.p) % 11)
+             |      * (CASE WHEN q2.sb % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM eff e
+             |  JOIN range(0, 12) pp(p) ON e.bto = 2
+             |  CROSS JOIN LATERAL (SELECT
+             |    e.slot // 18 AS sb, (e.slot % 18) // 6 AS w, e.slot % 6 AS i) q2
+             |  CROSS JOIN LATERAL (SELECT 6 + 6*q2.w + pp.p AS s36) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q7.s36 < 18 THEN e.gi*18 + q7.s36
+             |         ELSE (e.gi + 1)*18 + q7.s36 - 18 END AS gs) q8
+             |  WHERE q8.gs < 36
+             |  GROUP BY e.d, e.ch, q8.gs, q2.sb),
+             |inputs AS (SELECT * FROM longs UNION ALL SELECT * FROM shorts),
+             |chk AS (
+             |  SELECT s.d,
+             |    sum(s.ival
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*s.sbp + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * ((((s.gs + mm.m)*32 + ii.i)*2 + s.ch) % 97 + 1)) AS pcm_checksum
+             |  FROM inputs s
+             |  JOIN range(0, 16) mm(m) ON s.gs + mm.m < 36
+             |  JOIN range(0, 32) ii(i) ON true
+             |  GROUP BY s.d)
+             |SELECT base.d AS doc_id, CAST(3 AS BIGINT) AS layer,
+             |  CAST(2 AS BIGINT) AS n_channels,
+             |  CAST(1 AS BIGINT) AS n_frames,
+             |  CAST(2304 AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(chk.pcm_checksum, 0) AS BIGINT) AS pcm_checksum
+             |FROM base LEFT JOIN chk ON chk.d = base.d
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q_mp3_short",
       (s: SparkSession, d: String) =>
         Multimodal.decodeMpegAudioStats(

@@ -205,6 +205,25 @@ object MpegAudio {
     (f / 6) * 18 + ((t % 48) / 16) * 6 + f % 6
   }
 
+  /** Mixed-block layout (pinned): the two lowest polyphase subbands
+    * (slots 0..35) stay LONG-processed while subbands 2..31 run short
+    * windows — the spec's mixed_block_flag structure on this codec's
+    * pinned geometry. Transmitted order: the 36 long lines first in
+    * natural order, then the short region band-major-then-window over
+    * per-window frequency lines f = 6·sb + line >= 12, where the
+    * 16-wide pinned short band 0 contributes only its f 12..15 tail
+    * (4 lines per window) and bands 1..11 their full 16. Returns
+    * (band, window, f) for a transmitted position >= 36.
+    */
+  private[operators] def l3MixedShort(pos: Int): (Int, Int, Int) = {
+    val t = pos - 36
+    if (t < 12) (0, t / 4, 12 + t % 4)
+    else {
+      val u = t - 12
+      (1 + u / 48, (u % 48) / 16, 16 * (1 + u / 48) + u % 16)
+    }
+  }
+
   /** Pinned long-block (block_type 0) window. */
   private[operators] def l3Win(p: Int): Long = 1 + ((5 * p + 2) % 9)
 
@@ -776,7 +795,10 @@ object MpegAudio {
                              // 2 SHORT (lines in TRANSMITTED order), 3 STOP
                              blockType: Int = 0,
                              subblockGain: Int => Int = _ => 0,
-                             scalefacS: (Int, Int) => Int = null) // (window, band)
+                             scalefacS: (Int, Int) => Int = null, // (window, band)
+                             // mixed blocks: subbands 0..1 long, 2..31 short;
+                             // long scalefacs for bands 0..1 ride `scalefac`
+                             mixed: Boolean = false)
 
   /** Bit-level scratch buffer: Layer III granules are sized in bits
     * (part2_3_length is written BEFORE the main data), so granule bodies
@@ -804,6 +826,20 @@ object MpegAudio {
       val slen1 = l3Slen1(g.scalefacCompress)
       val slen2 = l3Slen2(g.scalefacCompress)
       if (g.blockType == 2) {
+        // mixed blocks first carry the long part's scalefactors (pinned
+        // bands 0..1 cover the 36 long lines; slen1), then the short grid
+        if (g.mixed) {
+          var b = 0
+          while (b <= 1) {
+            val v = g.scalefac(b)
+            if (slen1 > 0) {
+              require(v >= 0 && v < (1 << slen1),
+                s"layer3: mixed long scalefac $v exceeds $slen1 bits")
+              bb.put(v.toLong, slen1)
+            } else require(v == 0, "layer3: slen 0 implies scalefactor 0")
+            b += 1
+          }
+        }
         // short scalefactors: 12 pinned bands x 3 windows, band-major,
         // slen1 for bands 0..5 and slen2 for 6..11; never reused (scfsi
         // is a long-block mechanism)
@@ -911,7 +947,8 @@ object MpegAudio {
       require(g.blockType >= 1 && g.blockType <= 3, "layer3: block_type is 1..3")
       bw.put(1, 1) // window_switching_flag
       bw.put(g.blockType.toLong, 2)
-      bw.put(0, 1) // mixed_block_flag (mixed blocks are the next rung)
+      require(!g.mixed || g.blockType == 2, "layer3: mixed_block_flag needs short blocks")
+      bw.put(if (g.mixed) 1L else 0L, 1) // mixed_block_flag
       bw.put(g.tableSelect(0).toLong, 5)
       bw.put(g.tableSelect(1).toLong, 5)
       var w = 0
@@ -922,6 +959,7 @@ object MpegAudio {
         w += 1
       }
     } else {
+      require(!g.mixed, "layer3: mixed_block_flag needs window switching")
       bw.put(0, 1) // window_switching_flag: long blocks
       g.tableSelect.foreach(t => bw.put(t.toLong, 5))
       require(g.region0Count >= 0 && g.region0Count < 16)
@@ -973,9 +1011,13 @@ object MpegAudio {
     require(gr.length == 2 && gr.forall(_.length == 2),
       "layer3: stereo frames carry two granules x two channels")
     require(scfsi.length == 2 && scfsi.forall(s => s >= 0 && s < 16))
-    require(gr.forall(_.forall(_.blockType == 0)),
-      "layer3: stereo window switching is the named next rung")
+    require(scfsi.forall(_ == 0) || gr.forall(_.forall(_.blockType != 2)),
+      "layer3: scfsi reuse is a long-block mechanism (spec: zero when short blocks appear)")
     require(modeExt >= 0 && modeExt < 4 && (joint || modeExt == 0))
+    // positional intensity derives its region from LONG band bounds;
+    // window-switching granules under intensity stay a loud rejection
+    require(!joint || (modeExt & 1) == 0 || gr.forall(_.forall(_.blockType == 0)),
+      "layer3: intensity stereo over window-switching granules outside this profile")
     val bodies = Array.tabulate(2, 2)((gi, ch) =>
       l3GranuleBits(gr(gi)(ch), scfsi(ch), gi))
     val bw = new BitWriter
@@ -1246,7 +1288,8 @@ object MpegAudio {
     val scfsi = Array.fill(nCh)(br.get(4))
     case class Side(part23: Int, bigValues: Int, globalGain: Int, sc: Int,
                     tsel: Array[Int], r0: Int, r1: Int, pre: Int,
-                    sfScale: Int, c1t: Int, bt: Int, sbg: Array[Int])
+                    sfScale: Int, c1t: Int, bt: Int, sbg: Array[Int],
+                    mixed: Boolean = false)
     val sides = Array.tabulate(2, nCh) { (_, _) =>
       val part23 = br.get(12)
       val bv = br.get(9)
@@ -1258,18 +1301,24 @@ object MpegAudio {
         // three subblock gains; region counts are implicit (pinned)
         val bt = br.get(2)
         require(bt != 0, "mpeg audio: reserved block_type 0 under window switching")
-        require(br.get(1) == 0, "mpeg audio: mixed blocks are the next rung")
+        val mixed = br.get(1) == 1 // mixed_block_flag
+        require(!mixed || bt == 2, "mpeg audio: mixed_block_flag needs short blocks")
         val ts = Array(br.get(5), br.get(5), 0)
         val sbg = Array(br.get(3), br.get(3), br.get(3))
-        Side(part23, bv, gg, sc, ts, 0, 0, br.get(1), br.get(1), br.get(1), bt, sbg)
+        Side(part23, bv, gg, sc, ts, 0, 0, br.get(1), br.get(1), br.get(1), bt, sbg,
+          mixed = mixed)
       } else {
         val ts = Array.fill(3)(br.get(5))
         Side(part23, bv, gg, sc, ts, br.get(4), br.get(3),
           br.get(1), br.get(1), br.get(1), 0, Array(0, 0, 0))
       }
     }
-    require(nCh == 1 || !joint || sides.forall(_.forall(_.bt == 0)),
-      "mpeg audio: joint stereo with window switching is the named next rung")
+    // MS operates per unreordered spectral slot, so it composes with any
+    // block type; positional INTENSITY derives its region from long band
+    // bounds and stays a loud rejection over window-switching granules
+    require(nCh == 1 || !joint || (modeExt & 1) == 0 ||
+      sides.forall(_.forall(_.bt == 0)),
+      "mpeg audio: intensity stereo over window-switching granules outside this profile")
     // scfsi is a long-block mechanism: reuse against a short granule is
     // out of spec and would read an undefined source
     require(scfsi.forall(_ == 0) ||
@@ -1293,6 +1342,13 @@ object MpegAudio {
       val slen2 = l3Slen2(s.sc)
       val sfS = Array.ofDim[Int](3, 12)
       if (s.bt == 2) {
+        if (s.mixed) { // long part's scalefactors (pinned bands 0..1, slen1)
+          var b = 0
+          while (b <= 1) {
+            sf(ch)(b) = if (slen1 > 0) br.get(slen1) else 0
+            b += 1
+          }
+        }
         var sb0 = 0
         while (sb0 < 12) {
           val slen = if (sb0 <= 5) slen1 else slen2
@@ -1370,7 +1426,22 @@ object MpegAudio {
       while (p < 576) {
         val v = raw(p)
         if (v != 0) {
-          if (s.bt == 2) {
+          if (s.bt == 2 && s.mixed) {
+            if (p < 36) {
+              // long part: natural order, long bands 0..1, pretab applies
+              val bandOf = l3Band(p)
+              val sfv = sf(ch)(bandOf) + (if (s.pre == 1) l3PreTab(bandOf) else 0)
+              val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
+                l3SfAtt(sfv, s.sfScale)
+              xr(p) = if (v < 0) -mag else mag
+            } else {
+              val (b, w, f) = l3MixedShort(p)
+              val sfv = sfS(w)(b)
+              val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
+                l3SfAtt(sfv, s.sfScale) * l3SubGain(s.sbg(w))
+              xr((f / 6) * 18 + w * 6 + f % 6) = if (v < 0) -mag else mag
+            }
+          } else if (s.bt == 2) {
             val w = l3ShortWin(p)
             val sfv = sfS(w)(l3ShortBand(p))
             val mag = l3Pow43(math.abs(v)) * l3Gain(s.globalGain) *
@@ -1438,10 +1509,14 @@ object MpegAudio {
       while (ch2 < nCh) {
       val xr = xrs(ch2)
       val bt = sides(gi)(ch2).bt
+      val mixed = sides(gi)(ch2).mixed
       // alias reduction across the 31 subband boundaries — long-class
-      // blocks only (the spec applies no aliasing butterflies to short)
-      var sb = if (bt == 2) 32 else 1
-      while (sb < 32) {
+      // blocks only (the spec applies no aliasing butterflies to short);
+      // mixed blocks butterfly ONLY the boundary between their two long
+      // subbands (the spec's lower-two-subbands rule)
+      var sb = if (bt == 2 && !mixed) 32 else 1
+      val sbAliasEnd = if (bt == 2 && mixed) 2 else 32
+      while (sb < sbAliasEnd) {
         var i = 0
         while (i < 8) {
           val ai = 18 * sb - 1 - i
@@ -1466,7 +1541,7 @@ object MpegAudio {
         while (k1 < 18 * sb + 18 && !anyNz) { anyNz = xr(k1) != 0L; k1 += 1 }
         if (anyNz) {
           val out = new Array[Long](36)
-          if (bt == 2) {
+          if (bt == 2 && (!mixed || sb >= 2)) {
             // three 12-point short IMDCTs over this subband's
             // window-interleaved 6-line groups, windowed and overlapped
             // INSIDE the 36-sample granule output at offsets 6 + 6w
@@ -1487,6 +1562,9 @@ object MpegAudio {
               w += 1
             }
           } else {
+          // mixed low subbands run the NORMAL long window (the spec's
+          // block_type-0 treatment of the long part)
+          val wbt = if (bt == 2) 0 else bt
           var pp = 0
           while (pp < 36) {
             var acc = 0L
@@ -1495,7 +1573,7 @@ object MpegAudio {
               if (xr(18 * sb + k) != 0L) acc += xr(18 * sb + k) * l3Cos(pp, k)
               k += 1
             }
-            out(pp) = acc * l3WinSeq(bt, pp)
+            out(pp) = acc * l3WinSeq(wbt, pp)
             pp += 1
           }
           }

@@ -2271,6 +2271,142 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** One doc's Layer III MIXED-BLOCK stream (plan shared with
+    * Mp3MixedSpec's replay): two mono frames whose four granules are
+    * all mixed (block_type 2, mixed_block_flag 1 — the spec's transient
+    * shape that keeps bass resolution: subbands 0..1 long, 2..31
+    * short). The granules' single coded lines walk the distinct mixed
+    * regions: a long-part band-0 line, a full short band, the pinned
+    * short band 0's partial f 12..15 tail, and a long-part band-1 line
+    * whose k >= 8 slots must NOT alias-butterfly upward (mixed blocks
+    * butterfly only the long-long boundary).
+    */
+  private[operators] def mp3MixedStream(d: Long): Array[Byte] = {
+    def gran(gi: Int): MpegAudio.L3Granule = {
+      val pos = gi match {
+        case 0 => ((5 + 29 * d) % 26).toInt
+        case 1 => (48 + (37 * d) % 528).toInt
+        case 2 => (36 + d % 12).toInt
+        case _ => (26 + (7 * d) % 10).toInt
+      }
+      val v = (1 + (d + 3 * gi) % 13).toInt
+      val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+      val sc = ((d + gi) % 16).toInt
+      MpegAudio.L3Granule(
+        lines = Seq((pos, signed)),
+        globalGain = ((29 * d + 7 * gi) % 256).toInt,
+        scalefacCompress = sc,
+        tableSelect = Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt),
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = ((d / 2 + gi) % 2).toInt,
+        scalefacScale = ((d / 4 + gi) % 2).toInt,
+        count1Table = (d % 2).toInt, count1Quads = 0,
+        stuffBits = (3 * ((d + gi) % 2)).toInt,
+        scalefac = band => {
+          val slen = sc >> 2 // mixed long part rides slen1
+          ((3 * d + band + gi) % (1L << slen)).toInt
+        },
+        blockType = 2,
+        subblockGain = w => ((d + w + gi) % 8).toInt,
+        scalefacS = (w, s) => {
+          val slen = if (s <= 5) sc >> 2 else sc & 3
+          ((d + 2 * w + s) % (1L << slen)).toInt
+        },
+        mixed = true)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 2) {
+      val fr = MpegAudio.encodeL3Frame(0, Array(gran(2 * f), gran(2 * f + 1)))
+      bos.write(fr, 0, fr.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Each doc carries the [[mp3MixedStream]] mixed-block walk: the
+    * mixed side-info flag, the long-then-short scalefactor layout, the
+    * split requantization (long bands with pretab below slot 36, short
+    * bands with subblock gains above), the long-long-only alias
+    * boundary, and the per-subband long/short filterbank dispatch.
+    */
+  def withMp3MixedMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3MixedStream(d))))
+      .toDF("doc_id", "media")
+  }
+
+  /** One doc's Layer III STEREO WINDOW-SWITCHING stream (plan shared
+    * with Mp3SwStereoSpec's replay): one frame, one coded line per
+    * (granule, channel), rotating the stereo x block-type interplays —
+    * independent short|long, joint MS with both channels short, independent
+    * START|STOP transitions, and joint MS with MISMATCHED block types
+    * (short left, long right): MS mixes in unreordered slot space, so
+    * the short-coded line crosses into the long channel's alias +
+    * 36-point filterbank and vice versa — the interaction a
+    * reorder-after-stereo decoder gets wrong.
+    */
+  private[operators] def mp3SwStereoStream(d: Long): Array[Byte] = {
+    val r = (d % 4).toInt
+    def btOf(ch: Int): Int = r match {
+      case 0 => if (ch == 0) 2 else 0
+      case 1 => 2
+      case 2 => if (ch == 0) 1 else 3
+      case _ => if (ch == 0) 2 else 0
+    }
+    def gran(gi: Int, ch: Int): MpegAudio.L3Granule = {
+      val bt = btOf(ch)
+      val pos = ((17 + 37 * d + 101 * gi + 53 * ch) % 576).toInt
+      val v = (1 + (d + 3 * gi + 5 * ch) % 13).toInt
+      val signed = if ((d + 5 * gi + ch) % 2 == 1) -v else v
+      val sc = ((d + gi + ch) % 16).toInt
+      MpegAudio.L3Granule(
+        lines = Seq((pos, signed)),
+        globalGain = ((29 * d + 7 * gi + 13 * ch) % 256).toInt,
+        scalefacCompress = sc,
+        tableSelect = Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt),
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = if (bt == 2) 0 else ((d / 2 + gi + ch) % 2).toInt,
+        scalefacScale = ((d / 4 + gi + ch) % 2).toInt,
+        count1Table = (d % 2).toInt, count1Quads = 0,
+        stuffBits = (3 * ((d + gi + ch) % 2)).toInt,
+        scalefac = band => {
+          val slen = if (band <= 10) sc >> 2 else sc & 3
+          ((3 * d + band + gi + ch) % (1L << slen)).toInt
+        },
+        blockType = bt,
+        subblockGain = w => ((d + w + gi + ch) % 8).toInt,
+        scalefacS = (w, s) => {
+          val slen = if (s <= 5) sc >> 2 else sc & 3
+          ((d + 2 * w + s + ch) % (1L << slen)).toInt
+        })
+    }
+    MpegAudio.encodeL3Stereo(Array(0, 0),
+      Array(Array(gran(0, 0), gran(0, 1)), Array(gran(1, 0), gran(1, 1))),
+      joint = r == 1 || r == 3,
+      modeExt = if (r == 1 || r == 3) 2 else 0)
+  }
+
+  /** Each doc carries the [[mp3SwStereoStream]] stereo x window-switching
+    * frame: per-channel block types in one frame, MS across mismatched
+    * block types, and the transition windows under independent stereo.
+    */
+  def withMp3SwStereoMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3SwStereoStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries the [[mp3SwitchStream]] long/START/SHORT/STOP
     * walk: short-block scalefactors, subblock gains, the transmitted-
     * order reordering, the 12-point short filterbank with in-granule

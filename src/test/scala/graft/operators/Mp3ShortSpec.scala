@@ -121,23 +121,29 @@ class Mp3ShortSpec extends AnyFunSuite {
       preflag = 0, scalefacScale = 0, count1Table = 0, count1Quads = 0,
       stuffBits = 0, scalefac = _ => 0, blockType = bt,
       subblockGain = _ => 1, scalefacS = (_, _) => 1)
-    // mixed_block_flag bit (frame bit 86) flipped on a SHORT granule 0
-    val shortFrame = MpegAudio.encodeL3Frame(0, Array(shortGran(2), shortGran(2)))
-    val mixed = shortFrame.clone()
-    mixed(10) = (mixed(10) ^ 0x02).toByte
-    assertThrows[IllegalArgumentException](MpegAudio.decode(mixed))
-    // block_type 01 -> 00 (reserved) on a START granule 0
+    // mixed_block_flag bit (frame bit 86) flipped on a START granule:
+    // mixed blocks require block_type 2 (short), so this still rejects
     val startFrame = MpegAudio.encodeL3Frame(0, Array(shortGran(1), shortGran(1)))
+    val mixedStart = startFrame.clone()
+    mixedStart(10) = (mixedStart(10) ^ 0x02).toByte
+    assertThrows[IllegalArgumentException](MpegAudio.decode(mixedStart))
+    // block_type 01 -> 00 (reserved) on a START granule 0
     val reserved = startFrame.clone()
     reserved(10) = (reserved(10) ^ 0x04).toByte
     assertThrows[IllegalArgumentException](MpegAudio.decode(reserved))
     // scfsi reuse with a short granule is rejected at encode time
     assertThrows[IllegalArgumentException](
       MpegAudio.encodeL3Frame(5, Array(shortGran(2), shortGran(2))))
-    // stereo window switching is the named next rung
+    // ...and in the stereo encoder too
+    assertThrows[IllegalArgumentException](
+      MpegAudio.encodeL3Stereo(Array(5, 0),
+        Array(Array(shortGran(2), shortGran(2)), Array(shortGran(2), shortGran(2)))))
+    // intensity stereo over window-switching granules stays a loud
+    // rejection (the positional region derives from long band bounds)
     assertThrows[IllegalArgumentException](
       MpegAudio.encodeL3Stereo(Array(0, 0),
-        Array(Array(shortGran(2), shortGran(2)), Array(shortGran(2), shortGran(2)))))
+        Array(Array(shortGran(2), shortGran(2)), Array(shortGran(2), shortGran(2))),
+        joint = true, modeExt = 1))
   }
 
   test("block type is value-visible: START and STOP windows differ") {
