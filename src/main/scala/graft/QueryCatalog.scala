@@ -7401,6 +7401,66 @@ object QueryCatalog {
     // oracle replays requant -> IMDCT -> window -> overlap as one flat
     // sum; any framing/section/sign/escape/window drift moves the
     // checksum.
+    // REAL AAC-LC PULSE DATA (4.4.2.7), graded exactly — the last
+    // rejected spectral tool in the LC profile surface: the 4.4.2.1
+    // pulse_data_present flag, number_pulse / pulse_start_sfb, additive
+    // offset chaining from the start band's first line, and amplitudes
+    // added in the QUANTIZED domain before requantization — the first
+    // pulse lands ON the coded Huffman line (sign-matched add), later
+    // pulses on ZERO lines of the same band (0 - amp goes negative).
+    // number_pulse rotates 1..3 per frame; pulses into zero sections and
+    // EIGHT_SHORT frames stay loud rejections.
+    ("q_aac_pulse",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacPulseMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, 1 + doc_id % 2 AS nf FROM documents),
+             |chk AS (
+             |  SELECT b.d, b.nf,
+             |    sum(vv.xr * ((13*pp.p + 7*vv.kp + 5) % 29 - 14)
+             |        * (1 + (3*pp.p) % 17) * (vv.t % 97 + 1)) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 2) ff(f) ON ff.f < b.nf
+             |  JOIN range(0, 3) ll(l) ON ll.l < 1 + (b.d + ff.f) % 3
+             |  JOIN range(0, 2048) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (2 + (b.d + ff.f) % 20) * 32 + (7*b.d + 3*ff.f) % 20 AS pos,
+             |    1 + (b.d + ff.f) % 11 AS cb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.cb = 11 THEN 16 + b.d % 40
+             |    ELSE 1 + (b.d + ff.f) % (CASE q1.cb
+             |      WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+             |      WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 7 WHEN 8 THEN 7
+             |      ELSE 12 END) END AS mag,
+             |    20 + (29*b.d + 7*ff.f) % 200
+             |      + (b.d + 3*ff.f) % 41 - 20 AS sf) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN (b.d + ff.f) % 2 = 1 THEN -q2.mag ELSE q2.mag END AS v) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE ll.l
+             |      WHEN 0 THEN CASE WHEN q3.v > 0
+             |        THEN q3.v + 1 + (3*b.d + ff.f) % 15
+             |        ELSE q3.v - (1 + (3*b.d + ff.f) % 15) END
+             |      WHEN 1 THEN -(1 + (3*b.d + 5 + ff.f) % 15)
+             |      ELSE -(1 + (3*b.d + 10 + ff.f) % 15) END AS q,
+             |    q1.pos + CASE ll.l WHEN 0 THEN 0 WHEN 1 THEN 5 ELSE 11 END AS kp) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN q4.q < 0 THEN -1 ELSE 1 END)
+             |      * abs(q4.q) * (abs(q4.q) + 2) * (1 + (5*q2.sf) % 13) AS xr,
+             |    q4.kp AS kp,
+             |    CASE WHEN pp.p < 1024 THEN ff.f*1024 + pp.p
+             |         ELSE (ff.f + 1)*1024 + pp.p - 1024 END AS t) vv
+             |  WHERE vv.t < 1024*b.nf AND q4.q <> 0
+             |  GROUP BY b.d, b.nf)
+             |SELECT base.d AS doc_id, CAST(base.nf AS BIGINT) AS n_frames,
+             |  CAST(1024*base.nf AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(chk.pcm_checksum, 0) AS BIGINT) AS pcm_checksum
+             |FROM base LEFT JOIN chk ON chk.d = base.d
+             |ORDER BY doc_id""".stripMargin)),
+
     ("q_aac_decode",
       (s: SparkSession, d: String) =>
         Multimodal.decodeAacStats(

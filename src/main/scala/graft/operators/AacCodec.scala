@@ -36,7 +36,12 @@ package graft.operators
   *    codebook 0 sections are zero; intensity books 14/15 are decoded on
   *    a CPE's right channel (PNS/reserved rejected);
   *  - the 4.4.2.1 presence flags between scale_factor_data and
-  *    spectral_data: pulse_data and gain_control_data rejected loudly,
+  *    spectral_data: pulse_data PARSED AND APPLIED on long-window
+  *    frames (4.4.2.7: number_pulse, pulse_start_sfb, additive offset
+  *    chaining, amplitudes added to the QUANTIZED values sign-matched
+  *    — zero lines go negative — before requantization; pulses into
+  *    non-spectral sections and EIGHT_SHORT frames rejected loudly),
+  *    gain_control_data rejected loudly,
   *    tns_data PARSED AND APPLIED on long-class frames — n_filt,
   *    coef_res, per-filter length/order/direction/coef_compress and the
   *    two's-complement coefficients, filter regions walking DOWN from
@@ -237,7 +242,11 @@ object AacCodec {
   final case class AacFrame(globalGain: Int, lines: Seq[(Int, Int, Int)], // (pos, value, cb)
                             sfDelta: Int, shortSeq: Boolean = false,
                             grouping: Int = 0, windowSeq: Int = -1,
-                            tns: Seq[(Int, Int, Seq[Int])] = Nil) { // (length, direction, coefs)
+                            tns: Seq[(Int, Int, Seq[Int])] = Nil, // (length, direction, coefs)
+                            // pulse_data (long windows only): start sfb and
+                            // (pulse_offset, pulse_amp) pairs in coded order
+                            pulseStartSfb: Int = 0,
+                            pulses: Seq[(Int, Int)] = Nil) {
     /** Effective window_sequence: explicit if set, else derived. */
     def wseq: Int = if (windowSeq >= 0) windowSeq else if (shortSeq) 2 else 0
   }
@@ -354,7 +363,22 @@ object AacCodec {
         // scalefactors: one coded sfb → one DPCM delta from global_gain
         sfWrite(bw.put, fr.sfDelta)
         // pulse / tns / gain_control presence (4.4.2.1 order)
-        bw.put(0, 1) // pulse_data_present
+        if (fr.pulses.nonEmpty) {
+          // pulse_data (4.4.2.7): number_pulse-1, pulse_start_sfb, then
+          // (5-bit offset, 4-bit amp) per pulse; offsets chain from the
+          // start band's first line
+          require(fr.pulses.size <= 4, "aac fixture: number_pulse is 2 bits")
+          require(fr.pulseStartSfb >= 0 && fr.pulseStartSfb < NumSfb)
+          bw.put(1, 1) // pulse_data_present
+          bw.put((fr.pulses.size - 1).toLong, 2)
+          bw.put(fr.pulseStartSfb.toLong, 6)
+          fr.pulses.foreach { case (off, amp) =>
+            require(off >= 0 && off < 32 && amp >= 0 && amp < 16,
+              "aac fixture: pulse offset is 5 bits, amp 4 bits")
+            bw.put(off.toLong, 5)
+            bw.put(amp.toLong, 4)
+          }
+        } else bw.put(0, 1) // pulse_data_present
         if (fr.tns.nonEmpty) {
           bw.put(1, 1) // tns_data_present
           require(fr.tns.size <= 3, "aac fixture: n_filt is 2 bits")
@@ -399,6 +423,7 @@ object AacCodec {
         // pulse / tns / gain_control presence (4.4.2.1 order); short TNS
         // codes one 1-bit n_filt per window — this fixture encoder puts
         // its single filter on the coded line's window
+        require(fr.pulses.isEmpty, "aac: pulse_data forbidden on EIGHT_SHORT frames")
         bw.put(0, 1) // pulse_data_present
         if (fr.tns.nonEmpty) {
           require(fr.tns.size == 1, "aac fixture: short n_filt is 1 bit per window")
@@ -749,7 +774,23 @@ object AacCodec {
       }
       // pulse / tns / gain_control presence flags (4.4.2.1: they sit
       // between scale_factor_data and spectral_data)
-      require(br.get(1) == 0, "aac: pulse_data outside this profile")
+      val pulses: Seq[(Int, Int)] =
+        if (br.get(1) == 1) {
+          // pulse_data (4.4.2.7): long windows only; line positions chain
+          // additively from the start band's first line; amplitudes apply
+          // to the QUANTIZED values before requantization
+          require(!isShort, "aac: pulse_data on an EIGHT_SHORT frame")
+          val nPulse = br.get(2) + 1
+          val startSfb = br.get(6)
+          require(startSfb < NumSfb, "aac: pulse_start_sfb out of range")
+          var k = startSfb * 32
+          (0 until nPulse).map { _ =>
+            k += br.get(5)
+            val amp = br.get(4)
+            require(k < FrameLen, "aac: pulse beyond the spectrum")
+            (k, amp)
+          }
+        } else Nil
       val tnsFilters: Seq[(Int, Int, Int, Array[Int])] =
         if (br.get(1) == 1) {
           if (isShort) {
@@ -849,6 +890,10 @@ object AacCodec {
         }
         out
       }
+      // long frames hold the QUANTIZED values first: pulse_data adds its
+      // amplitudes in the quantized domain (sign-matched, zero lines go
+      // negative) before requantization
+      val qLong = if (!isShort) new Array[Int](FrameLen) else null
       g = 0
       while (g < nGroups) {
         var band = 0
@@ -859,14 +904,7 @@ object AacCodec {
             if (!isShort) {
               val run = readRun(cb, 32)
               var i = 0
-              while (i < 32) {
-                val v = run(i)
-                if (v != 0) {
-                  val mag = aacPow43(math.abs(v)) * gain
-                  spec(band * 32 + i) = if (v < 0) -mag else mag
-                }
-                i += 1
-              }
+              while (i < 32) { qLong(band * 32 + i) = run(i); i += 1 }
             } else {
               val wins = groups(g)
               val wid = sfbShortWidth(band)
@@ -886,6 +924,30 @@ object AacCodec {
           band += 1
         }
         g += 1
+      }
+      if (!isShort) {
+        pulses.foreach { case (k, amp) =>
+          val b = k / 32
+          require(b < maxSfb && sfbCb(0)(b) >= 1 && sfbCb(0)(b) <= 11,
+            "aac: pulse outside a spectral (codebook 1..11) section")
+          if (qLong(k) > 0) qLong(k) += amp else qLong(k) -= amp
+        }
+        var pb = 0
+        while (pb < maxSfb) {
+          if (sfbCb(0)(pb) >= 1 && sfbCb(0)(pb) <= 11) {
+            val gain = aacGain(sf(0)(pb))
+            var i = pb * 32
+            while (i < pb * 32 + 32) {
+              val v = qLong(i)
+              if (v != 0) {
+                val mag = aacPow43(math.abs(v)) * gain
+                spec(i) = if (v < 0) -mag else mag
+              }
+              i += 1
+            }
+          }
+          pb += 1
+        }
       }
       // PNS substitution (4.6.13): fill the noise bands from the pinned
       // generator scaled by the decoded energy — BEFORE TNS, which

@@ -2443,6 +2443,54 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's AAC-LC PULSE stream (plan shared with AacPulseSpec's
+    * replay): mono long-window ADTS frames whose single coded band
+    * carries one Huffman line plus pulse_data — the first pulse lands
+    * ON the coded line (the sign-matched amplitude add in the quantized
+    * domain), later pulses land on ZERO lines of the same band (the
+    * else-branch: 0 - amp goes negative) with additive offset chaining.
+    * number_pulse rotates 1..3 per frame.
+    */
+  private[operators] def aacPulseStream(d: Long): Array[Byte] = {
+    val nf = (1 + d % 2).toInt
+    val frames = (0 until nf).map { f =>
+      val band = (2 + (d + f) % 20).toInt
+      val posIn = ((7 * d + 3 * f) % 20).toInt
+      val pos = band * 32 + posIn
+      val cb = (1 + (d + f) % 11).toInt
+      val mag =
+        if (cb == 11) (16 + d % 40).toInt
+        else (1 + (d + f) % AacCodec.cbLav(cb)).toInt
+      val v = if ((d + f) % 2 == 1) -mag else mag
+      val nPulse = (1 + (d + f) % 3).toInt
+      val pulses = (0 until nPulse).map { j =>
+        if (j == 0) (posIn, (1 + (3 * d + f) % 15).toInt)
+        else (4 + j, (1 + (3 * d + 5 * j + f) % 15).toInt)
+      }
+      AacCodec.AacFrame(
+        globalGain = (20 + (29 * d + 7 * f) % 200).toInt,
+        lines = Seq((pos, v, cb)),
+        sfDelta = ((d + 3 * f) % 41 - 20).toInt,
+        pulseStartSfb = band,
+        pulses = pulses)
+    }
+    AacCodec.encode(frames)
+  }
+
+  /** Each doc carries the [[aacPulseStream]] pulse frames: the 4.4.2.1
+    * pulse_data_present flag, number_pulse / pulse_start_sfb / offset
+    * chaining, and the quantized-domain amplitude adds (sign-matched on
+    * the coded line, negative on zero lines) before requantization.
+    */
+  def withAacPulseMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacPulseStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a REAL AAC-LC ADTS stream (one or two frames): one
     * nonzero spectral line per frame with the codebook rotating through
     * all 11 spectral books (escape sequences when book 11 comes up),
