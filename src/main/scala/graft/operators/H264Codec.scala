@@ -1537,8 +1537,9 @@ object H264Codec {
     * and the P at 2), direct_spatial_mv_pred_flag = 0, the POC-default
     * lists flip (list 0 = the IDR, list 1 = the P frame), and skip /
     * direct MBs replay the decoder's per-4x4-cell temporal scaling of
-    * the colocated P motion (`colMg`). Sub-MB B partitions are the
-    * named next rung.
+    * the colocated P motion (`colMg`). Sub-16x16 B partitions ride
+    * kinds 6 (two-partition, Table 7-14 codes) and 7 (B_8x8 with the
+    * Table 7-18 sub types).
     */
   private def bSlice(p: InterPlan, w: Int, h: Int,
                      ref0past: H264Frame, refP: H264Frame,

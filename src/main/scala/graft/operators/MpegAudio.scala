@@ -119,6 +119,14 @@ object MpegAudio {
   private[operators] def l3Slen1(sc: Int): Int = sc >> 2
   private[operators] def l3Slen2(sc: Int): Int = sc & 3
 
+  /** MPEG-1 Layer III bitrates (kbps) by header index (spec Table B.2);
+    * index 0 is free format, 15 is forbidden. Fixed-rate frames span
+    * floor(144 * bitrate / 44100) + padding bytes — the framing that
+    * makes the bit reservoir addressable.
+    */
+  private[operators] val l3BitrateKbps = Array(0, 32, 40, 48, 56, 64, 80,
+    96, 112, 128, 160, 192, 224, 256, 320)
+
   /** scfsi band groups (spec: 0-5, 6-10, 11-15, 16-20). */
   private[operators] def l3ScfsiGroup(band: Int): Int =
     if (band < 6) 0 else if (band < 11) 1 else if (band < 16) 2 else 3
@@ -972,11 +980,14 @@ object MpegAudio {
     bw.put(g.count1Table.toLong, 1)
   }
 
-  /** The 4-byte MPEG-1 Layer III frame header (free format, 44100). */
-  private def l3WriteHeader(bw: BitWriter, mode: Int, modeExt: Int): Unit = {
+  /** The 4-byte MPEG-1 Layer III frame header (44100; free format by
+    * default, or a fixed-rate index for reservoir streams). */
+  private def l3WriteHeader(bw: BitWriter, mode: Int, modeExt: Int,
+                            brIdx: Int = 0): Unit = {
+    require(brIdx >= 0 && brIdx <= 14, "layer3: bitrate index is 0..14")
     bw.put(0x7ff, 11); bw.put(3, 2); bw.put(1, 2) // sync, MPEG-1, layer III (01)
     bw.put(1, 1) // no CRC
-    bw.put(0, 4); bw.put(0, 2); bw.put(0, 1); bw.put(0, 1) // free format, 44100
+    bw.put(brIdx.toLong, 4); bw.put(0, 2); bw.put(0, 1); bw.put(0, 1) // rate, 44100
     bw.put(mode.toLong, 2)
     bw.put(modeExt.toLong, 2)
     bw.put(0, 1); bw.put(0, 1); bw.put(0, 2)
@@ -998,6 +1009,70 @@ object MpegAudio {
     while (gi < 2) { l3WriteSide(bw, gr(gi), bodies(gi).length); gi += 1 }
     bodies.foreach(_.drainTo(bw))
     bw.bytes()
+  }
+
+  /** MONO Layer III frames under FIXED-RATE framing with a real BIT
+    * RESERVOIR: every frame spans floor(144·bitrate/44100) bytes, the
+    * logical main data (scalefactors + Huffman, byte-aligned per frame
+    * via tail stuffing) is packed back-to-back across the frames'
+    * physical segments, and each frame's side info carries the
+    * main_data_begin byte offset pointing BACK into earlier segments.
+    * Small frames grow the reservoir surplus; the encoder enforces the
+    * spec's invariants (data available by its own frame's end, surplus
+    * and main_data_begin ≤ 511) and zero-pads the final segment's
+    * slack. scfsi 0 (reservoir and reuse are orthogonal; kept simple).
+    */
+  def encodeL3Reservoir(brIdx: Int, grans: Seq[Array[L3Granule]]): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14, "layer3: fixed-rate bitrate index is 1..14")
+    require(grans.nonEmpty && grans.forall(_.length == 2),
+      "layer3: MPEG-1 frames carry two granules")
+    val frameBytes = 144 * l3BitrateKbps(brIdx) * 1000 / 44100
+    val segBytes = frameBytes - 4 - 17 // header + mono side info
+    require(segBytes > 0, "layer3: frame too small for mono side info")
+    // logical main data per frame, byte-aligned by stuffing granule 1's tail
+    val bodies = grans.map { gr =>
+      val b0 = l3GranuleBits(gr(0), 0, 0)
+      val b1 = l3GranuleBits(gr(1), 0, 1)
+      val pad = (8 - (b0.length + b1.length) % 8) % 8
+      var i = 0
+      while (i < pad) { b1.put(0L, 1); i += 1 }
+      (b0, b1)
+    }
+    val lbytes = bodies.map { case (a, b) => (a.length + b.length) / 8 }
+    var surplus = 0
+    val mdbs = lbytes.map { lb =>
+      val m = surplus
+      require(m <= 511, "layer3 fixture: main_data_begin beyond the 511-byte reservoir")
+      surplus += segBytes - lb
+      require(surplus >= 0,
+        "layer3 fixture: a frame's main data must fit by its own frame's end")
+      require(surplus <= 511, "layer3 fixture: reservoir surplus beyond 511 bytes")
+      m
+    }
+    val logicalBw = new BitWriter
+    bodies.foreach { case (a, b) => a.drainTo(logicalBw); b.drainTo(logicalBw) }
+    val logical = logicalBw.bytes()
+    val out = new java.io.ByteArrayOutputStream()
+    var consumed = 0
+    grans.indices.foreach { n =>
+      val bw = new BitWriter
+      l3WriteHeader(bw, mode = 3, modeExt = 0, brIdx = brIdx)
+      bw.put(mdbs(n).toLong, 9) // main_data_begin
+      bw.put(0, 5) // private bits
+      bw.put(0, 4) // scfsi
+      l3WriteSide(bw, grans(n)(0), bodies(n)._1.length)
+      l3WriteSide(bw, grans(n)(1), bodies(n)._2.length)
+      val head = bw.bytes()
+      require(head.length == 21, "layer3: header + mono side info is 21 bytes")
+      out.write(head, 0, head.length)
+      val end = math.min(consumed + segBytes, logical.length)
+      out.write(logical, consumed, end - consumed)
+      var padB = segBytes - (end - consumed)
+      while (padB > 0) { out.write(0); padB -= 1 } // stream-tail slack
+      consumed = end
+    }
+    require(consumed == logical.length, "layer3 fixture: logical main data left over")
+    out.toByteArray
   }
 
   /** One Layer III STEREO frame: per-channel scfsi, granule-channel
@@ -1050,7 +1125,9 @@ object MpegAudio {
     var layer = 0
     var channels = 0
     var nFrames = 0
+    val reservoir = scala.collection.mutable.ArrayBuffer.empty[Byte]
     while (!br.atEnd) {
+      val frameStartBits = br.bitPos
       require(br.get(11) == 0x7ff, "mpeg audio: lost sync")
       require(br.get(2) == 3, "mpeg audio: not MPEG-1")
       val layerBits = br.get(2)
@@ -1063,9 +1140,12 @@ object MpegAudio {
       require(layer == 0 || layer == thisLayer, "mpeg audio: mixed layers in one stream")
       layer = thisLayer
       require(br.get(1) == 1, "mpeg audio: CRC frames outside this profile")
-      require(br.get(4) == 0, "mpeg audio: only free-format framing in this profile")
+      val brIdx = br.get(4)
+      require(brIdx == 0 || thisLayer == 3,
+        "mpeg audio: fixed-rate framing is a Layer III feature in this profile")
+      require(brIdx < 15, "mpeg audio: forbidden bitrate index")
       require(br.get(2) == 0, "mpeg audio: fixture sample-rate index must be 0")
-      br.get(1) // padding
+      val padding = br.get(1)
       br.get(1) // private
       val mode = br.get(2)
       val nCh = mode match {
@@ -1084,9 +1164,43 @@ object MpegAudio {
 
       if (layer == 3) {
         if (l3Overlap == null) l3Overlap = Array.fill(nCh, 32, 18)(0L)
-        decodeL3Frame(br, synths, l3Overlap, pcmOut, nCh,
-          joint = mode == 1, modeExt = modeExt)
-        br.alignByte()
+        if (brIdx == 0) {
+          // free format: self-delimiting frames, main data inline — the
+          // reservoir is unaddressable without a fixed frame length
+          decodeL3Frame(br, mdb => {
+            require(mdb == 0,
+              "mpeg audio: main_data_begin needs fixed-rate framing (no reservoir in free format)")
+            br
+          }, synths, l3Overlap, pcmOut, nCh,
+            joint = mode == 1, modeExt = modeExt)
+          br.alignByte()
+        } else {
+          // fixed-rate frame: the physical segment between this frame's
+          // side info and the frame boundary joins the BIT RESERVOIR;
+          // this frame's logical main data starts main_data_begin bytes
+          // BEFORE the segment (inside earlier frames' segments)
+          val frameBytes = 144 * l3BitrateKbps(brIdx) * 1000 / 44100 + padding
+          val frameEndBits = frameStartBits + frameBytes.toLong * 8
+          decodeL3Frame(br, mdb => {
+            require(br.bitPos % 8 == 0, "mpeg audio: side info must be byte aligned")
+            val segStart = (br.bitPos / 8).toInt
+            val segEnd = (frameEndBits / 8).toInt
+            require(segEnd >= segStart && segEnd <= bytes.length,
+              "mpeg audio: frame extends past the stream")
+            // spec reservoir cap: only the last 511 bytes stay addressable
+            if (reservoir.length > 511)
+              reservoir.remove(0, reservoir.length - 511)
+            val before = reservoir.length
+            require(mdb <= before,
+              "mpeg audio: main_data_begin reaches before the reservoir")
+            reservoir ++= bytes.view.slice(segStart, segEnd)
+            val r = new BitReader(reservoir.toArray, 0)
+            r.seekBits((before - mdb).toLong * 8)
+            r
+          }, synths, l3Overlap, pcmOut, nCh,
+            joint = mode == 1, modeExt = modeExt)
+          br.seekBits(frameEndBits)
+        }
         nFrames += 1
       } else {
 
@@ -1278,12 +1392,12 @@ object MpegAudio {
     * overlap-add, frequency inversion, and 18 polyphase steps per
     * granule appended to pcmOut.
     */
-  private def decodeL3Frame(br: BitReader, synths: Array[Synth],
+  private def decodeL3Frame(br: BitReader, mainOf: Int => BitReader,
+                            synths: Array[Synth],
                             overlap: Array[Array[Array[Long]]],
                             pcmOut: scala.collection.mutable.ArrayBuffer[Long],
                             nCh: Int, joint: Boolean, modeExt: Int): Unit = {
-    require(br.get(9) == 0,
-      "mpeg audio: Layer III bit reservoir (main_data_begin != 0) outside this profile")
+    val mainDataBegin = br.get(9) // resolved by the caller's framing mode
     br.get(if (nCh == 1) 5 else 3) // private bits
     val scfsi = Array.fill(nCh)(br.get(4))
     case class Side(part23: Int, bigValues: Int, globalGain: Int, sc: Int,
@@ -1324,6 +1438,9 @@ object MpegAudio {
     require(scfsi.forall(_ == 0) ||
       (0 until nCh).forall(ch => sides(0)(ch).bt != 2 && sides(1)(ch).bt != 2),
       "mpeg audio: scfsi reuse with short blocks in the frame")
+    // main data reader: the inline stream (free format) or the bit
+    // reservoir positioned main_data_begin bytes back (fixed rate)
+    val mbr = mainOf(mainDataBegin)
     val sf = Array.fill(nCh, 21)(0)
     var gi = 0
     while (gi < 2) {
@@ -1334,7 +1451,7 @@ object MpegAudio {
       var ch = 0
       while (ch < nCh) {
       val s = sides(gi)(ch)
-      val start = br.bitPos
+      val start = mbr.bitPos
       val limit = start + s.part23
       // part 2: scalefactors (scfsi shares granule 0's decoded values,
       // per channel); short granules carry 12 bands x 3 windows instead
@@ -1345,7 +1462,7 @@ object MpegAudio {
         if (s.mixed) { // long part's scalefactors (pinned bands 0..1, slen1)
           var b = 0
           while (b <= 1) {
-            sf(ch)(b) = if (slen1 > 0) br.get(slen1) else 0
+            sf(ch)(b) = if (slen1 > 0) mbr.get(slen1) else 0
             b += 1
           }
         }
@@ -1354,7 +1471,7 @@ object MpegAudio {
           val slen = if (sb0 <= 5) slen1 else slen2
           var w = 0
           while (w < 3) {
-            sfS(w)(sb0) = if (slen > 0) br.get(slen) else 0
+            sfS(w)(sb0) = if (slen > 0) mbr.get(slen) else 0
             w += 1
           }
           sb0 += 1
@@ -1365,7 +1482,7 @@ object MpegAudio {
         val slen = if (band <= 10) slen1 else slen2
         if (gi == 1 && ((scfsi(ch) >> l3ScfsiGroup(band)) & 1) == 1)
           () // keep the granule-0 value
-        else sf(ch)(band) = if (slen > 0) br.get(slen) else 0
+        else sf(ch)(band) = if (slen > 0) mbr.get(slen) else 0
         band += 1
       }
       }
@@ -1378,36 +1495,36 @@ object MpegAudio {
           if (s.bt != 0) l3RegionSwitch(s.bt, pos)
           else l3Region(pos, s.r0, s.r1))
         val tab = l3BigTables(t)
-        val sym = tab.read(br)
+        val sym = tab.read(mbr)
         def finish(c: Int): Int = {
           var v = c
-          if (c == 15 && tab.linbits > 0) v += br.get(tab.linbits)
-          if (v != 0 && br.get(1) == 1) -v else v
+          if (c == 15 && tab.linbits > 0) v += mbr.get(tab.linbits)
+          if (v != 0 && mbr.get(1) == 1) -v else v
         }
         raw(pos) = finish(sym / tab.dims)
         raw(pos + 1) = finish(sym % tab.dims)
         pos += 2
         pair += 1
       }
-      require(br.bitPos <= limit, "mpeg audio: big values overran part2_3_length")
+      require(mbr.bitPos <= limit, "mpeg audio: big values overran part2_3_length")
       // count1: quadruples until part2_3_length runs out; an attempt that
       // overruns the boundary (or the stream tail) is discarded — the
       // spec's overshoot rule — and stuffing bits are skipped
       var done = false
-      while (!done && br.bitPos < limit && pos + 4 <= 576) {
+      while (!done && mbr.bitPos < limit && pos + 4 <= 576) {
         val attempt = scala.util.Try {
-          val quad = if (s.c1t == 1) br.get(4) else l3Count1Table.read(br)
+          val quad = if (s.c1t == 1) mbr.get(4) else l3Count1Table.read(mbr)
           val vals = new Array[Int](4)
           var j = 0
           while (j < 4) {
             if (((quad >> (3 - j)) & 1) == 1)
-              vals(j) = if (br.get(1) == 1) -1 else 1
+              vals(j) = if (mbr.get(1) == 1) -1 else 1
             j += 1
           }
           vals
         }
         attempt match {
-          case scala.util.Success(vals) if br.bitPos <= limit =>
+          case scala.util.Success(vals) if mbr.bitPos <= limit =>
             var k = 0
             while (k < 4) { raw(pos + k) = vals(k); k += 1 }
             pos += 4
@@ -1415,7 +1532,7 @@ object MpegAudio {
         }
       }
       zeroBound(ch) = pos
-      br.seekBits(limit) // stuffing / discarded overrun
+      mbr.seekBits(limit) // stuffing / discarded overrun
       // requantize (pinned integer curves; band 21 has no scalefactor).
       // Short granules also UNREORDER here: transmitted band-major
       // triplet order -> the window-interleaved subband layout the

@@ -2341,6 +2341,56 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's Layer III BIT-RESERVOIR stream (plan shared with
+    * Mp3ResvSpec's replay): four mono frames under FIXED-RATE framing
+    * (bitrate index 1 or 2 by doc) whose logical main data packs
+    * back-to-back across the frames' physical segments — every frame
+    * after the first carries a nonzero main_data_begin pointing back
+    * into earlier segments, and small granules grow the surplus so the
+    * offsets differ per frame. Decoded PCM must equal the same granule
+    * walk decoded without a reservoir (framing is transparent).
+    */
+  private[operators] def mp3ResvStream(d: Long): Array[Byte] = {
+    def gran(gi: Int): MpegAudio.L3Granule = {
+      val pos = ((13 + 29 * d + 101 * gi) % 32).toInt
+      val v = (1 + (d + 3 * gi) % 13).toInt
+      val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+      val sc = ((d + gi) % 16).toInt
+      MpegAudio.L3Granule(
+        lines = Seq((pos, signed)),
+        globalGain = ((29 * d + 7 * gi) % 256).toInt,
+        scalefacCompress = sc,
+        tableSelect = Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt),
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = ((d / 2 + gi) % 2).toInt,
+        scalefacScale = ((d / 4 + gi) % 2).toInt,
+        count1Table = (d % 2).toInt, count1Quads = 0,
+        stuffBits = (3 * ((d + gi) % 2)).toInt,
+        scalefac = band => {
+          val slen = if (band <= 10) sc >> 2 else sc & 3
+          ((3 * d + band + gi) % (1L << slen)).toInt
+        })
+    }
+    MpegAudio.encodeL3Reservoir((1 + d % 2).toInt,
+      (0 until 4).map(f => Array(gran(2 * f), gran(2 * f + 1))))
+  }
+
+  /** Each doc carries the [[mp3ResvStream]] fixed-rate frames: the
+    * bitrate-indexed frame length, the rolling reservoir append, the
+    * main_data_begin backward seek, and the segment-boundary skip — the
+    * framing every real MP3 uses.
+    */
+  def withMp3ResvMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3ResvStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's Layer III STEREO WINDOW-SWITCHING stream (plan shared
     * with Mp3SwStereoSpec's replay): one frame, one coded line per
     * (granule, channel), rotating the stereo x block-type interplays —
