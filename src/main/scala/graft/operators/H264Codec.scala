@@ -836,7 +836,10 @@ object H264Codec {
                              wmb: Int => WMb = null,
                              wspec: WeightSpec = null,
                              bTemporal: Boolean = false,
-                             mrmb: Int => MrMb = null)
+                             mrmb: Int => MrMb = null,
+                             // multi-ref slice: emit a ref_pic_list
+                             // modification putting the IDR at refIdx 0
+                             mrModify: Boolean = false)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1447,7 +1450,15 @@ object H264Codec {
     bw.put(6, 8) // pic_order_cnt_lsb
     bw.put(1, 1) // num_ref_idx_active_override_flag
     bw.ue(1) // num_ref_idx_l0_active_minus1: two references
-    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    if (p.mrModify) {
+      // ref_pic_list_modification (7.3.3.1): one idc-0 command with
+      // abs_diff_pic_num_minus1 = 1 names picNum 0 (CurrPicNum 2 - 2),
+      // the IDR — flipping the default [P, IDR] order to [IDR, P]
+      bw.put(1, 1) // ref_pic_list_modification_flag_l0
+      bw.ue(0) // modification_of_pic_nums_idc: subtract
+      bw.ue(1) // abs_diff_pic_num_minus1
+      bw.ue(3) // end of modification list
+    } else bw.put(0, 1) // ref_pic_list_modification_flag_l0
     // plain PPS: no pred_weight_table; nal_ref_idc 0: no marking
     if (cabac) bw.ue(0) // cabac_init_idc
     bw.se(qp - 26) // slice_qp_delta
@@ -3394,7 +3405,8 @@ object H264Codec {
     * all-(-1) grid, which is exactly the spec's "colocated is intra"
     * fallback signal.
     */
-  private final case class RefPic(frame: H264Frame, poc: Int, mg: MotionGrid)
+  private final case class RefPic(frame: H264Frame, poc: Int, mg: MotionGrid,
+                                  frameNum: Int)
 
   /** Temporal direct motion scaling (8.4.1.2.3): tb/td are the POC
     * distances DiffPicOrderCnt(curr, pic0) / DiffPicOrderCnt(colPic,
@@ -3469,7 +3481,7 @@ object H264Codec {
     if (isP || isB) require(ref != null, "h264: inter slice without a reference frame")
     if (isB) require(refPrev != null, "h264: B slice needs two reference frames")
     require(br.ue() == 0, "h264: unknown PPS id")
-    br.get(sps.log2MaxFrameNum) // frame_num
+    val frameNum = br.get(sps.log2MaxFrameNum)
     if (isIdr) br.ue() // idr_pic_id
     val pocCur = br.get(sps.log2MaxPoc) // poc lsb (type 0, no wrap here)
     val temporalDirect = isB && br.get(1) == 0 // direct_spatial_mv_pred_flag
@@ -3486,17 +3498,56 @@ object H264Codec {
     val bL0frame = if (temporalDirect) refPrev else ref
     val bL1frame = if (temporalDirect) ref else refPrev
     var numRef0 = 1
+    val l0Mods = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     if (isP || isB) {
       if (br.get(1) == 1) { // num_ref_idx_active_override_flag
         require(isP, "h264: B num_ref_idx override outside this profile")
         numRef0 = br.ue() + 1
         require(numRef0 <= 2, "h264: more than two list-0 references outside this profile")
       }
-      require(br.get(1) == 0, "h264: ref_pic_list_modification outside this profile")
+      if (br.get(1) == 1) { // ref_pic_list_modification_flag_l0
+        // 7.3.3.1 / 8.2.4.3: short-term picNum reordering — idc 0/1
+        // subtract/add abs_diff_pic_num from a rolling predictor seeded
+        // at CurrPicNum, each named picture moving to the front of the
+        // remaining list (exact for unique short-term entries)
+        require(isP, "h264: B reference-list modification outside this profile")
+        var idc = br.ue()
+        var n = 0
+        while (idc != 3) {
+          require(idc == 0 || idc == 1,
+            "h264: long-term reference reordering outside this profile")
+          l0Mods += ((idc, br.ue() + 1))
+          n += 1
+          require(n <= 4, "h264: runaway modification list")
+          idc = br.ue()
+        }
+        require(l0Mods.nonEmpty, "h264: empty modification list")
+      }
       if (isB) require(br.get(1) == 0, "h264: ref_pic_list_modification (l1) outside this profile")
     }
     if (numRef0 > 1) require(refPrev != null,
       "h264: two list-0 references need two decoded reference frames")
+    // list 0 of a P slice: the POC/decode-order default [newest, older],
+    // permuted by the modification commands
+    val list0: IndexedSeq[RefPic] = if (isP) {
+      val lst = scala.collection.mutable.ArrayBuffer(
+        Seq(refA, refB).filter(_ != null): _*)
+      var picNumPred = frameNum
+      var insertIdx = 0
+      l0Mods.foreach { case (idc, absd) =>
+        val picNum = if (idc == 0) picNumPred - absd else picNumPred + absd
+        require(picNum >= 0, "h264: picNum wrap outside this profile")
+        picNumPred = picNum
+        val srcIdx = lst.indexWhere(_.frameNum == picNum)
+        require(srcIdx >= 0, "h264: modification names an absent reference")
+        val rp = lst.remove(srcIdx)
+        lst.insert(insertIdx, rp)
+        insertIdx += 1
+      }
+      require(lst.length >= numRef0,
+        "h264: more active references than decoded pictures")
+      lst.take(numRef0).toIndexedSeq
+    } else IndexedSeq.empty
     // pred_weight_table (7.3.3.2): explicit P-slice weighted prediction
     var wpDL = 0
     var wpDC = 0
@@ -3667,10 +3718,10 @@ object H264Codec {
         src.endMb(mb == mbW * mbH - 1)
         mb += 1
         } else {
-        // P_Skip: derived motion, no residual; refIdx 0 and the explicit
-        // weights still apply (skip is ordinary inter prediction)
+        // P_Skip: derived motion, no residual; refIdx 0 (the head of the
+        // possibly-modified list) and the explicit weights still apply
         val smv = skipMvCell(mg, mb, c * 4, r * 4)
-        val (pY, pU, pV) = mcFetch(ref, mx, my, smv._1, smv._2)
+        val (pY, pU, pV) = mcFetch(list0(0).frame, mx, my, smv._1, smv._2)
         if (pps.weightedPred) {
           wpApply(pY, wpLuma(0)._1, wpLuma(0)._2, wpDL)
           wpApply(pU, wpCb(0)._1, wpCb(0)._2, wpDC)
@@ -3916,7 +3967,7 @@ object H264Codec {
                     while (xx < wC) { wr(qy + ly + yy)(qx + lx + xx) = true; xx += 1 }
                     yy += 1
                   }
-                  val (fY, fU, fV) = mcFetchRect(if (refs8(k) == 0) ref else refPrev,
+                  val (fY, fU, fV) = mcFetchRect(list0(refs8(k)).frame,
                     mx + (qx + lx) * 4,
                     my + (qy + ly) * 4, wC * 4, hC * 4, mvX, mvY)
                   val wP = wC * 4
@@ -3944,7 +3995,7 @@ object H264Codec {
               val mvX = mvp._1 + dx
               val mvY = mvp._2 + dy
               mg.fill(c * 4, r * 4, 4, 4, mbRef0, mvX, mvY)
-              mcFetch(if (mbRef0 == 0) ref else refPrev, mx, my, mvX, mvY)
+              mcFetch(list0(mbRef0).frame, mx, my, mvX, mvY)
             } else {
               // P_L0_L0_16x8 / P_L0_L0_8x16: (with two active
               // references) both partitions' ref_idx first, then
@@ -3975,7 +4026,7 @@ object H264Codec {
                 val mvX = mvp._1 + dx
                 val mvY = mvp._2 + dy
                 mg.fill(c * 4 + lx, r * 4 + ly, wC, hC, refs2(pi), mvX, mvY)
-                val (fY, fU, fV) = mcFetchRect(if (refs2(pi) == 0) ref else refPrev,
+                val (fY, fU, fV) = mcFetchRect(list0(refs2(pi)).frame,
                   mx + lx * 4, my + ly * 4,
                   wC * 4, hC * 4, mvX, mvY)
                 val wP = wC * 4
@@ -4099,7 +4150,7 @@ object H264Codec {
       H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff,
         offA, offB, mg1 = if (isB) mgB1 else null)
     }
-    RefPic(H264Frame(w, h, y, u, v), pocCur, mg)
+    RefPic(H264Frame(w, h, y, u, v), pocCur, mg, frameNum)
   }
 
   /** Decode one intra macroblock (I_PCM / I_4x4 / Intra_16x16) into the

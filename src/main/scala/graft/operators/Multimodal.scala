@@ -1268,6 +1268,35 @@ object Multimodal {
       })
   }
 
+  /** Reference-list REORDERING plan: the [[h264PMRefPlan]] geometry with
+    * ref_pic_list_modification_flag_l0 set — one idc-0 command names the
+    * IDR's picNum, flipping list 0 from the default [P, IDR] to
+    * [IDR, P], so every partition's te() ref_idx now means the OTHER
+    * picture. A decoder that ignores the modification reads the entire
+    * constant table transposed.
+    */
+  private[operators] def h264ReorderPlan(d: Long, colv: Boolean): H264Codec.InterPlan =
+    h264PMRefPlan(d, colv).copy(mrModify = true)
+
+  /** Each doc carries the [[h264ReorderPlan]] stream: the 7.3.3.1
+    * modification syntax, the 8.2.4.3 picNum remapping (rolling
+    * predictor seeded at CurrPicNum, front-insertion per command), and
+    * per-partition references resolved through the permuted list.
+    */
+  def withH264ReorderMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264ReorderPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries the [[h264PMRefPlan]] stream; docs rotate stripe
     * orientation (swapping the 16x8/8x16 and 8x4/4x8 codes), and every
     * fourth doc rides CABAC — per-partition te() ref_idx crosses the
