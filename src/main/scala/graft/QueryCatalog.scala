@@ -6681,6 +6681,56 @@ object QueryCatalog {
     // copies landed. Any refresh/copy/reference mix-up, or applying a
     // copy before the frame's own references resolve, surfaces the
     // wrong target family in the hashed checksum.
+    // REAL VP8 REFERENCE SIGN BIAS (RFC 6386 9.7), graded byte-exact —
+    // the sign_bias_golden / sign_bias_alternate header bits and the
+    // candidate negation in the near-MV survey: a neighbor whose
+    // reference sits on the other side of the bias boundary contributes
+    // its NEGATED vector, so every NEAREST-mode macroblock in the
+    // fixture fetches one macroblock on the OTHER side of its coded
+    // neighbor's motion. Even docs bias golden, odd docs altref; a
+    // decoder ignoring the bias fetches the mirror-image constants (and
+    // one candidate would even leave the frame).
+    ("q_vp8_bias",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8BiasMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH px AS (
+             |  SELECT d.doc_id,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM documents d
+             |  JOIN range(0, 3) f(f) ON true
+             |  JOIN range(0, 1920) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < 1280 THEN 0
+             |         WHEN t.i < 1600 THEN 1 ELSE 2 END AS pl,
+             |    CASE WHEN t.i < 1280 THEN (t.i % 80) // 16
+             |         WHEN t.i < 1600 THEN ((t.i - 1280) % 40) // 8
+             |         ELSE ((t.i - 1600) % 40) // 8 END AS m) q
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN f.f = 2 THEN
+             |      CASE q.m WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 4
+             |        WHEN 1 THEN 0 ELSE 3 END
+             |    ELSE q.m END AS sm,
+             |    f.f = 1 OR (f.f = 2 AND (q.m = 1 OR q.m = 4)) AS isB) w0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN w0.isB THEN
+             |      CASE q.pl WHEN 0 THEN (47*d.doc_id + 17*w0.sm) % 256
+             |                WHEN 1 THEN (23*d.doc_id + 5*w0.sm) % 256
+             |                ELSE (67*d.doc_id + 3*w0.sm) % 256 END
+             |    ELSE
+             |      CASE q.pl WHEN 0 THEN (31*d.doc_id + 13*w0.sm) % 256
+             |                WHEN 1 THEN (91*d.doc_id + 7*w0.sm) % 256
+             |                ELSE (53*d.doc_id + 11*w0.sm) % 256 END
+             |    END AS val) vl
+             |  GROUP BY d.doc_id)
+             |SELECT doc_id,
+             |  CAST(80 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     ("q_vp8_buffers",
       (s: SparkSession, d: String) =>
         Multimodal.decodeVp8VideoStats(

@@ -1839,6 +1839,65 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's 3-frame VP8 video exercising REFERENCE SIGN BIAS (RFC
+    * 6386 9.7, plan shared with Vp8BiasSpec): a key frame (constants
+    * A(m), filling every buffer), a last-refreshing inter frame
+    * (constants B(m)), then a frame with sign_bias set on golden (even
+    * docs) or altref (odd docs) whose NEAREST-mode macroblocks
+    * alternate references — every candidate crossing the bias boundary
+    * must contribute its NEGATED vector, so each flip lands the fetch
+    * one macroblock on the OTHER side. A decoder ignoring the bias (or
+    * flipping on the wrong reference) fetches the mirror-image
+    * constants.
+    */
+  private[operators] def vp8BiasFrames(d: Long): Seq[Array[Byte]] = {
+    val w = 80; val h = 16
+    val qi = (8 * (d % 2)).toInt
+    val uvD = (-8 * (d % 2)).toInt
+    def yA(m: Int) = ((31 * d + 13 * m) % 256).toInt
+    def uA(m: Int) = ((91 * d + 7 * m) % 256).toInt
+    def vA(m: Int) = ((53 * d + 11 * m) % 256).toInt
+    def yB(m: Int) = ((47 * d + 17 * m) % 256).toInt
+    def uB(m: Int) = ((23 * d + 5 * m) % 256).toInt
+    def vB(m: Int) = ((67 * d + 3 * m) % 256).toInt
+    val (kf, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h, qi, uvD,
+      yMode = 0, tokenPartitions = 1, skipAll = false, yA, uA, vA))
+    val p2 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+      refreshLast = true, refreshGolden = false,
+      mb = m => Vp8Codec.InterMb(0, 0, 0, 0, skip = false, yB(m), uB(m), vB(m)))
+    val (f2, g2) = Vp8Codec.encodeInterFrame(p2, g1, g1)
+    val useAlt = d % 2 == 1
+    val rref = if (useAlt) 2 else 1 // RefAlt / RefGolden (both hold A)
+    val p3 = Vp8Codec.InterPlan(w, h, qi, uvD, tokenPartitions = 1,
+      refreshLast = false, refreshGolden = false,
+      signBiasGolden = !useAlt, signBiasAlt = useAlt,
+      mb = {
+        case 0 => Vp8Codec.InterMb(rref, 3, 16, 0, skip = true, 0, 0, 0)
+        case 1 => Vp8Codec.InterMb(0, 1, 0, 0, skip = true, 0, 0, 0)
+        case 2 => Vp8Codec.InterMb(rref, 1, 0, 0, skip = true, 0, 0, 0)
+        case 3 => Vp8Codec.InterMb(rref, 3, 16, 0, skip = true, 0, 0, 0)
+        case _ => Vp8Codec.InterMb(0, 1, 0, 0, skip = true, 0, 0, 0)
+      })
+    val (f3, _) = Vp8Codec.encodeInterFrame(p3, g2, g1)
+    Seq(kf, f2, f3)
+  }
+
+  /** Each doc carries the [[vp8BiasFrames]] video: the sign-bias header
+    * bits, the per-reference bias table, and the candidate negation in
+    * the near-MV survey whenever the neighbor's reference sits on the
+    * other side of the bias boundary.
+    */
+  def withVp8BiasMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map(d => (d, Vp8Codec.encodeIvf(80, 16, vp8BiasFrames(d))))
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a 5-frame VP8 video exercising the FULL reference
     * buffer machinery: refresh_last / refresh_alt, buffer-copy-to-alt
     * (from last) and buffer-copy-to-golden (from alt), ALTREF

@@ -1756,7 +1756,14 @@ object Vp8Codec {
   private[operators] def findNearMvs(r: Int, c: Int,
                                      interFlag: Array[Array[Boolean]],
                                      mvRow: Array[Array[Int]],
-                                     mvCol: Array[Array[Int]])
+                                     mvCol: Array[Array[Int]],
+                                     // sign bias (RFC 6386 9.7): a neighbor
+                                     // whose reference carries the OPPOSITE
+                                     // bias to the current block's reference
+                                     // contributes its NEGATED vector
+                                     refAt: (Int, Int) => Int = (_, _) => 0,
+                                     curRef: Int = 0,
+                                     bias: Int => Int = _ => 0)
       : ((Int, Int), (Int, Int), (Int, Int), Array[Int]) = {
     // 4 slots like libvpx's near_mvs[4]: a third distinct neighbor MV
     // lands in slot 3 (the SPLITMV-context slot) and is never a candidate
@@ -1765,7 +1772,9 @@ object Vp8Codec {
     var slot = 0
     def consider(rr: Int, cc: Int, weight: Int): Unit = {
       if (rr >= 0 && cc >= 0 && interFlag(rr)(cc)) {
-        val m = (mvRow(rr)(cc), mvCol(rr)(cc))
+        val m0 = (mvRow(rr)(cc), mvCol(rr)(cc))
+        val m =
+          if (bias(refAt(rr, cc)) != bias(curRef)) (-m0._1, -m0._2) else m0
         if (m != ((0, 0))) {
           if (cand(slot) != m) { slot += 1; cand(slot) = m }
           cnt(slot) += weight
@@ -1851,7 +1860,9 @@ object Vp8Codec {
                              mb: Int => MbSpec,
                              refreshAlt: Boolean = false,
                              copyToGolden: Int = 0, // 0 none, 1 last, 2 alt
-                             copyToAlt: Int = 0) // 0 none, 1 last, 2 golden
+                             copyToAlt: Int = 0, // 0 none, 1 last, 2 golden
+                             signBiasGolden: Boolean = false,
+                             signBiasAlt: Boolean = false)
 
   /** Encode one inter frame against the uniform-grid reference state;
     * returns the stream and this frame's reconstruction grid.
@@ -1902,8 +1913,8 @@ object Vp8Codec {
     hdr.putLiteral(if (plan.refreshAlt) 1 else 0, 1)
     if (!plan.refreshGolden) hdr.putLiteral(plan.copyToGolden, 2)
     if (!plan.refreshAlt) hdr.putLiteral(plan.copyToAlt, 2)
-    hdr.putLiteral(0, 1) // sign bias golden
-    hdr.putLiteral(0, 1) // sign bias altref
+    hdr.putLiteral(if (plan.signBiasGolden) 1 else 0, 1)
+    hdr.putLiteral(if (plan.signBiasAlt) 1 else 0, 1)
     hdr.putLiteral(1, 1) // refresh entropy probs
     hdr.putLiteral(if (plan.refreshLast) 1 else 0, 1)
     var t = 0
@@ -1949,6 +1960,12 @@ object Vp8Codec {
     val interFlag = Array.fill(mbH, mbW)(false)
     val mvRowG = Array.fill(mbH, mbW)(0)
     val mvColG = Array.fill(mbH, mbW)(0)
+    val refGrid = Array.fill(mbH, mbW)(RefLast)
+    def signBias(ref: Int): Int = ref match {
+      case RefGolden => if (plan.signBiasGolden) 1 else 0
+      case RefAlt => if (plan.signBiasAlt) 1 else 0
+      case _ => 0
+    }
     val aboveY2 = Array.fill(mbW)(0)
     val aboveU = Array.fill(mbW * 2)(0)
     val aboveV = Array.fill(mbW * 2)(0)
@@ -2058,7 +2075,9 @@ object Vp8Codec {
               case _ => throw new MatchError(spec2)
             }
             skip = sk
-            val (best, nearest, near, _) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+            refGrid(r)(c) = ref
+            val (best, nearest, near, _) = findNearMvs(r, c, interFlag,
+              mvRowG, mvColG, (rr, cc) => refGrid(rr)(cc), ref, signBias)
             val mv: (Int, Int) = mvMode0 match {
               case MvZero => (0, 0)
               case MvNew => mvUnits
@@ -2146,7 +2165,9 @@ object Vp8Codec {
             hdr.put(if (ref == RefLast) 0 else 1, probLast)
             if (ref != RefLast)
               hdr.put(if (ref == RefGolden) 0 else 1, probGolden)
-            val (best, _, _, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+            refGrid(r)(c) = ref
+            val (best, _, _, cnt) = findNearMvs(r, c, interFlag,
+              mvRowG, mvColG, (rr, cc) => refGrid(rr)(cc), ref, signBias)
             hdr.putTree(mvRefTree, mvRefProbs(cnt), MvSplit)
             hdr.putTree(mbSplitTree, mbSplitProbs, part)
             // the encoder picks LEFT/ABOVE/ZERO when the partition's MV
@@ -2184,7 +2205,8 @@ object Vp8Codec {
             hdr.put(if (ref == RefLast) 0 else 1, probLast)
             if (ref != RefLast)
               hdr.put(if (ref == RefGolden) 0 else 1, probGolden)
-            val (best, _, _, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+            val (best, _, _, cnt) = findNearMvs(r, c, interFlag,
+              mvRowG, mvColG, (rr, cc) => refGrid(rr)(cc), ref, signBias)
             hdr.putTree(mvRefTree, mvRefProbs(cnt), mvMode)
             if (mvMode == MvNew) {
               writeMvComponent(hdr, mvProbs(0), mvR - best._1)
@@ -2327,8 +2349,13 @@ object Vp8Codec {
     val copyToGolden = if (!refreshGolden) hd.literal(2) else 0
     val copyToAlt = if (!refreshAlt) hd.literal(2) else 0
     require(copyToGolden <= 2 && copyToAlt <= 2, "vp8: reserved buffer-copy value")
-    require(hd.literal(1) == 0, "vp8: golden sign bias outside this profile")
-    require(hd.literal(1) == 0, "vp8: altref sign bias outside this profile")
+    val biasGolden = hd.literal(1) // sign_bias_golden
+    val biasAlt = hd.literal(1) // sign_bias_alternate
+    def signBias(ref: Int): Int = ref match {
+      case RefGolden => biasGolden
+      case RefAlt => biasAlt
+      case _ => 0
+    }
     hd.literal(1) // refresh entropy
     val refreshLast = hd.literal(1) == 1
     val probs = defaultCoefProbs()
@@ -2399,7 +2426,8 @@ object Vp8Codec {
             else if (hd.get(probGolden) == 0) RefGolden
             else RefAlt
           refOf(mbI) = ref
-          val (best, nearest, near, cnt) = findNearMvs(r, c, interFlag, mvRowG, mvColG)
+          val (best, nearest, near, cnt) = findNearMvs(r, c, interFlag,
+            mvRowG, mvColG, (rr, cc) => refOf(rr * mbW + cc), ref, signBias)
           val mode = hd.tree(mvRefTree, mvRefProbs(cnt))
           val mv: (Int, Int) =
             if (mode == MvSplit) {
