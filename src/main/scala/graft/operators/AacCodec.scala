@@ -517,7 +517,8 @@ object AacCodec {
 
   /** Wrap one raw_data_block body in an ADTS frame. */
   private def writeAdts(out: java.io.ByteArrayOutputStream, body: Array[Byte],
-                        channels: Int): Unit = {
+                        channels: Int, nRawBlocks: Int = 1): Unit = {
+    require(nRawBlocks >= 1 && nRawBlocks <= 4, "aac: 1..4 raw data blocks per frame")
     // ADTS header (protection_absent = 1 → 7 bytes)
     val hw = new MpegAudio.BitWriter
     hw.put(0xfff, 12) // syncword
@@ -532,7 +533,7 @@ object AacCodec {
     hw.put(0, 1); hw.put(0, 1) // copyright id bits
     hw.put((7 + body.length).toLong, 13) // frame_length
     hw.put(0x7ff, 11) // buffer fullness (VBR)
-    hw.put(0, 2) // number_of_raw_data_blocks_in_frame - 1 = 0
+    hw.put((nRawBlocks - 1).toLong, 2) // number_of_raw_data_blocks_in_frame - 1
     val hdr = hw.bytes()
     out.write(hdr, 0, hdr.length)
     out.write(body, 0, body.length)
@@ -549,6 +550,31 @@ object AacCodec {
       bw.put(7, 3) // id_syn_ele = END
       bw.padToByte()
       writeAdts(out, bw.bytes(), channels = 1)
+    }
+    out.toByteArray
+  }
+
+  /** Mono ADTS with MULTIPLE raw_data_blocks per frame: each inner group
+    * shares ONE ADTS header whose frame_length covers all its blocks;
+    * every raw_data_block (SCE + END + byte alignment) is a full
+    * 1024-sample audio frame.
+    */
+  def encodeGrouped(groups: Seq[Seq[AacFrame]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    groups.foreach { grp =>
+      require(grp.nonEmpty && grp.size <= 4, "aac: 1..4 raw data blocks per frame")
+      val body = new java.io.ByteArrayOutputStream()
+      grp.foreach { fr =>
+        val bw = new MpegAudio.BitWriter
+        bw.put(0, 3) // id_syn_ele = SCE (0)
+        bw.put(0, 4) // element_instance_tag
+        writeIcs(bw, fr, includeInfo = true)
+        bw.put(7, 3) // id_syn_ele = END
+        bw.padToByte()
+        val b = bw.bytes()
+        body.write(b, 0, b.length)
+      }
+      writeAdts(out, body.toByteArray, channels = 1, nRawBlocks = grp.size)
     }
     out.toByteArray
   }
@@ -1062,11 +1088,16 @@ object AacCodec {
       val frameLen = br.get(13)
       require(off + frameLen <= bytes.length, "aac: ADTS frame runs past the stream")
       br.get(11) // buffer fullness
-      require(br.get(2) == 0, "aac: multiple raw data blocks outside this profile")
+      val nRaw = br.get(2) // number_of_raw_data_blocks_in_frame - 1... + 1 below
       require(channels == 0 || channels == chCfg,
         "aac: mixed channel configurations in one stream")
       channels = chCfg
       if (overlaps == null) overlaps = Array.ofDim[Long](chCfg, FrameLen)
+      // 1 + number_of_raw_data_blocks_in_frame raw_data_blocks share this
+      // ADTS header (each is one 1024-sample block: SCE/CPE, END, byte
+      // alignment), the 13-bit frame_length covering them all
+      var rawBlk = 0
+      while (rawBlk <= nRaw) {
       // raw_data_block: SCE (mono) or CPE (stereo)
       val id = br.get(3)
       val streams: Array[(IcsInfo, Array[Long])] =
@@ -1114,9 +1145,6 @@ object AacCodec {
         }
       require(br.get(3) == 7, "aac: missing END element")
       br.alignByte()
-      require(br.pos == off + frameLen,
-        s"aac: frame content (${br.pos - off} bytes) disagrees with frame_length $frameLen")
-      off += frameLen
       // filterbank per channel, overlap-add, sample-major interleave
       val bufs = streams.map { case (info, spec) => filterbank(spec, info.wseq) }
       var p = 0
@@ -1130,6 +1158,11 @@ object AacCodec {
         p += 1
       }
       nFrames += 1
+      rawBlk += 1
+      }
+      require(br.pos == off + frameLen,
+        s"aac: frame content (${br.pos - off} bytes) disagrees with frame_length $frameLen")
+      off += frameLen
     }
     require(nFrames > 0, "aac: empty stream")
     AacPcm(nFrames, pcmOut.toArray, channels)

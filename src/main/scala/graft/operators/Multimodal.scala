@@ -2629,6 +2629,45 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's AAC stream with MULTIPLE raw_data_blocks per ADTS frame
+    * (plan shared with AacMultiSpec): 3 or 4 one-line blocks grouped as
+    * [2,1] / [3,1] under shared headers whose frame_length covers every
+    * block — each raw_data_block is a full 1024-sample audio frame, so
+    * a decoder that stops after the first block (or mis-walks the
+    * per-block byte alignment) loses frames and desyncs the length
+    * check.
+    */
+  private[operators] def aacMultiStream(d: Long): Array[Byte] = {
+    def frameOf(f: Int): AacCodec.AacFrame = {
+      val pos = ((37 * d + 911 * f) % 1024).toInt
+      val cb = (1 + (d + f) % 11).toInt
+      val mag =
+        if (cb == 11) (16 + d % 40).toInt
+        else (1 + (d + f) % AacCodec.cbLav(cb)).toInt
+      val v = if ((d + f) % 2 == 1) -mag else mag
+      AacCodec.AacFrame(
+        globalGain = (20 + (29 * d + 7 * f) % 200).toInt,
+        lines = Seq((pos, v, cb)),
+        sfDelta = ((d + 3 * f) % 41 - 20).toInt)
+    }
+    val nb = (3 + d % 2).toInt
+    val blocks = (0 until nb).map(frameOf)
+    val groups =
+      if (nb == 3) Seq(blocks.take(2), blocks.drop(2))
+      else Seq(blocks.take(3), blocks.drop(3))
+    AacCodec.encodeGrouped(groups)
+  }
+
+  /** Each doc carries the [[aacMultiStream]] grouped ADTS frames. */
+  def withAacMultiMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacMultiStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a REAL AAC-LC ADTS stream (one or two frames): one
     * nonzero spectral line per frame with the codebook rotating through
     * all 11 spectral books (escape sequences when book 11 comes up),
