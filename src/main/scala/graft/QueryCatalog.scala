@@ -7022,6 +7022,95 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL MPEG-1 Layer III CRC PROTECTION, graded exactly — the header
+    // protection bit with the spec's error_check: a 16-bit CRC
+    // (generator x^16 + x^15 + x^2 + 1, all-ones initial state — the
+    // REAL public polynomial, not a pinned stand-in) computed over
+    // header bits 16..31 plus the full side information, verified
+    // before any side-info parse. Protection is PCM-transparent (same
+    // granule walk as q_mp3_decode), and a flipped bit anywhere in the
+    // covered region or the CRC field rejects loudly instead of
+    // desyncing the granule data.
+    ("q_mp3_crc",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMp3CrcMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, 1 + doc_id % 2 AS nf FROM documents),
+             |inputs AS (
+             |  SELECT b.d, b.nf, q8.gs, q7.sbp,
+             |    sum(q6.xr * q7.w * ((7*pp.p + 11*q7.kp + 3) % 23 - 11)
+             |      * (1 + (5*pp.p + 2) % 9)
+             |      * (CASE WHEN q7.sbp % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM base b
+             |  JOIN range(0, 4) gg(gi) ON gg.gi < 2*b.nf
+             |  JOIN range(0, 2) aa(a) ON true
+             |  JOIN range(0, 36) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (17 + 37*b.d + 101*gg.gi) % 576 AS pos,
+             |    (b.d + gg.gi) % 3 = 0 AS esc) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.pos // 18 AS sb, q1.pos % 18 AS k,
+             |    least(q1.pos // 26, 21) AS band,
+             |    CASE WHEN q1.esc THEN 15 + b.d % 2
+             |         ELSE 1 + (b.d + 3*gg.gi) % 13 END AS v) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN gg.gi % 2 = 1 AND
+             |      (((b.d % 16) >> (CASE WHEN q2.band < 6 THEN 0
+             |        WHEN q2.band < 11 THEN 1 WHEN q2.band < 16 THEN 2
+             |        ELSE 3 END)) & 1) = 1
+             |      THEN gg.gi - 1 ELSE gg.gi END AS sgi) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q2.band <= 10 THEN ((b.d + q3.sgi) % 16) // 4
+             |         ELSE ((b.d + q3.sgi) % 16) % 4 END AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN q2.band > 20 THEN 0
+             |          ELSE (3*b.d + q2.band + q3.sgi) % (1 << q4.slen) END)
+             |    + CASE WHEN (b.d // 2 + gg.gi) % 2 = 1 THEN q2.band % 3
+             |           ELSE 0 END AS sfv) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + 5*gg.gi) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.v * (q2.v + 2)
+             |      * (1 + ((29*b.d + 7*gg.gi) % 256) % 9)
+             |      * (1 + (3 * q5.sfv * (1 + (b.d // 4 + gg.gi) % 2)) % 11)
+             |      AS xr) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN aa.a = 0 THEN q2.sb
+             |         WHEN q2.k >= 10 THEN q2.sb + 1 ELSE q2.sb - 1 END AS sbp,
+             |    CASE WHEN aa.a = 0 THEN q2.k ELSE 17 - q2.k END AS kp,
+             |    CASE WHEN aa.a = 0 THEN
+             |      CASE WHEN q2.k >= 10 AND q2.sb < 31 THEN 2 + (17 - q2.k) % 3
+             |           WHEN q2.k <= 7 AND q2.sb >= 1 THEN 2 + q2.k % 3
+             |           ELSE 1 END
+             |    ELSE CASE WHEN q2.k >= 10 THEN 1 + (17 - q2.k) % 2
+             |              ELSE -(1 + q2.k % 2) END END AS w,
+             |    aa.a = 0 OR (q2.k >= 10 AND q2.sb < 31)
+             |      OR (q2.k <= 7 AND q2.sb >= 1) AS valid) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN pp.p < 18 THEN gg.gi*18 + pp.p
+             |         ELSE (gg.gi + 1)*18 + pp.p - 18 END AS gs) q8
+             |  WHERE q7.valid AND q8.gs < 36*b.nf
+             |  GROUP BY b.d, b.nf, q8.gs, q7.sbp),
+             |chk AS (
+             |  SELECT s.d, s.nf,
+             |    sum(s.ival
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*s.sbp + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * (((s.gs + mm.m)*32 + ii.i) % 97 + 1)) AS pcm_checksum
+             |  FROM inputs s
+             |  JOIN range(0, 16) mm(m) ON s.gs + mm.m < 36*s.nf
+             |  JOIN range(0, 32) ii(i) ON true
+             |  GROUP BY s.d, s.nf)
+             |SELECT d AS doc_id, CAST(3 AS BIGINT) AS layer,
+             |  CAST(1 AS BIGINT) AS n_channels,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(1152 * nf AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL MPEG-1 Layer III STEREO + JOINT STEREO, graded exactly — the
     // broadcast-common stereo modes: independent L/R (mode 00, 32-byte
     // side info, granule-major channel-minor main data), MS stereo

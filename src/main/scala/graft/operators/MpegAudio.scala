@@ -119,6 +119,26 @@ object MpegAudio {
   private[operators] def l3Slen1(sc: Int): Int = sc >> 2
   private[operators] def l3Slen2(sc: Int): Int = sc & 3
 
+  /** ISO 11172-3 2.4.3.1 CRC-16 (generator x^16 + x^15 + x^2 + 1,
+    * initial state all-ones) over a bit sequence — the error_check CRC
+    * covers the 16 header bits after the protection bit plus the side
+    * information.
+    */
+  private[operators] def crc16(bits: Iterator[Int]): Int = {
+    var crc = 0xffff
+    bits.foreach { b =>
+      val fb = ((crc >> 15) & 1) ^ (b & 1)
+      crc = (crc << 1) & 0xffff
+      if (fb == 1) crc ^= 0x8005
+    }
+    crc
+  }
+
+  /** Bits of `bytes[from until until)` MSB-first. */
+  private[operators] def byteBits(bytes: Array[Byte], from: Int, until: Int): Iterator[Int] =
+    (from until until).iterator.flatMap(i =>
+      (7 to 0 by -1).iterator.map(bit => (bytes(i) >> bit) & 1))
+
   /** MPEG-1 Layer III bitrates (kbps) by header index (spec Table B.2);
     * index 0 is free format, 15 is forbidden. Fixed-rate frames span
     * floor(144 * bitrate / 44100) + padding bytes — the framing that
@@ -983,32 +1003,47 @@ object MpegAudio {
   /** The 4-byte MPEG-1 Layer III frame header (44100; free format by
     * default, or a fixed-rate index for reservoir streams). */
   private def l3WriteHeader(bw: BitWriter, mode: Int, modeExt: Int,
-                            brIdx: Int = 0): Unit = {
+                            brIdx: Int = 0, crc: Boolean = false): Unit = {
     require(brIdx >= 0 && brIdx <= 14, "layer3: bitrate index is 0..14")
     bw.put(0x7ff, 11); bw.put(3, 2); bw.put(1, 2) // sync, MPEG-1, layer III (01)
-    bw.put(1, 1) // no CRC
+    bw.put(if (crc) 0L else 1L, 1) // protection bit (0 = CRC present)
     bw.put(brIdx.toLong, 4); bw.put(0, 2); bw.put(0, 1); bw.put(0, 1) // rate, 44100
     bw.put(mode.toLong, 2)
     bw.put(modeExt.toLong, 2)
     bw.put(0, 1); bw.put(0, 1); bw.put(0, 2)
   }
 
-  def encodeL3Frame(scfsi: Int, gr: Array[L3Granule]): Array[Byte] = {
+  def encodeL3Frame(scfsi: Int, gr: Array[L3Granule],
+                    crc: Boolean = false): Array[Byte] = {
     require(gr.length == 2, "layer3: MPEG-1 frames carry two granules")
     require(scfsi >= 0 && scfsi < 16)
     require(scfsi == 0 || gr.forall(_.blockType != 2),
       "layer3: scfsi reuse is a long-block mechanism (spec: zero when short blocks appear)")
     val bodies = Array(l3GranuleBits(gr(0), scfsi, 0), l3GranuleBits(gr(1), scfsi, 1))
-    val bw = new BitWriter
-    l3WriteHeader(bw, mode = 3, modeExt = 0) // mono
-    // side info (mono: 17 bytes)
-    bw.put(0, 9) // main_data_begin: no reservoir in this profile
-    bw.put(0, 5) // private bits
-    bw.put(scfsi.toLong, 4)
+    val hw = new BitWriter
+    l3WriteHeader(hw, mode = 3, modeExt = 0, crc = crc)
+    val hdr = hw.bytes() // 4 bytes
+    val sw = new BitWriter
+    sw.put(0, 9) // main_data_begin: no reservoir in this profile
+    sw.put(0, 5) // private bits
+    sw.put(scfsi.toLong, 4)
     var gi = 0
-    while (gi < 2) { l3WriteSide(bw, gr(gi), bodies(gi).length); gi += 1 }
-    bodies.foreach(_.drainTo(bw))
-    bw.bytes()
+    while (gi < 2) { l3WriteSide(sw, gr(gi), bodies(gi).length); gi += 1 }
+    val side = sw.bytes() // mono: 17 bytes exactly
+    require(side.length == 17, "layer3: mono side info is 17 bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(hdr, 0, hdr.length)
+    if (crc) {
+      // error_check: CRC-16 over header bits 16..31 + the side info
+      val c = crc16(byteBits(hdr, 2, 4) ++ byteBits(side, 0, side.length))
+      out.write(c >> 8); out.write(c & 0xff)
+    }
+    out.write(side, 0, side.length)
+    val mw = new BitWriter
+    bodies.foreach(_.drainTo(mw))
+    val main = mw.bytes()
+    out.write(main, 0, main.length)
+    out.toByteArray
   }
 
   /** MONO Layer III frames under FIXED-RATE framing with a real BIT
@@ -1139,7 +1174,7 @@ object MpegAudio {
       }
       require(layer == 0 || layer == thisLayer, "mpeg audio: mixed layers in one stream")
       layer = thisLayer
-      require(br.get(1) == 1, "mpeg audio: CRC frames outside this profile")
+      val crcProtected = br.get(1) == 0 // protection bit: 0 = CRC present
       val brIdx = br.get(4)
       require(brIdx == 0 || thisLayer == 3,
         "mpeg audio: fixed-rate framing is a Layer III feature in this profile")
@@ -1162,6 +1197,20 @@ object MpegAudio {
       val modeExt = br.get(2)
       br.get(1); br.get(1); br.get(2) // (c), original, emphasis
 
+      if (crcProtected) {
+        // error_check (2.4.3.1): the 16-bit CRC sits right after the
+        // header and covers header bits 16..31 plus the side info
+        require(layer == 3, "mpeg audio: CRC frames outside Layer III in this profile")
+        val crcField = br.get(16)
+        val fs = (frameStartBits / 8).toInt
+        val sideBytes = if (nCh == 1) 17 else 32
+        require(fs + 6 + sideBytes <= bytes.length,
+          "mpeg audio: CRC frame truncated before its side info")
+        val computed = crc16(byteBits(bytes, fs + 2, fs + 4) ++
+          byteBits(bytes, fs + 6, fs + 6 + sideBytes))
+        require(computed == crcField,
+          s"mpeg audio: CRC mismatch (header $crcField, computed $computed)")
+      }
       if (layer == 3) {
         if (l3Overlap == null) l3Overlap = Array.fill(nCh, 32, 18)(0L)
         if (brIdx == 0) {

@@ -2429,6 +2429,64 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's CRC-PROTECTED Layer III stream: the q_mp3_decode granule
+    * walk with the header protection bit set and the real ISO 11172-3
+    * CRC-16 (x^16+x^15+x^2+1, all-ones init) over header bits 16..31 +
+    * the side info. Decoded PCM must equal the unprotected coding; a
+    * flipped side-info or CRC bit must reject loudly.
+    */
+  private[operators] def mp3CrcStream(d: Long): Array[Byte] = {
+    def gran(gi: Int): MpegAudio.L3Granule = {
+      val pos = ((17 + 37 * d + 101 * gi) % 576).toInt
+      val esc = (d + gi) % 3 == 0
+      val v = if (esc) (15 + (d % 2)).toInt else (1 + ((d + 3 * gi) % 13)).toInt
+      val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+      val sc = ((d + gi) % 16).toInt
+      val tsel =
+        if (esc) Array((16 + d % 16).toInt, (16 + (d + 1) % 16).toInt,
+          (16 + (d + 2) % 16).toInt)
+        else Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt)
+      val bigValues = pos / 2 + 1
+      MpegAudio.L3Granule(
+        lines = Seq((pos, signed)),
+        globalGain = ((29 * d + 7 * gi) % 256).toInt,
+        scalefacCompress = sc,
+        tableSelect = tsel,
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = ((d / 2 + gi) % 2).toInt,
+        scalefacScale = ((d / 4 + gi) % 2).toInt,
+        count1Table = (d % 2).toInt,
+        count1Quads = math.min((d % 5).toInt, (576 - 2 * bigValues) / 4),
+        stuffBits = (3 * ((d + gi) % 2)).toInt,
+        scalefac = band => {
+          val slen = if (band <= 10) sc >> 2 else sc & 3
+          ((3 * d + band + gi) % (1L << slen)).toInt
+        })
+    }
+    val nf = 1 + (d % 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nf) {
+      val fr = MpegAudio.encodeL3Frame((d % 16).toInt,
+        Array(gran(2 * f), gran(2 * f + 1)), crc = true)
+      bos.write(fr, 0, fr.length)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Each doc carries the [[mp3CrcStream]] protected frames. */
+  def withMp3CrcMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3CrcStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's Layer III BIT-RESERVOIR stream (plan shared with
     * Mp3ResvSpec's replay): four mono frames under FIXED-RATE framing
     * (bitrate index 1 or 2 by doc) whose logical main data packs
