@@ -7814,6 +7814,54 @@ object QueryCatalog {
              |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
              |FROM chk ORDER BY doc_id""".stripMargin)),
 
+    // REAL AAC ADTS CRC PROTECTION, graded exactly — protection_absent
+    // = 0 inserts a 16-bit crc_check between the 7-byte header and the
+    // raw_data_block (frame_length covering all 9 header bytes). The
+    // CRC is the REAL ISO polynomial (x^16+x^15+x^2+1, all-ones init,
+    // shared with the Layer III error_check); the covered region is
+    // pinned to header + raw-data bytes, and protected multi-block
+    // frames (per-block position tables in the spec) stay a loud
+    // rejection. Protection is PCM-transparent over the q_aac_decode
+    // frame walk; a flipped block or CRC bit rejects loudly.
+    ("q_aac_crc",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeAacStats(
+            Multimodal.withAacCrcMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS d, 1 + doc_id % 2 AS nf FROM documents),
+             |chk AS (
+             |  SELECT b.d, b.nf,
+             |    sum(vv.xr * ((13*pp.p + 7*vv.pos + 5) % 29 - 14)
+             |        * (1 + (3*pp.p) % 17) * (vv.t % 97 + 1)) AS pcm_checksum
+             |  FROM base b
+             |  JOIN range(0, 2) ff(f) ON ff.f < b.nf
+             |  JOIN range(0, 2048) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (37*b.d + 911*ff.f) % 1024 AS pos,
+             |    1 + (b.d + ff.f) % 11 AS cb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q1.cb = 11 THEN 16 + b.d % 40
+             |    ELSE 1 + (b.d + ff.f) % (CASE q1.cb
+             |      WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 2
+             |      WHEN 5 THEN 4 WHEN 6 THEN 4 WHEN 7 THEN 7 WHEN 8 THEN 7
+             |      ELSE 12 END) END AS mag,
+             |    20 + (29*b.d + 7*ff.f) % 200
+             |      + (b.d + 3*ff.f) % 41 - 20 AS sf) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + ff.f) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.mag * (q2.mag + 2) * (1 + (5*q2.sf) % 13) AS xr,
+             |    q1.pos AS pos,
+             |    CASE WHEN pp.p < 1024 THEN ff.f*1024 + pp.p
+             |         ELSE (ff.f + 1)*1024 + pp.p - 1024 END AS t) vv
+             |  WHERE vv.t < 1024*b.nf
+             |  GROUP BY b.d, b.nf)
+             |SELECT d AS doc_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(1024*nf AS BIGINT) AS n_samples,
+             |  CAST(pcm_checksum AS BIGINT) AS pcm_checksum
+             |FROM chk ORDER BY doc_id""".stripMargin)),
+
     // REAL AAC MULTIPLE RAW DATA BLOCKS, graded exactly — the ADTS
     // header's 2-bit number_of_raw_data_blocks_in_frame: 3 or 4
     // one-line blocks grouped [2,1] / [3,1] under shared headers whose

@@ -517,29 +517,38 @@ object AacCodec {
 
   /** Wrap one raw_data_block body in an ADTS frame. */
   private def writeAdts(out: java.io.ByteArrayOutputStream, body: Array[Byte],
-                        channels: Int, nRawBlocks: Int = 1): Unit = {
+                        channels: Int, nRawBlocks: Int = 1,
+                        crc: Boolean = false): Unit = {
     require(nRawBlocks >= 1 && nRawBlocks <= 4, "aac: 1..4 raw data blocks per frame")
-    // ADTS header (protection_absent = 1 → 7 bytes)
+    require(!crc || nRawBlocks == 1,
+      "aac: CRC position tables for multi-block frames outside this profile")
+    // ADTS header (protection_absent = 1 → 7 bytes; with CRC → 9)
     val hw = new MpegAudio.BitWriter
     hw.put(0xfff, 12) // syncword
     hw.put(0, 1) // MPEG-4
     hw.put(0, 2) // layer
-    hw.put(1, 1) // protection_absent
+    hw.put(if (crc) 0 else 1, 1) // protection_absent
     hw.put(1, 2) // profile: AAC-LC
     hw.put(4, 4) // sampling_frequency_index (44100)
     hw.put(0, 1) // private
     hw.put(channels.toLong, 3) // channel_configuration
     hw.put(0, 1); hw.put(0, 1) // original, home
     hw.put(0, 1); hw.put(0, 1) // copyright id bits
-    hw.put((7 + body.length).toLong, 13) // frame_length
+    val hdrLen = if (crc) 9 else 7
+    hw.put((hdrLen + body.length).toLong, 13) // frame_length
     hw.put(0x7ff, 11) // buffer fullness (VBR)
     hw.put((nRawBlocks - 1).toLong, 2) // number_of_raw_data_blocks_in_frame - 1
     val hdr = hw.bytes()
     out.write(hdr, 0, hdr.length)
+    if (crc) {
+      val c = MpegAudio.crc16(
+        MpegAudio.byteBits(hdr, 0, 7) ++ MpegAudio.byteBits(body, 0, body.length))
+      out.write(c >> 8); out.write(c & 0xff)
+    }
     out.write(body, 0, body.length)
   }
 
-  def encode(frames: Seq[AacFrame]): Array[Byte] = {
+  def encode(frames: Seq[AacFrame], crc: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     frames.foreach { fr =>
       val bw = new MpegAudio.BitWriter
@@ -549,7 +558,7 @@ object AacCodec {
       writeIcs(bw, fr, includeInfo = true)
       bw.put(7, 3) // id_syn_ele = END
       bw.padToByte()
-      writeAdts(out, bw.bytes(), channels = 1)
+      writeAdts(out, bw.bytes(), channels = 1, crc = crc)
     }
     out.toByteArray
   }
@@ -1077,7 +1086,7 @@ object AacCodec {
       require(br.get(12) == 0xfff, "aac: lost ADTS sync")
       br.get(1) // version
       require(br.get(2) == 0, "aac: nonzero layer bits")
-      require(br.get(1) == 1, "aac: CRC-protected ADTS outside this profile")
+      val protAbsent = br.get(1) == 1 // 0 = crc_check present
       require(br.get(2) == 1, "aac: profile must be LC")
       br.get(4) // sampling frequency index
       br.get(1) // private
@@ -1089,6 +1098,23 @@ object AacCodec {
       require(off + frameLen <= bytes.length, "aac: ADTS frame runs past the stream")
       br.get(11) // buffer fullness
       val nRaw = br.get(2) // number_of_raw_data_blocks_in_frame - 1... + 1 below
+      if (!protAbsent) {
+        // adts_error_check: a 16-bit crc_check after the 7-byte header.
+        // The CRC itself is the REAL ISO polynomial (x^16+x^15+x^2+1,
+        // all-ones init, shared with the Layer III error_check); the
+        // COVERED REGION is pinned to header + raw data bytes (the
+        // spec's per-block position-table scheme is why multi-block
+        // protected frames stay rejected below).
+        require(nRaw == 0,
+          "aac: CRC position tables for multi-block frames outside this profile")
+        val crcField = br.get(16)
+        require(off + 9 <= off + frameLen, "aac: protected frame shorter than its CRC")
+        val computed = MpegAudio.crc16(
+          MpegAudio.byteBits(bytes, off, off + 7) ++
+            MpegAudio.byteBits(bytes, off + 9, off + frameLen))
+        require(computed == crcField,
+          s"aac: ADTS CRC mismatch (header $crcField, computed $computed)")
+      }
       require(channels == 0 || channels == chCfg,
         "aac: mixed channel configurations in one stream")
       channels = chCfg

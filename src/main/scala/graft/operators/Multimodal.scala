@@ -2687,6 +2687,40 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's CRC-PROTECTED ADTS stream: the q_aac_decode frame walk
+    * with protection_absent = 0 — a 16-bit crc_check (the real ISO
+    * CRC-16 polynomial shared with the Layer III error_check; covered
+    * region pinned to header + raw-data bytes) between the 7-byte
+    * header and the raw_data_block, frame_length covering all 9 header
+    * bytes. Decoded PCM must equal the unprotected coding; damage to
+    * the block or the CRC field must reject loudly.
+    */
+  private[operators] def aacCrcStream(d: Long): Array[Byte] = {
+    def frameOf(f: Int): AacCodec.AacFrame = {
+      val pos = ((37 * d + 911 * f) % 1024).toInt
+      val cb = (1 + (d + f) % 11).toInt
+      val mag =
+        if (cb == 11) (16 + d % 40).toInt
+        else (1 + (d + f) % AacCodec.cbLav(cb)).toInt
+      val v = if ((d + f) % 2 == 1) -mag else mag
+      AacCodec.AacFrame(
+        globalGain = (20 + (29 * d + 7 * f) % 200).toInt,
+        lines = Seq((pos, v, cb)),
+        sfDelta = ((d + 3 * f) % 41 - 20).toInt)
+    }
+    AacCodec.encode((0 until (1 + d % 2).toInt).map(frameOf), crc = true)
+  }
+
+  /** Each doc carries the [[aacCrcStream]] protected ADTS frames. */
+  def withAacCrcMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, aacCrcStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's AAC stream with MULTIPLE raw_data_blocks per ADTS frame
     * (plan shared with AacMultiSpec): 3 or 4 one-line blocks grouped as
     * [2,1] / [3,1] under shared headers whose frame_length covers every
