@@ -839,7 +839,13 @@ object H264Codec {
                              mrmb: Int => MrMb = null,
                              // multi-ref slice: emit a ref_pic_list
                              // modification putting the IDR at refIdx 0
-                             mrModify: Boolean = false)
+                             mrModify: Boolean = false,
+                             // before the multi-ref slice, emit a REFERENCE
+                             // all-P_Skip frame whose dec_ref_pic_marking
+                             // MMCO-1 unmarks the P frame (picNum 1), so the
+                             // DPB becomes [skip-copy, IDR] instead of the
+                             // sliding window's [skip-copy, P]
+                             mmco: Boolean = false)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1361,6 +1367,10 @@ object H264Codec {
       val f2 = H264Frame(w, h, recY, recU, recV)
       nals += nal(0, 1, weightedSlice(p, w, h, f2, ref, cabac))
     }
+    if (p.mmco) {
+      require(p.mrmb != null, "h264 fixture: the MMCO chain ends in a probe slice")
+      nals += nal(2, 1, mmcoSkipSlice(w, h, cabac))
+    }
     if (p.mrmb != null) {
       // non-reference multi-reference P slice with sub-partitions
       nals += nal(0, 1, multiRefSlice(p, w, h, cabac))
@@ -1423,6 +1433,42 @@ object H264Codec {
       snk.mvd(m.mv._1 - mvp._1, m.mv._2 - mvp._2, c * 4, r * 4, 4, 4)
       mg.fill(c * 4, r * 4, 4, 4, m.refIdx, m.mv._1, m.mv._2)
       snk.cbp(0, mb)
+      snk.endMb(mb == nMb - 1)
+      mb += 1
+    }
+    snk.finish()
+    bw.bytes()
+  }
+
+  /** Encode a REFERENCE all-P_Skip slice (frame_num 2) whose
+    * dec_ref_pic_marking carries one MMCO-1 operation unmarking picNum 1
+    * (the P frame): its reconstruction copies the P frame (skip = zero
+    * motion from list0[0]), and after marking the DPB holds
+    * [this copy, the IDR] — the sliding window alone would have kept
+    * the P frame and evicted the IDR.
+    */
+  private def mmcoSkipSlice(w: Int, h: Int, cabac: Boolean): Array[Byte] = {
+    val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
+    val bw = new BitWriter
+    bw.ue(0) // first_mb_in_slice
+    bw.ue(5) // slice_type: P
+    bw.ue(0) // pps id
+    bw.put(2, 8) // frame_num
+    bw.put(4, 8) // pic_order_cnt_lsb
+    bw.put(0, 1) // num_ref_idx_active_override_flag
+    bw.put(0, 1) // ref_pic_list_modification_flag_l0
+    bw.put(1, 1) // adaptive_ref_pic_marking_mode_flag
+    bw.ue(1) // memory_management_control_operation: short-term unmark
+    bw.ue(0) // difference_of_pic_nums_minus1 -> picNum 1
+    bw.ue(0) // end of MMCO list
+    if (cabac) bw.ue(0) // cabac_init_idc
+    bw.se(28 - 26) // slice_qp_delta
+    bw.ue(1) // disable_deblocking_filter_idc: off
+    val snk: IntraSink =
+      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
+    var mb = 0
+    while (mb < nMb) {
+      snk.pSkip(flag = true, mb)
       snk.endMb(mb == nMb - 1)
       mb += 1
     }
@@ -3453,16 +3499,28 @@ object H264Codec {
     val frames = scala.collection.mutable.ArrayBuffer.empty[H264Frame]
     for ((refIdc, t, rbsp) <- nals.drop(2)) {
       require(t == 5 || t == 1, s"h264: unexpected NAL type $t in the slice stream")
-      val rp = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
+      val (rp, unmark) = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
       frames += rp.frame
-      if (refIdc != 0) { refB = refA; refA = rp } // sliding reference window
+      if (refIdc != 0) {
+        // 8.2.5: adaptive MMCO-1 unmarks first, then the new reference
+        // enters; the remainder follows the two-slot sliding window
+        var avail = List(refA, refB).filter(_ != null)
+        unmark.foreach { pn =>
+          val i = avail.indexWhere(_.frameNum == pn)
+          require(i >= 0, "h264: MMCO names an absent reference")
+          avail = avail.patch(i, Nil, 1)
+        }
+        val kept = (rp :: avail).take(2)
+        refA = kept.head
+        refB = if (kept.length > 1) kept(1) else null
+      }
     }
     frames.toSeq
   }
 
   private def decodeSliceFrame(rbsp: Array[Byte], sps: Sps, pps: Pps,
                                isIdr: Boolean, refIdc: Int,
-                               refA: RefPic, refB: RefPic): RefPic = {
+                               refA: RefPic, refB: RefPic): (RefPic, Seq[Int]) = {
     val ref: H264Frame = if (refA != null) refA.frame else null
     val refPrev: H264Frame = if (refB != null) refB.frame else null
     val w = sps.widthMbs * 16
@@ -3571,9 +3629,28 @@ object H264Codec {
         ri += 1
       }
     }
+    val mmcoUnmark = scala.collection.mutable.ArrayBuffer.empty[Int]
     if (isIdr) { br.get(1); br.get(1) } // dec_ref_pic_marking (IDR form)
-    else if (refIdc != 0)
-      require(br.get(1) == 0, "h264: adaptive ref marking outside this profile")
+    else if (refIdc != 0) {
+      if (br.get(1) == 1) { // adaptive_ref_pic_marking_mode_flag (7.4.3.3)
+        var op = br.ue()
+        var n = 0
+        while (op != 0) {
+          // MMCO 1: mark the short-term picture with
+          // picNum = CurrPicNum - (difference_of_pic_nums_minus1 + 1)
+          // as unused for reference; other operations stay rejected
+          require(op == 1,
+            "h264: memory management beyond short-term unmark outside this profile")
+          val pn = frameNum - (br.ue() + 1)
+          require(pn >= 0, "h264: MMCO picNum wrap outside this profile")
+          mmcoUnmark += pn
+          n += 1
+          require(n <= 4, "h264: runaway MMCO list")
+          op = br.ue()
+        }
+        require(mmcoUnmark.nonEmpty, "h264: empty adaptive marking list")
+      }
+    }
     if (pps.entropyCabac && (isP || isB)) {
       val cabacInitIdc = br.ue() // 7.3.3: cabac_init_idc, 0..2
       require(cabacInitIdc == 0, "h264: only cabac_init_idc 0 context tables are pinned")
@@ -4150,7 +4227,7 @@ object H264Codec {
       H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff,
         offA, offB, mg1 = if (isB) mgB1 else null)
     }
-    RefPic(H264Frame(w, h, y, u, v), pocCur, mg, frameNum)
+    (RefPic(H264Frame(w, h, y, u, v), pocCur, mg, frameNum), mmcoUnmark.toSeq)
   }
 
   /** Decode one intra macroblock (I_PCM / I_4x4 / Intra_16x16) into the

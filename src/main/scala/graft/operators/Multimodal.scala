@@ -1268,6 +1268,35 @@ object Multimodal {
       })
   }
 
+  /** Adaptive reference marking plan: the [[h264PMRefPlan]] geometry
+    * behind an MMCO chain — a REFERENCE all-P_Skip frame (a pixel copy
+    * of the P frame) whose dec_ref_pic_marking unmarks the P frame
+    * (MMCO 1, picNum 1), so the probe slice's two references become
+    * [skip-copy, IDR]. The sliding window alone would keep the P frame
+    * and EVICT the IDR: a decoder ignoring the marking reads the P
+    * constants wherever the probe says reference 1.
+    */
+  private[operators] def h264MmcoPlan(d: Long, colv: Boolean): H264Codec.InterPlan =
+    h264PMRefPlan(d, colv).copy(mmco = true)
+
+  /** Each doc carries the [[h264MmcoPlan]] stream: the 7.4.3.3 MMCO
+    * syntax, the unmark-then-insert DPB update, and a reference
+    * all-P_Skip slice whose reconstruction must feed later fetches.
+    */
+  def withH264MmcoMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264MmcoPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Reference-list REORDERING plan: the [[h264PMRefPlan]] geometry with
     * ref_pic_list_modification_flag_l0 set — one idc-0 command names the
     * IDR's picNum, flipping list 0 from the default [P, IDR] to
