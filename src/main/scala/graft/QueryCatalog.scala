@@ -5924,6 +5924,123 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 PER-PARTITION WEIGHTED MULTI-REFERENCE prediction,
+    // graded byte-exact — an explicit two-reference pred_weight_table
+    // over the multi-ref sub-partition geometry: every 16x8/8x16
+    // partition and P_8x8 sub-MB applies the (weight, offset) pair of
+    // ITS OWN te() ref_idx (asymmetric per reference and per plane,
+    // with real clipping), so a decoder that indexes the table by one
+    // whole-MB reference shifts every mixed-reference macroblock.
+    ("q_h264_wpart",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264WPartMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 5760) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS mbspan) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s,
+             |    CASE WHEN m.colv THEN q2.jj // q2.wpl
+             |         ELSE q2.jj % q2.wpl END AS tt) q3
+             |  CROSS JOIN LATERAL (SELECT q3.s // q2.mbspan AS mi,
+             |    (q3.s % q2.mbspan) // (q2.mbspan // 2) AS qs,
+             |    q3.tt // (q2.mbspan // 2) AS qt,
+             |    (q3.s % (q2.mbspan // 2)) // (q2.mbspan // 4) AS us,
+             |    (q3.tt % (q2.mbspan // 2)) // (q2.mbspan // 4) AS ut) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 37 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 19 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1,
+             |    CASE q0.pl WHEN 0 THEN 23 WHEN 1 THEN 17 ELSE 13 END AS cb2) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    (cf.ca1*m.d) % 160 + 24 AS a0v,
+             |    (cf.ca1*m.d + cf.ca2) % 160 + 24 AS a1v,
+             |    (cf.ca1*m.d + 2*cf.ca2) % 160 + 24 AS a2v,
+             |    (cf.ca1*m.d + 4*cf.ca2) % 160 + 24 AS a4v,
+             |    (cf.cb1*m.d) % 160 + 24 AS b0v,
+             |    (cf.cb1*m.d + cf.cb2) % 160 + 24 AS b1v,
+             |    (cf.cb1*m.d + 2*cf.cb2) % 160 + 24 AS b2v,
+             |    (cf.cb1*m.d + 3*cf.cb2) % 160 + 24 AS b3v,
+             |    (cf.cb1*m.d + 4*cf.cb2) % 160 + 24 AS b4v) av
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi <= 1 THEN -1
+             |    ELSE CASE q4.mi
+             |      WHEN 0 THEN CASE WHEN q4.qt = 0 THEN 0 ELSE 1 END
+             |      WHEN 1 THEN CASE WHEN q4.qs = 0 THEN 1 ELSE 0 END
+             |      WHEN 2 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 1
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 0
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 1
+             |        ELSE 0 END
+             |      WHEN 3 THEN 1
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 0
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 1
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 0
+             |        ELSE 1 END
+             |      END
+             |    END AS rsel) rr
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 THEN
+             |      (cf.ca1*m.d + cf.ca2*q4.mi) % 160 + 24
+             |    WHEN qf.fi = 1 THEN
+             |      (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24
+             |    ELSE CASE q4.mi
+             |      WHEN 0 THEN CASE WHEN q4.qt = 0 THEN av.b0v ELSE av.a1v END
+             |      WHEN 1 THEN CASE WHEN q4.qs = 0 THEN av.a1v ELSE av.b0v END
+             |      WHEN 2 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN av.a4v
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN
+             |          CASE WHEN q4.us = 0 THEN av.b2v ELSE av.b3v END
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN
+             |          CASE WHEN q4.ut = 0 THEN av.a1v ELSE av.a2v END
+             |        ELSE CASE
+             |          WHEN q4.us = 0 AND q4.ut = 0 THEN av.b2v
+             |          WHEN q4.us = 1 AND q4.ut = 0 THEN av.b3v
+             |          WHEN q4.us = 0 AND q4.ut = 1 THEN av.b1v
+             |          ELSE av.b3v END END
+             |      WHEN 3 THEN CASE WHEN q4.qt = 0 THEN av.a2v ELSE av.a4v END
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN av.b3v
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN av.a4v
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN av.b4v
+             |        ELSE av.a0v END
+             |      END
+             |    END AS base) bb
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN rr.rsel < 0 THEN bb.base
+             |    ELSE LEAST(255, GREATEST(0,
+             |      (((CASE WHEN rr.rsel = 0 THEN 3 ELSE 1 END) * bb.base + 1) // 2)
+             |      + CASE q0.pl
+             |          WHEN 0 THEN CASE WHEN rr.rsel = 0 THEN 4 ELSE -2 END
+             |          WHEN 1 THEN CASE WHEN rr.rsel = 0 THEN 2 ELSE 6 END
+             |          ELSE CASE WHEN rr.rsel = 0 THEN -2 ELSE 4 END END))
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
         // REAL H.264 ADAPTIVE REFERENCE MARKING (7.4.3.3 / 8.2.5 MMCO 1),
     // graded byte-exact — a REFERENCE all-P_Skip frame (a pixel copy of
     // the P frame, its reconstruction feeding later fetches) carries a

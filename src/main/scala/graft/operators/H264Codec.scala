@@ -1505,7 +1505,23 @@ object H264Codec {
       bw.ue(1) // abs_diff_pic_num_minus1
       bw.ue(3) // end of modification list
     } else bw.put(0, 1) // ref_pic_list_modification_flag_l0
-    // plain PPS: no pred_weight_table; nal_ref_idc 0: no marking
+    if (p.wspec != null) {
+      // pred_weight_table (7.3.3.2): explicit per-reference weights —
+      // the decoder applies them PER PARTITION by each partition's
+      // own ref_idx
+      val ws = p.wspec
+      bw.ue(ws.lumaDenom)
+      bw.ue(ws.chromaDenom)
+      var ri = 0
+      while (ri < 2) {
+        bw.put(1, 1); bw.se(ws.luma(ri)._1); bw.se(ws.luma(ri)._2)
+        bw.put(1, 1)
+        bw.se(ws.cb(ri)._1); bw.se(ws.cb(ri)._2)
+        bw.se(ws.cr(ri)._1); bw.se(ws.cr(ri)._2)
+        ri += 1
+      }
+    }
+    // nal_ref_idc 0: no marking
     if (cabac) bw.ue(0) // cabac_init_idc
     bw.se(qp - 26) // slice_qp_delta
     bw.ue(1) // disable_deblocking_filter_idc: off
@@ -3824,11 +3840,7 @@ object H264Codec {
           else src.mbTypeI(mb)
         if ((isP && rawType < 5) || (isB && rawType < 23)) {
           if (isP) require(rawType <= 3, s"h264: P mb_type $rawType outside this profile")
-          // whole-MB wpApply below indexes the weight table by the MB's
-          // single refIdx; per-partition references under explicit
-          // weighting would need per-partition weight application
-          if (isP && numRef0 > 1) require(rawType == 0 || !pps.weightedPred,
-            "h264: per-partition weighted multi-reference prediction outside this profile")
+
           var mbRef0 = 0 // list-0 reference of this MB (P_L0_16x16 only)
           val (pY, pU, pV) =
             if (isB && rawType == 0) {
@@ -4047,6 +4059,13 @@ object H264Codec {
                   val (fY, fU, fV) = mcFetchRect(list0(refs8(k)).frame,
                     mx + (qx + lx) * 4,
                     my + (qy + ly) * 4, wC * 4, hC * 4, mvX, mvY)
+                  if (pps.weightedPred) {
+                    // explicit weights per SUB-MB reference (the
+                    // whole-MB pass below only covers 16x16)
+                    wpApply(fY, wpLuma(refs8(k))._1, wpLuma(refs8(k))._2, wpDL)
+                    wpApply(fU, wpCb(refs8(k))._1, wpCb(refs8(k))._2, wpDC)
+                    wpApply(fV, wpCr(refs8(k))._1, wpCr(refs8(k))._2, wpDC)
+                  }
                   val wP = wC * 4
                   var i = 0
                   while (i < fY.length) {
@@ -4106,6 +4125,12 @@ object H264Codec {
                 val (fY, fU, fV) = mcFetchRect(list0(refs2(pi)).frame,
                   mx + lx * 4, my + ly * 4,
                   wC * 4, hC * 4, mvX, mvY)
+                if (pps.weightedPred) {
+                  // explicit weights per PARTITION reference
+                  wpApply(fY, wpLuma(refs2(pi))._1, wpLuma(refs2(pi))._2, wpDL)
+                  wpApply(fU, wpCb(refs2(pi))._1, wpCb(refs2(pi))._2, wpDC)
+                  wpApply(fV, wpCr(refs2(pi))._1, wpCr(refs2(pi))._2, wpDC)
+                }
                 val wP = wC * 4
                 var i = 0
                 while (i < fY.length) {
@@ -4122,7 +4147,9 @@ object H264Codec {
               }
               (aY, aU, aV)
             }
-          if (isP && pps.weightedPred) {
+          if (isP && pps.weightedPred && rawType == 0) {
+            // 16x16: one reference per MB; sub-partition shapes applied
+            // their per-partition weights at fetch time above
             wpApply(pY, wpLuma(mbRef0)._1, wpLuma(mbRef0)._2, wpDL)
             wpApply(pU, wpCb(mbRef0)._1, wpCb(mbRef0)._2, wpDC)
             wpApply(pV, wpCr(mbRef0)._1, wpCr(mbRef0)._2, wpDC)

@@ -1268,6 +1268,34 @@ object Multimodal {
       })
   }
 
+  /** Per-partition WEIGHTED multi-reference plan: the [[h264PMRefPlan]]
+    * geometry under an explicit two-reference pred_weight_table —
+    * every 16x8/8x16 partition and P_8x8 sub-MB applies the weight pair
+    * of ITS OWN reference (luma (3,4)/(1,-2), cb (3,2)/(1,6), cr
+    * (3,-2)/(1,4), denominators 1), so indexing the table by the wrong
+    * (whole-MB) reference shifts every mixed-reference macroblock.
+    */
+  private[operators] def h264WPartPlan(d: Long, colv: Boolean): H264Codec.InterPlan =
+    h264PMRefPlan(d, colv).copy(wspec = H264Codec.WeightSpec(1, 1,
+      Seq((3, 4), (1, -2)), Seq((3, 2), (1, 6)), Seq((3, -2), (1, 4))))
+
+  /** Each doc carries the [[h264WPartPlan]] stream: explicit weighted
+    * prediction resolved per partition reference below 16x16.
+    */
+  def withH264WPartMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264WPartPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Adaptive reference marking plan: the [[h264PMRefPlan]] geometry
     * behind an MMCO chain — a REFERENCE all-P_Skip frame (a pixel copy
     * of the P frame) whose dec_ref_pic_marking unmarks the P frame
