@@ -5832,6 +5832,101 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 CABAC_INIT_IDC 1/2, graded byte-exact — the P slice
+    // selects one of the pinned per-idc context initialization tables
+    // (standing in for the spec's Table 9-12..9-33 init triples, the
+    // engine-table discipline); encoder and decoder must agree on the
+    // selected table or the arithmetic decode desyncs from the FIRST
+    // bin. The B sub-partition geometry rides ALL-CABAC with idc 1/2 by
+    // doc; initialization is pixel-transparent, so the expected values
+    // are exactly the q_h264_bsub table — any init mismatch destroys
+    // every decoded macroblock at once.
+    ("q_h264_cabinit",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264CabInitMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 5760) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS mbspan) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s,
+             |    CASE WHEN m.colv THEN q2.jj // q2.wpl
+             |         ELSE q2.jj % q2.wpl END AS tt) q3
+             |  CROSS JOIN LATERAL (SELECT q3.s // q2.mbspan AS mi,
+             |    (q3.s % q2.mbspan) // (q2.mbspan // 2) AS qs,
+             |    q3.tt // (q2.mbspan // 2) AS qt,
+             |    (q3.s % (q2.mbspan // 2)) // (q2.mbspan // 4) AS us,
+             |    (q3.tt % (q2.mbspan // 2)) // (q2.mbspan // 4) AS ut) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 37 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 19 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1,
+             |    CASE q0.pl WHEN 0 THEN 23 WHEN 1 THEN 17 ELSE 13 END AS cb2) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    (cf.ca1*m.d) % 160 + 24 AS a0v,
+             |    (cf.ca1*m.d + cf.ca2) % 160 + 24 AS a1v,
+             |    (cf.ca1*m.d + 2*cf.ca2) % 160 + 24 AS a2v,
+             |    (cf.ca1*m.d + 3*cf.ca2) % 160 + 24 AS a3v,
+             |    (cf.ca1*m.d + 4*cf.ca2) % 160 + 24 AS a4v,
+             |    (cf.cb1*m.d) % 160 + 24 AS b0v,
+             |    (cf.cb1*m.d + cf.cb2) % 160 + 24 AS b1v,
+             |    (cf.cb1*m.d + 2*cf.cb2) % 160 + 24 AS b2v,
+             |    (cf.cb1*m.d + 3*cf.cb2) % 160 + 24 AS b3v,
+             |    (cf.cb1*m.d + 4*cf.cb2) % 160 + 24 AS b4v) av
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi = 0 THEN
+             |      (cf.ca1*m.d + cf.ca2*q4.mi) % 160 + 24
+             |    WHEN qf.fi = 1 THEN
+             |      (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24
+             |    ELSE CASE q4.mi
+             |      WHEN 0 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN (av.b0v + av.a0v + 1) // 2
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN
+             |          CASE WHEN q4.us = 0 THEN av.b0v ELSE av.b1v END
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN
+             |          CASE WHEN q4.ut = 0 THEN av.a1v ELSE av.a0v END
+             |        ELSE (av.b1v + av.a2v + 1) // 2 END
+             |      WHEN 1 THEN CASE WHEN q4.qt = 0 THEN av.b1v ELSE av.a2v END
+             |      WHEN 2 THEN CASE WHEN q4.qs = 0 THEN av.a1v ELSE av.b3v END
+             |      WHEN 3 THEN CASE WHEN q4.qt = 0
+             |        THEN (av.b2v + av.a3v + 1) // 2
+             |        ELSE (av.b4v + av.a1v + 1) // 2 END
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN CASE
+             |          WHEN q4.us = 0 AND q4.ut = 0 THEN av.b4v
+             |          WHEN q4.us = 1 AND q4.ut = 0 THEN av.b3v
+             |          WHEN q4.us = 0 AND q4.ut = 1 THEN av.b2v
+             |          ELSE av.b3v END
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN av.a0v
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN (av.b3v + av.a4v + 1) // 2
+             |        ELSE CASE WHEN q4.ut = 0 THEN av.b4v ELSE av.b1v END END
+             |      END
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 MULTI-REFERENCE P SUB-PARTITIONS, graded byte-exact —
     // a plain P slice with two active list-0 references where every
     // 16x8/8x16 partition and every P_8x8 sub-MB carries its own te()

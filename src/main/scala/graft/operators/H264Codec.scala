@@ -30,10 +30,13 @@ package graft.operators
   * slice-level offsets), sub-16x16 B partitions (the full Table 7-14
   * two-partition family and B_8x8 with every Table 7-18 sub type), and
   * multi-reference sub-partitions (per-partition / per-sub-MB ref_idx
-  * in two-reference P slices). Remaining rungs (cabac_init_idc 1/2
-  * context tables, reference-list modification, adaptive ref marking,
-  * per-partition weighted multi-reference prediction) are REJECTED
-  * loudly, never misdecoded.
+  * in two-reference P slices), reference-list modification (8.2.4.3
+  * picNum remapping), adaptive reference marking (MMCO-1 short-term
+  * unmark with the 8.2.5 DPB update), per-partition weighted
+  * multi-reference prediction, and cabac_init_idc 1/2 (pinned per-idc
+  * context init tables). Remaining rungs (long-term reference
+  * machinery, B-list modification, MMCO 2..6) are REJECTED loudly,
+  * never misdecoded.
   *
   * Transport, exp-Golomb, the EP-byte rule (00 00 0x with x ≤ 3), the
   * I_PCM sample walk, and all the structural CAVLC/transform/prediction
@@ -845,7 +848,10 @@ object H264Codec {
                              // MMCO-1 unmarks the P frame (picNum 1), so the
                              // DPB becomes [skip-copy, IDR] instead of the
                              // sliding window's [skip-copy, P]
-                             mmco: Boolean = false)
+                             mmco: Boolean = false,
+                             // cabac_init_idc of the P slice (0..2): selects
+                             // the pinned context-initialization table
+                             cabacIdc: Int = 0)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1091,14 +1097,14 @@ object H264Codec {
       bw.put(0, 1) // chroma_weight_l0_flag
     }
     bw.put(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
-    if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
+    if (cabac) bw.ue(p.cabacIdc) // cabac_init_idc (7.3.3: selects the init table)
     bw.se(qp - 26) // slice_qp_delta
     if (deblockP) { bw.ue(0); bw.se(0); bw.se(0) } // filter on, zero offsets
     else bw.ue(1) // disable_deblocking_filter_idc: off
     val meta = new H264Deblock.DeblockMeta(mbW, mbH)
     java.util.Arrays.fill(meta.qpMb, qp)
     val snk: IntraSink =
-      if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
+      if (cabac) new CabacSink(bw, mbW, mbH, p.cabacIdc) else new CavlcSink(bw, mbW, mbH)
     var mb = 0
     while (mb < nMb) {
       val r = mb / mbW; val c = mb % mbW
@@ -2485,9 +2491,31 @@ object H264Codec {
   private val CtxBSub2 = 284 // B sub_mb_type bins 1..3
   private val NumCtx = 285
 
-  private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int) extends IntraSink {
+  /** Pinned per-idc CABAC context initialization: idc 0 keeps the
+    * documented all-zero base; idc 1/2 seed a deterministic
+    * (pStateIdx, valMPS) spread per context — PINNED IMPLEMENTATION
+    * VALUES standing in for the spec's Table 9-12..9-33 init triples
+    * (same discipline as the engine's range tables). Encoder and
+    * decoder must agree on the SELECTED table or the arithmetic decode
+    * desyncs from the first bin.
+    */
+  private def cabacInitStates(st: Array[Int], idc: Int): Unit = {
+    require(idc >= 0 && idc <= 2, "h264: cabac_init_idc is 0..2")
+    if (idc != 0) {
+      var c = 0
+      while (c < st.length / 2) {
+        st(2 * c) = (7 * idc + 3 * c) % 16
+        st(2 * c + 1) = (idc + c) & 1
+        c += 1
+      }
+    }
+  }
+
+  private final class CabacSink(bw: BitWriter, mbW: Int, mbH: Int,
+                                initIdc: Int = 0) extends IntraSink {
     bw.alignOnes() // cabac_alignment_one_bit
     private val st = new Array[Int](2 * NumCtx)
+    cabacInitStates(st, initIdc)
     private val eng = new H264Cabac.Enc(b => bw.put(b.toLong, 1))
     private val mbT = Array.fill(mbW * mbH)(-1)
     private val cmodeG = new Array[Int](mbW * mbH)
@@ -2801,9 +2829,11 @@ object H264Codec {
     def finish(): Unit = bw.alignZero()
   }
 
-  private final class CabacSource(br: BitReader, mbW: Int, mbH: Int) extends IntraSource {
+  private final class CabacSource(br: BitReader, mbW: Int, mbH: Int,
+                                  initIdc: Int = 0) extends IntraSource {
     br.alignOnesCheck() // cabac_alignment_one_bit
     private val st = new Array[Int](2 * NumCtx)
+    cabacInitStates(st, initIdc)
     private val eng = new H264Cabac.Dec(() => br.bitOrZero())
     private val mbT = Array.fill(mbW * mbH)(-1)
     private val cmodeG = new Array[Int](mbW * mbH)
@@ -3667,9 +3697,10 @@ object H264Codec {
         require(mmcoUnmark.nonEmpty, "h264: empty adaptive marking list")
       }
     }
+    var cabacIdc = 0
     if (pps.entropyCabac && (isP || isB)) {
-      val cabacInitIdc = br.ue() // 7.3.3: cabac_init_idc, 0..2
-      require(cabacInitIdc == 0, "h264: only cabac_init_idc 0 context tables are pinned")
+      cabacIdc = br.ue() // 7.3.3: cabac_init_idc, 0..2
+      require(cabacIdc <= 2, "h264: cabac_init_idc beyond 2")
     }
     var qp = pps.picInitQp + br.se() // slice_qp_delta
     require(qp >= 0 && qp <= 51, "h264: slice QP out of range")
@@ -3680,7 +3711,7 @@ object H264Codec {
     val mbW = w / 16; val mbH = h / 16
     val meta = new H264Deblock.DeblockMeta(mbW, mbH)
     val src: IntraSource =
-      if (pps.entropyCabac) new CabacSource(br, mbW, mbH)
+      if (pps.entropyCabac) new CabacSource(br, mbW, mbH, cabacIdc)
       else new CavlcSource(br, mbW, mbH)
     val modeG = new ModeGrid(mbW * 4, mbH * 4)
     val mg = new MotionGrid(mbW, mbH) // list 0

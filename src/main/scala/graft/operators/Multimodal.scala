@@ -1268,6 +1268,28 @@ object Multimodal {
       })
   }
 
+  /** cabac_init_idc plan: the [[h264BSubPlan]] geometry coded ALL-CABAC
+    * with the P slice selecting init table 1 or 2 by doc — the encoder
+    * and decoder must agree on the selected pinned context
+    * initialization or the arithmetic decode desyncs from the first
+    * bin. Pixel output is init-transparent (identical to the CAVLC
+    * coding), which is exactly what the oracle grades.
+    */
+  def withH264CabInitMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          val plan = h264BSubPlan(d, colv = d % 2 == 0)
+            .copy(cabacIdc = (1 + d % 2).toInt)
+          (d, H264Codec.encodeInter(plan, cabac = true))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Per-partition WEIGHTED multi-reference plan: the [[h264PMRefPlan]]
     * geometry under an explicit two-reference pred_weight_table —
     * every 16x8/8x16 partition and P_8x8 sub-MB applies the weight pair
