@@ -49,4 +49,15 @@ class BenchAdjudicateSpec extends AnyFunSuite {
     assert(Bench.artifactTarget(suspect = false, dirty) == "dev/bench_latest.json")
     assert(Bench.artifactTarget(suspect = false, None) == "dev/bench_latest.json")
   }
+
+  test("anchorDriftCount: over-2x rows above the floor, unanchored ignored") {
+    val anchors = Map("a" -> 1.0, "b" -> 0.3, "c" -> 2.0)
+    val qs = Map("a" -> 2.5, "b" -> 1.0, "c" -> 3.9, "d" -> 9.0)
+    // a is over 2x; b's anchor sits below the 0.5s floor; c is under 2x;
+    // d has no anchor
+    assert(Bench.anchorDriftCount(qs, anchors) == 1)
+    assert(Bench.anchorDriftCount(Map("a" -> 2.01), anchors) == 1)
+    assert(Bench.anchorDriftCount(Map("a" -> 2.0), anchors) == 0)
+    assert(Bench.anchorDriftCount(Map("a" -> -1.0), anchors) == 0) // failed run
+  }
 }
