@@ -7037,6 +7037,134 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL VP8 IN-LOOP FILTER ON INTER FRAMES, graded byte-exact — the
+    // inter header's filter_type / loop_filter_level / sharpness now
+    // parse (previously required zero) and the shared RFC 6386 filter
+    // runs after inter reconstruction, INSIDE the loop (the filtered
+    // frame is what reference buffers would see). Column-striped
+    // ZEROMV macroblocks put every vertical MB edge under the filter
+    // (simple on even docs — luma only, p0/q0; normal on odd — the
+    // 27/18/9 three-pixel cascade on luma AND chroma); the key frame
+    // must come through untouched.
+    ("q_vp8_lfinter",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8LfInterMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 16*(2 + n_chars % 2) AS w,
+             |    doc_id % 2 = 0 AS simple,
+             |    1 + doc_id % 63 AS lvl, (doc_id // 2) % 8 AS shp
+             |  FROM documents),
+             |lims AS (
+             |  SELECT *,
+             |    greatest(CASE WHEN shp > 0
+             |      THEN least(lvl >> (CASE WHEN shp > 4 THEN 2 ELSE 1 END),
+             |                 9 - shp)
+             |      ELSE lvl END, 1) AS il
+             |  FROM dims),
+             |px AS (
+             |  SELECT m.d, m.w,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM (SELECT *, (lvl + 2)*2 + il AS mblim FROM lims) m
+             |  JOIN range(0, 2) f(f) ON true
+             |  JOIN range(0, 1152) t(i) ON t.i < m.w*16*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*16 THEN 0
+             |         WHEN t.i < m.w*16 + (m.w//2)*8 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*16) % (m.w//2)
+             |      ELSE (t.i - m.w*16 - (m.w//2)*8) % (m.w//2) END AS x,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS smb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.x // q1.smb AS j, q1.x % q1.smb AS o,
+             |    m.w // 16 AS n) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (37*m.d) % 256
+             |      WHEN 1 THEN (17*m.d + 5) % 256
+             |      ELSE (41*m.d + 9) % 256 END AS kv) qk
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*q2.j) % 256
+             |        WHEN 1 THEN (91*m.d + 17*q2.j) % 256
+             |        ELSE (53*m.d + 23*q2.j) % 256 END
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN 30 + (31*m.d) % 170
+             |        + ((q2.j + m.d) % 2) * (1 + m.d % 24)
+             |      WHEN 1 THEN 25 + (91*m.d) % 180
+             |        + ((q2.j + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |      ELSE 20 + (53*m.d) % 190
+             |        + ((q2.j + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |    END END AS tv,
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*(q2.j - 1)) % 256
+             |        WHEN 1 THEN (91*m.d + 17*(q2.j - 1)) % 256
+             |        ELSE (53*m.d + 23*(q2.j - 1)) % 256 END
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN 30 + (31*m.d) % 170
+             |        + ((q2.j - 1 + m.d) % 2) * (1 + m.d % 24)
+             |      WHEN 1 THEN 25 + (91*m.d) % 180
+             |        + ((q2.j - 1 + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |      ELSE 20 + (53*m.d) % 190
+             |        + ((q2.j - 1 + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |    END END AS tm,
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*(q2.j + 1)) % 256
+             |        WHEN 1 THEN (91*m.d + 17*(q2.j + 1)) % 256
+             |        ELSE (53*m.d + 23*(q2.j + 1)) % 256 END
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN 30 + (31*m.d) % 170
+             |        + ((q2.j + 1 + m.d) % 2) * (1 + m.d % 24)
+             |      WHEN 1 THEN 25 + (91*m.d) % 180
+             |        + ((q2.j + 1 + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |      ELSE 20 + (53*m.d) % 190
+             |        + ((q2.j + 1 + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |    END END AS tp) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    q2.j > 0 AND (CASE WHEN m.simple
+             |      THEN q0.pl = 0 AND q2.o = 0 ELSE q2.o <= 2 END) AS aq,
+             |    q2.j < q2.n - 1 AND (CASE WHEN m.simple
+             |      THEN q0.pl = 0 AND q2.o = q1.smb - 1
+             |      ELSE q1.smb - 1 - q2.o <= 2 END) AS ap) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN q4.aq THEN q3.tm ELSE q3.tv END) - 128 AS sp,
+             |    (CASE WHEN q4.aq THEN q3.tv ELSE q3.tp END) - 128 AS sq) q5
+             |  CROSS JOIN LATERAL (SELECT q5.sp - q5.sq AS dd) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    abs(q6.dd)*2 + abs(q6.dd)//2 <= m.mblim AS cond,
+             |    greatest(-128, least(127,
+             |      greatest(-128, least(127, q6.dd)) - 3*q6.dd)) AS wv) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    greatest(-128, least(127, q7.wv + 4)) >> 3 AS f1,
+             |    greatest(-128, least(127, q7.wv + 3)) >> 3 AS f2,
+             |    greatest(-128, least(127, (27*q7.wv + 63) >> 7)) AS a27,
+             |    greatest(-128, least(127, (18*q7.wv + 63) >> 7)) AS a18,
+             |    greatest(-128, least(127, (9*q7.wv + 63) >> 7)) AS a9) q8
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN f.f = 0 THEN qk.kv
+             |    WHEN NOT (q4.aq OR q4.ap) OR NOT q7.cond THEN q3.tv
+             |    WHEN m.simple THEN
+             |      CASE WHEN q4.aq
+             |        THEN greatest(-128, least(127, q5.sq - q8.f1)) + 128
+             |        ELSE greatest(-128, least(127, q5.sp + q8.f2)) + 128 END
+             |    WHEN q4.aq THEN
+             |      greatest(-128, least(127, q5.sq - (CASE q2.o
+             |        WHEN 0 THEN q8.a27 WHEN 1 THEN q8.a18
+             |        ELSE q8.a9 END))) + 128
+             |    ELSE
+             |      greatest(-128, least(127, q5.sp + (CASE q1.smb - 1 - q2.o
+             |        WHEN 0 THEN q8.a27 WHEN 1 THEN q8.a18
+             |        ELSE q8.a9 END))) + 128
+             |    END AS val) vl
+             |  GROUP BY m.d, m.w)
+             |SELECT d AS doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     ("q_vp8_buffers",
       (s: SparkSession, d: String) =>
         Multimodal.decodeVp8VideoStats(

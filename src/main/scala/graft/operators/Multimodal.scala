@@ -1598,6 +1598,65 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's 2-frame VP8 video with the IN-LOOP filter on an INTER
+    * frame: an unfiltered single-constant key frame, then an inter frame
+    * of non-skip ZEROMV macroblocks steered to column stripes and
+    * FILTERED (filter_type simple/normal, level and sharpness rotating
+    * by doc). The filter code is shared with the graded key-frame path;
+    * what this rung grades is the inter header parse, the in-loop
+    * placement after inter reconstruction, and the 15.2 interior gate.
+    */
+  private[operators] def vp8LfInterFrames(d: Long, nc: Long): (Int, Seq[Array[Byte]]) = {
+    val w = (16 * (2 + nc % 2)).toInt
+    val h = 16
+    val mbW = w / 16
+    val simple = d % 2 == 0
+    def kt(pl: Int): Int = pl match {
+      case 0 => ((37 * d) % 256).toInt
+      case 1 => ((17 * d + 5) % 256).toInt
+      case _ => ((41 * d + 9) % 256).toInt
+    }
+    def tOf(pl: Int, j: Int): Int =
+      if (simple) pl match {
+        case 0 => ((31 * d + 29 * j) % 256).toInt
+        case 1 => ((91 * d + 17 * j) % 256).toInt
+        case _ => ((53 * d + 23 * j) % 256).toInt
+      }
+      else pl match {
+        case 0 => (30 + (31 * d) % 170 + ((j + d) % 2) * (1 + d % 24)).toInt
+        case 1 => (25 + (91 * d) % 180 + ((j + d) % 2) * (1 + (d + 7) % 24)).toInt
+        case _ => (20 + (53 * d) % 190 + ((j + d) % 2) * (1 + (d + 13) % 24)).toInt
+      }
+    val (kf, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h, qi = 0,
+      uvDcDelta = 0, yMode = 0, tokenPartitions = 1, skipAll = false,
+      _ => kt(0), _ => kt(1), _ => kt(2)))
+    val p2 = Vp8Codec.InterPlan(w, h, qi = 0, uvDcDelta = 0,
+      tokenPartitions = 1, refreshLast = false, refreshGolden = false,
+      mb = m => Vp8Codec.InterMb(0, 0, 0, 0, skip = false,
+        tOf(0, m % mbW), tOf(1, m % mbW), tOf(2, m % mbW)),
+      filterType = if (simple) 1 else 0,
+      filterLevel = (1 + d % 63).toInt,
+      sharpness = ((d / 2) % 8).toInt)
+    val (f2, _) = Vp8Codec.encodeInterFrame(p2, g1, g1)
+    (w, Seq(kf, f2))
+  }
+
+  /** Each doc carries the [[vp8LfInterFrames]] video. */
+  def withVp8LfInterMedia(docs: DataFrame, id: String = "doc_id",
+                          nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val (w, frames) = vp8LfInterFrames(d, nc)
+          (d, Vp8Codec.encodeIvf(w, 16, frames))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a VP8 key frame whose center MB is B_PRED hosting
     * ONE directional 4×4 sub-mode (VE/HE/RD/VR/HD/LD/VL/HU rotating by
     * doc) with NON-UNIFORM support — the neighbor MBs (or steered donor

@@ -1862,7 +1862,11 @@ object Vp8Codec {
                              copyToGolden: Int = 0, // 0 none, 1 last, 2 alt
                              copyToAlt: Int = 0, // 0 none, 1 last, 2 golden
                              signBiasGolden: Boolean = false,
-                             signBiasAlt: Boolean = false)
+                             signBiasAlt: Boolean = false,
+                             // in-loop filter (RFC 6386 15): 0 normal, 1 simple
+                             filterType: Int = 1,
+                             filterLevel: Int = 0,
+                             sharpness: Int = 0)
 
   /** Encode one inter frame against the uniform-grid reference state;
     * returns the stream and this frame's reconstruction grid.
@@ -1889,11 +1893,21 @@ object Vp8Codec {
     val probGolden = 91
 
     // ---- first partition: header ----
+    // a filtered reconstruction breaks the per-MB-uniform grid model the
+    // encoder's steering relies on, so a filtered inter frame must be
+    // TERMINAL: it may not refresh any reference buffer
+    require(plan.filterLevel == 0 ||
+      (!plan.refreshLast && !plan.refreshGolden && !plan.refreshAlt &&
+        plan.copyToGolden == 0 && plan.copyToAlt == 0),
+      "vp8 encode: a filtered inter frame must not refresh reference buffers")
+    require(plan.filterType == 0 || plan.filterType == 1)
+    require(plan.filterLevel >= 0 && plan.filterLevel < 64
+      && plan.sharpness >= 0 && plan.sharpness < 8, "vp8 encode: filter header")
     val hdr = new BoolEncoder
     hdr.putLiteral(0, 1) // segmentation disabled
-    hdr.putLiteral(0, 1) // filter type
-    hdr.putLiteral(0, 6) // loop filter level 0
-    hdr.putLiteral(0, 3) // sharpness
+    hdr.putLiteral(plan.filterType, 1)
+    hdr.putLiteral(plan.filterLevel, 6)
+    hdr.putLiteral(plan.sharpness, 3)
     hdr.putLiteral(0, 1) // no lf deltas
     hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2)
     hdr.putLiteral(plan.qi, 7)
@@ -2331,9 +2345,9 @@ object Vp8Codec {
 
     val hd = new BoolDecoder(b, 3, 3 + part0Len)
     require(hd.literal(1) == 0, "vp8: segmentation unsupported in this profile")
-    hd.literal(1) // filter type
-    require(hd.literal(6) == 0, "vp8: loop filter must be off in this profile")
-    hd.literal(3) // sharpness
+    val filterType = hd.literal(1)
+    val filterLevel = hd.literal(6)
+    val sharpness = hd.literal(3)
     require(hd.literal(1) == 0, "vp8: loop-filter deltas unsupported")
     val log2Parts = hd.literal(2)
     require(log2Parts <= 1, "vp8: this profile reads 1 or 2 token partitions")
@@ -2776,6 +2790,13 @@ object Vp8Codec {
       }
       r += 1
     }
+    // in-loop filter (RFC 6386 15.2): interior subblock edges run only
+    // for MBs that are not skip-coefficient-coded or are SPLITMV; the
+    // FILTERED frame is what enters the reference buffers
+    if (filterLevel > 0)
+      applyLoopFilter(yPlane, uPlane, vPlane, w, filterType, filterLevel,
+        sharpness, mbW, mbH,
+        mb => !skips(mb) || isSplitA(mb))
     (Vp8Frame(w, h, yPlane, uPlane, vPlane), refreshLast, refreshGolden,
       refreshAlt, copyToGolden, copyToAlt)
   }
