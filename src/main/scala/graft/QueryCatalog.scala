@@ -7747,6 +7747,85 @@ object QueryCatalog {
              |FROM base LEFT JOIN chk ON chk.d = base.d
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL MPEG-1 Layer III PADDING under fixed-rate framing, graded
+    // exactly — the header padding bit gives its frame one extra byte
+    // (how real 44100 Hz streams hit their exact bitrate), shifting
+    // every later frame's sync position AND the reservoir arithmetic:
+    // frame lengths, segment sizes, and main_data_begin offsets all
+    // differ from the unpadded coding while the PCM must not (padding
+    // is framing, not signal — spec-pinned in Mp3PadSpec along with the
+    // structural frame-shift check). Alternating padded frames per doc.
+    ("q_mp3_pad",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeMpegAudioStats(
+            Multimodal.withMp3PadMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id AS d FROM documents),
+             |inputs AS (
+             |  SELECT b.d, q8.gs, q7.sbp,
+             |    sum(q6.xr * q7.w * ((7*pp.p + 11*q7.kp + 3) % 23 - 11)
+             |      * (1 + (5*pp.p + 2) % 9)
+             |      * (CASE WHEN q7.sbp % 2 = 1 AND (q8.gs % 18) % 2 = 1
+             |              THEN -1 ELSE 1 END)) AS ival
+             |  FROM base b
+             |  JOIN range(0, 8) gg(gi) ON true
+             |  JOIN range(0, 2) aa(a) ON true
+             |  JOIN range(0, 36) pp(p) ON true
+             |  CROSS JOIN LATERAL (SELECT
+             |    (13 + 29*b.d + 101*gg.gi) % 32 AS pos,
+             |    (b.d + gg.gi) % 16 AS sc) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.pos // 18 AS sb, q1.pos % 18 AS k,
+             |    q1.pos // 26 AS band,
+             |    1 + (b.d + 3*gg.gi) % 13 AS v) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q2.band <= 10 THEN q1.sc // 4 ELSE q1.sc % 4 END AS slen) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (3*b.d + q2.band + gg.gi) % (1 << q4.slen)
+             |    + CASE WHEN (b.d // 2 + gg.gi) % 2 = 1 THEN q2.band % 3
+             |           ELSE 0 END AS sfv) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (b.d + 5*gg.gi) % 2 = 1 THEN -1 ELSE 1 END)
+             |      * q2.v * (q2.v + 2)
+             |      * (1 + ((29*b.d + 7*gg.gi) % 256) % 9)
+             |      * (1 + (3 * q5.sfv * (1 + (b.d // 4 + gg.gi) % 2)) % 11)
+             |      AS xr) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN aa.a = 0 THEN q2.sb
+             |         WHEN q2.k >= 10 THEN q2.sb + 1 ELSE q2.sb - 1 END AS sbp,
+             |    CASE WHEN aa.a = 0 THEN q2.k ELSE 17 - q2.k END AS kp,
+             |    CASE WHEN aa.a = 0 THEN
+             |      CASE WHEN q2.k >= 10 AND q2.sb < 31 THEN 2 + (17 - q2.k) % 3
+             |           WHEN q2.k <= 7 AND q2.sb >= 1 THEN 2 + q2.k % 3
+             |           ELSE 1 END
+             |    ELSE CASE WHEN q2.k >= 10 THEN 1 + (17 - q2.k) % 2
+             |              ELSE -(1 + q2.k % 2) END END AS w,
+             |    aa.a = 0 OR (q2.k >= 10 AND q2.sb < 31)
+             |      OR (q2.k <= 7 AND q2.sb >= 1) AS valid) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN pp.p < 18 THEN gg.gi*18 + pp.p
+             |         ELSE (gg.gi + 1)*18 + pp.p - 18 END AS gs) q8
+             |  WHERE q7.valid AND q8.gs < 144
+             |  GROUP BY b.d, q8.gs, q7.sbp),
+             |chk AS (
+             |  SELECT s.d,
+             |    sum(s.ival
+             |      * (((11*((mm.m % 2)*32 + ii.i) + 23*s.sbp + 7) % 31) - 15)
+             |      * (((7*(mm.m*32 + ii.i) + 13) % 29) - 14)
+             |      * (((s.gs + mm.m)*32 + ii.i) % 97 + 1)) AS pcm_checksum
+             |  FROM inputs s
+             |  JOIN range(0, 16) mm(m) ON s.gs + mm.m < 144
+             |  JOIN range(0, 32) ii(i) ON true
+             |  GROUP BY s.d)
+             |SELECT base.d AS doc_id, CAST(3 AS BIGINT) AS layer,
+             |  CAST(1 AS BIGINT) AS n_channels,
+             |  CAST(4 AS BIGINT) AS n_frames,
+             |  CAST(4608 AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(chk.pcm_checksum, 0) AS BIGINT) AS pcm_checksum
+             |FROM base LEFT JOIN chk ON chk.d = base.d
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL MPEG-1 Layer III MIXED BLOCKS, graded exactly — block_type 2
     // with mixed_block_flag: the two lowest polyphase subbands stay
     // LONG (natural transmitted order, long-band scalefactors with

@@ -1003,11 +1003,15 @@ object MpegAudio {
   /** The 4-byte MPEG-1 Layer III frame header (44100; free format by
     * default, or a fixed-rate index for reservoir streams). */
   private def l3WriteHeader(bw: BitWriter, mode: Int, modeExt: Int,
-                            brIdx: Int = 0, crc: Boolean = false): Unit = {
+                            brIdx: Int = 0, crc: Boolean = false,
+                            padding: Int = 0): Unit = {
     require(brIdx >= 0 && brIdx <= 14, "layer3: bitrate index is 0..14")
+    require(padding == 0 || brIdx != 0, "layer3: padding needs fixed-rate framing")
     bw.put(0x7ff, 11); bw.put(3, 2); bw.put(1, 2) // sync, MPEG-1, layer III (01)
     bw.put(if (crc) 0L else 1L, 1) // protection bit (0 = CRC present)
-    bw.put(brIdx.toLong, 4); bw.put(0, 2); bw.put(0, 1); bw.put(0, 1) // rate, 44100
+    bw.put(brIdx.toLong, 4); bw.put(0, 2) // bitrate index, 44100
+    bw.put(padding.toLong, 1) // padding: +1 frame byte
+    bw.put(0, 1) // private
     bw.put(mode.toLong, 2)
     bw.put(modeExt.toLong, 2)
     bw.put(0, 1); bw.put(0, 1); bw.put(0, 2)
@@ -1057,12 +1061,20 @@ object MpegAudio {
     * and main_data_begin ≤ 511) and zero-pads the final segment's
     * slack. scfsi 0 (reservoir and reuse are orthogonal; kept simple).
     */
-  def encodeL3Reservoir(brIdx: Int, grans: Seq[Array[L3Granule]]): Array[Byte] = {
+  def encodeL3Reservoir(brIdx: Int, grans: Seq[Array[L3Granule]],
+                        padding: Int => Int = _ => 0): Array[Byte] = {
     require(brIdx >= 1 && brIdx <= 14, "layer3: fixed-rate bitrate index is 1..14")
     require(grans.nonEmpty && grans.forall(_.length == 2),
       "layer3: MPEG-1 frames carry two granules")
-    val frameBytes = 144 * l3BitrateKbps(brIdx) * 1000 / 44100
-    val segBytes = frameBytes - 4 - 17 // header + mono side info
+    // the padding bit adds one byte to ITS frame (how real 44100 Hz
+    // streams hit their exact bitrate); each frame's segment grows with it
+    val baseBytes = 144 * l3BitrateKbps(brIdx) * 1000 / 44100
+    def segBytesOf(n: Int): Int = {
+      val pad = padding(n)
+      require(pad == 0 || pad == 1, "layer3: padding is one bit")
+      baseBytes + pad - 4 - 17 // header + mono side info
+    }
+    val segBytes = segBytesOf(0)
     require(segBytes > 0, "layer3: frame too small for mono side info")
     // logical main data per frame, byte-aligned by stuffing granule 1's tail
     val bodies = grans.map { gr =>
@@ -1075,10 +1087,10 @@ object MpegAudio {
     }
     val lbytes = bodies.map { case (a, b) => (a.length + b.length) / 8 }
     var surplus = 0
-    val mdbs = lbytes.map { lb =>
+    val mdbs = lbytes.zipWithIndex.map { case (lb, n) =>
       val m = surplus
       require(m <= 511, "layer3 fixture: main_data_begin beyond the 511-byte reservoir")
-      surplus += segBytes - lb
+      surplus += segBytesOf(n) - lb
       require(surplus >= 0,
         "layer3 fixture: a frame's main data must fit by its own frame's end")
       require(surplus <= 511, "layer3 fixture: reservoir surplus beyond 511 bytes")
@@ -1091,7 +1103,8 @@ object MpegAudio {
     var consumed = 0
     grans.indices.foreach { n =>
       val bw = new BitWriter
-      l3WriteHeader(bw, mode = 3, modeExt = 0, brIdx = brIdx)
+      l3WriteHeader(bw, mode = 3, modeExt = 0, brIdx = brIdx,
+        padding = padding(n))
       bw.put(mdbs(n).toLong, 9) // main_data_begin
       bw.put(0, 5) // private bits
       bw.put(0, 4) // scfsi
@@ -1100,9 +1113,9 @@ object MpegAudio {
       val head = bw.bytes()
       require(head.length == 21, "layer3: header + mono side info is 21 bytes")
       out.write(head, 0, head.length)
-      val end = math.min(consumed + segBytes, logical.length)
+      val end = math.min(consumed + segBytesOf(n), logical.length)
       out.write(logical, consumed, end - consumed)
-      var padB = segBytes - (end - consumed)
+      var padB = segBytesOf(n) - (end - consumed)
       while (padB > 0) { out.write(0); padB -= 1 } // stream-tail slack
       consumed = end
     }

@@ -2675,6 +2675,50 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** One doc's PADDED fixed-rate Layer III stream: the bit-reservoir
+    * granule walk with the header padding bit alternating per frame —
+    * padded frames span one extra byte (how real 44100 Hz streams hit
+    * their exact bitrate), so the reservoir offsets differ from the
+    * unpadded coding while the PCM must not.
+    */
+  private[operators] def mp3PadStream(d: Long): Array[Byte] = {
+    def gran(gi: Int): MpegAudio.L3Granule = {
+      val pos = ((13 + 29 * d + 101 * gi) % 32).toInt
+      val v = (1 + (d + 3 * gi) % 13).toInt
+      val signed = if ((d + 5 * gi) % 2 == 1) -v else v
+      val sc = ((d + gi) % 16).toInt
+      MpegAudio.L3Granule(
+        lines = Seq((pos, signed)),
+        globalGain = ((29 * d + 7 * gi) % 256).toInt,
+        scalefacCompress = sc,
+        tableSelect = Array((12 + d % 3).toInt, (12 + (d + 1) % 3).toInt,
+          (12 + (d + 2) % 3).toInt),
+        region0Count = (d % 6).toInt, region1Count = (d % 4).toInt,
+        preflag = ((d / 2 + gi) % 2).toInt,
+        scalefacScale = ((d / 4 + gi) % 2).toInt,
+        count1Table = (d % 2).toInt, count1Quads = 0,
+        stuffBits = (3 * ((d + gi) % 2)).toInt,
+        scalefac = band => {
+          val slen = if (band <= 10) sc >> 2 else sc & 3
+          ((3 * d + band + gi) % (1L << slen)).toInt
+        })
+    }
+    MpegAudio.encodeL3Reservoir((1 + d % 2).toInt,
+      (0 until 4).map(f => Array(gran(2 * f), gran(2 * f + 1))),
+      padding = n => ((n + d) % 2).toInt)
+  }
+
+  /** Each doc carries the [[mp3PadStream]] padded fixed-rate frames. */
+  def withMp3PadMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .repartition(32) // single-row-group fixture table; see withMp3Media
+      .as[Long]
+      .mapPartitions(batch => batch.map(d => (d, mp3PadStream(d))))
+      .toDF("doc_id", "media")
+  }
+
   /** One doc's Layer III STEREO WINDOW-SWITCHING stream (plan shared
     * with Mp3SwStereoSpec's replay): one frame, one coded line per
     * (granule, channel), rotating the stereo x block-type interplays —
