@@ -349,9 +349,20 @@ object Bench {
           """"(q_[A-Za-z0-9_]+)"\s*:\s*\{[^}]*"sec"\s*:\s*([0-9.]+)""".r
         val anchors = entryRe.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (anchors.isEmpty)
+          System.err.println(
+            "[bench] WARNING: dev/baseline_per_query.json parsed to 0 anchors — anchor-drift backstop disabled this run")
         anchorDriftCount(
           results.collect { case (n, r) if r.ok => n -> r.sec }.toMap, anchors)
-      } catch { case _: Throwable => 0 }
+      } catch {
+        case e: Throwable =>
+          // A missing/corrupt anchor file must not fail the bench, but a
+          // silently disabled backstop would let a contended run clobber
+          // the clean artifact with no signal — say so in the stdout tail.
+          System.err.println(
+            s"[bench] WARNING: anchor file unreadable (${e.getClass.getSimpleName}: ${e.getMessage}) — anchor-drift backstop disabled this run")
+          0
+      }
     val anchorSuspect = anchorDrift >= 8
     if (anchorSuspect)
       System.err.println(

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,36 +28,51 @@ object DedupAnnScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    // Shuffle-record accounting is keyed by job group (stage id → the
+    // group that launched it, task end → that group's counter), so a
+    // loaded machine's late task-end events from a previous probe land
+    // in the PREVIOUS probe's counter instead of skewing the next one —
+    // no cross-probe bleed by construction, unlike the earlier
+    // fixed-sleep drain.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val groupRecords =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null) j.stageIds.foreach(sid => stageGroup.put(sid, g))
+        (): Unit
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        if (t.taskMetrics != null)
-          shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        val g = stageGroup.get(t.stageId)
+        if (g != null && t.taskMetrics != null)
+          groupRecords
+            .computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
         (): Unit
       }
     })
-
-    def settle(): Unit = {
-      // the listener bus drains asynchronously; wait until the counter is
-      // STABLE (two consecutive reads equal) so a loaded machine's late
-      // task-end events from the previous probe can't bleed into the next
-      // probe's accounting, bounded at ~10 s
+    var probeSeq = 0
+    def measured(work: => Long): (Double, Long, Long) = {
+      probeSeq += 1
+      val group = s"scale-probe-$probeSeq"
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      val t0 = System.nanoTime()
+      val out = try work finally spark.sparkContext.clearJobGroup()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // the listener bus drains asynchronously: wait only for THIS
+      // group's counter to go stable (two consecutive reads equal),
+      // bounded at ~10 s — under-count is the sole remaining risk and
+      // stability covers it
+      def cnt: Long = Option(groupRecords.get(group)).map(_.get()).getOrElse(0L)
       var prev = -1L
       var tries = 0
-      while (tries < 20 && shuffleRecords.get() != prev) {
-        prev = shuffleRecords.get()
-        Thread.sleep(500)
+      while (tries < 50 && cnt != prev) {
+        prev = cnt
+        Thread.sleep(200)
         tries += 1
       }
-    }
-    def measured(work: => Long): (Double, Long, Long) = {
-      settle()
-      shuffleRecords.set(0)
-      val t0 = System.nanoTime()
-      val out = work
-      val wall = (System.nanoTime() - t0) / 1e9
-      settle()
-      (math.round(wall * 100) / 100.0, shuffleRecords.get(), out)
+      (math.round(wall * 100) / 100.0, cnt, out)
     }
 
     // ---- MinHash-LSH: the q_lsh_scale corpus shape at 1x and 10x -----------

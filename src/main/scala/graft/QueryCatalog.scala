@@ -6230,6 +6230,121 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 LONG-TERM REFERENCES (8.2.5.4 MMCO 2/3/4/6 + the
+    // 8.2.4.2.1 short-then-long default order + 7.3.3.1 idc-2 naming),
+    // graded byte-exact over four chain variants rotating by doc:
+    // (0) the IDR parked long-term (MMCO 4+3+1) and probed as the
+    // second list entry; (1) the marking frame ITSELF parked long-term
+    // (MMCO 4+1+6) and reconstructed one stripe SHIFTED, so short-vs-
+    // long list placement is value-visible; (2) chain 0 followed by an
+    // MMCO-2 long-term unmark, returning the probe to two short-terms;
+    // (3) chain 0 with the probe naming the long-term by
+    // LongTermPicNum through a list modification, flipping the list. A
+    // decoder that drops an operation either overflows the two-picture
+    // DPB (loud) or fetches the wrong picture's constants.
+    ("q_h264_ltref",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264LtRefMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv,
+             |    (doc_id // 2) % 4 AS v,
+             |    CASE WHEN (doc_id // 2) % 4 = 2 THEN 5 ELSE 4 END AS nf
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi0 + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 9600) t(i) ON t.i < m.nf * 1920
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi0, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS mbspan) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s,
+             |    CASE WHEN m.colv THEN q2.jj // q2.wpl
+             |         ELSE q2.jj % q2.wpl END AS tt) q3
+             |  CROSS JOIN LATERAL (SELECT q3.s // q2.mbspan AS mi,
+             |    (q3.s % q2.mbspan) // (q2.mbspan // 2) AS qs,
+             |    q3.tt // (q2.mbspan // 2) AS qt,
+             |    (q3.s % (q2.mbspan // 2)) // (q2.mbspan // 4) AS us,
+             |    (q3.tt % (q2.mbspan // 2)) // (q2.mbspan // 4) AS ut) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 37 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 19 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1,
+             |    CASE q0.pl WHEN 0 THEN 23 WHEN 1 THEN 17 ELSE 13 END AS cb2) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q4.mi
+             |      WHEN 0 THEN CASE WHEN q4.qt = 0 THEN 0 ELSE 1 END
+             |      WHEN 1 THEN CASE WHEN q4.qs = 0 THEN 1 ELSE 0 END
+             |      WHEN 2 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 1
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 0
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 1
+             |        ELSE 0 END
+             |      WHEN 3 THEN 1
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 0
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 1
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 0
+             |        ELSE 1 END
+             |    END AS rr,
+             |    CASE q4.mi
+             |      WHEN 0 THEN CASE WHEN q4.qt = 0 THEN 0 ELSE 1 END
+             |      WHEN 1 THEN CASE WHEN q4.qs = 0 THEN 1 ELSE 0 END
+             |      WHEN 2 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 4
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN
+             |          CASE WHEN q4.us = 0 THEN 2 ELSE 3 END
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN
+             |          CASE WHEN q4.ut = 0 THEN 1 ELSE 2 END
+             |        ELSE CASE
+             |          WHEN q4.us = 0 AND q4.ut = 0 THEN 2
+             |          WHEN q4.us = 1 AND q4.ut = 0 THEN 3
+             |          WHEN q4.us = 0 AND q4.ut = 1 THEN 1
+             |          ELSE 3 END END
+             |      WHEN 3 THEN CASE WHEN q4.qt = 0 THEN 2 ELSE 4 END
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 3
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 4
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 4
+             |        ELSE 0 END
+             |    END AS kk) qr
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi0 = 0 THEN (cf.ca1*m.d + cf.ca2*q4.mi) % 160 + 24
+             |    WHEN qf.fi0 = 1 THEN (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24
+             |    WHEN qf.fi0 = 2 THEN CASE WHEN m.v = 1
+             |        THEN (cf.cb1*m.d + cf.cb2*least(q4.mi + 1, 4)) % 160 + 24
+             |        ELSE (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24 END
+             |    WHEN qf.fi0 = 3 AND m.v = 2
+             |      THEN (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24
+             |    WHEN qr.rr = 0 THEN
+             |      CASE WHEN m.v = 3 THEN (cf.ca1*m.d + cf.ca2*qr.kk) % 160 + 24
+             |           ELSE (cf.cb1*m.d + cf.cb2*qr.kk) % 160 + 24 END
+             |    ELSE
+             |      CASE WHEN m.v = 0 THEN (cf.ca1*m.d + cf.ca2*qr.kk) % 160 + 24
+             |        WHEN m.v = 1
+             |          THEN (cf.cb1*m.d + cf.cb2*least(qr.kk + 1, 4)) % 160 + 24
+             |        ELSE (cf.cb1*m.d + cf.cb2*qr.kk) % 160 + 24 END
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(dims.nf AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 REFERENCE-LIST MODIFICATION (7.3.3.1 / 8.2.4.3),
     // graded byte-exact — the multi-reference sub-partition geometry
     // under a reordered list 0: one idc-0 command names picNum 0 (the
@@ -7134,6 +7249,357 @@ object QueryCatalog {
              |  CROSS JOIN LATERAL (SELECT q5.sp - q5.sq AS dd) q6
              |  CROSS JOIN LATERAL (SELECT
              |    abs(q6.dd)*2 + abs(q6.dd)//2 <= m.mblim AS cond,
+             |    greatest(-128, least(127,
+             |      greatest(-128, least(127, q6.dd)) - 3*q6.dd)) AS wv) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    greatest(-128, least(127, q7.wv + 4)) >> 3 AS f1,
+             |    greatest(-128, least(127, q7.wv + 3)) >> 3 AS f2,
+             |    greatest(-128, least(127, (27*q7.wv + 63) >> 7)) AS a27,
+             |    greatest(-128, least(127, (18*q7.wv + 63) >> 7)) AS a18,
+             |    greatest(-128, least(127, (9*q7.wv + 63) >> 7)) AS a9) q8
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN f.f = 0 THEN qk.kv
+             |    WHEN NOT (q4.aq OR q4.ap) OR NOT q7.cond THEN q3.tv
+             |    WHEN m.simple THEN
+             |      CASE WHEN q4.aq
+             |        THEN greatest(-128, least(127, q5.sq - q8.f1)) + 128
+             |        ELSE greatest(-128, least(127, q5.sp + q8.f2)) + 128 END
+             |    WHEN q4.aq THEN
+             |      greatest(-128, least(127, q5.sq - (CASE q2.o
+             |        WHEN 0 THEN q8.a27 WHEN 1 THEN q8.a18
+             |        ELSE q8.a9 END))) + 128
+             |    ELSE
+             |      greatest(-128, least(127, q5.sp + (CASE q1.smb - 1 - q2.o
+             |        WHEN 0 THEN q8.a27 WHEN 1 THEN q8.a18
+             |        ELSE q8.a9 END))) + 128
+             |    END AS val) vl
+             |  GROUP BY m.d, m.w)
+             |SELECT d AS doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  CAST(2 AS BIGINT) AS n_frames,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // VP8 SEGMENTATION on the quantizer (RFC 6386 §9.3), graded
+    // pixel-exact: each key frame codes a live per-MB segment map (ids
+    // m % 4 through the coded tree, probabilities rotating by doc) and
+    // per-segment quantizer features (absolute / delta mode rotating),
+    // and the encoder steers every MB's DC levels UNDER ITS SEGMENT'S
+    // step so reconstruction lands on closed-form per-MB targets. The
+    // oracle replays the targets; a decoder that drops the map,
+    // mis-walks the tree, or derives the wrong per-segment step
+    // reconstructs the steered levels with the wrong step and moves the
+    // checksum. No filtering (all loop-filter features zero).
+    ("q_vp8_segment",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.withVp8SegmentMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 16*(4 + n_chars % 2) AS w FROM documents),
+             |px AS (
+             |  SELECT m.d, m.w,
+             |    sum(vv.val) AS pix_sum,
+             |    sum(vv.val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims m
+             |  JOIN range(0, 1920) t(i) ON t.i < m.w*16*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*16 THEN 0
+             |         WHEN t.i < m.w*16 + (m.w//2)*8 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (t.i % m.w) // 16
+             |      WHEN 1 THEN ((t.i - m.w*16) % (m.w//2)) // 8
+             |      ELSE ((t.i - m.w*16 - (m.w//2)*8) % (m.w//2)) // 8 END AS j) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (31*m.d + 13*q1.j) % 256
+             |      WHEN 1 THEN (91*m.d + 7*q1.j) % 256
+             |      ELSE (53*m.d + 11*q1.j) % 256 END AS val) vv
+             |  GROUP BY m.d, m.w)
+             |SELECT d AS doc_id, 'vp8' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*16*3//2 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // VP8 PER-SEGMENT LOOP-FILTER LEVELS + the §9.4 intra ref-frame
+    // delta on key frames: alternating stripes sit in segments 0/1 with
+    // distinct per-segment levels (absolute / delta feature mode
+    // rotating by doc), refDelta(0) adds to every (all-intra) MB, and
+    // each MB edge is filtered with the OWNING MB's limits — the
+    // closed-form replay of q_vp8_loopfilter generalized to levels that
+    // DIFFER across the edge's two sides (edge (j−1, j) is owned by
+    // stripe j). The frame-level field differs from every effective
+    // level, so falling back to it is a detected tamper; a level
+    // clamped to 0 skips that stripe's edges entirely.
+    ("q_vp8_seglf",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.withVp8SegLfMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d,
+             |    CASE WHEN doc_id % 2 = 0 THEN 16*(2 + n_chars % 2)
+             |         ELSE 16 END AS w,
+             |    CASE WHEN doc_id % 2 = 0 THEN 16
+             |         ELSE 16*(2 + n_chars % 2) END AS h,
+             |    doc_id % 4 < 2 AS simple, doc_id % 2 = 0 AS colv,
+             |    (doc_id // 4) % 2 = 0 AS amode,
+             |    10 + (5*doc_id) % 30 AS flvl,
+             |    doc_id % 13 - 6 AS rd0, doc_id % 8 AS shp
+             |  FROM documents),
+             |lvls AS (
+             |  SELECT *,
+             |    greatest(0, least(63, greatest(0, least(63,
+             |      CASE WHEN amode THEN 1 + d % 40
+             |           ELSE flvl - d % 10 END)) + rd0)) AS lvl0,
+             |    greatest(0, least(63, greatest(0, least(63,
+             |      CASE WHEN amode THEN 1 + (3*d + 17) % 40
+             |           ELSE flvl + (3*d + 5) % 15 END)) + rd0)) AS lvl1
+             |  FROM dims),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val) AS pix_sum,
+             |    sum(vv.val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM lvls m
+             |  JOIN range(0, 1152) t(i) ON t.i < m.w*m.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*m.h THEN 0
+             |         WHEN t.i < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) % (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN t.i // m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) // (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS smb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN m.colv THEN q1.x ELSE q1.yy END) // q1.smb AS j,
+             |    (CASE WHEN m.colv THEN q1.x ELSE q1.yy END) % q1.smb AS o,
+             |    CASE WHEN m.colv THEN m.w // 16 ELSE m.h // 16 END AS n) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q2.j % 2 = 0 THEN m.lvl0 ELSE m.lvl1 END AS elq,
+             |    CASE WHEN (q2.j + 1) % 2 = 0 THEN m.lvl0 ELSE m.lvl1 END AS elp) ql
+             |  CROSS JOIN LATERAL (SELECT
+             |    (ql.elq + 2)*2 + greatest(CASE WHEN m.shp > 0
+             |      THEN least(ql.elq >> (CASE WHEN m.shp > 4 THEN 2 ELSE 1 END),
+             |                 9 - m.shp)
+             |      ELSE ql.elq END, 1) AS mblimq,
+             |    (ql.elp + 2)*2 + greatest(CASE WHEN m.shp > 0
+             |      THEN least(ql.elp >> (CASE WHEN m.shp > 4 THEN 2 ELSE 1 END),
+             |                 9 - m.shp)
+             |      ELSE ql.elp END, 1) AS mblimp) qm
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*q2.j) % 256
+             |        WHEN 1 THEN (91*m.d + 17*q2.j) % 256
+             |        ELSE (53*m.d + 23*q2.j) % 256 END
+             |    ELSE
+             |      CASE q0.pl
+             |        WHEN 0 THEN 30 + (31*m.d) % 170
+             |          + ((q2.j + m.d) % 2) * (1 + m.d % 24)
+             |        WHEN 1 THEN 25 + (91*m.d) % 180
+             |          + ((q2.j + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |        ELSE 20 + (53*m.d) % 190
+             |          + ((q2.j + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |      END END AS tv,
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*(q2.j - 1)) % 256
+             |        WHEN 1 THEN (91*m.d + 17*(q2.j - 1)) % 256
+             |        ELSE (53*m.d + 23*(q2.j - 1)) % 256 END
+             |    ELSE
+             |      CASE q0.pl
+             |        WHEN 0 THEN 30 + (31*m.d) % 170
+             |          + ((q2.j - 1 + m.d) % 2) * (1 + m.d % 24)
+             |        WHEN 1 THEN 25 + (91*m.d) % 180
+             |          + ((q2.j - 1 + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |        ELSE 20 + (53*m.d) % 190
+             |          + ((q2.j - 1 + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |      END END AS tm,
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*(q2.j + 1)) % 256
+             |        WHEN 1 THEN (91*m.d + 17*(q2.j + 1)) % 256
+             |        ELSE (53*m.d + 23*(q2.j + 1)) % 256 END
+             |    ELSE
+             |      CASE q0.pl
+             |        WHEN 0 THEN 30 + (31*m.d) % 170
+             |          + ((q2.j + 1 + m.d) % 2) * (1 + m.d % 24)
+             |        WHEN 1 THEN 25 + (91*m.d) % 180
+             |          + ((q2.j + 1 + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |        ELSE 20 + (53*m.d) % 190
+             |          + ((q2.j + 1 + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |      END END AS tp) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    q2.j > 0 AND (CASE WHEN m.simple
+             |      THEN q0.pl = 0 AND q2.o = 0 ELSE q2.o <= 2 END) AS aq,
+             |    q2.j < q2.n - 1 AND (CASE WHEN m.simple
+             |      THEN q0.pl = 0 AND q2.o = q1.smb - 1
+             |      ELSE q1.smb - 1 - q2.o <= 2 END) AS ap) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN q4.aq THEN q3.tm ELSE q3.tv END) - 128 AS sp,
+             |    (CASE WHEN q4.aq THEN q3.tv ELSE q3.tp END) - 128 AS sq) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    q5.sp - q5.sq AS dd) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q4.aq
+             |      THEN ql.elq > 0 AND abs(q6.dd)*2 + abs(q6.dd)//2 <= qm.mblimq
+             |      ELSE ql.elp > 0 AND abs(q6.dd)*2 + abs(q6.dd)//2 <= qm.mblimp
+             |    END AS cond,
+             |    greatest(-128, least(127,
+             |      greatest(-128, least(127, q6.dd)) - 3*q6.dd)) AS wv) q7
+             |  CROSS JOIN LATERAL (SELECT
+             |    greatest(-128, least(127, q7.wv + 4)) >> 3 AS f1,
+             |    greatest(-128, least(127, q7.wv + 3)) >> 3 AS f2,
+             |    greatest(-128, least(127, (27*q7.wv + 63) >> 7)) AS a27,
+             |    greatest(-128, least(127, (18*q7.wv + 63) >> 7)) AS a18,
+             |    greatest(-128, least(127, (9*q7.wv + 63) >> 7)) AS a9) q8
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN NOT (q4.aq OR q4.ap) OR NOT q7.cond THEN q3.tv
+             |    WHEN m.simple THEN
+             |      CASE WHEN q4.aq
+             |        THEN greatest(-128, least(127, q5.sq - q8.f1)) + 128
+             |        ELSE greatest(-128, least(127, q5.sp + q8.f2)) + 128 END
+             |    WHEN q4.aq THEN
+             |      greatest(-128, least(127, q5.sq - (CASE q2.o
+             |        WHEN 0 THEN q8.a27 WHEN 1 THEN q8.a18
+             |        ELSE q8.a9 END))) + 128
+             |    ELSE
+             |      greatest(-128, least(127, q5.sp + (CASE q1.smb - 1 - q2.o
+             |        WHEN 0 THEN q8.a27 WHEN 1 THEN q8.a18
+             |        ELSE q8.a9 END))) + 128
+             |    END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, 'vp8' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*h*3//2 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
+    // VP8 SEGMENTATION ON AN INTER FRAME: the segment map rides the
+    // inter-frame header, selecting BOTH a per-segment quantizer (the
+    // steered ZEROMV residues ride it) and a per-segment loop-filter
+    // level, and the §9.4 deltas are live — refDelta(1) (every MB
+    // references LAST) and modeDelta(1) (every MB is ZEROMV) both add
+    // before the final clamp. The unfiltered key frame must come
+    // through untouched; frame 2 replays the per-stripe-level edge
+    // closed form.
+    ("q_vp8_seginter",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeVp8VideoStats(
+            Multimodal.withVp8SegInterMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 16*(2 + n_chars % 2) AS w,
+             |    doc_id % 2 = 0 AS simple,
+             |    (doc_id // 4) % 2 = 0 AS amode,
+             |    10 + (7*doc_id) % 30 AS flvl,
+             |    (doc_id % 11 - 5) + (doc_id % 9 - 4) AS rdm,
+             |    (doc_id // 2) % 8 AS shp
+             |  FROM documents),
+             |lvls AS (
+             |  SELECT *,
+             |    greatest(0, least(63, greatest(0, least(63,
+             |      CASE WHEN amode THEN 1 + (3*d) % 40
+             |           ELSE flvl - d % 9 END)) + rdm)) AS lvl0,
+             |    greatest(0, least(63, greatest(0, least(63,
+             |      CASE WHEN amode THEN 1 + (5*d + 9) % 40
+             |           ELSE flvl + (2*d + 3) % 14 END)) + rdm)) AS lvl1
+             |  FROM dims),
+             |px AS (
+             |  SELECT m.d, m.w,
+             |    sum(vl.val * (t.i % 97 + 1) * (f.f + 1)) AS pix_checksum
+             |  FROM lvls m
+             |  JOIN range(0, 2) f(f) ON true
+             |  JOIN range(0, 1152) t(i) ON t.i < m.w*16*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*16 THEN 0
+             |         WHEN t.i < m.w*16 + (m.w//2)*8 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*16) % (m.w//2)
+             |      ELSE (t.i - m.w*16 - (m.w//2)*8) % (m.w//2) END AS x,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS smb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    q1.x // q1.smb AS j, q1.x % q1.smb AS o,
+             |    m.w // 16 AS n) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q2.j % 2 = 0 THEN m.lvl0 ELSE m.lvl1 END AS elq,
+             |    CASE WHEN (q2.j + 1) % 2 = 0 THEN m.lvl0 ELSE m.lvl1 END AS elp) ql
+             |  CROSS JOIN LATERAL (SELECT
+             |    (ql.elq + 2)*2 + greatest(CASE WHEN m.shp > 0
+             |      THEN least(ql.elq >> (CASE WHEN m.shp > 4 THEN 2 ELSE 1 END),
+             |                 9 - m.shp)
+             |      ELSE ql.elq END, 1) AS mblimq,
+             |    (ql.elp + 2)*2 + greatest(CASE WHEN m.shp > 0
+             |      THEN least(ql.elp >> (CASE WHEN m.shp > 4 THEN 2 ELSE 1 END),
+             |                 9 - m.shp)
+             |      ELSE ql.elp END, 1) AS mblimp) qm
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (37*m.d) % 256
+             |      WHEN 1 THEN (17*m.d + 5) % 256
+             |      ELSE (41*m.d + 9) % 256 END AS kv) qk
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*q2.j) % 256
+             |        WHEN 1 THEN (91*m.d + 17*q2.j) % 256
+             |        ELSE (53*m.d + 23*q2.j) % 256 END
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN 30 + (31*m.d) % 170
+             |        + ((q2.j + m.d) % 2) * (1 + m.d % 24)
+             |      WHEN 1 THEN 25 + (91*m.d) % 180
+             |        + ((q2.j + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |      ELSE 20 + (53*m.d) % 190
+             |        + ((q2.j + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |    END END AS tv,
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*(q2.j - 1)) % 256
+             |        WHEN 1 THEN (91*m.d + 17*(q2.j - 1)) % 256
+             |        ELSE (53*m.d + 23*(q2.j - 1)) % 256 END
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN 30 + (31*m.d) % 170
+             |        + ((q2.j - 1 + m.d) % 2) * (1 + m.d % 24)
+             |      WHEN 1 THEN 25 + (91*m.d) % 180
+             |        + ((q2.j - 1 + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |      ELSE 20 + (53*m.d) % 190
+             |        + ((q2.j - 1 + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |    END END AS tm,
+             |    CASE WHEN m.simple THEN
+             |      CASE q0.pl WHEN 0 THEN (31*m.d + 29*(q2.j + 1)) % 256
+             |        WHEN 1 THEN (91*m.d + 17*(q2.j + 1)) % 256
+             |        ELSE (53*m.d + 23*(q2.j + 1)) % 256 END
+             |    ELSE CASE q0.pl
+             |      WHEN 0 THEN 30 + (31*m.d) % 170
+             |        + ((q2.j + 1 + m.d) % 2) * (1 + m.d % 24)
+             |      WHEN 1 THEN 25 + (91*m.d) % 180
+             |        + ((q2.j + 1 + m.d) % 2) * (1 + (m.d + 7) % 24)
+             |      ELSE 20 + (53*m.d) % 190
+             |        + ((q2.j + 1 + m.d) % 2) * (1 + (m.d + 13) % 24)
+             |    END END AS tp) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    q2.j > 0 AND (CASE WHEN m.simple
+             |      THEN q0.pl = 0 AND q2.o = 0 ELSE q2.o <= 2 END) AS aq,
+             |    q2.j < q2.n - 1 AND (CASE WHEN m.simple
+             |      THEN q0.pl = 0 AND q2.o = q1.smb - 1
+             |      ELSE q1.smb - 1 - q2.o <= 2 END) AS ap) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN q4.aq THEN q3.tm ELSE q3.tv END) - 128 AS sp,
+             |    (CASE WHEN q4.aq THEN q3.tv ELSE q3.tp END) - 128 AS sq) q5
+             |  CROSS JOIN LATERAL (SELECT q5.sp - q5.sq AS dd) q6
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN q4.aq
+             |      THEN ql.elq > 0 AND abs(q6.dd)*2 + abs(q6.dd)//2 <= qm.mblimq
+             |      ELSE ql.elp > 0 AND abs(q6.dd)*2 + abs(q6.dd)//2 <= qm.mblimp
+             |    END AS cond,
              |    greatest(-128, least(127,
              |      greatest(-128, least(127, q6.dd)) - 3*q6.dd)) AS wv) q7
              |  CROSS JOIN LATERAL (SELECT

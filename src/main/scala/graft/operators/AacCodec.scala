@@ -68,6 +68,17 @@ package graft.operators
   * the filter STRUCTURE (regions, order, direction, bounded history)
   * follows the spec. Everything STRUCTURAL follows the spec. The IMDCT accumulates over the nonzero spectral
   * lines only — an exact identity, not an approximation.
+  *
+  * PROFILE BOUNDARY — terminal rejections, not debt: this decoder is
+  * AAC-LC (profile 1), the profile every ADTS fixture declares. The two
+  * tools that remain rejected-loudly are out of the LC toolset by the
+  * standard itself and stay permanently rejected: `gain_control_data`
+  * (the SSR profile's gain-control tool, 14496-3 §4.5.2.6 — never
+  * present in an LC stream) and the ics_info `predictor_data_present`
+  * flag (the Main profile's backward-adaptive predictor, §4.6.2 — an LC
+  * ics_info must code it 0). A conforming LC stream cannot exercise
+  * either path, so the rejections are correctness guards for
+  * mis-labelled streams, not missing LC surface.
   */
 object AacCodec {
 

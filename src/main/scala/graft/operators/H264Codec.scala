@@ -33,10 +33,14 @@ package graft.operators
   * in two-reference P slices), reference-list modification (8.2.4.3
   * picNum remapping), adaptive reference marking (MMCO-1 short-term
   * unmark with the 8.2.5 DPB update), per-partition weighted
-  * multi-reference prediction, and cabac_init_idc 1/2 (pinned per-idc
-  * context init tables). Remaining rungs (long-term reference
-  * machinery, B-list modification, MMCO 2..6) are REJECTED loudly,
-  * never misdecoded.
+  * multi-reference prediction, cabac_init_idc 1/2 (pinned per-idc
+  * context init tables), and long-term reference machinery (MMCO
+  * 2/3/4/6 with MaxLongTermFrameIdx bookkeeping, the 8.2.4.2.1
+  * short-then-long default list order, idc-2 long-term naming in the
+  * 7.3.3.1 modification syntax, and the long-term-immune sliding
+  * window). Remaining rungs (B-list modification, MMCO 5's
+  * frame-num/POC reset, B slices over long-term references) are
+  * REJECTED loudly, never misdecoded.
   *
   * Transport, exp-Golomb, the EP-byte rule (00 00 0x with x ≤ 3), the
   * I_PCM sample walk, and all the structural CAVLC/transform/prediction
@@ -851,7 +855,18 @@ object H264Codec {
                              mmco: Boolean = false,
                              // cabac_init_idc of the P slice (0..2): selects
                              // the pinned context-initialization table
-                             cabacIdc: Int = 0)
+                             cabacIdc: Int = 0,
+                             // long-term reference chain before the probe
+                             // (-1 off): 0 = MMCO 4+3+1 (the IDR becomes
+                             // long-term 0, probe list [mark-copy, IDR-lt]);
+                             // 1 = MMCO 4+1+6 (the marking frame itself goes
+                             // long-term, reconstructed one stripe SHIFTED so
+                             // the list order is value-visible); 2 = chain 0
+                             // then an MMCO-2 unmark (probe over two
+                             // short-terms again); 3 = chain 0 with the probe
+                             // naming the long-term via a 7.3.3.1 idc-2
+                             // modification (list flipped to [IDR-lt, copy])
+                             ltVariant: Int = -1)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1067,6 +1082,12 @@ object H264Codec {
     require(p.wspec == null ||
       (p.wspec.luma.size == 2 && p.wspec.cb.size == 2 && p.wspec.cr.size == 2),
       "h264 fixture: two list-0 references need two weight entries")
+    // the PPS weighted_pred_flag is stream-global (set whenever wspec is
+    // present), but mmcoSkipSlice doesn't emit a pred_weight_table — the
+    // combination would emit a P slice our own parser desyncs on, so
+    // refuse it here instead of relying on fixture convention
+    require(!(p.mmco && p.wspec != null),
+      "h264 fixture: MMCO probe slice under a weighted-pred PPS is unsupported")
     // the IDR stays unfiltered (idc=1) so the reference frame keeps the
     // plan's exact steered constants; only the P slice opts in
     val (idrSlice, rY, rU, rV) = intraSlice(p.intra, cabac)
@@ -1373,13 +1394,44 @@ object H264Codec {
       val f2 = H264Frame(w, h, recY, recU, recV)
       nals += nal(0, 1, weightedSlice(p, w, h, f2, ref, cabac))
     }
-    if (p.mmco) {
-      require(p.mrmb != null, "h264 fixture: the MMCO chain ends in a probe slice")
-      nals += nal(2, 1, mmcoSkipSlice(w, h, cabac))
-    }
-    if (p.mrmb != null) {
-      // non-reference multi-reference P slice with sub-partitions
-      nals += nal(0, 1, multiRefSlice(p, w, h, cabac))
+    if (p.ltVariant >= 0) {
+      require(p.mrmb != null, "h264 fixture: the long-term chain ends in a probe slice")
+      require(!p.mmco && p.wspec == null && !p.mrModify,
+        "h264 fixture: the long-term chain composes with the probe alone")
+      // the base marking slice: MMCO 4 (max_long_term_frame_idx_plus1 = 1),
+      // then 3 (picNum 0 = the IDR -> long-term 0), then 1 (unmark the P,
+      // picNum 1); DPB after insert: [mark-copy (short), IDR (long 0)]
+      val markIdrLt = Seq((4, 1, 0), (3, 1, 0), (1, 0, 0))
+      p.ltVariant match {
+        case 0 | 3 =>
+          nals += nal(2, 1, markSlice(w, h, cabac, 2, 4, markIdrLt, 0))
+        case 1 =>
+          // MMCO 4, 1 (unmark the IDR, picNum 0), 6 (current goes
+          // long-term 0); the marking frame reconstructs the P shifted
+          // one stripe, so [P (short), shifted (long)] is value-ordered
+          nals += nal(2, 1, markSlice(w, h, cabac, 2, 4,
+            Seq((4, 1, 0), (1, 1, 0), (6, 0, 0)), 64))
+        case 2 =>
+          nals += nal(2, 1, markSlice(w, h, cabac, 2, 4, markIdrLt, 0))
+          // MMCO 2 unmarks long-term 0; this second marking frame is a
+          // skip copy of list0[0] (the first mark frame); DPB after:
+          // two short-terms again
+          nals += nal(2, 1, markSlice(w, h, cabac, 3, 6, Seq((2, 0, 0)), 0))
+        case other => throw new IllegalArgumentException(
+          s"h264 fixture: ltVariant $other")
+      }
+      val (pfn, ppoc) = if (p.ltVariant == 2) (4, 8) else (3, 6)
+      nals += nal(0, 1, multiRefSlice(p, w, h, cabac, pfn, ppoc,
+        ltModify = p.ltVariant == 3))
+    } else {
+      if (p.mmco) {
+        require(p.mrmb != null, "h264 fixture: the MMCO chain ends in a probe slice")
+        nals += nal(2, 1, mmcoSkipSlice(w, h, cabac))
+      }
+      if (p.mrmb != null) {
+        // non-reference multi-reference P slice with sub-partitions
+        nals += nal(0, 1, multiRefSlice(p, w, h, cabac))
+      }
     }
     val out = new java.io.ByteArrayOutputStream()
     nals.foreach(n => out.write(n, 0, n.length))
@@ -1453,28 +1505,66 @@ object H264Codec {
     * [this copy, the IDR] — the sliding window alone would have kept
     * the P frame and evicted the IDR.
     */
-  private def mmcoSkipSlice(w: Int, h: Int, cabac: Boolean): Array[Byte] = {
+  private def mmcoSkipSlice(w: Int, h: Int, cabac: Boolean): Array[Byte] =
+    markSlice(w, h, cabac, frameNum = 2, poc = 4, ops = Seq((1, 0, 0)),
+      shiftUnits = 0)
+
+  /** Encode a REFERENCE P marking slice: a residual-free slice over one
+    * active reference whose dec_ref_pic_marking carries an arbitrary
+    * MMCO list (7.4.3.3 syntax values: op 1/3 take
+    * difference_of_pic_nums_minus1, op 2 long_term_pic_num, op 4
+    * max_long_term_frame_idx_plus1, op 6 long_term_frame_idx; op 3's
+    * long_term_frame_idx rides the third tuple slot). With
+    * `shiftUnits` 0 every MB is P_Skip (a pixel copy of list0[0]);
+    * otherwise every MB is P_L0_16x16 carrying the same along-stripe
+    * motion vector (quarter-pel units; +64 = one MB when horizontal),
+    * so the reconstruction is list0[0] shifted one stripe with the
+    * spec's edge clamp on the last one.
+    */
+  private def markSlice(w: Int, h: Int, cabac: Boolean, frameNum: Int,
+                        poc: Int, ops: Seq[(Int, Int, Int)],
+                        shiftUnits: Int): Array[Byte] = {
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
+    val colv = w > h
     val bw = new BitWriter
     bw.ue(0) // first_mb_in_slice
     bw.ue(5) // slice_type: P
     bw.ue(0) // pps id
-    bw.put(2, 8) // frame_num
-    bw.put(4, 8) // pic_order_cnt_lsb
+    bw.put(frameNum, 8)
+    bw.put(poc, 8) // pic_order_cnt_lsb
     bw.put(0, 1) // num_ref_idx_active_override_flag
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
     bw.put(1, 1) // adaptive_ref_pic_marking_mode_flag
-    bw.ue(1) // memory_management_control_operation: short-term unmark
-    bw.ue(0) // difference_of_pic_nums_minus1 -> picNum 1
+    ops.foreach { case (op, a, b) =>
+      bw.ue(op)
+      op match {
+        case 1 | 2 | 4 | 6 => bw.ue(a)
+        case 3 => bw.ue(a); bw.ue(b)
+        case 5 => ()
+        case other => throw new IllegalArgumentException(
+          s"h264 fixture: MMCO operation $other")
+      }
+    }
     bw.ue(0) // end of MMCO list
     if (cabac) bw.ue(0) // cabac_init_idc
     bw.se(28 - 26) // slice_qp_delta
     bw.ue(1) // disable_deblocking_filter_idc: off
     val snk: IntraSink =
       if (cabac) new CabacSink(bw, mbW, mbH) else new CavlcSink(bw, mbW, mbH)
+    val mg = new MotionGrid(mbW, mbH)
+    val mv: (Int, Int) = if (colv) (shiftUnits, 0) else (0, shiftUnits)
     var mb = 0
     while (mb < nMb) {
-      snk.pSkip(flag = true, mb)
+      if (shiftUnits == 0) snk.pSkip(flag = true, mb)
+      else {
+        val r = mb / mbW; val c = mb % mbW
+        snk.pSkip(flag = false, mb)
+        snk.pMbType(0, mb) // P_L0_16x16; one active reference: no ref_idx
+        val mvp = mvPredictPart(mg, mb, c * 4, r * 4, 4, 0, noneWritten)
+        snk.mvd(mv._1 - mvp._1, mv._2 - mvp._2, c * 4, r * 4, 4, 4)
+        mg.fill(c * 4, r * 4, 4, 4, 0, mv._1, mv._2)
+        snk.cbp(0, mb)
+      }
       snk.endMb(mb == nMb - 1)
       mb += 1
     }
@@ -1491,18 +1581,27 @@ object H264Codec {
     * Non-reference and residual-free, so no reconstruction is kept.
     */
   private def multiRefSlice(p: InterPlan, w: Int, h: Int,
-                            cabac: Boolean): Array[Byte] = {
+                            cabac: Boolean, frameNum: Int = 2, poc: Int = 6,
+                            ltModify: Boolean = false): Array[Byte] = {
     val qp = 28
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
     val bw = new BitWriter
     bw.ue(0) // first_mb_in_slice
     bw.ue(5) // slice_type: P
     bw.ue(0) // pps id
-    bw.put(2, 8) // frame_num
-    bw.put(6, 8) // pic_order_cnt_lsb
+    bw.put(frameNum, 8)
+    bw.put(poc, 8) // pic_order_cnt_lsb
     bw.put(1, 1) // num_ref_idx_active_override_flag
     bw.ue(1) // num_ref_idx_l0_active_minus1: two references
-    if (p.mrModify) {
+    if (ltModify) {
+      // ref_pic_list_modification (7.3.3.1): one idc-2 command naming
+      // long_term_pic_num 0 — the long-term picture moves to the list
+      // front, flipping the default [short, long] order
+      bw.put(1, 1) // ref_pic_list_modification_flag_l0
+      bw.ue(2) // modification_of_pic_nums_idc: long-term
+      bw.ue(0) // long_term_pic_num
+      bw.ue(3) // end of modification list
+    } else if (p.mrModify) {
       // ref_pic_list_modification (7.3.3.1): one idc-0 command with
       // abs_diff_pic_num_minus1 = 1 names picNum 0 (CurrPicNum 2 - 2),
       // the IDR — flipping the default [P, IDR] order to [IDR, P]
@@ -3498,7 +3597,12 @@ object H264Codec {
     * fallback signal.
     */
   private final case class RefPic(frame: H264Frame, poc: Int, mg: MotionGrid,
-                                  frameNum: Int)
+                                  frameNum: Int, ltIdx: Int = -1) {
+    /** Marked long-term (8.2.5.4.3/8.2.5.4.6); `ltIdx` is its
+      * LongTermFrameIdx (= LongTermPicNum for frames).
+      */
+    def longTerm: Boolean = ltIdx >= 0
+  }
 
   /** Temporal direct motion scaling (8.4.1.2.3): tb/td are the POC
     * distances DiffPicOrderCnt(curr, pic0) / DiffPicOrderCnt(colPic,
@@ -3540,25 +3644,69 @@ object H264Codec {
     val sps = parseSps(nals(0)._3)
     val pps = parsePps(nals(1)._3)
     require(nals(2)._2 == 5, "h264: the first slice must be IDR")
-    var refA: RefPic = null // most recent reference picture
-    var refB: RefPic = null // the one before it
+    // DPB of at most two reference pictures, short- or long-term. The
+    // reference list default order (8.2.4.2.1) is short-term pictures by
+    // descending picNum (= frameNum, no wrap in this profile) followed by
+    // long-term pictures by ascending LongTermFrameIdx; that ordered pair
+    // is what each slice decode receives as (refA, refB).
+    var refs: List[RefPic] = Nil
+    // 8.2.5.4.4: MaxLongTermFrameIdx, −1 = "no long-term frame indices"
+    var maxLtIdx = -1
+    def ordered: List[RefPic] =
+      refs.filter(!_.longTerm).sortBy(-_.frameNum) ++
+        refs.filter(_.longTerm).sortBy(_.ltIdx)
     val frames = scala.collection.mutable.ArrayBuffer.empty[H264Frame]
     for ((refIdc, t, rbsp) <- nals.drop(2)) {
       require(t == 5 || t == 1, s"h264: unexpected NAL type $t in the slice stream")
-      val (rp, unmark) = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
-      frames += rp.frame
+      val ord = ordered
+      val refA = ord.headOption.orNull
+      val refB = if (ord.length > 1) ord(1) else null
+      val (rp0, ops) = decodeSliceFrame(rbsp, sps, pps, t == 5, refIdc, refA, refB)
+      frames += rp0.frame
       if (refIdc != 0) {
-        // 8.2.5: adaptive MMCO-1 unmarks first, then the new reference
-        // enters; the remainder follows the two-slot sliding window
-        var avail = List(refA, refB).filter(_ != null)
-        unmark.foreach { pn =>
-          val i = avail.indexWhere(_.frameNum == pn)
-          require(i >= 0, "h264: MMCO names an absent reference")
-          avail = avail.patch(i, Nil, 1)
+        if (ops.isEmpty) {
+          // sliding window (8.2.5.3): evicts only the oldest SHORT-term
+          // picture; long-term pictures are immune
+          val shorts = refs.filter(!_.longTerm).sortBy(-_.frameNum)
+          val longs = refs.filter(_.longTerm)
+          require(longs.length < 2,
+            "h264: DPB overflow — long-term pictures leave no short-term slot")
+          refs = rp0 :: shorts.take(1 - longs.length) ::: longs
+        } else {
+          // adaptive marking (8.2.5.4): apply the MMCO list in coded
+          // order, then insert the current picture (no sliding window)
+          var curLt = -1
+          ops.foreach {
+            case (1, pn, _) =>
+              val i = refs.indexWhere(r => !r.longTerm && r.frameNum == pn)
+              require(i >= 0, "h264: MMCO names an absent reference")
+              refs = refs.patch(i, Nil, 1)
+            case (2, lt, _) =>
+              val i = refs.indexWhere(r => r.longTerm && r.ltIdx == lt)
+              require(i >= 0, "h264: MMCO 2 names an absent long-term picture")
+              refs = refs.patch(i, Nil, 1)
+            case (3, pn, lt) =>
+              require(lt <= maxLtIdx,
+                "h264: long_term_frame_idx beyond MaxLongTermFrameIdx")
+              refs = refs.filterNot(r => r.longTerm && r.ltIdx == lt)
+              val i = refs.indexWhere(r => !r.longTerm && r.frameNum == pn)
+              require(i >= 0, "h264: MMCO 3 names an absent short-term picture")
+              refs = refs.updated(i, refs(i).copy(ltIdx = lt))
+            case (4, maxPlus1, _) =>
+              maxLtIdx = maxPlus1 - 1
+              refs = refs.filterNot(r => r.longTerm && r.ltIdx > maxLtIdx)
+            case (6, lt, _) =>
+              require(lt <= maxLtIdx,
+                "h264: long_term_frame_idx beyond MaxLongTermFrameIdx")
+              refs = refs.filterNot(r => r.longTerm && r.ltIdx == lt)
+              curLt = lt
+            case (op, _, _) => throw new IllegalArgumentException(
+              s"h264: MMCO operation $op out of range")
+          }
+          refs = rp0.copy(ltIdx = curLt) :: refs
+          require(refs.length <= 2,
+            "h264: DPB overflow — adaptive marking must free a slot")
         }
-        val kept = (rp :: avail).take(2)
-        refA = kept.head
-        refB = if (kept.length > 1) kept(1) else null
       }
     }
     frames.toSeq
@@ -3566,7 +3714,7 @@ object H264Codec {
 
   private def decodeSliceFrame(rbsp: Array[Byte], sps: Sps, pps: Pps,
                                isIdr: Boolean, refIdc: Int,
-                               refA: RefPic, refB: RefPic): (RefPic, Seq[Int]) = {
+                               refA: RefPic, refB: RefPic): (RefPic, Seq[(Int, Int, Int)]) = {
     val ref: H264Frame = if (refA != null) refA.frame else null
     val refPrev: H264Frame = if (refB != null) refB.frame else null
     val w = sps.widthMbs * 16
@@ -3584,23 +3732,34 @@ object H264Codec {
     else require(isP || isB, "h264: non-IDR slices are P or B in this profile")
     if (isP || isB) require(ref != null, "h264: inter slice without a reference frame")
     if (isB) require(refPrev != null, "h264: B slice needs two reference frames")
+    if (isB) require(!refA.longTerm && !refB.longTerm,
+      "h264: B slice over long-term references outside this profile")
     require(br.ue() == 0, "h264: unknown PPS id")
     val frameNum = br.get(sps.log2MaxFrameNum)
     if (isIdr) br.ue() // idr_pic_id
     val pocCur = br.get(sps.log2MaxPoc) // poc lsb (type 0, no wrap here)
     val temporalDirect = isB && br.get(1) == 0 // direct_spatial_mv_pred_flag
+    // B reference lists (8.2.4.2.3 defaults over the two-picture DPB)
+    // are ordered by POC, independent of the direct prediction mode: a B
+    // that displays AFTER both references keeps list0 = newest / list1 =
+    // oldest (list1 is list0 with the first two swapped when no future
+    // reference exists); a POC-between (display-reordered) B gets
+    // list0 = the POC-past picture and list1 = the POC-future one.
+    val pocBetween = isB && refB.poc < pocCur && pocCur < refA.poc
+    if (isB && !pocBetween)
+      // the only other list configuration this profile decodes is the
+      // display-after B over an ascending-POC DPB; anything else (e.g. a
+      // B before both references) is rejected, never misdecoded
+      require(pocCur > refA.poc && refA.poc > refB.poc,
+        "h264: B slice POC ordering outside this profile")
     if (temporalDirect)
       // temporal direct needs the colocated picture (RefPicList1[0]) to
       // be the POC-future reference: in this profile's POC-default list
       // order that means the B displays BETWEEN its two references
-      require(refB.poc < pocCur && pocCur < refA.poc,
+      require(pocBetween,
         "h264: temporal direct outside a POC-between B (no future list-1 reference)")
-    // B reference lists (8.2.4.2.3 defaults over the two-picture DPB):
-    // a B that displays AFTER both references keeps list0 = newest /
-    // list1 = oldest; a POC-between (reordered) B gets list0 = the
-    // POC-past picture and list1 = the POC-future one
-    val bL0frame = if (temporalDirect) refPrev else ref
-    val bL1frame = if (temporalDirect) ref else refPrev
+    val bL0frame = if (pocBetween) refPrev else ref
+    val bL1frame = if (pocBetween) ref else refPrev
     var numRef0 = 1
     val l0Mods = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     if (isP || isB) {
@@ -3610,17 +3769,18 @@ object H264Codec {
         require(numRef0 <= 2, "h264: more than two list-0 references outside this profile")
       }
       if (br.get(1) == 1) { // ref_pic_list_modification_flag_l0
-        // 7.3.3.1 / 8.2.4.3: short-term picNum reordering — idc 0/1
-        // subtract/add abs_diff_pic_num from a rolling predictor seeded
-        // at CurrPicNum, each named picture moving to the front of the
-        // remaining list (exact for unique short-term entries)
+        // 7.3.3.1 / 8.2.4.3: idc 0/1 subtract/add abs_diff_pic_num from
+        // a rolling predictor seeded at CurrPicNum (short-term picNum
+        // naming); idc 2 names a long-term picture by LongTermPicNum.
+        // Each named picture moves to the front of the remaining list
+        // (exact for unique entries).
         require(isP, "h264: B reference-list modification outside this profile")
         var idc = br.ue()
         var n = 0
         while (idc != 3) {
-          require(idc == 0 || idc == 1,
-            "h264: long-term reference reordering outside this profile")
-          l0Mods += ((idc, br.ue() + 1))
+          require(idc == 0 || idc == 1 || idc == 2,
+            s"h264: modification_of_pic_nums_idc $idc out of range")
+          l0Mods += ((idc, if (idc == 2) br.ue() else br.ue() + 1))
           n += 1
           require(n <= 4, "h264: runaway modification list")
           idc = br.ue()
@@ -3638,11 +3798,15 @@ object H264Codec {
         Seq(refA, refB).filter(_ != null): _*)
       var picNumPred = frameNum
       var insertIdx = 0
-      l0Mods.foreach { case (idc, absd) =>
-        val picNum = if (idc == 0) picNumPred - absd else picNumPred + absd
-        require(picNum >= 0, "h264: picNum wrap outside this profile")
-        picNumPred = picNum
-        val srcIdx = lst.indexWhere(_.frameNum == picNum)
+      l0Mods.foreach { case (idc, v) =>
+        val srcIdx =
+          if (idc == 2) lst.indexWhere(r => r.longTerm && r.ltIdx == v)
+          else {
+            val picNum = if (idc == 0) picNumPred - v else picNumPred + v
+            require(picNum >= 0, "h264: picNum wrap outside this profile")
+            picNumPred = picNum
+            lst.indexWhere(r => !r.longTerm && r.frameNum == picNum)
+          }
         require(srcIdx >= 0, "h264: modification names an absent reference")
         val rp = lst.remove(srcIdx)
         lst.insert(insertIdx, rp)
@@ -3675,26 +3839,39 @@ object H264Codec {
         ri += 1
       }
     }
-    val mmcoUnmark = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // dec_ref_pic_marking (7.4.3.3): ordered MMCO list. Each entry is
+    // (op, a) with `a` resolved here: op 1/3 carry the named picNum
+    // (CurrPicNum − difference_of_pic_nums_minus1 − 1), op 2 the
+    // LongTermPicNum, op 4 max_long_term_frame_idx_plus1, op 6 the
+    // long_term_frame_idx; op 3 additionally carries its
+    // long_term_frame_idx in `b`. Application happens in
+    // [[decodeSequence]] (8.2.5.4) in coded order.
+    val mmcoOps = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     if (isIdr) { br.get(1); br.get(1) } // dec_ref_pic_marking (IDR form)
     else if (refIdc != 0) {
       if (br.get(1) == 1) { // adaptive_ref_pic_marking_mode_flag (7.4.3.3)
         var op = br.ue()
         var n = 0
         while (op != 0) {
-          // MMCO 1: mark the short-term picture with
-          // picNum = CurrPicNum - (difference_of_pic_nums_minus1 + 1)
-          // as unused for reference; other operations stay rejected
-          require(op == 1,
-            "h264: memory management beyond short-term unmark outside this profile")
-          val pn = frameNum - (br.ue() + 1)
-          require(pn >= 0, "h264: MMCO picNum wrap outside this profile")
-          mmcoUnmark += pn
+          require(op <= 6, s"h264: MMCO operation $op out of range")
+          val entry = op match {
+            case 1 | 3 =>
+              val pn = frameNum - (br.ue() + 1)
+              require(pn >= 0, "h264: MMCO picNum wrap outside this profile")
+              (op, pn, if (op == 3) br.ue() else 0)
+            case 2 | 4 | 6 => (op, br.ue(), 0)
+            case _ =>
+              // MMCO 5 resets frame_num/POC bases (8.2.5.4.5) — splice
+              // semantics this profile rejects rather than misdecodes
+              throw new IllegalArgumentException(
+                "h264: MMCO 5 (reset) outside this profile")
+          }
+          mmcoOps += entry
           n += 1
-          require(n <= 4, "h264: runaway MMCO list")
+          require(n <= 6, "h264: runaway MMCO list")
           op = br.ue()
         }
-        require(mmcoUnmark.nonEmpty, "h264: empty adaptive marking list")
+        require(mmcoOps.nonEmpty, "h264: empty adaptive marking list")
       }
     }
     var cabacIdc = 0
@@ -4285,7 +4462,7 @@ object H264Codec {
       H264Deblock.filterFrame(y, u, v, w, h, meta, mg, pps.chromaQpOff,
         offA, offB, mg1 = if (isB) mgB1 else null)
     }
-    (RefPic(H264Frame(w, h, y, u, v), pocCur, mg, frameNum), mmcoUnmark.toSeq)
+    (RefPic(H264Frame(w, h, y, u, v), pocCur, mg, frameNum), mmcoOps.toSeq)
   }
 
   /** Decode one intra macroblock (I_PCM / I_4x4 / Intra_16x16) into the

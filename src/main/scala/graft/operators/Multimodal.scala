@@ -1347,6 +1347,36 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Long-term reference plan (8.2.5.4 MMCO 2/3/4/6 + 7.3.3.1 idc 2):
+    * the [[h264PMRefPlan]] geometry behind a long-term marking chain,
+    * variant (doc/2) % 4 — see [[H264Codec.InterPlan.ltVariant]]: the
+    * IDR parked long-term and probed (0), a SHIFTED marking frame
+    * parked long-term so the [short, long] list order is value-visible
+    * (1), a long-term unmark returning the DPB to two short-terms (2),
+    * and the probe naming the long-term by LongTermPicNum through a
+    * list modification (3).
+    */
+  private[operators] def h264LtRefPlan(d: Long, colv: Boolean): H264Codec.InterPlan =
+    h264PMRefPlan(d, colv).copy(ltVariant = ((d / 2) % 4).toInt)
+
+  /** Each doc carries the [[h264LtRefPlan]] stream: long-term marking,
+    * the short-then-long default list order, MaxLongTermFrameIdx
+    * bookkeeping, and long-term naming in the modification syntax.
+    */
+  def withH264LtRefMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264LtRefPlan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Reference-list REORDERING plan: the [[h264PMRefPlan]] geometry with
     * ref_pic_list_modification_flag_l0 set — one idc-0 command names the
     * IDR's picNum, flipping list 0 from the default [P, IDR] to
@@ -1651,6 +1681,205 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
           val (w, frames) = vp8LfInterFrames(d, nc)
+          (d, Vp8Codec.encodeIvf(w, 16, frames))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
+  /** Each doc carries a VP8 key frame with SEGMENTATION live on the
+    * quantizer: the per-MB segment map (ids m % 4 through the coded
+    * tree with doc-rotated probabilities) selects a per-segment
+    * quantizer index (absolute / delta feature mode rotating by doc),
+    * and the encoder steers each MB's DC levels UNDER ITS SEGMENT'S
+    * quantizer so reconstruction lands on closed-form per-MB targets.
+    * A decoder that drops the map, mis-walks the tree, or derives the
+    * wrong per-segment step reconstructs the steered levels with the
+    * wrong step and moves the checksum. No loop filter (all lf features
+    * zero).
+    */
+  private[operators] def vp8SegmentFrame(d: Long, nc: Long): (Int, Array[Byte]) = {
+          val w = (16 * (4 + nc % 2)).toInt
+          val h = 16
+          val absMode = d % 2 == 0
+          val baseQi = if (absMode) 0 else (d % 8).toInt
+          // effective per-segment qi stays <= 16: the Y2 step stays <= 40
+          // (every DC delta exactly steerable) and with uv_dc_delta -12
+          // the chroma step stays 4..8 (ditto)
+          val qIdx =
+            if (absMode)
+              Array((d % 17).toInt, ((3 * d + 7) % 17).toInt,
+                ((5 * d + 11) % 17).toInt, ((7 * d + 19) % 17).toInt)
+            else
+              Array(-((d % 3).toInt), (d % 7).toInt,
+                ((d % 9) - 3).toInt, ((d % 5) + 2).toInt)
+          val seg = Vp8Codec.SegSpec(absMode, qIdx,
+            lfLvl = Array(0, 0, 0, 0), segOf = m => m % 4,
+            probs = Array((1 + (37 * d) % 254).toInt,
+              (1 + (53 * d + 11) % 254).toInt, (1 + (71 * d + 23) % 254).toInt))
+          val plan = Vp8Codec.Plan(w, h, qi = baseQi, uvDcDelta = -12,
+            yMode = 0, tokenPartitions = 1, skipAll = false,
+            yTarget = m => ((31 * d + 13 * m) % 256).toInt,
+            uTarget = m => ((91 * d + 7 * m) % 256).toInt,
+            vTarget = m => ((53 * d + 11 * m) % 256).toInt,
+            seg = seg)
+          (w, Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(plan)))
+  }
+
+  /** Each doc carries the [[vp8SegmentFrame]] key frame. */
+  def withVp8SegmentMedia(docs: DataFrame, id: String = "doc_id",
+                          nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (d, nc) => (d, vp8SegmentFrame(d, nc)._2) })
+      .toDF("doc_id", "media")
+  }
+
+  /** Each doc carries a loop-filtered VP8 key frame where the PER-MB
+    * filter level comes from SEGMENTATION (alternating stripes in
+    * segments 0/1 with distinct per-segment levels, absolute / delta
+    * feature mode rotating by doc) plus the §9.4 ref-frame loop-filter
+    * delta (all-intra key frame: refDelta(0) applies to every MB; the
+    * mode deltas are coded but inert for whole-MB intra). Stripe
+    * geometry and targets mirror [[withVp8LoopfilterMedia]], so each MB
+    * edge collapses to per-boundary constants — now computed with the
+    * OWNING MB's limits (the MB being processed filters its own left/top
+    * edge), which differ across the two segments. The frame-level field
+    * is coded DIFFERENT from every effective level, so falling back to
+    * it is a detected tamper.
+    */
+  private[operators] def vp8SegLfFrame(d: Long, nc: Long): (Int, Int, Array[Byte]) = {
+          val v = (d % 4).toInt
+          val colStripe = v % 2 == 0
+          val simple = v < 2
+          val w = if (colStripe) (16 * (2 + nc % 2)).toInt else 16
+          val h = if (colStripe) 16 else (16 * (2 + nc % 2)).toInt
+          val mbW = w / 16
+          def idx(m: Int): Int = if (colStripe) m % mbW else m / mbW
+          def tOf(pl: Int, j: Int): Int =
+            if (simple) pl match {
+              case 0 => ((31 * d + 29 * j) % 256).toInt
+              case 1 => ((91 * d + 17 * j) % 256).toInt
+              case _ => ((53 * d + 23 * j) % 256).toInt
+            }
+            else pl match {
+              case 0 => (30 + (31 * d) % 170 + ((j + d) % 2) * (1 + d % 24)).toInt
+              case 1 => (25 + (91 * d) % 180 + ((j + d) % 2) * (1 + (d + 7) % 24)).toInt
+              case _ => (20 + (53 * d) % 190 + ((j + d) % 2) * (1 + (d + 13) % 24)).toInt
+            }
+          val absMode = (d / 4) % 2 == 0
+          val frameLvl = (10 + (5 * d) % 30).toInt
+          val lfLvl =
+            if (absMode)
+              Array((1 + d % 40).toInt, (1 + (3 * d + 17) % 40).toInt, 0, 0)
+            else
+              Array(-((d % 10).toInt), ((3 * d + 5) % 15).toInt, 0, 0)
+          val rd0 = ((d % 13) - 6).toInt
+          val seg = Vp8Codec.SegSpec(absMode,
+            qIdx = Array((d % 10).toInt, ((3 * d + 4) % 10).toInt, 7, 3),
+            lfLvl = lfLvl, segOf = m => idx(m) % 2,
+            probs = Array((1 + (41 * d) % 254).toInt,
+              (1 + (59 * d + 13) % 254).toInt, (1 + (73 * d + 29) % 254).toInt))
+          val lfd = Vp8Codec.LfDeltaSpec(
+            refDelta = Array(rd0, 5, -3, 7),
+            modeDelta = Array(2, -2, 4, -4))
+          val plan = Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = -12, yMode = 0,
+            tokenPartitions = 1, skipAll = false,
+            yTarget = m => tOf(0, idx(m)),
+            uTarget = m => tOf(1, idx(m)),
+            vTarget = m => tOf(2, idx(m)),
+            filterType = if (simple) 1 else 0,
+            filterLevel = frameLvl,
+            sharpness = (d % 8).toInt,
+            seg = seg, lfd = lfd)
+          (w, h, Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(plan)))
+  }
+
+  /** Each doc carries the [[vp8SegLfFrame]] key frame. */
+  def withVp8SegLfMedia(docs: DataFrame, id: String = "doc_id",
+                        nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (d, nc) => (d, vp8SegLfFrame(d, nc)._3) })
+      .toDF("doc_id", "media")
+  }
+
+  /** One doc's 2-frame VP8 video with SEGMENTATION on the INTER frame:
+    * an unfiltered single-constant key frame, then a terminal inter
+    * frame of non-skip ZEROMV column stripes whose segment map
+    * (alternating stripe parity) drives BOTH a per-segment quantizer
+    * (the steered levels ride it) and a per-segment loop-filter level,
+    * with the §9.4 deltas live — refDelta(1) (every MB references LAST)
+    * and modeDelta(1) (every MB is ZEROMV) both add before the final
+    * clamp.
+    */
+  private[operators] def vp8SegInterFrames(d: Long, nc: Long): (Int, Seq[Array[Byte]]) = {
+    val w = (16 * (2 + nc % 2)).toInt
+    val h = 16
+    val mbW = w / 16
+    val simple = d % 2 == 0
+    def kt(pl: Int): Int = pl match {
+      case 0 => ((37 * d) % 256).toInt
+      case 1 => ((17 * d + 5) % 256).toInt
+      case _ => ((41 * d + 9) % 256).toInt
+    }
+    def tOf(pl: Int, j: Int): Int =
+      if (simple) pl match {
+        case 0 => ((31 * d + 29 * j) % 256).toInt
+        case 1 => ((91 * d + 17 * j) % 256).toInt
+        case _ => ((53 * d + 23 * j) % 256).toInt
+      }
+      else pl match {
+        case 0 => (30 + (31 * d) % 170 + ((j + d) % 2) * (1 + d % 24)).toInt
+        case 1 => (25 + (91 * d) % 180 + ((j + d) % 2) * (1 + (d + 7) % 24)).toInt
+        case _ => (20 + (53 * d) % 190 + ((j + d) % 2) * (1 + (d + 13) % 24)).toInt
+      }
+    val (kf, g1) = Vp8Codec.encodeKeyFrame(Vp8Codec.Plan(w, h, qi = 0,
+      uvDcDelta = 0, yMode = 0, tokenPartitions = 1, skipAll = false,
+      _ => kt(0), _ => kt(1), _ => kt(2)))
+    val absMode = (d / 4) % 2 == 0
+    val frameLvl = (10 + (7 * d) % 30).toInt
+    val lfLvl =
+      if (absMode)
+        Array((1 + (3 * d) % 40).toInt, (1 + (5 * d + 9) % 40).toInt, 0, 0)
+      else
+        Array(-((d % 9).toInt), ((2 * d + 3) % 14).toInt, 0, 0)
+    val rd1 = ((d % 11) - 5).toInt
+    val md1 = ((d % 9) - 4).toInt
+    val seg = Vp8Codec.SegSpec(absMode,
+      qIdx = Array((d % 10).toInt, ((3 * d + 4) % 10).toInt, 5, 2),
+      lfLvl = lfLvl, segOf = m => (m % mbW) % 2,
+      probs = Array((1 + (43 * d) % 254).toInt,
+        (1 + (61 * d + 17) % 254).toInt, (1 + (79 * d + 31) % 254).toInt))
+    val lfd = Vp8Codec.LfDeltaSpec(
+      refDelta = Array(3, rd1, -2, 5),
+      modeDelta = Array(1, md1, -3, 2))
+    val p2 = Vp8Codec.InterPlan(w, h, qi = 0, uvDcDelta = -12,
+      tokenPartitions = 1, refreshLast = false, refreshGolden = false,
+      mb = m => Vp8Codec.InterMb(0, 0, 0, 0, skip = false,
+        tOf(0, m % mbW), tOf(1, m % mbW), tOf(2, m % mbW)),
+      filterType = if (simple) 1 else 0,
+      filterLevel = frameLvl,
+      sharpness = ((d / 2) % 8).toInt,
+      seg = seg, lfd = lfd)
+    val (f2, _) = Vp8Codec.encodeInterFrame(p2, g1, g1)
+    (w, Seq(kf, f2))
+  }
+
+  /** Each doc carries the [[vp8SegInterFrames]] video. */
+  def withVp8SegInterMedia(docs: DataFrame, id: String = "doc_id",
+                           nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (d, nc) =>
+          val (w, frames) = vp8SegInterFrames(d, nc)
           (d, Vp8Codec.encodeIvf(w, 16, frames))
         }
       }

@@ -582,25 +582,30 @@ object Vp8Codec {
     }
   }
 
-  /** Frame loop-filter pass over a reconstructed key frame. `interior(mb)`
-    * gates the subblock edges (coded coefficients present, or B_PRED).
+  /** Frame loop-filter pass over a reconstructed frame. `levelOf(mb)` is
+    * the PER-MB filter level (frame level adjusted by segment and
+    * mode/ref deltas; a 0 skips the MB's edges entirely, §15.1), and
+    * `interior(mb)` gates the subblock edges (coded coefficients
+    * present, or B_PRED/SPLITMV). Each MB filters its own left and top
+    * edges with its own limits — the spec's raster processing order.
     */
   private def applyLoopFilter(y: Array[Byte], u: Array[Byte], v: Array[Byte],
-                              w: Int, filterType: Int, level: Int,
+                              w: Int, filterType: Int, levelOf: Int => Int,
                               sharpness: Int, mbW: Int, mbH: Int,
                               interior: Int => Boolean): Unit = {
-    val il = lfInteriorLimit(level, sharpness)
-    val mbLim = (level + 2) * 2 + il
-    val sbLim = level * 2 + il
-    val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
     val w2 = w / 2
     var r = 0
     while (r < mbH) {
       var c = 0
       while (c < mbW) {
-        val fi = interior(r * mbW + c)
+        val level = levelOf(r * mbW + c)
+        val il = lfInteriorLimit(level, sharpness)
+        val mbLim = (level + 2) * 2 + il
+        val sbLim = level * 2 + il
+        val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
+        val fi = level > 0 && interior(r * mbW + c)
         if (filterType == 1) { // simple: luma only
-          if (c > 0) {
+          if (level > 0 && c > 0) {
             var row = 0
             while (row < 16) { simpleEdge(y, (16 * r + row) * w + 16 * c, 1, mbLim); row += 1 }
           }
@@ -612,7 +617,7 @@ object Vp8Codec {
               dx += 4
             }
           }
-          if (r > 0) {
+          if (level > 0 && r > 0) {
             var ci = 0
             while (ci < 16) { simpleEdge(y, (16 * r) * w + 16 * c + ci, w, mbLim); ci += 1 }
           }
@@ -625,7 +630,7 @@ object Vp8Codec {
             }
           }
         } else { // normal: luma + chroma
-          if (c > 0) {
+          if (level > 0 && c > 0) {
             var row = 0
             while (row < 16) { normalEdge(y, (16 * r + row) * w + 16 * c, 1, il, mbLim, hevT, mbEdge = true); row += 1 }
             row = 0
@@ -649,7 +654,7 @@ object Vp8Codec {
               row += 1
             }
           }
-          if (r > 0) {
+          if (level > 0 && r > 0) {
             var ci = 0
             while (ci < 16) { normalEdge(y, (16 * r) * w + 16 * c + ci, w, il, mbLim, hevT, mbEdge = true); ci += 1 }
             ci = 0
@@ -688,6 +693,22 @@ object Vp8Codec {
     * [[MbGrid]] stays PRE-filter, so loop-filtered frames must not be
     * chained as inter references by the steered encoders.
     */
+  /** Fixture segmentation (RFC 6386 §9.3): the four-entry quantizer and
+    * loop-filter feature arrays (absolute values or deltas per
+    * `absMode`), the per-MB segment map, and the coded map-tree
+    * probabilities. The encoder always updates both the map and the
+    * feature data (the decoder profile requires it).
+    */
+  final case class SegSpec(absMode: Boolean, qIdx: Array[Int],
+                           lfLvl: Array[Int], segOf: Int => Int,
+                           probs: Array[Int] = Array(128, 128, 128))
+
+  /** Fixture §9.4 mode/ref loop-filter deltas: refDelta by reference
+    * kind (intra/last/golden/altref), modeDelta for
+    * B_PRED/ZEROMV/other-inter/SPLITMV (indices 0/1/2/3).
+    */
+  final case class LfDeltaSpec(refDelta: Array[Int], modeDelta: Array[Int])
+
   final case class Plan(w: Int, h: Int, qi: Int, uvDcDelta: Int,
                         yMode: Int, tokenPartitions: Int, skipAll: Boolean,
                         yTarget: Int => Int, uTarget: Int => Int,
@@ -696,10 +717,63 @@ object Vp8Codec {
                         yModeOf: Int => Int = null,
                         filterType: Int = 0, filterLevel: Int = 0,
                         sharpness: Int = 0,
-                        bTargets: (Int, Int) => Int = null) {
+                        bTargets: (Int, Int) => Int = null,
+                        seg: SegSpec = null, lfd: LfDeltaSpec = null) {
     /** Per-MB luma mode: `yModeOf` override or the uniform `yMode`. */
     def modeAt(mbI: Int): Int = if (yModeOf == null) yMode else yModeOf(mbI)
   }
+
+  /** flag ? (sign-magnitude literal) : 0 — the encoder mirror of
+    * [[BoolDecoder.signedFlagged]].
+    */
+  private def putSignedFlagged(hdr: BoolEncoder, v: Int, bits: Int): Unit =
+    if (v == 0) hdr.putLiteral(0, 1)
+    else {
+      require(math.abs(v) < (1 << bits),
+        s"vp8 encode: value $v exceeds the $bits-bit magnitude field")
+      hdr.putLiteral(1, 1)
+      hdr.putLiteral(math.abs(v), bits)
+      hdr.putLiteral(if (v < 0) 1 else 0, 1)
+    }
+
+  /** Emit the §9.3 segmentation block (or its disabled bit). */
+  private def putSegmentHeader(hdr: BoolEncoder, seg: SegSpec): Unit =
+    if (seg == null) hdr.putLiteral(0, 1)
+    else {
+      require(seg.qIdx.length == 4 && seg.lfLvl.length == 4
+        && seg.probs.length == 3, "vp8 encode: SegSpec arrays are 4/4/3")
+      hdr.putLiteral(1, 1) // segmentation enabled
+      hdr.putLiteral(1, 1) // update_mb_segmentation_map
+      hdr.putLiteral(1, 1) // update_segment_feature_data
+      hdr.putLiteral(if (seg.absMode) 1 else 0, 1)
+      seg.qIdx.foreach(v => putSignedFlagged(hdr, v, 7))
+      seg.lfLvl.foreach(v => putSignedFlagged(hdr, v, 6))
+      seg.probs.foreach { p =>
+        require(p >= 1 && p <= 254, "vp8 encode: segment map prob in 1..254")
+        hdr.putLiteral(1, 1)
+        hdr.putLiteral(p, 8)
+      }
+    }
+
+  /** Emit the §9.4 loop-filter delta block (or its disabled bit). */
+  private def putLfDeltaHeader(hdr: BoolEncoder, lfd: LfDeltaSpec): Unit =
+    if (lfd == null) hdr.putLiteral(0, 1)
+    else {
+      require(lfd.refDelta.length == 4 && lfd.modeDelta.length == 4,
+        "vp8 encode: LfDeltaSpec arrays are 4/4")
+      hdr.putLiteral(1, 1) // loop_filter_adj_enable
+      hdr.putLiteral(1, 1) // mode_ref_lf_delta_update
+      lfd.refDelta.foreach(v => putSignedFlagged(hdr, v, 6))
+      lfd.modeDelta.foreach(v => putSignedFlagged(hdr, v, 6))
+    }
+
+  /** Encoder-side effective per-segment quantizer index (mirrors the
+    * decoder's base clamp).
+    */
+  private def encSegQi(baseQi: Int, seg: SegSpec, segId: Int): Int =
+    if (seg == null) baseQi
+    else math.max(0, math.min(127,
+      if (seg.absMode) seg.qIdx(segId) else baseQi + seg.qIdx(segId)))
 
   private final class TokenWriter(enc: BoolEncoder,
                                   probs: Array[Array[Array[Array[Int]]]]) {
@@ -807,14 +881,14 @@ object Vp8Codec {
     val hdr = new BoolEncoder
     hdr.putLiteral(0, 1) // color space
     hdr.putLiteral(0, 1) // clamping type
-    hdr.putLiteral(0, 1) // segmentation disabled
+    putSegmentHeader(hdr, plan.seg)
     require(plan.filterLevel >= 0 && plan.filterLevel < 64
       && (plan.filterType & ~1) == 0
       && plan.sharpness >= 0 && plan.sharpness < 8, "vp8 encode: filter header")
     hdr.putLiteral(plan.filterType, 1)
     hdr.putLiteral(plan.filterLevel, 6)
     hdr.putLiteral(plan.sharpness, 3)
-    hdr.putLiteral(0, 1) // no lf deltas
+    putLfDeltaHeader(hdr, plan.lfd)
     hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2) // log2 partitions
     hdr.putLiteral(plan.qi, 7) // y_ac_qi
     def putDelta(d: Int): Unit =
@@ -855,6 +929,8 @@ object Vp8Codec {
       val c0 = mb % mbW
       if (c0 == 0) java.util.Arrays.fill(leftSubScratch, BDc)
       val myMode = plan.modeAt(mb)
+      if (plan.seg != null) // segment_id leads the MB record (§9.3)
+        hdr.putTree(mbSegmentTree, plan.seg.probs, plan.seg.segOf(mb))
       if (skipEnabled) hdr.put(1, 255) // every MB skips in the skip variant
       hdr.putTree(kfYmodeTree, kfYmodeProbs, myMode)
       if (myMode == ModeB) {
@@ -895,14 +971,17 @@ object Vp8Codec {
     val aboveY2 = Array.fill(mbW)(0)
     val aboveU = Array.fill(mbW * 2)(0)
     val aboveV = Array.fill(mbW * 2)(0)
-    val y2q = y2DcQ(plan.qi, 0)
-    val uvq = uvDcQ(plan.qi, plan.uvDcDelta)
-    val ydcq = dcQ(plan.qi) // B_PRED Y blocks carry their own DC (no Y2)
+    // per-segment quantizers (every slot the frame base when seg == null)
+    val y2qA = Array.tabulate(4)(s => y2DcQ(encSegQi(plan.qi, plan.seg, s), 0))
+    val uvqA = Array.tabulate(4)(s =>
+      uvDcQ(encSegQi(plan.qi, plan.seg, s), plan.uvDcDelta))
+    // B_PRED Y blocks carry their own DC (no Y2)
+    val ydcqA = Array.tabulate(4)(s => dcQ(encSegQi(plan.qi, plan.seg, s)))
     val aboveYb = Array.fill(mbW * 4)(0)
     val leftYb = Array.fill(4)(0)
 
     /** smallest |v| whose DC-only reconstruction delta equals m exactly. */
-    def steerY2(m: Int): Int = {
+    def steerY2(m: Int, y2q: Int): Int = {
       if (m == 0) return 0
       val guess = (64 * m) / y2q // d ≈ y2q·v/8 and the window centers at 8m
       var v = guess - 12
@@ -913,7 +992,7 @@ object Vp8Codec {
       }
       throw new IllegalStateException(s"vp8 encode: no exact Y2 level for delta $m (q=$y2q)")
     }
-    def steerUv(m: Int): Int = {
+    def steerUv(m: Int, uvq: Int): Int = {
       if (m == 0) return 0
       val guess = (8 * m) / uvq
       var v = guess - 12
@@ -923,7 +1002,7 @@ object Vp8Codec {
       }
       throw new IllegalStateException(s"vp8 encode: no exact UV level for delta $m (q=$uvq)")
     }
-    def steerYb(m: Int): Int = {
+    def steerYb(m: Int, ydcq: Int): Int = {
       if (m == 0) return 0
       val guess = (8 * m) / ydcq
       var v = guess - 12
@@ -964,8 +1043,9 @@ object Vp8Codec {
           val pu = gridPred(uvMode, reconU, r, c)
           val pv = gridPred(uvMode, reconV, r, c)
           val ty = plan.yTarget(mbI); val tu = plan.uTarget(mbI); val tv = plan.vTarget(mbI)
-          val vu = steerUv(tu - pu)
-          val vv = steerUv(tv - pv)
+          val sgI = if (plan.seg == null) 0 else plan.seg.segOf(mbI)
+          val vu = steerUv(tu - pu, uvqA(sgI))
+          val vv = steerUv(tv - pv, uvqA(sgI))
           if (myMode == ModeB) {
             // B_PRED: no Y2 block (its nz context is left untouched);
             // 16 plane-3 Y blocks. The luma model is PER-PIXEL here —
@@ -1003,7 +1083,7 @@ object Vp8Codec {
                 else pxl((br * 4 - 1) * 16 + bc * 4 - 1)
               val pb = predB4(plan.bModes(mbI, b), aArr, lArr, al)
               val tgt = if (plan.bTargets == null) ty else plan.bTargets(mbI, b)
-              val vb = steerYb(tgt - pb(15))
+              val vb = steerYb(tgt - pb(15), ydcqA(sgI))
               val db = tgt - pb(15)
               var k2 = 0
               while (k2 < 16) {
@@ -1027,7 +1107,7 @@ object Vp8Codec {
             }
           } else {
             val py = gridPred(myMode, reconY, r, c)
-            val vy = steerY2(ty - py)
+            val vy = steerY2(ty - py, y2qA(sgI))
             // Y2 block (plane 1, coefs from 0)
             val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
             aboveY2(c) = nzY2; leftY2 = nzY2
@@ -1150,6 +1230,105 @@ object Vp8Codec {
   final case class Vp8Frame(width: Int, height: Int, y: Array[Byte],
                             u: Array[Byte], v: Array[Byte])
 
+  // ---- segmentation + loop-filter-delta headers (RFC 6386 §9.3/§9.4) -------
+
+  /** §9.3 mb_segment_tree: two bits select one of four segments, probs
+    * indexed per node pair like every other VP8 tree.
+    */
+  private[operators] val mbSegmentTree = Array(2, 4, -0, -1, -2, -3)
+
+  /** Parsed segmentation header. `probs` are the segment-map tree
+    * probabilities (255 where not coded). This profile requires the map
+    * to be UPDATED whenever segmentation is enabled — a persisted
+    * (cross-frame) segment map would need decoder state the per-frame
+    * API doesn't carry, so it is rejected loudly, never guessed.
+    */
+  private final case class SegHeader(enabled: Boolean, abs: Boolean,
+                                     qIdx: Array[Int], lfLvl: Array[Int],
+                                     probs: Array[Int])
+
+  private def readSegmentHeader(hd: BoolDecoder): SegHeader = {
+    val enabled = hd.literal(1) == 1
+    var abs = false
+    val qIdx = new Array[Int](4)
+    val lfLvl = new Array[Int](4)
+    val probs = Array(255, 255, 255)
+    if (enabled) {
+      val updMap = hd.literal(1) == 1
+      val updData = hd.literal(1) == 1
+      if (updData) {
+        abs = hd.literal(1) == 1
+        var i = 0
+        while (i < 4) { qIdx(i) = hd.signedFlagged(7); i += 1 }
+        i = 0
+        while (i < 4) { lfLvl(i) = hd.signedFlagged(6); i += 1 }
+      }
+      require(updMap,
+        "vp8: segmentation without a map update (persisted segment map) outside this profile")
+      var i = 0
+      while (i < 3) { if (hd.literal(1) == 1) probs(i) = hd.literal(8); i += 1 }
+    }
+    SegHeader(enabled, abs, qIdx, lfLvl, probs)
+  }
+
+  /** Parsed §9.4 mode/ref loop-filter delta header. Deltas persist
+    * across frames in the spec when the update flag is 0; this profile
+    * requires the update whenever the feature is enabled, so every
+    * frame stays self-contained.
+    */
+  private final case class LfDeltaHeader(enabled: Boolean, refDelta: Array[Int],
+                                         modeDelta: Array[Int])
+
+  private def readLfDeltaHeader(hd: BoolDecoder): LfDeltaHeader = {
+    val enabled = hd.literal(1) == 1
+    val refDelta = new Array[Int](4)
+    val modeDelta = new Array[Int](4)
+    if (enabled) {
+      require(hd.literal(1) == 1,
+        "vp8: loop-filter deltas without an update (persisted deltas) outside this profile")
+      var i = 0
+      while (i < 4) { refDelta(i) = hd.signedFlagged(6); i += 1 }
+      i = 0
+      while (i < 4) { modeDelta(i) = hd.signedFlagged(6); i += 1 }
+    }
+    LfDeltaHeader(enabled, refDelta, modeDelta)
+  }
+
+  /** Per-MB quantizer index under segmentation (§9.3/§13): the segment
+    * feature replaces (abs) or adjusts (delta) the frame base index,
+    * clamped to 0..127 BEFORE the per-plane header deltas apply.
+    */
+  private def segQi(seg: SegHeader, baseQi: Int, segId: Int): Int =
+    if (!seg.enabled) baseQi
+    else {
+      val v = if (seg.abs) seg.qIdx(segId) else baseQi + seg.qIdx(segId)
+      math.max(0, math.min(127, v))
+    }
+
+  /** Per-MB loop-filter level (the RFC reference decoder's derivation):
+    * the segment feature replaces/adjusts the frame level (clamped
+    * 0..63), then the mode/ref deltas add — refDelta by reference kind
+    * (0 = intra/current, 1 = last, 2 = golden, 3 = altref),
+    * modeDelta(0) for B_PRED intra, modeDelta(1) for ZEROMV,
+    * modeDelta(3) for SPLITMV, modeDelta(2) for every other inter mode,
+    * no mode delta (modeKind -1) for whole-MB intra — with a final
+    * 0..63 clamp.
+    */
+  private def mbLfLevel(seg: SegHeader, lfd: LfDeltaHeader, frameLevel: Int,
+                        segId: Int, refKind: Int, modeKind: Int): Int = {
+    var lvl =
+      if (!seg.enabled) frameLevel
+      else {
+        val v = if (seg.abs) seg.lfLvl(segId) else frameLevel + seg.lfLvl(segId)
+        math.max(0, math.min(63, v))
+      }
+    if (lfd.enabled) {
+      lvl += lfd.refDelta(refKind)
+      if (modeKind >= 0) lvl += lfd.modeDelta(modeKind)
+    }
+    math.max(0, math.min(63, lvl))
+  }
+
   def decodeWebp(b: Array[Byte]): Vp8Frame = {
     require(isVp8Webp(b), "vp8: not a RIFF/WEBP container with a VP8 chunk")
     val size = Riff.le32(b, 16)
@@ -1178,11 +1357,11 @@ object Vp8Codec {
     val hd = new BoolDecoder(b, 10, 10 + part0Len)
     hd.literal(1) // color space
     hd.literal(1) // clamping
-    require(hd.literal(1) == 0, "vp8: segmentation unsupported in this profile")
+    val seg = readSegmentHeader(hd)
     val filterType = hd.literal(1)
     val filterLevel = hd.literal(6)
     val sharpness = hd.literal(3)
-    require(hd.literal(1) == 0, "vp8: loop-filter deltas unsupported")
+    val lfd = readLfDeltaHeader(hd)
     val log2Parts = hd.literal(2)
     require(log2Parts <= 1, s"vp8: this profile reads 1 or 2 token partitions")
     val nParts = 1 << log2Parts
@@ -1207,6 +1386,7 @@ object Vp8Codec {
 
     val yModes = new Array[Int](mbW * mbH)
     val skips = new Array[Boolean](mbW * mbH)
+    val segIds = new Array[Int](mbW * mbH)
     val subModes = Array.fill(mbW * mbH)(null: Array[Int])
     val aboveSub = Array.fill(mbW * 4)(BDc)
     val leftSub = Array.fill(4)(BDc)
@@ -1214,6 +1394,8 @@ object Vp8Codec {
     while (mb < mbW * mbH) {
       val c0 = mb % mbW
       if (c0 == 0) java.util.Arrays.fill(leftSub, BDc)
+      // §9.3: segment_id leads the MB record when the map is updated
+      if (seg.enabled) segIds(mb) = hd.tree(mbSegmentTree, seg.probs)
       if (skipEnabled) skips(mb) = hd.get(probSkipFalse) == 1
       val ym = hd.tree(kfYmodeTree, kfYmodeProbs)
       require(ym == ModeDc || ym == ModeV || ym == ModeH || ym == ModeTm
@@ -1267,15 +1449,16 @@ object Vp8Codec {
     val yPlane = new Array[Byte](w * h)
     val uPlane = new Array[Byte]((w / 2) * (h / 2))
     val vPlane = new Array[Byte]((w / 2) * (h / 2))
-    // per-plane dc/ac quantizers from the pinned profile + header deltas
-    val y2q = y2DcQ(qi, y2DcDelta)
-    val y2aq = 2 * dcQ(qi + y2AcDelta)
-    val yAcQv = dcQ(qi)
-    val uvq = uvDcQ(qi, uvDcDelta)
-    val uvaq = dcQ(qi + uvAcDelta)
-    // whole-MB modes carry Y DC in the Y2 plane; B_PRED blocks carry
-    // their own DC, quantized with the y_dc_delta-adjusted step
-    val yBdcQv = dcQ(qi + yDcDelta)
+    // per-plane dc/ac quantizers from the pinned profile + header
+    // deltas, per SEGMENT (all four collapse to the frame base when
+    // segmentation is off; whole-MB modes carry Y DC in the Y2 plane,
+    // B_PRED blocks their own DC with the y_dc_delta-adjusted step)
+    val y2qA = Array.tabulate(4)(s => y2DcQ(segQi(seg, qi, s), y2DcDelta))
+    val y2aqA = Array.tabulate(4)(s => 2 * dcQ(segQi(seg, qi, s) + y2AcDelta))
+    val yAcQvA = Array.tabulate(4)(s => dcQ(segQi(seg, qi, s)))
+    val uvqA = Array.tabulate(4)(s => uvDcQ(segQi(seg, qi, s), uvDcDelta))
+    val uvaqA = Array.tabulate(4)(s => dcQ(segQi(seg, qi, s) + uvAcDelta))
+    val yBdcQvA = Array.tabulate(4)(s => dcQ(segQi(seg, qi, s) + yDcDelta))
 
     val aboveY = Array.fill(mbW * 4)(0) // per 4×4 block column nz flags
     val aboveU = Array.fill(mbW * 2)(0)
@@ -1299,6 +1482,10 @@ object Vp8Codec {
       while (c < mbW) {
         val mbI = r * mbW + c
         val mode = yModes(mbI)
+        // this MB's segment quantizers (frame base when segmentation off)
+        val sgI = segIds(mbI)
+        val y2q = y2qA(sgI); val y2aq = y2aqA(sgI); val yAcQv = yAcQvA(sgI)
+        val uvq = uvqA(sgI); val uvaq = uvaqA(sgI); val yBdcQv = yBdcQvA(sgI)
         // --- prediction (from reconstructed neighbors, spec edge rules) ---
         val px = c * 16; val py = r * 16
         val predY = new Array[Int](256)
@@ -1528,8 +1715,10 @@ object Vp8Codec {
       }
       r += 1
     }
-    if (filterLevel > 0)
-      applyLoopFilter(yPlane, uPlane, vPlane, w, filterType, filterLevel,
+    if (filterLevel > 0 || seg.enabled || lfd.enabled)
+      applyLoopFilter(yPlane, uPlane, vPlane, w, filterType,
+        mb => mbLfLevel(seg, lfd, filterLevel, segIds(mb), 0,
+          if (yModes(mb) == ModeB) 0 else -1),
         sharpness, mbW, mbH, mb => yModes(mb) == ModeB || mbNz(mb))
     Vp8Frame(w, h, yPlane, uPlane, vPlane)
   }
@@ -1866,7 +2055,9 @@ object Vp8Codec {
                              // in-loop filter (RFC 6386 15): 0 normal, 1 simple
                              filterType: Int = 1,
                              filterLevel: Int = 0,
-                             sharpness: Int = 0)
+                             sharpness: Int = 0,
+                             seg: SegSpec = null,
+                             lfd: LfDeltaSpec = null)
 
   /** Encode one inter frame against the uniform-grid reference state;
     * returns the stream and this frame's reconstruction grid.
@@ -1895,8 +2086,12 @@ object Vp8Codec {
     // ---- first partition: header ----
     // a filtered reconstruction breaks the per-MB-uniform grid model the
     // encoder's steering relies on, so a filtered inter frame must be
-    // TERMINAL: it may not refresh any reference buffer
-    require(plan.filterLevel == 0 ||
+    // TERMINAL: it may not refresh any reference buffer. Segment
+    // loop-filter features and mode/ref deltas can raise a per-MB level
+    // above a zero frame level, so they count as "filtered" too.
+    val mayFilter = plan.filterLevel > 0 ||
+      (plan.seg != null && plan.seg.lfLvl.exists(_ != 0)) || plan.lfd != null
+    require(!mayFilter ||
       (!plan.refreshLast && !plan.refreshGolden && !plan.refreshAlt &&
         plan.copyToGolden == 0 && plan.copyToAlt == 0),
       "vp8 encode: a filtered inter frame must not refresh reference buffers")
@@ -1904,11 +2099,11 @@ object Vp8Codec {
     require(plan.filterLevel >= 0 && plan.filterLevel < 64
       && plan.sharpness >= 0 && plan.sharpness < 8, "vp8 encode: filter header")
     val hdr = new BoolEncoder
-    hdr.putLiteral(0, 1) // segmentation disabled
+    putSegmentHeader(hdr, plan.seg)
     hdr.putLiteral(plan.filterType, 1)
     hdr.putLiteral(plan.filterLevel, 6)
     hdr.putLiteral(plan.sharpness, 3)
-    hdr.putLiteral(0, 1) // no lf deltas
+    putLfDeltaHeader(hdr, plan.lfd)
     hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2)
     hdr.putLiteral(plan.qi, 7)
     def putDelta(d: Int): Unit =
@@ -1985,10 +2180,13 @@ object Vp8Codec {
     val aboveV = Array.fill(mbW * 2)(0)
     val aboveYb = Array.fill(mbW * 4)(0) // luma nz ctx (plane-3 split blocks)
     val aboveCellMv = Array.fill(mbW * 4)((0, 0)) // per-4x4 MV state (sub-mv ctx)
-    val y2q = y2DcQ(plan.qi, 0)
-    val uvq = uvDcQ(plan.qi, plan.uvDcDelta)
-    val ydcq = dcQ(plan.qi) // SPLITMV luma blocks carry their own DC
-    def steerYb(m: Int): Int = {
+    // per-segment quantizers (every slot the frame base when seg == null)
+    val y2qA = Array.tabulate(4)(s => y2DcQ(encSegQi(plan.qi, plan.seg, s), 0))
+    val uvqA = Array.tabulate(4)(s =>
+      uvDcQ(encSegQi(plan.qi, plan.seg, s), plan.uvDcDelta))
+    // SPLITMV luma blocks carry their own DC
+    val ydcqA = Array.tabulate(4)(s => dcQ(encSegQi(plan.qi, plan.seg, s)))
+    def steerYb(m: Int, ydcq: Int): Int = {
       if (m == 0) return 0
       val guess = (8 * m) / ydcq
       var v = guess - 12
@@ -1998,7 +2196,7 @@ object Vp8Codec {
       }
       throw new IllegalStateException(s"vp8 encode: no exact Y level for delta $m (q=$ydcq)")
     }
-    def steerY2(m: Int): Int = {
+    def steerY2(m: Int, y2q: Int): Int = {
       if (m == 0) return 0
       val guess = (64 * m) / y2q
       var v = guess - 12
@@ -2009,7 +2207,7 @@ object Vp8Codec {
       }
       throw new IllegalStateException(s"vp8 encode: no exact Y2 level for delta $m (q=$y2q)")
     }
-    def steerUv(m: Int): Int = {
+    def steerUv(m: Int, uvq: Int): Int = {
       if (m == 0) return 0
       val guess = (8 * m) / uvq
       var v = guess - 12
@@ -2169,6 +2367,8 @@ object Vp8Codec {
             mvR = cellMv(15)._1; mvC = cellMv(15)._2
         }
         // mode syntax
+        if (plan.seg != null) // segment_id leads the MB record (§9.3)
+          hdr.putTree(mbSegmentTree, plan.seg.probs, plan.seg.segOf(r * mbW + c))
         hdr.put(if (skip) 1 else 0, probSkipFalse)
         hdr.put(if (isInter) 1 else 0, probIntra)
         spec match {
@@ -2244,12 +2444,13 @@ object Vp8Codec {
           aboveU(2 * c) = 0; aboveU(2 * c + 1) = 0
           aboveV(2 * c) = 0; aboveV(2 * c + 1) = 0
         } else {
-          val vu = steerUv(tu - pu)
-          val vv = steerUv(tv - pv)
+          val sgI = if (plan.seg == null) 0 else plan.seg.segOf(r * mbW + c)
+          val vu = steerUv(tu - pu, uvqA(sgI))
+          val vv = steerUv(tv - pv, uvqA(sgI))
           if (isSplit) {
             // no Y2; 16 plane-3 blocks carry their own DC, steered
             // against the (uniform) common-MV prediction
-            val vy = steerYb(ty - py)
+            val vy = steerYb(ty - py, ydcqA(sgI))
             var b = 0
             while (b < 16) {
               val bc = b & 3; val br = b >> 2
@@ -2258,7 +2459,7 @@ object Vp8Codec {
               b += 1
             }
           } else {
-            val vy = steerY2(ty - py)
+            val vy = steerY2(ty - py, y2qA(sgI))
             val nzY2 = w.dcOnlyBlock(1, 0, aboveY2(c) + leftY2, vy)
             aboveY2(c) = nzY2; leftY2 = nzY2
             var b = 0
@@ -2344,11 +2545,11 @@ object Vp8Codec {
     val mbH = h / 16
 
     val hd = new BoolDecoder(b, 3, 3 + part0Len)
-    require(hd.literal(1) == 0, "vp8: segmentation unsupported in this profile")
+    val seg = readSegmentHeader(hd)
     val filterType = hd.literal(1)
     val filterLevel = hd.literal(6)
     val sharpness = hd.literal(3)
-    require(hd.literal(1) == 0, "vp8: loop-filter deltas unsupported")
+    val lfd = readLfDeltaHeader(hd)
     val log2Parts = hd.literal(2)
     require(log2Parts <= 1, "vp8: this profile reads 1 or 2 token partitions")
     val nParts = 1 << log2Parts
@@ -2416,6 +2617,8 @@ object Vp8Codec {
     val isSplitA = new Array[Boolean](mbW * mbH)
     val refOf = new Array[Int](mbW * mbH)
     val yModes = new Array[Int](mbW * mbH)
+    val segIds = new Array[Int](mbW * mbH)
+    val interModeA = new Array[Int](mbW * mbH) // mvRefTree mode per inter MB
     val mvRowA = new Array[Int](mbW * mbH)
     val mvColA = new Array[Int](mbW * mbH)
     val interFlag = Array.fill(mbH, mbW)(false)
@@ -2430,6 +2633,8 @@ object Vp8Codec {
       var c = 0
       while (c < mbW) {
         val mbI = r * mbW + c
+        // §9.3: segment_id leads the MB record when the map is updated
+        if (seg.enabled) segIds(mbI) = hd.tree(mbSegmentTree, seg.probs)
         if (skipEnabled) skips(mbI) = hd.get(probSkipFalse) == 1
         val inter = hd.get(probIntra) == 1
         isInterA(mbI) = inter
@@ -2443,6 +2648,7 @@ object Vp8Codec {
           val (best, nearest, near, cnt) = findNearMvs(r, c, interFlag,
             mvRowG, mvColG, (rr, cc) => refOf(rr * mbW + cc), ref, signBias)
           val mode = hd.tree(mvRefTree, mvRefProbs(cnt))
+          interModeA(mbI) = mode
           val mv: (Int, Int) =
             if (mode == MvSplit) {
               isSplitA(mbI) = true
@@ -2526,11 +2732,13 @@ object Vp8Codec {
     val yPlane = new Array[Byte](w * h)
     val uPlane = new Array[Byte]((w / 2) * (h / 2))
     val vPlane = new Array[Byte]((w / 2) * (h / 2))
-    val y2q = y2DcQ(qi, 0)
-    val y2aq = 2 * dcQ(qi)
-    val yAcQv = dcQ(qi)
-    val uvq = uvDcQ(qi, uvDcDelta)
-    val uvaq = dcQ(qi)
+    // per-segment quantizers (the frame base in every slot when
+    // segmentation is off)
+    val y2qA = Array.tabulate(4)(s => y2DcQ(segQi(seg, qi, s), 0))
+    val y2aqA = Array.tabulate(4)(s => 2 * dcQ(segQi(seg, qi, s)))
+    val yAcQvA = Array.tabulate(4)(s => dcQ(segQi(seg, qi, s)))
+    val uvqA = Array.tabulate(4)(s => uvDcQ(segQi(seg, qi, s), uvDcDelta))
+    val uvaqA = Array.tabulate(4)(s => dcQ(segQi(seg, qi, s)))
     val aboveY = Array.fill(mbW * 4)(0)
     val aboveU = Array.fill(mbW * 2)(0)
     val aboveV = Array.fill(mbW * 2)(0)
@@ -2548,6 +2756,10 @@ object Vp8Codec {
       while (c < mbW) {
         val mbI = r * mbW + c
         val px = c * 16; val py = r * 16
+        // this MB's segment quantizers (frame base when segmentation off)
+        val sgI = segIds(mbI)
+        val y2q = y2qA(sgI); val y2aq = y2aqA(sgI); val yAcQv = yAcQvA(sgI)
+        val uvq = uvqA(sgI); val uvaq = uvaqA(sgI)
         val predY = new Array[Int](256)
         val predU = new Array[Int](64)
         val predV = new Array[Int](64)
@@ -2792,9 +3004,27 @@ object Vp8Codec {
     }
     // in-loop filter (RFC 6386 15.2): interior subblock edges run only
     // for MBs that are not skip-coefficient-coded or are SPLITMV; the
-    // FILTERED frame is what enters the reference buffers
-    if (filterLevel > 0)
-      applyLoopFilter(yPlane, uPlane, vPlane, w, filterType, filterLevel,
+    // FILTERED frame is what enters the reference buffers. Per-MB levels
+    // fold in the segment feature and the mode/ref deltas (ref kind 1/2/3
+    // for last/golden/altref, mode kind 1 ZEROMV / 3 SPLITMV / 2 other
+    // inter / 0 B_PRED intra / -1 whole-MB intra).
+    if (filterLevel > 0 || seg.enabled || lfd.enabled)
+      applyLoopFilter(yPlane, uPlane, vPlane, w, filterType,
+        mb => {
+          val refKind =
+            if (!isInterA(mb)) 0
+            else refOf(mb) match {
+              case RefLast => 1
+              case RefGolden => 2
+              case _ => 3
+            }
+          val modeKind =
+            if (!isInterA(mb)) { if (yModes(mb) == ModeB) 0 else -1 }
+            else if (isSplitA(mb)) 3
+            else if (interModeA(mb) == MvZero) 1
+            else 2
+          mbLfLevel(seg, lfd, filterLevel, segIds(mb), refKind, modeKind)
+        },
         sharpness, mbW, mbH,
         mb => !skips(mb) || isSplitA(mb))
     (Vp8Frame(w, h, yPlane, uPlane, vPlane), refreshLast, refreshGolden,
