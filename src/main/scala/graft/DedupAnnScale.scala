@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 
 /** One-shot scale probes for the two candidate-generation families whose
   * 100 TB arguments were previously design-level only: MinHash-LSH
@@ -111,6 +111,40 @@ object DedupAnnScale {
     val ivf1 = ivfRun(1)
     val ivf10 = ivfRun(10)
 
+    // ---- BM25: bucketed postings index built at 1x and 10x, probed with
+    // a FIXED query set naming one unique rare term each (constant
+    // result volume), so the search exponents expose the structural
+    // claim directly: the probe is a broadcast onto the bucketed scan —
+    // its shuffle carries matched postings only, never the index --------
+    def bmCorpus(mult: Int): DataFrame =
+      spark.range(200000L * mult).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("c"), pmod(col("id") * 7, lit(997))),
+          concat(lit("c"), pmod(col("id") * 13, lit(997))),
+          concat(lit("c"), pmod(col("id") * 29, lit(997))),
+          concat(lit("c"), pmod(col("id") * 31, lit(997))),
+          concat(lit("r"), col("id"))).as("text"))
+    val bmQueries = spark.range(20).select(col("id").as("query_id"),
+      concat(lit("r"), col("id") * 9973).as("qtext"))
+    def bmBuild(mult: Int): (Double, Long, Long) = measured {
+      Retrieval.writePostingsIndex(bmCorpus(mult), "doc_id", "text",
+        s"bm25_scale_${mult}x", buckets = 64)
+      200000L * mult
+    }
+    def bmRun(mult: Int): (Double, Long, Long) = measured {
+      Retrieval.bm25Search(spark, s"bm25_scale_${mult}x", bmQueries,
+        "query_id", "qtext", k = 10).count()
+    }
+    val bmBuild1 = bmBuild(1)
+    bmRun(1) // warmup
+    val bm1 = bmRun(1)
+    val bmBuild10 = bmBuild(10)
+    val bm10 = bmRun(10)
+    spark.sql("DROP TABLE IF EXISTS bm25_scale_1x")
+    spark.sql("DROP TABLE IF EXISTS bm25_scale_1x__stats")
+    spark.sql("DROP TABLE IF EXISTS bm25_scale_10x")
+    spark.sql("DROP TABLE IF EXISTS bm25_scale_10x__stats")
+
     def exp10(a: Double, b: Double): Double =
       math.round(math.log(b / a) / math.log(10.0) * 1000) / 1000.0
     def block(x1: (Double, Long, Long), x10: (Double, Long, Long)): String =
@@ -119,7 +153,9 @@ object DedupAnnScale {
         s""""wall_exponent":${exp10(x1._1, x10._1)},""" +
         s""""shuffle_exponent":${exp10(math.max(1, x1._2).toDouble, math.max(1, x10._2).toDouble)}}"""
     println(s"""{"metric":"dedup_ann_scale","lsh":${block(lsh1, lsh10)},""" +
-      s""""ivf":${block(ivf1, ivf10)}}""")
+      s""""ivf":${block(ivf1, ivf10)},""" +
+      s""""bm25_build":${block(bmBuild1, bmBuild10)},""" +
+      s""""bm25_search":${block(bm1, bm10)}}""")
     spark.stop()
   }
 }
