@@ -4901,6 +4901,101 @@ object QueryCatalog {
              |  CAST(chk AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 B-SLICE REFERENCE-LIST MODIFICATION (7.3.3.1 applied
+    // per list on B slices), graded exactly — the q_h264_bslice
+    // geometry with idc-0 commands permuting the two-picture defaults
+    // INDEPENDENTLY per list, variant doc % 3: list 0 swapped (B_L0
+    // stripes read the IDR, Bi collapses onto the IDR value), list 1
+    // swapped (the shifted B_L1 stripes land on the P frame — tile
+    // value + the SOURCE macroblock's steered delta — and Bi collapses
+    // onto P), or both (one-sided classes cross while the symmetric Bi
+    // average must NOT move). A decoder that applies a command to the
+    // wrong list, shares one rolling picNum predictor across lists, or
+    // ignores the l1 flag reproduces the wrong side everywhere.
+    ("q_h264_bmod",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264BModMedia(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dd AS (
+             |  SELECT doc_id AS d, 32 AS w, 64 AS h, 2 AS mbw, 4 AS mbh,
+             |    1 AS tcols, 3072 AS fb, doc_id % 3 AS v FROM documents),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val * (t.i % m.fb % 97 + 1) * (t.i // m.fb + 1)) AS chk
+             |  FROM dd m
+             |  JOIN range(0, 9216) t(i) ON t.i < 3 * m.fb
+             |  CROSS JOIN LATERAL (SELECT t.i // m.fb AS fi, t.i % m.fb AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < m.w*m.h THEN 0
+             |         WHEN qf.j < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j % m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) % (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN qf.j // m.w
+             |      WHEN 1 THEN (qf.j - m.w*m.h) // (m.w//2)
+             |      ELSE (qf.j - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN q1.yy // 16 ELSE q1.yy // 8 END AS r,
+             |    CASE q0.pl WHEN 0 THEN q1.x // 16 ELSE q1.x // 8 END AS c) q2
+             |  CROSS JOIN LATERAL (SELECT q2.r * m.mbw + q2.c AS mb,
+             |    (q2.c + m.d + q2.r) % 4 AS cls,
+             |    (q2.r // 2) * m.tcols + q2.c // 2 AS tile,
+             |    CASE WHEN q2.r > 0 THEN -1 ELSE 1 END
+             |      * (CASE q0.pl WHEN 0 THEN 16 ELSE 8 END) AS sy) q3
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (m.d + 3*q3.mb) % 2 = 0 THEN 1 ELSE -1 END)
+             |      * (1 + (m.d + q3.mb) % 6) AS dl,
+             |    CASE q0.pl
+             |      WHEN 0 THEN ((q1.yy + q3.sy) // 32) * m.tcols
+             |      ELSE ((q1.yy + q3.sy) // 16) * m.tcols END
+             |      + (CASE q0.pl WHEN 0 THEN q1.x // 32 ELSE q1.x // 16 END) AS stile,
+             |    (CASE q0.pl WHEN 0 THEN (q1.yy + q3.sy) // 16
+             |      ELSE (q1.yy + q3.sy) // 8 END) * m.mbw + q2.c AS smb) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    (CASE WHEN (m.d + 3*q4.smb) % 2 = 0 THEN 1 ELSE -1 END)
+             |      * (1 + (m.d + q4.smb) % 6) AS dls) q4b
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl
+             |      WHEN 0 THEN (37*m.d + 23*q3.tile) % 208 + 24
+             |      WHEN 1 THEN (91*m.d + 13*q3.tile) % 240 + 8
+             |      ELSE (53*m.d + 17*q3.tile) % 240 + 8 END AS f1v,
+             |    CASE q0.pl
+             |      WHEN 0 THEN (37*m.d + 23*q3.tile) % 208 + 24 + 4*q4.dl
+             |      WHEN 1 THEN (91*m.d + 23*q3.mb) % 240 + 8
+             |      ELSE (53*m.d + 27*q3.mb) % 240 + 8 END AS f2v,
+             |    CASE q0.pl
+             |      WHEN 0 THEN (37*m.d + 23*q4.stile) % 208 + 24
+             |      WHEN 1 THEN (91*m.d + 13*q4.stile) % 240 + 8
+             |      ELSE (53*m.d + 17*q4.stile) % 240 + 8 END AS f1s,
+             |    CASE q0.pl
+             |      WHEN 0 THEN (37*m.d + 23*q4.stile) % 208 + 24 + 4*q4b.dls
+             |      WHEN 1 THEN (91*m.d + 23*q4.smb) % 240 + 8
+             |      ELSE (53*m.d + 27*q4.smb) % 240 + 8 END AS f2s) q5
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE qf.fi
+             |      WHEN 0 THEN q5.f1v
+             |      WHEN 1 THEN q5.f2v
+             |      ELSE CASE q3.cls
+             |        WHEN 0 THEN CASE WHEN m.v <> 1 THEN q5.f1v ELSE q5.f2v END
+             |        WHEN 1 THEN CASE WHEN m.v <> 0 THEN q5.f2s ELSE q5.f1s END
+             |        WHEN 2 THEN CASE m.v
+             |          WHEN 0 THEN q5.f1v WHEN 1 THEN q5.f2v
+             |          ELSE (q5.f1v + q5.f2v + 1) // 2 END
+             |        ELSE CASE q0.pl
+             |          WHEN 0 THEN (43*m.d + 19*q3.mb) % 208 + 24
+             |          WHEN 1 THEN (91*m.d + 29*q3.mb) % 240 + 8
+             |          ELSE (53*m.d + 31*q3.mb) % 240 + 8 END END
+             |    END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS n_frames,
+             |  CAST(chk AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 CABAC B SLICES, graded exactly — the q_h264_bslice
     // three-frame fixture re-encoded with entropy_coding_mode_flag = 1:
     // the B mb_type bin tree (with the intra-in-B suffix through the I

@@ -38,9 +38,11 @@ package graft.operators
   * 2/3/4/6 with MaxLongTermFrameIdx bookkeeping, the 8.2.4.2.1
   * short-then-long default list order, idc-2 long-term naming in the
   * 7.3.3.1 modification syntax, and the long-term-immune sliding
-  * window). Remaining rungs (B-list modification, MMCO 5's
-  * frame-num/POC reset, B slices over long-term references) are
-  * REJECTED loudly, never misdecoded.
+  * window), and B-slice reference-list modification (7.3.3.1 applied
+  * per list with independent rolling picNum predictors). Remaining
+  * rungs (MMCO 5's frame-num/POC reset, B slices over long-term
+  * references, temporal direct over a modified list 1) are REJECTED
+  * loudly, never misdecoded.
   *
   * Transport, exp-Golomb, the EP-byte rule (00 00 0x with x ≤ 3), the
   * I_PCM sample walk, and all the structural CAVLC/transform/prediction
@@ -866,7 +868,12 @@ object H264Codec {
                              // short-terms again); 3 = chain 0 with the probe
                              // naming the long-term via a 7.3.3.1 idc-2
                              // modification (list flipped to [IDR-lt, copy])
-                             ltVariant: Int = -1)
+                             ltVariant: Int = -1,
+                             // B-slice list modification (7.3.3.1): swap
+                             // the named list's two-picture default via
+                             // one idc-0 command — spatial B only
+                             bModL0: Boolean = false,
+                             bModL1: Boolean = false)
 
   /** Per-4x4-cell motion state of the frame being decoded: refIdx (-1
     * for intra and not-yet-decoded), quarter-pel mv components. Neighbor
@@ -1726,9 +1733,13 @@ object H264Codec {
     val temporal = p.bTemporal
     require(!temporal || colMg != null,
       "h264 fixture: temporal B needs the P frame's motion grid")
-    // list pictures under the POC-default order (see the InterPlan doc)
-    val l0F = if (temporal) ref0past else refP
-    val l1F = if (temporal) refP else ref0past
+    require(!temporal || (!p.bModL0 && !p.bModL1),
+      "h264 fixture: B list modification rides the spatial (display-after) B only")
+    // list pictures under the POC-default order (see the InterPlan doc),
+    // then the fixture's per-list modification swap: one idc-0 command
+    // names the OTHER picture, moving it to the list front
+    val l0F = if (temporal || p.bModL0) ref0past else refP
+    val l1F = if (temporal || p.bModL1) refP else ref0past
     val qp = 28
     val qpc = chromaQp(qp - 6)
     val mbW = w / 16; val mbH = h / 16; val nMb = mbW * mbH
@@ -1741,8 +1752,18 @@ object H264Codec {
     bw.put(if (temporal) 1 else 4, 8) // pic_order_cnt_lsb
     bw.put(if (temporal) 0 else 1, 1) // direct_spatial_mv_pred_flag
     bw.put(0, 1) // num_ref_idx_active_override_flag
-    bw.put(0, 1) // ref_pic_list_modification_flag_l0
-    bw.put(0, 1) // ref_pic_list_modification_flag_l1
+    bw.put(if (p.bModL0) 1 else 0, 1) // ref_pic_list_modification_flag_l0
+    if (p.bModL0) {
+      // idc 0, abs_diff_pic_num_minus1 = 1: picNum 0 (the IDR) leads
+      // list 0 instead of the default P
+      bw.ue(0); bw.ue(1); bw.ue(3)
+    }
+    bw.put(if (p.bModL1) 1 else 0, 1) // ref_pic_list_modification_flag_l1
+    if (p.bModL1) {
+      // idc 0, abs_diff_pic_num_minus1 = 0: picNum 1 (the P) leads
+      // list 1 instead of the default IDR
+      bw.ue(0); bw.ue(0); bw.ue(3)
+    }
     // nal_ref_idc = 0: no dec_ref_pic_marking
     if (cabac) bw.ue(0) // cabac_init_idc (7.3.3: present for P/B when CABAC)
     bw.se(qp - 26)
@@ -3758,37 +3779,70 @@ object H264Codec {
       // order that means the B displays BETWEEN its two references
       require(pocBetween,
         "h264: temporal direct outside a POC-between B (no future list-1 reference)")
-    val bL0frame = if (pocBetween) refPrev else ref
-    val bL1frame = if (pocBetween) ref else refPrev
+    // POC-default B list heads before any modification (8.2.4.2.3)
+    val bRp0default = if (pocBetween) refB else refA
+    val bRp1default = if (pocBetween) refA else refB
     var numRef0 = 1
     val l0Mods = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val l1Mods = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // 7.3.3.1 / 8.2.4.3: idc 0/1 subtract/add abs_diff_pic_num from a
+    // rolling predictor seeded at CurrPicNum (short-term picNum naming);
+    // idc 2 names a long-term picture by LongTermPicNum. Each named
+    // picture moves to the front of the remaining list (exact for
+    // unique entries).
+    def readMods(buf: scala.collection.mutable.ArrayBuffer[(Int, Int)]): Unit = {
+      var idc = br.ue()
+      var n = 0
+      while (idc != 3) {
+        require(idc == 0 || idc == 1 || idc == 2,
+          s"h264: modification_of_pic_nums_idc $idc out of range")
+        buf += ((idc, if (idc == 2) br.ue() else br.ue() + 1))
+        n += 1
+        require(n <= 4, "h264: runaway modification list")
+        idc = br.ue()
+      }
+      require(buf.nonEmpty, "h264: empty modification list")
+    }
     if (isP || isB) {
       if (br.get(1) == 1) { // num_ref_idx_active_override_flag
         require(isP, "h264: B num_ref_idx override outside this profile")
         numRef0 = br.ue() + 1
         require(numRef0 <= 2, "h264: more than two list-0 references outside this profile")
       }
-      if (br.get(1) == 1) { // ref_pic_list_modification_flag_l0
-        // 7.3.3.1 / 8.2.4.3: idc 0/1 subtract/add abs_diff_pic_num from
-        // a rolling predictor seeded at CurrPicNum (short-term picNum
-        // naming); idc 2 names a long-term picture by LongTermPicNum.
-        // Each named picture moves to the front of the remaining list
-        // (exact for unique entries).
-        require(isP, "h264: B reference-list modification outside this profile")
-        var idc = br.ue()
-        var n = 0
-        while (idc != 3) {
-          require(idc == 0 || idc == 1 || idc == 2,
-            s"h264: modification_of_pic_nums_idc $idc out of range")
-          l0Mods += ((idc, if (idc == 2) br.ue() else br.ue() + 1))
-          n += 1
-          require(n <= 4, "h264: runaway modification list")
-          idc = br.ue()
-        }
-        require(l0Mods.nonEmpty, "h264: empty modification list")
-      }
-      if (isB) require(br.get(1) == 0, "h264: ref_pic_list_modification (l1) outside this profile")
+      if (br.get(1) == 1) readMods(l0Mods) // ref_pic_list_modification_flag_l0
+      if (isB && br.get(1) == 1) readMods(l1Mods) // ..._flag_l1
     }
+    if (temporalDirect) require(l1Mods.isEmpty,
+      "h264: temporal direct over a modified list 1 outside this profile")
+    // B reference lists: the two-picture defaults permuted per list by
+    // the modification commands (each list is its own rolling-predictor
+    // walk seeded at CurrPicNum)
+    def applyBMods(mods: Seq[(Int, Int)], defaults: Seq[RefPic]): Seq[RefPic] =
+      if (mods.isEmpty) defaults
+      else {
+        val lst = scala.collection.mutable.ArrayBuffer(defaults: _*)
+        var picNumPred = frameNum
+        var insertIdx = 0
+        mods.foreach { case (idc, v) =>
+          val srcIdx =
+            if (idc == 2) lst.indexWhere(r => r.longTerm && r.ltIdx == v)
+            else {
+              val pn = if (idc == 0) picNumPred - v else picNumPred + v
+              require(pn >= 0, "h264: picNum wrap outside this profile")
+              picNumPred = pn
+              lst.indexWhere(r => !r.longTerm && r.frameNum == pn)
+            }
+          require(srcIdx >= 0, "h264: modification names an absent reference")
+          val rp = lst.remove(srcIdx)
+          lst.insert(insertIdx, rp)
+          insertIdx += 1
+        }
+        lst.toSeq
+      }
+    val bList0 = if (isB) applyBMods(l0Mods.toSeq, Seq(bRp0default, bRp1default)) else Nil
+    val bList1 = if (isB) applyBMods(l1Mods.toSeq, Seq(bRp1default, bRp0default)) else Nil
+    val bL0frame = if (isB) bList0.head.frame else null
+    val bL1frame = if (isB) bList1.head.frame else null
     if (numRef0 > 1) require(refPrev != null,
       "h264: two list-0 references need two decoded reference frames")
     // list 0 of a P slice: the POC/decode-order default [newest, older],

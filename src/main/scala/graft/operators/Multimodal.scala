@@ -705,6 +705,35 @@ object Multimodal {
       })
   }
 
+  /** B-list modification plan (7.3.3.1 on B slices): the [[h264BPlan]]
+    * geometry with per-list idc-0 modification commands swapping the
+    * two-picture defaults — variant doc % 3: list 0 swapped (B_L0 MBs
+    * read the IDR, Bi collapses to the IDR value), list 1 swapped
+    * (B_L1's shifted read lands on the P frame, Bi collapses to the P
+    * value), or both (lists fully crossed; Bi is swap-symmetric and
+    * must NOT move).
+    */
+  private[operators] def h264BModPlan(d: Long): H264Codec.InterPlan = {
+    val v = (d % 3).toInt
+    h264BPlan(d, 32, 64).copy(bModL0 = v != 1, bModL1 = v != 0)
+  }
+
+  /** Each doc carries the [[h264BModPlan]] stream: B reference lists
+    * permuted per list by the modification syntax.
+    */
+  def withH264BModMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264BModPlan(d), cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a three-frame H.264 stream from [[h264BPlan]]:
     * IDR + P + a non-reference B slice with two reference lists.
     */
