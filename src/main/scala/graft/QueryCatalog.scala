@@ -6440,6 +6440,106 @@ object QueryCatalog {
              |  CAST(px.chk AS BIGINT) AS pix_checksum
              |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
 
+    // REAL H.264 MMCO 5 (8.2.5.4.5 unmark-all + frame_num/POC reset),
+    // graded byte-exact — a skip copy of the P whose marking wipes the
+    // DPB and re-enters as frame_num 0, then a post-reset reference
+    // (coded fn 1 FROM THE RESET) reconstructing the copy one stripe
+    // shifted, then the multi-ref probe. Under the reset the probe's
+    // default list is [shifted (fn 1), copy (fn 0)]; a decoder that
+    // ignores MMCO 5 ranks the pre-reset fn 2 copy ABOVE the post-reset
+    // fn 1 frame and reads the pair swapped everywhere.
+    ("q_h264_mmco5",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeH264VideoStats(
+            Multimodal.withH264Mmco5Media(t(s, d, "documents")))
+          .toDF()
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, doc_id % 2 = 0 AS colv FROM documents),
+             |px AS (
+             |  SELECT m.d,
+             |    sum(vv.val * (qf.j % 97 + 1) * (qf.fi0 + 1)) AS chk
+             |  FROM dims m
+             |  JOIN range(0, 9600) t(i) ON true
+             |  CROSS JOIN LATERAL (SELECT t.i // 1920 AS fi0, t.i % 1920 AS j) qf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.j < 1280 THEN 0
+             |         WHEN qf.j < 1600 THEN 1 ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN qf.j WHEN 1 THEN qf.j - 1280
+             |      ELSE qf.j - 1600 END AS jj,
+             |    CASE WHEN q0.pl = 0 THEN CASE WHEN m.colv THEN 80 ELSE 16 END
+             |         ELSE CASE WHEN m.colv THEN 40 ELSE 8 END END AS wpl,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS mbspan) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN m.colv THEN q2.jj % q2.wpl
+             |         ELSE q2.jj // q2.wpl END AS s,
+             |    CASE WHEN m.colv THEN q2.jj // q2.wpl
+             |         ELSE q2.jj % q2.wpl END AS tt) q3
+             |  CROSS JOIN LATERAL (SELECT q3.s // q2.mbspan AS mi,
+             |    (q3.s % q2.mbspan) // (q2.mbspan // 2) AS qs,
+             |    q3.tt // (q2.mbspan // 2) AS qt,
+             |    (q3.s % (q2.mbspan // 2)) // (q2.mbspan // 4) AS us,
+             |    (q3.tt % (q2.mbspan // 2)) // (q2.mbspan // 4) AS ut) q4
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN 37 WHEN 1 THEN 91 ELSE 53 END AS ca1,
+             |    CASE q0.pl WHEN 0 THEN 19 WHEN 1 THEN 29 ELSE 31 END AS ca2,
+             |    CASE q0.pl WHEN 0 THEN 41 WHEN 1 THEN 67 ELSE 71 END AS cb1,
+             |    CASE q0.pl WHEN 0 THEN 23 WHEN 1 THEN 17 ELSE 13 END AS cb2) cf
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q4.mi
+             |      WHEN 0 THEN CASE WHEN q4.qt = 0 THEN 0 ELSE 1 END
+             |      WHEN 1 THEN CASE WHEN q4.qs = 0 THEN 1 ELSE 0 END
+             |      WHEN 2 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 1
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 0
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 1
+             |        ELSE 0 END
+             |      WHEN 3 THEN 1
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 0
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 1
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 0
+             |        ELSE 1 END
+             |    END AS rr,
+             |    CASE q4.mi
+             |      WHEN 0 THEN CASE WHEN q4.qt = 0 THEN 0 ELSE 1 END
+             |      WHEN 1 THEN CASE WHEN q4.qs = 0 THEN 1 ELSE 0 END
+             |      WHEN 2 THEN CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 4
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN
+             |          CASE WHEN q4.us = 0 THEN 2 ELSE 3 END
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN
+             |          CASE WHEN q4.ut = 0 THEN 1 ELSE 2 END
+             |        ELSE CASE
+             |          WHEN q4.us = 0 AND q4.ut = 0 THEN 2
+             |          WHEN q4.us = 1 AND q4.ut = 0 THEN 3
+             |          WHEN q4.us = 0 AND q4.ut = 1 THEN 1
+             |          ELSE 3 END END
+             |      WHEN 3 THEN CASE WHEN q4.qt = 0 THEN 2 ELSE 4 END
+             |      ELSE CASE
+             |        WHEN q4.qs = 0 AND q4.qt = 0 THEN 3
+             |        WHEN q4.qs = 1 AND q4.qt = 0 THEN 4
+             |        WHEN q4.qs = 0 AND q4.qt = 1 THEN 4
+             |        ELSE 0 END
+             |    END AS kk) qr
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN qf.fi0 = 0 THEN (cf.ca1*m.d + cf.ca2*q4.mi) % 160 + 24
+             |    WHEN qf.fi0 <= 2 THEN (cf.cb1*m.d + cf.cb2*q4.mi) % 160 + 24
+             |    WHEN qf.fi0 = 3
+             |      THEN (cf.cb1*m.d + cf.cb2*least(q4.mi + 1, 4)) % 160 + 24
+             |    WHEN qr.rr = 0
+             |      THEN (cf.cb1*m.d + cf.cb2*least(qr.kk + 1, 4)) % 160 + 24
+             |    ELSE (cf.cb1*m.d + cf.cb2*qr.kk) % 160 + 24
+             |    END AS val) vv
+             |  GROUP BY m.d)
+             |SELECT dims.d AS doc_id,
+             |  CAST(CASE WHEN dims.colv THEN 80 ELSE 16 END AS BIGINT) AS width,
+             |  CAST(CASE WHEN dims.colv THEN 16 ELSE 80 END AS BIGINT) AS height,
+             |  CAST(5 AS BIGINT) AS n_frames,
+             |  CAST(px.chk AS BIGINT) AS pix_checksum
+             |FROM px JOIN dims ON px.d = dims.d ORDER BY doc_id""".stripMargin)),
+
     // REAL H.264 REFERENCE-LIST MODIFICATION (7.3.3.1 / 8.2.4.3),
     // graded byte-exact — the multi-reference sub-partition geometry
     // under a reordered list 0: one idc-0 command names picNum 0 (the

@@ -38,9 +38,11 @@ package graft.operators
   * 2/3/4/6 with MaxLongTermFrameIdx bookkeeping, the 8.2.4.2.1
   * short-then-long default list order, idc-2 long-term naming in the
   * 7.3.3.1 modification syntax, and the long-term-immune sliding
-  * window), and B-slice reference-list modification (7.3.3.1 applied
-  * per list with independent rolling picNum predictors). Remaining
-  * rungs (MMCO 5's frame-num/POC reset, B slices over long-term
+  * window), MMCO 5's unmark-all + frame_num/POC reset (splice
+  * semantics: the stream renumbers from the reset picture), and
+  * B-slice reference-list modification (7.3.3.1 applied per list with
+  * independent rolling picNum predictors) — the full 8.2.5 marking
+  * surface. Remaining compositional bounds (B slices over long-term
   * references, temporal direct over a modified list 1) are REJECTED
   * loudly, never misdecoded.
   *
@@ -867,7 +869,10 @@ object H264Codec {
                              // then an MMCO-2 unmark (probe over two
                              // short-terms again); 3 = chain 0 with the probe
                              // naming the long-term via a 7.3.3.1 idc-2
-                             // modification (list flipped to [IDR-lt, copy])
+                             // modification (list flipped to [IDR-lt, copy]);
+                             // 4 = MMCO 5 splice (DPB + frame_num/POC reset,
+                             // then a post-reset reference the probe must
+                             // order by the RESET numbering)
                              ltVariant: Int = -1,
                              // B-slice list modification (7.3.3.1): swap
                              // the named list's two-picture default via
@@ -1424,10 +1429,24 @@ object H264Codec {
           // skip copy of list0[0] (the first mark frame); DPB after:
           // two short-terms again
           nals += nal(2, 1, markSlice(w, h, cabac, 3, 6, Seq((2, 0, 0)), 0))
+        case 4 =>
+          // MMCO 5 splice: a skip copy of the P whose marking resets the
+          // DPB and the frame_num/POC bases (it re-enters as fn 0), then
+          // a sliding-window reference frame numbered fn 1 FROM THE
+          // RESET, reconstructing the copy one stripe shifted — the
+          // probe's list must read [shifted (fn 1), copy (fn 0)]; a
+          // decoder that ignores the reset orders the pair the OTHER way
+          // around (the pre-reset fn 2 outranks the post-reset fn 1)
+          nals += nal(2, 1, markSlice(w, h, cabac, 2, 4, Seq((5, 0, 0)), 0))
+          nals += nal(2, 1, markSlice(w, h, cabac, 1, 2, Seq.empty, 64))
         case other => throw new IllegalArgumentException(
           s"h264 fixture: ltVariant $other")
       }
-      val (pfn, ppoc) = if (p.ltVariant == 2) (4, 8) else (3, 6)
+      val (pfn, ppoc) = p.ltVariant match {
+        case 2 => (4, 8)
+        case 4 => (2, 6)
+        case _ => (3, 6)
+      }
       nals += nal(0, 1, multiRefSlice(p, w, h, cabac, pfn, ppoc,
         ltModify = p.ltVariant == 3))
     } else {
@@ -1541,18 +1560,21 @@ object H264Codec {
     bw.put(poc, 8) // pic_order_cnt_lsb
     bw.put(0, 1) // num_ref_idx_active_override_flag
     bw.put(0, 1) // ref_pic_list_modification_flag_l0
-    bw.put(1, 1) // adaptive_ref_pic_marking_mode_flag
-    ops.foreach { case (op, a, b) =>
-      bw.ue(op)
-      op match {
-        case 1 | 2 | 4 | 6 => bw.ue(a)
-        case 3 => bw.ue(a); bw.ue(b)
-        case 5 => ()
-        case other => throw new IllegalArgumentException(
-          s"h264 fixture: MMCO operation $other")
+    // adaptive_ref_pic_marking_mode_flag: 0 = sliding window
+    bw.put(if (ops.isEmpty) 0 else 1, 1)
+    if (ops.nonEmpty) {
+      ops.foreach { case (op, a, b) =>
+        bw.ue(op)
+        op match {
+          case 1 | 2 | 4 | 6 => bw.ue(a)
+          case 3 => bw.ue(a); bw.ue(b)
+          case 5 => ()
+          case other => throw new IllegalArgumentException(
+            s"h264 fixture: MMCO operation $other")
+        }
       }
+      bw.ue(0) // end of MMCO list
     }
-    bw.ue(0) // end of MMCO list
     if (cabac) bw.ue(0) // cabac_init_idc
     bw.se(28 - 26) // slice_qp_delta
     bw.ue(1) // disable_deblocking_filter_idc: off
@@ -3697,6 +3719,7 @@ object H264Codec {
           // adaptive marking (8.2.5.4): apply the MMCO list in coded
           // order, then insert the current picture (no sliding window)
           var curLt = -1
+          var reset = false
           ops.foreach {
             case (1, pn, _) =>
               val i = refs.indexWhere(r => !r.longTerm && r.frameNum == pn)
@@ -3716,6 +3739,14 @@ object H264Codec {
             case (4, maxPlus1, _) =>
               maxLtIdx = maxPlus1 - 1
               refs = refs.filterNot(r => r.longTerm && r.ltIdx > maxLtIdx)
+            case (5, _, _) =>
+              // 8.2.5.4.5: unmark every reference and reset the
+              // frame_num/POC bases — the current picture becomes
+              // frameNum 0 / POC 0, and the stream numbers onward from
+              // it (the splice point)
+              refs = Nil
+              maxLtIdx = -1
+              reset = true
             case (6, lt, _) =>
               require(lt <= maxLtIdx,
                 "h264: long_term_frame_idx beyond MaxLongTermFrameIdx")
@@ -3724,7 +3755,10 @@ object H264Codec {
             case (op, _, _) => throw new IllegalArgumentException(
               s"h264: MMCO operation $op out of range")
           }
-          refs = rp0.copy(ltIdx = curLt) :: refs
+          val rp =
+            if (reset) rp0.copy(frameNum = 0, poc = 0, ltIdx = curLt)
+            else rp0.copy(ltIdx = curLt)
+          refs = rp :: refs
           require(refs.length <= 2,
             "h264: DPB overflow — adaptive marking must free a slot")
         }
@@ -3914,11 +3948,7 @@ object H264Codec {
               require(pn >= 0, "h264: MMCO picNum wrap outside this profile")
               (op, pn, if (op == 3) br.ue() else 0)
             case 2 | 4 | 6 => (op, br.ue(), 0)
-            case _ =>
-              // MMCO 5 resets frame_num/POC bases (8.2.5.4.5) — splice
-              // semantics this profile rejects rather than misdecodes
-              throw new IllegalArgumentException(
-                "h264: MMCO 5 (reset) outside this profile")
+            case _ => (5, 0, 0) // no parameters: unmark all + reset bases
           }
           mmcoOps += entry
           n += 1

@@ -1406,6 +1406,30 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** MMCO-5 splice plan: the [[h264PMRefPlan]] geometry behind a
+    * frame_num/POC reset — see [[H264Codec.InterPlan.ltVariant]] = 4.
+    */
+  private[operators] def h264Mmco5Plan(d: Long, colv: Boolean): H264Codec.InterPlan =
+    h264PMRefPlan(d, colv).copy(ltVariant = 4)
+
+  /** Each doc carries the [[h264Mmco5Plan]] stream: the 8.2.5.4.5
+    * unmark-all + base reset, and a probe whose list order is only
+    * right under the POST-RESET numbering.
+    */
+  def withH264Mmco5Media(docs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { batch =>
+        batch.map { d =>
+          (d, H264Codec.encodeInter(h264Mmco5Plan(d, colv = d % 2 == 0),
+            cabac = d % 4 == 3))
+        }
+      }
+      .toDF("doc_id", "media")
+  }
+
   /** Reference-list REORDERING plan: the [[h264PMRefPlan]] geometry with
     * ref_pic_list_modification_flag_l0 set — one idc-0 command names the
     * IDR's picNum, flipping list 0 from the default [P, IDR] to

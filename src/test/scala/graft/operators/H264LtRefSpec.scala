@@ -98,6 +98,56 @@ class H264LtRefSpec extends AnyFunSuite {
     }
   }
 
+  test("MMCO 5 splice: the reset renumbers the DPB the probe reads") {
+    for (d <- 0L until 8L) {
+      val colv = d % 2 == 0
+      val frames = H264Codec.decodeSequence(H264Codec.encodeInter(
+        Multimodal.h264Mmco5Plan(d, colv), cabac = d % 4 == 3))
+      assert(frames.length == 5, s"d=$d")
+      val (w, h) = if (colv) (80, 16) else (16, 80)
+      def aT(pl: Int, k: Int): Int = pl match {
+        case 0 => ((37 * d + 19 * k) % 160 + 24).toInt
+        case 1 => ((91 * d + 29 * k) % 160 + 24).toInt
+        case _ => ((53 * d + 31 * k) % 160 + 24).toInt
+      }
+      def bT(pl: Int, k: Int): Int = pl match {
+        case 0 => ((41 * d + 23 * k) % 160 + 24).toInt
+        case 1 => ((67 * d + 17 * k) % 160 + 24).toInt
+        case _ => ((71 * d + 13 * k) % 160 + 24).toInt
+      }
+      // frames: IDR a, P b, reset copy b, post-reset shifted b(+1),
+      // probe: ref 0 = the shifted frame, ref 1 = the reset copy
+      def expected(fi: Int, pl: Int, x: Int, y: Int): Int = {
+        val span = if (pl == 0) 16 else 8
+        val (s, tt) = if (colv) (x, y) else (y, x)
+        val mi = s / span
+        val qs = (s % span) / (span / 2)
+        val qt = tt / (span / 2)
+        val us = (s % (span / 2)) / (span / 4)
+        val ut = (tt % (span / 2)) / (span / 4)
+        if (fi == 0) aT(pl, mi)
+        else if (fi == 1 || fi == 2) bT(pl, mi)
+        else if (fi == 3) bT(pl, math.min(mi + 1, 4))
+        else {
+          val (rr, kk) = refSrc(mi, qs, qt, us, ut)
+          if (rr == 0) bT(pl, math.min(kk + 1, 4)) else bT(pl, kk)
+        }
+      }
+      for (fi <- 0 until 5) {
+        val fr = frames(fi)
+        for (yy <- 0 until h; x <- 0 until w)
+          assert((fr.y(yy * w + x) & 0xff) == expected(fi, 0, x, yy),
+            s"d=$d f=$fi y($x,$yy)")
+        for (yy <- 0 until h / 2; x <- 0 until w / 2) {
+          assert((fr.u(yy * (w / 2) + x) & 0xff) == expected(fi, 1, x, yy),
+            s"d=$d f=$fi u($x,$yy)")
+          assert((fr.v(yy * (w / 2) + x) & 0xff) == expected(fi, 2, x, yy),
+            s"d=$d f=$fi v($x,$yy)")
+        }
+      }
+    }
+  }
+
   test("the long-term state is what the probe reads, not the sliding window") {
     // variant 0's probe reads the IDR on reference 1 — under a sliding
     // window the IDR would be gone and reference 1 would read P content;
