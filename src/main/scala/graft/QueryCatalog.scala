@@ -7520,6 +7520,55 @@ object QueryCatalog {
              |  CAST(pix_checksum AS BIGINT) AS pix_checksum
              |FROM px ORDER BY doc_id""".stripMargin)),
 
+    // VP8 4/8 TOKEN PARTITIONS (RFC 6386 9.5): the parallel-decode
+    // layout real encoders emit — a 3-byte little-endian size per
+    // partition except the last, MB rows interleaved across partitions.
+    // The count is pixel-neutral by construction, so the oracle grades
+    // the steered targets exactly; a mis-read size table or wrong
+    // row-to-partition mapping desyncs whole MB rows.
+    ("q_vp8_parts",
+      (s: SparkSession, d: String) =>
+        Multimodal.decodePixelStats(
+            Multimodal.withVp8PartsMedia(t(s, d, "documents")))
+          .toDF()
+          .drop("media_bytes")
+          .orderBy("doc_id"),
+      Some("""WITH dims AS (
+             |  SELECT doc_id AS d, 32 AS w, 16*(4 + (n_chars % 2)*4) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT m.d, m.w, m.h,
+             |    sum(vv.val) AS pix_sum,
+             |    sum(vv.val * (t.i % 97 + 1)) AS pix_checksum
+             |  FROM dims m
+             |  JOIN range(0, 6144) t(i) ON t.i < m.w*m.h*3//2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE WHEN t.i < m.w*m.h THEN 0
+             |         WHEN t.i < m.w*m.h + (m.w//2)*(m.h//2) THEN 1
+             |         ELSE 2 END AS pl) q0
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN t.i % m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) % (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) % (m.w//2) END AS x,
+             |    CASE q0.pl WHEN 0 THEN t.i // m.w
+             |      WHEN 1 THEN (t.i - m.w*m.h) // (m.w//2)
+             |      ELSE (t.i - m.w*m.h - (m.w//2)*(m.h//2)) // (m.w//2) END AS yy,
+             |    CASE WHEN q0.pl = 0 THEN 16 ELSE 8 END AS smb) q1
+             |  CROSS JOIN LATERAL (SELECT
+             |    (q1.yy // q1.smb) * 2 + q1.x // q1.smb AS mb) q2
+             |  CROSS JOIN LATERAL (SELECT
+             |    CASE q0.pl WHEN 0 THEN (31*m.d + 13*q2.mb) % 256
+             |      WHEN 1 THEN (91*m.d + 7*q2.mb) % 256
+             |      ELSE (53*m.d + 11*q2.mb) % 256 END AS val) vv
+             |  GROUP BY m.d, m.w, m.h)
+             |SELECT d AS doc_id, 'vp8' AS format,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CAST(w*h*3//2 AS BIGINT) AS n_pixel_bytes,
+             |  CAST(pix_sum AS BIGINT) AS pix_sum,
+             |  CAST(pix_checksum AS BIGINT) AS pix_checksum
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // VP8 PER-SEGMENT LOOP-FILTER LEVELS + the §9.4 intra ref-frame
     // delta on key frames: alternating stripes sit in segments 0/1 with
     // distinct per-segment levels (absolute / delta feature mode

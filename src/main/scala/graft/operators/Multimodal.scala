@@ -1790,6 +1790,36 @@ object Multimodal {
       .toDF("doc_id", "media")
   }
 
+  /** Each doc carries a VP8 key frame whose token residue rides FOUR or
+    * EIGHT row-interleaved token partitions (RFC 6386 9.5: a 3-byte
+    * little-endian size per partition except the last) — the parallel-
+    * decode layout real encoders emit for multi-core decoding. The
+    * partition count is pixel-neutral by construction, so the oracle
+    * grades the steered targets exactly: a mis-read size table or a
+    * wrong row-to-partition mapping desyncs whole MB rows.
+    */
+  private[operators] def vp8PartsFrame(d: Long, nc: Long): (Int, Int, Array[Byte]) = {
+    val w = 32
+    val h = (16 * (4 + (nc % 2) * 4)).toInt
+    val plan = Vp8Codec.Plan(w, h, qi = 0, uvDcDelta = 0, yMode = 0,
+      tokenPartitions = if (d % 2 == 0) 4 else 8, skipAll = false,
+      yTarget = m => ((31 * d + 13 * m) % 256).toInt,
+      uTarget = m => ((91 * d + 7 * m) % 256).toInt,
+      vTarget = m => ((53 * d + 11 * m) % 256).toInt)
+    (w, h, Vp8Codec.wrapWebp(Vp8Codec.encodeFrame(plan)))
+  }
+
+  /** Each doc carries the [[vp8PartsFrame]] key frame. */
+  def withVp8PartsMedia(docs: DataFrame, id: String = "doc_id",
+                        nChars: String = "n_chars"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (d, nc) => (d, vp8PartsFrame(d, nc)._3) })
+      .toDF("doc_id", "media")
+  }
+
   /** Each doc carries a loop-filtered VP8 key frame where the PER-MB
     * filter level comes from SEGMENTATION (alternating stripes in
     * segments 0/1 with distinct per-segment levels, absolute / delta

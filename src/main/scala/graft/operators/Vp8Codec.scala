@@ -861,8 +861,8 @@ object Vp8Codec {
   private[operators] def encodeKeyFrame(plan: Plan): (Array[Byte], MbGrid) = {
     require(plan.w > 0 && plan.h > 0 && plan.w % 16 == 0 && plan.h % 16 == 0,
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
-    require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
-      s"vp8 encode: 1 or 2 token partitions, got ${plan.tokenPartitions}")
+    require(Set(1, 2, 4, 8)(plan.tokenPartitions),
+      s"vp8 encode: 1/2/4/8 token partitions, got ${plan.tokenPartitions}")
     (0 until (plan.w / 16) * (plan.h / 16)).foreach { m =>
       val ym = plan.modeAt(m)
       require(ym == ModeDc || ym == ModeV || ym == ModeH
@@ -889,7 +889,7 @@ object Vp8Codec {
     hdr.putLiteral(plan.filterLevel, 6)
     hdr.putLiteral(plan.sharpness, 3)
     putLfDeltaHeader(hdr, plan.lfd)
-    hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2) // log2 partitions
+    hdr.putLiteral(Integer.numberOfTrailingZeros(plan.tokenPartitions), 2) // log2 partitions
     hdr.putLiteral(plan.qi, 7) // y_ac_qi
     def putDelta(d: Int): Unit =
       if (d == 0) hdr.putLiteral(0, 1)
@@ -1156,8 +1156,9 @@ object Vp8Codec {
     bos.write(plan.w & 0xff); bos.write((plan.w >> 8) & 0x3f)
     bos.write(plan.h & 0xff); bos.write((plan.h >> 8) & 0x3f)
     bos.write(part0, 0, part0.length)
-    if (plan.tokenPartitions == 2) { // sizes of all but the last partition
-      val n = parts(0).length
+    // sizes of all but the last partition (3-byte LE each)
+    parts.dropRight(1).foreach { pt =>
+      val n = pt.length
       bos.write(n & 0xff); bos.write((n >> 8) & 0xff); bos.write((n >> 16) & 0xff)
     }
     parts.foreach(p => bos.write(p, 0, p.length))
@@ -1363,8 +1364,7 @@ object Vp8Codec {
     val sharpness = hd.literal(3)
     val lfd = readLfDeltaHeader(hd)
     val log2Parts = hd.literal(2)
-    require(log2Parts <= 1, s"vp8: this profile reads 1 or 2 token partitions")
-    val nParts = 1 << log2Parts
+    val nParts = 1 << log2Parts // 1/2/4/8, all decoded
     val qi = hd.literal(7)
     val yDcDelta = hd.signedFlagged(4)
     val y2DcDelta = hd.signedFlagged(4)
@@ -1434,15 +1434,22 @@ object Vp8Codec {
     // ---- token partitions ----
     var off = 10 + part0Len
     val partBounds = new Array[(Int, Int)](nParts)
-    if (nParts == 2) {
-      require(off + 3 <= b.length, "vp8: truncated partition size table")
+    // RFC 6386 9.5: a 3-byte little-endian size per partition except the
+    // last, then the partitions back to back
+    require(off + 3 * (nParts - 1) <= b.length,
+      "vp8: truncated partition size table")
+    var dataOff = off + 3 * (nParts - 1)
+    var pi = 0
+    while (pi < nParts - 1) {
       val n0 = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
       off += 3
-      require(off + n0 <= b.length,
-        s"vp8: token partition 0 ($n0 bytes) runs past the frame")
-      partBounds(0) = (off, off + n0)
-      partBounds(1) = (off + n0, b.length)
-    } else partBounds(0) = (off, b.length)
+      require(dataOff + n0 <= b.length,
+        s"vp8: token partition $pi ($n0 bytes) runs past the frame")
+      partBounds(pi) = (dataOff, dataOff + n0)
+      dataOff += n0
+      pi += 1
+    }
+    partBounds(nParts - 1) = (dataOff, b.length)
     val tds = partBounds.map { case (s, e) => new BoolDecoder(b, s, e) }
 
     // ---- residue + reconstruction ----
@@ -2068,8 +2075,8 @@ object Vp8Codec {
     val altGrid = if (alt == null) golden else alt
     require(plan.w > 0 && plan.h > 0 && plan.w % 16 == 0 && plan.h % 16 == 0,
       s"vp8 encode: dims must be positive multiples of 16, got ${plan.w}x${plan.h}")
-    require(plan.tokenPartitions == 1 || plan.tokenPartitions == 2,
-      s"vp8 encode: 1 or 2 token partitions, got ${plan.tokenPartitions}")
+    require(Set(1, 2, 4, 8)(plan.tokenPartitions),
+      s"vp8 encode: 1/2/4/8 token partitions, got ${plan.tokenPartitions}")
     val mbW = plan.w / 16
     val mbH = plan.h / 16
     val probs = fixtureCoefProbs()
@@ -2104,7 +2111,7 @@ object Vp8Codec {
     hdr.putLiteral(plan.filterLevel, 6)
     hdr.putLiteral(plan.sharpness, 3)
     putLfDeltaHeader(hdr, plan.lfd)
-    hdr.putLiteral(if (plan.tokenPartitions == 2) 1 else 0, 2)
+    hdr.putLiteral(Integer.numberOfTrailingZeros(plan.tokenPartitions), 2)
     hdr.putLiteral(plan.qi, 7)
     def putDelta(d: Int): Unit =
       if (d == 0) hdr.putLiteral(0, 1)
@@ -2510,8 +2517,9 @@ object Vp8Codec {
     require(part0.length < (1 << 19), "vp8 encode: first partition too large")
     bos.write(tag & 0xff); bos.write((tag >> 8) & 0xff); bos.write((tag >> 16) & 0xff)
     bos.write(part0, 0, part0.length)
-    if (plan.tokenPartitions == 2) {
-      val n = parts(0).length
+    // sizes of all but the last partition (3-byte LE each)
+    parts.dropRight(1).foreach { pt =>
+      val n = pt.length
       bos.write(n & 0xff); bos.write((n >> 8) & 0xff); bos.write((n >> 16) & 0xff)
     }
     parts.foreach(p => bos.write(p, 0, p.length))
@@ -2551,8 +2559,7 @@ object Vp8Codec {
     val sharpness = hd.literal(3)
     val lfd = readLfDeltaHeader(hd)
     val log2Parts = hd.literal(2)
-    require(log2Parts <= 1, "vp8: this profile reads 1 or 2 token partitions")
-    val nParts = 1 << log2Parts
+    val nParts = 1 << log2Parts // 1/2/4/8, all decoded
     val qi = hd.literal(7)
     hd.signedFlagged(4) // y_dc (rides Y2 whenever a Y2 plane exists)
     hd.signedFlagged(4) // y2_dc (0 in fixture streams; profile ignores)
@@ -2717,15 +2724,22 @@ object Vp8Codec {
     // ---- token partitions ----
     var off = 3 + part0Len
     val partBounds = new Array[(Int, Int)](nParts)
-    if (nParts == 2) {
-      require(off + 3 <= b.length, "vp8: truncated partition size table")
+    // RFC 6386 9.5: a 3-byte little-endian size per partition except the
+    // last, then the partitions back to back
+    require(off + 3 * (nParts - 1) <= b.length,
+      "vp8: truncated partition size table")
+    var dataOff = off + 3 * (nParts - 1)
+    var pi = 0
+    while (pi < nParts - 1) {
       val n0 = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
       off += 3
-      require(off + n0 <= b.length,
-        s"vp8: token partition 0 ($n0 bytes) runs past the frame")
-      partBounds(0) = (off, off + n0)
-      partBounds(1) = (off + n0, b.length)
-    } else partBounds(0) = (off, b.length)
+      require(dataOff + n0 <= b.length,
+        s"vp8: token partition $pi ($n0 bytes) runs past the frame")
+      partBounds(pi) = (dataOff, dataOff + n0)
+      dataOff += n0
+      pi += 1
+    }
+    partBounds(nParts - 1) = (dataOff, b.length)
     val tds = partBounds.map { case (s, e) => new BoolDecoder(b, s, e) }
 
     // ---- residue + reconstruction ----
