@@ -45,6 +45,24 @@ object Multimodal {
 
   private def hex2(c: Column): Column = lpad(hex(c), 2, "0")
 
+  /** Scale-adaptive parallelism for the per-doc codec stages. The local
+    * fixture tables are single parquet row groups (one scan split), which
+    * would serialize every per-doc encode/decode onto one core of the
+    * session; at corpus scale the scan arrives in many splits and this
+    * exchange of the bare pre-encode ids is noise next to the per-doc
+    * codec work (the [[withMp3Media]] family proved the idiom). Sized
+    * from the scheduler's slot count — `local[N]` → N, a cluster → total
+    * executor cores — never a constant, so the stage uses whatever the
+    * session actually has. Round-robin, not hash-on-doc_id: the decode
+    * stage is compute-bound and exactly even row counts beat a hash
+    * multinomial whose tail task runs ~20% long (measured on the MP3
+    * family, the heaviest per-doc decode: hash cost 1.9 s → 2.5 s/query).
+    * Deterministic under retry: sortBeforeRepartition (default on) over
+    * the deterministic parquet scan.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Real container-header bytes for the synthetic fixture: a PNG
     * signature+IHDR / JFIF APP0+SOF0 / WebP VP8X prefix whose dimensions
     * come from the deterministic `n_chars` arithmetic, followed by the
@@ -204,7 +222,7 @@ object Multimodal {
                      nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>
@@ -234,6 +252,8 @@ object Multimodal {
                    nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT spread: this encode is a few hundred ops per doc —
+    // the exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -286,7 +306,7 @@ object Multimodal {
                    nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>
@@ -356,7 +376,7 @@ object Multimodal {
                          nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -379,7 +399,7 @@ object Multimodal {
                          nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -452,7 +472,7 @@ object Multimodal {
                          nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -475,7 +495,7 @@ object Multimodal {
                           nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -612,7 +632,7 @@ object Multimodal {
                       nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -632,7 +652,7 @@ object Multimodal {
                         nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -653,7 +673,7 @@ object Multimodal {
                           nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -724,7 +744,7 @@ object Multimodal {
   def withH264BModMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -740,7 +760,7 @@ object Multimodal {
   def withH264BMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -758,7 +778,7 @@ object Multimodal {
   def withH264BCabacMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -840,7 +860,7 @@ object Multimodal {
   def withH264DeblockMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -900,7 +920,7 @@ object Multimodal {
   def withH264WeightedMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map(d => (d, H264Codec.encodeInter(h264WeightedPlan(d))))
@@ -915,7 +935,7 @@ object Multimodal {
   def withH264WeightedCabacMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map(d => (d, H264Codec.encodeInter(h264WeightedPlan(d), cabac = true)))
@@ -957,7 +977,7 @@ object Multimodal {
   def withH264P4x4Media(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1021,7 +1041,7 @@ object Multimodal {
   def withH264BDirectMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1097,7 +1117,7 @@ object Multimodal {
   def withH264TDirectMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1201,7 +1221,7 @@ object Multimodal {
   def withH264BSubMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1307,7 +1327,7 @@ object Multimodal {
   def withH264CabInitMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1336,7 +1356,7 @@ object Multimodal {
   def withH264WPartMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1365,7 +1385,7 @@ object Multimodal {
   def withH264MmcoMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1395,7 +1415,7 @@ object Multimodal {
   def withH264LtRefMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1419,7 +1439,7 @@ object Multimodal {
   def withH264Mmco5Media(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1448,7 +1468,7 @@ object Multimodal {
   def withH264ReorderMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1467,7 +1487,7 @@ object Multimodal {
   def withH264PMRefMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1531,7 +1551,7 @@ object Multimodal {
   def withH264BDeblockMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -1590,7 +1610,7 @@ object Multimodal {
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -1634,7 +1654,7 @@ object Multimodal {
                              nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -1729,7 +1749,7 @@ object Multimodal {
                           nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -1784,7 +1804,7 @@ object Multimodal {
                           nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (d, nc) => (d, vp8SegmentFrame(d, nc)._2) })
       .toDF("doc_id", "media")
@@ -1814,7 +1834,7 @@ object Multimodal {
                         nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (d, nc) => (d, vp8PartsFrame(d, nc)._3) })
       .toDF("doc_id", "media")
@@ -1885,7 +1905,7 @@ object Multimodal {
                         nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions(_.map { case (d, nc) => (d, vp8SegLfFrame(d, nc)._3) })
       .toDF("doc_id", "media")
@@ -1958,7 +1978,7 @@ object Multimodal {
                            nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -1981,7 +2001,7 @@ object Multimodal {
   def withVp8BpredMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -2017,7 +2037,7 @@ object Multimodal {
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>
@@ -2061,6 +2081,8 @@ object Multimodal {
                    nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT spread: this encode is a few hundred ops per doc —
+    // the exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -2097,6 +2119,8 @@ object Multimodal {
                        nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT spread: this encode is a few hundred ops per doc —
+    // the exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -2171,7 +2195,7 @@ object Multimodal {
                         nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>
@@ -2252,7 +2276,7 @@ object Multimodal {
                          nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -2340,7 +2364,7 @@ object Multimodal {
   def withVp8BiasMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map(d => (d, Vp8Codec.encodeIvf(80, 16, vp8BiasFrames(d))))
@@ -2362,7 +2386,7 @@ object Multimodal {
                          nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -2435,7 +2459,7 @@ object Multimodal {
                           nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (d, nc) =>
@@ -2532,7 +2556,7 @@ object Multimodal {
   def withMpegAudioMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -2616,12 +2640,7 @@ object Multimodal {
   def withMp3Media(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      // the local fixture table is a single parquet row group (one scan
-      // split), which would serialize the decode; at corpus scale the
-      // scan arrives in many splits and this exchange of bare ids is
-      // noise next to the per-doc decode work
-      .repartition(32)
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -2756,7 +2775,7 @@ object Multimodal {
   def withMpegJointMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mpegJointStream(d))))
       .toDF("doc_id", "media")
@@ -2872,8 +2891,7 @@ object Multimodal {
   def withMp3MixedMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3MixedStream(d))))
       .toDF("doc_id", "media")
@@ -2930,8 +2948,7 @@ object Multimodal {
   def withMp3CrcMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3CrcStream(d))))
       .toDF("doc_id", "media")
@@ -2980,8 +2997,7 @@ object Multimodal {
   def withMp3ResvMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3ResvStream(d))))
       .toDF("doc_id", "media")
@@ -3024,8 +3040,7 @@ object Multimodal {
   def withMp3PadMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3PadStream(d))))
       .toDF("doc_id", "media")
@@ -3090,8 +3105,7 @@ object Multimodal {
   def withMp3SwStereoMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3SwStereoStream(d))))
       .toDF("doc_id", "media")
@@ -3106,8 +3120,7 @@ object Multimodal {
   def withMp3SwitchMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3SwitchStream(d))))
       .toDF("doc_id", "media")
@@ -3126,8 +3139,7 @@ object Multimodal {
   def withMp3StereoMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
-      .repartition(32) // single-row-group fixture table; see withMp3Media
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, mp3StereoStream(d))))
       .toDF("doc_id", "media")
@@ -3175,7 +3187,7 @@ object Multimodal {
   def withAacPulseMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacPulseStream(d))))
       .toDF("doc_id", "media")
@@ -3209,7 +3221,7 @@ object Multimodal {
   def withAacCrcMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacCrcStream(d))))
       .toDF("doc_id", "media")
@@ -3248,7 +3260,7 @@ object Multimodal {
   def withAacMultiMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacMultiStream(d))))
       .toDF("doc_id", "media")
@@ -3264,7 +3276,7 @@ object Multimodal {
   def withAacMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -3298,7 +3310,7 @@ object Multimodal {
   def withAacShortMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -3333,7 +3345,7 @@ object Multimodal {
   def withAacTransMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions { batch =>
         batch.map { d =>
@@ -3373,7 +3385,7 @@ object Multimodal {
   def withAacTnsMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, withAacTnsMediaBytes(d))))
       .toDF("doc_id", "media")
@@ -3440,7 +3452,7 @@ object Multimodal {
   def withAacCpeMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacCpeStream(d))))
       .toDF("doc_id", "media")
@@ -3465,7 +3477,7 @@ object Multimodal {
   def withAacPnsMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacPnsStream(d))))
       .toDF("doc_id", "media")
@@ -3502,7 +3514,7 @@ object Multimodal {
   def withAacIntensityMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacIntensityStream(d))))
       .toDF("doc_id", "media")
@@ -3541,7 +3553,7 @@ object Multimodal {
   def withAacTnsShortMedia(docs: DataFrame, id: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"))
+    spread(docs.select(col(id).cast("long").as("doc_id")))
       .as[Long]
       .mapPartitions(batch => batch.map(d => (d, aacTnsShortStreamBytes(d))))
       .toDF("doc_id", "media")
@@ -3604,7 +3616,7 @@ object Multimodal {
                     nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>
@@ -3640,6 +3652,10 @@ object Multimodal {
                          (gen: (Long, Long) => Array[Byte]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT spread: the PCM/G.711/FLAC-class encodes here are
+    // a few hundred int ops per doc — the exchange's fixed cost exceeds
+    // the serial compute (measured: spreading took q_audio_* from
+    // ~0.25 s to ~0.55 s while the heavy codecs gained 3-10x)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions(batch => batch.map { case (docId, nc) => (docId, gen(docId, nc)) })
@@ -3705,6 +3721,8 @@ object Multimodal {
                  nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // not spread: ADPCM encode is ~n int ops per doc (n <= 340) — the
+    // exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -3745,6 +3763,8 @@ object Multimodal {
                    nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // not spread: ADPCM encode is ~n int ops per doc (n <= 340) — the
+    // exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -3779,6 +3799,8 @@ object Multimodal {
       s"adpcmReport: unknown ADPCM flavor '$flavor' (ima | ms)")
     val spark = docs.sparkSession
     import spark.implicits._
+    // not spread: ADPCM encode is a few hundred int ops per doc — the
+    // exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -4069,6 +4091,8 @@ object Multimodal {
                      nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // deliberately NOT spread: this encode is a few hundred ops per doc —
+    // the exchange's fixed cost exceeds the serial compute (see perDocMedia)
     docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
@@ -4117,7 +4141,7 @@ object Multimodal {
                      nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
+    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>

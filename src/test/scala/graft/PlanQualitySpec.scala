@@ -49,26 +49,43 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no partial aggregation:\n$p")
   }
 
-  test("pixel decode/resize are zero-shuffle scan jobs; header parse stays in codegen") {
+  test("pixel decode/resize shuffle pre-encode ids only; header parse stays in codegen") {
     val docs = spark.range(20).selectExpr("id AS doc_id", "id + 48 AS n_chars")
     val media = Multimodal.withPixelMedia(docs)
     val png = Multimodal.withPngMedia(docs)
-    Seq(
-      "decode" -> plan(Multimodal.decodePixelStats(media).toDF()),
-      "resize" -> plan(Multimodal.decodePixelStats(
-        Multimodal.resizeMedia(media, 9, 7)).toDF()),
-      // deflate in the codec changes nothing about the plan shape: PNG
-      // decode/resize ride the same zero-exchange mapPartitions scan
-      "png-decode" -> plan(Multimodal.decodePixelStats(png).toDF()),
-      "png-resize" -> plan(Multimodal.decodePixelStats(
-        Multimodal.resizeMedia(png, 9, 7)).toDF()),
-      // Huffman+IDCT in the codec likewise: JPEG decode is per-row CPU on
-      // the scan, never an exchange
-      "jpeg-decode" -> plan(Multimodal.decodePixelStats(
-        Multimodal.withJpegMedia(docs)).toDF())
-    ).foreach { case (name, p) =>
-      assert(!p.contains("Exchange"), s"$name should be a pure scan job:\n$p")
-    }
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
+    // disable it for the structural assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq(
+      // pixel/jpeg builders spread the pre-encode ids (heavy per-doc
+      // codec work); expected: exactly ONE exchange, below the encode
+      ("decode", 1) -> Multimodal.decodePixelStats(media).toDF(),
+      ("resize", 1) -> Multimodal.decodePixelStats(
+        Multimodal.resizeMedia(media, 9, 7)).toDF(),
+      // PNG's encode is deliberately NOT spread (a few hundred ops per
+      // doc); decode/resize stay pure zero-exchange scan jobs
+      ("png-decode", 0) -> Multimodal.decodePixelStats(png).toDF(),
+      ("png-resize", 0) -> Multimodal.decodePixelStats(
+        Multimodal.resizeMedia(png, 9, 7)).toDF(),
+      // Huffman+IDCT in the codec: JPEG decode is per-row CPU over the
+      // spread ids, never a payload exchange
+      ("jpeg-decode", 1) -> Multimodal.decodePixelStats(
+        Multimodal.withJpegMedia(docs)).toDF()
+    ).foreach { case ((name, nExpected), df) =>
+      // the invariant that matters at 100 TB: media payload bytes never
+      // cross an exchange — the only allowed exchange is the narrow
+      // pre-encode id spread
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == nExpected,
+        s"$name should have $nExpected exchange(s):\n${plan(df)}")
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name).toSet
+        assert(!names.contains("media"),
+          s"$name shuffles media payload bytes: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     // the header kernel is a codegen'd expression on the scan, not a UDF
     val meta = plan(media.select(graft.functions.media_header(col("media"))))
     assert(!meta.contains("BatchEvalPython") && !meta.contains("ScalaUDF"),
