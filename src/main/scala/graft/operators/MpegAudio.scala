@@ -54,16 +54,26 @@ object MpegAudio {
   // ---- pinned integer tables (documented implementation values) -----------
 
   /** Matrixing table stand-in for cos((16+i)(2k+1)π/64), i ∈ 0..63,
-    * k ∈ 0..31: varied, sign-mixed, bounded |N| ≤ 15.
+    * k ∈ 0..31: varied, sign-mixed, bounded |N| ≤ 15. Precomputed once —
+    * the formula sits inside the 64×32 matrixing loop of every synthesis
+    * granule, where a per-element integer modulo is measurable (jstack
+    * sampling put Synth.granule at ~9% of the MP3 decode wall); the array
+    * holds the identical pinned values.
     */
-  private[operators] def nTab(i: Int, k: Int): Long =
-    ((11 * i + 23 * k + 7) % 31) - 15
+  private[this] val nTabArr: Array[Long] =
+    Array.tabulate(64 * 32)(x => ((11 * (x >> 5) + 23 * (x & 31) + 7) % 31) - 15L)
+  private[operators] def nTab(i: Int, k: Int): Long = nTabArr((i << 5) | k)
 
-  /** Synthesis window stand-in for the 512-tap D table: |D| ≤ 14. */
-  private[operators] def dTab(x: Int): Long = ((7 * x + 13) % 29) - 14
+  /** Synthesis window stand-in for the 512-tap D table: |D| ≤ 14.
+    * Precomputed for the same reason as [[nTab]] (512-tap windowed sum).
+    */
+  private[this] val dTabArr: Array[Long] =
+    Array.tabulate(512)(x => ((7 * x + 13) % 29) - 14L)
+  private[operators] def dTab(x: Int): Long = dTabArr(x)
 
   /** Integer scalefactor table (6-bit index), all positive. */
-  private[operators] def sfTab(idx: Int): Long = 1 + ((3 * idx) % 13)
+  private[this] val sfTabArr: Array[Long] = Array.tabulate(64)(i => 1 + ((3L * i) % 13))
+  private[operators] def sfTab(idx: Int): Long = sfTabArr(idx)
 
   // Layer II allocation field widths by subband (spec table-A SHAPE)
   private[operators] def l2AllocBits(sb: Int): Int =
