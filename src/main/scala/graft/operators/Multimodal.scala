@@ -222,7 +222,11 @@ object Multimodal {
                      nChars: String = "n_chars"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    spread(docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc")))
+    // deliberately NOT spread: the raw-pixmap encode is ~w*h integer ops
+    // per doc (w,h ≤ 16) — the exchange's fixed cost exceeds the entire
+    // serial compute (measured: spreading took the q_pixel_* family from
+    // ~0.22 s to ~0.8 s, over 2x their anchors; see perDocMedia)
+    docs.select(col(id).cast("long").as("doc_id"), col(nChars).cast("long").as("nc"))
       .as[(Long, Long)]
       .mapPartitions { batch =>
         batch.map { case (docId, nc) =>

@@ -57,10 +57,10 @@ class PlanQualitySpec extends SparkTestBase {
     // disable it for the structural assertion only
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq(
-      // pixel/jpeg builders spread the pre-encode ids (heavy per-doc
-      // codec work); expected: exactly ONE exchange, below the encode
-      ("decode", 1) -> Multimodal.decodePixelStats(media).toDF(),
-      ("resize", 1) -> Multimodal.decodePixelStats(
+      // the raw-pixmap builder is NOT spread (trivial per-doc encode):
+      // decode/resize stay pure zero-exchange scan jobs
+      ("decode", 0) -> Multimodal.decodePixelStats(media).toDF(),
+      ("resize", 0) -> Multimodal.decodePixelStats(
         Multimodal.resizeMedia(media, 9, 7)).toDF(),
       // PNG's encode is deliberately NOT spread (a few hundred ops per
       // doc); decode/resize stay pure zero-exchange scan jobs
