@@ -27,9 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // the 290-query bench generates thousands of whole-stage-codegen classes;
-  // the JVM default 240m code cache fills mid-suite and the JIT falls back
-  // to interpretation for late rows (observed: in-suite times 2x their
-  // isolated min-of-3 on unchanged queries)
-  "-XX:ReservedCodeCacheSize=512m",
+  // the bench generates thousands of whole-stage-codegen classes; the JVM
+  // default 240m code cache fills mid-suite and the JIT falls back to
+  // interpretation for late rows (observed: in-suite times 2x their
+  // isolated min-of-3 on unchanged queries). 512m was sized for the
+  // 290-query suite; at 346 queries late codec rows still ran 3-5x their
+  // fresh-JVM times, so 768m (r19 measurement, OPTIMIZATION_r19.md).
+  "-XX:ReservedCodeCacheSize=768m",
 )
