@@ -2171,7 +2171,10 @@ object QueryCatalog {
         import s.implicits._
         val merges = Seq((0L, "a", "t"), (1L, "t", "a"), (2L, "ta", "b"),
           (3L, "l", "e"), (4L, "e", "r")).toDF("rank", "left", "right")
-        Bpe.decode(Bpe.encode(t(s, d, "documents"), "doc_id", "text", merges))
+        // per-doc greedy merge application is the compute (measured ~2.7 s
+        // over <9 tasks); spread the raw rows off the one-split scan
+        Bpe.decode(Bpe.encode(Par.spread(t(s, d, "documents")
+            .select("doc_id", "text")), "doc_id", "text", merges))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
@@ -2431,6 +2434,8 @@ object QueryCatalog {
     ("q_minhash_lsh",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
+        // measured NOT spread (r20): 2.07 s -> 1.75 s wall but 8x the CPU
+        // (task overhead over a 2.7 task-s pipeline) — inside noise, C3
         val doubled = docs.union(
           docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
         val lsh = Dedup.minhashLsh(doubled, "doc_id", "text",
@@ -3198,13 +3203,19 @@ object QueryCatalog {
         // q_incremental_neardup contract, for the IVF lifecycle)
         Similarity.ivfCompactIndex(s, path)
         val queries = emb.filter(col("vec_id") % 37 === 0)
-        val direct = Similarity.ivfSearch(
+        // materialized like fromDisk: the folded lifecycle check below
+        // reads it twice (both exceptAll directions in one plan)
+        val direct = operators.Materialize.once(Similarity.ivfSearch(
           Similarity.assignCells(emb, "vec_id", "embedding", cents), queries,
-          cents, "vec_id", "embedding", nprobe = 4, k = 5)
+          cents, "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
         val fromDisk = operators.Materialize.once(
           Similarity.ivfSearchIndexPersisted(s, path, queries,
             "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
-        val extra = direct.exceptAll(fromDisk).count() + fromDisk.exceptAll(direct).count()
+        // one action, not two sequential counts (sum of the two exceptAll
+        // counts == count of their unionAll; the scheduler overlaps the
+        // independent subtrees inside the single job)
+        val extra = direct.exceptAll(fromDisk)
+          .unionAll(fromDisk.exceptAll(direct)).count()
         require(extra == 0L,
           s"ivf append lifecycle: persisted search diverged from direct ($extra rows)")
         fromDisk
@@ -3263,10 +3274,13 @@ object QueryCatalog {
             col("embedding").as("base"))
         // materialized ONCE: train sample, encode scan, re-rank join,
         // brute-force truth, and the byte audits all read this relation —
-        // without the checkpoint each action replays the join + synthesis
-        val corpus = operators.Materialize.once(emb
-          .select(col("vec_id"),
-            graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
+        // without the checkpoint each action replays the join + synthesis.
+        // Spread first (16-byte rows across the exchange) so every
+        // consumer is parallel instead of riding the one-split scan.
+        val corpus = operators.Materialize.once(
+          Par.spread(emb
+            .select(col("vec_id"),
+              graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk")))
           .join(broadcast(bases), Seq("blk"))
           .select(col("vec_id"),
             Similarity.l2Normalize(
@@ -3283,16 +3297,24 @@ object QueryCatalog {
           .select("query_id", "neighbor_id")
         val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
           .select("query_id", "neighbor_id")
-        // same count as queries.count(), without replaying the synthesis
-        val nQ = emb.filter(col("vec_id") % block === block / 2).count()
-        val found = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
-        val recall = found.toDouble / (nQ * 10L)
-        val st = codes.agg(
-          max(octet_length(col("code"))).cast("long"),
-          min(octet_length(col("code"))).cast("long")).collect()(0)
-        require(st.getLong(0) == st.getLong(1), "pq codes must be fixed-width")
-        val pqBytes = st.getLong(0)
-        val dims = corpus.agg(max(size(col("vec"))).cast("long")).collect()(0).getLong(0)
+        // all four validation aggregates in ONE action (independent
+        // single-row subtrees; previously 4 sequential driver actions) —
+        // values and the loud require unchanged
+        val checks = emb.filter(col("vec_id") % block === block / 2)
+          .agg(count(lit(1)).cast("long").as("nq"))
+          .crossJoin(truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("found")))
+          .crossJoin(codes.agg(
+            max(octet_length(col("code"))).cast("long").as("bmax"),
+            min(octet_length(col("code"))).cast("long").as("bmin")))
+          .crossJoin(corpus.agg(max(size(col("vec"))).cast("long").as("dims")))
+          .collect()(0)
+        val nQ = checks.getAs[Long]("nq")
+        val recall = checks.getAs[Long]("found").toDouble / (nQ * 10L)
+        require(checks.getAs[Long]("bmax") == checks.getAs[Long]("bmin"),
+          "pq codes must be fixed-width")
+        val pqBytes = checks.getAs[Long]("bmax")
+        val dims = checks.getAs[Long]("dims")
         val sq8Bytes = dims + 4L
         import s.implicits._
         Seq((nQ, recall >= 0.9, pqBytes, sq8Bytes, sq8Bytes >= 8L * pqBytes))
@@ -3346,19 +3368,25 @@ object QueryCatalog {
             "vec_id", "embedding", nprobe = 4, k = 5), reliable = false)
         // lifecycle + fidelity laws enforced loudly, not self-asserted:
         // persisted ≡ direct (both int8), and every returned int8 cosine
-        // within 0.02 of the f32 cosine for the same pair
-        val extra = direct.exceptAll(fromDisk).count() +
-          fromDisk.exceptAll(direct).count()
+        // within 0.02 of the f32 cosine for the same pair. Both checks in
+        // ONE action (independent single-row subtrees; previously 3
+        // sequential count jobs) — values and requires unchanged.
+        val checks = direct.exceptAll(fromDisk)
+          .unionAll(fromDisk.exceptAll(direct))
+          .agg(count(lit(1)).cast("long").as("extra"))
+          .crossJoin(fromDisk
+            .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+              Seq("query_id"))
+            .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+              Seq("neighbor_id"))
+            .filter(abs(col("cosine")
+              - round(Similarity.cosineF(col("qv"), col("cv")), 6)) > 0.02)
+            .agg(count(lit(1)).cast("long").as("off_tol")))
+          .collect()(0)
+        val extra = checks.getAs[Long]("extra")
         require(extra == 0L,
           s"quantized ivf lifecycle: persisted search diverged from direct ($extra rows)")
-        val offTol = fromDisk
-          .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-            Seq("query_id"))
-          .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
-            Seq("neighbor_id"))
-          .filter(abs(col("cosine")
-            - round(Similarity.cosineF(col("qv"), col("cv")), 6)) > 0.02)
-          .count()
+        val offTol = checks.getAs[Long]("off_tol")
         require(offTol == 0L,
           s"quantized ivf fidelity: $offTol results off the f32 cosine by > 0.02")
         fromDisk
@@ -3432,7 +3460,10 @@ object QueryCatalog {
         // planted-block corpus (the q_pq_recall discipline), L2-normalized
         // so PQ's L2 ADC ranking agrees with the cosine grade; materialized
         // once — codebook train, both index builds, both searches, and the
-        // brute-force truth all read it
+        // brute-force truth all read it. Measured NOT spread (r20): this
+        // query runs ~60 small jobs over the checkpoint, and a 32-wide
+        // corpus made each of them schedule 32 tasks (6.5 s -> 6.8 s);
+        // the per-vector PQ work at fixture scale doesn't cover that.
         val corpus = operators.Materialize.once(emb
           .select(col("vec_id"),
             graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
@@ -3459,27 +3490,41 @@ object QueryCatalog {
         val direct = operators.Materialize.once(
           Similarity.ivfPqSearch(corpus, queries, cents, cb,
             "vec_id", "vec", nprobe = 4, k = 10, shortlist = 30), reliable = false)
-        val extra = direct.exceptAll(fromDisk).count() +
-          fromDisk.exceptAll(direct).count()
-        require(extra == 0L,
-          s"ivf-pq lifecycle: persisted search diverged from direct ($extra rows)")
+        // ALL validation aggregates in ONE action (they are independent
+        // single-row subtrees — lifecycle diff, recall, query count, byte
+        // audits — and the scheduler overlaps their stages inside the one
+        // job; previously 6 sequential driver actions paid 6x the per-job
+        // fixed cost). Values and the loud requires are unchanged.
         val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
           .select("query_id", "neighbor_id")
-        val nQ = emb.filter(col("vec_id") % block === block / 2).count()
-        val found = truth.join(fromDisk.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi").count()
-        val recall = found.toDouble / (nQ * 10L)
+        val checks = direct.exceptAll(fromDisk)
+          .unionAll(fromDisk.exceptAll(direct))
+          .agg(count(lit(1)).cast("long").as("extra"))
+          .crossJoin(truth.join(fromDisk.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("found")))
+          .crossJoin(emb.filter(col("vec_id") % block === block / 2)
+            .agg(count(lit(1)).cast("long").as("nq")))
+          .crossJoin(s.read.parquet(path)
+            .agg(max(octet_length(col("code"))).cast("long").as("bmax"),
+              min(octet_length(col("code"))).cast("long").as("bmin")))
+          .crossJoin(corpus
+            .agg(max(size(col("vec"))).cast("long").as("dims")))
+          .collect()(0)
+        val extra = checks.getAs[Long]("extra")
+        require(extra == 0L,
+          s"ivf-pq lifecycle: persisted search diverged from direct ($extra rows)")
+        val nQ = checks.getAs[Long]("nq")
+        val recall = checks.getAs[Long]("found").toDouble / (nQ * 10L)
         require(recall >= 0.9,
           f"ivf-pq recall@10 $recall%.3f below the 0.9 floor")
         // byte audit from the REAL persisted binary column + vector width
-        val st = s.read.parquet(path)
-          .agg(max(octet_length(col("code"))).cast("long"),
-            min(octet_length(col("code"))).cast("long")).collect()(0)
-        require(st.getLong(0) == st.getLong(1), "ivf-pq codes must be fixed-width")
-        val dims = corpus.agg(max(size(col("vec"))).cast("long")).collect()(0).getLong(0)
+        require(checks.getAs[Long]("bmax") == checks.getAs[Long]("bmin"),
+          "ivf-pq codes must be fixed-width")
+        val dims = checks.getAs[Long]("dims")
         import s.implicits._
-        Seq((nQ, recall >= 0.9, st.getLong(0), 4L * dims,
-            4L * dims >= 32L * st.getLong(0)))
+        Seq((nQ, recall >= 0.9, checks.getAs[Long]("bmax"), 4L * dims,
+            4L * dims >= 32L * checks.getAs[Long]("bmax")))
           .toDF("n_queries", "recall_ok", "pq_code_bytes", "f32_vec_bytes",
             "compression_32x")
       },
@@ -3511,7 +3556,9 @@ object QueryCatalog {
           .select(graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"),
             col("embedding").as("base"))
         // build scan, both searches, and brute-force truth all read the
-        // planted corpus — materialize the synthesis once
+        // planted corpus — materialize the synthesis once (measured NOT
+        // spread in r20: wall flat, the many small downstream jobs just
+        // scheduled 32x the tasks)
         val corpus = operators.Materialize.once(emb
           .select(col("vec_id"),
             graft.functions.integral_divide(col("vec_id"), lit(block)).as("blk"))
@@ -3532,20 +3579,30 @@ object QueryCatalog {
           GraphAnn.mergeShardResults(cands, 10), reliable = false)
         val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec", 10)
           .select("query_id", "neighbor_id")
-        val nQ = emb.filter(col("vec_id") % block === block / 2).count()
-        val found = truth.join(direct.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi").count()
-        val recall = found.toDouble / (nQ * 10L)
-        val visitedAvg = cands.groupBy("query_id")
-          .agg(sum(col("visited")).as("v"))
-          .agg(avg(col("v"))).collect()(0).getDouble(0)
         val path = scratchDir("graph_ann")
         GraphAnn.graphWriteIndex(graph, path)
         val fromDisk = operators.Materialize.once(
           GraphAnn.searchGraph(GraphAnn.graphReadIndex(s, path), queries,
             "vec_id", "vec", k = 10, ef = 16), reliable = false)
-        val extra = direct.exceptAll(fromDisk).count() +
-          fromDisk.exceptAll(direct).count()
+        // all four verdict aggregates in ONE action (independent
+        // single-row subtrees, stages overlapped by the scheduler;
+        // previously 4 sequential driver actions) — values unchanged
+        val checks = truth.join(direct.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("found"))
+          .crossJoin(emb.filter(col("vec_id") % block === block / 2)
+            .agg(count(lit(1)).cast("long").as("nq")))
+          .crossJoin(cands.groupBy("query_id")
+            .agg(sum(col("visited")).as("v"))
+            .agg(avg(col("v")).as("vis")))
+          .crossJoin(direct.exceptAll(fromDisk)
+            .unionAll(fromDisk.exceptAll(direct))
+            .agg(count(lit(1)).cast("long").as("extra")))
+          .collect()(0)
+        val nQ = checks.getAs[Long]("nq")
+        val recall = checks.getAs[Long]("found").toDouble / (nQ * 10L)
+        val visitedAvg = checks.getAs[Double]("vis")
+        val extra = checks.getAs[Long]("extra")
         import s.implicits._
         Seq((nQ, recall >= 0.9, visitedAvg < n * 0.75,
             extra == 0L))
@@ -11204,7 +11261,9 @@ object QueryCatalog {
           lit("contact u"), col("doc_id").cast("string"),
           lit("@mail.example.com or 10.1."), (col("doc_id") % 256).cast("string"),
           lit(".9 tel 555-123-4567 "), col("text"))
-        t(s, d, "documents")
+        // six regexp passes per doc (3 extract_all + 3 replace) are the
+        // compute; spread the raw rows so they don't ride one scan split
+        Par.spread(t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"),
             Curation.piiCount(planted).as("n_pii"),
             substring(Curation.piiScrubText(planted), 1, 80).as("scrub_head"))
@@ -11564,7 +11623,10 @@ object QueryCatalog {
     // corpus size, and estimation broadcasts the grid.
     ("q_count_min",
       (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents")
+        // spread before tokenizing: the 4-row-per-token md5 grid below is
+        // the compute (measured 2.1 s as ONE task off the one-split scan);
+        // the exchange carries raw text once
+        val toks = Par.spread(t(s, d, "documents").select("text"))
           .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         val sketch = Sketches.countMinSketch(toks, "token", depth = 4, width = 64)
         val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
@@ -12116,7 +12178,12 @@ object QueryCatalog {
     // travel as strings so one schema fits every column type)
     ("q_profile",
       (s: SparkSession, d: String) =>
-        Relational.profile(t(s, d, "orders"),
+        // the exact multi-column count_distinct expands every row x5; that
+        // partial agg is the compute (measured 1.8 s as ONE task off the
+        // one-split scan) — spread the 4 profiled columns first
+        Relational.profile(
+          Par.spread(t(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
           .orderBy("column"),
       Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
@@ -12357,6 +12424,9 @@ object QueryCatalog {
     // (incl. the whole-text fallback for <8-token docs) in SQL
     ("q_duplicate_spans",
       (s: SparkSession, d: String) =>
+        // measured NOT spread (r20): 0.78 task-s of serial compute — the
+        // exchange + 32-task scheduling cost more than it parallelizes
+        // (0.90 s -> 1.73 s when spread); the C3 boundary
         Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
           .orderBy("doc_id"),
       Some("""WITH d AS (
@@ -12384,6 +12454,8 @@ object QueryCatalog {
     // and is absent at any graded scale
     ("q_substring_dedup",
       (s: SparkSession, d: String) =>
+        // measured NOT spread (r20): wall flat within noise with ~13x the
+        // CPU (per-task overhead over a ~1.4 task-s pipeline), C3 class
         Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 6)
           .orderBy("doc_id"),
       Some("""WITH toks AS (
@@ -12487,7 +12559,10 @@ object QueryCatalog {
     ("q_semantic_dedup",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings").select("vec_id", "embedding")
-        val doubled = e.union(e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+        // measured NOT spread (r20): wall flat (1.86 s -> 1.87 s) with 3x
+        // the CPU — the fixture corpus is too small for the exchange to pay
+        val doubled = e.union(
+          e.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
         Dedup.semanticDedup(doubled, "vec_id", "embedding",
           cells = 16, threshold = 0.99)
           .orderBy("a_id", "b_id")
@@ -13826,6 +13901,8 @@ object QueryCatalog {
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         val vocab = TextAnalysis.buildVocab(docs, "text", maxVocab = 24)
+        // measured NOT spread (r20): ~1.0 task-s of serial compute; the
+        // spread read 1.54 s -> 2.11 s (exchange + task overhead), C3 class
         TextAnalysis.decode(
             TextAnalysis.encode(docs, "doc_id", "text", vocab),
             "token_ids", vocab)
@@ -14587,7 +14664,9 @@ object QueryCatalog {
     // overlap through a counts join
     ("q_chrf_eval",
       (s: SparkSession, d: String) => {
-        val docs2 = t(s, d, "documents")
+        // per-doc character-6-gram multiset overlap is the compute
+        // (measured two ~0.7 s single-task stages); spread the raw rows
+        val docs2 = Par.spread(t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
           .select(col("doc_id"),
             array_join(concat(
@@ -14637,10 +14716,13 @@ object QueryCatalog {
     // lang-ID heuristic per chunk, slice boundaries and all
     ("q_lang_consistency",
       (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents").select(col("doc_id"),
-          concat(col("text"), when(col("doc_id") % 7 === 0,
-            lit(" der die das und ist der die das und ist"))
-            .otherwise(lit(""))).as("text"))
+        // quarter-chunk slicing + 4 per-chunk lang votes are the compute
+        // (measured two ~1.4 s single-task stages); spread the raw rows
+        val docs = Par.spread(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"),
+            concat(col("text"), when(col("doc_id") % 7 === 0,
+              lit(" der die das und ist der die das und ist"))
+              .otherwise(lit(""))).as("text"))
         TextAnalysis.langConsistency(docs, "doc_id", "text")
           .orderBy("doc_id")
       },

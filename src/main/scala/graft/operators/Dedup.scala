@@ -83,7 +83,11 @@ object Dedup {
       .filter(col(id) < maxId)
       .select(col(id), array_distinct(TextAnalysis.tokens(col(text))).as("toks"))
     val t = if (requireNonEmpty) base.filter(size(col("toks")) > 0) else base
-    val a = t.select(col(id).as("a_id"), col("toks").as("a_toks"))
+    // the probe side carries the O(|a|x|b|) per-pair verify compute
+    // (array intersections over full token sets); spread it so the
+    // broadcast nested-loop join doesn't ride a single scan split
+    // (measured: the whole verify ran as 1 task of ~1 s at sf0.1)
+    val a = Par.spread(t.select(col(id).as("a_id"), col("toks").as("a_toks")))
     val b = t.select(col(id).as("b_id"), col("toks").as("b_toks"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
   }
@@ -105,7 +109,12 @@ object Dedup {
     val freq = x.groupBy("tok").agg(count(lit(1)).as("freq"))
     // per-doc token list ordered rarest-first: the ordering KEY is the
     // (global count, token) pair itself — no global rank window needed
-    val sorted = x.join(freq, Seq("tok"))
+    // pinned-width keyed repartitions below: each replaces the implicit
+    // exchange of the operation above it (same key, same width — no
+    // extra shuffle), but keeps the post-shuffle stage parallel where
+    // AQE's byte-based coalescing would fold these tiny-bytes/heavy-
+    // compute relations to one task (measured at sf0.1)
+    val sorted = Par.byKey(x.join(freq, Seq("tok")), col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("st"),
         count(lit(1)).as("n"))
@@ -117,7 +126,8 @@ object Dedup {
         explode(expr(s"slice(st, 1, n - ($tauNum*n + ${tauDen - 1}) div $tauDen + 1)"))
           .as("pt"))
       .select(col("doc_id"), col("n"), col("pt.tok").as("tok"))
-    pref.as("a").join(pref.as("b"),
+    val prefP = Par.byKey(pref, col("tok"))
+    val joined = prefP.as("a").join(prefP.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
         col("a.n") * tauNum <= col("b.n") * tauDen &&
         col("b.n") * tauNum <= col("a.n") * tauDen)
@@ -126,7 +136,11 @@ object Dedup {
       // materializing a distinct-concat per candidate
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .distinct()
+    // clustering by (a_id, b_id) satisfies the 4-column distinct's
+    // required distribution (subset rule), so this is the distinct's own
+    // exchange — and the verify joins broadcast onto its output, so the
+    // per-candidate intersections inherit the width
+    Par.byKey(joined, col("a_id"), col("b_id")).distinct()
   }
 
   /** Prefix-filter exact similarity join (AllPairs/PPJoin family —
@@ -153,10 +167,17 @@ object Dedup {
     // three consumers of the token relation — without the
     // materialization each is a separately-pruned subplan that re-scans
     // and re-tokenizes the corpus (the tfidfTopTerms lesson)
+    // spread BEFORE tokenizing: the exchange carries raw (id, text) once,
+    // and everything downstream — tokenization, the prefix explosion, the
+    // candidate self-join's map sides, and the in-row verify intersections
+    // — inherits the parallelism through the checkpoint's 1:1 lineage
+    // (measured at sf0.1: the whole pipeline ran as two ~2.4 s single-task
+    // stages off the one-split fixture scan)
     val toks = Materialize.once(
-      docs.filter(col(id) < maxId)
-        .select(col(id).cast("long").as("doc_id"),
-          array_distinct(graft.operators.TextAnalysis.tokens(col(text))).as("toks"))
+      Par.spread(docs.filter(col(id) < maxId)
+          .select(col(id).cast("long").as("doc_id"), col(text).as("_t")))
+        .select(col("doc_id"),
+          array_distinct(graft.operators.TextAnalysis.tokens(col("_t"))).as("toks"))
         .filter(size(col("toks")) > 0), reliable)
     val cand = prefixCandidates(toks, tauNum, tauDen)
     cand
