@@ -33,5 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // isolated min-of-3 on unchanged queries). 512m was sized for the
   // 290-query suite; at 346 queries late codec rows still ran 3-5x their
   // fresh-JVM times, so 768m (r19 measurement, OPTIMIZATION_r19.md).
-  "-XX:ReservedCodeCacheSize=768m",
+  // env-overridable so the 512m-vs-768m question is a one-variable A/B
+  // (r20); the default stays the declared r19 value
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "768m")}",
 )

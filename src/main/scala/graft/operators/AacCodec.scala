@@ -169,9 +169,9 @@ object AacCodec {
       if (symVals(s).forall(_ == 0)) 1000L else 1L + ((13L * s + 7 * cb) % 17)
     }
     private val (lens, codes) = MpegAudio.canonicalCode(weights)
-    private val bySym: Map[(Int, Int), Int] =
-      (0 until nSyms).map(s => ((lens(s), codes(s)), s)).toMap
-    private val maxLen = lens.max
+    // canonical range-decode state (shared impl): the old per-BIT tuple
+    // map probe was the same hot pattern jstack flagged in the MP3 reader
+    private val reader = new MpegAudio.CanonicalReader(lens, codes)
     /** Magnitude (unsigned books) or signed value per tuple member. */
     def symVals(sym: Int): Array[Int] = {
       val v = new Array[Int](tuple)
@@ -195,17 +195,8 @@ object AacCodec {
     }
     def write(put: (Long, Int) => Unit, sym: Int): Unit =
       put(codes(sym).toLong, lens(sym))
-    def read(get: Int => Int): Int = {
-      var code = 0
-      var len = 0
-      while (len <= maxLen) {
-        code = (code << 1) | get(1)
-        len += 1
-        val hit = bySym.get((len, code))
-        if (hit.isDefined) return hit.get
-      }
-      throw new IllegalArgumentException("aac: invalid spectral Huffman code")
-    }
+    def read(get: Int => Int): Int =
+      reader.read(get, "aac: invalid spectral Huffman code")
   }
 
   private lazy val specBooks: IndexedSeq[SpecBook] =
@@ -222,23 +213,11 @@ object AacCodec {
     val (lens, codes) = sfLensCodes
     put(codes(delta + 60).toLong, lens(delta + 60))
   }
-  private def sfRead(get: Int => Int): Int = {
+  private def sfRead(get: Int => Int): Int =
+    sfReader.read(get, "aac: invalid scalefactor code") - 60
+  private lazy val sfReader: MpegAudio.CanonicalReader = {
     val (lens, codes) = sfLensCodes
-    val bySym = sfReadMap
-    var code = 0
-    var len = 0
-    val maxLen = lens.max
-    while (len <= maxLen) {
-      code = (code << 1) | get(1)
-      len += 1
-      val hit = bySym.get((len, code))
-      if (hit.isDefined) return hit.get - 60
-    }
-    throw new IllegalArgumentException("aac: invalid scalefactor code")
-  }
-  private lazy val sfReadMap: Map[(Int, Int), Int] = {
-    val (lens, codes) = sfLensCodes
-    (0 until 121).map(s => ((lens(s), codes(s)), s)).toMap
+    new MpegAudio.CanonicalReader(lens, codes)
   }
 
   // ---- encode (fixture generator) ----------------------------------------------

@@ -1014,6 +1014,24 @@ object H264Codec {
       (Array[Int], Array[Int], Array[Int]) =
     mcFetchRect(ref, mx, my, 16, 16, mvX, mvY)
 
+  /** Rounded bi-prediction average, element-wise. Replaces the
+    * `a.zip(b).map { ... }` idiom at the B-slice averaging sites —
+    * jstack-measured hot (a boxed tuple per pixel per bi-predicted
+    * block); identical values.
+    */
+  private def avgRound(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = new Array[Int](a.length)
+    var i = 0
+    while (i < out.length) { out(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+    out
+  }
+
+  /** [[avgRound]] over a (luma, cb, cr) plane triple. */
+  private def avgPlanes(f0: (Array[Int], Array[Int], Array[Int]),
+                        f1: (Array[Int], Array[Int], Array[Int])):
+      (Array[Int], Array[Int], Array[Int]) =
+    (avgRound(f0._1, f1._1), avgRound(f0._2, f1._2), avgRound(f0._3, f1._3))
+
   /** Rectangular MC fetch for sub-MB partitions: luma wP x hP plus the
     * corresponding wP/2 x hP/2 chroma.
     */
@@ -1038,26 +1056,30 @@ object H264Codec {
       20 * bRaw(x, y) + 20 * bRaw(x, y + 1) - 5 * bRaw(x, y + 2) + bRaw(x, y + 3) + 512) >> 10)
     def avg(a: Int, b: Int): Int = (a + b + 1) >> 1
     val pY = new Array[Int](wP * hP)
+    // fractional-position selector hoisted to an Int so the per-pixel
+    // dispatch is a tableswitch — the previous (fx, fy) tuple match
+    // allocated a Tuple2 per pixel (jstack-hot on the B families)
+    val sel = (fx << 2) | fy
     var i = 0
     while (i < wP * hP) {
       val x = xI + i % wP; val y = yI + i / wP
-      pY(i) = (fx, fy) match {
-        case (0, 0) => P(x, y)
-        case (2, 0) => half(bRaw(x, y))
-        case (0, 2) => half(hRaw(x, y))
-        case (1, 0) => avg(P(x, y), half(bRaw(x, y)))
-        case (3, 0) => avg(half(bRaw(x, y)), P(x + 1, y))
-        case (0, 1) => avg(P(x, y), half(hRaw(x, y)))
-        case (0, 3) => avg(half(hRaw(x, y)), P(x, y + 1))
-        case (2, 2) => jVal(x, y)
-        case (1, 1) => avg(half(bRaw(x, y)), half(hRaw(x, y)))
-        case (3, 1) => avg(half(bRaw(x, y)), half(hRaw(x + 1, y)))
-        case (1, 3) => avg(half(hRaw(x, y)), half(bRaw(x, y + 1)))
-        case (3, 3) => avg(half(hRaw(x + 1, y)), half(bRaw(x, y + 1)))
-        case (2, 1) => avg(half(bRaw(x, y)), jVal(x, y))
-        case (2, 3) => avg(jVal(x, y), half(bRaw(x, y + 1)))
-        case (1, 2) => avg(half(hRaw(x, y)), jVal(x, y))
-        case (3, 2) => avg(jVal(x, y), half(hRaw(x + 1, y)))
+      pY(i) = (sel: @scala.annotation.switch) match {
+        case 0x0 /* (0,0) */ => P(x, y)
+        case 0x8 /* (2,0) */ => half(bRaw(x, y))
+        case 0x2 /* (0,2) */ => half(hRaw(x, y))
+        case 0x4 /* (1,0) */ => avg(P(x, y), half(bRaw(x, y)))
+        case 0xc /* (3,0) */ => avg(half(bRaw(x, y)), P(x + 1, y))
+        case 0x1 /* (0,1) */ => avg(P(x, y), half(hRaw(x, y)))
+        case 0x3 /* (0,3) */ => avg(half(hRaw(x, y)), P(x, y + 1))
+        case 0xa /* (2,2) */ => jVal(x, y)
+        case 0x5 /* (1,1) */ => avg(half(bRaw(x, y)), half(hRaw(x, y)))
+        case 0xd /* (3,1) */ => avg(half(bRaw(x, y)), half(hRaw(x + 1, y)))
+        case 0x7 /* (1,3) */ => avg(half(hRaw(x, y)), half(bRaw(x, y + 1)))
+        case 0xf /* (3,3) */ => avg(half(hRaw(x + 1, y)), half(bRaw(x, y + 1)))
+        case 0x9 /* (2,1) */ => avg(half(bRaw(x, y)), jVal(x, y))
+        case 0xb /* (2,3) */ => avg(jVal(x, y), half(bRaw(x, y + 1)))
+        case 0x6 /* (1,2) */ => avg(half(hRaw(x, y)), jVal(x, y))
+        case 0xe /* (3,2) */ => avg(jVal(x, y), half(hRaw(x + 1, y)))
         case _ => throw new IllegalStateException("unreachable")
       }
       i += 1
@@ -1881,10 +1903,7 @@ object H264Codec {
         val f0 = if (r0 >= 0) mcFetch(refP, mx, my, mv0._1, mv0._2) else null
         val f1 = if (r1 >= 0) mcFetch(ref0past, mx, my, mv1._1, mv1._2) else null
         val (pY, pU, pV) =
-          if (f0 != null && f1 != null)
-            (f0._1.zip(f1._1).map { case (x, y2) => (x + y2 + 1) >> 1 },
-              f0._2.zip(f1._2).map { case (x, y2) => (x + y2 + 1) >> 1 },
-              f0._3.zip(f1._3).map { case (x, y2) => (x + y2 + 1) >> 1 })
+          if (f0 != null && f1 != null) avgPlanes(f0, f1)
           else if (f0 != null) f0 else f1
         var i = 0
         while (i < 256) { bY((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
@@ -2088,11 +2107,8 @@ object H264Codec {
           case 0 => mcFetch(l0F, mx, my, m0.mv0._1, m0.mv0._2)
           case 1 => mcFetch(l1F, mx, my, m0.mv1._1, m0.mv1._2)
           case _ =>
-            val (a0, b0, c0) = mcFetch(l0F, mx, my, m0.mv0._1, m0.mv0._2)
-            val (a1, b1, c1) = mcFetch(l1F, mx, my, m0.mv1._1, m0.mv1._2)
-            (a0.zip(a1).map { case (x, y2) => (x + y2 + 1) >> 1 },
-              b0.zip(b1).map { case (x, y2) => (x + y2 + 1) >> 1 },
-              c0.zip(c1).map { case (x, y2) => (x + y2 + 1) >> 1 })
+            avgPlanes(mcFetch(l0F, mx, my, m0.mv0._1, m0.mv0._2),
+              mcFetch(l1F, mx, my, m0.mv1._1, m0.mv1._2))
         }
         var i = 0
         while (i < 256) { bY((my + i / 16) * w + mx + i % 16) = pY(i).toByte; i += 1 }
@@ -4163,9 +4179,7 @@ object H264Codec {
               }
               if (rawType == 1) f0
               else if (rawType == 2) f1
-              else (f0._1.zip(f1._1).map { case (a, b) => (a + b + 1) >> 1 },
-                f0._2.zip(f1._2).map { case (a, b) => (a + b + 1) >> 1 },
-                f0._3.zip(f1._3).map { case (a, b) => (a + b + 1) >> 1 })
+              else avgPlanes(f0, f1)
             } else if (isB && rawType <= 21) {
               // B two-partition 16x8/8x16 (Table 7-14): per-partition
               // list-usage mask; syntax order is all list-0 mvds then all

@@ -185,32 +185,55 @@ object MpegAudio {
   private[operators] def l3Cs(i: Int): Long = 2 + i % 3
   private[operators] def l3Ca(i: Int): Long = 1 + i % 2
 
-  /** Pinned 36-point IMDCT cosine stand-in (p ∈ 0..35, k ∈ 0..17). */
-  private[operators] def l3Cos(p: Int, k: Int): Long = ((7 * p + 11 * k + 3) % 23) - 11
+  /** Pinned 36-point IMDCT cosine stand-in (p ∈ 0..35, k ∈ 0..17).
+    * Tabulated at object init (the nTab/dTab discipline): the formula is
+    * evaluated 648x per non-zero long subband inside the IMDCT loop, and
+    * the modulo costs more than the multiply-accumulate it feeds. Indexed
+    * p * 18 + k so an out-of-range k overflows the array and throws
+    * instead of aliasing to a wrong in-range entry.
+    */
+  private val l3CosArr: Array[Long] = Array.tabulate(36 * 18) { x =>
+    val p = x / 18; val k = x % 18; ((7 * p + 11 * k + 3) % 23) - 11L
+  }
+  private[operators] def l3Cos(p: Int, k: Int): Long = l3CosArr(p * 18 + k)
 
   /** Pinned 12-point short-block IMDCT cosine / window stand-ins
     * (block_type 2: three short windows per granule per subband).
+    * Same tabulation as [[l3Cos]] (72 / 12 pinned values).
     */
-  private[operators] def l3CosS(p: Int, k: Int): Long = ((19 * p + 7 * k + 3) % 17) - 8
-  private[operators] def l3WinS(p: Int): Long = 1 + (5 * p) % 11
+  private val l3CosSArr: Array[Long] = Array.tabulate(12 * 6) { x =>
+    val p = x / 6; val k = x % 6; ((19 * p + 7 * k + 3) % 17) - 8L
+  }
+  private[operators] def l3CosS(p: Int, k: Int): Long = l3CosSArr(p * 6 + k)
+  private val l3WinSArr: Array[Long] =
+    Array.tabulate(12)(p => 1 + (5L * p) % 11)
+  private[operators] def l3WinS(p: Int): Long = l3WinSArr(p)
 
   /** Long-class 36-point window by block_type — 0 normal, 1 START
     * (long first half, flat middle, descending short half, ZEROS), 3
     * STOP (mirrored). Pinned values, the spec's piecewise transition
     * STRUCTURE: the zero regions make the block type value-visible.
     */
-  private[operators] def l3WinSeq(bt: Int, p: Int): Long = bt match {
-    case 0 => l3Win(p)
-    case 1 =>
-      if (p < 18) l3Win(p)
-      else if (p < 24) 7
-      else if (p < 30) l3WinS(11 - (p - 24))
-      else 0
-    case _ =>
-      if (p < 6) 0
-      else if (p < 12) l3WinS(p - 6)
-      else if (p < 18) 7
-      else l3Win(p)
+  private[operators] def l3WinSeq(bt: Int, p: Int): Long =
+    l3WinSeqArr((if (bt == 0 || bt == 1) bt else 2) * 36 + p)
+  // tabulated per block-type row (0 normal, 1 START, row 2 = the match's
+  // default arm, i.e. STOP and anything else) — evaluated 36x per
+  // non-zero long subband in the IMDCT loop
+  private val l3WinSeqArr: Array[Long] = Array.tabulate(3 * 36) { x =>
+    val bt = x / 36; val p = x % 36
+    bt match {
+      case 0 => l3Win(p)
+      case 1 =>
+        if (p < 18) l3Win(p)
+        else if (p < 24) 7
+        else if (p < 30) l3WinS(11 - (p - 24))
+        else 0
+      case _ =>
+        if (p < 6) 0
+        else if (p < 12) l3WinS(p - 6)
+        else if (p < 18) 7
+        else l3Win(p)
+    }
   }
 
   /** Pinned subblock_gain attenuation (spec: 2^(-2·gain) per short
@@ -316,23 +339,92 @@ object MpegAudio {
     (depth, codes)
   }
 
+  /** Shared canonical-code decode state over [[canonicalCode]] output:
+    * codes of one length are consecutive in increasing symbol order, so a
+    * (len, code) hit is a range check + array index — no per-bit tuple
+    * allocation or hash probe. Used by the AAC spectral/scalefactor
+    * readers; [[HuffTable]] keeps an inlined copy on its own BitReader.
+    */
+  private[operators] final class CanonicalReader(lens: Array[Int],
+                                                 codes: Array[Int]) {
+    val maxLen: Int = {
+      var m = 0; var i = 0
+      while (i < lens.length) { if (lens(i) > m) m = lens(i); i += 1 }
+      m
+    }
+    private val symsInOrder: Array[Int] =
+      lens.indices.sortBy(s => (lens(s), s)).toArray
+    private val minCodeAt = new Array[Int](maxLen + 1)
+    private val countAt = new Array[Int](maxLen + 1)
+    private val baseAt = new Array[Int](maxLen + 1)
+    locally {
+      var i = 0
+      while (i < symsInOrder.length) {
+        val s = symsInOrder(i)
+        val l = lens(s)
+        if (countAt(l) == 0) { minCodeAt(l) = codes(s); baseAt(l) = i }
+        countAt(l) += 1
+        i += 1
+      }
+    }
+    /** Symbol for the next code on the bit source, or throws `what`. */
+    def read(get: Int => Int, what: String): Int = {
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | get(1)
+        len += 1
+        val d = code - minCodeAt(len)
+        if (d >= 0 && d < countAt(len)) return symsInOrder(baseAt(len) + d)
+      }
+      throw new IllegalArgumentException(what)
+    }
+  }
+
   private[operators] final class HuffTable(val dims: Int, val linbits: Int,
                                            weights: Array[Long]) {
     private val (lens, codes) = canonicalCode(weights)
-    private val bySym: Map[(Int, Int), Int] =
-      (0 until weights.length).map(s => ((lens(s), codes(s)), s)).toMap
-    def maxLen: Int = lens.max
+    /** Longest code, computed ONCE. This was a `def` re-scanning `lens`
+      * with a boxed Ordering on every read() — jstack-measured as the
+      * single hottest frame of the whole MP3 decode (~70% of busy
+      * executor samples on q_mp3_swstereo).
+      */
+    val maxLen: Int = {
+      var m = 0; var i = 0
+      while (i < lens.length) { if (lens(i) > m) m = lens(i); i += 1 }
+      m
+    }
+    // Canonical decode state: canonicalCode assigns codes of one length
+    // consecutively in increasing symbol order, so a (len, code) hit is a
+    // range check + array index. (Prefix-freeness means a longer code's
+    // prefix can never fall inside a shorter length's occupied range, so
+    // this accepts exactly the pairs the old per-BIT tuple-map probe did.)
+    private val symsInOrder: Array[Int] =
+      (0 until lens.length).sortBy(s => (lens(s), s)).toArray
+    private val minCodeAt = new Array[Int](maxLen + 1)
+    private val countAt = new Array[Int](maxLen + 1)
+    private val baseAt = new Array[Int](maxLen + 1)
+    locally {
+      var i = 0
+      while (i < symsInOrder.length) {
+        val s = symsInOrder(i)
+        val l = lens(s)
+        if (countAt(l) == 0) { minCodeAt(l) = codes(s); baseAt(l) = i }
+        countAt(l) += 1
+        i += 1
+      }
+    }
     def codeLen(sym: Int): Int = lens(sym)
     def write(put: (Long, Int) => Unit, sym: Int): Unit =
       put(codes(sym).toLong, lens(sym))
     def read(br: BitReader): Int = {
       var code = 0
       var len = 0
-      while (len <= maxLen) {
+      while (len < maxLen) {
         code = (code << 1) | br.get(1)
         len += 1
-        val hit = bySym.get((len, code))
-        if (hit.isDefined) return hit.get
+        val d = code - minCodeAt(len)
+        if (d >= 0 && d < countAt(len)) return symsInOrder(baseAt(len) + d)
       }
       throw new IllegalArgumentException("mpeg audio: invalid Huffman code")
     }

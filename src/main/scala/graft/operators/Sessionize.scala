@@ -131,16 +131,26 @@ object Sessionize {
       min(struct(col("_t"), col("_tb"))).as("lo"),
       max(struct(col("_t"), col("_tb"))).as("hi"))
     val byKey = Window.partitionBy(col("_k")).orderBy(col("_c"))
-    val violations = bounds
+    // ONE action for both pre-pass facts (r20): the monotonicity-gate
+    // violation count and the distinct chunk list both derive from the
+    // same (key, chunk) bounds aggregate — previously two sequential jobs
+    // each re-scanning base. Values unchanged.
+    val gate = bounds
       .withColumn("prev_hi", lag(col("hi"), 1).over(byKey))
-      .filter(col("prev_hi").isNotNull && col("prev_hi") >= col("lo"))
-      .count()
+      .agg(
+        // coalesce: a global sum over an EMPTY bounds relation is NULL,
+        // where the old count() read 0
+        coalesce(sum(when(col("prev_hi").isNotNull && col("prev_hi") >= col("lo"), 1L)
+          .otherwise(0L)), lit(0L)).as("violations"),
+        collect_set(col("_c")).as("chunks"))
+      .collect()(0)
+    val violations = gate.getAs[Long]("violations")
     require(violations == 0,
       s"ewmaChunked: chunk order disagrees with ($tsCol, $tieBreak) order " +
       s"for $violations (key, chunk) pairs — chunkExpr must be monotone " +
       "in event time")
 
-    val chunks = base.select(col("_c")).distinct().as[Long].collect().sorted
+    val chunks = gate.getAs[scala.collection.Seq[Long]]("chunks").toArray.sorted
     var carry: DataFrame = Seq.empty[(Long, Long)].toDF("_k", "_s")
     var acc: DataFrame = null
     chunks.foreach { c =>
