@@ -11,6 +11,10 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: PlanDump <sfDir> <outDir> <suffix> <query...>")
+      sys.exit(2)
+    }
     val sfDir = args(0); val outDir = args(1); val suffix = args(2)
     val names = args.drop(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,7 +27,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    names.foreach { n =>
+    try names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -34,7 +38,6 @@ object PlanDump {
         case e: Throwable =>
           System.err.println(s"[plandump] $n FAILED: ${e.getMessage}")
       }
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

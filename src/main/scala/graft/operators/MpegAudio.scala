@@ -62,7 +62,9 @@ object MpegAudio {
     */
   private[this] val nTabArr: Array[Long] =
     Array.tabulate(64 * 32)(x => ((11 * (x >> 5) + 23 * (x & 31) + 7) % 31) - 15L)
-  private[operators] def nTab(i: Int, k: Int): Long = nTabArr((i << 5) | k)
+  // multiply (not (i << 5) | k): an out-of-range k then overflows past the
+  // row and throws instead of OR-aliasing to a wrong in-range entry
+  private[operators] def nTab(i: Int, k: Int): Long = nTabArr(i * 32 + k)
 
   /** Synthesis window stand-in for the 512-tap D table: |D| ≤ 14.
     * Precomputed for the same reason as [[nTab]] (512-tap windowed sum).

@@ -54,7 +54,9 @@ class PlanQualitySpec extends SparkTestBase {
     val media = Multimodal.withPixelMedia(docs)
     val png = Multimodal.withPngMedia(docs)
     // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
-    // disable it for the structural assertion only
+    // disable it for the structural assertion only (restore the PRIOR
+    // value, not a literal, so a suite configured with AQE off stays off)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq(
       // the raw-pixmap builder is NOT spread (trivial per-doc encode):
@@ -85,7 +87,7 @@ class PlanQualitySpec extends SparkTestBase {
         assert(!names.contains("media"),
           s"$name shuffles media payload bytes: $names")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     // the header kernel is a codegen'd expression on the scan, not a UDF
     val meta = plan(media.select(graft.functions.media_header(col("media"))))
     assert(!meta.contains("BatchEvalPython") && !meta.contains("ScalaUDF"),
@@ -149,7 +151,8 @@ class PlanQualitySpec extends SparkTestBase {
   test("LSH banding exchange carries ids only (no token/signature arrays)") {
     val docs = Tables(spark, sfDir, "documents")
     // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
-    // disable it for the structural assertion only
+    // disable it for the structural assertion only (restore the PRIOR value)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val lsh = Dedup.minhashLsh(docs, "doc_id", "text")
@@ -166,7 +169,7 @@ class PlanQualitySpec extends SparkTestBase {
         assert(!names.contains("sh"),
           s"shingle arrays ride an LSH exchange: $names")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("data-quality check compiles every rule into a single scan") {
@@ -176,12 +179,13 @@ class PlanQualitySpec extends SparkTestBase {
       Unique("doc_id"), NotNull("doc_id"),
       AcceptedValues("lang", Seq("en", "de", "es", "fr", "zh"))))
     // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect) —
-    // disable it for the structural assertion only
+    // disable it for the structural assertion only (restore the PRIOR value)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val scans =
       try compiled.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(scans.length == 1,
       s"expected 1 scan for the whole rule set, got ${scans.length}")
     // and the counts match the per-rule filter formulation
