@@ -31,9 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m code cache fills mid-suite and the JIT falls back to
   // interpretation for late rows (observed: in-suite times 2x their
   // isolated min-of-3 on unchanged queries). 512m was sized for the
-  // 290-query suite; at 346 queries late codec rows still ran 3-5x their
-  // fresh-JVM times, so 768m (r19 measurement, OPTIMIZATION_r19.md).
-  // env-overridable so the 512m-vs-768m question is a one-variable A/B
-  // (r20); the default stays the declared r19 value
-  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "768m")}",
+  // 290-query suite. r19 bumped it to 768m after the last bench, unverified;
+  // the r20 controlled A/B (same HEAD, back-to-back quiet q_a..q_h prefix
+  // runs: 512m 121.9 s vs 768m 132.5 s, H.264 family 40.6 vs 41.9 s —
+  // OPTIMIZATION_r20.md) shows 768m buys nothing, so the default reverts
+  // to the measured 512m. Env-overridable for future A/Bs.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
 )
