@@ -38,3 +38,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to the measured 512m. Env-overridable for future A/Bs.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
 )
+// extra JVM flags for one-variable A/B experiments (JIT/GC tuning);
+// empty by default so the committed bench environment is unchanged
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
